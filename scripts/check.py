@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's t2 correctness gate (dev tool only; the
+shipped library is pure Scala/Spark). Reads the Verify.scala output dir,
+runs each oracle SQL in DuckDB against the same parquet tables, and
+compares row count / schema / values (exact for ints+strings, exact for
+floats too since both sides round order-dependent aggregates).
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].apply(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) or
+                hasattr(v, "__len__") and not isinstance(v, (str, bytes)) else v)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: no spark result ({e})")
+            failures += 1
+            continue
+        try:
+            exp = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            failures += 1
+            continue
+        g, x = norm(got), norm(exp)
+        if list(g.columns) != list(x.columns):
+            print(f"FAIL {name}: columns spark={list(g.columns)} oracle={list(x.columns)}")
+            failures += 1
+            continue
+        if len(g) != len(x):
+            print(f"FAIL {name}: rows spark={len(g)} oracle={len(x)}")
+            failures += 1
+            continue
+        bad = []
+        for c in g.columns:
+            a, b = g[c], x[c]
+            try:
+                if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                    eq = ((a.astype(float) == b.astype(float)) |
+                          (a.isna() & b.isna()))
+                else:
+                    eq = (a == b) | (a.isna() & b.isna())
+                if not eq.all():
+                    i = int((~eq).idxmax())
+                    bad.append(f"{c} (e.g. row {i}: {a[i]!r} vs {b[i]!r}, "
+                               f"{int((~eq).sum())} diffs)")
+            except Exception as e:
+                bad.append(f"{c} (compare error {e})")
+        if bad:
+            print(f"FAIL {name}: value mismatch: {'; '.join(bad)}")
+            failures += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)")
+    print(f"\n{len(oracle) - failures}/{len(oracle)} queries pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
