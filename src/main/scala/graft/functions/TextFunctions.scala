@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the training-data pipeline ops
+  * (builder prompt: language-ID, quality scoring, token counting,
+  * fingerprinting, shingling). Everything here is pure
+  * `org.apache.spark.sql.functions` composition — codegen'd, no UDFs —
+  * so the expressions stay inside whole-stage codegen at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count (long, matches DuckDB len()). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Average word length assuming single-space separation. */
+  def avgWordLen(text: Column): Column = {
+    val n = size(tokens(text)).cast("double")
+    (length(text).cast("double") - (n - lit(1.0))) / n
+  }
+
+  /** Default stopword list for quality scoring (vocabulary-neutral). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column, stop: Seq[String] = Stopwords): Column = {
+    val toks = tokens(text)
+    val nStop = size(filter(toks, t => t.isin(stop: _*)))
+    nStop.cast("double") / size(toks).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: penalize extreme doc lengths and
+    * stopword-free (unnatural) text. Deterministic, codegen-friendly.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = size(tokens(text)).cast("double")
+    val lenScore = least(n / lit(32.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(8.0), lit(1.0))
+    round(lenScore * lit(0.5) + stopScore * lit(0.5), 6)
+  }
+
+  /** Document fingerprint: md5 of the case/whitespace-normalized text.
+    * (Reference has no text ops; this is the pipeline-op analog of its
+    * UUID column binding — a stable content identity.)
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(lower(text)).cast("binary"))
+
+  /** Distinct word n-gram shingles, e.g. n=3: "a b c" "b c d" ….
+    * Returns array<string>; empty when the doc has < n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    // NB sequence(0, -1) yields a DESCENDING [0,-1], not empty — guard
+    // the <n-token case explicitly.
+    val grams = array_distinct(transform(sequence(lit(0), size(toks) - lit(n)),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
+  /** k MinHash signature values over the shingle set: for permutation i,
+    * min over shingles of xxhash64(i ++ shingle). Pure column expr —
+    * each row's signature computed map-side, no shuffle.
+    */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleArr, s => xxhash64(concat(i.cast("string"), lit("|"), s)))))
+
+  /** LSH band hashes from a minhash signature: bands of `rowsPerBand`
+    * values hashed together. A pair agreeing on any band is a candidate.
+    */
+  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",",
+        concat(lit("b"), b.cast("string")),
+        concat_ws(",", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))))))
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sign of the sum of
+    * (token-hash bit ? +1 : -1) across tokens. Returned as long.
+    */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(tokens(text), t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, x) => a.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID
+    * heuristic (public-knowledge marker lists).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une"),
+    "it" -> Seq("il", "di", "che", "la", "per", "una"))
+
+  /** Heuristic language ID: argmax of marker-word hit counts; "und"
+    * (undetermined) when no marker appears. Deterministic.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = LangMarkers.map { case (lang, markers) =>
+      struct(size(filter(toks, t => t.isin(markers: _*))).as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, expressed with
+  * higher-order functions (`aggregate`/`zip_with`) so everything stays
+  * codegen'd and map-side. All arithmetic is widened to double BEFORE
+  * multiply — keeps results deterministic and oracle-comparable.
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ (double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Σ aᵢ² (double). */
+  def sqNorm(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** ‖a‖₂. */
+  def l2Norm(a: Column): Column = sqrt(sqNorm(a))
+
+  /** cos(a,b) = a·b / (‖a‖‖b‖); null-safe for zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
+
+  /** ‖a−b‖₂ (euclidean distance). */
+  def l2Dist(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    }), lit(0.0), (acc, v) => acc + v))
+
+  /** Deterministic pseudo-random unit-ish hyperplane for LSH: component
+    * j of plane p derived from xxhash64 — reproducible across runs and
+    * engines without an RNG.
+    */
+  def hyperplane(planeId: Int, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), j =>
+      (xxhash64(concat(lit(s"plane$planeId|"), j.cast("string"))).cast("double") /
+        lit(Long.MaxValue.toDouble)))
+
+  /** Random-hyperplane (sign) LSH bucket id from `nPlanes` planes:
+    * bit p = sign(v · plane_p). One long column, map-side only.
+    */
+  def signLshBucket(v: Column, nPlanes: Int, dim: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      when(dot(v, hyperplane(p, dim)) >= 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for the training-data pipeline: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash. All distributed-first:
+  * signatures are computed map-side per row; candidate generation is a
+  * single shuffle keyed on content hash / LSH bucket — never an
+  * all-pairs cross join, so each stage scales linearly in rows (plus
+  * bucket-local pair expansion, controlled by band width).
+  */
+object Dedup {
+
+  /** Exact dedup on a canonical key: keep the lowest id per group.
+    * One hash-aggregate shuffle on the (hashed) key.
+    */
+  def exactGroups(df: DataFrame, idCol: String, key: Column): DataFrame =
+    df.groupBy(md5(key.cast("binary")).as("content_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup: retain one row per distinct key (lowest id wins). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, key: Column): DataFrame = {
+    val keep = exactGroups(df, idCol, key).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** All pairs (a<b) whose word-n-gram Jaccard similarity ≥ threshold.
+    * Plan: per-doc distinct shingles → explode → shuffle-join on the
+    * shingle (co-partitioned equi-join, AQE handles skewed shingles) →
+    * per-pair intersection counts → filter. Exact, but the shingle join
+    * is quadratic within a shingle's posting list — at 100 TB use
+    * `minhashCandidates` first and feed only candidates here.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("s"))
+    val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash+LSH candidate pairs: signature (k values) per doc map-side,
+    * explode into `bands` bucket keys, shuffle once on the bucket, emit
+    * distinct pairs sharing ≥1 bucket with their estimated Jaccard
+    * (signature agreement fraction). Linear-scan friendly at scale:
+    * no global pairwise comparison ever materializes.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                        minEstimate: Double = 0.0): DataFrame = {
+    val rowsPerBand = k / bands
+    val sigs = df.select(col(idCol).as("doc"),
+        minhashSignature(shingles(col(textCol), shingleN), k).as("sig"))
+      .filter(size(col("sig")) > 0 && !array_contains(transform(col("sig"), x => isnull(x)), true))
+    val buckets = sigs.select(col("doc"), col("sig"),
+      posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
+    val a = buckets.as("a"); val b = buckets.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("n_match", aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v))
+      .withColumn("est_jaccard", round(col("n_match").cast("double") / lit(k.toDouble), 6))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstimate)
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature map-side; candidates share
+    * one of four 16-bit bands (single shuffle on (band, key)); verified
+    * by Hamming distance ≤ maxHamming.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 8): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sig"))
+    val banded = sigs.select(col("doc"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "key")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", graft.functions.TextFunctions.hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data pipeline operators (builder prompt §beyond-reference):
+  * text analysis, dedup, similarity search, multimodal plumbing — each
+  * over the driver's `documents` / `embeddings` tables. Queries whose
+  * hash functions DuckDB can't replicate (xxhash64-based MinHash /
+  * SimHash / LSH) ship without oracle SQL → rows-only check + ScalaTest
+  * cross-validation against the exact-Jaccard operator.
+  */
+object TextVector {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting (whitespace tokenizer, codegen'd).
+    "q20_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    }),
+
+    // quality scoring: length/stopword ratios.
+    "q21_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_words"),
+        round(TextFunctions.avgWordLen(col("text")), 6).as("avg_word_len"),
+        round(TextFunctions.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+    }),
+
+    // language-ID heuristic (marker stopword argmax) — rows-only check.
+    "q22_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("pred_lang"))
+    }),
+
+    // document fingerprint (normalized md5).
+    "q23_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+    }),
+
+    // exact dedup on a canonical key (first 10 tokens): hash-groupBy.
+    "q24_dedup_exact" -> ((s, dir) => {
+      val key = concat_ws(" ", slice(split(col("text"), " "), 1, 10))
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", key)
+        .select(col("keep_id"), col("n_copies"))
+    }),
+
+    // n-gram Jaccard near-dup pairs (exact), threshold 0.8.
+    "q25_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
+    }),
+
+    // MinHash+LSH candidate pairs (xxhash64 — no DuckDB analog).
+    "q26_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, k = 32, bands = 8, minEstimate = 0.5)
+    }),
+
+    // SimHash near-dup pairs (rows-only).
+    "q27_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
+    }),
+
+    // embedding L2 norm (HOF aggregate, all double math).
+    "q28_embed_norm" -> ((s, dir) => {
+      t(s, dir, "embeddings").select(col("vec_id"),
+        round(VectorFunctions.l2Norm(col("embedding")), 6).as("l2_norm"))
+    }),
+
+    // brute-force cosine top-5 for query vectors vec_id < 10.
+    "q29_ann_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+
+    // LSH-bucketed ANN (deterministic hyperplanes; rows-only).
+    "q30_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+
+    // IVF-Flat ANN (k-means coarse quantizer + cell probe; rows-only).
+    "q33_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+
+    // per-label embedding centroids (vector aggregation).
+    "q31_label_centroids" -> ((s, dir) => {
+      Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
+    }),
+
+    // multimodal plumbing: opaque binary payload + typed metadata
+    // (decode itself is stubbed per prompt — see operators/Multimodal).
+    "q32_multimodal_meta" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        ceil(length(col("text").cast("binary")) / lit(64.0)).cast("long").as("n_chunks"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q20_token_count" ->
+      "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
+    "q21_text_quality" ->
+      """SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         round((CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text,' ')) AS DOUBLE) - 1.0))
+               / CAST(len(string_split(text,' ')) AS DOUBLE), 6) AS avg_word_len,
+         round(CAST(len(list_filter(string_split(text,' '),
+                 x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               / CAST(len(string_split(text,' ')) AS DOUBLE), 6) AS stopword_ratio
+         FROM documents""",
+    "q23_fingerprint" ->
+      "SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents",
+    "q24_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
+         GROUP BY md5(array_to_string(string_split(text,' ')[1:10], ' '))""",
+    "q25_jaccard_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           round(ni * 1.0 / (ca.n + cb.n - ni), 6) AS jaccard
+         FROM inter
+         JOIN cnt ca ON ca.doc_id = doc_a
+         JOIN cnt cb ON cb.doc_id = doc_b
+         WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.8""",
+    "q28_embed_norm" ->
+      """SELECT vec_id,
+         round(sqrt(list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+         FROM embeddings""",
+    "q29_ann_brute" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                              list_transform(c.embedding, x -> CAST(x AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10)
+         SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+           SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+         WHERE rank <= 5""",
+    "q31_label_centroids" ->
+      """SELECT label, CAST(t.i - 1 AS INTEGER) AS pos,
+         round(avg(CAST(embedding[t.i] AS DOUBLE)), 6) AS centroid_val
+         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+         GROUP BY 1, 2""",
+    "q32_multimodal_meta" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+         CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS BIGINT) AS n_chunks
+         FROM documents"""
+  )
+}

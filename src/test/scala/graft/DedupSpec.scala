@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank now"), // near dup of 1
+    (4L, "completely different text about spark catalyst optimizer plans and shuffles"),
+    (5L, "another unrelated document mentioning parquet row groups and predicate pushdown")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses exact duplicates, keeps lowest id") {
+    val g = Dedup.exactGroups(docs, "doc_id", col("text"))
+    assert(g.count() == 4)
+    val dup = g.filter(col("n_copies") === 2).first()
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("dropExactDuplicates keeps one row per content") {
+    val d = Dedup.dropExactDuplicates(docs, "doc_id", col("text"))
+    assert(d.count() == 4)
+    assert(d.filter(col("doc_id") === 2L).count() == 0)
+    assert(d.filter(col("doc_id") === 1L).count() == 1)
+  }
+
+  test("jaccardPairs finds exact and near duplicates only") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a >= 4L || b >= 4L })
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.999)
+      .filter(col("doc_a") === 1L && col("doc_b") === 2L).first()
+    assert(exact.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("minhashCandidates recall vs exact jaccard on testdata") {
+    val d = Tables(spark, sf001, "documents")
+    val truth = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashCandidates(d, "doc_id", "text", minEstimate = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "testdata should contain planted near-dups")
+    val recall = truth.count(cand.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"minhash recall $recall too low (found ${cand.size} candidates)")
+  }
+
+  test("simhashPairs finds planted near-dups on testdata") {
+    val d = Tables(spark, sf001, "documents")
+    val truth = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"simhash recall $recall (truth=${truth.size}, found=${found.size})")
+  }
+}

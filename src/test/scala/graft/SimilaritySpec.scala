@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vector primitives: dot, norm, cosine") {
+    val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
+    val r = df.select(
+      dot(col("a"), col("b")).as("d"),
+      l2Norm(col("a")).as("n"),
+      cosine(col("a"), col("b")).as("c"),
+      l2Dist(col("a"), col("b")).as("e")).first()
+    assert(r.getDouble(0) == 24.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(math.abs(r.getDouble(2) - 24.0 / 25.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - math.sqrt(2.0)) < 1e-12)
+  }
+
+  test("cosine of zero vector is 0, not NaN") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    assert(df.select(cosine(col("a"), col("b"))).first().getDouble(0) == 0.0)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors, self excluded") {
+    val e = Tables(spark, sf001, "embeddings")
+    val res = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+    val rows = res.collect()
+    assert(rows.length == 15)
+    assert(!rows.exists(r => r.getLong(0) == r.getLong(1)))
+    // ranks 1..5 per query, scores non-increasing
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lshTopK recall vs brute force") {
+    val e = Tables(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", 5)
+      .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val recall = brute.map { case (k, t) =>
+      (t & lsh.getOrElse(k, Set.empty)).size.toDouble / t.size }.sum / brute.size
+    assert(recall >= 0.5, s"lsh recall $recall")
+  }
+
+  test("ivfTopK recall vs brute force") {
+    val e = Tables(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", 5)
+      .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val recall = brute.map { case (k, t) =>
+      (t & ivf.getOrElse(k, Set.empty)).size.toDouble / t.size }.sum / brute.size
+    assert(recall >= 0.4, s"ivf recall $recall")
+  }
+
+  test("labelCentroids: one row per (label, dim)") {
+    val e = Tables(spark, sf001, "embeddings")
+    val c = Similarity.labelCentroids(e, "label", "embedding")
+    val nLabels = e.select("label").distinct().count()
+    assert(c.count() == nLabels * 64)
+  }
+}

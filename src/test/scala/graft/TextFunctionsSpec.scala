@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(text).toDF("text")
+
+  test("tokenCount counts whitespace tokens") {
+    val n = one("a b c d").select(tokenCount(col("text"))).first().getLong(0)
+    assert(n == 4L)
+  }
+
+  test("shingles produces distinct word n-grams") {
+    val sh = one("a b c d c d").select(shingles(col("text"), 3)).first()
+      .getSeq[String](0)
+    assert(sh.toSet == Set("a b c", "b c d", "c d c", "d c d"))
+  }
+
+  test("shingles on short doc is empty") {
+    val sh = one("a b").select(shingles(col("text"), 3)).first().getSeq[String](0)
+    assert(sh.isEmpty)
+  }
+
+  test("fingerprint is case/whitespace normalized") {
+    val df = Seq("Hello World", "  hello world ").toDF("text")
+      .select(fingerprint(col("text")).as("fp"))
+    assert(df.distinct().count() == 1)
+  }
+
+  test("simhash: identical texts collide, disjoint texts differ") {
+    val df = Seq(
+      ("a", "spark query engine shuffle partition broadcast join filter"),
+      ("b", "spark query engine shuffle partition broadcast join filter"),
+      ("c", "zebra yak xylophone walrus vulture termite snake rhino")
+    ).toDF("id", "text").select(col("id"), simhash64(col("text")).as("h"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") == m("b"))
+    assert(java.lang.Long.bitCount(m("a") ^ m("c")) > 10)
+  }
+
+  test("langId picks marker language, und when no markers") {
+    val df = Seq("the cat and the dog of the house",
+      "el perro de la casa que ladra", "xyzzy plugh").toDF("text")
+      .select(langId(col("text")).as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "es", "und"))
+  }
+
+  test("minhash signature: identical sets agree, est jaccard sane") {
+    val df = Seq(
+      ("x", "a b c d e f g h i j"),
+      ("y", "a b c d e f g h i j")
+    ).toDF("id", "text")
+      .select(col("id"), minhashSignature(shingles(col("text"), 3), 16).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](1))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0).length == 16)
+  }
+}
