@@ -62,13 +62,25 @@ object TextFunctions {
     when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
   }
 
-  /** k MinHash signature values over the shingle set: for permutation i,
-    * min over shingles of xxhash64(i ++ shingle). Pure column expr —
-    * each row's signature computed map-side, no shuffle.
+  /** Long hash per shingle (hash each string exactly ONCE). */
+  def shingleHashes(shingleArr: Column): Column =
+    transform(shingleArr, s => xxhash64(s))
+
+  /** k MinHash signature values from pre-hashed shingles: permutation i
+    * re-mixes the 64-bit shingle hash with `xxhash64(i, h)` — native
+    * long→long hashing, so the whole signature is k·|shingles| integer
+    * hash rounds with no per-permutation STRING hashing (strings are
+    * hashed once by [[shingleHashes]]). Map-side only, ANSI-safe (no
+    * overflowing arithmetic). Map-side only.
     */
+  def minhashFromHashes(hashArr: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(hashArr, h => xxhash64(lit(i), h)))
+    }: _*)
+
+  /** k MinHash signature values over a shingle set (convenience). */
   def minhashSignature(shingleArr: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleArr, s => xxhash64(concat(i.cast("string"), lit("|"), s)))))
+    minhashFromHashes(shingleHashes(shingleArr), k)
 
   /** LSH band hashes from a minhash signature: bands of `rowsPerBand`
     * values hashed together. A pair agreeing on any band is a candidate.

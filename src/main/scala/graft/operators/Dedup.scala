@@ -60,17 +60,27 @@ object Dedup {
                         shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                         minEstimate: Double = 0.0): DataFrame = {
     val rowsPerBand = k / bands
+    // Stage the signature through explicit projections (hash each
+    // shingle once, then k affine permutations over the longs) and
+    // persist — the self-join would otherwise inline and recompute the
+    // whole signature expression on both sides.
     val sigs = df.select(col(idCol).as("doc"),
-        minhashSignature(shingles(col(textCol), shingleN), k).as("sig"))
-      .filter(size(col("sig")) > 0 && !array_contains(transform(col("sig"), x => isnull(x)), true))
-    val buckets = sigs.select(col("doc"), col("sig"),
+        shingleHashes(shingles(col(textCol), shingleN)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc"), minhashFromHashes(col("hs"), k).as("sig"))
+      .persist()
+    // Candidate pairs carry ONLY ids through the bucket join + distinct;
+    // signatures re-attach afterwards (two slim joins on doc id).
+    val buckets = sigs.select(col("doc"),
       posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
     val a = buckets.as("a"); val b = buckets.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    val pairs = a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
+    pairs
+      .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("n_match", aggregate(
         zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v))
