@@ -15,7 +15,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-    graft.queries.TextVector.queries
+    graft.queries.TextVector.queries ++
+    graft.queries.Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -23,5 +24,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
-    graft.queries.TextVector.oracle
+    graft.queries.TextVector.oracle ++
+    graft.queries.Events.oracle
 }

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.EventOps
+
+/** Event-time operator coverage over the `events` table (SURVEY.md
+  * §2.10 — greenfield; the reference has no streaming/window surface).
+  * Batch execution of the SAME transforms the streaming entry points
+  * use (see streaming/EventOps.scala); oracles reproduce the window
+  * algebra in DuckDB (`time_bucket`, gaps-and-islands sessionization).
+  */
+object Events {
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir, "events")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tumbling 1h window per event_type.
+    "q40_window_tumbling" -> ((s, dir) => EventOps.tumblingAgg(t(s, dir), "1 hour")),
+
+    // sliding 1h window, 30m slide (each event in 2 windows).
+    "q41_window_sliding" -> ((s, dir) => EventOps.slidingAgg(t(s, dir), "1 hour", "30 minutes")),
+
+    // per-user session windows, 30m inactivity gap.
+    "q42_sessionize" -> ((s, dir) => EventOps.sessionAgg(t(s, dir), "30 minutes")),
+
+    // JSON schema-on-read over props.
+    "q43_json_props" -> ((s, dir) => EventOps.propsKey(t(s, dir))),
+
+    // event-time daily argmax per user.
+    "q44_daily_argmax" -> ((s, dir) => EventOps.dailyUserArgmax(t(s, dir)))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q40_window_tumbling" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS bucket_s,
+         event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q41_window_sliding" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL 30 MINUTE, ts) - o.off) AS BIGINT) AS bucket_s,
+         count(*) AS n, round(avg(value), 6) AS avg_value
+         FROM events, (VALUES (INTERVAL 0 MINUTE), (INTERVAL 30 MINUTE)) o(off)
+         GROUP BY 1""",
+    "q42_sessionize" ->
+      """WITH marked AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+         numbered AS (
+           SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+                              ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked)
+         SELECT user_id,
+           CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS session_start_s,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM numbered GROUP BY user_id, sid""",
+    "q43_json_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         FROM events""",
+    "q44_daily_argmax" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL 1 DAY, ts)) AS BIGINT) AS bucket_s,
+         user_id,
+         arg_max(event_type, CAST(round(value * 100) AS BIGINT) * 10000000 + event_id) AS top_type,
+         round(max(value), 2) AS top_value
+         FROM events GROUP BY 1, 2"""
+  )
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over the `events` table (ts, user_id,
+  * event_type, value, props).
+  *
+  * The reference has no streaming surface at all (SURVEY.md §2.10 —
+  * its `iter_rows`/batch evaluation is chunked batch I/O), so this
+  * module is greenfield Structured-Streaming-first design: every
+  * transform is written against an unbounded DataFrame and works
+  * identically on a bounded one. Batch queries (driver-verified vs
+  * DuckDB) and streaming pipelines (spec-verified vs their own batch
+  * run) share these definitions, which is the property that matters
+  * at 100 TB: one logical plan, micro-batch or batch execution both
+  * pick partial+final hash aggregation keyed on (window, group) — the
+  * shuffle key includes the time bucket, so state is evenly spread
+  * and watermarking bounds it.
+  */
+object EventOps {
+
+  /** Window start as epoch seconds (long) — comparison-stable surface
+    * for results (raw timestamps are never returned; see
+    * queries/Relational.scala conventions).
+    */
+  private def startSeconds(w: Column): Column =
+    unix_timestamp(w.getField("start")).as("bucket_s")
+
+  /** Tumbling event-time window aggregate per event_type:
+    * count + sum(value). One shuffle on (window, event_type).
+    */
+  def tumblingAgg(events: DataFrame, size: String): DataFrame =
+    events.groupBy(window(col("ts"), size), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(startSeconds(col("window")), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding event-time window (size, slide) global counts. Each event
+    * lands in size/slide windows — map-side fan-out, single shuffle.
+    */
+  def slidingAgg(events: DataFrame, size: String, slide: String): DataFrame =
+    events.groupBy(window(col("ts"), size, slide))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+      .select(startSeconds(col("window")), col("n"), col("avg_value"))
+
+  /** Per-user session windows with an inactivity gap: a session ends
+    * when the next event is ≥ gap after the previous one. State per
+    * (user, session) only — bounded by the watermark under streaming.
+    */
+  def sessionAgg(events: DataFrame, gap: String): DataFrame =
+    events.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window").getField("start")).as("session_start_s"),
+        col("n_events"), col("sum_value"))
+
+  /** JSON props extraction (schema-on-read over the opaque props
+    * string): pulls `$.k` as int. Codegen'd path (`get_json_object`).
+    */
+  def propsKey(events: DataFrame): DataFrame =
+    events.select(col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+
+  /** Top event value per user per day (event-time grouped argmax).
+    * The argmax key folds in event_id so equal values break ties
+    * deterministically (cross-engine reproducible).
+    */
+  def dailyUserArgmax(events: DataFrame): DataFrame = {
+    val key = round(col("value") * 100).cast("long") * lit(10000000L) + col("event_id")
+    events.groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(max_by(col("event_type"), key).as("top_type"),
+        round(max(col("value")), 2).as("top_value"))
+      .select(startSeconds(col("window")), col("user_id"), col("top_type"), col("top_value"))
+  }
+
+  // ---- Streaming entry points (unbounded input) --------------------
+
+  /** Streaming tumbling aggregate with a watermark: late events beyond
+    * `lateness` are dropped and window state is evicted — state size
+    * is O(active windows × event types), not O(stream).
+    */
+  def streamTumblingAgg(stream: DataFrame, size: String, lateness: String): DataFrame =
+    stream.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), size), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(startSeconds(col("window")), col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming per-user sessionization with watermark-bounded state. */
+  def streamSessionAgg(stream: DataFrame, gap: String, lateness: String): DataFrame =
+    stream.withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window").getField("start")).as("session_start_s"),
+        col("n_events"), col("sum_value"))
+}

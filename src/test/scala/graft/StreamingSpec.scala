@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventOps
+
+/** Top-level so Spark can derive an Encoder (inner classes can't). */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+/** Structured Streaming specs: the streaming entry points must produce
+  * the same results as their batch twins on the same (bounded) data —
+  * the core design property of EventOps (one logical transform, two
+  * execution modes).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val evs = Seq(
+    Ev(0L, ts("2024-01-01 00:05:00"), 1L, "view", 10.0, """{"k": 1}"""),
+    Ev(1L, ts("2024-01-01 00:20:00"), 1L, "click", 5.0, """{"k": 2}"""),
+    Ev(2L, ts("2024-01-01 00:55:00"), 1L, "view", 2.5, """{"k": 3}"""),
+    Ev(3L, ts("2024-01-01 01:10:00"), 2L, "purchase", 99.0, """{"k": 4}"""),
+    Ev(4L, ts("2024-01-01 02:30:00"), 1L, "view", 1.0, """{"k": 5}"""),
+    Ev(5L, ts("2024-01-01 02:31:00"), 2L, "click", 3.0, """{"k": 6}""")
+  )
+
+  private def runStream(build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                        mode: String): Array[org.apache.spark.sql.Row] = {
+    val src = MemoryStream[Ev](spark)
+    src.addData(evs)
+    val sink = s"stream_sink_${System.identityHashCode(src)}"
+    val q = build(src.toDF()).writeStream
+      .format("memory").queryName(sink).outputMode(mode).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(sink).collect()
+  }
+
+  test("streaming tumbling agg matches batch on bounded data") {
+    val batch = EventOps.tumblingAgg(evs.toDF(), "1 hour")
+      .collect().map(_.toSeq).toSet
+    val stream = runStream(EventOps.streamTumblingAgg(_, "1 hour", "10 minutes"), "complete")
+      .map(_.toSeq).toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming sessionization matches batch on bounded data") {
+    val batch = EventOps.sessionAgg(evs.toDF(), "30 minutes")
+      .collect().map(_.toSeq).toSet
+    val stream = runStream(EventOps.streamSessionAgg(_, "30 minutes", "10 minutes"), "complete")
+      .map(_.toSeq).toSet
+    assert(stream == batch)
+    // user 1: events at 00:05/00:20 merge (gap 15m); 00:55 and 02:30 are
+    // separate sessions (gaps >= 30m) -> 3 sessions.
+    assert(batch.count(_.head == 1L) == 3)
+  }
+
+  test("watermark drops late data in append mode") {
+    val src = MemoryStream[Ev](spark)
+    val q = EventOps.streamTumblingAgg(src.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("wm_sink").outputMode("append").start()
+    try {
+      src.addData(evs.filter(_.event_id <= 3))
+      q.processAllAvailable()
+      // advance the watermark far past hour 0
+      src.addData(Seq(Ev(90L, ts("2024-01-01 06:00:00"), 9L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      // this event is 6h late -> dropped by the 30m watermark
+      src.addData(Seq(Ev(91L, ts("2024-01-01 00:06:00"), 9L, "late", 7.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("wm_sink").collect()
+    assert(!out.exists(_.getString(1) == "late"), s"late row leaked: ${out.mkString(",")}")
+    // the closed hour-0 window was emitted exactly once
+    assert(out.count(r => r.getLong(0) == ts("2024-01-01 00:00:00").getTime / 1000) >= 1)
+  }
+
+  test("batch sessionization semantics: gap boundary starts new session") {
+    val df = Seq(
+      Ev(0L, ts("2024-01-01 00:00:00"), 7L, "a", 1.0, "{}"),
+      Ev(1L, ts("2024-01-01 00:29:59"), 7L, "b", 1.0, "{}"), // < 30m: same
+      Ev(2L, ts("2024-01-01 01:00:00"), 7L, "c", 1.0, "{}")  // >= 30m: new
+    ).toDF()
+    val sessions = EventOps.sessionAgg(df, "30 minutes").collect()
+    assert(sessions.length == 2)
+    assert(sessions.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L))
+  }
+}
