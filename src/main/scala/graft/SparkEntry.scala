@@ -16,7 +16,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
     graft.queries.TextVector.queries ++
-    graft.queries.Events.queries
+    graft.queries.Events.queries ++
+    graft.queries.CoreLib.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -25,5 +26,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
     graft.queries.TextVector.oracle ++
-    graft.queries.Events.oracle
+    graft.queries.Events.oracle ++
+    graft.queries.CoreLib.oracle
 }

@@ -1,0 +1,101 @@
+package graft.collections
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Header, OCDataset}
+import graft.expr.OCMask
+
+/** Lightcone: per-redshift-step datasets presented as one table
+  * (reference python/opencosmo/collection/lightcone/lightcone.py:75 —
+  * SURVEY.md §1.1, §2.9).
+  *
+  * Spark mapping: `unionByName` over the step frames with a `step`
+  * column. `withRedshiftRange` drops whole steps BEFORE the union
+  * (the reference's step-level pruning, lightcone.py:516-545); written
+  * `partitionBy("step")`, the same pruning happens at the storage
+  * layer on re-read. Cross-step expressions (the reference's
+  * Lightcone "scope" machinery, scope.py:16-321) dissolve: any
+  * expression over the unioned frame already spans steps.
+  */
+final case class Lightcone(steps: Map[Int, OCDataset]) {
+  require(steps.nonEmpty, "empty lightcone")
+
+  /** Redshift coverage per step, from each step's header. */
+  def stepRedshifts: Map[Int, Double] =
+    steps.map { case (s, d) => s -> d.header.redshift }
+
+  /** The unioned view with a `step` column. */
+  def toDataset: OCDataset = {
+    val frames = steps.toSeq.sortBy(_._1).map { case (s, d) =>
+      d.df.withColumn("step", lit(s))
+    }
+    val df = frames.reduce(_.unionByName(_))
+    OCDataset(df, steps.head._2.header.copy(isLightcone = true))
+  }
+
+  /** Keep only steps whose redshift lies in [zMin, zMax] — whole-step
+    * (partition-level) pruning before any row is read.
+    */
+  def withRedshiftRange(zMin: Double, zMax: Double): Lightcone = {
+    val kept = steps.filter { case (_, d) =>
+      d.header.redshift >= zMin && d.header.redshift <= zMax
+    }
+    require(kept.nonEmpty, s"no steps in z range [$zMin,$zMax]")
+    Lightcone(kept)
+  }
+
+  /** Broadcast a per-step transformation (reference __map pattern). */
+  def map(f: OCDataset => OCDataset): Lightcone =
+    Lightcone(steps.map { case (s, d) => s -> f(d) })
+
+  def filter(masks: OCMask*): Lightcone = map(_.filter(masks: _*))
+}
+
+object Lightcone {
+  /** Open a directory of `step_<N>/` datasets written by OCIO. */
+  def open(spark: SparkSession, path: String): Lightcone = {
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("step_"))
+    val steps = dirs.map { d =>
+      d.getName.stripPrefix("step_").toInt -> graft.io.OCIO.open(spark, d.getPath)
+    }.toMap
+    Lightcone(steps)
+  }
+}
+
+/** HEALPix sky-map dataset (reference healpix_map.py:93): rows are
+  * (pixel, value…) at some nside. `withResolution` degrades to a
+  * coarser nside — nested pixel ids are prefix-hierarchical, so the
+  * regroup key is a shift (reference groups via np.add.reduceat;
+  * Spark: one hash-agg shuffle).
+  */
+final case class HealpixMap(df: DataFrame, nside: Int,
+                            pixelCol: String = "pixel") {
+
+  def withResolution(newNside: Int): HealpixMap = {
+    require(newNside <= nside && nside % newNside == 0,
+      s"can only degrade: $nside -> $newNside")
+    val levels = (math.log(nside.toDouble / newNside) / math.log(2)).round.toInt
+    val valueCols = df.columns.filter(_ != pixelCol)
+    val aggs = valueCols.map(c => avg(col(c)).as(c))
+    val out = df.groupBy(shiftright(col(pixelCol), 2 * levels).as(pixelCol))
+      .agg(aggs.head, aggs.tail.toSeq: _*)
+    HealpixMap(out, newNside, pixelCol)
+  }
+
+  /** Restrict to pixels inside a disc (cone) on the sky. */
+  def query(center: graft.spatial.Region.SkyP, radiusDeg: Double): HealpixMap = {
+    val pix = graft.spatial.Healpix.queryDisc(nside, center, radiusDeg)
+    copy(df = df.filter(col(pixelCol).isin(pix.toSeq: _*)))
+  }
+}
+
+/** Named datasets with broadcast combinators (reference
+  * simulation.py:32 — `__map` at :75).
+  */
+final case class SimulationCollection(members: Map[String, OCDataset]) {
+  def map(f: OCDataset => OCDataset): SimulationCollection =
+    SimulationCollection(members.map { case (k, d) => k -> f(d) })
+  def filter(masks: OCMask*): SimulationCollection = map(_.filter(masks: _*))
+  def apply(name: String): OCDataset = members(name)
+}

@@ -1,0 +1,111 @@
+package graft.collections
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.core.OCDataset
+import graft.expr.OCMask
+
+/** Properties table + linked per-structure tables (reference
+  * python/opencosmo/collection/structure/structure.py:96 — SURVEY.md
+  * §2.3).
+  *
+  * The reference pre-materializes the halo→particle join as
+  * `<name>_start/_size` contiguous ranges plus `<name>_idx` 1→0/1
+  * links, and lazily rebuilds row indices after filters
+  * (handler.py:187-350, Rust merge-joins). All of that machinery IS
+  * the join algorithm Spark already has: here each child table simply
+  * carries the parent's key (`linkKey`), predicates stay on the
+  * parent, and child access is an equi-join that Catalyst plans as
+  * broadcast or sort-merge as sizes dictate. The 1→range contiguity
+  * trick survives as a STORAGE property: write children clustered by
+  * linkKey (OCIO.write sortColumn) so a parent's rows are co-located
+  * in row groups.
+  */
+final case class StructureCollection(
+    properties: OCDataset,
+    children: Map[String, DataFrame],
+    linkKey: String) {
+
+  /** Filter on parent properties; children rebuild lazily at access
+    * time (the reference's deferred link rebuild — here it's just
+    * that the join runs against the filtered parent).
+    */
+  def filter(masks: OCMask*): StructureCollection =
+    copy(properties = properties.filter(masks: _*))
+
+  /** Filter parents by a predicate on a CHILD table (reference
+    * `on_galaxies=True` semi-join, structure.py:860-927): left-semi
+    * join — no row duplication, child side only shuffles its keys.
+    */
+  def filterByChild(child: String, pred: Column): StructureCollection = {
+    val matching = children(child).filter(pred).select(col(linkKey))
+    copy(properties = properties.copy(
+      df = properties.df.join(matching, Seq(linkKey), "left_semi")))
+  }
+
+  /** A child restricted to the current parents (reference: linked
+    * dataset rebuild on access, handler.py:281-350).
+    */
+  def child(name: String): DataFrame =
+    children(name).join(properties.df.select(col(linkKey)), Seq(linkKey), "left_semi")
+
+  /** Per-structure aggregation pushed to the child THEN joined back —
+    * the distributed analog of `objects()` iteration + per-halo
+    * reduction (structure.py:1503-1611): one hash-agg shuffle on the
+    * link key, one join (broadcast if the parent set is small).
+    */
+  def aggregateChild(name: String, aggs: Column*): DataFrame =
+    properties.df.join(
+      children(name).groupBy(col(linkKey)).agg(aggs.head, aggs.tail: _*),
+      Seq(linkKey))
+
+  /** Per-structure evaluate (reference StructureCollection.evaluate,
+    * structure.py:521-858): `f` sees one parent row + that structure's
+    * child rows and returns an output row. The child side packs each
+    * structure's rows with one hash-agg shuffle (`collect_list` —
+    * bounded by per-structure size, the same bound the reference's
+    * chunked evaluation has), joins to the parent, then runs `f`
+    * per structure. The one RDD hop is the "genuine per-partition
+    * imperative logic" escape hatch — everything up to it is Catalyst.
+    */
+  def evaluate(name: String,
+               outSchema: org.apache.spark.sql.types.StructType,
+               f: (Row, Seq[Row]) => Row): DataFrame = {
+    val c = children(name)
+    val packed = c.groupBy(col(linkKey))
+      .agg(collect_list(struct(c.columns.map(col).toSeq: _*)).as("__rows"))
+    val joined = properties.df.join(packed, Seq(linkKey), "left")
+    val parentSchema = org.apache.spark.sql.types.StructType(
+      joined.schema.fields.dropRight(1))
+    val rdd = joined.rdd.map { r =>
+      val raw = r.getAs[scala.collection.Seq[Row]]("__rows")
+      val childRows = if (raw == null) Seq.empty[Row] else raw.toSeq
+      val parentOnly: Row =
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          r.toSeq.dropRight(1).toArray, parentSchema)
+      f(parentOnly, childRows)
+    }
+    properties.df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Driver-side per-structure iterator (reference objects()/halos():
+    * yields (parent row, child rows)). Parent order follows the
+    * parent's sort; children arrive grouped. For DISTRIBUTED
+    * per-structure work use [[evaluate]] — this surface exists for
+    * API parity and small interactive use, like the reference's.
+    */
+  def objects(name: String): Iterator[(Row, Seq[Row])] = {
+    val childByKey = child(name).collect().groupBy(_.getAs[Any](linkKey))
+    properties.getData.toLocalIterator().asScala.map { p =>
+      val k = p.getAs[Any](linkKey)
+      (p, childByKey.getOrElse(k, Array.empty[Row]).toSeq)
+    }
+  }
+
+  private implicit class JIter[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+}

@@ -1,0 +1,86 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.units.Units
+import graft.units.Units.{Convention, Cosmology}
+
+/** Dataset header (reference python/opencosmo/header.py:35 and
+  * dtypes/file.py:34-43 — SURVEY.md §1.1): cosmology + file-level
+  * metadata, persisted as a `_header.json` sidecar next to the parquet
+  * data (the Spark mapping of the reference's HDF5 `header/` group).
+  *
+  * `columnUnits` maps column name → unit string in the BASE
+  * (scalefree) convention, standing in for the reference's per-column
+  * HDF5 `unit` attributes (units/get.py:171-201).
+  */
+final case class Header(
+    dataType: String = "generic",
+    redshift: Double = 0.0,
+    step: Int = 0,
+    isLightcone: Boolean = false,
+    boxSize: Double = 0.0,
+    unitConvention: String = Units.Scalefree.name,
+    cosmology: Cosmology = Cosmology(),
+    columnUnits: Map[String, String] = Map.empty,
+    columnDescriptions: Map[String, String] = Map.empty) {
+
+  def convention: Convention = Convention.parse(unitConvention)
+  def scaleFactor: Double = 1.0 / (1.0 + redshift)
+
+  def toJson: String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def m(mm: Map[String, String]) =
+      mm.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ", ", "}")
+    s"""{
+       |  "data_type": ${q(dataType)},
+       |  "redshift": $redshift,
+       |  "step": $step,
+       |  "is_lightcone": $isLightcone,
+       |  "box_size": $boxSize,
+       |  "unit_convention": ${q(unitConvention)},
+       |  "cosmology": {"h0": ${cosmology.h0}, "omega_m": ${cosmology.omegaM}, "omega_l": ${cosmology.omegaL}},
+       |  "column_units": ${m(columnUnits)},
+       |  "column_descriptions": ${m(columnDescriptions)}
+       |}""".stripMargin
+  }
+}
+
+object Header {
+  private val mapper = new ObjectMapper()
+
+  def fromJson(json: String): Header = {
+    val n = mapper.readTree(json)
+    def strMap(field: String): Map[String, String] = {
+      val node = n.path(field)
+      if (node.isMissingNode) Map.empty
+      else {
+        val it = node.fieldNames()
+        Iterator.continually(if (it.hasNext) Some(it.next()) else None)
+          .takeWhile(_.isDefined).flatten
+          .map(k => k -> node.get(k).asText()).toMap
+      }
+    }
+    val cos = n.path("cosmology")
+    Header(
+      dataType = n.path("data_type").asText("generic"),
+      redshift = n.path("redshift").asDouble(0.0),
+      step = n.path("step").asInt(0),
+      isLightcone = n.path("is_lightcone").asBoolean(false),
+      boxSize = n.path("box_size").asDouble(0.0),
+      unitConvention = n.path("unit_convention").asText(Units.Scalefree.name),
+      cosmology = Cosmology(cos.path("h0").asDouble(70.0),
+        cos.path("omega_m").asDouble(0.3), cos.path("omega_l").asDouble(0.7)),
+      columnUnits = strMap("column_units"),
+      columnDescriptions = strMap("column_descriptions"))
+  }
+
+  def write(path: String, h: Header): Unit =
+    Files.writeString(Paths.get(path, "_header.json"), h.toJson)
+
+  def read(path: String): Header = {
+    val p = Paths.get(path, "_header.json")
+    if (Files.exists(p)) fromJson(Files.readString(p)) else Header()
+  }
+}

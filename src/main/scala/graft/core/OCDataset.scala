@@ -1,0 +1,272 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.expr.{OCExpr, OCMask}
+import graft.expr.OCExpr.Reduce
+import graft.units.Units
+import graft.units.Units.{Convention, UnitSpec}
+
+/** The central lazy-dataset abstraction (reference
+  * python/opencosmo/dataset/dataset.py:52 — SURVEY.md §1.1, §2.2,
+  * §2.8, §2.11).
+  *
+  * A thin immutable wrapper over a Spark DataFrame + Header: every
+  * transformation returns a new OCDataset whose `df` is a new logical
+  * plan. The reference's row-index machinery, column cache, and
+  * producer DAG all dissolve into Catalyst lineage; what remains here
+  * is the *semantic* layer Spark lacks — wildcard selection, unit
+  * inference/conversion, lazy sort (applied at materialization), and
+  * scalar-reduction predicates (agg-then-substitute).
+  *
+  * NOTE on laziness: like the reference (nothing touches disk until
+  * `get_data()`/`write()`), no action runs until `getData`/`collect`/
+  * `rows` — except `filter` on masks containing reductions, which runs
+  * one aggregation job first (the reference does the same eagerly:
+  * column.py:1181-1196).
+  */
+final case class OCDataset(
+    df: DataFrame,
+    header: Header = Header(),
+    sortKey: Option[(String, Boolean)] = None) {
+
+  import OCDataset._
+
+  def columns: Seq[String] = df.columns.toSeq
+
+  /** Unit of a column, from the header's unit table. */
+  def unitOf(name: String): UnitSpec =
+    Units.parse(header.columnUnits.getOrElse(name, ""))
+
+  private def unitEnv: String => UnitSpec = unitOf
+
+  // ---- §2.2 projection --------------------------------------------
+
+  /** Column subset with fnmatch-style wildcards (`"fof*"`, `"*com*"`),
+    * preserving frame column order (reference dataset.py:614-708,
+    * column/select.py:7-37). Unknown non-wildcard names throw.
+    */
+  def select(patterns: String*): OCDataset = {
+    val expanded = expand(patterns, columns)
+    copy(df = df.select(expanded.map(col): _*))
+  }
+
+  /** Select + simultaneously-defined derived columns. */
+  def select(patterns: Seq[String], derived: (String, OCExpr)*): OCDataset = {
+    val expanded = expand(patterns, columns)
+    val dcols = derived.map { case (n, e) =>
+      e.unitIn(unitEnv) // unit check at plan time
+      resolve(e).toColumn.as(n)
+    }
+    copy(df = df.select(expanded.map(col) ++ dcols: _*))
+  }
+
+  /** Inverse select, same wildcards (reference dataset.py:710-745). */
+  def drop(patterns: String*): OCDataset = {
+    val doomed = expand(patterns, columns, strict = false).toSet
+    copy(df = df.select(columns.filterNot(doomed).map(col): _*))
+  }
+
+  // ---- §2.2 filters ------------------------------------------------
+
+  /** AND of boolean masks; scalar reductions inside masks are
+    * evaluated first and substituted (reference
+    * resolve_mask_scalars, column.py:1310-1341).
+    */
+  def filter(masks: OCMask*): OCDataset = {
+    val resolved = masks.map(resolveMask)
+    copy(df = resolved.map(_.toColumn).foldLeft(df)((d, c) => d.filter(c)))
+  }
+
+  // ---- §2.5 derived columns ---------------------------------------
+
+  /** Add derived columns (reference with_new_columns,
+    * dataset.py:914-992). Overwrite of an existing name requires
+    * allowOverwrite — same guard as the reference.
+    */
+  def withNewColumns(derived: (String, OCExpr)*): OCDataset =
+    withNewColumns(allowOverwrite = false, derived: _*)
+
+  def withNewColumns(allowOverwrite: Boolean, derived: (String, OCExpr)*): OCDataset = {
+    val clash = derived.map(_._1).filter(columns.contains)
+    require(allowOverwrite || clash.isEmpty,
+      s"columns already exist: ${clash.mkString(",")} (pass allowOverwrite)")
+    val newUnits = derived.map { case (n, e) => n -> e.unitIn(unitEnv).toString }
+    val out = derived.foldLeft(df) { case (d, (n, e)) =>
+      d.withColumn(n, resolve(e).toColumn)
+    }
+    copy(df = out,
+      header = header.copy(columnUnits = header.columnUnits ++ newUnits))
+  }
+
+  // ---- §2.8 sort / take -------------------------------------------
+
+  /** Lazy sort: records the key; applied at materialization
+    * (reference dataset.py:747-785 — `sort_key` in DatasetState).
+    */
+  def sortBy(name: String, invert: Boolean = false): OCDataset =
+    copy(sortKey = Some((name, invert)))
+
+  private def sorted(d: DataFrame): DataFrame = sortKey match {
+    case Some((k, inv)) => d.orderBy(if (inv) col(k).desc else col(k).asc)
+    case None           => d
+  }
+
+  /** Head / tail / seeded-random take (reference dataset.py:787-836).
+    * `end` reverses the (lazy) sort; with no sort key it falls back to
+    * input order via a monotonic id. Random is seeded — an intentional
+    * upgrade over the reference's unseeded RNG (SURVEY.md §7.4).
+    */
+  def take(n: Int, at: TakeAt = Start): OCDataset = at match {
+    case Start => copy(df = sorted(df).limit(n), sortKey = None)
+    case End =>
+      val flipped = sortKey match {
+        case Some((k, inv)) => df.orderBy(if (inv) col(k).asc else col(k).desc)
+        case None =>
+          val withId = df.withColumn("__rid", monotonically_increasing_id())
+          withId.orderBy(col("__rid").desc)
+      }
+      copy(df = sorted(flipped.limit(n)).drop("__rid"), sortKey = None)
+    case Random(seed) =>
+      copy(df = df.orderBy(rand(seed)).limit(n), sortKey = None)
+  }
+
+  /** Row-range slice of the (lazily) sorted order (reference
+    * take_range, dataset.py:838-883). offset+limit → Spark's global
+    * limit pushdown, no full materialization.
+    */
+  def takeRange(start: Int, end: Int): OCDataset =
+    copy(df = sorted(df).offset(start).limit(end - start), sortKey = None)
+
+  // ---- §2.11 units -------------------------------------------------
+
+  /** Switch unit convention: every column with a known unit is
+    * rewritten by the conversion factor (reference with_units,
+    * dataset.py:1020-1102). Pure plan rewrite — one multiply per
+    * column, stays in whole-stage codegen.
+    */
+  def withUnits(convention: Convention,
+                scaleFactorColumn: Option[String] = None): OCDataset = {
+    val from = header.convention
+    if (from == convention) return this
+    val a: Column = scaleFactorColumn.map(col)
+      .getOrElse(lit(header.scaleFactor))
+    val outCols = columns.map { c =>
+      val u = unitOf(c)
+      if (u.isDimensionless) col(c)
+      else Units.convert(col(c), u, from, convention, header.cosmology, a).as(c)
+    }
+    copy(df = df.select(outCols: _*),
+      header = header.copy(unitConvention = convention.name))
+  }
+
+  // ---- §2.7 spatial -----------------------------------------------
+
+  /** Spatial bound: restrict to a 3-D region via the two-phase octree
+    * plan (reference dataset.py:340-431; spatial/tree.py:249-271) —
+    * Morton-key IN-filter for contained cells, exact point check only
+    * on boundary cells. Region must be given in the CURRENT unit
+    * convention of this dataset (the reference converts the region
+    * into the file's base convention; callers here do the same via
+    * Units.convert on the region constants).
+    *
+    * `coords` are the x/y/z column names; the octree domain is the
+    * header's box [0, boxSize)³ unless overridden.
+    */
+  def bound(region: graft.spatial.Region.Region3D,
+            coords: (String, String, String) = ("x", "y", "z"),
+            level: Int = 4,
+            domain: Option[(Double, Double)] = None): OCDataset = {
+    val (origin, size) = domain.getOrElse((0.0, if (header.boxSize > 0) header.boxSize else 1.0))
+    val (cx, cy, cz) = coords
+    graft.spatial.Octree.boundFilter(region, origin, size, level,
+      col(cx), col(cy), col(cz)) match {
+      case None       => copy(df = df.limit(0)) // disjoint — empty short-circuit
+      case Some(pred) => copy(df = df.filter(pred))
+    }
+  }
+
+  // ---- materialization --------------------------------------------
+
+  /** The materialization boundary (reference get_data). */
+  def getData: DataFrame = sorted(df)
+
+  def collect(): Array[Row] = getData.collect()
+
+  /** Chunked row iterator (reference rows(), dataset.py:574-612) —
+    * `toLocalIterator` streams one partition at a time to the driver.
+    */
+  def rows(): Iterator[Row] = {
+    import scala.jdk.CollectionConverters._
+    getData.toLocalIterator().asScala
+  }
+
+  def count(): Long = df.count()
+
+  /** Evaluate reductions appearing in an expression and substitute
+    * literal values (one aggregation job for ALL reductions at once).
+    */
+  private def resolve(e: OCExpr): OCExpr = {
+    val rs = e.reductions.distinct
+    if (rs.isEmpty) e else e.substitute(evalReductions(rs))
+  }
+
+  private def resolveMask(m: OCMask): OCMask = {
+    val rs = m.reductions.distinct
+    if (rs.isEmpty) m else m.substitute(evalReductions(rs))
+  }
+
+  private def evalReductions(rs: Seq[Reduce]): Map[Reduce, Double] = {
+    val row = df.agg(rs.head.aggColumn, rs.tail.map(_.aggColumn): _*).head()
+    rs.zipWithIndex.map { case (r, i) =>
+      r -> (row.get(i) match {
+        case d: Double => d
+        case l: Long => l.toDouble
+        case i2: Int => i2.toDouble
+        case f: Float => f.toDouble
+        case other => other.toString.toDouble
+      })
+    }.toMap
+  }
+}
+
+object OCDataset {
+  sealed trait TakeAt
+  case object Start extends TakeAt
+  case object End extends TakeAt
+  final case class Random(seed: Long) extends TakeAt
+
+  /** fnmatch-style wildcard expansion preserving frame column order
+    * (reference column/select.py:7-37). Non-wildcard names must exist
+    * when strict.
+    */
+  def expand(patterns: Seq[String], columns: Seq[String],
+             strict: Boolean = true): Seq[String] = {
+    val picked = scala.collection.mutable.LinkedHashSet[String]()
+    patterns.foreach { p =>
+      if (p.exists("*?[".contains(_))) {
+        val re = fnmatchToRegex(p)
+        val hits = columns.filter(re.matches)
+        picked ++= hits
+      } else {
+        if (strict) require(columns.contains(p), s"no such column: $p")
+        if (columns.contains(p)) picked += p
+      }
+    }
+    // frame order, not pattern order — matches reference semantics
+    columns.filter(picked.contains)
+  }
+
+  private def fnmatchToRegex(p: String): scala.util.matching.Regex = {
+    val sb = new StringBuilder("^")
+    p.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append(".")
+      case '[' => sb.append("[")
+      case ']' => sb.append("]")
+      case c if "\\.^$+{}()|".contains(c) => sb.append("\\").append(c)
+      case c => sb.append(c)
+    }
+    sb.append("$").toString.r
+  }
+}

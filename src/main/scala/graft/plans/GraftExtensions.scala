@@ -1,0 +1,88 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+import graft.spatial.Morton
+
+/** Catalyst extension point (builder-prompt preference order (b)/(c):
+  * a custom `Expression` with `doGenCode`, registered through the
+  * public `SparkSessionExtensions` API — no Catalyst internals are
+  * monkey-patched).
+  *
+  * Enable per-session with
+  *   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * or imperatively via [[GraftExtensions.registerAll]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.mortonKeyDescriptor)
+}
+
+object GraftExtensions {
+
+  private[plans] val mortonKeyDescriptor = (
+    FunctionIdentifier("graft_morton_key"),
+    new ExpressionInfo(classOf[MortonKeyExpr].getName, "graft_morton_key"),
+    (children: Seq[Expression]) => MortonKeyExpr(children))
+
+  /** Imperative registration into an existing session (idempotent). */
+  def registerAll(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(mortonKeyDescriptor._1))
+      registry.registerFunction(mortonKeyDescriptor._1,
+        mortonKeyDescriptor._2, mortonKeyDescriptor._3)
+  }
+}
+
+/** graft_morton_key(x, y, z, origin, size, level) → long
+  *
+  * Codegen'd Morton cell key (reference spatial/octree.py:48-57
+  * `get_octtree_index`): one static JVM call per row inside
+  * whole-stage codegen — the preferred custom-scalar-function shape
+  * (native `Expression` > UDF).
+  */
+final case class MortonKeyExpr(children: Seq[Expression]) extends Expression {
+
+  require(children.length == 6, "graft_morton_key(x, y, z, origin, size, level)")
+  private def xe = children(0); private def ye = children(1); private def ze = children(2)
+
+  // origin/size/level must be foldable (plan-time constants)
+  private lazy val originV = children(3).eval(null).toString.toDouble
+  private lazy val sizeV = children(4).eval(null).toString.toDouble
+  private lazy val levelV = children(5).eval(null).toString.toInt
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = Seq(xe, ye, ze).exists(_.nullable)
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: InternalRow): Any = {
+    val x = xe.eval(input); val y = ye.eval(input); val z = ze.eval(input)
+    if (x == null || y == null || z == null) null
+    else Morton.pointKey(x.asInstanceOf[Double], y.asInstanceOf[Double],
+      z.asInstanceOf[Double], originV, sizeV, levelV)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xg = xe.genCode(ctx); val yg = ye.genCode(ctx); val zg = ze.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${xg.code}
+        ${yg.code}
+        ${zg.code}
+        boolean ${ev.isNull} = ${xg.isNull} || ${yg.isNull} || ${zg.isNull};
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.spatial.Morton.pointKey(
+            ${xg.value}, ${yg.value}, ${zg.value}, $originV, $sizeV, $levelV);
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}

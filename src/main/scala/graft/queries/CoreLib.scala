@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.core.{Header, OCDataset}
+import graft.core.OCDataset.Random
+import graft.collections.{HealpixMap, Lightcone, StructureCollection}
+import graft.expr.OCExpr.ocCol
+import graft.functions.StockColumns
+import graft.operators.Evaluate
+import graft.spatial.Region.{Box, P3}
+import graft.units.Units
+import graft.units.Units.{Cosmology, Physical}
+
+/** Driver-verified coverage for the core OpenCosmo-domain library
+  * (OCDataset / units / spatial bound / collections / evaluate /
+  * stock columns — SURVEY.md §2.2, §2.5, §2.6, §2.7, §2.11), exercised
+  * over the TPC-H-ish testdata. Where the domain needs coordinates or
+  * units the queries derive them from existing numeric columns with
+  * the SAME expressions on the oracle side.
+  */
+object CoreLib {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 wildcard select through OCDataset (fnmatch semantics).
+    "q50_wildcard_select" -> ((s, dir) => {
+      OCDataset(t(s, dir, "lineitem")).select("l_order*", "l_q*").df
+    }),
+
+    // §2.11 unit-convention conversion: scalefree → physical
+    // (h=0.7 divided out, ×a at z=1). Rounded on both sides (the
+    // conversion folds constants differently than the oracle's / *).
+    "q51_units_physical" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("len_mpch"))
+      val ds = OCDataset(base, Header(redshift = 1.0,
+        cosmology = Cosmology(h0 = 70.0),
+        columnUnits = Map("len_mpch" -> "Mpc/h")))
+      ds.withUnits(Physical).df
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("len_mpch"), 6).as("len_mpch"))
+    }),
+
+    // §2.7 spatial bound: two-phase octree plan (Morton IN + exact
+    // residual). Coordinates derived from lineitem numerics; the
+    // oracle is the plain range predicate — identical final
+    // semantics, but Spark's plan prunes contained cells wholesale.
+    "q52_bound_box" -> ((s, dir) => {
+      val pts = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("x"),
+        (col("l_discount") * 100.0).as("y"),
+        (col("l_tax") * 100.0).as("z"))
+      val ds = OCDataset(pts, Header(boxSize = 52.0))
+      ds.bound(Box(P3(5.0, 0.5, 1.0), P3(30.0, 6.0, 8.0)),
+        coords = ("x", "y", "z"), level = 4).df
+        .select(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // §2.5 stock columns: euclidean norm + offset3d.
+    "q53_stock_norm" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.select(col("l_orderkey"), col("l_linenumber"),
+        StockColumns.normCols(col("l_quantity"),
+          col("l_extendedprice") / 1000.0, col("l_discount") * 100.0).as("r"),
+        StockColumns.offset3d(
+          (col("l_quantity"), col("l_discount"), col("l_tax")),
+          (col("l_tax"), col("l_discount") * 2.0, col("l_quantity") / 2.0)).as("d"))
+    }),
+
+    // §2.5 log-magnitude addition (the reference's one non-linear
+    // stock op), rounded both sides.
+    "q54_magnitudes" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.select(col("l_orderkey"), col("l_linenumber"),
+        round(StockColumns.addMagnitudes(
+          col("l_tax") * 100.0, col("l_discount") * 100.0), 6).as("m_tot"))
+    }),
+
+    // §2.3 structure-collection semi-join filter via child predicate.
+    "q55_struct_semijoin" -> ((s, dir) => {
+      val coll = StructureCollection(
+        OCDataset(t(s, dir, "orders")),
+        Map("items" -> t(s, dir, "lineitem")
+          .withColumnRenamed("l_orderkey", "o_orderkey")),
+        "o_orderkey")
+      coll.filterByChild("items", col("l_quantity") >= 49.5)
+        .properties.df.select(col("o_orderkey"), col("o_orderstatus"))
+    }),
+
+    // §2.6 per-structure evaluate (cogroup-style custom function).
+    "q56_struct_evaluate" -> ((s, dir) => {
+      val coll = StructureCollection(
+        OCDataset(t(s, dir, "orders").select(col("o_orderkey"))),
+        Map("items" -> t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))),
+        "o_orderkey")
+      coll.evaluate("items",
+        StructType(Seq(StructField("o_orderkey", LongType),
+          StructField("max_price", DoubleType))),
+        (parent, kids) => Row(parent.getAs[Long]("o_orderkey"),
+          if (kids.isEmpty) 0.0
+          else kids.map(_.getAs[Double]("l_extendedprice")).max))
+    }),
+
+    // §2.9/§1.1 lightcone: step datasets + redshift-range pruning
+    // (whole steps dropped before the union).
+    "q57_lightcone_prune" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val steps = Map(
+        0 -> OCDataset(o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+          Header(redshift = 0.3)),
+        1 -> OCDataset(o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("2000-01-01").cast("timestamp")),
+          Header(redshift = 0.7)),
+        2 -> OCDataset(o.filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+          Header(redshift = 1.2)))
+      Lightcone(steps).withRedshiftRange(0.5, 1.0).toDataset.df
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+
+    // §2.4 healpix-map resolution degrade (nested prefix-shift
+    // group-by; pixel ids synthesized from user_id).
+    "q58_healpix_degrade" -> ((s, dir) => {
+      val m = HealpixMap(
+        t(s, dir, "events").select(pmod(col("user_id"), lit(768L)).as("pixel"),
+          col("value")),
+        nside = 8)
+      m.withResolution(4).df
+        .select(col("pixel"), round(col("value"), 6).as("value"))
+    }),
+
+    // §2.8 seeded random take — deterministic given the seed but not
+    // SQL-expressible: rows-only check (no oracle entry).
+    "q59_take_random" -> ((s, dir) => {
+      OCDataset(t(s, dir, "orders")).take(50, Random(42)).df
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // §2.6 evaluate, vectorized strategy (mapPartitions).
+    "q60_evaluate_partition" -> ((s, dir) => {
+      val ds = OCDataset(t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
+      Evaluate.perPartition(ds,
+        Seq(StructField("double_qty", DoubleType)),
+        rows => rows.map(r => Seq(r.getAs[Double]("l_quantity") * 2.0))).df
+    }),
+
+    // §2.2 scalar-in-select: normalization by reductions through the
+    // expression DSL ((q - mean)/std, agg-then-substitute) — rounded
+    // (stddev accumulation order differs between engines).
+    "q61_zscore" -> ((s, dir) => {
+      val ds = OCDataset(t(s, dir, "lineitem"))
+      val z = (ocCol("l_quantity") - ocCol("l_quantity").mean) / ocCol("l_quantity").std
+      ds.select(Seq("l_orderkey", "l_linenumber"), "z_qty" -> z).df
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("z_qty"), 6).as("z_qty"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q50_wildcard_select" ->
+      "SELECT l_orderkey, l_quantity FROM lineitem",
+    "q51_units_physical" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(l_quantity / 0.7 * 0.5, 6) AS len_mpch FROM lineitem""",
+    "q52_bound_box" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+         WHERE CAST(l_quantity AS DOUBLE) >= 5.0 AND CAST(l_quantity AS DOUBLE) < 30.0
+           AND l_discount * 100.0 >= 0.5 AND l_discount * 100.0 < 6.0
+           AND l_tax * 100.0 >= 1.0 AND l_tax * 100.0 < 8.0""",
+    "q53_stock_norm" ->
+      """SELECT l_orderkey, l_linenumber,
+         sqrt(l_quantity * l_quantity
+            + (l_extendedprice / 1000.0) * (l_extendedprice / 1000.0)
+            + (l_discount * 100.0) * (l_discount * 100.0)) AS r,
+         sqrt((l_quantity - l_tax) * (l_quantity - l_tax)
+            + (l_discount - l_discount * 2.0) * (l_discount - l_discount * 2.0)
+            + (l_tax - l_quantity / 2.0) * (l_tax - l_quantity / 2.0)) AS d
+         FROM lineitem""",
+    "q54_magnitudes" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(-2.5 * log10(pow(10.0, (l_tax * 100.0) * -0.4)
+                          + pow(10.0, (l_discount * 100.0) * -0.4)), 6) AS m_tot
+         FROM lineitem""",
+    "q55_struct_semijoin" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49.5)""",
+    "q56_struct_evaluate" ->
+      """SELECT o_orderkey, coalesce(max(l_extendedprice), 0.0) AS max_price
+         FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1""",
+    "q57_lightcone_prune" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         round(sum(o_totalprice), 2) AS sum_price FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '2000-01-01'
+         GROUP BY 1""",
+    "q58_healpix_degrade" ->
+      """SELECT CAST(floor((user_id % 768) / 4) AS BIGINT) AS pixel,
+         round(avg(value), 6) AS value FROM events GROUP BY 1""",
+    "q60_evaluate_partition" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         l_quantity * 2.0 AS double_qty FROM lineitem""",
+    "q61_zscore" ->
+      """SELECT l_orderkey, l_linenumber,
+         round((l_quantity - (SELECT avg(l_quantity) FROM lineitem))
+             / (SELECT stddev_pop(l_quantity) FROM lineitem), 6) AS z_qty
+         FROM lineitem"""
+  )
+}

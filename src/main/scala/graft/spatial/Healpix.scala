@@ -1,0 +1,151 @@
+package graft.spatial
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Minimal HEALPix (NESTED ordering) — the reference delegates to
+  * healpy (spatial/healpix.py:19-66, SURVEY.md §7.4 hard part 5);
+  * here the well-published pixelization math (Górski et al. 2005,
+  * and the reference C implementation's ang2pix_nest structure) is
+  * implemented directly in Scala.
+  *
+  * Supports: ang2pix (nested), pix2ang (pixel center), degrade
+  * (nested prefix shift), disc queries via center+corner testing —
+  * enough for HealpixRegion/HealpixMap semantics. nside must be a
+  * power of two.
+  */
+object Healpix {
+
+  def npix(nside: Int): Long = 12L * nside * nside
+
+  /** (ra°, dec°) → nested pixel index. */
+  def ang2pixNest(nside: Int, raDeg: Double, decDeg: Double): Long = {
+    require(nside > 0 && (nside & (nside - 1)) == 0, s"nside $nside not a power of 2")
+    val theta = math.toRadians(90.0 - decDeg) // colatitude
+    val phi = math.toRadians((raDeg % 360.0 + 360.0) % 360.0)
+    val z = math.cos(theta)
+    val za = math.abs(z)
+    val tt = (phi / (math.Pi / 2)) % 4.0 // in [0,4)
+
+    var face = 0
+    var ix = 0; var iy = 0
+    if (za <= 2.0 / 3.0) {
+      // equatorial belt
+      val temp1 = nside * (0.5 + tt)
+      val temp2 = nside * z * 0.75
+      val jp = math.floor(temp1 - temp2).toLong // ascending edge line
+      val jm = math.floor(temp1 + temp2).toLong // descending edge line
+      val ifp = jp / nside
+      val ifm = jm / nside
+      face =
+        if (ifp == ifm) (ifp.toInt & 3) + 4
+        else if (ifp < ifm) ifp.toInt & 3
+        else (ifm.toInt & 3) + 8
+      ix = (jm % nside).toInt
+      iy = (nside - (jp % nside) - 1).toInt
+    } else {
+      // polar caps
+      val ntt = math.min(3, tt.toInt)
+      val tp = tt - ntt
+      val tmp = nside * math.sqrt(3.0 * (1.0 - za))
+      val jp = math.min(nside - 1L, math.floor(tp * tmp).toLong)
+      val jm = math.min(nside - 1L, math.floor((1.0 - tp) * tmp).toLong)
+      if (z >= 0) {
+        face = ntt
+        ix = (nside - jm - 1).toInt
+        iy = (nside - jp - 1).toInt
+      } else {
+        face = ntt + 8
+        ix = jp.toInt
+        iy = jm.toInt
+      }
+    }
+    face.toLong * nside * nside + interleave2(ix, iy)
+  }
+
+  /** Spread the bits of x into even positions, y into odd. */
+  private def interleave2(x: Int, y: Int): Long = {
+    var out = 0L
+    var i = 0
+    while (i < 31) {
+      out |= ((x.toLong >> i) & 1L) << (2 * i) | ((y.toLong >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    out
+  }
+
+  private def deinterleave2(k: Long): (Int, Int) = {
+    var x = 0; var y = 0
+    var i = 0
+    while (i < 31) {
+      x |= (((k >> (2 * i)) & 1L) << i).toInt
+      y |= (((k >> (2 * i + 1)) & 1L) << i).toInt
+      i += 1
+    }
+    (x, y)
+  }
+
+  /** Nested pixel center → (ra°, dec°). Inverse of [[ang2pixNest]] up
+    * to pixel discretization.
+    */
+  def pix2angNest(nside: Int, pix: Long): (Double, Double) = {
+    val nsq = nside.toLong * nside
+    val face = (pix / nsq).toInt
+    val (ix, iy) = deinterleave2(pix % nsq)
+    // vertical index on the face grid
+    val jr = jrll(face) * nside - ix - iy - 1 // ring index in 1..4nside-1
+    var z = 0.0; var kshift = 0; var nr = 0L
+    if (jr < nside) {
+      nr = jr
+      z = 1.0 - (nr * nr) / (3.0 * nsq)
+      kshift = 0
+    } else if (jr > 3L * nside) {
+      nr = 4L * nside - jr
+      z = -1.0 + (nr * nr) / (3.0 * nsq)
+      kshift = 0
+    } else {
+      nr = nside
+      z = (2L * nside - jr) * 2.0 / (3.0 * nside)
+      kshift = ((jr - nside) & 1).toInt
+    }
+    val jp0 = (jpll(face) * nr + ix - iy + 1 + kshift) / 2
+    val jp = if (jp0 > 4L * nside) jp0 - 4L * nside else if (jp0 < 1) jp0 + 4L * nside else jp0
+    val phi = (jp - (kshift + 1) * 0.5) * (math.Pi / 2) / nr
+    val dec = 90.0 - math.toDegrees(math.acos(math.max(-1.0, math.min(1.0, z))))
+    val ra = (math.toDegrees(phi) % 360.0 + 360.0) % 360.0
+    (ra, dec)
+  }
+
+  // face → ring/phi offsets (standard HEALPix tables)
+  private val jrll = Array(2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4)
+  private val jpll = Array(1, 3, 5, 7, 0, 2, 4, 6, 1, 3, 5, 7)
+
+  /** Degrade a nested pixel id by k levels (nside → nside/2^k): the
+    * nested index is prefix-hierarchical, so this is a shift — the
+    * core of HealpixMap.with_resolution (healpix_map.py:426-510).
+    */
+  def degrade(pix: Long, levels: Int): Long = pix >> (2 * levels)
+
+  /** Pixels whose center OR any corner-adjacent sample falls within
+    * `radiusDeg` of center — the reference's boundary classification
+    * by corner containment (healpix.py:19-66). Exhaustive over 12·
+    * nside² pixels: fine for the small nsides used in region indexes;
+    * at scale the disc query runs once on the driver per query.
+    */
+  def queryDisc(nside: Int, center: Region.SkyP, radiusDeg: Double): Set[Long] = {
+    val halfPix = math.toDegrees(math.sqrt(4.0 * math.Pi / npix(nside))) // ~pixel size
+    (0L until npix(nside)).filter { p =>
+      val (ra, dec) = pix2angNest(nside, p)
+      Region.angSep(center, Region.SkyP(ra, dec)) <= radiusDeg + halfPix
+    }.toSet
+  }
+
+  /** Pixel-id column (UDF — scalar math too branchy for a hand-rolled
+    * codegen expression to pay off; the hot path uses the resulting
+    * LONG column, computed once at write time).
+    */
+  def pixelColumn(nside: Int, ra: Column, dec: Column): Column = {
+    val f = udf((r: Double, d: Double) => ang2pixNest(nside, r, d))
+    f(ra, dec)
+  }
+}

@@ -1,0 +1,153 @@
+package graft.units
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Unit engine (reference: python/opencosmo/units — SURVEY.md §2.11).
+  *
+  * A column's semantic type is a [[UnitSpec]]: a rational power product
+  * of base dimensions (length, mass, velocity, time, angle) plus a
+  * littleh exponent and comoving length exponent, or a Dex (log10)
+  * wrapper. Unit inference runs at PLAN BUILD time over the expression
+  * DSL (expr/OCExpr.scala) — mismatches throw before any job launches,
+  * matching the reference's eager unit checks
+  * (column/column.py:279-317). Convention changes lower to pure column
+  * arithmetic (multiply by scalar or per-row scale-factor powers), so
+  * Catalyst sees only ordinary expressions.
+  */
+object Units {
+
+  /** Unit conventions (reference units/convention.py:7-12). */
+  sealed trait Convention { def name: String }
+  case object Scalefree extends Convention { val name = "scalefree" } // Mpc/h, comoving
+  case object Comoving extends Convention { val name = "comoving" }   // Mpc, comoving
+  case object Physical extends Convention { val name = "physical" }   // Mpc, proper
+  case object Unitless extends Convention { val name = "unitless" }
+
+  object Convention {
+    def parse(s: String): Convention = s match {
+      case "scalefree" => Scalefree
+      case "comoving"  => Comoving
+      case "physical"  => Physical
+      case _           => Unitless
+    }
+  }
+
+  /** A unit: power product over named base dimensions. `h` is the
+    * littleh exponent (scalefree bookkeeping); `aPow` the comoving→
+    * physical scale-factor power (= length exponent for distances).
+    * `dex` marks log10-space quantities (reference DexUnit).
+    */
+  final case class UnitSpec(dims: Map[String, Int], h: Int = 0, dex: Boolean = false) {
+
+    def isDimensionless: Boolean = dims.isEmpty && h == 0 && !dex
+
+    def *(o: UnitSpec): UnitSpec = {
+      require(!dex && !o.dex, s"cannot multiply dex units: $this * $o")
+      UnitSpec(combine(dims, o.dims, 1), h + o.h)
+    }
+    def /(o: UnitSpec): UnitSpec = {
+      require(!dex && !o.dex, s"cannot divide dex units: $this / $o")
+      UnitSpec(combine(dims, o.dims, -1), h - o.h)
+    }
+    def pow(p: Int): UnitSpec = {
+      require(!dex, s"cannot raise dex unit: $this ** $p")
+      UnitSpec(dims.map { case (k, v) => k -> v * p }, h * p)
+    }
+    /** add/sub require identical units (reference get_units). */
+    def requireSame(o: UnitSpec, op: String): UnitSpec = {
+      require(this == o, s"unit mismatch in $op: $this vs $o")
+      this
+    }
+    /** length exponent — the scale-factor power for physical conversion. */
+    def lengthPow: Int = dims.getOrElse("Mpc", 0) + dims.getOrElse("kpc", 0)
+
+    override def toString: String =
+      if (dex) s"dex(${UnitSpec(dims, h)})"
+      else if (isDimensionless) "1"
+      else {
+        val parts = dims.toSeq.sortBy(_._1) ++ (if (h != 0) Seq("h" -> h) else Nil)
+        parts.map { case (d, p) => if (p == 1) d else s"$d^$p" }.mkString(" ")
+      }
+  }
+
+  private def combine(a: Map[String, Int], b: Map[String, Int], sign: Int): Map[String, Int] =
+    (a.keySet ++ b.keySet).flatMap { k =>
+      val v = a.getOrElse(k, 0) + sign * b.getOrElse(k, 0)
+      if (v == 0) None else Some(k -> v)
+    }.toMap
+
+  val dimensionless: UnitSpec = UnitSpec(Map.empty)
+  val rad: UnitSpec = UnitSpec(Map("rad" -> 1))
+  def dexOf(u: UnitSpec): UnitSpec = UnitSpec(u.dims, u.h, dex = true)
+
+  /** Parse "Mpc/h", "Msun/h", "km/s", "Mpc^2", "1" … into a UnitSpec.
+    * Mirrors the shape of the reference's KNOWN_UNITS table
+    * (units/get.py:19-40) without astropy.
+    */
+  def parse(s: String): UnitSpec = {
+    if (s == null || s.isEmpty || s == "1" || s == "unitless") return dimensionless
+    if (s.startsWith("dex(") && s.endsWith(")"))
+      return dexOf(parse(s.substring(4, s.length - 1)))
+    var spec = dimensionless
+    // '/'-separated segments (first multiplies, later divide); within a
+    // segment, whitespace-separated power factors ("Mpc^2 h^-2") —
+    // round-trips UnitSpec.toString.
+    s.split("/").zipWithIndex.foreach { case (seg, i) =>
+      seg.trim.split("\\s+").filter(_.nonEmpty).foreach { f =>
+        val u = parseFactor(f)
+        spec = if (i == 0) spec * u else spec / u
+      }
+    }
+    spec
+  }
+
+  private def parseFactor(f: String): UnitSpec = {
+    val (base, p) = f.split("\\^", 2) match {
+      case Array(b)     => (b.trim, 1)
+      case Array(b, pw) => (b.trim, pw.trim.toInt)
+    }
+    val u = base match {
+      case "h"   => UnitSpec(Map.empty, h = 1)
+      case "1"   => dimensionless
+      case other => UnitSpec(Map(other -> 1))
+    }
+    u.pow(p)
+  }
+
+  /** Cosmology parameters needed for conversions. */
+  final case class Cosmology(h0: Double = 70.0, omegaM: Double = 0.3,
+                             omegaL: Double = 0.7) {
+    def littleh: Double = h0 / 100.0
+  }
+
+  /** Convention conversion as a column transform (reference
+    * units/converters.py:22-210). `unit` is the column's unit in the
+    * file's BASE (scalefree) convention, e.g. Mpc/h has h exponent −1.
+    *
+    * Each convention's value relates to the scalefree one by a factor:
+    *   F(scalefree) = 1
+    *   F(comoving)  = h^{unit.h}                 (littleh divided out)
+    *   F(physical)  = h^{unit.h} · a^{lengthPow} (lengths made proper)
+    * so v_to = v_from · F(to)/F(from). `scaleFactor` is a literal
+    * (header redshift) or per-row column — either way the result is
+    * plain arithmetic, so the plan stays codegen'd.
+    */
+  def convert(colExpr: Column, unit: UnitSpec, from: Convention, to: Convention,
+              cosmo: Cosmology, scaleFactor: Column): Column = {
+    if (from == to || unit.dex) return colExpr
+    def factor(conv: Convention): Column = conv match {
+      case Scalefree | Unitless => lit(1.0)
+      case Comoving  => lit(math.pow(cosmo.littleh, unit.h))
+      case Physical  => lit(math.pow(cosmo.littleh, unit.h)) * powc(scaleFactor, unit.lengthPow)
+    }
+    colExpr * factor(to) / factor(from)
+  }
+
+  private def powc(c: Column, p: Int): Column =
+    if (p == 0) lit(1.0) else pow(c, lit(p.toDouble))
+
+  /** Scale factor a = 1/(1+z). */
+  def scaleFactorOf(redshift: Double): Column = lit(1.0 / (1.0 + redshift))
+  def scaleFactorOf(redshiftCol: Column): Column = lit(1.0) / (lit(1.0) + redshiftCol)
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{Row, functions => F}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.collections.{HealpixMap, Lightcone, SimulationCollection, StructureCollection}
+import graft.core.{Header, OCDataset}
+import graft.expr.OCExpr.ocCol
+
+/** Collection semantics (reference test_structure_collection.py,
+  * test_lightcone.py, test_healpixmap.py).
+  */
+class CollectionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val props = OCDataset(Seq(
+    (1L, 1e13), (2L, 5e13), (3L, 2e14)
+  ).toDF("halo_tag", "mass"))
+
+  private lazy val particles = Seq(
+    (1L, 0.1), (1L, 0.2), (1L, 0.3),
+    (2L, 1.0), (2L, 2.0),
+    (3L, 7.0)
+  ).toDF("halo_tag", "p_mass")
+
+  private lazy val coll =
+    StructureCollection(props, Map("particles" -> particles), "halo_tag")
+
+  test("filter on parent lazily restricts children") {
+    val f = coll.filter(ocCol("mass") > 4e13)
+    assert(f.properties.count() == 2)
+    val kids = f.child("particles")
+    assert(kids.select("halo_tag").distinct().collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L))
+  }
+
+  test("filterByChild is a left-semi join (no duplication)") {
+    val f = coll.filterByChild("particles", col("p_mass") > 1.5)
+    assert(f.properties.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("aggregateChild: per-structure agg joined to parent") {
+    val out = coll.aggregateChild("particles",
+      count(lit(1)).as("n_p"), sum(col("p_mass")).as("sum_p"))
+    val m = out.collect().map(r => r.getAs[Long]("halo_tag") ->
+      (r.getAs[Long]("n_p"), r.getAs[Double]("sum_p"))).toMap
+    assert(m(1L) == ((3L, 0.6)) || math.abs(m(1L)._2 - 0.6) < 1e-12)
+    assert(m(3L)._1 == 1L)
+  }
+
+  test("evaluate: custom per-structure function over parent+children") {
+    val schema = StructType(Seq(StructField("halo_tag", LongType),
+      StructField("max_frac", DoubleType)))
+    val out = coll.evaluate("particles", schema, (parent, kids) => {
+      val mass = parent.getAs[Double]("mass")
+      val maxP = if (kids.isEmpty) 0.0 else kids.map(_.getAs[Double]("p_mass")).max
+      Row(parent.getAs[Long]("halo_tag"), maxP / mass * 1e13)
+    })
+    val m = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(m(1L) - 0.3) < 1e-9)
+    assert(m.size == 3)
+  }
+
+  test("objects() yields parent rows with grouped children in sort order") {
+    val objs = coll.copy(properties = props.sortBy("mass", invert = true))
+      .objects("particles").toSeq
+    assert(objs.map(_._1.getAs[Long]("halo_tag")) == Seq(3L, 2L, 1L))
+    assert(objs.head._2.map(_.getAs[Double]("p_mass")) == Seq(7.0))
+  }
+
+  test("lightcone: union with step column, redshift-range pruning") {
+    val s600 = OCDataset(Seq((1L, 5.0), (2L, 6.0)).toDF("id", "v"),
+      Header(redshift = 0.5, dataType = "lc"))
+    val s601 = OCDataset(Seq((3L, 7.0)).toDF("id", "v"),
+      Header(redshift = 1.5, dataType = "lc"))
+    val lc = Lightcone(Map(600 -> s600, 601 -> s601))
+    val all = lc.toDataset
+    assert(all.count() == 3 && all.columns.contains("step"))
+    val pruned = lc.withRedshiftRange(1.0, 2.0)
+    assert(pruned.steps.keySet == Set(601))
+    assert(pruned.toDataset.count() == 1)
+    intercept[IllegalArgumentException] { lc.withRedshiftRange(5.0, 6.0) }
+  }
+
+  test("healpix map degrade averages child pixels (prefix shift)") {
+    // nside 4 -> 2: pixels 4k..4k+3 merge into k
+    val df = (0L until 192L).map(p => (p, p.toDouble)).toDF("pixel", "value")
+    val m = HealpixMap(df, nside = 4).withResolution(2)
+    assert(m.df.count() == 48)
+    val v = m.df.filter($"pixel" === 0L).first().getAs[Double]("value")
+    assert(v == 1.5) // avg(0,1,2,3)
+  }
+
+  test("simulation collection broadcasts ops") {
+    val sc = SimulationCollection(Map(
+      "simA" -> props, "simB" -> props))
+    val f = sc.filter(ocCol("mass") > 4e13)
+    assert(f("simA").count() == 2 && f("simB").count() == 2)
+  }
+}

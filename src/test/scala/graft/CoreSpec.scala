@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Header, OCDataset}
+import graft.core.OCDataset.{End, Random, Start}
+import graft.expr.OCExpr.{ocCol, ocLit}
+import graft.io.OCIO
+import graft.units.Units
+import graft.units.Units._
+
+/** Core OCDataset/units/expr/io semantics (reference test files:
+  * test_dataset.py, test_select.py, test_take.py, test_units.py,
+  * test_derive.py, test_filters.py, test_write.py).
+  */
+class CoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val halos = {
+    val df = Seq(
+      (1L, 10.0, 2.0, 3.0, 1e13, 0.9),
+      (2L, 40.0, 42.0, 44.0, 5e13, 0.8),
+      (3L, 60.0, 61.0, 62.0, 2e14, 0.7),
+      (4L, 90.0, 91.0, 92.0, 8e12, 0.6)
+    ).toDF("halo_tag", "x", "y", "z", "mass", "scale_a")
+    OCDataset(df, Header(boxSize = 100.0,
+      cosmology = Cosmology(h0 = 70.0), redshift = 1.0,
+      columnUnits = Map("x" -> "Mpc/h", "y" -> "Mpc/h", "z" -> "Mpc/h",
+        "mass" -> "Msun/h")))
+  }
+
+  test("unit parsing and algebra") {
+    val mpch = Units.parse("Mpc/h")
+    assert(mpch.dims == Map("Mpc" -> 1) && mpch.h == -1)
+    assert((mpch * mpch).dims == Map("Mpc" -> 2))
+    assert((mpch / mpch).isDimensionless)
+    assert(mpch.pow(2).h == -2)
+    intercept[IllegalArgumentException] {
+      mpch.requireSame(Units.parse("Msun/h"), "+")
+    }
+  }
+
+  test("unit inference over expressions: mul, log10->dex, add mismatch throws") {
+    val env = (n: String) => halos.unitOf(n)
+    val area = ocCol("x") * ocCol("y")
+    assert(area.unitIn(env).dims == Map("Mpc" -> 2))
+    assert(area.unitIn(env).h == -2)
+    val logm = ocCol("mass").log10
+    assert(logm.unitIn(env).dex)
+    intercept[IllegalArgumentException] {
+      (ocCol("x") + ocCol("mass")).unitIn(env)
+    }
+  }
+
+  test("wildcard select preserves frame order; unknown plain name throws") {
+    assert(halos.select("*a*").columns == Seq("halo_tag", "mass", "scale_a"))
+    assert(halos.select("x", "halo_tag").columns == Seq("halo_tag", "x"))
+    intercept[IllegalArgumentException] { halos.select("nope") }
+    assert(halos.drop("x", "y", "z").columns == Seq("halo_tag", "mass", "scale_a"))
+  }
+
+  test("filter with scalar reduction predicate (agg-then-substitute)") {
+    val big = halos.filter(ocCol("mass") > ocCol("mass").mean)
+    assert(big.collect().map(_.getLong(0)).toSet == Set(3L)) // mean ~8.3e13
+    val z = halos.filter(
+      (ocCol("mass") - ocCol("mass").mean) / ocCol("mass").std > ocLit(0.0))
+    assert(z.count() == 1)
+  }
+
+  test("sortBy is lazy and take honors it") {
+    val top2 = halos.sortBy("mass", invert = true).take(2, Start)
+    assert(top2.collect().map(_.getLong(0)).toSeq == Seq(3L, 2L))
+    val bottom = halos.sortBy("mass", invert = true).take(1, End)
+    assert(bottom.collect().map(_.getLong(0)).toSeq == Seq(4L))
+    val range = halos.sortBy("mass").takeRange(1, 3)
+    assert(range.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("take random is seeded-deterministic, no replacement") {
+    val a = halos.take(2, Random(7)).collect().map(_.getLong(0)).toSet
+    val b = halos.take(2, Random(7)).collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size == 2)
+  }
+
+  test("withNewColumns: derived + overwrite guard + unit propagation") {
+    val d = halos.withNewColumns("r2" -> (ocCol("x") * ocCol("x") + ocCol("y") * ocCol("y")))
+    assert(d.columns.contains("r2"))
+    assert(d.unitOf("r2").dims == Map("Mpc" -> 2))
+    intercept[IllegalArgumentException] {
+      d.withNewColumns("r2" -> ocCol("x"))
+    }
+    val over = d.withNewColumns(allowOverwrite = true, "r2" -> ocCol("x"))
+    assert(over.unitOf("r2") == Units.parse("Mpc/h"))
+  }
+
+  test("withUnits: scalefree -> comoving -> physical factors") {
+    // scalefree x=10 Mpc/h, h=0.7 -> comoving 10/0.7; physical further × a=0.5 (z=1)
+    val com = halos.withUnits(Comoving)
+    val row = com.df.filter($"halo_tag" === 1L).first()
+    assert(math.abs(row.getAs[Double]("x") - 10.0 / 0.7) < 1e-12)
+    val phys = halos.withUnits(Physical)
+    val p = phys.df.filter($"halo_tag" === 1L).first()
+    assert(math.abs(p.getAs[Double]("x") - 10.0 / 0.7 * 0.5) < 1e-12)
+    // round trip back to scalefree
+    val back = phys.withUnits(Scalefree)
+    assert(math.abs(back.df.filter($"halo_tag" === 1L).first()
+      .getAs[Double]("x") - 10.0) < 1e-12)
+    // per-row scale factor column
+    val physRow = halos.withUnits(Physical, scaleFactorColumn = Some("scale_a"))
+    val p2 = physRow.df.filter($"halo_tag" === 2L).first()
+    assert(math.abs(p2.getAs[Double]("x") - 40.0 / 0.7 * 0.8) < 1e-12)
+  }
+
+  test("header json roundtrip") {
+    val h = halos.header
+    val h2 = Header.fromJson(h.toJson)
+    assert(h2 == h)
+  }
+
+  test("OCIO write/open roundtrip with sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ocio").toString
+    OCIO.write(halos, dir, sortColumn = Some("halo_tag"))
+    val back = OCIO.open(spark, dir)
+    assert(back.header == halos.header)
+    assert(back.count() == 4)
+    assert(back.unitOf("x") == Units.parse("Mpc/h"))
+  }
+
+  test("flatten explodes array columns into scalar columns") {
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "prof")
+    val flat = OCIO.flatten(df)
+    assert(flat.columns.toSeq == Seq("id", "prof_0", "prof_1", "prof_2"))
+    assert(flat.first().getFloat(2) == 2.0f)
+  }
+
+  test("rows() streams in sorted order") {
+    val it = halos.sortBy("mass").rows()
+    val tags = it.map(_.getLong(0)).toSeq
+    assert(tags == Seq(4L, 1L, 2L, 3L))
+  }
+
+  test("evaluate: rowWise and perPartition append columns") {
+    import org.apache.spark.sql.types._
+    val r = graft.operators.Evaluate.rowWise(halos,
+      Seq(StructField("mass_log", DoubleType)),
+      row => Seq(math.log10(row.getAs[Double]("mass"))))
+    assert(r.columns.contains("mass_log"))
+    assert(math.abs(r.df.filter($"halo_tag" === 1L).first()
+      .getAs[Double]("mass_log") - 13.0) < 1e-9)
+    val v = graft.operators.Evaluate.perPartition(halos,
+      Seq(StructField("rank_in_part", IntegerType)),
+      rows => rows.zipWithIndex.map { case (_, i) => Seq(i) })
+    assert(v.count() == 4)
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.spatial.{Healpix, Morton, Octree}
+import graft.spatial.Region._
+
+/** Spatial module: Morton codec (property-tested), octree bound plans
+  * vs brute-force geometry, region relations truth tables (reference
+  * test/spatial/test_relations.py, test_3d.py), HEALPix consistency.
+  */
+class SpatialSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("morton encode/decode roundtrip (sampled property)") {
+    val rnd = new scala.util.Random(11)
+    (0 until 500).foreach { _ =>
+      val x = rnd.nextLong() & ((1L << 20) - 1)
+      val y = rnd.nextLong() & ((1L << 20) - 1)
+      val z = rnd.nextLong() & ((1L << 20) - 1)
+      val k = Morton.encode3d(x, y, z, 20)
+      assert(Morton.decode3d(k, 20) == ((x, y, z)))
+    }
+  }
+
+  test("morton prefix nesting: level L key = level L+1 key >> 3") {
+    val rnd = new scala.util.Random(12)
+    (0 until 500).foreach { _ =>
+      val x = rnd.nextDouble * 100; val y = rnd.nextDouble * 100
+      val z = rnd.nextDouble * 100
+      val k5 = Morton.pointKey(x, y, z, 0.0, 100.0, 5)
+      val k4 = Morton.pointKey(x, y, z, 0.0, 100.0, 4)
+      assert(k4 == (k5 >> 3))
+    }
+  }
+
+  test("morton keyColumn (pure functions) matches JVM pointKey") {
+    val pts = Seq((1.0, 2.0, 3.0), (99.0, 50.0, 0.1), (33.3, 66.6, 12.1))
+      .toDF("x", "y", "z")
+    val got = pts.select(Morton.keyColumn($"x", $"y", $"z", 0.0, 100.0, 6))
+      .collect().map(_.getLong(0))
+    val want = Seq((1.0, 2.0, 3.0), (99.0, 50.0, 0.1), (33.3, 66.6, 12.1))
+      .map { case (x, y, z) => Morton.pointKey(x, y, z, 0.0, 100.0, 6) }
+    assert(got.toSeq == want)
+  }
+
+  test("native morton expression matches and is registered via extensions") {
+    Morton.register(spark)
+    val pts = Seq((1.0, 2.0, 3.0), (87.3, 12.9, 55.5)).toDF("x", "y", "z")
+    val native = pts.select(Morton.keyColumnNative($"x", $"y", $"z", 0.0, 100.0, 6))
+      .collect().map(_.getLong(0)).toSeq
+    val pure = pts.select(Morton.keyColumn($"x", $"y", $"z", 0.0, 100.0, 6))
+      .collect().map(_.getLong(0)).toSeq
+    assert(native == pure)
+  }
+
+  test("box and sphere classify: truth table") {
+    val box = Box(P3(10, 10, 10), P3(20, 20, 20))
+    assert(box.classify(P3(12, 12, 12), P3(14, 14, 14)) == Contained)
+    assert(box.classify(P3(0, 0, 0), P3(5, 5, 5)) == Disjoint)
+    assert(box.classify(P3(15, 15, 15), P3(25, 25, 25)) == Intersects)
+    val s = Sphere(P3(50, 50, 50), 10)
+    assert(s.classify(P3(48, 48, 48), P3(52, 52, 52)) == Contained)
+    assert(s.classify(P3(90, 90, 90), P3(95, 95, 95)) == Disjoint)
+    assert(s.classify(P3(55, 55, 55), P3(70, 70, 70)) == Intersects)
+  }
+
+  test("octree bound filter == brute-force predicate (box + sphere)") {
+    val rnd = new scala.util.Random(42)
+    val pts = (0 until 2000).map(i =>
+      (i.toLong, rnd.nextDouble * 100, rnd.nextDouble * 100, rnd.nextDouble * 100))
+      .toDF("id", "x", "y", "z")
+    for (region <- Seq[Region3D](
+        Box(P3(10, 20, 30), P3(45, 55, 55)),
+        Sphere(P3(50, 50, 50), 22.5))) {
+      val bounded = Octree.boundFilter(region, 0.0, 100.0, 4, $"x", $"y", $"z")
+      assert(bounded.isDefined)
+      val got = pts.filter(bounded.get).select("id").collect().map(_.getLong(0)).toSet
+      val want = pts.filter(region.predicate($"x", $"y", $"z"))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"bound mismatch for $region")
+    }
+    // disjoint region short-circuits
+    assert(Octree.boundFilter(Box(P3(200, 200, 200), P3(300, 300, 300)),
+      0.0, 100.0, 4, $"x", $"y", $"z").isEmpty)
+  }
+
+  test("octree contained cells skip the exact predicate (plan shape)") {
+    val plan = Octree.classifyCells(Box(P3(0, 0, 0), P3(50, 50, 50)), 0.0, 100.0, 3)
+    // exactly the lower octant: 4^3=64 cells at level 3, all contained
+    assert(plan.contained.size == 64 && plan.boundary.isEmpty)
+  }
+
+  test("sky regions: cone/skybox membership and relations") {
+    val cone = Cone(SkyP(180, 0), 10)
+    assert(cone.contains(SkyP(185, 3)))
+    assert(!cone.contains(SkyP(195, 0)))
+    assert(cone.intersects(Cone(SkyP(195, 0), 6)))
+    assert(!cone.intersects(Cone(SkyP(200, 0), 6)))
+    assert(cone.containsCone(Cone(SkyP(182, 0), 5)))
+    val sb = Skybox(350, 10, -5, 5) // RA wrap
+    assert(sb.contains(SkyP(355, 0)) && sb.contains(SkyP(5, 0)))
+    assert(!sb.contains(SkyP(20, 0)))
+    assert(FullSky.contains(SkyP(123, 45)))
+  }
+
+  test("sky predicates agree with JVM membership on a grid") {
+    val pts = (for (ra <- 0 until 360 by 15; dec <- -75 to 75 by 15)
+      yield (ra.toDouble, dec.toDouble)).toDF("ra", "dec")
+    for (region <- Seq[SkyRegion](Cone(SkyP(100, 30), 25), Skybox(80, 120, 10, 50))) {
+      val got = pts.filter(region.predicate($"ra", $"dec"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+      val want = pts.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+        .filter { case (ra, dec) => region.contains(SkyP(ra, dec)) }.toSet
+      assert(got == want, s"sky predicate mismatch for $region")
+    }
+  }
+
+  test("healpix: pix2ang(ang2pix(p)) lands in the same pixel; total pixel count") {
+    val nside = 8
+    val rnd = new scala.util.Random(1)
+    (0 until 500).foreach { _ =>
+      val ra = rnd.nextDouble * 360
+      // uniform on the sphere
+      val dec = math.toDegrees(math.asin(2 * rnd.nextDouble - 1))
+      val p = Healpix.ang2pixNest(nside, ra, dec)
+      assert(p >= 0 && p < Healpix.npix(nside))
+      val (cra, cdec) = Healpix.pix2angNest(nside, p)
+      assert(Healpix.ang2pixNest(nside, cra, cdec) == p,
+        s"center of pixel $p maps elsewhere (ra=$ra dec=$dec center=($cra,$cdec))")
+    }
+    // all pixels reachable: centers of all 768 pixels map to themselves
+    val centers = (0L until Healpix.npix(nside)).map(p => Healpix.pix2angNest(nside, p))
+    assert(centers.map { case (r, d) => Healpix.ang2pixNest(nside, r, d) }.toSet.size ==
+      Healpix.npix(nside))
+  }
+
+  test("healpix degrade is the nested prefix shift") {
+    val rnd = new scala.util.Random(13)
+    (0 until 500).foreach { _ =>
+      val p = math.abs(rnd.nextLong()) % Healpix.npix(64)
+      val (ra, dec) = Healpix.pix2angNest(64, p)
+      assert(Healpix.ang2pixNest(16, ra, dec) == Healpix.degrade(p, 2))
+    }
+  }
+
+  test("healpix queryDisc covers all pixels containing in-disc points") {
+    val center = SkyP(40, 20); val r = 15.0
+    val disc = Healpix.queryDisc(8, center, r)
+    val rnd = new scala.util.Random(3)
+    (0 until 300).foreach { _ =>
+      val ra = rnd.nextDouble * 360
+      val dec = math.toDegrees(math.asin(2 * rnd.nextDouble - 1))
+      if (angSep(center, SkyP(ra, dec)) <= r)
+        assert(disc.contains(Healpix.ang2pixNest(8, ra, dec)),
+          s"point ($ra,$dec) in disc but pixel not returned")
+    }
+  }
+}
