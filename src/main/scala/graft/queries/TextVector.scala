@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Training-data pipeline operators (builder prompt §beyond-reference):
   * text analysis, dedup, similarity search, multimodal plumbing — each
@@ -103,6 +103,19 @@ object TextVector {
       t(s, dir, "documents").select(col("doc_id"),
         length(col("text").cast("binary")).cast("long").as("n_bytes"),
         ceil(length(col("text").cast("binary")) / lit(64.0)).cast("long").as("n_chunks"))
+    }),
+
+    // multimodal decode pipeline: payload -> typed media_meta struct ->
+    // per-partition decoder (stubbed, deterministic) -> scalar features.
+    "q34_multimodal_decode" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val withMeta = Multimodal.withMediaMeta(media, "payload", "image", "png")
+      Multimodal.decodeFeatures(withMeta, "payload")
+        .select(col("doc_id"),
+          col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.checksum").as("checksum"),
+          col("width"), col("height"), col("n_frames"))
     })
   )
 
@@ -163,6 +176,13 @@ object TextVector {
     "q32_multimodal_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
          CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS BIGINT) AS n_chunks
+         FROM documents""",
+    "q34_multimodal_decode" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+         md5(text) AS checksum,
+         CAST(16 + octet_length(CAST(text AS BLOB)) % 64 AS INTEGER) AS width,
+         CAST(16 + (octet_length(CAST(text AS BLOB)) // 64) % 64 AS INTEGER) AS height,
+         CAST(1 AS INTEGER) AS n_frames
          FROM documents"""
   )
 }
