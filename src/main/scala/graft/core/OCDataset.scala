@@ -138,6 +138,25 @@ final case class OCDataset(
   def takeRange(start: Int, end: Int): OCDataset =
     copy(df = sorted(df).offset(start).limit(end - start), sortKey = None)
 
+  /** Arbitrary row selection by key values (reference take_rows,
+    * dataset.py:885-912 — there by positional row id; here by an
+    * explicit key column, the scale-safe formulation). Broadcast
+    * semi-join against the id list.
+    */
+  def takeRows(idCol: String, ids: Seq[Any]): OCDataset = {
+    val idDf = df.sparkSession.createDataFrame(
+      ids.map(org.apache.spark.sql.Row(_)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(df.schema(idCol))))
+    copy(df = df.join(broadcast(idDf), Seq(idCol), "left_semi"))
+  }
+
+  private implicit class SeqAsJava[T](s: Seq[T]) {
+    def asJava: java.util.List[T] = {
+      val l = new java.util.ArrayList[T](s.size)
+      s.foreach(l.add); l
+    }
+  }
+
   // ---- §2.11 units -------------------------------------------------
 
   /** Switch unit convention: every column with a known unit is

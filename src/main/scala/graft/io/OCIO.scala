@@ -29,10 +29,17 @@ object OCIO {
     Header.write(path, ds.header)
   }
 
-  /** Open a dataset directory written by [[write]]. */
-  def open(spark: SparkSession, path: String): OCDataset = {
+  /** Open a dataset directory written by [[write]]. `hooks` are
+    * open-time enrichment functions (the Spark analog of the
+    * reference's DatasetOpen/Instantiate plugin hook points,
+    * plugins/hook.py:15-71 — e.g. synthesizing redshift/ra/dec
+    * columns at open, collection/lightcone/plugins.py:20-108).
+    */
+  def open(spark: SparkSession, path: String,
+           hooks: Seq[OCDataset => OCDataset] = Nil): OCDataset = {
     val header = Header.read(path)
-    OCDataset(spark.read.parquet(s"$path/data.parquet"), header)
+    val ds = OCDataset(spark.read.parquet(s"$path/data.parquet"), header)
+    hooks.foldLeft(ds)((d, h) => h(d))
   }
 
   /** Round-trip-stable parquet export that flattens multi-dimensional

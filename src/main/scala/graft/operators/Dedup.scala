@@ -35,7 +35,11 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("s"))
+    // join on the 64-bit shingle hash, not the string: ~4x smaller
+    // shuffle and long-vs-long equality. Collisions (~2^-64 per pair)
+    // are statistically invisible at any realistic corpus size.
+    val sh = df.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("s0"))
+      .select(col("doc"), xxhash64(col("s0")).as("s"))
     val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
@@ -60,14 +64,17 @@ object Dedup {
                         shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                         minEstimate: Double = 0.0): DataFrame = {
     val rowsPerBand = k / bands
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
     // Stage the signature through explicit projections (hash each
-    // shingle once, then k affine permutations over the longs) and
+    // shingle once, then one native one-pass k-min kernel — a
+    // codegen'd Catalyst expression, plans/TextKernels.scala) and
     // persist — the self-join would otherwise inline and recompute the
     // whole signature expression on both sides.
     val sigs = df.select(col(idCol).as("doc"),
-        shingleHashes(shingles(col(textCol), shingleN)).as("hs"))
+        call_function("graft_ngram_hashes",
+          transform(tokens(col(textCol)), t => xxhash64(t)), lit(shingleN)).as("hs"))
       .filter(size(col("hs")) > 0)
-      .select(col("doc"), minhashFromHashes(col("hs"), k).as("sig"))
+      .select(col("doc"), call_function("graft_minhash_sig", col("hs"), lit(k)).as("sig"))
       .persist()
     // Candidate pairs carry ONLY ids through the bucket join + distinct;
     // signatures re-attach afterwards (two slim joins on doc id).
@@ -95,7 +102,13 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 8): DataFrame = {
-    val sigs = df.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sig"))
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    // one-pass codegen'd kernel over the token hashes (vs 64 HOF
+    // traversals in TextFunctions.simhash64 — same semantics up to
+    // the vote tie-break, cross-checked in DedupSpec).
+    val sigs = df.select(col(idCol).as("doc"),
+      call_function("graft_simhash64",
+        transform(tokens(col(textCol)), t => xxhash64(t))).as("sig"))
     val banded = sigs.select(col("doc"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "key")))

@@ -20,22 +20,31 @@ import graft.spatial.Morton
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.mortonKeyDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
 
-  private[plans] val mortonKeyDescriptor = (
-    FunctionIdentifier("graft_morton_key"),
-    new ExpressionInfo(classOf[MortonKeyExpr].getName, "graft_morton_key"),
-    (children: Seq[Expression]) => MortonKeyExpr(children))
+  private[plans] val descriptors = Seq(
+    (FunctionIdentifier("graft_morton_key"),
+      new ExpressionInfo(classOf[MortonKeyExpr].getName, "graft_morton_key"),
+      (children: Seq[Expression]) => MortonKeyExpr(children): Expression),
+    (FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => SimHash64Expr(children): Expression),
+    (FunctionIdentifier("graft_ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashesExpr].getName, "graft_ngram_hashes"),
+      (children: Seq[Expression]) => NgramHashesExpr(children): Expression),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => MinHashSigExpr(children): Expression))
 
   /** Imperative registration into an existing session (idempotent). */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(mortonKeyDescriptor._1))
-      registry.registerFunction(mortonKeyDescriptor._1,
-        mortonKeyDescriptor._2, mortonKeyDescriptor._3)
+    descriptors.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+    }
   }
 }
 
