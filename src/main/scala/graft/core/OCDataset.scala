@@ -222,6 +222,13 @@ final case class OCDataset(
 
   def count(): Long = df.count()
 
+  /** Materialized-column cache (reference ColumnCache,
+    * column/cache.py:59-405 — dissolves into Spark's block-level
+    * persistence; child datasets share the cached ancestor plan).
+    */
+  def persist(): OCDataset = { df.persist(); this }
+  def unpersist(): OCDataset = { df.unpersist(); this }
+
   /** Evaluate reductions appearing in an expression and substitute
     * literal values (one aggregation job for ALL reductions at once).
     */

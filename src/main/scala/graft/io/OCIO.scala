@@ -42,6 +42,75 @@ object OCIO {
     hooks.foldLeft(ds)((d, h) => h(d))
   }
 
+  /** Write a structure collection: parent at <path>/, children under
+    * <path>/children/<name>/, each clustered by the link key so a
+    * parent's child rows are row-group-local (the Spark analog of the
+    * reference's contiguous link ranges, SPEC.md:69-80).
+    */
+  def writeStructure(coll: graft.collections.StructureCollection, path: String): Unit = {
+    write(coll.properties.copy(header =
+      coll.properties.header.copy(dataType = "structure")), path,
+      sortColumn = Some(coll.linkKey))
+    coll.children.foreach { case (name, child) =>
+      child.sortWithinPartitions(col(coll.linkKey))
+        .write.mode("overwrite").parquet(s"$path/children/$name")
+    }
+  }
+
+  def openStructure(spark: SparkSession, path: String,
+                    linkKey: String): graft.collections.StructureCollection = {
+    val parent = open(spark, path)
+    val childDir = new java.io.File(s"$path/children")
+    val children = Option(childDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(d => d.getName -> spark.read.parquet(d.getPath)).toMap
+    graft.collections.StructureCollection(parent, children, linkKey)
+  }
+
+  /** Write a lightcone `partitionBy("step")` — the storage layout that
+    * turns withRedshiftRange step pruning into parquet partition
+    * pruning on re-read.
+    */
+  def writeLightcone(lc: graft.collections.Lightcone, path: String): Unit = {
+    lc.toDataset.df.write.mode("overwrite")
+      .partitionBy("step").parquet(s"$path/data.parquet")
+    val zs = lc.stepRedshifts.map { case (s, z) => s"""\"$s\": $z""" }
+      .mkString("{", ", ", "}")
+    Header.write(path, lc.steps.head._2.header.copy(isLightcone = true,
+      dataType = "lightcone"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_steps.json"), zs)
+  }
+
+  def openLightcone(spark: SparkSession, path: String): graft.collections.Lightcone = {
+    val header = Header.read(path)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_steps.json")))
+    val it = n.fieldNames()
+    val steps = Iterator.continually(if (it.hasNext) Some(it.next()) else None)
+      .takeWhile(_.isDefined).flatten.map { s =>
+        val step = s.toInt
+        // per-step frame: partition-pruned scan (PartitionFilters on step)
+        val df = spark.read.parquet(s"$path/data.parquet")
+          .filter(col("step") === step).drop("step")
+        step -> graft.core.OCDataset(df,
+          header.copy(redshift = n.get(s).asDouble()))
+      }.toMap
+    graft.collections.Lightcone(steps)
+  }
+
+  /** Open dispatch by sidecar dataType (reference oc.open,
+    * io/iopen.py:80-95: group structure → wrapper type).
+    */
+  def openAny(spark: SparkSession, path: String,
+              linkKey: String = "halo_tag"): Any =
+    Header.read(path).dataType match {
+      case "structure" => openStructure(spark, path, linkKey)
+      case "lightcone" => openLightcone(spark, path)
+      case _           => open(spark, path)
+    }
+
   /** Round-trip-stable parquet export that flattens multi-dimensional
     * (array) columns into `name_0 … name_k` scalar columns — reference
     * write_parquet (io/parquet.py:18-90). `widths` gives each array

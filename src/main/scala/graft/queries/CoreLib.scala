@@ -152,6 +152,24 @@ object CoreLib {
         rows => rows.map(r => Seq(r.getAs[Double]("l_quantity") * 2.0))).df
     }),
 
+    // §2.5 math functions through the expression DSL (log10 → dex,
+    // sqrt, arccos, arctan2) — per-row math, identical IEEE exprs on
+    // the oracle side except acos/atan2 (libm differences), rounded.
+    "q62_math_funcs" -> ((s, dir) => {
+      import graft.expr.OCExpr.{arctan2, ocCol}
+      val ds = OCDataset(t(s, dir, "lineitem"))
+      ds.select(Seq("l_orderkey", "l_linenumber"),
+          "log_price" -> ocCol("l_extendedprice").log10,
+          "sqrt_qty" -> ocCol("l_quantity").sqrt,
+          "acos_disc" -> ocCol("l_discount").arccos,
+          "theta" -> arctan2(ocCol("l_discount"), ocCol("l_tax") + 0.001)).df
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("log_price"), 6).as("log_price"),
+          round(col("sqrt_qty"), 6).as("sqrt_qty"),
+          round(col("acos_disc"), 6).as("acos_disc"),
+          round(col("theta"), 6).as("theta"))
+    }),
+
     // §2.2 scalar-in-select: normalization by reductions through the
     // expression DSL ((q - mean)/std, agg-then-substitute) — rounded
     // (stddev accumulation order differs between engines).
@@ -208,6 +226,13 @@ object CoreLib {
     "q60_evaluate_partition" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
          l_quantity * 2.0 AS double_qty FROM lineitem""",
+    "q62_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(log10(l_extendedprice), 6) AS log_price,
+         round(sqrt(l_quantity), 6) AS sqrt_qty,
+         round(acos(l_discount), 6) AS acos_disc,
+         round(atan2(l_discount, l_tax + 0.001), 6) AS theta
+         FROM lineitem""",
     "q61_zscore" ->
       """SELECT l_orderkey, l_linenumber,
          round((l_quantity - (SELECT avg(l_quantity) FROM lineitem))

@@ -91,6 +91,35 @@ class CollectionsSpec extends SparkSpec {
     assert(v == 1.5) // avg(0,1,2,3)
   }
 
+  test("structure collection IO roundtrip with child clustering") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_struct").toString
+    graft.io.OCIO.writeStructure(coll, dir)
+    val back = graft.io.OCIO.openStructure(spark, dir, "halo_tag")
+    assert(back.properties.count() == 3)
+    assert(back.child("particles").count() == 6)
+    assert(back.properties.header.dataType == "structure")
+    // openAny dispatches by sidecar dataType
+    val any = graft.io.OCIO.openAny(spark, dir)
+    assert(any.isInstanceOf[StructureCollection])
+  }
+
+  test("lightcone IO roundtrip: partitionBy(step), pruned reopen") {
+    val s600 = OCDataset(Seq((1L, 5.0), (2L, 6.0)).toDF("id", "v"),
+      graft.core.Header(redshift = 0.5))
+    val s601 = OCDataset(Seq((3L, 7.0)).toDF("id", "v"),
+      graft.core.Header(redshift = 1.5))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lc").toString
+    graft.io.OCIO.writeLightcone(Lightcone(Map(600 -> s600, 601 -> s601)), dir)
+    val back = graft.io.OCIO.openLightcone(spark, dir)
+    assert(back.steps.keySet == Set(600, 601))
+    assert(math.abs(back.steps(601).header.redshift - 1.5) < 1e-12)
+    val pruned = back.withRedshiftRange(1.0, 2.0)
+    assert(pruned.toDataset.count() == 1)
+    // the per-step scan prunes partitions at the source
+    val plan = back.steps(600).df.queryExecution.executedPlan.toString
+    assert(plan.contains("step"), "expected step partition filter in plan")
+  }
+
   test("simulation collection broadcasts ops") {
     val sc = SimulationCollection(Map(
       "simA" -> props, "simB" -> props))
