@@ -35,15 +35,24 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
-    // join on the 64-bit shingle hash, not the string: ~4x smaller
-    // shuffle and long-vs-long equality. Collisions (~2^-64 per pair)
-    // are statistically invisible at any realistic corpus size.
+    // 64-bit shingle hashes, not strings: ~4x smaller shuffles.
+    // Collisions (~2^-64 per pair) are statistically invisible at any
+    // realistic corpus size.
     val sh = df.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("s0"))
       .select(col("doc"), xxhash64(col("s0")).as("s"))
     val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    // posting-list expansion instead of a self-join: ONE shuffle of the
+    // (doc, shingle) pairs builds per-shingle doc lists; pair fan-out
+    // is then map-side generators. (A self-join shuffles the same data
+    // twice and sorts both sides.) Bucket-size skew = hot shingles —
+    // the sorted doc list keeps expansion deterministic.
+    val inter = sh.groupBy(col("s"))
+      .agg(array_sort(collect_list(col("doc"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(posexplode(col("docs")).as(Seq("i", "doc_a")), col("docs"))
+      .select(col("doc_a"), explode(slice(col("docs"), col("i") + 2,
+        size(col("docs")))).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(counts.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")

@@ -25,11 +25,12 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.registerAll(corpus.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", call_function("graft_cosine", col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -49,6 +50,7 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nPlanes: Int = 5, dim: Int = 64): DataFrame = {
+    graft.plans.GraftExtensions.registerAll(corpus.sparkSession)
     val cB = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       signLshBucket(col(vecCol), nPlanes, dim).as("bucket"))
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -63,7 +65,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
       .distinct()
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", call_function("graft_cosine", col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -72,52 +74,77 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
-  /** IVF-Flat ANN: coarse quantizer (k-means, `iters` Lloyd steps run
-    * as DataFrame jobs) partitions the corpus into `nlist` cells; a
-    * query probes its `nprobe` nearest cells and exact-reranks inside.
+  /** IVF-Flat ANN: coarse quantizer (k-means, `iters` Lloyd steps)
+    * partitions the corpus into `nlist` cells; a query probes its
+    * `nprobe` nearest cells and exact-reranks inside.
     *
-    * Scale shape: centroids are tiny (nlist×dim) and broadcast; corpus
-    * assignment is map-side; candidate fetch is a broadcast-join on
-    * cell id, so the scan cost per query is ~nprobe/nlist of the
-    * corpus. At 100 TB the corpus would additionally be written
-    * partitioned by `cell` for partition pruning.
+    * Scale shape: centroids (nlist×dim doubles) live on the DRIVER
+    * between steps and enter the plan as an array literal, so cell
+    * assignment is a pure MAP-SIDE argmin — no crossJoin, no window,
+    * no shuffle of the corpus, ever. Each Lloyd step costs exactly one
+    * hash-agg shuffle of (cell, pos, partial-sums); probing joins the
+    * (small, broadcast) query probes against corpus cells. At 100 TB
+    * the corpus is additionally written `partitionBy(cell)` so probes
+    * prune partitions at the source.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
               iters: Int = 2): DataFrame = {
+    graft.plans.GraftExtensions.registerAll(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    // deterministic init: nlist rows with the smallest xxhash64(id)
-    var centroids = c.withColumn("h", xxhash64(col("neighbor_id")))
+
+    // deterministic init: the nlist vectors with smallest xxhash64(id)
+    var cents: Array[Array[Double]] = c
+      .withColumn("h", xxhash64(col("neighbor_id")))
       .orderBy(col("h")).limit(nlist)
-      .select(monotonically_increasing_id().as("cell"),
-        transform(col("cv"), x => x.cast("double")).as("centroid"))
-    for (_ <- 0 until iters) {
-      val assigned = c.crossJoin(broadcast(centroids))
-        .withColumn("dist", l2Dist(col("cv"), col("centroid")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("neighbor_id")).orderBy(col("dist"), col("cell"))))
-        .filter(col("rk") === 1)
-      centroids = assigned
-        .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("v").cast("double")).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), transform(col("pm"), s => s.getField("m")).as("centroid"))
+      .select(col("cv")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+    def centLit: Column =
+      array(cents.map(ct => array(ct.map(lit): _*)): _*)
+    // squared L2 to each centroid; argmin index = the cell id.
+    def dists(v: Column): Column = transform(centLit, ct =>
+      aggregate(zip_with(v, ct, (x, y) => {
+        val d = x.cast("double") - y
+        d * d
+      }), lit(0.0), (acc, x) => acc + x))
+    def cellOf(v: Column): Column = {
+      val ds = dists(v)
+      (array_position(ds, array_min(ds)) - 1).cast("int")
     }
-    val cellOf = (df: DataFrame, id: Column, v: Column, keep: Int) =>
-      df.crossJoin(broadcast(centroids))
-        .withColumn("dist", l2Dist(v, col("centroid")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(id).orderBy(col("dist"), col("cell"))))
-        .filter(col("rk") <= keep)
-    val corpusCells = cellOf(c, col("neighbor_id"), col("cv"), 1)
-      .select(col("neighbor_id"), col("cv"), col("cell"))
+
+    for (_ <- 0 until iters) {
+      // one shuffle per step: (cell, pos) partial sums -> new means
+      val sums = c.withColumn("cell", cellOf(col("cv")))
+        .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getAs[Int]("cell"))
+      cents = cents.indices.map { cell =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            val dim = cents(cell).length
+            val m = new Array[Double](dim)
+            rows.foreach(r => m(r.getAs[Int]("pos")) =
+              r.getAs[Double]("s") / r.getAs[Long]("n"))
+            m
+          case None => cents(cell) // empty cell keeps its centroid
+        }
+      }.toArray
+    }
+
+    val corpusCells = c.withColumn("cell", cellOf(col("cv")))
+    // query probes: nprobe nearest cells via sorted (dist, cell) pairs
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val queryCells = cellOf(q, col("query_id"), col("qv"), nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
-    val scored = queryCells.join(corpusCells, "cell")
+    val probes = q.withColumn("__d", dists(col("qv")))
+      .withColumn("probe", explode(slice(array_sort(
+        zip_with(col("__d"), sequence(lit(0), lit(nlist - 1)),
+          (d, i) => struct(d.as("d"), i.as("cell")))), 1, nprobe)))
+      .select(col("query_id"), col("qv"), col("probe.cell").as("cell"))
+    val scored = corpusCells.join(broadcast(probes), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", call_function("graft_cosine", col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -37,7 +37,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => NgramHashesExpr(children): Expression),
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
-      (children: Seq[Expression]) => MinHashSigExpr(children): Expression))
+      (children: Seq[Expression]) => MinHashSigExpr(children): Expression),
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineExpr].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineExpr(children): Expression),
+    (FunctionIdentifier("graft_l2norm"),
+      new ExpressionInfo(classOf[L2NormExpr].getName, "graft_l2norm"),
+      (children: Seq[Expression]) => L2NormExpr(children): Expression))
 
   /** Imperative registration into an existing session (idempotent). */
   def registerAll(spark: SparkSession): Unit = {

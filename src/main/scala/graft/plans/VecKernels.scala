@@ -1,0 +1,112 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native vector-math kernels over `array<float>` embeddings
+  * (`graft_cosine`, `graft_l2norm` — registered in [[GraftExtensions]]).
+  *
+  * Semantically identical to functions/VectorFunctions (sequential
+  * left-to-right double accumulation — same IEEE result), but one
+  * fused JVM loop instead of zip_with+aggregate lambda trees: less
+  * janino compile time and no per-element closure dispatch. The HOF
+  * versions remain the session-free default; operators switch to
+  * these after GraftExtensions.registerAll.
+  */
+object VecKernels {
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  def sqNorm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = a.getFloat(i).toDouble; s += v * v; i += 1 }
+    s
+  }
+
+  def l2Norm(a: ArrayData): Double = math.sqrt(sqNorm(a))
+
+  /** cos(a,b); 0.0 for zero vectors (matches VectorFunctions.cosine). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val denom = l2Norm(a) * l2Norm(b)
+    if (denom == 0.0) 0.0 else dot(a, b) / denom
+  }
+}
+
+private[plans] abstract class BinaryVecExpr extends Expression {
+  def children: Seq[Expression]
+  protected def kernel: String // static method name on VecKernels
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: InternalRow): Any = {
+    val a = children.head.eval(input); val b = children(1).eval(input)
+    if (a == null || b == null) null
+    else kernelEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+  protected def kernelEval(a: ArrayData, b: ArrayData): Double
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ag = children.head.genCode(ctx); val bg = children(1).genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${ag.code}
+        ${bg.code}
+        boolean ${ev.isNull} = ${ag.isNull} || ${bg.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.plans.VecKernels.$kernel(${ag.value}, ${bg.value});
+        }
+      """)
+  }
+}
+
+/** graft_cosine(array<float>, array<float>) → double */
+final case class CosineExpr(children: Seq[Expression]) extends BinaryVecExpr {
+  require(children.length == 2, "graft_cosine(a, b)")
+  override protected def kernel = "cosine"
+  override protected def kernelEval(a: ArrayData, b: ArrayData): Double =
+    VecKernels.cosine(a, b)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
+}
+
+/** graft_l2norm(array<float>) → double */
+final case class L2NormExpr(children: Seq[Expression]) extends Expression {
+  require(children.length == 1, "graft_l2norm(a)")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = children.head.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val a = children.head.eval(input)
+    if (a == null) null else VecKernels.l2Norm(a.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ag = children.head.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${ag.code}
+        boolean ${ev.isNull} = ${ag.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.plans.VecKernels.l2Norm(${ag.value});
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
+}

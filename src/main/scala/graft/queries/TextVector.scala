@@ -68,10 +68,12 @@ object TextVector {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
     }),
 
-    // embedding L2 norm (HOF aggregate, all double math).
+    // embedding L2 norm — native fused kernel (graft_l2norm), same
+    // sequential accumulation as the HOF form (oracle-identical).
     "q28_embed_norm" -> ((s, dir) => {
+      graft.plans.GraftExtensions.registerAll(s)
       t(s, dir, "embeddings").select(col("vec_id"),
-        round(VectorFunctions.l2Norm(col("embedding")), 6).as("l2_norm"))
+        round(call_function("graft_l2norm", col("embedding")), 6).as("l2_norm"))
     }),
 
     // brute-force cosine top-5 for query vectors vec_id < 10.
