@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Event-time operators over the `events` table (ts, user_id,
@@ -93,4 +93,33 @@ object EventOps {
       .select(col("user_id"),
         unix_timestamp(col("session_window").getField("start")).as("session_start_s"),
         col("n_events"), col("sum_value"))
+
+  /** Arbitrary stateful processing (`mapGroupsWithState` — the custom-
+    * state escape hatch the windowed aggregates can't express):
+    * running per-user totals that persist across micro-batches. Each
+    * batch updates the user's state with its new events and emits the
+    * current totals (Update output mode). State is one small struct
+    * per user — O(users), partitioned by the group key.
+    */
+  def statefulUserTotals(stream: DataFrame): Dataset[UserTotals] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    implicit val pairEnc: Encoder[(Long, Double)] = Encoders.product[(Long, Double)]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val outEnc: Encoder[UserTotals] = Encoders.product[UserTotals]
+    stream.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val prior = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserTotals(uid, prior.n_events + batch.size,
+            prior.sum_value + batch.map(_._2).sum)
+          state.update(next)
+          next
+      }
+  }
 }
+
+/** Running totals state/output record for [[EventOps.statefulUserTotals]]. */
+case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)

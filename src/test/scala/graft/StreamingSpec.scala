@@ -79,6 +79,27 @@ class StreamingSpec extends SparkSpec {
     assert(out.count(r => r.getLong(0) == ts("2024-01-01 00:00:00").getTime / 1000) >= 1)
   }
 
+  test("stateful mapGroupsWithState: totals accumulate across micro-batches") {
+    val src = MemoryStream[Ev](spark)
+    val q = EventOps.statefulUserTotals(src.toDF())
+      .writeStream.format("memory").queryName("state_sink").outputMode("update").start()
+    try {
+      src.addData(evs.filter(_.event_id <= 2)) // user 1: 3 events
+      q.processAllAvailable()
+      src.addData(evs.filter(_.event_id > 2))  // user 1: +1, user 2: +2
+      q.processAllAvailable()
+    } finally q.stop()
+    // Update-mode sink appends one row per (batch, user); the LAST row
+    // per user carries the accumulated state across both batches.
+    val rows = spark.table("state_sink").collect()
+    val last1 = rows.filter(_.getLong(0) == 1L).last
+    assert(last1.getLong(1) == 4L, s"user 1 totals: ${rows.mkString(",")}")
+    assert(math.abs(last1.getDouble(2) - (10.0 + 5.0 + 2.5 + 1.0)) < 1e-9)
+    val last2 = rows.filter(_.getLong(0) == 2L).last
+    assert(last2.getLong(1) == 2L)
+    assert(math.abs(last2.getDouble(2) - 102.0) < 1e-9)
+  }
+
   test("batch sessionization semantics: gap boundary starts new session") {
     val df = Seq(
       Ev(0L, ts("2024-01-01 00:00:00"), 7L, "a", 1.0, "{}"),
