@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ScaleOps
+
+/** Plan-shape regression guards: the scale properties SCALE.md claims
+  * (pushdown to the scan, broadcast for dims, partial aggregation,
+  * no stray shuffles) asserted against the live optimizer output — a
+  * silent plan regression fails here before it costs anything at SF.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("filter queries push predicates into the parquet scan") {
+    val p = plan("q2_filter")
+    assert(p.contains("PushedFilters: [Or(And(GreaterThan(l_quantity"),
+      s"predicate not pushed:\n$p")
+  }
+
+  test("projection prunes the scan schema") {
+    val p = plan("q3_select_derived")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_shipdate"), "unreferenced column read")
+    assert(!p.contains("l_returnflag"), "unreferenced column read")
+  }
+
+  test("dimension joins broadcast; fact joins do not broadcast the fact") {
+    val star = plan("q9_join_star")
+    assert(star.contains("BroadcastHashJoin"), s"no broadcast in star join:\n$star")
+    val fact = plan("q12_structure_agg")
+    // orders⋈lineitem at any SF must not broadcast either side blindly —
+    // accept broadcast only if AQE chose it from actual sizes (sf0.001 is
+    // tiny); the logical plan must not contain an explicit broadcast hint.
+    val logical = SparkEntry.queries("q12_structure_agg")(spark, sf001)
+      .queryExecution.logical.toString
+    assert(!logical.toLowerCase.contains("broadcast"),
+      "fact-fact join has an explicit broadcast hint")
+  }
+
+  test("aggregation is partial+final (map-side combine)") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"no partial aggregation:\n$p")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no full sort)") {
+    val p = plan("q6_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$p")
+  }
+
+  test("bound query derives storage-level range pushdown from geometry") {
+    val p = plan("q52_bound_box")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,5"),
+      s"no derived range pushdown:\n$p")
+  }
+
+  test("salted aggregation equals plain aggregation (skewed key)") {
+    // 90% of rows share one key — the salting target.
+    val df = ((0 until 9000).map(_ => ("hot", 1.0)) ++
+      (0 until 1000).map(i => (s"k$i", 2.0))).toDF("k", "v")
+    val salted = ScaleOps.saltedSumCount(df, col("k"), col("v"), salts = 8)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted("hot") == ((9000.0, 9000L)))
+    assert(salted("k7") == ((2.0, 1L)))
+    // phase-1 spread: the hot key really does split across salts
+    val phase1 = df.groupBy(col("k"),
+      pmod(xxhash64(monotonically_increasing_id()), lit(8L)).as("salt"))
+      .count().filter($"k" === "hot").count()
+    assert(phase1 > 1, "hot key not spread across salts")
+  }
+
+  test("salted broadcast join equals plain join") {
+    val left = ((0 until 5000).map(_ => ("hot", 1)) ++
+      (0 until 100).map(i => (s"k$i", 2))).toDF("key", "v")
+    val right = (Seq(("hot", 10.0)) ++ (0 until 100).map(i => (s"k$i", 1.0)))
+      .toDF("key", "w")
+    val got = ScaleOps.saltedBroadcastJoin(left, right, "key")
+      .agg(sum($"v" * $"w")).first().getDouble(0)
+    val want = left.join(right, "key").agg(sum($"v" * $"w")).first().getDouble(0)
+    assert(got == want)
+  }
+
+  test("skew profile surfaces the hot key") {
+    val df = ((0 until 900).map(_ => "hot") ++ (0 until 100).map(i => s"k$i"))
+      .toDF("k")
+    val top = ScaleOps.skewProfile(df, col("k"), 1).first()
+    assert(top.getString(0) == "hot" && top.getDouble(2) == 0.9)
+  }
+}
