@@ -170,6 +170,34 @@ object CoreLib {
           round(col("theta"), 6).as("theta"))
     }),
 
+    // §2.1 multi-dim column flatten (write_parquet export shape).
+    "q63_flatten" -> ((s, dir) => {
+      graft.io.OCIO.flatten(
+        t(s, dir, "embeddings").select(col("vec_id"),
+          slice(col("embedding"), 1, 4).as("emb")))
+        .select(col("vec_id"),
+          round(col("emb_0").cast("double"), 6).as("e0"),
+          round(col("emb_1").cast("double"), 6).as("e1"),
+          round(col("emb_2").cast("double"), 6).as("e2"),
+          round(col("emb_3").cast("double"), 6).as("e3"))
+    }),
+
+    // §2.8 take from the END of a sorted order (reverse-sort + limit;
+    // the rows-set is order-insensitive in the compare).
+    "q64_take_end" -> ((s, dir) => {
+      OCDataset(t(s, dir, "orders")).sortBy("o_orderkey")
+        .take(100, graft.core.OCDataset.End).df
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // §2.2 drop wildcards + isin mask through the OCDataset surface.
+    "q65_drop_isin" -> ((s, dir) => {
+      OCDataset(t(s, dir, "customer"))
+        .drop("c_name", "c_acct*")
+        .filter(graft.expr.OCExpr.ocCol("c_nationkey").isin(1, 2, 3))
+        .df
+    }),
+
     // §2.2 scalar-in-select: normalization by reductions through the
     // expression DSL ((q - mean)/std, agg-then-substitute) — rounded
     // (stddev accumulation order differs between engines).
@@ -226,6 +254,19 @@ object CoreLib {
     "q60_evaluate_partition" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
          l_quantity * 2.0 AS double_qty FROM lineitem""",
+    "q63_flatten" ->
+      """SELECT vec_id,
+         round(CAST(embedding[1] AS DOUBLE), 6) AS e0,
+         round(CAST(embedding[2] AS DOUBLE), 6) AS e1,
+         round(CAST(embedding[3] AS DOUBLE), 6) AS e2,
+         round(CAST(embedding[4] AS DOUBLE), 6) AS e3
+         FROM embeddings""",
+    "q64_take_end" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_orderkey DESC LIMIT 100""",
+    "q65_drop_isin" ->
+      """SELECT c_custkey, c_nationkey, c_mktsegment
+         FROM customer WHERE c_nationkey IN (1, 2, 3)""",
     "q62_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
          round(log10(l_extendedprice), 6) AS log_price,
