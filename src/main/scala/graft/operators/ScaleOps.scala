@@ -53,4 +53,17 @@ object ScaleOps {
       .withColumn("share", round(col("n") / total, 6))
       .orderBy(col("n").desc).limit(topN)
   }
+
+  /** Persist a fact table bucketed + sorted by its join key: two
+    * tables bucketed the same way join with NO exchange (the 100 TB
+    * fix for fact-fact joins like orders⋈lineitem — SCALE.md). Uses
+    * the session catalog; `path` keeps the data external.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -83,6 +83,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bucketed tables join without an exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    val orders = Tables(spark, sf001, "orders")
+    val lineitem = Tables(spark, sf001, "lineitem")
+    ScaleOps.writeBucketed(orders.select("o_orderkey", "o_totalprice"),
+      "b_orders", s"$wh/b_orders", "o_orderkey", 8)
+    ScaleOps.writeBucketed(lineitem.select($"l_orderkey".as("o_orderkey"), $"l_quantity"),
+      "b_lineitem", s"$wh/b_lineitem", "o_orderkey", 8)
+    // tiny test tables would be broadcast; disable so the plan shows
+    // the bucketed sort-merge path a 100 TB fact-fact join would use.
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(joined.count() == lineitem.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("skew profile surfaces the hot key") {
     val df = ((0 until 900).map(_ => "hot") ++ (0 until 100).map(i => s"k$i"))
       .toDF("k")
