@@ -105,6 +105,58 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstimate)
   }
 
+  /** Connected components over an undirected pair list (doc_a, doc_b)
+    * by min-label propagation: each node repeatedly adopts the
+    * smallest label among itself and its neighbors until fixpoint —
+    * O(component diameter) rounds, one join + one hash-agg shuffle per
+    * round. Near-dup components have tiny diameters (dup clusters are
+    * near-cliques), so this converges in 2-3 rounds in practice; for
+    * adversarial long-chain graphs the large-star/small-star variant
+    * (O(log n) rounds) is the drop-in upgrade.
+    * Output: (node, label) — label = min node id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+      .distinct().persist()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a").as("node")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
+        .persist()
+      changed = updated.filter(col("next") =!= col("label")).count()
+      val old = labels
+      labels = updated.select(col("node"), col("next").as("label")).persist()
+      old.unpersist(); updated.unpersist()
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-duplicate removal: MinHash+LSH candidates above
+    * `minEstimate` → connected components → keep the smallest id per
+    * component, drop the rest. The full pipeline is: map-side
+    * signatures, one bucket shuffle, a few component rounds over the
+    * (tiny) pair list, one anti-join back against the corpus.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                         minEstimate: Double = 0.7): DataFrame = {
+    val pairs = minhashCandidates(df, idCol, textCol, shingleN, k, bands, minEstimate)
+    val comps = connectedComponents(pairs, "doc_a", "doc_b")
+    val doomed = comps.filter(col("node") =!= col("label"))
+      .select(col("node").as(idCol))
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs: 64-bit signature map-side; candidates share
     * one of four 16-bit bands (single shuffle on (band, key)); verified
     * by Hamming distance ≤ maxHamming.

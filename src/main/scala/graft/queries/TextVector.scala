@@ -107,6 +107,15 @@ object TextVector {
         ceil(length(col("text").cast("binary")) / lit(64.0)).cast("long").as("n_chunks"))
     }),
 
+    // end-to-end near-dup removal: LSH candidates -> connected
+    // components -> keep min id per cluster (rows-only; spec verifies
+    // the survivor invariant against exact jaccard).
+    "q35_dedup_pipeline" -> ((s, dir) => {
+      Dedup.dropNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+        minEstimate = 0.5)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // multimodal decode pipeline: payload -> typed media_meta struct ->
     // per-partition decoder (stubbed, deterministic) -> scalar features.
     "q34_multimodal_decode" -> ((s, dir) => {

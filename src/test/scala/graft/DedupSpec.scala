@@ -50,6 +50,39 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"minhash recall $recall too low (found ${cand.size} candidates)")
   }
 
+  test("connectedComponents: min-label per component, chains converge") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(5L) == 5L && comps(6L) == 5L)
+    // 4-node chain: label must propagate end to end
+    assert(Seq(8L, 9L, 10L, 11L).forall(comps(_) == 8L))
+  }
+
+  test("dropNearDuplicates keeps one doc per near-dup cluster") {
+    val d = Tables(spark, sf001, "documents")
+    val kept = Dedup.dropNearDuplicates(d, "doc_id", "text", minEstimate = 0.5)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact near-dup pairs define the clusters we must have collapsed
+    val truth = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept.count() < d.count(), "nothing was deduplicated")
+    val collapsed = truth.count { case (a, b) => !(keptIds(a) && keptIds(b)) }
+    assert(collapsed.toDouble / truth.length >= 0.9,
+      s"only $collapsed/${truth.length} true near-dup pairs collapsed")
+    // exactly one survivor (the min id) per candidate component
+    val pairsDf = Dedup.minhashCandidates(d, "doc_id", "text", minEstimate = 0.5)
+    val comps = Dedup.connectedComponents(pairsDf, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    comps.groupBy(_._2).foreach { case (label, members) =>
+      val survivors = members.map(_._1).filter(keptIds)
+      assert(survivors.toSeq == Seq(label),
+        s"component $label survivors: ${survivors.mkString(",")}")
+    }
+  }
+
   test("simhashPairs finds planted near-dups on testdata") {
     val d = Tables(spark, sf001, "documents")
     val truth = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.9)
