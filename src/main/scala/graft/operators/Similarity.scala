@@ -162,6 +162,23 @@ object Similarity {
       .groupBy(col("label"), col("pos"))
       .agg(round(avg(col("v").cast("double")), 6).as("centroid_val"))
 
+  /** EXACT embedding-cosine near-duplicate pairs (all pairs ≥
+    * threshold): id-ordered self-join with the native cosine kernel.
+    * O(n²) — the verification/oracle baseline; use
+    * [[cosineNearDupPairs]] (LSH-bucketed, linear shuffle) at scale.
+    */
+  def cosineNearDupPairsExact(df: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double): DataFrame = {
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    val v = df.select(col(idCol).as("doc"), col(vecCol).as("v"))
+    val a = v.select(col("doc").as("doc_a"), col("v").as("va"))
+    val b = v.select(col("doc").as("doc_b"), col("v").as("vb"))
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .withColumn("cos", call_function("graft_cosine", col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * LSH-bucketed (same single-shuffle shape as Dedup.minhashCandidates).
     */

@@ -94,6 +94,19 @@ object TextVector {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
 
+    // exact embedding-cosine near-dup pairs (oracle baseline).
+    "q36_cosine_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDupPairsExact(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4)
+    }),
+
+    // LSH-bucketed cosine near-dup (the linear-shuffle scale path;
+    // rows-only — recall cross-checked in SimilaritySpec).
+    "q37_cosine_neardup_lsh" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.3)
+    }),
+
     // per-label embedding centroids (vector aggregation).
     "q31_label_centroids" -> ((s, dir) => {
       Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
@@ -179,6 +192,30 @@ object TextVector {
              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
            FROM scored)
          WHERE rank <= 5""",
+    "q36_cosine_neardup" ->
+      """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         round(
+           list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                            list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4""",
+    "q36_cosine_neardup" ->
+      """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         round(
+           list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                            list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4""",
     "q31_label_centroids" ->
       """SELECT label, CAST(t.i - 1 AS INTEGER) AS pos,
          round(avg(CAST(embedding[t.i] AS DOUBLE)), 6) AS centroid_val
