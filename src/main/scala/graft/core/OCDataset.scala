@@ -222,6 +222,14 @@ final case class OCDataset(
 
   def count(): Long = df.count()
 
+  /** Equi-width histogram of a column (reference users drop to numpy
+    * for this — SURVEY §2.4; first-class here): one hash-agg shuffle.
+    * Output: (bucket, n) with bucket = floor(value/width).
+    */
+  def histogram(name: String, width: Double): DataFrame =
+    df.groupBy(floor(col(name) / width).cast("long").as("bucket"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+
   /** Materialized-column cache (reference ColumnCache,
     * column/cache.py:59-405 — dissolves into Spark's block-level
     * persistence; child datasets share the cached ancestor plan).

@@ -42,6 +42,42 @@ object OCIO {
     hooks.foldLeft(ds)((d, h) => h(d))
   }
 
+  /** Multi-format write: parquet (default, columnar — the scale
+    * format), json, or csv (interchange formats; csv loses nested/
+    * array types). The header sidecar rides along in every format, so
+    * unit/cosmology metadata survives interchange.
+    */
+  def writeAs(ds: OCDataset, path: String, format: String,
+              sortColumn: Option[String] = None): Unit = {
+    val d = sortColumn.fold(ds.df)(c => ds.df.sortWithinPartitions(col(c)))
+    val w = d.write.mode("overwrite")
+    format match {
+      case "parquet" => w.parquet(s"$path/data.parquet")
+      case "json"    => w.json(s"$path/data.json")
+      case "csv"     => w.option("header", "true").csv(s"$path/data.csv")
+      case other     => throw new IllegalArgumentException(s"format $other")
+    }
+    Header.write(path, ds.header)
+  }
+
+  /** Open any [[writeAs]] output; csv re-applies a caller-provided
+    * schema (csv is stringly-typed on disk).
+    */
+  def openAs(spark: SparkSession, path: String, format: String,
+             csvSchema: Option[org.apache.spark.sql.types.StructType] = None): OCDataset = {
+    val header = Header.read(path)
+    val df = format match {
+      case "parquet" => spark.read.parquet(s"$path/data.parquet")
+      case "json"    => spark.read.json(s"$path/data.json")
+      case "csv" =>
+        val r = spark.read.option("header", "true")
+        csvSchema.fold(r.option("inferSchema", "true"))(r.schema)
+          .csv(s"$path/data.csv")
+      case other => throw new IllegalArgumentException(s"format $other")
+    }
+    OCDataset(df, header)
+  }
+
   /** Write a structure collection: parent at <path>/, children under
     * <path>/children/<name>/, each clustered by the link key so a
     * parent's child rows are row-group-local (the Spark analog of the

@@ -132,6 +132,26 @@ class CoreSpec extends SparkSpec {
     assert(flat.first().getFloat(2) == 2.0f)
   }
 
+  test("multi-format IO: json and csv roundtrip with sidecar") {
+    for (fmt <- Seq("json", "csv")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_$fmt").toString
+      graft.io.OCIO.writeAs(halos, dir, fmt)
+      val back = graft.io.OCIO.openAs(spark, dir, fmt,
+        csvSchema = if (fmt == "csv") Some(halos.df.schema) else None)
+      assert(back.count() == 4, s"$fmt roundtrip lost rows")
+      assert(back.header == halos.header, s"$fmt lost header")
+      val m = back.df.filter(col("halo_tag") === 1L).first()
+        .getAs[Double]("mass")
+      assert(math.abs(m - 1e13) < 1, s"$fmt mangled values")
+    }
+  }
+
+  test("histogram groups by equi-width bucket") {
+    val h = halos.histogram("x", 50.0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == Map(0L -> 2, 1L -> 2)) // x: 10,40 | 60,90
+  }
+
   test("rows() streams in sorted order") {
     val it = halos.sortBy("mass").rows()
     val tags = it.map(_.getLong(0)).toSeq
