@@ -222,6 +222,21 @@ final case class OCDataset(
 
   def count(): Long = df.count()
 
+  /** Scalar-select mode (reference select's exclusive reduction mode,
+    * dataset.py:614-708): evaluate named reductions into a one-row
+    * frame — one aggregation job for all of them.
+    */
+  def aggregate(aggs: (String, OCExpr)*): DataFrame = {
+    val cols = aggs.map { case (n, e) =>
+      e match {
+        case r: Reduce => r.aggColumn.as(n)
+        case other => throw new IllegalArgumentException(
+          s"aggregate needs reductions, got $other for $n")
+      }
+    }
+    df.agg(cols.head, cols.tail: _*)
+  }
+
   /** Equi-width histogram of a column (reference users drop to numpy
     * for this — SURVEY §2.4; first-class here): one hash-agg shuffle.
     * Output: (bucket, n) with bucket = floor(value/width).

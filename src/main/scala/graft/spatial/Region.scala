@@ -28,6 +28,12 @@ object Region {
     def classify(min: P3, max: P3): Rel
     /** exact predicate over coordinate columns. */
     def predicate(x: Column, y: Column, z: Column): Column
+    /** uniform length rescale — the region-to-base-convention
+      * conversion (reference region.py:334-353 into_base_convention):
+      * a region given in physical/comoving coordinates divides by the
+      * convention factor to query scalefree-stored data.
+      */
+    def scaled(f: Double): Region3D
   }
 
   /** 3-D axis-aligned box (reference BoxRegion). Half-open [min,max). */
@@ -55,6 +61,9 @@ object Region {
 
     def intersects(o: Box): Boolean = classify(o.min, o.max) != Disjoint
     def containsBox(o: Box): Boolean = classify(o.min, o.max) == Contained
+
+    def scaled(f: Double): Box =
+      Box(P3(min.x * f, min.y * f, min.z * f), P3(max.x * f, max.y * f, max.z * f))
   }
 
   /** 3-D sphere (the reference builds cones in 2-D; in 3-D the
@@ -84,6 +93,9 @@ object Region {
       val dx = x - center.x; val dy = y - center.y; val dz = z - center.z
       dx * dx + dy * dy + dz * dz <= lit(r * r)
     }
+
+    def scaled(f: Double): Sphere =
+      Sphere(P3(center.x * f, center.y * f, center.z * f), r * f)
   }
 
   private def sq(v: Double) = v * v

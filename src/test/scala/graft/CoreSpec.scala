@@ -146,6 +146,31 @@ class CoreSpec extends SparkSpec {
     }
   }
 
+  test("aggregate: scalar-select mode, one job for all reductions") {
+    val row = halos.aggregate(
+      "mean_mass" -> ocCol("mass").mean,
+      "max_x" -> ocCol("x").max,
+      "med_mass" -> ocCol("mass").median).first()
+    assert(math.abs(row.getAs[Double]("mean_mass") - (1e13 + 5e13 + 2e14 + 8e12) / 4) < 1)
+    assert(row.getAs[Double]("max_x") == 90.0)
+    intercept[IllegalArgumentException] { halos.aggregate("bad" -> ocCol("x")) }
+  }
+
+  test("region scaled(): physical-convention bound == scalefree bound") {
+    // data in scalefree Mpc/h; a physical-units region divides by the
+    // conversion factor to query the stored coordinates.
+    val f = (1.0 / 0.7) * 0.5 // scalefree -> physical factor (h=0.7, a=0.5)
+    val physRegion = graft.spatial.Region.Box(
+      graft.spatial.Region.P3(10 * f, 0 * f, 0 * f),
+      graft.spatial.Region.P3(70 * f, 100 * f, 100 * f))
+    val viaScaled = halos.bound(physRegion.scaled(1.0 / f), ("x", "y", "z"))
+    val direct = halos.bound(graft.spatial.Region.Box(
+      graft.spatial.Region.P3(10, 0, 0), graft.spatial.Region.P3(70, 100, 100)),
+      ("x", "y", "z"))
+    assert(viaScaled.collect().map(_.getLong(0)).toSet ==
+      direct.collect().map(_.getLong(0)).toSet)
+  }
+
   test("histogram groups by equi-width bucket") {
     val h = halos.histogram("x", 50.0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
