@@ -83,6 +83,22 @@ final case class HealpixMap(df: DataFrame, nside: Int,
     HealpixMap(out, newNside, pixelCol)
   }
 
+  /** Weighted resolution degrade: per-layer weighted mean using the
+    * typed [[graft.functions.WeightedMean]] Aggregator (partial+final
+    * like any built-in) — e.g. hit-count or pixel-area weights.
+    */
+  def withResolutionWeighted(newNside: Int, weightCol: String): HealpixMap = {
+    require(newNside <= nside && nside % newNside == 0,
+      s"can only degrade: $nside -> $newNside")
+    val levels = (math.log(nside.toDouble / newNside) / math.log(2)).round.toInt
+    val wm = org.apache.spark.sql.functions.udaf(graft.functions.WeightedMean)
+    val valueCols = df.columns.filter(c => c != pixelCol && c != weightCol)
+    val aggs = valueCols.map(c => wm(col(c), col(weightCol)).as(c))
+    val out = df.groupBy(shiftright(col(pixelCol), 2 * levels).as(pixelCol))
+      .agg(aggs.head, aggs.tail.toSeq: _*)
+    HealpixMap(out, newNside, pixelCol)
+  }
+
   /** Restrict to pixels inside a disc (cone) on the sky. */
   def query(center: graft.spatial.Region.SkyP, radiusDeg: Double): HealpixMap = {
     val pix = graft.spatial.Healpix.queryDisc(nside, center, radiusDeg)

@@ -178,4 +178,58 @@ object Region {
     def contains(p: SkyP): Boolean = true
     def predicate(ra: Column, dec: Column): Column = lit(true)
   }
+
+  /** Pairwise sky-region relations (reference relations.py:24-271 —
+    * every pair has contains/intersects). Curved-edge pairs
+    * (cone↔skybox) classify by corner/center sampling, the same
+    * boundary-conservative scheme the reference's healpix query uses.
+    */
+  object SkyRelations {
+    def corners(b: Skybox): Seq[SkyP] = Seq(
+      SkyP(b.raMin, b.decMin), SkyP(b.raMin, b.decMax),
+      SkyP(b.raMax % 360.0, b.decMin), SkyP(b.raMax % 360.0, b.decMax))
+
+    /** cone fully contains skybox: all corners + edge midpoints in. */
+    def coneContainsSkybox(c: Cone, b: Skybox): Boolean = {
+      val raMid = if (b.raMin <= b.raMax) (b.raMin + b.raMax) / 2
+        else ((b.raMin + b.raMax + 360.0) / 2) % 360.0
+      val samples = corners(b) ++ Seq(
+        SkyP(raMid, b.decMin), SkyP(raMid, b.decMax),
+        SkyP(b.raMin, (b.decMin + b.decMax) / 2),
+        SkyP(b.raMax % 360.0, (b.decMin + b.decMax) / 2))
+      samples.forall(c.contains)
+    }
+
+    /** skybox contains cone: center in box and box edges ≥ radius away
+      * (conservative via corner/edge sampling).
+      */
+    def skyboxContainsCone(b: Skybox, c: Cone): Boolean =
+      b.contains(c.center) &&
+        corners(b).forall(p => angSep(c.center, p) >= c.radius) &&
+        c.center.dec - c.radius >= b.decMin && c.center.dec + c.radius < b.decMax
+
+    /** cone/skybox overlap: either contains the other's anchor, or a
+      * sampled box boundary point lies in the cone.
+      */
+    def coneIntersectsSkybox(c: Cone, b: Skybox): Boolean = {
+      if (b.contains(c.center)) return true
+      val ras = if (b.raMin <= b.raMax)
+        (0 to 8).map(i => b.raMin + (b.raMax - b.raMin) * i / 8.0)
+      else (0 to 8).map(i => (b.raMin + ((b.raMax + 360.0 - b.raMin) * i / 8.0)) % 360.0)
+      val decs = (0 to 8).map(i => b.decMin + (b.decMax - b.decMin) * i / 8.0)
+      val boundary = ras.flatMap(r => Seq(SkyP(r, b.decMin), SkyP(r, b.decMax))) ++
+        decs.flatMap(d => Seq(SkyP(b.raMin, d), SkyP(b.raMax % 360.0, d)))
+      boundary.exists(c.contains)
+    }
+
+    def skyboxIntersectsSkybox(a: Skybox, b: Skybox): Boolean = {
+      def raOverlap: Boolean = {
+        def segs(x: Skybox) = if (x.raMin <= x.raMax) Seq((x.raMin, x.raMax))
+          else Seq((x.raMin, 360.0), (0.0, x.raMax))
+        segs(a).exists { case (a0, a1) =>
+          segs(b).exists { case (b0, b1) => a0 < b1 && b0 < a1 } }
+      }
+      raOverlap && a.decMin < b.decMax && b.decMin < a.decMax
+    }
+  }
 }

@@ -91,6 +91,15 @@ class CollectionsSpec extends SparkSpec {
     assert(v == 1.5) // avg(0,1,2,3)
   }
 
+  test("healpix weighted degrade uses the typed Aggregator") {
+    val df = Seq((0L, 10.0, 1.0), (1L, 20.0, 3.0), (2L, 0.0, 0.0), (3L, 40.0, 1.0))
+      .toDF("pixel", "tsz", "w")
+    val m = HealpixMap(df, nside = 2).withResolutionWeighted(1, "w")
+    val v = m.df.filter($"pixel" === 0L).first().getAs[Double]("tsz")
+    // weighted mean of (10,1),(20,3),(0,0),(40,1) = (10+60+0+40)/5 = 22
+    assert(math.abs(v - 22.0) < 1e-12)
+  }
+
   test("structure collection IO roundtrip with child clustering") {
     val dir = java.nio.file.Files.createTempDirectory("graft_struct").toString
     graft.io.OCIO.writeStructure(coll, dir)

@@ -115,6 +115,19 @@ class SpatialSpec extends SparkSpec {
     }
   }
 
+  test("sky pair relations: cone-skybox, skybox-skybox") {
+    import SkyRelations._
+    val cone = Cone(SkyP(100, 30), 30)
+    assert(coneContainsSkybox(cone, Skybox(95, 105, 25, 35)))
+    assert(!coneContainsSkybox(cone, Skybox(60, 140, -10, 70)))
+    assert(coneIntersectsSkybox(cone, Skybox(120, 140, 20, 40)))
+    assert(!coneIntersectsSkybox(cone, Skybox(200, 220, -40, -20)))
+    assert(skyboxContainsCone(Skybox(60, 140, 0, 60), Cone(SkyP(100, 30), 10)))
+    assert(!skyboxContainsCone(Skybox(95, 105, 25, 35), Cone(SkyP(100, 30), 10)))
+    assert(skyboxIntersectsSkybox(Skybox(350, 10, -5, 5), Skybox(5, 20, 0, 10))) // RA wrap
+    assert(!skyboxIntersectsSkybox(Skybox(350, 10, -5, 5), Skybox(20, 40, 0, 10)))
+  }
+
   test("healpix: pix2ang(ang2pix(p)) lands in the same pixel; total pixel count") {
     val nside = 8
     val rnd = new scala.util.Random(1)
