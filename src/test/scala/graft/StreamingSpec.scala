@@ -100,6 +100,31 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(last2.getDouble(2) - 102.0) < 1e-9)
   }
 
+  test("file-source pipeline: readStream parquet -> tumbling agg -> parquet sink") {
+    import graft.streaming.StreamingPipelines
+    val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val batch1 = evs.filter(_.event_id <= 3).toDF()
+    batch1.write.parquet(inDir)
+    val q = StreamingPipelines.tumblingToParquet(spark, inDir, batch1.schema,
+      outDir, ckpt, size = "1 hour", lateness = "10 minutes")
+    try {
+      q.processAllAvailable()
+      // a second file lands in the directory -> next micro-batch picks
+      // it up and its event time closes the hour-0/1 windows
+      evs.filter(_.event_id > 3).toDF()
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir)
+    // hour-0 window (events 0..2) was closed and emitted exactly once
+    val hour0 = out.filter(col("bucket_s") === ts("2024-01-01 00:00:00").getTime / 1000)
+    assert(hour0.count() >= 1, s"no closed hour-0 rows in ${out.collect().mkString(",")}")
+    val viewRow = hour0.filter(col("event_type") === "view").first()
+    assert(viewRow.getAs[Long]("n") == 2L)
+    assert(math.abs(viewRow.getAs[Double]("sum_value") - 12.5) < 1e-9)
+  }
+
   test("batch sessionization semantics: gap boundary starts new session") {
     val df = Seq(
       Ev(0L, ts("2024-01-01 00:00:00"), 7L, "a", 1.0, "{}"),
