@@ -23,7 +23,13 @@ final case class Header(
     unitConvention: String = Units.Scalefree.name,
     cosmology: Cosmology = Cosmology(),
     columnUnits: Map[String, String] = Map.empty,
-    columnDescriptions: Map[String, String] = Map.empty) {
+    columnDescriptions: Map[String, String] = Map.empty,
+    /** octree level of the stored `morton_key` column written by
+      * OCIO.writeSpatial (0 = no stored spatial index) — the sidecar
+      * record of the reference's persisted tree index
+      * (spatial/tree.py:272-282 apply_index).
+      */
+    spatialIndexLevel: Int = 0) {
 
   def convention: Convention = Convention.parse(unitConvention)
   def scaleFactor: Double = 1.0 / (1.0 + redshift)
@@ -42,7 +48,8 @@ final case class Header(
        |  "unit_convention": ${q(unitConvention)},
        |  "cosmology": {"h0": ${cosmology.h0}, "omega_m": ${cosmology.omegaM}, "omega_l": ${cosmology.omegaL}},
        |  "column_units": ${m(columnUnits)},
-       |  "column_descriptions": ${m(columnDescriptions)}
+       |  "column_descriptions": ${m(columnDescriptions)},
+       |  "spatial_index_level": $spatialIndexLevel
        |}""".stripMargin
   }
 }
@@ -73,7 +80,8 @@ object Header {
       cosmology = Cosmology(cos.path("h0").asDouble(70.0),
         cos.path("omega_m").asDouble(0.3), cos.path("omega_l").asDouble(0.7)),
       columnUnits = strMap("column_units"),
-      columnDescriptions = strMap("column_descriptions"))
+      columnDescriptions = strMap("column_descriptions"),
+      spatialIndexLevel = n.path("spatial_index_level").asInt(0))
   }
 
   def write(path: String, h: Header): Unit =

@@ -183,23 +183,57 @@ final case class OCDataset(
 
   /** Spatial bound: restrict to a 3-D region via the two-phase octree
     * plan (reference dataset.py:340-431; spatial/tree.py:249-271) —
-    * Morton-key IN-filter for contained cells, exact point check only
-    * on boundary cells. Region must be given in the CURRENT unit
-    * convention of this dataset (the reference converts the region
-    * into the file's base convention; callers here do the same via
-    * Units.convert on the region constants).
+    * Morton-key filter for contained cells, exact point check only on
+    * boundary cells. The region is given in the dataset's CURRENT unit
+    * convention and the octree domain auto-scales to match: the
+    * header's `boxSize` is stored in the base (scalefree) convention,
+    * so when the dataset has been converted (comoving/physical) and
+    * the coordinate columns carry a length unit, the domain is
+    * multiplied by the same conversion factor as the data. This is the
+    * transparent analog of the reference converting the query region
+    * into the file's base convention (region.py:334-353
+    * into_base_convention) — scaling the domain up is geometrically
+    * identical to scaling the region down, and keeps the exact
+    * predicate in the columns' own coordinates.
     *
     * `coords` are the x/y/z column names; the octree domain is the
-    * header's box [0, boxSize)³ unless overridden.
+    * header's box [0, boxSize)³ unless overridden (an explicit
+    * `domain` is taken as already being in the current convention).
+    *
+    * When the dataset carries a stored spatial index
+    * (OCIO.writeSpatial: a persisted `morton_key` column +
+    * `spatialIndexLevel` in the header), the filter runs against the
+    * STORED column at its own level — no per-row key recompute, and
+    * because the data is key-clustered on disk the contained-cell
+    * ranges prune parquet row groups at the scan. The stored key was
+    * built in the base convention, so if the dataset has since been
+    * unit-converted the region is scaled back to base for cell
+    * classification while the exact check stays in current
+    * coordinates.
     */
   def bound(region: graft.spatial.Region.Region3D,
             coords: (String, String, String) = ("x", "y", "z"),
             level: Int = 4,
             domain: Option[(Double, Double)] = None): OCDataset = {
-    val (origin, size) = domain.getOrElse((0.0, if (header.boxSize > 0) header.boxSize else 1.0))
     val (cx, cy, cz) = coords
-    graft.spatial.Octree.boundFilter(region, origin, size, level,
-      col(cx), col(cy), col(cz)) match {
+    val baseBox = if (header.boxSize > 0) header.boxSize else 1.0
+    val f = Units.conversionFactor(unitOf(cx), Units.Scalefree,
+      header.convention, header.cosmology, header.scaleFactor)
+    val stored = header.spatialIndexLevel > 0 &&
+      columns.contains("morton_key") && domain.isEmpty
+    val filterOpt =
+      if (stored) {
+        val keyRegion = if (f == 1.0) region else region.scaled(1.0 / f)
+        graft.spatial.Octree.boundFilter(region, 0.0, baseBox, level,
+          col(cx), col(cy), col(cz),
+          storedKey = Some((col("morton_key"), header.spatialIndexLevel)),
+          keyRegion = Some(keyRegion))
+      } else {
+        val (origin, size) = domain.getOrElse((0.0, baseBox * f))
+        graft.spatial.Octree.boundFilter(region, origin, size, level,
+          col(cx), col(cy), col(cz))
+      }
+    filterOpt match {
       case None       => copy(df = df.limit(0)) // disjoint — empty short-circuit
       case Some(pred) => copy(df = df.filter(pred))
     }

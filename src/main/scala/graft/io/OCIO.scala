@@ -42,6 +42,43 @@ object OCIO {
     hooks.foldLeft(ds)((d, h) => h(d))
   }
 
+  /** Spatially-indexed write (reference spatial/tree.py:272-282
+    * `apply_index` + write-order preservation handler.py:330-350):
+    * adds a persisted `morton_key` column (native codegen'd
+    * expression) at `level`, RANGE-partitions + sorts by it so files
+    * and row groups carry disjoint key intervals, and records the
+    * level in the header sidecar. `bound` on re-read then filters the
+    * stored column with key ranges — no per-row key recompute, and
+    * parquet min/max stats prune whole row groups / files for
+    * contained cells (the Spark analog of the reference's contiguous
+    * index ranges).
+    *
+    * The key is computed in the dataset's CURRENT convention over the
+    * header box — write base-convention (scalefree) data, which is
+    * also what the reference's files store.
+    */
+  def writeSpatial(ds: OCDataset, path: String,
+                   coords: (String, String, String) = ("x", "y", "z"),
+                   level: Int = 4,
+                   numPartitions: Option[Int] = None): Unit = {
+    require(!ds.columns.contains("morton_key"),
+      "dataset already has a morton_key column")
+    graft.plans.GraftExtensions.registerAll(ds.df.sparkSession)
+    val (cx, cy, cz) = coords
+    val size = if (ds.header.boxSize > 0) ds.header.boxSize else 1.0
+    val keyed = ds.df.withColumn("morton_key",
+      graft.spatial.Morton.keyColumnNative(col(cx), col(cy), col(cz), 0.0, size, level))
+    // explicit numPartitions pins the file count (AQE otherwise
+    // right-sizes the range shuffle — correct at scale, where each
+    // ~128 MB file then holds several key-sorted row groups)
+    val ranged = numPartitions
+      .fold(keyed.repartitionByRange(col("morton_key")))(
+        n => keyed.repartitionByRange(n, col("morton_key")))
+    ranged.sortWithinPartitions(col("morton_key"))
+      .write.mode("overwrite").parquet(s"$path/data.parquet")
+    Header.write(path, ds.header.copy(spatialIndexLevel = level))
+  }
+
   /** Multi-format write: parquet (default, columnar — the scale
     * format), json, or csv (interchange formats; csv loses nested/
     * array types). The header sidecar rides along in every format, so
@@ -157,11 +194,21 @@ object OCIO {
     flatten(df, widths).write.mode("overwrite").parquet(path)
 
   def flatten(df: DataFrame, widths: Map[String, Int] = Map.empty): DataFrame = {
+    // unknown widths are probed in ONE driver action for all array
+    // columns together (a per-column first() would launch one job each)
+    val unknown = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] && !widths.contains(f.name) => f.name
+    }
+    val probed: Map[String, Int] =
+      if (unknown.isEmpty) Map.empty
+      else {
+        val row = df.select(unknown.map(n => size(col(n)).as(n)).toSeq: _*).first()
+        unknown.zipWithIndex.map { case (n, i) => n -> row.getInt(i) }.toMap
+      }
     val cols = df.schema.fields.flatMap { f =>
       f.dataType match {
         case _: ArrayType =>
-          val w = widths.getOrElse(f.name,
-            df.select(size(col(f.name))).first().getInt(0))
+          val w = widths.getOrElse(f.name, probed(f.name))
           (0 until w).map(i => col(f.name).getItem(i).as(s"${f.name}_$i"))
         case _ => Seq(col(f.name))
       }

@@ -110,33 +110,54 @@ object Dedup {
     * smallest label among itself and its neighbors until fixpoint —
     * O(component diameter) rounds, one join + one hash-agg shuffle per
     * round. Near-dup components have tiny diameters (dup clusters are
-    * near-cliques), so this converges in 2-3 rounds in practice; for
-    * adversarial long-chain graphs the large-star/small-star variant
-    * (O(log n) rounds) is the drop-in upgrade.
+    * near-cliques), so 2-3 rounds suffice in practice; for adversarial
+    * long-chain graphs the large-star/small-star variant (O(log n)
+    * rounds) is the drop-in upgrade.
+    *
+    * Driver sync is BATCHED: `checkEvery` propagation rounds run as one
+    * pipelined job before each convergence check, and the check itself
+    * is a cheap scalar — labels only ever decrease, so the label sum
+    * (exact, as decimal) is stationary iff the labels are. This cuts
+    * the blocking actions from one-per-round to one-per-batch, which at
+    * cluster scale is the difference between N and N/3 job launches on
+    * the critical path.
     * Output: (node, label) — label = min node id of the component.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+                          maxIters: Int = 20, checkEvery: Int = 2): DataFrame = {
+    val sym = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
-      .distinct().persist()
+      .distinct()
+    // self-loops fold "keep own label" into the same neighbor-min agg,
+    // so each round consumes the previous labels frame exactly ONCE —
+    // a linear plan chain that can pipeline `checkEvery` rounds in one
+    // job without exponential recompute of unmaterialized rounds
+    val edges = sym
+      .union(sym.select(col("a")).distinct().select(col("a"), col("a").as("b")))
+      .persist()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).persist()
-    var changed = 1L
+
+    def propagate(l: DataFrame): DataFrame =
+      edges.join(l.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a").as("node")).agg(min(col("label")).as("label"))
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)
+
+    var prevSum: java.math.BigDecimal = null
+    var done = false
     var i = 0
-    while (changed > 0 && i < maxIters) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
-        .groupBy(col("a").as("node")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
-        .persist()
-      changed = updated.filter(col("next") =!= col("label")).count()
-      val old = labels
-      labels = updated.select(col("node"), col("next").as("label")).persist()
-      old.unpersist(); updated.unpersist()
-      i += 1
+    while (!done && i < maxIters) {
+      var next = labels
+      var j = 0
+      while (j < checkEvery && i < maxIters) { next = propagate(next); j += 1; i += 1 }
+      next.persist()
+      val s = labelSum(next) // the ONE action per batch
+      labels.unpersist()
+      labels = next
+      if (prevSum != null && s.compareTo(prevSum) == 0) done = true
+      prevSum = s
     }
     labels
   }

@@ -37,19 +37,23 @@ object Evaluate {
     ds.copy(df = ds.df.sparkSession.createDataFrame(rdd, outSchema))
   }
 
-  /** Append columns computed per partition — `f` sees the whole
-    * partition iterator (vectorize/batched strategies; batch size =
-    * Spark partition size, tuned via maxPartitionBytes not an API
-    * knob).
+  /** Append columns computed over bounded row batches — the vectorize/
+    * batched strategies. `f` sees one batch at a time (so per-batch
+    * setup amortizes like a numpy whole-column kernel) and the operator
+    * never materializes more than `batchSize` rows per task: at 100 TB
+    * a partition is hundreds of MB of `Row`s, so buffering the whole
+    * partition (the naive `it.toVector`) is an OOM, not a strategy.
     */
   def perPartition(ds: OCDataset, outFields: Seq[StructField],
-                   f: Iterator[Row] => Iterator[Seq[Any]]): OCDataset = {
+                   f: Iterator[Row] => Iterator[Seq[Any]],
+                   batchSize: Int = 4096): OCDataset = {
     val inSchema = ds.df.schema
     val outSchema = StructType(inSchema.fields ++ outFields)
     val rdd = ds.df.rdd.mapPartitions { it =>
-      val rows = it.toVector
-      rows.iterator.zip(f(rows.iterator)).map { case (r, extra) =>
-        Row.fromSeq(r.toSeq ++ extra)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.zip(f(batch.iterator)).map { case (r, extra) =>
+          Row.fromSeq(r.toSeq ++ extra)
+        }
       }
     }
     ds.copy(df = ds.df.sparkSession.createDataFrame(rdd, outSchema))

@@ -74,22 +74,44 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
-  /** IVF-Flat ANN: coarse quantizer (k-means, `iters` Lloyd steps)
-    * partitions the corpus into `nlist` cells; a query probes its
-    * `nprobe` nearest cells and exact-reranks inside.
-    *
-    * Scale shape: centroids (nlist×dim doubles) live on the DRIVER
-    * between steps and enter the plan as an array literal, so cell
-    * assignment is a pure MAP-SIDE argmin — no crossJoin, no window,
-    * no shuffle of the corpus, ever. Each Lloyd step costs exactly one
-    * hash-agg shuffle of (cell, pos, partial-sums); probing joins the
-    * (small, broadcast) query probes against corpus cells. At 100 TB
-    * the corpus is additionally written `partitionBy(cell)` so probes
-    * prune partitions at the source.
+  /** A built IVF-Flat index: the corpus with its cell assignment
+    * (persisted — build once, probe many) plus the coarse-quantizer
+    * centroids, which live on the DRIVER and enter probe plans as an
+    * array literal. Centroid argmin is therefore a pure MAP-SIDE
+    * expression — no crossJoin, no shuffle of the corpus, ever.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-              iters: Int = 2): DataFrame = {
+  final case class IvfIndex(cells: DataFrame, centroids: Array[Array[Double]]) {
+    def nlist: Int = centroids.length
+    /** squared-L2 distance of a vector column to every centroid. */
+    private[operators] def dists(v: Column): Column = {
+      val centLit = array(centroids.map(ct => array(ct.map(lit): _*)): _*)
+      transform(centLit, ct =>
+        aggregate(zip_with(v, ct, (x, y) => {
+          val d = x.cast("double") - y
+          d * d
+        }), lit(0.0), (acc, x) => acc + x))
+    }
+    private[operators] def cellOf(v: Column): Column = {
+      val ds = dists(v)
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    }
+    def unpersist(): Unit = { cells.unpersist(); () }
+  }
+
+  /** Build the IVF coarse quantizer (k-means, `iters` Lloyd steps) and
+    * assign every corpus row to its cell. Each Lloyd step costs exactly
+    * one hash-agg shuffle of (cell, pos, partial-sums); the result's
+    * `cells` frame is persisted so repeated probes never re-run the
+    * build — the index is a separable, reusable artifact (write it
+    * `partitionBy("cell")` via [[writeIvfIndex]] and probes prune
+    * partitions at the source).
+    *
+    * `nlist` stays driver-sized (centroids are an O(nlist×dim) plan
+    * literal): thousands of cells are fine, 65k×1024 is not — shard the
+    * corpus first at that scale.
+    */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int = 16, iters: Int = 2): IvfIndex = {
     graft.plans.GraftExtensions.registerAll(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
 
@@ -100,22 +122,10 @@ object Similarity {
       .select(col("cv")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
-    def centLit: Column =
-      array(cents.map(ct => array(ct.map(lit): _*)): _*)
-    // squared L2 to each centroid; argmin index = the cell id.
-    def dists(v: Column): Column = transform(centLit, ct =>
-      aggregate(zip_with(v, ct, (x, y) => {
-        val d = x.cast("double") - y
-        d * d
-      }), lit(0.0), (acc, x) => acc + x))
-    def cellOf(v: Column): Column = {
-      val ds = dists(v)
-      (array_position(ds, array_min(ds)) - 1).cast("int")
-    }
-
     for (_ <- 0 until iters) {
+      val idx = IvfIndex(c, cents)
       // one shuffle per step: (cell, pos) partial sums -> new means
-      val sums = c.withColumn("cell", cellOf(col("cv")))
+      val sums = c.withColumn("cell", idx.cellOf(col("cv")))
         .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
@@ -134,15 +144,26 @@ object Similarity {
       }.toArray
     }
 
-    val corpusCells = c.withColumn("cell", cellOf(col("cv")))
-    // query probes: nprobe nearest cells via sorted (dist, cell) pairs
+    val assigned = c.withColumn("cell", IvfIndex(c, cents).cellOf(col("cv"))).persist()
+    IvfIndex(assigned, cents)
+  }
+
+  /** Probe a built IVF index: each query ranks the `nprobe` nearest
+    * cells (map-side, from the centroid literal), then exact cosine
+    * re-ranks inside those cells only. The probe list is broadcast, so
+    * the corpus-side scan is shuffle-free.
+    */
+  def ivfProbe(index: IvfIndex, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    graft.plans.GraftExtensions.registerAll(queries.sparkSession)
+    val nlist = index.nlist
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val probes = q.withColumn("__d", dists(col("qv")))
+    val probes = q.withColumn("__d", index.dists(col("qv")))
       .withColumn("probe", explode(slice(array_sort(
         zip_with(col("__d"), sequence(lit(0), lit(nlist - 1)),
           (d, i) => struct(d.as("d"), i.as("cell")))), 1, nprobe)))
       .select(col("query_id"), col("qv"), col("probe.cell").as("cell"))
-    val scored = corpusCells.join(broadcast(probes), "cell")
+    val scored = index.cells.join(broadcast(probes), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", call_function("graft_cosine", col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
@@ -152,6 +173,38 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cos"), 6).as("cosine"))
   }
+
+  /** Persist an IVF index: cells `partitionBy("cell")` (probe-time
+    * partition pruning at the storage layer) + centroids sidecar.
+    */
+  def writeIvfIndex(index: IvfIndex, path: String): Unit = {
+    index.cells.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells.parquet")
+    val json = index.centroids.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_centroids.json"), json)
+  }
+
+  def openIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path, "_centroids.json")))
+    val cents = (0 until node.size()).map { i =>
+      val row = node.get(i)
+      (0 until row.size()).map(j => row.get(j).asDouble()).toArray
+    }.toArray
+    IvfIndex(spark.read.parquet(s"$path/cells.parquet"), cents)
+  }
+
+  /** One-shot convenience: build + probe. Query-time use should build
+    * once ([[buildIvfIndex]]) and probe many times.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              iters: Int = 2): DataFrame =
+    ivfProbe(buildIvfIndex(corpus, idCol, vecCol, nlist, iters),
+      queries, idCol, vecCol, k, nprobe)
 
   /** Per-label centroids: explode to (label, pos, value), average per
     * dimension — a single hash-agg shuffle, linear in rows×dim.

@@ -147,6 +147,22 @@ object Units {
   private def powc(c: Column, p: Int): Column =
     if (p == 0) lit(1.0) else pow(c, lit(p.toDouble))
 
+  /** Scalar form of [[convert]]: the multiplicative factor taking a
+    * value of `unit` from convention `from` to `to` at scale factor
+    * `a`. Used where geometry lives on the driver (octree domains,
+    * region scaling) rather than in a column expression.
+    */
+  def conversionFactor(unit: UnitSpec, from: Convention, to: Convention,
+                       cosmo: Cosmology, a: Double): Double = {
+    if (from == to || unit.dex) return 1.0
+    def factor(conv: Convention): Double = conv match {
+      case Scalefree | Unitless => 1.0
+      case Comoving  => math.pow(cosmo.littleh, unit.h)
+      case Physical  => math.pow(cosmo.littleh, unit.h) * math.pow(a, unit.lengthPow)
+    }
+    factor(to) / factor(from)
+  }
+
   /** Scale factor a = 1/(1+z). */
   def scaleFactorOf(redshift: Double): Column = lit(1.0 / (1.0 + redshift))
   def scaleFactorOf(redshiftCol: Column): Column = lit(1.0) / (lit(1.0) + redshiftCol)

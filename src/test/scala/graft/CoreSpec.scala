@@ -196,4 +196,28 @@ class CoreSpec extends SparkSpec {
       rows => rows.zipWithIndex.map { case (_, i) => Seq(i) })
     assert(v.count() == 4)
   }
+
+  test("perPartition streams bounded batches, never the whole partition") {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
+    // one partition of 10k rows, batch size 100: the function must see
+    // ≤100 rows per invocation (constant memory at any partition size)
+    val df = spark.range(10000).toDF("id").coalesce(1)
+    val ds = OCDataset(df)
+    val out = graft.operators.Evaluate.perPartition(ds,
+      Seq(StructField("batch_n", IntegerType)),
+      rows => {
+        val batch = rows.toVector // safe: bounded by batchSize
+        batch.iterator.map(_ => Seq(batch.size))
+      },
+      batchSize = 100)
+    val sizes = out.df.select("batch_n").collect().map(_.getInt(0))
+    assert(sizes.length == 10000)
+    assert(sizes.max <= 100, s"batch leaked: max ${sizes.max}")
+    // values still line up row-by-row
+    val doubled = graft.operators.Evaluate.perPartition(ds,
+      Seq(StructField("id2", LongType)),
+      rows => rows.map(r => Seq(r.getAs[Long]("id") * 2)),
+      batchSize = 100)
+    assert(doubled.df.filter($"id2" =!= $"id" * 2).count() == 0)
+  }
 }

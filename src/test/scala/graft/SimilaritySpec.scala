@@ -71,4 +71,26 @@ class SimilaritySpec extends SparkSpec {
     val nLabels = e.select("label").distinct().count()
     assert(c.count() == nLabels * 64)
   }
+
+  test("IVF index builds once, probes many query sets, survives IO roundtrip") {
+    val e = Tables(spark, sf001, "embeddings")
+    val idx = Similarity.buildIvfIndex(e, "vec_id", "embedding", nlist = 8, iters = 2)
+    // two independent probe sets against the SAME built index
+    val r1 = Similarity.ivfProbe(idx, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", 5)
+    val r2 = Similarity.ivfProbe(idx, e.filter(col("vec_id").between(10, 14)),
+      "vec_id", "embedding", 5)
+    assert(r1.count() == 25 && r2.count() == 25)
+    // persisted index round-trip: probing the reopened index is identical
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.writeIvfIndex(idx, dir)
+    val reopened = Similarity.openIvfIndex(spark, dir)
+    assert(reopened.nlist == idx.nlist)
+    val again = Similarity.ivfProbe(reopened, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", 5)
+    val k1 = r1.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val k2 = again.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(k1 == k2)
+    idx.unpersist()
+  }
 }

@@ -86,8 +86,20 @@ class SpatialSpec extends SparkSpec {
 
   test("octree contained cells skip the exact predicate (plan shape)") {
     val plan = Octree.classifyCells(Box(P3(0, 0, 0), P3(50, 50, 50)), 0.0, 100.0, 3)
-    // exactly the lower octant: 4^3=64 cells at level 3, all contained
-    assert(plan.contained.size == 64 && plan.boundary.isEmpty)
+    // exactly the lower octant: 4^3=64 leaves at level 3, but carried
+    // as ONE merged prefix range — O(surface) plan size, not O(volume)
+    assert(plan.contained == Seq((0L, 64L)) && plan.boundary.isEmpty)
+  }
+
+  test("octree range plan stays tiny at deep levels (no leaf enumeration)") {
+    // at level 10 the lower octant has 8^9 ≈ 1.3e8 leaves; the range
+    // plan must still be a single interval
+    val plan = Octree.classifyCells(Box(P3(0, 0, 0), P3(50, 50, 50)), 0.0, 100.0, 10)
+    assert(plan.contained == Seq((0L, 1L << 27)) && plan.boundary.isEmpty)
+    // a generic box: plan size bounded by its cell surface, not volume
+    val p2 = Octree.classifyCells(Box(P3(10, 20, 30), P3(45, 55, 55)), 0.0, 100.0, 8)
+    assert(p2.contained.size + p2.boundary.size < 200000)
+    assert(p2.contained.nonEmpty && p2.boundary.nonEmpty)
   }
 
   test("sky regions: cone/skybox membership and relations") {
@@ -167,5 +179,81 @@ class SpatialSpec extends SparkSpec {
         assert(disc.contains(Healpix.ang2pixNest(8, ra, dec)),
           s"point ($ra,$dec) in disc but pixel not returned")
     }
+  }
+
+  test("writeSpatial stored index: bound matches brute force and prunes row groups") {
+    import graft.core.{Header, OCDataset}
+    val dir = java.nio.file.Files.createTempDirectory("graft_spatial").toString
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 20000).map(i =>
+      (i.toLong, rnd.nextDouble * 100, rnd.nextDouble * 100, rnd.nextDouble * 100))
+      .toDF("id", "x", "y", "z")
+    graft.io.OCIO.writeSpatial(OCDataset(pts, Header(boxSize = 100.0)), dir,
+      level = 6, numPartitions = Some(8))
+    val re = graft.io.OCIO.open(spark, dir)
+    assert(re.header.spatialIndexLevel == 6 && re.columns.contains("morton_key"))
+
+    val region = Box(P3(10, 20, 30), P3(45, 55, 55))
+    val got = re.bound(region).df.select("id").collect().map(_.getLong(0)).toSet
+    val want = pts.filter(region.predicate($"x", $"y", $"z"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+
+    // the stored-key plan pushes morton_key ranges to the scan...
+    val q = re.bound(Box(P3(0, 0, 0), P3(12, 12, 12))).df
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("morton_key"), s"stored key unused:\n$planStr")
+    q.collect()
+    // ...and row-group stats prune: the scan emits a fraction of the table
+    val scans = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val scanned = scans.head.metrics("numOutputRows").value
+    assert(scanned < 20000 / 2,
+      s"no storage pruning: scan emitted $scanned of 20000 rows")
+  }
+
+  test("bound auto-scales with the unit convention (physical == scalefree rows)") {
+    import graft.core.{Header, OCDataset}
+    import graft.units.Units.{Cosmology, Physical}
+    val rnd = new scala.util.Random(9)
+    val pts = (0 until 5000).map(i =>
+      (i.toLong, rnd.nextDouble * 100, rnd.nextDouble * 100, rnd.nextDouble * 100))
+      .toDF("id", "x", "y", "z")
+    val base = OCDataset(pts, Header(boxSize = 100.0, redshift = 1.0,
+      cosmology = Cosmology(h0 = 70.0),
+      columnUnits = Map("x" -> "Mpc/h", "y" -> "Mpc/h", "z" -> "Mpc/h")))
+    val f = (1.0 / 0.7) * 0.5 // h divided out, ×a at z=1
+    val regionBase = Box(P3(10, 20, 30), P3(45, 55, 55))
+    val want = base.bound(regionBase).df.select("id")
+      .collect().map(_.getLong(0)).toSet
+    // a physical-convention user queries with a physical-space box and
+    // gets the same objects — no manual .scaled bookkeeping
+    val got = base.withUnits(Physical).bound(regionBase.scaled(f)).df
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("stored index survives a unit conversion (key region rescaled to base)") {
+    import graft.core.{Header, OCDataset}
+    import graft.units.Units.{Cosmology, Physical}
+    val dir = java.nio.file.Files.createTempDirectory("graft_spatial_conv").toString
+    val rnd = new scala.util.Random(13)
+    val pts = (0 until 5000).map(i =>
+      (i.toLong, rnd.nextDouble * 100, rnd.nextDouble * 100, rnd.nextDouble * 100))
+      .toDF("id", "x", "y", "z")
+    val base = OCDataset(pts, Header(boxSize = 100.0, redshift = 1.0,
+      cosmology = Cosmology(h0 = 70.0),
+      columnUnits = Map("x" -> "Mpc/h", "y" -> "Mpc/h", "z" -> "Mpc/h")))
+    graft.io.OCIO.writeSpatial(base, dir, level = 5)
+    val re = graft.io.OCIO.open(spark, dir)
+    val f = (1.0 / 0.7) * 0.5
+    val regionBase = Box(P3(10, 20, 30), P3(45, 55, 55))
+    val want = re.bound(regionBase).df.select("id")
+      .collect().map(_.getLong(0)).toSet
+    val got = re.withUnits(Physical).bound(regionBase.scaled(f)).df
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
   }
 }
