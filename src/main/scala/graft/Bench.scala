@@ -16,13 +16,22 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // Offline index build (ANN indexes are persistent artifacts built
-    // once, probed many times) — q33 then measures the probe path.
+    // once, probed many times): writes the index to DISK; q33 reopens
+    // it cold, so the measured probe pays the real partition-pruned
+    // scan — nothing is pre-cached in memory.
     try graft.queries.TextVector.ivfIndexFor(spark, sfDir)
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] IVF warmup failed: $e") }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // isolation: no query inherits another's (or leaks its own)
+      // cached blocks — each timing stands alone
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -29,7 +29,13 @@ final case class Header(
       * record of the reference's persisted tree index
       * (spatial/tree.py:272-282 apply_index).
       */
-    spatialIndexLevel: Int = 0) {
+    spatialIndexLevel: Int = 0,
+    /** coordinate columns the stored index was built over — bound()
+      * only takes the stored-key fast path when its `coords` match,
+      * otherwise a query over different columns would silently reuse
+      * a key derived from the wrong coordinates.
+      */
+    spatialIndexCoords: Seq[String] = Nil) {
 
   def convention: Convention = Convention.parse(unitConvention)
   def scaleFactor: Double = 1.0 / (1.0 + redshift)
@@ -49,7 +55,8 @@ final case class Header(
        |  "cosmology": {"h0": ${cosmology.h0}, "omega_m": ${cosmology.omegaM}, "omega_l": ${cosmology.omegaL}},
        |  "column_units": ${m(columnUnits)},
        |  "column_descriptions": ${m(columnDescriptions)},
-       |  "spatial_index_level": $spatialIndexLevel
+       |  "spatial_index_level": $spatialIndexLevel,
+       |  "spatial_index_coords": ${spatialIndexCoords.map(q).mkString("[", ", ", "]")}
        |}""".stripMargin
   }
 }
@@ -81,7 +88,12 @@ object Header {
         cos.path("omega_m").asDouble(0.3), cos.path("omega_l").asDouble(0.7)),
       columnUnits = strMap("column_units"),
       columnDescriptions = strMap("column_descriptions"),
-      spatialIndexLevel = n.path("spatial_index_level").asInt(0))
+      spatialIndexLevel = n.path("spatial_index_level").asInt(0),
+      spatialIndexCoords = {
+        val node = n.path("spatial_index_coords")
+        if (node.isMissingNode || !node.isArray) Nil
+        else (0 until node.size()).map(node.get(_).asText())
+      })
   }
 
   def write(path: String, h: Header): Unit =

@@ -94,7 +94,7 @@ object Dedup {
         col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
-    pairs
+    val scored = pairs
       .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("n_match", aggregate(
@@ -103,6 +103,17 @@ object Dedup {
       .withColumn("est_jaccard", round(col("n_match").cast("double") / lit(k.toDouble), 6))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       .filter(col("est_jaccard") >= minEstimate)
+    // Materialize the (small — dup pairs only) candidate list and
+    // RELEASE the signature cache: the output is self-contained
+    // (lineage-truncated), so the big per-doc signature frame never
+    // outlives the operator. localCheckpoint blocks are context-cleaned
+    // on GC, unlike persist entries which pin the cache manager forever
+    // — across a 56-query session un-released persists were the
+    // difference between a 15 s and a 52 s dedup pipeline (round-2
+    // bench regression: accumulated cache pressure).
+    val out = scored.localCheckpoint(true)
+    sigs.unpersist()
+    out
   }
 
   /** Connected components over an undirected pair list (doc_a, doc_b)
@@ -159,7 +170,12 @@ object Dedup {
       if (prevSum != null && s.compareTo(prevSum) == 0) done = true
       prevSum = s
     }
-    labels
+    // Hand back a self-contained (node,label) frame and release every
+    // iteration cache — nothing from the loop outlives the call.
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    edges.unpersist()
+    out
   }
 
   /** End-to-end near-duplicate removal: MinHash+LSH candidates above

@@ -18,16 +18,26 @@ object TextVector {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
-  /** IVF index for a data dir, built once and reused — the offline-
-    * build / online-probe split (an ANN index is a persistent artifact,
-    * not a per-query computation). Bench warms this up explicitly so
-    * q33 measures the probe, which is the recurring cost.
+  /** IVF index for a data dir — the offline-build / online-probe split
+    * (an ANN index is a persistent artifact, not a per-query
+    * computation). The build is written to DISK (cells
+    * `partitionBy(cell)` + centroid sidecar) and reopened COLD: probes
+    * measured against it pay the real recurring cost — a
+    * partition-pruned parquet scan — not reads from an in-memory cache.
+    * Cache key includes the session identity: a cached index holds
+    * DataFrames bound to one SparkSession and must not leak into a
+    * restarted session (its plans would reference dead state).
     */
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Similarity.IvfIndex]
   def ivfIndexFor(s: SparkSession, dir: String): Similarity.IvfIndex =
-    ivfCache.getOrElseUpdate(dir,
-      Similarity.buildIvfIndex(t(s, dir, "embeddings"), "vec_id", "embedding"))
+    ivfCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+      val built = Similarity.buildIvfIndex(t(s, dir, "embeddings"), "vec_id", "embedding")
+      Similarity.writeIvfIndex(built, tmp)
+      built.unpersist() // drop the build-time cache; probes read from disk
+      Similarity.openIvfIndex(s, tmp)
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting (whitespace tokenizer, codegen'd).
