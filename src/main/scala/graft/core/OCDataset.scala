@@ -179,6 +179,54 @@ final case class OCDataset(
       header = header.copy(unitConvention = convention.name))
   }
 
+  /** Per-column unit conversions (reference with_units
+    * `conversions=`/`column_conversions=`, dataset.py:1020-1102,
+    * units/handler.py:64-266): `conversions` rewrites every column
+    * whose unit matches a key (ignoring littleh bookkeeping — `"Mpc"
+    * -> "kpc"` converts Mpc and Mpc/h columns alike);
+    * `columnConversions` targets named columns and wins on overlap.
+    * Composes with convention switches — call [[withUnits]] first for
+    * both. Pure plan rewrite: one multiply per converted column
+    * (additive log10 shift for dex columns), so the whole thing stays
+    * inside whole-stage codegen; the header's unit table is updated so
+    * downstream unit inference sees the new units.
+    */
+  def withUnitConversions(conversions: Map[String, String] = Map.empty,
+                          columnConversions: Map[String, String] = Map.empty): OCDataset = {
+    val unknown = columnConversions.keySet.diff(columns.toSet)
+    require(unknown.isEmpty, s"no such columns: ${unknown.mkString(", ")}")
+    val convSpecs = conversions.map { case (k, v) => Units.parse(k) -> Units.parse(v) }
+    val changes: Seq[(String, UnitSpec, UnitSpec)] = columns.flatMap { c =>
+      val u = unitOf(c)
+      columnConversions.get(c).map { t =>
+        // a target with no explicit h keeps the column's h bookkeeping
+        val parsed = Units.parse(t)
+        (c, u, if (parsed.h == 0) Units.withHOf(parsed, u) else parsed)
+      }.orElse {
+        convSpecs.collectFirst {
+          case (k, t) if Units.matchesIgnoringH(u, k) => (c, u, Units.withHOf(t, u))
+        }
+      }
+    }
+    if (changes.isEmpty) return this
+    val byName = changes.map(ch => ch._1 -> ch).toMap
+    val outCols = columns.map { c =>
+      byName.get(c) match {
+        case None => col(c)
+        case Some((_, from, to)) =>
+          if (from.dex || to.dex) {
+            require(from.dex && to.dex, s"dex mismatch converting $c: $from -> $to")
+            val f = Units.unitConversionFactor(
+              Units.UnitSpec(from.dims, from.h), Units.UnitSpec(to.dims, to.h))
+            (col(c) + lit(math.log10(f))).as(c)
+          } else (col(c) * lit(Units.unitConversionFactor(from, to))).as(c)
+      }
+    }
+    copy(df = df.select(outCols: _*),
+      header = header.copy(columnUnits = header.columnUnits ++
+        changes.map { case (c, _, to) => c -> to.toString }))
+  }
+
   // ---- §2.7 spatial -----------------------------------------------
 
   /** Spatial bound: restrict to a 3-D region via the two-phase octree

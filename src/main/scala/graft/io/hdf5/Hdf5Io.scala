@@ -1,0 +1,510 @@
+package graft.io.hdf5
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Header, OCDataset}
+import graft.units.Units.Cosmology
+
+/** HDF5 ⇄ engine bridge (reference SPEC.md:1-101; io/iopen.py:80-186;
+  * io/serial.py): opens reference-layout `.hdf5` files as OCDatasets /
+  * StructureCollections and exports datasets back out.
+  *
+  * Read path is DISTRIBUTED: the driver touches only file METADATA
+  * (group tree, dtypes, dims — a few KB); row data is read by Spark
+  * tasks, each opening the file and reading its own row window of each
+  * column — the Spark analog of the reference's per-rank HDF5 column
+  * windows (io/mpi.py). On a cluster this requires the file on shared
+  * storage, exactly like the reference's MPI readers.
+  *
+  * Import (`importDataset`) converts to the engine's native
+  * parquet+sidecar layout so all downstream scans get row-group
+  * pruning/pushdown; `openDataFrame` reads directly without
+  * conversion for one-shot access.
+  */
+object Hdf5Io {
+
+  // ---- schema (driver-side, metadata only) --------------------------
+
+  final case class ColMeta(name: String, addr: Long, sparkType: DataType,
+                           unit: String, description: String, rows: Long)
+
+  private def sparkTypeOf(r: Hdf5Reader)(m: r.DatasetMeta): DataType = {
+    val elem = m.dtype match {
+      case r.FixedPoint(8, _) => LongType
+      case r.FixedPoint(4, _) => IntegerType
+      case r.FixedPoint(2, _) => ShortType
+      case r.FixedPoint(1, _) => ByteType
+      case r.Floating(8)      => DoubleType
+      case r.Floating(4)      => FloatType
+      case _: r.FixedString   => StringType
+      case r.VlenString       => StringType
+      case other => Hdf5Reader.fail(s"unsupported column dtype $other for ${m.name}")
+    }
+    if (m.dims.size <= 1) elem else ArrayType(elem, containsNull = false)
+  }
+
+  /** data-group columns of `group` ("data" | "<ds>/data"), in stored
+    * column order if the writer recorded one, else name order.
+    */
+  def columns(path: String, group: String = "data"): Seq[ColMeta] = {
+    val r = new Hdf5Reader(path)
+    try {
+      val (dataInfo, dataAddr) = resolveGroup(r, group)
+      val links = r.groupLinks(dataInfo)
+      val metas = links.map { case (name, addr) =>
+        val info = r.objectInfo(addr)
+        val m = r.datasetMeta(name, info)
+        ColMeta(name, addr, sparkTypeOf(r)(m),
+          info.attrs.get("unit").collect { case s: String if s != "None" => s }.getOrElse(""),
+          info.attrs.get("description").collect { case s: String => s }.getOrElse(""),
+          m.rows)
+      }
+      require(metas.map(_.rows).distinct.size <= 1,
+        s"ragged data group $group: ${metas.map(m => s"${m.name}=${m.rows}").mkString(", ")}")
+      dataAddr.attrs.get("column_order") match {
+        case Some(order: Array[Any]) =>
+          val byName = metas.map(m => m.name -> m).toMap
+          order.toSeq.collect { case n: String if byName.contains(n) => byName(n) } ++
+            metas.filterNot(m => order.contains(m.name))
+        case _ => metas
+      }
+    } finally r.close()
+  }
+
+  private def resolveGroup(r: Hdf5Reader, path: String): (r.ObjectInfo, r.ObjectInfo) = {
+    var info = r.objectInfo(r.rootHeaderAddr)
+    var last = info
+    path.split("/").filter(_.nonEmpty).foreach { seg =>
+      val links = r.groupLinks(info)
+      val addr = links.collectFirst { case (n, a) if n == seg => a }
+        .getOrElse(Hdf5Reader.fail(
+          s"no group '$seg' in ${r.path} (have ${links.map(_._1).mkString(", ")})"))
+      last = info
+      info = r.objectInfo(addr)
+    }
+    (info, info)
+  }
+
+  // ---- distributed read --------------------------------------------
+
+  /** The data group as a DataFrame; each task reads its own row window
+    * of every column straight from the file (no driver materialization,
+    * no shuffle). `targetRowsPerTask` sizes the windows — tune so a
+    * window's decoded rows fit comfortably in executor memory.
+    */
+  def openDataFrame(spark: SparkSession, path: String, group: String = "data",
+                    targetRowsPerTask: Long = 1 << 18): DataFrame = {
+    val cols = columns(path, group)
+    require(cols.nonEmpty, s"empty data group $group in $path")
+    val rows = cols.head.rows
+    val schema = StructType(cols.map(c => StructField(c.name, c.sparkType)))
+    val nTasks = math.max(1L, math.min(
+      (rows + targetRowsPerTask - 1) / targetRowsPerTask,
+      rows)).toInt
+    val windows = (0 until nTasks).map { i =>
+      val r0 = rows * i / nTasks; val r1 = rows * (i + 1) / nTasks
+      (r0, r1)
+    }.filter { case (a, b) => b > a }
+    val names = cols.map(_.name)
+    val rdd = spark.sparkContext
+      .parallelize(windows, math.max(1, windows.size))
+      .mapPartitions { it =>
+        it.flatMap { case (r0, r1) => readWindow(path, group, names, r0, r1) }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** One task's slice: open the file, read [r0,r1) of each column,
+    * decode column-wise, assemble rows.
+    */
+  private def readWindow(path: String, group: String, names: Seq[String],
+                         r0: Long, r1: Long): Iterator[Row] = {
+    val r = new Hdf5Reader(path)
+    try {
+      val (dataInfo, _) = resolveGroup(r, group)
+      val links = r.groupLinks(dataInfo).toMap
+      val n = (r1 - r0).toInt
+      val colVals: Array[Array[Any]] = names.map { name =>
+        val info = r.objectInfo(links(name))
+        val m = r.datasetMeta(name, info)
+        decodeColumn(r)(m, r0, r1)
+      }.toArray
+      (0 until n).iterator.map { i =>
+        Row.fromSeq(colVals.map(_(i)).toIndexedSeq)
+      }
+    } finally r.close()
+  }
+
+  private def decodeColumn(r: Hdf5Reader)(m: r.DatasetMeta,
+                           r0: Long, r1: Long): Array[Any] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val raw = r.readRows(m, r0, r1)
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val n = (r1 - r0).toInt
+    val w = m.elemsPerRow
+    def scalar(off: Int): Any = m.dtype match {
+      case r.FixedPoint(8, _) => bb.getLong(off)
+      case r.FixedPoint(4, _) => bb.getInt(off)
+      case r.FixedPoint(2, _) => bb.getShort(off)
+      case r.FixedPoint(1, _) => raw(off)
+      case r.Floating(8)      => bb.getDouble(off)
+      case r.Floating(4)      => bb.getFloat(off)
+      case r.FixedString(k)   => Hdf5Reader.cstr(java.util.Arrays.copyOfRange(raw, off, off + k))
+      case r.VlenString =>
+        val len = bb.getInt(off) & 0xFFFFFFFFL
+        val gaddr = bb.getLong(off + 4)
+        val idx = bb.getInt(off + 12)
+        new String(r.globalHeapObject(gaddr, idx).take(len.toInt), "UTF-8")
+      case other => Hdf5Reader.fail(s"cannot decode $other")
+    }
+    val es = m.dtype.byteSize
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (m.dims.size <= 1) scalar(i * es)
+        else (0 until w).map(j => scalar((i * w + j) * es))
+      i += 1
+    }
+    out
+  }
+
+  // ---- header -------------------------------------------------------
+
+  /** header group → engine Header. Attributes live on conventional
+    * subgroups (simulation / cosmology / file), with root-group attrs
+    * as a fallback; unknown attrs are ignored, required physics
+    * (box_size ≥ 0, h0 > 0) is validated here rather than downstream.
+    */
+  def readHeader(path: String, prefix: String = ""): Header = {
+    val r = new Hdf5Reader(path)
+    try {
+      // per-dataset header group, falling back to the file-level root
+      // header (SPEC.md: multi-dataset files share one root header)
+      def tryGroup(g: String): Option[Map[String, Map[String, Any]]] =
+        try {
+          val (info, _) = resolveGroup(r, g)
+          val subs = r.groupLinks(info).map { case (n, a) => n -> r.objectInfo(a).attrs }
+          Some(subs.toMap + ("" -> info.attrs))
+        } catch { case _: Hdf5FormatException => None }
+      val attrs: Map[String, Map[String, Any]] =
+        tryGroup(s"${prefix}header")
+          .orElse(if (prefix.nonEmpty) tryGroup("header") else None)
+          .getOrElse(Map("" -> Map.empty[String, Any]))
+      def find(name: String): Option[Any] =
+        attrs.valuesIterator.flatMap(_.get(name)).toSeq.headOption
+      def dbl(name: String, dflt: Double): Double = find(name) match {
+        case Some(d: Double) => d
+        case Some(f: Float)  => f.toDouble
+        case Some(l: Long)   => l.toDouble
+        case _               => dflt
+      }
+      def str(name: String, dflt: String): String = find(name) match {
+        case Some(s: String) => s
+        case _               => dflt
+      }
+      val h = Header(
+        boxSize = dbl("box_size", 0.0),
+        redshift = dbl("redshift", 0.0),
+        step = dbl("step", 0.0).toInt,
+        unitConvention = str("unit_convention", "scalefree"),
+        dataType = str("data_type", "dataset"),
+        cosmology = Cosmology(dbl("h0", 70.0), dbl("omega_m", 0.3), dbl("omega_l", 0.7)))
+      require(h.boxSize >= 0, s"invalid box_size ${h.boxSize} in $path")
+      require(h.cosmology.h0 > 0 && h.cosmology.h0 < 200,
+        s"implausible h0 ${h.cosmology.h0} in $path")
+      require(h.redshift >= 0, s"invalid redshift ${h.redshift} in $path")
+      h
+    } finally r.close()
+  }
+
+  // ---- spatial index ------------------------------------------------
+
+  /** Deepest octree level of an `index` group as (level, starts,
+    * sizes): cell i (z-order) covers data rows [starts(i),
+    * starts(i)+sizes(i)) — SPEC.md's contiguous-range index.
+    */
+  def readIndex(path: String, prefix: String = ""): Option[(Int, Array[Long], Array[Long])] = {
+    val r = new Hdf5Reader(path)
+    try {
+      val (info, _) =
+        try resolveGroup(r, s"${prefix}index")
+        catch { case _: Hdf5FormatException => return None }
+      if (!info.attrs.get("index_type").contains("octtree")) return None
+      val levels = r.groupLinks(info).collect {
+        case (n, a) if n.startsWith("level_") => n.stripPrefix("level_").toInt -> a
+      }
+      if (levels.isEmpty) return None
+      val (level, addr) = levels.maxBy(_._1)
+      val lg = r.objectInfo(addr)
+      val kids = r.groupLinks(lg).toMap
+      def longs(name: String): Array[Long] = {
+        val m = r.datasetMeta(name, r.objectInfo(kids(name)))
+        val raw = r.readRows(m, 0, m.rows)
+        val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        Array.tabulate(m.rows.toInt)(i => bb.getLong(i * 8))
+      }
+      Some((level, longs("start"), longs("size")))
+    } finally r.close()
+  }
+
+  // ---- import -------------------------------------------------------
+
+  /** Import a single-dataset SPEC.md file into the engine: data group
+    * → DataFrame, per-column `unit` attrs → header unit table, header
+    * attrs → Header, and — when an octree `index` group is present —
+    * the stored contiguous-range index becomes a persisted `morton_key`
+    * column (each task derives its rows' cell from the broadcast range
+    * table by binary search, no shuffle), so `bound()` gets the
+    * stored-key pruning path immediately.
+    */
+  def importDataset(spark: SparkSession, h5Path: String,
+                    prefix: String = ""): OCDataset = {
+    val group = s"${prefix}data"
+    val cols = columns(h5Path, group)
+    val df0 = openDataFrame(spark, h5Path, group)
+    val units = cols.collect { case c if c.unit.nonEmpty => c.name -> c.unit }.toMap
+    val descs = cols.collect { case c if c.description.nonEmpty => c.name -> c.description }.toMap
+    val base = readHeader(h5Path, prefix)
+    readIndex(h5Path, prefix) match {
+      case None =>
+        OCDataset(df0, base.copy(columnUnits = units, columnDescriptions = descs))
+      case Some((level, starts, sizes)) =>
+        // non-empty cells only, sorted by start row — binary search
+        // rightmost boundary ≤ global row id gives the cell (= Morton
+        // key at `level`: SPEC's z-order curve index IS the key)
+        val bounds = starts.indices.collect {
+          case i if sizes(i) > 0 => (starts(i), i.toLong)
+        }.sortBy(_._1).toArray
+        val b = spark.sparkContext.broadcast(bounds)
+        val withRow = dfWithGlobalRow(spark, h5Path, group, cols)
+        val keyed = withRow.map { case (df, rowCol) =>
+          val keyUdf = udf { (row: Long) =>
+            val bs = b.value
+            var lo = 0; var hi = bs.length - 1
+            while (lo < hi) {
+              val mid = (lo + hi + 1) >>> 1
+              if (bs(mid)._1 <= row) lo = mid else hi = mid - 1
+            }
+            bs(lo)._2
+          }
+          df.withColumn("morton_key", keyUdf(col(rowCol))).drop(rowCol)
+        }.get
+        OCDataset(keyed, base.copy(columnUnits = units, columnDescriptions = descs,
+          spatialIndexLevel = level,
+          spatialIndexCoords = guessCoords(cols.map(_.name))))
+    }
+  }
+
+  /** Import + convert to the native parquet+sidecar layout at
+    * `outPath` (clustered by the imported morton key when present) and
+    * reopen — the migration entry point: after this every query runs
+    * on parquet row-group pruning.
+    */
+  def importToParquet(spark: SparkSession, h5Path: String, outPath: String,
+                      prefix: String = ""): OCDataset = {
+    val ds = importDataset(spark, h5Path, prefix)
+    graft.io.OCIO.write(ds, outPath,
+      sortColumn = if (ds.columns.contains("morton_key")) Some("morton_key") else None)
+    graft.io.OCIO.open(spark, outPath)
+  }
+
+  /** Import a multi-dataset file (SPEC.md "Multiple OpenCosmo
+    * Datasets"): `parentGroup/data_linked` start/size ranges become an
+    * equality link on a synthesized parent-row column — each child
+    * task binary-searches the broadcast range table for its rows'
+    * parent, so the link materializes map-side with no shuffle.
+    */
+  def importStructure(spark: SparkSession, h5Path: String,
+                      parentGroup: String): graft.collections.StructureCollection = {
+    val parent = importDataset(spark, h5Path, s"$parentGroup/")
+    val r = new Hdf5Reader(h5Path)
+    val (links, rootGroups) =
+      try {
+        val (li, _) =
+          try resolveGroup(r, s"$parentGroup/data_linked")
+          catch { case _: Hdf5FormatException =>
+            return graft.collections.StructureCollection(
+              withParentRow(spark, parent, h5Path, parentGroup), Map.empty, LinkCol)
+          }
+        val root = r.objectInfo(r.rootHeaderAddr)
+        (r.groupLinks(li).map(_._1), r.groupLinks(root).map(_._1))
+      } finally r.close()
+    val startLinks = links.filter(_.endsWith("_start")).map(_.stripSuffix("_start"))
+      .filter(id => links.contains(s"${id}_size"))
+    val children = startLinks.flatMap { id =>
+      // link id → target root group (SPEC recommends ids that extend
+      // the target name with a UUID; match by prefix)
+      rootGroups.find(g => g != parentGroup && id.startsWith(g)).map { target =>
+        val linkDf = openDataFrame(spark, h5Path, s"$parentGroup/data_linked")
+          .select(s"${id}_start", s"${id}_size")
+        val ranges = linkDf.collect() // per-file parent count, driver-bounded
+        val bounds = ranges.indices.collect {
+          case i if ranges(i).getLong(1) > 0 => (ranges(i).getLong(0), i.toLong)
+        }.sortBy(_._1).toArray
+        val b = spark.sparkContext.broadcast(bounds)
+        val childCols = columns(h5Path, s"$target/data")
+        val child = dfWithGlobalRow(spark, h5Path, s"$target/data", childCols).map {
+          case (df, rowCol) =>
+            val pUdf = udf { (row: Long) =>
+              val bs = b.value
+              var lo = 0; var hi = bs.length - 1
+              while (lo < hi) {
+                val mid = (lo + hi + 1) >>> 1
+                if (bs(mid)._1 <= row) lo = mid else hi = mid - 1
+              }
+              bs(lo)._2
+            }
+            df.withColumn(LinkCol, pUdf(col(rowCol))).drop(rowCol)
+        }.get
+        target -> child
+      }
+    }.toMap
+    graft.collections.StructureCollection(
+      withParentRow(spark, parent, h5Path, parentGroup), children, LinkCol)
+  }
+
+  val LinkCol = "__struct_row"
+
+  private def withParentRow(spark: SparkSession, parent: OCDataset,
+                            h5Path: String, parentGroup: String): OCDataset = {
+    val cols = columns(h5Path, s"$parentGroup/data")
+    // re-read with the synthesized global row column; cheaper than a
+    // zipWithIndex over the imported frame (windows already know their
+    // global offsets)
+    val (df, rowCol) = dfWithGlobalRow(spark, h5Path, s"$parentGroup/data", cols).get
+    parent.copy(df = df.withColumnRenamed(rowCol, LinkCol))
+  }
+
+  /** openDataFrame + a deterministic global row-number column — free,
+    * because each window knows its absolute start row (no
+    * zipWithIndex/shuffle).
+    */
+  private def dfWithGlobalRow(spark: SparkSession, path: String, group: String,
+                              cols: Seq[ColMeta]): Option[(DataFrame, String)] = {
+    val rows = cols.head.rows
+    val schema = StructType(
+      cols.map(c => StructField(c.name, c.sparkType)) :+ StructField(RowCol, LongType))
+    val per = 1L << 18
+    val nTasks = math.max(1L, math.min((rows + per - 1) / per, rows)).toInt
+    val windows = (0 until nTasks).map { i =>
+      (rows * i / nTasks, rows * (i + 1) / nTasks)
+    }.filter { case (a, b) => b > a }
+    val names = cols.map(_.name)
+    val rdd = spark.sparkContext.parallelize(windows, math.max(1, windows.size))
+      .mapPartitions { it =>
+        it.flatMap { case (r0, r1) =>
+          readWindow(path, group, names, r0, r1).zipWithIndex.map {
+            case (row, i) => Row.fromSeq(row.toSeq :+ (r0 + i))
+          }
+        }
+      }
+    Some((spark.createDataFrame(rdd, schema), RowCol))
+  }
+  private val RowCol = "__h5_row"
+
+  private def guessCoords(names: Seq[String]): Seq[String] = {
+    Seq(Seq("x", "y", "z"), Seq("fof_halo_center_x", "fof_halo_center_y", "fof_halo_center_z"))
+      .find(_.forall(names.contains)).getOrElse(Nil)
+  }
+
+  // ---- export -------------------------------------------------------
+
+  /** Export an OCDataset as a SPEC.md-layout HDF5 file: `data/` column
+    * datasets (with `unit`/`description` attrs and a `column_order`
+    * attr for order-stable round trips), `header/` attribute groups.
+    * Interchange path: column data streams through the driver one
+    * partition at a time (`toLocalIterator`), one pass per column —
+    * HDF5 is a single-writer format, so this is inherently a
+    * driver-bound export, like the reference's serial writer
+    * (io/serial.py). Use parquet for engine-to-engine data movement.
+    */
+  def exportHdf5(ds: OCDataset, path: String,
+                 chunkRows: Int = 1 << 16, compress: Boolean = true): Unit = {
+    import Hdf5Writer._
+    val df = ds.getData
+    val rows = df.count()
+    // one job probes every string column's max byte width + array widths
+    val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    val arrCols = df.schema.fields.collect { case f if f.dataType.isInstanceOf[ArrayType] => f.name }
+    val probes = strCols.map(c => max(octet_length(col(c))).as(s"s_$c")) ++
+      arrCols.map(c => max(size(col(c))).as(s"a_$c"))
+    val probeRow = if (probes.isEmpty) null else df.agg(probes.head, probes.tail.toSeq: _*).head()
+    val strW = strCols.map(c => c -> (Option(probeRow.getAs[Any](s"s_$c"))
+      .fold(1)(_.asInstanceOf[Number].intValue) + 1)).toMap
+    val arrW = arrCols.map(c => c -> probeRow.getAs[Number](s"a_$c").intValue).toMap
+
+    val w = new Hdf5Writer(path)
+    try {
+      val colAddrs = df.schema.fields.map { f =>
+        val (dt, dims) = f.dataType match {
+          case LongType    => (I64, Seq(rows))
+          case IntegerType => (I32, Seq(rows))
+          case DoubleType  => (F64, Seq(rows))
+          case FloatType   => (F32, Seq(rows))
+          case StringType  => (Str(strW(f.name)), Seq(rows))
+          case ArrayType(DoubleType, _) => (F64, Seq(rows, arrW(f.name).toLong))
+          case ArrayType(FloatType, _)  => (F32, Seq(rows, arrW(f.name).toLong))
+          case ArrayType(LongType, _)   => (I64, Seq(rows, arrW(f.name).toLong))
+          case other => throw new IllegalArgumentException(
+            s"exportHdf5: unsupported column type $other (${f.name})")
+        }
+        val attrs =
+          ds.header.columnUnits.get(f.name).map("unit" -> _).toSeq ++
+          ds.header.columnDescriptions.get(f.name).map("description" -> _).toSeq
+        import scala.jdk.CollectionConverters._
+        val it = df.select(col(f.name)).toLocalIterator().asScala
+          .map(r => encodeValue(dt, f.dataType, r.get(0), strW.get(f.name), arrW.get(f.name)))
+        val addr = w.writeDataset(dt, dims, it, attrs,
+          chunkRows = if (compress) math.min(chunkRows.toLong, math.max(1L, rows)).toInt else 0,
+          deflate = compress, shuffle = compress && !dt.isInstanceOf[Str])
+        f.name -> addr
+      }
+      val dataAddr = w.writeGroup(colAddrs.toSeq,
+        attrs = Seq("column_order" -> df.schema.fieldNames.toSeq))
+      val h = ds.header
+      val sim = w.writeGroup(Nil, Seq(
+        "box_size" -> h.boxSize, "redshift" -> h.redshift, "step" -> h.step.toLong))
+      val cos = w.writeGroup(Nil, Seq(
+        "h0" -> h.cosmology.h0, "omega_m" -> h.cosmology.omegaM,
+        "omega_l" -> h.cosmology.omegaL))
+      val fil = w.writeGroup(Nil, Seq(
+        "unit_convention" -> h.unitConvention, "data_type" -> h.dataType))
+      val headerAddr = w.writeGroup(
+        Seq("simulation" -> sim, "cosmology" -> cos, "file" -> fil))
+      val root = w.writeGroup(Seq("data" -> dataAddr, "header" -> headerAddr))
+      w.finish(root)
+    } catch { case e: Throwable => w.close(); throw e }
+  }
+
+  private def encodeValue(dt: Hdf5Writer.WDType, st: DataType, v: Any,
+                          strW: Option[Int], arrW: Option[Int]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import Hdf5Writer._
+    def one(b: ByteBuffer, x: Any): Unit = (dt, x) match {
+      case (I64, l: Long)   => b.putLong(l)
+      case (I32, i: Int)    => b.putInt(i)
+      case (F64, d: Double) => b.putDouble(d)
+      case (F32, f: Float)  => b.putFloat(f)
+      case (Str(k), s: String) =>
+        val sb = s.getBytes("UTF-8")
+        b.put(sb); b.put(new Array[Byte](k - sb.length))
+      case (_, null) => b.put(new Array[Byte](dt.size)) // null → zero row
+      case other => throw new IllegalArgumentException(s"encode mismatch: $other")
+    }
+    st match {
+      case _: ArrayType =>
+        val seq = v.asInstanceOf[scala.collection.Seq[Any]]
+        val wdt = arrW.get
+        val b = ByteBuffer.allocate(dt.size * wdt).order(ByteOrder.LITTLE_ENDIAN)
+        seq.foreach(x => one(b, x))
+        (seq.size until wdt).foreach(_ => b.put(new Array[Byte](dt.size)))
+        b.array()
+      case _ =>
+        val b = ByteBuffer.allocate(dt.size).order(ByteOrder.LITTLE_ENDIAN)
+        one(b, v)
+        b.array()
+    }
+  }
+}

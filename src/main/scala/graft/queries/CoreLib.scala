@@ -198,6 +198,36 @@ object CoreLib {
         .df
     }),
 
+    // §2.1 HDF5 interchange: export supplier to a SPEC.md-layout .hdf5
+    // (pure-Scala writer: chunked + shuffle + deflate), re-import it
+    // through the distributed windowed reader, and hand back the
+    // round-tripped rows — the oracle reads the ORIGINAL parquet, so a
+    // single bent byte anywhere in the format pipeline hash-mismatches.
+    "q66_hdf5_roundtrip" -> ((s, dir) => {
+      val src = OCDataset(t(s, dir, "supplier"))
+      val h5 = java.nio.file.Files.createTempDirectory("graft-h5q-")
+        .resolve("supplier.hdf5").toString
+      graft.io.hdf5.Hdf5Io.exportHdf5(src, h5, chunkRows = 4096, compress = true)
+      graft.io.hdf5.Hdf5Io.importDataset(s, h5).df
+    }),
+
+    // §2.11 per-column unit conversions: unit-keyed (`Mpc -> kpc`,
+    // ignoring littleh bookkeeping) + column-keyed (`Msun -> kg`)
+    // rewrites. The oracle multiplies by the SAME IEEE expressions
+    // (1.0/0.001, 1.0/(1.0/MsunKg)) so the compare is bit-exact — no
+    // rounding slop hiding a wrong factor.
+    "q67_unit_conversions" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("len_mpch"),
+        col("l_extendedprice").as("mass_msun"))
+      val ds = OCDataset(base, Header(columnUnits =
+        Map("len_mpch" -> "Mpc/h", "mass_msun" -> "Msun")))
+      ds.withUnitConversions(
+        conversions = Map("Mpc" -> "kpc"),
+        columnConversions = Map("mass_msun" -> "kg")).df
+    }),
+
     // §2.2 scalar-in-select: normalization by reductions through the
     // expression DSL ((q - mean)/std, agg-then-substitute) — rounded
     // (stddev accumulation order differs between engines).
@@ -261,6 +291,13 @@ object CoreLib {
          round(CAST(embedding[3] AS DOUBLE), 6) AS e2,
          round(CAST(embedding[4] AS DOUBLE), 6) AS e3
          FROM embeddings""",
+    "q66_hdf5_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "q67_unit_conversions" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_quantity * (1.0 / 0.001) AS len_mpch,
+         l_extendedprice * (1.0 / (1.0 / 1.98892e30)) AS mass_msun
+         FROM lineitem""",
     "q64_take_end" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_orderkey DESC LIMIT 100""",

@@ -166,4 +166,64 @@ object Units {
   /** Scale factor a = 1/(1+z). */
   def scaleFactorOf(redshift: Double): Column = lit(1.0 / (1.0 + redshift))
   def scaleFactorOf(redshiftCol: Column): Column = lit(1.0) / (lit(1.0) + redshiftCol)
+
+  // ---- per-unit conversions (reference units/handler.py:64-266) ----
+
+  /** Known physical units: name → (dimension family, factor to the
+    * family's canonical unit). Canonical: Mpc (length), Msun (mass),
+    * s (time), rad (angle). Values are the CODATA/IAU constants the
+    * reference gets from astropy (public physical constants).
+    */
+  private val MpcInMeters = 3.0856775814913673e22
+  private val MsunInKg = 1.98892e30
+  private val YearInSeconds = 3.1556952e7
+  val unitTable: Map[String, (String, Double)] = Map(
+    "Gpc" -> ("length", 1e3), "Mpc" -> ("length", 1.0),
+    "kpc" -> ("length", 1e-3), "pc" -> ("length", 1e-6),
+    "km" -> ("length", 1e3 / MpcInMeters), "m" -> ("length", 1.0 / MpcInMeters),
+    "cm" -> ("length", 1e-2 / MpcInMeters),
+    "Msun" -> ("mass", 1.0), "kg" -> ("mass", 1.0 / MsunInKg),
+    "g" -> ("mass", 1e-3 / MsunInKg),
+    "s" -> ("time", 1.0), "yr" -> ("time", YearInSeconds),
+    "Myr" -> ("time", 1e6 * YearInSeconds), "Gyr" -> ("time", 1e9 * YearInSeconds),
+    "rad" -> ("angle", 1.0), "deg" -> ("angle", math.Pi / 180.0),
+    "arcmin" -> ("angle", math.Pi / 10800.0), "arcsec" -> ("angle", math.Pi / 648000.0))
+
+  /** (family powers, combined factor to canonical units) of a spec;
+    * unknown dimension names form their own family (convertible only
+    * to themselves).
+    */
+  private def canonical(u: UnitSpec): (Map[String, Int], Double) =
+    u.dims.foldLeft((Map.empty[String, Int], 1.0)) {
+      case ((fams, f), (d, p)) =>
+        val (fam, fac) = unitTable.getOrElse(d, (d, 1.0))
+        val np = fams.getOrElse(fam, 0) + p
+        (if (np == 0) fams - fam else fams.updated(fam, np), f * math.pow(fac, p))
+    }
+
+  /** Multiplicative factor converting a value in `from` to `to`
+    * (dimensions must agree; the littleh exponent must match — unit
+    * conversion is orthogonal to convention switching). Throws on
+    * incompatible dimensions, like the reference's astropy
+    * UnitConversionError.
+    */
+  def unitConversionFactor(from: UnitSpec, to: UnitSpec): Double = {
+    require(from.h == to.h,
+      s"littleh mismatch in unit conversion $from -> $to (switch convention instead)")
+    require(!from.dex && !to.dex, s"dex units convert via dexShift: $from -> $to")
+    val (fa, ka) = canonical(from)
+    val (fb, kb) = canonical(to)
+    require(fa == fb, s"incompatible units: $from -> $to ($fa vs $fb)")
+    ka / kb
+  }
+
+  /** Does `u` match conversion-map key `key`, ignoring the littleh
+    * exponent? (`Map("Mpc" -> "kpc")` converts both Mpc and Mpc/h
+    * columns, keeping their h bookkeeping.)
+    */
+  def matchesIgnoringH(u: UnitSpec, key: UnitSpec): Boolean =
+    !u.dex && !key.dex && u.dims == key.dims
+
+  /** Carry `u`'s littleh exponent onto target spec `to`. */
+  def withHOf(to: UnitSpec, u: UnitSpec): UnitSpec = UnitSpec(to.dims, u.h, to.dex)
 }

@@ -51,6 +51,42 @@ class CoreSpec extends SparkSpec {
     }
   }
 
+  test("per-column unit conversions: unit-keyed, column-keyed, h-preserving") {
+    // unit-keyed: every Mpc column converts, littleh bookkeeping kept
+    val kpc = halos.withUnitConversions(conversions = Map("Mpc" -> "kpc"))
+    val r = kpc.df.orderBy("halo_tag").head()
+    assert(r.getDouble(1) == 10.0 * (1.0 / 0.001)) // x in kpc
+    assert(kpc.header.columnUnits("x") == "kpc h^-1")
+    assert(Units.parse(kpc.header.columnUnits("x")).h == -1) // h survived
+    assert(kpc.header.columnUnits("mass") == "Msun/h")       // untouched
+    // column-keyed wins over unit-keyed and converts only its column
+    val kg = halos.withUnitConversions(
+      conversions = Map("Msun" -> "g"),
+      columnConversions = Map("mass" -> "kg"))
+    val m = kg.df.select("mass").orderBy("mass").head().getDouble(0)
+    assert(m == 8e12 * (1.0 / (1.0 / 1.98892e30)))
+    assert(kg.header.columnUnits("mass") == "kg h^-1")
+    // incompatible dimensions throw at plan time
+    intercept[IllegalArgumentException] {
+      halos.withUnitConversions(columnConversions = Map("x" -> "kg"))
+    }
+    // unknown column name throws
+    intercept[IllegalArgumentException] {
+      halos.withUnitConversions(columnConversions = Map("nope" -> "kpc"))
+    }
+  }
+
+  test("dex columns convert by additive log10 shift") {
+    import org.apache.spark.sql.functions.log10
+    val ds = OCDataset(
+      Seq((1L, 13.0)).toDF("halo_tag", "logm"),
+      Header(columnUnits = Map("logm" -> "dex(Msun)")))
+    val out = ds.withUnitConversions(columnConversions = Map("logm" -> "dex(kg)"))
+    val v = out.df.head().getDouble(1)
+    assert(math.abs(v - (13.0 + math.log10(1.98892e30))) < 1e-12)
+    assert(out.header.columnUnits("logm") == "dex(kg)")
+  }
+
   test("wildcard select preserves frame order; unknown plain name throws") {
     assert(halos.select("*a*").columns == Seq("halo_tag", "mass", "scale_a"))
     assert(halos.select("x", "halo_tag").columns == Seq("halo_tag", "x"))

@@ -1,0 +1,201 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Header, OCDataset}
+import graft.io.hdf5.{Hdf5Io, Hdf5Reader, Hdf5Writer}
+import graft.spatial.{Morton, Region}
+import graft.units.Units.Cosmology
+
+/** HDF5 interchange: export → import round trips through the
+  * pure-Scala writer/reader pair (both written independently against
+  * the public HDF5 format spec), plus hand-built reference-layout
+  * files (SPEC.md: index group, data_linked group) driving the import
+  * of spatial indexes and structure links.
+  */
+class Hdf5Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory("graft-h5-").toString
+    s"$d/$name"
+  }
+
+  private lazy val mixed = OCDataset(
+    Seq(
+      (1L, 10, 1.5, 2.5f, "alpha", Seq(1.0, 2.0, 3.0)),
+      (2L, 20, -0.25, 0.5f, "beta", Seq(4.0, 5.0, 6.0)),
+      (3L, 30, 1e300, -1.25f, "γ-utf8", Seq(7.0, 8.0, 9.0))
+    ).toDF("id", "n", "x", "f", "name", "vec"),
+    Header(boxSize = 64.0, redshift = 0.5, cosmology = Cosmology(h0 = 67.0),
+      columnUnits = Map("x" -> "Mpc/h"),
+      columnDescriptions = Map("x" -> "position")))
+
+  test("export/import round trip: all dtypes, order, units, header (compressed)") {
+    val p = tmp("mixed.hdf5")
+    Hdf5Io.exportHdf5(mixed, p, chunkRows = 2, compress = true)
+    val back = Hdf5Io.importDataset(spark, p)
+    assert(back.columns == Seq("id", "n", "x", "f", "name", "vec")) // column_order attr
+    assert(back.header.boxSize == 64.0 && back.header.redshift == 0.5)
+    assert(back.header.cosmology.h0 == 67.0)
+    assert(back.header.columnUnits == Map("x" -> "Mpc/h"))
+    assert(back.header.columnDescriptions == Map("x" -> "position"))
+    val rows = back.df.orderBy("id").collect()
+    val orig = mixed.df.orderBy("id").collect()
+    assert(rows.length == 3)
+    rows.zip(orig).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(a.getInt(1) == b.getInt(1))
+      assert(a.getDouble(2) == b.getDouble(2))
+      assert(a.getFloat(3) == b.getFloat(3))
+      assert(a.getString(4) == b.getString(4))
+      assert(a.getSeq[Double](5) == b.getSeq[Double](5))
+    }
+  }
+
+  test("contiguous (uncompressed) layout round trips too") {
+    val p = tmp("plain.hdf5")
+    Hdf5Io.exportHdf5(mixed, p, compress = false)
+    val back = Hdf5Io.importDataset(spark, p)
+    assert(back.df.orderBy("id").collect().map(_.getDouble(2)).toSeq ==
+      Seq(1.5, -0.25, 1e300))
+  }
+
+  test("import scales: windowed tasks see disjoint slices of a larger file") {
+    val n = 10000
+    val ds = OCDataset(
+      spark.range(n.toLong).select(col("id"),
+        (col("id") * 2).cast("double").as("v")))
+    val p = tmp("big.hdf5")
+    Hdf5Io.exportHdf5(ds, p, chunkRows = 1024, compress = true)
+    // small windows force many tasks; global row coverage must be exact
+    val back = Hdf5Io.openDataFrame(spark, p, targetRowsPerTask = 500)
+    assert(back.rdd.getNumPartitions > 1)
+    assert(back.count() == n)
+    assert(back.agg(sum("id")).head().getLong(0) == n.toLong * (n - 1) / 2)
+    assert(back.agg(sum("v")).head().getDouble(0) == n.toDouble * (n - 1))
+  }
+
+  test("reference-layout octree index imports as a stored morton key") {
+    // hand-build a SPEC.md file: data sorted by level-1 z-order cell,
+    // index/level_1 start+size ranges over the 8 octants
+    val level = 1
+    val box = 8.0
+    val pts = for (i <- 0 until 64) yield {
+      val x = (i % 4) * 2.0 + 0.5; val y = (i / 4 % 4) * 2.0 + 0.5
+      val z = (i / 16) * 2.0 + 0.5
+      (x, y, z, Morton.pointKey(x, y, z, 0.0, box, level))
+    }
+    val sorted = pts.sortBy(_._4)
+    val starts = new Array[Long](8); val sizes = new Array[Long](8)
+    sorted.zipWithIndex.foreach { case ((_, _, _, k), row) =>
+      if (sizes(k.toInt) == 0) starts(k.toInt) = row
+      sizes(k.toInt) += 1
+    }
+    val p = tmp("indexed.hdf5")
+    val w = new Hdf5Writer(p)
+    def f64(vals: Seq[Double], attrs: Seq[(String, Any)] = Nil) =
+      w.writeDataset(Hdf5Writer.F64, Seq(vals.size.toLong),
+        Iterator(vals.toArray.flatMap { d =>
+          val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.putDouble(d); b.array()
+        }), attrs)
+    def i64(vals: Seq[Long]) =
+      w.writeDataset(Hdf5Writer.I64, Seq(vals.size.toLong),
+        Iterator(vals.toArray.flatMap { d =>
+          val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.putLong(d); b.array()
+        }))
+    val dataAddr = w.writeGroup(Seq(
+      "x" -> f64(sorted.map(_._1), Seq("unit" -> "Mpc/h")),
+      "y" -> f64(sorted.map(_._2), Seq("unit" -> "Mpc/h")),
+      "z" -> f64(sorted.map(_._3), Seq("unit" -> "Mpc/h"))))
+    val lvl = w.writeGroup(Seq(
+      "start" -> i64(starts.toSeq), "size" -> i64(sizes.toSeq)))
+    val idx = w.writeGroup(Seq(s"level_$level" -> lvl),
+      attrs = Seq("index_type" -> "octtree"))
+    val sim = w.writeGroup(Nil, Seq("box_size" -> box, "redshift" -> 0.0))
+    val hdr = w.writeGroup(Seq("simulation" -> sim))
+    w.finish(w.writeGroup(Seq("data" -> dataAddr, "header" -> hdr, "index" -> idx)))
+
+    val ds = Hdf5Io.importDataset(spark, p)
+    assert(ds.header.spatialIndexLevel == level)
+    assert(ds.header.spatialIndexCoords == Seq("x", "y", "z"))
+    assert(ds.columns.contains("morton_key"))
+    // stored key agrees with direct computation for every row
+    val bad = ds.df.withColumn("expect",
+      graft.spatial.Morton.keyColumn(col("x"), col("y"), col("z"), 0.0, box, level))
+      .filter(col("expect") =!= col("morton_key")).count()
+    assert(bad == 0)
+    // bound() through the stored key returns exactly the octant
+    val oct = ds.bound(Region.Box(Region.P3(0, 0, 0), Region.P3(4, 4, 4)),
+      level = level)
+    assert(oct.count() == 8)
+  }
+
+  test("reference-layout data_linked imports as a structure collection") {
+    // halo_properties (3 halos) linked to halo_particles by start/size
+    val masses = Seq(1e13, 5e13, 2e14)
+    val counts = Seq(3L, 0L, 2L)
+    val starts = counts.scanLeft(0L)(_ + _).init
+    val partMass = Seq(0.1, 0.2, 0.3, 7.0, 8.0)
+    val p = tmp("structure.hdf5")
+    val w = new Hdf5Writer(p)
+    def f64(vals: Seq[Double]) =
+      w.writeDataset(Hdf5Writer.F64, Seq(vals.size.toLong),
+        Iterator(vals.toArray.flatMap { d =>
+          val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.putDouble(d); b.array()
+        }))
+    def i64(vals: Seq[Long]) =
+      w.writeDataset(Hdf5Writer.I64, Seq(vals.size.toLong),
+        Iterator(vals.toArray.flatMap { d =>
+          val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.putLong(d); b.array()
+        }))
+    val propsData = w.writeGroup(Seq("mass" -> f64(masses)))
+    val linked = w.writeGroup(Seq(
+      "halo_particles_abc123_start" -> i64(starts),
+      "halo_particles_abc123_size" -> i64(counts)))
+    val propsGrp = w.writeGroup(Seq("data" -> propsData, "data_linked" -> linked))
+    val partsData = w.writeGroup(Seq("p_mass" -> f64(partMass)))
+    val partsGrp = w.writeGroup(Seq("data" -> partsData))
+    val sim = w.writeGroup(Nil, Seq("box_size" -> 10.0))
+    val hdr = w.writeGroup(Seq("simulation" -> sim))
+    w.finish(w.writeGroup(Seq(
+      "halo_properties" -> propsGrp, "halo_particles" -> partsGrp, "header" -> hdr)))
+
+    val coll = Hdf5Io.importStructure(spark, p, "halo_properties")
+    assert(coll.children.keySet == Set("halo_particles"))
+    assert(coll.properties.count() == 3)
+    // halo 0 gets 3 particles, halo 2 gets 2, halo 1 none
+    val byHalo = coll.child("halo_particles")
+      .groupBy(Hdf5Io.LinkCol).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byHalo == Map(0L -> 3L, 2L -> 2L))
+    // semi-join filter works over the imported link
+    val heavy = coll.filterByChild("halo_particles", col("p_mass") > 1.0)
+    assert(heavy.properties.df.select("mass").collect().map(_.getDouble(0)).toSet ==
+      Set(2e14))
+  }
+
+  test("importToParquet produces a native dataset with pruning-ready layout") {
+    val p = tmp("conv.hdf5")
+    Hdf5Io.exportHdf5(mixed, p)
+    val out = tmp("native")
+    val ds = Hdf5Io.importToParquet(spark, p, out)
+    assert(ds.count() == 3)
+    assert(ds.header.columnUnits == Map("x" -> "Mpc/h"))
+    assert(Files.exists(java.nio.file.Paths.get(out, "_header.json")))
+  }
+
+  test("reader rejects non-HDF5 and truncated files loudly") {
+    val d = Files.createTempDirectory("graft-h5-bad")
+    val bad = d.resolve("bad.hdf5")
+    Files.write(bad, "not an hdf5 file at all, just text".getBytes)
+    val e = intercept[Exception](new Hdf5Reader(bad.toString).rootHeaderAddr)
+    assert(e.getMessage.contains("not an HDF5 file"))
+  }
+}
