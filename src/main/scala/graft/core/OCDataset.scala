@@ -267,7 +267,14 @@ final case class OCDataset(
     val baseBox = if (header.boxSize > 0) header.boxSize else 1.0
     val f = Units.conversionFactor(unitOf(cx), Units.Scalefree,
       header.convention, header.cosmology, header.scaleFactor)
-    val stored = header.spatialIndexLevel > 0 &&
+    // stored-key fast path requires the index to have been built over
+    // THESE coordinate columns; an empty coords record (legacy files,
+    // pre-coords headers) is trusted for the default x/y/z only
+    val coordsMatch = header.spatialIndexCoords match {
+      case Seq(a, b, c) => (a, b, c) == coords
+      case _            => coords == ("x", "y", "z")
+    }
+    val stored = header.spatialIndexLevel > 0 && coordsMatch &&
       columns.contains("morton_key") && domain.isEmpty
     val filterOpt =
       if (stored) {

@@ -76,7 +76,12 @@ object OCIO {
         n => keyed.repartitionByRange(n, col("morton_key")))
     ranged.sortWithinPartitions(col("morton_key"))
       .write.mode("overwrite").parquet(s"$path/data.parquet")
-    Header.write(path, ds.header.copy(spatialIndexLevel = level))
+    // record WHICH coordinates the key was built over — bound() only
+    // takes the stored-key fast path when its coords match, otherwise
+    // a query over different columns would silently reuse a key
+    // derived from the wrong coordinates
+    Header.write(path, ds.header.copy(spatialIndexLevel = level,
+      spatialIndexCoords = Seq(cx, cy, cz)))
   }
 
   /** Multi-format write: parquet (default, columnar — the scale

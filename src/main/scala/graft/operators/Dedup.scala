@@ -111,6 +111,11 @@ object Dedup {
     // — across a 56-query session un-released persists were the
     // difference between a 15 s and a 52 s dedup pipeline (round-2
     // bench regression: accumulated cache pressure).
+    // CLUSTER CAVEAT: localCheckpoint blocks are non-reliable executor
+    // storage — under executor loss / dynamic allocation the truncated
+    // lineage cannot recompute. On a real cluster set a checkpoint dir
+    // and flip this (and the CC loop's) to reliable checkpoint(), or
+    // disable dynamic allocation for the dedup stage.
     val out = scored.localCheckpoint(true)
     sigs.unpersist()
     out

@@ -24,20 +24,39 @@ object TextVector {
     * `partitionBy(cell)` + centroid sidecar) and reopened COLD: probes
     * measured against it pay the real recurring cost — a
     * partition-pruned parquet scan — not reads from an in-memory cache.
-    * Cache key includes the session identity: a cached index holds
-    * DataFrames bound to one SparkSession and must not leak into a
-    * restarted session (its plans would reference dead state).
+    * The cache is keyed on the SparkSession OBJECT through a weak map:
+    * a cached index holds DataFrames bound to one session and must not
+    * leak into a different one (identity hash codes can collide), and
+    * when a session is garbage-collected its entry — and only its
+    * entry — drops out. Index directories are registered for JVM-exit
+    * cleanup, so repeated sessions don't accrete /tmp artifacts.
     */
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Similarity.IvfIndex]
-  def ivfIndexFor(s: SparkSession, dir: String): Similarity.IvfIndex =
-    ivfCache.getOrElseUpdate((System.identityHashCode(s), dir), {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Similarity.IvfIndex]]()
+  def ivfIndexFor(s: SparkSession, dir: String): Similarity.IvfIndex = {
+    val perSession = ivfCache.synchronized {
+      var m = ivfCache.get(s)
+      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; ivfCache.put(s, m) }
+      m
+    }
+    perSession.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-")
+      deleteOnExit(tmp)
       val built = Similarity.buildIvfIndex(t(s, dir, "embeddings"), "vec_id", "embedding")
-      Similarity.writeIvfIndex(built, tmp)
+      Similarity.writeIvfIndex(built, tmp.toString)
       built.unpersist() // drop the build-time cache; probes read from disk
-      Similarity.openIvfIndex(s, tmp)
+      Similarity.openIvfIndex(s, tmp.toString)
     })
+  }
+
+  private def deleteOnExit(root: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file._
+      try Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case _: Throwable => () }
+    }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting (whitespace tokenizer, codegen'd).

@@ -77,7 +77,6 @@ class CoreSpec extends SparkSpec {
   }
 
   test("dex columns convert by additive log10 shift") {
-    import org.apache.spark.sql.functions.log10
     val ds = OCDataset(
       Seq((1L, 13.0)).toDF("halo_tag", "logm"),
       Header(columnUnits = Map("logm" -> "dex(Msun)")))

@@ -214,6 +214,35 @@ class SpatialSpec extends SparkSpec {
       s"no storage pruning: scan emitted $scanned of 20000 rows")
   }
 
+  test("stored index records its coords; bound over OTHER columns ignores it") {
+    import graft.core.{Header, OCDataset}
+    val dir = java.nio.file.Files.createTempDirectory("graft_coords").toString
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 2000).map(i =>
+      (i.toLong, rnd.nextDouble * 100, rnd.nextDouble * 100, rnd.nextDouble * 100,
+        rnd.nextDouble * 100, rnd.nextDouble * 100, rnd.nextDouble * 100))
+      .toDF("id", "x", "y", "z", "vx", "vy", "vz")
+    graft.io.OCIO.writeSpatial(OCDataset(pts, Header(boxSize = 100.0)), dir, level = 4)
+    val re = graft.io.OCIO.open(spark, dir)
+    assert(re.header.spatialIndexCoords == Seq("x", "y", "z"))
+    val region = Box(P3(10, 10, 10), P3(60, 60, 60))
+    // querying the VELOCITY columns must not reuse the position key
+    val got = re.bound(region, coords = ("vx", "vy", "vz")).df
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = pts.filter(region.predicate($"vx", $"vy", $"vz"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    def filterRefs(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.references.map(_.name).toSet
+      }.flatten.toSet
+    assert(!filterRefs(re.bound(region, coords = ("vx", "vy", "vz")).df)
+      .contains("morton_key"), "stored key reused for mismatched coords")
+    // matching coords still take the stored-key path
+    assert(filterRefs(re.bound(region).df).contains("morton_key"))
+  }
+
   test("bound auto-scales with the unit convention (physical == scalefree rows)") {
     import graft.core.{Header, OCDataset}
     import graft.units.Units.{Cosmology, Physical}
