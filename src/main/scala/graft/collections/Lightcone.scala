@@ -49,6 +49,61 @@ final case class Lightcone(steps: Map[Int, OCDataset]) {
     Lightcone(steps.map { case (s, d) => s -> f(d) })
 
   def filter(masks: OCMask*): Lightcone = map(_.filter(masks: _*))
+
+  /** Sky-region restriction on every step (reference
+    * Lightcone.cone_search / box_search, lightcone.py:654-745) — the
+    * predicate is broadcast per step so step-level pruning
+    * (withRedshiftRange, partitionBy("step") on disk) still applies
+    * BEFORE any row is touched.
+    */
+  def boundSky(region: graft.spatial.Region.SkyRegion,
+               coords: (String, String) = ("ra", "dec")): Lightcone =
+    map(_.boundSky(region, coords))
+
+  def coneSearch(center: graft.spatial.Region.SkyP, radiusDeg: Double,
+                 coords: (String, String) = ("ra", "dec")): Lightcone =
+    boundSky(graft.spatial.Region.Cone(center, radiusDeg), coords)
+
+  def boxSearch(raMin: Double, raMax: Double, decMin: Double, decMax: Double,
+                coords: (String, String) = ("ra", "dec")): Lightcone =
+    boundSky(graft.spatial.Region.Skybox(raMin, raMax, decMin, decMax), coords)
+
+  /** Cross-step object identity (reference handler.py:95-114
+    * build_lightcone_index): a global `object_id` derived from the
+    * object's natural key — content-keyed (xxhash64), so the SAME
+    * object hashes to the SAME id in every step with zero
+    * coordination, where the reference intersects per-step row
+    * indices. Map-side only; survives unions, filters, and writes.
+    */
+  def withObjectId(naturalKey: Seq[String],
+                   idCol: String = "object_id"): Lightcone =
+    map(d => d.copy(df = d.df.withColumn(idCol,
+      xxhash64(naturalKey.map(col): _*))))
+
+  /** Unioned view carrying each row's step AND step redshift (the
+    * per-step header value as an ordinary column — what cross-step
+    * history queries group over).
+    */
+  def toDatasetWithRedshift: OCDataset = {
+    val frames = steps.toSeq.sortBy(_._1).map { case (s, d) =>
+      d.df.withColumn("step", lit(s))
+        .withColumn("redshift", lit(d.header.redshift))
+    }
+    OCDataset(frames.reduce(_.unionByName(_)),
+      steps.head._2.header.copy(isLightcone = true))
+  }
+
+  /** Per-object history across steps: one row per object with its
+    * step span and redshift range — one hash-agg shuffle over the
+    * union (partial aggregation per step file at scale).
+    */
+  def objectHistory(idCols: Seq[String]): org.apache.spark.sql.DataFrame =
+    toDatasetWithRedshift.df
+      .groupBy(idCols.map(col): _*)
+      .agg(
+        countDistinct(col("step")).as("n_steps"),
+        min(col("redshift")).as("z_first"),
+        max(col("redshift")).as("z_last"))
 }
 
 object Lightcone {

@@ -88,6 +88,53 @@ final case class StructureCollection(
     properties.df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** 3-D spatial bound on the parent (reference
+    * StructureCollection.bound, structure.py:388-519): the octree plan
+    * restricts parent structures; children rebuild lazily against the
+    * filtered parent at access, like every other parent filter.
+    */
+  def bound(region: graft.spatial.Region.Region3D,
+            coords: (String, String, String) = ("x", "y", "z"),
+            level: Int = 4): StructureCollection =
+    copy(properties = properties.bound(region, coords, level))
+
+  /** Sky bound on the parent (reference cone/box search over linked
+    * structures).
+    */
+  def boundSky(region: graft.spatial.Region.SkyRegion,
+               coords: (String, String) = ("ra", "dec")): StructureCollection =
+    copy(properties = properties.boundSky(region, coords))
+
+  /** [[evaluate]] whose results are INSERTED as new parent columns
+    * (reference evaluate(..., insert=True), structure.py:521-858): per
+    * structure, `f` maps the packed child rows to one value per output
+    * column; the values join back onto the parent by link key, so the
+    * collection keeps its children and the new columns are filterable
+    * like any property. One child-side hash-agg + one (broadcastable)
+    * join — no RDD hop, stays in Catalyst when `f` is expressible as
+    * aggregate Columns via [[aggregateChild]]; this form is the
+    * arbitrary-closure escape hatch.
+    */
+  def evaluateInsert(name: String,
+                     outFields: Seq[org.apache.spark.sql.types.StructField],
+                     f: Seq[Row] => Seq[Any]): StructureCollection = {
+    val c = children(name)
+    val keyField = properties.df.schema(linkKey)
+    val outSchema = org.apache.spark.sql.types.StructType(keyField +: outFields)
+    val packed = c.groupBy(col(linkKey))
+      .agg(collect_list(struct(c.columns.filter(_ != linkKey).map(col).toSeq: _*))
+        .as("__rows"))
+    val rdd = packed.rdd.map { r =>
+      val vals = f(r.getAs[scala.collection.Seq[Row]]("__rows").toSeq)
+      Row.fromSeq(r.getAs[Any](linkKey) +: vals)
+    }
+    val evaluated = properties.df.sparkSession.createDataFrame(rdd, outSchema)
+    // left join: parents with no children keep null results (the
+    // reference fills masked values)
+    copy(properties = properties.copy(
+      df = properties.df.join(evaluated, Seq(linkKey), "left")))
+  }
+
   /** Driver-side per-structure iterator (reference objects()/halos():
     * yields (parent row, child rows)). Parent order follows the
     * parent's sort; children arrive grouped. For DISTRIBUTED

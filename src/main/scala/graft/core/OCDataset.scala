@@ -294,6 +294,35 @@ final case class OCDataset(
     }
   }
 
+  /** 2-D sky bound (reference dataset-level `bound` with a 2-D region,
+    * lightcone.py:654-745; spatial/region.py ConeRegion/SkyboxRegion):
+    * restrict to rows whose (ra, dec) lie in `region`. The exact
+    * predicate is pure column trigonometry (codegen'd — no UDF). When
+    * the dataset carries a stored HEALPix pixel column (`pixelCol` at
+    * `nside`, nested ordering), a cone query prepends a pixel-set
+    * prefilter: an `isin` over the disc's pixels, which pushes to the
+    * parquet scan and prunes row groups when the data is
+    * pixel-clustered — the 2-D analog of the stored Morton fast path.
+    */
+  def boundSky(region: graft.spatial.Region.SkyRegion,
+               coords: (String, String) = ("ra", "dec"),
+               pixelCol: Option[String] = None,
+               nside: Int = 0): OCDataset = {
+    import graft.spatial.Region._
+    val (ra, dec) = coords
+    val exact = region.predicate(col(ra), col(dec))
+    val pre: Option[Column] = (region, pixelCol) match {
+      case (c: Cone, Some(p)) if nside > 0 =>
+        val pix = graft.spatial.Healpix.queryDisc(nside, c.center, c.radius)
+        Some(col(p).isin(pix.toSeq: _*))
+      case (HealpixRegion(n, pixels), Some(p)) if n == nside =>
+        // pixel membership IS the region definition — no exact check
+        return copy(df = df.filter(col(p).isin(pixels.toSeq: _*)))
+      case _ => None
+    }
+    copy(df = df.filter(pre.fold(exact)(_ && exact)))
+  }
+
   // ---- materialization --------------------------------------------
 
   /** The materialization boundary (reference get_data). */

@@ -228,6 +228,56 @@ object CoreLib {
         columnConversions = Map("mass_msun" -> "kg")).df
     }),
 
+    // §2.7 2-D sky cone search (reference lightcone cone_search /
+    // dataset bound with a 2-D region): codegen'd haversine predicate
+    // over synthesized ra/dec; the oracle repeats the identical IEEE
+    // expression (radian literals written out so both engines fold the
+    // same constants).
+    "q68_cone_search" -> ((s, dir) => {
+      import graft.spatial.Region.{Cone, SkyP}
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_orderkey") % 360).cast("double").as("ra"),
+        ((col("o_custkey") % 179) - 89).cast("double").as("decl"))
+      OCDataset(o).boundSky(Cone(SkyP(180.0, 0.0), 60.0),
+        coords = ("ra", "decl")).df
+    }),
+
+    // §2.3/§2.9 lightcone cross-step identity: content-keyed global
+    // object_id (xxhash64 of the natural key — identical in every
+    // step, no coordination) + per-object history across steps. The
+    // oracle groups by the natural key directly; grouping by the
+    // derived object_id must agree exactly.
+    "q69_lightcone_history" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val steps = Map(
+        0 -> OCDataset(o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+          Header(redshift = 0.3)),
+        1 -> OCDataset(o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("2000-01-01").cast("timestamp")),
+          Header(redshift = 0.7)),
+        2 -> OCDataset(o.filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+          Header(redshift = 1.2)))
+      Lightcone(steps).withObjectId(Seq("o_custkey"))
+        .objectHistory(Seq("object_id", "o_custkey"))
+        .drop("object_id")
+    }),
+
+    // §2.6 evaluate with insert semantics: per-structure closure result
+    // attached as a parent column, then FILTERED on — the
+    // chain the reference's insert=True evaluate enables.
+    "q70_evaluate_insert" -> ((s, dir) => {
+      val coll = StructureCollection(
+        OCDataset(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))),
+        Map("items" -> t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))),
+        "o_orderkey")
+      coll.evaluateInsert("items",
+        Seq(StructField("max_price", DoubleType)),
+        kids => Seq(kids.map(_.getDouble(0)).max))
+        .filter(ocCol("max_price") > 50000.0)
+        .properties.df
+    }),
+
     // §2.2 scalar-in-select: normalization by reductions through the
     // expression DSL ((q - mean)/std, agg-then-substitute) — rounded
     // (stddev accumulation order differs between engines).
@@ -293,6 +343,37 @@ object CoreLib {
          FROM embeddings""",
     "q66_hdf5_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "q68_cone_search" ->
+      """SELECT o_orderkey, ra, decl FROM (
+           SELECT o_orderkey,
+             CAST(o_orderkey % 360 AS DOUBLE) AS ra,
+             CAST((o_custkey % 179) - 89 AS DOUBLE) AS decl
+           FROM orders)
+         WHERE degrees(2 * asin(least(1.0, sqrt(
+             sin(radians(decl) / 2) * sin(radians(decl) / 2)
+           + cos(radians(decl))
+             * sin((radians(ra) - 3.141592653589793) / 2)
+             * sin((radians(ra) - 3.141592653589793) / 2)
+         )))) <= 60.0""",
+    "q69_lightcone_history" ->
+      """SELECT o_custkey,
+         count(DISTINCT CASE
+           WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 0
+           WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 1 ELSE 2 END) AS n_steps,
+         min(CASE
+           WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 0.3
+           WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 0.7 ELSE 1.2 END) AS z_first,
+         max(CASE
+           WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 0.3
+           WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 0.7 ELSE 1.2 END) AS z_last
+         FROM orders GROUP BY 1""",
+    "q70_evaluate_insert" ->
+      """SELECT o_orderkey, o_orderstatus, max_price FROM (
+           SELECT o_orderkey, o_orderstatus,
+             max(l_extendedprice) AS max_price
+           FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1, 2)
+         WHERE max_price > 50000.0""",
     "q67_unit_conversions" ->
       """SELECT l_orderkey, l_linenumber,
          l_quantity * (1.0 / 0.001) AS len_mpch,

@@ -129,6 +129,84 @@ class CollectionsSpec extends SparkSpec {
     assert(plan.contains("step"), "expected step partition filter in plan")
   }
 
+  test("lightcone coneSearch restricts every step; object history spans steps") {
+    import graft.spatial.Region.SkyP
+    val s0 = OCDataset(Seq((1L, 10.0, 0.0), (2L, 200.0, 50.0)).toDF("id", "ra", "decl"),
+      Header(redshift = 0.2))
+    val s1 = OCDataset(Seq((1L, 11.0, 1.0), (3L, 180.0, -60.0)).toDF("id", "ra", "decl"),
+      Header(redshift = 0.8))
+    val lc = Lightcone(Map(0 -> s0, 1 -> s1))
+    val cone = lc.coneSearch(SkyP(10.0, 0.0), 5.0, coords = ("ra", "decl"))
+    // object 1 survives in both steps, 2 and 3 are far away
+    assert(cone.toDataset.df.select("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 1L))
+    // box search with RA wrap-around
+    val box = lc.boxSearch(350.0, 20.0, -5.0, 5.0, coords = ("ra", "decl"))
+    assert(box.toDataset.df.select("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 1L))
+    // cross-step identity: same natural key -> same object_id in both steps
+    val hist = lc.withObjectId(Seq("id")).objectHistory(Seq("object_id", "id"))
+    val h = hist.collect().map(r => r.getAs[Long]("id") ->
+      (r.getAs[Long]("n_steps"), r.getAs[Double]("z_first"), r.getAs[Double]("z_last"))).toMap
+    assert(h(1L) == ((2L, 0.2, 0.8)))
+    assert(h(2L) == ((1L, 0.2, 0.2)) && h(3L) == ((1L, 0.8, 0.8)))
+    assert(hist.count() == 3) // ids did not collide or split
+  }
+
+  test("structure collection 3-D bound filters parents, children follow lazily") {
+    import graft.spatial.Region.{Box, P3}
+    val parents = OCDataset(Seq(
+      (1L, 10.0, 10.0, 10.0), (2L, 90.0, 90.0, 90.0)
+    ).toDF("halo_tag", "x", "y", "z"), Header(boxSize = 100.0))
+    val c = StructureCollection(parents, Map("particles" -> particles), "halo_tag")
+    val b = c.bound(Box(P3(0, 0, 0), P3(50, 50, 50)))
+    assert(b.properties.df.select("halo_tag").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(b.child("particles").select("p_mass").collect().map(_.getDouble(0)).toSet ==
+      Set(0.1, 0.2, 0.3))
+  }
+
+  test("evaluateInsert attaches per-structure results as filterable parent columns") {
+    val out = coll.evaluateInsert("particles",
+      Seq(StructField("max_p", DoubleType)),
+      kids => Seq(kids.map(_.getAs[Double]("p_mass")).max))
+    assert(out.children.keySet == Set("particles")) // collection intact
+    val withCol = out.properties.df.collect()
+      .map(r => r.getAs[Long]("halo_tag") -> r.getAs[Double]("max_p")).toMap
+    assert(withCol == Map(1L -> 0.3, 2L -> 2.0, 3L -> 7.0))
+    // chain: filter on the inserted column, then reach children again
+    val f = out.filter(ocCol("max_p") > 1.0)
+    assert(f.properties.count() == 2)
+    assert(f.child("particles").select("halo_tag").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("boundSky pixel prefilter: stored healpix column prunes before the exact check") {
+    import graft.spatial.{Healpix, Region}
+    val nside = 8
+    val pts = Seq((1L, 45.0, 30.0), (2L, 225.0, -30.0), (3L, 46.0, 31.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sky").toString
+    pts.map { case (id, ra, dec) =>
+      (id, ra, dec, Healpix.ang2pixNest(nside, ra, dec))
+    }.toDF("id", "ra", "decl", "hp").write.mode("overwrite").parquet(dir)
+    val ds = OCDataset(spark.read.parquet(dir))
+    val cone = Region.Cone(Region.SkyP(45.0, 30.0), 3.0)
+    val got = ds.boundSky(cone, coords = ("ra", "decl"),
+      pixelCol = Some("hp"), nside = nside)
+    assert(got.df.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // prefilter really is in the plan (isin on the pixel column)
+    val conds = got.df.queryExecution.optimizedPlan.collect {
+      case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        fl.condition.references.map(_.name).toSet
+    }.flatten.toSet
+    assert(conds.contains("hp"))
+    // HealpixRegion with matching nside short-circuits to pure pixel membership
+    val hr = Region.HealpixRegion(nside,
+      Set(Healpix.ang2pixNest(nside, 45.0, 30.0)))
+    val viaPixels = ds.boundSky(hr, coords = ("ra", "decl"),
+      pixelCol = Some("hp"), nside = nside)
+    assert(viaPixels.df.select("id").collect().map(_.getLong(0)).nonEmpty)
+  }
+
   test("simulation collection broadcasts ops") {
     val sc = SimulationCollection(Map(
       "simA" -> props, "simB" -> props))
