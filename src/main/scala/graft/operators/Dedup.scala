@@ -35,11 +35,15 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
-    // 64-bit shingle hashes, not strings: ~4x smaller shuffles.
-    // Collisions (~2^-64 per pair) are statistically invisible at any
-    // realistic corpus size.
-    val sh = df.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("s0"))
-      .select(col("doc"), xxhash64(col("s0")).as("s"))
+    // 64-bit shingle hashes, not strings: ~4x smaller shuffles, and
+    // the one-pass ngram kernel (chained token-hash mix, already
+    // distinct) never materializes an n-gram string at all. Collisions
+    // (~2^-64 per pair) are statistically invisible at any realistic
+    // corpus size.
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    val sh = df.select(col(idCol).as("doc"),
+      explode(call_function("graft_ngram_hashes",
+        transform(tokens(col(textCol)), t => xxhash64(t)), lit(n))).as("s"))
     val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     // posting-list expansion instead of a self-join: ONE shuffle of the
     // (doc, shingle) pairs builds per-shingle doc lists; pair fan-out
@@ -140,7 +144,20 @@ object Dedup {
     * Output: (node, label) — label = min node id of the component.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 20, checkEvery: Int = 2): DataFrame = {
+                          maxIters: Int = 20, checkEvery: Int = 2,
+                          driverThreshold: Int = 1 << 20): DataFrame = {
+    // SCALE-ADAPTIVE: the near-dup pair list is the *filtered
+    // survivors* of the LSH gate — usually minuscule next to the
+    // corpus. When it fits on the driver (≤ driverThreshold edges,
+    // probed with ONE take()), exact union-find locally replaces
+    // O(diameter) distributed rounds of 2 shuffles + a blocking action
+    // each; past the threshold the distributed loop takes over
+    // unchanged. Same outcome either way: label = min node id.
+    val probe = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .take(driverThreshold + 1)
+    if (probe.length <= driverThreshold)
+      return driverUnionFind(pairs.sparkSession, probe,
+        pairs.schema(aCol).dataType)
     val sym = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
       .distinct()
@@ -181,6 +198,45 @@ object Dedup {
     labels.unpersist()
     edges.unpersist()
     out
+  }
+
+  /** Exact union-find over a collected edge list (union-by-min with
+    * path compression): the component root IS the minimum node id, so
+    * the output contract matches the distributed loop exactly.
+    */
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+                              edges: Array[org.apache.spark.sql.Row],
+                              idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val lt: (Any, Any) => Boolean = (x, y) => (x, y) match {
+      case (a: Long, b: Long)     => a < b
+      case (a: Int, b: Int)       => a < b
+      case (a: String, b: String) => a < b
+      case (a: Number, b: Number) => a.doubleValue() < b.doubleValue()
+      case other => throw new IllegalArgumentException(s"unorderable ids: $other")
+    }
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x0: Any): Any = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { r =>
+      val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+      if (ra != rb) {
+        if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val nodes = new java.util.HashSet[Any]()
+    edges.foreach { r => nodes.add(r.get(0)); nodes.add(r.get(1)) }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.size())
+    nodes.forEach(n => rows.add(org.apache.spark.sql.Row(n, find(n))))
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", idType),
+      org.apache.spark.sql.types.StructField("label", idType))))
   }
 
   /** End-to-end near-duplicate removal: MinHash+LSH candidates above

@@ -61,6 +61,25 @@ class DedupSpec extends SparkSpec {
     assert(Seq(8L, 9L, 10L, 11L).forall(comps(_) == 8L))
   }
 
+  test("connectedComponents: driver union-find == distributed loop") {
+    val rnd = new scala.util.Random(3)
+    // random graph with chains, cliques, and singleton pairs
+    val pairs = ((0 until 300).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b } ++ Seq((500L, 501L), (501L, 502L)))
+      .toDF("doc_a", "doc_b")
+    val viaDriver = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+      driverThreshold = 0) // force the distributed path
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaLoop)
+    // string ids take the driver path too
+    val sPairs = Seq(("b", "a"), ("c", "b")).toDF("doc_a", "doc_b")
+    val s = Dedup.connectedComponents(sPairs, "doc_a", "doc_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(s == Map("a" -> "a", "b" -> "a", "c" -> "a"))
+  }
+
   test("dropNearDuplicates keeps one doc per near-dup cluster") {
     val d = Tables(spark, sf001, "documents")
     val kept = Dedup.dropNearDuplicates(d, "doc_id", "text", minEstimate = 0.5)
