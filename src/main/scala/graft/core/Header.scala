@@ -40,6 +40,30 @@ final case class Header(
   def convention: Convention = Convention.parse(unitConvention)
   def scaleFactor: Double = 1.0 / (1.0 + redshift)
 
+  /** Field validation (reference: pydantic models, dtypes/file.py:34,
+    * dtypes/hacc.py:28-68 — box_size ≥ 0 Mpc/h, plausible cosmology,
+    * known convention). Throws with the offending field named; called
+    * on every sidecar/HDF5 parse so malformed metadata fails at open
+    * time, not deep inside a query.
+    */
+  def validated: Header = {
+    def req(ok: Boolean, msg: => String): Unit =
+      if (!ok) throw new IllegalArgumentException(s"invalid header: $msg")
+    req(boxSize >= 0, s"box_size $boxSize < 0")
+    req(redshift >= 0, s"redshift $redshift < 0")
+    req(step >= 0, s"step $step < 0")
+    req(Seq("scalefree", "comoving", "physical", "unitless").contains(unitConvention),
+      s"unknown unit_convention '$unitConvention'")
+    req(cosmology.h0 > 0 && cosmology.h0 < 200, s"implausible h0 ${cosmology.h0}")
+    req(cosmology.omegaM >= 0 && cosmology.omegaM <= 2,
+      s"implausible omega_m ${cosmology.omegaM}")
+    req(cosmology.omegaL >= 0 && cosmology.omegaL <= 2,
+      s"implausible omega_l ${cosmology.omegaL}")
+    req(spatialIndexLevel >= 0 && spatialIndexLevel <= 20,
+      s"spatial_index_level $spatialIndexLevel out of [0,20]")
+    this
+  }
+
   def toJson: String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def m(mm: Map[String, String]) =
@@ -93,7 +117,7 @@ object Header {
         val node = n.path("spatial_index_coords")
         if (node.isMissingNode || !node.isArray) Nil
         else (0 until node.size()).map(node.get(_).asText())
-      })
+      }).validated
   }
 
   def write(path: String, h: Header): Unit =

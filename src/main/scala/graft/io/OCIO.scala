@@ -39,7 +39,28 @@ object OCIO {
            hooks: Seq[OCDataset => OCDataset] = Nil): OCDataset = {
     val header = Header.read(path)
     val ds = OCDataset(spark.read.parquet(s"$path/data.parquet"), header)
-    hooks.foldLeft(ds)((d, h) => h(d))
+    (Hooks.forType(header.dataType) ++ hooks).foldLeft(ds)((d, h) => h(d))
+  }
+
+  /** Data-type-keyed open hooks (reference plugin registration,
+    * plugins/hook.py:15-71: plugins declare which dataset types they
+    * enrich — e.g. the lightcone plugin synthesizing redshift/ra/dec
+    * columns at open, collection/lightcone/plugins.py:20-108). Hooks
+    * registered here run on every [[open]] whose sidecar `data_type`
+    * matches, before any per-call hooks. Hooks are plan rewrites —
+    * they add derived columns lazily, nothing executes at open.
+    */
+  object Hooks {
+    private val byType =
+      scala.collection.concurrent.TrieMap.empty[String, Vector[OCDataset => OCDataset]]
+    def register(dataType: String)(h: OCDataset => OCDataset): Unit =
+      byType.updateWith(dataType) {
+        case Some(v) => Some(v :+ h)
+        case None    => Some(Vector(h))
+      }
+    def forType(dataType: String): Seq[OCDataset => OCDataset] =
+      byType.getOrElse(dataType, Vector.empty)
+    def clear(): Unit = byType.clear()
   }
 
   /** Spatially-indexed write (reference spatial/tree.py:272-282

@@ -204,18 +204,14 @@ object Hdf5Io {
         case Some(s: String) => s
         case _               => dflt
       }
-      val h = Header(
+      Header(
         boxSize = dbl("box_size", 0.0),
         redshift = dbl("redshift", 0.0),
         step = dbl("step", 0.0).toInt,
         unitConvention = str("unit_convention", "scalefree"),
         dataType = str("data_type", "dataset"),
         cosmology = Cosmology(dbl("h0", 70.0), dbl("omega_m", 0.3), dbl("omega_l", 0.7)))
-      require(h.boxSize >= 0, s"invalid box_size ${h.boxSize} in $path")
-      require(h.cosmology.h0 > 0 && h.cosmology.h0 < 200,
-        s"implausible h0 ${h.cosmology.h0} in $path")
-      require(h.redshift >= 0, s"invalid redshift ${h.redshift} in $path")
-      h
+        .validated
     } finally r.close()
   }
 

@@ -151,6 +151,21 @@ class CoreSpec extends SparkSpec {
     assert(h2 == h)
   }
 
+  test("header validation rejects malformed metadata with the field named") {
+    val bad = Header().copy(boxSize = -5.0)
+    val e = intercept[IllegalArgumentException](bad.validated)
+    assert(e.getMessage.contains("box_size"))
+    val e2 = intercept[IllegalArgumentException](
+      Header.fromJson("""{"unit_convention": "parsecs"}"""))
+    assert(e2.getMessage.contains("unit_convention"))
+    val e3 = intercept[IllegalArgumentException](
+      Header.fromJson("""{"cosmology": {"h0": -1.0}}"""))
+    assert(e3.getMessage.contains("h0"))
+    // defaults and real headers pass untouched
+    Header().validated
+    Header(boxSize = 64.0, redshift = 1.0).validated
+  }
+
   test("OCIO write/open roundtrip with sidecar") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ocio").toString
     OCIO.write(halos, dir, sortColumn = Some("halo_tag"))
@@ -158,6 +173,26 @@ class CoreSpec extends SparkSpec {
     assert(back.header == halos.header)
     assert(back.count() == 4)
     assert(back.unitOf("x") == Units.parse("Mpc/h"))
+  }
+
+  test("registered data-type hooks run at open, before per-call hooks") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_hooks").toString
+    OCIO.write(OCDataset(Seq((1L, 2.0)).toDF("id", "v"),
+      Header(dataType = "hooked")), dir)
+    try {
+      OCIO.Hooks.register("hooked")(d =>
+        d.copy(df = d.df.withColumn("from_hook", col("v") * 10.0)))
+      val ds = OCIO.open(spark, dir,
+        hooks = Seq(d => d.copy(df = d.df.withColumn("chained",
+          col("from_hook") + lit(1.0)))))
+      val r = ds.df.head()
+      assert(r.getAs[Double]("from_hook") == 20.0)
+      assert(r.getAs[Double]("chained") == 21.0)
+      // other data types are untouched
+      OCIO.write(OCDataset(Seq((1L, 2.0)).toDF("id", "v")), dir)
+      assert(!OCIO.open(spark, dir).columns.contains("from_hook"))
+    } finally OCIO.Hooks.clear()
   }
 
   test("flatten explodes array columns into scalar columns") {
