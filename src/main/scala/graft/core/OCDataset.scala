@@ -265,8 +265,15 @@ final case class OCDataset(
             domain: Option[(Double, Double)] = None): OCDataset = {
     val (cx, cy, cz) = coords
     val baseBox = if (header.boxSize > 0) header.boxSize else 1.0
-    val f = Units.conversionFactor(unitOf(cx), Units.Scalefree,
+    // domain factor = convention factor (littleh/scale-factor) × unit
+    // factor (the header's box is in the base Mpc-family length; a
+    // per-column conversion like Mpc→kpc rescaled the data by 1000 and
+    // the domain must follow, or the octree would silently classify in
+    // the wrong scale)
+    val cu = unitOf(cx)
+    val fConv = Units.conversionFactor(cu, Units.Scalefree,
       header.convention, header.cosmology, header.scaleFactor)
+    val f = fConv * Units.lengthScaleFromMpc(cu).getOrElse(1.0)
     // stored-key fast path requires the index to have been built over
     // THESE coordinate columns; an empty coords record (legacy files,
     // pre-coords headers) is trusted for the default x/y/z only

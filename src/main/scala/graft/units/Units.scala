@@ -217,6 +217,18 @@ object Units {
     ka / kb
   }
 
+  /** When `u` is a pure length (length¹, any littleh), the factor
+    * taking values in the canonical Mpc family to values in `u` —
+    * e.g. kpc → 1000. None for non-length / dimensionless /
+    * compound units (a velocity coordinate has no meaningful
+    * length rescale).
+    */
+  def lengthScaleFromMpc(u: UnitSpec): Option[Double] = {
+    if (u.dex || u.dims.isEmpty) return None
+    val (fams, fac) = canonical(u)
+    if (fams == Map("length" -> 1)) Some(1.0 / fac) else None
+  }
+
   /** Does `u` match conversion-map key `key`, ignoring the littleh
     * exponent? (`Map("Mpc" -> "kpc")` converts both Mpc and Mpc/h
     * columns, keeping their h bookkeeping.)

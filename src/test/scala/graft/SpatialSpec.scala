@@ -243,6 +243,25 @@ class SpatialSpec extends SparkSpec {
     assert(filterRefs(re.bound(region).df).contains("morton_key"))
   }
 
+  test("bound follows per-column unit conversions (kpc box == Mpc rows)") {
+    import graft.core.{Header, OCDataset}
+    val rnd = new scala.util.Random(13)
+    val pts = (0 until 3000).map(i =>
+      (i.toLong, rnd.nextDouble * 100, rnd.nextDouble * 100, rnd.nextDouble * 100))
+      .toDF("id", "x", "y", "z")
+    val base = OCDataset(pts, Header(boxSize = 100.0,
+      columnUnits = Map("x" -> "Mpc", "y" -> "Mpc", "z" -> "Mpc")))
+    val region = Box(P3(20, 20, 20), P3(70, 70, 70))
+    val want = base.bound(region).df.select("id").collect().map(_.getLong(0)).toSet
+    // convert coordinates to kpc; the SAME region expressed in kpc
+    // must select the same rows (domain auto-rescales ×1000)
+    val kpc = base.withUnitConversions(conversions = Map("Mpc" -> "kpc"))
+    val got = kpc.bound(region.scaled(1000.0)).df
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("bound auto-scales with the unit convention (physical == scalefree rows)") {
     import graft.core.{Header, OCDataset}
     import graft.units.Units.{Cosmology, Physical}
