@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-shaping operators for training-data pipelines: deterministic
+  * token-budget sampling and train/eval decontamination. No driver
+  * loops over data, no all-pairs joins, and — crucially — no global
+  * single-partition window: the running token sum is a two-phase
+  * distributed prefix sum (range partition → local cumsum + broadcast
+  * partition offsets), the textbook scan pattern.
+  */
+object Sampling {
+
+  /** Deterministic sample hitting a TOKEN budget (not a row count —
+    * training corpora are provisioned in tokens): rows are ordered by
+    * a content-derived pseudo-random key (md5 of the id — stable
+    * across runs and engines, no RNG state), and the sample is the
+    * prefix of that order whose running token sum stays under
+    * `budget`; the document straddling the line is kept iff it starts
+    * under it, so the result is within one document of the target.
+    *
+    * Plan: ONE range shuffle on the shuffle key (the same machinery as
+    * any global sort), a local per-partition cumsum window, and a
+    * driver-side prefix over the per-partition totals (≤ one row per
+    * partition — KBs). A naive `Window.orderBy` with no partition key
+    * would drag the whole corpus into a single task; this never does.
+    */
+  def sampleToTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
+                          budget: Long): DataFrame =
+    prefixSample(df, idCol, tokenCol, Nil, _ => budget)
+
+  /** Stratified token-budget sampling: an independent budget per
+    * stratum (language, source, …) — the mixture-weighting step of
+    * corpus assembly. `budgets` maps stratum value → token budget;
+    * strata not listed are dropped. Every stratum samples in the SAME
+    * single range shuffle.
+    */
+  def sampleToTokenBudgetBy(df: DataFrame, idCol: String, tokenCol: String,
+                            stratumCol: String,
+                            budgets: Map[String, Long]): DataFrame = {
+    val in = df.filter(col(stratumCol).isin(budgets.keys.toSeq: _*))
+    prefixSample(in, idCol, tokenCol, Seq(stratumCol),
+      row => budgets(row.head.toString))
+  }
+
+  /** Shared two-phase prefix-sum sampler. `strata` columns partition
+    * the budget space; `budgetOf` maps a stratum tuple to its budget.
+    *
+    * The scan is bucketed DETERMINISTICALLY by the leading hex digits
+    * of the ordering key itself (a prefix of the key preserves the key
+    * order, so per-bucket cumsum + per-bucket offsets == the global
+    * cumsum). Deriving the bucket from the data — never from
+    * `spark_partition_id()` — matters: runtime partition ids change
+    * whenever the plan re-executes or AQE re-lays-out the shuffle, and
+    * an offset table keyed on them silently mismatches.
+    */
+  private val BucketHexDigits = 2 // 256 buckets per stratum
+
+  private def prefixSample(df: DataFrame, idCol: String, tokenCol: String,
+                           strata: Seq[String],
+                           budgetOf: Seq[Any] => Long): DataFrame = {
+    val spark = df.sparkSession
+    val stratCols = strata.map(col)
+    val base = df
+      .withColumn("__key", md5(col(idCol).cast("string").cast("binary")))
+      .withColumn("__bkt",
+        conv(substring(col("__key"), 1, BucketHexDigits), 16, 10).cast("int"))
+    val groupCols = stratCols :+ col("__bkt")
+    // phase 1: per-(stratum, bucket) token totals — ≤ 256·|strata| rows
+    val totals = base.groupBy(groupCols: _*)
+      .agg(sum(col(tokenCol)).as("__t")).collect()
+    // driver prefix within each stratum across ascending buckets
+    val byStratum = totals.groupBy(r => (0 until strata.size).map(r.get))
+    val offsetRows = byStratum.toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(strata.size))
+      sorted.zip(sorted.scanLeft(0L)((acc, r) => acc + r.getLong(strata.size + 1))).map {
+        case (r, off) =>
+          // Seq(int, long) would unify to Seq[Long] and silently widen
+          // the bucket id — keep the element type at Any
+          org.apache.spark.sql.Row.fromSeq(
+            (0 until strata.size).map(r.get) ++
+              Seq[Any](r.getInt(strata.size), off))
+      }
+    }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      strata.map(s => df.schema(s)) ++ Seq(
+        org.apache.spark.sql.types.StructField("__bkt",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType)))
+    val jlist = new java.util.ArrayList[org.apache.spark.sql.Row](offsetRows.size)
+    offsetRows.foreach(jlist.add)
+    val offsets = spark.createDataFrame(jlist, offSchema)
+    // phase 2: per-bucket local cumsum + broadcast offset join — ONE
+    // hash exchange on (strata, bucket), fully parallel
+    val w = Window.partitionBy(groupCols: _*)
+      .orderBy(col("__key").asc, col(idCol).asc)
+    val budgetCol: Column =
+      if (strata.isEmpty) lit(budgetOf(Nil))
+      else {
+        // budgets realized as a literal column over the stratum value
+        byStratum.keys.toSeq.foldLeft(lit(null).cast("long")) { (acc, sv) =>
+          when(strata.map(col).zip(sv).map { case (c, v) => c === lit(v) }
+            .reduce(_ && _), lit(budgetOf(sv))).otherwise(acc)
+        }
+      }
+    base
+      .join(broadcast(offsets), (strata :+ "__bkt").toSeq)
+      .withColumn("__cum", sum(col(tokenCol)).over(w) + col("__off"))
+      .filter(col("__cum") - col(tokenCol) < budgetCol)
+      .drop("__key", "__bkt", "__off", "__cum")
+  }
+
+  /** Train/eval decontamination (the n-gram-overlap check every
+    * training pipeline runs before shipping a corpus): training docs
+    * sharing ≥ `minShared` distinct word n-grams with ANY benchmark
+    * doc are flagged. Plan: both sides explode to (doc, ngram-hash) —
+    * the benchmark side is tiny and its distinct ngram set BROADCASTS
+    * — so the match is a map-side semi-join on the training side
+    * followed by one hash-agg; the corpus never shuffles its text.
+    * Returns (idCol, n_shared) per contaminated training doc.
+    */
+  def contaminatedDocs(train: DataFrame, trainId: String, trainText: String,
+                       bench: DataFrame, benchText: String,
+                       n: Int = 13, minShared: Int = 1): DataFrame = {
+    graft.plans.GraftExtensions.registerAll(train.sparkSession)
+    def grams(c: Column) = call_function("graft_ngram_hashes",
+      transform(split(c, " "), t => xxhash64(t)), lit(n))
+    val benchGrams = bench.select(explode(grams(col(benchText))).as("g")).distinct()
+    val trainGrams = train.select(col(trainId), explode(grams(col(trainText))).as("g"))
+    trainGrams
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .groupBy(col(trainId))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** The clean corpus: training docs minus contaminated ones. */
+  def decontaminate(train: DataFrame, trainId: String, trainText: String,
+                    bench: DataFrame, benchText: String,
+                    n: Int = 13, minShared: Int = 1): DataFrame =
+    train.join(
+      contaminatedDocs(train, trainId, trainText, bench, benchText, n, minShared)
+        .select(col(trainId)),
+      Seq(trainId), "left_anti")
+}

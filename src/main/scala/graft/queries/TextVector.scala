@@ -182,12 +182,71 @@ object TextVector {
           col("media_meta.n_bytes").as("n_bytes"),
           col("media_meta.checksum").as("checksum"),
           col("width"), col("height"), col("n_frames"))
+    }),
+
+    // token-budget sampling: deterministic (md5-ordered) prefix whose
+    // running token sum stays under budget — two-phase distributed
+    // prefix sum, no single-partition window. Oracle replays the
+    // identical order + cumsum as one SQL window.
+    "q71_token_budget_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Sampling.sampleToTokenBudget(d, "doc_id", "n_tokens", 20000L)
+    }),
+
+    // stratified (per-language) token budgets — corpus mixture
+    // weighting in one shuffle.
+    "q72_stratified_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Sampling.sampleToTokenBudgetBy(d, "doc_id", "n_tokens",
+        "lang", Map("en" -> 10000L, "de" -> 4000L))
+    }),
+
+    // train/eval decontamination: drop training docs sharing any
+    // distinct 5-gram with the benchmark slice (broadcast semi-join on
+    // gram hashes). Oracle rebuilds the same n-gram sets as strings.
+    "q73_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("doc_id") % 50 === 0).select(col("text"))
+      graft.operators.Sampling.decontaminate(d, "doc_id", "text", bench, "text",
+        n = 5).select(col("doc_id"))
     })
   )
 
   val oracle: Map[String, String] = Map(
     "q20_token_count" ->
       "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
+    "q71_token_budget_sample" ->
+      """SELECT doc_id, n_tokens FROM (
+           SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+           FROM (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents))
+         WHERE cum - n_tokens < 20000""",
+    "q72_stratified_sample" ->
+      """SELECT doc_id, lang, n_tokens FROM (
+           SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum,
+             CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 4000 END AS budget
+           FROM (SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents WHERE lang IN ('en', 'de')))
+         WHERE cum - n_tokens < budget""",
+    "q73_decontaminate" ->
+      """WITH grams AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - 3),
+             i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))) AS g
+           FROM documents),
+         bench AS (
+           SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+         dirty AS (
+           SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (g))
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM dirty)""",
     "q21_text_quality" ->
       """SELECT doc_id,
          len(string_split(text, ' ')) AS n_words,

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Token-budget sampling + decontamination semantics. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sampleToTokenBudget equals the single-window reference result") {
+    val df = (0 until 500).map(i => (i.toLong, (i % 37) + 1L)).toDF("id", "n")
+    val got = Sampling.sampleToTokenBudget(df, "id", "n", 2000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // reference: one global window (fine at test size)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(col("id").cast("string").cast("binary")).asc, col("id").asc)
+    val want = df.withColumn("c", sum(col("n")).over(w))
+      .filter(col("c") - col("n") < 2000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < 500)
+  }
+
+  test("stratified budgets sample each stratum independently in one pass") {
+    val df = (0 until 600).map { i =>
+      (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr",
+        (i % 23) + 1L)
+    }.toDF("id", "lang", "n")
+    val got = Sampling.sampleToTokenBudgetBy(df, "id", "n", "lang",
+      Map("en" -> 800L, "de" -> 300L))
+    val byLang = got.groupBy("lang").agg(sum("n").as("t"), count(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byLang.keySet == Set("en", "de")) // fr dropped
+    // each stratum lands within one doc of its budget
+    assert(byLang("en")._1 >= 800L && byLang("en")._1 <= 800L + 23)
+    assert(byLang("de")._1 >= 300L && byLang("de")._1 <= 300L + 23)
+    // per-stratum reference windows agree exactly
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(md5(col("id").cast("string").cast("binary")).asc, col("id").asc)
+    val want = df.filter(col("lang").isin("en", "de"))
+      .withColumn("c", sum(col("n")).over(w))
+      .withColumn("b", when(col("lang") === "en", 800L).otherwise(300L))
+      .filter(col("c") - col("n") < col("b"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got.select("id").collect().map(_.getLong(0)).toSet == want)
+  }
+
+  test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text about spark plans"),
+      (3L, "quick brown fox jumps over something else entirely"),
+      (4L, "tiny")
+    ).toDF("doc_id", "text")
+    val bench = Seq("a benchmark with the quick brown fox jumps inside").toDF("text")
+    val clean = Sampling.decontaminate(train, "doc_id", "text", bench, "text", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // docs 1 and 3 share the 4-gram "quick brown fox jumps"; 4 is too short
+    assert(clean == Set(2L, 4L))
+    val flagged = Sampling.contaminatedDocs(train, "doc_id", "text", bench, "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet == Set(1L, 3L))
+  }
+}
