@@ -94,6 +94,19 @@ object EventOps {
         unix_timestamp(col("session_window").getField("start")).as("session_start_s"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming deduplication — the ingest-side guard every
+    * training-data feed needs (at-least-once sources redeliver):
+    * exactly one row per `idCols` tuple survives, with state bounded
+    * by the watermark (`dropDuplicatesWithinWatermark`): an id only
+    * needs remembering until no late duplicate can still arrive.
+    * Unbounded `dropDuplicates` state would grow with the stream; this
+    * is O(ids within the lateness horizon).
+    */
+  def streamDedup(stream: DataFrame, lateness: String,
+                  idCols: Seq[String] = Seq("event_id")): DataFrame =
+    stream.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Arbitrary stateful processing (`mapGroupsWithState` — the custom-
     * state escape hatch the windowed aggregates can't express):
     * running per-user totals that persist across micro-batches. Each

@@ -59,6 +59,23 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count(_.head == 1L) == 3)
   }
 
+  test("streaming dedup: redelivered ids collapse, state bounded by watermark") {
+    // duplicate event_ids (an at-least-once source redelivering)
+    val withDups = evs ++ Seq(
+      Ev(0L, ts("2024-01-01 00:06:00"), 1L, "view", 10.0, """{"k": 1}"""),
+      Ev(3L, ts("2024-01-01 01:11:00"), 2L, "purchase", 99.0, """{"k": 4}"""))
+    val src = MemoryStream[Ev](spark)
+    src.addData(withDups)
+    val sink = s"dedup_sink_${System.identityHashCode(src)}"
+    val q = EventOps.streamDedup(src.toDF(), "30 minutes").writeStream
+      .format("memory").queryName(sink).outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table(sink).collect()
+    assert(got.length == evs.length) // every duplicate collapsed
+    assert(got.map(_.getAs[Long]("event_id")).sorted.toSeq ==
+      evs.map(_.event_id).sorted)
+  }
+
   test("watermark drops late data in append mode") {
     val src = MemoryStream[Ev](spark)
     val q = EventOps.streamTumblingAgg(src.toDF(), "1 hour", "30 minutes")
