@@ -125,79 +125,106 @@ object Dedup {
     out
   }
 
-  /** Connected components over an undirected pair list (doc_a, doc_b)
-    * by min-label propagation: each node repeatedly adopts the
-    * smallest label among itself and its neighbors until fixpoint —
-    * O(component diameter) rounds, one join + one hash-agg shuffle per
-    * round. Near-dup components have tiny diameters (dup clusters are
-    * near-cliques), so 2-3 rounds suffice in practice; for adversarial
-    * long-chain graphs the large-star/small-star variant (O(log n)
-    * rounds) is the drop-in upgrade.
+  /** Connected components over an undirected pair list (doc_a,
+    * doc_b). Output: (node, label) — label = min node id of the
+    * component.
     *
-    * Driver sync is BATCHED: `checkEvery` propagation rounds run as one
-    * pipelined job before each convergence check, and the check itself
-    * is a cheap scalar — labels only ever decrease, so the label sum
-    * (exact, as decimal) is stationary iff the labels are. This cuts
-    * the blocking actions from one-per-round to one-per-batch, which at
-    * cluster scale is the difference between N and N/3 job launches on
-    * the critical path.
-    * Output: (node, label) — label = min node id of the component.
+    * SCALE-ADAPTIVE: the near-dup pair list is the *filtered
+    * survivors* of the LSH gate — usually minuscule next to the
+    * corpus. One `take(threshold+1)` probes it: lists that fit on the
+    * driver resolve by exact union-find with zero further jobs; larger
+    * graphs run the distributed large-star/small-star algorithm
+    * ([[connectedComponentsStar]] — O(log n) rounds on any topology,
+    * including long chains). Same contract either way.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 20, checkEvery: Int = 2,
+                          maxIters: Int = 50,
                           driverThreshold: Int = 1 << 20): DataFrame = {
-    // SCALE-ADAPTIVE: the near-dup pair list is the *filtered
-    // survivors* of the LSH gate — usually minuscule next to the
-    // corpus. When it fits on the driver (≤ driverThreshold edges,
-    // probed with ONE take()), exact union-find locally replaces
-    // O(diameter) distributed rounds of 2 shuffles + a blocking action
-    // each; past the threshold the distributed loop takes over
-    // unchanged. Same outcome either way: label = min node id.
     val probe = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .take(driverThreshold + 1)
     if (probe.length <= driverThreshold)
-      return driverUnionFind(pairs.sparkSession, probe,
-        pairs.schema(aCol).dataType)
-    val sym = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
-      .distinct()
-    // self-loops fold "keep own label" into the same neighbor-min agg,
-    // so each round consumes the previous labels frame exactly ONCE —
-    // a linear plan chain that can pipeline `checkEvery` rounds in one
-    // job without exponential recompute of unmaterialized rounds
-    val edges = sym
-      .union(sym.select(col("a")).distinct().select(col("a"), col("a").as("b")))
-      .persist()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).persist()
+      driverUnionFind(pairs.sparkSession, probe, pairs.schema(aCol).dataType)
+    else
+      connectedComponentsStar(pairs, aCol, bCol, maxIters)
+  }
 
-    def propagate(l: DataFrame): DataFrame =
-      edges.join(l.withColumnRenamed("node", "b"), Seq("b"))
-        .groupBy(col("a").as("node")).agg(min(col("label")).as("label"))
-    def labelSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .head().getDecimal(0)
+  /** Alternating large-star / small-star connected components
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"
+    * — public algorithm): converges in O(log n) rounds on ANY graph,
+    * including the adversarial long chains where min-label propagation
+    * needs O(diameter) rounds. Each round is two join+agg passes over
+    * the edge list; no step ever materializes a neighborhood wider
+    * than the joins' shuffle partitions (hub neighborhoods stream
+    * through the join, never collect_set).
+    *
+    *   large-star: every neighbor v > u links to m(u) = min(Γ(u)∪{u})
+    *   small-star: every neighbor v ≤ u (and u) links to that minimum
+    *
+    * At the fixpoint the edge set IS the star (node → component min).
+    * Used automatically by [[connectedComponents]] when the pair list
+    * exceeds the driver threshold; exposed for direct use/testing.
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxIters: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    var edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
 
-    var prevSum: java.math.BigDecimal = null
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("b").as("a"), col("a").as("b")))
+
+    // large-star over symmetric edges: (v, m(u)) for v ∈ Γ(u), v > u
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val mins = s.groupBy(col("a"))
+        .agg(least(min(col("b")), first(col("a"))).as("m"))
+      s.filter(col("b") > col("a"))
+        .join(mins, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    // small-star over min-oriented edges: (v, m(u)) for v ∈ Γ≤(u)∪{u}
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      val mins = o.groupBy(col("a"))
+        .agg(least(min(col("b")), first(col("a"))).as("m"))
+      o.join(mins, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(mins.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var prev = checksum(edges)
     var done = false
     var i = 0
     while (!done && i < maxIters) {
-      var next = labels
-      var j = 0
-      while (j < checkEvery && i < maxIters) { next = propagate(next); j += 1; i += 1 }
-      next.persist()
-      val s = labelSum(next) // the ONE action per batch
-      labels.unpersist()
-      labels = next
-      if (prevSum != null && s.compareTo(prevSum) == 0) done = true
-      prevSum = s
+      // one round = large-star then small-star, ONE blocking checksum
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      edges.unpersist()
+      edges = next
+      val c = checksum(edges)
+      if (c._1 == prev._1 && (c._2 == prev._2 ||
+          (c._2 != null && prev._2 != null && c._2.compareTo(prev._2) == 0)))
+        done = true
+      prev = c
+      i += 1
     }
-    // Hand back a self-contained (node,label) frame and release every
-    // iteration cache — nothing from the loop outlives the call.
-    val out = labels.localCheckpoint(true)
-    labels.unpersist()
-    edges.unpersist()
-    out
+    // fixpoint edges are (node, componentMin); add the roots themselves
+    val labels = edges
+      .union(edges.select(col("b").as("a"), col("b")))
+      .groupBy(col("a").as("node")).agg(min(col("b")).as("label"))
+    labels.localCheckpoint(true)
   }
 
   /** Exact union-find over a collected edge list (union-by-min with

@@ -78,6 +78,14 @@ class DedupSpec extends SparkSpec {
     val s = Dedup.connectedComponents(sPairs, "doc_a", "doc_b")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(s == Map("a" -> "a", "b" -> "a", "c" -> "a"))
+    // adversarial long chain through the star path: O(log n) rounds,
+    // not O(n) — min-label propagation would need 1000 rounds here
+    val chain = (1 until 1000).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val star = Dedup.connectedComponentsStar(chain, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(star.length == 1000)
+    assert(star.forall(_._2 == 1L), "chain did not collapse to its minimum")
   }
 
   test("dropNearDuplicates keeps one doc per near-dup cluster") {
