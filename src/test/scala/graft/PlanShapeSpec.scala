@@ -14,6 +14,16 @@ class PlanShapeSpec extends SparkSpec {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, sf001).queryExecution.executedPlan.toString
 
+  test("token-budget sampler never plans a single-partition global window") {
+    val p = plan("q71_token_budget_sample")
+    // the two-phase prefix sum must distribute over md5-prefix buckets;
+    // a SinglePartition exchange here means the whole corpus funnels
+    // through one task
+    assert(p.contains("Window"), s"no window in sampler plan:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"sampler collapsed to a single partition:\n$p")
+  }
+
   test("filter queries push predicates into the parquet scan") {
     val p = plan("q2_filter")
     assert(p.contains("PushedFilters: [Or(And(GreaterThan(l_quantity"),
