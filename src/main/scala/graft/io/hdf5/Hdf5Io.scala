@@ -418,8 +418,20 @@ object Hdf5Io {
     */
   def exportHdf5(ds: OCDataset, path: String,
                  chunkRows: Int = 1 << 16, compress: Boolean = true): Unit = {
+    val w = new Hdf5Writer(path)
+    try {
+      val dataAddr = writeDataGroup(w, ds.getData, ds.header, chunkRows, compress)
+      val headerAddr = writeHeaderGroup(w, ds.header)
+      w.finish(w.writeGroup(Seq("data" -> dataAddr, "header" -> headerAddr)))
+    } catch { case e: Throwable => w.close(); throw e }
+  }
+
+  /** Stream a DataFrame into a `data` group (one pass per column);
+    * returns the group's object-header address.
+    */
+  private def writeDataGroup(w: Hdf5Writer, df: DataFrame, header: Header,
+                             chunkRows: Int, compress: Boolean): Long = {
     import Hdf5Writer._
-    val df = ds.getData
     val rows = df.count()
     // one job probes every string column's max byte width + array widths
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
@@ -430,47 +442,101 @@ object Hdf5Io {
     val strW = strCols.map(c => c -> (Option(probeRow.getAs[Any](s"s_$c"))
       .fold(1)(_.asInstanceOf[Number].intValue) + 1)).toMap
     val arrW = arrCols.map(c => c -> probeRow.getAs[Number](s"a_$c").intValue).toMap
+    val colAddrs = df.schema.fields.map { f =>
+      val (dt, dims) = f.dataType match {
+        case LongType    => (I64, Seq(rows))
+        case IntegerType => (I32, Seq(rows))
+        case DoubleType  => (F64, Seq(rows))
+        case FloatType   => (F32, Seq(rows))
+        case StringType  => (Str(strW(f.name)), Seq(rows))
+        case ArrayType(DoubleType, _) => (F64, Seq(rows, arrW(f.name).toLong))
+        case ArrayType(FloatType, _)  => (F32, Seq(rows, arrW(f.name).toLong))
+        case ArrayType(LongType, _)   => (I64, Seq(rows, arrW(f.name).toLong))
+        case other => throw new IllegalArgumentException(
+          s"exportHdf5: unsupported column type $other (${f.name})")
+      }
+      val attrs =
+        header.columnUnits.get(f.name).map("unit" -> _).toSeq ++
+        header.columnDescriptions.get(f.name).map("description" -> _).toSeq
+      import scala.jdk.CollectionConverters._
+      val it = df.select(col(f.name)).toLocalIterator().asScala
+        .map(r => encodeValue(dt, f.dataType, r.get(0), strW.get(f.name), arrW.get(f.name)))
+      val addr = w.writeDataset(dt, dims, it, attrs,
+        chunkRows = if (compress) math.min(chunkRows.toLong, math.max(1L, rows)).toInt else 0,
+        deflate = compress, shuffle = compress && !dt.isInstanceOf[Str])
+      f.name -> addr
+    }
+    w.writeGroup(colAddrs.toSeq,
+      attrs = Seq("column_order" -> df.schema.fieldNames.toSeq))
+  }
 
+  private def writeHeaderGroup(w: Hdf5Writer, h: Header): Long = {
+    val sim = w.writeGroup(Nil, Seq(
+      "box_size" -> h.boxSize, "redshift" -> h.redshift, "step" -> h.step.toLong))
+    val cos = w.writeGroup(Nil, Seq(
+      "h0" -> h.cosmology.h0, "omega_m" -> h.cosmology.omegaM,
+      "omega_l" -> h.cosmology.omegaL))
+    val fil = w.writeGroup(Nil, Seq(
+      "unit_convention" -> h.unitConvention, "data_type" -> h.dataType))
+    w.writeGroup(Seq("simulation" -> sim, "cosmology" -> cos, "file" -> fil))
+  }
+
+  /** Export a structure collection as ONE multi-dataset SPEC.md file:
+    *
+    *   /<parent>/data            parent columns, sorted by link key
+    *   /<parent>/data_linked     <child>_start / <child>_size ranges
+    *   /<child>/data             child columns, clustered by link key
+    *   /header                   shared file-level header
+    *
+    * The contiguous-range link the reference stores natively is
+    * RECONSTRUCTED here from the equality link: children sort by the
+    * link key (one cluster per parent), per-parent counts join against
+    * the sorted parent, and starts are the running sum of sizes —
+    * computed over the collected (key, size) list, which is one row
+    * per parent and driver-bounded exactly like the rest of this
+    * single-writer export path.
+    */
+  def exportStructureHdf5(coll: graft.collections.StructureCollection,
+                          path: String,
+                          parentName: String = "structure_properties",
+                          chunkRows: Int = 1 << 16,
+                          compress: Boolean = true): Unit = {
+    val key = coll.linkKey
+    val parentSorted = coll.properties.df.orderBy(col(key))
     val w = new Hdf5Writer(path)
     try {
-      val colAddrs = df.schema.fields.map { f =>
-        val (dt, dims) = f.dataType match {
-          case LongType    => (I64, Seq(rows))
-          case IntegerType => (I32, Seq(rows))
-          case DoubleType  => (F64, Seq(rows))
-          case FloatType   => (F32, Seq(rows))
-          case StringType  => (Str(strW(f.name)), Seq(rows))
-          case ArrayType(DoubleType, _) => (F64, Seq(rows, arrW(f.name).toLong))
-          case ArrayType(FloatType, _)  => (F32, Seq(rows, arrW(f.name).toLong))
-          case ArrayType(LongType, _)   => (I64, Seq(rows, arrW(f.name).toLong))
-          case other => throw new IllegalArgumentException(
-            s"exportHdf5: unsupported column type $other (${f.name})")
-        }
-        val attrs =
-          ds.header.columnUnits.get(f.name).map("unit" -> _).toSeq ++
-          ds.header.columnDescriptions.get(f.name).map("description" -> _).toSeq
-        import scala.jdk.CollectionConverters._
-        val it = df.select(col(f.name)).toLocalIterator().asScala
-          .map(r => encodeValue(dt, f.dataType, r.get(0), strW.get(f.name), arrW.get(f.name)))
-        val addr = w.writeDataset(dt, dims, it, attrs,
-          chunkRows = if (compress) math.min(chunkRows.toLong, math.max(1L, rows)).toInt else 0,
-          deflate = compress, shuffle = compress && !dt.isInstanceOf[Str])
-        f.name -> addr
+      val parentData = writeDataGroup(w, parentSorted, coll.properties.header,
+        chunkRows, compress)
+      val linkAddrs = coll.children.toSeq.map { case (name, child) =>
+        // per-parent sizes in parent (key-sorted) order, 0 for childless
+        val counts = child.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+        val sizes = parentSorted.select(col(key))
+          .join(counts, Seq(key), "left")
+          .orderBy(col(key))
+          .select(coalesce(col("__n"), lit(0L)))
+          .collect().map(_.getLong(0))
+        val starts = sizes.scanLeft(0L)(_ + _).init
+        def i64(vals: Array[Long]) = w.writeDataset(Hdf5Writer.I64,
+          Seq(vals.length.toLong),
+          Iterator(vals.flatMap { v =>
+            val b = java.nio.ByteBuffer.allocate(8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            b.putLong(v); b.array()
+          }))
+        Seq(s"${name}_start" -> i64(starts), s"${name}_size" -> i64(sizes))
       }
-      val dataAddr = w.writeGroup(colAddrs.toSeq,
-        attrs = Seq("column_order" -> df.schema.fieldNames.toSeq))
-      val h = ds.header
-      val sim = w.writeGroup(Nil, Seq(
-        "box_size" -> h.boxSize, "redshift" -> h.redshift, "step" -> h.step.toLong))
-      val cos = w.writeGroup(Nil, Seq(
-        "h0" -> h.cosmology.h0, "omega_m" -> h.cosmology.omegaM,
-        "omega_l" -> h.cosmology.omegaL))
-      val fil = w.writeGroup(Nil, Seq(
-        "unit_convention" -> h.unitConvention, "data_type" -> h.dataType))
-      val headerAddr = w.writeGroup(
-        Seq("simulation" -> sim, "cosmology" -> cos, "file" -> fil))
-      val root = w.writeGroup(Seq("data" -> dataAddr, "header" -> headerAddr))
-      w.finish(root)
+      val dataLinked = w.writeGroup(linkAddrs.flatten)
+      val parentGrp = w.writeGroup(
+        Seq("data" -> parentData, "data_linked" -> dataLinked))
+      val childGrps = coll.children.toSeq.map { case (name, child) =>
+        val childData = writeDataGroup(w, child.orderBy(col(key)),
+          Header(), chunkRows, compress)
+        name -> w.writeGroup(Seq("data" -> childData))
+      }
+      val headerAddr = writeHeaderGroup(w,
+        coll.properties.header.copy(dataType = "structure"))
+      w.finish(w.writeGroup(
+        (parentName -> parentGrp) +: childGrps :+ ("header" -> headerAddr)))
     } catch { case e: Throwable => w.close(); throw e }
   }
 

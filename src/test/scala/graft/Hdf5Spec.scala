@@ -181,6 +181,33 @@ class Hdf5Spec extends SparkSpec {
       Set(2e14))
   }
 
+  test("structure collection round-trips through one multi-dataset file") {
+    import graft.collections.StructureCollection
+    val props = OCDataset(Seq(
+      (10L, 1e13), (20L, 5e13), (30L, 2e14)
+    ).toDF("halo_tag", "mass"), Header(boxSize = 42.0))
+    val parts = Seq(
+      (10L, 0.1), (10L, 0.2), (30L, 7.0), (30L, 8.0), (30L, 9.0)
+    ).toDF("halo_tag", "p_mass")
+    val coll = StructureCollection(props, Map("particles" -> parts), "halo_tag")
+    val p = tmp("struct_rt.hdf5")
+    Hdf5Io.exportStructureHdf5(coll, p, parentName = "halo_properties")
+    val back = Hdf5Io.importStructure(spark, p, "halo_properties")
+    assert(back.children.keySet == Set("particles"))
+    assert(back.properties.count() == 3)
+    assert(back.properties.header.boxSize == 42.0)
+    // per-parent child multiplicity survives the start/size encoding:
+    // parents are key-sorted, so row 0 = halo 10 (2 kids), row 2 =
+    // halo 30 (3 kids), row 1 = halo 20 (none)
+    val byRow = back.child("particles").groupBy(Hdf5Io.LinkCol).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byRow == Map(0L -> 2L, 2L -> 3L))
+    // child VALUES landed with the right parents
+    val heavy = back.filterByChild("particles", col("p_mass") > 5.0)
+    assert(heavy.properties.df.select("mass").collect()
+      .map(_.getDouble(0)).toSet == Set(2e14))
+  }
+
   test("importToParquet produces a native dataset with pruning-ready layout") {
     val p = tmp("conv.hdf5")
     Hdf5Io.exportHdf5(mixed, p)
