@@ -35,7 +35,9 @@ final case class Header(
       * otherwise a query over different columns would silently reuse
       * a key derived from the wrong coordinates.
       */
-    spatialIndexCoords: Seq[String] = Nil) {
+    spatialIndexCoords: Seq[String] = Nil,
+    /** HEALPix nside when dataType == "healpix_map" (0 otherwise). */
+    healpixNside: Int = 0) {
 
   def convention: Convention = Convention.parse(unitConvention)
   def scaleFactor: Double = 1.0 / (1.0 + redshift)
@@ -61,6 +63,8 @@ final case class Header(
       s"implausible omega_l ${cosmology.omegaL}")
     req(spatialIndexLevel >= 0 && spatialIndexLevel <= 20,
       s"spatial_index_level $spatialIndexLevel out of [0,20]")
+    req(healpixNside >= 0 && (healpixNside & (healpixNside - 1)) == 0,
+      s"healpix_nside $healpixNside not a power of two")
     this
   }
 
@@ -80,7 +84,8 @@ final case class Header(
        |  "column_units": ${m(columnUnits)},
        |  "column_descriptions": ${m(columnDescriptions)},
        |  "spatial_index_level": $spatialIndexLevel,
-       |  "spatial_index_coords": ${spatialIndexCoords.map(q).mkString("[", ", ", "]")}
+       |  "spatial_index_coords": ${spatialIndexCoords.map(q).mkString("[", ", ", "]")},
+       |  "healpix_nside": $healpixNside
        |}""".stripMargin
   }
 }
@@ -117,7 +122,8 @@ object Header {
         val node = n.path("spatial_index_coords")
         if (node.isMissingNode || !node.isArray) Nil
         else (0 until node.size()).map(node.get(_).asText())
-      }).validated
+      },
+      healpixNside = n.path("healpix_nside").asInt(0)).validated
   }
 
   def write(path: String, h: Header): Unit =

@@ -199,15 +199,70 @@ object OCIO {
     graft.collections.Lightcone(steps)
   }
 
+  /** Write a HEALPix map: ordinary dataset layout with the nside and
+    * dataType recorded in the sidecar, clustered by pixel so coarse
+    * queries prune row groups (nested pixel ids are prefix-ordered).
+    */
+  def writeHealpixMap(m: graft.collections.HealpixMap, path: String,
+                      header: Header = Header()): Unit =
+    write(OCDataset(m.df, header.copy(dataType = "healpix_map",
+      healpixNside = m.nside)), path, sortColumn = Some(m.pixelCol))
+
+  def openHealpixMap(spark: SparkSession, path: String): graft.collections.HealpixMap = {
+    val ds = open(spark, path)
+    require(ds.header.dataType == "healpix_map" && ds.header.healpixNside > 0,
+      s"$path is not a healpix_map dataset")
+    graft.collections.HealpixMap(ds.df, ds.header.healpixNside)
+  }
+
+  /** Write a simulation collection: one member dataset per
+    * subdirectory, so members open individually or together.
+    */
+  def writeSimulation(sc: graft.collections.SimulationCollection,
+                      path: String): Unit = {
+    sc.members.foreach { case (name, ds) =>
+      write(ds, s"$path/members/$name")
+    }
+    Header.write(path, Header(dataType = "simulation_collection"))
+  }
+
+  def openSimulation(spark: SparkSession, path: String): graft.collections.SimulationCollection = {
+    val dir = new java.io.File(s"$path/members")
+    val members = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(d => d.getName -> open(spark, d.getPath)).toMap
+    require(members.nonEmpty, s"no members under $path")
+    graft.collections.SimulationCollection(members)
+  }
+
+  /** Open SEVERAL dataset directories as one dataset (reference
+    * `oc.open(*paths)` merging multiple files of one data type,
+    * io/io.py:59-113): a multi-path parquet scan — one distributed
+    * read, no driver-side concat — with the first header carried
+    * (unit tables must agree; mismatching conventions throw).
+    */
+  def openMany(spark: SparkSession, paths: Seq[String]): OCDataset = {
+    require(paths.nonEmpty, "openMany of nothing")
+    val headers = paths.map(Header.read)
+    headers.tail.foreach { h =>
+      require(h.unitConvention == headers.head.unitConvention,
+        s"mixed unit conventions: ${h.unitConvention} vs ${headers.head.unitConvention}")
+    }
+    val df = spark.read.parquet(paths.map(p => s"$p/data.parquet"): _*)
+    OCDataset(df, headers.head)
+  }
+
   /** Open dispatch by sidecar dataType (reference oc.open,
     * io/iopen.py:80-95: group structure → wrapper type).
     */
   def openAny(spark: SparkSession, path: String,
               linkKey: String = "halo_tag"): Any =
     Header.read(path).dataType match {
-      case "structure" => openStructure(spark, path, linkKey)
-      case "lightcone" => openLightcone(spark, path)
-      case _           => open(spark, path)
+      case "structure"             => openStructure(spark, path, linkKey)
+      case "lightcone"             => openLightcone(spark, path)
+      case "healpix_map"           => openHealpixMap(spark, path)
+      case "simulation_collection" => openSimulation(spark, path)
+      case _                       => open(spark, path)
     }
 
   /** Round-trip-stable parquet export that flattens multi-dimensional

@@ -207,6 +207,42 @@ class CollectionsSpec extends SparkSpec {
     assert(viaPixels.df.select("id").collect().map(_.getLong(0)).nonEmpty)
   }
 
+  test("healpix map and simulation collection IO + openAny dispatch") {
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_hpm").toString
+    val m = HealpixMap((0L until 48L).map(p => (p, p * 2.0)).toDF("pixel", "value"),
+      nside = 2)
+    graft.io.OCIO.writeHealpixMap(m, dir1)
+    val backM = graft.io.OCIO.openAny(spark, dir1)
+    assert(backM.isInstanceOf[HealpixMap])
+    val hm = backM.asInstanceOf[HealpixMap]
+    assert(hm.nside == 2 && hm.df.count() == 48)
+    assert(hm.withResolution(1).df.count() == 12)
+
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_simc").toString
+    graft.io.OCIO.writeSimulation(
+      SimulationCollection(Map("simA" -> props, "simB" -> props)), dir2)
+    val backS = graft.io.OCIO.openAny(spark, dir2)
+    assert(backS.isInstanceOf[SimulationCollection])
+    assert(backS.asInstanceOf[SimulationCollection].members.keySet ==
+      Set("simA", "simB"))
+  }
+
+  test("openMany reads several dataset dirs as one distributed scan") {
+    val d1 = java.nio.file.Files.createTempDirectory("graft_m1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_m2").toString
+    graft.io.OCIO.write(OCDataset(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")), d1)
+    graft.io.OCIO.write(OCDataset(Seq((3L, 3.0)).toDF("id", "v")), d2)
+    val all = graft.io.OCIO.openMany(spark, Seq(d1, d2))
+    assert(all.count() == 3)
+    assert(all.df.agg(org.apache.spark.sql.functions.sum("v")).head().getDouble(0) == 6.0)
+    // convention mismatch throws
+    graft.io.OCIO.write(OCDataset(Seq((4L, 4.0)).toDF("id", "v"),
+      Header(unitConvention = "physical")), d2)
+    intercept[IllegalArgumentException] {
+      graft.io.OCIO.openMany(spark, Seq(d1, d2))
+    }
+  }
+
   test("simulation collection broadcasts ops") {
     val sc = SimulationCollection(Map(
       "simA" -> props, "simB" -> props))
