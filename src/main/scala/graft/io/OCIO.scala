@@ -78,17 +78,33 @@ object OCIO {
     * header box — write base-convention (scalefree) data, which is
     * also what the reference's files store.
     */
+  /** Smallest octree level whose expected cell occupancy is at most
+    * `targetRowsPerCell` — the engine's analog of the reference
+    * recounting per-cell occupancy and dropping sparse levels at write
+    * time (tree.py:272-282): instead of storing every level and
+    * pruning, pick the one level whose granularity fits the data.
+    * Capped at 10 (8^10 ≈ 10⁹ cells — beyond that the key column's
+    * row-group stats do the refining).
+    */
+  def chooseSpatialLevel(rows: Long, targetRowsPerCell: Long = 4096): Int = {
+    var level = 1
+    while (level < 10 && (rows >> (3 * level)) > targetRowsPerCell) level += 1
+    level
+  }
+
   def writeSpatial(ds: OCDataset, path: String,
                    coords: (String, String, String) = ("x", "y", "z"),
-                   level: Int = 4,
+                   level: Int = 0,
                    numPartitions: Option[Int] = None): Unit = {
     require(!ds.columns.contains("morton_key"),
       "dataset already has a morton_key column")
     graft.plans.GraftExtensions.registerAll(ds.df.sparkSession)
+    // level 0 = occupancy-adaptive: one count() sizes the tree
+    val lvl = if (level > 0) level else chooseSpatialLevel(ds.count())
     val (cx, cy, cz) = coords
     val size = if (ds.header.boxSize > 0) ds.header.boxSize else 1.0
     val keyed = ds.df.withColumn("morton_key",
-      graft.spatial.Morton.keyColumnNative(col(cx), col(cy), col(cz), 0.0, size, level))
+      graft.spatial.Morton.keyColumnNative(col(cx), col(cy), col(cz), 0.0, size, lvl))
     // explicit numPartitions pins the file count (AQE otherwise
     // right-sizes the range shuffle — correct at scale, where each
     // ~128 MB file then holds several key-sorted row groups)
@@ -101,7 +117,7 @@ object OCIO {
     // takes the stored-key fast path when its coords match, otherwise
     // a query over different columns would silently reuse a key
     // derived from the wrong coordinates
-    Header.write(path, ds.header.copy(spatialIndexLevel = level,
+    Header.write(path, ds.header.copy(spatialIndexLevel = lvl,
       spatialIndexCoords = Seq(cx, cy, cz)))
   }
 

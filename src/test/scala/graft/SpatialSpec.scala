@@ -214,6 +214,26 @@ class SpatialSpec extends SparkSpec {
       s"no storage pruning: scan emitted $scanned of 20000 rows")
   }
 
+  test("writeSpatial auto level scales with row count") {
+    import graft.io.OCIO
+    assert(OCIO.chooseSpatialLevel(1000) == 1)
+    assert(OCIO.chooseSpatialLevel(4096L * 8 * 8 * 8) == 3)
+    assert(OCIO.chooseSpatialLevel(1L << 40) == 10) // capped
+    // end-to-end: auto level lands in the header and bound uses it
+    import graft.core.{Header, OCDataset}
+    val rnd = new scala.util.Random(17)
+    val pts = (0 until 1000).map(i =>
+      (i.toLong, rnd.nextDouble * 10, rnd.nextDouble * 10, rnd.nextDouble * 10))
+      .toDF("id", "x", "y", "z")
+    val dir = java.nio.file.Files.createTempDirectory("graft_auto").toString
+    OCIO.writeSpatial(OCDataset(pts, Header(boxSize = 10.0)), dir)
+    val re = OCIO.open(spark, dir)
+    assert(re.header.spatialIndexLevel == 1)
+    val got = re.bound(Box(P3(0, 0, 0), P3(5, 5, 5))).df.count()
+    val want = pts.filter($"x" < 5 && $"y" < 5 && $"z" < 5).count()
+    assert(got == want)
+  }
+
   test("stored index records its coords; bound over OTHER columns ignores it") {
     import graft.core.{Header, OCDataset}
     val dir = java.nio.file.Files.createTempDirectory("graft_coords").toString
