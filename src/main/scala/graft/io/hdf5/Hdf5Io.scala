@@ -327,9 +327,34 @@ object Hdf5Io {
         val root = r.objectInfo(r.rootHeaderAddr)
         (r.groupLinks(li).map(_._1), r.groupLinks(root).map(_._1))
       } finally r.close()
+    // 1→0/1 idx links (SPEC: `<id>_idx` gives the target row, −1 =
+    // none): invert the (driver-bounded) idx array into childRow →
+    // parentRow and assign the SAME link column as range links, so
+    // every child joins the parent the same way.
+    val idxLinks = links.filter(_.endsWith("_idx")).map(_.stripSuffix("_idx"))
+    val idxChildren = idxLinks.flatMap { id =>
+      rootGroups.find(g => g != parentGroup && id.startsWith(g)).map { target =>
+        val idx = openDataFrame(spark, h5Path, s"$parentGroup/data_linked")
+          .select(s"${id}_idx").collect().map(_.getLong(0))
+        val inverse = new java.util.HashMap[Long, Long]()
+        idx.zipWithIndex.foreach { case (childRow, p) =>
+          if (childRow >= 0) inverse.put(childRow, p.toLong)
+        }
+        val b = spark.sparkContext.broadcast(inverse)
+        val childCols = columns(h5Path, s"$target/data")
+        val child = dfWithGlobalRow(spark, h5Path, s"$target/data", childCols).map {
+          case (df, rowCol) =>
+            val pUdf = udf { (row: Long) =>
+              Option(b.value.get(row)).map(_.longValue()) // unlinked → null
+            }
+            df.withColumn(LinkCol, pUdf(col(rowCol))).drop(rowCol)
+        }.get
+        target -> child
+      }
+    }.toMap
     val startLinks = links.filter(_.endsWith("_start")).map(_.stripSuffix("_start"))
       .filter(id => links.contains(s"${id}_size"))
-    val children = startLinks.flatMap { id =>
+    val children = idxChildren ++ startLinks.flatMap { id =>
       // link id → target root group (SPEC recommends ids that extend
       // the target name with a UUID; match by prefix)
       rootGroups.find(g => g != parentGroup && id.startsWith(g)).map { target =>

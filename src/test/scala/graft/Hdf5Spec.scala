@@ -181,6 +181,47 @@ class Hdf5Spec extends SparkSpec {
       Set(2e14))
   }
 
+  test("idx (1-to-0/1) data_linked imports with unlinked rows null") {
+    // halo_properties linked 1->0/1 to halo_centrals: halo 0 -> central
+    // row 1, halo 1 -> none (-1), halo 2 -> central row 0
+    val masses = Seq(1e13, 5e13, 2e14)
+    val idx = Seq(1L, -1L, 0L)
+    val centralMass = Seq(42.0, 7.0)
+    val p = tmp("idxlink.hdf5")
+    val w = new Hdf5Writer(p)
+    def f64(vals: Seq[Double]) =
+      w.writeDataset(Hdf5Writer.F64, Seq(vals.size.toLong),
+        Iterator(vals.toArray.flatMap { d =>
+          val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.putDouble(d); b.array()
+        }))
+    def i64(vals: Seq[Long]) =
+      w.writeDataset(Hdf5Writer.I64, Seq(vals.size.toLong),
+        Iterator(vals.toArray.flatMap { d =>
+          val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.putLong(d); b.array()
+        }))
+    val propsData = w.writeGroup(Seq("mass" -> f64(masses)))
+    val linked = w.writeGroup(Seq("halo_centrals_xyz_idx" -> i64(idx)))
+    val propsGrp = w.writeGroup(Seq("data" -> propsData, "data_linked" -> linked))
+    val centData = w.writeGroup(Seq("c_mass" -> f64(centralMass)))
+    val centGrp = w.writeGroup(Seq("data" -> centData))
+    w.finish(w.writeGroup(Seq(
+      "halo_properties" -> propsGrp, "halo_centrals" -> centGrp)))
+
+    val coll = Hdf5Io.importStructure(spark, p, "halo_properties")
+    assert(coll.children.keySet == Set("halo_centrals"))
+    val cent = coll.children("halo_centrals")
+      .select(Hdf5Io.LinkCol, "c_mass").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getDouble(1)).toMap
+    // central row 1 (7.0) belongs to parent 0; central row 0 (42.0) to parent 2
+    assert(cent == Map(0L -> 7.0, 2L -> 42.0))
+    // the parent-row link column supports the usual semi-join chain
+    val withCentral = coll.filterByChild("halo_centrals", col("c_mass") > 10.0)
+    assert(withCentral.properties.df.select("mass").collect()
+      .map(_.getDouble(0)).toSet == Set(2e14))
+  }
+
   test("structure collection round-trips through one multi-dataset file") {
     import graft.collections.StructureCollection
     val props = OCDataset(Seq(
