@@ -208,6 +208,11 @@ object Hdf5Io {
         boxSize = dbl("box_size", 0.0),
         redshift = dbl("redshift", 0.0),
         step = dbl("step", 0.0).toInt,
+        isLightcone = find("is_lightcone").exists {
+          case l: Long   => l != 0L
+          case s: String => s == "true"
+          case _         => false
+        },
         unitConvention = str("unit_convention", "scalefree"),
         dataType = str("data_type", "dataset"),
         cosmology = Cosmology(dbl("h0", 70.0), dbl("omega_m", 0.3), dbl("omega_l", 0.7)))
@@ -388,6 +393,96 @@ object Hdf5Io {
 
   val LinkCol = "__struct_row"
 
+  /** Import a lightcone file (reference iopen.py:141-170: several
+    * top-level groups, every one lightcone-typed): each group's data
+    * becomes a step dataset keyed by its header `step` (falling back
+    * to digits in the group name), with per-step redshifts carried —
+    * redshift-range pruning then drops whole groups before any row
+    * reads.
+    */
+  def importLightcone(spark: SparkSession, h5Path: String): graft.collections.Lightcone = {
+    val r = new Hdf5Reader(h5Path)
+    val groups =
+      try {
+        val root = r.objectInfo(r.rootHeaderAddr)
+        r.groupLinks(root).map(_._1).filter(_ != "header")
+      } finally r.close()
+    require(groups.nonEmpty, s"no step groups in $h5Path")
+    val steps = groups.zipWithIndex.map { case (g, i) =>
+      val ds = importDataset(spark, h5Path, s"$g/")
+      val step =
+        if (ds.header.step > 0) ds.header.step
+        else {
+          val digits = g.filter(_.isDigit)
+          if (digits.nonEmpty) digits.toInt else i
+        }
+      step -> ds.copy(header = ds.header.copy(isLightcone = true))
+    }.toMap
+    graft.collections.Lightcone(steps)
+  }
+
+  /** Open dispatch over a SPEC.md file (reference iopen.py:126-186):
+    * root `data` group → single dataset; a group with `data_linked` →
+    * structure collection (that group as parent); every group
+    * lightcone-typed → lightcone; otherwise → simulation collection of
+    * the datasets found.
+    */
+  def importAny(spark: SparkSession, h5Path: String): Any = {
+    val r = new Hdf5Reader(h5Path)
+    val (names, haveData, haveLinked, lightcone) =
+      try {
+        val root = r.objectInfo(r.rootHeaderAddr)
+        val links = r.groupLinks(root)
+        if (links.exists(_._1 == "data"))
+          return importDataset(spark, h5Path)
+        val groups = links.filter(_._1 != "header")
+        val subs = groups.map { case (n, a) =>
+          val kids = r.groupLinks(r.objectInfo(a)).map(_._1)
+          (n, kids.contains("data"), kids.contains("data_linked"))
+        }
+        val lc = subs.nonEmpty && subs.forall(_._2) && subs.forall(!_._3) &&
+          subs.exists { case (n, _, _) =>
+            try {
+              val (hi, _) = resolveGroup(r, s"$n/header")
+              r.groupLinks(hi).exists { case (_, ha) =>
+                r.objectInfo(ha).attrs.get("is_lightcone").exists {
+                  case l: Long => l != 0L
+                  case s: String => s == "true"
+                  case _ => false
+                }
+              }
+            } catch { case _: Hdf5FormatException => false }
+          }
+        (subs.map(_._1), subs.filter(_._2).map(_._1),
+          subs.filter(_._3).map(_._1), lc)
+      } finally r.close()
+    if (haveLinked.nonEmpty) importStructure(spark, h5Path, haveLinked.head)
+    else if (lightcone) importLightcone(spark, h5Path)
+    else graft.collections.SimulationCollection(
+      haveData.map(n => n -> importDataset(spark, h5Path, s"$n/")).toMap)
+  }
+
+  /** Export a lightcone as ONE multi-group file: each step a
+    * lightcone-typed group with its own header (step + redshift), the
+    * shared file header alongside — re-importable by
+    * [[importLightcone]]/[[importAny]] and laid out like the
+    * reference's own lightcone files.
+    */
+  def exportLightconeHdf5(lc: graft.collections.Lightcone, path: String,
+                          chunkRows: Int = 1 << 16,
+                          compress: Boolean = true): Unit = {
+    val w = new Hdf5Writer(path)
+    try {
+      val stepGrps = lc.steps.toSeq.sortBy(_._1).map { case (s, ds) =>
+        val data = writeDataGroup(w, ds.getData, ds.header, chunkRows, compress)
+        val hdr = writeHeaderGroup(w,
+          ds.header.copy(step = s, isLightcone = true))
+        s"step_$s" -> w.writeGroup(Seq("data" -> data, "header" -> hdr))
+      }
+      w.finish(w.writeGroup(stepGrps))
+    } catch { case e: Throwable => w.close(); throw e }
+  }
+
   private def withParentRow(spark: SparkSession, parent: OCDataset,
                             h5Path: String, parentGroup: String): OCDataset = {
     val cols = columns(h5Path, s"$parentGroup/data")
@@ -466,7 +561,9 @@ object Hdf5Io {
     val probeRow = if (probes.isEmpty) null else df.agg(probes.head, probes.tail.toSeq: _*).head()
     val strW = strCols.map(c => c -> (Option(probeRow.getAs[Any](s"s_$c"))
       .fold(1)(_.asInstanceOf[Number].intValue) + 1)).toMap
-    val arrW = arrCols.map(c => c -> probeRow.getAs[Number](s"a_$c").intValue).toMap
+    // empty frames probe null widths — zero-width arrays are legal
+    val arrW = arrCols.map(c => c -> Option(probeRow.getAs[Any](s"a_$c"))
+      .fold(0)(_.asInstanceOf[Number].intValue)).toMap
     val colAddrs = df.schema.fields.map { f =>
       val (dt, dims) = f.dataType match {
         case LongType    => (I64, Seq(rows))
@@ -502,7 +599,8 @@ object Hdf5Io {
       "h0" -> h.cosmology.h0, "omega_m" -> h.cosmology.omegaM,
       "omega_l" -> h.cosmology.omegaL))
     val fil = w.writeGroup(Nil, Seq(
-      "unit_convention" -> h.unitConvention, "data_type" -> h.dataType))
+      "unit_convention" -> h.unitConvention, "data_type" -> h.dataType,
+      "is_lightcone" -> (if (h.isLightcone) 1L else 0L)))
     w.writeGroup(Seq("simulation" -> sim, "cosmology" -> cos, "file" -> fil))
   }
 

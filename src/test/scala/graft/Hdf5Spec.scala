@@ -259,6 +259,35 @@ class Hdf5Spec extends SparkSpec {
     assert(Files.exists(java.nio.file.Paths.get(out, "_header.json")))
   }
 
+  test("lightcone round-trips through one multi-group file; importAny dispatches") {
+    import graft.collections.Lightcone
+    val s0 = OCDataset(Seq((1L, 5.0), (2L, 6.0)).toDF("id", "v"),
+      Header(redshift = 0.5))
+    val s1 = OCDataset(Seq((3L, 7.0)).toDF("id", "v"),
+      Header(redshift = 1.5))
+    val p = tmp("lc.hdf5")
+    Hdf5Io.exportLightconeHdf5(Lightcone(Map(600 -> s0, 601 -> s1)), p)
+    val back = Hdf5Io.importLightcone(spark, p)
+    assert(back.steps.keySet == Set(600, 601))
+    assert(back.steps(601).header.redshift == 1.5)
+    assert(back.steps(600).count() == 2)
+    assert(back.withRedshiftRange(1.0, 2.0).toDataset.count() == 1)
+    // dispatch: lightcone-typed groups -> Lightcone
+    assert(Hdf5Io.importAny(spark, p).isInstanceOf[Lightcone])
+    // dispatch: a root data group -> plain dataset
+    val p2 = tmp("plain2.hdf5")
+    Hdf5Io.exportHdf5(s0, p2)
+    assert(Hdf5Io.importAny(spark, p2).isInstanceOf[OCDataset])
+  }
+
+  test("empty dataset exports and re-imports as zero rows") {
+    val p = tmp("empty.hdf5")
+    Hdf5Io.exportHdf5(OCDataset(mixed.df.limit(0)), p)
+    val back = Hdf5Io.importDataset(spark, p)
+    assert(back.count() == 0)
+    assert(back.columns == mixed.columns)
+  }
+
   test("reader rejects non-HDF5 and truncated files loudly") {
     val d = Files.createTempDirectory("graft-h5-bad")
     val bad = d.resolve("bad.hdf5")
