@@ -43,6 +43,32 @@ object TextFunctions {
     round(lenScore * lit(0.5) + stopScore * lit(0.5), 6)
   }
 
+  /** Distinct-token fraction — the repetition signal quality filters
+    * cut on (boilerplate and degenerate generations repeat tokens;
+    * natural prose doesn't). 1.0 = no repetition.
+    */
+  def distinctTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+  }
+
+  /** Quality gate: the C4/Gopher-style rule stack as one boolean
+    * column — token-count bounds, mean-word-length bounds, stopword
+    * floor, repetition ceiling. Every term is a codegen'd builtin;
+    * thresholds are the published common defaults.
+    */
+  def passesQualityFilter(text: Column,
+                          minTokens: Int = 8, maxTokens: Int = 100000,
+                          minAvgWordLen: Double = 2.0, maxAvgWordLen: Double = 12.0,
+                          minStopwordRatio: Double = 0.01,
+                          minDistinctRatio: Double = 0.3): Column = {
+    val n = tokenCount(text)
+    n >= minTokens && n <= maxTokens &&
+      avgWordLen(text) >= minAvgWordLen && avgWordLen(text) <= maxAvgWordLen &&
+      stopwordRatio(text) >= minStopwordRatio &&
+      distinctTokenRatio(text) >= minDistinctRatio
+  }
+
   /** Document fingerprint: md5 of the case/whitespace-normalized text.
     * (Reference has no text ops; this is the pipeline-op analog of its
     * UUID column binding — a stable content identity.)

@@ -203,6 +203,29 @@ object TextVector {
         "lang", Map("en" -> 10000L, "de" -> 4000L))
     }),
 
+    // PQ-compressed ANN (rows-only: k-means codebooks aren't SQL-
+    // expressible; SimilaritySpec cross-validates recall vs exact):
+    // 32x-compressed codes, ADC scoring in pure builtins, exact
+    // rerank of the candidate pool.
+    "q75_ann_pq" -> ((s, dir) => {
+      import graft.operators.Pq
+      val e = t(s, dir, "embeddings")
+      val cb = Pq.train(e, "vec_id", "embedding", m = 8, ksub = 16, iters = 4)
+      val enc = Pq.encode(e, "embedding", cb)
+      Pq.topK(enc, e.filter(col("vec_id") < 10), "vec_id", "embedding", cb,
+        k = 5, rerank = 50, rawCorpus = Some(e))
+    }),
+
+    // quality gating: repetition signal + the full C4/Gopher-style
+    // rule stack as one boolean — the corpus-filtering step upstream
+    // of every dedup/sampling stage.
+    "q74_quality_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        round(TextFunctions.distinctTokenRatio(col("text")), 6).as("distinct_ratio"),
+        TextFunctions.passesQualityFilter(col("text")).as("passes"))
+    }),
+
     // train/eval decontamination: drop training docs sharing any
     // distinct 5-gram with the benchmark slice (broadcast semi-join on
     // gram hashes). Oracle rebuilds the same n-gram sets as strings.
@@ -235,6 +258,21 @@ object TextVector {
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
                  FROM documents WHERE lang IN ('en', 'de')))
          WHERE cum - n_tokens < budget""",
+    "q74_quality_filter" ->
+      """SELECT doc_id,
+         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS distinct_ratio,
+         (len(string_split(text, ' ')) >= 8 AND len(string_split(text, ' ')) <= 100000
+          AND (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
+              / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 2.0
+          AND (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
+              / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 12.0
+          AND CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.01
+          AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.3) AS passes
+         FROM documents""",
     "q73_decontaminate" ->
       """WITH grams AS (
            SELECT doc_id, unnest(list_distinct(list_transform(

@@ -65,6 +65,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"ivf recall $recall")
   }
 
+  test("PQ: codes compress, ADC+rerank recall vs brute force") {
+    import graft.operators.Pq
+    val e = Tables(spark, sf001, "embeddings")
+    val cb = Pq.train(e, "vec_id", "embedding", m = 8, ksub = 16, iters = 6)
+    assert(cb.dsub == 8 && cb.centers.length == 8)
+    val enc = Pq.encode(e, "embedding", cb).persist()
+    // codes are within range and one per subspace
+    val codes = enc.select("pq_code").head().getSeq[Int](0)
+    assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+    val q = e.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val pq = Pq.topK(enc, q, "vec_id", "embedding", cb, k = 5,
+      rerank = 50, rawCorpus = Some(e))
+      .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val recall = brute.map { case (k, t) =>
+      (t & pq.getOrElse(k, Set.empty)).size.toDouble / t.size }.sum / brute.size
+    assert(recall >= 0.6, s"pq recall $recall")
+    enc.unpersist()
+  }
+
   test("labelCentroids: one row per (label, dim)") {
     val e = Tables(spark, sf001, "embeddings")
     val c = Similarity.labelCentroids(e, "label", "embedding")
