@@ -24,6 +24,21 @@ class PlanShapeSpec extends SparkSpec {
       s"sampler collapsed to a single partition:\n$p")
   }
 
+  test("decontamination broadcasts the benchmark gram set (semi-join, no corpus shuffle)") {
+    val p = plan("q73_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"benchmark grams not broadcast-semi-joined:\n$p")
+  }
+
+  test("PQ probe never shuffles the encoded corpus") {
+    val df = SparkEntry.queries("q75_ann_pq")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    // queries (with ADC tables) broadcast; the only wide op downstream
+    // of the corpus is the final top-k window on query_id
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries not broadcast:\n$p")
+  }
+
   test("filter queries push predicates into the parquet scan") {
     val p = plan("q2_filter")
     assert(p.contains("PushedFilters: [Or(And(GreaterThan(l_quantity"),
