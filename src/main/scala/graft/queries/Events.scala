@@ -29,7 +29,22 @@ object Events {
     "q43_json_props" -> ((s, dir) => EventOps.propsKey(t(s, dir))),
 
     // event-time daily argmax per user.
-    "q44_daily_argmax" -> ((s, dir) => EventOps.dailyUserArgmax(t(s, dir)))
+    "q44_daily_argmax" -> ((s, dir) => EventOps.dailyUserArgmax(t(s, dir))),
+
+    // as-of join: every event picks up the user's most recent purchase
+    // value at-or-before its timestamp (union-marker + running window,
+    // ONE key shuffle — never a range join). Inner-asof semantics to
+    // mirror DuckDB's native ASOF JOIN oracle.
+    "q45_asof_join" -> ((s, dir) => {
+      val e = t(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("ref_value"))
+      EventOps.asofJoin(e, purchases, Seq("user_id"), "ts", Seq("ref_value"))
+        .filter(col("ref_value").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          round(col("ref_value"), 2).as("ref_value"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -65,6 +80,13 @@ object Events {
          user_id,
          arg_max(event_type, CAST(round(value * 100) AS BIGINT) * 10000000 + event_id) AS top_type,
          round(max(value), 2) AS top_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    "q45_asof_join" ->
+      """WITH p AS (
+           SELECT user_id, ts, max(value) AS ref_value FROM events
+           WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, round(p.ref_value, 2) AS ref_value
+         FROM events e
+         ASOF JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts"""
   )
 }

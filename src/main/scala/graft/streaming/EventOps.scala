@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time operators over the `events` table (ts, user_id,
@@ -93,6 +94,38 @@ object EventOps {
       .select(col("user_id"),
         unix_timestamp(col("session_window").getField("start")).as("session_start_s"),
         col("n_events"), col("sum_value"))
+
+  /** AS-OF join — the time-series operator Spark lacks natively: each
+    * left row matches the LATEST right row with right.ts ≤ left.ts per
+    * key (rates, snapshots, most-recent-state lookups).
+    *
+    * Formulation: union-marker + running `last(ignoreNulls)` window —
+    * ONE shuffle on the key, never a range join (Spark plans theta
+    * joins as broadcast-nested-loop: O(|L|·|R|) at scale). Right rows
+    * sort BEFORE left rows at equal timestamps, so the match is
+    * inclusive. Unmatched left rows carry nulls (left-asof); filter
+    * them for inner-asof semantics.
+    *
+    * `valueCols` are the right-side columns to attach, surfaced as
+    * `<name>` on the output.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val rAligned = right.select(
+      (keys.map(col) :+ col(tsCol)) ++
+        valueCols.map(c => col(c).as(s"__r_$c")): _*)
+      .withColumn("__is_r", lit(1))
+    val lAligned = left.withColumn("__is_r", lit(0))
+    val u = lAligned.unionByName(rAligned, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__is_r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = valueCols.foldLeft(u) { (d, c) =>
+      d.withColumn(c, last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    matched.filter(col("__is_r") === 0)
+      .drop(("__is_r" +: valueCols.map(c => s"__r_$c")): _*)
+  }
 
   /** Streaming deduplication — the ingest-side guard every
     * training-data feed needs (at-least-once sources redeliver):

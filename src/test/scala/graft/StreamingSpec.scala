@@ -59,6 +59,28 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count(_.head == 1L) == 3)
   }
 
+  test("asofJoin: inclusive at equal ts, null before first match, per-key isolation") {
+    import graft.streaming.EventOps
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:00")), // before any right row -> null
+      (1L, ts("2024-01-01 01:00:00")), // exactly at right ts -> inclusive
+      (1L, ts("2024-01-01 02:30:00")), // between -> latest earlier
+      (2L, ts("2024-01-01 05:00:00"))  // other key, no right rows -> null
+    ).toDF("user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 01:00:00"), 10.0),
+      (1L, ts("2024-01-01 02:00:00"), 20.0),
+      (1L, ts("2024-01-01 03:00:00"), 30.0)
+    ).toDF("user_id", "ts", "v")
+    val out = EventOps.asofJoin(left, right, Seq("user_id"), "ts", Seq("v"))
+      .orderBy("user_id", "ts").collect()
+    assert(out.length == 4) // left-asof keeps unmatched rows
+    assert(out(0).isNullAt(2))
+    assert(out(1).getDouble(2) == 10.0)
+    assert(out(2).getDouble(2) == 20.0)
+    assert(out(3).isNullAt(2))
+  }
+
   test("streaming dedup: redelivered ids collapse, state bounded by watermark") {
     // duplicate event_ids (an at-least-once source redelivering)
     val withDups = evs ++ Seq(
