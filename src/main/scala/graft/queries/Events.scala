@@ -44,6 +44,20 @@ object Events {
         .filter(col("ref_value").isNotNull)
         .select(col("event_id"), col("user_id"),
           round(col("ref_value"), 2).as("ref_value"))
+    }),
+
+    // interval join: events inside any 2-hour window opened by a
+    // purchase of the same user (bucketed equi-join, never a nested
+    // loop; overlapping windows legitimately multiply rows).
+    "q46_interval_join" -> ((s, dir) => {
+      val e = t(s, dir)
+      val windows = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+        .distinct()
+      EventOps.intervalJoin(e, windows, Seq("user_id"), "ts", "w_start", "w_end")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("w_start")).as("w_start_s"))
     })
   )
 
@@ -87,6 +101,14 @@ object Events {
            WHERE event_type = 'purchase' GROUP BY 1, 2)
          SELECT e.event_id, e.user_id, round(p.ref_value, 2) AS ref_value
          FROM events e
-         ASOF JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts"""
+         ASOF JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""",
+    "q46_interval_join" ->
+      """WITH w AS (
+           SELECT DISTINCT user_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end
+           FROM events WHERE event_type = 'purchase')
+         SELECT e.event_id, e.user_id,
+           CAST(epoch(date_trunc('second', w.w_start)) AS BIGINT) AS w_start_s
+         FROM events e JOIN w
+           ON e.user_id = w.user_id AND e.ts >= w.w_start AND e.ts < w.w_end"""
   )
 }

@@ -127,6 +127,30 @@ object EventOps {
       .drop(("__is_r" +: valueCols.map(c => s"__r_$c")): _*)
   }
 
+  /** Interval (range-containment) join: left point rows matched to
+    * right rows whose [start, end) contains the left timestamp, per
+    * key. Spark would plan the raw theta join as a broadcast nested
+    * loop — O(|L|·|R|) per key; here both sides BIN to fixed-width
+    * time buckets (each interval explodes into the buckets it covers,
+    * bounded by interval/bucket ratio), meet in an ordinary equi-join
+    * on (key, bucket) — one shuffle, AQE-skew-splittable — and the
+    * exact containment predicate trims the boundary bucket. An
+    * interval covers a left row's bucket exactly once, so no dedup
+    * pass is needed.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   tsCol: String, startCol: String, endCol: String,
+                   bucketSeconds: Long = 3600L): DataFrame = {
+    val l = left.withColumn("__bkt",
+      floor(unix_timestamp(col(tsCol)) / bucketSeconds))
+    val r = right.withColumn("__bkt", explode(sequence(
+      floor(unix_timestamp(col(startCol)) / bucketSeconds),
+      floor((unix_timestamp(col(endCol)) - lit(1)) / bucketSeconds))))
+    l.join(r, keys :+ "__bkt")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__bkt")
+  }
+
   /** Streaming deduplication — the ingest-side guard every
     * training-data feed needs (at-least-once sources redeliver):
     * exactly one row per `idCols` tuple survives, with state bounded

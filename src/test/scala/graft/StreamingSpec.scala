@@ -81,6 +81,24 @@ class StreamingSpec extends SparkSpec {
     assert(out(3).isNullAt(2))
   }
 
+  test("intervalJoin: boundary inclusivity and bucket-straddling intervals") {
+    import graft.streaming.EventOps
+    val left = Seq(
+      (1L, ts("2024-01-01 00:59:59")), // inside, last second of bucket 0
+      (1L, ts("2024-01-01 01:00:00")), // inside, bucket 1 (interval straddles)
+      (1L, ts("2024-01-01 02:00:00")), // == end -> excluded (half-open)
+      (1L, ts("2024-01-01 00:30:00")), // == start -> included
+      (2L, ts("2024-01-01 01:00:00"))  // wrong key
+    ).toDF("user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:30:00"), ts("2024-01-01 02:00:00"))
+    ).toDF("user_id", "s", "e")
+    val out = EventOps.intervalJoin(left, right, Seq("user_id"), "ts", "s", "e")
+      .select("ts").collect().map(_.getTimestamp(0).toString).sorted
+    assert(out.toSeq == Seq("2024-01-01 00:30:00.0", "2024-01-01 00:59:59.0",
+      "2024-01-01 01:00:00.0"))
+  }
+
   test("streaming dedup: redelivered ids collapse, state bounded by watermark") {
     // duplicate event_ids (an at-least-once source redelivering)
     val withDups = evs ++ Seq(
