@@ -278,6 +278,24 @@ object CoreLib {
         .properties.df
     }),
 
+    // sky cross-match (beyond ref): nearest customer within 5° of each
+    // supplier over synthesized positions — HEALPix-bucketed equi-join
+    // + exact residual + ulp-stable argmin. The oracle is the plain
+    // quadratic join with the identical haversine expression.
+    "q76_crossmatch" -> ((s, dir) => {
+      import graft.operators.CrossMatch
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"),
+        (col("s_suppkey") % 360).cast("double").as("ra"),
+        ((col("s_suppkey") % 179) - 89).cast("double").as("decl"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        (col("c_custkey") % 360).cast("double").as("ra"),
+        ((col("c_custkey") % 179) - 89).cast("double").as("decl"))
+      CrossMatch.nearestWithin(sup, cust, "s_suppkey", "c_custkey",
+        ("ra", "decl"), radiusDeg = 5.0)
+        .select(col("s_suppkey"), col("c_custkey"),
+          round(col("sep_deg"), 6).as("sep_deg"))
+    }),
+
     // §2.2 scalar-in-select: normalization by reductions through the
     // expression DSL ((q - mean)/std, agg-then-substitute) — rounded
     // (stddev accumulation order differs between engines).
@@ -343,6 +361,29 @@ object CoreLib {
          FROM embeddings""",
     "q66_hdf5_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "q76_crossmatch" ->
+      """WITH sup AS (
+           SELECT s_suppkey, CAST(s_suppkey % 360 AS DOUBLE) AS ra,
+             CAST((s_suppkey % 179) - 89 AS DOUBLE) AS decl FROM supplier),
+         cust AS (
+           SELECT c_custkey, CAST(c_custkey % 360 AS DOUBLE) AS ra,
+             CAST((c_custkey % 179) - 89 AS DOUBLE) AS decl FROM customer),
+         pairs AS (
+           SELECT s.s_suppkey, c.c_custkey,
+             degrees(2 * asin(least(1.0, sqrt(
+                 sin((radians(c.decl) - radians(s.decl)) / 2)
+               * sin((radians(c.decl) - radians(s.decl)) / 2)
+               + cos(radians(s.decl)) * cos(radians(c.decl))
+               * sin((radians(c.ra) - radians(s.ra)) / 2)
+               * sin((radians(c.ra) - radians(s.ra)) / 2))))) AS sep
+           FROM sup s, cust c),
+         ranked AS (
+           SELECT s_suppkey, c_custkey, sep,
+             row_number() OVER (PARTITION BY s_suppkey
+               ORDER BY round(sep, 9), c_custkey) AS rn
+           FROM pairs WHERE sep <= 5.0)
+         SELECT s_suppkey, c_custkey, round(sep, 6) AS sep_deg
+         FROM ranked WHERE rn = 1""",
     "q68_cone_search" ->
       """SELECT o_orderkey, ra, decl FROM (
            SELECT o_orderkey,

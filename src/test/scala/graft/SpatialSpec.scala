@@ -214,6 +214,33 @@ class SpatialSpec extends SparkSpec {
       s"no storage pruning: scan emitted $scanned of 20000 rows")
   }
 
+  test("crossMatch equals brute-force nearest on random sky positions") {
+    import graft.operators.CrossMatch
+    import graft.spatial.Region
+    val rnd = new scala.util.Random(23)
+    def cat(n: Int, off: Long) = (0 until n).map { i =>
+      (i.toLong + off, rnd.nextDouble * 360.0, rnd.nextDouble * 160.0 - 80.0)
+    }
+    val lpts = cat(80, 0)
+    val rpts = cat(400, 1000)
+    val l = lpts.toDF("id", "ra", "decl")
+    val r = rpts.toDF("id", "ra", "decl")
+    val got = CrossMatch.nearestWithin(l, r, "id", "id", ("ra", "decl"),
+      radiusDeg = 8.0, nside = 8)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // brute force truth
+    val want = lpts.flatMap { case (lid, lra, ldec) =>
+      val within = rpts.map { case (rid, rra, rdec) =>
+        (rid, Region.angSep(Region.SkyP(lra, ldec), Region.SkyP(rra, rdec)))
+      }.filter(_._2 <= 8.0)
+      if (within.isEmpty) None
+      else Some(lid -> within.minBy { case (rid, s) =>
+        (math.rint(s * 1e9) / 1e9, rid) }._1)
+    }.toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("writeSpatial auto level scales with row count") {
     import graft.io.OCIO
     assert(OCIO.chooseSpatialLevel(1000) == 1)
