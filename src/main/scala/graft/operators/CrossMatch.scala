@@ -33,20 +33,16 @@ object CrossMatch {
       col(ra).as("__lra"), col(dec).as("__ldec"))
       .withColumn("__pix", Healpix.pixelColumn(nside, col("__lra"), col("__ldec")))
     // the disc cover is PER-PIXEL, not per-row: every point in a right
-    // pixel shares (conservatively padded) candidate pixels, so the
-    // executor-local cache bounds queryDisc calls at 12·nside² per
-    // executor regardless of row count. Padding: one pixel size for
-    // the right point's offset from its pixel center (queryDisc pads
-    // another internally for the left side) — conservative cover,
-    // trimmed by the exact separation predicate.
-    val halfPix = math.toDegrees(math.sqrt(4.0 * math.Pi / Healpix.npix(nside)))
+    // pixel shares (conservatively padded) candidate pixels. The full
+    // pixel→cover table is one symmetric driver-side pass over pixel-
+    // center pairs (≤ (12·nside²)²/2 haversines, once per (nside,
+    // radius)), broadcast so the row UDF is a pure lookup. Padding:
+    // two pixel sizes — one for each point's offset from its pixel
+    // center — trimmed by the exact separation predicate.
+    val cover = left.sparkSession.sparkContext.broadcast(
+      CrossMatch.pixelCover(nside, radiusDeg))
     val disc = udf { (r: Double, d: Double) =>
-      val pix = Healpix.ang2pixNest(nside, r, d)
-      CrossMatch.discCache.getOrElseUpdate((nside, pix, radiusDeg), {
-        val (cra, cdec) = Healpix.pix2angNest(nside, pix)
-        Healpix.queryDisc(nside, Region.SkyP(cra, cdec),
-          radiusDeg + halfPix).toSeq
-      })
+      cover.value(Healpix.ang2pixNest(nside, r, d).toInt)
     }
     val r = right.select(col(rightId).as("__rid"),
       col(ra).as("__rra"), col(dec).as("__rdec"))
@@ -73,9 +69,79 @@ object CrossMatch {
         col("__sep").as("sep_deg"))
   }
 
-  /** Executor-local disc cover cache (bounded: ≤ 12·nside² entries per
-    * (nside, radius) in use).
+  /** pixel → conservatively padded candidate pixels, one symmetric
+    * pass over center pairs; memoized per (nside, radius).
     */
-  private val discCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, Long, Double), Seq[Long]]
+  private val coverCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Double), Array[Seq[Long]]]
+
+  private[operators] def pixelCover(nside: Int, radiusDeg: Double): Array[Seq[Long]] =
+    coverCache.getOrElseUpdate((nside, radiusDeg), {
+      val n = Healpix.npix(nside).toInt
+      val halfPix = math.toDegrees(math.sqrt(4.0 * math.Pi / n))
+      val thresh = radiusDeg + 2 * halfPix
+      val centers = Array.tabulate(n) { p =>
+        val (ra, dec) = Healpix.pix2angNest(nside, p.toLong)
+        Region.SkyP(ra, dec)
+      }
+      val out = Array.fill(n)(Seq.newBuilder[Long])
+      var i = 0
+      while (i < n) {
+        out(i) += i.toLong
+        var j = i + 1
+        while (j < n) {
+          if (Region.angSep(centers(i), centers(j)) <= thresh) {
+            out(i) += j.toLong; out(j) += i.toLong
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.map(_.result())
+    })
+
+  /** 3-D nearest-neighbor join within `radius` (halo matching across
+    * catalogs/simulations): grid cells of width ≥ radius, right rows
+    * explode to their 27-cell neighborhood, one equi-join on the cell
+    * key, exact euclidean residual, ulp-stable argmin — same shape as
+    * the sky match with the disc cover replaced by the fixed
+    * neighborhood (no cache needed: the cover is O(1) by
+    * construction). Output: (leftId, rightId, dist).
+    */
+  def nearest3dWithin(left: DataFrame, right: DataFrame,
+                      leftId: String, rightId: String,
+                      coords: (String, String, String),
+                      radius: Double): DataFrame = {
+    val (x, y, z) = coords
+    val cw = radius // cell width = radius → 27 cells always cover
+    def cell(c: org.apache.spark.sql.Column) = floor(c / cw).cast("long")
+    // pack the 3-D cell id into one long key (21 bits per axis,
+    // offset-shifted so negatives pack too)
+    def pack(ix: org.apache.spark.sql.Column, iy: org.apache.spark.sql.Column,
+             iz: org.apache.spark.sql.Column) =
+      (ix + lit(1L << 20)) * lit(1L << 42) +
+        (iy + lit(1L << 20)) * lit(1L << 21) + (iz + lit(1L << 20))
+    val l = left.select(col(leftId).as("__lid"),
+      col(x).as("__lx"), col(y).as("__ly"), col(z).as("__lz"))
+      .withColumn("__cell", pack(cell(col("__lx")), cell(col("__ly")), cell(col("__lz"))))
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1)
+      yield (dx, dy, dz)
+    val r = right.select(col(rightId).as("__rid"),
+      col(x).as("__rx"), col(y).as("__ry"), col(z).as("__rz"))
+      .withColumn("__cell", explode(array(offsets.map { case (dx, dy, dz) =>
+        pack(cell(col("__rx")) + dx, cell(col("__ry")) + dy, cell(col("__rz")) + dz)
+      }: _*)))
+    val d2 = (col("__rx") - col("__lx")) * (col("__rx") - col("__lx")) +
+      (col("__ry") - col("__ly")) * (col("__ry") - col("__ly")) +
+      (col("__rz") - col("__lz")) * (col("__rz") - col("__lz"))
+    val w = Window.partitionBy(col("__lid"))
+      .orderBy(round(col("__dist"), 9).asc, col("__rid").asc)
+    l.join(r, "__cell")
+      .withColumn("__dist", sqrt(d2))
+      .filter(col("__dist") <= lit(radius))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") === 1)
+      .select(col("__lid").as(leftId), col("__rid").as(rightId),
+        col("__dist").as("dist"))
+  }
 }

@@ -291,9 +291,29 @@ object CoreLib {
         (col("c_custkey") % 360).cast("double").as("ra"),
         ((col("c_custkey") % 179) - 89).cast("double").as("decl"))
       CrossMatch.nearestWithin(sup, cust, "s_suppkey", "c_custkey",
-        ("ra", "decl"), radiusDeg = 5.0)
+        ("ra", "decl"), radiusDeg = 5.0, nside = 8)
         .select(col("s_suppkey"), col("c_custkey"),
           round(col("sep_deg"), 6).as("sep_deg"))
+    }),
+
+    // 3-D nearest-neighbor match (halo matching across catalogs):
+    // grid-cell buckets + 27-neighborhood explode + exact euclidean
+    // residual. Oracle is the quadratic join with identical IEEE
+    // expressions.
+    "q77_crossmatch3d" -> ((s, dir) => {
+      import graft.operators.CrossMatch
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"),
+        (col("s_suppkey") % 97).cast("double").as("x"),
+        (col("s_suppkey") % 89).cast("double").as("y"),
+        (col("s_suppkey") % 83).cast("double").as("z"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        (col("c_custkey") % 97).cast("double").as("x"),
+        (col("c_custkey") % 89).cast("double").as("y"),
+        (col("c_custkey") % 83).cast("double").as("z"))
+      CrossMatch.nearest3dWithin(sup, cust, "s_suppkey", "c_custkey",
+        ("x", "y", "z"), radius = 10.0)
+        .select(col("s_suppkey"), col("c_custkey"),
+          round(col("dist"), 6).as("dist"))
     }),
 
     // §2.2 scalar-in-select: normalization by reductions through the
@@ -361,6 +381,27 @@ object CoreLib {
          FROM embeddings""",
     "q66_hdf5_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "q77_crossmatch3d" ->
+      """WITH sup AS (
+           SELECT s_suppkey, CAST(s_suppkey % 97 AS DOUBLE) AS x,
+             CAST(s_suppkey % 89 AS DOUBLE) AS y,
+             CAST(s_suppkey % 83 AS DOUBLE) AS z FROM supplier),
+         cust AS (
+           SELECT c_custkey, CAST(c_custkey % 97 AS DOUBLE) AS x,
+             CAST(c_custkey % 89 AS DOUBLE) AS y,
+             CAST(c_custkey % 83 AS DOUBLE) AS z FROM customer),
+         pairs AS (
+           SELECT s.s_suppkey, c.c_custkey,
+             sqrt((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+                + (c.z - s.z) * (c.z - s.z)) AS dist
+           FROM sup s, cust c),
+         ranked AS (
+           SELECT s_suppkey, c_custkey, dist,
+             row_number() OVER (PARTITION BY s_suppkey
+               ORDER BY round(dist, 9), c_custkey) AS rn
+           FROM pairs WHERE dist <= 10.0)
+         SELECT s_suppkey, c_custkey, round(dist, 6) AS dist
+         FROM ranked WHERE rn = 1""",
     "q76_crossmatch" ->
       """WITH sup AS (
            SELECT s_suppkey, CAST(s_suppkey % 360 AS DOUBLE) AS ra,
