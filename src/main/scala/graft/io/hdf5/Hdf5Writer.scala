@@ -58,6 +58,12 @@ final class Hdf5Writer(val path: String) extends AutoCloseable {
 
   /** v1 object header from (type, data) messages; returns its addr. */
   private def writeObjectHeader(msgs: Seq[(Int, Array[Byte])]): Long = {
+    msgs.foreach { case (t, d) =>
+      require(d.length <= 0xFFF0,
+        s"header message type 0x${t.toHexString} is ${d.length} bytes — " +
+          "exceeds the v1 16-bit message size (e.g. an attribute over " +
+          "thousands of columns); split or drop the attribute")
+    }
     val padded = msgs.map { case (t, d) => (t, d ++ new Array[Byte](pad8(d.length) - d.length)) }
     val bodySize = padded.map(_._2.length + 8).sum
     val b = buf(16 + bodySize)

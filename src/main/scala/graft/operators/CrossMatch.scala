@@ -115,28 +115,31 @@ object CrossMatch {
     val (x, y, z) = coords
     val cw = radius // cell width = radius → 27 cells always cover
     def cell(c: org.apache.spark.sql.Column) = floor(c / cw).cast("long")
-    // pack the 3-D cell id into one long key (21 bits per axis,
-    // offset-shifted so negatives pack too)
-    def pack(ix: org.apache.spark.sql.Column, iy: org.apache.spark.sql.Column,
-             iz: org.apache.spark.sql.Column) =
-      (ix + lit(1L << 20)) * lit(1L << 42) +
-        (iy + lit(1L << 20)) * lit(1L << 21) + (iz + lit(1L << 20))
+    // join on the raw (cx, cy, cz) triple — a packed single key would
+    // overflow silently for coordinates beyond its per-axis bit budget
     val l = left.select(col(leftId).as("__lid"),
       col(x).as("__lx"), col(y).as("__ly"), col(z).as("__lz"))
-      .withColumn("__cell", pack(cell(col("__lx")), cell(col("__ly")), cell(col("__lz"))))
+      .withColumn("__cx", cell(col("__lx")))
+      .withColumn("__cy", cell(col("__ly")))
+      .withColumn("__cz", cell(col("__lz")))
     val offsets = for (dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1)
       yield (dx, dy, dz)
     val r = right.select(col(rightId).as("__rid"),
       col(x).as("__rx"), col(y).as("__ry"), col(z).as("__rz"))
-      .withColumn("__cell", explode(array(offsets.map { case (dx, dy, dz) =>
-        pack(cell(col("__rx")) + dx, cell(col("__ry")) + dy, cell(col("__rz")) + dz)
+      .withColumn("__n", explode(array(offsets.map { case (dx, dy, dz) =>
+        struct((cell(col("__rx")) + dx).as("cx"), (cell(col("__ry")) + dy).as("cy"),
+          (cell(col("__rz")) + dz).as("cz"))
       }: _*)))
+      .withColumn("__cx", col("__n.cx"))
+      .withColumn("__cy", col("__n.cy"))
+      .withColumn("__cz", col("__n.cz"))
+      .drop("__n")
     val d2 = (col("__rx") - col("__lx")) * (col("__rx") - col("__lx")) +
       (col("__ry") - col("__ly")) * (col("__ry") - col("__ly")) +
       (col("__rz") - col("__lz")) * (col("__rz") - col("__lz"))
     val w = Window.partitionBy(col("__lid"))
       .orderBy(round(col("__dist"), 9).asc, col("__rid").asc)
-    l.join(r, "__cell")
+    l.join(r, Seq("__cx", "__cy", "__cz"))
       .withColumn("__dist", sqrt(d2))
       .filter(col("__dist") <= lit(radius))
       .withColumn("__rank", row_number().over(w))

@@ -241,6 +241,30 @@ class SpatialSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("3-D crossMatch equals brute force on random positions (incl. negatives)") {
+    import graft.operators.CrossMatch
+    val rnd = new scala.util.Random(29)
+    def cat(n: Int, off: Long) = (0 until n).map { i =>
+      (i.toLong + off, rnd.nextDouble * 200 - 100,
+        rnd.nextDouble * 200 - 100, rnd.nextDouble * 200 - 100)
+    }
+    val lpts = cat(60, 0); val rpts = cat(300, 1000)
+    val got = CrossMatch.nearest3dWithin(
+      lpts.toDF("id", "x", "y", "z"), rpts.toDF("id", "x", "y", "z"),
+      "id", "id", ("x", "y", "z"), radius = 25.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = lpts.flatMap { case (lid, lx, ly, lz) =>
+      val within = rpts.map { case (rid, rx, ry, rz) =>
+        (rid, math.sqrt((rx - lx) * (rx - lx) + (ry - ly) * (ry - ly) + (rz - lz) * (rz - lz)))
+      }.filter(_._2 <= 25.0)
+      if (within.isEmpty) None
+      else Some(lid -> within.minBy { case (rid, d) =>
+        (math.rint(d * 1e9) / 1e9, rid) }._1)
+    }.toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("writeSpatial auto level scales with row count") {
     import graft.io.OCIO
     assert(OCIO.chooseSpatialLevel(1000) == 1)
