@@ -625,6 +625,16 @@ object Hdf5Io {
                           chunkRows: Int = 1 << 16,
                           compress: Boolean = true): Unit = {
     val key = coll.linkKey
+    // the export streams each column in its own job over the key-sorted
+    // order; a NON-unique key would leave equal-key tie order at the
+    // mercy of per-column plan details and could misalign rows across
+    // columns — require uniqueness (parent keys are ids; duplicates
+    // indicate a malformed collection anyway)
+    val Array(nRows, nKeys) = coll.properties.df
+      .agg(count(lit(1)), countDistinct(col(key))).head().toSeq
+      .map(_.asInstanceOf[Long]).toArray
+    require(nRows == nKeys,
+      s"exportStructureHdf5 needs unique $key values ($nKeys distinct of $nRows rows)")
     val parentSorted = coll.properties.df.orderBy(col(key))
     val w = new Hdf5Writer(path)
     try {
