@@ -69,6 +69,31 @@ object TextFunctions {
       distinctTokenRatio(text) >= minDistinctRatio
   }
 
+  /** Feature-hashing text embedding (the "hashing trick" — public
+    * method, Weinberger et al. 2009): token hash picks a bucket, a
+    * second hash bit picks the sign, counts L2-normalize. Entirely
+    * builtin column ops (no UDF, no model): the deterministic text →
+    * vector bridge that lets the ANN/dedup vector operators run on
+    * text corpora without an external embedding model.
+    */
+  def hashEmbedding(text: Column, dim: Int = 64): Column = {
+    val toks = tokens(text)
+    val buckets = transform(toks, t => pmod(xxhash64(t), lit(dim.toLong)))
+    val signs = transform(toks, t =>
+      when(pmod(xxhash64(t, lit(1)), lit(2L)) === 0L, lit(1.0f)).otherwise(lit(-1.0f)))
+    // raw(i) = Σ_j sign(j)·[bucket(j) = i]
+    val raw = transform(sequence(lit(0), lit(dim - 1)), i =>
+      aggregate(zip_with(buckets, signs,
+        (b, sg) => when(b === i.cast("long"), sg).otherwise(lit(0.0f))),
+        lit(0.0f), (acc, v) => acc + v))
+    // sqrt promotes to double — cast back so the output is
+    // array<float>, matching the embeddings-table convention
+    val norm = sqrt(aggregate(raw, lit(0.0f), (acc, v) => acc + v * v)).cast("float")
+    when(norm > 0, transform(raw, v => v / norm))
+      .otherwise(raw)
+      .cast("array<float>") // float division promotes; pin the output type
+  }
+
   /** Document fingerprint: md5 of the case/whitespace-normalized text.
     * (Reference has no text ops; this is the pipeline-op analog of its
     * UUID column binding — a stable content identity.)

@@ -238,6 +238,17 @@ object TextVector {
         k = 5, rerank = 50, rawCorpus = Some(e))
     }),
 
+    // text -> vector bridge: feature-hash embeddings (hashing trick,
+    // pure builtins) feeding the ANN stack — near-dup text clusters
+    // land near each other without any external model. Rows-only
+    // (xxhash64-based; spec proves determinism/unit-norm/similarity).
+    "q78_text_ann" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.hashEmbedding(col("text"), 64).as("embedding"))
+      Similarity.bruteForceTopK(d, d.filter(col("doc_id") < 10),
+        "doc_id", "embedding", 5)
+    }),
+
     // quality gating: repetition signal + the full C4/Gopher-style
     // rule stack as one boolean — the corpus-filtering step upstream
     // of every dedup/sampling stage.

@@ -164,6 +164,25 @@ object EventOps {
     stream.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Watermarked stream-stream interval join: events stream joined to
+    * a stream of (key, w_start, w_end) windows. Here the raw
+    * time-range condition IS the right form — Structured Streaming
+    * uses it to bound both sides' state to the watermark horizon
+    * (unlike the batch [[intervalJoin]], where bucketing avoids a
+    * nested-loop plan; streaming state is keyed, so the range
+    * condition prunes state instead).
+    */
+  def streamIntervalJoin(events: DataFrame, windows: DataFrame,
+                         lateness: String): DataFrame = {
+    val e = events.withWatermark("ts", lateness).as("e")
+    val w = windows.withWatermark("w_start", lateness).as("w")
+    e.join(w, expr(
+      """e.user_id = w.user_id AND
+         e.ts >= w.w_start AND e.ts < w.w_end"""))
+      .select(col("e.event_id"), col("e.user_id"),
+        unix_timestamp(col("w.w_start")).as("w_start_s"))
+  }
+
   /** Arbitrary stateful processing (`mapGroupsWithState` — the custom-
     * state escape hatch the windowed aggregates can't express):
     * running per-user totals that persist across micro-batches. Each

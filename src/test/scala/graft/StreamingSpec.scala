@@ -99,6 +99,31 @@ class StreamingSpec extends SparkSpec {
       "2024-01-01 01:00:00.0"))
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    import graft.streaming.EventOps
+    val winRows = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")),
+      (2L, ts("2024-01-01 02:00:00"), ts("2024-01-01 03:00:00")))
+    val batch = EventOps.intervalJoin(evs.toDF(),
+      winRows.toDF("user_id", "w_start", "w_end"),
+      Seq("user_id"), "ts", "w_start", "w_end")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("w_start")).as("w_start_s"))
+      .collect().map(_.toSeq).toSet
+    val esrc = MemoryStream[Ev](spark)
+    esrc.addData(evs)
+    val wsrc = MemoryStream[(Long, java.sql.Timestamp, java.sql.Timestamp)](spark)
+    wsrc.addData(winRows)
+    val sink = s"ssj_sink_${System.identityHashCode(esrc)}"
+    val q = EventOps.streamIntervalJoin(esrc.toDF(),
+      wsrc.toDF().toDF("user_id", "w_start", "w_end"), "10 minutes")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val stream = spark.table(sink).collect().map(_.toSeq).toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming dedup: redelivered ids collapse, state bounded by watermark") {
     // duplicate event_ids (an at-least-once source redelivering)
     val withDups = evs ++ Seq(

@@ -58,4 +58,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(sigs(0) == sigs(1))
     assert(sigs(0).length == 16)
   }
+
+  test("hashEmbedding: deterministic, unit-norm, similarity-preserving") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "entirely unrelated words regarding catalyst planner internals")
+    ).toDF("id", "text")
+    val emb = df.select(col("id"),
+      graft.functions.TextFunctions.hashEmbedding(col("text"), 64).as("v"))
+    val rows = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.values.foreach { v =>
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-5) // unit norm
+    }
+    val again = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows == again) // deterministic
+    def cos(a: Seq[Float], b: Seq[Float]) = a.zip(b).map { case (x, y) => x * y }.sum
+    assert(cos(rows(1L), rows(2L)) > cos(rows(1L), rows(3L)))
+    assert(cos(rows(1L), rows(2L)) > 0.5)
+  }
 }
