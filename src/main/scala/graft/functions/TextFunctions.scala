@@ -75,6 +75,11 @@ object TextFunctions {
     * builtin column ops (no UDF, no model): the deterministic text →
     * vector bridge that lets the ANN/dedup vector operators run on
     * text corpora without an external embedding model.
+    *
+    * NOTE this scalar-expression form does O(dim·tokens) array work
+    * PER EVALUATION — fine for a handful of rows, and recomputed
+    * wherever the plan references it. For corpora use
+    * [[hashEmbeddings]], the linear aggregation form.
     */
   def hashEmbedding(text: Column, dim: Int = 64): Column = {
     val toks = tokens(text)
@@ -92,6 +97,36 @@ object TextFunctions {
     when(norm > 0, transform(raw, v => v / norm))
       .otherwise(raw)
       .cast("array<float>") // float division promotes; pin the output type
+  }
+
+  /** Corpus-scale feature-hash embeddings: same math as
+    * [[hashEmbedding]], computed by explode → per-(doc, bucket) sign
+    * sums → one dense array per doc — two hash-agg shuffles, work
+    * LINEAR in total tokens (the scalar form pays O(dim·tokens) array
+    * churn per row and recomputes wherever referenced). Output:
+    * (idCol, embedding array<float>, unit-norm).
+    */
+  def hashEmbeddings(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, dim: Int = 64): org.apache.spark.sql.DataFrame = {
+    val sums = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol), pmod(xxhash64(col("__t")), lit(dim.toLong)).as("__b"),
+        when(pmod(xxhash64(col("__t"), lit(1)), lit(2L)) === 0L, lit(1.0f))
+          .otherwise(lit(-1.0f)).as("__s"))
+      .groupBy(col(idCol), col("__b")).agg(sum(col("__s")).as("__v"))
+      // the norm comes out of the SAME aggregation (‖v‖² = Σ_b v_b²) so
+      // downstream it is a plain attribute — norm-as-expression inside
+      // the divide lambda would re-inline the whole reduction per
+      // array ELEMENT (lambdas get no common-subexpression
+      // elimination), turning O(dim) per row into O(dim²·lookups)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__v")))).as("__m"),
+        sqrt(sum(col("__v") * col("__v"))).cast("float").as("__n"))
+    val raw = transform(sequence(lit(0), lit(dim - 1)),
+      i => coalesce(element_at(col("__m"), i.cast("long")), lit(0.0)).cast("float"))
+    sums.select(col(idCol),
+      when(col("__n") > 0, transform(raw, v => v / col("__n"))).otherwise(raw)
+        .cast("array<float>").as("embedding"))
   }
 
   /** Document fingerprint: md5 of the case/whitespace-normalized text.

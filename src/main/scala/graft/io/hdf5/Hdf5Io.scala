@@ -366,8 +366,10 @@ object Hdf5Io {
         val linkDf = openDataFrame(spark, h5Path, s"$parentGroup/data_linked")
           .select(s"${id}_start", s"${id}_size")
         val ranges = linkDf.collect() // per-file parent count, driver-bounded
+        // (start, size, parentRow) for non-empty ranges, start-sorted
         val bounds = ranges.indices.collect {
-          case i if ranges(i).getLong(1) > 0 => (ranges(i).getLong(0), i.toLong)
+          case i if ranges(i).getLong(1) > 0 =>
+            (ranges(i).getLong(0), ranges(i).getLong(1), i.toLong)
         }.sortBy(_._1).toArray
         val b = spark.sparkContext.broadcast(bounds)
         val childCols = columns(h5Path, s"$target/data")
@@ -380,7 +382,12 @@ object Hdf5Io {
                 val mid = (lo + hi + 1) >>> 1
                 if (bs(mid)._1 <= row) lo = mid else hi = mid - 1
               }
-              bs(lo)._2
+              // rows in a GAP between ranges belong to no parent —
+              // assigning them to the preceding one would be silent
+              // corruption; emit null instead
+              if (bs.nonEmpty && bs(lo)._1 <= row && row < bs(lo)._1 + bs(lo)._2)
+                Some(bs(lo)._3)
+              else None
             }
             df.withColumn(LinkCol, pUdf(col(rowCol))).drop(rowCol)
         }.get

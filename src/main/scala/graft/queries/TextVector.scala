@@ -243,9 +243,12 @@ object TextVector {
     // land near each other without any external model. Rows-only
     // (xxhash64-based; spec proves determinism/unit-norm/similarity).
     "q78_text_ann" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.hashEmbedding(col("text"), 64).as("embedding"))
-      Similarity.bruteForceTopK(d, d.filter(col("doc_id") < 10),
+      // aggregation-form embeddings (linear in tokens), MATERIALIZED
+      // before the ANN join — an unmaterialized embedding expression
+      // would recompute per candidate pair
+      val emb = TextFunctions.hashEmbeddings(
+        t(s, dir, "documents"), "doc_id", "text", 64).localCheckpoint(true)
+      Similarity.bruteForceTopK(emb, emb.filter(col("doc_id") < 10),
         "doc_id", "embedding", 5)
     }),
 

@@ -140,7 +140,9 @@ class Hdf5Spec extends SparkSpec {
     val masses = Seq(1e13, 5e13, 2e14)
     val counts = Seq(3L, 0L, 2L)
     val starts = counts.scanLeft(0L)(_ + _).init
-    val partMass = Seq(0.1, 0.2, 0.3, 7.0, 8.0)
+    // 6th particle is an ORPHAN (beyond every range) — must import
+    // with a null parent, not silently attach to the last halo
+    val partMass = Seq(0.1, 0.2, 0.3, 7.0, 8.0, 99.0)
     val p = tmp("structure.hdf5")
     val w = new Hdf5Writer(p)
     def f64(vals: Seq[Double]) =
@@ -175,6 +177,10 @@ class Hdf5Spec extends SparkSpec {
       .groupBy(Hdf5Io.LinkCol).count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byHalo == Map(0L -> 3L, 2L -> 2L))
+    // the orphan carries a NULL parent and never joins to any halo
+    val orphans = coll.children("halo_particles")
+      .filter(col(Hdf5Io.LinkCol).isNull).collect()
+    assert(orphans.map(_.getAs[Double]("p_mass")).toSeq == Seq(99.0))
     // semi-join filter works over the imported link
     val heavy = coll.filterByChild("halo_particles", col("p_mass") > 1.0)
     assert(heavy.properties.df.select("mass").collect().map(_.getDouble(0)).toSet ==

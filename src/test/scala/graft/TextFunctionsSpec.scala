@@ -76,5 +76,11 @@ class TextFunctionsSpec extends SparkSpec {
     def cos(a: Seq[Float], b: Seq[Float]) = a.zip(b).map { case (x, y) => x * y }.sum
     assert(cos(rows(1L), rows(2L)) > cos(rows(1L), rows(3L)))
     assert(cos(rows(1L), rows(2L)) > 0.5)
+    // the corpus-scale aggregation form computes the same vectors
+    val agg = graft.functions.TextFunctions.hashEmbeddings(df, "id", "text", 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.foreach { case (id, v) =>
+      v.zip(agg(id)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-5) }
+    }
   }
 }
