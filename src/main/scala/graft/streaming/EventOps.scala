@@ -108,6 +108,11 @@ object EventOps {
     *
     * `valueCols` are the right-side columns to attach, surfaced as
     * `<name>` on the output.
+    *
+    * The right side should be unique per (key, ts) — with duplicates
+    * the window picks whichever sorts last among the equal
+    * timestamps, which is not a defined order; pre-aggregate
+    * duplicates (as q45 does) for determinism.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, valueCols: Seq[String]): DataFrame = {
