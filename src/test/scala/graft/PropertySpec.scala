@@ -1,0 +1,146 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.spatial.{Healpix, Morton, Region}
+import graft.units.Units
+
+/** Randomized invariants for the pure-math cores (Morton codec, unit
+  * algebra, HEALPix pixelization, region geometry) — the pieces whose
+  * bugs would corrupt query results silently rather than crash.
+  * Seeded loops (200 cases each), deterministic across runs.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def cases(seed: Long)(body: scala.util.Random => Unit): Unit = {
+    val rnd = new scala.util.Random(seed)
+    (0 until 200).foreach(_ => body(rnd))
+  }
+
+  test("Morton encode/decode round-trips at every level") {
+    cases(1) { rnd =>
+      val level = 1 + rnd.nextInt(10)
+      val m = (1L << level) - 1
+      val (cx, cy, cz) = (rnd.nextLong() & m, rnd.nextLong() & m, rnd.nextLong() & m)
+      val key = Morton.encode3d(cx, cy, cz, level)
+      assert(Morton.decode3d(key, level) == ((cx, cy, cz)))
+      assert(key >= 0 && key < (1L << (3 * level)))
+    }
+  }
+
+  test("Morton prefix nesting: children share the parent's key prefix") {
+    cases(2) { rnd =>
+      val level = 1 + rnd.nextInt(8)
+      val key = math.abs(rnd.nextLong()) % (1L << (3 * level))
+      (0 until 8).foreach { oct =>
+        assert(((key << 3) | oct) >> 3 == key)
+      }
+    }
+  }
+
+  test("pointKey lands inside the decoded cell's box") {
+    cases(3) { rnd =>
+      val level = 1 + rnd.nextInt(6)
+      val size = 100.0
+      val (x, y, z) = (rnd.nextDouble * size * 0.999,
+        rnd.nextDouble * size * 0.999, rnd.nextDouble * size * 0.999)
+      val key = Morton.pointKey(x, y, z, 0.0, size, level)
+      val (cx, cy, cz) = Morton.decode3d(key, level)
+      val w = size / (1L << level)
+      assert(cx * w <= x + 1e-9 && x < (cx + 1) * w + 1e-9)
+      assert(cy * w <= y + 1e-9 && y < (cy + 1) * w + 1e-9)
+      assert(cz * w <= z + 1e-9 && z < (cz + 1) * w + 1e-9)
+    }
+  }
+
+  test("UnitSpec parse/toString round-trips") {
+    val names = Vector("Mpc", "kpc", "Msun", "kg", "rad", "deg", "s")
+    cases(4) { rnd =>
+      val p = rnd.nextInt(7) - 3
+      val dims = if (p == 0) Map.empty[String, Int]
+                 else Map(names(rnd.nextInt(names.size)) -> p)
+      val u = Units.UnitSpec(dims, rnd.nextInt(5) - 2)
+      assert(Units.parse(u.toString) == u)
+    }
+  }
+
+  test("unit conversion factors invert") {
+    Seq(("Mpc", "kpc"), ("Mpc", "pc"), ("Msun", "kg"),
+      ("rad", "deg"), ("deg", "arcsec"), ("Gyr", "s")).foreach { case (a, b) =>
+      val f = Units.unitConversionFactor(Units.parse(a), Units.parse(b))
+      val g = Units.unitConversionFactor(Units.parse(b), Units.parse(a))
+      assert(math.abs(f * g - 1.0) < 1e-12, s"$a<->$b: $f * $g")
+    }
+  }
+
+  test("angSep: symmetric, zero at identity, bounded by 180") {
+    cases(5) { rnd =>
+      val a = Region.SkyP(rnd.nextDouble * 360, rnd.nextDouble * 180 - 90)
+      val b = Region.SkyP(rnd.nextDouble * 360, rnd.nextDouble * 180 - 90)
+      val ab = Region.angSep(a, b)
+      assert(math.abs(ab - Region.angSep(b, a)) < 1e-9)
+      assert(ab >= 0 && ab <= 180.0 + 1e-9)
+      assert(Region.angSep(a, a) < 1e-9)
+    }
+  }
+
+  test("healpix ang2pix(pix2ang) is the identity on pixel centers") {
+    cases(6) { rnd =>
+      val nside = Seq(1, 2, 4, 8, 16)(rnd.nextInt(5))
+      val pix = math.abs(rnd.nextLong()) % Healpix.npix(nside)
+      val (ra, dec) = Healpix.pix2angNest(nside, pix)
+      assert(Healpix.ang2pixNest(nside, ra, dec) == pix)
+    }
+  }
+
+  test("box classify agrees with its own point membership") {
+    import Region._
+    cases(7) { rnd =>
+      def p3() = P3(rnd.nextDouble * 100, rnd.nextDouble * 100, rnd.nextDouble * 100)
+      val bmin = p3()
+      val b = Box(bmin, P3(bmin.x + 1 + rnd.nextDouble * 20,
+        bmin.y + 1 + rnd.nextDouble * 20, bmin.z + 1 + rnd.nextDouble * 20))
+      val c0 = p3(); val c1 = p3()
+      val lo = P3(math.min(c0.x, c1.x), math.min(c0.y, c1.y), math.min(c0.z, c1.z))
+      val hi = P3(math.max(c0.x, c1.x) + 0.001, math.max(c0.y, c1.y) + 0.001,
+        math.max(c0.z, c1.z) + 0.001)
+      b.classify(lo, hi) match {
+        case Contained =>
+          assert(b.contains(lo))
+          assert(b.contains(P3(hi.x - 1e-9, hi.y - 1e-9, hi.z - 1e-9)))
+        case Disjoint =>
+          // no sampled point of the cell may be inside the box
+          (0 until 10).foreach { _ =>
+            val q = P3(lo.x + rnd.nextDouble * (hi.x - lo.x),
+              lo.y + rnd.nextDouble * (hi.y - lo.y),
+              lo.z + rnd.nextDouble * (hi.z - lo.z))
+            assert(!b.contains(q))
+          }
+        case Intersects => ()
+      }
+    }
+  }
+
+  test("octree classifyCells partitions: contained ∪ boundary covers the region") {
+    import Region._
+    cases(8) { rnd =>
+      val level = 2 + rnd.nextInt(3)
+      val size = 64.0
+      val bmin = P3(rnd.nextDouble * 40, rnd.nextDouble * 40, rnd.nextDouble * 40)
+      val box = Box(bmin, P3(bmin.x + 5 + rnd.nextDouble * 15,
+        bmin.y + 5 + rnd.nextDouble * 15, bmin.z + 5 + rnd.nextDouble * 15))
+      val plan = graft.spatial.Octree.classifyCells(box, 0.0, size, level)
+      def inPlan(key: Long, rs: Seq[(Long, Long)]) =
+        rs.exists { case (lo, hi) => key >= lo && key < hi }
+      // every point of the region maps to a covered cell; contained
+      // cells really are fully inside
+      (0 until 20).foreach { _ =>
+        val q = P3(box.min.x + rnd.nextDouble * (box.max.x - box.min.x),
+          box.min.y + rnd.nextDouble * (box.max.y - box.min.y),
+          box.min.z + rnd.nextDouble * (box.max.z - box.min.z))
+        val key = Morton.pointKey(q.x, q.y, q.z, 0.0, size, level)
+        assert(inPlan(key, plan.contained) || inPlan(key, plan.boundary),
+          s"point $q (key $key) uncovered")
+      }
+    }
+  }
+}
