@@ -161,6 +161,25 @@ final case class HealpixMap(df: DataFrame, nside: Int,
   }
 }
 
+object HealpixMap {
+  /** Build a map FROM a point catalog (the reference's map-making
+    * path): each row's (ra, dec) pixelizes at `nside` (nested), values
+    * aggregate per pixel — counts plus the mean of each `valueCols`.
+    * One hash-agg shuffle on the pixel.
+    */
+  def fromPoints(df: DataFrame, coords: (String, String), nside: Int,
+                 valueCols: Seq[String] = Nil): HealpixMap = {
+    val (ra, dec) = coords
+    val pix = graft.spatial.Healpix.pixelColumn(nside, col(ra), col(dec))
+    val aggs = count(lit(1)).as("n_obj") +:
+      valueCols.map(c => avg(col(c)).as(c))
+    HealpixMap(
+      df.withColumn("pixel", pix).groupBy(col("pixel"))
+        .agg(aggs.head, aggs.tail: _*),
+      nside)
+  }
+}
+
 /** Named datasets with broadcast combinators (reference
   * simulation.py:32 — `__map` at :75).
   */

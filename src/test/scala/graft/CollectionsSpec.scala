@@ -207,6 +207,26 @@ class CollectionsSpec extends SparkSpec {
     assert(viaPixels.df.select("id").collect().map(_.getLong(0)).nonEmpty)
   }
 
+  test("HealpixMap.fromPoints pixelizes a catalog and aggregates per pixel") {
+    import graft.spatial.{Healpix, Region}
+    val pts = Seq(
+      (45.0, 30.0, 2.0), (45.2, 30.1, 4.0), // same-ish direction
+      (225.0, -30.0, 10.0)
+    ).toDF("ra", "decl", "mass")
+    val m = HealpixMap.fromPoints(pts, ("ra", "decl"), nside = 4,
+      valueCols = Seq("mass"))
+    assert(m.nside == 4)
+    val rows = m.df.collect().map(r =>
+      r.getAs[Long]("pixel") -> (r.getAs[Long]("n_obj"), r.getAs[Double]("mass"))).toMap
+    val p1 = Healpix.ang2pixNest(4, 45.0, 30.0)
+    val p2 = Healpix.ang2pixNest(4, 225.0, -30.0)
+    assert(rows(p2) == ((1L, 10.0)))
+    assert(rows(p1)._1 >= 1L) // close points may share the pixel at nside 4
+    assert(rows.values.map(_._1).sum == 3L)
+    // built map degrades like any other
+    assert(m.withResolution(2).df.count() <= m.df.count())
+  }
+
   test("healpix map and simulation collection IO + openAny dispatch") {
     val dir1 = java.nio.file.Files.createTempDirectory("graft_hpm").toString
     val m = HealpixMap((0L until 48L).map(p => (p, p * 2.0)).toDF("pixel", "value"),
