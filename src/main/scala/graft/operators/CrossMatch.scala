@@ -33,16 +33,20 @@ object CrossMatch {
       col(ra).as("__lra"), col(dec).as("__ldec"))
       .withColumn("__pix", Healpix.pixelColumn(nside, col("__lra"), col("__ldec")))
     // the disc cover is PER-PIXEL, not per-row: every point in a right
-    // pixel shares (conservatively padded) candidate pixels. The full
-    // pixel→cover table is one symmetric driver-side pass over pixel-
-    // center pairs (≤ (12·nside²)²/2 haversines, once per (nside,
-    // radius)), broadcast so the row UDF is a pure lookup. Padding:
-    // two pixel sizes — one for each point's offset from its pixel
-    // center — trimmed by the exact separation predicate.
-    val cover = left.sparkSession.sparkContext.broadcast(
-      CrossMatch.pixelCover(nside, radiusDeg))
+    // pixel shares (conservatively padded) candidate pixels, so the
+    // executor-local cache bounds disc queries at 12·nside² per
+    // executor regardless of rows — and each query is HIERARCHICAL
+    // (O(|disc|), not O(npix)), so deep nsides stay cheap. Padding:
+    // one pixel size for the right point's offset from its pixel
+    // center (queryDisc pads another internally for the left side);
+    // the exact separation predicate trims the cover.
+    val pad = Healpix.charDeg(nside)
     val disc = udf { (r: Double, d: Double) =>
-      cover.value(Healpix.ang2pixNest(nside, r, d).toInt)
+      val pix = Healpix.ang2pixNest(nside, r, d)
+      CrossMatch.discCache.getOrElseUpdate((nside, pix, radiusDeg), {
+        val (cra, cdec) = Healpix.pix2angNest(nside, pix)
+        Healpix.queryDisc(nside, Region.SkyP(cra, cdec), radiusDeg + pad).toSeq
+      })
     }
     val r = right.select(col(rightId).as("__rid"),
       col(ra).as("__rra"), col(dec).as("__rdec"))
@@ -69,36 +73,12 @@ object CrossMatch {
         col("__sep").as("sep_deg"))
   }
 
-  /** pixel → conservatively padded candidate pixels, one symmetric
-    * pass over center pairs; memoized per (nside, radius).
+  /** Executor-local per-pixel disc cover cache (≤ 12·nside² entries
+    * per (nside, radius) in use; each entry is one hierarchical disc
+    * query).
     */
-  private val coverCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, Double), Array[Seq[Long]]]
-
-  private[operators] def pixelCover(nside: Int, radiusDeg: Double): Array[Seq[Long]] =
-    coverCache.getOrElseUpdate((nside, radiusDeg), {
-      val n = Healpix.npix(nside).toInt
-      val halfPix = math.toDegrees(math.sqrt(4.0 * math.Pi / n))
-      val thresh = radiusDeg + 2 * halfPix
-      val centers = Array.tabulate(n) { p =>
-        val (ra, dec) = Healpix.pix2angNest(nside, p.toLong)
-        Region.SkyP(ra, dec)
-      }
-      val out = Array.fill(n)(Seq.newBuilder[Long])
-      var i = 0
-      while (i < n) {
-        out(i) += i.toLong
-        var j = i + 1
-        while (j < n) {
-          if (Region.angSep(centers(i), centers(j)) <= thresh) {
-            out(i) += j.toLong; out(j) += i.toLong
-          }
-          j += 1
-        }
-        i += 1
-      }
-      out.map(_.result())
-    })
+  private val discCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Long, Double), Seq[Long]]
 
   /** 3-D nearest-neighbor join within `radius` (halo matching across
     * catalogs/simulations): grid cells of width ≥ radius, right rows

@@ -83,6 +83,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hierarchical queryDisc equals the exhaustive scan") {
+    cases(9) { rnd =>
+      val nside = Seq(1, 2, 4, 8, 16)(rnd.nextInt(5))
+      val center = Region.SkyP(rnd.nextDouble * 360, rnd.nextDouble * 170 - 85)
+      val radius = 0.5 + rnd.nextDouble * 30
+      val fast = Healpix.queryDisc(nside, center, radius)
+      // exhaustive reference: same criterion over every pixel
+      val halfPix = Healpix.charDeg(nside)
+      val slow = (0L until Healpix.npix(nside)).filter { p =>
+        val (ra, dec) = Healpix.pix2angNest(nside, p)
+        Region.angSep(center, Region.SkyP(ra, dec)) <= radius + halfPix
+      }.toSet
+      assert(fast == slow, s"nside=$nside center=$center r=$radius " +
+        s"missing=${(slow -- fast).take(5)} extra=${(fast -- slow).take(5)}")
+    }
+  }
+
   test("healpix ang2pix(pix2ang) is the identity on pixel centers") {
     cases(6) { rnd =>
       val nside = Seq(1, 2, 4, 8, 16)(rnd.nextInt(5))
