@@ -115,10 +115,82 @@ object Units {
     u.pow(p)
   }
 
-  /** Cosmology parameters needed for conversions. */
+  /** Cosmology parameters needed for conversions, plus the flat-ΛCDM
+    * distance measures the reference gets from astropy
+    * (cosmology.py:24-75 builds an astropy FlatLambdaCDM): standard
+    * published formulae (Hogg 1999, "Distance measures in cosmology").
+    */
   final case class Cosmology(h0: Double = 70.0, omegaM: Double = 0.3,
                              omegaL: Double = 0.7) {
     def littleh: Double = h0 / 100.0
+
+    /** c/H0 in Mpc (Hubble distance). */
+    def hubbleDistanceMpc: Double = 299792.458 / h0
+
+    /** E(z) = H(z)/H0 for flat ΛCDM (radiation neglected, as the
+      * reference's simulation headers do).
+      */
+    def efunc(z: Double): Double = {
+      val zp1 = 1.0 + z
+      math.sqrt(omegaM * zp1 * zp1 * zp1 + (1.0 - omegaM - omegaL) * zp1 * zp1 + omegaL)
+    }
+
+    /** Line-of-sight comoving distance D_C(z) in Mpc — Simpson's rule
+      * over 1/E; 1e4 panels puts the error far below any catalog use.
+      */
+    def comovingDistanceMpc(z: Double): Double = {
+      require(z >= 0, s"negative redshift $z")
+      if (z == 0) return 0.0
+      val n = 10000
+      val h = z / n
+      var s = 1.0 / efunc(0.0) + 1.0 / efunc(z)
+      var i = 1
+      while (i < n) {
+        s += (if (i % 2 == 1) 4.0 else 2.0) / efunc(i * h)
+        i += 1
+      }
+      hubbleDistanceMpc * s * h / 3.0
+    }
+
+    /** D_L = (1+z)·D_C (flat). */
+    def luminosityDistanceMpc(z: Double): Double =
+      (1.0 + z) * comovingDistanceMpc(z)
+
+    /** D_A = D_C/(1+z) (flat). */
+    def angularDiameterDistanceMpc(z: Double): Double =
+      comovingDistanceMpc(z) / (1.0 + z)
+
+    /** Distance modulus μ = 5·log10(D_L/10pc). */
+    def distanceModulus(z: Double): Double =
+      5.0 * math.log10(luminosityDistanceMpc(z) * 1e6 / 10.0)
+  }
+
+  /** Comoving-distance COLUMN over a redshift column: the integral is
+    * precomputed on a dense z-grid (driver, once) and rows linearly
+    * interpolate via codegen'd arithmetic over two array literals —
+    * no per-row integration, no UDF. Grid spacing 1e-3 in z keeps the
+    * interpolation error ≪ the integration error.
+    */
+  def comovingDistanceCol(zCol: Column, cosmo: Cosmology,
+                          zMax: Double = 20.0): Column = {
+    val n = math.max(4, (zMax * 1000).toInt)
+    val dz = zMax / n
+    // cumulative Simpson over uniform panels of width dz (pairwise)
+    val inv = Array.tabulate(n + 1)(i => 1.0 / cosmo.efunc(i * dz))
+    val cum = new Array[Double](n + 1)
+    var i = 1
+    while (i <= n) {
+      val mid = 1.0 / cosmo.efunc((i - 0.5) * dz)
+      cum(i) = cum(i - 1) + cosmo.hubbleDistanceMpc * dz / 6.0 *
+        (inv(i - 1) + 4.0 * mid + inv(i))
+      i += 1
+    }
+    val grid = lit(cum)
+    val idx = least(greatest(floor(zCol / dz).cast("int"), lit(0)), lit(n - 1))
+    val z0 = idx.cast("double") * dz
+    val d0 = element_at(grid, idx + 1)
+    val d1 = element_at(grid, idx + 2)
+    d0 + (d1 - d0) * (zCol - z0) / dz
   }
 
   /** Convention conversion as a column transform (reference

@@ -51,6 +51,27 @@ class CoreSpec extends SparkSpec {
     }
   }
 
+  test("flat-LCDM distances match independent numerical integration") {
+    val c = Cosmology(h0 = 70.0, omegaM = 0.3, omegaL = 0.7)
+    // reference values: scipy/quadrature of c/H0 * ∫ dz/E(z)
+    val want = Map(0.5 -> 1888.625, 1.0 -> 3303.829, 2.0 -> 5179.862,
+      5.0 -> 7775.370)
+    want.foreach { case (z, d) =>
+      assert(math.abs(c.comovingDistanceMpc(z) - d) < 0.1, s"Dc($z)")
+    }
+    assert(math.abs(c.luminosityDistanceMpc(1.0) - 2 * 3303.829) < 0.2)
+    assert(math.abs(c.angularDiameterDistanceMpc(1.0) - 3303.829 / 2) < 0.1)
+    assert(c.comovingDistanceMpc(0.0) == 0.0)
+    // the grid-interpolated COLUMN agrees with the scalar integral
+    val zs = Seq(0.013, 0.5, 1.0, 2.0, 4.987).toDF("z")
+    val got = zs.select(col("z"),
+      Units.comovingDistanceCol(col("z"), c).as("dc")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    got.foreach { case (z, d) =>
+      assert(math.abs(d - c.comovingDistanceMpc(z)) < 1.0, s"col Dc($z)=$d")
+    }
+  }
+
   test("per-column unit conversions: unit-keyed, column-keyed, h-preserving") {
     // unit-keyed: every Mpc column converts, littleh bookkeeping kept
     val kpc = halos.withUnitConversions(conversions = Map("Mpc" -> "kpc"))
