@@ -301,6 +301,47 @@ object Units {
     if (fams == Map("length" -> 1)) Some(1.0 / fac) else None
   }
 
+  /** Inverse of [[comovingDistanceCol]]: redshift from a comoving
+    * distance COLUMN (Mpc). A uniform-distance z table is built once
+    * on the driver by walking the forward integral; rows interpolate
+    * with codegen'd arithmetic — the lookup every lightcone
+    * position→redshift enrichment needs.
+    */
+  def redshiftFromComovingDistanceCol(dCol: Column, cosmo: Cosmology,
+                                      zMax: Double = 20.0): Column = {
+    val n = math.max(4, (zMax * 1000).toInt)
+    val dz = zMax / n
+    val cum = new Array[Double](n + 1)
+    var i = 1
+    while (i <= n) {
+      val a = 1.0 / cosmo.efunc((i - 1) * dz)
+      val m = 1.0 / cosmo.efunc((i - 0.5) * dz)
+      val b = 1.0 / cosmo.efunc(i * dz)
+      cum(i) = cum(i - 1) + cosmo.hubbleDistanceMpc * dz / 6.0 * (a + 4.0 * m + b)
+      i += 1
+    }
+    val dMax = cum(n)
+    val m = 20000
+    val dd = dMax / m
+    // invert by walking the (monotone) forward grid
+    val zTab = new Array[Double](m + 1)
+    var k = 0; var j = 0
+    while (k <= m) {
+      val target = k * dd
+      while (j < n && cum(j + 1) < target) j += 1
+      val lo = cum(j); val hi = if (j < n) cum(j + 1) else cum(n)
+      val frac = if (hi > lo) (target - lo) / (hi - lo) else 0.0
+      zTab(k) = (j + frac) * dz
+      k += 1
+    }
+    val grid = lit(zTab)
+    val idx = least(greatest(floor(dCol / dd).cast("int"), lit(0)), lit(m - 1))
+    val d0 = idx.cast("double") * dd
+    val z0 = element_at(grid, idx + 1)
+    val z1 = element_at(grid, idx + 2)
+    z0 + (z1 - z0) * (dCol - d0) / dd
+  }
+
   /** Does `u` match conversion-map key `key`, ignoring the littleh
     * exponent? (`Map("Mpc" -> "kpc")` converts both Mpc and Mpc/h
     * columns, keeping their h bookkeeping.)

@@ -72,6 +72,40 @@ class CoreSpec extends SparkSpec {
     }
   }
 
+  test("sky geometry hook: positions -> ra/dec/redshift round-trips") {
+    import graft.functions.SkyGeometry
+    val c = Cosmology(h0 = 70.0, omegaM = 0.3, omegaL = 0.7)
+    // place points at the comoving distance of known redshifts in
+    // known directions; the hook must recover all three
+    val cases = Seq(
+      (1L, 0.5, 45.0, 30.0), (2L, 1.0, 200.0, -60.0), (3L, 2.0, 359.0, 0.0))
+    val rows = cases.map { case (id, zTrue, raT, decT) =>
+      val r = c.comovingDistanceMpc(zTrue)
+      val (raR, decR) = (math.toRadians(raT), math.toRadians(decT))
+      (id, r * math.cos(decR) * math.cos(raR),
+        r * math.cos(decR) * math.sin(raR), r * math.sin(decR), zTrue, raT, decT)
+    }
+    val df = rows.map(t => (t._1, t._2, t._3, t._4)).toDF("id", "x", "y", "z")
+    val ds = SkyGeometry.withSkyCoords(OCDataset(df, Header(cosmology = c)))
+    assert(ds.header.columnUnits("ra") == "deg")
+    val got = ds.df.collect().map(r => r.getAs[Long]("id") ->
+      (r.getAs[Double]("redshift"), r.getAs[Double]("ra"), r.getAs[Double]("dec"))).toMap
+    rows.foreach { case (id, _, _, _, zTrue, raT, decT) =>
+      val (zg, rag, decg) = got(id)
+      assert(math.abs(zg - zTrue) < 2e-3, s"z($id): $zg vs $zTrue")
+      assert(math.abs(rag - raT) < 1e-9, s"ra($id)")
+      assert(math.abs(decg - decT) < 1e-9, s"dec($id)")
+    }
+    // registered as a hook, it enriches at open — the plugin pattern
+    val dir = java.nio.file.Files.createTempDirectory("graft_skyhook").toString
+    OCIO.write(OCDataset(df, Header(dataType = "lc_positions", cosmology = c)), dir)
+    try {
+      OCIO.Hooks.register("lc_positions")(SkyGeometry.hook())
+      val opened = OCIO.open(spark, dir)
+      assert(opened.columns.contains("redshift") && opened.columns.contains("ra"))
+    } finally OCIO.Hooks.clear()
+  }
+
   test("per-column unit conversions: unit-keyed, column-keyed, h-preserving") {
     // unit-keyed: every Mpc column converts, littleh bookkeeping kept
     val kpc = halos.withUnitConversions(conversions = Map("Mpc" -> "kpc"))
