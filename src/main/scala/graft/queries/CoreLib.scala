@@ -316,6 +316,24 @@ object CoreLib {
           round(col("dist"), 6).as("dist"))
     }),
 
+    // positions → sky coordinates → cone search, end to end (the
+    // lightcone-plugin enrichment feeding the 2-D search): ra/dec
+    // derive from synthesized x/y/z through the SAME trig the oracle
+    // replays; the cone then filters on them.
+    "q79_position_cone" -> ((s, dir) => {
+      import graft.functions.SkyGeometry
+      import graft.spatial.Region.{Cone, SkyP}
+      val pts = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") - 25.0).as("x"),
+        (col("l_discount") * 100.0 - 5.0).as("y"),
+        (col("l_tax") * 100.0 - 4.0).as("z"))
+      SkyGeometry.withSkyCoords(OCDataset(pts))
+        .boundSky(Cone(SkyP(45.0, 20.0), 40.0), coords = ("ra", "dec")).df
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("ra"), 6).as("ra"), round(col("dec"), 6).as("dec_deg"))
+    }),
+
     // §2.2 scalar-in-select: normalization by reductions through the
     // expression DSL ((q - mean)/std, agg-then-substitute) — rounded
     // (stddev accumulation order differs between engines).
@@ -381,6 +399,31 @@ object CoreLib {
          FROM embeddings""",
     "q66_hdf5_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "q79_position_cone" ->
+      """WITH p AS (
+           SELECT l_orderkey, l_linenumber,
+             l_quantity - 25.0 AS x,
+             l_discount * 100.0 - 5.0 AS y,
+             l_tax * 100.0 - 4.0 AS z
+           FROM lineitem),
+         s AS (
+           SELECT l_orderkey, l_linenumber,
+             sqrt(x * x + y * y + z * z) AS r,
+             (degrees(atan2(y, x)) + 360.0) % 360.0 AS ra,
+             CASE WHEN sqrt(x * x + y * y + z * z) > 0
+               THEN degrees(asin(z / sqrt(x * x + y * y + z * z)))
+               ELSE 0.0 END AS dec_deg
+           FROM p)
+         SELECT l_orderkey, l_linenumber,
+           round(ra, 6) AS ra, round(dec_deg, 6) AS dec_deg
+         FROM s
+         WHERE degrees(2 * asin(least(1.0, sqrt(
+             sin((radians(dec_deg) - radians(20.0)) / 2)
+           * sin((radians(dec_deg) - radians(20.0)) / 2)
+           + cos(radians(20.0)) * cos(radians(dec_deg))
+           * sin((radians(ra) - radians(45.0)) / 2)
+           * sin((radians(ra) - radians(45.0)) / 2)
+         )))) <= 40.0""",
     "q77_crossmatch3d" ->
       """WITH sup AS (
            SELECT s_suppkey, CAST(s_suppkey % 97 AS DOUBLE) AS x,
