@@ -57,6 +57,8 @@ sealed trait OCExpr {
       case "var" => a.unitIn(env).pow(2)
       case _     => a.unitIn(env)
     }
+    case Bin(_, op, _) => // DSL only builds * / + - ; fail loudly
+      throw new IllegalArgumentException(s"unknown binary operator '$op'")
   }
 
   /** Lower to a Spark Column. Reductions must have been substituted
