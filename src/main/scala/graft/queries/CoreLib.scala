@@ -62,6 +62,21 @@ object CoreLib {
         .select(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // §2.7 spatial bound with a SPHERE region (the radius-query
+    // analog; Box is gated by q52): same two-phase octree plan, exact
+    // residual is the squared-distance predicate the oracle replays.
+    "q80_bound_sphere" -> ((s, dir) => {
+      val pts = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("x"),
+        (col("l_discount") * 100.0).as("y"),
+        (col("l_tax") * 100.0).as("z"))
+      val ds = OCDataset(pts, Header(boxSize = 52.0))
+      ds.bound(graft.spatial.Region.Sphere(P3(25.0, 4.0, 4.0), 12.0),
+        coords = ("x", "y", "z"), level = 4).df
+        .select(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // §2.5 stock columns: euclidean norm + offset3d.
     "q53_stock_norm" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
@@ -399,6 +414,14 @@ object CoreLib {
          FROM embeddings""",
     "q66_hdf5_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "q80_bound_sphere" ->
+      """SELECT l_orderkey, l_linenumber FROM (
+           SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS x,
+             l_discount * 100.0 AS y, l_tax * 100.0 AS z
+           FROM lineitem)
+         WHERE (x - 25.0) * (x - 25.0) + (y - 4.0) * (y - 4.0)
+             + (z - 4.0) * (z - 4.0) <= 144.0""",
     "q79_position_cone" ->
       """WITH p AS (
            SELECT l_orderkey, l_linenumber,
