@@ -136,6 +136,65 @@ object Pq {
     out
   }
 
+  /** IVF-PQ (the FAISS-style composition): the IVF coarse quantizer
+    * prunes to `nprobe` cells per query, PQ codes score the survivors
+    * by ADC, exact cosine reranks the top pool. The corpus is touched
+    * only in the probed cells, reads only (id, cell, code) — with a
+    * `partitionBy(cell)` layout that is partition-pruned compressed
+    * I/O, the full memory-bound ANN story at 100 TB.
+    * `encodedCells`: (idCol, cell, codeCol) from [[encode]] over
+    * `ivf.cells`.
+    */
+  def ivfPqTopK(ivf: Similarity.IvfIndex, cb: PqCodebook,
+                encodedCells: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                nprobe: Int = 4, rerank: Int = 0,
+                rawCorpus: Option[DataFrame] = None,
+                codeCol: String = "pq_code"): DataFrame = {
+    graft.plans.GraftExtensions.registerAll(encodedCells.sparkSession)
+    val b = queries.sparkSession.sparkContext.broadcast(cb)
+    val tableUdf = udf { (v: scala.collection.Seq[Float]) =>
+      adcTable(b.value)(v.toArray)
+    }
+    val nlist = ivf.nlist
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__tab", tableUdf(col("qv")))
+      .withColumn("__d", ivf.dists(col("qv")))
+      .withColumn("probe", explode(slice(array_sort(
+        zip_with(col("__d"), sequence(lit(0), lit(nlist - 1)),
+          (d, i) => struct(d.as("d"), i.as("cell")))), 1, nprobe)))
+      .select(col("query_id"), col("qv"), col("__tab"),
+        col("probe.cell").as("cell"))
+    val ksub = cb.ksub
+    val scored = encodedCells
+      .select(col(idCol).as("neighbor_id"), col("cell"), col(codeCol))
+      .join(broadcast(q), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col(codeCol), sequence(lit(0), lit(cb.m - 1)),
+          (c, sub) => element_at(col("__tab"), sub * ksub + c + lit(1))),
+        lit(0.0f), (acc, v) => acc + v))
+    val preK = if (rerank > 0) rerank else k
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    val cand = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= preK)
+    if (rerank <= 0) cand.select(col("query_id"), col("neighbor_id"), col("rank"))
+    else {
+      val raw = rawCorpus.getOrElse(throw new IllegalArgumentException(
+        "rerank needs rawCorpus")).select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv"))
+      val exact = cand.select(col("query_id"), col("neighbor_id"), col("qv"))
+        .join(raw, "neighbor_id")
+        .withColumn("cos", call_function("graft_cosine", col("qv"), col("cv")))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      exact.withColumn("rank", row_number().over(w2).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }
+  }
+
   /** Approximate top-k by ADC over an encoded corpus, with optional
     * exact cosine re-rank of the top `rerank` PQ candidates (join back
     * to the raw vectors — the standard recall-recovery step).

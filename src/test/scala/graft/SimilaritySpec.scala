@@ -86,6 +86,29 @@ class SimilaritySpec extends SparkSpec {
     enc.unpersist()
   }
 
+  test("IVF-PQ composition: pruned + compressed probe recall vs brute force") {
+    import graft.operators.Pq
+    val e = Tables(spark, sf001, "embeddings")
+    val ivf = Similarity.buildIvfIndex(e, "vec_id", "embedding", nlist = 8)
+    val cb = Pq.train(e, "vec_id", "embedding", m = 8, ksub = 16, iters = 6)
+    val encCells = Pq.encode(ivf.cells, "cv", cb)
+      .select(col("neighbor_id"), col("cell"), col("pq_code")).persist()
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val got = Pq.ivfPqTopK(ivf, cb, encCells, q, "neighbor_id", "embedding",
+      k = 5, nprobe = 4, rerank = 50,
+      rawCorpus = Some(e.select(col("vec_id").as("neighbor_id"), col("embedding"))))
+      .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val brute = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", 5)
+      .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val recall = brute.map { case (k, t) =>
+      (t & got.getOrElse(k, Set.empty)).size.toDouble / t.size }.sum / brute.size
+    assert(recall >= 0.4, s"ivf-pq recall $recall")
+    encCells.unpersist()
+    ivf.unpersist()
+  }
+
   test("labelCentroids: one row per (label, dim)") {
     val e = Tables(spark, sf001, "embeddings")
     val c = Similarity.labelCentroids(e, "label", "embedding")
