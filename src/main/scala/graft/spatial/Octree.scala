@@ -130,17 +130,28 @@ object Octree {
     * classification level steps down (coarser cells, more boundary
     * exact-checks) — a predicate with thousands of disjuncts blows
     * codegen method limits and optimizer time for no pruning gain.
+    *
+    * The budget differs by key source. A STORED key column feeds
+    * parquet row-group pruning, where every extra range is more
+    * skipped IO — wide plans pay. A key COMPUTED per row prunes
+    * nothing at the scan; each range is just comparisons against the
+    * (cheap, single-expression) exact geometry check, so fragmented
+    * regions (spheres at fine levels) must coarsen much sooner —
+    * measured at sf0.1, a ~500-range computed sphere plan was 4×
+    * slower than the exact predicate alone.
     */
-  val MaxRanges = 512
+  val MaxRangesStored = 512
+  val MaxRangesComputed = 64
 
   def boundFilter(region: Region3D, origin: Double, size: Double, level: Int,
                   x: Column, y: Column, z: Column,
                   storedKey: Option[(Column, Int)] = None,
                   keyRegion: Option[Region3D] = None): Option[Column] = {
+    val maxRanges = if (storedKey.isDefined) MaxRangesStored else MaxRangesComputed
     var classifyLevel = storedKey.fold(level) { case (_, kl) => math.min(level, kl) }
     var plan0 = classifyCells(keyRegion.getOrElse(region), origin, size, classifyLevel)
     while (classifyLevel > 0 &&
-           plan0.contained.size + plan0.boundary.size > MaxRanges) {
+           plan0.contained.size + plan0.boundary.size > maxRanges) {
       classifyLevel -= 1
       plan0 = classifyCells(keyRegion.getOrElse(region), origin, size, classifyLevel)
     }
