@@ -542,6 +542,11 @@ object Hdf5Io {
     * HDF5 is a single-writer format, so this is inherently a
     * driver-bound export, like the reference's serial writer
     * (io/serial.py). Use parquet for engine-to-engine data movement.
+    *
+    * HDF5 has no null representation: null numerics export as zero
+    * and null strings as "" (the reference's files simply never
+    * contain nulls). NaN/±Inf round-trip bit-exactly (raw IEEE
+    * bytes).
     */
   def exportHdf5(ds: OCDataset, path: String,
                  chunkRows: Int = 1 << 16, compress: Boolean = true): Unit = {

@@ -286,6 +286,26 @@ class Hdf5Spec extends SparkSpec {
     assert(Hdf5Io.importAny(spark, p2).isInstanceOf[OCDataset])
   }
 
+  test("extreme values round-trip bit-exactly (NaN, infinities, denormals)") {
+    val df = Seq(
+      (1L, Double.NaN, Float.NegativeInfinity),
+      (2L, Double.PositiveInfinity, Float.MinPositiveValue),
+      (3L, -0.0, 3.4e38f),
+      (4L, java.lang.Double.MIN_VALUE, -0.0f),
+      (5L, Long.MaxValue.toDouble, Float.NaN)
+    ).toDF("id", "d", "f")
+    val p = tmp("extreme.hdf5")
+    Hdf5Io.exportHdf5(OCDataset(df), p, chunkRows = 2)
+    val back = Hdf5Io.importDataset(spark, p).df.orderBy("id").collect()
+    val orig = df.orderBy("id").collect()
+    back.zip(orig).foreach { case (a, b) =>
+      assert(java.lang.Double.doubleToRawLongBits(a.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(b.getDouble(1)), s"d row ${a.getLong(0)}")
+      assert(java.lang.Float.floatToRawIntBits(a.getFloat(2)) ==
+        java.lang.Float.floatToRawIntBits(b.getFloat(2)), s"f row ${a.getLong(0)}")
+    }
+  }
+
   test("empty dataset exports and re-imports as zero rows") {
     val p = tmp("empty.hdf5")
     Hdf5Io.exportHdf5(OCDataset(mixed.df.limit(0)), p)
