@@ -39,6 +39,25 @@ class PlanShapeSpec extends SparkSpec {
       s"queries not broadcast:\n$p")
   }
 
+  test("computed-key bound plans stay within the range-predicate budget") {
+    // the tiered octree budget: a fragmented region (a sphere at the
+    // requested level) over a COMPUTED key must coarsen instead of
+    // emitting hundreds of per-row BETWEEN disjuncts. The plan string
+    // repeats the key expression once per comparison, so its size is a
+    // direct proxy for predicate width; the un-tiered level-4 sphere
+    // plan was ~10x this budget.
+    val p = plan("q80_bound_sphere")
+    assert(p.length < 120000,
+      s"sphere bound plan is ${p.length} chars — range budget regressed")
+    // the stored-key budget stays wide: classification of the q80
+    // sphere at level 4 yields more ranges than the computed budget,
+    // which is exactly why the computed path must step down
+    import graft.spatial.{Octree, Region}
+    val full = Octree.classifyCells(
+      Region.Sphere(Region.P3(25.0, 4.0, 4.0), 12.0), 0.0, 52.0, 4)
+    assert(full.contained.size + full.boundary.size > Octree.MaxRangesComputed)
+  }
+
   test("filter queries push predicates into the parquet scan") {
     val p = plan("q2_filter")
     assert(p.contains("PushedFilters: [Or(And(GreaterThan(l_quantity"),
