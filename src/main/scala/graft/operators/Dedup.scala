@@ -67,6 +67,21 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Band/row split of a k-value signature whose LSH S-curve midpoint
+    * sits nearest a target Jaccard threshold: candidate probability is
+    * 1−(1−s^r)^b with midpoint ≈ (1/b)^(1/r) (standard MinHash-LSH
+    * analysis, Leskovec-Rajaraman-Ullman ch. 3). Returns (bands,
+    * rowsPerBand) with bands·rows = k — feed straight into
+    * [[minhashCandidates]] instead of guessing.
+    */
+  def lshParams(k: Int, threshold: Double): (Int, Int) = {
+    require(k > 0 && threshold > 0 && threshold < 1)
+    val splits = (1 to k).filter(k % _ == 0).map(b => (b, k / b))
+    splits.minBy { case (b, r) =>
+      math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
+    }
+  }
+
   /** MinHash+LSH candidate pairs: signature (k values) per doc map-side,
     * explode into `bands` bucket keys, shuffle once on the bucket, emit
     * distinct pairs sharing ≥1 bucket with their estimated Jaccard

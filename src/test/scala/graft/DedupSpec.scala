@@ -61,6 +61,21 @@ class DedupSpec extends SparkSpec {
     assert(Seq(8L, 9L, 10L, 11L).forall(comps(_) == 8L))
   }
 
+  test("lshParams picks the split whose S-curve midpoint hits the threshold") {
+    // exact midpoints: (1/b)^(1/r)
+    def mid(b: Int, r: Int) = math.pow(1.0 / b, 1.0 / r)
+    val (b1, r1) = Dedup.lshParams(32, 0.7)
+    assert(b1 * r1 == 32)
+    // no other divisor split sits closer to 0.7
+    (1 to 32).filter(32 % _ == 0).foreach { b =>
+      assert(math.abs(mid(b1, r1) - 0.7) <= math.abs(mid(b, 32 / b) - 0.7) + 1e-12)
+    }
+    // low thresholds want many narrow bands; high want few wide ones
+    val (bLow, _) = Dedup.lshParams(64, 0.2)
+    val (bHigh, _) = Dedup.lshParams(64, 0.95)
+    assert(bLow > bHigh)
+  }
+
   test("connectedComponents: driver union-find == distributed loop") {
     val rnd = new scala.util.Random(3)
     // random graph with chains, cliques, and singleton pairs
