@@ -255,6 +255,56 @@ class Hdf5Spec extends SparkSpec {
       .map(_.getDouble(0)).toSet == Set(2e14))
   }
 
+  test("migration end-to-end: indexed HDF5 -> clustered parquet -> pruned scan") {
+    // a larger indexed file (level 2, 4096 points sorted by cell), so
+    // the re-imported parquet has prunable row groups
+    val level = 2
+    val box = 16.0
+    val rnd = new scala.util.Random(31)
+    val pts = (0 until 4096).map { _ =>
+      val (x, y, z) = (rnd.nextDouble * box, rnd.nextDouble * box, rnd.nextDouble * box)
+      (x, y, z, Morton.pointKey(x, y, z, 0.0, box, level))
+    }.sortBy(_._4)
+    val nCells = 1 << (3 * level)
+    val starts = new Array[Long](nCells); val sizes = new Array[Long](nCells)
+    pts.zipWithIndex.foreach { case ((_, _, _, k), row) =>
+      if (sizes(k.toInt) == 0) starts(k.toInt) = row
+      sizes(k.toInt) += 1
+    }
+    val p = tmp("migrate.hdf5")
+    val w = new Hdf5Writer(p)
+    def f64(vals: Seq[Double]) =
+      w.writeDataset(Hdf5Writer.F64, Seq(vals.size.toLong),
+        Iterator(vals.toArray.flatMap { d =>
+          val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.putDouble(d); b.array()
+        }))
+    def i64(vals: Seq[Long]) =
+      w.writeDataset(Hdf5Writer.I64, Seq(vals.size.toLong),
+        Iterator(vals.toArray.flatMap { d =>
+          val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.putLong(d); b.array()
+        }))
+    val dataAddr = w.writeGroup(Seq(
+      "x" -> f64(pts.map(_._1)), "y" -> f64(pts.map(_._2)), "z" -> f64(pts.map(_._3))))
+    val lvl = w.writeGroup(Seq("start" -> i64(starts.toSeq), "size" -> i64(sizes.toSeq)))
+    val idx = w.writeGroup(Seq(s"level_$level" -> lvl),
+      attrs = Seq("index_type" -> "octtree"))
+    val sim = w.writeGroup(Nil, Seq("box_size" -> box))
+    val hdr = w.writeGroup(Seq("simulation" -> sim))
+    w.finish(w.writeGroup(Seq("data" -> dataAddr, "header" -> hdr, "index" -> idx)))
+
+    val out = tmp("migrated")
+    val ds = Hdf5Io.importToParquet(spark, p, out)
+    assert(ds.header.spatialIndexLevel == level)
+    // a corner-octant query through the stored key: correct rows AND a
+    // pruned scan (row-group stats on the clustered morton_key)
+    val q = ds.bound(Region.Box(Region.P3(0, 0, 0), Region.P3(4, 4, 4)), level = level).df
+    val got = q.count()
+    val want = pts.count { case (x, y, z, _) => x < 4 && y < 4 && z < 4 }
+    assert(got == want && got > 0)
+  }
+
   test("importToParquet produces a native dataset with pruning-ready layout") {
     val p = tmp("conv.hdf5")
     Hdf5Io.exportHdf5(mixed, p)
