@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.TextVector.queries ++
     graft.queries.Events.queries ++
-    graft.queries.CoreLib.queries
+    graft.queries.CoreLib.queries ++
+    graft.queries.Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
     graft.queries.TextVector.oracle ++
     graft.queries.Events.oracle ++
-    graft.queries.CoreLib.oracle
+    graft.queries.CoreLib.oracle ++
+    graft.queries.Corpus.oracle
 }

@@ -148,6 +148,63 @@ object TextFunctions {
     when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
   }
 
+  /** ALL word n-grams in document order (non-distinct — the
+    * frequency-carrying form [[shingles]] deliberately isn't: dedup
+    * needs set semantics, corpus statistics need multiplicity).
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Consecutive fixed-width token chunks — the "line" analog for
+    * single-line corpora (C4's across-document line dedup needs a
+    * sub-document unit; a fixed token window is the deterministic
+    * choice when documents carry no newlines). Last chunk may be
+    * short. Empty/short docs yield one chunk.
+    */
+  def tokenChunks(text: Column, width: Int): Column = {
+    val toks = tokens(text)
+    val nChunks = ceil(size(toks).cast("double") / lit(width.toDouble)).cast("int")
+    // sequence(0, -1) is DESCENDING, not empty — guard the degenerate case
+    when(nChunks >= lit(1),
+      transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * width + 1, lit(width)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Canonical text normalization (the pre-dedup/pre-hash cleanup
+    * stage): lowercase, non-alphanumerics → space, whitespace
+    * collapsed, trimmed. Patterns are shared RE2/Java-regex subset so
+    * the DuckDB oracle replays them verbatim.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** PII patterns (shared RE2/Java-regex subset — no lookaround, no
+    * backrefs — so Spark and the DuckDB oracle match identically).
+    * Order of redaction matters: URLs first (emails never contain
+    * "://" but URLs may embed '@'), then emails, then bare IPv4s.
+    */
+  val UrlPattern = "https?://[^ ]+"
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Pattern = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Count of regex matches in the text (0 when none). */
+  def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** PII-redacted text: URLs → <URL>, emails → <EMAIL>, IPv4 → <IP>. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>")
+
   /** Long hash per shingle (hash each string exactly ONCE). */
   def shingleHashes(shingleArr: Column): Column =
     transform(shingleArr, s => xxhash64(s))

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-level statistics and retrieval operators for training-data
+  * pipelines: n-gram frequency (exact + sketched), vocabulary stats,
+  * repetition signals (Gopher-style quality inputs), across-document
+  * chunk dedup (the C4 line-dedup shape), and BM25 keyword retrieval.
+  *
+  * Scale notes (the design constraint for every operator here):
+  * - every aggregation is partial+final (map-side combine carries
+  *   (key, count) pairs, never rows);
+  * - top-k lowers to TakeOrderedAndProject (per-partition heaps + one
+  *   k-row collect), never a global sort;
+  * - per-document statistics use the explode → two hash-agg "dual
+  *   form" (linear in total tokens) rather than per-row array
+  *   higher-order functions (quadratic in document length);
+  * - the one driver-side value (BM25's corpus stats) is a single
+  *   2-column aggregate row, not data.
+  */
+object CorpusStats {
+
+  /** Exact corpus-wide top-k n-grams by occurrence count.
+    * Deterministic tie-break: count desc, then gram asc (binary
+    * collation — matches the oracle's ORDER BY). Plan:
+    * explode → hash-agg (partial+final) → TakeOrderedAndProject.
+    */
+  def topKNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(explode(TextFunctions.ngrams(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram").asc)
+      .limit(k)
+
+  /** Per-group vocabulary statistics: document count, total tokens,
+    * distinct tokens, type-token ratio. One explode + one aggregation;
+    * the two distinct aggregates expand map-side (Spark's Expand) —
+    * still a single shuffle keyed on the group.
+    */
+  def vocabStats(df: DataFrame, idCol: String, textCol: String,
+                 groupCol: String): DataFrame =
+    df.select(col(groupCol), col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .groupBy(col(groupCol))
+      .agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("total_tokens"),
+        countDistinct(col("__t")).as("distinct_tokens"))
+      .withColumn("type_token_ratio",
+        round(col("distinct_tokens").cast("double")
+          / col("total_tokens").cast("double"), 6))
+
+  /** Per-document repetition signal (the Gopher quality-filter input):
+    * the most frequent word bigram, its count, and the fraction of
+    * tokens it covers. Linear "dual form": explode bigrams →
+    * (doc, gram) counts → per-doc argmax via max(struct) — two hash
+    * aggs, never an O(len²) per-row array scan. Ties break to the
+    * lexicographically greatest bigram (struct max = count, then gram,
+    * binary collation — the oracle's ORDER BY cnt DESC, gram DESC).
+    * Documents with < 2 tokens have no bigram and are dropped.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(TextFunctions.ngrams(col(textCol), 2)).as("__g"))
+    val top = grams
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__c"), col("__g"))).as("__m"))
+      .select(col(idCol), col("__m.__g").as("top_bigram"),
+        col("__m.__c").as("top_bigram_count"))
+    df.select(col(idCol), TextFunctions.tokenCount(col(textCol)).as("__n"))
+      .join(top, Seq(idCol))
+      .select(col(idCol), col("top_bigram"), col("top_bigram_count"),
+        round(col("top_bigram_count") * lit(2.0) / col("__n"), 6)
+          .as("top_bigram_frac"))
+  }
+
+  /** Across-document duplicate-chunk removal (the C4 "line dedup"
+    * shape on single-line corpora): split every document into
+    * fixed-width token chunks, keep only the globally FIRST occurrence
+    * of each distinct chunk (min (doc, position)), and reassemble each
+    * document from its surviving chunks in original order. Documents
+    * whose every chunk is a duplicate disappear.
+    *
+    * Plan: posexplode → one hash-agg keyed on the chunk (min(struct)
+    * carries 12 bytes per distinct chunk, not rows) → one reassembly
+    * agg keyed on the doc. collect_list order is nondeterministic —
+    * array_sort on (pos, chunk) restores it before the join-free
+    * concat. Returns (idCol, n_chunks_kept, dedup_fp) where dedup_fp
+    * is the md5 of the reassembled text.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 width: Int = 10): DataFrame = {
+    val chunks = df
+      .select(col(idCol), posexplode(TextFunctions.tokenChunks(col(textCol), width)))
+      .withColumnRenamed("col", "__chunk")
+      .withColumnRenamed("pos", "__pos")
+    val firsts = chunks
+      .groupBy(col("__chunk"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__f"))
+      .select(col("__f").getField(idCol).as(idCol),
+        col("__f.__pos").as("__pos"), col("__chunk"))
+    firsts
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("__pos"), col("__chunk")))),
+            s => s.getField("__chunk"))).as("__text"))
+      .select(col(idCol), col("n_chunks_kept"), md5(col("__text")).as("dedup_fp"))
+  }
+
+  /** BM25 keyword retrieval: score every document against a fixed
+    * term set, return the top-k. Okapi BM25 with the +1 idf floor
+    * (Lucene's formulation — always positive):
+    *   idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    *   s(d,t)  = idf · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))
+    *
+    * Plan: corpus stats (N, avgdl) are ONE aggregate row collected to
+    * the driver (scalar substitution, same pattern as the scalar-in-
+    * predicate operator); term frequencies come from one explode
+    * filtered to the query terms BEFORE the shuffle (the corpus text
+    * never shuffles — only (doc, term, tf) triples for matching
+    * terms); document frequencies are a |terms|-row broadcast. The
+    * per-term partial scores are summed in FIXED term order (not a
+    * float sum-agg) so the result is bit-deterministic and the oracle
+    * replays it exactly.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val docs = df.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).as("__len"), col(textCol))
+    // exact integer sum, ONE double division — a float avg would
+    // accumulate in partition order and drift from the oracle by ulps
+    val statsRow = docs.agg(count(lit(1)), sum(col("__len"))).head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs.toDouble
+    val tf = docs
+      .select(col(idCol), col("__len"),
+        explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .filter(col("__t").isin(terms: _*))
+      .groupBy(col(idCol), col("__len"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    // (doc, term) keys are unique post-agg → df(t) = plain count
+    val dft = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val scored = tf.join(broadcast(dft), Seq("__t"))
+      .withColumn("__idf",
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("__df") + lit(0.5))
+          / (col("__df") + lit(0.5))))
+      .withColumn("__s",
+        col("__idf") * col("__tf") * lit(k1 + 1.0)
+          / (col("__tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("__len") / lit(avgdl))))
+    // fixed-order per-term sum → bit-deterministic score
+    val termSums = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("__t") === lit(t), col("__s")).otherwise(lit(0.0))).as(s"__s$i")
+    }
+    val score = terms.indices.map(i => col(s"__s$i")).reduce(_ + _)
+    scored.groupBy(col(idCol)).agg(termSums.head, termSums.tail: _*)
+      .select(col(idCol), round(score, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Count-min sketch over corpus n-grams — the constant-memory
+    * frequency structure for when the distinct-gram space doesn't fit
+    * a hash aggregation (mergeable across partitions/days; ε·total
+    * additive overestimate with the usual guarantee). Built with
+    * Spark's own `count_min_sketch` aggregate (map-side partial
+    * merges, one sketch per partition shuffled — never the grams).
+    */
+  def ngramSketch(df: DataFrame, textCol: String, n: Int,
+                  eps: Double = 0.0001, confidence: Double = 0.99,
+                  seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch = {
+    val bytes = df
+      .select(explode(TextFunctions.ngrams(col(textCol), n)).as("g"))
+      .agg(expr(s"count_min_sketch(g, ${eps}d, ${confidence}d, $seed)"))
+      .head().getAs[Array[Byte]](0)
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+  }
+
+  /** Sketched frequency estimates for the exact top-k n-grams:
+    * the exact list (small) comes from [[topKNgrams]], the estimates
+    * from one [[ngramSketch]] pass. Returns (ngram, n_occurrences,
+    * est_occurrences) — the spec asserts the CMS guarantee
+    * (est ≥ exact, est ≤ exact + ε·total) row by row.
+    */
+  def sketchedTopKNgrams(df: DataFrame, textCol: String, n: Int, k: Int,
+                         eps: Double = 0.0001): DataFrame = {
+    val spark = df.sparkSession
+    val sketch = ngramSketch(df, textCol, n, eps)
+    val exact = topKNgrams(df, textCol, n, k).collect()
+    val rows = exact.map { r =>
+      val g = r.getString(0)
+      (g, r.getLong(1), sketch.estimateCount(g))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1))
+      .toDF("ngram", "n_occurrences", "est_occurrences")
+  }
+}

@@ -58,9 +58,56 @@ object Sampling {
     */
   private val BucketHexDigits = 2 // 256 buckets per stratum
 
+  /** Deterministic greedy sequence packing (the context-window
+    * assembly step: concatenate documents into fixed-capacity training
+    * sequences): documents are laid out in the same content-derived
+    * md5 order the sampler uses, and each document's bin is the
+    * capacity-`maxLen` slot its STARTING token offset falls in —
+    * contiguous fill, so a bin holds consecutive documents and only
+    * its last document may straddle the boundary (bounded overflow of
+    * one document, the document-preserving analog of token-exact
+    * packing). Same two-phase distributed prefix sum as the sampler —
+    * one range-free hash shuffle, no global window.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    maxLen: Long): DataFrame =
+    withCumsum(df, idCol, tokenCol, Nil)
+      .withColumn("bin",
+        floor((col("__cum") - col(tokenCol)) / lit(maxLen.toDouble)).cast("long"))
+      .drop("__key", "__bkt", "__off", "__cum")
+
   private def prefixSample(df: DataFrame, idCol: String, tokenCol: String,
                            strata: Seq[String],
                            budgetOf: Seq[Any] => Long): DataFrame = {
+    val byStratum = cumGroups(df, idCol, tokenCol, strata)
+    val budgetCol: Column =
+      if (strata.isEmpty) lit(budgetOf(Nil))
+      else {
+        // budgets realized as a literal column over the stratum value
+        byStratum.foldLeft(lit(null).cast("long")) { (acc, sv) =>
+          when(strata.map(col).zip(sv).map { case (c, v) => c === lit(v) }
+            .reduce(_ && _), lit(budgetOf(sv))).otherwise(acc)
+        }
+      }
+    withCumsum(df, idCol, tokenCol, strata)
+      .filter(col("__cum") - col(tokenCol) < budgetCol)
+      .drop("__key", "__bkt", "__off", "__cum")
+  }
+
+  /** Distinct stratum tuples (driver-side; ≤ |strata value space|). */
+  private def cumGroups(df: DataFrame, idCol: String, tokenCol: String,
+                        strata: Seq[String]): Seq[Seq[Any]] =
+    if (strata.isEmpty) Seq(Nil)
+    else df.select(strata.map(col): _*).distinct().collect()
+      .map(r => (0 until strata.size).map(r.get): Seq[Any]).toSeq
+
+  /** The shared two-phase distributed prefix sum: every row gains
+    * `__cum`, its running `tokenCol` total in the global (per-stratum)
+    * deterministic md5-of-id order. Helper columns `__key/__bkt/__off`
+    * remain for the caller to drop.
+    */
+  private def withCumsum(df: DataFrame, idCol: String, tokenCol: String,
+                         strata: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     val stratCols = strata.map(col)
     val base = df
@@ -97,20 +144,9 @@ object Sampling {
     // hash exchange on (strata, bucket), fully parallel
     val w = Window.partitionBy(groupCols: _*)
       .orderBy(col("__key").asc, col(idCol).asc)
-    val budgetCol: Column =
-      if (strata.isEmpty) lit(budgetOf(Nil))
-      else {
-        // budgets realized as a literal column over the stratum value
-        byStratum.keys.toSeq.foldLeft(lit(null).cast("long")) { (acc, sv) =>
-          when(strata.map(col).zip(sv).map { case (c, v) => c === lit(v) }
-            .reduce(_ && _), lit(budgetOf(sv))).otherwise(acc)
-        }
-      }
     base
       .join(broadcast(offsets), (strata :+ "__bkt").toSeq)
       .withColumn("__cum", sum(col(tokenCol)).over(w) + col("__off"))
-      .filter(col("__cum") - col(tokenCol) < budgetCol)
-      .drop("__key", "__bkt", "__off", "__cum")
   }
 
   /** Train/eval decontamination (the n-gram-overlap check every
@@ -143,6 +179,58 @@ object Sampling {
                     n: Int = 13, minShared: Int = 1): DataFrame =
     train.join(
       contaminatedDocs(train, trainId, trainText, bench, benchText, n, minShared)
+        .select(col(trainId)),
+      Seq(trainId), "left_anti")
+
+  /** Bloom-prefiltered contamination check — the 100 TB formulation.
+    * [[contaminatedDocs]] broadcasts the benchmark's full distinct-gram
+    * table into a hash join; at a few hundred million benchmark grams
+    * that broadcast is GBs. Here the first pass over the corpus probes
+    * a bloom filter instead (~1.2 bytes/gram at 3% fp — an order of
+    * magnitude smaller, built with Spark's native BloomFilterAggregate,
+    * probed by the codegen'd BloomFilterMightContain; both registered
+    * as functions in [[graft.plans.GraftExtensions]]). False positives
+    * are killed by an exact semi-join — which now sees only the
+    * candidate sliver, not the corpus — so the result is IDENTICAL to
+    * the exact path (same DuckDB oracle applies; the spec asserts
+    * equality outright).
+    */
+  def contaminatedDocsBloom(train: DataFrame, trainId: String, trainText: String,
+                            bench: DataFrame, benchText: String,
+                            n: Int = 13, minShared: Int = 1,
+                            fpp: Double = 0.03): DataFrame = {
+    graft.plans.GraftExtensions.registerAll(train.sparkSession)
+    def grams(c: Column) = call_function("graft_ngram_hashes",
+      transform(split(c, " "), t => xxhash64(t)), lit(n))
+    val benchGrams = bench.select(explode(grams(col(benchText))).as("g")).distinct()
+      .persist()
+    try {
+      val nGrams = math.max(benchGrams.count(), 1L)
+      // standard bloom sizing: m = -n·ln(p)/ln(2)²
+      val numBits = math.max(64L,
+        math.ceil(-nGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+      val sketch = benchGrams
+        .agg(call_function("graft_bloom_agg", col("g"), lit(nGrams), lit(numBits)))
+        .head().getAs[Array[Byte]](0)
+      val trainGrams = train.select(col(trainId), explode(grams(col(trainText))).as("g"))
+      trainGrams
+        .filter(call_function("graft_might_contain", lit(sketch), col("g")))
+        .join(broadcast(benchGrams), Seq("g"), "left_semi") // exact fp kill
+        .groupBy(col(trainId))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+        // materialize before the unpersist in finally unpins the
+        // benchmark gram set the plan still references
+        .localCheckpoint(true)
+    } finally benchGrams.unpersist()
+  }
+
+  /** Clean corpus via the bloom path (result equals [[decontaminate]]). */
+  def decontaminateBloom(train: DataFrame, trainId: String, trainText: String,
+                         bench: DataFrame, benchText: String,
+                         n: Int = 13, minShared: Int = 1): DataFrame =
+    train.join(
+      contaminatedDocsBloom(train, trainId, trainText, bench, benchText, n, minShared)
         .select(col(trainId)),
       Seq(trainId), "left_anti")
 }

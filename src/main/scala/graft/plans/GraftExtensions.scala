@@ -43,7 +43,32 @@ object GraftExtensions {
       (children: Seq[Expression]) => CosineExpr(children): Expression),
     (FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2NormExpr].getName, "graft_l2norm"),
-      (children: Seq[Expression]) => L2NormExpr(children): Expression))
+      (children: Seq[Expression]) => L2NormExpr(children): Expression),
+    // Spark's own bloom-filter pair (the machinery behind runtime
+    // join filters), surfaced as callable functions for the
+    // bloom-prefiltered decontamination path: the aggregate builds a
+    // sketch over LONG keys; the probe is codegen'd and takes the
+    // sketch as a foldable binary literal.
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_bloom_agg(longCol, estimatedItems, numBits)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))
+          .toAggregateExpression(): Expression
+      }),
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_might_contain(sketch, longCol)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1)): Expression
+      }))
 
   /** Imperative registration into an existing session (idempotent). */
   def registerAll(spark: SparkSession): Unit = {

@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{CorpusStats, Sampling}
+
+/** Corpus-statistics / retrieval / packing queries (round-5 batch of
+  * the training-data pipeline surface): n-gram frequency, PII
+  * redaction, vocabulary stats, repetition signals, across-document
+  * chunk dedup, normalization, BM25 retrieval, sequence packing,
+  * bloom-prefiltered decontamination, and a count-min-sketch
+  * frequency check. All but the CMS query carry DuckDB oracles; the
+  * PII and normalization queries deterministically AUGMENT the
+  * synthetic text in-query (identically on both engines) so the
+  * regexes have real matches to find.
+  */
+object Corpus {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Deterministic PII augmentation — same expression the oracle
+    * replays in SQL: periodic doc_ids gain an email / URL / IPv4.
+    */
+  private def augPii(text: Column, id: Column): Column =
+    concat(text,
+      when(id % 7 === 0,
+        concat(lit(" contact user"), id.cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(id % 11 === 0,
+        concat(lit(" visit https://site"), id.cast("string"), lit(".example.org/page")))
+        .otherwise(lit("")),
+      when(id % 13 === 0,
+        concat(lit(" from 10.0."), (id % 256).cast("string"), lit(".1")))
+        .otherwise(lit("")))
+
+  /** Case/punctuation augmentation for the normalization query. */
+  private def augCase(text: Column, id: Column): Column =
+    concat(upper(substring(text, 1, 8)), expr("substring(text, 9)"),
+      lit(" -- End#"), id.cast("string"), lit("!"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // corpus-wide exact top-k n-gram frequencies.
+    "q81_topk_ngrams" -> ((s, dir) => {
+      CorpusStats.topKNgrams(t(s, dir, "documents"), "text", 3, 20)
+    }),
+
+    // PII scan + redaction over deterministically-augmented text.
+    "q82_pii_redact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val aug = augPii(col("text"), col("doc_id"))
+      d.select(col("doc_id"),
+        TextFunctions.countMatches(aug, TextFunctions.EmailPattern).as("n_emails"),
+        TextFunctions.countMatches(aug, TextFunctions.UrlPattern).as("n_urls"),
+        TextFunctions.countMatches(aug, TextFunctions.Ipv4Pattern).as("n_ips"),
+        md5(TextFunctions.redactPii(aug)).as("redacted_fp"))
+    }),
+
+    // per-source vocabulary statistics.
+    "q83_vocab_stats" -> ((s, dir) => {
+      CorpusStats.vocabStats(t(s, dir, "documents"), "doc_id", "text", "source")
+    }),
+
+    // per-document repetition signal (Gopher quality input).
+    "q84_repetition" -> ((s, dir) => {
+      CorpusStats.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // across-document duplicate-chunk removal (C4 line-dedup shape).
+    "q85_chunk_dedup" -> ((s, dir) => {
+      CorpusStats.chunkDedup(t(s, dir, "documents"), "doc_id", "text", 10)
+    }),
+
+    // canonical normalization over case/punctuation-augmented text.
+    "q86_normalize" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val norm = TextFunctions.normalizeText(augCase(col("text"), col("doc_id")))
+      d.select(col("doc_id"), md5(norm).as("norm_fp"),
+        length(norm).cast("long").as("n_chars_norm"))
+    }),
+
+    // BM25 keyword retrieval, fixed term set, top-10.
+    "q87_bm25" -> ((s, dir) => {
+      CorpusStats.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join", "window"), 10)
+    }),
+
+    // greedy sequence packing into 512-token bins.
+    "q88_pack_sequences" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      Sampling.packSequences(d, "doc_id", "n_tokens", 512L)
+    }),
+
+    // bloom-prefiltered decontamination — result IDENTICAL to the
+    // exact path, so it shares the exact oracle (n=7, minShared=2
+    // distinguish it from q73's configuration).
+    "q89_bloom_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("doc_id") % 50 === 0).select(col("text"))
+      Sampling.decontaminateBloom(d, "doc_id", "text", bench, "text",
+        n = 7, minShared = 2).select(col("doc_id"))
+    }),
+
+    // count-min-sketch frequency estimates for the exact top-20
+    // 3-grams (rows-only: CMS hashing isn't SQL-replayable; CorpusSpec
+    // asserts the overestimate guarantee against exact counts).
+    "q90_cms_topk" -> ((s, dir) => {
+      CorpusStats.sketchedTopKNgrams(t(s, dir, "documents"), "text", 3, 20)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q81_topk_ngrams" ->
+      """WITH toks AS (SELECT string_split(text,' ') AS w FROM documents),
+         g AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ngram
+               FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i))
+         SELECT ngram, count(*) AS n_occurrences FROM g GROUP BY 1
+         ORDER BY n_occurrences DESC, ngram ASC LIMIT 20""",
+    "q82_pii_redact" ->
+      """WITH aug AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+           CASE WHEN doc_id % 11 = 0 THEN ' visit https://site' || CAST(doc_id AS VARCHAR) || '.example.org/page' ELSE '' END ||
+           CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END AS t2
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t2, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t2, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(t2, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(t2,
+             'https?://[^ ]+', '<URL>', 'g'),
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')) AS redacted_fp
+         FROM aug""",
+    "q83_vocab_stats" ->
+      """SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS total_tokens,
+           CAST(count(DISTINCT t) AS BIGINT) AS distinct_tokens,
+           round(CAST(count(DISTINCT t) AS DOUBLE) / count(*), 6) AS type_token_ratio
+         FROM (SELECT source, doc_id, unnest(string_split(text,' ')) AS t FROM documents)
+         GROUP BY source""",
+    "q84_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+               FROM toks, UNNEST(generate_series(1, len(w)-1)) AS t(i)),
+         cnt AS (SELECT doc_id, bg, count(*) AS c FROM g GROUP BY 1, 2),
+         top AS (SELECT doc_id, bg, c,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg DESC) AS rn
+                 FROM cnt)
+         SELECT top.doc_id, top.bg AS top_bigram, top.c AS top_bigram_count,
+           round(top.c * 2.0 / len(toks.w), 6) AS top_bigram_frac
+         FROM top JOIN toks ON toks.doc_id = top.doc_id
+         WHERE top.rn = 1""",
+    "q85_chunk_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         chunks AS (SELECT doc_id, i AS pos,
+             array_to_string(w[(i*10+1):(i*10+10)], ' ') AS chunk
+           FROM toks, UNNEST(generate_series(0, CAST(ceil(len(w)/10.0) AS BIGINT)-1)) AS t(i)),
+         firsts AS (SELECT doc_id, pos, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+           FROM chunks)
+         SELECT doc_id, count(*) AS n_chunks_kept,
+           md5(string_agg(chunk, ' ' ORDER BY pos)) AS dedup_fp
+         FROM firsts WHERE rn = 1 GROUP BY doc_id""",
+    "q86_normalize" ->
+      """WITH aug AS (SELECT doc_id,
+           upper(substring(text, 1, 8)) || substring(text, 9) ||
+             ' -- End#' || CAST(doc_id AS VARCHAR) || '!' AS t2
+           FROM documents),
+         norm AS (SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(t2), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+           FROM aug)
+         SELECT doc_id, md5(nt) AS norm_fp, CAST(length(nt) AS BIGINT) AS n_chars_norm
+         FROM norm""",
+    "q87_bm25" ->
+      """WITH docs AS (SELECT doc_id,
+             CAST(len(string_split(text,' ')) AS BIGINT) AS dl,
+             string_split(text,' ') AS w
+           FROM documents),
+         stats AS (SELECT count(*) AS n,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+           FROM docs),
+         tf AS (SELECT doc_id, dl, t, count(*) AS tf
+           FROM (SELECT doc_id, dl, unnest(w) AS t FROM docs)
+           WHERE t IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+         dft AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+         sc AS (SELECT tf.doc_id, tf.t,
+             ln(1.0 + (CAST(stats.n AS DOUBLE) - dft.df + 0.5) / (dft.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)) AS s
+           FROM tf, dft, stats WHERE tf.t = dft.t)
+         SELECT doc_id, round(s0 + s1 + s2, 6) AS bm25 FROM (
+           SELECT doc_id,
+             sum(CASE WHEN t = 'spark' THEN s ELSE 0.0 END) AS s0,
+             sum(CASE WHEN t = 'join' THEN s ELSE 0.0 END) AS s1,
+             sum(CASE WHEN t = 'window' THEN s ELSE 0.0 END) AS s2
+           FROM sc GROUP BY doc_id)
+         ORDER BY bm25 DESC, doc_id ASC LIMIT 10""",
+    "q88_pack_sequences" ->
+      """SELECT doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin
+         FROM (SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+           FROM (SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             FROM documents))""",
+    "q89_bloom_decontaminate" ->
+      """WITH grams AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - 5),
+             i -> array_to_string(string_split(text, ' ')[i:i+6], ' ')))) AS g
+           FROM documents),
+         bench AS (
+           SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+         dirty AS (
+           SELECT grams.doc_id FROM grams JOIN bench USING (g)
+           GROUP BY grams.doc_id HAVING count(*) >= 2)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM dirty)"""
+  )
+}

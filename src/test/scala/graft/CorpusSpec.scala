@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{CorpusStats, Sampling}
+
+/** Corpus statistics / retrieval / packing operators (round-5 batch):
+  * semantics against hand-computable fixtures, the bloom-vs-exact
+  * equality, the CMS overestimate guarantee, and plan-shape checks.
+  */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "a b c a b c a b", "en", "s0"),
+    (1L, "a b c d e f g h", "en", "s0"),
+    (2L, "x y z x y z x y", "de", "s1"),
+    (3L, "a b c a b c a b", "de", "s1") // exact copy of doc 0
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("topKNgrams matches brute-force counts with deterministic ties") {
+    val got = CorpusStats.topKNgrams(docs, "text", 2, 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val brute = docs.collect().flatMap { r =>
+      r.getString(1).split(" ").sliding(2).map(_.mkString(" "))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (g, c) => (-c, g) }.take(5)
+    assert(got.toSeq == brute)
+  }
+
+  test("ngrams keeps multiplicity; shingles dedupes") {
+    val row = docs.filter($"doc_id" === 0)
+      .select(TextFunctions.ngrams($"text", 2).as("all"),
+        TextFunctions.shingles($"text", 2).as("distinct"))
+      .head()
+    assert(row.getSeq[String](0).length == 7) // 8 tokens → 7 bigrams
+    assert(row.getSeq[String](1).toSet == row.getSeq[String](0).toSet)
+    assert(row.getSeq[String](1).length < row.getSeq[String](0).length)
+  }
+
+  test("vocabStats computes exact per-group token statistics") {
+    val got = CorpusStats.vocabStats(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // s0: docs 0,1 → 16 tokens, distinct {a..h} = 8
+    assert(got("s0") == ((2L, 16L, 8L, 0.5)))
+    // s1: docs 2,3 → 16 tokens, distinct {x,y,z,a,b,c} = 6
+    assert(got("s1") == ((2L, 16L, 6L, 0.375)))
+  }
+
+  test("repetitionStats finds the dominant bigram and its coverage") {
+    val got = CorpusStats.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 0 "a b c a b c a b": "a b" ×3, frac 6/8
+    assert(got(0L) == (("a b", 3L, 0.75)))
+    // doc 1 all-distinct bigrams ×1; tie → lexicographically greatest
+    assert(got(1L)._2 == 1L && got(1L)._1 == "g h")
+  }
+
+  test("chunkDedup keeps first occurrence only and reassembles in order") {
+    val d = Seq(
+      (0L, "a b c d e f"),     // chunks (w=3): "a b c", "d e f"
+      (1L, "a b c g h i"),     // first chunk duplicates doc 0's
+      (2L, "a b c d e f")      // both chunks duplicate doc 0's
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.chunkDedup(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.keySet == Set(0L, 1L)) // doc 2 fully deduped away
+    assert(got(0L)._1 == 2L)
+    assert(got(1L)._1 == 1L)
+    val md5gh = java.security.MessageDigest.getInstance("MD5")
+      .digest("g h i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L)._2 == md5gh) // doc 1 reassembles to its surviving chunk
+  }
+
+  test("normalizeText lowercases, strips punctuation, collapses space; idempotent") {
+    val got = Seq(("  Hello,   WORLD!! x-1  ", 0))
+      .toDF("t", "i")
+      .select(TextFunctions.normalizeText($"t").as("n"))
+      .head().getString(0)
+    assert(got == "hello world x 1")
+    val again = Seq((got, 0)).toDF("t", "i")
+      .select(TextFunctions.normalizeText($"t")).head().getString(0)
+    assert(again == got)
+  }
+
+  test("PII counting and redaction") {
+    val r = Seq(("mail a@b.com and c.d@e.org, site https://x.io/p?q=1 ip 10.0.0.1 ok", 0))
+      .toDF("t", "i")
+      .select(
+        TextFunctions.countMatches($"t", TextFunctions.EmailPattern).as("e"),
+        TextFunctions.countMatches($"t", TextFunctions.UrlPattern).as("u"),
+        TextFunctions.countMatches($"t", TextFunctions.Ipv4Pattern).as("ip"),
+        TextFunctions.redactPii($"t").as("red"))
+      .head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 1 && r.getLong(2) == 1)
+    assert(r.getString(3) == "mail <EMAIL> and <EMAIL>, site <URL> ip <IP> ok")
+  }
+
+  test("bm25 ranks all-terms doc over one-term doc, idf favors rare terms") {
+    val d = Seq(
+      (0L, "spark join window filler filler filler"), // all three terms
+      (1L, "spark filler filler filler filler filler"), // one common term
+      (2L, "filler filler filler filler filler filler"), // no terms
+      (3L, "spark spark filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.bm25TopK(d, "doc_id", "text",
+      Seq("spark", "join", "window"), 3).collect()
+    assert(got.length == 3) // doc 2 scores nothing → absent
+    assert(!got.map(_.getLong(0)).contains(2L))
+    assert(got.head.getLong(0) == 0L) // superset of matched terms wins
+    assert(got.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+    // rare-term weighting: "window" (df=1) outweighs "spark" (df=3)
+    // even against doubled tf — doc 3 (spark ×2) stays below doc 0
+    assert(got.map(_.getLong(0)).indexOf(3L) > 0)
+  }
+
+  test("packSequences: contiguous fill, capacity respected up to one straddler") {
+    val d = (0 until 200).map(i => (i.toLong, (i % 29) + 1L)).toDF("id", "n")
+    val got = Sampling.packSequences(d, "id", "n", 100L)
+    assert(got.count() == 200) // every doc assigned
+    // per-bin sums: at most capacity + (last doc − 1) overflow; here a
+    // bin's sum minus its largest member must be under capacity
+    val bins = got.groupBy("bin").agg(sum("n").as("s"), max("n").as("m"))
+      .collect()
+    assert(bins.forall(r => r.getLong(1) - r.getLong(2) < 100L))
+    // bins are contiguous in the deterministic order: cum bins = 0..B
+    val ids = got.select("bin").distinct().collect().map(_.getLong(0)).sorted
+    assert(ids.head == 0L && ids.last == ids.length - 1)
+  }
+
+  test("bloom-prefiltered decontamination equals the exact path") {
+    val train = Tables(spark, sf001, "documents")
+    val bench = train.filter($"doc_id" % 50 === 0).select($"text")
+    val exact = Sampling.decontaminate(train, "doc_id", "text", bench, "text",
+      n = 7, minShared = 2).select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = Sampling.decontaminateBloom(train, "doc_id", "text", bench, "text",
+      n = 7, minShared = 2).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloom == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("CMS estimates honor the overestimate guarantee") {
+    val d = Tables(spark, sf001, "documents")
+    val eps = 0.001
+    val total = d.select(explode(TextFunctions.ngrams($"text", 3))).count()
+    val rows = CorpusStats.sketchedTopKNgrams(d, "text", 3, 20, eps).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val exact = r.getLong(1); val est = r.getLong(2)
+      assert(est >= exact, s"CMS must never underestimate: ${r.getString(0)}")
+      assert(est <= exact + (eps * total).toLong + 1,
+        s"CMS overestimate beyond eps bound: ${r.getString(0)}")
+    }
+  }
+
+  test("plan shapes: topKNgrams is TakeOrderedAndProject, vocabStats partial-aggs") {
+    val topPlan = CorpusStats.topKNgrams(docs, "text", 2, 5)
+      .queryExecution.executedPlan.toString
+    assert(topPlan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$topPlan")
+    val vocabPlan = CorpusStats.vocabStats(docs, "doc_id", "text", "source")
+      .queryExecution.executedPlan.toString
+    assert(vocabPlan.contains("partial"), s"expect partial agg:\n$vocabPlan")
+  }
+}
