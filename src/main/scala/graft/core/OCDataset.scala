@@ -292,14 +292,34 @@ final case class OCDataset(
           keyRegion = Some(keyRegion))
       } else {
         val (origin, size) = domain.getOrElse((0.0, baseBox * f))
-        graft.spatial.Octree.boundFilter(region, origin, size, level,
-          col(cx), col(cy), col(cz))
+        // Computed-key path: project the key ONCE below the filter
+        // (native codegen'd expression — one JVM call per row) and
+        // have every range disjunct reference that single attribute.
+        // Inlining the 3·level-term bit-interleave into each of up to
+        // 64 disjuncts breaks the 64 KB generated-method limit and the
+        // whole filter stage silently falls back to interpreted eval.
+        // The key is "stored" only for the span of this plan — the
+        // range budget stays at the computed tier (no storage pruning
+        // to pay for wide plans).
+        graft.spatial.Morton.register(df.sparkSession)
+        val keyCol = graft.spatial.Morton.keyColumnNative(
+          col(cx), col(cy), col(cz), origin, size, level)
+        val withKey = df.withColumn(BoundKeyCol, keyCol)
+        return graft.spatial.Octree.boundFilter(region, origin, size, level,
+          col(cx), col(cy), col(cz),
+          storedKey = Some((col(BoundKeyCol), level)),
+          maxRangesOverride = Some(graft.spatial.Octree.MaxRangesComputed)) match {
+          case None       => copy(df = df.limit(0))
+          case Some(pred) => copy(df = withKey.filter(pred).drop(BoundKeyCol))
+        }
       }
     filterOpt match {
       case None       => copy(df = df.limit(0)) // disjoint — empty short-circuit
       case Some(pred) => copy(df = df.filter(pred))
     }
   }
+
+  private val BoundKeyCol = "__graft_bound_key"
 
   /** 2-D sky bound (reference dataset-level `bound` with a 2-D region,
     * lightcone.py:654-745; spatial/region.py ConeRegion/SkyboxRegion):

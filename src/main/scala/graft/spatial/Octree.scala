@@ -146,8 +146,10 @@ object Octree {
   def boundFilter(region: Region3D, origin: Double, size: Double, level: Int,
                   x: Column, y: Column, z: Column,
                   storedKey: Option[(Column, Int)] = None,
-                  keyRegion: Option[Region3D] = None): Option[Column] = {
-    val maxRanges = if (storedKey.isDefined) MaxRangesStored else MaxRangesComputed
+                  keyRegion: Option[Region3D] = None,
+                  maxRangesOverride: Option[Int] = None): Option[Column] = {
+    val maxRanges = maxRangesOverride.getOrElse(
+      if (storedKey.isDefined) MaxRangesStored else MaxRangesComputed)
     var classifyLevel = storedKey.fold(level) { case (_, kl) => math.min(level, kl) }
     var plan0 = classifyCells(keyRegion.getOrElse(region), origin, size, classifyLevel)
     while (classifyLevel > 0 &&
