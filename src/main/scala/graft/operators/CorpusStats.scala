@@ -92,15 +92,32 @@ object CorpusStats {
     */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  width: Int = 10): DataFrame = {
+    require(Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+      .contains(df.schema(idCol).dataType),
+      s"chunkDedup packs ($idCol, pos) into a decimal — integral id required")
     val chunks = df
       .select(col(idCol), posexplode(TextFunctions.tokenChunks(col(textCol), width)))
       .withColumnRenamed("col", "__chunk")
       .withColumnRenamed("pos", "__pos")
+    // lexicographic min over (doc, pos) packed into ONE decimal:
+    // min(struct) has a struct aggregation buffer, which Spark can
+    // only SortAggregate — sorting by the chunk string key per
+    // partition. A decimal(38,0) buffer keeps the whole aggregation
+    // hash-based; decimal never overflows (19-digit id × 2³¹ fits in
+    // 29 digits) and pos < 2³¹ is structural (pos counts chunks, an
+    // int ordinal from posexplode).
+    val PosBound = 1L << 31
+    val packed = col(idCol).cast("decimal(38,0)") * lit(PosBound) + col("__pos")
     val firsts = chunks
       .groupBy(col("__chunk"))
-      .agg(min(struct(col(idCol), col("__pos"))).as("__f"))
-      .select(col("__f").getField(idCol).as(idCol),
-        col("__f.__pos").as("__pos"), col("__chunk"))
+      .agg(min(packed).as("__p"))
+      .select(
+        ((col("__p") - pmod(col("__p"), lit(PosBound))) / lit(PosBound))
+          .cast(df.schema(idCol).dataType).as(idCol),
+        pmod(col("__p"), lit(PosBound)).cast("int").as("__pos"),
+        col("__chunk"))
     firsts
       .groupBy(col(idCol))
       .agg(
