@@ -182,6 +182,44 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** Inverted index over whitespace tokens: per term, its document
+    * frequency and the sorted posting list — the retrieval artifact
+    * BM25-style scoring consumes. One explode (distinct per doc,
+    * map-side) + one hash agg keyed on the term; posting lists are
+    * bounded by document frequency (a stop-word's list is long — cap
+    * with `maxDf` when the index feeds retrieval, where ubiquitous
+    * terms carry no signal anyway).
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    minDf: Long = 1L,
+                    maxDf: Long = Long.MaxValue): DataFrame =
+    df.select(col(idCol),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col(idCol))).as("postings"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+
+  /** Per-group document-length profile: min / exact quantiles / max /
+    * mean token counts — the corpus-analytics pass run before choosing
+    * packing lengths and length-based quality cuts. Exact
+    * `percentile` matches the oracle's `quantile_cont` (numpy-style
+    * linear interpolation); the mean is exact (integer token counts
+    * sum without rounding below 2^53).
+    */
+  def lengthProfile(df: DataFrame, textCol: String, groupCol: String): DataFrame =
+    df.select(col(groupCol), TextFunctions.tokenCount(col(textCol)).as("__n"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("__n")).as("min_tokens"),
+        round(expr("percentile(__n, 0.25)"), 6).as("p25_tokens"),
+        round(expr("percentile(__n, 0.5)"), 6).as("median_tokens"),
+        round(expr("percentile(__n, 0.75)"), 6).as("p75_tokens"),
+        round(expr("percentile(__n, 0.95)"), 6).as("p95_tokens"),
+        max(col("__n")).as("max_tokens"),
+        round(avg(col("__n")), 6).as("mean_tokens"))
+
   /** Count-min sketch over corpus n-grams — the constant-memory
     * frequency structure for when the distinct-gram space doesn't fit
     * a hash aggregation (mergeable across partitions/days; ε·total

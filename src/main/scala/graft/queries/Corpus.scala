@@ -108,6 +108,24 @@ object Corpus {
     // asserts the overestimate guarantee against exact counts).
     "q90_cms_topk" -> ((s, dir) => {
       CorpusStats.sketchedTopKNgrams(t(s, dir, "documents"), "text", 3, 20)
+    }),
+
+    // distributed k-means over the embeddings table (rows-only:
+    // Lloyd fixed points aren't SQL-expressible; CorpusSpec asserts
+    // convergence, determinism, and blob recovery).
+    "q91_kmeans" -> ((s, dir) => {
+      graft.operators.Clustering.kmeans(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 3).assignments
+    }),
+
+    // inverted index: per-term document frequency + sorted postings.
+    "q92_inverted_index" -> ((s, dir) => {
+      CorpusStats.invertedIndex(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // per-source document-length profile (exact quantiles).
+    "q93_length_profile" -> ((s, dir) => {
+      CorpusStats.lengthProfile(t(s, dir, "documents"), "text", "source")
     })
   )
 
@@ -206,6 +224,24 @@ object Corpus {
            FROM (SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
              FROM documents))""",
+    "q92_inverted_index" ->
+      """SELECT t AS term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+         FROM (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS t
+               FROM documents)
+         GROUP BY t""",
+    "q93_length_profile" ->
+      """SELECT source, count(*) AS n_docs,
+           min(n) AS min_tokens,
+           round(quantile_cont(n, 0.25), 6) AS p25_tokens,
+           round(quantile_cont(n, 0.5), 6) AS median_tokens,
+           round(quantile_cont(n, 0.75), 6) AS p75_tokens,
+           round(quantile_cont(n, 0.95), 6) AS p95_tokens,
+           max(n) AS max_tokens,
+           round(avg(n), 6) AS mean_tokens
+         FROM (SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents)
+         GROUP BY source""",
     "q89_bloom_decontaminate" ->
       """WITH grams AS (
            SELECT doc_id, unnest(list_distinct(list_transform(

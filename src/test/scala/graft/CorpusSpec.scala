@@ -155,6 +155,53 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("kmeans: deterministic, WCSS non-increasing in iterations, recovers blobs") {
+    import graft.operators.Clustering
+    // two well-separated blobs in 4-d
+    val pts = ((0 until 30).map(i =>
+      (i.toLong, Array(10.0f + i % 3 * 0.1f, 10f, 10f, 10f).toSeq)) ++
+      (30 until 60).map(i =>
+        (i.toLong, Array(-10.0f - i % 3 * 0.1f, -10f, -10f, -10f).toSeq)))
+      .toDF("id", "v")
+    val m1 = Clustering.kmeans(pts, "id", "v", k = 2, iters = 1)
+    val m5 = Clustering.kmeans(pts, "id", "v", k = 2, iters = 5)
+    assert(m5.wcss <= m1.wcss + 1e-9, s"WCSS rose: ${m1.wcss} -> ${m5.wcss}")
+    val asg = m5.assignments.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val blob0 = (0 until 30).map(i => asg(i.toLong)).toSet
+    val blob1 = (30 until 60).map(i => asg(i.toLong)).toSet
+    assert(blob0.size == 1 && blob1.size == 1 && blob0 != blob1,
+      "separated blobs must land in distinct single clusters")
+    // determinism: identical rerun
+    val again = Clustering.kmeans(pts, "id", "v", k = 2, iters = 5)
+      .assignments.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == asg)
+  }
+
+  test("invertedIndex: df counts and sorted postings, maxDf cap") {
+    val idx = CorpusStats.invertedIndex(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(idx("a")._1 == 3L && idx("a")._2 == Seq(0L, 1L, 3L))
+    assert(idx("x")._1 == 1L && idx("x")._2 == Seq(2L))
+    idx.values.foreach { case (df, posts) =>
+      assert(posts.length == df && posts == posts.sorted)
+    }
+    // stop-word cap drops ubiquitous terms
+    val capped = CorpusStats.invertedIndex(docs, "doc_id", "text", maxDf = 2L)
+    assert(!capped.collect().map(_.getString(0)).contains("a"))
+  }
+
+  test("lengthProfile: exact quantiles over a known distribution") {
+    val d = (1 to 100).map(i => ("s", ("w " * i).trim)).toDF("source", "text")
+    val r = CorpusStats.lengthProfile(d, "text", "source").head()
+    assert(r.getLong(1) == 100L)        // n_docs
+    assert(r.getLong(2) == 1L)          // min
+    assert(r.getDouble(4) == 50.5)      // median of 1..100
+    assert(r.getLong(7) == 100L)        // max
+    assert(r.getDouble(8) == 50.5)      // mean
+  }
+
   test("plan shapes: topKNgrams is TakeOrderedAndProject, vocabStats partial-aggs") {
     val topPlan = CorpusStats.topKNgrams(docs, "text", 2, 5)
       .queryExecution.executedPlan.toString
