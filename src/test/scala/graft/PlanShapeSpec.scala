@@ -39,6 +39,54 @@ class PlanShapeSpec extends SparkSpec {
       s"queries not broadcast:\n$p")
   }
 
+  test("bm25 broadcasts document frequencies and top-ks without a global sort") {
+    val p = plan("q87_bm25")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-term df table must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bm25 top-k must not global-sort:\n$p")
+  }
+
+  test("chunk dedup aggregates hash-based end to end (no SortAggregate)") {
+    val p = plan("q85_chunk_dedup")
+    assert(!p.contains("SortAggregate"),
+      s"first-occurrence agg fell back to sort-based:\n$p")
+  }
+
+  test("bloom probe is a native codegen'd filter over the sketch literal") {
+    // q89's result frame is post-localCheckpoint (the probe already
+    // ran), so assert the probe SHAPE directly: a bloom built by the
+    // native aggregate, probed by BloomFilterMightContain in a plain
+    // Filter — no join, no shuffle on the probing side.
+    graft.plans.GraftExtensions.registerAll(spark)
+    val keys = spark.range(0, 1000).select(xxhash64($"id").as("g"))
+    val sketch = keys.agg(call_function("graft_bloom_agg", $"g",
+      lit(1000L), lit(8192L))).head().getAs[Array[Byte]](0)
+    val probe = spark.range(0, 2000).select(xxhash64($"id").as("g"))
+      .filter(call_function("graft_might_contain", lit(sketch), $"g"))
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), s"bloom probe not in plan:\n$p")
+    assert(!p.contains("Join"), s"probe must be a map-side filter:\n$p")
+    // every true member passes (bloom has no false negatives)
+    assert(probe.count() >= 1000)
+  }
+
+  test("computed-key bound uses the compact native key expression") {
+    val p = plan("q52_bound_box")
+    // Catalyst collapses the key projection back into the filter — the
+    // invariant that matters is that each disjunct carries the ONE-call
+    // native expression (whole-stage CSE evaluates it once), never the
+    // 3·level-term interleave lowering that overflowed the 64 KB
+    // codegen method limit and silently de-codegen'd the stage
+    assert(p.contains("mortonkeyexpr"), s"native key expr missing:\n$p")
+    assert(!p.contains("shiftleft"),
+      s"pure-column interleave leaked into the bound filter:\n$p")
+    assert(p.length < 60000,
+      s"bound plan is ${p.length} chars — predicate budget regressed?")
+    // residual geometry still reaches the scan as pushed filters
+    assert(p.contains("PushedFilters: [IsNotNull"), s"pushdown lost:\n$p")
+  }
+
   test("computed-key bound plans stay within the range-predicate budget") {
     // the tiered octree budget: a fragmented region (a sphere at the
     // requested level) over a COMPUTED key must coarsen instead of
