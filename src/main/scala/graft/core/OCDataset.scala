@@ -157,6 +157,48 @@ final case class OCDataset(
     }
   }
 
+  /** Bind an in-memory data array as a new column by POSITION — the
+    * reference's `with_new_columns(name=np_array)` (test_im_col.py;
+    * dataset/im_col.py): value i attaches to row i of the current
+    * (lazily sorted) row order. Like the reference's numpy-array
+    * source, the data lives in driver memory — this is the
+    * interactive-scale escape hatch, not a distributed op (a
+    * cluster-scale material column arrives as a table and JOINS on a
+    * key). The RDD hop is deliberate: positional identity is exactly
+    * what the declarative layer abstracts away, so it costs one
+    * zipWithIndex pass; the plan downstream is a fresh scan of the
+    * bound rows. Filters/derives/takes compose on the result as on
+    * any column.
+    */
+  def withDataColumn(name: String, values: Seq[Any], unit: String = "",
+                     allowOverwrite: Boolean = false): OCDataset = {
+    require(allowOverwrite || !columns.contains(name),
+      s"column '$name' exists; pass allowOverwrite=true to replace")
+    val sdf = sorted(if (columns.contains(name)) df.drop(name) else df)
+    val n = sdf.count()
+    require(n == values.length,
+      s"positional column '$name': ${values.length} values for $n rows")
+    val dt: org.apache.spark.sql.types.DataType = values.headOption match {
+      case Some(_: Long)    => org.apache.spark.sql.types.LongType
+      case Some(_: Int)     => org.apache.spark.sql.types.IntegerType
+      case Some(_: Double)  => org.apache.spark.sql.types.DoubleType
+      case Some(_: Float)   => org.apache.spark.sql.types.FloatType
+      case Some(_: String)  => org.apache.spark.sql.types.StringType
+      case Some(_: Boolean) => org.apache.spark.sql.types.BooleanType
+      case other => throw new IllegalArgumentException(
+        s"unsupported material column element: $other")
+    }
+    val schema2 = sdf.schema.add(name, dt, nullable = false)
+    val bound = values.toIndexedSeq // stable O(1) positional lookup in tasks
+    val rdd2 = sdf.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bound(i.toInt))
+    }
+    val df2 = df.sparkSession.createDataFrame(rdd2, schema2)
+    val h2 = if (unit.nonEmpty)
+      header.copy(columnUnits = header.columnUnits + (name -> unit)) else header
+    copy(df = df2, header = h2, sortKey = None)
+  }
+
   // ---- §2.11 units -------------------------------------------------
 
   /** Switch unit convention: every column with a known unit is

@@ -358,6 +358,28 @@ object CoreLib {
       ds.select(Seq("l_orderkey", "l_linenumber"), "z_qty" -> z).df
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("z_qty"), 6).as("z_qty"))
+    }),
+
+    // the reference's derived-scaling family (test_derive.py min-max /
+    // IQR-robust / sum-normalization / variance-normalized centered
+    // square) through the scalar-reduction surface — ALL reductions
+    // resolve in ONE aggregation job (agg-then-substitute), then the
+    // scalings are plain codegen'd arithmetic.
+    "q94_scalings" -> ((s, dir) => {
+      val ds = OCDataset(t(s, dir, "lineitem"))
+      val m = ocCol("l_quantity")
+      val minmax = (m - m.min) / (m.max - m.min)
+      val robust = (m - m.median) / (m.quantile(0.75) - m.quantile(0.25))
+      val sumnorm = m / m.sum
+      val centeredSq = ((m - m.mean) ** 2) / m.variance
+      ds.select(Seq("l_orderkey", "l_linenumber"),
+          "minmax" -> minmax, "robust" -> robust,
+          "sumnorm" -> sumnorm, "centered_sq" -> centeredSq).df
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("minmax"), 6).as("minmax"),
+          round(col("robust"), 6).as("robust"),
+          round(col("sumnorm") * lit(1e6), 6).as("sumnorm_ppm"),
+          round(col("centered_sq"), 6).as("centered_sq"))
     })
   )
 
@@ -544,6 +566,20 @@ object CoreLib {
       """SELECT l_orderkey, l_linenumber,
          round((l_quantity - (SELECT avg(l_quantity) FROM lineitem))
              / (SELECT stddev_pop(l_quantity) FROM lineitem), 6) AS z_qty
-         FROM lineitem"""
+         FROM lineitem""",
+    "q94_scalings" ->
+      """WITH s AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx,
+             quantile_cont(l_quantity, 0.5) AS med,
+             quantile_cont(l_quantity, 0.75) AS q3,
+             quantile_cont(l_quantity, 0.25) AS q1,
+             sum(l_quantity) AS sm, avg(l_quantity) AS mu,
+             var_pop(l_quantity) AS vr
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber,
+           round((l_quantity - s.mn) / (s.mx - s.mn), 6) AS minmax,
+           round((l_quantity - s.med) / (s.q3 - s.q1), 6) AS robust,
+           round(l_quantity / s.sm * 1e6, 6) AS sumnorm_ppm,
+           round(pow(l_quantity - s.mu, 2) / s.vr, 6) AS centered_sq
+         FROM lineitem, s"""
   )
 }

@@ -182,6 +182,30 @@ class CoreSpec extends SparkSpec {
     assert(over.unitOf("r2") == Units.parse("Mpc/h"))
   }
 
+  test("withDataColumn: positional bind, composes with filter/derive/take (test_im_col)") {
+    val n = halos.count().toInt
+    val vals = (0 until n).map(i => (i * 300 + 100).toLong) // 100, 400, 700, …
+    val d = halos.sortBy("halo_tag").withDataColumn("test_random", vals, unit = "km/s")
+    assert(d.columns.contains("test_random"))
+    // positional contract: value i landed on sorted row i
+    val got = d.df.orderBy($"halo_tag").select($"test_random")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == vals)
+    assert(d.unitOf("test_random") == Units.parse("km/s"))
+    // composes downstream like any column (filter → derived → take)
+    val f = d.filter(ocCol("test_random") > 200.0 && ocCol("test_random") < 500.0)
+    assert(f.count() == 1) // only the value 400 falls in (200, 500)
+    val dd = d.withNewColumns("doubled" -> (ocCol("test_random") * ocLit(2.0)))
+    assert(dd.df.orderBy($"halo_tag").select($"doubled").first().getDouble(0)
+      == vals.head * 2.0)
+    // length mismatch refuses loudly; overwrite guarded
+    intercept[IllegalArgumentException] { d.withDataColumn("bad", Seq(1L, 2L)) }
+    intercept[IllegalArgumentException] { d.withDataColumn("test_random", vals) }
+    val over = d.withDataColumn("test_random", vals.map(_ + 1), allowOverwrite = true)
+    assert(over.df.orderBy($"halo_tag").select($"test_random").first().getLong(0)
+      == vals.head + 1)
+  }
+
   test("withUnits: scalefree -> comoving -> physical factors") {
     // scalefree x=10 Mpc/h, h=0.7 -> comoving 10/0.7; physical further × a=0.5 (z=1)
     val com = halos.withUnits(Comoving)

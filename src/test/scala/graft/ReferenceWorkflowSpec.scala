@@ -102,6 +102,27 @@ class ReferenceWorkflowSpec extends SparkSpec {
     assert(frac > 0.08 && frac < 0.12, s"quantile filter kept $frac")
   }
 
+  test("probe 3b: derived scaling family (test_derive.py) — bounds and dimensionless units") {
+    val m = ocCol("fof_halo_mass")
+    val scaled = halos.withNewColumns(
+      "minmax" -> ((m - m.min) / (m.max - m.min)),
+      "robust" -> ((m - m.median) / (m.quantile(0.75) - m.quantile(0.25))),
+      "sumnorm" -> (m / m.sum),
+      "centered_sq" -> (((m - m.mean) ** 2) / m.variance))
+    // min-max scaling lands exactly on [0, 1] (test_derive_min_max_scaling)
+    val r = scaled.df.agg(F.min($"minmax"), F.max($"minmax"),
+      F.sum($"sumnorm"), F.avg($"centered_sq")).first()
+    assert(math.abs(r.getDouble(0)) < 1e-12 && math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    // sum normalization sums to 1; E[(x−μ)²/σ²] = 1
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)
+    // every ratio of same-unit quantities is dimensionless
+    // (test_derive_var_squares_units: var carries unit², (x−μ)² too)
+    Seq("minmax", "robust", "sumnorm", "centered_sq").foreach { c =>
+      assert(scaled.unitOf(c).isDimensionless, s"$c must be dimensionless")
+    }
+  }
+
   test("probe 4: derived column px with units, then physical conversion") {
     val withPx = halos.withNewColumns(
       "px" -> (ocCol("fof_halo_mass") * ocCol("fof_halo_com_vx")))
