@@ -31,6 +31,36 @@ object StreamingPipelines {
       .start()
   }
 
+  /** Streaming corpus ingest — the training-data firehose shape: the
+    * quality gate and content fingerprint are the SAME codegen'd
+    * column expressions the batch pipeline uses (one definition, both
+    * engines), then content-dedup within the watermark horizon
+    * (re-crawled/re-delivered documents collapse on fingerprint;
+    * state is bounded by lateness, not corpus size), then tumbling
+    * per-window document/token counts. Input schema: (doc_id LONG,
+    * ts TIMESTAMP, text STRING).
+    */
+  def corpusIngest(docs: DataFrame, lateness: String = "30 minutes",
+                   windowSize: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val gated = docs
+      .filter(TextFunctions.passesQualityFilter(col("text")))
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+    // the watermark-bounded dedup is streaming-only (Spark refuses it
+    // on batch frames); the bounded-data twin is a plain content dedup
+    val deduped =
+      if (gated.isStreaming)
+        gated.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("fp")
+      else gated.dropDuplicates("fp")
+    deduped
+      .groupBy(window(col("ts"), windowSize))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
+      .select(unix_timestamp(col("window.start")).as("w_start"),
+        col("n_docs"), col("n_tokens"))
+  }
+
   /** Continuous per-user sessionization into a parquet sink. */
   def sessionsToParquet(spark: SparkSession, inDir: String, schema: StructType,
                         outDir: String, checkpointDir: String,

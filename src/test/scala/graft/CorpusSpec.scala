@@ -202,6 +202,76 @@ class CorpusSpec extends SparkSpec {
     assert(r.getDouble(8) == 50.5)      // mean
   }
 
+  test("randomized: ngrams/tokenChunks/normalize agree with independent Scala models") {
+    val rnd = new scala.util.Random(7)
+    def word() = (0 until 1 + rnd.nextInt(8))
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val texts = (0 until 200).map { i =>
+      val toks = (0 until 1 + rnd.nextInt(30)).map(_ => word())
+      val raw = toks.mkString(" ")
+      // salt some case + punctuation for the normalizer
+      val salted = if (i % 3 == 0) raw.toUpperCase + "!! ,-" + raw.take(4) else raw
+      (i.toLong, raw, salted)
+    }
+    val df = texts.toDF("id", "raw", "salted")
+    val n = 3; val w = 4
+    val got = df.select($"id",
+      TextFunctions.ngrams($"raw", n).as("g"),
+      TextFunctions.tokenChunks($"raw", w).as("c"),
+      TextFunctions.normalizeText($"salted").as("nm"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1), r.getSeq[String](2), r.getString(3))).toMap
+    texts.foreach { case (id, raw, salted) =>
+      val toks = raw.split(" ").toSeq
+      // model 1: sliding-window n-grams keep multiplicity and order
+      val wantG = if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      assert(got(id)._1 == wantG, s"ngrams diverged for '$raw'")
+      // model 2: grouped chunks cover the tokens exactly
+      val wantC = toks.grouped(w).map(_.mkString(" ")).toSeq
+      assert(got(id)._2 == wantC, s"chunks diverged for '$raw'")
+      // model 3: char-loop normalizer (independent of regex machinery)
+      val sb = new StringBuilder
+      salted.toLowerCase.foreach { ch =>
+        if (ch.isDigit || (ch >= 'a' && ch <= 'z')) sb.append(ch)
+        else if (sb.nonEmpty && sb.last != ' ') sb.append(' ')
+      }
+      assert(got(id)._3 == sb.result().stripSuffix(" "), s"normalize diverged for '$salted'")
+    }
+  }
+
+  test("randomized: redaction is complete and a no-op on clean text") {
+    val rnd = new scala.util.Random(11)
+    def word() = (0 until 1 + rnd.nextInt(6))
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val rows = (0 until 100).map { i =>
+      val clean = (0 until 5).map(_ => word()).mkString(" ")
+      val dirty = i % 4 match {
+        case 0 => s"$clean ${word()}@${word()}.com $clean"
+        case 1 => s"$clean https://${word()}.io/${word()} $clean"
+        case 2 => s"$clean ${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)} $clean"
+        case _ => clean
+      }
+      (i.toLong, clean, dirty)
+    }
+    val df = rows.toDF("id", "clean", "dirty")
+    val red = df.select($"id",
+      TextFunctions.redactPii($"clean").as("rc"),
+      TextFunctions.redactPii($"dirty").as("rd"),
+      (TextFunctions.countMatches(TextFunctions.redactPii($"dirty"),
+        TextFunctions.EmailPattern) +
+       TextFunctions.countMatches(TextFunctions.redactPii($"dirty"),
+        TextFunctions.UrlPattern) +
+       TextFunctions.countMatches(TextFunctions.redactPii($"dirty"),
+        TextFunctions.Ipv4Pattern)).as("residue"))
+      .collect()
+    rows.zip(red.sortBy(_.getLong(0))).foreach { case ((i, clean, dirty), r) =>
+      assert(r.getString(1) == clean, "redaction must not touch clean text")
+      assert(r.getLong(3) == 0L, s"PII survived redaction in '$dirty' -> '${r.getString(2)}'")
+      if (i % 4 != 3) assert(r.getString(2) != dirty, "dirty text must change")
+    }
+  }
+
   test("plan shapes: topKNgrams is TakeOrderedAndProject, vocabStats partial-aggs") {
     val topPlan = CorpusStats.topKNgrams(docs, "text", 2, 5)
       .queryExecution.executedPlan.toString

@@ -141,6 +141,38 @@ class StreamingSpec extends SparkSpec {
       evs.map(_.event_id).sorted)
   }
 
+  test("streaming corpus ingest: quality gate + fingerprint dedup, stream==batch") {
+    import graft.streaming.StreamingPipelines
+    import StreamingSpecFixtures.Doc
+    val good = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      Doc(1L, ts("2024-01-01 00:10:00"), good),
+      Doc(2L, ts("2024-01-01 00:20:00"), good), // exact re-crawl → dedups
+      Doc(3L, ts("2024-01-01 00:30:00"), good + " with more words to say"),
+      Doc(4L, ts("2024-01-01 00:40:00"), "x x x x x x x x x x x x"), // fails quality
+      Doc(5L, ts("2024-01-01 01:15:00"), good + " in the next hour"))
+    val src = MemoryStream[Doc](spark)
+    val q = StreamingPipelines.corpusIngest(src.toDF())
+      .writeStream.format("memory").queryName("corpus_sink")
+      .outputMode("append").start()
+    try {
+      src.addData(docs)
+      q.processAllAvailable()
+      // close hour-0 by advancing the watermark past it
+      src.addData(Seq(Doc(99L, ts("2024-01-01 03:00:00"), good + " closer")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("corpus_sink").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val h0 = ts("2024-01-01 00:00:00").getTime / 1000
+    // hour 0: docs 1,3 survive (2 deduped, 4 quality-failed)
+    assert(got(h0)._1 == 2L, s"hour-0 rows: $got")
+    // batch replay of the same definition agrees
+    val batch = StreamingPipelines.corpusIngest(docs.toDF())
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(batch(h0) == got(h0))
+  }
+
   test("watermark drops late data in append mode") {
     val src = MemoryStream[Ev](spark)
     val q = EventOps.streamTumblingAgg(src.toDF(), "1 hour", "30 minutes")
@@ -217,4 +249,11 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.length == 2)
     assert(sessions.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L))
   }
+}
+
+/** Top-level fixture types (encoders need a TypeTag — method-local
+  * case classes don't get one).
+  */
+object StreamingSpecFixtures {
+  case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 }
