@@ -26,6 +26,15 @@ object CorpusStats {
     * Deterministic tie-break: count desc, then gram asc (binary
     * collation — matches the oracle's ORDER BY). Plan:
     * explode → hash-agg (partial+final) → TakeOrderedAndProject.
+    *
+    * Deliberately keyed on the gram STRING, not a 64-bit hash: at
+    * 100 TB the distinct-trigram space reaches ~10¹¹, where birthday
+    * collisions on 64 bits have ~25% probability across the corpus —
+    * a collision merges two grams' counts and can promote a phantom
+    * into the top-k. Map-side partial aggregation already shrinks the
+    * shuffle to (distinct gram, count), so the string key costs
+    * little; when even the distinct space is too big, [[ngramSketch]]
+    * is the constant-memory estimate path.
     */
   def topKNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
     df.select(explode(TextFunctions.ngrams(col(textCol), n)).as("ngram"))

@@ -76,6 +76,27 @@ object Sampling {
         floor((col("__cum") - col(tokenCol)) / lit(maxLen.toDouble)).cast("long"))
       .drop("__key", "__bkt", "__off", "__cum")
 
+  /** Materialize packed sequences as training shards: documents land
+    * in `outDir/shard=K/` files where shard K holds `binsPerShard`
+    * consecutive bins, rows sorted (bin, position) WITHIN each file —
+    * exactly the layout a sequential training reader wants (scan one
+    * shard directory = read whole bins in order, no shuffle at read
+    * time). One range-partition exchange on the shard id; shard count
+    * scales with the corpus, file sizes stay ~binsPerShard·maxLen
+    * tokens regardless of SF.
+    */
+  def writeShards(df: DataFrame, idCol: String, tokenCol: String,
+                  maxLen: Long, outDir: String,
+                  binsPerShard: Int = 64): Unit = {
+    val packed = packSequences(df, idCol, tokenCol, maxLen)
+      .withColumn("shard", (col("bin") / binsPerShard).cast("long"))
+    packed
+      .repartitionByRange(col("shard"))
+      .sortWithinPartitions(col("shard"), col("bin"),
+        md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
   private def prefixSample(df: DataFrame, idCol: String, tokenCol: String,
                            strata: Seq[String],
                            budgetOf: Seq[Any] => Long): DataFrame = {

@@ -130,6 +130,34 @@ class CorpusSpec extends SparkSpec {
     assert(ids.head == 0L && ids.last == ids.length - 1)
   }
 
+  test("writeShards: whole bins per shard, in-order, lossless") {
+    val d = (0 until 300).map(i => (i.toLong, (i % 41) + 1L)).toDF("id", "n")
+    val out = java.nio.file.Files.createTempDirectory("graft-shards-").toString
+    try {
+      Sampling.writeShards(d, "id", "n", maxLen = 200L, out, binsPerShard = 4)
+      val back = spark.read.parquet(out)
+      // lossless: every doc exactly once
+      assert(back.count() == 300)
+      assert(back.select("id").distinct().count() == 300)
+      // shard ⊇ whole bins: every bin lives in exactly one shard,
+      // and shards hold consecutive bins
+      val byBin = back.groupBy("bin")
+        .agg(countDistinct("shard").as("s"), first("shard").as("sh")).collect()
+      assert(byBin.forall(_.getLong(1) == 1L))
+      byBin.foreach(r => assert(r.getLong(0) / 4 == r.getAs[Number](2).longValue))
+      // packing agrees with packSequences exactly
+      val direct = Sampling.packSequences(d, "id", "n", 200L)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      back.collect().foreach { r =>
+        assert(direct(r.getAs[Long]("id")) == r.getAs[Long]("bin"))
+      }
+    } finally {
+      import java.nio.file._
+      Files.walk(Paths.get(out)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("bloom-prefiltered decontamination equals the exact path") {
     val train = Tables(spark, sf001, "documents")
     val bench = train.filter($"doc_id" % 50 === 0).select($"text")
