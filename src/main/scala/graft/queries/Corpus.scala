@@ -126,6 +126,22 @@ object Corpus {
     // per-source document-length profile (exact quantiles).
     "q93_length_profile" -> ((s, dir) => {
       CorpusStats.lengthProfile(t(s, dir, "documents"), "text", "source")
+    }),
+
+    // end-to-end corpus assembly: quality gate → per-source token
+    // budgets (mixture weighting) → global sequence packing. Each
+    // stage is itself oracled (q74/q72/q88); this gate proves the
+    // COMPOSITION stays exact — the pipeline a real corpus build runs.
+    "q95_corpus_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val gated = d
+        .filter(TextFunctions.passesQualityFilter(col("text")))
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val sampled = Sampling.sampleToTokenBudgetBy(gated, "doc_id", "n_tokens",
+        "source", Map("src0" -> 8000L, "src1" -> 5000L, "src2" -> 3000L))
+      Sampling.packSequences(sampled.select(col("doc_id"), col("source"),
+        col("n_tokens")), "doc_id", "n_tokens", 512L)
     })
   )
 
@@ -242,6 +258,40 @@ object Corpus {
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n
            FROM documents)
          GROUP BY source""",
+    "q95_corpus_pipeline" ->
+      """WITH gated AS (
+           SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE len(string_split(text, ' ')) >= 8
+             AND len(string_split(text, ' ')) <= 100000
+             AND (CAST(length(text) AS DOUBLE)
+                  - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 2.0
+             AND (CAST(length(text) AS DOUBLE)
+                  - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 12.0
+             AND CAST(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.01
+             AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.3),
+         sampled AS (
+           SELECT doc_id, source, n_tokens FROM (
+             SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum,
+               CASE source WHEN 'src0' THEN 8000 WHEN 'src1' THEN 5000
+                 WHEN 'src2' THEN 3000 END AS budget
+             FROM gated WHERE source IN ('src0', 'src1', 'src2'))
+           WHERE cum - n_tokens < budget),
+         packed AS (
+           SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+           FROM sampled)
+         SELECT doc_id, source, n_tokens,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin
+         FROM packed""",
     "q89_bloom_decontaminate" ->
       """WITH grams AS (
            SELECT doc_id, unnest(list_distinct(list_transform(

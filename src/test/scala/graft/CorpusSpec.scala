@@ -74,6 +74,22 @@ class CorpusSpec extends SparkSpec {
     assert(got(1L)._2 == md5gh) // doc 1 reassembles to its surviving chunk
   }
 
+  test("chunkDedup decimal packing survives extreme 64-bit ids (no ANSI overflow)") {
+    val d = Seq(
+      (Long.MaxValue, "a b c d e f"),
+      (Long.MaxValue - 1L, "a b c g h i"),
+      (0L, "j k l m n o")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.chunkDedup(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ids round-trip exactly through the decimal pack
+    assert(got.keySet == Set(Long.MaxValue, Long.MaxValue - 1L, 0L))
+    // shared "a b c": first occurrence = min (doc, pos) = MaxValue-1
+    assert(got(Long.MaxValue - 1L) == 2L)
+    assert(got(Long.MaxValue) == 1L) // kept only its unique "d e f"
+    assert(got(0L) == 2L)
+  }
+
   test("normalizeText lowercases, strips punctuation, collapses space; idempotent") {
     val got = Seq(("  Hello,   WORLD!! x-1  ", 0))
       .toDF("t", "i")
