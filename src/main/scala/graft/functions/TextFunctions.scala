@@ -17,6 +17,24 @@ object TextFunctions {
   /** Token count (long, matches DuckDB len()). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** BPE-style pre-tokenization (the GPT-2 pretokenizer shape,
+    * simplified to the RE2 ∩ Java-regex subset — no lookahead):
+    * contractions, letter runs, digit runs, punctuation runs. This is
+    * the unit a byte-pair encoder would merge within; counting these
+    * tracks real tokenizer budgets far better than whitespace words
+    * on punctuated text.
+    */
+  val BpeTokenPattern: String =
+    "'(s|t|re|ve|m|ll|d)|[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s']+"
+
+  /** All BPE-style pre-tokens in order. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenPattern), lit(0))
+
+  /** BPE-style pre-token count. */
+  def bpeTokenCount(text: Column): Column =
+    size(bpeTokens(text)).cast("long")
+
   /** Average word length assuming single-space separation. */
   def avgWordLen(text: Column): Column = {
     val n = size(tokens(text)).cast("double")

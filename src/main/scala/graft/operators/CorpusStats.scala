@@ -229,6 +229,42 @@ object CorpusStats {
         max(col("__n")).as("max_tokens"),
         round(avg(col("__n")), 6).as("mean_tokens"))
 
+  /** Statistical bigram-LM quality score — the perplexity-filter
+    * shape (KenLM-style) with no external model: the corpus itself
+    * estimates P(w₂|w₁) with add-one smoothing, and each document
+    * scores its mean bigram log-probability (higher = more like the
+    * corpus; gibberish and boilerplate fall to the tails). Plan:
+    * bigram and unigram count tables (hash aggs), one shuffle join of
+    * document bigrams to the bigram table (the table is corpus-sized
+    * — it must NOT broadcast), unigram/vocab as broadcast; the
+    * per-document sum folds an array SORTED by position so the float
+    * result is bit-deterministic regardless of partitioning.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__w"))
+    val uni = toks.select(explode(col("__w")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__cu"))
+    val vocab = uni.count().toDouble
+    val bg = toks
+      .select(col(idCol), posexplode(TextFunctions.ngrams(concat_ws(" ", col("__w")), 2)))
+      .withColumnRenamed("col", "__g").withColumnRenamed("pos", "__pos")
+      .withColumn("__w1", split(col("__g"), " ").getItem(0))
+    val bgc = bg.groupBy(col("__g")).agg(count(lit(1)).as("__cb"))
+    val scored = bg
+      .join(bgc, Seq("__g"))
+      .join(broadcast(uni.withColumnRenamed("__t", "__w1")), Seq("__w1"))
+      .withColumn("__logp",
+        log((col("__cb") + lit(1.0)) / (col("__cu") + lit(vocab))))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__logp")))),
+            s => s.getField("__logp")),
+          lit(0.0), (acc, v) => acc + v).as("__sum"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__sum") / col("n_bigrams"), 6).as("avg_logp"))
+  }
+
   /** Count-min sketch over corpus n-grams — the constant-memory
     * frequency structure for when the distinct-gram space doesn't fit
     * a hash aggregation (mergeable across partitions/days; ε·total

@@ -128,6 +128,22 @@ object Corpus {
       CorpusStats.lengthProfile(t(s, dir, "documents"), "text", "source")
     }),
 
+    // BPE-style pre-tokenization over punctuated text (the augmented
+    // form gives the contraction/punctuation branches real work).
+    "q96_bpe_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val aug = concat(col("text"), lit(" it's #"), col("doc_id").cast("string"),
+        lit(", done... (v2.5)"))
+      d.select(col("doc_id"),
+        TextFunctions.bpeTokenCount(aug).as("n_bpe"),
+        md5(concat_ws("|", TextFunctions.bpeTokens(aug))).as("tok_fp"))
+    }),
+
+    // bigram-LM quality score (perplexity-filter shape, self-trained).
+    "q97_bigram_lm" -> ((s, dir) => {
+      CorpusStats.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // end-to-end corpus assembly: quality gate → per-source token
     // budgets (mixture weighting) → global sequence packing. Each
     // stage is itself oracled (q74/q72/q88); this gate proves the
@@ -258,6 +274,30 @@ object Corpus {
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n
            FROM documents)
          GROUP BY source""",
+    "q96_bpe_tokens" ->
+      """WITH aug AS (SELECT doc_id,
+           text || ' it''s #' || CAST(doc_id AS VARCHAR) || ', done... (v2.5)' AS t2
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t2,
+             '''(s|t|re|ve|m|ll|d)|[\p{L}]+|[0-9]+|[^\p{L}0-9\s'']+')) AS BIGINT) AS n_bpe,
+           md5(array_to_string(regexp_extract_all(t2,
+             '''(s|t|re|ve|m|ll|d)|[\p{L}]+|[0-9]+|[^\p{L}0-9\s'']+'), '|')) AS tok_fp
+         FROM aug""",
+    "q97_bigram_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         uni AS (SELECT t, count(*) AS cu
+           FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t),
+         vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+         bg AS (SELECT doc_id, i AS pos, w[i] AS w1, w[i] || ' ' || w[i+1] AS g
+           FROM toks, UNNEST(generate_series(1, len(w)-1)) AS s(i)),
+         bgc AS (SELECT g, count(*) AS cb FROM bg GROUP BY g),
+         scored AS (SELECT bg.doc_id, bg.pos,
+             ln((bgc.cb + 1.0) / (uni.cu + vocab.v)) AS logp
+           FROM bg JOIN bgc USING (g) JOIN uni ON uni.t = bg.w1, vocab)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(list_sum(list(logp ORDER BY pos)) / count(*), 6) AS avg_logp
+         FROM scored GROUP BY doc_id""",
     "q95_corpus_pipeline" ->
       """WITH gated AS (
            SELECT doc_id, source,

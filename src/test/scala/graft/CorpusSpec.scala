@@ -316,6 +316,34 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("bpeTokens: contractions, digit runs, punctuation runs, unicode letters") {
+    val r = Seq(("It's  rock-n-roll v2.5, naïve... really!", 0))
+      .toDF("t", "i")
+      .select(TextFunctions.bpeTokens($"t").as("tk"),
+        TextFunctions.bpeTokenCount($"t").as("n"))
+      .head()
+    val toks = r.getSeq[String](0)
+    assert(toks == Seq("It", "'s", "rock", "-", "n", "-", "roll", "v", "2",
+      ".", "5", ",", "naïve", "...", "really", "!"), toks.toString)
+    assert(r.getLong(1) == toks.length)
+  }
+
+  test("bigramLmScore: corpus-typical text outscores shuffled gibberish") {
+    // corpus of repetitive natural-ish docs + one doc of rare bigrams
+    val base = (0 until 30).map(i =>
+      (i.toLong, "the cat sat on the mat and the dog sat on the rug"))
+    val odd = Seq((99L, "mat the on rug cat and dog sat the on the"))
+    val d = (base ++ odd).toDF("doc_id", "text")
+    val got = CorpusStats.bigramLmScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(0L) > got(99L),
+      s"typical doc must outscore shuffled doc: ${got(0L)} vs ${got(99L)}")
+    // every common doc scores identically (same text)
+    assert((0 until 30).map(i => got(i.toLong)).distinct.size == 1)
+    // smoothing keeps scores finite even for unseen-heavy docs
+    assert(got.values.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
   test("plan shapes: topKNgrams is TakeOrderedAndProject, vocabStats partial-aggs") {
     val topPlan = CorpusStats.topKNgrams(docs, "text", 2, 5)
       .queryExecution.executedPlan.toString
