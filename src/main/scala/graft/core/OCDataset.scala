@@ -51,13 +51,16 @@ final case class OCDataset(
     copy(df = df.select(expanded.map(col): _*))
   }
 
-  /** Select + simultaneously-defined derived columns. */
+  /** Select + simultaneously-defined derived columns. Scalar
+    * reductions are gathered ACROSS all derived expressions and
+    * evaluated in one aggregation job (q94's four scalings share a
+    * single 8-reduction agg, not four table scans).
+    */
   def select(patterns: Seq[String], derived: (String, OCExpr)*): OCDataset = {
     val expanded = expand(patterns, columns)
-    val dcols = derived.map { case (n, e) =>
-      e.unitIn(unitEnv) // unit check at plan time
-      resolve(e).toColumn.as(n)
-    }
+    derived.foreach { case (_, e) => e.unitIn(unitEnv) } // plan-time unit check
+    val values = resolveAll(derived.map(_._2))
+    val dcols = derived.map { case (n, e) => e.substitute(values).toColumn.as(n) }
     copy(df = df.select(expanded.map(col) ++ dcols: _*))
   }
 
@@ -92,8 +95,9 @@ final case class OCDataset(
     require(allowOverwrite || clash.isEmpty,
       s"columns already exist: ${clash.mkString(",")} (pass allowOverwrite)")
     val newUnits = derived.map { case (n, e) => n -> e.unitIn(unitEnv).toString }
+    val values = resolveAll(derived.map(_._2))
     val out = derived.foldLeft(df) { case (d, (n, e)) =>
-      d.withColumn(n, resolve(e).toColumn)
+      d.withColumn(n, e.substitute(values).toColumn)
     }
     copy(df = out,
       header = header.copy(columnUnits = header.columnUnits ++ newUnits))
@@ -174,7 +178,9 @@ final case class OCDataset(
                      allowOverwrite: Boolean = false): OCDataset = {
     require(allowOverwrite || !columns.contains(name),
       s"column '$name' exists; pass allowOverwrite=true to replace")
-    val sdf = sorted(if (columns.contains(name)) df.drop(name) else df)
+    // sort BEFORE dropping a replaced column — it may be the lazy sort
+    // key, and the positional contract is over the sorted order
+    val sdf = sorted(df).drop(name)
     val n = sdf.count()
     require(n == values.length,
       s"positional column '$name': ${values.length} values for $n rows")
@@ -194,9 +200,11 @@ final case class OCDataset(
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bound(i.toInt))
     }
     val df2 = df.sparkSession.createDataFrame(rdd2, schema2)
-    val h2 = if (unit.nonEmpty)
-      header.copy(columnUnits = header.columnUnits + (name -> unit)) else header
-    copy(df = df2, header = h2, sortKey = None)
+    // a replaced column must not inherit the OLD unit — a stale
+    // km/s entry on new unitless data would silently mis-convert later
+    val units2 =
+      (header.columnUnits - name) ++ (if (unit.nonEmpty) Map(name -> unit) else Map.empty)
+    copy(df = df2, header = header.copy(columnUnits = units2), sortKey = None)
   }
 
   // ---- §2.11 units -------------------------------------------------
@@ -445,6 +453,12 @@ final case class OCDataset(
   private def resolve(e: OCExpr): OCExpr = {
     val rs = e.reductions.distinct
     if (rs.isEmpty) e else e.substitute(evalReductions(rs))
+  }
+
+  /** Reductions across MANY expressions in one aggregation job. */
+  private def resolveAll(es: Seq[OCExpr]): Map[Reduce, Double] = {
+    val rs = es.flatMap(_.reductions).distinct
+    if (rs.isEmpty) Map.empty else evalReductions(rs)
   }
 
   private def resolveMask(m: OCMask): OCMask = {

@@ -15,12 +15,17 @@ import org.apache.spark.sql.functions._
 object Clustering {
 
   /** Fitted model: k centroids, per-row (id, cluster, dist2), and the
-    * within-cluster sum of squares (the Lloyd objective).
+    * within-cluster sum of squares (the Lloyd objective). The
+    * assignments are backed by the persisted index frame — call
+    * [[KMeansModel.unpersist]] when done (a hyperparameter sweep that
+    * never releases pins one cached corpus copy per fit).
     */
   final case class KMeansModel(centroids: Array[Array[Double]],
                                assignments: DataFrame,
-                               wcss: Double) {
+                               wcss: Double,
+                               private val index: Similarity.IvfIndex) {
     def k: Int = centroids.length
+    def unpersist(): Unit = index.unpersist()
   }
 
   /** Fit k-means with `iters` Lloyd steps. Deterministic for a given
@@ -39,6 +44,6 @@ object Clustering {
       col("neighbor_id").as(idCol),
       col("cell").as("cluster"),
       round(col("__d2"), 6).as("dist2"))
-    KMeansModel(idx.centroids, assignments, wcss)
+    KMeansModel(idx.centroids, assignments, wcss, idx)
   }
 }

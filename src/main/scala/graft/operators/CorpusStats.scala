@@ -242,8 +242,14 @@ object CorpusStats {
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__w"))
+    // vocab-sized (small) and consumed twice — once for the vocab
+    // count, once as the probability join's build side; persisting it
+    // saves a full corpus re-tokenization per consumer. The bg frame
+    // is corpus-sized, so its two consumers (bgc, scored) deliberately
+    // RECOMPUTE the map-side tokenize lineage instead of caching
+    // token-scale data.
     val uni = toks.select(explode(col("__w")).as("__t"))
-      .groupBy(col("__t")).agg(count(lit(1)).as("__cu"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__cu")).persist()
     val vocab = uni.count().toDouble
     val bg = toks
       .select(col(idCol), posexplode(TextFunctions.ngrams(concat_ws(" ", col("__w")), 2)))

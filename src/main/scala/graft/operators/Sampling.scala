@@ -45,6 +45,28 @@ object Sampling {
       row => budgets(row.head.toString))
   }
 
+  /** Temperature-weighted mixture budgets (the multilingual-corpus
+    * balancing rule: budget_i ∝ tokens_i^α). α = 1 reproduces the
+    * natural distribution, α = 0 is uniform, the usual α ≈ 0.3–0.7
+    * up-weights small strata without letting them dominate. Driver
+    * work is one |strata|-row aggregate; feed the result to
+    * [[sampleToTokenBudgetBy]] for the actual one-shuffle sample.
+    */
+  def temperatureBudgets(df: DataFrame, stratumCol: String, tokenCol: String,
+                         totalBudget: Long, alpha: Double): Map[String, Long] = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    val totals = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol)).as("__t")).collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val weights = totals.map { case (k, t) => k -> math.pow(t.toDouble, alpha) }
+    val z = weights.values.sum
+    weights.map { case (k, w) =>
+      // never hand a stratum more budget than it has tokens — the
+      // surplus would silently under-fill the total
+      k -> math.min((totalBudget * w / z).toLong, totals(k))
+    }
+  }
+
   /** Shared two-phase prefix-sum sampler. `strata` columns partition
     * the budget space; `budgetOf` maps a stratum tuple to its budget.
     *
@@ -71,7 +93,7 @@ object Sampling {
     */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
                     maxLen: Long): DataFrame =
-    withCumsum(df, idCol, tokenCol, Nil)
+    withCumsum(df, idCol, tokenCol, Nil)._1
       .withColumn("bin",
         floor((col("__cum") - col(tokenCol)) / lit(maxLen.toDouble)).cast("long"))
       .drop("__key", "__bkt", "__off", "__cum")
@@ -100,35 +122,31 @@ object Sampling {
   private def prefixSample(df: DataFrame, idCol: String, tokenCol: String,
                            strata: Seq[String],
                            budgetOf: Seq[Any] => Long): DataFrame = {
-    val byStratum = cumGroups(df, idCol, tokenCol, strata)
+    // the stratum tuples fall out of the cumsum's own phase-1 totals —
+    // no separate distinct() scan of the input
+    val (withCum, groups) = withCumsum(df, idCol, tokenCol, strata)
     val budgetCol: Column =
       if (strata.isEmpty) lit(budgetOf(Nil))
       else {
         // budgets realized as a literal column over the stratum value
-        byStratum.foldLeft(lit(null).cast("long")) { (acc, sv) =>
+        groups.foldLeft(lit(null).cast("long")) { (acc, sv) =>
           when(strata.map(col).zip(sv).map { case (c, v) => c === lit(v) }
             .reduce(_ && _), lit(budgetOf(sv))).otherwise(acc)
         }
       }
-    withCumsum(df, idCol, tokenCol, strata)
+    withCum
       .filter(col("__cum") - col(tokenCol) < budgetCol)
       .drop("__key", "__bkt", "__off", "__cum")
   }
 
-  /** Distinct stratum tuples (driver-side; ≤ |strata value space|). */
-  private def cumGroups(df: DataFrame, idCol: String, tokenCol: String,
-                        strata: Seq[String]): Seq[Seq[Any]] =
-    if (strata.isEmpty) Seq(Nil)
-    else df.select(strata.map(col): _*).distinct().collect()
-      .map(r => (0 until strata.size).map(r.get): Seq[Any]).toSeq
-
   /** The shared two-phase distributed prefix sum: every row gains
     * `__cum`, its running `tokenCol` total in the global (per-stratum)
     * deterministic md5-of-id order. Helper columns `__key/__bkt/__off`
-    * remain for the caller to drop.
+    * remain for the caller to drop. Also returns the distinct stratum
+    * tuples observed in the phase-1 totals (free — no extra scan).
     */
   private def withCumsum(df: DataFrame, idCol: String, tokenCol: String,
-                         strata: Seq[String]): DataFrame = {
+                         strata: Seq[String]): (DataFrame, Seq[Seq[Any]]) = {
     val spark = df.sparkSession
     val stratCols = strata.map(col)
     val base = df
@@ -165,9 +183,13 @@ object Sampling {
     // hash exchange on (strata, bucket), fully parallel
     val w = Window.partitionBy(groupCols: _*)
       .orderBy(col("__key").asc, col(idCol).asc)
-    base
+    val withCum = base
       .join(broadcast(offsets), (strata :+ "__bkt").toSeq)
       .withColumn("__cum", sum(col(tokenCol)).over(w) + col("__off"))
+    val groups =
+      if (strata.isEmpty) Seq(Nil)
+      else byStratum.keys.map(_.toSeq: Seq[Any]).toSeq
+    (withCum, groups)
   }
 
   /** Train/eval decontamination (the n-gram-overlap check every
@@ -230,9 +252,23 @@ object Sampling {
       // standard bloom sizing: m = -n·ln(p)/ln(2)²
       val numBits = math.max(64L,
         math.ceil(-nGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+      // BloomFilterAggregate SILENTLY clamps its arguments to the
+      // runtime-filter conf ceilings (maxNumItems=4M, maxNumBits=64Mi
+      // by default) — at a few hundred million benchmark grams the
+      // clamp would push the false-positive rate toward 1 and the
+      // "prefilter" would pass the whole corpus through. Raise the
+      // ceilings to what the sizing needs before building.
+      val conf = train.sparkSession.conf
+      def raise(key: String, needed: Long): Unit =
+        if (conf.get(key, "0").toLong < needed) conf.set(key, needed)
+      raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", nGrams)
+      raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
       val sketch = benchGrams
         .agg(call_function("graft_bloom_agg", col("g"), lit(nGrams), lit(numBits)))
         .head().getAs[Array[Byte]](0)
+      require(sketch.length.toLong * 8 >= numBits / 2,
+        s"bloom sketch came back ${sketch.length} bytes for $numBits requested bits — " +
+          "conf clamp still active; raise spark.sql.optimizer.runtime.bloomFilter.*")
       val trainGrams = train.select(col(trainId), explode(grams(col(trainText))).as("g"))
       trainGrams
         .filter(call_function("graft_might_contain", lit(sketch), col("g")))

@@ -35,9 +35,13 @@ object Corpus {
         concat(lit(" from 10.0."), (id % 256).cast("string"), lit(".1")))
         .otherwise(lit("")))
 
-  /** Case/punctuation augmentation for the normalization query. */
+  /** Case/punctuation augmentation for the normalization query.
+    * The tail substring works on the PARAMETER (substr with Column
+    * args), not a hardcoded column name — a by-name expr("substring
+    * (text, 9)") would silently mix columns for any other caller.
+    */
   private def augCase(text: Column, id: Column): Column =
-    concat(upper(substring(text, 1, 8)), expr("substring(text, 9)"),
+    concat(upper(substring(text, 1, 8)), text.substr(lit(9), length(text)),
       lit(" -- End#"), id.cast("string"), lit("!"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -48,11 +48,19 @@ object StreamingPipelines {
       .filter(TextFunctions.passesQualityFilter(col("text")))
       .withColumn("fp", TextFunctions.fingerprint(col("text")))
     // the watermark-bounded dedup is streaming-only (Spark refuses it
-    // on batch frames); the bounded-data twin is a plain content dedup
+    // on batch frames). The bounded twin must keep the EARLIEST copy —
+    // streaming keeps the first to arrive, and plain dropDuplicates
+    // keeps an arbitrary one, which diverges when duplicates straddle
+    // a window boundary — so batch dedups via min-ts-per-fingerprint.
     val deduped =
       if (gated.isStreaming)
         gated.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("fp")
-      else gated.dropDuplicates("fp")
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col("ts").asc)
+        gated.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
     deduped
       .groupBy(window(col("ts"), windowSize))
       .agg(count(lit(1)).as("n_docs"),

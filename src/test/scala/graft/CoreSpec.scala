@@ -204,6 +204,43 @@ class CoreSpec extends SparkSpec {
     val over = d.withDataColumn("test_random", vals.map(_ + 1), allowOverwrite = true)
     assert(over.df.orderBy($"halo_tag").select($"test_random").first().getLong(0)
       == vals.head + 1)
+    // unit-less overwrite must CLEAR the old unit, not inherit km/s —
+    // a stale entry would mis-convert the new values at withUnits time
+    assert(over.unitOf("test_random").isDimensionless)
+    // overwriting the active lazy sort key binds positions to the
+    // pre-drop sorted order instead of throwing UNRESOLVED_COLUMN
+    val resorted = d.sortBy("test_random")
+      .withDataColumn("test_random", vals.map(_ * 10), allowOverwrite = true)
+    assert(resorted.count() == n)
+  }
+
+  test("select with many derived reductions resolves them in ONE aggregation job") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val m = ocCol("mass")
+      halos.select(Seq("halo_tag"),
+        "mm" -> ((m - m.min) / (m.max - m.min)),
+        "rb" -> ((m - m.median) / (m.quantile(0.75) - m.quantile(0.25))),
+        "sn" -> (m / m.sum),
+        "cs" -> (((m - m.mean) ** 2) / m.variance))
+      // scalar resolution is eager (inside select); job events are
+      // async — poll until they land
+      val deadline = System.nanoTime() + 5e9.toLong
+      while (counter.get() == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(300) // settle: catch any straggler job events
+      // head() may take up to 2 incremental-collect jobs for the ONE
+      // aggregation; the regression guarded against is one aggregation
+      // PER EXPRESSION (4 exprs → ≥4 jobs)
+      assert(counter.get() <= 2,
+        s"expected one shared aggregation (≤2 jobs) for 8 reductions across 4 exprs, saw ${counter.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("withUnits: scalefree -> comoving -> physical factors") {

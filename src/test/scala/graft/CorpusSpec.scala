@@ -146,6 +146,30 @@ class CorpusSpec extends SparkSpec {
     assert(ids.head == 0L && ids.last == ids.length - 1)
   }
 
+  test("temperatureBudgets: alpha interpolates natural -> uniform; composes with sampler") {
+    val d = (0 until 900).map { i =>
+      val lang = if (i < 600) "en" else if (i < 850) "de" else "fr"
+      (i.toLong, lang, 10L)
+    }.toDF("id", "lang", "n") // en:6000, de:2500, fr:500 tokens
+    val nat = Sampling.temperatureBudgets(d, "lang", "n", 3000L, alpha = 1.0)
+    assert(nat("en") == 2000L && nat("de") == 833L && nat("fr") == 166L)
+    val uni = Sampling.temperatureBudgets(d, "lang", "n", 900L, alpha = 0.0)
+    assert(uni.values.toSet == Set(300L))
+    val temp = Sampling.temperatureBudgets(d, "lang", "n", 3000L, alpha = 0.5)
+    // up-weights the small stratum relative to natural, stays below uniform share
+    assert(temp("fr") > nat("fr") && temp("fr") < temp("en"))
+    // a stratum never gets more budget than it has tokens
+    val capped = Sampling.temperatureBudgets(d, "lang", "n", 100000L, alpha = 0.0)
+    assert(capped("fr") == 500L)
+    // composes: the sampled mixture lands within one doc of each budget
+    val got = Sampling.sampleToTokenBudgetBy(d, "id", "n", "lang", temp)
+      .groupBy("lang").agg(sum("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    temp.foreach { case (k, b) =>
+      assert(got(k) >= math.min(b, 10L) && got(k) <= b + 10L, s"$k: ${got(k)} vs $b")
+    }
+  }
+
   test("writeShards: whole bins per shard, in-order, lossless") {
     val d = (0 until 300).map(i => (i.toLong, (i % 41) + 1L)).toDF("id", "n")
     val out = java.nio.file.Files.createTempDirectory("graft-shards-").toString
@@ -218,8 +242,9 @@ class CorpusSpec extends SparkSpec {
       "separated blobs must land in distinct single clusters")
     // determinism: identical rerun
     val again = Clustering.kmeans(pts, "id", "v", k = 2, iters = 5)
-      .assignments.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(again == asg)
+    val asg2 = again.assignments.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(asg2 == asg)
+    Seq(m1, m5, again).foreach(_.unpersist()) // release the cached index frames
   }
 
   test("invertedIndex: df counts and sorted postings, maxDf cap") {
