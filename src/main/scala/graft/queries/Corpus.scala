@@ -143,6 +143,22 @@ object Corpus {
         md5(concat_ws("|", TextFunctions.bpeTokens(aug))).as("tok_fp"))
     }),
 
+    // one-row corpus health report: the summary every pipeline run
+    // emits before/after each stage — one aggregation pass, all
+    // partial+final (exact counts; rate from exact integer sums).
+    "q98_corpus_report" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"),
+        countDistinct(TextFunctions.fingerprint(col("text"))).as("distinct_docs"),
+        round(avg(TextFunctions.passesQualityFilter(col("text"))
+          .cast("int")), 6).as("quality_pass_rate"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("en_docs"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("other_docs"),
+        countDistinct(col("source")).as("n_sources"))
+    }),
+
     // bigram-LM quality score (perplexity-filter shape, self-trained).
     "q97_bigram_lm" -> ((s, dir) => {
       CorpusStats.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
@@ -288,6 +304,28 @@ object Corpus {
            md5(array_to_string(regexp_extract_all(t2,
              '''(s|t|re|ve|m|ll|d)|[\p{L}]+|[0-9]+|[^\p{L}0-9\s'']+'), '|')) AS tok_fp
          FROM aug""",
+    "q98_corpus_report" ->
+      """SELECT count(*) AS n_docs,
+           sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+           CAST(count(DISTINCT md5(trim(lower(text)))) AS BIGINT) AS distinct_docs,
+           round(avg(CAST(
+             (len(string_split(text, ' ')) >= 8 AND len(string_split(text, ' ')) <= 100000
+              AND (CAST(length(text) AS DOUBLE)
+                   - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 2.0
+              AND (CAST(length(text) AS DOUBLE)
+                   - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 12.0
+              AND CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.01
+              AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.3) AS INT)), 6)
+             AS quality_pass_rate,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en_docs,
+           sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS other_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         FROM documents""",
     "q97_bigram_lm" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          uni AS (SELECT t, count(*) AS cu
@@ -300,7 +338,7 @@ object Corpus {
              ln((bgc.cb + 1.0) / (uni.cu + vocab.v)) AS logp
            FROM bg JOIN bgc USING (g) JOIN uni ON uni.t = bg.w1, vocab)
          SELECT doc_id, count(*) AS n_bigrams,
-           round(list_sum(list(logp ORDER BY pos)) / count(*), 6) AS avg_logp
+           round(sum(CAST(round(logp * 1e9) AS BIGINT)) / 1e9 / count(*), 6) AS avg_logp
          FROM scored GROUP BY doc_id""",
     "q95_corpus_pipeline" ->
       """WITH gated AS (
