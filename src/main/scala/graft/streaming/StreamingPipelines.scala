@@ -69,6 +69,26 @@ object StreamingPipelines {
         col("n_docs"), col("n_tokens"))
   }
 
+  /** Continuous corpus ingest from a parquet document directory into
+    * a parquet sink — the deployment shape of [[corpusIngest]]: each
+    * micro-batch picks up newly landed document files, quality-gates
+    * and content-dedups them within the watermark, and appends closed
+    * per-window stats exactly once (checkpoint + file-sink manifest).
+    */
+  def corpusIngestToParquet(spark: SparkSession, inDir: String, schema: StructType,
+                            outDir: String, checkpointDir: String,
+                            lateness: String = "30 minutes",
+                            window: String = "1 hour"): StreamingQuery = {
+    val in = spark.readStream.schema(schema).parquet(inDir)
+    corpusIngest(in, lateness, window)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+  }
+
   /** Continuous per-user sessionization into a parquet sink. */
   def sessionsToParquet(spark: SparkSession, inDir: String, schema: StructType,
                         outDir: String, checkpointDir: String,

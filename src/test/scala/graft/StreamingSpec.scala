@@ -214,6 +214,32 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(last2.getDouble(2) - 102.0) < 1e-9)
   }
 
+  test("file-source corpus ingest: landing docs -> gated/deduped window stats -> parquet") {
+    import graft.streaming.StreamingPipelines
+    import StreamingSpecFixtures.Doc
+    val base = java.nio.file.Files.createTempDirectory("graft_corpus_stream").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val good = "the quick brown fox jumps over the lazy dog again and again today"
+    val first = Seq(
+      Doc(1L, ts("2024-01-01 00:10:00"), good),
+      Doc(2L, ts("2024-01-01 00:20:00"), good), // re-crawl, dedups
+      Doc(3L, ts("2024-01-01 00:30:00"), good + " with more words to say")).toDF()
+    first.write.parquet(inDir)
+    val q = StreamingPipelines.corpusIngestToParquet(spark, inDir, first.schema,
+      outDir, ckpt)
+    try {
+      q.processAllAvailable()
+      // a later file lands; its event time closes hour 0
+      Seq(Doc(9L, ts("2024-01-01 03:00:00"), good + " much later")).toDF()
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir)
+    val h0 = out.filter(col("w_start") === ts("2024-01-01 00:00:00").getTime / 1000)
+    assert(h0.count() == 1)
+    assert(h0.first().getAs[Long]("n_docs") == 2L) // doc 2 deduped away
+  }
+
   test("file-source pipeline: readStream parquet -> tumbling agg -> parquet sink") {
     import graft.streaming.StreamingPipelines
     val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
