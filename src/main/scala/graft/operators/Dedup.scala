@@ -88,6 +88,22 @@ object Dedup {
     * (signature agreement fraction). Linear-scan friendly at scale:
     * no global pairwise comparison ever materializes.
     */
+  /** Per-document MinHash signatures: (doc, sig array<long>) — the
+    * map-side kernel stage shared by the self-join candidate pass and
+    * the incremental [[dropSeenBefore]] path. Written to parquet this
+    * IS the corpus dedup snapshot: tomorrow's batch dedups against it
+    * without touching yesterday's text.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, k: Int = 32): DataFrame = {
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    df.select(col(idCol).as("doc"),
+        call_function("graft_ngram_hashes",
+          transform(tokens(col(textCol)), t => xxhash64(t)), lit(shingleN)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc"), call_function("graft_minhash_sig", col("hs"), lit(k)).as("sig"))
+  }
+
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                         minEstimate: Double = 0.0): DataFrame = {
@@ -98,11 +114,7 @@ object Dedup {
     // codegen'd Catalyst expression, plans/TextKernels.scala) and
     // persist — the self-join would otherwise inline and recompute the
     // whole signature expression on both sides.
-    val sigs = df.select(col(idCol).as("doc"),
-        call_function("graft_ngram_hashes",
-          transform(tokens(col(textCol)), t => xxhash64(t)), lit(shingleN)).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc"), call_function("graft_minhash_sig", col("hs"), lit(k)).as("sig"))
+    val sigs = minhashSignatures(df, idCol, textCol, shingleN, k)
       .persist()
     // Candidate pairs carry ONLY ids through the bucket join + distinct;
     // signatures re-attach afterwards (two slim joins on doc id).
@@ -295,6 +307,40 @@ object Dedup {
     val doomed = comps.filter(col("node") =!= col("label"))
       .select(col("node").as(idCol))
     df.join(doomed, Seq(idCol), "left_anti")
+  }
+
+  /** Incremental dedup — the daily-delta pattern: drop new documents
+    * that near-duplicate the EXISTING corpus, represented only by its
+    * persisted signature snapshot ([[minhashSignatures]] written to
+    * parquet) — yesterday's 100 TB of text is never re-read, only its
+    * (doc, sig) table. Plan: new-side signatures map-side; both sides
+    * band; one band-keyed shuffle join (new side is the small delta);
+    * signature verify kills band-collision false positives; one
+    * anti-join back against the delta. Returns the new docs that are
+    * NOT already represented in the snapshot.
+    */
+  def dropSeenBefore(newDocs: DataFrame, idCol: String, textCol: String,
+                     snapshotSigs: DataFrame,
+                     shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                     minEstimate: Double = 0.7): DataFrame = {
+    val rowsPerBand = k / bands
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleN, k).persist()
+    def banded(s: DataFrame) = s.select(col("doc"), col("sig"),
+      posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
+    val candidates = banded(newSigs).as("n")
+      .join(banded(snapshotSigs).as("s"),
+        col("n.band") === col("s.band") && col("n.bucket") === col("s.bucket"))
+      .select(col("n.doc").as("new_doc"), col("n.sig").as("sig_n"),
+        col("s.sig").as("sig_s"))
+      .distinct()
+      .withColumn("est", aggregate(
+        zip_with(col("sig_n"), col("sig_s"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / lit(k.toDouble))
+      .filter(col("est") >= minEstimate)
+      .select(col("new_doc").as(idCol)).distinct()
+      .localCheckpoint(true) // small (flagged ids only); release newSigs below
+    newSigs.unpersist()
+    newDocs.join(candidates, Seq(idCol), "left_anti")
   }
 
   /** SimHash near-dup pairs: 64-bit signature map-side; candidates share

@@ -134,4 +134,25 @@ class DedupSpec extends SparkSpec {
     val recall = truth.count(found.contains).toDouble / truth.size
     assert(recall >= 0.8, s"simhash recall $recall (truth=${truth.size}, found=${found.size})")
   }
+
+  test("dropSeenBefore: delta dedups against the snapshot signature table only") {
+    def sentence(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      (0 until 30).map(_ => s"w${r.nextInt(400)}").mkString(" ")
+    }
+    val corpus = (0 until 20).map(i => (i.toLong, sentence(i))).toDF("doc_id", "text")
+    // the persisted artifact — all the snapshot the delta ever sees
+    val snapshot = Dedup.minhashSignatures(corpus, "doc_id", "text")
+    val exactCopies = (0 until 5).map(i => (100L + i, sentence(i)))
+    val nearCopies = (5 until 8).map { i =>
+      val toks = sentence(i).split(" "); toks(12) = "CHANGED"
+      (200L + i, toks.mkString(" "))
+    }
+    val fresh = (0 until 5).map(i => (300L + i, sentence(1000 + i)))
+    val delta = (exactCopies ++ nearCopies ++ fresh).toDF("doc_id", "text")
+    val kept = Dedup.dropSeenBefore(delta, "doc_id", "text", snapshot,
+      minEstimate = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == fresh.map(_._1).toSet,
+      s"expected only fresh docs to survive, got $kept")
+  }
 }
