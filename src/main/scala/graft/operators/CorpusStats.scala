@@ -246,40 +246,36 @@ object CorpusStats {
     val toks = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__w"))
     // vocab-sized (small) and consumed twice — once for the vocab
     // count, once as the probability join's build side; persisting it
-    // saves a full corpus re-tokenization per consumer. The bg frame
-    // is corpus-sized, so its two consumers (bgc, scored) deliberately
-    // RECOMPUTE the map-side tokenize lineage instead of caching
-    // token-scale data.
+    // saves a full corpus re-tokenization per consumer.
     val uni = toks.select(explode(col("__w")).as("__t"))
       .groupBy(col("__t")).agg(count(lit(1)).as("__cu")).persist()
     val vocab = uni.count().toDouble
-    val bg = toks
-      .select(col(idCol), posexplode(TextFunctions.ngrams(concat_ws(" ", col("__w")), 2)))
-      .withColumnRenamed("col", "__g").withColumnRenamed("pos", "__pos")
+    // Everything downstream works on per-(doc, gram) COUNTS, never on
+    // raw occurrences: the first hash agg (map-side partial combine)
+    // truncates the tokenize/explode lineage to one pass, and every
+    // later stage is a partial+final agg or an AQE-skew-splittable
+    // join — a hot Zipf gram ("of the" at billions of occurrences)
+    // arrives everywhere pre-combined, never funneled into a single
+    // task the way a window-over-gram formulation would buffer it.
+    val dgc = toks
+      .select(col(idCol), explode(TextFunctions.ngrams(concat_ws(" ", col("__w")), 2)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
+    val bgc = dgc.groupBy(col("__g")).agg(sum(col("__n")).as("__cb"))
+    val scored = dgc
+      .join(bgc, Seq("__g"))
       .withColumn("__w1", split(col("__g"), " ").getItem(0))
-    // the corpus-wide bigram count arrives via a WINDOW over the gram
-    // — the same single shuffle that routes the rows, replacing a
-    // separate count aggregation plus a self-join (which recomputed
-    // the whole tokenize/explode lineage a second time). The partition
-    // key leads with the gram's 64-bit hash: exactness comes from the
-    // full (hash, gram) key, while the window sort compares cheap
-    // longs and only falls back to the string on hash equality.
-    val wg = Window.partitionBy(xxhash64(col("__g")), col("__g"))
-    val scored = bg
-      .withColumn("__cb", count(lit(1)).over(wg))
       .join(broadcast(uni.withColumnRenamed("__t", "__w1")), Seq("__w1"))
       .withColumn("__logp",
         log((col("__cb") + lit(1.0)) / (col("__cu") + lit(vocab))))
     // Deterministic float aggregation WITHOUT per-document arrays:
-    // log-probs quantize to nano-fixed-point longs, whose sum is
-    // exact and order-independent — a plain hash agg replaces the
-    // collect_list + sort + fold (which materialized one array per
-    // document, bounded only by document length, and cost 4× the
-    // rest of the query). Quantization error ≤ 0.5e-9 per bigram,
-    // mirrored exactly by the oracle.
+    // per-gram log-probs quantize to nano-fixed-point longs (the
+    // oracle quantizes per occurrence — count × round(logp·1e9) is
+    // identical by distributivity), whose sums are exact and
+    // order-independent under any partitioning. Quantization error
+    // ≤ 0.5e-9 per bigram occurrence.
     scored.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(round(col("__logp") * lit(1e9)).cast("long")).as("__s9"))
+      .agg(sum(col("__n")).as("n_bigrams"),
+        sum(col("__n") * round(col("__logp") * lit(1e9)).cast("long")).as("__s9"))
       .select(col(idCol), col("n_bigrams"),
         round(col("__s9") / lit(1e9) / col("n_bigrams"), 6).as("avg_logp"))
   }

@@ -82,12 +82,6 @@ object Dedup {
     }
   }
 
-  /** MinHash+LSH candidate pairs: signature (k values) per doc map-side,
-    * explode into `bands` bucket keys, shuffle once on the bucket, emit
-    * distinct pairs sharing ≥1 bucket with their estimated Jaccard
-    * (signature agreement fraction). Linear-scan friendly at scale:
-    * no global pairwise comparison ever materializes.
-    */
   /** Per-document MinHash signatures: (doc, sig array<long>) — the
     * map-side kernel stage shared by the self-join candidate pass and
     * the incremental [[dropSeenBefore]] path. Written to parquet this
@@ -104,6 +98,12 @@ object Dedup {
       .select(col("doc"), call_function("graft_minhash_sig", col("hs"), lit(k)).as("sig"))
   }
 
+  /** MinHash+LSH candidate pairs: signature (k values) per doc map-side,
+    * explode into `bands` bucket keys, shuffle once on the bucket, emit
+    * distinct pairs sharing ≥1 bucket with their estimated Jaccard
+    * (signature agreement fraction). Linear-scan friendly at scale:
+    * no global pairwise comparison ever materializes.
+    */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                         minEstimate: Double = 0.0): DataFrame = {
@@ -324,7 +324,15 @@ object Dedup {
                      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                      minEstimate: Double = 0.7): DataFrame = {
     val rowsPerBand = k / bands
-    val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleN, k).persist()
+    // a snapshot written at a different k would zip against nulls and
+    // silently score every candidate 0 — dedup quietly OFF. Refuse.
+    snapshotSigs.select(size(col("sig"))).head(1).foreach { r =>
+      require(r.getInt(0) == k,
+        s"snapshot signatures have k=${r.getInt(0)} but dropSeenBefore was " +
+          s"called with k=$k — rebuild the snapshot or pass matching k")
+    }
+    // no persist: the delta signatures are consumed exactly once
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleN, k)
     def banded(s: DataFrame) = s.select(col("doc"), col("sig"),
       posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
     val candidates = banded(newSigs).as("n")
@@ -338,8 +346,6 @@ object Dedup {
         lit(0), (acc, v) => acc + v).cast("double") / lit(k.toDouble))
       .filter(col("est") >= minEstimate)
       .select(col("new_doc").as(idCol)).distinct()
-      .localCheckpoint(true) // small (flagged ids only); release newSigs below
-    newSigs.unpersist()
     newDocs.join(candidates, Seq(idCol), "left_anti")
   }
 
