@@ -192,6 +192,30 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** Overlapping token-window chunking — the retrieval/RAG document
+    * splitter: windows of `width` tokens at stride `width − overlap`,
+    * each carrying its ordinal and token count. Pure map-side column
+    * fan-out (one generator per document, no shuffle); the window
+    * count is the minimum covering every token at least once (the
+    * final window may be short or overlap more than `overlap`).
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     width: Int, overlap: Int = 0): DataFrame = {
+    require(overlap >= 0 && overlap < width, s"need 0 <= overlap < width")
+    val stride = width - overlap
+    val toks = TextFunctions.tokens(col(textCol))
+    val n = size(toks)
+    // number of windows covering n tokens at this stride
+    val nChunks = when(n <= width, lit(1))
+      .otherwise(ceil((n - lit(width)).cast("double") / stride).cast("int") + 1)
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(toks, i * stride + 1, lit(width))))))
+      .withColumnRenamed("pos", "chunk_id")
+      .withColumnRenamed("col", "chunk_text")
+      .withColumn("n_tokens", size(split(col("chunk_text"), " ")).cast("long"))
+  }
+
   /** Inverted index over whitespace tokens: per term, its document
     * frequency and the sorted posting list — the retrieval artifact
     * BM25-style scoring consumes. One explode (distinct per doc,

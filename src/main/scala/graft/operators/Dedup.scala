@@ -309,6 +309,39 @@ object Dedup {
     df.join(doomed, Seq(idCol), "left_anti")
   }
 
+  /** Shingle-containment pairs — the asymmetric complement of
+    * [[jaccardPairs]]: containment = |A∩B| / min(|A|,|B|), the
+    * fraction of the SMALLER document's shingles found in the other.
+    * Catches the quote/embedding case symmetric Jaccard structurally
+    * misses — a 50-token doc fully contained in a 5000-token doc has
+    * J ≈ 0.01 but containment 1.0. Identical plan to jaccardPairs
+    * (one posting-list shuffle, hashes not strings); only the
+    * denominator differs.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double): DataFrame = {
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    val sh = df.select(col(idCol).as("doc"),
+      explode(call_function("graft_ngram_hashes",
+        transform(tokens(col(textCol)), t => xxhash64(t)), lit(n))).as("s"))
+    val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.groupBy(col("s"))
+      .agg(array_sort(collect_list(col("doc"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(posexplode(col("docs")).as(Seq("i", "doc_a")), col("docs"))
+      .select(col("doc_a"), explode(slice(col("docs"), col("i") + 2,
+        size(col("docs")))).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("containment", round(
+        col("n_inter").cast("double") / least(col("n_a"), col("n_b")).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** Incremental dedup — the daily-delta pattern: drop new documents
     * that near-duplicate the EXISTING corpus, represented only by its
     * persisted signature snapshot ([[minhashSignatures]] written to

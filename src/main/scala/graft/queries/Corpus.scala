@@ -143,6 +143,21 @@ object Corpus {
         md5(concat_ws("|", TextFunctions.bpeTokens(aug))).as("tok_fp"))
     }),
 
+    // shingle-containment near-dup pairs (catches short-doc-inside-
+    // long-doc embedding that symmetric Jaccard misses).
+    "q99_containment" -> ((s, dir) => {
+      graft.operators.Dedup.containmentPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.9)
+    }),
+
+    // RAG-style overlapping token-window chunking (width 32, overlap 8).
+    "q100_rag_chunks" -> ((s, dir) => {
+      CorpusStats.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        width = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_id"),
+          md5(col("chunk_text")).as("chunk_fp"), col("n_tokens"))
+    }),
+
     // one-row corpus health report: the summary every pipeline run
     // emits before/after each stage — one aggregation pass, all
     // partial+final (exact counts; rate from exact integer sums).
@@ -304,6 +319,30 @@ object Corpus {
            md5(array_to_string(regexp_extract_all(t2,
              '''(s|t|re|ve|m|ll|d)|[\p{L}]+|[0-9]+|[^\p{L}0-9\s'']+'), '|')) AS tok_fp
          FROM aug""",
+    "q99_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           round(ni * 1.0 / least(ca.n, cb.n), 6) AS containment
+         FROM inter
+         JOIN cnt ca ON ca.doc_id = doc_a
+         JOIN cnt cb ON cb.doc_id = doc_b
+         WHERE ni * 1.0 / least(ca.n, cb.n) >= 0.9""",
+    "q100_rag_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         nc AS (SELECT doc_id, w,
+             CASE WHEN len(w) <= 32 THEN 1
+                  ELSE CAST(ceil((len(w) - 32) / 24.0) AS INT) + 1 END AS k
+           FROM toks)
+         SELECT doc_id, i AS chunk_id,
+           md5(array_to_string(w[(i*24+1):(i*24+32)], ' ')) AS chunk_fp,
+           CAST(len(w[(i*24+1):(i*24+32)]) AS BIGINT) AS n_tokens
+         FROM nc, UNNEST(generate_series(0, k-1)) AS t(i)""",
     "q98_corpus_report" ->
       """SELECT count(*) AS n_docs,
            sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,

@@ -369,6 +369,52 @@ class CorpusSpec extends SparkSpec {
     assert(got.values.forall(v => !v.isNaN && !v.isInfinite))
   }
 
+  test("containmentPairs flags the embedded short doc that Jaccard misses") {
+    import graft.operators.Dedup
+    val long = (0 until 60).map(i => s"w$i").mkString(" ")
+    val short = (10 until 22).map(i => s"w$i").mkString(" ") // 12 tokens inside long
+    val d = Seq((1L, long), (2L, short),
+      (3L, (100 until 140).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(d, "doc_id", "text", 3, 0.9).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(cont.head.getDouble(2) == 1.0) // every short-doc shingle is in long
+    // the symmetric measure stays far below any dedup threshold here
+    val jac = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.5)
+    assert(jac.count() == 0)
+  }
+
+  test("chunkDocuments: stride/overlap coverage, map-side only") {
+    val d = Seq((1L, (0 until 50).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = CorpusStats.chunkDocuments(d, "doc_id", "text", width = 20, overlap = 5)
+      .orderBy("chunk_id").collect()
+    // 50 tokens, stride 15: windows at 0,15,30 → ceil(30/15)+1 = 3
+    assert(chunks.length == 3)
+    val texts = chunks.map(_.getString(2))
+    assert(texts(0).startsWith("t0 ") && texts(1).startsWith("t15 ")
+      && texts(2).startsWith("t30 "))
+    // consecutive windows overlap by exactly `overlap` tokens mid-doc
+    assert(texts(0).split(" ").takeRight(5).toSeq == texts(1).split(" ").take(5).toSeq)
+    // every token covered
+    assert(chunks.flatMap(_.getString(2).split(" ")).toSet.size == 50)
+    // no shuffle in the plan
+    val p = CorpusStats.chunkDocuments(d, "doc_id", "text", 20, 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking must stay map-side:\n$p")
+  }
+
+  test("deterministic under repartitioning: packing and LM scores match at 3 vs 17 partitions") {
+    val d = Tables(spark, sf001, "documents")
+    def packed(parts: Int) = Sampling.packSequences(
+      d.repartition(parts).select($"doc_id",
+        TextFunctions.tokenCount($"text").as("n")), "doc_id", "n", 512L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(packed(3) == packed(17))
+    def lm(parts: Int) = CorpusStats.bigramLmScore(d.repartition(parts), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val (a, b) = (lm(3), lm(17))
+    assert(a == b, "fixed-point LM scores must be bit-identical under any partitioning")
+  }
+
   test("plan shapes: topKNgrams is TakeOrderedAndProject, vocabStats partial-aggs") {
     val topPlan = CorpusStats.topKNgrams(docs, "text", 2, 5)
       .queryExecution.executedPlan.toString
