@@ -208,12 +208,18 @@ object CorpusStats {
     // number of windows covering n tokens at this stride
     val nChunks = when(n <= width, lit(1))
       .otherwise(ceil((n - lit(width)).cast("double") / stride).cast("int") + 1)
-    df.select(col(idCol),
+    // null text yields no chunks (size(null) = -1 would otherwise
+    // satisfy n <= width and fabricate one empty phantom chunk)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), n.as("__n"),
         posexplode(transform(sequence(lit(0), nChunks - 1),
           i => concat_ws(" ", slice(toks, i * stride + 1, lit(width))))))
       .withColumnRenamed("pos", "chunk_id")
       .withColumnRenamed("col", "chunk_text")
-      .withColumn("n_tokens", size(split(col("chunk_text"), " ")).cast("long"))
+      // arithmetic, not a re-split of the string we just built
+      .withColumn("n_tokens",
+        least(lit(width), col("__n") - col("chunk_id") * stride).cast("long"))
+      .drop("__n")
   }
 
   /** Inverted index over whitespace tokens: per term, its document

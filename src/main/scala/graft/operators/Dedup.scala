@@ -34,38 +34,12 @@ object Dedup {
     * `minhashCandidates` first and feed only candidates here.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double): DataFrame = {
-    // 64-bit shingle hashes, not strings: ~4x smaller shuffles, and
-    // the one-pass ngram kernel (chained token-hash mix, already
-    // distinct) never materializes an n-gram string at all. Collisions
-    // (~2^-64 per pair) are statistically invisible at any realistic
-    // corpus size.
-    graft.plans.GraftExtensions.registerAll(df.sparkSession)
-    val sh = df.select(col(idCol).as("doc"),
-      explode(call_function("graft_ngram_hashes",
-        transform(tokens(col(textCol)), t => xxhash64(t)), lit(n))).as("s"))
-    val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
-    // posting-list expansion instead of a self-join: ONE shuffle of the
-    // (doc, shingle) pairs builds per-shingle doc lists; pair fan-out
-    // is then map-side generators. (A self-join shuffles the same data
-    // twice and sorts both sides.) Bucket-size skew = hot shingles —
-    // the sorted doc list keeps expansion deterministic.
-    val inter = sh.groupBy(col("s"))
-      .agg(array_sort(collect_list(col("doc"))).as("docs"))
-      .filter(size(col("docs")) > 1)
-      .select(posexplode(col("docs")).as(Seq("i", "doc_a")), col("docs"))
-      .select(col("doc_a"), explode(slice(col("docs"), col("i") + 2,
-        size(col("docs")))).as("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(counts.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(counts.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+                   n: Int, threshold: Double): DataFrame =
+    shingleIntersections(df, idCol, textCol, n)
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
 
   /** Band/row split of a k-value signature whose LSH S-curve midpoint
     * sits nearest a target Jaccard threshold: candidate probability is
@@ -309,17 +283,21 @@ object Dedup {
     df.join(doomed, Seq(idCol), "left_anti")
   }
 
-  /** Shingle-containment pairs — the asymmetric complement of
-    * [[jaccardPairs]]: containment = |A∩B| / min(|A|,|B|), the
-    * fraction of the SMALLER document's shingles found in the other.
-    * Catches the quote/embedding case symmetric Jaccard structurally
-    * misses — a 50-token doc fully contained in a 5000-token doc has
-    * J ≈ 0.01 but containment 1.0. Identical plan to jaccardPairs
-    * (one posting-list shuffle, hashes not strings); only the
-    * denominator differs.
+  /** Shared posting-list intersection: per candidate pair, the
+    * distinct-shingle intersection size plus both documents' shingle
+    * counts — the one-shuffle expansion behind [[jaccardPairs]] and
+    * [[containmentPairs]] (fix the expansion here, both operators
+    * follow). 64-bit shingle hashes, not strings: ~4× smaller
+    * shuffles, and the one-pass ngram kernel (chained token-hash mix,
+    * already distinct) never materializes an n-gram string; collisions
+    * (~2⁻⁶⁴ per pair) are statistically invisible. Posting-list
+    * expansion instead of a self-join: ONE shuffle of (doc, shingle)
+    * builds per-shingle doc lists, pair fan-out is then map-side
+    * generators; the sorted list keeps expansion deterministic.
+    * Columns: doc_a, doc_b, n_inter, n_a, n_b.
     */
-  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-                       n: Int, threshold: Double): DataFrame = {
+  private def shingleIntersections(df: DataFrame, idCol: String,
+                                   textCol: String, n: Int): DataFrame = {
     graft.plans.GraftExtensions.registerAll(df.sparkSession)
     val sh = df.select(col(idCol).as("doc"),
       explode(call_function("graft_ngram_hashes",
@@ -336,11 +314,23 @@ object Dedup {
     inter
       .join(counts.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(counts.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .withColumn("containment", round(
-        col("n_inter").cast("double") / least(col("n_a"), col("n_b")).cast("double"), 6))
-      .filter(col("containment") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("containment"))
   }
+
+  /** Shingle-containment pairs — the asymmetric complement of
+    * [[jaccardPairs]]: containment = |A∩B| / min(|A|,|B|), the
+    * fraction of the SMALLER document's shingles found in the other.
+    * Catches the quote/embedding case symmetric Jaccard structurally
+    * misses — a 50-token doc fully contained in a 5000-token doc has
+    * J ≈ 0.01 but containment 1.0. Threshold applies to the UNROUNDED
+    * value (the jaccardPairs/oracle convention); the output rounds.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double): DataFrame =
+    shingleIntersections(df, idCol, textCol, n)
+      .withColumn("__c",
+        col("n_inter").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("__c") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("__c"), 6).as("containment"))
 
   /** Incremental dedup — the daily-delta pattern: drop new documents
     * that near-duplicate the EXISTING corpus, represented only by its

@@ -400,6 +400,14 @@ class CorpusSpec extends SparkSpec {
     val p = CorpusStats.chunkDocuments(d, "doc_id", "text", 20, 5)
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"chunking must stay map-side:\n$p")
+    // chunk token counts are arithmetic: 20, 20, 50 - 2*15 = 20 here
+    assert(chunks.map(_.getLong(3)).toSeq == Seq(20L, 20L, 20L))
+    // null text yields NO chunks, not a phantom empty one
+    val withNull = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.chunkDocuments(withNull, "doc_id", "text", 2, 0)
+    assert(got.filter($"doc_id" === 2L).count() == 0)
+    assert(got.filter($"doc_id" === 1L).count() == 2)
   }
 
   test("deterministic under repartitioning: packing and LM scores match at 3 vs 17 partitions") {
