@@ -383,6 +383,36 @@ class CorpusSpec extends SparkSpec {
     assert(jac.count() == 0)
   }
 
+  test("randomized: containment/jaccard pairs agree with brute-force set models") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(29)
+    // small vocab → dense overlaps
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 8 + rnd.nextInt(20)).map(_ => s"v${rnd.nextInt(12)}").mkString(" "))
+    }
+    val d = docs.toDF("doc_id", "text")
+    def shingleSet(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val wantCont = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      inter = (sets(a) intersect sets(b)).size
+      denom = math.min(sets(a).size, sets(b).size)
+      if denom > 0 && inter.toDouble / denom >= 0.6
+    } yield (a, b)).toSet
+    val gotCont = Dedup.containmentPairs(d, "doc_id", "text", 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotCont == wantCont)
+    val wantJac = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      inter = (sets(a) intersect sets(b)).size
+      union = (sets(a) union sets(b)).size
+      if union > 0 && inter.toDouble / union >= 0.4
+    } yield (a, b)).toSet
+    val gotJac = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotJac == wantJac)
+  }
+
   test("chunkDocuments: stride/overlap coverage, map-side only") {
     val d = Seq((1L, (0 until 50).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
     val chunks = CorpusStats.chunkDocuments(d, "doc_id", "text", width = 20, overlap = 5)
