@@ -39,6 +39,22 @@ class PlanShapeSpec extends SparkSpec {
       s"queries not broadcast:\n$p")
   }
 
+  test("corpus assembly pipeline never funnels through a single partition") {
+    val p = plan("q95_corpus_pipeline")
+    assert(p.contains("Window"), s"expected bucketed cumsum windows:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"assembly pipeline collapsed to one task:\n$p")
+  }
+
+  test("bigram LM pre-combines counts map-side; no window over the gram") {
+    val p = plan("q97_bigram_lm")
+    // the skew-safe formulation: partial aggregation everywhere, and
+    // NO WindowExec keyed on the gram (which would buffer a hot Zipf
+    // gram's entire group in one task)
+    assert(p.contains("partial"), s"expected partial aggregation:\n$p")
+    assert(!p.contains("Window"), s"gram window reintroduced — Zipf-hostile:\n$p")
+  }
+
   test("bm25 broadcasts document frequencies and top-ks without a global sort") {
     val p = plan("q87_bm25")
     assert(p.contains("BroadcastHashJoin"),
