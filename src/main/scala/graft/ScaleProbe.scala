@@ -64,6 +64,40 @@ object ScaleProbe {
       "doc_id", "n", 512L).count())
     time("minhash_dedup", d => Dedup.dropNearDuplicates(d, "doc_id", "text",
       minEstimate = 0.5).count())
+
+    // vector side: the documented contrast — exact cosine near-dup is
+    // the O(n²) oracle baseline, the LSH path is the scale path. The
+    // N× corpus element-rotates each vector per copy (keeps norm/
+    // distribution, moves it in space so buckets stay realistic).
+    val ebase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val ebig = (0 until factor).map { c =>
+      ebase.select(
+        (col("vec_id") + lit(c.toLong * 1000000L)).as("vec_id"),
+        (if (c == 0) col("embedding") else
+          concat(slice(col("embedding"), c + 1, 100000),
+            slice(col("embedding"), 1, c)).cast("array<float>")).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+    ebig.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    val escaled = spark.read.parquet(s"$outDir/embeddings.parquet")
+    println(s"embeddings: ${ebase.count()} -> ${escaled.count()} vectors")
+    import graft.operators.Similarity
+    def timeVec(name: String, f: DataFrame => Long): Unit = {
+      def once(d: DataFrame): Double = {
+        val t0 = System.nanoTime(); val rows = f(d)
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        System.err.println(s"  [$name] rows=$rows ${"%.2f".format(dt)}s"); dt
+      }
+      once(ebase); val t1 = once(ebase)
+      once(escaled); val tN = once(escaled)
+      val exponent = math.log(tN / t1) / math.log(factor.toDouble)
+      println(f"$name%-22s 1x=${t1}%.2fs ${factor}x=${tN}%.2fs scaling-exponent=${exponent}%.2f")
+    }
+    timeVec("cosine_neardup_lsh", d =>
+      Similarity.cosineNearDupPairs(d, "vec_id", "embedding", threshold = 0.3).count())
+    timeVec("cosine_neardup_exact", d =>
+      Similarity.cosineNearDupPairsExact(d, "vec_id", "embedding", threshold = 0.4).count())
     spark.stop()
   }
 }
