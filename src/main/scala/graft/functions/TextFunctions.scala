@@ -202,6 +202,14 @@ object TextFunctions {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** One-pass native form of [[normalizeText]] (codegen'd byte loop —
+    * one scan and one buffer instead of three regex passes and two
+    * intermediates; CorpusSpec asserts byte equality on random input).
+    * Requires `GraftExtensions.registerAll` on the session first.
+    */
+  def normalizeTextNative(text: Column): Column =
+    call_function("graft_normalize", text)
+
   /** PII patterns (shared RE2/Java-regex subset — no lookaround, no
     * backrefs — so Spark and the DuckDB oracle match identically).
     * Order of redaction matters: URLs first (emails never contain

@@ -44,6 +44,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2NormExpr].getName, "graft_l2norm"),
       (children: Seq[Expression]) => L2NormExpr(children): Expression),
+    (FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[NormalizeExpr].getName, "graft_normalize"),
+      (children: Seq[Expression]) => NormalizeExpr(children): Expression),
     // Spark's own bloom-filter pair (the machinery behind runtime
     // join filters), surfaced as callable functions for the
     // bloom-prefiltered decontamination path: the aggregate builds a

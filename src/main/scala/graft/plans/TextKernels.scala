@@ -76,6 +76,38 @@ object TextKernels {
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 
+  /** One-pass normalizer over raw UTF-8 bytes (see [[NormalizeExpr]]):
+    * A–Z → a–z; a–z and 0–9 kept; every other byte — punctuation,
+    * whitespace, and every byte of any non-ASCII sequence — collapses
+    * into at most one separating space; output is trimmed. Multi-byte
+    * UTF-8 sequences need no decoding: all their bytes are ≥ 0x80,
+    * none match [a-z0-9], so the whole sequence folds into the same
+    * single space the regex composition produces.
+    */
+  def normalize(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val in = s.getBytes
+    val out = new Array[Byte](in.length)
+    var m = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < in.length) {
+      val b = in(i)
+      val c: Byte =
+        if (b >= 'A' && b <= 'Z') (b + 32).toByte
+        else if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) b
+        else 0
+      if (c != 0) {
+        if (pendingSpace && m > 0) { out(m) = ' '; m += 1 }
+        pendingSpace = false
+        out(m) = c; m += 1
+      } else pendingSpace = true
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(
+      java.util.Arrays.copyOf(out, m))
+  }
+
   /** k-permutation MinHash signature over pre-hashed shingles: one
     * pass over the hashes, k mins tracked simultaneously. Permutation
     * i re-mixes with splitmix64(h ^ mix(i)).
@@ -186,6 +218,45 @@ final case class MinHashSigExpr(children: Seq[Expression]) extends Expression {
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
         if (!${ev.isNull}) {
           ${ev.value} = graft.plans.TextKernels.minhashSig(${cg.value}, $k);
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
+}
+
+/** graft_normalize(string) → string: one-pass canonical text
+  * normalization — ASCII letters lowered, digits kept, EVERY other
+  * byte (punctuation, whitespace, any non-ASCII sequence) becomes a
+  * single collapsed space, leading/trailing spaces trimmed. Exactly
+  * the semantics of the three-regex composition in
+  * `TextFunctions.normalizeText` (lower → [^a-z0-9 ]→' ' → ' +'→' '
+  * → trim), which scans the string three times and allocates two
+  * intermediates; this is one scan, one output buffer.
+  */
+final case class NormalizeExpr(children: Seq[Expression]) extends Expression {
+  require(children.length == 1, "graft_normalize(text)")
+  private def child = children.head
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val s = child.eval(input)
+    if (s == null) null
+    else TextKernels.normalize(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cg = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${cg.code}
+        boolean ${ev.isNull} = ${cg.isNull};
+        org.apache.spark.unsafe.types.UTF8String ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.plans.TextKernels.normalize(${cg.value});
         }
       """)
   }

@@ -76,10 +76,14 @@ object Corpus {
       CorpusStats.chunkDedup(t(s, dir, "documents"), "doc_id", "text", 10)
     }),
 
-    // canonical normalization over case/punctuation-augmented text.
+    // canonical normalization over case/punctuation-augmented text —
+    // the NATIVE one-pass kernel (byte-identical to the regex
+    // composition; spec-asserted), so the oracle regex replay also
+    // gates the custom expression.
     "q86_normalize" -> ((s, dir) => {
+      graft.plans.GraftExtensions.registerAll(s)
       val d = t(s, dir, "documents")
-      val norm = TextFunctions.normalizeText(augCase(col("text"), col("doc_id")))
+      val norm = TextFunctions.normalizeTextNative(augCase(col("text"), col("doc_id")))
       d.select(col("doc_id"), md5(norm).as("norm_fp"),
         length(norm).cast("long").as("n_chars_norm"))
     }),

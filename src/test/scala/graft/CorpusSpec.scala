@@ -284,12 +284,14 @@ class CorpusSpec extends SparkSpec {
     }
     val df = texts.toDF("id", "raw", "salted")
     val n = 3; val w = 4
+    graft.plans.GraftExtensions.registerAll(spark)
     val got = df.select($"id",
       TextFunctions.ngrams($"raw", n).as("g"),
       TextFunctions.tokenChunks($"raw", w).as("c"),
-      TextFunctions.normalizeText($"salted").as("nm"))
+      TextFunctions.normalizeText($"salted").as("nm"),
+      TextFunctions.normalizeTextNative($"salted").as("nmNative"))
       .collect().map(r => r.getLong(0) ->
-        (r.getSeq[String](1), r.getSeq[String](2), r.getString(3))).toMap
+        (r.getSeq[String](1), r.getSeq[String](2), r.getString(3), r.getString(4))).toMap
     texts.foreach { case (id, raw, salted) =>
       val toks = raw.split(" ").toSeq
       // model 1: sliding-window n-grams keep multiplicity and order
@@ -306,6 +308,8 @@ class CorpusSpec extends SparkSpec {
         else if (sb.nonEmpty && sb.last != ' ') sb.append(' ')
       }
       assert(got(id)._3 == sb.result().stripSuffix(" "), s"normalize diverged for '$salted'")
+      // the native one-pass kernel is byte-identical to the regex form
+      assert(got(id)._4 == got(id)._3, s"native normalizer diverged for '$salted'")
     }
   }
 
