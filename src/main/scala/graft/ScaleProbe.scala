@@ -94,8 +94,15 @@ object ScaleProbe {
       val exponent = math.log(tN / t1) / math.log(factor.toDouble)
       println(f"$name%-22s 1x=${t1}%.2fs ${factor}x=${tN}%.2fs scaling-exponent=${exponent}%.2f")
     }
-    timeVec("cosine_neardup_lsh", d =>
-      Similarity.cosineNearDupPairs(d, "vec_id", "embedding", threshold = 0.3).count())
+    // the LSH tuning contract at scale: bucket count must grow with
+    // the corpus (nPlanes ~ +log2(factor)) to hold bucket occupancy —
+    // and so bucket-local pair expansion — constant per vector
+    val extraPlanes = math.ceil(math.log(factor.toDouble) / math.log(2.0)).toInt
+    timeVec("cosine_neardup_lsh", d => {
+      val planes = if (d eq ebase) 8 else 8 + extraPlanes
+      Similarity.cosineNearDupPairs(d, "vec_id", "embedding",
+        threshold = 0.3, nPlanes = planes).count()
+    })
     timeVec("cosine_neardup_exact", d =>
       Similarity.cosineNearDupPairsExact(d, "vec_id", "embedding", threshold = 0.4).count())
     spark.stop()
