@@ -76,23 +76,30 @@ object TextKernels {
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 
-  /** One-pass normalizer over raw UTF-8 bytes (see [[NormalizeExpr]]):
-    * A–Z → a–z; a–z and 0–9 kept; every other byte — punctuation,
-    * whitespace, and every byte of any non-ASCII sequence — collapses
-    * into at most one separating space; output is trimmed. Multi-byte
-    * UTF-8 sequences need no decoding: all their bytes are ≥ 0x80,
-    * none match [a-z0-9], so the whole sequence folds into the same
-    * single space the regex composition produces.
+  /** One-pass normalizer (see [[NormalizeExpr]]), byte-identical to
+    * the lower → [^a-z0-9 ]→' ' → collapse → trim regex composition.
+    * ASCII input takes the single byte-loop pass (the hot path). A
+    * non-ASCII byte anywhere falls back to a slow path that first
+    * lowercases exactly the way Spark's `lower()` does for non-ASCII
+    * strings (JDK toLowerCase, default locale) — necessary because a
+    * few Unicode characters LOWERCASE INTO ASCII (U+212A KELVIN → k,
+    * U+0130 → i+combining dot) and the regex path keeps those letters;
+    * a bytes-only loop would wrongly collapse them to a space.
     */
   def normalize(s: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.unsafe.types.UTF8String = {
     val in = s.getBytes
-    val out = new Array[Byte](in.length)
+    var ascii = true
+    var j = 0
+    while (ascii && j < in.length) { if (in(j) < 0) ascii = false; j += 1 }
+    val bytes = if (ascii) in
+      else s.toString.toLowerCase.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[Byte](bytes.length)
     var m = 0
     var pendingSpace = false
     var i = 0
-    while (i < in.length) {
-      val b = in(i)
+    while (i < bytes.length) {
+      val b = bytes(i)
       val c: Byte =
         if (b >= 'A' && b <= 'Z') (b + 32).toByte
         else if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) b

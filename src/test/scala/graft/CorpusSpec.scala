@@ -99,6 +99,17 @@ class CorpusSpec extends SparkSpec {
     val again = Seq((got, 0)).toDF("t", "i")
       .select(TextFunctions.normalizeText($"t")).head().getString(0)
     assert(again == got)
+    // Unicode edge: characters whose LOWERCASE maps into ASCII
+    // (U+212A KELVIN → k) must survive in BOTH forms; ordinary
+    // non-ASCII (é, 汉) collapses to a space in both
+    graft.plans.GraftExtensions.registerAll(spark)
+    val uni = Seq(("mix K naïve 汉字 Ab1", 0)).toDF("t", "i")
+      .select(TextFunctions.normalizeText($"t").as("re"),
+        TextFunctions.normalizeTextNative($"t").as("nat"))
+      .head()
+    assert(uni.getString(0) == uni.getString(1),
+      s"regex='${uni.getString(0)}' native='${uni.getString(1)}'")
+    assert(uni.getString(1).startsWith("mix k na"))
   }
 
   test("PII counting and redaction") {
