@@ -224,21 +224,33 @@ object CorpusStats {
 
   /** Inverted index over whitespace tokens: per term, its document
     * frequency and the sorted posting list — the retrieval artifact
-    * BM25-style scoring consumes. One explode (distinct per doc,
-    * map-side) + one hash agg keyed on the term; posting lists are
-    * bounded by document frequency (a stop-word's list is long — cap
-    * with `maxDf` when the index feeds retrieval, where ubiquitous
-    * terms carry no signal anyway).
+    * BM25-style scoring consumes.
+    *
+    * Scale contract: the posting list is the ONLY per-term state that
+    * grows with corpus size, so document frequency is counted FIRST
+    * (plain hash agg, constant per-term state) and terms outside
+    * `[minDf, maxDf]` are dropped by a join BEFORE any `collect_list`
+    * runs — a stop-word's billions of doc ids never enter an
+    * aggregation buffer. The df-gate join and the posting-list agg
+    * share the term hash partitioning, so the gate costs one extra
+    * corpus-sized shuffle of (id, term) pairs and no more. `maxDf`
+    * defaults finite: in retrieval, ubiquitous terms carry no signal,
+    * and an unbounded default is an executor-OOM footgun at 100 TB.
     */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
                     minDf: Long = 1L,
-                    maxDf: Long = Long.MaxValue): DataFrame =
-    df.select(col(idCol),
-        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"),
-        sort_array(collect_list(col(idCol))).as("postings"))
+                    maxDf: Long = 10000000L): DataFrame = {
+    val terms = df.select(col(idCol),
+      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
+    val kept = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf && col("df") <= maxDf)
+    // HashPartitioning(term) from the join satisfies the (term, df)
+    // grouping, so the collect_list agg adds no further shuffle.
+    terms.join(kept, "term")
+      .groupBy(col("term"), col("df"))
+      .agg(sort_array(collect_list(col(idCol))).as("postings"))
+      .select(col("term"), col("df"), col("postings"))
+  }
 
   /** Per-group document-length profile: min / exact quantiles / max /
     * mean token counts — the corpus-analytics pass run before choosing

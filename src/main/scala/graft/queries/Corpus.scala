@@ -127,8 +127,13 @@ object Corpus {
     }),
 
     // inverted index: per-term document frequency + sorted postings.
+    // The operator emits postings as array<long>; the gate projects it
+    // to a comma-joined string because the driver's pandas sort/hash
+    // harness can't order array cells (round-5 q92 err).
     "q92_inverted_index" -> ((s, dir) => {
       CorpusStats.invertedIndex(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("term"), col("df"),
+          concat_ws(",", col("postings").cast("array<string>")).as("postings"))
     }),
 
     // per-source document-length profile (exact quantiles).
@@ -164,7 +169,8 @@ object Corpus {
 
     // one-row corpus health report: the summary every pipeline run
     // emits before/after each stage — one aggregation pass, all
-    // partial+final (exact counts; rate from exact integer sums).
+    // partial+final (exact counts; the pass rate is an avg over exact
+    // int flags, rounded to 6 places to match the oracle).
     "q98_corpus_report" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.agg(
@@ -296,7 +302,8 @@ object Corpus {
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
              FROM documents))""",
     "q92_inverted_index" ->
-      """SELECT t AS term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+      """SELECT t AS term, count(*) AS df,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
          FROM (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS t
                FROM documents)
          GROUP BY t""",
@@ -349,7 +356,8 @@ object Corpus {
          FROM nc, UNNEST(generate_series(0, k-1)) AS t(i)""",
     "q98_corpus_report" ->
       """SELECT count(*) AS n_docs,
-           sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+           CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+             AS total_tokens,
            CAST(count(DISTINCT md5(trim(lower(text)))) AS BIGINT) AS distinct_docs,
            round(avg(CAST(
              (len(string_split(text, ' ')) >= 8 AND len(string_split(text, ' ')) <= 100000
@@ -365,8 +373,8 @@ object Corpus {
               AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                   / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.3) AS INT)), 6)
              AS quality_pass_rate,
-           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en_docs,
-           sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS other_docs,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_docs,
+           CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS other_docs,
            CAST(count(DISTINCT source) AS BIGINT) AS n_sources
          FROM documents""",
     "q97_bigram_lm" ->

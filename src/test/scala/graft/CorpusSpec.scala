@@ -270,6 +270,22 @@ class CorpusSpec extends SparkSpec {
     // stop-word cap drops ubiquitous terms
     val capped = CorpusStats.invertedIndex(docs, "doc_id", "text", maxDf = 2L)
     assert(!capped.collect().map(_.getString(0)).contains("a"))
+    // scale contract: the df gate sits BELOW the posting-list agg — a
+    // capped term's ids never enter a collect_list buffer. In the
+    // optimized plan the collect_list Aggregate's subtree must contain
+    // the df-gate Join (collect-then-filter would place the Join above).
+    val collectAggs = capped.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if a.aggregateExpressions.map(_.sql).exists(_.contains("collect_list")) => a
+    }
+    assert(collectAggs.nonEmpty, "expected a collect_list aggregate")
+    collectAggs.foreach { a =>
+      val joinBelow = a.child.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joinBelow.nonEmpty,
+        "df-gate join must run before posting-list collection")
+    }
   }
 
   test("lengthProfile: exact quantiles over a known distribution") {
