@@ -95,6 +95,14 @@ object ScaleProbe {
       Similarity.cosineNearDupPairs(d, "vec_id", "embedding",
         threshold = 0.3, nPlanes = planes).count()
     })
+    // default-arg regime: nPlanes unset → the operator itself derives
+    // the plane count from a corpus count (autoPlanes). This is the
+    // gate that the tuning contract is wired into the DEFAULT, not
+    // just available: its exponent must track the scaled regime, not
+    // the fixed one.
+    time("cosine_lsh_auto_planes", ebase, escaled)(d =>
+      Similarity.cosineNearDupPairs(d, "vec_id", "embedding",
+        threshold = 0.3).count())
     time("cosine_exact", ebase, escaled)(d =>
       Similarity.cosineNearDupPairsExact(d, "vec_id", "embedding", threshold = 0.4).count())
     spark.stop()

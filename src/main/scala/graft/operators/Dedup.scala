@@ -77,11 +77,20 @@ object Dedup {
     * distinct pairs sharing ≥1 bucket with their estimated Jaccard
     * (signature agreement fraction). Linear-scan friendly at scale:
     * no global pairwise comparison ever materializes.
+    *
+    * `bands = 0` (the default) applies the repo's own tuning contract
+    * instead of a static constant: [[lshParams]] picks the band/row
+    * split whose S-curve midpoint sits nearest the similarity the
+    * caller is actually gating on (`minEstimate`, or the conventional
+    * 0.7 near-dup target when no gate is set) — the guessed-constant
+    * regime is what SCALE.md measures going quadratic.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                        shingleN: Int = 3, k: Int = 32, bands: Int = 0,
                         minEstimate: Double = 0.0): DataFrame = {
-    val rowsPerBand = k / bands
+    val nBands = if (bands > 0) bands
+      else lshParams(k, if (minEstimate > 0) minEstimate else 0.7)._1
+    val rowsPerBand = k / nBands
     graft.plans.GraftExtensions.registerAll(df.sparkSession)
     // Stage the signature through explicit projections (hash each
     // shingle once, then one native one-pass k-min kernel — a
@@ -93,7 +102,7 @@ object Dedup {
     // Candidate pairs carry ONLY ids through the bucket join + distinct;
     // signatures re-attach afterwards (two slim joins on doc id).
     val buckets = sigs.select(col("doc"),
-      posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
+      posexplode(lshBands(col("sig"), nBands, rowsPerBand)).as(Seq("band", "bucket")))
     val a = buckets.as("a"); val b = buckets.as("b")
     val pairs = a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
@@ -274,7 +283,7 @@ object Dedup {
     * (tiny) pair list, one anti-join back against the corpus.
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-                         shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                         shingleN: Int = 3, k: Int = 32, bands: Int = 0,
                          minEstimate: Double = 0.7): DataFrame = {
     val pairs = minhashCandidates(df, idCol, textCol, shingleN, k, bands, minEstimate)
     val comps = connectedComponents(pairs, "doc_a", "doc_b")
@@ -344,20 +353,30 @@ object Dedup {
     */
   def dropSeenBefore(newDocs: DataFrame, idCol: String, textCol: String,
                      snapshotSigs: DataFrame,
-                     shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                     shingleN: Int = 3, k: Int = 32, bands: Int = 0,
                      minEstimate: Double = 0.7): DataFrame = {
-    val rowsPerBand = k / bands
+    // same tuning contract as minhashCandidates; banding only needs to
+    // agree WITHIN this call (both sides band here), not with the run
+    // that wrote the snapshot — only k must match (guarded below).
+    val nBands = if (bands > 0) bands
+      else lshParams(k, if (minEstimate > 0) minEstimate else 0.7)._1
+    val rowsPerBand = k / nBands
     // a snapshot written at a different k would zip against nulls and
     // silently score every candidate 0 — dedup quietly OFF. Refuse.
-    snapshotSigs.select(size(col("sig"))).head(1).foreach { r =>
-      require(r.getInt(0) == k,
-        s"snapshot signatures have k=${r.getInt(0)} but dropSeenBefore was " +
-          s"called with k=$k — rebuild the snapshot or pass matching k")
-    }
+    // One aggregate over the WHOLE snapshot (min and max of size):
+    // a first-row probe would pass a snapshot concatenated from runs
+    // with different k and weaken dedup only for the mismatched rows.
+    snapshotSigs.agg(min(size(col("sig"))), max(size(col("sig")))).head(1)
+      .filterNot(_.isNullAt(0)).foreach { r =>
+        val (lo, hi) = (r.getInt(0), r.getInt(1))
+        require(lo == k && hi == k,
+          s"snapshot signatures have k in [$lo, $hi] but dropSeenBefore was " +
+            s"called with k=$k — rebuild the snapshot or pass matching k")
+      }
     // no persist: the delta signatures are consumed exactly once
     val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleN, k)
     def banded(s: DataFrame) = s.select(col("doc"), col("sig"),
-      posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
+      posexplode(lshBands(col("sig"), nBands, rowsPerBand)).as(Seq("band", "bucket")))
     val candidates = banded(newSigs).as("n")
       .join(banded(snapshotSigs).as("s"),
         col("n.band") === col("s.band") && col("n.bucket") === col("s.bucket"))

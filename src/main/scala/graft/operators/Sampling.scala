@@ -259,13 +259,26 @@ object Sampling {
       // "prefilter" would pass the whole corpus through. Raise the
       // ceilings to what the sizing needs before building.
       val conf = train.sparkSession.conf
-      def raise(key: String, needed: Long): Unit =
-        if (conf.get(key, "0").toLong < needed) conf.set(key, needed)
-      raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", nGrams)
-      raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
-      val sketch = benchGrams
-        .agg(call_function("graft_bloom_agg", col("g"), lit(nGrams), lit(numBits)))
-        .head().getAs[Array[Byte]](0)
+      // raise the clamp ceilings only for the sketch build, and restore
+      // the session's prior values afterwards — a permanently-raised
+      // ceiling would let every LATER query in the session build much
+      // larger runtime join filters than the defaults intend
+      val keys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> nGrams,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+      val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+      val sketch =
+        try {
+          keys.foreach { case (k, needed) =>
+            if (conf.get(k, "0").toLong < needed) conf.set(k, needed)
+          }
+          benchGrams
+            .agg(call_function("graft_bloom_agg", col("g"), lit(nGrams), lit(numBits)))
+            .head().getAs[Array[Byte]](0)
+        } finally saved.foreach {
+          case (k, Some(v)) => conf.set(k, v)
+          case (k, None)    => conf.unset(k)
+        }
       require(sketch.length.toLong * 8 >= numBits / 2,
         s"bloom sketch came back ${sketch.length} bytes for $numBits requested bits — " +
           "conf clamp still active; raise spark.sql.optimizer.runtime.bloomFilter.*")

@@ -20,6 +20,21 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Tuned hyperplane count for a corpus of `n` vectors: 2^nPlanes
+    * buckets targeting ~`targetBucket` vectors per bucket, so bucket
+    * occupancy — and the bucket-local pair expansion — stays O(1) as
+    * the corpus grows. This is the measured scale contract (SCALE.md
+    * §Empirical): a FIXED plane count lets occupancy grow with n and
+    * the LSH path trends quadratic by 30×, while log₂-scaled planes
+    * hold cost-per-vector flat. Clamped to [1, 24] (2^24 buckets is
+    * already beyond any single join's useful key cardinality).
+    */
+  def autoPlanes(n: Long, targetBucket: Long = 64L): Int = {
+    val buckets = math.max(1L, n / math.max(1L, targetBucket))
+    math.min(24, math.max(1,
+      math.round(math.log(buckets.toDouble) / math.log(2.0)).toInt))
+  }
+
   /** Exact top-k cosine neighbors for each query row.
     * Output: (query_id, neighbor_id, rank, cosine).
     */
@@ -45,19 +60,23 @@ object Similarity {
     * bucket key; corpus bucketing is a map-side column.
     *
     * Sizing: 2^nPlanes buckets should be ≈ corpus/64 so each probe set
-    * covers a meaningful candidate pool; for weakly-clustered (random)
-    * embeddings prefer `ivfTopK`.
+    * covers a meaningful candidate pool; `nPlanes = 0` (the default)
+    * derives that from one cheap `corpus.count()` via [[autoPlanes]] —
+    * the tuned regime ScaleProbe measured. Pass an explicit count to
+    * skip the count job. For weakly-clustered (random) embeddings
+    * prefer `ivfTopK`.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nPlanes: Int = 5, dim: Int = 64): DataFrame = {
+              vecCol: String, k: Int, nPlanes: Int = 0, dim: Int = 64): DataFrame = {
     graft.plans.GraftExtensions.registerAll(corpus.sparkSession)
+    val planes = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count())
     val cB = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      signLshBucket(col(vecCol), nPlanes, dim).as("bucket"))
+      signLshBucket(col(vecCol), planes, dim).as("bucket"))
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      signLshBucket(col(vecCol), nPlanes, dim).as("b0"))
+      signLshBucket(col(vecCol), planes, dim).as("b0"))
     // multi-probe: own bucket + all buckets at Hamming distance 1 and 2
-    val h1 = (0 until nPlanes).map(p => col("b0").bitwiseXOR(lit(1L << p)))
-    val h2 = for (p <- 0 until nPlanes; q <- (p + 1) until nPlanes)
+    val h1 = (0 until planes).map(p => col("b0").bitwiseXOR(lit(1L << p)))
+    val h2 = for (p <- 0 until planes; q <- (p + 1) until planes)
       yield col("b0").bitwiseXOR(lit((1L << p) | (1L << q)))
     val probes = qBase.select(col("query_id"), col("qv"),
       explode(array(col("b0") +: (h1 ++ h2): _*)).as("bucket"))
@@ -234,11 +253,16 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * LSH-bucketed (same single-shuffle shape as Dedup.minhashCandidates).
+    * `nPlanes = 0` (default) tunes the bucket count to the corpus size
+    * via [[autoPlanes]] — one cheap `count()` — so bucket-local pair
+    * expansion stays linear as the corpus grows (the ScaleProbe-measured
+    * contract; a fixed plane count trends quadratic by 30×).
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+                         threshold: Double, nPlanes: Int = 0, dim: Int = 64): DataFrame = {
+    val planes = if (nPlanes > 0) nPlanes else autoPlanes(df.count())
     val b = df.select(col(idCol).as("doc"), col(vecCol).as("v"),
-      signLshBucket(col(vecCol), nPlanes, dim).as("bucket"))
+      signLshBucket(col(vecCol), planes, dim).as("bucket"))
     val a = b.as("a"); val c = b.as("b")
     a.join(c, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
       .withColumn("cos", cosine(col("a.v"), col("b.v")))

@@ -48,17 +48,31 @@ object StreamingPipelines {
       .filter(TextFunctions.passesQualityFilter(col("text")))
       .withColumn("fp", TextFunctions.fingerprint(col("text")))
     // the watermark-bounded dedup is streaming-only (Spark refuses it
-    // on batch frames). The bounded twin must keep the EARLIEST copy —
-    // streaming keeps the first to arrive, and plain dropDuplicates
-    // keeps an arbitrary one, which diverges when duplicates straddle
-    // a window boundary — so batch dedups via min-ts-per-fingerprint.
-    val deduped =
+    // on batch frames), so a batch twin replays the same semantics.
+    // The dedup key folds the WINDOW in alongside the fingerprint:
+    // streaming keeps the first-ARRIVED copy and batch the min-ts copy,
+    // so a bare-fp key diverges stream vs batch whenever an out-of-order
+    // duplicate's copies fall in different windows (which copy survives
+    // decides which window counts it). With (fp, window) as the key a
+    // duplicate can only collapse within one window on both paths, and
+    // the per-window counts are a pure function of the data, not of
+    // arrival order. (Tradeoff, deliberate: a re-crawl landing in a
+    // LATER window is counted again in that window.)
+    // The key is the window START as a plain long — the window() struct
+    // itself inherits ts's event-time metadata, and a stateful operator
+    // refuses a plan with two event-time columns.
+    val winKey = unix_timestamp(window(col("ts"), windowSize).getField("start"))
+    val keyed =
       if (gated.isStreaming)
-        gated.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("fp")
+        gated.withWatermark("ts", lateness).withColumn("__wk", winKey)
+      else gated.withColumn("__wk", winKey)
+    val deduped =
+      if (keyed.isStreaming)
+        keyed.dropDuplicatesWithinWatermark("fp", "__wk")
       else {
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("fp")).orderBy(col("ts").asc)
-        gated.withColumn("__rn", row_number().over(w))
+          .partitionBy(col("fp"), col("__wk")).orderBy(col("ts").asc)
+        keyed.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       }
     deduped

@@ -212,12 +212,20 @@ class CorpusSpec extends SparkSpec {
   test("bloom-prefiltered decontamination equals the exact path") {
     val train = Tables(spark, sf001, "documents")
     val bench = train.filter($"doc_id" % 50 === 0).select($"text")
+    // the sketch build raises the runtime-bloom-filter conf ceilings;
+    // they must come back to their prior values so later queries in the
+    // session don't inherit oversized runtime join filters
+    val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    val before = keys.map(k => spark.conf.getOption(k))
     val exact = Sampling.decontaminate(train, "doc_id", "text", bench, "text",
       n = 7, minShared = 2).select("doc_id").collect().map(_.getLong(0)).toSet
     val bloom = Sampling.decontaminateBloom(train, "doc_id", "text", bench, "text",
       n = 7, minShared = 2).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(bloom == exact)
     assert(exact.nonEmpty)
+    assert(keys.map(k => spark.conf.getOption(k)) == before,
+      "bloom conf ceilings must be restored after the sketch build")
   }
 
   test("CMS estimates honor the overestimate guarantee") {

@@ -76,6 +76,21 @@ class DedupSpec extends SparkSpec {
     assert(bLow > bHigh)
   }
 
+  test("minhashCandidates default bands come from lshParams, not a constant") {
+    // bands=0 (default) must resolve to the lshParams split for the
+    // caller's gate — identical output to passing that split explicitly
+    val d = Tables(spark, sf001, "documents")
+    val (bTuned, _) = Dedup.lshParams(32, 0.5)
+    val auto = Dedup.minhashCandidates(d, "doc_id", "text", minEstimate = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val explicit = Dedup.minhashCandidates(d, "doc_id", "text",
+      bands = bTuned, minEstimate = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto == explicit)
+    // and the un-gated default targets the conventional 0.7 near-dup point
+    assert(Dedup.lshParams(32, 0.7)._1 > 1)
+  }
+
   test("connectedComponents: driver union-find == distributed loop") {
     val rnd = new scala.util.Random(3)
     // random graph with chains, cliques, and singleton pairs

@@ -53,6 +53,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"lsh recall $recall")
   }
 
+  test("autoPlanes: bucket count grows with corpus size (tuning contract)") {
+    // the scale contract: plane count tracks log2(n/targetBucket) so
+    // bucket occupancy stays ~constant as the corpus grows
+    assert(Similarity.autoPlanes(100L) >= 1)
+    assert(Similarity.autoPlanes(64L * 32) == 5)
+    assert(Similarity.autoPlanes(64L * 32 * 1024) == 15)
+    val sizes = Seq(1000L, 100000L, 10000000L, 1000000000L)
+    val planes = sizes.map(Similarity.autoPlanes(_))
+    assert(planes == planes.sorted && planes.distinct == planes,
+      s"autoPlanes must strictly grow across decades: $planes")
+    // 30x growth adds ~log2(30)≈5 planes — the regime ScaleProbe measured
+    assert(Similarity.autoPlanes(60000L) - Similarity.autoPlanes(2000L) == 5)
+    assert(Similarity.autoPlanes(Long.MaxValue) == 24) // clamped
+  }
+
   test("ivfTopK recall vs brute force") {
     val e = Tables(spark, sf001, "embeddings")
     val q = e.filter(col("vec_id") < 10)

@@ -173,6 +173,40 @@ class StreamingSpec extends SparkSpec {
     assert(batch(h0) == got(h0))
   }
 
+  test("corpus ingest: out-of-order cross-window duplicate counts the same stream vs batch") {
+    import graft.streaming.StreamingPipelines
+    import StreamingSpecFixtures.Doc
+    val good = "the quick brown fox jumps over the lazy dog again and again today"
+    // the same content lands in hour 0 AND hour 1, and the LATER copy
+    // arrives FIRST. With a bare-fingerprint dedup key the stream keeps
+    // the hour-1 copy while the batch twin keeps the hour-0 (min-ts)
+    // copy, so per-window counts diverge; with the window folded into
+    // the key both paths count one copy in each window.
+    val outOfOrder = Seq(
+      Doc(11L, ts("2024-01-01 01:10:00"), good), // later window, arrives first
+      Doc(10L, ts("2024-01-01 00:50:00"), good), // earlier window, arrives second
+      Doc(12L, ts("2024-01-01 00:55:00"), good)) // in-window dup of 10 → collapses
+    val src = MemoryStream[Doc](spark)
+    val q = StreamingPipelines.corpusIngest(src.toDF())
+      .writeStream.format("memory").queryName("corpus_ooo_sink")
+      .outputMode("append").start()
+    try {
+      src.addData(outOfOrder)
+      q.processAllAvailable()
+      src.addData(Seq(Doc(99L, ts("2024-01-01 04:00:00"), good + " closer")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("corpus_ooo_sink").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = StreamingPipelines.corpusIngest(outOfOrder.toDF())
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val h0 = ts("2024-01-01 00:00:00").getTime / 1000
+    val h1 = ts("2024-01-01 01:00:00").getTime / 1000
+    assert(got(h0) == batch(h0), s"hour-0 stream=$got batch=$batch")
+    assert(got(h1) == batch(h1), s"hour-1 stream=$got batch=$batch")
+    assert(got(h0)._1 == 1L && got(h1)._1 == 1L)
+  }
+
   test("watermark drops late data in append mode") {
     val src = MemoryStream[Ev](spark)
     val q = EventOps.streamTumblingAgg(src.toDF(), "1 hour", "30 minutes")
