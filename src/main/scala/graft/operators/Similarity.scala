@@ -256,11 +256,17 @@ object Similarity {
     * `nPlanes = 0` (default) tunes the bucket count to the corpus size
     * via [[autoPlanes]] — one cheap `count()` — so bucket-local pair
     * expansion stays linear as the corpus grows (the ScaleProbe-measured
-    * contract; a fixed plane count trends quadratic by 30×).
+    * contract; a fixed plane count trends quadratic by 30×). The
+    * occupancy target is TIGHTER than the top-k path's: pair expansion
+    * does ~occupancy/2 cosine evals per vector (no multi-probe recall
+    * to buy back), so ~16/bucket ≈ 8 evals/vector matches the probe's
+    * tuned regime — at 64/bucket the "linear" path loses to the exact
+    * join until n is large.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nPlanes: Int = 0, dim: Int = 64): DataFrame = {
-    val planes = if (nPlanes > 0) nPlanes else autoPlanes(df.count())
+    val planes = if (nPlanes > 0) nPlanes
+      else autoPlanes(df.count(), targetBucket = 16L)
     val b = df.select(col(idCol).as("doc"), col(vecCol).as("v"),
       signLshBucket(col(vecCol), planes, dim).as("bucket"))
     val a = b.as("a"); val c = b.as("b")
