@@ -140,9 +140,23 @@ final case class StructureCollection(
     * parent's sort; children arrive grouped. For DISTRIBUTED
     * per-structure work use [[evaluate]] — this surface exists for
     * API parity and small interactive use, like the reference's.
+    *
+    * The child table is collected to the driver, so the call REFUSES
+    * when it exceeds `maxChildRows` (one cheap count) instead of
+    * silently OOM-ing the driver on a cluster-sized collection —
+    * filter/bound the collection first, or use [[evaluate]] /
+    * [[aggregateChild]] which stay distributed.
     */
-  def objects(name: String): Iterator[(Row, Seq[Row])] = {
-    val childByKey = child(name).collect().groupBy(_.getAs[Any](linkKey))
+  def objects(name: String,
+              maxChildRows: Long = 5000000L): Iterator[(Row, Seq[Row])] = {
+    val filtered = child(name)
+    val nChild = filtered.count()
+    require(nChild <= maxChildRows,
+      s"objects() would collect $nChild '$name' rows to the driver " +
+        s"(cap $maxChildRows). Filter or bound() the collection first, or use " +
+        "evaluate()/aggregateChild() for distributed per-structure work; " +
+        "raise maxChildRows only if the driver really has the memory.")
+    val childByKey = filtered.collect().groupBy(_.getAs[Any](linkKey))
     properties.getData.toLocalIterator().asScala.map { p =>
       val k = p.getAs[Any](linkKey)
       (p, childByKey.getOrElse(k, Array.empty[Row]).toSeq)

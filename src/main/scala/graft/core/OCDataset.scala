@@ -131,8 +131,20 @@ final case class OCDataset(
           withId.orderBy(col("__rid").desc)
       }
       copy(df = sorted(flipped.limit(n)).drop("__rid"), sortKey = None)
-    case Random(seed) =>
-      copy(df = df.orderBy(rand(seed)).limit(n), sortKey = None)
+    case Random(seed, keys) =>
+      // content-keyed sample (the samplers' md5-prefix pattern), NOT
+      // rand(seed): rand's sequence is partition-dependent, so the
+      // "seeded" sample silently changes with cluster size / file
+      // splits; hashing the row's key content replays identically on
+      // any partitioning — and in any engine that can md5 a string.
+      // `keys` picks the hashed columns (a primary key avoids
+      // engine-specific float rendering); empty → all columns.
+      val hashed = (if (keys.nonEmpty) keys else df.columns.toSeq).map(col)
+      val h = md5(concat_ws("|",
+        lit(seed.toString) +: hashed.map(_.cast("string")): _*))
+      // orderBy+limit → TakeOrderedAndProject: distributed top-k per
+      // partition + driver merge, never a global sort
+      copy(df = df.orderBy(h).limit(n), sortKey = None)
   }
 
   /** Row-range slice of the (lazily) sorted order (reference
@@ -484,7 +496,7 @@ object OCDataset {
   sealed trait TakeAt
   case object Start extends TakeAt
   case object End extends TakeAt
-  final case class Random(seed: Long) extends TakeAt
+  final case class Random(seed: Long, keyCols: Seq[String] = Nil) extends TakeAt
 
   /** fnmatch-style wildcard expansion preserving frame column order
     * (reference column/select.py:7-37). Non-wildcard names must exist

@@ -428,21 +428,54 @@ object Hdf5Io {
     graft.collections.Lightcone(steps)
   }
 
+  /** SPEC load-condition gate (reference iopen.py:638-657
+    * `evaluate_load_conditions`): a dataset group may carry a
+    * `load/if` subgroup whose attrs name boolean open-parameters; the
+    * group loads iff EVERY attr matches the caller-supplied kwarg,
+    * with unspecified kwargs defaulting to false. No `load/if` group →
+    * always loads.
+    */
+  private def passesLoadConditions(r: Hdf5Reader, group: String,
+                                   openKwargs: Map[String, Boolean]): Boolean = {
+    val path = if (group.isEmpty) "load/if" else s"$group/load/if"
+    val ifInfo =
+      try Some(resolveGroup(r, path)._1)
+      catch { case _: Hdf5FormatException => None }
+    ifInfo.forall(_.attrs.forall { case (key, cond) =>
+      val want = cond match {
+        case l: Long    => l != 0L
+        case i: Int     => i != 0
+        case b: Boolean => b
+        case s: String  => s.equalsIgnoreCase("true")
+        case _          => false
+      }
+      openKwargs.getOrElse(key, false) == want
+    })
+  }
+
   /** Open dispatch over a SPEC.md file (reference iopen.py:126-186):
     * root `data` group → single dataset; a group with `data_linked` →
     * structure collection (that group as parent); every group
     * lightcone-typed → lightcone; otherwise → simulation collection of
-    * the datasets found.
+    * the datasets found. `openKwargs` feeds the SPEC `load/if`
+    * condition gate — a conditionally-loaded group whose conditions
+    * aren't met is skipped exactly as the reference skips it.
     */
-  def importAny(spark: SparkSession, h5Path: String): Any = {
+  def importAny(spark: SparkSession, h5Path: String,
+                openKwargs: Map[String, Boolean] = Map.empty): Any = {
     val r = new Hdf5Reader(h5Path)
     val (names, haveData, haveLinked, lightcone) =
       try {
         val root = r.objectInfo(r.rootHeaderAddr)
         val links = r.groupLinks(root)
-        if (links.exists(_._1 == "data"))
+        if (links.exists(_._1 == "data")) {
+          require(passesLoadConditions(r, "", openKwargs),
+            s"$h5Path root dataset has load conditions not met by " +
+              s"openKwargs=$openKwargs")
           return importDataset(spark, h5Path)
+        }
         val groups = links.filter(_._1 != "header")
+          .filter { case (n, _) => passesLoadConditions(r, n, openKwargs) }
         val subs = groups.map { case (n, a) =>
           val kids = r.groupLinks(r.objectInfo(a)).map(_._1)
           (n, kids.contains("data"), kids.contains("data_linked"))

@@ -151,10 +151,12 @@ object CoreLib {
         .select(col("pixel"), round(col("value"), 6).as("value"))
     }),
 
-    // §2.8 seeded random take — deterministic given the seed but not
-    // SQL-expressible: rows-only check (no oracle entry).
+    // §2.8 seeded random take — content-keyed md5 order (the samplers'
+    // pattern), so the sample is identical on any partitioning AND
+    // replayable by the DuckDB oracle (round-5 rows-only gate upgraded).
     "q59_take_random" -> ((s, dir) => {
-      OCDataset(t(s, dir, "orders")).take(50, Random(42)).df
+      OCDataset(t(s, dir, "orders"))
+        .take(50, Random(42, Seq("o_orderkey"))).df
         .select(col("o_orderkey"), col("o_totalprice"))
     }),
 
@@ -424,6 +426,9 @@ object CoreLib {
     "q58_healpix_degrade" ->
       """SELECT CAST(floor((user_id % 768) / 4) AS BIGINT) AS pixel,
          round(avg(value), 6) AS value FROM events GROUP BY 1""",
+    "q59_take_random" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY md5('42|' || CAST(o_orderkey AS VARCHAR)) LIMIT 50""",
     "q60_evaluate_partition" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
          l_quantity * 2.0 AS double_qty FROM lineitem""",

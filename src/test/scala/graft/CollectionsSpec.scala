@@ -68,6 +68,16 @@ class CollectionsSpec extends SparkSpec {
     assert(objs.head._2.map(_.getAs[Double]("p_mass")) == Seq(7.0))
   }
 
+  test("objects() refuses to collect a child table beyond the driver cap") {
+    val e = intercept[IllegalArgumentException] {
+      coll.objects("particles", maxChildRows = 1L)
+    }
+    assert(e.getMessage.contains("evaluate()"),
+      "the error must point at the distributed alternative")
+    // and the cap is a cap, not a toggle: a fitting table still works
+    assert(coll.objects("particles", maxChildRows = 100L).nonEmpty)
+  }
+
   test("lightcone: union with step column, redshift-range pruning") {
     val s600 = OCDataset(Seq((1L, 5.0), (2L, 6.0)).toDF("id", "v"),
       Header(redshift = 0.5, dataType = "lc"))

@@ -187,6 +187,49 @@ class Hdf5Spec extends SparkSpec {
       Set(2e14))
   }
 
+  test("load/if conditions gate which groups importAny loads") {
+    // two datasets: `stars` always loads; `agn` carries a load/if group
+    // requiring with_agn=true (reference iopen.py:638-657 — unsupplied
+    // kwargs default false, so round-5 importAny would have WRONGLY
+    // imported agn)
+    val p = tmp("loadif.hdf5")
+    val w = new Hdf5Writer(p)
+    def f64(vals: Seq[Double]) =
+      w.writeDataset(Hdf5Writer.F64, Seq(vals.size.toLong),
+        Iterator(vals.toArray.flatMap { d =>
+          val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.putDouble(d); b.array()
+        }))
+    val starsGrp = w.writeGroup(Seq("data" -> w.writeGroup(Seq("s" -> f64(Seq(1.0))))))
+    // condition encoded as an int attr (h5py stores bools as ints)
+    val agnIf = w.writeGroup(Nil, Seq("with_agn" -> 1L))
+    val agnGrp = w.writeGroup(Seq(
+      "data" -> w.writeGroup(Seq("a" -> f64(Seq(2.0)))),
+      "load" -> w.writeGroup(Seq("if" -> agnIf))))
+    // and a NEGATIVE condition: loads only when with_raw is NOT set
+    val rawIf = w.writeGroup(Nil, Seq("with_raw" -> 0L))
+    val rawGrp = w.writeGroup(Seq(
+      "data" -> w.writeGroup(Seq("r" -> f64(Seq(3.0)))),
+      "load" -> w.writeGroup(Seq("if" -> rawIf))))
+    val sim = w.writeGroup(Nil, Seq("box_size" -> 10.0))
+    val hdr = w.writeGroup(Seq("simulation" -> sim))
+    w.finish(w.writeGroup(Seq(
+      "stars" -> starsGrp, "agn" -> agnGrp, "raw" -> rawGrp, "header" -> hdr)))
+
+    def names(any: Any): Set[String] = any match {
+      case c: graft.collections.SimulationCollection => c.members.keySet
+      case other => fail(s"expected a simulation collection, got $other")
+    }
+    // default: agn's unmet condition skips it; raw's false condition is met
+    assert(names(Hdf5Io.importAny(spark, p)) == Set("stars", "raw"))
+    // with_agn=true: agn loads; with_raw stays unset so raw still loads
+    assert(names(Hdf5Io.importAny(spark, p, Map("with_agn" -> true))) ==
+      Set("stars", "agn", "raw"))
+    // with_raw=true violates raw's ==false condition
+    assert(names(Hdf5Io.importAny(spark, p,
+      Map("with_agn" -> true, "with_raw" -> true))) == Set("stars", "agn"))
+  }
+
   test("idx (1-to-0/1) data_linked imports with unlinked rows null") {
     // halo_properties linked 1->0/1 to halo_centrals: halo 0 -> central
     // row 1, halo 1 -> none (-1), halo 2 -> central row 0
