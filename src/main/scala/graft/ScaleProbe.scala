@@ -105,6 +105,44 @@ object ScaleProbe {
         threshold = 0.3).count())
     time("cosine_exact", ebase, escaled)(d =>
       Similarity.cosineNearDupPairsExact(d, "vec_id", "embedding", threshold = 0.4).count())
+
+    // spatial side: the sky cross-match's pixel key is the same kind of
+    // LSH bucket — occupancy grows with catalog density unless nside
+    // grows with it (nside ~ √n keeps points-per-pixel flat). Measure
+    // both regimes, like the vector side; positions derive
+    // deterministically from ids (the q76 gate's synthesis), the right
+    // catalog decorrelated so matches are nontrivial.
+    import graft.operators.CrossMatch
+    def skyLeft(d: DataFrame) = d.select(col("doc_id").as("id"),
+      (col("doc_id") % 360).cast("double").as("ra"),
+      ((col("doc_id") % 179) - 89).cast("double").as("decl"))
+    def skyRight(d: DataFrame) = d.select(col("doc_id").as("id"),
+      ((col("doc_id") * 7 + 3) % 360).cast("double").as("ra"),
+      (((col("doc_id") * 11 + 5) % 179) - 89).cast("double").as("decl"))
+    val scaledNside = {
+      // hold occupancy flat: nside ∝ √factor, rounded up to a power of 2
+      val target = 8.0 * math.sqrt(factor.toDouble)
+      var ns = 8; while (ns < target) ns *= 2; ns
+    }
+    time("crossmatch_sky_fixed_nside", base, scaled)(d =>
+      CrossMatch.nearestWithin(skyLeft(d), skyRight(d), "id", "id",
+        ("ra", "decl"), radiusDeg = 2.0, nside = 8).count())
+    time("crossmatch_sky_scaled_nside", base, scaled)(d => {
+      val ns = if (d eq base) 8 else scaledNside
+      CrossMatch.nearestWithin(skyLeft(d), skyRight(d), "id", "id",
+        ("ra", "decl"), radiusDeg = 2.0, nside = ns).count()
+    })
+    // 3-D match: cell width is pinned to the (semantic) radius, so
+    // per-cell occupancy — and the true match count — grows with
+    // density; the exponent reads the inherent output growth, not a
+    // mis-tuning.
+    def xyz(d: DataFrame, mul: Int, add: Int) = d.select(col("doc_id").as("id"),
+      ((col("doc_id") * mul + add) % 97).cast("double").as("x"),
+      ((col("doc_id") * mul + add) % 89).cast("double").as("y"),
+      ((col("doc_id") * mul + add) % 83).cast("double").as("z"))
+    time("crossmatch_3d", base, scaled)(d =>
+      CrossMatch.nearest3dWithin(xyz(d, 1, 0), xyz(d, 7, 3), "id", "id",
+        ("x", "y", "z"), radius = 5.0).count())
     spark.stop()
   }
 }

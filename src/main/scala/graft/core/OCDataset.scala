@@ -78,8 +78,20 @@ final case class OCDataset(
     */
   def filter(masks: OCMask*): OCDataset = {
     val resolved = masks.map(resolveMask)
-    copy(df = resolved.map(_.toColumn).foldLeft(df)((d, c) => d.filter(c)))
+    indexUpdated("filter",
+      copy(df = resolved.map(_.toColumn).foldLeft(df)((d, c) => d.filter(c))))
   }
+
+  /** Fire the IndexUpdate fold point (reference IndexUpdateCtx,
+    * plugins/contexts.py:80-92 — fired whenever filter/take/bound
+    * produce a new row index; here, a new narrowed plan). Plugins see
+    * (op, before, after) and may rewrite `after`. No-op without
+    * registrations.
+    */
+  private def indexUpdated(op: String, after: OCDataset): OCDataset =
+    if (graft.plugins.Hooks.indexUpdate.isEmpty) after
+    else graft.plugins.Hooks.indexUpdate
+      .fold(graft.plugins.Hooks.IndexUpdate(op, this, after)).after
 
   // ---- §2.5 derived columns ---------------------------------------
 
@@ -112,8 +124,13 @@ final case class OCDataset(
     copy(sortKey = Some((name, invert)))
 
   private def sorted(d: DataFrame): DataFrame = sortKey match {
-    case Some((k, inv)) => d.orderBy(if (inv) col(k).desc else col(k).asc)
-    case None           => d
+    case Some((k, inv)) =>
+      val s = d.orderBy(if (inv) col(k).desc else col(k).asc)
+      // reference PostSortCtx (plugins/contexts.py:95-108): plugins may
+      // remap order-sensitive columns when the lazy sort key applies
+      graft.plugins.Hooks.postSort
+        .fold(graft.plugins.Hooks.PostSort(s, k, inv)).df
+    case None => d
   }
 
   /** Head / tail / seeded-random take (reference dataset.py:787-836).
@@ -121,7 +138,7 @@ final case class OCDataset(
     * input order via a monotonic id. Random is seeded — an intentional
     * upgrade over the reference's unseeded RNG (SURVEY.md §7.4).
     */
-  def take(n: Int, at: TakeAt = Start): OCDataset = at match {
+  def take(n: Int, at: TakeAt = Start): OCDataset = indexUpdated("take", at match {
     case Start => copy(df = sorted(df).limit(n), sortKey = None)
     case End =>
       val flipped = sortKey match {
@@ -145,7 +162,7 @@ final case class OCDataset(
       // orderBy+limit → TakeOrderedAndProject: distributed top-k per
       // partition + driver merge, never a global sort
       copy(df = df.orderBy(h).limit(n), sortKey = None)
-  }
+  })
 
   /** Row-range slice of the (lazily) sorted order (reference
     * take_range, dataset.py:838-883). offset+limit → Spark's global
@@ -324,7 +341,13 @@ final case class OCDataset(
   def bound(region: graft.spatial.Region.Region3D,
             coords: (String, String, String) = ("x", "y", "z"),
             level: Int = 4,
-            domain: Option[(Double, Double)] = None): OCDataset = {
+            domain: Option[(Double, Double)] = None): OCDataset =
+    indexUpdated("bound", boundImpl(region, coords, level, domain))
+
+  private def boundImpl(region: graft.spatial.Region.Region3D,
+                        coords: (String, String, String),
+                        level: Int,
+                        domain: Option[(Double, Double)]): OCDataset = {
     val (cx, cy, cz) = coords
     val baseBox = if (header.boxSize > 0) header.boxSize else 1.0
     // domain factor = convention factor (littleh/scale-factor) × unit
@@ -396,7 +419,13 @@ final case class OCDataset(
   def boundSky(region: graft.spatial.Region.SkyRegion,
                coords: (String, String) = ("ra", "dec"),
                pixelCol: Option[String] = None,
-               nside: Int = 0): OCDataset = {
+               nside: Int = 0): OCDataset =
+    indexUpdated("boundSky", boundSkyImpl(region, coords, pixelCol, nside))
+
+  private def boundSkyImpl(region: graft.spatial.Region.SkyRegion,
+                           coords: (String, String),
+                           pixelCol: Option[String],
+                           nside: Int): OCDataset = {
     import graft.spatial.Region._
     val (ra, dec) = coords
     val exact = region.predicate(col(ra), col(dec))

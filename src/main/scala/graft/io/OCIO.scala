@@ -38,8 +38,16 @@ object OCIO {
   def open(spark: SparkSession, path: String,
            hooks: Seq[OCDataset => OCDataset] = Nil): OCDataset = {
     val header = Header.read(path)
-    val ds = OCDataset(spark.read.parquet(s"$path/data.parquet"), header)
-    (Hooks.forType(header.dataType) ++ hooks).foldLeft(ds)((d, h) => h(d))
+    val raw = spark.read.parquet(s"$path/data.parquet")
+    // Partition query hook (reference PartitionCtx, plugins/contexts.py:
+    // 110-130): the first responding plugin replaces the default
+    // file-split frame (repartition, bucketed re-read, ...); no
+    // response keeps Spark's default splits.
+    val df = graft.plugins.Hooks.partition
+      .query(graft.plugins.Hooks.PartitionRequest(header, raw)).getOrElse(raw)
+    val ds = OCDataset(df, header)
+    val opened = (Hooks.forType(header.dataType) ++ hooks).foldLeft(ds)((d, h) => h(d))
+    graft.plugins.Hooks.datasetOpen.fold(opened)
   }
 
   /** Data-type-keyed open hooks (reference plugin registration,
@@ -209,8 +217,10 @@ object OCIO {
         // per-step frame: partition-pruned scan (PartitionFilters on step)
         val df = spark.read.parquet(s"$path/data.parquet")
           .filter(col("step") === step).drop("step")
-        step -> graft.core.OCDataset(df,
-          header.copy(redshift = n.get(s).asDouble()))
+        // LightconeOpen fold hook (reference LightconeOpenCtx,
+        // plugins/contexts.py:58-75): plugins enrich each step dataset
+        step -> graft.plugins.Hooks.lightconeOpen.fold(
+          graft.core.OCDataset(df, header.copy(redshift = n.get(s).asDouble())))
       }.toMap
     graft.collections.Lightcone(steps)
   }

@@ -31,8 +31,12 @@ object Similarity {
     */
   def autoPlanes(n: Long, targetBucket: Long = 64L): Int = {
     val buckets = math.max(1L, n / math.max(1L, targetBucket))
+    // ceil, not round: the target is an UPPER bound on expected
+    // occupancy — rounding down lets occupancy (and with it the
+    // bucket-local pair expansion) drift ~2x above target exactly
+    // where the expansion dominates cost
     math.min(24, math.max(1,
-      math.round(math.log(buckets.toDouble) / math.log(2.0)).toInt))
+      math.ceil(math.log(buckets.toDouble) / math.log(2.0)).toInt))
   }
 
   /** Exact top-k cosine neighbors for each query row.
