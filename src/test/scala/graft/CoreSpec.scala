@@ -169,6 +169,26 @@ class CoreSpec extends SparkSpec {
     val a = halos.take(2, Random(7)).collect().map(_.getLong(0)).toSet
     val b = halos.take(2, Random(7)).collect().map(_.getLong(0)).toSet
     assert(a == b && a.size == 2)
+    // different seeds reach different samples (4 choose 2 = 6 possible;
+    // seeds 7 and 8 are verified-distinct for this fixture)
+    val c = halos.take(2, Random(8)).collect().map(_.getLong(0)).toSet
+    assert(c != a)
+  }
+
+  test("take random is partitioning-invariant (the property rand(seed) lacks)") {
+    // the content-keyed sample must be identical however the data is
+    // split — cluster size, file count, repartitioning must not change
+    // which rows a "seeded" sample selects
+    val one = halos.copy(df = halos.df.repartition(1))
+      .take(2, Random(7, Seq("halo_tag"))).collect().map(_.getLong(0)).toSet
+    val many = halos.copy(df = halos.df.repartition(7))
+      .take(2, Random(7, Seq("halo_tag"))).collect().map(_.getLong(0)).toSet
+    assert(one == many)
+    // and the plan is distributed top-k (TakeOrderedAndProject), not a
+    // global sort + limit
+    val plan = halos.take(2, Random(7, Seq("halo_tag"))).df
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
   test("withNewColumns: derived + overwrite guard + unit propagation") {
