@@ -96,7 +96,8 @@ object TextVector {
         round(TextFunctions.stopwordRatio(col("text")), 6).as("stopword_ratio"))
     }),
 
-    // language-ID heuristic (marker stopword argmax) — rows-only check.
+    // language-ID heuristic (marker stopword argmax; tie → greatest
+    // language string, mirrored by the oracle CASE order).
     "q22_lang_id" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.langId(col("text")).as("pred_lang"))
@@ -330,6 +331,31 @@ object TextVector {
                  x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
                / CAST(len(string_split(text,' ')) AS DOUBLE), 6) AS stopword_ratio
          FROM documents""",
+    "q22_lang_id" ->
+      // replays langId's argmax exactly: array_max over (hits, lang)
+      // structs takes max hits with ties to the lexicographically
+      // GREATEST language, so the CASE tests languages in string-DESC
+      // order (it > fr > es > en > de)
+      """WITH h AS (SELECT doc_id,
+           len(list_filter(string_split(text,' '),
+             t -> t IN ('the','and','of','to','a','is'))) AS en,
+           len(list_filter(string_split(text,' '),
+             t -> t IN ('el','la','de','que','los','una'))) AS es,
+           len(list_filter(string_split(text,' '),
+             t -> t IN ('der','die','und','das','ist','ein'))) AS de,
+           len(list_filter(string_split(text,' '),
+             t -> t IN ('le','la','et','les','des','une'))) AS fr,
+           len(list_filter(string_split(text,' '),
+             t -> t IN ('il','di','che','la','per','una'))) AS it
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN greatest(en,es,de,fr,it) = 0 THEN 'und'
+                WHEN it = greatest(en,es,de,fr,it) THEN 'it'
+                WHEN fr = greatest(en,es,de,fr,it) THEN 'fr'
+                WHEN es = greatest(en,es,de,fr,it) THEN 'es'
+                WHEN en = greatest(en,es,de,fr,it) THEN 'en'
+                ELSE 'de' END AS pred_lang
+         FROM h""",
     "q23_fingerprint" ->
       "SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents",
     "q24_dedup_exact" ->
