@@ -195,17 +195,22 @@ object TextVector {
         .select(col("doc_id"), col("n_chars"))
     }),
 
-    // multimodal decode pipeline: payload -> typed media_meta struct ->
-    // per-partition decoder (stubbed, deterministic) -> scalar features.
+    // multimodal decode pipeline with a REAL codec: synthesize a
+    // deterministic grayscale PNG per doc (pixels = md5-hex ASCII
+    // codes cycled), then decode it back with javax.imageio — true
+    // width/height/channels/frame-count/pixel-mean from the raster.
+    // The oracle replays the pixel rule in SQL; PNG encode->decode is
+    // lossless, so the decoded stats must match exactly.
     "q34_multimodal_decode" -> ((s, dir) => {
-      val media = t(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      val withMeta = Multimodal.withMediaMeta(media, "payload", "image", "png")
-      Multimodal.decodeFeatures(withMeta, "payload")
-        .select(col("doc_id"),
-          col("media_meta.n_bytes").as("n_bytes"),
-          col("media_meta.checksum").as("checksum"),
-          col("width"), col("height"), col("n_frames"))
+      val n = length(col("text").cast("binary"))
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        md5(col("text").cast("binary")).as("hex"),
+        (lit(4) + n % 13).cast("int").as("w"),
+        (lit(4) + floor(n / lit(13)) % 11).cast("int").as("h"))
+      val media = Multimodal.synthesizeGrayPng(base, "hex", "w", "h")
+      Multimodal.decodeFeatures(media, "payload")
+        .select(col("doc_id"), col("width"), col("height"),
+          col("channels"), col("n_frames"), col("px_mean"))
     }),
 
     // token-budget sampling: deterministic (md5-ordered) prefix whose
@@ -415,11 +420,15 @@ object TextVector {
          CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS BIGINT) AS n_chunks
          FROM documents""",
     "q34_multimodal_decode" ->
-      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
-         md5(text) AS checksum,
-         CAST(16 + octet_length(CAST(text AS BLOB)) % 64 AS INTEGER) AS width,
-         CAST(16 + (octet_length(CAST(text AS BLOB)) // 64) % 64 AS INTEGER) AS height,
-         CAST(1 AS INTEGER) AS n_frames
-         FROM documents"""
+      """WITH base AS (
+           SELECT doc_id, md5(text) AS hex,
+             CAST(4 + octet_length(CAST(text AS BLOB)) % 13 AS INTEGER) AS width,
+             CAST(4 + (octet_length(CAST(text AS BLOB)) // 13) % 11 AS INTEGER) AS height
+           FROM documents)
+         SELECT doc_id, width, height,
+           CAST(1 AS INTEGER) AS channels, CAST(1 AS INTEGER) AS n_frames,
+           avg(ascii(substr(hex, CAST(t.i % 32 AS INTEGER) + 1, 1))) AS px_mean
+         FROM base, UNNEST(generate_series(0, CAST(width AS BIGINT) * height - 1)) AS t(i)
+         GROUP BY doc_id, width, height"""
   )
 }

@@ -23,9 +23,50 @@ class MultimodalSpec extends SparkSpec {
     assert(n.isNullAt(n.fieldIndex("n_bytes")))
   }
 
-  test("decodeFeatures appends declared schema; nulls pass through") {
-    val out = Multimodal.decodeFeatures(media, "payload")
-    assert(out.columns.takeRight(4).toSeq == Seq("width", "height", "n_frames", "feature"))
+  test("ImageIoDecoder recovers exact pixel values from a real PNG") {
+    // 2x2 grayscale image with known pixels; PNG is lossless so the
+    // decoded raster must reproduce them exactly.
+    val png = Multimodal.pngBytes(2, 2, Array[Byte](10, 20, 30, 40))
+    // Sanity: these are real PNG bytes (magic header), not a fake.
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val d = new Multimodal.ImageIoDecoder(featDim = 4).decode(png)
+    assert(d.width == 2 && d.height == 2)
+    assert(d.channels == 1 && d.nFrames == 1)
+    assert(d.pxMean == (10 + 20 + 30 + 40) / 4.0)
+    // histogram: all four pixels fall in bin 0 (values < 64)
+    assert(d.feature.toSeq == Seq(1f, 0f, 0f, 0f))
+  }
+
+  test("decodeFeatures runs the real decoder per partition; nulls pass through") {
+    val png = Multimodal.pngBytes(3, 1, Array[Byte](0, 100, -56)) // -56 = 200 unsigned
+    val imgs = Seq((1L, png), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload").repartition(2)
+    val out = Multimodal.decodeFeatures(imgs, "payload")
+    assert(out.columns.takeRight(6).toSeq ==
+      Seq("width", "height", "n_frames", "channels", "px_mean", "feature"))
+    val r = out.filter($"id" === 1L).first()
+    assert(r.getAs[Int]("width") == 3 && r.getAs[Int]("height") == 1)
+    assert(r.getAs[Int]("channels") == 1)
+    assert(r.getAs[Double]("px_mean") == (0 + 100 + 200) / 3.0)
+    val n = out.filter($"id" === 2L).first()
+    assert(n.isNullAt(n.fieldIndex("feature")))
+  }
+
+  test("synthesizeGrayPng -> decode round-trips the md5-hex pixel rule") {
+    val base = Seq((7L, "0123456789abcdef0123456789abcdef", 5, 4))
+      .toDF("doc_id", "hex", "w", "h")
+    val media = Multimodal.synthesizeGrayPng(base, "hex", "w", "h")
+    val out = Multimodal.decodeFeatures(media, "payload").first()
+    assert(out.getAs[Int]("width") == 5 && out.getAs[Int]("height") == 4)
+    // expected mean: ASCII codes of hex chars cycled over 20 pixels
+    val hex = "0123456789abcdef0123456789abcdef"
+    val exp = (0 until 20).map(i => hex.charAt(i % 32).toInt).sum / 20.0
+    assert(out.getAs[Double]("px_mean") == exp)
+  }
+
+  test("StubDecoder still covers no-codec payloads (video stub)") {
+    val out = Multimodal.decodeFeatures(media, "payload",
+      new Multimodal.StubDecoder())
     val r = out.filter($"id" === 1L).first()
     assert(r.getAs[Int]("width") == 16 + 8)
     val feat = r.getSeq[Float](r.fieldIndex("feature"))
