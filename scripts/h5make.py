@@ -6,23 +6,94 @@ READER gets validated against independently produced bytes (the
 mirror-image of scripts/h5check.py, which validates the Scala WRITER
 with an independent Python reader).
 
-Layout: superblock v0, v1 object headers, symbol-table groups,
-contiguous little-endian datasets, v1 'unit' attributes.
+Two modes:
 
-Usage: python3 scripts/h5make.py <table.parquet> <out.hdf5>
+  default   — the libver='earliest' layout the reference datasets use:
+              superblock v0, v1 object headers, symbol-table groups,
+              contiguous little-endian datasets, v1 'unit' attributes.
+  --latest  — the libver='latest' layout newer toolchains emit:
+              superblock v3 (lookup3-checksummed), v2 object headers
+              (OHDR, checksummed), compact link messages, layout-v4
+              datasets (contiguous, Single Chunk, and deflate-filtered
+              Fixed Array chunk indexes), v3 attributes.
+
+Usage: python3 scripts/h5make.py [--latest] <table.parquet> <out.hdf5>
 """
 import struct
 import sys
+import zlib
 
 import pyarrow.parquet as pq
 
 UNDEF = 0xFFFFFFFFFFFFFFFF
+M32 = 0xFFFFFFFF
+
+
+def _rot(x, k):
+    return ((x << k) | (x >> (32 - k))) & M32
+
+
+def lookup3(data, init=0):
+    """Bob Jenkins' hashlittle (public domain, burtleburtle.net/bob/c/
+    lookup3.c) — HDF5's checksum for v2/v3 superblocks, OHDR/OCHK and
+    the v4 chunk-index structures."""
+    a = b = c = (0xDEADBEEF + len(data) + init) & M32
+    i = 0
+    while len(data) - i > 12:
+        a = (a + int.from_bytes(data[i:i + 4], "little")) & M32
+        b = (b + int.from_bytes(data[i + 4:i + 8], "little")) & M32
+        c = (c + int.from_bytes(data[i + 8:i + 12], "little")) & M32
+        a = (a - c) & M32; a ^= _rot(c, 4); c = (c + b) & M32
+        b = (b - a) & M32; b ^= _rot(a, 6); a = (a + c) & M32
+        c = (c - b) & M32; c ^= _rot(b, 8); b = (b + a) & M32
+        a = (a - c) & M32; a ^= _rot(c, 16); c = (c + b) & M32
+        b = (b - a) & M32; b ^= _rot(a, 19); a = (a + c) & M32
+        c = (c - b) & M32; c ^= _rot(b, 4); b = (b + a) & M32
+        i += 12
+    tail = data[i:]
+    if not tail:
+        return c
+    a = (a + int.from_bytes(tail[0:4], "little")) & M32
+    b = (b + int.from_bytes(tail[4:8], "little")) & M32
+    c = (c + int.from_bytes(tail[8:12], "little")) & M32
+    c ^= b; c = (c - _rot(b, 14)) & M32
+    a ^= c; a = (a - _rot(c, 11)) & M32
+    b ^= a; b = (b - _rot(a, 25)) & M32
+    c ^= b; c = (c - _rot(b, 16)) & M32
+    a ^= c; a = (a - _rot(c, 4)) & M32
+    b ^= a; b = (b - _rot(a, 14)) & M32
+    c ^= b; c = (c - _rot(b, 24)) & M32
+    return c
+
+
+def dtype_bytes(kind):
+    if kind == "i64":
+        return struct.pack("<BBBBIHH", 0x10, 0x08, 0, 0, 8, 0, 64)
+    if kind == "f64":
+        return struct.pack("<BBBBIHHBBBBI", 0x11, 0x20, 0x3F, 0, 8,
+                           0, 64, 52, 11, 0, 52, 1023)
+    width = kind[1]
+    return struct.pack("<BBBBI", 0x13, 0, 0, 0, width)
+
+
+def encode_values(values, kind):
+    if kind == "i64":
+        return b"".join(struct.pack("<q", v) for v in values), 8
+    if kind == "f64":
+        return b"".join(struct.pack("<d", v) for v in values), 8
+    width = kind[1]
+    return (b"".join(v.encode()[:width].ljust(width, b"\0") for v in values),
+            width)
 
 
 class W:
+    """libver='earliest' writer: superblock v0 + v1 object headers."""
+
+    superblock_size = 96
+
     def __init__(self):
         self.parts = []
-        self.pos = 96  # superblock
+        self.pos = self.superblock_size
 
     def block(self, b):
         at = self.pos
@@ -41,18 +112,8 @@ class W:
 
     def dataset(self, values, kind, attrs=()):
         """kind: 'i64' | 'f64' | ('s', width)"""
-        if kind == "i64":
-            data = b"".join(struct.pack("<q", v) for v in values)
-            dt = struct.pack("<BBBBIHH", 0x10, 0x08, 0, 0, 8, 0, 64)
-        elif kind == "f64":
-            data = b"".join(struct.pack("<d", v) for v in values)
-            dt = struct.pack("<BBBBIHHBBBBI", 0x11, 0x20, 0x3F, 0, 8,
-                             0, 64, 52, 11, 0, 52, 1023)
-        else:
-            width = kind[1]
-            data = b"".join(v.encode()[:width].ljust(width, b"\0")
-                            for v in values)
-            dt = struct.pack("<BBBBI", 0x13, 0, 0, 0, width)
+        data, _ = encode_values(values, kind)
+        dt = dtype_bytes(kind)
         addr = self.block(data)
         ds = struct.pack("<BBB5x", 1, 1, 0) + struct.pack("<Q", len(values))
         layout = struct.pack("<BBQQ", 3, 1, addr, len(data))
@@ -117,10 +178,128 @@ class W:
                 f.write(b)
 
 
+class WLatest(W):
+    """libver='latest' writer: superblock v3, checksummed v2 object
+    headers, compact link messages, layout-v4 datasets."""
+
+    superblock_size = 48
+
+    def object_header(self, msgs):
+        body = b""
+        for typ, data in msgs:
+            body += struct.pack("<BHB", typ, len(data), 0) + data
+        # flags 0x02: 4-byte chunk-0 size, no times/phase/creation-order
+        prefix = b"OHDR" + struct.pack("<BBI", 2, 0x02, len(body))
+        csum = lookup3(prefix + body)
+        return self.block(prefix + body + struct.pack("<I", csum))
+
+    def attr(self, name, val):
+        nb = name.encode() + b"\0"
+        if isinstance(val, str):
+            vb = val.encode() + b"\0"
+            dt = struct.pack("<BBBBI", 0x13, 0, 0, 0, len(vb))
+        else:
+            vb = struct.pack("<d", float(val))
+            dt = struct.pack("<BBBBIHHBBBBI", 0x11, 0x20, 0x3F, 0, 8,
+                             0, 64, 52, 11, 0, 52, 1023)
+        ds = struct.pack("<BBBB", 2, 0, 0, 0)  # dataspace v2, scalar
+        # attribute message v3: unpadded, name-charset byte (0 = ASCII)
+        return (struct.pack("<BBHHHB", 3, 0, len(nb), len(dt), len(ds), 0)
+                + nb + dt + ds + vb)
+
+    def dataset(self, values, kind, attrs=(), chunk_rows=None):
+        data, elem = encode_values(values, kind)
+        rows = len(values)
+        dt = dtype_bytes(kind)
+        ds = struct.pack("<BBBB", 2, 1, 0, 1) + struct.pack("<Q", rows)
+        msgs = [(0x01, ds), (0x03, dt)]
+        if chunk_rows is None:
+            addr = self.block(data)
+            msgs.append((0x08, struct.pack("<BBQQ", 4, 1, addr, len(data))))
+        elif chunk_rows >= rows:
+            # Single Chunk index (type 1), deflate-filtered
+            comp = zlib.compress(data, 6)
+            addr = self.block(comp)
+            msgs.append((0x0B, self._deflate_msg()))
+            lay = (struct.pack("<BBBBB", 4, 2, 0x02, 2, 8)
+                   + struct.pack("<QQ", rows, elem)
+                   + struct.pack("<B", 1)
+                   + struct.pack("<QIQ", len(comp), 0, addr))
+            msgs.append((0x08, lay))
+        else:
+            # Fixed Array index (type 3), deflate-filtered chunks
+            row_bytes = len(data) // rows if rows else elem
+            chunks = []
+            for r0 in range(0, rows, chunk_rows):
+                raw = data[r0 * row_bytes:(r0 + chunk_rows) * row_bytes]
+                chunks.append(zlib.compress(raw, 6))
+            entries = [(self.block(c), len(c)) for c in chunks]
+            size_w = 4  # stored-size field width; entry = addr+size+mask
+            entry_size = 8 + size_w + 4
+            n = len(entries)
+            # FADB precedes FAHD on disk; addresses are sequential
+            fadb_len = 14 + n * entry_size + 4
+            fadb_addr = self.pos
+            fahd_addr = fadb_addr + fadb_len
+            fadb = (b"FADB" + struct.pack("<BB", 0, 1)
+                    + struct.pack("<Q", fahd_addr))
+            for addr, clen in entries:
+                fadb += struct.pack("<QIi", addr, clen, 0)
+            fadb += struct.pack("<I", lookup3(fadb))
+            fahd = (b"FAHD" + struct.pack("<BBBB", 0, 1, entry_size, 10)
+                    + struct.pack("<QQ", n, fadb_addr))
+            fahd += struct.pack("<I", lookup3(fahd))
+            assert self.block(fadb) == fadb_addr
+            assert self.block(fahd) == fahd_addr
+            msgs.append((0x0B, self._deflate_msg()))
+            lay = (struct.pack("<BBBBB", 4, 2, 0, 2, 8)
+                   + struct.pack("<QQ", chunk_rows, elem)
+                   + struct.pack("<BB", 3, 10)
+                   + struct.pack("<Q", fahd_addr))
+            msgs.append((0x08, lay))
+        for name, val in attrs:
+            msgs.append((0x0C, self.attr(name, val)))
+        return self.object_header(msgs)
+
+    @staticmethod
+    def _deflate_msg():
+        # filter pipeline v2: deflate (id 1), 1 client value (level 6)
+        return (struct.pack("<BB", 2, 1)
+                + struct.pack("<HHH", 1, 0, 1) + struct.pack("<I", 6))
+
+    def group(self, children, attrs=()):
+        # link info: no creation tracking, compact (fractal heap UNDEF)
+        msgs = [(0x02, struct.pack("<BBQQ", 0, 0, UNDEF, UNDEF)),
+                (0x0A, struct.pack("<BB", 0, 0))]
+        for name, addr in sorted(children):
+            nb = name.encode()
+            assert len(nb) < 256
+            msgs.append((0x06, struct.pack("<BBB", 1, 0, len(nb)) + nb
+                         + struct.pack("<Q", addr)))
+        for name, val in attrs:
+            msgs.append((0x0C, self.attr(name, val)))
+        return self.object_header(msgs)
+
+    def write(self, path, root):
+        sb = (b"\x89HDF\r\n\x1a\n"
+              + struct.pack("<BBBB", 3, 8, 8, 0)
+              + struct.pack("<QQQQ", 0, UNDEF, self.pos, root))
+        sb += struct.pack("<I", lookup3(sb))
+        assert len(sb) == 48, len(sb)
+        with open(path, "wb") as f:
+            f.write(sb)
+            for at, b in sorted(self.parts):
+                f.seek(at)
+                f.write(b)
+
+
 def main():
-    t = pq.read_table(sys.argv[1])
-    w = W()
+    args = [a for a in sys.argv[1:] if a != "--latest"]
+    latest = "--latest" in sys.argv[1:]
+    t = pq.read_table(args[0])
+    w = WLatest() if latest else W()
     cols = []
+    first_numeric = True
     for name in t.column_names:
         vals = t[name].to_pylist()
         ty = str(t.schema.field(name).type)
@@ -133,13 +312,25 @@ def main():
             kind = ("s", max(len(v.encode()) for v in vals) + 1)
         else:
             raise SystemExit(f"unsupported type {ty} for {name}")
-        cols.append((name, w.dataset(vals, kind, attrs=[("unit", "None")])))
+        if latest and kind in ("i64", "f64"):
+            if first_numeric:
+                # whole column in one chunk -> Single Chunk index
+                cr = len(vals)
+                first_numeric = False
+            else:
+                # ~3 chunks -> Fixed Array index
+                cr = max(1, (len(vals) + 2) // 3)
+            cols.append((name, w.dataset(vals, kind, attrs=[("unit", "None")],
+                                         chunk_rows=cr)))
+        else:
+            cols.append((name, w.dataset(vals, kind, attrs=[("unit", "None")])))
     data = w.group(cols)
     sim = w.group([], attrs=[("box_size", 123.0), ("redshift", 0.25)])
     header = w.group([("simulation", sim)])
     root = w.group([("data", data), ("header", header)])
-    w.write(sys.argv[2], root)
-    print(f"wrote {sys.argv[2]}: {len(cols)} columns, {t.num_rows} rows")
+    w.write(args[1], root)
+    mode = "latest (sb v3, OHDR)" if latest else "earliest (sb v0)"
+    print(f"wrote {args[1]} [{mode}]: {len(cols)} columns, {t.num_rows} rows")
 
 
 if __name__ == "__main__":

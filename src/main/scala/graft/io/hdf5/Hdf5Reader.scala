@@ -5,15 +5,20 @@ import java.nio.channels.FileChannel
 import java.nio.file.{Paths, StandardOpenOption}
 
 /** Minimal pure-Scala HDF5 reader for the subset of the public HDF5
-  * File Format Specification that h5py emits with default settings
-  * (libver='earliest'), which is what every reference dataset uses
-  * (reference SPEC.md:1-101; io/iopen.py:80-186):
+  * File Format Specification that h5py emits — BOTH the default
+  * libver='earliest' layout every reference dataset uses (reference
+  * SPEC.md:1-101; io/iopen.py:80-186) AND the modern libver='latest'
+  * layout newer toolchains produce:
   *
-  *   - superblock version 0
-  *   - version-1 object headers (+ continuation blocks)
-  *   - groups as v1-B-tree + local-heap symbol tables (SNOD)
-  *   - datasets: contiguous or chunked (v1 chunk B-tree), optionally
-  *     deflate- and/or shuffle-filtered
+  *   - superblocks v0/v1 (legacy) and v2/v3 (checksummed)
+  *   - version-1 object headers (+ continuation blocks) and
+  *     version-2 checksummed object headers (OHDR/OCHK, Jenkins
+  *     lookup3 checksums VERIFIED on read)
+  *   - groups as v1-B-tree + local-heap symbol tables (SNOD) or as
+  *     compact link messages (v2 groups)
+  *   - datasets: contiguous (layout v3/v4) or chunked via v1 chunk
+  *     B-tree, Single Chunk / Implicit / Fixed Array indexes (layout
+  *     v4), optionally deflate- and/or shuffle-filtered
   *   - datatypes: fixed-point, IEEE float, fixed strings; vlen strings
   *     in ATTRIBUTES (global heap)
   *   - attribute messages v1-v3
@@ -27,9 +32,9 @@ import java.nio.file.{Paths, StandardOpenOption}
   * Spark analog of the reference's per-rank HDF5 column windows
   * (io/mpi.py read paths).
   *
-  * Unsupported features (v2 btrees, fractal heaps from
-  * libver='latest', datatypes beyond the above) fail loudly with the
-  * offending construct named.
+  * Unsupported features (dense/fractal-heap link storage, extensible
+  * array & v2-B-tree chunk indexes, paged fixed arrays, datatypes
+  * beyond the above) fail loudly with the offending construct named.
   */
 final class Hdf5Reader(val path: String) extends AutoCloseable {
   import Hdf5Reader._
@@ -59,26 +64,112 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
 
   // ---- superblock ---------------------------------------------------
 
-  val rootHeaderAddr: Long = {
+  /** (superblock version, root object header address). v0/v1 locate
+    * the root through its symbol-table entry; v2/v3 store the address
+    * directly and carry a lookup3 checksum, verified here.
+    */
+  val (superblockVersion: Int, rootHeaderAddr: Long) = {
     val sig = bytes(0, 8)
     require(sig.sameElements(Signature), s"$path is not an HDF5 file")
-    val version = u8(8)
-    require(version == 0, s"unsupported superblock version $version (need 0)")
-    require(u8(13) == 8 && u8(14) == 8,
-      "unsupported offset/length size (need 8/8)")
-    // root group symbol table entry at byte 24 + 4*8 = 56
-    u64(56 + 8)
+    u8(8) match {
+      case 0 =>
+        require(u8(13) == 8 && u8(14) == 8,
+          "unsupported offset/length size (need 8/8)")
+        // root group symbol table entry at byte 24 + 4*8 = 56
+        (0, u64(56 + 8))
+      case 1 =>
+        require(u8(13) == 8 && u8(14) == 8,
+          "unsupported offset/length size (need 8/8)")
+        // v1 inserts indexed-storage-K (2) + reserved (2) before the
+        // base address, shifting the root entry to byte 60
+        (1, u64(60 + 8))
+      case v @ (2 | 3) =>
+        require(u8(9) == 8 && u8(10) == 8,
+          "unsupported offset/length size (need 8/8)")
+        val stored = u32(44)
+        val computed = Lookup3.hashU(bytes(0, 44), 0)
+        require(stored == computed,
+          f"superblock v$v checksum mismatch (stored 0x$stored%08x != computed 0x$computed%08x)")
+        (v, u64(36))
+      case v => fail(s"unsupported superblock version $v")
+    }
   }
 
-  // ---- object headers (v1) -----------------------------------------
+  // ---- object headers (v1 + checksummed v2) -------------------------
 
   final case class Message(typ: Int, dataOff: Long, dataLen: Int)
 
+  /** All messages of an object header, following continuations.
+    * Dispatches on the OHDR signature: v2 headers (libver='latest')
+    * start with "OHDR"; v1 headers start with a bare version byte.
+    */
+  def messages(addr: Long): Seq[Message] =
+    if (new String(bytes(addr, 4), "US-ASCII") == "OHDR") messagesV2(addr)
+    else messagesV1(addr)
+
+  /** v2 (checksummed) object header: OHDR prefix + sized chunk 0 +
+    * OCHK continuation blocks; every chunk's lookup3 checksum is
+    * verified before its messages are trusted.
+    */
+  private def messagesV2(addr: Long): Seq[Message] = {
+    val version = u8(addr + 4)
+    require(version == 2, s"unsupported OHDR version $version at $addr")
+    val flags = u8(addr + 5)
+    var p = addr + 6
+    if ((flags & 0x20) != 0) p += 16 // access/mod/change/birth times
+    if ((flags & 0x10) != 0) p += 4  // attr storage phase-change bounds
+    val szBytes = 1 << (flags & 0x03)
+    val chunk0 = szBytes match {
+      case 1 => u8(p).toLong
+      case 2 => u16(p).toLong
+      case 4 => u32(p)
+      case _ => u64(p)
+    }
+    p += szBytes
+    val prefixLen = (p - addr).toInt
+    val stored = u32(p + chunk0)
+    val computed = Lookup3.hashU(bytes(addr, prefixLen + chunk0.toInt), 0)
+    require(stored == computed,
+      f"object header checksum mismatch at $addr (stored 0x$stored%08x != 0x$computed%08x)")
+    // messages carry a 2-byte creation-order field iff header bit 2 set
+    val msgHdr = if ((flags & 0x04) != 0) 6 else 4
+    val out = Seq.newBuilder[Message]
+    var blocks = List((p, chunk0))
+    while (blocks.nonEmpty) {
+      val (start, len) = blocks.head
+      blocks = blocks.tail
+      var q = start
+      val end = start + len
+      // no message count in v2 — iterate by size; a trailing gap
+      // smaller than a message header terminates the block
+      while (q + msgHdr <= end) {
+        val typ = u8(q)
+        val size = u16(q + 1)
+        val dataOff = q + msgHdr
+        if (typ == 0x0010) { // continuation: OCHK block
+          val cAddr = u64(dataOff)
+          val cLen = u64(dataOff + 8)
+          require(new String(bytes(cAddr, 4), "US-ASCII") == "OCHK",
+            s"no OCHK continuation at $cAddr")
+          val cStored = u32(cAddr + cLen - 4)
+          val cComputed = Lookup3.hashU(bytes(cAddr, (cLen - 4).toInt), 0)
+          require(cStored == cComputed,
+            f"continuation checksum mismatch at $cAddr (0x$cStored%08x != 0x$cComputed%08x)")
+          blocks = blocks :+ ((cAddr + 4, cLen - 8)) // minus sig + checksum
+        } else if (typ != 0x0000) {
+          out += Message(typ, dataOff, size)
+        }
+        q = dataOff + size
+      }
+    }
+    out.result()
+  }
+
   /** All messages of a v1 object header, following continuations. */
-  def messages(addr: Long): Seq[Message] = {
+  private def messagesV1(addr: Long): Seq[Message] = {
     val version = u8(addr)
     require(version == 1,
-      s"unsupported object header version $version at $addr (libver='latest' file?)")
+      s"unsupported object header version $version at $addr")
     val nMsgs = u16(addr + 2)
     val hdrSize = u32(addr + 8)
     val out = Seq.newBuilder[Message]
@@ -209,13 +300,59 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
   def objectInfo(addr: Long): ObjectInfo = {
     val msgs = messages(addr)
     val attrs = msgs.filter(_.typ == 0x000C).map(parseAttribute).toMap
-    ObjectInfo(addr, attrs, msgs.exists(_.typ == 0x0011), msgs)
+    // a group carries a symbol table (v1), or link-info/group-info
+    // messages (v2 "new-style" groups)
+    val isGroup = msgs.exists(m =>
+      m.typ == 0x0011 || m.typ == 0x0002 || m.typ == 0x000A)
+    ObjectInfo(addr, attrs, isGroup, msgs)
   }
 
-  /** Child links of a symbol-table group: name → object header addr. */
-  def groupLinks(info: ObjectInfo): Seq[(String, Long)] = {
-    val stab = info.msgs.find(_.typ == 0x0011)
-      .getOrElse(fail(s"object at ${info.addr} is not a symbol-table group"))
+  /** Child links of a group: name → object header addr. Handles both
+    * v1 symbol-table groups and v2 groups with compact link messages;
+    * dense (fractal-heap) link storage fails loudly.
+    */
+  def groupLinks(info: ObjectInfo): Seq[(String, Long)] =
+    info.msgs.find(_.typ == 0x0011) match {
+      case Some(stab) => symbolTableLinks(stab)
+      case None =>
+        require(info.isGroup, s"object at ${info.addr} is not a group")
+        // dense storage puts links in a fractal heap named by link-info
+        info.msgs.find(_.typ == 0x0002).foreach { li =>
+          val flags = u8(li.dataOff + 1)
+          var q = li.dataOff + 2
+          if ((flags & 0x01) != 0) q += 8 // max creation index
+          val fheap = u64(q)
+          require(fheap == Undef,
+            s"dense link storage (fractal heap at $fheap) unsupported at ${info.addr}")
+        }
+        info.msgs.filter(_.typ == 0x0006).map(parseLink).sortBy(_._1)
+    }
+
+  /** Hard-link message (type 0x0006) of a v2 compact group. */
+  private def parseLink(m: Message): (String, Long) = {
+    val version = u8(m.dataOff)
+    require(version == 1, s"unsupported link message version $version")
+    val flags = u8(m.dataOff + 1)
+    var p = m.dataOff + 2
+    val linkType = if ((flags & 0x08) != 0) { val t = u8(p); p += 1; t } else 0
+    if ((flags & 0x04) != 0) p += 8 // creation order
+    if ((flags & 0x10) != 0) p += 1 // name charset
+    val lenSz = 1 << (flags & 0x03)
+    val nameLen = lenSz match {
+      case 1 => u8(p)
+      case 2 => u16(p)
+      case 4 => u32(p).toInt
+      case _ => u64(p).toInt
+    }
+    p += lenSz
+    val name = new String(bytes(p, nameLen), "UTF-8")
+    p += nameLen
+    require(linkType == 0,
+      s"unsupported link type $linkType for '$name' (hard links only)")
+    name -> u64(p)
+  }
+
+  private def symbolTableLinks(stab: Message): Seq[(String, Long)] = {
     val btreeAddr = u64(stab.dataOff)
     val heapAddr = u64(stab.dataOff + 8)
     val heapDataAddr = {
@@ -265,6 +402,13 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
   sealed trait Layout
   final case class Contiguous(addr: Long, size: Long) extends Layout
   final case class Chunked(btreeAddr: Long, chunkDims: Seq[Int]) extends Layout
+  /** layout v4, index type 1: the whole dataset is one chunk. */
+  final case class SingleChunk(addr: Long, storedBytes: Long,
+                               chunkDims: Seq[Int]) extends Layout
+  /** layout v4, index type 2: unfiltered chunks at addr + i*chunkBytes. */
+  final case class ImplicitIndex(addr: Long, chunkDims: Seq[Int]) extends Layout
+  /** layout v4, index type 3: chunk addresses in a fixed array. */
+  final case class FixedArray(headerAddr: Long, chunkDims: Seq[Int]) extends Layout
 
   final case class DatasetMeta(name: String, addr: Long, dims: Seq[Long],
                                dtype: DType, layout: Layout,
@@ -281,16 +425,22 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     val dtype = m(0x0003).map(x => parseDatatype(x.dataOff))
       .getOrElse(fail(s"dataset $name has no datatype"))
     val layout = m(0x0008).map { x =>
-      val v = u8(x.dataOff)
-      require(v == 3, s"unsupported data layout version $v for $name")
-      u8(x.dataOff + 1) match {
-        case 1 => Contiguous(u64(x.dataOff + 2), u64(x.dataOff + 10))
-        case 2 =>
-          val nd = u8(x.dataOff + 2) // ndims + 1
-          val bt = u64(x.dataOff + 3)
-          val cd = (0 until nd - 1).map(i => u32(x.dataOff + 11 + 4L * i).toInt)
-          Chunked(bt, cd)
-        case c => fail(s"unsupported layout class $c for $name")
+      u8(x.dataOff) match {
+        case 3 => u8(x.dataOff + 1) match {
+          case 1 => Contiguous(u64(x.dataOff + 2), u64(x.dataOff + 10))
+          case 2 =>
+            val nd = u8(x.dataOff + 2) // ndims + 1
+            val bt = u64(x.dataOff + 3)
+            val cd = (0 until nd - 1).map(i => u32(x.dataOff + 11 + 4L * i).toInt)
+            Chunked(bt, cd)
+          case c => fail(s"unsupported layout class $c for $name")
+        }
+        case 4 => u8(x.dataOff + 1) match {
+          case 1 => Contiguous(u64(x.dataOff + 2), u64(x.dataOff + 10))
+          case 2 => parseChunkedV4(name, x.dataOff + 2)
+          case c => fail(s"unsupported layout v4 class $c for $name")
+        }
+        case v => fail(s"unsupported data layout version $v for $name")
       }
     }.getOrElse(fail(s"dataset $name has no layout"))
     val filters = m(0x000B).map { x =>
@@ -309,6 +459,39 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     DatasetMeta(name, info.addr, space, dtype, layout, filters, info.attrs)
   }
 
+  /** layout message v4, class 2 (chunked): variable-width chunk dims
+    * (the trailing entry is the element size) + one of several chunk
+    * index structures.
+    */
+  private def parseChunkedV4(name: String, off0: Long): Layout = {
+    val flags = u8(off0)
+    val nd = u8(off0 + 1) // rank + 1 (includes element-size dim)
+    val encLen = u8(off0 + 2)
+    def varInt(off: Long): Long = encLen match {
+      case 1 => u8(off).toLong
+      case 2 => u16(off).toLong
+      case 4 => u32(off)
+      case 8 => u64(off)
+      case n => fail(s"unsupported dim encoding width $n for $name")
+    }
+    val dims = (0 until nd).map(i => varInt(off0 + 3 + i.toLong * encLen))
+    val chunkDims = dims.dropRight(1).map(_.toInt) // drop element size
+    var p = off0 + 3 + nd.toLong * encLen
+    u8(p) match {
+      case 1 => // single chunk; size+mask present iff the filtered bit set
+        p += 1
+        if ((flags & 0x02) != 0) {
+          val size = u64(p); p += 8
+          p += 4 // filter mask
+          SingleChunk(u64(p), size, chunkDims)
+        } else SingleChunk(u64(p), -1L, chunkDims)
+      case 2 => ImplicitIndex(u64(p + 1), chunkDims)
+      case 3 => FixedArray(u64(p + 2), chunkDims) // skip page-bits byte
+      case t => fail(
+        s"unsupported chunk index type $t for $name (extensible array / v2 b-tree)")
+    }
+  }
+
   /** Raw bytes of rows [row0, row1) — the windowed read each Spark
     * task performs for its slice.
     */
@@ -319,7 +502,14 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
         require(ds.filters.isEmpty, s"filters on contiguous dataset ${ds.name}")
         val src = bytes(addr + row0 * ds.rowBytes, out.length)
         System.arraycopy(src, 0, out, 0, out.length)
-      case Chunked(btreeAddr, chunkDims) =>
+      case chunked =>
+        val chunkDims = chunked match {
+          case Chunked(_, cd) => cd
+          case SingleChunk(_, _, cd) => cd
+          case ImplicitIndex(_, cd) => cd
+          case FixedArray(_, cd) => cd
+          case _ => fail(s"unreachable layout for ${ds.name}")
+        }
         // chunkDims excludes the trailing element-size entry: one per
         // dataset dimension
         require(chunkDims.size == ds.dims.size, s"chunk rank mismatch for ${ds.name}")
@@ -328,10 +518,10 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
           s"chunks splitting non-row dimensions unsupported (${ds.name})")
         val chunkRows = chunkDims.head
         val chunkBytes = (chunkDims.map(_.toLong).product * ds.dtype.byteSize).toInt
-        collectChunks(btreeAddr, ds.dims.size.max(1)).foreach {
+        chunkIndex(ds, chunkRows, chunkBytes).foreach {
           case (startRow, addr, nbytes) =>
             val cEnd = startRow + chunkRows
-            if (cEnd > row0 && startRow < row1) {
+            if (cEnd > row0 && startRow < row1 && addr != Undef) {
               val raw = bytes(addr, nbytes)
               val data = applyFilters(raw, ds.filters, ds.dtype.byteSize, chunkBytes)
               val from = math.max(row0, startRow)
@@ -344,6 +534,77 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
         }
     }
     out
+  }
+
+  /** Unified chunk enumeration: (startRow, fileAddr, storedBytes) for
+    * every chunked layout flavor.
+    */
+  private def chunkIndex(ds: DatasetMeta, chunkRows: Int,
+                         chunkBytes: Int): Seq[(Long, Long, Int)] = ds.layout match {
+    case Chunked(btreeAddr, _) => collectChunks(btreeAddr, ds.dims.size.max(1))
+    case SingleChunk(addr, storedBytes, _) =>
+      val n = if (storedBytes >= 0) storedBytes.toInt else chunkBytes
+      Seq((0L, addr, n))
+    case ImplicitIndex(base, _) =>
+      require(ds.filters.isEmpty, s"filters with implicit chunk index (${ds.name})")
+      val nChunks = ((ds.rows + chunkRows - 1) / chunkRows).toInt
+      (0 until nChunks).map(i =>
+        (i.toLong * chunkRows, base + i.toLong * chunkBytes, chunkBytes))
+    case FixedArray(hdrAddr, _) => fixedArrayChunks(ds, hdrAddr, chunkRows, chunkBytes)
+    case other => fail(s"not a chunked layout: $other")
+  }
+
+  /** Fixed Array chunk index (layout v4 type 3): FAHD header + FADB
+    * data block, both checksum-verified. Client 0 = unfiltered chunk
+    * addresses; client 1 = (address, stored size, filter mask)
+    * triples. Paged data blocks (more entries than one page) are not
+    * supported and fail loudly.
+    */
+  private def fixedArrayChunks(ds: DatasetMeta, hdrAddr: Long, chunkRows: Int,
+                               chunkBytes: Int): Seq[(Long, Long, Int)] = {
+    require(new String(bytes(hdrAddr, 4), "US-ASCII") == "FAHD",
+      s"no fixed-array header at $hdrAddr (${ds.name})")
+    require(u8(hdrAddr + 4) == 0, s"unsupported FAHD version (${ds.name})")
+    val clientId = u8(hdrAddr + 5)
+    require(clientId == 0 || clientId == 1,
+      s"unsupported fixed-array client $clientId (${ds.name})")
+    val entrySize = u8(hdrAddr + 6)
+    val pageBits = u8(hdrAddr + 7)
+    val maxEntries = u64(hdrAddr + 8)
+    val dbAddr = u64(hdrAddr + 16)
+    val hStored = u32(hdrAddr + 24)
+    val hComputed = Lookup3.hashU(bytes(hdrAddr, 24), 0)
+    require(hStored == hComputed, s"FAHD checksum mismatch at $hdrAddr (${ds.name})")
+    require(maxEntries <= (1L << pageBits),
+      s"paged fixed array unsupported (${ds.name}: $maxEntries entries, 2^$pageBits page)")
+    require(new String(bytes(dbAddr, 4), "US-ASCII") == "FADB",
+      s"no fixed-array data block at $dbAddr (${ds.name})")
+    require(u8(dbAddr + 4) == 0 && u8(dbAddr + 5) == clientId,
+      s"FADB version/client mismatch at $dbAddr (${ds.name})")
+    val elems = dbAddr + 14 // sig(4) + version(1) + client(1) + hdr addr(8)
+    val dStored = u32(elems + maxEntries * entrySize)
+    val dComputed = Lookup3.hashU(
+      bytes(dbAddr, (14 + maxEntries * entrySize).toInt), 0)
+    require(dStored == dComputed, s"FADB checksum mismatch at $dbAddr (${ds.name})")
+    val nChunks = ((ds.rows + chunkRows - 1) / chunkRows).toInt
+    require(nChunks <= maxEntries,
+      s"fixed array too small for ${ds.name}: $nChunks chunks > $maxEntries entries")
+    (0 until nChunks).map { i =>
+      val e = elems + i.toLong * entrySize
+      if (clientId == 0) (i.toLong * chunkRows, u64(e), chunkBytes)
+      else {
+        // entry = address(8) + stored size(entrySize-12) + filter mask(4)
+        val szW = entrySize - 12
+        val size = szW match {
+          case 1 => u8(e + 8).toLong
+          case 2 => u16(e + 8).toLong
+          case 4 => u32(e + 8)
+          case 8 => u64(e + 8)
+          case w => fail(s"unsupported chunk-size width $w (${ds.name})")
+        }
+        (i.toLong * chunkRows, u64(e), size.toInt)
+      }
+    }
   }
 
   /** Chunk index: (startRow, fileAddr, storedBytes). */
@@ -408,12 +669,67 @@ object Hdf5Reader {
   val Signature: Array[Byte] =
     Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n').map(_.toByte)
 
+  /** HDF5's "undefined address" sentinel (all ones). */
+  val Undef: Long = -1L
+
   def cstr(b: Array[Byte]): String = {
     val i = b.indexOf(0.toByte)
     new String(if (i < 0) b else b.take(i), "UTF-8")
   }
 
   def fail(msg: String): Nothing = throw new Hdf5FormatException(msg)
+}
+
+/** Bob Jenkins' lookup3 hash (`hashlittle`), the checksum HDF5 uses
+  * for v2/v3 superblocks, v2 object headers and the v4 chunk-index
+  * structures — public domain algorithm, published at
+  * https://burtleburtle.net/bob/c/lookup3.c and specified by the HDF5
+  * format document. Implemented from the published description; the
+  * spec's own test vectors are asserted in Hdf5Spec.
+  */
+object Lookup3 {
+  private def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+
+  /** hashlittle(data, initval) — returns the 32-bit `c` word. */
+  def hash(data: Array[Byte], init: Int): Int = {
+    var a = 0xdeadbeef + data.length + init
+    var b = a
+    var c = a
+    var i = 0
+    def w(off: Int, n: Int): Int = {
+      var v = 0; var j = 0
+      while (j < n) { v |= (data(off + j) & 0xFF) << (8 * j); j += 1 }
+      v
+    }
+    while (data.length - i > 12) {
+      a += w(i, 4); b += w(i + 4, 4); c += w(i + 8, 4)
+      // mix(a,b,c)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      i += 12
+    }
+    val rem = data.length - i
+    if (rem == 0) return c // per lookup3: zero tail skips final()
+    a += w(i, math.min(rem, 4))
+    if (rem > 4) b += w(i + 4, math.min(rem - 4, 4))
+    if (rem > 8) c += w(i + 8, rem - 8)
+    // final(a,b,c)
+    c ^= b; c -= rot(b, 14)
+    a ^= c; a -= rot(c, 11)
+    b ^= a; b -= rot(a, 25)
+    c ^= b; c -= rot(b, 16)
+    a ^= c; a -= rot(c, 4)
+    b ^= a; b -= rot(a, 14)
+    c ^= b; c -= rot(b, 24)
+    c
+  }
+
+  /** Convenience: unsigned value as Long for comparison with u32 reads. */
+  def hashU(data: Array[Byte], init: Int): Long = hash(data, init) & 0xFFFFFFFFL
 }
 
 final class Hdf5FormatException(msg: String) extends RuntimeException(msg)

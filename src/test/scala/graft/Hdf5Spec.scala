@@ -414,4 +414,95 @@ class Hdf5Spec extends SparkSpec {
     val e = intercept[Exception](new Hdf5Reader(bad.toString).rootHeaderAddr)
     assert(e.getMessage.contains("not an HDF5 file"))
   }
+
+  test("lookup3 checksum matches the published test vectors") {
+    import graft.io.hdf5.Lookup3
+    // vectors from the lookup3.c self-test (public domain, Bob Jenkins)
+    assert(Lookup3.hashU("".getBytes("US-ASCII"), 0) == 0xdeadbeefL)
+    assert(Lookup3.hashU("".getBytes("US-ASCII"), 0xdeadbeef) == 0xbd5b7ddeL)
+    assert(Lookup3.hashU("Four score and seven years ago".getBytes("US-ASCII"), 0)
+      == 0x17770551L)
+    assert(Lookup3.hashU("Four score and seven years ago".getBytes("US-ASCII"), 1)
+      == 0xcd628161L)
+  }
+
+  // libver='latest' fixture: superblock v3, checksummed v2 object
+  // headers (OHDR), compact link messages, layout-v4 datasets
+  // (contiguous string, deflate Single Chunk, deflate Fixed Array) —
+  // generated by the independent pure-Python writer:
+  //   python3 scripts/h5make.py --latest testdata/nation.parquet <out>
+  private lazy val latestFixture: String =
+    getClass.getResource("/nation_latest.hdf5").getPath
+
+  test("v3-superblock file parses: checksums verified, v2 groups walk") {
+    val r = new Hdf5Reader(latestFixture)
+    try {
+      assert(r.superblockVersion == 3)
+      val root = r.objectInfo(r.rootHeaderAddr)
+      assert(root.isGroup)
+      assert(r.groupLinks(root).map(_._1) == Seq("data", "header"))
+      val data = r.objectInfo(r.groupLinks(root).toMap.apply("data"))
+      assert(r.groupLinks(data).map(_._1) ==
+        Seq("n_name", "n_nationkey", "n_regionkey"))
+      // a flipped bit must be caught by the OHDR checksum
+    } finally r.close()
+  }
+
+  test("corrupted v2 object header fails its checksum loudly") {
+    val d = Files.createTempDirectory("graft-h5-corrupt")
+    val p = d.resolve("corrupt.hdf5")
+    val b = Files.readAllBytes(java.nio.file.Paths.get(latestFixture))
+    // flip one bit inside the root object header's message area (the
+    // root header is the last OHDR block; superblock ends at 48)
+    val ohdr = {
+      var i = b.length - 4
+      var found = -1
+      while (found < 0 && i >= 48) {
+        if (b(i) == 'O' && b(i + 1) == 'H' && b(i + 2) == 'D' && b(i + 3) == 'R') found = i
+        i -= 1
+      }
+      found
+    }
+    assert(ohdr > 0)
+    b(ohdr + 12) = (b(ohdr + 12) ^ 0x01).toByte
+    Files.write(p, b)
+    val r = new Hdf5Reader(p.toString)
+    try {
+      val e = intercept[Exception](r.objectInfo(r.rootHeaderAddr))
+      assert(e.getMessage.contains("checksum mismatch"))
+    } finally r.close()
+  }
+
+  test("v2-superblock fixture imports: v4 layouts (single chunk, fixed array) decode") {
+    val ds = Hdf5Io.importDataset(spark, latestFixture)
+    assert(ds.count() == 25)
+    assert(ds.columns.sorted.toSeq == Seq("n_name", "n_nationkey", "n_regionkey"))
+    // sums against the parquet source of truth
+    val sums = ds.df.agg(
+      sum($"n_nationkey").as("nk"), sum($"n_regionkey").as("rk"),
+      sum(length($"n_name")).as("nm")).head()
+    val truth = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .agg(sum($"n_nationkey"), sum($"n_regionkey"), sum(length($"n_name"))).head()
+    assert(sums.getLong(0) == truth.getLong(0))
+    assert(sums.getLong(1) == truth.getLong(1))
+    assert(sums.getLong(2) == truth.getLong(2))
+  }
+
+  test("windowed reads cross fixed-array chunk boundaries correctly") {
+    val r = new Hdf5Reader(latestFixture)
+    try {
+      val root = r.objectInfo(r.rootHeaderAddr)
+      val data = r.objectInfo(r.groupLinks(root).toMap.apply("data"))
+      val kids = r.groupLinks(data).toMap
+      // n_regionkey is the deflate fixed-array column (3 chunks of 9)
+      val meta = r.datasetMeta("n_regionkey", r.objectInfo(kids("n_regionkey")))
+      val full = r.readRows(meta, 0, meta.rows)
+      val window = r.readRows(meta, 5, 20) // spans chunk 0|1|2 boundaries
+      val fb = java.nio.ByteBuffer.wrap(full).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val wb = java.nio.ByteBuffer.wrap(window).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (5 until 20).foreach { i =>
+        assert(wb.getLong((i - 5) * 8) == fb.getLong(i * 8))
+      }
+    } finally r.close()
+  }
 }
