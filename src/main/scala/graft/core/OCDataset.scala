@@ -95,24 +95,51 @@ final case class OCDataset(
 
   // ---- §2.5 derived columns ---------------------------------------
 
+  /** Column descriptions (reference dataset.py:132-147): every column
+    * present, None when the header carries no description — plain-text
+    * metadata read from the HDF5 `description` attributes and carried
+    * through the sidecar.
+    */
+  def descriptions: Map[String, Option[String]] =
+    columns.map(c => c -> header.columnDescriptions.get(c)).toMap
+
   /** Add derived columns (reference with_new_columns,
     * dataset.py:914-992). Overwrite of an existing name requires
-    * allowOverwrite — same guard as the reference.
+    * allowOverwrite — same guard as the reference. Descriptions attach
+    * to the new columns (reference's `descriptions=` kwarg) and
+    * propagate through write/reopen like units do; an overwritten
+    * column always sheds its OLD description (stale prose on new data
+    * is worse than none).
     */
   def withNewColumns(derived: (String, OCExpr)*): OCDataset =
-    withNewColumns(allowOverwrite = false, derived: _*)
+    withNewColumns(allowOverwrite = false, Map.empty[String, String], derived: _*)
 
-  def withNewColumns(allowOverwrite: Boolean, derived: (String, OCExpr)*): OCDataset = {
-    val clash = derived.map(_._1).filter(columns.contains)
+  def withNewColumns(allowOverwrite: Boolean, derived: (String, OCExpr)*): OCDataset =
+    withNewColumns(allowOverwrite, Map.empty[String, String], derived: _*)
+
+  def withNewColumns(descriptions: Map[String, String],
+                     derived: (String, OCExpr)*): OCDataset =
+    withNewColumns(allowOverwrite = false, descriptions, derived: _*)
+
+  def withNewColumns(allowOverwrite: Boolean, descriptions: Map[String, String],
+                     derived: (String, OCExpr)*): OCDataset = {
+    val names = derived.map(_._1)
+    val clash = names.filter(columns.contains)
     require(allowOverwrite || clash.isEmpty,
       s"columns already exist: ${clash.mkString(",")} (pass allowOverwrite)")
+    val unknown = descriptions.keySet -- names
+    require(unknown.isEmpty,
+      s"descriptions for non-derived columns: ${unknown.mkString(",")}")
     val newUnits = derived.map { case (n, e) => n -> e.unitIn(unitEnv).toString }
     val values = resolveAll(derived.map(_._2))
     val out = derived.foldLeft(df) { case (d, (n, e)) =>
       d.withColumn(n, e.substitute(values).toColumn)
     }
     copy(df = out,
-      header = header.copy(columnUnits = header.columnUnits ++ newUnits))
+      header = header.copy(
+        columnUnits = header.columnUnits ++ newUnits,
+        columnDescriptions =
+          (header.columnDescriptions -- names) ++ descriptions))
   }
 
   // ---- §2.8 sort / take -------------------------------------------
@@ -156,9 +183,18 @@ final case class OCDataset(
       // any partitioning — and in any engine that can md5 a string.
       // `keys` picks the hashed columns (a primary key avoids
       // engine-specific float rendering); empty → all columns.
+      // Each component is length-prefixed ("<len>:<value>", NULL →
+      // "n") so ("a|b") vs ("a","b") and NULL-keyed rows cannot alias
+      // to the same hash input — the SQL replay is
+      //   md5('<seed>|' || CASE WHEN k IS NULL THEN 'n'
+      //       ELSE length(CAST(k AS VARCHAR)) || ':' || CAST(k AS VARCHAR) END || ...)
       val hashed = (if (keys.nonEmpty) keys else df.columns.toSeq).map(col)
-      val h = md5(concat_ws("|",
-        lit(seed.toString) +: hashed.map(_.cast("string")): _*))
+      val parts = hashed.map { c =>
+        val s = c.cast("string")
+        when(s.isNull, lit("n"))
+          .otherwise(concat(length(s).cast("string"), lit(":"), s))
+      }
+      val h = md5(concat(lit(seed.toString + "|") +: parts: _*))
       // orderBy+limit → TakeOrderedAndProject: distributed top-k per
       // partition + driver merge, never a global sort
       copy(df = df.orderBy(h).limit(n), sortKey = None)
@@ -169,7 +205,10 @@ final case class OCDataset(
     * limit pushdown, no full materialization.
     */
   def takeRange(start: Int, end: Int): OCDataset =
-    copy(df = sorted(df).offset(start).limit(end - start), sortKey = None)
+    // fires IndexUpdate like its siblings — the reference's
+    // IndexUpdateCtx covers take_range narrowing too (dataset.py:838-883)
+    indexUpdated("takeRange",
+      copy(df = sorted(df).offset(start).limit(end - start), sortKey = None))
 
   /** Arbitrary row selection by key values (reference take_rows,
     * dataset.py:885-912 — there by positional row id; here by an
@@ -204,7 +243,8 @@ final case class OCDataset(
     * any column.
     */
   def withDataColumn(name: String, values: Seq[Any], unit: String = "",
-                     allowOverwrite: Boolean = false): OCDataset = {
+                     allowOverwrite: Boolean = false,
+                     description: String = ""): OCDataset = {
     require(allowOverwrite || !columns.contains(name),
       s"column '$name' exists; pass allowOverwrite=true to replace")
     // sort BEFORE dropping a replaced column — it may be the lazy sort
@@ -229,11 +269,16 @@ final case class OCDataset(
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bound(i.toInt))
     }
     val df2 = df.sparkSession.createDataFrame(rdd2, schema2)
-    // a replaced column must not inherit the OLD unit — a stale
-    // km/s entry on new unitless data would silently mis-convert later
+    // a replaced column must not inherit the OLD unit/description — a
+    // stale km/s entry on new unitless data would silently mis-convert
+    // later, and stale prose misleads
     val units2 =
       (header.columnUnits - name) ++ (if (unit.nonEmpty) Map(name -> unit) else Map.empty)
-    copy(df = df2, header = header.copy(columnUnits = units2), sortKey = None)
+    val descs2 = (header.columnDescriptions - name) ++
+      (if (description.nonEmpty) Map(name -> description) else Map.empty)
+    copy(df = df2,
+      header = header.copy(columnUnits = units2, columnDescriptions = descs2),
+      sortKey = None)
   }
 
   // ---- §2.11 units -------------------------------------------------

@@ -460,6 +460,15 @@ object Hdf5Io {
     * the datasets found. `openKwargs` feeds the SPEC `load/if`
     * condition gate — a conditionally-loaded group whose conditions
     * aren't met is skipped exactly as the reference skips it.
+    *
+    * DELIBERATE DIVERGENCE: for a root-level SINGLE dataset whose
+    * load/if conditions are unmet, the reference silently discards it
+    * and reports "no datasets found" (__make_file_target,
+    * iopen.py:105-121); this import throws instead. A whole-file open
+    * that yields nothing is far more likely a caller error (wrong
+    * kwargs) than intent, and a loud failure names the unmet
+    * condition — multi-group files keep the reference's skip
+    * semantics, where partial loads are meaningful.
     */
   def importAny(spark: SparkSession, h5Path: String,
                 openKwargs: Map[String, Boolean] = Map.empty): Any = {

@@ -29,6 +29,13 @@ object Similarity {
     * hold cost-per-vector flat. Clamped to [1, 24] (2^24 buckets is
     * already beyond any single join's useful key cardinality).
     */
+  /** Above this plane count, [[lshTopK]] drops the Hamming-2 probe
+    * ring: (planes choose 2) probes per query is a quadratic fan-out
+    * (12 → 66 extra probes, 24 → 276) that overtakes the candidate
+    * scan it is meant to save.
+    */
+  val MaxHamming2Planes: Int = 12
+
   def autoPlanes(n: Long, targetBucket: Long = 64L): Int = {
     val buckets = math.max(1L, n / math.max(1L, targetBucket))
     // ceil, not round: the target is an UPPER bound on expected
@@ -66,9 +73,18 @@ object Similarity {
     * Sizing: 2^nPlanes buckets should be ≈ corpus/64 so each probe set
     * covers a meaningful candidate pool; `nPlanes = 0` (the default)
     * derives that from one cheap `corpus.count()` via [[autoPlanes]] —
-    * the tuned regime ScaleProbe measured. Pass an explicit count to
-    * skip the count job. For weakly-clustered (random) embeddings
-    * prefer `ivfTopK`.
+    * the tuned regime ScaleProbe measured. NOTE: the default therefore
+    * runs an EAGER count job over the full upstream plan at call time
+    * (cache the corpus first, or pass an explicit `nPlanes`, to skip
+    * it) — same contract as `cosineNearDupPairs`. For weakly-clustered
+    * (random) embeddings prefer `ivfTopK`.
+    *
+    * Probe fan-out is capped independently of the bucket count: the
+    * Hamming-2 ring grows quadratically in planes (24 planes → 276
+    * extra probes per query), so above [[MaxHamming2Planes]] planes
+    * only Hamming-1 buckets are probed (1 + planes probes) — per-query
+    * work stays linear in planes while each bucket still holds
+    * ~targetBucket candidates.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nPlanes: Int = 0, dim: Int = 64): DataFrame = {
@@ -78,10 +94,13 @@ object Similarity {
       signLshBucket(col(vecCol), planes, dim).as("bucket"))
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       signLshBucket(col(vecCol), planes, dim).as("b0"))
-    // multi-probe: own bucket + all buckets at Hamming distance 1 and 2
+    // multi-probe: own bucket + all buckets at Hamming distance 1, and
+    // Hamming distance 2 only while the quadratic enumeration is small
     val h1 = (0 until planes).map(p => col("b0").bitwiseXOR(lit(1L << p)))
-    val h2 = for (p <- 0 until planes; q <- (p + 1) until planes)
-      yield col("b0").bitwiseXOR(lit((1L << p) | (1L << q)))
+    val h2 =
+      if (planes > MaxHamming2Planes) Seq.empty
+      else for (p <- 0 until planes; q <- (p + 1) until planes)
+        yield col("b0").bitwiseXOR(lit((1L << p) | (1L << q)))
     val probes = qBase.select(col("query_id"), col("qv"),
       explode(array(col("b0") +: (h1 ++ h2): _*)).as("bucket"))
     val scored = probes.join(cB, "bucket")

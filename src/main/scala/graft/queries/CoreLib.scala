@@ -428,7 +428,11 @@ object CoreLib {
          round(avg(value), 6) AS value FROM events GROUP BY 1""",
     "q59_take_random" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-         ORDER BY md5('42|' || CAST(o_orderkey AS VARCHAR)) LIMIT 50""",
+         ORDER BY md5('42|' ||
+           CASE WHEN o_orderkey IS NULL THEN 'n'
+                ELSE CAST(length(CAST(o_orderkey AS VARCHAR)) AS VARCHAR)
+                     || ':' || CAST(o_orderkey AS VARCHAR) END)
+         LIMIT 50""",
     "q60_evaluate_partition" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
          l_quantity * 2.0 AS double_qty FROM lineitem""",

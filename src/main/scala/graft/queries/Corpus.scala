@@ -129,7 +129,10 @@ object Corpus {
     // inverted index: per-term document frequency + sorted postings.
     // The operator emits postings as array<long>; the gate projects it
     // to a comma-joined string because the driver's pandas sort/hash
-    // harness can't order array cells (round-5 q92 err).
+    // harness can't order array cells (round-5 q92 err). The oracle
+    // mirrors the operator's default maxDf=10M gate (HAVING df<=1e7),
+    // so the df-cap truncation is part of the verified contract, not a
+    // silent divergence that only shows up past 10M-df terms.
     "q92_inverted_index" -> ((s, dir) => {
       CorpusStats.invertedIndex(t(s, dir, "documents"), "doc_id", "text")
         .select(col("term"), col("df"),
@@ -306,7 +309,8 @@ object Corpus {
            array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
          FROM (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS t
                FROM documents)
-         GROUP BY t""",
+         GROUP BY t
+         HAVING count(*) BETWEEN 1 AND 10000000""",
     "q93_length_profile" ->
       """SELECT source, count(*) AS n_docs,
            min(n) AS min_tokens,

@@ -191,6 +191,57 @@ class CoreSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("take random: NULL keys and separator chars cannot alias hash inputs") {
+    import org.apache.spark.sql.functions.col
+    // ("a|b","c") vs ("a","b|c") would collide under naive '|'-joining;
+    // length-prefixing must keep them distinct inputs
+    val tricky = OCDataset(Seq(
+      ("a|b", "c"), ("a", "b|c"), (null.asInstanceOf[String], "x"), ("n", "x")
+    ).toDF("k1", "k2"))
+    // all 4 rows survive the hash order (no row silently dropped or
+    // deduplicated); NULL-keyed row is hashable, not an error
+    val got = tricky.take(4, Random(1, Seq("k1", "k2"))).collect()
+    assert(got.length == 4)
+    // the two '|' arrangements land at different hash positions than
+    // each other deterministically: hashes differ
+    val h = tricky.df
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("1|"),
+          org.apache.spark.sql.functions.when(col("k1").isNull,
+            org.apache.spark.sql.functions.lit("n"))
+            .otherwise(org.apache.spark.sql.functions.concat(
+              org.apache.spark.sql.functions.length(col("k1")).cast("string"),
+              org.apache.spark.sql.functions.lit(":"), col("k1"))))).as("h"))
+      .collect().map(_.getString(0))
+    assert(h.distinct.length == h.length) // "a|b" vs "a" vs NULL vs "n" all distinct
+  }
+
+  test("descriptions propagate through derivation and write/reopen") {
+    val d = halos.withNewColumns(
+      Map("r2" -> "squared radius in the xy plane"),
+      "r2" -> (ocCol("x") * ocCol("x") + ocCol("y") * ocCol("y")))
+    assert(d.descriptions("r2").contains("squared radius in the xy plane"))
+    assert(d.descriptions("x").isEmpty) // absent stays None, column listed
+    // descriptions for non-derived columns are rejected like the guard
+    intercept[IllegalArgumentException] {
+      halos.withNewColumns(Map("nope" -> "x"), "r2" -> ocCol("x"))
+    }
+    // survives write/reopen via the sidecar, like units
+    val dir = java.nio.file.Files.createTempDirectory("graft_desc").toString
+    OCIO.write(d, dir)
+    val back = OCIO.open(spark, dir)
+    assert(back.header.columnDescriptions("r2") == "squared radius in the xy plane")
+    // overwrite sheds the old description (stale prose on new data)
+    val ow = d.withNewColumns(allowOverwrite = true, Map.empty[String, String],
+      "r2" -> ocCol("x"))
+    assert(ow.descriptions("r2").isEmpty)
+    // withDataColumn carries a description too and clears on replace
+    val im = halos.withDataColumn("rank", Seq(1L, 2L, 3L, 4L),
+      description = "driver-side rank")
+    assert(im.descriptions("rank").contains("driver-side rank"))
+  }
+
   test("withNewColumns: derived + overwrite guard + unit propagation") {
     val d = halos.withNewColumns("r2" -> (ocCol("x") * ocCol("x") + ocCol("y") * ocCol("y")))
     assert(d.columns.contains("r2"))
