@@ -25,7 +25,13 @@ object Bench {
     try graft.queries.TextVector.pqIndexFor(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] PQ warmup failed: $e") }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional dev filter: `Bench q97 q90` times only matching
+    // prefixes (driver passes no args → full suite, unchanged)
+    val only = args.toSeq
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only.exists(n.startsWith) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L

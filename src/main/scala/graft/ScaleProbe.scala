@@ -143,6 +143,71 @@ object ScaleProbe {
     time("crossmatch_3d", base, scaled)(d =>
       CrossMatch.nearest3dWithin(xyz(d, 1, 0), xyz(d, 7, 3), "id", "id",
         ("x", "y", "z"), radius = 5.0).count())
+
+    // structure-collection side (q12/q55/q56 shapes — reference
+    // structure.py:860-927, evaluate.py:52-150): parent orders + child
+    // lineitem, keys shifted per copy so every copy keeps the same
+    // 1→many fan-out; growth multiplies STRUCTURES, not per-structure
+    // size — exactly how a bigger simulation grows.
+    def time2(name: String, small: (DataFrame, DataFrame),
+              bigD: (DataFrame, DataFrame))
+             (f: (DataFrame, DataFrame) => Long): Unit = {
+      def once(d: (DataFrame, DataFrame)): Double = {
+        val t0 = System.nanoTime(); val rows = f(d._1, d._2)
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        System.err.println(s"  [$name] rows=$rows ${"%.2f".format(dt)}s"); dt
+      }
+      once(small); val t1 = once(small)
+      once(bigD); val tN = once(bigD)
+      val exponent = math.log(tN / t1) / math.log(factor.toDouble)
+      println(f"$name%-26s 1x=${t1}%.2fs ${factor}x=${tN}%.2fs scaling-exponent=${exponent}%.2f")
+    }
+    val obase = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val lbase = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    val keyShift = 100000000L
+    val obig = (0 until factor).map(c => obase.withColumn("o_orderkey",
+      col("o_orderkey") + lit(c.toLong * keyShift))).reduce(_ unionByName _)
+    val lbig = (0 until factor).map(c => lbase.withColumn("l_orderkey",
+      col("l_orderkey") + lit(c.toLong * keyShift))).reduce(_ unionByName _)
+    obig.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    lbig.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    val oscaled = spark.read.parquet(s"$outDir/orders.parquet")
+    val lscaled = spark.read.parquet(s"$outDir/lineitem.parquet")
+    println(s"structures: ${obase.count()} -> ${oscaled.count()} parents, " +
+      s"${lbase.count()} -> ${lscaled.count()} children")
+
+    import graft.collections.StructureCollection
+    import graft.core.OCDataset
+    def coll(o: DataFrame, l: DataFrame) = StructureCollection(
+      OCDataset(o), Map("items" ->
+        l.withColumnRenamed("l_orderkey", "o_orderkey")), "o_orderkey")
+    // q12: child pre-agg (map-side partial) + key join with the parent
+    time2("struct_link_join_agg", (obase, lbase), (oscaled, lscaled)) { (o, l) =>
+      o.join(l.groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty")),
+        col("o_orderkey") === col("l_orderkey")).count()
+    }
+    // q55: semi-join filter of parents by a child predicate
+    time2("struct_semijoin", (obase, lbase), (oscaled, lscaled)) { (o, l) =>
+      coll(o, l).filterByChild("items", col("l_quantity") >= 49.5)
+        .properties.df.count()
+    }
+    // q56: per-structure evaluate (cogroup-style custom function)
+    time2("struct_evaluate", (obase, lbase), (oscaled, lscaled)) { (o, l) =>
+      coll(o, l).evaluate("items",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("max_price",
+            org.apache.spark.sql.types.DoubleType))),
+        (parent, kids) => org.apache.spark.sql.Row(
+          parent.getAs[Long]("o_orderkey"),
+          if (kids.isEmpty) 0.0
+          else kids.map(_.getAs[Double]("l_extendedprice")).max)).count()
+    }
     spark.stop()
   }
 }

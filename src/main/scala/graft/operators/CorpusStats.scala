@@ -283,6 +283,19 @@ object CorpusStats {
     * per-document score sums nano-fixed-point longs (exact,
     * order-independent) so the result is bit-deterministic under any
     * partitioning with no per-document array materialization.
+    *
+    * Why TWO tokenization passes (measured, round 7): deriving the
+    * unigram table as the first-token marginal of sentinel-completed
+    * bigrams (one corpus scan) preserves the exact counts but
+    * measured SLOWER both ways it can be wired — persist the
+    * (doc, gram) table and the cache build serializes the critical
+    * path (8.1 s vs 6.0 s isolated at sf0.1); skip the persist and
+    * the uni broadcast gates the probability join behind the full
+    * three-agg chain (7.3 s). The unigram pass is a cheap token-level
+    * agg that pipelines beside the gram pass, so the two-scan form
+    * wins until text scan cost dominates the agg chain — revisit only
+    * with profile evidence from a corpus where tokenization is the
+    * bottleneck.
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__w"))

@@ -53,6 +53,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"lsh recall $recall")
   }
 
+  test("cosineNearDupPairs: LSH pairs are exact-verified; true dups always found") {
+    // the in-repo oracle for the q37 gate, asserting both directions
+    // of the LSH contract:
+    //  - PRECISION 1.0: every reported pair appears in the exact O(n²)
+    //    pair set at the same threshold (buckets only PROPOSE — the
+    //    cosine check inside each bucket is exact)
+    //  - RECALL on actual duplicates: an identical embedding lands in
+    //    the identical sign-LSH bucket deterministically, so planted
+    //    duplicate vectors (the dedup use case: same content embedded
+    //    twice) are recovered with probability 1 — borderline
+    //    (cos ≈ threshold) pairs are deliberately lossy, which is the
+    //    documented cost of the linear-shuffle plan (SCALE.md)
+    val e = Tables(spark, sf001, "embeddings")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val exact = Similarity.cosineNearDupPairsExact(e, "vec_id", "embedding",
+      threshold = 0.4).select("doc_a", "doc_b").collect().map(key).toSet
+    val lsh = Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+      threshold = 0.4).select("doc_a", "doc_b").collect().map(key).toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${(lsh -- exact).take(5)}")
+    assert(exact.nonEmpty)
+    // plant 20 exact-duplicate embeddings under new ids
+    val planted = e.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val withDups = e.unionByName(planted)
+    val found = Similarity.cosineNearDupPairs(withDups, "vec_id", "embedding",
+      threshold = 0.99).select("doc_a", "doc_b").collect().map(key).toSet
+    (0L until 20L).foreach { id =>
+      assert(found.contains((id, id + 1000000L)),
+        s"planted duplicate of vec $id not recovered")
+    }
+  }
+
   test("autoPlanes: bucket count grows with corpus size (tuning contract)") {
     // the scale contract: plane count tracks log2(n/targetBucket) so
     // bucket occupancy stays ~constant as the corpus grows
