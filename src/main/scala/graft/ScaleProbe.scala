@@ -70,6 +70,19 @@ object ScaleProbe {
       "doc_id", "n", 512L).count())
     time("minhash_dedup", base, scaled)(d => Dedup.dropNearDuplicates(d, "doc_id", "text",
       minEstimate = 0.5).count())
+    // real-codec multimodal path (q34 shape): PNG encode + ImageIO
+    // decode are per-partition map work — the exponent reads pure
+    // embarrassing parallelism (flat until cores saturate, then 1.0)
+    time("multimodal_decode", base, scaled) { d =>
+      import graft.operators.Multimodal
+      val n = length(col("text").cast("binary"))
+      val m = Multimodal.synthesizeGrayPng(
+        d.select(col("doc_id"), md5(col("text").cast("binary")).as("hex"),
+          (lit(4) + n % 13).cast("int").as("w"),
+          (lit(4) + floor(n / lit(13)) % 11).cast("int").as("h")),
+        "hex", "w", "h")
+      Multimodal.decodeFeatures(m, "payload").count()
+    }
 
     // vector side: exact (the O(n²) oracle baseline) vs LSH in BOTH
     // regimes — fixed bucket count (the mis-tuned state) and the

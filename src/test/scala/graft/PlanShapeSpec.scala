@@ -39,6 +39,15 @@ class PlanShapeSpec extends SparkSpec {
       s"queries not broadcast:\n$p")
   }
 
+  test("multimodal decode pipeline is map-only (no shuffle, no collect)") {
+    val df = SparkEntry.queries("q34_multimodal_decode")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    // encode + decode are per-partition transforms over the scan; any
+    // Exchange here means payload bytes crossed the network for a
+    // row-local operation
+    assert(!p.contains("Exchange"), s"multimodal decode shuffles:\n$p")
+  }
+
   test("corpus assembly pipeline never funnels through a single partition") {
     val p = plan("q95_corpus_pipeline")
     assert(p.contains("Window"), s"expected bucketed cumsum windows:\n$p")

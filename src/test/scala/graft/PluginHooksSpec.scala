@@ -49,7 +49,10 @@ class PluginHooksSpec extends SparkSpec {
       halos.bound(graft.spatial.Region.Box(
         graft.spatial.Region.P3(0, 0, 0), graft.spatial.Region.P3(50, 50, 50)))
       halos.take(2)
-      assert(ops.toSeq == Seq("filter", "bound", "take"))
+      // take_range narrows the index too (reference IndexUpdateCtx,
+      // dataset.py:838-883) — plugins must see row-range slices
+      halos.takeRange(1, 3)
+      assert(ops.toSeq == Seq("filter", "bound", "take", "takeRange"))
       assert(boundSeen == 1)
     } finally Hooks.clearAll()
   }
