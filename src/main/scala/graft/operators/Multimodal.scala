@@ -65,6 +65,10 @@ object Multimodal {
     */
   final class ImageIoDecoder(featDim: Int = 8) extends Decoder {
     override def decode(p: Array[Byte]): Decoded = {
+      // ImageIO's default stream cache is DISK-backed (a temp file per
+      // payload — silent file churn per row at scale); payloads are
+      // already in memory, so force the memory cache in this task's JVM
+      javax.imageio.ImageIO.setUseCache(false)
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(p))
       try {
@@ -134,6 +138,7 @@ object Multimodal {
   def pngBytes(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
     require(pixels.length == width * height,
       s"pixels length ${pixels.length} != $width*$height")
+    javax.imageio.ImageIO.setUseCache(false) // no temp file per encode
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     img.getRaster.setDataElements(0, 0, width, height, pixels)

@@ -37,6 +37,46 @@ class MultimodalSpec extends SparkSpec {
     assert(d.feature.toSeq == Seq(1f, 0f, 0f, 0f))
   }
 
+  test("ImageIoDecoder handles BMP (lossless), JPEG (lossy dims) and animated GIF frames") {
+    import javax.imageio.ImageIO
+    ImageIO.setUseCache(false)
+    def gray(w: Int, h: Int, px: Array[Byte]) = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, px)
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val dec = new Multimodal.ImageIoDecoder()
+    // BMP is lossless: dimensions and pixel mean must be exact (the
+    // writer may widen gray to RGB; replicated bands keep the mean)
+    val bmp = dec.decode(enc(gray(3, 2, Array[Byte](10, 20, 30, 40, 50, 60)), "bmp"))
+    assert(bmp.width == 3 && bmp.height == 2)
+    assert(bmp.pxMean == 35.0, s"bmp mean ${bmp.pxMean} channels ${bmp.channels}")
+    // JPEG is lossy: exact dims, approximate pixels
+    val jpg = dec.decode(enc(gray(8, 8, Array.fill(64)(100.toByte)), "jpg"))
+    assert(jpg.width == 8 && jpg.height == 8 && jpg.nFrames == 1)
+    assert(math.abs(jpg.pxMean - 100.0) < 5.0, s"jpeg mean ${jpg.pxMean}")
+    // animated GIF: n_frames counts sub-images
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until 3).foreach { i =>
+      val f = gray(2, 2, Array.fill(4)((i * 40).toByte))
+      writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = dec.decode(bos.toByteArray)
+    assert(gif.nFrames == 3, s"gif frames ${gif.nFrames}")
+    assert(gif.width == 2 && gif.height == 2)
+  }
+
   test("decodeFeatures runs the real decoder per partition; nulls pass through") {
     val png = Multimodal.pngBytes(3, 1, Array[Byte](0, 100, -56)) // -56 = 200 unsigned
     val imgs = Seq((1L, png), (2L, null.asInstanceOf[Array[Byte]]))
