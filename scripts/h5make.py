@@ -183,6 +183,7 @@ class WLatest(W):
     headers, compact link messages, layout-v4 datasets."""
 
     superblock_size = 48
+    fa_page_bits = 10  # HDF5's default fixed-array page (1024 entries)
 
     def object_header(self, msgs):
         body = b""
@@ -227,7 +228,14 @@ class WLatest(W):
                    + struct.pack("<QIQ", len(comp), 0, addr))
             msgs.append((0x08, lay))
         else:
-            # Fixed Array index (type 3), deflate-filtered chunks
+            # Fixed Array index (type 3), deflate-filtered chunks.
+            # page_bits below forces PAGING once the chunk count
+            # exceeds 2^page_bits (the shape modern toolchains emit for
+            # datasets past ~1024 chunks; small here so fixtures
+            # exercise it): prefix + initialized-page bitmap +
+            # checksum, then per-page element runs with own checksums.
+            page_bits = self.fa_page_bits
+            page = 1 << page_bits
             row_bytes = len(data) // rows if rows else elem
             chunks = []
             for r0 in range(0, rows, chunk_rows):
@@ -237,16 +245,31 @@ class WLatest(W):
             size_w = 4  # stored-size field width; entry = addr+size+mask
             entry_size = 8 + size_w + 4
             n = len(entries)
+            packed = [struct.pack("<QIi", a, c, 0) for a, c in entries]
             # FADB precedes FAHD on disk; addresses are sequential
-            fadb_len = 14 + n * entry_size + 4
             fadb_addr = self.pos
-            fahd_addr = fadb_addr + fadb_len
-            fadb = (b"FADB" + struct.pack("<BB", 0, 1)
-                    + struct.pack("<Q", fahd_addr))
-            for addr, clen in entries:
-                fadb += struct.pack("<QIi", addr, clen, 0)
-            fadb += struct.pack("<I", lookup3(fadb))
-            fahd = (b"FAHD" + struct.pack("<BBBB", 0, 1, entry_size, 10)
+            if n <= page:
+                fadb_len = 14 + n * entry_size + 4
+                fahd_addr = fadb_addr + fadb_len
+                fadb = (b"FADB" + struct.pack("<BB", 0, 1)
+                        + struct.pack("<Q", fahd_addr))
+                fadb += b"".join(packed)
+                fadb += struct.pack("<I", lookup3(fadb))
+            else:
+                npages = (n + page - 1) // page
+                bitmap = bytearray((npages + 7) // 8)
+                for p in range(npages):
+                    bitmap[p // 8] |= 1 << (p % 8)
+                body = b""
+                for p in range(npages):
+                    pe = b"".join(packed[p * page:(p + 1) * page])
+                    body += pe + struct.pack("<I", lookup3(pe))
+                fadb_len = 14 + len(bitmap) + 4 + len(body)
+                fahd_addr = fadb_addr + fadb_len
+                prefix = (b"FADB" + struct.pack("<BB", 0, 1)
+                          + struct.pack("<Q", fahd_addr) + bytes(bitmap))
+                fadb = prefix + struct.pack("<I", lookup3(prefix)) + body
+            fahd = (b"FAHD" + struct.pack("<BBBB", 0, 1, entry_size, page_bits)
                     + struct.pack("<QQ", n, fadb_addr))
             fahd += struct.pack("<I", lookup3(fahd))
             assert self.block(fadb) == fadb_addr
@@ -254,7 +277,7 @@ class WLatest(W):
             msgs.append((0x0B, self._deflate_msg()))
             lay = (struct.pack("<BBBBB", 4, 2, 0, 2, 8)
                    + struct.pack("<QQ", chunk_rows, elem)
-                   + struct.pack("<BB", 3, 10)
+                   + struct.pack("<BB", 3, page_bits)
                    + struct.pack("<Q", fahd_addr))
             msgs.append((0x08, lay))
         for name, val in attrs:
@@ -294,10 +317,16 @@ class WLatest(W):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--latest"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     latest = "--latest" in sys.argv[1:]
+    paged = "--paged" in sys.argv[1:]  # implies --latest
+    latest = latest or paged
     t = pq.read_table(args[0])
     w = WLatest() if latest else W()
+    if paged:
+        # tiny pages + tiny chunks force the PAGED fixed-array shape
+        # (bitmap + per-page checksums) with a small fixture table
+        w.fa_page_bits = 2
     cols = []
     first_numeric = True
     for name in t.column_names:
@@ -313,7 +342,9 @@ def main():
         else:
             raise SystemExit(f"unsupported type {ty} for {name}")
         if latest and kind in ("i64", "f64"):
-            if first_numeric:
+            if paged:
+                cr = 2  # 13 chunks on the 25-row fixture -> 4 pages
+            elif first_numeric:
                 # whole column in one chunk -> Single Chunk index
                 cr = len(vals)
                 first_numeric = False
@@ -329,7 +360,8 @@ def main():
     header = w.group([("simulation", sim)])
     root = w.group([("data", data), ("header", header)])
     w.write(args[1], root)
-    mode = "latest (sb v3, OHDR)" if latest else "earliest (sb v0)"
+    mode = ("latest paged-FA (sb v3, OHDR)" if paged
+            else "latest (sb v3, OHDR)" if latest else "earliest (sb v0)")
     print(f"wrote {args[1]} [{mode}]: {len(cols)} columns, {t.num_rows} rows")
 
 

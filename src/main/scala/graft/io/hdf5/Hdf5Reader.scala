@@ -557,8 +557,10 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
   /** Fixed Array chunk index (layout v4 type 3): FAHD header + FADB
     * data block, both checksum-verified. Client 0 = unfiltered chunk
     * addresses; client 1 = (address, stored size, filter mask)
-    * triples. Paged data blocks (more entries than one page) are not
-    * supported and fail loudly.
+    * triples. Data blocks with more entries than one page (2^pageBits)
+    * are PAGED: a bitmap of initialized pages follows the prefix, then
+    * per-page element runs each with its own checksum — the layout a
+    * modern toolchain emits for any dataset past ~1024 chunks.
     */
   private def fixedArrayChunks(ds: DatasetMeta, hdrAddr: Long, chunkRows: Int,
                                chunkBytes: Int): Seq[(Long, Long, Int)] = {
@@ -575,22 +577,16 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     val hStored = u32(hdrAddr + 24)
     val hComputed = Lookup3.hashU(bytes(hdrAddr, 24), 0)
     require(hStored == hComputed, s"FAHD checksum mismatch at $hdrAddr (${ds.name})")
-    require(maxEntries <= (1L << pageBits),
-      s"paged fixed array unsupported (${ds.name}: $maxEntries entries, 2^$pageBits page)")
     require(new String(bytes(dbAddr, 4), "US-ASCII") == "FADB",
       s"no fixed-array data block at $dbAddr (${ds.name})")
     require(u8(dbAddr + 4) == 0 && u8(dbAddr + 5) == clientId,
       s"FADB version/client mismatch at $dbAddr (${ds.name})")
-    val elems = dbAddr + 14 // sig(4) + version(1) + client(1) + hdr addr(8)
-    val dStored = u32(elems + maxEntries * entrySize)
-    val dComputed = Lookup3.hashU(
-      bytes(dbAddr, (14 + maxEntries * entrySize).toInt), 0)
-    require(dStored == dComputed, s"FADB checksum mismatch at $dbAddr (${ds.name})")
+    val prefixLen = 14 // sig(4) + version(1) + client(1) + hdr addr(8)
     val nChunks = ((ds.rows + chunkRows - 1) / chunkRows).toInt
     require(nChunks <= maxEntries,
       s"fixed array too small for ${ds.name}: $nChunks chunks > $maxEntries entries")
-    (0 until nChunks).map { i =>
-      val e = elems + i.toLong * entrySize
+
+    def entry(e: Long, i: Int): (Long, Long, Int) =
       if (clientId == 0) (i.toLong * chunkRows, u64(e), chunkBytes)
       else {
         // entry = address(8) + stored size(entrySize-12) + filter mask(4)
@@ -603,6 +599,50 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
           case w => fail(s"unsupported chunk-size width $w (${ds.name})")
         }
         (i.toLong * chunkRows, u64(e), size.toInt)
+      }
+
+    val pageSize = 1L << pageBits
+    if (maxEntries <= pageSize) {
+      // unpaged: elements inline, one checksum over prefix+elements
+      val elems = dbAddr + prefixLen
+      val dStored = u32(elems + maxEntries * entrySize)
+      val dComputed = Lookup3.hashU(
+        bytes(dbAddr, (prefixLen + maxEntries * entrySize).toInt), 0)
+      require(dStored == dComputed, s"FADB checksum mismatch at $dbAddr (${ds.name})")
+      (0 until nChunks).map(i => entry(elems + i.toLong * entrySize, i))
+    } else {
+      // paged: prefix + initialized-page bitmap + checksum, then page
+      // runs (elements + per-page checksum; last page truncated)
+      val nPages = ((maxEntries + pageSize - 1) / pageSize).toInt
+      val bitmapBytes = (nPages + 7) / 8
+      val dStored = u32(dbAddr + prefixLen + bitmapBytes)
+      val dComputed = Lookup3.hashU(bytes(dbAddr, prefixLen + bitmapBytes), 0)
+      require(dStored == dComputed,
+        s"paged FADB checksum mismatch at $dbAddr (${ds.name})")
+      val bitmap = bytes(dbAddr + prefixLen, bitmapBytes)
+      def pageInit(p: Int): Boolean = (bitmap(p / 8) & (1 << (p % 8))) != 0
+      def pageEntries(p: Int): Long =
+        math.min(pageSize, maxEntries - p.toLong * pageSize)
+      val pagesStart = dbAddr + prefixLen + bitmapBytes + 4
+      // page offsets accumulate truncated-last-page sizes
+      val pageOff = new Array[Long](nPages)
+      var off = pagesStart
+      (0 until nPages).foreach { p =>
+        pageOff(p) = off
+        off += pageEntries(p) * entrySize + 4
+      }
+      // verify each INITIALIZED page's checksum once up front
+      (0 until nPages).filter(pageInit).foreach { p =>
+        val len = (pageEntries(p) * entrySize).toInt
+        val s = u32(pageOff(p) + len)
+        val c = Lookup3.hashU(bytes(pageOff(p), len), 0)
+        require(s == c,
+          s"fixed-array page $p checksum mismatch at ${pageOff(p)} (${ds.name})")
+      }
+      (0 until nChunks).flatMap { i =>
+        val p = (i / pageSize).toInt
+        if (!pageInit(p)) None // uninitialized page: no allocated chunks
+        else Some(entry(pageOff(p) + (i % pageSize) * entrySize, i))
       }
     }
   }

@@ -488,6 +488,34 @@ class Hdf5Spec extends SparkSpec {
     assert(sums.getLong(2) == truth.getLong(2))
   }
 
+  test("PAGED fixed-array chunk index decodes (bitmap + per-page checksums)") {
+    // generated with `h5make.py --paged`: page_bits=2 (4 entries/page)
+    // and chunk_rows=2 give 13 chunks -> 4 pages, last page truncated —
+    // the shape a modern toolchain emits past ~1024 chunks per dataset
+    val p = getClass.getResource("/nation_paged.hdf5").getPath
+    val ds = Hdf5Io.importDataset(spark, p)
+    assert(ds.count() == 25)
+    val sums = ds.df.agg(
+      sum($"n_nationkey").as("nk"), sum($"n_regionkey").as("rk")).head()
+    val truth = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .agg(sum($"n_nationkey"), sum($"n_regionkey")).head()
+    assert(sums.getLong(0) == truth.getLong(0))
+    assert(sums.getLong(1) == truth.getLong(1))
+    // window spanning page boundaries (rows 6..22 cross pages 0|1|2)
+    val r = new Hdf5Reader(p)
+    try {
+      val root = r.objectInfo(r.rootHeaderAddr)
+      val data = r.objectInfo(r.groupLinks(root).toMap.apply("data"))
+      val kids = r.groupLinks(data).toMap
+      val meta = r.datasetMeta("n_nationkey", r.objectInfo(kids("n_nationkey")))
+      val full = r.readRows(meta, 0, meta.rows)
+      val win = r.readRows(meta, 6, 22)
+      val fb = java.nio.ByteBuffer.wrap(full).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val wb = java.nio.ByteBuffer.wrap(win).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (6 until 22).foreach(i => assert(wb.getLong((i - 6) * 8) == fb.getLong(i * 8)))
+    } finally r.close()
+  }
+
   test("windowed reads cross fixed-array chunk boundaries correctly") {
     val r = new Hdf5Reader(latestFixture)
     try {
