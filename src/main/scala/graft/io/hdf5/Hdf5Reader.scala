@@ -299,6 +299,18 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
 
   def objectInfo(addr: Long): ObjectInfo = {
     val msgs = messages(addr)
+    // dense attribute storage (Attribute Info + fractal heap — what a
+    // modern writer emits past its compact-attr limit) would make the
+    // 0x000C scan below silently MISS attributes (units, descriptions,
+    // load/if conditions) — fail loudly instead of dropping metadata
+    msgs.find(_.typ == 0x0015).foreach { ai =>
+      val flags = u8(ai.dataOff + 1)
+      var q = ai.dataOff + 2
+      if ((flags & 0x01) != 0) q += 2 // max creation index
+      val fheap = u64(q)
+      require(fheap == Undef,
+        s"dense attribute storage (fractal heap at $fheap) unsupported at $addr")
+    }
     val attrs = msgs.filter(_.typ == 0x000C).map(parseAttribute).toMap
     // a group carries a symbol table (v1), or link-info/group-info
     // messages (v2 "new-style" groups)

@@ -516,6 +516,43 @@ class Hdf5Spec extends SparkSpec {
     } finally r.close()
   }
 
+  test("dense attribute storage fails loudly instead of dropping metadata") {
+    import graft.io.hdf5.Lookup3
+    // hand-built v2 object header carrying an Attribute Info message
+    // (0x0015) whose fractal heap address is DEFINED — silently
+    // scanning only compact 0x000C messages would lose units here
+    val d = Files.createTempDirectory("graft-h5-dense")
+    val p = d.resolve("dense.hdf5")
+    val bb = java.nio.ByteBuffer.allocate(256)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // superblock v3 (48 bytes), root header at 48
+    bb.put(Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n').map(_.toByte))
+    bb.put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    bb.putLong(0L).putLong(-1L).putLong(256L).putLong(48L)
+    val sbSum = Lookup3.hash(java.util.Arrays.copyOfRange(bb.array(), 0, 44), 0)
+    bb.putInt(sbSum)
+    // OHDR: flags 0x02 (4-byte chunk0), one 0x0015 message
+    // attr-info body: version 0, flags 0, fheap addr 128 (DEFINED), btree UNDEF
+    val msgBody = java.nio.ByteBuffer.allocate(18)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    msgBody.put(0.toByte).put(0.toByte).putLong(128L).putLong(-1L)
+    val msg = java.nio.ByteBuffer.allocate(4 + 18)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    msg.put(0x15.toByte).putShort(18.toShort).put(0.toByte).put(msgBody.array())
+    val prefix = java.nio.ByteBuffer.allocate(10)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    prefix.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(0x02.toByte)
+      .putInt(msg.capacity())
+    val hdr = prefix.array() ++ msg.array()
+    bb.put(hdr).putInt(Lookup3.hash(hdr, 0))
+    Files.write(p, bb.array())
+    val r = new Hdf5Reader(p.toString)
+    try {
+      val e = intercept[Exception](r.objectInfo(r.rootHeaderAddr))
+      assert(e.getMessage.contains("dense attribute storage"), e.getMessage)
+    } finally r.close()
+  }
+
   test("windowed reads cross fixed-array chunk boundaries correctly") {
     val r = new Hdf5Reader(latestFixture)
     try {
