@@ -85,6 +85,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lshTopK probe fan-out is capped: no Hamming-2 ring above 12 planes") {
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Explode}
+    val e = Tables(spark, sf001, "embeddings")
+    def probes(nPlanes: Int): Int = {
+      val df = Similarity.lshTopK(e, e.limit(2), "vec_id", "embedding", 5,
+        nPlanes = nPlanes)
+      df.queryExecution.analyzed.collect {
+        case g: Generate => g.generator
+      }.collectFirst {
+        case ex: Explode => ex.child match {
+          case ca: CreateArray => ca.children.size
+        }
+      }.get
+    }
+    assert(probes(6) == 1 + 6 + 15)  // own + Hamming-1 + Hamming-2 ring
+    assert(probes(16) == 1 + 16)     // above the cap: quadratic ring dropped
+    assert(probes(24) == 1 + 24)     // 301 probes before the cap existed
+  }
+
   test("autoPlanes: bucket count grows with corpus size (tuning contract)") {
     // the scale contract: plane count tracks log2(n/targetBucket) so
     // bucket occupancy stays ~constant as the corpus grows
