@@ -218,12 +218,14 @@ class WLatest(W):
             addr = self.block(data)
             msgs.append((0x08, struct.pack("<BBQQ", 4, 1, addr, len(data))))
         elif chunk_rows >= rows:
-            # Single Chunk index (type 1), deflate-filtered
+            # Single Chunk index (type 1), deflate-filtered; dims use
+            # HDF5's minimal encoding width (1 byte for small fixtures)
             comp = zlib.compress(data, 6)
             addr = self.block(comp)
             msgs.append((0x0B, self._deflate_msg()))
-            lay = (struct.pack("<BBBBB", 4, 2, 0x02, 2, 8)
-                   + struct.pack("<QQ", rows, elem)
+            enc = self._enc_width(max(rows, elem))
+            lay = (struct.pack("<BBBBB", 4, 2, 0x02, 2, enc)
+                   + rows.to_bytes(enc, "little") + elem.to_bytes(enc, "little")
                    + struct.pack("<B", 1)
                    + struct.pack("<QIQ", len(comp), 0, addr))
             msgs.append((0x08, lay))
@@ -242,10 +244,15 @@ class WLatest(W):
                 raw = data[r0 * row_bytes:(r0 + chunk_rows) * row_bytes]
                 chunks.append(zlib.compress(raw, 6))
             entries = [(self.block(c), len(c)) for c in chunks]
-            size_w = 4  # stored-size field width; entry = addr+size+mask
+            # stored-size field width mirrors HDF5's minimal encoding
+            # (H5D__farray_idx_create: 1 + (log2(max chunk bytes)+8)//8)
+            # so fixtures exercise the 2/3-byte widths real files carry
+            max_chunk = chunk_rows * row_bytes
+            size_w = min(8, 1 + ((max(max_chunk, 1).bit_length() - 1 + 8) // 8))
             entry_size = 8 + size_w + 4
             n = len(entries)
-            packed = [struct.pack("<QIi", a, c, 0) for a, c in entries]
+            packed = [struct.pack("<Q", a) + c.to_bytes(size_w, "little")
+                      + struct.pack("<i", 0) for a, c in entries]
             # FADB precedes FAHD on disk; addresses are sequential
             fadb_addr = self.pos
             if n <= page:
@@ -275,14 +282,21 @@ class WLatest(W):
             assert self.block(fadb) == fadb_addr
             assert self.block(fahd) == fahd_addr
             msgs.append((0x0B, self._deflate_msg()))
-            lay = (struct.pack("<BBBBB", 4, 2, 0, 2, 8)
-                   + struct.pack("<QQ", chunk_rows, elem)
+            enc = self._enc_width(max(chunk_rows, elem))
+            lay = (struct.pack("<BBBBB", 4, 2, 0, 2, enc)
+                   + chunk_rows.to_bytes(enc, "little")
+                   + elem.to_bytes(enc, "little")
                    + struct.pack("<BB", 3, page_bits)
                    + struct.pack("<Q", fahd_addr))
             msgs.append((0x08, lay))
         for name, val in attrs:
             msgs.append((0x0C, self.attr(name, val)))
         return self.object_header(msgs)
+
+    @staticmethod
+    def _enc_width(v):
+        """HDF5's minimal unsigned encoding width (H5VM_limit_enc_size)."""
+        return min(8, (max(v, 1).bit_length() - 1) // 8 + 1)
 
     @staticmethod
     def _deflate_msg():

@@ -180,7 +180,10 @@ object ScaleProbe {
       .select(col("o_orderkey"), col("o_orderstatus"))
     val lbase = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-    val keyShift = 100000000L
+    // derived from the DATA, not a constant: a fixed 1e8 shift would
+    // silently alias keys across copies once max(o_orderkey) exceeds
+    // it (TPC-H SF ≳ 17), merging children across synthetic structures
+    val keyShift = obase.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
     val obig = (0 until factor).map(c => obase.withColumn("o_orderkey",
       col("o_orderkey") + lit(c.toLong * keyShift))).reduce(_ unionByName _)
     val lbig = (0 until factor).map(c => lbase.withColumn("l_orderkey",

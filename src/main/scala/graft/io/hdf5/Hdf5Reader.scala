@@ -58,6 +58,19 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
   private def u16(off: Long): Int = buf(off, 2).getShort() & 0xFFFF
   private def u32(off: Long): Long = buf(off, 4).getInt() & 0xFFFFFFFFL
   private def u64(off: Long): Long = buf(off, 8).getLong()
+
+  /** Little-endian unsigned integer of ANY width 1..8 — the v4 layout
+    * and fixed-array structures encode sizes in the MINIMAL byte width
+    * (3- and 5-byte fields are routine in real files, not just the
+    * power-of-two widths).
+    */
+  private def uVar(off: Long, n: Int): Long = {
+    val b = bytes(off, n)
+    var v = 0L
+    var i = 0
+    while (i < n) { v |= (b(i) & 0xFFL) << (8 * i); i += 1 }
+    v
+  }
   def bytes(off: Long, n: Int): Array[Byte] = {
     val b = buf(off, n); val a = new Array[Byte](n); b.get(a); a
   }
@@ -479,14 +492,9 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     val flags = u8(off0)
     val nd = u8(off0 + 1) // rank + 1 (includes element-size dim)
     val encLen = u8(off0 + 2)
-    def varInt(off: Long): Long = encLen match {
-      case 1 => u8(off).toLong
-      case 2 => u16(off).toLong
-      case 4 => u32(off)
-      case 8 => u64(off)
-      case n => fail(s"unsupported dim encoding width $n for $name")
-    }
-    val dims = (0 until nd).map(i => varInt(off0 + 3 + i.toLong * encLen))
+    require(encLen >= 1 && encLen <= 8,
+      s"bad dim encoding width $encLen for $name")
+    val dims = (0 until nd).map(i => uVar(off0 + 3 + i.toLong * encLen, encLen))
     val chunkDims = dims.dropRight(1).map(_.toInt) // drop element size
     var p = off0 + 3 + nd.toLong * encLen
     u8(p) match {
@@ -601,16 +609,13 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     def entry(e: Long, i: Int): (Long, Long, Int) =
       if (clientId == 0) (i.toLong * chunkRows, u64(e), chunkBytes)
       else {
-        // entry = address(8) + stored size(entrySize-12) + filter mask(4)
+        // entry = address(8) + stored size(entrySize-12) + filter
+        // mask(4); real HDF5 sizes the stored-size field MINIMALLY
+        // (3 bytes for chunks in [64 KB, 16 MB) etc.) — any width 1..8
         val szW = entrySize - 12
-        val size = szW match {
-          case 1 => u8(e + 8).toLong
-          case 2 => u16(e + 8).toLong
-          case 4 => u32(e + 8)
-          case 8 => u64(e + 8)
-          case w => fail(s"unsupported chunk-size width $w (${ds.name})")
-        }
-        (i.toLong * chunkRows, u64(e), size.toInt)
+        if (szW < 1 || szW > 8)
+          fail(s"unsupported chunk-size width $szW (${ds.name})")
+        (i.toLong * chunkRows, u64(e), uVar(e + 8, szW).toInt)
       }
 
     val pageSize = 1L << pageBits

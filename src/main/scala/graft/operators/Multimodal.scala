@@ -163,8 +163,13 @@ object Multimodal {
     val hti = df.schema.fieldIndex(hCol)
     val rdd = df.rdd.mapPartitions { it =>
       it.map { r =>
+        // degenerate inputs (null, empty hex, non-positive dims)
+        // degrade to a null payload like the null case — a poison row
+        // must not abort the stage
         val payload: Any =
-          if (r.isNullAt(hi) || r.isNullAt(wi) || r.isNullAt(hti)) null
+          if (r.isNullAt(hi) || r.isNullAt(wi) || r.isNullAt(hti) ||
+              r.getString(hi).isEmpty || r.getInt(wi) <= 0 || r.getInt(hti) <= 0)
+            null
           else {
             val hex = r.getString(hi)
             val w = r.getInt(wi); val h = r.getInt(hti)
@@ -192,25 +197,28 @@ object Multimodal {
       md5(col(payloadCol)).as("checksum")))
 
   /** Run the decoder per partition, appending [[FeatureType]] columns.
-    * Null payloads pass through as null features (never crash the
-    * batch). One decoder instance per partition — the real cost model
-    * for codec init. Defaults to the REAL [[ImageIoDecoder]]; pass a
-    * [[StubDecoder]] for payload types with no codec in the JDK.
+    * Null AND undecodable payloads degrade to null features — at
+    * 100 TB a single poison row (truncated upload, mislabeled bytes)
+    * must never fail the task 4× and kill the job; filter
+    * `width IS NULL` downstream to audit the bad rows. One decoder
+    * instance per partition — the real cost model for codec init.
+    * Defaults to the REAL [[ImageIoDecoder]]; pass a [[StubDecoder]]
+    * for payload types with no codec in the JDK.
     */
   def decodeFeatures(df: DataFrame, payloadCol: String,
                      decoder: Decoder = new ImageIoDecoder()): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ FeatureType.fields)
     val idx = df.schema.fieldIndex(payloadCol)
+    val nulls: Seq[Any] = Seq(null, null, null, null, null, null)
     val rdd = df.rdd.mapPartitions { it =>
       // decoder is reused across the whole partition (init amortized)
       it.map { r =>
         val payload = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
-        val extra: Seq[Any] = if (payload == null)
-          Seq(null, null, null, null, null, null)
-        else {
+        val extra: Seq[Any] = if (payload == null) nulls
+        else try {
           val d = decoder.decode(payload)
           Seq(d.width, d.height, d.nFrames, d.channels, d.pxMean, d.feature.toSeq)
-        }
+        } catch { case scala.util.control.NonFatal(_) => nulls }
         Row.fromSeq(r.toSeq ++ extra)
       }
     }

@@ -29,13 +29,6 @@ object Similarity {
     * hold cost-per-vector flat. Clamped to [1, 24] (2^24 buckets is
     * already beyond any single join's useful key cardinality).
     */
-  /** Above this plane count, [[lshTopK]] drops the Hamming-2 probe
-    * ring: (planes choose 2) probes per query is a quadratic fan-out
-    * (12 → 66 extra probes, 24 → 276) that overtakes the candidate
-    * scan it is meant to save.
-    */
-  val MaxHamming2Planes: Int = 12
-
   def autoPlanes(n: Long, targetBucket: Long = 64L): Int = {
     val buckets = math.max(1L, n / math.max(1L, targetBucket))
     // ceil, not round: the target is an UPPER bound on expected
@@ -45,6 +38,13 @@ object Similarity {
     math.min(24, math.max(1,
       math.ceil(math.log(buckets.toDouble) / math.log(2.0)).toInt))
   }
+
+  /** Above this plane count, [[lshTopK]] drops the Hamming-2 probe
+    * ring: (planes choose 2) probes per query is a quadratic fan-out
+    * (12 → 66 extra probes, 24 → 276) that overtakes the candidate
+    * scan it is meant to save.
+    */
+  val MaxHamming2Planes: Int = 12
 
   /** Exact top-k cosine neighbors for each query row.
     * Output: (query_id, neighbor_id, rank, cosine).

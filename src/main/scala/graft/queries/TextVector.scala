@@ -203,10 +203,15 @@ object TextVector {
     // lossless, so the decoded stats must match exactly.
     "q34_multimodal_decode" -> ((s, dir) => {
       val n = length(col("text").cast("binary"))
-      val base = t(s, dir, "documents").select(col("doc_id"),
-        md5(col("text").cast("binary")).as("hex"),
-        (lit(4) + n % 13).cast("int").as("w"),
-        (lit(4) + floor(n / lit(13)) % 11).cast("int").as("h"))
+      // NULL text is excluded on BOTH sides: the oracle's UNNEST join
+      // would drop such rows while the decode path would emit them
+      // with null features — filter explicitly so the contract is the
+      // same whatever the corpus contains
+      val base = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("hex"),
+          (lit(4) + n % 13).cast("int").as("w"),
+          (lit(4) + floor(n / lit(13)) % 11).cast("int").as("h"))
       val media = Multimodal.synthesizeGrayPng(base, "hex", "w", "h")
       Multimodal.decodeFeatures(media, "payload")
         .select(col("doc_id"), col("width"), col("height"),
@@ -424,7 +429,7 @@ object TextVector {
            SELECT doc_id, md5(text) AS hex,
              CAST(4 + octet_length(CAST(text AS BLOB)) % 13 AS INTEGER) AS width,
              CAST(4 + (octet_length(CAST(text AS BLOB)) // 13) % 11 AS INTEGER) AS height
-           FROM documents)
+           FROM documents WHERE text IS NOT NULL)
          SELECT doc_id, width, height,
            CAST(1 AS INTEGER) AS channels, CAST(1 AS INTEGER) AS n_frames,
            avg(ascii(substr(hex, CAST(t.i % 32 AS INTEGER) + 1, 1))) AS px_mean

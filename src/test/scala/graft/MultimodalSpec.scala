@@ -92,6 +92,24 @@ class MultimodalSpec extends SparkSpec {
     assert(n.isNullAt(n.fieldIndex("feature")))
   }
 
+  test("a poison payload degrades to null features instead of killing the job") {
+    val png = Multimodal.pngBytes(2, 2, Array[Byte](1, 2, 3, 4))
+    val imgs = Seq(
+      (1L, png),
+      (2L, "definitely not an image".getBytes("UTF-8")), // undecodable
+      (3L, png.take(10))                                 // truncated header
+    ).toDF("id", "payload")
+    val out = Multimodal.decodeFeatures(imgs, "payload").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(r.fieldIndex("width"))).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true))
+    // degenerate synthesize inputs degrade the same way
+    val bad = Seq((1L, "", 4, 4), (2L, "abcd", 0, 4), (3L, "abcd", 3, 2))
+      .toDF("doc_id", "hex", "w", "h")
+    val media = Multimodal.synthesizeGrayPng(bad, "hex", "w", "h").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(r.fieldIndex("payload"))).toMap
+    assert(media == Map(1L -> true, 2L -> true, 3L -> false))
+  }
+
   test("synthesizeGrayPng -> decode round-trips the md5-hex pixel rule") {
     val base = Seq((7L, "0123456789abcdef0123456789abcdef", 5, 4))
       .toDF("doc_id", "hex", "w", "h")
