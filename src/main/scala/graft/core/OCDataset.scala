@@ -121,6 +121,15 @@ final case class OCDataset(
                      derived: (String, OCExpr)*): OCDataset =
     withNewColumns(allowOverwrite = false, descriptions, derived: _*)
 
+  /** Single description applied to every new column — the reference
+    * accepts `descriptions` as either one string or a per-column dict
+    * (dataset.py:916-992).
+    */
+  def withNewColumns(description: String,
+                     derived: (String, OCExpr)*): OCDataset =
+    withNewColumns(allowOverwrite = false,
+      derived.map(_._1 -> description).toMap, derived: _*)
+
   def withNewColumns(allowOverwrite: Boolean, descriptions: Map[String, String],
                      derived: (String, OCExpr)*): OCDataset = {
     val names = derived.map(_._1)

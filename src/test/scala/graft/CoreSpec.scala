@@ -240,6 +240,11 @@ class CoreSpec extends SparkSpec {
     val im = halos.withDataColumn("rank", Seq(1L, 2L, 3L, 4L),
       description = "driver-side rank")
     assert(im.descriptions("rank").contains("driver-side rank"))
+    // reference also accepts ONE string for all new columns
+    val multi = halos.withNewColumns("shared note",
+      "a1" -> ocCol("x"), "a2" -> ocCol("y"))
+    assert(multi.descriptions("a1").contains("shared note"))
+    assert(multi.descriptions("a2").contains("shared note"))
   }
 
   test("withNewColumns: derived + overwrite guard + unit propagation") {
