@@ -147,6 +147,9 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     // messages carry a 2-byte creation-order field iff header bit 2 set
     val msgHdr = if ((flags & 0x04) != 0) 6 else 4
     val out = Seq.newBuilder[Message]
+    // a crafted file with cyclic continuation pointers (each block
+    // individually checksum-valid) must terminate, not spin/OOM
+    val seen = scala.collection.mutable.Set[Long]()
     var blocks = List((p, chunk0))
     while (blocks.nonEmpty) {
       val (start, len) = blocks.head
@@ -162,6 +165,7 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
         if (typ == 0x0010) { // continuation: OCHK block
           val cAddr = u64(dataOff)
           val cLen = u64(dataOff + 8)
+          require(seen.add(cAddr), s"cyclic continuation chain at $cAddr")
           require(new String(bytes(cAddr, 4), "US-ASCII") == "OCHK",
             s"no OCHK continuation at $cAddr")
           val cStored = u32(cAddr + cLen - 4)
