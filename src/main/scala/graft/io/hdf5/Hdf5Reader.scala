@@ -84,10 +84,15 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
   val (superblockVersion: Int, rootHeaderAddr: Long) = {
     val sig = bytes(0, 8)
     require(sig.sameElements(Signature), s"$path is not an HDF5 file")
+    // every file offset this reader computes assumes base address 0 —
+    // a nonzero base (user-block files) would misread silently
+    def requireZeroBase(off: Long): Unit =
+      require(u64(off) == 0, s"nonzero base address ${u64(off)} unsupported")
     u8(8) match {
       case 0 =>
         require(u8(13) == 8 && u8(14) == 8,
           "unsupported offset/length size (need 8/8)")
+        requireZeroBase(24)
         // root group symbol table entry at byte 24 + 4*8 = 56
         (0, u64(56 + 8))
       case 1 =>
@@ -95,6 +100,7 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
           "unsupported offset/length size (need 8/8)")
         // v1 inserts indexed-storage-K (2) + reserved (2) before the
         // base address, shifting the root entry to byte 60
+        requireZeroBase(28)
         (1, u64(60 + 8))
       case v @ (2 | 3) =>
         require(u8(9) == 8 && u8(10) == 8,
@@ -103,6 +109,7 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
         val computed = Lookup3.hashU(bytes(0, 44), 0)
         require(stored == computed,
           f"superblock v$v checksum mismatch (stored 0x$stored%08x != computed 0x$computed%08x)")
+        requireZeroBase(12)
         (v, u64(36))
       case v => fail(s"unsupported superblock version $v")
     }
