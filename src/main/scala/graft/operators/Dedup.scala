@@ -135,6 +135,123 @@ object Dedup {
     out
   }
 
+  /** DuckDB-replayable MinHash+LSH candidate pairs — the
+    * correctness-GATE twin of [[minhashCandidates]]: identical
+    * pipeline shape (distinct shingles map-side, ONE hash-agg shuffle
+    * for the k-component signature with map-side partial mins,
+    * ids-only bucket join, signatures re-attached after the
+    * distinct), but every hash is md5 over the shingle STRING salted
+    * with the component index, so a SQL engine can replay the whole
+    * operator bit-for-bit: signature components are lowercase hex
+    * strings, and "min hash" is the lexicographic MIN — exactly SQL's
+    * `min(md5(i || ':' || shingle))`. The xxhash64 kernel remains the
+    * production default (no shingle-string materialization, one-pass
+    * native signature); DedupSpec asserts the two kernels recover the
+    * same candidate pair set on the gate corpus.
+    */
+  def minhashCandidatesMd5(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                           minEstimate: Double = 0.5): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must split into bands=$bands equal rows-per-band")
+    val r = k / bands
+    val w = tokens(col(textCol))
+    // distinct word-n-gram shingle strings, built map-side. sequence()
+    // DESCENDS when start > stop, so short docs need the explicit
+    // empty-array guard (the oracle's generate_series is empty there).
+    val starts = when(size(w) >= shingleN,
+      sequence(lit(1), size(w) - (shingleN - 1))).otherwise(array())
+    val shingles = array_distinct(transform(starts,
+      i => concat_ws(" ", slice(w, i, lit(shingleN)))))
+    val sh = df.select(col(idCol).as("doc"), explode(shingles).as("s"))
+    // one shuffle: k per-seed mins as agg columns (partial agg folds
+    // each partition's shingles before anything moves)
+    val seedMins = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"__h$i"))
+    val sigs = sh.groupBy(col("doc"))
+      .agg(seedMins.head, seedMins.tail: _*)
+      .select(col("doc"), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
+      .persist()
+    val buckets = sigs.select(col("doc"), posexplode(array((0 until bands).map(j =>
+      md5(array_join(slice(col("sig"), j * r + 1, r), ","))): _*)).as(Seq("band", "bucket")))
+    val a = buckets.as("a"); val b = buckets.as("b")
+    val pairs = a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    val scored = pairs
+      .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("__e", aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / lit(k.toDouble))
+      .filter(col("__e") >= minEstimate)
+      .select(col("doc_a"), col("doc_b"), round(col("__e"), 6).as("est_jaccard"))
+    // same lifecycle as minhashCandidates: materialize the (small)
+    // pair list, release the signature cache
+    val out = scored.localCheckpoint(true)
+    sigs.unpersist()
+    out
+  }
+
+  /** DuckDB-replayable SimHash near-dup pairs — gate twin of
+    * [[simhashPairs]]: bit b of the 64-bit signature is the sign of
+    * the token vote sum, where a token's bits are the first 16 hex
+    * chars of md5(token) (nibble-major, high bit of each nibble
+    * first). Banded into `maxHamming + 1` DISJOINT bit ranges, so by
+    * pigeonhole every pair at Hamming distance <= maxHamming shares
+    * at least one exact band — the LSH pass is EXACT: the output
+    * equals the brute-force pair set, which is precisely what the
+    * DuckDB oracle computes with an O(n²) self-join. (The production
+    * [[simhashPairs]] keeps its fixed four 16-bit bands — a recall
+    * trade documented there; this gate shape is exhaustive by
+    * construction.)
+    */
+  /** (doc, sig) md5-bit SimHash signatures — the map-side kernel of
+    * [[simhashPairsMd5]], exposed so specs can brute-force the exact
+    * pair set over the same signatures the banded pass uses.
+    */
+  def simhashSignaturesMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("t"))
+    // 16 nibble columns computed once per token row (conv is the
+    // Spark spelling of the oracle's strpos-table nibble decode)
+    val withNibs = tok.select(col("doc") +: (0 until 16).map(p =>
+      conv(substring(md5(col("t")), p + 1, 1), 16, 10).cast("int").as(s"__n$p")): _*)
+    val voteAggs = (0 until 64).map { b =>
+      val bit = shiftright(col(s"__n${b / 4}"), 3 - b % 4).bitwiseAND(lit(1))
+      sum(bit * lit(2) - lit(1)).as(s"__v$b")
+    }
+    val votes = withNibs.groupBy(col("doc")).agg(voteAggs.head, voteAggs.tail: _*)
+    val sigExpr = (0 until 64).map(b =>
+        when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    votes.select(col("doc"), sigExpr.as("sig"))
+  }
+
+  def simhashPairsMd5(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64)
+    val sigs = simhashSignaturesMd5(df, idCol, textCol)
+    val nBands = maxHamming + 1
+    val base = 64 / nBands
+    val banded = sigs.select(col("doc"), col("sig"),
+      posexplode(array((0 until nBands).map { j =>
+        val width = if (j == nBands - 1) 64 - base * j else base
+        val mask = if (width == 64) -1L else (1L << width) - 1
+        // unsigned shift: bit 63 set must not sign-extend into the key
+        shiftrightunsigned(col("sig"), base * j).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("band", "key")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", graft.functions.TextFunctions.hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Connected components over an undirected pair list (doc_a,
     * doc_b). Output: (node, label) — label = min node id of the
     * component.

@@ -121,15 +121,22 @@ object TextVector {
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
     }),
 
-    // MinHash+LSH candidate pairs (xxhash64 — no DuckDB analog).
+    // MinHash+LSH candidate pairs. The GATE runs the md5 kernel
+    // (hash-exact DuckDB replay: per-shingle md5 salted by component
+    // index, lexicographic min, banded bucket join); the xxhash64
+    // kernel stays the production default and DedupSpec asserts both
+    // recover the same pair set.
     "q26_minhash_pairs" -> ((s, dir) => {
-      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashCandidatesMd5(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, k = 32, bands = 8, minEstimate = 0.5)
     }),
 
-    // SimHash near-dup pairs (rows-only).
+    // SimHash near-dup pairs. GATE = md5-bit signature with
+    // maxHamming+1 disjoint bands — exact by pigeonhole, so the
+    // oracle is a brute-force O(n²) self-join over the replayed
+    // signatures.
     "q27_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
+      Dedup.simhashPairsMd5(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
     }),
 
     // embedding L2 norm — native fused kernel (graft_l2norm), same
@@ -368,6 +375,48 @@ object TextVector {
          FROM h""",
     "q23_fingerprint" ->
       "SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents",
+    // replays minhashCandidatesMd5 end to end: distinct 3-gram
+    // shingles, 32 salted-md5 component mins (lexicographic = SQL
+    // MIN), 8 four-component bands, bucket join, agreement fraction
+    "q26_minhash_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+         sg AS (SELECT doc_id, k.i AS ki, min(md5(CAST(k.i AS VARCHAR) || ':' || s)) AS h
+                FROM sh, UNNEST(generate_series(0, 31)) AS k(i)
+                GROUP BY doc_id, k.i),
+         sigs AS (SELECT doc_id, list(h ORDER BY ki) AS sig FROM sg GROUP BY doc_id),
+         bands AS (SELECT doc_id, b.j AS band,
+                     md5(array_to_string(sig[CAST(b.j*4+1 AS INTEGER):CAST(b.j*4+4 AS INTEGER)], ',')) AS key
+                   FROM sigs, UNNEST(generate_series(0, 7)) AS b(j)),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         est AS (SELECT doc_a, doc_b,
+                   len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32.0 AS e
+                 FROM pairs JOIN sigs sa ON sa.doc_id = doc_a
+                            JOIN sigs sb ON sb.doc_id = doc_b)
+         SELECT doc_a, doc_b, round(e, 6) AS est_jaccard FROM est WHERE e >= 0.5""",
+    // replays simhashPairsMd5's signature (vote sign per bit, token
+    // bits = first 16 hex chars of md5, high bit of each nibble
+    // first), then brute-forces ALL pairs — the banded Spark plan is
+    // exact by pigeonhole, so the sets must match. 1<<63 overflows
+    // DuckDB's checked shift: bit 63 is the min-long literal, and the
+    // disjoint-bit sum (HUGEINT) casts back losslessly.
+    "q27_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         hx AS (SELECT doc_id, substr(md5(t), 1, 16) AS h FROM tok),
+         votes AS (SELECT doc_id, b.i AS b,
+             sum(CASE WHEN (strpos('0123456789abcdef', substr(h, CAST(b.i // 4 AS INTEGER) + 1, 1)) - 1)
+                      & (1 << (3 - CAST(b.i % 4 AS INTEGER))) != 0 THEN 1 ELSE -1 END) AS v
+           FROM hx, UNNEST(generate_series(0, 63)) AS b(i) GROUP BY doc_id, b.i),
+         sig AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN
+                   CASE WHEN b = 63 THEN -9223372036854775808 ELSE (1::BIGINT << CAST(b AS INTEGER)) END
+                 ELSE 0 END) AS BIGINT) AS sg
+                 FROM votes GROUP BY doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, bit_count(xor(a.sg, b.sg)) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sg, b.sg)) <= 6""",
     "q24_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
          GROUP BY md5(array_to_string(string_split(text,' ')[1:10], ' '))""",

@@ -50,6 +50,40 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"minhash recall $recall too low (found ${cand.size} candidates)")
   }
 
+  test("md5 gate kernels match the xxhash production kernels' pair sets") {
+    val d = Tables(spark, sf001, "documents")
+    // MinHash: same parameters, different hash family — on a corpus
+    // with clear dup structure both LSH passes must surface the same
+    // candidate pairs (est_jaccard values differ per family, so the
+    // contract is the PAIR SET)
+    val fast = Dedup.minhashCandidates(d, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 8, minEstimate = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gate = Dedup.minhashCandidatesMd5(d, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 8, minEstimate = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast.nonEmpty && gate == fast,
+      s"minhash kernels diverge: md5-only=${gate -- fast} xxhash-only=${fast -- gate}")
+    // SimHash: a Hamming<=6 cut over 64 bits is hash-family-sensitive
+    // (different token bits -> different distances near the cut), so
+    // the gate kernel is judged against its OWN exact baseline: the
+    // banded pass with maxHamming+1 disjoint bands must EQUAL a
+    // brute-force all-pairs sweep over the same md5 signatures —
+    // pigeonhole exactness, the property that justifies the O(n²)
+    // DuckDB oracle.
+    val gateSim = Dedup.simhashPairsMd5(d, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gateSim.nonEmpty, "gate corpus should contain simhash near-dups")
+    val sigs = Dedup.simhashSignaturesMd5(d, "doc_id", "text")
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.doc") < col("b.doc"))
+      .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= 6)
+      .select(col("a.doc"), col("b.doc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gateSim == brute,
+      s"banded pass not exact: missed=${brute -- gateSim} extra=${gateSim -- brute}")
+  }
+
   test("connectedComponents: min-label per component, chains converge") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (10L, 11L))
       .toDF("doc_a", "doc_b")
