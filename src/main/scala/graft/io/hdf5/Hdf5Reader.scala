@@ -17,8 +17,9 @@ import java.nio.file.{Paths, StandardOpenOption}
   *   - groups as v1-B-tree + local-heap symbol tables (SNOD) or as
   *     compact link messages (v2 groups)
   *   - datasets: contiguous (layout v3/v4) or chunked via v1 chunk
-  *     B-tree, Single Chunk / Implicit / Fixed Array indexes (layout
-  *     v4), optionally deflate- and/or shuffle-filtered
+  *     B-tree, Single Chunk / Implicit / Fixed Array (single-page AND
+  *     paged FADB) indexes (layout v4), optionally deflate- and/or
+  *     shuffle-filtered
   *   - datatypes: fixed-point, IEEE float, fixed strings; vlen strings
   *     in ATTRIBUTES (global heap)
   *   - attribute messages v1-v3
@@ -33,8 +34,8 @@ import java.nio.file.{Paths, StandardOpenOption}
   * (io/mpi.py read paths).
   *
   * Unsupported features (dense/fractal-heap link storage, extensible
-  * array & v2-B-tree chunk indexes, paged fixed arrays, datatypes
-  * beyond the above) fail loudly with the offending construct named.
+  * array & v2-B-tree chunk indexes, datatypes beyond the above) fail
+  * loudly with the offending construct named.
   */
 final class Hdf5Reader(val path: String) extends AutoCloseable {
   import Hdf5Reader._
@@ -613,9 +614,18 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     require(u8(dbAddr + 4) == 0 && u8(dbAddr + 5) == clientId,
       s"FADB version/client mismatch at $dbAddr (${ds.name})")
     val prefixLen = 14 // sig(4) + version(1) + client(1) + hdr addr(8)
-    val nChunks = ((ds.rows + chunkRows - 1) / chunkRows).toInt
+    val nChunksL = (ds.rows + chunkRows - 1) / chunkRows
+    require(nChunksL <= Int.MaxValue,
+      s"fixed-array chunk count $nChunksL exceeds Int range (${ds.name})")
+    val nChunks = nChunksL.toInt
     require(nChunks <= maxEntries,
       s"fixed array too small for ${ds.name}: $nChunks chunks > $maxEntries entries")
+    // this reader buffers each checksum region in one array — a >2 GiB
+    // index would silently truncate through .toInt, so refuse it by
+    // name instead (fail-loudly convention)
+    require(prefixLen + maxEntries * entrySize <= Int.MaxValue,
+      s"fixed-array index region ${maxEntries * entrySize} B too large " +
+        s"to buffer (${ds.name})")
 
     def entry(e: Long, i: Int): (Long, Long, Int) =
       if (clientId == 0) (i.toLong * chunkRows, u64(e), chunkBytes)
@@ -626,9 +636,15 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
         val szW = entrySize - 12
         if (szW < 1 || szW > 8)
           fail(s"unsupported chunk-size width $szW (${ds.name})")
-        (i.toLong * chunkRows, u64(e), uVar(e + 8, szW).toInt)
+        val stored = uVar(e + 8, szW)
+        require(stored <= Int.MaxValue,
+          s"stored chunk size $stored B exceeds Int range (${ds.name})")
+        (i.toLong * chunkRows, u64(e), stored.toInt)
       }
 
+    // JVM long shifts wrap at 64 bits: an absurd pageBits would alias
+    // to a tiny page size instead of failing — refuse it by name
+    require(pageBits < 63, s"unsupported fixed-array pageBits $pageBits (${ds.name})")
     val pageSize = 1L << pageBits
     if (maxEntries <= pageSize) {
       // unpaged: elements inline, one checksum over prefix+elements

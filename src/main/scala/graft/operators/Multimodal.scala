@@ -14,9 +14,12 @@ import org.apache.spark.sql.types._
   * Image decode is REAL: [[ImageIoDecoder]] parses PNG/JPEG/BMP/GIF
   * payloads with `javax.imageio` (ships in the JDK — no external
   * codec library needed) and extracts true dimensions, channel count,
-  * frame count and pixel statistics. Only video/audio remain behind
-  * the deterministic [[StubDecoder]] (this container has no av codec
-  * libraries); swapping in an ffmpeg-backed Decoder is a one-class
+  * frame count and pixel statistics. Audio decode is REAL too:
+  * [[AudioDecoder]] parses WAV/AIFF/AU PCM with `javax.sound.sampled`
+  * (also JDK built-in) — sample rate, channels, frame count,
+  * amplitude stats, per-bin energy. Only video remains behind the
+  * deterministic [[StubDecoder]] (this container genuinely has no
+  * video codec); swapping in an ffmpeg-backed Decoder is a one-class
   * change because the Spark-side contracts (schema, batching,
   * partitioning, null passthrough) are shared and tested.
   */
@@ -60,7 +63,9 @@ object Multimodal {
     * from the decoded raster; `n_frames` counts sub-images (animated
     * GIF frames); `px_mean` averages every sample of every band of
     * frame 0; `feature` is a `featDim`-bin intensity histogram over
-    * band 0, L1-normalized. Throws on undecodable bytes — feed video
+    * band 0, L1-normalized. Palette-indexed images (GIF, PNG-8)
+    * resolve through the palette first — their raster samples are
+    * indices, not intensities — so stats are always color-space. Throws on undecodable bytes — feed video
     * payloads to [[StubDecoder]] instead.
     */
   final class ImageIoDecoder(featDim: Int = 8) extends Decoder {
@@ -81,30 +86,55 @@ object Multimodal {
           // single-frame formats this returns 1 without extra IO.
           val nFrames = math.max(1, reader.getNumImages(true))
           val img = reader.read(0)
-          val raster = img.getRaster
           val w = img.getWidth; val h = img.getHeight
-          val bands = raster.getNumBands
           val hist = new Array[Float](featDim)
           var sum = 0.0
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              var b = 0
-              while (b < bands) {
-                val s = raster.getSample(x, y, b)
-                sum += s
-                if (b == 0) {
-                  val bin = math.min(featDim - 1, s * featDim / 256)
-                  hist(bin) += 1f
-                }
-                b += 1
+          var bands = 0
+          var n = 0L
+          if (img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) {
+            // palette images (GIF, PNG-8): raster samples are palette
+            // INDICES, not intensities — stats must come from the
+            // looked-up colors or px_mean/histogram are meaningless on
+            // arbitrary corpora. getRGB resolves through the palette;
+            // band 0 (the histogram band) is red, matching the
+            // component path's band order.
+            bands = 3
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xFF
+                sum += r + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                hist(math.min(featDim - 1, r * featDim / 256)) += 1f
+                x += 1
               }
-              x += 1
+              y += 1
             }
-            y += 1
+            n = w.toLong * h * 3
+          } else {
+            val raster = img.getRaster
+            bands = raster.getNumBands
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                var b = 0
+                while (b < bands) {
+                  val s = raster.getSample(x, y, b)
+                  sum += s
+                  if (b == 0) {
+                    val bin = math.min(featDim - 1, s * featDim / 256)
+                    hist(bin) += 1f
+                  }
+                  b += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            n = w.toLong * h * bands
           }
-          val n = w.toLong * h * bands
           var i = 0
           while (i < featDim) { hist(i) /= (w.toLong * h); i += 1 }
           Decoded(w, h, nFrames, bands, if (n == 0) 0.0 else sum / n, hist)
@@ -113,11 +143,115 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decoder backed by `javax.sound.sampled` (JDK
+    * built-in): handles WAV, AIFF and AU containers carrying PCM
+    * (signed or unsigned, 8/16/24/32-bit, either endianness). The
+    * shared [[Decoded]] contract maps as: `width` = sample rate (Hz),
+    * `height` = bits per sample, `n_frames` = sample frames (so
+    * duration_sec = n_frames / width), `channels` = channels,
+    * `px_mean` = mean |amplitude| normalized to [0, 1], `feature` =
+    * RMS energy over `featDim` equal time bins (the cheap
+    * silence/activity signal for downstream filtering). Throws on
+    * non-PCM or unrecognized containers — poison rows degrade to null
+    * via [[decodeFeatures]]' catch, same as images.
+    */
+  final class AudioDecoder(featDim: Int = 8) extends Decoder {
+    override def decode(p: Array[Byte]): Decoded = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        import javax.sound.sampled.AudioFormat.Encoding
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        require(enc == Encoding.PCM_SIGNED || enc == Encoding.PCM_UNSIGNED,
+          s"unsupported audio encoding $enc (PCM_SIGNED/PCM_UNSIGNED only)")
+        val bits = fmt.getSampleSizeInBits
+        require(bits == 8 || bits == 16 || bits == 24 || bits == 32,
+          s"unsupported PCM sample size $bits bits")
+        val ch = fmt.getChannels
+        val bps = bits / 8
+        val frameSize = fmt.getFrameSize
+        require(frameSize == ch * bps,
+          s"unexpected PCM frame size $frameSize for $ch ch x $bps B")
+        val data = ais.readAllBytes()
+        val nFrames = data.length / frameSize
+        val big = fmt.isBigEndian
+        val unsigned = enc == Encoding.PCM_UNSIGNED
+        val full = (1L << (bits - 1)).toDouble
+        val energy = new Array[Double](featDim)
+        val counts = new Array[Long](featDim)
+        var sumAbs = 0.0
+        var f = 0
+        while (f < nFrames) {
+          val bin = (f.toLong * featDim / nFrames).toInt
+          var c = 0
+          while (c < ch) {
+            val off = f * frameSize + c * bps
+            var v = 0L
+            var i = 0
+            while (i < bps) {
+              val b = data(off + i) & 0xFFL
+              v |= (if (big) b << (8 * (bps - 1 - i)) else b << (8 * i))
+              i += 1
+            }
+            // center unsigned PCM, sign-extend signed PCM
+            val s = (if (unsigned) v - (1L << (bits - 1))
+                     else (v << (64 - bits)) >> (64 - bits)) / full
+            sumAbs += math.abs(s)
+            energy(bin) += s * s
+            counts(bin) += 1
+            c += 1
+          }
+          f += 1
+        }
+        val feat = new Array[Float](featDim)
+        var i = 0
+        while (i < featDim) {
+          feat(i) = if (counts(i) == 0) 0f
+            else math.sqrt(energy(i) / counts(i)).toFloat
+          i += 1
+        }
+        val n = nFrames.toLong * ch
+        Decoded(fmt.getSampleRate.toInt, bits, nFrames, ch,
+          if (n == 0) 0.0 else sumAbs / n, feat)
+      } finally ais.close()
+    }
+  }
+
+  /** Encode 16-bit signed PCM samples as a WAV (little-endian) or
+    * AIFF (big-endian) container via `javax.sound.sampled` — the
+    * audio analog of [[pngBytes]]: a deterministic, real-codec test
+    * corpus generator. `samples` interleave channels frame-major.
+    */
+  def pcmBytes(sampleRate: Int, channels: Int, samples: Array[Short],
+               aiff: Boolean = false): Array[Byte] = {
+    require(samples.length % channels == 0,
+      s"${samples.length} samples don't tile $channels channels")
+    import javax.sound.sampled._
+    val big = aiff
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, channels, 2 * channels, sampleRate.toFloat, big)
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      if (big) { raw(2 * i) = (s >> 8).toByte; raw(2 * i + 1) = s.toByte }
+      else { raw(2 * i) = s.toByte; raw(2 * i + 1) = (s >> 8).toByte }
+      i += 1
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(raw),
+      fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais,
+      if (aiff) AudioFileFormat.Type.AIFF else AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic FAKE decoder for formats with no codec in this
-    * container (video/audio): dimensions derived from payload length,
+    * container (video): dimensions derived from payload length,
     * feature = first `dim` bytes scaled — exercises schema/partition/
     * batch behavior end-to-end. Clearly a stub; images should use
-    * [[ImageIoDecoder]].
+    * [[ImageIoDecoder]], WAV/AIFF/AU audio [[AudioDecoder]].
     */
   final class StubDecoder(dim: Int = 8) extends Decoder {
     override def decode(p: Array[Byte]): Decoded = {

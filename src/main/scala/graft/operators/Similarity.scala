@@ -39,12 +39,24 @@ object Similarity {
       math.ceil(math.log(buckets.toDouble) / math.log(2.0)).toInt))
   }
 
-  /** Above this plane count, [[lshTopK]] drops the Hamming-2 probe
-    * ring: (planes choose 2) probes per query is a quadratic fan-out
-    * (12 → 66 extra probes, 24 → 276) that overtakes the candidate
-    * scan it is meant to save.
+  /** Above this plane count, [[lshTopK]] stops growing the Hamming-2
+    * probe ring: (planes choose 2) probes per query is a quadratic
+    * fan-out (12 → 66 extra probes, 24 → 276) that overtakes the
+    * candidate scan it is meant to save. Instead of dropping the ring
+    * outright (a recall CLIFF between 12 and 13 planes — probes would
+    * fall 79 → 14), the ring is BUDGETED: the first
+    * [[Hamming2Budget]] plane pairs (lexicographic order — sign-LSH
+    * plane indices are statistically exchangeable, so any fixed
+    * subset has the same expected recall) are always probed, keeping
+    * per-query probe work flat past the knee while recall degrades
+    * smoothly with dimension instead of stepping.
     */
   val MaxHamming2Planes: Int = 12
+
+  /** Hamming-2 probe budget past [[MaxHamming2Planes]] planes: the
+    * full ring size AT the knee, so probes(13) == probes(12) + 1.
+    */
+  val Hamming2Budget: Int = MaxHamming2Planes * (MaxHamming2Planes - 1) / 2
 
   /** Exact top-k cosine neighbors for each query row.
     * Output: (query_id, neighbor_id, rank, cosine).
@@ -82,9 +94,10 @@ object Similarity {
     * Probe fan-out is capped independently of the bucket count: the
     * Hamming-2 ring grows quadratically in planes (24 planes → 276
     * extra probes per query), so above [[MaxHamming2Planes]] planes
-    * only Hamming-1 buckets are probed (1 + planes probes) — per-query
-    * work stays linear in planes while each bucket still holds
-    * ~targetBucket candidates.
+    * the ring is truncated to its size at the knee
+    * ([[Hamming2Budget]] probes) — per-query work past the knee grows
+    * only linearly (Hamming-1), with no recall cliff at the boundary
+    * (SimilaritySpec asserts recall just above it).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nPlanes: Int = 0, dim: Int = 64): DataFrame = {
@@ -95,12 +108,13 @@ object Similarity {
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       signLshBucket(col(vecCol), planes, dim).as("b0"))
     // multi-probe: own bucket + all buckets at Hamming distance 1, and
-    // Hamming distance 2 only while the quadratic enumeration is small
+    // a BUDGETED Hamming-2 ring — full below the knee, the first
+    // Hamming2Budget pairs above it (graded, no recall cliff)
     val h1 = (0 until planes).map(p => col("b0").bitwiseXOR(lit(1L << p)))
-    val h2 =
-      if (planes > MaxHamming2Planes) Seq.empty
-      else for (p <- 0 until planes; q <- (p + 1) until planes)
-        yield col("b0").bitwiseXOR(lit((1L << p) | (1L << q)))
+    val h2 = (for (p <- 0 until planes; q <- (p + 1) until planes)
+        yield (p, q))
+      .take(Hamming2Budget)
+      .map { case (p, q) => col("b0").bitwiseXOR(lit((1L << p) | (1L << q))) }
     val probes = qBase.select(col("query_id"), col("qv"),
       explode(array(col("b0") +: (h1 ++ h2): _*)).as("bucket"))
     val scored = probes.join(cB, "bucket")

@@ -122,6 +122,76 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Double]("px_mean") == exp)
   }
 
+  test("palette-indexed images report color-space stats, not indices") {
+    import javax.imageio.ImageIO
+    ImageIO.setUseCache(false)
+    // palette deliberately INVERTED vs index order: index 0 -> white,
+    // index 1 -> black. Index-space stats would report mean 0 for an
+    // all-index-0 image; color-space stats must report 255.
+    val icm = new java.awt.image.IndexColorModel(1, 2,
+      Array[Byte](255.toByte, 0), Array[Byte](255.toByte, 0), Array[Byte](255.toByte, 0))
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+    // all pixels index 0 (default) = white
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(img, "gif", bos))
+    val d = new Multimodal.ImageIoDecoder(featDim = 4).decode(bos.toByteArray)
+    assert(d.pxMean == 255.0, s"palette not resolved: px_mean ${d.pxMean}")
+    assert(d.channels == 3) // palette resolves to RGB
+    assert(d.feature.toSeq == Seq(0f, 0f, 0f, 1f)) // all pixels in the top bin
+  }
+
+  test("AudioDecoder recovers rate/frames/amplitude from a real WAV sine") {
+    // 0.5 s of a full-scale 440 Hz sine at 8 kHz mono 16-bit
+    val rate = 8000; val n = 4000
+    val samples = Array.tabulate[Short](n)(i =>
+      (math.sin(2 * math.Pi * 440 * i / rate) * 32767).toShort)
+    val wav = Multimodal.pcmBytes(rate, 1, samples)
+    val d = new Multimodal.AudioDecoder().decode(wav)
+    assert(d.width == rate && d.height == 16 && d.channels == 1)
+    assert(d.nFrames == n) // duration = n_frames / width = 0.5 s
+    // mean |sin| = 2/pi for a full-scale sine
+    assert(math.abs(d.pxMean - 2 / math.Pi) < 1e-3, s"px_mean ${d.pxMean}")
+    // steady tone: every time bin carries the same RMS (1/sqrt(2))
+    assert(d.feature.length == 8)
+    d.feature.foreach(e => assert(math.abs(e - 1 / math.sqrt(2)) < 1e-2))
+  }
+
+  test("AudioDecoder: AIFF (big-endian), stereo, and silence bins") {
+    val rate = 4000; val n = 2000
+    // left channel: sine; right channel: silence -> mean |amp| halves
+    val inter = new Array[Short](2 * n)
+    (0 until n).foreach { i =>
+      inter(2 * i) = (math.sin(2 * math.Pi * 220 * i / rate) * 32767).toShort
+      inter(2 * i + 1) = 0
+    }
+    val aiff = Multimodal.pcmBytes(rate, 2, inter, aiff = true)
+    val d = new Multimodal.AudioDecoder().decode(aiff)
+    assert(d.width == rate && d.channels == 2 && d.nFrames == n)
+    assert(math.abs(d.pxMean - 1 / math.Pi) < 1e-3)
+    // second half silent: energy collapses to the first 4 bins
+    val halfSilent = Array.tabulate[Short](n)(i =>
+      if (i < n / 2) (math.sin(2 * math.Pi * 220 * i / rate) * 32767).toShort
+      else 0)
+    val d2 = new Multimodal.AudioDecoder()
+      .decode(Multimodal.pcmBytes(rate, 1, halfSilent))
+    d2.feature.take(4).foreach(e => assert(e > 0.5f))
+    d2.feature.drop(4).foreach(e => assert(e == 0f))
+  }
+
+  test("decodeFeatures with AudioDecoder: partition reuse + poison row") {
+    val rate = 8000
+    val wav = Multimodal.pcmBytes(rate, 1,
+      Array.tabulate[Short](800)(i => (math.sin(2 * math.Pi * 440 * i / rate) * 32767).toShort))
+    val rows = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8")), (3L, null))
+      .toDF("id", "payload").repartition(2)
+    val out = Multimodal.decodeFeatures(rows, "payload",
+      new Multimodal.AudioDecoder()).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("width") == rate)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("width"))) // poison degrades
+    assert(out(3L).isNullAt(out(3L).fieldIndex("width"))) // null passes through
+  }
+
   test("StubDecoder still covers no-codec payloads (video stub)") {
     val out = Multimodal.decodeFeatures(media, "payload",
       new Multimodal.StubDecoder())

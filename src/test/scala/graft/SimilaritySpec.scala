@@ -100,9 +100,33 @@ class SimilaritySpec extends SparkSpec {
         }
       }.get
     }
-    assert(probes(6) == 1 + 6 + 15)  // own + Hamming-1 + Hamming-2 ring
-    assert(probes(16) == 1 + 16)     // above the cap: quadratic ring dropped
-    assert(probes(24) == 1 + 24)     // 301 probes before the cap existed
+    assert(probes(6) == 1 + 6 + 15)   // own + Hamming-1 + full Hamming-2 ring
+    assert(probes(12) == 1 + 12 + 66) // full ring AT the knee
+    // graded past the knee: ring truncated to its knee size, not
+    // dropped — probes(13) is one MORE than probes(12), no cliff
+    assert(probes(13) == 1 + 13 + 66)
+    assert(probes(16) == 1 + 16 + 66)
+    assert(probes(24) == 1 + 24 + 66) // 301 probes before the budget existed
+  }
+
+  test("recall just above the Hamming-2 knee stays near the knee's") {
+    // the cliff ADVICE flagged: 12 -> 13 planes used to drop probes
+    // 79 -> 14. With the budgeted ring both sides of the boundary
+    // probe the same Hamming-2 set; recall@5 must not step.
+    val e = Tables(spark, sf001, "embeddings")
+    val queries = e.limit(8)
+    val truth = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nPlanes: Int): Double = {
+      val got = Similarity.lshTopK(e, queries, "vec_id", "embedding", 5,
+          nPlanes = nPlanes)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.count(got.contains).toDouble / truth.size
+    }
+    val atKnee = recall(12)
+    val aboveKnee = recall(13)
+    assert(aboveKnee >= atKnee - 0.15,
+      s"recall cliff above the knee: 12 planes $atKnee -> 13 planes $aboveKnee")
   }
 
   test("autoPlanes: bucket count grows with corpus size (tuning contract)") {
