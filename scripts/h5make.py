@@ -317,6 +317,154 @@ class WLatest(W):
             msgs.append((0x0C, self.attr(name, val)))
         return self.object_header(msgs)
 
+    @staticmethod
+    def _link_msg(name, addr):
+        nb = name.encode()
+        assert len(nb) < 256
+        return struct.pack("<BBB", 1, 0, len(nb)) + nb + struct.pack("<Q", addr)
+
+    def _fractal_heap(self, objs):
+        """Write a fractal heap holding `objs` (list of bytes) as
+        managed objects. Returns (header address, [heap id bytes]).
+        Geometry mirrors libhdf5's dense-link defaults: table width 4,
+        512 B starting blocks doubling to 64 KiB, 32-bit heap space,
+        4 KiB max managed object -> 7-byte heap IDs; direct blocks are
+        checksummed (flags 0x02, checksum computed with its own field
+        zeroed). Root is a direct block while everything fits in one
+        starting block, else a root indirect block of direct blocks.
+        """
+        width, start, max_direct = 4, 512, 65536
+        max_heap_bits, max_man_obj = 32, 4096
+        off_w = (max_heap_bits + 7) // 8            # 4
+        len_w = self._enc_width(max_man_obj)        # 2
+        heap_id_len = 1 + off_w + len_w             # 7
+        hdr_len = 4 + 1 + 8 + off_w + 4             # FHDB header (checksummed)
+
+        def row_size(r):
+            return start if r < 2 else start << (r - 1)
+
+        blocks, offsets, sizes, ids = [], [], [], []
+        blk, blk_off, intra, cur = 0, 0, hdr_len, []
+        for ob in objs:
+            assert len(ob) <= max_man_obj
+            while intra + len(ob) > row_size(blk // width):
+                blocks.append(cur); offsets.append(blk_off)
+                sizes.append(row_size(blk // width))
+                blk_off += sizes[-1]; blk += 1; intra = hdr_len; cur = []
+            ids.append(struct.pack("<B", 0)
+                       + (blk_off + intra).to_bytes(off_w, "little")
+                       + len(ob).to_bytes(len_w, "little"))
+            cur.append((intra, ob)); intra += len(ob)
+        blocks.append(cur); offsets.append(blk_off)
+        sizes.append(row_size(blk // width))
+        nblocks = len(blocks)
+
+        base = self.pos
+        dblock_addrs = [base + sum(sizes[:i]) for i in range(nblocks)]
+        after = base + sum(sizes)
+        if nblocks == 1:
+            root_addr, cur_rows, hdr_addr = dblock_addrs[0], 0, after
+        else:
+            cur_rows = (nblocks + width - 1) // width
+            entries = cur_rows * width
+            fhib_len = 13 + off_w + entries * 8 + 4
+            root_addr, hdr_addr = after, after + fhib_len
+        for i, cur in enumerate(blocks):
+            b = bytearray(sizes[i])
+            b[0:4] = b"FHDB"; b[4] = 0
+            b[5:13] = struct.pack("<Q", hdr_addr)
+            b[13:13 + off_w] = offsets[i].to_bytes(off_w, "little")
+            for at, ob in cur:
+                b[at:at + len(ob)] = ob
+            b[13 + off_w:17 + off_w] = struct.pack("<I", lookup3(bytes(b)))
+            assert self.block(bytes(b)) == dblock_addrs[i]
+        if nblocks > 1:
+            fhib = (b"FHIB" + struct.pack("<B", 0) + struct.pack("<Q", hdr_addr)
+                    + (0).to_bytes(off_w, "little"))
+            for i in range(cur_rows * width):
+                fhib += struct.pack("<Q",
+                                    dblock_addrs[i] if i < nblocks else UNDEF)
+            fhib += struct.pack("<I", lookup3(fhib))
+            assert self.block(fhib) == root_addr
+        managed = sum(sizes)
+        frhp = (b"FRHP" + struct.pack("<B", 0)
+                + struct.pack("<HHB", heap_id_len, 0, 0x02)
+                + struct.pack("<I", max_man_obj)
+                + struct.pack("<Q", 0) + struct.pack("<Q", UNDEF)   # huge
+                + struct.pack("<Q", 0) + struct.pack("<Q", UNDEF)   # free space
+                + struct.pack("<QQQ", managed, managed, managed)
+                + struct.pack("<Q", len(objs))
+                + struct.pack("<QQQQ", 0, 0, 0, 0)                  # huge/tiny
+                + struct.pack("<H", width)
+                + struct.pack("<QQ", start, max_direct)
+                + struct.pack("<HH", max_heap_bits, cur_rows)
+                + struct.pack("<Q", root_addr)
+                + struct.pack("<H", cur_rows))
+        assert len(frhp) == 142, len(frhp)
+        frhp += struct.pack("<I", lookup3(frhp))
+        assert self.block(frhp) == hdr_addr
+        return hdr_addr, ids
+
+    def _btree2(self, records, rec_size, bt_type, node_size=512):
+        """Write a v2 B-tree over pre-sorted fixed-size records.
+        Returns the BTHD address. Depth 0 while the records fit one
+        leaf, else depth 1 (root internal node over leaves — the shape
+        a ~50+-link group or a many-chunk dataset really has)."""
+        n = len(records)
+        max_leaf = (node_size - 10) // rec_size
+
+        def leaf(recs):
+            b = (b"BTLF" + struct.pack("<BB", 0, bt_type) + b"".join(recs))
+            b += struct.pack("<I", lookup3(b))
+            return self.block(b)
+
+        if n <= max_leaf:
+            root, depth, root_n = (leaf(records) if n else UNDEF), 0, n
+        else:
+            nrec_w = self._enc_width(max_leaf)
+            nleaves = -(-n // max_leaf)
+            per = (n - (nleaves - 1)) // nleaves
+            extra = (n - (nleaves - 1)) % nleaves
+            leaves, seps, i = [], [], 0
+            for li in range(nleaves):
+                sz = per + (1 if li < extra else 0)
+                leaves.append(records[i:i + sz]); i += sz
+                if li < nleaves - 1:
+                    seps.append(records[i]); i += 1
+            assert i == n
+            leaf_addrs = [leaf(ls) for ls in leaves]
+            body = b"BTIN" + struct.pack("<BB", 0, bt_type) + b"".join(seps)
+            for a, ls in zip(leaf_addrs, leaves):
+                body += struct.pack("<Q", a) + len(ls).to_bytes(nrec_w, "little")
+            body += struct.pack("<I", lookup3(body))
+            root, depth, root_n = self.block(body), 1, len(seps)
+        hdr = (b"BTHD" + struct.pack("<BB", 0, bt_type)
+               + struct.pack("<IHH", node_size, rec_size, depth)
+               + struct.pack("<BB", 100, 40)
+               + struct.pack("<Q", root) + struct.pack("<H", root_n)
+               + struct.pack("<Q", n))
+        assert len(hdr) == 34, len(hdr)
+        hdr += struct.pack("<I", lookup3(hdr))
+        return self.block(hdr)
+
+    def group_dense(self, children, attrs=()):
+        """Dense link storage: links live as fractal-heap objects keyed
+        by a v2 B-tree name index — what libhdf5 emits for a
+        libver='latest' group past its compact-link threshold."""
+        assert children, "dense group needs links"
+        children = sorted(children)
+        objs = [self._link_msg(n, a) for n, a in children]
+        heap_addr, ids = self._fractal_heap(objs)
+        recs = [struct.pack("<I", lookup3(n.encode())) + hid
+                for (n, _), hid in zip(children, ids)]
+        recs.sort(key=lambda r: struct.unpack("<I", r[:4])[0])
+        bt_addr = self._btree2(recs, 4 + len(ids[0]), 5)
+        msgs = [(0x02, struct.pack("<BBQQ", 0, 0, heap_addr, bt_addr)),
+                (0x0A, struct.pack("<BB", 0, 0))]
+        for name, val in attrs:
+            msgs.append((0x0C, self.attr(name, val)))
+        return self.object_header(msgs)
+
     def write(self, path, root):
         sb = (b"\x89HDF\r\n\x1a\n"
               + struct.pack("<BBBB", 3, 8, 8, 0)
@@ -334,7 +482,8 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     latest = "--latest" in sys.argv[1:]
     paged = "--paged" in sys.argv[1:]  # implies --latest
-    latest = latest or paged
+    dense = "--dense" in sys.argv[1:]  # implies --latest
+    latest = latest or paged or dense
     t = pq.read_table(args[0])
     w = WLatest() if latest else W()
     if paged:
@@ -355,7 +504,18 @@ def main():
             kind = ("s", max(len(v.encode()) for v in vals) + 1)
         else:
             raise SystemExit(f"unsupported type {ty} for {name}")
-        if latest and kind in ("i64", "f64"):
+        if dense and kind == "i64":
+            # widen the table so the data group crosses the dense-link
+            # threshold for real: 31 derived aliases per int column
+            # (value-shifted so every column is distinct) -> 65 links
+            # on the 3-column nation fixture, deep enough for a
+            # depth-1 name B-tree and a multi-block fractal heap
+            cols.append((name, w.dataset(vals, kind, attrs=[("unit", "None")])))
+            for i in range(31):
+                cols.append((f"{name}__d{i:02d}",
+                             w.dataset([v + i + 1 for v in vals], kind,
+                                       attrs=[("unit", "None")])))
+        elif latest and not dense and kind in ("i64", "f64"):
             if paged:
                 cr = 2  # 13 chunks on the 25-row fixture -> 4 pages
             elif first_numeric:
@@ -369,12 +529,13 @@ def main():
                                          chunk_rows=cr)))
         else:
             cols.append((name, w.dataset(vals, kind, attrs=[("unit", "None")])))
-    data = w.group(cols)
+    data = w.group_dense(cols) if dense else w.group(cols)
     sim = w.group([], attrs=[("box_size", 123.0), ("redshift", 0.25)])
     header = w.group([("simulation", sim)])
     root = w.group([("data", data), ("header", header)])
     w.write(args[1], root)
-    mode = ("latest paged-FA (sb v3, OHDR)" if paged
+    mode = ("latest dense-links (FRHP+BTHD)" if dense
+            else "latest paged-FA (sb v3, OHDR)" if paged
             else "latest (sb v3, OHDR)" if latest else "earliest (sb v0)")
     print(f"wrote {args[1]} [{mode}]: {len(cols)} columns, {t.num_rows} rows")
 

@@ -14,8 +14,11 @@ import java.nio.file.{Paths, StandardOpenOption}
   *   - version-1 object headers (+ continuation blocks) and
   *     version-2 checksummed object headers (OHDR/OCHK, Jenkins
   *     lookup3 checksums VERIFIED on read)
-  *   - groups as v1-B-tree + local-heap symbol tables (SNOD) or as
-  *     compact link messages (v2 groups)
+  *   - groups as v1-B-tree + local-heap symbol tables (SNOD), as
+  *     compact link messages (v2 groups), or as DENSE link storage
+  *     (fractal heap FRHP/FHIB/FHDB + v2-B-tree BTHD/BTIN/BTLF name
+  *     index — what a modern writer emits past the compact-link
+  *     threshold, i.e. any real many-column catalog)
   *   - datasets: contiguous (layout v3/v4) or chunked via v1 chunk
   *     B-tree, Single Chunk / Implicit / Fixed Array (single-page AND
   *     paged FADB) indexes (layout v4), optionally deflate- and/or
@@ -33,9 +36,9 @@ import java.nio.file.{Paths, StandardOpenOption}
   * Spark analog of the reference's per-rank HDF5 column windows
   * (io/mpi.py read paths).
   *
-  * Unsupported features (dense/fractal-heap link storage, extensible
-  * array & v2-B-tree chunk indexes, datatypes beyond the above) fail
-  * loudly with the offending construct named.
+  * Unsupported features (extensible array & v2-B-tree chunk indexes,
+  * filtered fractal heaps, huge/tiny heap objects, datatypes beyond
+  * the above) fail loudly with the offending construct named.
   */
 final class Hdf5Reader(val path: String) extends AutoCloseable {
   import Hdf5Reader._
@@ -344,9 +347,12 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     ObjectInfo(addr, attrs, isGroup, msgs)
   }
 
-  /** Child links of a group: name → object header addr. Handles both
-    * v1 symbol-table groups and v2 groups with compact link messages;
-    * dense (fractal-heap) link storage fails loudly.
+  /** Child links of a group: name → object header addr. Handles v1
+    * symbol-table groups, v2 groups with compact link messages, AND v2
+    * groups with dense link storage (fractal heap + v2-B-tree name
+    * index — what h5py libver='latest' switches to once a group holds
+    * more than its compact-link threshold of links, i.e. any real
+    * many-column catalog).
     */
   def groupLinks(info: ObjectInfo): Seq[(String, Long)] =
     info.msgs.find(_.typ == 0x0011) match {
@@ -354,23 +360,49 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
       case None =>
         require(info.isGroup, s"object at ${info.addr} is not a group")
         // dense storage puts links in a fractal heap named by link-info
-        info.msgs.find(_.typ == 0x0002).foreach { li =>
+        val dense = info.msgs.find(_.typ == 0x0002).flatMap { li =>
           val flags = u8(li.dataOff + 1)
           var q = li.dataOff + 2
           if ((flags & 0x01) != 0) q += 8 // max creation index
           val fheap = u64(q)
-          require(fheap == Undef,
-            s"dense link storage (fractal heap at $fheap) unsupported at ${info.addr}")
+          val nameBt = u64(q + 8)
+          if (fheap == Undef) None
+          else {
+            require(nameBt != Undef,
+              s"dense link storage without a name index at ${info.addr}")
+            Some(denseLinks(fheap, nameBt))
+          }
         }
-        info.msgs.filter(_.typ == 0x0006).map(parseLink).sortBy(_._1)
+        dense.getOrElse(
+          info.msgs.filter(_.typ == 0x0006).map(parseLink).sortBy(_._1))
     }
 
+  /** Dense link storage: every record of the name-index v2 B-tree
+    * (type 5: name-hash + fractal-heap ID) dereferences into the
+    * fractal heap, where the stored object is a serialized link
+    * message — the same encoding [[parseLink]] reads compactly.
+    */
+  private def denseLinks(fheapAddr: Long, nameBtAddr: Long): Seq[(String, Long)] = {
+    val heap = new FractalHeap(fheapAddr)
+    v2BtreeRecords(nameBtAddr, Set(5)).map { rec =>
+      // record: lookup3(name)(4) + heap ID (rest)
+      val (off, len) = heap.managedObject(rec.drop(4))
+      parseLinkAt(heap.filePos(off, len))
+    }.sortBy(_._1)
+  }
+
   /** Hard-link message (type 0x0006) of a v2 compact group. */
-  private def parseLink(m: Message): (String, Long) = {
-    val version = u8(m.dataOff)
+  private def parseLink(m: Message): (String, Long) = parseLinkAt(m.dataOff)
+
+  /** Link-message body at an absolute file offset — shared by compact
+    * messages and fractal-heap objects (dense storage serializes the
+    * identical encoding).
+    */
+  private def parseLinkAt(dataOff: Long): (String, Long) = {
+    val version = u8(dataOff)
     require(version == 1, s"unsupported link message version $version")
-    val flags = u8(m.dataOff + 1)
-    var p = m.dataOff + 2
+    val flags = u8(dataOff + 1)
+    var p = dataOff + 2
     val linkType = if ((flags & 0x08) != 0) { val t = u8(p); p += 1; t } else 0
     if ((flags & 0x04) != 0) p += 8 // creation order
     if ((flags & 0x10) != 0) p += 1 // name charset
@@ -432,6 +464,213 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     var c = u8(p)
     while (c != 0) { sb.append(c.toChar); p += 1; c = u8(p) }
     sb.toString
+  }
+
+  // ---- v2 B-trees (BTHD / BTIN / BTLF) -------------------------------
+
+  private def sig4(addr: Long): String = new String(bytes(addr, 4), "US-ASCII")
+
+  /** Minimal unsigned encoding width — H5VM_limit_enc_size. */
+  private def encSize(v: Long): Int =
+    math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(math.max(v, 1L)) + 7) / 8)
+
+  /** All records of a v2 B-tree, in tree order; each is `recordSize`
+    * raw bytes. Used for dense-link name indexes (type 5) and v4
+    * chunk indexes (types 10/11). Every node's lookup3 checksum is
+    * verified. Depth 0 (root leaf) and depth 1 (root internal over
+    * leaves) cover realistic catalog groups and chunk counts; deeper
+    * trees fail loudly by name.
+    */
+  private[hdf5] def v2BtreeRecords(hdrAddr: Long,
+                                   expectTypes: Set[Int]): Seq[Array[Byte]] = {
+    require(sig4(hdrAddr) == "BTHD", s"no v2 b-tree header at $hdrAddr")
+    require(u8(hdrAddr + 4) == 0, s"unsupported BTHD version at $hdrAddr")
+    val btType = u8(hdrAddr + 5)
+    require(expectTypes.contains(btType),
+      s"unexpected v2 b-tree type $btType at $hdrAddr (want ${expectTypes.mkString("/")})")
+    val nodeSize = u32(hdrAddr + 6)
+    val recordSize = u16(hdrAddr + 10)
+    val depth = u16(hdrAddr + 12)
+    val rootAddr = u64(hdrAddr + 16)
+    val rootNRec = u16(hdrAddr + 24)
+    val totalNRec = u64(hdrAddr + 26)
+    val hStored = u32(hdrAddr + 34)
+    val hComputed = Lookup3.hashU(bytes(hdrAddr, 34), 0)
+    require(hStored == hComputed, s"BTHD checksum mismatch at $hdrAddr")
+    require(recordSize > 0 && nodeSize > recordSize + 10,
+      s"implausible v2 b-tree geometry at $hdrAddr (node $nodeSize, record $recordSize)")
+    if (totalNRec == 0 || rootAddr == Undef) return Seq.empty
+
+    def leafRecords(addr: Long, n: Int): Seq[Array[Byte]] = {
+      require(sig4(addr) == "BTLF", s"no v2 b-tree leaf at $addr")
+      require(u8(addr + 4) == 0 && u8(addr + 5) == btType,
+        s"BTLF version/type mismatch at $addr")
+      val used = 6 + n * recordSize
+      val s = u32(addr + used)
+      val c = Lookup3.hashU(bytes(addr, used), 0)
+      require(s == c, s"BTLF checksum mismatch at $addr")
+      (0 until n).map(i => bytes(addr + 6 + i.toLong * recordSize, recordSize))
+    }
+
+    depth match {
+      case 0 => leafRecords(rootAddr, rootNRec)
+      case 1 =>
+        require(sig4(rootAddr) == "BTIN", s"no v2 b-tree internal node at $rootAddr")
+        require(u8(rootAddr + 4) == 0 && u8(rootAddr + 5) == btType,
+          s"BTIN version/type mismatch at $rootAddr")
+        // child pointers: address + record count, count width = minimal
+        // encoding of the max records a LEAF can hold (spec rule)
+        val maxLeafRec = (nodeSize - 10) / recordSize
+        val nrecW = encSize(maxLeafRec)
+        val recsStart = rootAddr + 6
+        val ptrStart = recsStart + rootNRec.toLong * recordSize
+        val ptrW = 8 + nrecW
+        val used = (6 + rootNRec.toLong * recordSize + (rootNRec + 1).toLong * ptrW).toInt
+        val s = u32(rootAddr + used)
+        val c = Lookup3.hashU(bytes(rootAddr, used), 0)
+        require(s == c, s"BTIN checksum mismatch at $rootAddr")
+        val out = Seq.newBuilder[Array[Byte]]
+        (0 to rootNRec).foreach { i =>
+          val p = ptrStart + i.toLong * ptrW
+          val childAddr = u64(p)
+          val childN = uVar(p + 8, nrecW).toInt
+          out ++= leafRecords(childAddr, childN)
+          if (i < rootNRec)
+            out += bytes(recsStart + i.toLong * recordSize, recordSize)
+        }
+        out.result()
+      case d => fail(s"v2 b-tree depth $d unsupported at $hdrAddr")
+    }
+  }
+
+  // ---- fractal heaps (FRHP / FHIB / FHDB) ----------------------------
+
+  /** Fractal heap reader, MANAGED objects only (dense link/attribute
+    * storage never emits huge/tiny IDs for realistic names): parses
+    * the FRHP header, the doubling table, a root direct block or a
+    * root indirect block of direct blocks (checksums verified), and
+    * dereferences heap IDs to file positions. Filtered heaps and
+    * nested indirect blocks fail loudly by name.
+    */
+  private[hdf5] final class FractalHeap(hdrAddr: Long) {
+    require(sig4(hdrAddr) == "FRHP", s"no fractal heap header at $hdrAddr")
+    require(u8(hdrAddr + 4) == 0, s"unsupported FRHP version at $hdrAddr")
+    val heapIdLen: Int = u16(hdrAddr + 5)
+    private val ioFilterLen = u16(hdrAddr + 7)
+    private val flags = u8(hdrAddr + 9)
+    private val maxManagedObjSize = u32(hdrAddr + 10)
+    private val managedSpace = u64(hdrAddr + 46)
+    private val tableWidth = u16(hdrAddr + 110)
+    private val startBlockSize = u64(hdrAddr + 112)
+    private val maxDirectSize = u64(hdrAddr + 120)
+    private val maxHeapBits = u16(hdrAddr + 128)
+    private val rootBlockAddr = u64(hdrAddr + 132)
+    private val curRowsRoot = u16(hdrAddr + 140)
+    require(ioFilterLen == 0, s"filtered fractal heap unsupported at $hdrAddr")
+    locally {
+      val s = u32(hdrAddr + 142)
+      val c = Lookup3.hashU(bytes(hdrAddr, 142), 0)
+      require(s == c, s"FRHP checksum mismatch at $hdrAddr")
+    }
+    private val offW = (maxHeapBits + 7) / 8
+    private val lenW = encSize(maxManagedObjSize)
+    require(heapIdLen == 1 + offW + lenW,
+      s"fractal heap ID length $heapIdLen != 1+$offW+$lenW at $hdrAddr")
+    private val checksummed = (flags & 0x02) != 0
+    private val dblockHdrLen = 4 + 1 + 8 + offW + (if (checksummed) 4 else 0)
+
+    /** doubling-table row size: rows 0 and 1 at the starting size,
+      * then doubling per row.
+      */
+    private def rowSize(r: Int): Long =
+      if (r < 2) startBlockSize else startBlockSize << (r - 1)
+
+    /** (fileAddr | Undef, heapOffset, size) for every direct block, in
+      * heap-space order.
+      */
+    private val directBlocks: Seq[(Long, Long, Long)] =
+      if (curRowsRoot == 0) {
+        // root IS a direct block; its size equals the heap's managed
+        // space (one block spans the whole managed range)
+        Seq((rootBlockAddr, 0L, managedSpace))
+      } else {
+        require(sig4(rootBlockAddr) == "FHIB",
+          s"no root indirect block at $rootBlockAddr")
+        require(u8(rootBlockAddr + 4) == 0,
+          s"unsupported FHIB version at $rootBlockAddr")
+        require(u64(rootBlockAddr + 5) == hdrAddr,
+          s"FHIB header back-pointer mismatch at $rootBlockAddr")
+        val maxDirectRows =
+          (java.lang.Long.numberOfTrailingZeros(maxDirectSize)
+            - java.lang.Long.numberOfTrailingZeros(startBlockSize)) + 2
+        require(curRowsRoot <= maxDirectRows,
+          s"fractal heap with nested indirect blocks unsupported at $hdrAddr " +
+            s"($curRowsRoot rows > $maxDirectRows direct rows)")
+        val entries = curRowsRoot * tableWidth
+        val entriesStart = rootBlockAddr + 13 + offW
+        val used = (13 + offW + entries.toLong * 8).toInt
+        val s = u32(rootBlockAddr + used)
+        val c = Lookup3.hashU(bytes(rootBlockAddr, used), 0)
+        require(s == c, s"FHIB checksum mismatch at $rootBlockAddr")
+        var off = 0L
+        (0 until entries).map { i =>
+          val sz = rowSize(i / tableWidth)
+          val t = (u64(entriesStart + i.toLong * 8), off, sz)
+          off += sz
+          t
+        }
+      }
+
+    // verify each ALLOCATED direct block once up front: signature,
+    // back-pointer, stored block offset, and (if flagged) a checksum
+    // computed over the whole block with the checksum field zeroed
+    directBlocks.foreach { case (addr, off, size) =>
+      if (addr != Undef) {
+        require(sig4(addr) == "FHDB", s"no direct block at $addr")
+        require(u8(addr + 4) == 0, s"unsupported FHDB version at $addr")
+        require(u64(addr + 5) == hdrAddr,
+          s"FHDB header back-pointer mismatch at $addr")
+        require(uVar(addr + 13, offW) == off,
+          s"FHDB block offset ${uVar(addr + 13, offW)} != expected $off at $addr")
+        if (checksummed) {
+          require(size <= Int.MaxValue, s"direct block too large at $addr")
+          val img = bytes(addr, size.toInt)
+          val stored = (img(13 + offW) & 0xFFL) | ((img(14 + offW) & 0xFFL) << 8) |
+            ((img(15 + offW) & 0xFFL) << 16) | ((img(16 + offW) & 0xFFL) << 24)
+          java.util.Arrays.fill(img, 13 + offW, 17 + offW, 0.toByte)
+          val computed = Lookup3.hashU(img, 0)
+          require(stored == computed, s"FHDB checksum mismatch at $addr")
+        }
+      }
+    }
+
+    /** Decode a managed heap ID → (heapOffset, length). */
+    def managedObject(id: Array[Byte]): (Long, Long) = {
+      require(id.length >= heapIdLen, s"short heap ID (${id.length} B)")
+      val b0 = id(0) & 0xFF
+      require((b0 & 0xC0) == 0, s"unsupported heap ID version ${(b0 >> 6) & 3}")
+      require(((b0 >> 4) & 0x3) == 0,
+        s"non-managed fractal heap object (type ${(b0 >> 4) & 3}) unsupported")
+      def le(from: Int, n: Int): Long = {
+        var v = 0L; var i = 0
+        while (i < n) { v |= (id(from + i) & 0xFFL) << (8 * i); i += 1 }
+        v
+      }
+      (le(1, offW), le(1 + offW, lenW))
+    }
+
+    /** File position of `len` object bytes at heap offset `off` —
+      * offsets address heap space, where each direct block spans
+      * [blockOffset, blockOffset + size) INCLUDING its header.
+      */
+    def filePos(off: Long, len: Long): Long = {
+      val blk = directBlocks.find { case (_, bOff, bSz) =>
+        off >= bOff + dblockHdrLen && off + len <= bOff + bSz
+      }.getOrElse(fail(
+        s"heap offset $off (+$len) outside any allocated direct block"))
+      require(blk._1 != Undef, s"heap offset $off in an unallocated block")
+      blk._1 + (off - blk._2)
+    }
   }
 
   // ---- datasets --------------------------------------------------------

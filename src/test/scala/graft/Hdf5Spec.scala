@@ -516,6 +516,75 @@ class Hdf5Spec extends SparkSpec {
     } finally r.close()
   }
 
+  test("DENSE link storage walks: fractal heap + depth-1 v2 name B-tree") {
+    // generated with `h5make.py --dense`: the data group carries 65
+    // links (3 nation columns + 31 shifted aliases per int column) —
+    // past the compact threshold, so links live as fractal-heap
+    // objects (multi-block heap behind a root FHIB) indexed by a
+    // depth-1 v2 B-tree, the shape h5py libver='latest' emits for any
+    // real many-column catalog
+    val p = getClass.getResource("/nation_dense.hdf5").getPath
+    val r = new Hdf5Reader(p)
+    try {
+      val root = r.objectInfo(r.rootHeaderAddr)
+      val data = r.objectInfo(r.groupLinks(root).toMap.apply("data"))
+      val links = r.groupLinks(data)
+      assert(links.size == 65, s"expected 65 dense links, got ${links.size}")
+      assert(links.map(_._1) == links.map(_._1).sorted)
+      assert(links.map(_._1).count(_.startsWith("n_nationkey")) == 32)
+      // column-exact: base column and a shifted alias decode correctly
+      val kids = links.toMap
+      def colSum(n: String): Long = {
+        val meta = r.datasetMeta(n, r.objectInfo(kids(n)))
+        val raw = r.readRows(meta, 0, meta.rows)
+        val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until meta.rows.toInt).map(i => bb.getLong(i * 8)).sum
+      }
+      val truth = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        .agg(sum($"n_nationkey")).head().getLong(0)
+      assert(colSum("n_nationkey") == truth)
+      assert(colSum("n_nationkey__d04") == truth + 5 * 25) // +5 per row
+    } finally r.close()
+  }
+
+  test("dense-link fixture imports end to end (all 65 columns)") {
+    val p = getClass.getResource("/nation_dense.hdf5").getPath
+    val ds = Hdf5Io.importDataset(spark, p)
+    assert(ds.count() == 25)
+    assert(ds.columns.length == 65)
+    val truth = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .agg(sum($"n_regionkey")).head().getLong(0)
+    val got = ds.df.agg(sum($"n_regionkey"), sum($"n_regionkey__d30")).head()
+    assert(got.getLong(0) == truth)
+    assert(got.getLong(1) == truth + 31 * 25)
+  }
+
+  test("corrupted fractal-heap direct block fails its checksum loudly") {
+    val d = Files.createTempDirectory("graft-h5-densecorrupt")
+    val p = d.resolve("corrupt_dense.hdf5")
+    val src = getClass.getResource("/nation_dense.hdf5").getPath
+    val b = Files.readAllBytes(java.nio.file.Paths.get(src))
+    // flip a bit in the first FHDB's object area (past its 21 B header)
+    var i = 48
+    var fhdb = -1
+    while (fhdb < 0 && i < b.length - 4) {
+      if (b(i) == 'F' && b(i + 1) == 'H' && b(i + 2) == 'D' && b(i + 3) == 'B') fhdb = i
+      i += 1
+    }
+    assert(fhdb > 0)
+    b(fhdb + 30) = (b(fhdb + 30) ^ 0x01).toByte
+    Files.write(p, b)
+    val r = new Hdf5Reader(p.toString)
+    try {
+      val root = r.objectInfo(r.rootHeaderAddr)
+      val e = intercept[Exception] {
+        val data = r.objectInfo(r.groupLinks(root).toMap.apply("data"))
+        r.groupLinks(data)
+      }
+      assert(e.getMessage.contains("checksum mismatch"), e.getMessage)
+    } finally r.close()
+  }
+
   test("dense attribute storage fails loudly instead of dropping metadata") {
     import graft.io.hdf5.Lookup3
     // hand-built v2 object header carrying an Attribute Info message
