@@ -208,12 +208,54 @@ class WLatest(W):
         return (struct.pack("<BBHHHB", 3, 0, len(nb), len(dt), len(ds), 0)
                 + nb + dt + ds + vb)
 
-    def dataset(self, values, kind, attrs=(), chunk_rows=None):
+    def dataset(self, values, kind, attrs=(), chunk_rows=None, index="fa"):
         data, elem = encode_values(values, kind)
         rows = len(values)
         dt = dtype_bytes(kind)
         ds = struct.pack("<BBBB", 2, 1, 0, 1) + struct.pack("<Q", rows)
         msgs = [(0x01, ds), (0x03, dt)]
+        if chunk_rows is not None and index in ("ea", "ea_filt",
+                                                "bt2", "bt2_filt"):
+            # Extensible Array / v2 B-tree chunk indexes — the shapes
+            # h5py emits for appendable (maxshape=None) datasets
+            filt = index.endswith("_filt")
+            row_bytes = len(data) // rows if rows else elem
+            chunk_bytes = chunk_rows * row_bytes
+            chunks = []
+            for r0 in range(0, rows, chunk_rows):
+                raw = data[r0 * row_bytes:(r0 + chunk_rows) * row_bytes]
+                if filt:
+                    raw = zlib.compress(raw, 6)
+                else:
+                    # unfiltered chunks are FULL chunk size on disk
+                    # (the trailing partial chunk is zero-padded)
+                    raw = raw.ljust(chunk_bytes, b"\0")
+                chunks.append((self.block(raw), len(raw)))
+            if filt:
+                msgs.append((0x0B, self._deflate_msg()))
+            enc = self._enc_width(max(chunk_rows, elem))
+            if index.startswith("ea"):
+                hdr = self._ea_index(chunks, chunk_bytes, filt)
+                cparam = struct.pack("<BBBBB", 32, 4, 4, 16, 10)
+                lay = (struct.pack("<BBBBB", 4, 2, 0x02 if filt else 0, 2, enc)
+                       + chunk_rows.to_bytes(enc, "little")
+                       + elem.to_bytes(enc, "little")
+                       + struct.pack("<B", 4) + cparam
+                       + struct.pack("<Q", hdr))
+            else:
+                node_size = 64 if not filt else 512  # 64 forces depth 1
+                hdr = self._bt2_chunk_index(chunks, chunk_bytes, chunk_rows,
+                                            filt, node_size)
+                lay = (struct.pack("<BBBBB", 4, 2, 0x02 if filt else 0, 2, enc)
+                       + chunk_rows.to_bytes(enc, "little")
+                       + elem.to_bytes(enc, "little")
+                       + struct.pack("<B", 5)
+                       + struct.pack("<IBB", node_size, 100, 40)
+                       + struct.pack("<Q", hdr))
+            msgs.append((0x08, lay))
+            for name, val in attrs:
+                msgs.append((0x0C, self.attr(name, val)))
+            return self.object_header(msgs)
         if chunk_rows is None:
             addr = self.block(data)
             msgs.append((0x08, struct.pack("<BBQQ", 4, 1, addr, len(data))))
@@ -297,6 +339,114 @@ class WLatest(W):
     def _enc_width(v):
         """HDF5's minimal unsigned encoding width (H5VM_limit_enc_size)."""
         return min(8, (max(v, 1).bit_length() - 1) // 8 + 1)
+
+    def _ea_index(self, chunks, chunk_bytes, filt):
+        """Write an Extensible Array chunk index over `chunks`
+        ([(addr, stored_size)]). Returns the EAHD address. Geometry is
+        libhdf5's chunk-EA default (32-bit element space, 4 inline
+        index-block elements, 16-element starting data blocks, 4
+        min super-block pointers, 1024-element pages): the first 4
+        chunks inline in the EAIB, later chunks in EADB data blocks
+        per the super-block doubling rule. Fixture scope stops at the
+        index block's direct data-block pointers (real secondary
+        blocks would need 100+-chunk columns)."""
+        max_bits, idx_elmts, min_elmts, min_ptrs, page_bits = 32, 4, 16, 4, 10
+        client = 1 if filt else 0
+        off_w = (max_bits + 7) // 8
+        if filt:
+            sz_w = self._enc_width(chunk_bytes)
+            elem_size = 8 + sz_w + 4
+        else:
+            elem_size = 8
+
+        def elem(c):
+            if c is None:
+                return (struct.pack("<Q", UNDEF)
+                        + (b"\0" * (sz_w + 4) if filt else b""))
+            addr, size = c
+            if filt:
+                return (struct.pack("<Q", addr)
+                        + size.to_bytes(sz_w, "little") + struct.pack("<I", 0))
+            return struct.pack("<Q", addr)
+
+        n = len(chunks)
+        ndblk_addrs = 2 * (min_ptrs - 1)
+        nsblks = 1 + (max_bits - (min_elmts.bit_length() - 1)) // 2
+        k, tot = 0, 0
+        while tot < ndblk_addrs:
+            tot += 2 ** (k // 2); k += 1
+        assert tot == ndblk_addrs
+        nsblk_addrs = nsblks - k
+        # assign post-inline chunks to data blocks (doubling rule)
+        dblocks = []  # (nelmts, first_elem_index, [chunk or None])
+        rest = max(0, n - idx_elmts)
+        covered, u, first = 0, 0, idx_elmts
+        while covered < rest:
+            ne = min_elmts * 2 ** ((u + 1) // 2)
+            for _ in range(2 ** (u // 2)):
+                if covered >= rest:
+                    break
+                cs = chunks[idx_elmts + covered: idx_elmts + covered + ne]
+                cs = cs + [None] * (ne - len(cs))
+                dblocks.append((ne, first, cs))
+                covered += ne; first += ne
+            u += 1
+        assert len(dblocks) <= ndblk_addrs, "fixture would need EA super blocks"
+        assert all(ne <= 2 ** page_bits for ne, _, _ in dblocks)
+        # addresses: data blocks, then index block, then header
+        base = self.pos
+        dblk_sizes = [14 + off_w + ne * elem_size + 4 for ne, _, _ in dblocks]
+        dblk_addrs = [base + sum(dblk_sizes[:i]) for i in range(len(dblocks))]
+        ib_addr = base + sum(dblk_sizes)
+        ib_size = 14 + idx_elmts * elem_size + (ndblk_addrs + nsblk_addrs) * 8 + 4
+        hdr_addr = ib_addr + ib_size
+        for (ne, first, cs), want in zip(dblocks, dblk_addrs):
+            b = (b"EADB" + struct.pack("<BB", 0, client)
+                 + struct.pack("<Q", hdr_addr)
+                 + first.to_bytes(off_w, "little")
+                 + b"".join(elem(c) for c in cs))
+            b += struct.pack("<I", lookup3(b))
+            assert self.block(b) == want
+        ib = (b"EAIB" + struct.pack("<BB", 0, client)
+              + struct.pack("<Q", hdr_addr))
+        for i in range(idx_elmts):
+            ib += elem(chunks[i] if i < n else None)
+        for i in range(ndblk_addrs):
+            ib += struct.pack("<Q", dblk_addrs[i] if i < len(dblocks) else UNDEF)
+        ib += struct.pack("<Q", UNDEF) * nsblk_addrs
+        ib += struct.pack("<I", lookup3(ib))
+        assert self.block(ib) == ib_addr and len(ib) == ib_size
+        ndb = len(dblocks)
+        hdr = (b"EAHD" + struct.pack("<BB", 0, client)
+               + struct.pack("<BBBBB", elem_size, max_bits, idx_elmts,
+                             min_elmts, min_ptrs)
+               + struct.pack("<B", page_bits)
+               + struct.pack("<QQQQQQ", 0, 0, ndb,
+                             sum(dblk_sizes), n, n)
+               + struct.pack("<Q", ib_addr))
+        assert len(hdr) == 68, len(hdr)
+        hdr += struct.pack("<I", lookup3(hdr))
+        assert self.block(hdr) == hdr_addr
+        return hdr_addr
+
+    def _bt2_chunk_index(self, chunks, chunk_bytes, chunk_rows, filt,
+                         node_size=512):
+        """Write a v2 B-tree chunk index (records sorted by scaled
+        offset): type 10 = addr + scaled offset, type 11 = addr +
+        stored size + filter mask + scaled offset. Returns BTHD addr."""
+        if filt:
+            sz_w = self._enc_width(chunk_bytes)
+            bt_type, rec_size = 11, 8 + sz_w + 4 + 8
+        else:
+            bt_type, rec_size = 10, 16
+        recs = []
+        for i, (addr, size) in enumerate(chunks):
+            r = struct.pack("<Q", addr)
+            if filt:
+                r += size.to_bytes(sz_w, "little") + struct.pack("<I", 0)
+            r += struct.pack("<Q", i)  # scaled row-axis offset
+            recs.append(r)
+        return self._btree2(recs, rec_size, bt_type, node_size)
 
     @staticmethod
     def _deflate_msg():
@@ -481,9 +631,11 @@ class WLatest(W):
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     latest = "--latest" in sys.argv[1:]
-    paged = "--paged" in sys.argv[1:]  # implies --latest
-    dense = "--dense" in sys.argv[1:]  # implies --latest
-    latest = latest or paged or dense
+    paged = "--paged" in sys.argv[1:]          # implies --latest
+    dense = "--dense" in sys.argv[1:]          # implies --latest
+    ea = "--appendable" in sys.argv[1:]        # extensible-array chunks
+    bt2 = "--bt2" in sys.argv[1:]              # v2-b-tree chunks
+    latest = latest or paged or dense or ea or bt2
     t = pq.read_table(args[0])
     w = WLatest() if latest else W()
     if paged:
@@ -504,7 +656,35 @@ def main():
             kind = ("s", max(len(v.encode()) for v in vals) + 1)
         else:
             raise SystemExit(f"unsupported type {ty} for {name}")
-        if dense and kind == "i64":
+        if ea and kind == "i64":
+            # the h5py maxshape=(None,) shape: EA index. First int
+            # column: unfiltered, 1-row chunks -> 25 chunks = 4 inline
+            # + a full 16-element data block + a second (partial)
+            # 32-element block. Second: deflate, 2-row chunks -> 13
+            # chunks = 4 inline + 9 in one data block.
+            if first_numeric:
+                cols.append((name, w.dataset(vals, kind,
+                                             attrs=[("unit", "None")],
+                                             chunk_rows=1, index="ea")))
+                first_numeric = False
+            else:
+                cols.append((name, w.dataset(vals, kind,
+                                             attrs=[("unit", "None")],
+                                             chunk_rows=2, index="ea_filt")))
+        elif bt2 and kind == "i64":
+            # v2-b-tree chunk index. First int column: unfiltered,
+            # 64 B nodes force a DEPTH-1 tree over 13 chunks; second:
+            # deflate, default nodes, depth 0.
+            if first_numeric:
+                cols.append((name, w.dataset(vals, kind,
+                                             attrs=[("unit", "None")],
+                                             chunk_rows=2, index="bt2")))
+                first_numeric = False
+            else:
+                cols.append((name, w.dataset(vals, kind,
+                                             attrs=[("unit", "None")],
+                                             chunk_rows=5, index="bt2_filt")))
+        elif dense and kind == "i64":
             # widen the table so the data group crosses the dense-link
             # threshold for real: 31 derived aliases per int column
             # (value-shifted so every column is distinct) -> 65 links
@@ -535,6 +715,8 @@ def main():
     root = w.group([("data", data), ("header", header)])
     w.write(args[1], root)
     mode = ("latest dense-links (FRHP+BTHD)" if dense
+            else "latest extensible-array chunks (EAHD)" if ea
+            else "latest v2-btree chunks (BTHD t10/t11)" if bt2
             else "latest paged-FA (sb v3, OHDR)" if paged
             else "latest (sb v3, OHDR)" if latest else "earliest (sb v0)")
     print(f"wrote {args[1]} [{mode}]: {len(cols)} columns, {t.num_rows} rows")

@@ -20,9 +20,11 @@ import java.nio.file.{Paths, StandardOpenOption}
   *     index — what a modern writer emits past the compact-link
   *     threshold, i.e. any real many-column catalog)
   *   - datasets: contiguous (layout v3/v4) or chunked via v1 chunk
-  *     B-tree, Single Chunk / Implicit / Fixed Array (single-page AND
-  *     paged FADB) indexes (layout v4), optionally deflate- and/or
-  *     shuffle-filtered
+  *     B-tree, or any of the layout-v4 chunk indexes: Single Chunk,
+  *     Implicit, Fixed Array (single-page AND paged FADB), Extensible
+  *     Array (EAHD/EAIB/EADB — the h5py appendable/maxshape=None
+  *     shape), and v2 B-tree (record types 10/11); optionally
+  *     deflate- and/or shuffle-filtered
   *   - datatypes: fixed-point, IEEE float, fixed strings; vlen strings
   *     in ATTRIBUTES (global heap)
   *   - attribute messages v1-v3
@@ -36,9 +38,12 @@ import java.nio.file.{Paths, StandardOpenOption}
   * Spark analog of the reference's per-rank HDF5 column windows
   * (io/mpi.py read paths).
   *
-  * Unsupported features (extensible array & v2-B-tree chunk indexes,
-  * filtered fractal heaps, huge/tiny heap objects, datatypes beyond
-  * the above) fail loudly with the offending construct named.
+  * Unsupported residue (extensible-array SECONDARY blocks and paged
+  * data blocks — reached only past ~20+ chunks per the default
+  * geometry's index-block pointers, ~100-chunk columns; filtered
+  * fractal heaps; huge/tiny heap objects; v2 B-trees deeper than 1;
+  * datatypes beyond the above) fails loudly with the offending
+  * construct named.
   */
 final class Hdf5Reader(val path: String) extends AutoCloseable {
   import Hdf5Reader._
@@ -685,6 +690,15 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
   final case class ImplicitIndex(addr: Long, chunkDims: Seq[Int]) extends Layout
   /** layout v4, index type 3: chunk addresses in a fixed array. */
   final case class FixedArray(headerAddr: Long, chunkDims: Seq[Int]) extends Layout
+  /** layout v4, index type 4: chunk addresses in an extensible array —
+    * what h5py emits for an APPENDABLE dataset (maxshape=(None,)), the
+    * natural shape of an incrementally-written catalog.
+    */
+  final case class ExtensibleArray(headerAddr: Long, chunkDims: Seq[Int]) extends Layout
+  /** layout v4, index type 5: chunk records in a v2 B-tree — h5py's
+    * index for datasets appendable in more than one dimension.
+    */
+  final case class V2BtreeChunks(headerAddr: Long, chunkDims: Seq[Int]) extends Layout
 
   final case class DatasetMeta(name: String, addr: Long, dims: Seq[Long],
                                dtype: DType, layout: Layout,
@@ -758,8 +772,15 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
         } else SingleChunk(u64(p), -1L, chunkDims)
       case 2 => ImplicitIndex(u64(p + 1), chunkDims)
       case 3 => FixedArray(u64(p + 2), chunkDims) // skip page-bits byte
-      case t => fail(
-        s"unsupported chunk index type $t for $name (extensible array / v2 b-tree)")
+      case 4 =>
+        // creation params (max bits, index elements, min pointers,
+        // min elements, page bits) repeat in the EAHD header, which
+        // is authoritative — skip the 5 bytes here
+        ExtensibleArray(u64(p + 6), chunkDims)
+      case 5 =>
+        // creation params: node size (4) + split/merge percents (2)
+        V2BtreeChunks(u64(p + 7), chunkDims)
+      case t => fail(s"unsupported chunk index type $t for $name")
     }
   }
 
@@ -779,6 +800,8 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
           case SingleChunk(_, _, cd) => cd
           case ImplicitIndex(_, cd) => cd
           case FixedArray(_, cd) => cd
+          case ExtensibleArray(_, cd) => cd
+          case V2BtreeChunks(_, cd) => cd
           case _ => fail(s"unreachable layout for ${ds.name}")
         }
         // chunkDims excludes the trailing element-size entry: one per
@@ -822,7 +845,199 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
       (0 until nChunks).map(i =>
         (i.toLong * chunkRows, base + i.toLong * chunkBytes, chunkBytes))
     case FixedArray(hdrAddr, _) => fixedArrayChunks(ds, hdrAddr, chunkRows, chunkBytes)
+    case ExtensibleArray(hdrAddr, _) =>
+      extensibleArrayChunks(ds, hdrAddr, chunkRows, chunkBytes)
+    case V2BtreeChunks(hdrAddr, _) =>
+      v2BtreeChunks(ds, hdrAddr, chunkRows, chunkBytes)
     case other => fail(s"not a chunked layout: $other")
+  }
+
+  /** Extensible Array chunk index (layout v4 type 4): EAHD header +
+    * EAIB index block (+ EADB data blocks), all checksum-verified.
+    * Client 0 = unfiltered chunk addresses; client 1 = (address,
+    * stored size, filter mask). The first `idxBlkElmts` elements live
+    * inline in the index block; later elements live in data blocks
+    * whose geometry follows the super-block doubling rule (super
+    * block u holds 2^(u/2) data blocks of minElmts*2^((u+1)/2)
+    * elements each); the index block points directly at the data
+    * blocks of the first super blocks (2*(minPtrs-1) of them).
+    * Elements beyond those — actual secondary EASB blocks — and paged
+    * data blocks fail loudly by name.
+    */
+  private def extensibleArrayChunks(ds: DatasetMeta, hdrAddr: Long,
+                                    chunkRows: Int, chunkBytes: Int): Seq[(Long, Long, Int)] = {
+    require(sig4(hdrAddr) == "EAHD", s"no extensible-array header at $hdrAddr (${ds.name})")
+    require(u8(hdrAddr + 4) == 0, s"unsupported EAHD version (${ds.name})")
+    val clientId = u8(hdrAddr + 5)
+    require(clientId == 0 || clientId == 1,
+      s"unsupported extensible-array client $clientId (${ds.name})")
+    val elemSize = u8(hdrAddr + 6)
+    val maxBits = u8(hdrAddr + 7)
+    val idxElmts = u8(hdrAddr + 8)
+    val minElmts = u8(hdrAddr + 9)
+    val minPtrs = u8(hdrAddr + 10)
+    val pageBits = u8(hdrAddr + 11)
+    // 6 L-sized stats at +12 (nsblks, sblk size, ndblks, dblk size,
+    // max index set, nelements) — informational, not needed here
+    val iblockAddr = u64(hdrAddr + 60)
+    locally {
+      val s = u32(hdrAddr + 68)
+      val c = Lookup3.hashU(bytes(hdrAddr, 68), 0)
+      require(s == c, s"EAHD checksum mismatch at $hdrAddr (${ds.name})")
+    }
+    val szW = elemSize - 12
+    if (clientId == 0) require(elemSize == 8,
+      s"unexpected unfiltered EA element size $elemSize (${ds.name})")
+    else require(szW >= 1 && szW <= 8,
+      s"unsupported EA chunk-size width $szW (${ds.name})")
+    require(minElmts > 0 && (minElmts & (minElmts - 1)) == 0 &&
+        minPtrs > 0 && (minPtrs & (minPtrs - 1)) == 0,
+      s"non-power-of-two EA geometry (${ds.name})")
+    // super-block doubling rule (H5EA): sblk u -> 2^(u/2) data blocks
+    // of minElmts * 2^((u+1)/2) elements each
+    def sblkNDblks(u: Int): Int = 1 << (u / 2)
+    def sblkDblkNelmts(u: Int): Long = minElmts.toLong << ((u + 1) / 2)
+    val nsblks = 1 + (maxBits - encLog2(minElmts)) / 2
+    val ndblkAddrs = 2 * (minPtrs - 1)
+    val nsblkAddrs = {
+      // index block covers exactly the first super blocks whose data
+      // blocks sum to ndblkAddrs
+      var k = 0; var sum = 0
+      while (sum < ndblkAddrs && k < nsblks) { sum += sblkNDblks(k); k += 1 }
+      require(sum == ndblkAddrs,
+        s"EA geometry mismatch: $sum direct data blocks != $ndblkAddrs (${ds.name})")
+      nsblks - k
+    }
+    require(sig4(iblockAddr) == "EAIB", s"no EA index block at $iblockAddr (${ds.name})")
+    require(u8(iblockAddr + 4) == 0 && u8(iblockAddr + 5) == clientId,
+      s"EAIB version/client mismatch at $iblockAddr (${ds.name})")
+    require(u64(iblockAddr + 6) == hdrAddr,
+      s"EAIB header back-pointer mismatch at $iblockAddr (${ds.name})")
+    val ibElems = iblockAddr + 14
+    val ibDblks = ibElems + idxElmts.toLong * elemSize
+    val ibUsed = (14 + idxElmts.toLong * elemSize + (ndblkAddrs + nsblkAddrs).toLong * 8).toInt
+    locally {
+      val s = u32(iblockAddr + ibUsed)
+      val c = Lookup3.hashU(bytes(iblockAddr, ibUsed), 0)
+      require(s == c, s"EAIB checksum mismatch at $iblockAddr (${ds.name})")
+    }
+    (0 until nsblkAddrs).foreach { i =>
+      require(u64(ibDblks + (ndblkAddrs + i).toLong * 8) == Undef,
+        s"extensible-array super blocks unsupported (${ds.name})")
+    }
+
+    def decodeElem(off: Long, chunkIdx: Int): Option[(Long, Long, Int)] = {
+      val addr = u64(off)
+      if (addr == Undef) None
+      else if (clientId == 0) Some((chunkIdx.toLong * chunkRows, addr, chunkBytes))
+      else {
+        val stored = uVar(off + 8, szW)
+        require(stored <= Int.MaxValue,
+          s"stored chunk size $stored B exceeds Int range (${ds.name})")
+        Some((chunkIdx.toLong * chunkRows, addr, stored.toInt))
+      }
+    }
+
+    val nChunksL = (ds.rows + chunkRows - 1) / chunkRows
+    require(nChunksL <= Int.MaxValue,
+      s"extensible-array chunk count $nChunksL exceeds Int range (${ds.name})")
+    val nChunks = nChunksL.toInt
+    val offW = (maxBits + 7) / 8
+
+    // data blocks are lazily located: (dblk ordinal) -> (addr of its
+    // element region, its element capacity), verified once each
+    val dblkCache = scala.collection.mutable.Map[Int, Option[(Long, Long)]]()
+    def dataBlock(ord: Int, firstElem: Long, nelmts: Long): Option[(Long, Long)] =
+      dblkCache.getOrElseUpdate(ord, {
+        require(ord < ndblkAddrs,
+          s"extensible-array super blocks unsupported (chunk data block $ord beyond " +
+            s"the $ndblkAddrs index-block pointers, ${ds.name})")
+        require(nelmts <= (1L << pageBits),
+          s"paged extensible-array data blocks unsupported (${ds.name})")
+        val addr = u64(ibDblks + ord.toLong * 8)
+        if (addr == Undef) None
+        else {
+          require(sig4(addr) == "EADB", s"no EA data block at $addr (${ds.name})")
+          require(u8(addr + 4) == 0 && u8(addr + 5) == clientId,
+            s"EADB version/client mismatch at $addr (${ds.name})")
+          require(u64(addr + 6) == hdrAddr,
+            s"EADB header back-pointer mismatch at $addr (${ds.name})")
+          require(uVar(addr + 14, offW) == firstElem,
+            s"EADB block offset ${uVar(addr + 14, offW)} != expected $firstElem (${ds.name})")
+          val used = (14 + offW + nelmts * elemSize).toInt
+          val s = u32(addr + used)
+          val c = Lookup3.hashU(bytes(addr, used), 0)
+          require(s == c, s"EADB checksum mismatch at $addr (${ds.name})")
+          Some((addr + 14 + offW, nelmts))
+        }
+      })
+
+    (0 until nChunks).flatMap { i =>
+      if (i < idxElmts) decodeElem(ibElems + i.toLong * elemSize, i)
+      else {
+        // walk super blocks to find the data block holding element i
+        var j = (i - idxElmts).toLong
+        var u = 0
+        var ord = 0
+        var firstElem = idxElmts.toLong
+        var found: Option[(Long, Long, Int)] = None
+        var done = false
+        while (!done) {
+          require(u < nsblks, s"chunk $i beyond extensible-array capacity (${ds.name})")
+          val ne = sblkDblkNelmts(u)
+          val cap = sblkNDblks(u).toLong * ne
+          if (j < cap) {
+            val d = ord + (j / ne).toInt
+            val dFirst = firstElem + (j / ne) * ne
+            found = dataBlock(d, dFirst, ne).flatMap { case (elemsAddr, _) =>
+              decodeElem(elemsAddr + (j % ne) * elemSize, i)
+            }
+            done = true
+          } else {
+            j -= cap; ord += sblkNDblks(u); firstElem += cap; u += 1
+          }
+        }
+        found
+      }
+    }
+  }
+
+  private def encLog2(v: Int): Int = 31 - Integer.numberOfLeadingZeros(v)
+
+  /** v2-B-tree chunk index (layout v4 type 5): record type 10
+    * (unfiltered: address + scaled offset per dimension) or 11
+    * (filtered: address + stored size + filter mask + scaled
+    * offsets). Scaled offsets are chunk-grid coordinates; this reader
+    * requires chunks to span non-row dimensions, so only offset 0
+    * (the row axis) varies.
+    */
+  private def v2BtreeChunks(ds: DatasetMeta, hdrAddr: Long,
+                            chunkRows: Int, chunkBytes: Int): Seq[(Long, Long, Int)] = {
+    val rank = ds.dims.size.max(1)
+    val filtered = ds.filters.nonEmpty
+    val recs = v2BtreeRecords(hdrAddr, Set(if (filtered) 11 else 10))
+    recs.map { rec =>
+      val bb = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
+      val addr = bb.getLong(0)
+      if (!filtered) {
+        require(rec.length == 8 + 8 * rank,
+          s"v2 b-tree chunk record size ${rec.length} != ${8 + 8 * rank} (${ds.name})")
+        val scaled0 = bb.getLong(8)
+        (scaled0 * chunkRows, addr, chunkBytes)
+      } else {
+        val szW = rec.length - 12 - 8 * rank
+        require(szW >= 1 && szW <= 8,
+          s"unsupported v2 b-tree chunk-size width $szW (${ds.name})")
+        var stored = 0L
+        var i = 0
+        while (i < szW) { stored |= (rec(8 + i) & 0xFFL) << (8 * i); i += 1 }
+        require(stored <= Int.MaxValue,
+          s"stored chunk size $stored B exceeds Int range (${ds.name})")
+        val scaled0 = ByteBuffer.wrap(rec, 12 + szW, 8)
+          .order(ByteOrder.LITTLE_ENDIAN).getLong
+        (scaled0 * chunkRows, addr, stored.toInt)
+      }
+    }
   }
 
   /** Fixed Array chunk index (layout v4 type 3): FAHD header + FADB

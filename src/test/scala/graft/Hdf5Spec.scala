@@ -585,6 +585,61 @@ class Hdf5Spec extends SparkSpec {
     } finally r.close()
   }
 
+  test("EXTENSIBLE-ARRAY chunk index decodes: inline + data-block elements") {
+    // generated with `h5make.py --appendable` (the h5py maxshape=None
+    // shape): n_nationkey = unfiltered EA with 1-row chunks (25
+    // chunks: 4 inline in the EAIB, a full 16-element EADB, a partial
+    // second EADB from the next super-block tier); n_regionkey =
+    // deflate EA with 2-row chunks (4 inline + 9 in one data block)
+    val p = getClass.getResource("/nation_ea.hdf5").getPath
+    val ds = Hdf5Io.importDataset(spark, p)
+    assert(ds.count() == 25)
+    val truth = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .agg(sum($"n_nationkey"), sum($"n_regionkey"), sum(length($"n_name"))).head()
+    val got = ds.df.agg(
+      sum($"n_nationkey"), sum($"n_regionkey"), sum(length($"n_name"))).head()
+    assert(got.getLong(0) == truth.getLong(0))
+    assert(got.getLong(1) == truth.getLong(1))
+    assert(got.getLong(2) == truth.getLong(2))
+    // windows spanning inline->data-block and block->block boundaries
+    val r = new Hdf5Reader(p)
+    try {
+      val root = r.objectInfo(r.rootHeaderAddr)
+      val kids = r.groupLinks(r.objectInfo(r.groupLinks(root).toMap.apply("data"))).toMap
+      val meta = r.datasetMeta("n_nationkey", r.objectInfo(kids("n_nationkey")))
+      val full = r.readRows(meta, 0, meta.rows)
+      val win = r.readRows(meta, 2, 23) // crosses 4|20 element frontiers
+      val fb = java.nio.ByteBuffer.wrap(full).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val wb = java.nio.ByteBuffer.wrap(win).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (2 until 23).foreach(i => assert(wb.getLong((i - 2) * 8) == fb.getLong(i * 8)))
+    } finally r.close()
+  }
+
+  test("V2-B-TREE chunk index decodes: depth-1 unfiltered + deflate records") {
+    // generated with `h5make.py --bt2`: n_nationkey = unfiltered
+    // type-10 records in 64 B nodes (13 chunks -> DEPTH-1 tree);
+    // n_regionkey = deflate type-11 records, depth 0
+    val p = getClass.getResource("/nation_bt2.hdf5").getPath
+    val ds = Hdf5Io.importDataset(spark, p)
+    assert(ds.count() == 25)
+    val truth = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .agg(sum($"n_nationkey"), sum($"n_regionkey")).head()
+    val got = ds.df.agg(sum($"n_nationkey"), sum($"n_regionkey")).head()
+    assert(got.getLong(0) == truth.getLong(0))
+    assert(got.getLong(1) == truth.getLong(1))
+    val r = new Hdf5Reader(p)
+    try {
+      val root = r.objectInfo(r.rootHeaderAddr)
+      val kids = r.groupLinks(r.objectInfo(r.groupLinks(root).toMap.apply("data"))).toMap
+      val meta = r.datasetMeta("n_regionkey", r.objectInfo(kids("n_regionkey")))
+      val full = r.readRows(meta, 0, meta.rows)
+      val win = r.readRows(meta, 3, 24) // crosses 5-row deflate chunks
+      val fb = java.nio.ByteBuffer.wrap(full).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val wb = java.nio.ByteBuffer.wrap(win).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (3 until 24).foreach(i => assert(wb.getLong((i - 3) * 8) == fb.getLong(i * 8)))
+    } finally r.close()
+  }
+
   test("dense attribute storage fails loudly instead of dropping metadata") {
     import graft.io.hdf5.Lookup3
     // hand-built v2 object header carrying an Attribute Info message
