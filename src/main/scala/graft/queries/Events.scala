@@ -58,11 +58,61 @@ object Events {
       EventOps.intervalJoin(e, windows, Seq("user_id"), "ts", "w_start", "w_end")
         .select(col("event_id"), col("user_id"),
           unix_timestamp(col("w_start")).as("w_start_s"))
+    }),
+
+    // STREAMING deployment gate: the same tumbling algebra as q40 run
+    // through readStream -> watermark -> window agg -> append-mode
+    // sink, drained by one availableNow trigger. Append mode only
+    // emits windows the watermark has CLOSED, so the staged input
+    // carries one far-future "__flush" row that pushes the final
+    // watermark past every real window; the flush row's own (open,
+    // far-future) window is fenced by the bucket_s cutoff anyway.
+    // Result == the batch algebra, so the oracle is q40's SQL
+    // verbatim — the driver hash-checks an actual streaming run.
+    "q47_stream_tumbling" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val batch = t(s, dir)
+      val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
+      val cutoff = maxTs.getTime / 1000
+      val stage = java.nio.file.Files.createTempDirectory("graft-q47-in-")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-q47-ck-")
+      deleteOnExit(stage); deleteOnExit(ckpt)
+      // stage through the converted batch frame (the raw files carry
+      // TIMESTAMP(NANOS), which a schema'd stream source won't read)
+      batch.write.mode("append").parquet(stage.toString)
+      val flushTs = new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000)
+      batch.limit(1).select(col("event_id"), lit(flushTs).as("ts"),
+          col("user_id"), lit("__flush").as("event_type"),
+          col("value"), col("props"))
+        .write.mode("append").parquet(stage.toString)
+      val in = s.readStream.schema(batch.schema).parquet(stage.toString)
+      val sink = s"graft_q47_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = EventOps.streamTumblingAgg(in, "1 hour", "30 minutes")
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).filter(col("bucket_s") <= cutoff)
     })
   )
 
+  private def deleteOnExit(root: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file._
+      try Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case _: Throwable => () }
+    }))
+
   val oracle: Map[String, String] = Map(
     "q40_window_tumbling" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS bucket_s,
+         event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    // the streaming run must land on the BATCH answer exactly
+    "q47_stream_tumbling" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS bucket_s,
          event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
