@@ -135,19 +135,32 @@ object Dedup {
     out
   }
 
+  /** MinHash universal-hash family over a 32-bit base hash:
+    * h_i(x) = (a_i·x + b_i) mod [[MinhashP]] — the classic k-hashes-
+    * from-one-hash construction, replayable in any SQL engine with
+    * 64-bit integers (a_i < 2³¹ and x < 2³² keep every product under
+    * 2⁶³, so checked BIGINT arithmetic never overflows).
+    */
+  val MinhashP: Long = 4294967291L    // largest prime < 2^32
+  private val MinhashAP: Long = 2147483629L // largest prime < 2^31
+  private[operators] def minhashA(i: Int): Long =
+    1 + (((i + 1) * 2654435761L) % MinhashAP)
+  private[operators] def minhashB(i: Int): Long =
+    ((i + 1) * 40503L) % MinhashP
+
   /** DuckDB-replayable MinHash+LSH candidate pairs — the
     * correctness-GATE twin of [[minhashCandidates]]: identical
     * pipeline shape (distinct shingles map-side, ONE hash-agg shuffle
     * for the k-component signature with map-side partial mins,
     * ids-only bucket join, signatures re-attached after the
-    * distinct), but every hash is md5 over the shingle STRING salted
-    * with the component index, so a SQL engine can replay the whole
-    * operator bit-for-bit: signature components are lowercase hex
-    * strings, and "min hash" is the lexicographic MIN — exactly SQL's
-    * `min(md5(i || ':' || shingle))`. The xxhash64 kernel remains the
-    * production default (no shingle-string materialization, one-pass
-    * native signature); DedupSpec asserts the two kernels recover the
-    * same candidate pair set on the gate corpus.
+    * distinct), but the hash family is SQL-replayable: ONE md5 per
+    * shingle string provides a 32-bit base (its first 8 hex chars),
+    * and the k components are affine transforms (a_i·base + b_i) mod
+    * P over it ([[minhashA]]/[[minhashB]] — one digest per shingle
+    * instead of k, which is what makes the gate kernel's cost
+    * comparable to the production one's). The xxhash64 kernel remains
+    * the production default; DedupSpec asserts the two kernels
+    * recover the same candidate pair set on the gate corpus.
     */
   def minhashCandidatesMd5(df: DataFrame, idCol: String, textCol: String,
                            shingleN: Int = 3, k: Int = 32, bands: Int = 8,
@@ -164,16 +177,20 @@ object Dedup {
     val shingles = array_distinct(transform(starts,
       i => concat_ws(" ", slice(w, i, lit(shingleN)))))
     val sh = df.select(col(idCol).as("doc"), explode(shingles).as("s"))
-    // one shuffle: k per-seed mins as agg columns (partial agg folds
+      .select(col("doc"),
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("__hb"))
+    // one shuffle: k per-family mins as agg columns (partial agg folds
     // each partition's shingles before anything moves)
     val seedMins = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("s")))).as(s"__h$i"))
+      min((lit(minhashA(i)) * col("__hb") + lit(minhashB(i))) % lit(MinhashP))
+        .as(s"__h$i"))
     val sigs = sh.groupBy(col("doc"))
       .agg(seedMins.head, seedMins.tail: _*)
       .select(col("doc"), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
       .persist()
     val buckets = sigs.select(col("doc"), posexplode(array((0 until bands).map(j =>
-      md5(array_join(slice(col("sig"), j * r + 1, r), ","))): _*)).as(Seq("band", "bucket")))
+      md5(array_join(slice(col("sig"), j * r + 1, r).cast("array<string>"), ","))): _*))
+      .as(Seq("band", "bucket")))
     val a = buckets.as("a"); val b = buckets.as("b")
     val pairs = a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))

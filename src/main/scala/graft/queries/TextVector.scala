@@ -376,14 +376,20 @@ object TextVector {
     "q23_fingerprint" ->
       "SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents",
     // replays minhashCandidatesMd5 end to end: distinct 3-gram
-    // shingles, 32 salted-md5 component mins (lexicographic = SQL
-    // MIN), 8 four-component bands, bucket join, agreement fraction
+    // shingles, one md5 per shingle -> 32-bit base (first 8 hex
+    // chars), 32 affine universal-hash mins (a_i*x+b_i mod the
+    // largest prime < 2^32; a_i < 2^31 keeps checked BIGINT products
+    // under 2^63), 8 four-component bands, bucket join, agreement
+    // fraction — constants mirror Dedup.minhashA/minhashB exactly
     "q26_minhash_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
                 FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
-         sg AS (SELECT doc_id, k.i AS ki, min(md5(CAST(k.i AS VARCHAR) || ':' || s)) AS h
-                FROM sh, UNNEST(generate_series(0, 31)) AS k(i)
+         hb AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM sh),
+         sg AS (SELECT doc_id, k.i AS ki,
+                  min(((1 + ((CAST(k.i + 1 AS BIGINT) * 2654435761) % 2147483629)) * x
+                       + ((CAST(k.i + 1 AS BIGINT) * 40503) % 4294967291)) % 4294967291) AS h
+                FROM hb, UNNEST(generate_series(0, 31)) AS k(i)
                 GROUP BY doc_id, k.i),
          sigs AS (SELECT doc_id, list(h ORDER BY ki) AS sig FROM sg GROUP BY doc_id),
          bands AS (SELECT doc_id, b.j AS band,
