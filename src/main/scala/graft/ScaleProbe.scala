@@ -70,6 +70,29 @@ object ScaleProbe {
       "doc_id", "n", 512L).count())
     time("minhash_dedup", base, scaled)(d => Dedup.dropNearDuplicates(d, "doc_id", "text",
       minEstimate = 0.5).count())
+    // round-8 DuckDB-replayable gate kernels: the MinHash gate must
+    // track the production kernel's regime (one base hash + affine
+    // family); the SimHash gate is exact-by-construction, which pins
+    // its bands at maxHamming+1 wide ones whose occupancy grows with
+    // the corpus — measured at 10x to document the quadratic trend,
+    // skipped past it (the production 16-bit-band kernel is the scale
+    // path; the gate exists to be hash-replayable and brute-force-
+    // equal at gate scale)
+    time("minhash_md5_gate", base, scaled)(d =>
+      Dedup.minhashCandidatesMd5(d, "doc_id", "text", minEstimate = 0.5).count())
+    if (factor <= 10)
+      time("simhash_md5_gate", base, scaled)(d =>
+        Dedup.simhashPairsMd5(d, "doc_id", "text", maxHamming = 6).count())
+    else println("simhash_md5_gate           skipped past 10x (exact gate kernel, " +
+      "documented quadratic band occupancy; production kernel is the scale path)")
+    // real-codec audio path: same map-only no-shuffle shape as image
+    // decode, WAV encode + javax.sound decode per partition
+    time("audio_decode", base, scaled) { d =>
+      import graft.operators.Multimodal
+      val m = Multimodal.synthesizeSineWav(
+        d.select(col("doc_id"), col("n_chars").cast("long").as("n")), "n")
+      Multimodal.decodeFeatures(m, "payload", new Multimodal.AudioDecoder()).count()
+    }
     // real-codec multimodal path (q34 shape): PNG encode + ImageIO
     // decode are per-partition map work — the exponent reads pure
     // embarrassing parallelism (flat until cores saturate, then 1.0)

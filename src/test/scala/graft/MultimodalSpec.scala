@@ -179,6 +179,21 @@ class MultimodalSpec extends SparkSpec {
     d2.feature.drop(4).foreach(e => assert(e == 0f))
   }
 
+  test("synthesizeSineWav -> AudioDecoder round-trips the size rule") {
+    val base = Seq((1L, 100L), (2L, 1000L), (3L, -1L)).toDF("id", "n")
+    val media = Multimodal.synthesizeSineWav(base, "n")
+    val out = Multimodal.decodeFeatures(media, "payload",
+      new Multimodal.AudioDecoder()).collect().map(r => r.getLong(0) -> r).toMap
+    // len = 800 + n % 800 samples at 8 kHz; n_frames carries it back
+    assert(out(1L).getAs[Int]("width") == 8000)
+    assert(out(1L).getAs[Int]("n_frames") == 900)
+    assert(out(2L).getAs[Int]("n_frames") == 1000)
+    // near-full-scale sine: mean |amp| ~ 2/pi * 30000/32768
+    val exp = 2 / math.Pi * 30000 / 32768
+    assert(math.abs(out(2L).getAs[Double]("px_mean") - exp) < 0.01)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("width"))) // negative n -> null
+  }
+
   test("decodeFeatures with AudioDecoder: partition reuse + poison row") {
     val rate = 8000
     val wav = Multimodal.pcmBytes(rate, 1,
