@@ -370,4 +370,48 @@ object CorpusStats {
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1))
       .toDF("ngram", "n_occurrences", "est_occurrences")
   }
+
+  /** DuckDB-replayable count-min gate twin of [[sketchedTopKNgrams]]:
+    * same CMS structure (depth rows × width buckets, estimate = min
+    * over rows of the bucket counter), but row j's hash is the first
+    * 8 hex chars of md5("j:gram") mod width — exactly replayable in
+    * any SQL engine, unlike Spark's internal Murmur3-based
+    * `count_min_sketch`. The counter table is built FROM the
+    * per-gram exact counts (adding a gram's total to its bucket once
+    * is arithmetically identical to streaming its occurrences, and
+    * the groupBy is the mergeable-partial form of sketch merging),
+    * so the whole thing is two hash aggregations plus a broadcast
+    * join of the k×depth probe rows — the gram strings shuffle once,
+    * pre-combined. Production callers keep [[sketchedTopKNgrams]];
+    * CorpusSpec asserts this kernel obeys the same one-sided CMS
+    * bound (est ≥ exact, est ≤ exact + width-ε·total).
+    */
+  def sketchedTopKNgramsMd5(df: DataFrame, textCol: String, n: Int, k: Int,
+                            width: Int = 2048, depth: Int = 5): DataFrame = {
+    require(width > 0 && depth > 0)
+    def bucket(row: Column, gram: Column): Column =
+      conv(substring(md5(concat(row.cast("string"), lit(":"), gram)), 1, 8),
+        16, 10).cast("long") % width
+    val cnt = df.select(explode(TextFunctions.ngrams(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n_occurrences"))
+      .persist()
+    val counters = cnt
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("row"),
+        col("ngram"), col("n_occurrences"))
+      .select(col("row"), bucket(col("row"), col("ngram")).as("bucket"),
+        col("n_occurrences"))
+      .groupBy("row", "bucket").agg(sum(col("n_occurrences")).as("c"))
+    val topk = cnt.orderBy(col("n_occurrences").desc, col("ngram").asc).limit(k)
+    val probes = topk
+      .select(col("ngram"), col("n_occurrences"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .select(col("ngram"), col("n_occurrences"), col("row"),
+        bucket(col("row"), col("ngram")).as("bucket"))
+    val out = counters.join(broadcast(probes), Seq("row", "bucket"))
+      .groupBy(col("ngram"), col("n_occurrences"))
+      .agg(min(col("c")).as("est_occurrences"))
+      .localCheckpoint(true)
+    cnt.unpersist()
+    out
+  }
 }

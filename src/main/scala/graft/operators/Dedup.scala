@@ -420,6 +420,29 @@ object Dedup {
                          shingleN: Int = 3, k: Int = 32, bands: Int = 0,
                          minEstimate: Double = 0.7): DataFrame = {
     val pairs = minhashCandidates(df, idCol, textCol, shingleN, k, bands, minEstimate)
+    dropByComponents(df, idCol, pairs)
+  }
+
+  /** Gate twin of [[dropNearDuplicates]] — identical pipeline
+    * (candidates → connected components → keep min id per component)
+    * over the SQL-replayable [[minhashCandidatesMd5]] kernel, so the
+    * whole end-to-end dedup (including the component resolution) can
+    * be hash-checked against a DuckDB oracle: the pair CTE replays
+    * the md5/affine MinHash, a recursive transitive-closure CTE
+    * replays the components (a doc is dropped iff it reaches a
+    * smaller id). Production callers keep [[dropNearDuplicates]]'s
+    * xxhash64 kernel; DedupSpec asserts both variants keep the same
+    * survivor set on the gate corpus.
+    */
+  def dropNearDuplicatesMd5(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                            minEstimate: Double = 0.5): DataFrame = {
+    val pairs = minhashCandidatesMd5(df, idCol, textCol, shingleN, k, bands, minEstimate)
+    dropByComponents(df, idCol, pairs)
+  }
+
+  private def dropByComponents(df: DataFrame, idCol: String,
+                               pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs, "doc_a", "doc_b")
     val doomed = comps.filter(col("node") =!= col("label"))
       .select(col("node").as(idCol))

@@ -112,10 +112,13 @@ object Corpus {
     }),
 
     // count-min-sketch frequency estimates for the exact top-20
-    // 3-grams (rows-only: CMS hashing isn't SQL-replayable; CorpusSpec
-    // asserts the overestimate guarantee against exact counts).
+    // 3-grams. The GATE runs the md5-hash CMS kernel (depth×width
+    // counter table replayed bucket-for-bucket in SQL, estimate =
+    // min over rows); Spark's `count_min_sketch` stays the production
+    // default (q90s in the bench) and CorpusSpec asserts both obey
+    // the one-sided CMS bound against exact counts.
     "q90_cms_topk" -> ((s, dir) => {
-      CorpusStats.sketchedTopKNgrams(t(s, dir, "documents"), "text", 3, 20)
+      CorpusStats.sketchedTopKNgramsMd5(t(s, dir, "documents"), "text", 3, 20)
     }),
 
     // distributed k-means over the embeddings table (rows-only:
@@ -210,6 +213,27 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    // replays the md5 CMS bucket-for-bucket: row j's bucket for a
+    // gram is md5("j:gram")'s first 8 hex chars mod 2048, counters
+    // sum exact gram counts per (row, bucket), estimate = min over
+    // the 5 rows — constants mirror sketchedTopKNgramsMd5's defaults
+    "q90_cms_topk" ->
+      """WITH toks AS (SELECT string_split(text,' ') AS w FROM documents),
+         g AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ngram
+               FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+         cnt AS (SELECT ngram, count(*) AS n FROM g GROUP BY 1),
+         buck AS (SELECT r.j AS row,
+                    ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || ngram), 1, 8))::BIGINT % 2048 AS bucket,
+                    n
+                  FROM cnt, UNNEST(generate_series(0, 4)) AS r(j)),
+         counters AS (SELECT row, bucket, sum(n) AS c FROM buck GROUP BY 1, 2),
+         topk AS (SELECT ngram, n FROM cnt ORDER BY n DESC, ngram ASC LIMIT 20),
+         probes AS (SELECT t.ngram, t.n, r.j AS row,
+                      ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || t.ngram), 1, 8))::BIGINT % 2048 AS bucket
+                    FROM topk t, UNNEST(generate_series(0, 4)) AS r(j))
+         SELECT p.ngram, p.n AS n_occurrences, CAST(min(c.c) AS BIGINT) AS est_occurrences
+         FROM probes p JOIN counters c ON c.row = p.row AND c.bucket = p.bucket
+         GROUP BY p.ngram, p.n""",
     "q81_topk_ngrams" ->
       """WITH toks AS (SELECT string_split(text,' ') AS w FROM documents),
          g AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ngram

@@ -194,10 +194,14 @@ object TextVector {
     }),
 
     // end-to-end near-dup removal: LSH candidates -> connected
-    // components -> keep min id per cluster (rows-only; spec verifies
-    // the survivor invariant against exact jaccard).
+    // components -> keep min id per cluster. The GATE runs the md5
+    // kernel end to end (the oracle replays the q26 pair CTE, then
+    // resolves components with a recursive transitive-closure CTE —
+    // a doc is dropped iff it reaches a smaller id); the xxhash64
+    // kernel stays the production default and DedupSpec asserts both
+    // keep the same survivor set.
     "q35_dedup_pipeline" -> ((s, dir) => {
-      Dedup.dropNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.dropNearDuplicatesMd5(t(s, dir, "documents"), "doc_id", "text",
         minEstimate = 0.5)
         .select(col("doc_id"), col("n_chars"))
     }),
@@ -423,6 +427,39 @@ object TextVector {
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, bit_count(xor(a.sg, b.sg)) AS hamming
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sg, b.sg)) <= 6""",
+    // replays q26's md5 MinHash candidate pairs, then resolves the
+    // connected components with a recursive transitive-closure CTE
+    // over the symmetric edge list: a doc is dropped iff it reaches
+    // any smaller id (= it is not its component's minimum)
+    "q35_dedup_pipeline" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+         hb AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM sh),
+         sg AS (SELECT doc_id, k.i AS ki,
+                  min(((1 + ((CAST(k.i + 1 AS BIGINT) * 2654435761) % 2147483629)) * x
+                       + ((CAST(k.i + 1 AS BIGINT) * 40503) % 4294967291)) % 4294967291) AS h
+                FROM hb, UNNEST(generate_series(0, 31)) AS k(i)
+                GROUP BY doc_id, k.i),
+         sigs AS (SELECT doc_id, list(h ORDER BY ki) AS sig FROM sg GROUP BY doc_id),
+         bands AS (SELECT doc_id, b.j AS band,
+                     md5(array_to_string(sig[CAST(b.j*4+1 AS INTEGER):CAST(b.j*4+4 AS INTEGER)], ',')) AS key
+                   FROM sigs, UNNEST(generate_series(0, 7)) AS b(j)),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         cand AS (SELECT doc_a, doc_b FROM pairs
+                  JOIN sigs sa ON sa.doc_id = doc_a
+                  JOIN sigs sb ON sb.doc_id = doc_b
+                  WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32.0 >= 0.5),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+                   UNION SELECT doc_b, doc_a FROM cand),
+         reach AS (SELECT a, b FROM edges
+                   UNION
+                   SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+         doomed AS (SELECT DISTINCT a FROM reach WHERE b < a)
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT a FROM doomed)""",
     "q24_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
          GROUP BY md5(array_to_string(string_split(text,' ')[1:10], ' '))""",

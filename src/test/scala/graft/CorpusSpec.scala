@@ -242,6 +242,24 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("md5 CMS gate kernel honors the same one-sided bound") {
+    val d = Tables(spark, sf001, "documents")
+    val width = 2048; val total = d.select(explode(TextFunctions.ngrams($"text", 3))).count()
+    val rows = CorpusStats.sketchedTopKNgramsMd5(d, "text", 3, 20).collect()
+    assert(rows.length == 20)
+    // same top-20 grams/exact counts as the production path
+    val exactTop = CorpusStats.topKNgrams(d, "text", 3, 20).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val g = r.getString(0); val exact = r.getLong(1); val est = r.getLong(2)
+      assert(exactTop(g) == exact, s"exact count mismatch for $g")
+      assert(est >= exact, s"md5 CMS must never underestimate: $g")
+      // ε = e/width for the classic bound; generous slack at this width
+      assert(est <= exact + (math.E / width * total).toLong + 1,
+        s"md5 CMS overestimate beyond eps bound: $g ($est vs $exact)")
+    }
+  }
+
   test("kmeans: deterministic, WCSS non-increasing in iterations, recovers blobs") {
     import graft.operators.Clustering
     // two well-separated blobs in 4-d

@@ -84,6 +84,19 @@ class DedupSpec extends SparkSpec {
       s"banded pass not exact: missed=${brute -- gateSim} extra=${gateSim -- brute}")
   }
 
+  test("md5 gate dedup pipeline keeps the same survivors as production") {
+    val d = Tables(spark, sf001, "documents")
+    val prod = Dedup.dropNearDuplicates(d, "doc_id", "text",
+        bands = 8, minEstimate = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gate = Dedup.dropNearDuplicatesMd5(d, "doc_id", "text",
+        bands = 8, minEstimate = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(prod.nonEmpty && gate == prod,
+      s"survivor sets diverge: md5-only=${gate -- prod} xxhash-only=${prod -- gate}")
+    assert(gate.size < d.count(), "gate corpus should contain near-dups to drop")
+  }
+
   test("connectedComponents: min-label per component, chains converge") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (10L, 11L))
       .toDF("doc_a", "doc_b")
