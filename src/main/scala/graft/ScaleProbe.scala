@@ -93,6 +93,18 @@ object ScaleProbe {
         d.select(col("doc_id"), col("n_chars").cast("long").as("n")), "n")
       Multimodal.decodeFeatures(m, "payload", new Multimodal.AudioDecoder()).count()
     }
+    // real-container video path (q38 shape): AVI assembly + RIFF-walk
+    // decode, per-partition map work like image/audio
+    time("video_decode", base, scaled) { d =>
+      import graft.operators.Multimodal
+      val m = Multimodal.synthesizeGrayAvi(
+        d.select(col("doc_id"), md5(col("text").cast("binary")).as("hex"),
+          (lit(4) + length(col("text")) % 9).cast("int").as("w"),
+          (lit(4) + floor(length(col("text")) / lit(9)) % 7).cast("int").as("h"),
+          (lit(2) + length(col("text")) % 3).cast("int").as("nf")),
+        "hex", "w", "h", "nf")
+      Multimodal.decodeFeatures(m, "payload", new Multimodal.VideoDecoder()).count()
+    }
     // real-codec multimodal path (q34 shape): PNG encode + ImageIO
     // decode are per-partition map work — the exponent reads pure
     // embarrassing parallelism (flat until cores saturate, then 1.0)

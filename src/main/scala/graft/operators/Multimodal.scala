@@ -14,14 +14,17 @@ import org.apache.spark.sql.types._
   * Image decode is REAL: [[ImageIoDecoder]] parses PNG/JPEG/BMP/GIF
   * payloads with `javax.imageio` (ships in the JDK — no external
   * codec library needed) and extracts true dimensions, channel count,
-  * frame count and pixel statistics. Audio decode is REAL too:
+  * frame count and pixel statistics. Audio decode is REAL:
   * [[AudioDecoder]] parses WAV/AIFF/AU PCM with `javax.sound.sampled`
   * (also JDK built-in) — sample rate, channels, frame count,
-  * amplitude stats, per-bin energy. Only video remains behind the
-  * deterministic [[StubDecoder]] (this container genuinely has no
-  * video codec); swapping in an ffmpeg-backed Decoder is a one-class
-  * change because the Spark-side contracts (schema, batching,
-  * partitioning, null passthrough) are shared and tested.
+  * amplitude stats, per-bin energy. Video decode is REAL for AVI
+  * containers: [[VideoDecoder]] walks the RIFF structure and decodes
+  * uncompressed-DIB and MJPEG frames (again pure JDK). Only
+  * inter-frame codecs (H.264/VP9/...) remain behind the deterministic
+  * [[StubDecoder]] — they genuinely need an external decoder, and
+  * swapping in an ffmpeg-backed one is a one-class change because the
+  * Spark-side contracts (schema, batching, partitioning, null
+  * passthrough) are shared and tested.
   */
 object Multimodal {
 
@@ -293,11 +296,125 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** REAL video decoder for AVI containers (pure JDK: the RIFF walk
+    * is ~60 lines of little-endian parsing, frames decode through
+    * `javax.imageio`): handles the two frame codings that need no
+    * external library — uncompressed BI_RGB 24-bit DIB (`00db`) and
+    * MJPEG (`00dc`, each frame a complete JPEG). The shared
+    * [[Decoded]] contract maps naturally: width/height from the
+    * video stream's BITMAPINFOHEADER, `n_frames` = movi frame-chunk
+    * count, `channels` = bands per decoded frame, `px_mean` = mean
+    * over every sample of every band of ALL frames (video is a
+    * temporal medium — a frame-0 mean would miss fades/cuts),
+    * `feature` = per-bin mean frame intensity over `featDim` equal
+    * TIME bins normalized to [0, 1] (the scene-activity analog of
+    * [[AudioDecoder]]'s energy bins). Fails loudly by name on other
+    * codecs (H.264 etc. genuinely need external decoders); poison
+    * rows degrade to null via [[decodeFeatures]]' catch.
+    */
+  final class VideoDecoder(featDim: Int = 8) extends Decoder {
+    override def decode(p: Array[Byte]): Decoded = {
+      def u32(o: Int): Long = (p(o) & 0xFFL) | ((p(o + 1) & 0xFFL) << 8) |
+        ((p(o + 2) & 0xFFL) << 16) | ((p(o + 3) & 0xFFL) << 24)
+      def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+      def fcc(o: Int): String = new String(p, o, 4, "US-ASCII")
+      require(p.length >= 12 && fcc(0) == "RIFF" && fcc(8) == "AVI ",
+        "not an AVI payload")
+      var w = -1; var h = -1; var bitCount = -1
+      var compression = ""
+      var lastStrh = ""
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def walk(start: Int, end: Int): Unit = {
+        var o = start
+        while (o + 8 <= end) {
+          val id = fcc(o); val sz = u32(o + 4).toInt
+          require(sz >= 0 && o + 8 + sz <= end, s"truncated AVI chunk '$id' at $o")
+          if (id == "LIST" || id == "RIFF") walk(o + 12, o + 8 + sz)
+          else if (id == "strh") lastStrh = fcc(o + 8)
+          else if (id == "strf" && lastStrh == "vids" && bitCount < 0) {
+            // BITMAPINFOHEADER of the FIRST video stream
+            w = u32(o + 8 + 4).toInt; h = u32(o + 8 + 8).toInt
+            bitCount = u16(o + 8 + 14)
+            compression = if (u32(o + 8 + 16) == 0) "DIB" else fcc(o + 8 + 16)
+          } else if (id.endsWith("db") || id.endsWith("dc"))
+            frames += ((o + 8, sz))
+          o += 8 + sz + (sz & 1) // chunks pad to even offsets
+        }
+      }
+      walk(12, p.length)
+      require(w > 0 && h > 0, "no video stream in AVI payload")
+      val nF = frames.length
+      val binSum = new Array[Double](featDim)
+      val binCnt = new Array[Long](featDim)
+      var sum = 0.0; var n = 0L; var channels = 0
+      var f = 0
+      while (f < nF) {
+        val (off, len) = frames(f)
+        var frameSum = 0.0; var frameN = 0L
+        compression match {
+          case "DIB" =>
+            require(bitCount == 24,
+              s"unsupported DIB bit count $bitCount (BI_RGB 24-bit only)")
+            val stride = (3 * w + 3) & ~3
+            require(len >= stride * h, s"short DIB frame $f ($len B)")
+            channels = 3
+            var y = 0
+            while (y < h) {
+              // DIB rows are BOTTOM-UP; samples are B,G,R
+              val row = off + (h - 1 - y) * stride
+              var x = 0
+              while (x < 3 * w) {
+                frameSum += (p(row + x) & 0xFF); x += 1
+              }
+              y += 1
+            }
+            frameN = 3L * w * h
+          case "MJPG" =>
+            javax.imageio.ImageIO.setUseCache(false)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(p.slice(off, off + len)))
+            require(img != null, s"undecodable MJPEG frame $f")
+            val raster = img.getRaster
+            channels = raster.getNumBands
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                var b = 0
+                while (b < channels) {
+                  frameSum += raster.getSample(x, y, b); b += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            frameN = img.getWidth.toLong * img.getHeight * channels
+          case other =>
+            throw new IllegalArgumentException(
+              s"unsupported AVI video codec '$other' (BI_RGB DIB / MJPG only)")
+        }
+        sum += frameSum; n += frameN
+        val bin = (f.toLong * featDim / math.max(1, nF)).toInt
+        binSum(bin) += (if (frameN == 0) 0.0 else frameSum / frameN / 255.0)
+        binCnt(bin) += 1
+        f += 1
+      }
+      val feat = new Array[Float](featDim)
+      var i = 0
+      while (i < featDim) {
+        feat(i) = if (binCnt(i) == 0) 0f else (binSum(i) / binCnt(i)).toFloat
+        i += 1
+      }
+      Decoded(w, h, nF, channels, if (n == 0) 0.0 else sum / n, feat)
+    }
+  }
+
   /** Deterministic FAKE decoder for formats with no codec in this
-    * container (video): dimensions derived from payload length,
-    * feature = first `dim` bytes scaled — exercises schema/partition/
-    * batch behavior end-to-end. Clearly a stub; images should use
-    * [[ImageIoDecoder]], WAV/AIFF/AU audio [[AudioDecoder]].
+    * container (H.264/VP9/... video): dimensions derived from payload
+    * length, feature = first `dim` bytes scaled — exercises schema/
+    * partition/batch behavior end-to-end. Clearly a stub; images
+    * should use [[ImageIoDecoder]], WAV/AIFF/AU audio
+    * [[AudioDecoder]], AVI (DIB/MJPEG) video [[VideoDecoder]].
     */
   final class StubDecoder(dim: Int = 8) extends Decoder {
     override def decode(p: Array[Byte]): Decoded = {
@@ -386,6 +503,134 @@ object Multimodal {
             val samples = Array.tabulate[Short](len)(i =>
               (math.sin(2 * math.Pi * freq * i / rate) * 30000).toShort)
             pcmBytes(rate, 1, samples)
+          }
+        Row.fromSeq(r.toSeq :+ payload)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Encode grayscale frames as a real AVI container — the video
+    * analog of [[pngBytes]]/[[pcmBytes]]: a deterministic test-corpus
+    * generator producing files any stock player opens. Frames are
+    * `width*height` gray bytes each; `mjpeg = false` writes
+    * uncompressed BI_RGB 24-bit DIB frames (LOSSLESS — gray
+    * replicated to B=G=R, bottom-up rows, 4-byte-aligned stride), so
+    * a [[VideoDecoder]] round-trip recovers exact pixel statistics;
+    * `mjpeg = true` JPEG-encodes each frame (lossy, real MJPEG).
+    */
+  def aviBytes(width: Int, height: Int, fps: Int,
+               grayFrames: Seq[Array[Byte]], mjpeg: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && grayFrames.nonEmpty)
+    grayFrames.foreach(f => require(f.length == width * height,
+      s"frame length ${f.length} != $width*$height"))
+    val blobs: Seq[Array[Byte]] =
+      if (mjpeg) grayFrames.map { g =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        img.getRaster.setDataElements(0, 0, width, height, g)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      } else grayFrames.map { g =>
+        val stride = (3 * width + 3) & ~3
+        val out = new Array[Byte](stride * height)
+        var y = 0
+        while (y < height) {
+          val row = (height - 1 - y) * stride // bottom-up
+          var x = 0
+          while (x < width) {
+            val v = g(y * width + x)
+            out(row + 3 * x) = v; out(row + 3 * x + 1) = v; out(row + 3 * x + 2) = v
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+    def le32(v: Long): Unit = { var i = 0; while (i < 4) { bos.write(((v >> (8 * i)) & 0xFF).toInt); i += 1 } }
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val nF = blobs.length
+    val maxBlob = blobs.map(_.length).max
+    val moviSize = 4 + blobs.map(b => 8 + b.length + (b.length & 1)).sum
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    tag("RIFF"); le32(riffSize); tag("AVI ")
+    tag("LIST"); le32(hdrlSize); tag("hdrl")
+    // avih: MainAVIHeader
+    tag("avih"); le32(56)
+    le32(1000000L / fps)               // dwMicroSecPerFrame
+    le32(maxBlob.toLong * fps)         // dwMaxBytesPerSec
+    le32(0); le32(0)                   // padding granularity; flags (no idx1 -> no AVIF_HASINDEX)
+    le32(nF); le32(0); le32(1); le32(maxBlob)
+    le32(width); le32(height)
+    le32(0); le32(0); le32(0); le32(0) // dwReserved
+    tag("LIST"); le32(strlSize); tag("strl")
+    // strh: AVIStreamHeader for the single vids stream
+    tag("strh"); le32(56)
+    tag("vids"); tag(if (mjpeg) "MJPG" else "DIB ")
+    le32(0); le16(0); le16(0)          // flags, priority, language
+    le32(0)                            // initial frames
+    le32(1); le32(fps)                 // scale, rate -> fps
+    le32(0); le32(nF)                  // start, length (frames)
+    le32(maxBlob); le32(-1 & 0xFFFFFFFFL) // suggested buffer, quality=-1
+    le32(0)                            // sample size (0 = varies)
+    le16(0); le16(0); le16(width); le16(height) // rcFrame
+    // strf: BITMAPINFOHEADER
+    tag("strf"); le32(40)
+    le32(40); le32(width); le32(height)
+    le16(1); le16(24)                  // planes, bit count
+    if (mjpeg) tag("MJPG") else le32(0) // biCompression
+    le32(blobs.head.length); le32(0); le32(0); le32(0); le32(0)
+    tag("LIST"); le32(moviSize); tag("movi")
+    blobs.foreach { b =>
+      tag(if (mjpeg) "00dc" else "00db"); le32(b.length)
+      bos.write(b)
+      if ((b.length & 1) == 1) bos.write(0) // even padding
+    }
+    bos.toByteArray
+  }
+
+  /** Append a `payload` column holding a real AVI whose gray frames
+    * cycle through the ASCII codes of `hexCol` (frame f, pixel i →
+    * hex[(f·w·h + i) mod len]) — the video analog of
+    * [[synthesizeGrayPng]]: a deterministic, SQL-replayable corpus
+    * for exercising [[VideoDecoder]] at any scale. DIB frames are
+    * lossless, so decoded pixel statistics replay exactly.
+    * Per-partition encode, no shuffle; degenerate inputs degrade to
+    * a null payload.
+    */
+  def synthesizeGrayAvi(df: DataFrame, hexCol: String, wCol: String,
+                        hCol: String, nFramesCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("payload", BinaryType))
+    val hi = df.schema.fieldIndex(hexCol)
+    val wi = df.schema.fieldIndex(wCol)
+    val hti = df.schema.fieldIndex(hCol)
+    val fi = df.schema.fieldIndex(nFramesCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val payload: Any =
+          if (r.isNullAt(hi) || r.isNullAt(wi) || r.isNullAt(hti) ||
+              r.isNullAt(fi) || r.getString(hi).isEmpty ||
+              r.getInt(wi) <= 0 || r.getInt(hti) <= 0 || r.getInt(fi) <= 0)
+            null
+          else {
+            val hex = r.getString(hi)
+            val w = r.getInt(wi); val h = r.getInt(hti); val nf = r.getInt(fi)
+            val frames = (0 until nf).map { f =>
+              val px = new Array[Byte](w * h)
+              var i = 0
+              while (i < px.length) {
+                px(i) = hex.charAt((f * w * h + i) % hex.length).toByte; i += 1
+              }
+              px
+            }
+            aviBytes(w, h, 25, frames)
           }
         Row.fromSeq(r.toSeq :+ payload)
       }

@@ -229,6 +229,26 @@ object TextVector {
           col("channels"), col("n_frames"), col("px_mean"))
     }),
 
+    // video decode pipeline with a REAL container parser: synthesize
+    // a deterministic multi-frame AVI per doc (uncompressed BI_RGB
+    // DIB frames — lossless — whose gray pixels cycle the md5-hex
+    // ASCII codes across frames), then decode it back with the pure
+    // JDK RIFF walk. The oracle replays the pixel rule in SQL over
+    // frames × pixels; exact, like q34.
+    "q38_video_decode" -> ((s, dir) => {
+      val n = length(col("text").cast("binary"))
+      val base = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("hex"),
+          (lit(4) + n % 9).cast("int").as("w"),
+          (lit(4) + floor(n / lit(9)) % 7).cast("int").as("h"),
+          (lit(2) + n % 3).cast("int").as("nf"))
+      val media = Multimodal.synthesizeGrayAvi(base, "hex", "w", "h", "nf")
+      Multimodal.decodeFeatures(media, "payload", new Multimodal.VideoDecoder())
+        .select(col("doc_id"), col("width"), col("height"),
+          col("channels"), col("n_frames"), col("px_mean"))
+    }),
+
     // token-budget sampling: deterministic (md5-ordered) prefix whose
     // running token sum stays under budget — two-phase distributed
     // prefix sum, no single-partition window. Oracle replays the
@@ -526,6 +546,23 @@ object TextVector {
            CAST(1 AS INTEGER) AS channels, CAST(1 AS INTEGER) AS n_frames,
            avg(ascii(substr(hex, CAST(t.i % 32 AS INTEGER) + 1, 1))) AS px_mean
          FROM base, UNNEST(generate_series(0, CAST(width AS BIGINT) * height - 1)) AS t(i)
-         GROUP BY doc_id, width, height"""
+         GROUP BY doc_id, width, height""",
+    // frames are consecutive in the synthesized AVI, so the global
+    // sample index j = f*w*h + i cycles hex[j % 32] — one
+    // generate_series over frames × pixels replays every gray value;
+    // DIB replicates gray to B=G=R, so the 3-band mean equals the
+    // gray mean exactly (3S/3N = S/N)
+    "q38_video_decode" ->
+      """WITH base AS (
+           SELECT doc_id, md5(text) AS hex,
+             CAST(4 + octet_length(CAST(text AS BLOB)) % 9 AS INTEGER) AS width,
+             CAST(4 + (octet_length(CAST(text AS BLOB)) // 9) % 7 AS INTEGER) AS height,
+             CAST(2 + octet_length(CAST(text AS BLOB)) % 3 AS INTEGER) AS nf
+           FROM documents WHERE text IS NOT NULL)
+         SELECT doc_id, width, height,
+           CAST(3 AS INTEGER) AS channels, nf AS n_frames,
+           avg(ascii(substr(hex, CAST(t.i % 32 AS INTEGER) + 1, 1))) AS px_mean
+         FROM base, UNNEST(generate_series(0, CAST(width AS BIGINT) * height * nf - 1)) AS t(i)
+         GROUP BY doc_id, width, height, nf"""
   )
 }

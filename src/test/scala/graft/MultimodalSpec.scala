@@ -207,6 +207,76 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).isNullAt(out(3L).fieldIndex("width"))) // null passes through
   }
 
+  test("VideoDecoder: DIB AVI round-trips exact pixel stats") {
+    // 3 frames, 4x3, constant values 10/20/30 -> exact means
+    val frames = Seq(10, 20, 30).map(v => Array.fill[Byte](12)(v.toByte))
+    val avi = Multimodal.aviBytes(4, 3, 25, frames)
+    val d = new Multimodal.VideoDecoder().decode(avi)
+    assert(d.width == 4 && d.height == 3 && d.nFrames == 3 && d.channels == 3)
+    assert(d.pxMean == 20.0) // (10+20+30)/3, exact: DIB is lossless
+    // temporal bins: 8 bins over 3 frames -> frame means land in
+    // bins floor(f*8/3) = 0, 2, 5 (normalized /255)
+    assert(math.abs(d.feature(0) - 10f / 255f) < 1e-6)
+    assert(math.abs(d.feature(2) - 20f / 255f) < 1e-6)
+    assert(math.abs(d.feature(5) - 30f / 255f) < 1e-6)
+    assert(d.feature(1) == 0f && d.feature(7) == 0f)
+    // non-aligned width exercises the 4-byte row stride (3*5=15 -> 16)
+    val odd = Multimodal.aviBytes(5, 2, 25, Seq(Array.fill[Byte](10)(100.toByte)))
+    val d2 = new Multimodal.VideoDecoder().decode(odd)
+    assert(d2.width == 5 && d2.pxMean == 100.0)
+  }
+
+  test("VideoDecoder: MJPEG AVI decodes real JPEG frames") {
+    val frames = (0 until 4).map(f => Array.fill[Byte](64 * 48)((40 + 40 * f).toByte))
+    val avi = Multimodal.aviBytes(64, 48, 10, frames, mjpeg = true)
+    val d = new Multimodal.VideoDecoder().decode(avi)
+    assert(d.width == 64 && d.height == 48 && d.nFrames == 4)
+    // JPEG is lossy but flat frames compress near-perfectly
+    assert(math.abs(d.pxMean - (40 + 80 + 120 + 160) / 4.0) < 3.0)
+    // brightness ramps across the 4 frames -> bins 0,2,4,6 increase
+    val bins = Seq(0, 2, 4, 6).map(d.feature)
+    assert(bins == bins.sorted && bins.head < bins.last)
+  }
+
+  test("decodeFeatures with VideoDecoder: poison + null degrade, H264 refused") {
+    val avi = Multimodal.aviBytes(4, 4, 25, Seq(Array.fill[Byte](16)(7)))
+    // a plausible-but-unsupported codec tag must fail by name, which
+    // decodeFeatures degrades to null
+    val fake = avi.clone()
+    val strfData = new String(avi, "ISO-8859-1").indexOf("strf") + 8
+    Array('H', '2', '6', '4').zipWithIndex.foreach { case (c, i) =>
+      fake(strfData + 16 + i) = c.toByte }
+    val rows = Seq((1L, avi), (2L, fake), (3L, "junk".getBytes), (4L, null))
+      .toDF("id", "payload").repartition(2)
+    val out = Multimodal.decodeFeatures(rows, "payload",
+      new Multimodal.VideoDecoder()).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("width") == 4)
+    Seq(2L, 3L, 4L).foreach(id =>
+      assert(out(id).isNullAt(out(id).fieldIndex("width"))))
+    val ex = intercept[IllegalArgumentException] {
+      new Multimodal.VideoDecoder().decode(fake)
+    }
+    assert(ex.getMessage.contains("H264"))
+  }
+
+  test("synthesizeGrayAvi -> VideoDecoder round-trips the pixel rule") {
+    val base = Seq(
+      (1L, "0123456789abcdef0123456789abcdef", 5, 4, 3),
+      (2L, "ffffffffffffffffffffffffffffffff", 4, 4, 2),
+      (3L, null.asInstanceOf[String], 4, 4, 2)
+    ).toDF("id", "hex", "w", "h", "nf")
+    val media = Multimodal.synthesizeGrayAvi(base, "hex", "w", "h", "nf")
+    val out = Multimodal.decodeFeatures(media, "payload",
+      new Multimodal.VideoDecoder()).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("width") == 5 && out(1L).getAs[Int]("n_frames") == 3)
+    // pixel (f, i) = hex[(f*20 + i) % 32]; mean over 60 samples
+    val hex = "0123456789abcdef0123456789abcdef"
+    val exp = (0 until 60).map(j => hex.charAt(j % 32).toInt).sum / 60.0
+    assert(out(1L).getAs[Double]("px_mean") == exp) // lossless: exact
+    assert(out(2L).getAs[Double]("px_mean") == 'f'.toInt.toDouble)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("width")))
+  }
+
   test("StubDecoder still covers no-codec payloads (video stub)") {
     val out = Multimodal.decodeFeatures(media, "payload",
       new Multimodal.StubDecoder())
