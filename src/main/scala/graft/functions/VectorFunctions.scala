@@ -53,4 +53,25 @@ object VectorFunctions {
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** SQL-replayable twin of [[hyperplane]]: component j of plane p is
+    * md5("plane p|j")'s first 8 hex chars as a 32-bit unsigned int,
+    * scaled to [-1, 1) — any SQL engine with md5 reproduces it
+    * bit-for-bit (DuckDB: ('0x'||substr(md5(...),1,8))::BIGINT /
+    * 2^31 - 1).
+    */
+  def hyperplaneMd5(planeId: Int, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), j =>
+      conv(substring(md5(concat(lit(s"plane$planeId|"), j.cast("string"))), 1, 8),
+        16, 10).cast("double") / lit(2147483648.0) - lit(1.0))
+
+  /** [[signLshBucket]] over the md5 plane family — the gate kernel
+    * for DuckDB-replayable LSH bucketing.
+    */
+  def signLshBucketMd5(v: Column, nPlanes: Int, dim: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      when(dot(v, hyperplaneMd5(p, dim)) >= 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
 }

@@ -313,4 +313,30 @@ object Similarity {
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         round(col("cos"), 6).as("cosine"))
   }
+
+  /** DuckDB-replayable gate twin of [[cosineNearDupPairs]]: identical
+    * single-shuffle plan, but the sign-LSH planes come from the md5
+    * family ([[graft.functions.VectorFunctions.hyperplaneMd5]]), so a
+    * SQL oracle can rebuild every bucket bit (dot-product signs over
+    * md5-derived weights) and replay the bucket self-join + exact
+    * cosine filter end to end. `nPlanes` is explicit (no corpus-count
+    * auto-tune) because the oracle must know the plane count
+    * statically. Production callers keep [[cosineNearDupPairs]]'s
+    * xxhash64 planes + autoPlanes; SimilaritySpec asserts the gate's
+    * precision is 1.0 against the exact pair set and its recall is
+    * comparable to the production kernel's.
+    */
+  def cosineNearDupPairsMd5(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, nPlanes: Int,
+                            dim: Int = 64): DataFrame = {
+    require(nPlanes > 0, "gate kernel needs an explicit plane count")
+    val b = df.select(col(idCol).as("doc"), col(vecCol).as("v"),
+      signLshBucketMd5(col(vecCol), nPlanes, dim).as("bucket"))
+    val a = b.as("a"); val c = b.as("b")
+    a.join(c, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        round(col("cos"), 6).as("cosine"))
+  }
 }

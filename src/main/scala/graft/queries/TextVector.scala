@@ -175,9 +175,15 @@ object TextVector {
 
     // LSH-bucketed cosine near-dup (the linear-shuffle scale path;
     // rows-only — recall cross-checked in SimilaritySpec).
+    // LSH-bucketed cosine near-dup. The GATE runs the md5-plane
+    // kernel with a static plane count (the oracle rebuilds every
+    // bucket bit from md5-derived hyperplane weights, replays the
+    // bucket self-join, then applies the exact cosine filter); the
+    // xxhash64 planes + autoPlanes tuning stay the production
+    // default, cross-checked in SimilaritySpec.
     "q37_cosine_neardup_lsh" -> ((s, dir) => {
-      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.3)
+      Similarity.cosineNearDupPairsMd5(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.3, nPlanes = 6)
     }),
 
     // per-label embedding centroids (vector aggregation).
@@ -547,6 +553,39 @@ object TextVector {
            avg(ascii(substr(hex, CAST(t.i % 32 AS INTEGER) + 1, 1))) AS px_mean
          FROM base, UNNEST(generate_series(0, CAST(width AS BIGINT) * height - 1)) AS t(i)
          GROUP BY doc_id, width, height""",
+    // rebuilds the 6 md5-family hyperplanes (component j of plane p =
+    // md5("plane p|j")'s first 8 hex chars scaled to [-1,1)), takes
+    // dot-product signs per vector for the bucket id, replays the
+    // bucket self-join, then applies the exact cosine filter — the
+    // same q36 formula that already hash-matches
+    "q37_cosine_neardup_lsh" ->
+      """WITH comp AS (SELECT vec_id, i.i AS j, CAST(embedding[i.i] AS DOUBLE) AS x
+                       FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS i(i)),
+         planes AS (SELECT p.j AS p, c.i AS j,
+                      ('0x' || substr(md5('plane' || CAST(p.j AS VARCHAR) || '|' || CAST(c.i AS VARCHAR)), 1, 8))::BIGINT
+                        / 2147483648.0 - 1.0 AS w
+                    FROM UNNEST(generate_series(0, 5)) AS p(j),
+                         UNNEST(generate_series(0, 63)) AS c(i)),
+         bits AS (SELECT comp.vec_id, pl.p,
+                    CASE WHEN sum(comp.x * pl.w) >= 0
+                         THEN (1::BIGINT << CAST(pl.p AS INTEGER)) ELSE 0 END AS bit
+                  FROM comp JOIN planes pl ON pl.j = comp.j - 1
+                  GROUP BY comp.vec_id, pl.p),
+         sig AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+         cand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+                  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         SELECT c.doc_a, c.doc_b,
+           round(
+             list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                              list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+         FROM cand c JOIN embeddings a ON a.vec_id = c.doc_a
+                     JOIN embeddings b ON b.vec_id = c.doc_b
+         WHERE list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.3""",
     // frames are consecutive in the synthesized AVI, so the global
     // sample index j = f*w*h + i cycles hex[j % 32] — one
     // generate_series over frames × pixels replays every gray value;

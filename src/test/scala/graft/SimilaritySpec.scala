@@ -85,6 +85,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("md5 gate kernel: precision 1.0, recall comparable to production") {
+    val e = Tables(spark, sf001, "embeddings")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val exact = Similarity.cosineNearDupPairsExact(e, "vec_id", "embedding",
+      threshold = 0.3).select("doc_a", "doc_b").collect().map(key).toSet
+    val gate = Similarity.cosineNearDupPairsMd5(e, "vec_id", "embedding",
+      threshold = 0.3, nPlanes = 6).select("doc_a", "doc_b").collect().map(key).toSet
+    val prod = Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+      threshold = 0.3, nPlanes = 6).select("doc_a", "doc_b").collect().map(key).toSet
+    assert(gate.nonEmpty && gate.subsetOf(exact),
+      s"gate false positives: ${(gate -- exact).take(5)}")
+    // different plane family, same plane count: recall within 2x of
+    // the production kernel's (both are lossy LSH samplings of the
+    // same exact pair set)
+    val gr = gate.size.toDouble / exact.size
+    val pr = prod.size.toDouble / exact.size
+    assert(gr >= pr / 2, s"gate recall $gr << production recall $pr")
+  }
+
   test("lshTopK probe fan-out is capped: no Hamming-2 ring above 12 planes") {
     import org.apache.spark.sql.catalyst.plans.logical.Generate
     import org.apache.spark.sql.catalyst.expressions.{CreateArray, Explode}
