@@ -347,9 +347,10 @@ class WLatest(W):
         index-block elements, 16-element starting data blocks, 4
         min super-block pointers, 1024-element pages): the first 4
         chunks inline in the EAIB, later chunks in EADB data blocks
-        per the super-block doubling rule. Fixture scope stops at the
-        index block's direct data-block pointers (real secondary
-        blocks would need 100+-chunk columns)."""
+        per the super-block doubling rule; past the index block's 6
+        direct data-block pointers (244 elements), data blocks hang
+        off EASB super blocks (written unpaged — data blocks stay
+        <= one 1024-element page until ~100k chunks)."""
         max_bits, idx_elmts, min_elmts, min_ptrs, page_bits = 32, 4, 16, 4, 10
         client = 1 if filt else 0
         off_w = (max_bits + 7) // 8
@@ -377,8 +378,9 @@ class WLatest(W):
             tot += 2 ** (k // 2); k += 1
         assert tot == ndblk_addrs
         nsblk_addrs = nsblks - k
-        # assign post-inline chunks to data blocks (doubling rule)
-        dblocks = []  # (nelmts, first_elem_index, [chunk or None])
+        # assign post-inline chunks to data blocks (doubling rule),
+        # tracking each block's super-block row u
+        dblocks = []  # (u, nelmts, first_elem_index, [chunk or None])
         rest = max(0, n - idx_elmts)
         covered, u, first = 0, 0, idx_elmts
         while covered < rest:
@@ -388,32 +390,64 @@ class WLatest(W):
                     break
                 cs = chunks[idx_elmts + covered: idx_elmts + covered + ne]
                 cs = cs + [None] * (ne - len(cs))
-                dblocks.append((ne, first, cs))
+                dblocks.append((u, ne, first, cs))
                 covered += ne; first += ne
             u += 1
-        assert len(dblocks) <= ndblk_addrs, "fixture would need EA super blocks"
-        assert all(ne <= 2 ** page_bits for ne, _, _ in dblocks)
-        # addresses: data blocks, then index block, then header
+        assert all(ne <= 2 ** page_bits for _, ne, _, _ in dblocks), \
+            "fixture would need PAGED super-block data blocks"
+        direct = dblocks[:ndblk_addrs]
+        # group the overflow by super-block row: EASB s covers row
+        # k + s with 2^(row//2) data-block pointers
+        sblks = {}  # s -> (row, first_elem, [dblock index or None])
+        for di, (du, _, dfirst, _) in enumerate(dblocks[ndblk_addrs:],
+                                                start=ndblk_addrs):
+            s = du - k
+            assert 0 <= s < nsblk_addrs
+            if s not in sblks:
+                sblks[s] = (du, dfirst, [None] * (2 ** (du // 2)))
+            row, sfirst, ptrs = sblks[s]
+            ne = min_elmts * 2 ** ((du + 1) // 2)
+            ptrs[(dfirst - sfirst) // ne] = di
+        # addresses: data blocks, then super blocks, then index block,
+        # then header
         base = self.pos
-        dblk_sizes = [14 + off_w + ne * elem_size + 4 for ne, _, _ in dblocks]
+        dblk_sizes = [14 + off_w + ne * elem_size + 4 for _, ne, _, _ in dblocks]
         dblk_addrs = [base + sum(dblk_sizes[:i]) for i in range(len(dblocks))]
-        ib_addr = base + sum(dblk_sizes)
+        sblk_sizes = {s: 14 + off_w + len(p[2]) * 8 for s, p in sblks.items()}
+        sblk_base = base + sum(dblk_sizes)
+        sblk_addrs = {}
+        pos = sblk_base
+        for s in sorted(sblks):
+            sblk_addrs[s] = pos
+            pos += sblk_sizes[s] + 4
+        ib_addr = pos
         ib_size = 14 + idx_elmts * elem_size + (ndblk_addrs + nsblk_addrs) * 8 + 4
         hdr_addr = ib_addr + ib_size
-        for (ne, first, cs), want in zip(dblocks, dblk_addrs):
+        for (du, ne, first, cs), want in zip(dblocks, dblk_addrs):
             b = (b"EADB" + struct.pack("<BB", 0, client)
                  + struct.pack("<Q", hdr_addr)
                  + first.to_bytes(off_w, "little")
                  + b"".join(elem(c) for c in cs))
             b += struct.pack("<I", lookup3(b))
             assert self.block(b) == want
+        for s in sorted(sblks):
+            row, sfirst, ptrs = sblks[s]
+            b = (b"EASB" + struct.pack("<BB", 0, client)
+                 + struct.pack("<Q", hdr_addr)
+                 + sfirst.to_bytes(off_w, "little")
+                 + b"".join(struct.pack(
+                     "<Q", UNDEF if di is None else dblk_addrs[di])
+                     for di in ptrs))
+            b += struct.pack("<I", lookup3(b))
+            assert self.block(b) == sblk_addrs[s]
         ib = (b"EAIB" + struct.pack("<BB", 0, client)
               + struct.pack("<Q", hdr_addr))
         for i in range(idx_elmts):
             ib += elem(chunks[i] if i < n else None)
         for i in range(ndblk_addrs):
-            ib += struct.pack("<Q", dblk_addrs[i] if i < len(dblocks) else UNDEF)
-        ib += struct.pack("<Q", UNDEF) * nsblk_addrs
+            ib += struct.pack("<Q", dblk_addrs[i] if i < len(direct) else UNDEF)
+        for s in range(nsblk_addrs):
+            ib += struct.pack("<Q", sblk_addrs.get(s, UNDEF))
         ib += struct.pack("<I", lookup3(ib))
         assert self.block(ib) == ib_addr and len(ib) == ib_size
         ndb = len(dblocks)
@@ -635,6 +669,12 @@ def main():
     dense = "--dense" in sys.argv[1:]          # implies --latest
     ea = "--appendable" in sys.argv[1:]        # extensible-array chunks
     bt2 = "--bt2" in sys.argv[1:]              # v2-b-tree chunks
+    # --repeat=N tiles the table N times — enough chunks to push the
+    # EA index past its direct data-block pointers into EASB super
+    # blocks (the realistic appendable-catalog regime) while keeping
+    # the small fixture table
+    rep = next((int(a.split("=", 1)[1]) for a in sys.argv[1:]
+                if a.startswith("--repeat=")), 1)
     latest = latest or paged or dense or ea or bt2
     t = pq.read_table(args[0])
     w = WLatest() if latest else W()
@@ -645,7 +685,7 @@ def main():
     cols = []
     first_numeric = True
     for name in t.column_names:
-        vals = t[name].to_pylist()
+        vals = t[name].to_pylist() * rep
         ty = str(t.schema.field(name).type)
         if ty in ("int64", "int32", "int16"):
             kind = "i64"
@@ -719,7 +759,8 @@ def main():
             else "latest v2-btree chunks (BTHD t10/t11)" if bt2
             else "latest paged-FA (sb v3, OHDR)" if paged
             else "latest (sb v3, OHDR)" if latest else "earliest (sb v0)")
-    print(f"wrote {args[1]} [{mode}]: {len(cols)} columns, {t.num_rows} rows")
+    print(f"wrote {args[1]} [{mode}]: {len(cols)} columns, "
+          f"{t.num_rows * rep} rows")
 
 
 if __name__ == "__main__":

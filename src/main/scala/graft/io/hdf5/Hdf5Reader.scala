@@ -22,9 +22,10 @@ import java.nio.file.{Paths, StandardOpenOption}
   *   - datasets: contiguous (layout v3/v4) or chunked via v1 chunk
   *     B-tree, or any of the layout-v4 chunk indexes: Single Chunk,
   *     Implicit, Fixed Array (single-page AND paged FADB), Extensible
-  *     Array (EAHD/EAIB/EADB — the h5py appendable/maxshape=None
-  *     shape), and v2 B-tree (record types 10/11); optionally
-  *     deflate- and/or shuffle-filtered
+  *     Array (EAHD/EAIB/EADB incl. EASB super blocks — the h5py
+  *     appendable/maxshape=None shape at any realistic chunk count),
+  *     and v2 B-tree (record types 10/11); optionally deflate- and/or
+  *     shuffle-filtered
   *   - datatypes: fixed-point, IEEE float, fixed strings; vlen strings
   *     in ATTRIBUTES (global heap)
   *   - attribute messages v1-v3
@@ -38,12 +39,11 @@ import java.nio.file.{Paths, StandardOpenOption}
   * Spark analog of the reference's per-rank HDF5 column windows
   * (io/mpi.py read paths).
   *
-  * Unsupported residue (extensible-array SECONDARY blocks and paged
-  * data blocks — reached only past ~20+ chunks per the default
-  * geometry's index-block pointers, ~100-chunk columns; filtered
-  * fractal heaps; huge/tiny heap objects; v2 B-trees deeper than 1;
-  * datatypes beyond the above) fails loudly with the offending
-  * construct named.
+  * Unsupported residue (PAGED extensible-array data blocks — reached
+  * only past ~100k chunks per dataset under the default chunk-EA
+  * geometry; filtered fractal heaps; huge/tiny heap objects; v2
+  * B-trees deeper than 1; datatypes beyond the above) fails loudly
+  * with the offending construct named.
   */
 final class Hdf5Reader(val path: String) extends AutoCloseable {
   import Hdf5Reader._
@@ -899,15 +899,17 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     def sblkDblkNelmts(u: Int): Long = minElmts.toLong << ((u + 1) / 2)
     val nsblks = 1 + (maxBits - encLog2(minElmts)) / 2
     val ndblkAddrs = 2 * (minPtrs - 1)
-    val nsblkAddrs = {
-      // index block covers exactly the first super blocks whose data
-      // blocks sum to ndblkAddrs
+    // index block covers exactly the first `directRows` super-block
+    // rows, whose data blocks sum to ndblkAddrs direct pointers; rows
+    // >= directRows live behind EASB super blocks
+    val directRows = {
       var k = 0; var sum = 0
       while (sum < ndblkAddrs && k < nsblks) { sum += sblkNDblks(k); k += 1 }
       require(sum == ndblkAddrs,
         s"EA geometry mismatch: $sum direct data blocks != $ndblkAddrs (${ds.name})")
-      nsblks - k
+      k
     }
+    val nsblkAddrs = nsblks - directRows
     require(sig4(iblockAddr) == "EAIB", s"no EA index block at $iblockAddr (${ds.name})")
     require(u8(iblockAddr + 4) == 0 && u8(iblockAddr + 5) == clientId,
       s"EAIB version/client mismatch at $iblockAddr (${ds.name})")
@@ -921,11 +923,6 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
       val c = Lookup3.hashU(bytes(iblockAddr, ibUsed), 0)
       require(s == c, s"EAIB checksum mismatch at $iblockAddr (${ds.name})")
     }
-    (0 until nsblkAddrs).foreach { i =>
-      require(u64(ibDblks + (ndblkAddrs + i).toLong * 8) == Undef,
-        s"extensible-array super blocks unsupported (${ds.name})")
-    }
-
     def decodeElem(off: Long, chunkIdx: Int): Option[(Long, Long, Int)] = {
       val addr = u64(off)
       if (addr == Undef) None
@@ -944,17 +941,51 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     val nChunks = nChunksL.toInt
     val offW = (maxBits + 7) / 8
 
+    // super blocks (EASB) are lazily located + verified once each:
+    // sblk ordinal s (row directRows + s) -> address of its
+    // data-block-pointer region, or None if unallocated. Only the
+    // unpaged shape is read (each data block <= one page, so blocks
+    // carry one whole-block checksum) — paged super-block data blocks
+    // (page bitmap in the EASB, per-page checksums) are refused by
+    // name below; with libhdf5's default chunk-EA geometry they first
+    // appear past ~100k chunks per dataset.
+    val sblkCache = scala.collection.mutable.Map[Int, Option[Long]]()
+    def superBlock(s: Int, row: Int, firstElem: Long): Option[Long] =
+      sblkCache.getOrElseUpdate(s, {
+        require(s < nsblkAddrs,
+          s"chunk beyond extensible-array capacity (super block $s of $nsblkAddrs, ${ds.name})")
+        require(sblkDblkNelmts(row) <= (1L << pageBits),
+          s"paged extensible-array super-block data blocks unsupported (${ds.name})")
+        val addr = u64(ibDblks + (ndblkAddrs + s).toLong * 8)
+        if (addr == Undef) None
+        else {
+          require(sig4(addr) == "EASB", s"no EA super block at $addr (${ds.name})")
+          require(u8(addr + 4) == 0 && u8(addr + 5) == clientId,
+            s"EASB version/client mismatch at $addr (${ds.name})")
+          require(u64(addr + 6) == hdrAddr,
+            s"EASB header back-pointer mismatch at $addr (${ds.name})")
+          require(uVar(addr + 14, offW) == firstElem,
+            s"EASB block offset ${uVar(addr + 14, offW)} != expected $firstElem (${ds.name})")
+          val used = (14 + offW + sblkNDblks(row).toLong * 8).toInt
+          val st = u32(addr + used)
+          val c = Lookup3.hashU(bytes(addr, used), 0)
+          require(st == c, s"EASB checksum mismatch at $addr (${ds.name})")
+          Some(addr + 14 + offW)
+        }
+      })
+
     // data blocks are lazily located: (dblk ordinal) -> (addr of its
-    // element region, its element capacity), verified once each
+    // element region, its element capacity), verified once each.
+    // `slot` is the file offset of the block's 8-byte address — in
+    // the index block for the first ndblkAddrs blocks, inside an EASB
+    // beyond them.
     val dblkCache = scala.collection.mutable.Map[Int, Option[(Long, Long)]]()
-    def dataBlock(ord: Int, firstElem: Long, nelmts: Long): Option[(Long, Long)] =
+    def dataBlock(ord: Int, slot: Long, firstElem: Long,
+                  nelmts: Long): Option[(Long, Long)] =
       dblkCache.getOrElseUpdate(ord, {
-        require(ord < ndblkAddrs,
-          s"extensible-array super blocks unsupported (chunk data block $ord beyond " +
-            s"the $ndblkAddrs index-block pointers, ${ds.name})")
         require(nelmts <= (1L << pageBits),
           s"paged extensible-array data blocks unsupported (${ds.name})")
-        val addr = u64(ibDblks + ord.toLong * 8)
+        val addr = u64(slot)
         if (addr == Undef) None
         else {
           require(sig4(addr) == "EADB", s"no EA data block at $addr (${ds.name})")
@@ -987,11 +1018,22 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
           val ne = sblkDblkNelmts(u)
           val cap = sblkNDblks(u).toLong * ne
           if (j < cap) {
-            val d = ord + (j / ne).toInt
+            val dInRow = (j / ne).toInt
+            val d = ord + dInRow
             val dFirst = firstElem + (j / ne) * ne
-            found = dataBlock(d, dFirst, ne).flatMap { case (elemsAddr, _) =>
-              decodeElem(elemsAddr + (j % ne) * elemSize, i)
-            }
+            // rows below directRows resolve through the index block's
+            // direct pointers; later rows through their EASB (a row
+            // never straddles the two — the geometry check above
+            // guarantees direct pointers end exactly at a row break)
+            val slot: Option[Long] =
+              if (u < directRows) Some(ibDblks + d.toLong * 8)
+              else superBlock(u - directRows, u, firstElem)
+                .map(_ + dInRow.toLong * 8)
+            found = slot
+              .flatMap(sl => dataBlock(d, sl, dFirst, ne))
+              .flatMap { case (elemsAddr, _) =>
+                decodeElem(elemsAddr + (j % ne) * elemSize, i)
+              }
             done = true
           } else {
             j -= cap; ord += sblkNDblks(u); firstElem += cap; u += 1

@@ -615,6 +615,49 @@ class Hdf5Spec extends SparkSpec {
     } finally r.close()
   }
 
+  test("EXTENSIBLE-ARRAY super blocks decode: EASB rows past the direct pointers") {
+    // generated with `h5make.py --appendable --repeat=60`: nation
+    // tiled to 1500 rows. n_nationkey = unfiltered 1-row chunks ->
+    // 1500 chunks: 4 inline + 240 behind the index block's 6 direct
+    // data-block pointers, the remaining 1256 behind EASB super
+    // blocks s=0 (2x128, full), s=1 (4x128, full) and s=2 (4x256,
+    // partial — trailing pointers Undef); n_regionkey = deflate
+    // 2-row chunks -> 750 chunks ending mid-super-block s=1.
+    val p = getClass.getResource("/nation_ea_sblk.hdf5").getPath
+    val ds = Hdf5Io.importDataset(spark, p)
+    assert(ds.count() == 1500)
+    val truth = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .agg(sum($"n_nationkey"), sum($"n_regionkey"), sum(length($"n_name"))).head()
+    val got = ds.df.agg(
+      sum($"n_nationkey"), sum($"n_regionkey"), sum(length($"n_name"))).head()
+    assert(got.getLong(0) == truth.getLong(0) * 60)
+    assert(got.getLong(1) == truth.getLong(1) * 60)
+    assert(got.getLong(2) == truth.getLong(2) * 60)
+    // the tiled column must reproduce exactly, element for element,
+    // through windows crossing direct->EASB and EASB->EASB frontiers
+    val r = new Hdf5Reader(p)
+    try {
+      val root = r.objectInfo(r.rootHeaderAddr)
+      val kids = r.groupLinks(r.objectInfo(r.groupLinks(root).toMap.apply("data"))).toMap
+      val meta = r.datasetMeta("n_nationkey", r.objectInfo(kids("n_nationkey")))
+      assert(meta.rows == 1500)
+      val full = r.readRows(meta, 0, meta.rows)
+      val fb = java.nio.ByteBuffer.wrap(full).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 1500).foreach(i => assert(fb.getLong(i * 8) == (i % 25).toLong,
+        s"row $i decoded ${fb.getLong(i * 8)}"))
+      // window straddling the direct/EASB frontier (element 244) and
+      // one inside the partial last super block
+      val win = r.readRows(meta, 230, 280)
+      val wb = java.nio.ByteBuffer.wrap(win).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (230 until 280).foreach(i =>
+        assert(wb.getLong((i - 230) * 8) == (i % 25).toLong))
+      val tail = r.readRows(meta, 1400, 1500)
+      val tb = java.nio.ByteBuffer.wrap(tail).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (1400 until 1500).foreach(i =>
+        assert(tb.getLong((i - 1400) * 8) == (i % 25).toLong))
+    } finally r.close()
+  }
+
   test("V2-B-TREE chunk index decodes: depth-1 unfiltered + deflate records") {
     // generated with `h5make.py --bt2`: n_nationkey = unfiltered
     // type-10 records in 64 B nodes (13 chunks -> DEPTH-1 tree);
