@@ -695,6 +695,63 @@ object Multimodal {
           length(col(payloadCol)).cast("long") - col("frame_start")))
   }
 
+  /** Container-aware frame sampling for AVI payloads: walk each
+    * row's RIFF chunk table (metadata only — frame bytes are sliced,
+    * never decoded) and emit one row per `stride`-th frame with the
+    * frame's actual bytes. MJPEG frames come out as standalone JPEGs
+    * directly consumable by [[ImageIoDecoder]]; DIB frames as raw
+    * bottom-up BGR. Map-side generator, no shuffle — the real-format
+    * analog of [[sampleFrames]]' fixed-size plan. Undecodable or
+    * null payloads contribute zero rows (poison-safe, like
+    * [[decodeFeatures]]).
+    */
+  def sampleAviFrames(df: DataFrame, payloadCol: String,
+                      stride: Int = 1): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_no", IntegerType),
+      StructField("frame_format", StringType), // "MJPG" | "DIB"
+      StructField("frame", BinaryType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val p = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val frames: Seq[(Int, String, Array[Byte])] =
+          if (p == null) Seq.empty
+          else try {
+            def u32(o: Int): Long = (p(o) & 0xFFL) | ((p(o + 1) & 0xFFL) << 8) |
+              ((p(o + 2) & 0xFFL) << 16) | ((p(o + 3) & 0xFFL) << 24)
+            def fcc(o: Int): String = new String(p, o, 4, "US-ASCII")
+            require(p.length >= 12 && fcc(0) == "RIFF" && fcc(8) == "AVI ",
+              "not an AVI payload")
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Array[Byte])]
+            var n = 0
+            def walk(start: Int, end: Int): Unit = {
+              var o = start
+              while (o + 8 <= end) {
+                val id = fcc(o); val sz = u32(o + 4).toInt
+                require(sz >= 0 && o + 8 + sz <= end, s"truncated AVI chunk at $o")
+                if (id == "LIST") walk(o + 12, o + 8 + sz)
+                else if (id.endsWith("db") || id.endsWith("dc")) {
+                  if (n % stride == 0)
+                    out += ((n, if (id.endsWith("dc")) "MJPG" else "DIB",
+                      p.slice(o + 8, o + 8 + sz)))
+                  n += 1
+                }
+                o += 8 + sz + (sz & 1)
+              }
+            }
+            walk(12, p.length)
+            out.toSeq
+          } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        frames.map { case (no, fmt, bytes) =>
+          Row.fromSeq(r.toSeq ++ Seq(no, fmt, bytes))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Chunk an oversized payload into ≤ chunkBytes pieces for storage
     * systems with cell-size limits; reassembly key = (id, chunk_no).
     */

@@ -290,6 +290,30 @@ class MultimodalSpec extends SparkSpec {
     assert(n.isNullAt(n.fieldIndex("feature")))
   }
 
+  test("sampleAviFrames: per-frame bytes, stride, MJPEG frames decode standalone") {
+    val frames = (0 until 6).map(f => Array.fill[Byte](32 * 16)((20 + 30 * f).toByte))
+    val mj = Multimodal.aviBytes(32, 16, 10, frames, mjpeg = true)
+    val rows = Seq((1L, mj), (2L, "junk".getBytes), (3L, null))
+      .toDF("id", "payload")
+    val all = Multimodal.sampleAviFrames(rows, "payload")
+    // poison/null rows contribute zero frames; good row all 6
+    assert(all.count() == 6 && all.filter($"id" =!= 1L).count() == 0)
+    val strided = Multimodal.sampleAviFrames(rows, "payload", stride = 2)
+      .select("frame_no").collect().map(_.getInt(0)).sorted
+    assert(strided.sameElements(Array(0, 2, 4)))
+    // each emitted MJPEG frame is a complete standalone JPEG
+    val f2 = all.filter($"frame_no" === 2).head()
+    assert(f2.getAs[String]("frame_format") == "MJPG")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(f2.getAs[Array[Byte]]("frame")))
+    assert(img.getWidth == 32 && img.getHeight == 16)
+    // DIB variant: exact frame bytes (stride*h), right format tag
+    val dib = Multimodal.aviBytes(5, 4, 10, Seq(Array.fill[Byte](20)(9)))
+    val d = Multimodal.sampleAviFrames(Seq((1L, dib)).toDF("id", "payload"), "payload").head()
+    assert(d.getAs[String]("frame_format") == "DIB")
+    assert(d.getAs[Array[Byte]]("frame").length == 16 * 4) // stride 16 x 4 rows
+  }
+
   test("sampleFrames fans out frame plans without decoding") {
     val out = Multimodal.sampleFrames(media.filter($"id" === 2L), "payload",
       frameBytes = 100, stride = 2)
