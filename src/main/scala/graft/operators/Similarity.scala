@@ -130,6 +130,46 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** DuckDB-replayable gate twin of [[lshTopK]]: md5-family planes
+    * ([[graft.functions.VectorFunctions.hyperplaneMd5]]) and a STATIC
+    * plane count small enough that the budgeted Hamming-2 ring is
+    * complete (nPlanes ≤ [[MaxHamming2Planes]] ⇒ probes = self +
+    * Hamming-1 + the whole Hamming-2 ring), so the probe set is
+    * exactly "all buckets within Hamming distance 2" — which a SQL
+    * oracle states directly as `bit_count(xor(sig_q, sig_c)) <= 2`
+    * over replayed signatures, followed by the exact cosine re-rank.
+    * Same plan shape as production (map-side bucketing, one bucket
+    * join, window re-rank); production callers keep [[lshTopK]]'s
+    * xxhash64 planes + autoPlanes tuning.
+    */
+  def lshTopKMd5(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, nPlanes: Int,
+                 dim: Int = 64): DataFrame = {
+    require(nPlanes > 0 && nPlanes <= MaxHamming2Planes,
+      s"gate kernel needs 1..$MaxHamming2Planes static planes (full Hamming-2 ring)")
+    graft.plans.GraftExtensions.registerAll(corpus.sparkSession)
+    val cB = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      signLshBucketMd5(col(vecCol), nPlanes, dim).as("bucket"))
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      signLshBucketMd5(col(vecCol), nPlanes, dim).as("b0"))
+    val h1 = (0 until nPlanes).map(p => col("b0").bitwiseXOR(lit(1L << p)))
+    val h2 = for (p <- 0 until nPlanes; q <- (p + 1) until nPlanes)
+      yield col("b0").bitwiseXOR(lit((1L << p) | (1L << q)))
+    val probes = qBase.select(col("query_id"), col("qv"),
+      explode(array(col("b0") +: (h1 ++ h2): _*)).as("bucket"))
+    val scored = probes.join(cB, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .distinct()
+      .withColumn("cos", call_function("graft_cosine", col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** A built IVF-Flat index: the corpus with its cell assignment
     * (persisted — build once, probe many) plus the coarse-quantizer
     * centroids, which live on the DRIVER and enter probe plans as an

@@ -153,10 +153,17 @@ object TextVector {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
 
-    // LSH-bucketed ANN (deterministic hyperplanes; rows-only).
+    // LSH-bucketed ANN. The GATE runs the md5-plane kernel with 6
+    // static planes — small enough that the Hamming-2 probe ring is
+    // complete, so the probe set is exactly "all buckets within
+    // Hamming distance 2" and the oracle states it directly as
+    // bit_count(xor(sig_q, sig_c)) <= 2 over replayed signatures,
+    // then re-ranks by exact cosine. Production keeps lshTopK's
+    // xxhash64 planes + autoPlanes + budgeted ring.
     "q30_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      Similarity.lshTopKMd5(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, nPlanes = 6)
     }),
 
     // IVF-Flat ANN: probe against the (reused) built index; the build
@@ -553,6 +560,41 @@ object TextVector {
            avg(ascii(substr(hex, CAST(t.i % 32 AS INTEGER) + 1, 1))) AS px_mean
          FROM base, UNNEST(generate_series(0, CAST(width AS BIGINT) * height - 1)) AS t(i)
          GROUP BY doc_id, width, height""",
+    // replays the 6 md5-plane signatures (shared construction with
+    // q37's oracle), states the complete multi-probe set directly as
+    // Hamming distance <= 2 between signatures, then re-ranks
+    // candidates by exact cosine — q29's formula and window
+    "q30_ann_lsh" ->
+      """WITH comp AS (SELECT vec_id, i.i AS j, CAST(embedding[i.i] AS DOUBLE) AS x
+                       FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS i(i)),
+         planes AS (SELECT p.j AS p, c.i AS j,
+                      ('0x' || substr(md5('plane' || CAST(p.j AS VARCHAR) || '|' || CAST(c.i AS VARCHAR)), 1, 8))::BIGINT
+                        / 2147483648.0 - 1.0 AS w
+                    FROM UNNEST(generate_series(0, 5)) AS p(j),
+                         UNNEST(generate_series(0, 63)) AS c(i)),
+         bits AS (SELECT comp.vec_id, pl.p,
+                    CASE WHEN sum(comp.x * pl.w) >= 0
+                         THEN (1::BIGINT << CAST(pl.p AS INTEGER)) ELSE 0 END AS bit
+                  FROM comp JOIN planes pl ON pl.j = comp.j - 1
+                  GROUP BY comp.vec_id, pl.p),
+         sig AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+         cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                  FROM sig q JOIN sig c
+                    ON bit_count(xor(q.bucket, c.bucket)) <= 2
+                   AND q.vec_id <> c.vec_id
+                  WHERE q.vec_id < 10),
+         scored AS (SELECT cand.query_id, cand.neighbor_id,
+                      list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                       list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+                    FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+                              JOIN embeddings b ON b.vec_id = cand.neighbor_id)
+         SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+           SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+         WHERE rank <= 5""",
     // rebuilds the 6 md5-family hyperplanes (component j of plane p =
     // md5("plane p|j")'s first 8 hex chars scaled to [-1,1)), takes
     // dot-product signs per vector for the bucket id, replays the

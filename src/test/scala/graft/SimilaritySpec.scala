@@ -51,6 +51,14 @@ class SimilaritySpec extends SparkSpec {
     val recall = brute.map { case (k, t) =>
       (t & lsh.getOrElse(k, Set.empty)).size.toDouble / t.size }.sum / brute.size
     assert(recall >= 0.5, s"lsh recall $recall")
+    // the md5 gate kernel (q30's gate: static planes, complete
+    // Hamming-2 ring) must hold the same recall floor — different
+    // plane family, identical probe structure
+    val gate = Similarity.lshTopKMd5(e, q, "vec_id", "embedding", 5, nPlanes = 6)
+      .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val gateRecall = brute.map { case (k, t) =>
+      (t & gate.getOrElse(k, Set.empty)).size.toDouble / t.size }.sum / brute.size
+    assert(gateRecall >= 0.5, s"md5 gate recall $gateRecall")
   }
 
   test("cosineNearDupPairs: LSH pairs are exact-verified; true dups always found") {
