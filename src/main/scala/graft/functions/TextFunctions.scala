@@ -147,6 +147,34 @@ object TextFunctions {
         .cast("array<float>").as("embedding"))
   }
 
+  /** DuckDB-replayable gate twin of [[hashEmbeddings]]: bucket =
+    * md5(token)'s first 8 hex chars mod dim, sign = parity of hex
+    * char 9 — and the output is deliberately UNNORMALIZED: cosine is
+    * scale-invariant, so skipping the float32 norm keeps every
+    * element an exact small integer (sign-sums, magnitude ≤ tokens
+    * per doc « 2²⁴ — float-exact), which makes the downstream
+    * dot/norm/cosine arithmetic bit-identical between Spark's
+    * sequential double fold and a SQL engine's list fold. Same
+    * two-hash-agg linear plan as production; production callers keep
+    * [[hashEmbeddings]]' xxhash64 buckets + unit-norm convention.
+    */
+  def hashEmbeddingsMd5(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, dim: Int = 64): org.apache.spark.sql.DataFrame = {
+    val sums = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol),
+        (conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long") % dim).as("__b"),
+        when(conv(substring(md5(col("__t")), 9, 1), 16, 10).cast("long") % 2 === 0,
+          lit(1.0)).otherwise(lit(-1.0)).as("__s"))
+      .groupBy(col(idCol), col("__b")).agg(sum(col("__s")).as("__v"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__v")))).as("__m"))
+    sums.select(col(idCol),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => coalesce(element_at(col("__m"), i.cast("long")), lit(0.0)))
+        .cast("array<float>").as("embedding"))
+  }
+
   /** Document fingerprint: md5 of the case/whitespace-normalized text.
     * (Reference has no text ops; this is the pipeline-op analog of its
     * UUID column binding — a stable content identity.)

@@ -297,11 +297,17 @@ object TextVector {
     // pure builtins) feeding the ANN stack — near-dup text clusters
     // land near each other without any external model. Rows-only
     // (xxhash64-based; spec proves determinism/unit-norm/similarity).
+    // feature-hash embedding + brute-force ANN. The GATE runs the md5
+    // embedding kernel, unnormalized so every element is a float-exact
+    // integer sign-sum and the cosine re-rank is bit-replayable in
+    // SQL (cosine is scale-invariant, so the ranking and values equal
+    // the normalized form's); the xxhash64 unit-norm kernel stays the
+    // production default, cross-checked in TextFunctionsSpec.
     "q78_text_ann" -> ((s, dir) => {
       // aggregation-form embeddings (linear in tokens), MATERIALIZED
       // before the ANN join — an unmaterialized embedding expression
       // would recompute per candidate pair
-      val emb = TextFunctions.hashEmbeddings(
+      val emb = TextFunctions.hashEmbeddingsMd5(
         t(s, dir, "documents"), "doc_id", "text", 64).localCheckpoint(true)
       Similarity.bruteForceTopK(emb, emb.filter(col("doc_id") < 10),
         "doc_id", "embedding", 5)
@@ -590,6 +596,34 @@ object TextVector {
                        * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
                     FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
                               JOIN embeddings b ON b.vec_id = cand.neighbor_id)
+         SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+           SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+         WHERE rank <= 5""",
+    // replays the md5 feature-hash embedding (bucket = first 8 md5
+    // hex chars mod 64, sign = parity of hex char 9, UNNORMALIZED
+    // integer sign-sums — float-exact, so the cosine re-rank is
+    // bit-identical), then brute-forces the q29-style top-5
+    "q78_text_ann" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         sums AS (SELECT doc_id,
+                    ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS b,
+                    sum(CASE WHEN ('0x' || substr(md5(t), 9, 1))::BIGINT % 2 = 0
+                             THEN 1 ELSE -1 END) AS v
+                  FROM tok GROUP BY 1, 2),
+         emb AS (SELECT d.doc_id,
+                   list(CAST(coalesce(s.v, 0) AS DOUBLE) ORDER BY g.j) AS e
+                 FROM (SELECT DISTINCT doc_id FROM documents) d
+                 CROSS JOIN UNNEST(generate_series(0, 63)) AS g(j)
+                 LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.b = g.j
+                 GROUP BY d.doc_id),
+         scored AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+                      list_dot_product(q.e, c.e)
+                      / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+                       * sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cos
+                    FROM emb q JOIN emb c ON q.doc_id <> c.doc_id
+                    WHERE q.doc_id < 10)
          SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
            SELECT query_id, neighbor_id, cos,
              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank

@@ -83,4 +83,27 @@ class TextFunctionsSpec extends SparkSpec {
       v.zip(agg(id)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-5) }
     }
   }
+
+  test("hashEmbeddingsMd5 gate: integer-exact, similarity-preserving") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "entirely unrelated words regarding catalyst planner internals")
+    ).toDF("id", "text")
+    val rows = graft.functions.TextFunctions.hashEmbeddingsMd5(df, "id", "text", 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // every element is a float-EXACT integer sign-sum (the property
+    // the q78 oracle's bit-identical cosine replay rests on)
+    rows.values.foreach(v => v.foreach(x => assert(x == math.rint(x))))
+    // token count bounds the L1 mass; vectors are non-trivial
+    assert(rows(1L).map(math.abs(_)).sum <= 9 && rows(1L).exists(_ != 0f))
+    // cosine is computed on the unnormalized form — scale invariance
+    // keeps the similarity structure of the normalized kernel
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    assert(cos(rows(1L), rows(2L)) > cos(rows(1L), rows(3L)))
+    assert(cos(rows(1L), rows(2L)) > 0.5)
+  }
 }
