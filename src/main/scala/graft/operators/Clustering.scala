@@ -46,4 +46,128 @@ object Clustering {
       round(col("__d2"), 6).as("dist2"))
     KMeansModel(idx.centroids, assignments, wcss, idx)
   }
+
+  /** DuckDB-replayable gate twin of [[kmeans]]: identical Lloyd
+    * machinery (centroid literals, map-side argmin, one shuffle per
+    * step, empty cells keep their centroid, ties break to the lowest
+    * cell) made bit-replayable by construction:
+    *  - inputs QUANTIZE to integers (round(x·scale)) — float-exact in
+    *    doubles, so every per-(cell, pos) sum is exact under ANY
+    *    aggregation order, which makes the centroid averages s/n — and
+    *    with them every later distance — identical between engines
+    *    regardless of shuffle/group order;
+    *  - init is the k rows with smallest md5(id) (SQL-sortable), not
+    *    xxhash64;
+    *  - distances accumulate sequentially over positions on both
+    *    sides (Spark fold / SQL list fold), so even their non-exact
+    *    double sums agree bit-for-bit.
+    * Distances (and the returned dist2) live in the quantized space —
+    * the cluster STRUCTURE is the contract, verified in CorpusSpec
+    * against the production kernel's blob recovery. Production
+    * callers keep [[kmeans]].
+    */
+  def kmeansMd5(df: DataFrame, idCol: String, vecCol: String,
+                k: Int = 8, iters: Int = 3, scale: Int = 1024): DataFrame = {
+    val (q, cents) = lloydMd5(df, idCol, vecCol, k, iters, scale)
+    val out = q
+      .withColumn("cluster", cellOfQuantized(cents)(col("__qv")))
+      .withColumn("__d2",
+        element_at(quantizedDists(cents)(col("__qv")), col("cluster") + 1))
+      .select(col("__id").as(idCol), col("cluster"),
+        round(col("__d2"), 6).as("dist2"))
+      .localCheckpoint(true)
+    q.unpersist()
+    out
+  }
+
+  /** DuckDB-replayable gate twin of [[Similarity.ivfTopK]]: the
+    * coarse quantizer is the quantized md5-init Lloyd loop
+    * ([[lloydMd5]] — every centroid bit-replayable), cell assignment
+    * and the nprobe-nearest-cell probe run in the quantized space
+    * (argmin/sort ties break to the lowest cell on both engines),
+    * and the final re-rank is exact cosine over the ORIGINAL float
+    * embeddings — q29's already-hash-matched formula. Production
+    * callers keep the float/xxhash64 [[Similarity.buildIvfIndex]] +
+    * [[Similarity.ivfProbe]] path with its persisted-index artifact.
+    */
+  def ivfTopKMd5(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, nlist: Int = 16, iters: Int = 2,
+                 nprobe: Int = 4, scale: Int = 1024): DataFrame = {
+    graft.plans.GraftExtensions.registerAll(corpus.sparkSession)
+    val (q, cents) = lloydMd5(corpus, idCol, vecCol, nlist, iters, scale)
+    val cells = q.select(col("__id").as("neighbor_id"), col("__vec").as("cv"),
+      cellOfQuantized(cents)(col("__qv")).as("cell"))
+    val qq = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      transform(col(vecCol), x => round(x.cast("double") * scale)).as("__qqv"))
+    val probes = qq.withColumn("__d", quantizedDists(cents)(col("__qqv")))
+      .withColumn("probe", explode(slice(array_sort(
+        zip_with(col("__d"), sequence(lit(0), lit(nlist - 1)),
+          (d, i) => struct(d.as("d"), i.as("cell")))), 1, nprobe)))
+      .select(col("query_id"), col("qv"), col("probe.cell").as("cell"))
+    val scored = cells.join(broadcast(probes), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", call_function("graft_cosine", col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val out = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cosine"))
+      .localCheckpoint(true)
+    q.unpersist()
+    out
+  }
+
+  /** Shared quantized md5-init Lloyd loop behind [[kmeansMd5]] and
+    * [[ivfTopKMd5]]: returns the persisted quantized frame
+    * (`__id`, `__vec` original, `__qv` = round(x·scale) — caller
+    * unpersists) and the final centroids. Every cross-engine
+    * replayability property lives here; see [[kmeansMd5]].
+    */
+  private[operators] def lloydMd5(df: DataFrame, idCol: String, vecCol: String,
+                                  k: Int, iters: Int,
+                                  scale: Int): (DataFrame, Array[Array[Double]]) = {
+    val q = df.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
+        transform(col(vecCol), x => round(x.cast("double") * scale)).as("__qv"))
+      .persist()
+    var cents: Array[Array[Double]] = q
+      .withColumn("__h", md5(col("__id").cast("string")))
+      .orderBy(col("__h")).limit(k)
+      .select(col("__qv")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val sums = q.withColumn("__cell", cellOfQuantized(cents)(col("__qv")))
+        .select(col("__cell"), posexplode(col("__qv")).as(Seq("__pos", "__v")))
+        .groupBy(col("__cell"), col("__pos"))
+        .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val byCell = sums.groupBy(_.getAs[Int]("__cell"))
+      cents = cents.indices.map { cell =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            val m = new Array[Double](cents(cell).length)
+            rows.foreach(r => m(r.getAs[Int]("__pos")) =
+              r.getAs[Double]("__s") / r.getAs[Long]("__n"))
+            m
+          case None => cents(cell) // empty cell keeps its centroid
+        }
+      }.toArray
+    }
+    (q, cents)
+  }
+
+  private def quantizedDists(cents: Array[Array[Double]])
+      (v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val centLit = array(cents.map(ct => array(ct.map(lit): _*)): _*)
+    transform(centLit, ct => aggregate(zip_with(v, ct, (x, y) => {
+      val d = x - y
+      d * d
+    }), lit(0.0), (acc, x) => acc + x))
+  }
+
+  private def cellOfQuantized(cents: Array[Array[Double]])
+      (v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ds = quantizedDists(cents)(v)
+    (array_position(ds, array_min(ds)) - 1).cast("int")
+  }
 }

@@ -166,11 +166,16 @@ object TextVector {
         "vec_id", "embedding", 5, nPlanes = 6)
     }),
 
-    // IVF-Flat ANN: probe against the (reused) built index; the build
-    // is the offline step (rows-only).
+    // IVF-Flat ANN. The GATE builds the coarse quantizer with the
+    // quantized md5-init Lloyd loop (bit-replayable centroids), probes
+    // the 4 nearest cells in quantized space and re-ranks by exact
+    // cosine over the original floats — the oracle unrolls the whole
+    // build+probe in SQL. Production keeps the float/xxhash64
+    // buildIvfIndex + ivfProbe path with its persisted-index artifact
+    // (benched as q33's offline build; recall spec unchanged).
     "q33_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.ivfProbe(ivfIndexFor(s, dir), e.filter(col("vec_id") < 10),
+      graft.operators.Clustering.ivfTopKMd5(e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", 5)
     }),
 
@@ -334,7 +339,72 @@ object TextVector {
     })
   )
 
+  /** Unrolled quantized md5-init Lloyd CTE chain over the embeddings
+    * table (the q91-oracle shape, parameterized): k cells, `iters`
+    * assign/update rounds, final centroids in CTE c`iters`. Every
+    * centroid value is bit-replayable because the quantized inputs
+    * are exact integers in doubles (order-independent sums) and the
+    * distance folds run sequentially on both engines.
+    */
+  private def lloydSql(k: Int, iters: Int): String = {
+    def d(qa: String, ca: String): String =
+      s"list_sum(list_transform(range(1, 65), i -> ($qa.qv[i] - $ca.cv[i]) * ($qa.qv[i] - $ca.cv[i])))"
+    val init =
+      s"""q AS (SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1024)) AS qv
+           FROM embeddings),
+         c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cell, qv AS cv FROM (
+             SELECT qv, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+             FROM q) WHERE rn <= $k)"""
+    val steps = (1 to iters).map { it =>
+      s""",
+         a$it AS (SELECT vec_id, qv, cell FROM (
+             SELECT q.vec_id, q.qv, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY ${d("q", "c")}, c.cell) AS rn
+             FROM q, c${it - 1} c) WHERE rn = 1),
+         p$it AS (SELECT a.cell, g.i AS pos, sum(a.qv[g.i]) AS s, count(*) AS n
+                FROM a$it a, UNNEST(generate_series(1, 64)) AS g(i) GROUP BY 1, 2),
+         c$it AS (SELECT cell, list(s / n ORDER BY pos) AS cv FROM p$it GROUP BY cell
+                UNION ALL
+                SELECT c.cell, c.cv FROM c${it - 1} c
+                WHERE c.cell NOT IN (SELECT DISTINCT cell FROM a$it))"""
+    }.mkString
+    init + steps
+  }
+
   val oracle: Map[String, String] = Map(
+    // replays the gate IVF end to end: the lloydSql quantized build
+    // (16 cells, 2 rounds), corpus cell assignment and the 4-nearest-
+    // cell probe in quantized space (ties to the lowest cell), then
+    // the exact-cosine re-rank over the ORIGINAL floats (q29's
+    // formula)
+    "q33_ann_ivf" -> {
+      val d = "list_sum(list_transform(range(1, 65), i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))"
+      s"""WITH ${lloydSql(16, 2)},
+         cells AS (SELECT vec_id, cell FROM (
+             SELECT q.vec_id, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY $d, c.cell) AS rn
+             FROM q, c2 c) WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, cell FROM (
+             SELECT q.vec_id, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY $d, c.cell) AS rn
+             FROM q, c2 c WHERE q.vec_id < 10) WHERE rn <= 4),
+         cand AS (SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
+                  FROM probes p JOIN cells s ON s.cell = p.cell
+                  WHERE s.vec_id <> p.query_id),
+         scored AS (SELECT cand.query_id, cand.neighbor_id,
+                      list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                       list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+                    FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+                              JOIN embeddings b ON b.vec_id = cand.neighbor_id)
+         SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+           SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+         WHERE rank <= 5"""
+    },
     "q20_token_count" ->
       "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
     "q71_token_budget_sample" ->

@@ -284,6 +284,29 @@ class CorpusSpec extends SparkSpec {
     Seq(m1, m5, again).foreach(_.unpersist()) // release the cached index frames
   }
 
+  test("kmeansMd5 gate: partitions the same planted blobs as production kmeans") {
+    import graft.operators.Clustering
+    val pts = ((0 until 30).map(i =>
+      (i.toLong, Array(10.0f + i % 3 * 0.1f, 10f, 10f, 10f).toSeq)) ++
+      (30 until 60).map(i =>
+        (i.toLong, Array(-10.0f - i % 3 * 0.1f, -10f, -10f, -10f).toSeq)))
+      .toDF("id", "v")
+    val prod = Clustering.kmeans(pts, "id", "v", k = 2, iters = 3)
+    val gate = Clustering.kmeansMd5(pts, "id", "v", k = 2, iters = 3)
+    val pAsg = prod.assignments.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val gAsg = gate.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // cluster LABELS differ (different inits) but the induced partition of
+    // ids must be identical: same blobs, different names
+    val pGroups = pAsg.groupBy(_._2).values.map(_.keySet).toSet
+    val gGroups = gAsg.groupBy(_._2).values.map(_.keySet).toSet
+    assert(pGroups == gGroups,
+      "gate and production kmeans must induce the same blob partition")
+    // gate distances are in quantized space: dist2 of a point ~0.1 from its
+    // centroid at scale 1024 is ~(0.1*1024)^2 per differing dim — nonzero
+    assert(gate.collect().forall(_.getDouble(2) >= 0.0))
+    prod.unpersist()
+  }
+
   test("invertedIndex: df counts and sorted postings, maxDf cap") {
     val idx = CorpusStats.invertedIndex(docs, "doc_id", "text")
       .collect().map(r => r.getString(0) ->

@@ -234,6 +234,21 @@ class SimilaritySpec extends SparkSpec {
     assert(c.count() == nLabels * 64)
   }
 
+  test("ivfTopKMd5 gate: recall vs brute force on the embeddings fixture") {
+    import graft.operators.Clustering
+    val e = Tables(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val got = Clustering.ivfTopKMd5(e, q, "vec_id", "embedding",
+      k = 5, nlist = 8, iters = 2, nprobe = 4)
+      .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    assert(got.values.forall(_.size == 5), "gate must return full top-5 lists")
+    val recall = brute.map { case (k, t) =>
+      (t & got.getOrElse(k, Set.empty)).size.toDouble / t.size }.sum / brute.size
+    assert(recall >= 0.5, s"ivfTopKMd5 recall $recall")
+  }
+
   test("IVF index builds once, probes many query sets, survives IO roundtrip") {
     val e = Tables(spark, sf001, "embeddings")
     val idx = Similarity.buildIvfIndex(e, "vec_id", "embedding", nlist = 8, iters = 2)
