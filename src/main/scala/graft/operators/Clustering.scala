@@ -130,6 +130,15 @@ object Clustering {
     val q = df.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
         transform(col(vecCol), x => round(x.cast("double") * scale)).as("__qv"))
       .persist()
+    (q, lloydQuantized(q, k, iters))
+  }
+
+  /** The Lloyd loop proper, over a frame already carrying `__id` and
+    * the quantized vector `__qv` (lets [[pqTopKMd5]] run one loop per
+    * subspace SLICE of a single persisted quantized corpus).
+    */
+  private def lloydQuantized(q: DataFrame, k: Int,
+                             iters: Int): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = q
       .withColumn("__h", md5(col("__id").cast("string")))
       .orderBy(col("__h")).limit(k)
@@ -153,7 +162,108 @@ object Clustering {
         }
       }.toArray
     }
-    (q, cents)
+    cents
+  }
+
+  /** DuckDB-replayable gate twin of [[Pq.topK]] (PQ-compressed ANN):
+    * per-subspace codebooks come from the quantized md5-init Lloyd
+    * loop (one [[lloydQuantized]] run per subspace slice of one
+    * persisted quantized corpus — every codeword bit-replayable),
+    * encode is the per-subspace argmin in quantized space (ties to
+    * the lowest code), ADC sums the query-slice→codeword distances in
+    * subspace order (left-assoc on both engines), and the top-`rerank`
+    * ADC pool re-ranks by exact cosine over the ORIGINAL floats —
+    * q29's hash-matched formula. The gate trains on the full corpus so
+    * SQL can replay every row; production [[Pq.train]] keeps its
+    * bounded xxhash64 sample + broadcast-codebook encode, and the
+    * 100 TB posture (corpus never shuffles, codes stay 32× small) is
+    * unchanged.
+    */
+  def pqTopKMd5(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+                iters: Int = 2, rerank: Int = 50, scale: Int = 1024): DataFrame = {
+    graft.plans.GraftExtensions.registerAll(corpus.sparkSession)
+    val q0 = corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
+        transform(col(vecCol), x => round(x.cast("double") * scale)).as("__qv"))
+      .persist()
+    val dim = q0.select(size(col("__qv"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    // The m per-subspace Lloyd loops fuse into ONE driver loop with one
+    // job per step instead of m independent [[lloydQuantized] runs:
+    //  - the init rows (k smallest md5(id)) are the same rows for every
+    //    subspace, so one sorted collect seeds all m codebooks;
+    //  - the update sums key on the GLOBAL position, which already
+    //    encodes the subspace (sub = pos/dsub), so all m codebooks
+    //    update from one groupBy per iteration.
+    // Per-(cell,pos) sums and averages are identical to the
+    // independent-loop form — the SQL oracle replays each subspace's
+    // chain separately and still hash-matches.
+    def codesFor(cs: Array[Array[Array[Double]]]) =
+      array((0 until m).map(sub =>
+        cellOfQuantized(cs(sub))(slice(col("__qv"), sub * dsub + 1, dsub))): _*)
+    var cents: Array[Array[Array[Double]]] = {
+      val initRows = q0.withColumn("__h", md5(col("__id").cast("string")))
+        .orderBy(col("__h")).limit(ksub)
+        .select(col("__qv")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      Array.tabulate(m)(sub => initRows.map(v =>
+        java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub)))
+    }
+    for (_ <- 0 until iters) {
+      val sums = q0.withColumn("__codes", codesFor(cents))
+        .select(col("__codes"), posexplode(col("__qv")).as(Seq("__pos", "__v")))
+        .withColumn("__cell",
+          element_at(col("__codes"), (col("__pos") / dsub).cast("int") + 1))
+        .groupBy(col("__cell"), col("__pos"))
+        .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val bySub = sums.groupBy(_.getAs[Int]("__pos") / dsub)
+      cents = Array.tabulate(m) { sub =>
+        bySub.get(sub) match {
+          case Some(rs0) =>
+            val byCell = rs0.groupBy(_.getAs[Int]("__cell"))
+            cents(sub).zipWithIndex.map { case (old, cell) =>
+              byCell.get(cell) match {
+                case Some(rs) =>
+                  val nu = new Array[Double](dsub)
+                  rs.foreach(r => nu(r.getAs[Int]("__pos") % dsub) =
+                    r.getAs[Double]("__s") / r.getAs[Long]("__n"))
+                  nu
+                case None => old // empty cell keeps its codeword
+              }
+            }
+          case None => cents(sub)
+        }
+      }
+    }
+    val codes = codesFor(cents)
+    val enc = q0.select(col("__id").as("neighbor_id"), codes.as("__codes"))
+    val qq = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      transform(col(vecCol), x => round(x.cast("double") * scale)).as("__qqv"))
+    val adc = (0 until m).map { sub =>
+      element_at(quantizedDists(cents(sub))(slice(col("__qqv"), sub * dsub + 1, dsub)),
+        element_at(col("__codes"), sub + 1) + 1)
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc").asc, col("neighbor_id"))
+    val cand = enc.crossJoin(broadcast(qq))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc)
+      .withColumn("__prank", row_number().over(w))
+      .filter(col("__prank") <= rerank)
+    val raw = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val out = cand.select(col("query_id"), col("neighbor_id"), col("qv"))
+      .join(raw, "neighbor_id")
+      .withColumn("cos", call_function("graft_cosine", col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .localCheckpoint(true)
+    q0.unpersist()
+    out
   }
 
   private def quantizedDists(cents: Array[Array[Double]])

@@ -286,16 +286,18 @@ object TextVector {
         "lang", Map("en" -> 10000L, "de" -> 4000L))
     }),
 
-    // PQ-compressed ANN (rows-only: k-means codebooks aren't SQL-
-    // expressible; SimilaritySpec cross-validates recall vs exact):
-    // 32x-compressed codes, ADC scoring in pure builtins, exact
-    // rerank of the candidate pool.
+    // PQ-compressed ANN. The GATE trains per-subspace codebooks with
+    // the quantized md5-init Lloyd loop (8 subspaces x 16 codewords,
+    // every codeword bit-replayable), encodes by quantized argmin,
+    // scores by ADC in subspace order and re-ranks the top-50 pool by
+    // exact cosine over the original floats — the oracle unrolls the
+    // whole train+encode+score in SQL. Production keeps Pq.train's
+    // bounded-sample float codebooks + broadcast encode (benched as
+    // q75's offline build; recall spec unchanged).
     "q75_ann_pq" -> ((s, dir) => {
-      import graft.operators.Pq
       val e = t(s, dir, "embeddings")
-      val (cb, enc) = pqIndexFor(s, dir)
-      Pq.topK(enc, e.filter(col("vec_id") < 10), "vec_id", "embedding", cb,
-        k = 5, rerank = 50, rawCorpus = Some(e))
+      graft.operators.Clustering.pqTopKMd5(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
     }),
 
     // text -> vector bridge: feature-hash embeddings (hashing trick,
@@ -346,33 +348,97 @@ object TextVector {
     * are exact integers in doubles (order-independent sums) and the
     * distance folds run sequentially on both engines.
     */
-  private def lloydSql(k: Int, iters: Int): String = {
+  private def lloydSql(k: Int, iters: Int): String =
+    lloydChainSql("", k, iters, dim = 64, off = 0)
+
+  /** [[lloydSql]] generalized to a subspace: CTE names carry the
+    * `tag` suffix, the quantized vector is embedding positions
+    * off+1 … off+dim, and every distance/update fold runs over `dim`
+    * positions. tag="" with dim=64/off=0 reproduces the q91/q33
+    * whole-vector chain; [[Corpus]]'s q91 oracle is the same shape
+    * written out literally.
+    */
+  private def lloydChainSql(tag: String, k: Int, iters: Int,
+                            dim: Int, off: Int): String = {
     def d(qa: String, ca: String): String =
-      s"list_sum(list_transform(range(1, 65), i -> ($qa.qv[i] - $ca.cv[i]) * ($qa.qv[i] - $ca.cv[i])))"
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> ($qa.qv[i] - $ca.cv[i]) * ($qa.qv[i] - $ca.cv[i])))"
+    val vecExpr =
+      if (off == 0 && dim == 64)
+        "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1024))"
+      else
+        s"list_transform(range(${off + 1}, ${off + dim + 1}), i -> round(CAST(embedding[i] AS DOUBLE) * 1024))"
     val init =
-      s"""q AS (SELECT vec_id,
-             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1024)) AS qv
+      s"""q$tag AS (SELECT vec_id, $vecExpr AS qv
            FROM embeddings),
-         c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cell, qv AS cv FROM (
+         c0$tag AS (SELECT CAST(rn - 1 AS INTEGER) AS cell, qv AS cv FROM (
              SELECT qv, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
-             FROM q) WHERE rn <= $k)"""
+             FROM q$tag) WHERE rn <= $k)"""
     val steps = (1 to iters).map { it =>
       s""",
-         a$it AS (SELECT vec_id, qv, cell FROM (
+         a$it$tag AS (SELECT vec_id, qv, cell FROM (
              SELECT q.vec_id, q.qv, c.cell,
                row_number() OVER (PARTITION BY q.vec_id ORDER BY ${d("q", "c")}, c.cell) AS rn
-             FROM q, c${it - 1} c) WHERE rn = 1),
-         p$it AS (SELECT a.cell, g.i AS pos, sum(a.qv[g.i]) AS s, count(*) AS n
-                FROM a$it a, UNNEST(generate_series(1, 64)) AS g(i) GROUP BY 1, 2),
-         c$it AS (SELECT cell, list(s / n ORDER BY pos) AS cv FROM p$it GROUP BY cell
+             FROM q$tag q, c${it - 1}$tag c) WHERE rn = 1),
+         p$it$tag AS (SELECT a.cell, g.i AS pos, sum(a.qv[g.i]) AS s, count(*) AS n
+                FROM a$it$tag a, UNNEST(generate_series(1, $dim)) AS g(i) GROUP BY 1, 2),
+         c$it$tag AS (SELECT cell, list(s / n ORDER BY pos) AS cv FROM p$it$tag GROUP BY cell
                 UNION ALL
-                SELECT c.cell, c.cv FROM c${it - 1} c
-                WHERE c.cell NOT IN (SELECT DISTINCT cell FROM a$it))"""
+                SELECT c.cell, c.cv FROM c${it - 1}$tag c
+                WHERE c.cell NOT IN (SELECT DISTINCT cell FROM a$it$tag))"""
     }.mkString
     init + steps
   }
 
   val oracle: Map[String, String] = Map(
+    // replays the gate PQ end to end: 8 per-subspace lloydChainSql
+    // quantized codebook builds (16 codewords, 2 rounds each over the
+    // 8-wide slice), per-subspace argmin encode (ties to the lowest
+    // code), ADC = the 8 query-slice->codeword distances summed left
+    // to right, top-50 ADC pool (ties to the lowest neighbor), then
+    // the exact-cosine re-rank over the ORIGINAL floats (q29's
+    // formula)
+    "q75_ann_pq" -> {
+      val m = 8; val dsub = 8; val ksub = 16; val iters = 2; val rerank = 50
+      val chains = (0 until m).map(sub =>
+        lloydChainSql(s"_s$sub", ksub, iters, dsub, sub * dsub)).mkString(",\n         ")
+      val enc = (0 until m).map(sub =>
+        s"""e$sub AS (SELECT vec_id, cell AS code FROM (
+             SELECT q.vec_id, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(range(1, ${dsub + 1}), i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), c.cell) AS rn
+             FROM q_s$sub q, c${iters}_s$sub c) WHERE rn = 1)""").mkString(",\n         ")
+      val joins = (0 until m).map(sub =>
+        s"""JOIN q_s$sub qa$sub ON qa$sub.vec_id = q.vec_id
+           JOIN e$sub en$sub ON en$sub.vec_id = n.vec_id
+           JOIN c${iters}_s$sub cb$sub ON cb$sub.cell = en$sub.code""").mkString("\n           ")
+      val adc = (0 until m).map(sub =>
+        s"list_sum(list_transform(range(1, ${dsub + 1}), i -> (qa$sub.qv[i] - cb$sub.cv[i]) * (qa$sub.qv[i] - cb$sub.cv[i])))")
+        .mkString(" + ")
+      s"""WITH $chains,
+         $enc,
+         scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             ($adc) AS adc
+           FROM embeddings q
+           JOIN embeddings n ON n.vec_id <> q.vec_id
+           $joins
+           WHERE q.vec_id < 10),
+         cand AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+             FROM scored) WHERE rn <= $rerank),
+         rer AS (SELECT cand.query_id, cand.neighbor_id,
+                   list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                    list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+                 FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+                           JOIN embeddings b ON b.vec_id = cand.neighbor_id)
+         SELECT query_id, neighbor_id, rank FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM rer)
+         WHERE rank <= 5"""
+    },
     // replays the gate IVF end to end: the lloydSql quantized build
     // (16 cells, 2 rounds), corpus cell assignment and the 4-nearest-
     // cell probe in quantized space (ties to the lowest cell), then

@@ -31,7 +31,13 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("PQ probe never shuffles the encoded corpus") {
-    val df = SparkEntry.queries("q75_ann_pq")(spark, sf001)
+    // the production operator directly (the q75 queries entry is the
+    // localCheckpointed md5 gate, whose executed plan is opaque)
+    import graft.operators.Pq
+    val e = graft.Tables(spark, sf001, "embeddings")
+    val (cb, enc) = graft.queries.TextVector.pqIndexFor(spark, sf001)
+    val df = Pq.topK(enc, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      cb, k = 5, rerank = 50, rawCorpus = Some(e))
     val p = df.queryExecution.executedPlan.toString
     // queries (with ADC tables) broadcast; the only wide op downstream
     // of the corpus is the final top-k window on query_id

@@ -249,6 +249,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"ivfTopKMd5 recall $recall")
   }
 
+  test("pqTopKMd5 gate: recall vs brute force on the embeddings fixture") {
+    import graft.operators.Clustering
+    val e = Tables(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    // same pool size as the production Pq.topK recall test above —
+    // the gate's ADC pruning should reach comparable quality
+    val got = Clustering.pqTopKMd5(e, q, "vec_id", "embedding", k = 5,
+      m = 8, ksub = 16, iters = 2, rerank = 50)
+      .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    assert(got.values.forall(_.size == 5), "gate must return full top-5 lists")
+    val recall = brute.map { case (k, t) =>
+      (t & got.getOrElse(k, Set.empty)).size.toDouble / t.size }.sum / brute.size
+    assert(recall >= 0.5, s"pqTopKMd5 recall $recall")
+  }
+
   test("IVF index builds once, probes many query sets, survives IO roundtrip") {
     val e = Tables(spark, sf001, "embeddings")
     val idx = Similarity.buildIvfIndex(e, "vec_id", "embedding", nlist = 8, iters = 2)
