@@ -186,9 +186,6 @@ object Clustering {
     val q0 = corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
         transform(col(vecCol), x => round(x.cast("double") * scale)).as("__qv"))
       .persist()
-    val dim = q0.select(size(col("__qv"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val dsub = dim / m
     // The m per-subspace Lloyd loops fuse into ONE driver loop with one
     // job per step instead of m independent [[lloydQuantized] runs:
     //  - the init rows (k smallest md5(id)) are the same rows for every
@@ -199,17 +196,20 @@ object Clustering {
     // Per-(cell,pos) sums and averages are identical to the
     // independent-loop form — the SQL oracle replays each subspace's
     // chain separately and still hash-matches.
+    val initRows = q0.withColumn("__h", md5(col("__id").cast("string")))
+      .orderBy(col("__h")).limit(ksub)
+      .select(col("__qv")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(initRows.nonEmpty, "empty corpus")
+    val dim = initRows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
     def codesFor(cs: Array[Array[Array[Double]]]) =
       array((0 until m).map(sub =>
         cellOfQuantized(cs(sub))(slice(col("__qv"), sub * dsub + 1, dsub))): _*)
-    var cents: Array[Array[Array[Double]]] = {
-      val initRows = q0.withColumn("__h", md5(col("__id").cast("string")))
-        .orderBy(col("__h")).limit(ksub)
-        .select(col("__qv")).collect()
-        .map(_.getSeq[Double](0).toArray)
+    var cents: Array[Array[Array[Double]]] =
       Array.tabulate(m)(sub => initRows.map(v =>
         java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub)))
-    }
     for (_ <- 0 until iters) {
       val sums = q0.withColumn("__codes", codesFor(cents))
         .select(col("__codes"), posexplode(col("__qv")).as(Seq("__pos", "__v")))
@@ -239,10 +239,17 @@ object Clustering {
     }
     val codes = codesFor(cents)
     val enc = q0.select(col("__id").as("neighbor_id"), codes.as("__codes"))
+    // ADC table computed once per QUERY (m x ksub subspace distances)
+    // before the broadcast — the per-pair work is then m lookups + a
+    // left-assoc sum, exactly the values the oracle derives per pair
+    // via its per-subspace codebook joins
     val qq = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      transform(col(vecCol), x => round(x.cast("double") * scale)).as("__qqv"))
+        transform(col(vecCol), x => round(x.cast("double") * scale)).as("__qqv"))
+      .withColumn("__tab", array((0 until m).map(sub =>
+        quantizedDists(cents(sub))(slice(col("__qqv"), sub * dsub + 1, dsub))): _*))
+      .select(col("query_id"), col("qv"), col("__tab"))
     val adc = (0 until m).map { sub =>
-      element_at(quantizedDists(cents(sub))(slice(col("__qqv"), sub * dsub + 1, dsub)),
+      element_at(element_at(col("__tab"), sub + 1),
         element_at(col("__codes"), sub + 1) + 1)
     }.reduce(_ + _)
     val w = org.apache.spark.sql.expressions.Window
