@@ -37,12 +37,22 @@ object VectorFunctions {
 
   /** Deterministic pseudo-random unit-ish hyperplane for LSH: component
     * j of plane p derived from xxhash64 — reproducible across runs and
-    * engines without an RNG.
+    * engines without an RNG. The weights are constants, so they FOLD at
+    * plan-build time (Catalyst does not constant-fold through the
+    * `transform` HOF, which used to cost nPlanes·dim hash calls per
+    * ROW): each component is the same `xxhash64(…)/Long.MaxValue`
+    * Catalyst expression evaluated eagerly over its literal input, so
+    * the values are bit-identical to the per-row form.
     */
-  def hyperplane(planeId: Int, dim: Int): Column =
-    transform(sequence(lit(0), lit(dim - 1)), j =>
-      (xxhash64(concat(lit(s"plane$planeId|"), j.cast("string"))).cast("double") /
-        lit(Long.MaxValue.toDouble)))
+  def hyperplane(planeId: Int, dim: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val vals = Array.tabulate(dim) { j =>
+      val h = new XxHash64(Seq(Literal(s"plane$planeId|$j")))
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Long]
+      h.toDouble / Long.MaxValue.toDouble
+    }
+    array(vals.map(lit).toIndexedSeq: _*)
+  }
 
   /** Random-hyperplane (sign) LSH bucket id from `nPlanes` planes:
     * bit p = sign(v · plane_p). One long column, map-side only.
@@ -60,10 +70,18 @@ object VectorFunctions {
     * bit-for-bit (DuckDB: ('0x'||substr(md5(...),1,8))::BIGINT /
     * 2^31 - 1).
     */
-  def hyperplaneMd5(planeId: Int, dim: Int): Column =
-    transform(sequence(lit(0), lit(dim - 1)), j =>
-      conv(substring(md5(concat(lit(s"plane$planeId|"), j.cast("string"))), 1, 8),
-        16, 10).cast("double") / lit(2147483648.0) - lit(1.0))
+  def hyperplaneMd5(planeId: Int, dim: Int): Column = {
+    // folded driver-side like [[hyperplane]] (md5 of a constant string
+    // is a constant; per-row evaluation cost nPlanes·dim md5 calls)
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Md5}
+    val vals = Array.tabulate(dim) { j =>
+      val hex = Md5(Literal(s"plane$planeId|$j".getBytes("UTF-8")))
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty).toString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16).toDouble /
+        2147483648.0 - 1.0
+    }
+    array(vals.map(lit).toIndexedSeq: _*)
+  }
 
   /** [[signLshBucket]] over the md5 plane family — the gate kernel
     * for DuckDB-replayable LSH bucketing.
