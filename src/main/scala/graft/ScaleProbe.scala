@@ -154,6 +154,25 @@ object ScaleProbe {
     time("cosine_exact", ebase, escaled)(d =>
       Similarity.cosineNearDupPairsExact(d, "vec_id", "embedding", threshold = 0.4).count())
 
+    // round-8 quantized md5-Lloyd gate kernels (q91/q33/q75): Lloyd is
+    // one shuffle per iteration for any kernel, so the gates must
+    // scale like the float production path — measured side by side.
+    // The ANN gates keep a FIXED query set (only copy 0 has
+    // vec_id < 10) so the exponent reads corpus growth alone.
+    import graft.operators.Clustering
+    time("kmeans_prod", ebase, escaled) { d =>
+      val m = Clustering.kmeans(d, "vec_id", "embedding", k = 8, iters = 3)
+      val n = m.assignments.count(); m.unpersist(); n
+    }
+    time("kmeans_md5_gate", ebase, escaled)(d =>
+      Clustering.kmeansMd5(d, "vec_id", "embedding", k = 8, iters = 3).count())
+    time("ivf_md5_gate", ebase, escaled)(d =>
+      Clustering.ivfTopKMd5(d, d.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5).count())
+    time("pq_md5_gate", ebase, escaled)(d =>
+      Clustering.pqTopKMd5(d, d.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5).count())
+
     // spatial side: the sky cross-match's pixel key is the same kind of
     // LSH bucket — occupancy grows with catalog density unless nside
     // grows with it (nside ~ √n keeps points-per-pixel flat). Measure
