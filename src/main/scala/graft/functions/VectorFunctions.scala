@@ -64,31 +64,44 @@ object VectorFunctions {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** SQL-replayable twin of [[hyperplane]]: component j of plane p is
-    * md5("plane p|j")'s first 8 hex chars as a 32-bit unsigned int,
-    * scaled to [-1, 1) — any SQL engine with md5 reproduces it
-    * bit-for-bit (DuckDB: ('0x'||substr(md5(...),1,8))::BIGINT /
-    * 2^31 - 1).
+  /** SQL-replayable twin of [[hyperplane]], kept in EXACT INTEGER
+    * form: component j of plane p is md5("plane p|j")'s first 8 hex
+    * chars as a 32-bit unsigned int minus 2^31 — an integer in
+    * [-2^31, 2^31) that any SQL engine with md5 reproduces bit-for-bit
+    * (DuckDB: ('0x'||substr(md5(...),1,8))::BIGINT - 2147483648).
+    * Dividing by 2^31 would give the usual [-1,1) float weight, but
+    * the sign of the dot product — all LSH needs — is unchanged by
+    * that positive scaling, so the weights stay integers and the
+    * bucket bit never depends on float summation order.
     */
-  def hyperplaneMd5(planeId: Int, dim: Int): Column = {
+  def hyperplaneMd5Int(planeId: Int, dim: Int): Column = {
     // folded driver-side like [[hyperplane]] (md5 of a constant string
     // is a constant; per-row evaluation cost nPlanes·dim md5 calls)
     import org.apache.spark.sql.catalyst.expressions.{Literal, Md5}
     val vals = Array.tabulate(dim) { j =>
       val hex = Md5(Literal(s"plane$planeId|$j".getBytes("UTF-8")))
         .eval(org.apache.spark.sql.catalyst.InternalRow.empty).toString
-      java.lang.Long.parseLong(hex.substring(0, 8), 16).toDouble /
-        2147483648.0 - 1.0
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) - 2147483648L
     }
     array(vals.map(lit).toIndexedSeq: _*)
   }
 
   /** [[signLshBucket]] over the md5 plane family — the gate kernel
-    * for DuckDB-replayable LSH bucketing.
+    * for DuckDB-replayable LSH bucketing. The bit decision is a pure
+    * 64-bit INTEGER dot product (component quantized to
+    * floor(x·2^16), weight an exact [-2^31,2^31) integer), so the sum
+    * is associative and order-independent — a SQL engine may aggregate
+    * the terms in any order and still reproduce every bit, unlike a
+    * float dot whose near-zero sign could flip under reassociation.
+    * Exact for |x| < 2^10 (|term| ≤ 2^16·|x|·2^31, dim ≤ 64 ⇒
+    * |sum| < 2^63); embedding fixtures are O(1)-scaled.
     */
   def signLshBucketMd5(v: Column, nPlanes: Int, dim: Int): Column = {
+    val qv = transform(v, x => floor(x.cast("double") * lit(65536.0)))
     val bits = (0 until nPlanes).map { p =>
-      when(dot(v, hyperplaneMd5(p, dim)) >= 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      val qdot = aggregate(zip_with(qv, hyperplaneMd5Int(p, dim), (x, w) => x * w),
+        lit(0L), (acc, t) => acc + t)
+      when(qdot >= 0L, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }

@@ -131,7 +131,7 @@ object Similarity {
   }
 
   /** DuckDB-replayable gate twin of [[lshTopK]]: md5-family planes
-    * ([[graft.functions.VectorFunctions.hyperplaneMd5]]) and a STATIC
+    * ([[graft.functions.VectorFunctions.hyperplaneMd5Int]]) and a STATIC
     * plane count small enough that the budgeted Hamming-2 ring is
     * complete (nPlanes ≤ [[MaxHamming2Planes]] ⇒ probes = self +
     * Hamming-1 + the whole Hamming-2 ring), so the probe set is
@@ -356,7 +356,7 @@ object Similarity {
 
   /** DuckDB-replayable gate twin of [[cosineNearDupPairs]]: identical
     * single-shuffle plan, but the sign-LSH planes come from the md5
-    * family ([[graft.functions.VectorFunctions.hyperplaneMd5]]), so a
+    * family ([[graft.functions.VectorFunctions.hyperplaneMd5Int]]), so a
     * SQL oracle can rebuild every bucket bit (dot-product signs over
     * md5-derived weights) and replay the bucket self-join + exact
     * cosine filter end to end. `nPlanes` is explicit (no corpus-count

@@ -703,19 +703,24 @@ object TextVector {
          FROM base, UNNEST(generate_series(0, CAST(width AS BIGINT) * height - 1)) AS t(i)
          GROUP BY doc_id, width, height""",
     // replays the 6 md5-plane signatures (shared construction with
-    // q37's oracle), states the complete multi-probe set directly as
-    // Hamming distance <= 2 between signatures, then re-ranks
-    // candidates by exact cosine — q29's formula and window
+    // q37's oracle): the bucket bit is the sign of an exact INTEGER
+    // dot product — component quantized to floor(x*2^16), weight the
+    // raw md5 u32 minus 2^31 — so the GROUP BY sum is
+    // order-independent (no float reassociation can flip a near-zero
+    // sign). States the complete multi-probe set directly as Hamming
+    // distance <= 2 between signatures, then re-ranks candidates by
+    // exact cosine — q29's formula and window
     "q30_ann_lsh" ->
-      """WITH comp AS (SELECT vec_id, i.i AS j, CAST(embedding[i.i] AS DOUBLE) AS x
+      """WITH comp AS (SELECT vec_id, i.i AS j,
+                         CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 65536.0) AS BIGINT) AS qx
                        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS i(i)),
          planes AS (SELECT p.j AS p, c.i AS j,
                       ('0x' || substr(md5('plane' || CAST(p.j AS VARCHAR) || '|' || CAST(c.i AS VARCHAR)), 1, 8))::BIGINT
-                        / 2147483648.0 - 1.0 AS w
+                        - 2147483648 AS w
                     FROM UNNEST(generate_series(0, 5)) AS p(j),
                          UNNEST(generate_series(0, 63)) AS c(i)),
          bits AS (SELECT comp.vec_id, pl.p,
-                    CASE WHEN sum(comp.x * pl.w) >= 0
+                    CASE WHEN sum(comp.qx * pl.w) >= 0
                          THEN (1::BIGINT << CAST(pl.p AS INTEGER)) ELSE 0 END AS bit
                   FROM comp JOIN planes pl ON pl.j = comp.j - 1
                   GROUP BY comp.vec_id, pl.p),
@@ -750,7 +755,11 @@ object TextVector {
                   FROM tok GROUP BY 1, 2),
          emb AS (SELECT d.doc_id,
                    list(CAST(coalesce(s.v, 0) AS DOUBLE) ORDER BY g.j) AS e
-                 FROM (SELECT DISTINCT doc_id FROM documents) d
+                 -- domain comes from tok, not documents: a NULL-text
+                 -- doc yields no token rows on either engine (explode
+                 -- of a null array drops the row), so it must not
+                 -- reappear here as a zero vector
+                 FROM (SELECT DISTINCT doc_id FROM tok) d
                  CROSS JOIN UNNEST(generate_series(0, 63)) AS g(j)
                  LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.b = g.j
                  GROUP BY d.doc_id),
@@ -765,21 +774,25 @@ object TextVector {
              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
            FROM scored)
          WHERE rank <= 5""",
-    // rebuilds the 6 md5-family hyperplanes (component j of plane p =
-    // md5("plane p|j")'s first 8 hex chars scaled to [-1,1)), takes
-    // dot-product signs per vector for the bucket id, replays the
-    // bucket self-join, then applies the exact cosine filter — the
-    // same q36 formula that already hash-matches
+    // rebuilds the 6 md5-family hyperplanes in exact integer form
+    // (component j of plane p = md5("plane p|j")'s first 8 hex chars
+    // as u32 minus 2^31; vector component quantized to floor(x*2^16)
+    // — the sign of the integer dot equals the bucket bit and no sum
+    // order can change it), takes dot-product signs per vector for
+    // the bucket id, replays the bucket self-join, then applies the
+    // exact cosine filter — the same q36 formula that already
+    // hash-matches
     "q37_cosine_neardup_lsh" ->
-      """WITH comp AS (SELECT vec_id, i.i AS j, CAST(embedding[i.i] AS DOUBLE) AS x
+      """WITH comp AS (SELECT vec_id, i.i AS j,
+                         CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 65536.0) AS BIGINT) AS qx
                        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS i(i)),
          planes AS (SELECT p.j AS p, c.i AS j,
                       ('0x' || substr(md5('plane' || CAST(p.j AS VARCHAR) || '|' || CAST(c.i AS VARCHAR)), 1, 8))::BIGINT
-                        / 2147483648.0 - 1.0 AS w
+                        - 2147483648 AS w
                     FROM UNNEST(generate_series(0, 5)) AS p(j),
                          UNNEST(generate_series(0, 63)) AS c(i)),
          bits AS (SELECT comp.vec_id, pl.p,
-                    CASE WHEN sum(comp.x * pl.w) >= 0
+                    CASE WHEN sum(comp.qx * pl.w) >= 0
                          THEN (1::BIGINT << CAST(pl.p AS INTEGER)) ELSE 0 END AS bit
                   FROM comp JOIN planes pl ON pl.j = comp.j - 1
                   GROUP BY comp.vec_id, pl.p),
