@@ -208,7 +208,8 @@ class WLatest(W):
         return (struct.pack("<BBHHHB", 3, 0, len(nb), len(dt), len(ds), 0)
                 + nb + dt + ds + vb)
 
-    def dataset(self, values, kind, attrs=(), chunk_rows=None, index="fa"):
+    def dataset(self, values, kind, attrs=(), chunk_rows=None, index="fa",
+                edge_raw=False):
         data, elem = encode_values(values, kind)
         rows = len(values)
         dt = dtype_bytes(kind)
@@ -224,13 +225,20 @@ class WLatest(W):
             chunks = []
             for r0 in range(0, rows, chunk_rows):
                 raw = data[r0 * row_bytes:(r0 + chunk_rows) * row_bytes]
-                if filt:
+                mask = 0
+                if filt and edge_raw and len(raw) < chunk_bytes:
+                    # partial trailing chunk stored RAW with filter-mask
+                    # bit 0 set (filter 0 = deflate skipped) — the shape
+                    # H5D_CHUNK_DONT_FILTER_PARTIAL_BOUND_CHUNKS and
+                    # optional-filter skips produce in real files
+                    mask = 1
+                elif filt:
                     raw = zlib.compress(raw, 6)
                 else:
                     # unfiltered chunks are FULL chunk size on disk
                     # (the trailing partial chunk is zero-padded)
                     raw = raw.ljust(chunk_bytes, b"\0")
-                chunks.append((self.block(raw), len(raw)))
+                chunks.append((self.block(raw), len(raw), mask))
             if filt:
                 msgs.append((0x0B, self._deflate_msg()))
             enc = self._enc_width(max(chunk_rows, elem))
@@ -364,10 +372,11 @@ class WLatest(W):
             if c is None:
                 return (struct.pack("<Q", UNDEF)
                         + (b"\0" * (sz_w + 4) if filt else b""))
-            addr, size = c
+            addr, size, mask = c
             if filt:
                 return (struct.pack("<Q", addr)
-                        + size.to_bytes(sz_w, "little") + struct.pack("<I", 0))
+                        + size.to_bytes(sz_w, "little")
+                        + struct.pack("<I", mask))
             return struct.pack("<Q", addr)
 
         n = len(chunks)
@@ -474,10 +483,10 @@ class WLatest(W):
         else:
             bt_type, rec_size = 10, 16
         recs = []
-        for i, (addr, size) in enumerate(chunks):
+        for i, (addr, size, mask) in enumerate(chunks):
             r = struct.pack("<Q", addr)
             if filt:
-                r += size.to_bytes(sz_w, "little") + struct.pack("<I", 0)
+                r += size.to_bytes(sz_w, "little") + struct.pack("<I", mask)
             r += struct.pack("<Q", i)  # scaled row-axis offset
             recs.append(r)
         return self._btree2(recs, rec_size, bt_type, node_size)
@@ -669,13 +678,14 @@ def main():
     dense = "--dense" in sys.argv[1:]          # implies --latest
     ea = "--appendable" in sys.argv[1:]        # extensible-array chunks
     bt2 = "--bt2" in sys.argv[1:]              # v2-b-tree chunks
+    edge = "--edge-raw" in sys.argv[1:]        # raw partial chunk, mask bit 0
     # --repeat=N tiles the table N times — enough chunks to push the
     # EA index past its direct data-block pointers into EASB super
     # blocks (the realistic appendable-catalog regime) while keeping
     # the small fixture table
     rep = next((int(a.split("=", 1)[1]) for a in sys.argv[1:]
                 if a.startswith("--repeat=")), 1)
-    latest = latest or paged or dense or ea or bt2
+    latest = latest or paged or dense or ea or bt2 or edge
     t = pq.read_table(args[0])
     w = WLatest() if latest else W()
     if paged:
@@ -696,7 +706,25 @@ def main():
             kind = ("s", max(len(v.encode()) for v in vals) + 1)
         else:
             raise SystemExit(f"unsupported type {ty} for {name}")
-        if ea and kind == "i64":
+        if edge and kind == "i64":
+            # nonzero filter masks: deflate-filtered columns whose
+            # trailing PARTIAL chunk is stored raw with mask bit 0 set
+            # (deflate skipped for that chunk only). First int column
+            # through the extensible-array index (2-row chunks on 25
+            # rows -> 13 chunks, last holds 1 row), second through the
+            # v2 B-tree (4-row chunks -> 7 records, last holds 1 row).
+            if first_numeric:
+                cols.append((name, w.dataset(vals, kind,
+                                             attrs=[("unit", "None")],
+                                             chunk_rows=2, index="ea_filt",
+                                             edge_raw=True)))
+                first_numeric = False
+            else:
+                cols.append((name, w.dataset(vals, kind,
+                                             attrs=[("unit", "None")],
+                                             chunk_rows=4, index="bt2_filt",
+                                             edge_raw=True)))
+        elif ea and kind == "i64":
             # the h5py maxshape=(None,) shape: EA index. First int
             # column: unfiltered, 1-row chunks -> 25 chunks = 4 inline
             # + a full 16-element data block + a second (partial)
@@ -755,6 +783,7 @@ def main():
     root = w.group([("data", data), ("header", header)])
     w.write(args[1], root)
     mode = ("latest dense-links (FRHP+BTHD)" if dense
+            else "edge-raw chunks (filter mask bit 0)" if edge
             else "latest extensible-array chunks (EAHD)" if ea
             else "latest v2-btree chunks (BTHD t10/t11)" if bt2
             else "latest paged-FA (sb v3, OHDR)" if paged

@@ -683,9 +683,12 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
   sealed trait Layout
   final case class Contiguous(addr: Long, size: Long) extends Layout
   final case class Chunked(btreeAddr: Long, chunkDims: Seq[Int]) extends Layout
-  /** layout v4, index type 1: the whole dataset is one chunk. */
+  /** layout v4, index type 1: the whole dataset is one chunk.
+    * `filterMask` bit i set = pipeline filter i was skipped when this
+    * chunk was written (H5D_CHUNK_DONT_FILTER_PARTIAL_BOUND_CHUNKS).
+    */
   final case class SingleChunk(addr: Long, storedBytes: Long,
-                               chunkDims: Seq[Int]) extends Layout
+                               filterMask: Int, chunkDims: Seq[Int]) extends Layout
   /** layout v4, index type 2: unfiltered chunks at addr + i*chunkBytes. */
   final case class ImplicitIndex(addr: Long, chunkDims: Seq[Int]) extends Layout
   /** layout v4, index type 3: chunk addresses in a fixed array. */
@@ -767,9 +770,9 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
         p += 1
         if ((flags & 0x02) != 0) {
           val size = u64(p); p += 8
-          p += 4 // filter mask
-          SingleChunk(u64(p), size, chunkDims)
-        } else SingleChunk(u64(p), -1L, chunkDims)
+          val mask = u32(p).toInt; p += 4
+          SingleChunk(u64(p), size, mask, chunkDims)
+        } else SingleChunk(u64(p), -1L, 0, chunkDims)
       case 2 => ImplicitIndex(u64(p + 1), chunkDims)
       case 3 => FixedArray(u64(p + 2), chunkDims) // skip page-bits byte
       case 4 =>
@@ -797,7 +800,7 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
       case chunked =>
         val chunkDims = chunked match {
           case Chunked(_, cd) => cd
-          case SingleChunk(_, _, cd) => cd
+          case SingleChunk(_, _, _, cd) => cd
           case ImplicitIndex(_, cd) => cd
           case FixedArray(_, cd) => cd
           case ExtensibleArray(_, cd) => cd
@@ -813,11 +816,11 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
         val chunkRows = chunkDims.head
         val chunkBytes = (chunkDims.map(_.toLong).product * ds.dtype.byteSize).toInt
         chunkIndex(ds, chunkRows, chunkBytes).foreach {
-          case (startRow, addr, nbytes) =>
+          case (startRow, addr, nbytes, fMask) =>
             val cEnd = startRow + chunkRows
             if (cEnd > row0 && startRow < row1 && addr != Undef) {
               val raw = bytes(addr, nbytes)
-              val data = applyFilters(raw, ds.filters, ds.dtype.byteSize, chunkBytes)
+              val data = applyFilters(raw, ds.filters, fMask, ds.dtype.byteSize, chunkBytes)
               val from = math.max(row0, startRow)
               val until = math.min(row1, cEnd)
               System.arraycopy(
@@ -830,20 +833,23 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     out
   }
 
-  /** Unified chunk enumeration: (startRow, fileAddr, storedBytes) for
-    * every chunked layout flavor.
+  /** Unified chunk enumeration: (startRow, fileAddr, storedBytes,
+    * filterMask) for every chunked layout flavor. Mask bit i set =
+    * pipeline filter i skipped for that chunk (libhdf5 writes partial
+    * edge chunks unfiltered under
+    * H5D_CHUNK_DONT_FILTER_PARTIAL_BOUND_CHUNKS).
     */
   private def chunkIndex(ds: DatasetMeta, chunkRows: Int,
-                         chunkBytes: Int): Seq[(Long, Long, Int)] = ds.layout match {
+                         chunkBytes: Int): Seq[(Long, Long, Int, Int)] = ds.layout match {
     case Chunked(btreeAddr, _) => collectChunks(btreeAddr, ds.dims.size.max(1))
-    case SingleChunk(addr, storedBytes, _) =>
+    case SingleChunk(addr, storedBytes, fMask, _) =>
       val n = if (storedBytes >= 0) storedBytes.toInt else chunkBytes
-      Seq((0L, addr, n))
+      Seq((0L, addr, n, fMask))
     case ImplicitIndex(base, _) =>
       require(ds.filters.isEmpty, s"filters with implicit chunk index (${ds.name})")
       val nChunks = ((ds.rows + chunkRows - 1) / chunkRows).toInt
       (0 until nChunks).map(i =>
-        (i.toLong * chunkRows, base + i.toLong * chunkBytes, chunkBytes))
+        (i.toLong * chunkRows, base + i.toLong * chunkBytes, chunkBytes, 0))
     case FixedArray(hdrAddr, _) => fixedArrayChunks(ds, hdrAddr, chunkRows, chunkBytes)
     case ExtensibleArray(hdrAddr, _) =>
       extensibleArrayChunks(ds, hdrAddr, chunkRows, chunkBytes)
@@ -865,7 +871,7 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     * data blocks fail loudly by name.
     */
   private def extensibleArrayChunks(ds: DatasetMeta, hdrAddr: Long,
-                                    chunkRows: Int, chunkBytes: Int): Seq[(Long, Long, Int)] = {
+                                    chunkRows: Int, chunkBytes: Int): Seq[(Long, Long, Int, Int)] = {
     require(sig4(hdrAddr) == "EAHD", s"no extensible-array header at $hdrAddr (${ds.name})")
     require(u8(hdrAddr + 4) == 0, s"unsupported EAHD version (${ds.name})")
     val clientId = u8(hdrAddr + 5)
@@ -923,15 +929,16 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
       val c = Lookup3.hashU(bytes(iblockAddr, ibUsed), 0)
       require(s == c, s"EAIB checksum mismatch at $iblockAddr (${ds.name})")
     }
-    def decodeElem(off: Long, chunkIdx: Int): Option[(Long, Long, Int)] = {
+    def decodeElem(off: Long, chunkIdx: Int): Option[(Long, Long, Int, Int)] = {
       val addr = u64(off)
       if (addr == Undef) None
-      else if (clientId == 0) Some((chunkIdx.toLong * chunkRows, addr, chunkBytes))
+      else if (clientId == 0) Some((chunkIdx.toLong * chunkRows, addr, chunkBytes, 0))
       else {
         val stored = uVar(off + 8, szW)
         require(stored <= Int.MaxValue,
           s"stored chunk size $stored B exceeds Int range (${ds.name})")
-        Some((chunkIdx.toLong * chunkRows, addr, stored.toInt))
+        val mask = u32(off + 8 + szW).toInt
+        Some((chunkIdx.toLong * chunkRows, addr, stored.toInt, mask))
       }
     }
 
@@ -1011,7 +1018,7 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
         var u = 0
         var ord = 0
         var firstElem = idxElmts.toLong
-        var found: Option[(Long, Long, Int)] = None
+        var found: Option[(Long, Long, Int, Int)] = None
         var done = false
         while (!done) {
           require(u < nsblks, s"chunk $i beyond extensible-array capacity (${ds.name})")
@@ -1054,7 +1061,7 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     * (the row axis) varies.
     */
   private def v2BtreeChunks(ds: DatasetMeta, hdrAddr: Long,
-                            chunkRows: Int, chunkBytes: Int): Seq[(Long, Long, Int)] = {
+                            chunkRows: Int, chunkBytes: Int): Seq[(Long, Long, Int, Int)] = {
     val rank = ds.dims.size.max(1)
     val filtered = ds.filters.nonEmpty
     val recs = v2BtreeRecords(hdrAddr, Set(if (filtered) 11 else 10))
@@ -1065,7 +1072,7 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
         require(rec.length == 8 + 8 * rank,
           s"v2 b-tree chunk record size ${rec.length} != ${8 + 8 * rank} (${ds.name})")
         val scaled0 = bb.getLong(8)
-        (scaled0 * chunkRows, addr, chunkBytes)
+        (scaled0 * chunkRows, addr, chunkBytes, 0)
       } else {
         val szW = rec.length - 12 - 8 * rank
         require(szW >= 1 && szW <= 8,
@@ -1075,9 +1082,10 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
         while (i < szW) { stored |= (rec(8 + i) & 0xFFL) << (8 * i); i += 1 }
         require(stored <= Int.MaxValue,
           s"stored chunk size $stored B exceeds Int range (${ds.name})")
+        val mask = bb.getInt(8 + szW)
         val scaled0 = ByteBuffer.wrap(rec, 12 + szW, 8)
           .order(ByteOrder.LITTLE_ENDIAN).getLong
-        (scaled0 * chunkRows, addr, stored.toInt)
+        (scaled0 * chunkRows, addr, stored.toInt, mask)
       }
     }
   }
@@ -1091,7 +1099,7 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     * modern toolchain emits for any dataset past ~1024 chunks.
     */
   private def fixedArrayChunks(ds: DatasetMeta, hdrAddr: Long, chunkRows: Int,
-                               chunkBytes: Int): Seq[(Long, Long, Int)] = {
+                               chunkBytes: Int): Seq[(Long, Long, Int, Int)] = {
     require(new String(bytes(hdrAddr, 4), "US-ASCII") == "FAHD",
       s"no fixed-array header at $hdrAddr (${ds.name})")
     require(u8(hdrAddr + 4) == 0, s"unsupported FAHD version (${ds.name})")
@@ -1123,8 +1131,8 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
       s"fixed-array index region ${maxEntries * entrySize} B too large " +
         s"to buffer (${ds.name})")
 
-    def entry(e: Long, i: Int): (Long, Long, Int) =
-      if (clientId == 0) (i.toLong * chunkRows, u64(e), chunkBytes)
+    def entry(e: Long, i: Int): (Long, Long, Int, Int) =
+      if (clientId == 0) (i.toLong * chunkRows, u64(e), chunkBytes, 0)
       else {
         // entry = address(8) + stored size(entrySize-12) + filter
         // mask(4); real HDF5 sizes the stored-size field MINIMALLY
@@ -1135,7 +1143,7 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
         val stored = uVar(e + 8, szW)
         require(stored <= Int.MaxValue,
           s"stored chunk size $stored B exceeds Int range (${ds.name})")
-        (i.toLong * chunkRows, u64(e), stored.toInt)
+        (i.toLong * chunkRows, u64(e), stored.toInt, u32(e + 8 + szW).toInt)
       }
 
     // JVM long shifts wrap at 64 bits: an absurd pageBits would alias
@@ -1187,32 +1195,43 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     }
   }
 
-  /** Chunk index: (startRow, fileAddr, storedBytes). */
-  private def collectChunks(addr: Long, rank: Int): Seq[(Long, Long, Int)] = {
+  /** Chunk index: (startRow, fileAddr, storedBytes, filterMask) from
+    * the v1 B-tree (key = chunk size, filter mask, scaled offsets).
+    */
+  private def collectChunks(addr: Long, rank: Int): Seq[(Long, Long, Int, Int)] = {
     require(new String(bytes(addr, 4), "US-ASCII") == "TREE",
       s"no chunk b-tree at $addr")
     require(u8(addr + 4) == 1, s"wrong b-tree type for chunks at $addr")
     val level = u8(addr + 5)
     val n = u16(addr + 6)
     val keySize = 8 + 8 * (rank + 1)
-    val out = Seq.newBuilder[(Long, Long, Int)]
+    val out = Seq.newBuilder[(Long, Long, Int, Int)]
     var p = addr + 24
     (0 until n).foreach { _ =>
       val nbytes = u32(p).toInt
+      val fMask = u32(p + 4).toInt
       val startRow = u64(p + 8)
       val child = u64(p + keySize)
       if (level > 0) out ++= collectChunks(child, rank)
-      else out += ((startRow, child, nbytes))
+      else out += ((startRow, child, nbytes, fMask))
       p += keySize + 8
     }
     out.result()
   }
 
-  private def applyFilters(raw: Array[Byte], filters: Seq[Int],
+  /** Decode one chunk through the dataset's filter pipeline. `mask`
+    * bit i set means filter i was SKIPPED when the chunk was written
+    * (libhdf5 stores partial edge chunks raw under
+    * H5D_CHUNK_DONT_FILTER_PARTIAL_BOUND_CHUNKS) — honoring it keeps
+    * spec-valid files readable instead of feeding raw bytes to the
+    * inflater.
+    */
+  private def applyFilters(raw: Array[Byte], filters: Seq[Int], mask: Int,
                            elemSize: Int, chunkBytes: Int): Array[Byte] = {
     // pipeline applies in reverse on read
-    filters.reverse.foldLeft(raw) { (data, id) =>
-      id match {
+    filters.zipWithIndex.reverse.foldLeft(raw) { case (data, (id, i)) =>
+      if ((mask & (1 << i)) != 0) data
+      else id match {
         case 1 => inflate(data, chunkBytes)
         case 2 => unshuffle(data, elemSize)
         case other => fail(s"unsupported filter id $other (only deflate/shuffle)")

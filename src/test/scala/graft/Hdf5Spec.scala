@@ -683,6 +683,41 @@ class Hdf5Spec extends SparkSpec {
     } finally r.close()
   }
 
+  test("PER-CHUNK FILTER MASK honored: raw trailing chunk in a deflate pipeline") {
+    // generated with `h5make.py --edge-raw`: both int columns are
+    // deflate-filtered but their trailing PARTIAL chunk is stored raw
+    // with filter-mask bit 0 set (deflate skipped for that one chunk —
+    // what H5D_CHUNK_DONT_FILTER_PARTIAL_BOUND_CHUNKS and
+    // optional-filter skips produce). n_nationkey goes through the
+    // extensible-array index (2-row chunks -> 13 chunks, last holds
+    // 1 row), n_regionkey through the v2 B-tree (4-row chunks -> 7
+    // type-11 records, last holds 1 row). A reader that ignores the
+    // mask feeds raw bytes to the inflater and dies.
+    val p = getClass.getResource("/nation_edgeraw.hdf5").getPath
+    val ds = Hdf5Io.importDataset(spark, p)
+    assert(ds.count() == 25)
+    val truth = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .agg(sum($"n_nationkey"), sum($"n_regionkey")).head()
+    val got = ds.df.agg(sum($"n_nationkey"), sum($"n_regionkey")).head()
+    assert(got.getLong(0) == truth.getLong(0))
+    assert(got.getLong(1) == truth.getLong(1))
+    // the masked chunk is exactly the last row: read it back alone
+    // through each index flavor
+    val r = new Hdf5Reader(p)
+    try {
+      val root = r.objectInfo(r.rootHeaderAddr)
+      val kids = r.groupLinks(r.objectInfo(r.groupLinks(root).toMap.apply("data"))).toMap
+      Seq("n_nationkey", "n_regionkey").foreach { c =>
+        val meta = r.datasetMeta(c, r.objectInfo(kids(c)))
+        val full = r.readRows(meta, 0, meta.rows)
+        val fb = java.nio.ByteBuffer.wrap(full).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val tail = r.readRows(meta, 24, 25)
+        val tb = java.nio.ByteBuffer.wrap(tail).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        assert(tb.getLong(0) == fb.getLong(24 * 8), s"masked tail chunk of $c")
+      }
+    } finally r.close()
+  }
+
   test("dense attribute storage fails loudly instead of dropping metadata") {
     import graft.io.hdf5.Lookup3
     // hand-built v2 object header carrying an Attribute Info message
