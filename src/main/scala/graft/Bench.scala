@@ -121,35 +121,43 @@ object Bench {
     val selected =
       if (only.isEmpty) benchQueries
       else benchQueries.filter { case (n, _) => only.exists(n.startsWith) }
-    def timeOnce(name: String, fn: (SparkSession, String) => Unit): Double = {
+    // returns (elapsed, succeeded): a thrown query must not
+    // masquerade as a fast run in the JSON — time-to-failure is
+    // reported but FLAGGED, and failures are never re-timed
+    def timeOnce(name: String, fn: (SparkSession, String) => Unit): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir) catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: $e")
+      val ok = try { fn(spark, sfDir); true } catch {
+        case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // isolation: no query inherits another's (or leaks its own)
       // cached blocks — each timing stands alone
       spark.catalog.clearCache()
-      dt
+      (dt, ok)
     }
     // pass 1: everything once; pass 2: re-time the slow tail so the
     // reported number is a median, not one noisy sample
     val firstPass = selected.map { case (name, fn) => (name, fn, timeOnce(name, fn)) }
-    val results: Seq[(String, Double, Int)] = firstPass.map { case (name, fn, t1) =>
-      if (repeats > 1 && t1 >= RepeatFloorSec) {
-        val all = (t1 +: (2 to repeats).map(_ => timeOnce(name, fn))).sorted
-        (name, all(all.length / 2), repeats)
-      } else (name, t1, 1)
+    val results: Seq[(String, Double, Int, Boolean)] = firstPass.map {
+      case (name, fn, (t1, ok1)) =>
+        if (ok1 && repeats > 1 && t1 >= RepeatFloorSec) {
+          val rest = (2 to repeats).map(_ => timeOnce(name, fn))
+          val times = (t1 +: rest.collect { case (t, true) => t }).sorted
+          (name, times(times.length / 2), times.length, rest.forall(_._2))
+        } else (name, t1, 1, ok1)
     }
     // 3-decimal rounding keeps the JSON line well under 4 KB so the
     // driver's tail capture holds all queries (r6 lost 31/93 to
     // full-precision doubles); the same line also goes to
     // bench_out.json so the artifact survives any stdout truncation.
-    // Repeated queries serialize as {"t":median,"runs":N}.
+    // Repeated queries serialize as {"t":median,"runs":N}; a query
+    // that threw carries {"t":…,"failed":true} so a broken query can
+    // never read as a fast one downstream.
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map {
-      case (k, v, 1) => s"\"" + k + "\":" + r3(v)
-      case (k, v, n) => s"\"" + k + "\":{\"t\":" + r3(v) + s",\"runs\":$n}"
+      case (k, v, _, false) => s"\"" + k + "\":{\"t\":" + r3(v) + ",\"failed\":true}"
+      case (k, v, 1, _) => s"\"" + k + "\":" + r3(v)
+      case (k, v, n, _) => s"\"" + k + "\":{\"t\":" + r3(v) + s",\"runs\":$n}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""

@@ -94,49 +94,55 @@ object Multimodal {
           var sum = 0.0
           var bands = 0
           var n = 0L
-          if (img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) {
-            // palette images (GIF, PNG-8): raster samples are palette
-            // INDICES, not intensities — stats must come from the
-            // looked-up colors or px_mean/histogram are meaningless on
-            // arbitrary corpora. getRGB resolves through the palette;
-            // band 0 (the histogram band) is red, matching the
-            // component path's band order.
-            bands = 3
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                val r = (rgb >> 16) & 0xFF
-                sum += r + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
-                hist(math.min(featDim - 1, r * featDim / 256)) += 1f
-                x += 1
-              }
-              y += 1
-            }
-            n = w.toLong * h * 3
-          } else {
-            val raster = img.getRaster
-            bands = raster.getNumBands
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                var b = 0
-                while (b < bands) {
-                  val s = raster.getSample(x, y, b)
-                  sum += s
-                  if (b == 0) {
-                    val bin = math.min(featDim - 1, s * featDim / 256)
-                    hist(bin) += 1f
-                  }
-                  b += 1
+          img.getColorModel match {
+            case icm: java.awt.image.IndexColorModel =>
+              // palette images (GIF, PNG-8): raster samples are palette
+              // INDICES, not intensities — stats must come from the
+              // looked-up colors or px_mean/histogram are meaningless on
+              // arbitrary corpora. One palette dump up front (≤256
+              // entries) keeps the per-pixel cost a table lookup instead
+              // of a ColorModel conversion call per pixel; band 0 (the
+              // histogram band) is red, matching the component path's
+              // band order.
+              val palette = new Array[Int](icm.getMapSize)
+              icm.getRGBs(palette)
+              val raster = img.getRaster
+              bands = 3
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = palette(raster.getSample(x, y, 0))
+                  val r = (rgb >> 16) & 0xFF
+                  sum += r + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                  hist(math.min(featDim - 1, r * featDim / 256)) += 1f
+                  x += 1
                 }
-                x += 1
+                y += 1
               }
-              y += 1
-            }
-            n = w.toLong * h * bands
+              n = w.toLong * h * 3
+            case _ =>
+              val raster = img.getRaster
+              bands = raster.getNumBands
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  var b = 0
+                  while (b < bands) {
+                    val s = raster.getSample(x, y, b)
+                    sum += s
+                    if (b == 0) {
+                      val bin = math.min(featDim - 1, s * featDim / 256)
+                      hist(bin) += 1f
+                    }
+                    b += 1
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              n = w.toLong * h * bands
           }
           var i = 0
           while (i < featDim) { hist(i) /= (w.toLong * h); i += 1 }
@@ -323,26 +329,34 @@ object Multimodal {
       var w = -1; var h = -1; var bitCount = -1
       var compression = ""
       var lastStrh = ""
-      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var strhIdx = -1   // streams are numbered by strh order in hdrl
+      var vidStream = -1 // index of the FIRST vids stream
+      // (stream-number prefix, off, len); filtered to vidStream after
+      // the walk so audio/secondary-video chunks ("01wb", "01dc", …)
+      // never reach the video codec path
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
       def walk(start: Int, end: Int): Unit = {
         var o = start
         while (o + 8 <= end) {
           val id = fcc(o); val sz = u32(o + 4).toInt
           require(sz >= 0 && o + 8 + sz <= end, s"truncated AVI chunk '$id' at $o")
           if (id == "LIST" || id == "RIFF") walk(o + 12, o + 8 + sz)
-          else if (id == "strh") lastStrh = fcc(o + 8)
-          else if (id == "strf" && lastStrh == "vids" && bitCount < 0) {
+          else if (id == "strh") {
+            strhIdx += 1; lastStrh = fcc(o + 8)
+            if (lastStrh == "vids" && vidStream < 0) vidStream = strhIdx
+          } else if (id == "strf" && lastStrh == "vids" && bitCount < 0) {
             // BITMAPINFOHEADER of the FIRST video stream
             w = u32(o + 8 + 4).toInt; h = u32(o + 8 + 8).toInt
             bitCount = u16(o + 8 + 14)
             compression = if (u32(o + 8 + 16) == 0) "DIB" else fcc(o + 8 + 16)
           } else if (id.endsWith("db") || id.endsWith("dc"))
-            frames += ((o + 8, sz))
+            chunks += ((id.substring(0, 2), o + 8, sz))
           o += 8 + sz + (sz & 1) // chunks pad to even offsets
         }
       }
       walk(12, p.length)
       require(w > 0 && h > 0, "no video stream in AVI payload")
+      val frames = chunks.filter(_._1 == f"$vidStream%02d").map(c => (c._2, c._3))
       val nF = frames.length
       val binSum = new Array[Double](featDim)
       val binCnt = new Array[Long](featDim)
@@ -724,25 +738,33 @@ object Multimodal {
             def fcc(o: Int): String = new String(p, o, 4, "US-ASCII")
             require(p.length >= 12 && fcc(0) == "RIFF" && fcc(8) == "AVI ",
               "not an AVI payload")
-            val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Array[Byte])]
-            var n = 0
+            // same stream discipline + RIFF/AVIX recursion as
+            // [[VideoDecoder]]: metadata pass records (stream prefix,
+            // fmt, off, len); only the first video stream's every
+            // stride-th frame is then sliced
+            var lastStrh = ""; var strhIdx = -1; var vidStream = -1
+            val metas = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int, Int)]
             def walk(start: Int, end: Int): Unit = {
               var o = start
               while (o + 8 <= end) {
                 val id = fcc(o); val sz = u32(o + 4).toInt
                 require(sz >= 0 && o + 8 + sz <= end, s"truncated AVI chunk at $o")
-                if (id == "LIST") walk(o + 12, o + 8 + sz)
-                else if (id.endsWith("db") || id.endsWith("dc")) {
-                  if (n % stride == 0)
-                    out += ((n, if (id.endsWith("dc")) "MJPG" else "DIB",
-                      p.slice(o + 8, o + 8 + sz)))
-                  n += 1
-                }
+                if (id == "LIST" || id == "RIFF") walk(o + 12, o + 8 + sz)
+                else if (id == "strh") {
+                  strhIdx += 1; lastStrh = fcc(o + 8)
+                  if (lastStrh == "vids" && vidStream < 0) vidStream = strhIdx
+                } else if (id.endsWith("db") || id.endsWith("dc"))
+                  metas += ((id.substring(0, 2),
+                    if (id.endsWith("dc")) "MJPG" else "DIB", o + 8, sz))
                 o += 8 + sz + (sz & 1)
               }
             }
             walk(12, p.length)
-            out.toSeq
+            require(vidStream >= 0, "no video stream in AVI payload")
+            metas.filter(_._1 == f"$vidStream%02d").zipWithIndex.collect {
+              case ((_, fmt, off, sz), n) if n % stride == 0 =>
+                (n, fmt, p.slice(off, off + sz))
+            }.toSeq
           } catch { case scala.util.control.NonFatal(_) => Seq.empty }
         frames.map { case (no, fmt, bytes) =>
           Row.fromSeq(r.toSeq ++ Seq(no, fmt, bytes))

@@ -115,8 +115,18 @@ object Similarity {
         yield (p, q))
       .take(Hamming2Budget)
       .map { case (p, q) => col("b0").bitwiseXOR(lit((1L << p) | (1L << q))) }
+    lshRerank(qBase, cB, col("b0") +: (h1 ++ h2), k)
+  }
+
+  /** Shared probe-explode → bucket-join → distinct → exact-cosine →
+    * window-re-rank tail of [[lshTopK]] and [[lshTopKMd5]]: one
+    * implementation so the gate kernel's plan cannot silently diverge
+    * from the production plan it is documented to mirror.
+    */
+  private def lshRerank(qBase: DataFrame, cB: DataFrame,
+                        probeBuckets: Seq[Column], k: Int): DataFrame = {
     val probes = qBase.select(col("query_id"), col("qv"),
-      explode(array(col("b0") +: (h1 ++ h2): _*)).as("bucket"))
+      explode(array(probeBuckets: _*)).as("bucket"))
     val scored = probes.join(cB, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
@@ -155,19 +165,7 @@ object Similarity {
     val h1 = (0 until nPlanes).map(p => col("b0").bitwiseXOR(lit(1L << p)))
     val h2 = for (p <- 0 until nPlanes; q <- (p + 1) until nPlanes)
       yield col("b0").bitwiseXOR(lit((1L << p) | (1L << q)))
-    val probes = qBase.select(col("query_id"), col("qv"),
-      explode(array(col("b0") +: (h1 ++ h2): _*)).as("bucket"))
-    val scored = probes.join(cB, "bucket")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
-      .distinct()
-      .withColumn("cos", call_function("graft_cosine", col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 6).as("cosine"))
+    lshRerank(qBase, cB, col("b0") +: (h1 ++ h2), k)
   }
 
   /** A built IVF-Flat index: the corpus with its cell assignment

@@ -74,37 +74,47 @@ object Events {
       val batch = t(s, dir)
       val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
       val cutoff = maxTs.getTime / 1000
+      // staged input + checkpoint are deleted EAGERLY once the
+      // availableNow trigger drains (the memory sink holds the rows by
+      // then), so repeated invocations in one JVM — Bench's repeat
+      // pass, Verify — don't accumulate event-table copies until exit
       val stage = java.nio.file.Files.createTempDirectory("graft-q47-in-")
       val ckpt = java.nio.file.Files.createTempDirectory("graft-q47-ck-")
-      deleteOnExit(stage); deleteOnExit(ckpt)
-      // stage through the converted batch frame (the raw files carry
-      // TIMESTAMP(NANOS), which a schema'd stream source won't read)
-      batch.write.mode("append").parquet(stage.toString)
-      val flushTs = new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000)
-      batch.limit(1).select(col("event_id"), lit(flushTs).as("ts"),
-          col("user_id"), lit("__flush").as("event_type"),
-          col("value"), col("props"))
-        .write.mode("append").parquet(stage.toString)
-      val in = s.readStream.schema(batch.schema).parquet(stage.toString)
-      val sink = s"graft_q47_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = EventOps.streamTumblingAgg(in, "1 hour", "30 minutes")
-        .writeStream.format("memory").queryName(sink)
-        .option("checkpointLocation", ckpt.toString)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink).filter(col("bucket_s") <= cutoff)
+      try {
+        // stage through the converted batch frame (the raw files carry
+        // TIMESTAMP(NANOS), which a schema'd stream source won't read)
+        batch.write.mode("append").parquet(stage.toString)
+        val flushTs = new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000)
+        batch.limit(1).select(col("event_id"), lit(flushTs).as("ts"),
+            col("user_id"), lit("__flush").as("event_type"),
+            col("value"), col("props"))
+          .write.mode("append").parquet(stage.toString)
+        val in = s.readStream.schema(batch.schema).parquet(stage.toString)
+        val sink = s"graft_q47_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        // one sink table per invocation: free the previous run's rows
+        lastQ47Sink.foreach(v =>
+          try s.catalog.dropTempView(v) catch { case _: Throwable => () })
+        lastQ47Sink = Some(sink)
+        val q = EventOps.streamTumblingAgg(in, "1 hour", "30 minutes")
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink).filter(col("bucket_s") <= cutoff)
+      } finally { deleteRecursively(stage); deleteRecursively(ckpt) }
     })
   )
 
-  private def deleteOnExit(root: java.nio.file.Path): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file._
-      try Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      catch { case _: Throwable => () }
-    }))
+  @volatile private var lastQ47Sink: Option[String] = None
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file._
+    try Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    catch { case _: Throwable => () }
+  }
 
   val oracle: Map[String, String] = Map(
     "q40_window_tumbling" ->

@@ -389,6 +389,34 @@ object TextVector {
     init + steps
   }
 
+  /** CTE chain replaying `Dedup.minhashCandidatesMd5` up to the
+    * banded candidate pairs: distinct 3-gram shingles, one md5 per
+    * shingle -> 32-bit base (first 8 hex chars), 32 affine
+    * universal-hash mins (a_i*x+b_i mod the largest prime < 2^32;
+    * a_i < 2^31 keeps checked BIGINT products under 2^63), 8
+    * four-component bands, bucket join — constants mirror
+    * `Dedup.minhashA/minhashB` exactly. Shared verbatim by the q26
+    * and q35 oracles so a kernel change edited in one can never
+    * silently leave the other replaying a different kernel.
+    */
+  private val minhashPairsCtes =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+         hb AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM sh),
+         sg AS (SELECT doc_id, k.i AS ki,
+                  min(((1 + ((CAST(k.i + 1 AS BIGINT) * 2654435761) % 2147483629)) * x
+                       + ((CAST(k.i + 1 AS BIGINT) * 40503) % 4294967291)) % 4294967291) AS h
+                FROM hb, UNNEST(generate_series(0, 31)) AS k(i)
+                GROUP BY doc_id, k.i),
+         sigs AS (SELECT doc_id, list(h ORDER BY ki) AS sig FROM sg GROUP BY doc_id),
+         bands AS (SELECT doc_id, b.j AS band,
+                     md5(array_to_string(sig[CAST(b.j*4+1 AS INTEGER):CAST(b.j*4+4 AS INTEGER)], ',')) AS key
+                   FROM sigs, UNNEST(generate_series(0, 7)) AS b(j)),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+
   val oracle: Map[String, String] = Map(
     // replays the gate PQ end to end: 8 per-subspace lloydChainSql
     // quantized codebook builds (16 codewords, 2 rounds each over the
@@ -554,29 +582,11 @@ object TextVector {
          FROM h""",
     "q23_fingerprint" ->
       "SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents",
-    // replays minhashCandidatesMd5 end to end: distinct 3-gram
-    // shingles, one md5 per shingle -> 32-bit base (first 8 hex
-    // chars), 32 affine universal-hash mins (a_i*x+b_i mod the
-    // largest prime < 2^32; a_i < 2^31 keeps checked BIGINT products
-    // under 2^63), 8 four-component bands, bucket join, agreement
-    // fraction — constants mirror Dedup.minhashA/minhashB exactly
+    // replays minhashCandidatesMd5 end to end: shared CTE chain
+    // (minhashPairsCtes) up to banded candidate pairs, then the
+    // signature-agreement estimate
     "q26_minhash_pairs" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-                FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
-         hb AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM sh),
-         sg AS (SELECT doc_id, k.i AS ki,
-                  min(((1 + ((CAST(k.i + 1 AS BIGINT) * 2654435761) % 2147483629)) * x
-                       + ((CAST(k.i + 1 AS BIGINT) * 40503) % 4294967291)) % 4294967291) AS h
-                FROM hb, UNNEST(generate_series(0, 31)) AS k(i)
-                GROUP BY doc_id, k.i),
-         sigs AS (SELECT doc_id, list(h ORDER BY ki) AS sig FROM sg GROUP BY doc_id),
-         bands AS (SELECT doc_id, b.j AS band,
-                     md5(array_to_string(sig[CAST(b.j*4+1 AS INTEGER):CAST(b.j*4+4 AS INTEGER)], ',')) AS key
-                   FROM sigs, UNNEST(generate_series(0, 7)) AS b(j)),
-         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                   FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      s"""WITH $minhashPairsCtes,
          est AS (SELECT doc_a, doc_b,
                    len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32.0 AS e
                  FROM pairs JOIN sigs sa ON sa.doc_id = doc_a
@@ -602,27 +612,14 @@ object TextVector {
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, bit_count(xor(a.sg, b.sg)) AS hamming
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sg, b.sg)) <= 6""",
-    // replays q26's md5 MinHash candidate pairs, then resolves the
-    // connected components with a recursive transitive-closure CTE
-    // over the symmetric edge list: a doc is dropped iff it reaches
-    // any smaller id (= it is not its component's minimum)
+    // replays q26's md5 MinHash candidate pairs (same shared CTE
+    // chain — the two gates cannot drift onto different kernels),
+    // then resolves the connected components with a recursive
+    // transitive-closure CTE over the symmetric edge list: a doc is
+    // dropped iff it reaches any smaller id (= it is not its
+    // component's minimum)
     "q35_dedup_pipeline" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-                FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
-         hb AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM sh),
-         sg AS (SELECT doc_id, k.i AS ki,
-                  min(((1 + ((CAST(k.i + 1 AS BIGINT) * 2654435761) % 2147483629)) * x
-                       + ((CAST(k.i + 1 AS BIGINT) * 40503) % 4294967291)) % 4294967291) AS h
-                FROM hb, UNNEST(generate_series(0, 31)) AS k(i)
-                GROUP BY doc_id, k.i),
-         sigs AS (SELECT doc_id, list(h ORDER BY ki) AS sig FROM sg GROUP BY doc_id),
-         bands AS (SELECT doc_id, b.j AS band,
-                     md5(array_to_string(sig[CAST(b.j*4+1 AS INTEGER):CAST(b.j*4+4 AS INTEGER)], ',')) AS key
-                   FROM sigs, UNNEST(generate_series(0, 7)) AS b(j)),
-         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                   FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      s"""WITH RECURSIVE $minhashPairsCtes,
          cand AS (SELECT doc_a, doc_b FROM pairs
                   JOIN sigs sa ON sa.doc_id = doc_a
                   JOIN sigs sb ON sb.doc_id = doc_b

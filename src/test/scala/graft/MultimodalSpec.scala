@@ -314,6 +314,86 @@ class MultimodalSpec extends SparkSpec {
     assert(d.getAs[Array[Byte]]("frame").length == 16 * 4) // stride 16 x 4 rows
   }
 
+  // minimal RIFF assembly for multi-stream / OpenDML shapes aviBytes
+  // (single-stream by design) cannot produce
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val sz = body.length
+    id.getBytes("US-ASCII") ++
+      Array[Byte](sz.toByte, (sz >> 8).toByte, (sz >> 16).toByte, (sz >> 24).toByte) ++
+      body ++ (if ((sz & 1) == 1) Array[Byte](0) else Array.empty[Byte])
+  }
+  private def riffList(kind: String, parts: Array[Byte]*): Array[Byte] =
+    riffChunk("LIST", kind.getBytes("US-ASCII") ++ parts.flatten)
+  private def bmih(w: Int, h: Int, fourcc: String): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    if (fourcc == "DIB") b.putInt(0) else b.put(fourcc.getBytes("US-ASCII"))
+    b.array()
+  }
+  private def strl(fccType: String, handler: String, fmt: Array[Byte]): Array[Byte] =
+    riffList("strl",
+      riffChunk("strh", fccType.getBytes("US-ASCII") ++
+        handler.getBytes("US-ASCII") ++ Array.fill[Byte](48)(0)),
+      riffChunk("strf", fmt))
+
+  test("VideoDecoder + sampleAviFrames: only the first video stream's frames count") {
+    // stream 0 = audio, stream 1 = DIB video: frame chunks are "01db",
+    // audio data "00wb" — the decoder must key frames off the video
+    // stream's NUMBER, not just the db/dc suffix
+    val w = 4; val h = 2; val stride = (3 * w + 3) & ~3
+    val vFrame = Array.fill[Byte](stride * h)(50)
+    val hdrl = riffList("hdrl", riffChunk("avih", Array.fill[Byte](56)(0)),
+      strl("auds", "    ", Array.fill[Byte](16)(0)),
+      strl("vids", "DIB ", bmih(w, h, "DIB")))
+    val movi = riffList("movi",
+      riffChunk("00wb", Array.fill[Byte](7)(99)),
+      riffChunk("01db", vFrame), riffChunk("00wb", Array.fill[Byte](5)(98)),
+      riffChunk("01db", vFrame))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = riffChunk("RIFF", body)
+    val d = new Multimodal.VideoDecoder().decode(avi)
+    assert(d.width == w && d.height == h && d.nFrames == 2 && d.pxMean == 50.0)
+    val sampled = Multimodal.sampleAviFrames(
+      Seq((1L, avi)).toDF("id", "payload"), "payload").collect()
+    assert(sampled.length == 2 &&
+      sampled.forall(_.getAs[Array[Byte]]("frame").length == stride * h))
+
+    // two VIDEO streams (0 = DIB, 1 = MJPG): stream 1's "01dc" chunks
+    // must not be routed through stream 0's codec/dimensions — before
+    // the stream filter this threw "short DIB frame" on the junk
+    val hdrl2 = riffList("hdrl", riffChunk("avih", Array.fill[Byte](56)(0)),
+      strl("vids", "DIB ", bmih(w, h, "DIB")),
+      strl("vids", "MJPG", bmih(64, 64, "MJPG")))
+    val movi2 = riffList("movi",
+      riffChunk("00db", Array.fill[Byte](stride * h)(30)),
+      riffChunk("01dc", Array.fill[Byte](3)(1)),
+      riffChunk("00db", Array.fill[Byte](stride * h)(30)))
+    val avi2 = riffChunk("RIFF",
+      "AVI ".getBytes("US-ASCII") ++ hdrl2 ++ movi2)
+    val d2 = new Multimodal.VideoDecoder().decode(avi2)
+    assert(d2.nFrames == 2 && d2.pxMean == 30.0)
+  }
+
+  test("sampleAviFrames recurses into OpenDML AVIX segments like VideoDecoder") {
+    // main RIFF (2 frames via aviBytes, stream 0) + a second
+    // top-level "RIFF…AVIX" movi segment carrying 3 more frames: the
+    // two AVI walkers must agree on the frame count
+    val w = 5; val h = 4; val stride = (3 * w + 3) & ~3
+    val main = Multimodal.aviBytes(w, h, 10,
+      Seq(Array.fill[Byte](w * h)(10), Array.fill[Byte](w * h)(20)))
+    val extra = (1 to 3).map(v => riffChunk("00db",
+      Array.fill[Byte](stride * h)((10 * v).toByte)))
+    val avix = riffChunk("RIFF",
+      "AVIX".getBytes("US-ASCII") ++ riffList("movi", extra: _*))
+    val avi = main ++ avix
+    val d = new Multimodal.VideoDecoder().decode(avi)
+    assert(d.nFrames == 5)
+    val sampled = Multimodal.sampleAviFrames(
+      Seq((1L, avi)).toDF("id", "payload"), "payload")
+      .select("frame_no").collect().map(_.getInt(0)).sorted
+    assert(sampled.sameElements(0 until 5))
+  }
+
   test("sampleFrames fans out frame plans without decoding") {
     val out = Multimodal.sampleFrames(media.filter($"id" === 2L), "payload",
       frameBytes = 100, stride = 2)
