@@ -25,7 +25,8 @@ import java.nio.file.{Paths, StandardOpenOption}
   *     Array (EAHD/EAIB/EADB incl. EASB super blocks — the h5py
   *     appendable/maxshape=None shape at any realistic chunk count),
   *     and v2 B-tree (record types 10/11); optionally deflate- and/or
-  *     shuffle-filtered
+  *     shuffle-filtered, honoring per-chunk filter masks (raw partial
+  *     edge chunks under H5D_CHUNK_DONT_FILTER_PARTIAL_BOUND_CHUNKS)
   *   - datatypes: fixed-point, IEEE float, fixed strings; vlen strings
   *     in ATTRIBUTES (global heap)
   *   - attribute messages v1-v3
