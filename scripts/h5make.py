@@ -184,6 +184,14 @@ class WLatest(W):
 
     superblock_size = 48
     fa_page_bits = 10  # HDF5's default fixed-array page (1024 entries)
+    ea_page_bits = 10  # HDF5's default EA data-block page (1024 elmts)
+
+    @staticmethod
+    def bit_set(bitmap, i):
+        """Page-init bitmap bit addressing: MSB-first within each byte,
+        mirroring libhdf5's H5VM_bit_set/get (1 << (7 - offset%8)) —
+        the convention real FA/EA page bitmaps carry on disk."""
+        bitmap[i // 8] |= 1 << (7 - (i % 8))
 
     def object_header(self, msgs):
         body = b""
@@ -244,7 +252,8 @@ class WLatest(W):
             enc = self._enc_width(max(chunk_rows, elem))
             if index.startswith("ea"):
                 hdr = self._ea_index(chunks, chunk_bytes, filt)
-                cparam = struct.pack("<BBBBB", 32, 4, 4, 16, 10)
+                cparam = struct.pack("<BBBBB", 32, 4, 4, 16,
+                                     self.ea_page_bits)
                 lay = (struct.pack("<BBBBB", 4, 2, 0x02 if filt else 0, 2, enc)
                        + chunk_rows.to_bytes(enc, "little")
                        + elem.to_bytes(enc, "little")
@@ -316,7 +325,7 @@ class WLatest(W):
                 npages = (n + page - 1) // page
                 bitmap = bytearray((npages + 7) // 8)
                 for p in range(npages):
-                    bitmap[p // 8] |= 1 << (p % 8)
+                    self.bit_set(bitmap, p)
                 body = b""
                 for p in range(npages):
                     pe = b"".join(packed[p * page:(p + 1) * page])
@@ -353,13 +362,20 @@ class WLatest(W):
         ([(addr, stored_size)]). Returns the EAHD address. Geometry is
         libhdf5's chunk-EA default (32-bit element space, 4 inline
         index-block elements, 16-element starting data blocks, 4
-        min super-block pointers, 1024-element pages): the first 4
-        chunks inline in the EAIB, later chunks in EADB data blocks
-        per the super-block doubling rule; past the index block's 6
-        direct data-block pointers (244 elements), data blocks hang
-        off EASB super blocks (written unpaged — data blocks stay
-        <= one 1024-element page until ~100k chunks)."""
-        max_bits, idx_elmts, min_elmts, min_ptrs, page_bits = 32, 4, 16, 4, 10
+        min super-block pointers, 2^ea_page_bits-element pages): the
+        first 4 chunks inline in the EAIB, later chunks in EADB data
+        blocks per the super-block doubling rule; past the index
+        block's 6 direct data-block pointers (244 elements), data
+        blocks hang off EASB super blocks. Super-block data blocks
+        larger than one page are PAGED: the data block stores only its
+        prefix + checksum, followed by per-page element runs with own
+        checksums, and the owning EASB carries the page-init bitmap
+        (MSB-first bits, libhdf5 H5VM_bit_get order) — the shape an
+        appendable catalog reaches past ~100k chunks at default
+        geometry (reachable small here via ea_page_bits)."""
+        max_bits, idx_elmts, min_elmts, min_ptrs = 32, 4, 16, 4
+        page_bits = self.ea_page_bits
+        page = 1 << page_bits
         client = 1 if filt else 0
         off_w = (max_bits + 7) // 8
         if filt:
@@ -402,8 +418,8 @@ class WLatest(W):
                 dblocks.append((u, ne, first, cs))
                 covered += ne; first += ne
             u += 1
-        assert all(ne <= 2 ** page_bits for _, ne, _, _ in dblocks), \
-            "fixture would need PAGED super-block data blocks"
+        assert all(ne <= page for _, ne, _, _ in dblocks[:ndblk_addrs]), \
+            "index-block-pointed data blocks must stay unpaged (as in libhdf5)"
         direct = dblocks[:ndblk_addrs]
         # group the overflow by super-block row: EASB s covers row
         # k + s with 2^(row//2) data-block pointers
@@ -419,10 +435,23 @@ class WLatest(W):
             ptrs[(dfirst - sfirst) // ne] = di
         # addresses: data blocks, then super blocks, then index block,
         # then header
+        def npages_of(ne):
+            return ne // page if ne > page else 0
+
+        def page_init(cs, p):
+            return any(c is not None for c in cs[p * page:(p + 1) * page])
+
         base = self.pos
-        dblk_sizes = [14 + off_w + ne * elem_size + 4 for _, ne, _, _ in dblocks]
+        dblk_sizes = [
+            (14 + off_w + 4 + npages_of(ne) * (page * elem_size + 4))
+            if npages_of(ne) else (14 + off_w + ne * elem_size + 4)
+            for _, ne, _, _ in dblocks]
         dblk_addrs = [base + sum(dblk_sizes[:i]) for i in range(len(dblocks))]
-        sblk_sizes = {s: 14 + off_w + len(p[2]) * 8 for s, p in sblks.items()}
+        sblk_sizes = {}
+        for s, (row, _, ptrs) in sblks.items():
+            np_ = npages_of(min_elmts * 2 ** ((row + 1) // 2))
+            bl = (len(ptrs) * np_ + 7) // 8 if np_ else 0
+            sblk_sizes[s] = 14 + off_w + bl + len(ptrs) * 8
         sblk_base = base + sum(dblk_sizes)
         sblk_addrs = {}
         pos = sblk_base
@@ -433,17 +462,44 @@ class WLatest(W):
         ib_size = 14 + idx_elmts * elem_size + (ndblk_addrs + nsblk_addrs) * 8 + 4
         hdr_addr = ib_addr + ib_size
         for (du, ne, first, cs), want in zip(dblocks, dblk_addrs):
-            b = (b"EADB" + struct.pack("<BB", 0, client)
-                 + struct.pack("<Q", hdr_addr)
-                 + first.to_bytes(off_w, "little")
-                 + b"".join(elem(c) for c in cs))
-            b += struct.pack("<I", lookup3(b))
+            np_ = npages_of(ne)
+            head = (b"EADB" + struct.pack("<BB", 0, client)
+                    + struct.pack("<Q", hdr_addr)
+                    + first.to_bytes(off_w, "little"))
+            if np_:
+                # paged: prefix + its checksum, then per-page element
+                # runs each with own checksum; uninitialized pages are
+                # allocated file space that was never written
+                b = head + struct.pack("<I", lookup3(head))
+                for p in range(np_):
+                    if page_init(cs, p):
+                        pe = b"".join(elem(c)
+                                      for c in cs[p * page:(p + 1) * page])
+                        b += pe + struct.pack("<I", lookup3(pe))
+                    else:
+                        b += b"\0" * (page * elem_size + 4)
+            else:
+                b = head + b"".join(elem(c) for c in cs)
+                b += struct.pack("<I", lookup3(b))
             assert self.block(b) == want
         for s in sorted(sblks):
             row, sfirst, ptrs = sblks[s]
+            np_ = npages_of(min_elmts * 2 ** ((row + 1) // 2))
+            bm = b""
+            if np_:
+                # page-init bitmap for ALL this super block's data-block
+                # pages (bit = dblk_in_sblk * npages + page, MSB-first)
+                bitmap = bytearray((len(ptrs) * np_ + 7) // 8)
+                for k2, di in enumerate(ptrs):
+                    if di is None:
+                        continue
+                    for p in range(np_):
+                        if page_init(dblocks[di][3], p):
+                            self.bit_set(bitmap, k2 * np_ + p)
+                bm = bytes(bitmap)
             b = (b"EASB" + struct.pack("<BB", 0, client)
                  + struct.pack("<Q", hdr_addr)
-                 + sfirst.to_bytes(off_w, "little")
+                 + sfirst.to_bytes(off_w, "little") + bm
                  + b"".join(struct.pack(
                      "<Q", UNDEF if di is None else dblk_addrs[di])
                      for di in ptrs))
@@ -679,15 +735,28 @@ def main():
     ea = "--appendable" in sys.argv[1:]        # extensible-array chunks
     bt2 = "--bt2" in sys.argv[1:]              # v2-b-tree chunks
     edge = "--edge-raw" in sys.argv[1:]        # raw partial chunk, mask bit 0
+    ea_paged = "--ea-paged" in sys.argv[1:]    # paged EA data blocks
     # --repeat=N tiles the table N times — enough chunks to push the
     # EA index past its direct data-block pointers into EASB super
     # blocks (the realistic appendable-catalog regime) while keeping
     # the small fixture table
     rep = next((int(a.split("=", 1)[1]) for a in sys.argv[1:]
                 if a.startswith("--repeat=")), 1)
-    latest = latest or paged or dense or ea or bt2 or edge
+    latest = latest or paged or dense or ea or bt2 or edge or ea_paged
+    if ea_paged:
+        ea = True
+        # 64-element pages: super-block row 5's 128-element data
+        # blocks are PAGED (2 pages each) while every index-block
+        # direct block (<= 64) stays unpaged, as in libhdf5. 21x the
+        # 25-row nation table with 1-row chunks = 525 chunks: 4 inline
+        # + 240 direct + 256 in row 4 + 25 into row 5's first data
+        # block -> page 0 initialized, page 1 allocated-but-uninit,
+        # data blocks 1-3 of the row unallocated.
+        rep = max(rep, 21)
     t = pq.read_table(args[0])
     w = WLatest() if latest else W()
+    if ea_paged:
+        w.ea_page_bits = 6
     if paged:
         # tiny pages + tiny chunks force the PAGED fixed-array shape
         # (bitmap + per-page checksums) with a small fixture table
@@ -729,7 +798,9 @@ def main():
             # column: unfiltered, 1-row chunks -> 25 chunks = 4 inline
             # + a full 16-element data block + a second (partial)
             # 32-element block. Second: deflate, 2-row chunks -> 13
-            # chunks = 4 inline + 9 in one data block.
+            # chunks = 4 inline + 9 in one data block. Under
+            # --ea-paged both use 1-row chunks so the unfiltered AND
+            # filtered element encodings each reach a paged row.
             if first_numeric:
                 cols.append((name, w.dataset(vals, kind,
                                              attrs=[("unit", "None")],
@@ -738,7 +809,8 @@ def main():
             else:
                 cols.append((name, w.dataset(vals, kind,
                                              attrs=[("unit", "None")],
-                                             chunk_rows=2, index="ea_filt")))
+                                             chunk_rows=1 if ea_paged else 2,
+                                             index="ea_filt")))
         elif bt2 and kind == "i64":
             # v2-b-tree chunk index. First int column: unfiltered,
             # 64 B nodes force a DEPTH-1 tree over 13 chunks; second:
@@ -784,6 +856,7 @@ def main():
     w.write(args[1], root)
     mode = ("latest dense-links (FRHP+BTHD)" if dense
             else "edge-raw chunks (filter mask bit 0)" if edge
+            else "paged EA data blocks (EASB bitmap)" if ea_paged
             else "latest extensible-array chunks (EAHD)" if ea
             else "latest v2-btree chunks (BTHD t10/t11)" if bt2
             else "latest paged-FA (sb v3, OHDR)" if paged

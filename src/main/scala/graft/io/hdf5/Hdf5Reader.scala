@@ -22,8 +22,9 @@ import java.nio.file.{Paths, StandardOpenOption}
   *   - datasets: contiguous (layout v3/v4) or chunked via v1 chunk
   *     B-tree, or any of the layout-v4 chunk indexes: Single Chunk,
   *     Implicit, Fixed Array (single-page AND paged FADB), Extensible
-  *     Array (EAHD/EAIB/EADB incl. EASB super blocks — the h5py
-  *     appendable/maxshape=None shape at any realistic chunk count),
+  *     Array (EAHD/EAIB/EADB incl. EASB super blocks AND paged data
+  *     blocks with EASB page-init bitmaps — the h5py appendable/
+  *     maxshape=None shape at any chunk count),
   *     and v2 B-tree (record types 10/11); optionally deflate- and/or
   *     shuffle-filtered, honoring per-chunk filter masks (raw partial
   *     edge chunks under H5D_CHUNK_DONT_FILTER_PARTIAL_BOUND_CHUNKS)
@@ -40,11 +41,10 @@ import java.nio.file.{Paths, StandardOpenOption}
   * Spark analog of the reference's per-rank HDF5 column windows
   * (io/mpi.py read paths).
   *
-  * Unsupported residue (PAGED extensible-array data blocks — reached
-  * only past ~100k chunks per dataset under the default chunk-EA
-  * geometry; filtered fractal heaps; huge/tiny heap objects; v2
-  * B-trees deeper than 1; datatypes beyond the above) fails loudly
-  * with the offending construct named.
+  * Unsupported residue (filtered fractal heaps; huge/tiny heap
+  * objects; v2 B-trees deeper than 1; paged index-block-pointed EA
+  * data blocks, a shape libhdf5 never emits; datatypes beyond the
+  * above) fails loudly with the offending construct named.
   */
 final class Hdf5Reader(val path: String) extends AutoCloseable {
   import Hdf5Reader._
@@ -867,9 +867,14 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     * whose geometry follows the super-block doubling rule (super
     * block u holds 2^(u/2) data blocks of minElmts*2^((u+1)/2)
     * elements each); the index block points directly at the data
-    * blocks of the first super blocks (2*(minPtrs-1) of them).
-    * Elements beyond those — actual secondary EASB blocks — and paged
-    * data blocks fail loudly by name.
+    * blocks of the first super blocks (2*(minPtrs-1) of them), later
+    * ones hang off secondary EASB blocks. Super-block data blocks
+    * larger than one page (2^pageBits elements) are PAGED — prefix +
+    * checksum, per-page element runs with own checksums, page-init
+    * bitmap in the owning EASB — the shape an appendable dataset
+    * reaches past ~100k chunks at libhdf5's default geometry. Only
+    * the (never emitted by libhdf5) paged index-block-pointed shape
+    * fails loudly by name.
     */
   private def extensibleArrayChunks(ds: DatasetMeta, hdrAddr: Long,
                                     chunkRows: Int, chunkBytes: Int): Seq[(Long, Long, Int, Int)] = {
@@ -949,21 +954,24 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     val nChunks = nChunksL.toInt
     val offW = (maxBits + 7) / 8
 
+    val pageElems = 1L << pageBits
+    def nPagesOf(ne: Long): Int = if (ne > pageElems) (ne / pageElems).toInt else 0
+
     // super blocks (EASB) are lazily located + verified once each:
-    // sblk ordinal s (row directRows + s) -> address of its
-    // data-block-pointer region, or None if unallocated. Only the
-    // unpaged shape is read (each data block <= one page, so blocks
-    // carry one whole-block checksum) — paged super-block data blocks
-    // (page bitmap in the EASB, per-page checksums) are refused by
-    // name below; with libhdf5's default chunk-EA geometry they first
-    // appear past ~100k chunks per dataset.
-    val sblkCache = scala.collection.mutable.Map[Int, Option[Long]]()
-    def superBlock(s: Int, row: Int, firstElem: Long): Option[Long] =
+    // sblk ordinal s (row directRows + s) -> (address of its
+    // data-block-pointer region, page-init bitmap), or None if
+    // unallocated. Rows whose data blocks exceed one page are PAGED:
+    // the EASB carries the init bitmap for ALL its data blocks' pages
+    // (bit = dblk_in_sblk * npages + page, MSB-first per libhdf5's
+    // H5VM_bit_get), the data blocks store only prefix + checksum,
+    // and elements live in per-page runs with own checksums — the
+    // shape an appendable dataset reaches past ~100k chunks at
+    // libhdf5's default chunk-EA geometry.
+    val sblkCache = scala.collection.mutable.Map[Int, Option[(Long, Array[Byte])]]()
+    def superBlock(s: Int, row: Int, firstElem: Long): Option[(Long, Array[Byte])] =
       sblkCache.getOrElseUpdate(s, {
         require(s < nsblkAddrs,
           s"chunk beyond extensible-array capacity (super block $s of $nsblkAddrs, ${ds.name})")
-        require(sblkDblkNelmts(row) <= (1L << pageBits),
-          s"paged extensible-array super-block data blocks unsupported (${ds.name})")
         val addr = u64(ibDblks + (ndblkAddrs + s).toLong * 8)
         if (addr == Undef) None
         else {
@@ -974,25 +982,31 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
             s"EASB header back-pointer mismatch at $addr (${ds.name})")
           require(uVar(addr + 14, offW) == firstElem,
             s"EASB block offset ${uVar(addr + 14, offW)} != expected $firstElem (${ds.name})")
-          val used = (14 + offW + sblkNDblks(row).toLong * 8).toInt
+          val nDb = sblkNDblks(row)
+          val nPg = nPagesOf(sblkDblkNelmts(row))
+          val bmBytes = if (nPg > 0) (nDb * nPg + 7) / 8 else 0
+          val used = (14 + offW + bmBytes + nDb.toLong * 8).toInt
           val st = u32(addr + used)
           val c = Lookup3.hashU(bytes(addr, used), 0)
           require(st == c, s"EASB checksum mismatch at $addr (${ds.name})")
-          Some(addr + 14 + offW)
+          val bitmap =
+            if (bmBytes > 0) bytes(addr + 14 + offW, bmBytes)
+            else Array.empty[Byte]
+          Some((addr + 14 + offW + bmBytes, bitmap))
         }
       })
 
-    // data blocks are lazily located: (dblk ordinal) -> (addr of its
-    // element region, its element capacity), verified once each.
-    // `slot` is the file offset of the block's 8-byte address — in
-    // the index block for the first ndblkAddrs blocks, inside an EASB
-    // beyond them.
-    val dblkCache = scala.collection.mutable.Map[Int, Option[(Long, Long)]]()
+    // data blocks are lazily located: (dblk ordinal) -> (element
+    // region address — or, for PAGED blocks, the first page's address
+    // — and the paged flag), verified once each. `slot` is the file
+    // offset of the block's 8-byte address — in the index block for
+    // the first ndblkAddrs blocks, inside an EASB beyond them. A
+    // paged block's own checksum covers only its prefix; element
+    // pages are verified individually on first touch below.
+    val dblkCache = scala.collection.mutable.Map[Int, Option[(Long, Boolean)]]()
     def dataBlock(ord: Int, slot: Long, firstElem: Long,
-                  nelmts: Long): Option[(Long, Long)] =
+                  nelmts: Long): Option[(Long, Boolean)] =
       dblkCache.getOrElseUpdate(ord, {
-        require(nelmts <= (1L << pageBits),
-          s"paged extensible-array data blocks unsupported (${ds.name})")
         val addr = u64(slot)
         if (addr == Undef) None
         else {
@@ -1003,13 +1017,34 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
             s"EADB header back-pointer mismatch at $addr (${ds.name})")
           require(uVar(addr + 14, offW) == firstElem,
             s"EADB block offset ${uVar(addr + 14, offW)} != expected $firstElem (${ds.name})")
-          val used = (14 + offW + nelmts * elemSize).toInt
-          val s = u32(addr + used)
-          val c = Lookup3.hashU(bytes(addr, used), 0)
-          require(s == c, s"EADB checksum mismatch at $addr (${ds.name})")
-          Some((addr + 14 + offW, nelmts))
+          if (nPagesOf(nelmts) == 0) {
+            val used = (14 + offW + nelmts * elemSize).toInt
+            val s = u32(addr + used)
+            val c = Lookup3.hashU(bytes(addr, used), 0)
+            require(s == c, s"EADB checksum mismatch at $addr (${ds.name})")
+            Some((addr + 14 + offW, false))
+          } else {
+            val used = 14 + offW
+            val s = u32(addr + used)
+            val c = Lookup3.hashU(bytes(addr, used), 0)
+            require(s == c, s"EADB prefix checksum mismatch at $addr (${ds.name})")
+            Some((addr + used + 4, true))
+          }
         }
       })
+
+    // per-page checksum verification, once per touched page
+    val pageBytes = (pageElems * elemSize).toInt
+    val pageOk = scala.collection.mutable.Set[(Int, Int)]()
+    def verifyPage(ord: Int, pagesBase: Long, pg: Int): Unit =
+      if (!pageOk((ord, pg))) {
+        val pAddr = pagesBase + pg.toLong * (pageBytes + 4)
+        val s = u32(pAddr + pageBytes)
+        val c = Lookup3.hashU(bytes(pAddr, pageBytes), 0)
+        require(s == c,
+          s"EA data-block page checksum mismatch at $pAddr (${ds.name})")
+        pageOk += ((ord, pg))
+      }
 
     (0 until nChunks).flatMap { i =>
       if (i < idxElmts) decodeElem(ibElems + i.toLong * elemSize, i)
@@ -1032,16 +1067,32 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
             // rows below directRows resolve through the index block's
             // direct pointers; later rows through their EASB (a row
             // never straddles the two — the geometry check above
-            // guarantees direct pointers end exactly at a row break)
-            val slot: Option[Long] =
-              if (u < directRows) Some(ibDblks + d.toLong * 8)
+            // guarantees direct pointers end exactly at a row break).
+            // Paged data blocks can only hang off an EASB (which holds
+            // their page-init bitmap); libhdf5 never pages the
+            // index-block-pointed blocks, so that shape fails loudly.
+            if (u < directRows) require(nPagesOf(ne) == 0,
+              s"paged index-block-pointed EA data blocks unsupported (${ds.name})")
+            val slotAndBm: Option[(Long, Array[Byte])] =
+              if (u < directRows) Some((ibDblks + d.toLong * 8, Array.empty[Byte]))
               else superBlock(u - directRows, u, firstElem)
-                .map(_ + dInRow.toLong * 8)
-            found = slot
-              .flatMap(sl => dataBlock(d, sl, dFirst, ne))
-              .flatMap { case (elemsAddr, _) =>
-                decodeElem(elemsAddr + (j % ne) * elemSize, i)
+                .map { case (ptrRegion, bm) => (ptrRegion + dInRow.toLong * 8, bm) }
+            found = slotAndBm.flatMap { case (sl, bm) =>
+              dataBlock(d, sl, dFirst, ne).flatMap { case (baseAddr, paged) =>
+                val idx = j % ne
+                if (!paged) decodeElem(baseAddr + idx * elemSize, i)
+                else {
+                  val nPg = nPagesOf(ne)
+                  val pg = (idx / pageElems).toInt
+                  if (!bitGet(bm, dInRow * nPg + pg)) None // page never written
+                  else {
+                    verifyPage(d, baseAddr, pg)
+                    decodeElem(baseAddr + pg.toLong * (pageBytes + 4)
+                      + (idx % pageElems) * elemSize, i)
+                  }
+                }
               }
+            }
             done = true
           } else {
             j -= cap; ord += sblkNDblks(u); firstElem += cap; u += 1
@@ -1053,6 +1104,14 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
   }
 
   private def encLog2(v: Int): Int = 31 - Integer.numberOfLeadingZeros(v)
+
+  /** Page-init bitmap bit addressing shared by the paged fixed-array
+    * and extensible-array readers: MSB-first within each byte,
+    * mirroring libhdf5's `H5VM_bit_get` (`1 << (7 - offset % 8)`) —
+    * the convention real FA/EA page bitmaps carry on disk.
+    */
+  private def bitGet(bitmap: Array[Byte], i: Int): Boolean =
+    (bitmap(i >> 3) & (1 << (7 - (i & 7)))) != 0
 
   /** v2-B-tree chunk index (layout v4 type 5): record type 10
     * (unfiltered: address + scaled offset per dimension) or 11
@@ -1169,7 +1228,7 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
       require(dStored == dComputed,
         s"paged FADB checksum mismatch at $dbAddr (${ds.name})")
       val bitmap = bytes(dbAddr + prefixLen, bitmapBytes)
-      def pageInit(p: Int): Boolean = (bitmap(p / 8) & (1 << (p % 8))) != 0
+      def pageInit(p: Int): Boolean = bitGet(bitmap, p)
       def pageEntries(p: Int): Long =
         math.min(pageSize, maxEntries - p.toLong * pageSize)
       val pagesStart = dbAddr + prefixLen + bitmapBytes + 4

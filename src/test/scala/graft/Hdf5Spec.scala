@@ -718,6 +718,45 @@ class Hdf5Spec extends SparkSpec {
     } finally r.close()
   }
 
+  test("PAGED EA data blocks: EASB page bitmap, per-page checksums") {
+    // h5make.py --ea-paged (page = 64 elements): 525 one-row chunks;
+    // elements 500-524 land in super-block row 5's first PAGED data
+    // block (2 x 64-element pages — page 0 initialized, page 1
+    // allocated-but-never-written, data blocks 1-3 of the row
+    // unallocated), with the page-init bitmap in the owning EASB
+    // (MSB-first bits, libhdf5 H5VM_bit_get order: a reader using the
+    // wrong bit order sees page 0 uninitialized and silently loses
+    // rows 500+, which the sums below would catch). Both the
+    // unfiltered (client-0) and deflate-filtered (client-1) element
+    // encodings take the paged path.
+    val p = getClass.getResource("/nation_ea_paged.hdf5").getPath
+    val ds = Hdf5Io.importDataset(spark, p)
+    assert(ds.count() == 525)
+    val truth = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .agg(sum($"n_nationkey"), sum($"n_regionkey")).head()
+    val got = ds.df.agg(sum($"n_nationkey"), sum($"n_regionkey")).head()
+    assert(got.getLong(0) == 21 * truth.getLong(0))
+    assert(got.getLong(1) == 21 * truth.getLong(1))
+    // a row window crossing the unpaged->paged boundary reads the
+    // same bytes as the full scan
+    val r = new Hdf5Reader(p)
+    try {
+      val root = r.objectInfo(r.rootHeaderAddr)
+      val kids = r.groupLinks(r.objectInfo(r.groupLinks(root).toMap.apply("data"))).toMap
+      Seq("n_nationkey", "n_regionkey").foreach { c =>
+        val meta = r.datasetMeta(c, r.objectInfo(kids(c)))
+        val full = r.readRows(meta, 0, meta.rows)
+        val win = r.readRows(meta, 495, 525)
+        val fb = java.nio.ByteBuffer.wrap(full).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val wb = java.nio.ByteBuffer.wrap(win).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until 30).foreach { k =>
+          assert(wb.getLong(k * 8) == fb.getLong((495 + k) * 8),
+            s"paged-boundary window row ${495 + k} of $c")
+        }
+      }
+    } finally r.close()
+  }
+
   test("dense attribute storage fails loudly instead of dropping metadata") {
     import graft.io.hdf5.Lookup3
     // hand-built v2 object header carrying an Attribute Info message
