@@ -217,7 +217,7 @@ class WLatest(W):
                 + nb + dt + ds + vb)
 
     def dataset(self, values, kind, attrs=(), chunk_rows=None, index="fa",
-                edge_raw=False):
+                edge_raw=False, bt2_node=None):
         data, elem = encode_values(values, kind)
         rows = len(values)
         dt = dtype_bytes(kind)
@@ -260,7 +260,8 @@ class WLatest(W):
                        + struct.pack("<B", 4) + cparam
                        + struct.pack("<Q", hdr))
             else:
-                node_size = 64 if not filt else 512  # 64 forces depth 1
+                # 64 B nodes force a deep tree on few chunks
+                node_size = bt2_node or (64 if not filt else 512)
                 hdr = self._bt2_chunk_index(chunks, chunk_bytes, chunk_rows,
                                             filt, node_size)
                 lay = (struct.pack("<BBBBB", 4, 2, 0x02 if filt else 0, 2, enc)
@@ -655,38 +656,64 @@ class WLatest(W):
         return hdr_addr, ids
 
     def _btree2(self, records, rec_size, bt_type, node_size=512):
-        """Write a v2 B-tree over pre-sorted fixed-size records.
-        Returns the BTHD address. Depth 0 while the records fit one
-        leaf, else depth 1 (root internal node over leaves — the shape
-        a ~50+-link group or a many-chunk dataset really has)."""
+        """Write a v2 B-tree over pre-sorted fixed-size records at
+        whatever depth the node capacities demand, using libhdf5's
+        node geometry (H5B2hdr.c): leaf capacity (node_size-10)//rec,
+        internal-node child pointers = address(8) + record count
+        (width = minimal encoding of the LEAF capacity, uniform across
+        depths) + total subtree records (width = minimal encoding of
+        the child depth's cumulative capacity; absent over leaves),
+        internal capacity solved from node_size against that pointer
+        width. Returns the BTHD address."""
         n = len(records)
         max_leaf = (node_size - 10) // rec_size
+        nrec_w = self._enc_width(max_leaf)
+        # per-depth geometry: max records in a node, cumulative max in
+        # a subtree, encoding width of the cumulative (0 over leaves)
+        max_rec, cum_max, cum_w = [max_leaf], [max_leaf], [0]
+        while cum_max[-1] < n:
+            ptr = 8 + nrec_w + cum_w[-1]
+            mr = (node_size - (10 + ptr)) // (rec_size + ptr)
+            assert mr >= 1, f"node_size {node_size} too small for depth {len(max_rec)}"
+            cm = (mr + 1) * cum_max[-1] + mr
+            max_rec.append(mr); cum_max.append(cm)
+            cum_w.append(self._enc_width(cm))
+        depth = len(max_rec) - 1
 
         def leaf(recs):
             b = (b"BTLF" + struct.pack("<BB", 0, bt_type) + b"".join(recs))
             b += struct.pack("<I", lookup3(b))
             return self.block(b)
 
-        if n <= max_leaf:
-            root, depth, root_n = (leaf(records) if n else UNDEF), 0, n
-        else:
-            nrec_w = self._enc_width(max_leaf)
-            nleaves = -(-n // max_leaf)
-            per = (n - (nleaves - 1)) // nleaves
-            extra = (n - (nleaves - 1)) % nleaves
-            leaves, seps, i = [], [], 0
-            for li in range(nleaves):
-                sz = per + (1 if li < extra else 0)
-                leaves.append(records[i:i + sz]); i += sz
-                if li < nleaves - 1:
-                    seps.append(records[i]); i += 1
-            assert i == n
-            leaf_addrs = [leaf(ls) for ls in leaves]
+        def build(recs, d):
+            """Subtree of uniform depth d -> (addr, node recs, total)."""
+            if d == 0:
+                return (leaf(recs), len(recs), len(recs))
+            k = max(2, -(-(len(recs) + 1) // (cum_max[d - 1] + 1)))
+            assert k - 1 <= max_rec[d], "internal node over capacity"
+            m = len(recs) - (k - 1)
+            per, extra = divmod(m, k)
+            children, seps, i = [], [], 0
+            for ci in range(k):
+                sz = per + (1 if ci < extra else 0)
+                children.append(build(recs[i:i + sz], d - 1))
+                i += sz
+                if ci < k - 1:
+                    seps.append(recs[i]); i += 1
+            assert i == len(recs)
             body = b"BTIN" + struct.pack("<BB", 0, bt_type) + b"".join(seps)
-            for a, ls in zip(leaf_addrs, leaves):
-                body += struct.pack("<Q", a) + len(ls).to_bytes(nrec_w, "little")
+            for addr, cn, tot in children:
+                body += struct.pack("<Q", addr) + cn.to_bytes(nrec_w, "little")
+                if cum_w[d - 1]:  # absent over leaves (width 0)
+                    body += tot.to_bytes(cum_w[d - 1], "little")
+            assert len(body) + 4 <= node_size, "internal node oversized"
             body += struct.pack("<I", lookup3(body))
-            root, depth, root_n = self.block(body), 1, len(seps)
+            return (self.block(body), len(seps), len(recs))
+
+        if n == 0:
+            root, root_n = UNDEF, 0
+        else:
+            root, root_n, _ = build(records, depth)
         hdr = (b"BTHD" + struct.pack("<BB", 0, bt_type)
                + struct.pack("<IHH", node_size, rec_size, depth)
                + struct.pack("<BB", 100, 40)
@@ -813,8 +840,10 @@ def main():
                                              index="ea_filt")))
         elif bt2 and kind == "i64":
             # v2-b-tree chunk index. First int column: unfiltered,
-            # 64 B nodes force a DEPTH-1 tree over 13 chunks; second:
-            # deflate, default nodes, depth 0.
+            # 64 B nodes force a DEPTH-2 tree over 13 chunks (3-record
+            # leaves, 1-record internals); second: deflate, 128 B
+            # nodes -> depth 1. Depth 0 is covered by the edge-raw
+            # fixture's t11 index.
             if first_numeric:
                 cols.append((name, w.dataset(vals, kind,
                                              attrs=[("unit", "None")],
@@ -823,7 +852,8 @@ def main():
             else:
                 cols.append((name, w.dataset(vals, kind,
                                              attrs=[("unit", "None")],
-                                             chunk_rows=5, index="bt2_filt")))
+                                             chunk_rows=2, index="bt2_filt",
+                                             bt2_node=128)))
         elif dense and kind == "i64":
             # widen the table so the data group crosses the dense-link
             # threshold for real: 31 derived aliases per int column

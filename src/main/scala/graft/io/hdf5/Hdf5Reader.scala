@@ -42,9 +42,9 @@ import java.nio.file.{Paths, StandardOpenOption}
   * (io/mpi.py read paths).
   *
   * Unsupported residue (filtered fractal heaps; huge/tiny heap
-  * objects; v2 B-trees deeper than 1; paged index-block-pointed EA
-  * data blocks, a shape libhdf5 never emits; datatypes beyond the
-  * above) fails loudly with the offending construct named.
+  * objects; paged index-block-pointed EA data blocks, a shape libhdf5
+  * never emits; datatypes beyond the above) fails loudly with the
+  * offending construct named.
   */
 final class Hdf5Reader(val path: String) extends AutoCloseable {
   import Hdf5Reader._
@@ -483,9 +483,13 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
   /** All records of a v2 B-tree, in tree order; each is `recordSize`
     * raw bytes. Used for dense-link name indexes (type 5) and v4
     * chunk indexes (types 10/11). Every node's lookup3 checksum is
-    * verified. Depth 0 (root leaf) and depth 1 (root internal over
-    * leaves) cover realistic catalog groups and chunk counts; deeper
-    * trees fail loudly by name.
+    * verified. Any depth: internal-node child pointers follow
+    * libhdf5's geometry (H5B2hdr.c) — address(8) + record count
+    * (width = minimal encoding of the LEAF capacity, uniform across
+    * depths) + total subtree records (width = minimal encoding of the
+    * child depth's cumulative capacity, absent over leaves; the
+    * internal capacity at each depth is solved from nodeSize against
+    * that pointer width).
     */
   private[hdf5] def v2BtreeRecords(hdrAddr: Long,
                                    expectTypes: Set[Int]): Seq[Array[Byte]] = {
@@ -518,35 +522,52 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
       (0 until n).map(i => bytes(addr + 6 + i.toLong * recordSize, recordSize))
     }
 
-    depth match {
-      case 0 => leafRecords(rootAddr, rootNRec)
-      case 1 =>
-        require(sig4(rootAddr) == "BTIN", s"no v2 b-tree internal node at $rootAddr")
-        require(u8(rootAddr + 4) == 0 && u8(rootAddr + 5) == btType,
-          s"BTIN version/type mismatch at $rootAddr")
-        // child pointers: address + record count, count width = minimal
-        // encoding of the max records a LEAF can hold (spec rule)
-        val maxLeafRec = (nodeSize - 10) / recordSize
-        val nrecW = encSize(maxLeafRec)
-        val recsStart = rootAddr + 6
-        val ptrStart = recsStart + rootNRec.toLong * recordSize
-        val ptrW = 8 + nrecW
-        val used = (6 + rootNRec.toLong * recordSize + (rootNRec + 1).toLong * ptrW).toInt
-        val s = u32(rootAddr + used)
-        val c = Lookup3.hashU(bytes(rootAddr, used), 0)
-        require(s == c, s"BTIN checksum mismatch at $rootAddr")
+    require(depth <= 8, s"implausible v2 b-tree depth $depth at $hdrAddr")
+    // per-depth geometry (libhdf5 H5B2hdr.c): record-count width is
+    // uniform (minimal encoding of the LEAF capacity); the total-
+    // subtree-records width at depth d is the minimal encoding of the
+    // cumulative capacity at d, which feeds the pointer width — and
+    // therefore the internal capacity — at d+1
+    val maxLeafRec = (nodeSize - 10) / recordSize
+    val nrecW = encSize(maxLeafRec)
+    val cumW = new Array[Int](depth + 1)   // cumW(0) = 0: leaves carry no total
+    locally {
+      var cum = maxLeafRec.toLong
+      var d = 1
+      while (d <= depth) {
+        val ptrW = 8 + nrecW + cumW(d - 1)
+        val mr = (nodeSize - (10 + ptrW)) / (recordSize + ptrW)
+        require(mr >= 1, s"v2 b-tree node size $nodeSize too small for depth $d at $hdrAddr")
+        cum = (mr + 1).toLong * cum + mr
+        cumW(d) = encSize(cum)
+        d += 1
+      }
+    }
+
+    def walk(addr: Long, d: Int, nRec: Int): Seq[Array[Byte]] =
+      if (d == 0) leafRecords(addr, nRec)
+      else {
+        require(sig4(addr) == "BTIN", s"no v2 b-tree internal node at $addr")
+        require(u8(addr + 4) == 0 && u8(addr + 5) == btType,
+          s"BTIN version/type mismatch at $addr")
+        val recsStart = addr + 6
+        val ptrStart = recsStart + nRec.toLong * recordSize
+        val ptrW = 8 + nrecW + cumW(d - 1)
+        val used = (6 + nRec.toLong * recordSize + (nRec + 1).toLong * ptrW).toInt
+        val s = u32(addr + used)
+        val c = Lookup3.hashU(bytes(addr, used), 0)
+        require(s == c, s"BTIN checksum mismatch at $addr")
         val out = Seq.newBuilder[Array[Byte]]
-        (0 to rootNRec).foreach { i =>
+        (0 to nRec).foreach { i =>
           val p = ptrStart + i.toLong * ptrW
-          val childAddr = u64(p)
-          val childN = uVar(p + 8, nrecW).toInt
-          out ++= leafRecords(childAddr, childN)
-          if (i < rootNRec)
+          out ++= walk(u64(p), d - 1, uVar(p + 8, nrecW).toInt)
+          if (i < nRec)
             out += bytes(recsStart + i.toLong * recordSize, recordSize)
         }
         out.result()
-      case d => fail(s"v2 b-tree depth $d unsupported at $hdrAddr")
-    }
+      }
+
+    walk(rootAddr, depth, rootNRec)
   }
 
   // ---- fractal heaps (FRHP / FHIB / FHDB) ----------------------------

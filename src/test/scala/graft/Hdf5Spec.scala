@@ -658,10 +658,13 @@ class Hdf5Spec extends SparkSpec {
     } finally r.close()
   }
 
-  test("V2-B-TREE chunk index decodes: depth-1 unfiltered + deflate records") {
+  test("V2-B-TREE chunk index decodes: depth-2 unfiltered + depth-1 deflate records") {
     // generated with `h5make.py --bt2`: n_nationkey = unfiltered
-    // type-10 records in 64 B nodes (13 chunks -> DEPTH-1 tree);
-    // n_regionkey = deflate type-11 records, depth 0
+    // type-10 records in 64 B nodes (13 chunks -> DEPTH-2 tree:
+    // 1-record internals over 3-record leaves, exercising the
+    // total-subtree-records pointer field only depth >= 2 carries);
+    // n_regionkey = deflate type-11 records in 128 B nodes -> depth 1
+    // (depth 0 t11 is covered by the edge-raw fixture)
     val p = getClass.getResource("/nation_bt2.hdf5").getPath
     val ds = Hdf5Io.importDataset(spark, p)
     assert(ds.count() == 25)
@@ -676,7 +679,7 @@ class Hdf5Spec extends SparkSpec {
       val kids = r.groupLinks(r.objectInfo(r.groupLinks(root).toMap.apply("data"))).toMap
       val meta = r.datasetMeta("n_regionkey", r.objectInfo(kids("n_regionkey")))
       val full = r.readRows(meta, 0, meta.rows)
-      val win = r.readRows(meta, 3, 24) // crosses 5-row deflate chunks
+      val win = r.readRows(meta, 3, 24) // crosses 2-row deflate chunks
       val fb = java.nio.ByteBuffer.wrap(full).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val wb = java.nio.ByteBuffer.wrap(win).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       (3 until 24).foreach(i => assert(wb.getLong((i - 3) * 8) == fb.getLong(i * 8)))
