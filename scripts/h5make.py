@@ -217,7 +217,7 @@ class WLatest(W):
                 + nb + dt + ds + vb)
 
     def dataset(self, values, kind, attrs=(), chunk_rows=None, index="fa",
-                edge_raw=False, bt2_node=None):
+                edge_raw=False, bt2_node=None, dense_attrs=False):
         data, elem = encode_values(values, kind)
         rows = len(values)
         dt = dtype_bytes(kind)
@@ -271,8 +271,7 @@ class WLatest(W):
                        + struct.pack("<IBB", node_size, 100, 40)
                        + struct.pack("<Q", hdr))
             msgs.append((0x08, lay))
-            for name, val in attrs:
-                msgs.append((0x0C, self.attr(name, val)))
+            msgs.extend(self.attr_msgs(attrs, dense_attrs))
             return self.object_header(msgs)
         if chunk_rows is None:
             addr = self.block(data)
@@ -349,8 +348,7 @@ class WLatest(W):
                    + struct.pack("<BB", 3, page_bits)
                    + struct.pack("<Q", fahd_addr))
             msgs.append((0x08, lay))
-        for name, val in attrs:
-            msgs.append((0x0C, self.attr(name, val)))
+        msgs.extend(self.attr_msgs(attrs, dense_attrs))
         return self.object_header(msgs)
 
     @staticmethod
@@ -554,7 +552,7 @@ class WLatest(W):
         return (struct.pack("<BB", 2, 1)
                 + struct.pack("<HHH", 1, 0, 1) + struct.pack("<I", 6))
 
-    def group(self, children, attrs=()):
+    def group(self, children, attrs=(), dense_attrs=False):
         # link info: no creation tracking, compact (fractal heap UNDEF)
         msgs = [(0x02, struct.pack("<BBQQ", 0, 0, UNDEF, UNDEF)),
                 (0x0A, struct.pack("<BB", 0, 0))]
@@ -563,8 +561,7 @@ class WLatest(W):
             assert len(nb) < 256
             msgs.append((0x06, struct.pack("<BBB", 1, 0, len(nb)) + nb
                          + struct.pack("<Q", addr)))
-        for name, val in attrs:
-            msgs.append((0x0C, self.attr(name, val)))
+        msgs.extend(self.attr_msgs(attrs, dense_attrs))
         return self.object_header(msgs)
 
     @staticmethod
@@ -573,21 +570,25 @@ class WLatest(W):
         assert len(nb) < 256
         return struct.pack("<BBB", 1, 0, len(nb)) + nb + struct.pack("<Q", addr)
 
-    def _fractal_heap(self, objs):
+    def _fractal_heap(self, objs, id_len=None):
         """Write a fractal heap holding `objs` (list of bytes) as
         managed objects. Returns (header address, [heap id bytes]).
         Geometry mirrors libhdf5's dense-link defaults: table width 4,
         512 B starting blocks doubling to 64 KiB, 32-bit heap space,
-        4 KiB max managed object -> 7-byte heap IDs; direct blocks are
-        checksummed (flags 0x02, checksum computed with its own field
-        zeroed). Root is a direct block while everything fits in one
-        starting block, else a root indirect block of direct blocks.
+        4 KiB max managed object -> 7-byte heap IDs (dense-attribute
+        heaps request 8-byte IDs, zero-padded past the managed flag/
+        offset/length fields, per H5A_DENSE_FHEAP_ID_LEN); direct
+        blocks are checksummed (flags 0x02, checksum computed with its
+        own field zeroed). Root is a direct block while everything
+        fits in one starting block, else a root indirect block of
+        direct blocks.
         """
         width, start, max_direct = 4, 512, 65536
         max_heap_bits, max_man_obj = 32, 4096
         off_w = (max_heap_bits + 7) // 8            # 4
         len_w = self._enc_width(max_man_obj)        # 2
-        heap_id_len = 1 + off_w + len_w             # 7
+        heap_id_len = id_len or (1 + off_w + len_w)  # 7 (links) / 8 (attrs)
+        assert heap_id_len >= 1 + off_w + len_w
         hdr_len = 4 + 1 + 8 + off_w + 4             # FHDB header (checksummed)
 
         def row_size(r):
@@ -601,9 +602,10 @@ class WLatest(W):
                 blocks.append(cur); offsets.append(blk_off)
                 sizes.append(row_size(blk // width))
                 blk_off += sizes[-1]; blk += 1; intra = hdr_len; cur = []
-            ids.append(struct.pack("<B", 0)
-                       + (blk_off + intra).to_bytes(off_w, "little")
-                       + len(ob).to_bytes(len_w, "little"))
+            ids.append((struct.pack("<B", 0)
+                        + (blk_off + intra).to_bytes(off_w, "little")
+                        + len(ob).to_bytes(len_w, "little"))
+                       .ljust(heap_id_len, b"\0"))
             cur.append((intra, ob)); intra += len(ob)
         blocks.append(cur); offsets.append(blk_off)
         sizes.append(row_size(blk // width))
@@ -723,6 +725,26 @@ class WLatest(W):
         hdr += struct.pack("<I", lookup3(hdr))
         return self.block(hdr)
 
+    def dense_attrs_msg(self, attrs):
+        """Dense attribute storage: attribute messages live as
+        fractal-heap objects keyed by a v2 B-tree type-8 name index
+        (record = 8-byte heap ID + message flags + creation order +
+        lookup3 name hash), referenced from an Attribute Info message
+        (0x15) — what libhdf5 emits once an object passes the
+        compact-attribute threshold of 8."""
+        objs = [self.attr(n, v) for n, v in attrs]
+        heap_addr, ids = self._fractal_heap(objs, id_len=8)
+        recs = [hid + b"\0" + struct.pack("<II", i, lookup3(n.encode()))
+                for i, ((n, _), hid) in enumerate(zip(attrs, ids))]
+        recs.sort(key=lambda r: struct.unpack("<I", r[13:17])[0])
+        bt_addr = self._btree2(recs, 17, 8)
+        return struct.pack("<BBQQ", 0, 0, heap_addr, bt_addr)
+
+    def attr_msgs(self, attrs, dense=False):
+        if dense and attrs:
+            return [(0x15, self.dense_attrs_msg(attrs))]
+        return [(0x0C, self.attr(n, v)) for n, v in attrs]
+
     def group_dense(self, children, attrs=()):
         """Dense link storage: links live as fractal-heap objects keyed
         by a v2 B-tree name index — what libhdf5 emits for a
@@ -763,13 +785,14 @@ def main():
     bt2 = "--bt2" in sys.argv[1:]              # v2-b-tree chunks
     edge = "--edge-raw" in sys.argv[1:]        # raw partial chunk, mask bit 0
     ea_paged = "--ea-paged" in sys.argv[1:]    # paged EA data blocks
+    dattr = "--dense-attrs" in sys.argv[1:]    # dense attribute storage
     # --repeat=N tiles the table N times — enough chunks to push the
     # EA index past its direct data-block pointers into EASB super
     # blocks (the realistic appendable-catalog regime) while keeping
     # the small fixture table
     rep = next((int(a.split("=", 1)[1]) for a in sys.argv[1:]
                 if a.startswith("--repeat=")), 1)
-    latest = latest or paged or dense or ea or bt2 or edge or ea_paged
+    latest = latest or paged or dense or ea or bt2 or edge or ea_paged or dattr
     if ea_paged:
         ea = True
         # 64-element pages: super-block row 5's 128-element data
@@ -875,16 +898,33 @@ def main():
             else:
                 # ~3 chunks -> Fixed Array index
                 cr = max(1, (len(vals) + 2) // 3)
-            cols.append((name, w.dataset(vals, kind, attrs=[("unit", "None")],
-                                         chunk_rows=cr)))
+            at = [("unit", "None")]
+            if dattr:
+                # 10 attributes push past libhdf5's compact threshold
+                # (8) -> dense storage on every numeric column
+                at += [("description", f"column {name}")]
+                at += [(f"meta{i:02d}", float(i) * 1.25) for i in range(8)]
+            cols.append((name, w.dataset(vals, kind, attrs=at,
+                                         chunk_rows=cr, dense_attrs=dattr)))
         else:
             cols.append((name, w.dataset(vals, kind, attrs=[("unit", "None")])))
     data = w.group_dense(cols) if dense else w.group(cols)
-    sim = w.group([], attrs=[("box_size", 123.0), ("redshift", 0.25)])
+    sim_attrs = [("box_size", 123.0), ("redshift", 0.25)]
+    if dattr:
+        # the attribute-heavy header shape real catalogs carry:
+        # cosmology + provenance parameters past the compact limit
+        sim_attrs += [(f"omega_{k}", 0.01 * i)
+                      for i, k in enumerate(["m", "b", "l", "k", "r"])]
+        sim_attrs += [("h0", 0.6766), ("n_s", 0.9665),
+                      ("sigma_8", 0.8102), ("code", "fixture")]
+        sim = w.group([], attrs=sim_attrs, dense_attrs=True)
+    else:
+        sim = w.group([], attrs=sim_attrs)
     header = w.group([("simulation", sim)])
     root = w.group([("data", data), ("header", header)])
     w.write(args[1], root)
     mode = ("latest dense-links (FRHP+BTHD)" if dense
+            else "dense attributes (0x15 + FRHP + BTHD t8)" if dattr
             else "edge-raw chunks (filter mask bit 0)" if edge
             else "paged EA data blocks (EASB bitmap)" if ea_paged
             else "latest extensible-array chunks (EAHD)" if ea

@@ -30,7 +30,10 @@ import java.nio.file.{Paths, StandardOpenOption}
   *     edge chunks under H5D_CHUNK_DONT_FILTER_PARTIAL_BOUND_CHUNKS)
   *   - datatypes: fixed-point, IEEE float, fixed strings; vlen strings
   *     in ATTRIBUTES (global heap)
-  *   - attribute messages v1-v3
+  *   - attribute messages v1-v3, compact AND dense storage (Attribute
+  *     Info + fractal heap + v2-B-tree type-8 name index — what
+  *     libhdf5 emits past 8 attributes, e.g. attribute-heavy header
+  *     groups)
   *
   * No external HDF5 library exists in this environment, so this reader
   * is written directly against the published format spec
@@ -270,12 +273,38 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
 
   private def pad8(n: Int): Int = (n + 7) & ~7
 
-  def parseAttribute(m: Message): (String, Any) = {
-    val version = u8(m.dataOff)
-    val nameSize = u16(m.dataOff + 2)
-    val dtSize = u16(m.dataOff + 4)
-    val dsSize = u16(m.dataOff + 6)
-    var p = m.dataOff + 8
+  def parseAttribute(m: Message): (String, Any) = parseAttributeAt(m.dataOff)
+
+  /** Dense attribute storage: every record of the name-index v2
+    * B-tree (type 8: heap ID (8) + message flags (1) + creation
+    * order (4) + lookup3 name hash (4)) dereferences into the fractal
+    * heap, where the stored object is a serialized attribute
+    * message — the same encoding compact 0x000C messages carry.
+    * Shared attributes (nonzero message flags) fail loudly.
+    */
+  private def denseAttributes(fheapAddr: Long, nameBtAddr: Long,
+                              at: Long): Seq[(String, Any)] = {
+    val heap = new FractalHeap(fheapAddr)
+    v2BtreeRecords(nameBtAddr, Set(8)).map { rec =>
+      require(rec.length == 17,
+        s"dense-attribute record size ${rec.length} != 17 at $at")
+      require((rec(8) & 0xFF) == 0,
+        s"shared/flagged dense attribute (flags ${rec(8) & 0xFF}) unsupported at $at")
+      val (off, len) = heap.managedObject(rec.take(8))
+      parseAttributeAt(heap.filePos(off, len))
+    }
+  }
+
+  /** Attribute-message body at an absolute file offset — shared by
+    * compact messages and fractal-heap objects (dense storage
+    * serializes the identical encoding).
+    */
+  private def parseAttributeAt(dataOff: Long): (String, Any) = {
+    val version = u8(dataOff)
+    val nameSize = u16(dataOff + 2)
+    val dtSize = u16(dataOff + 4)
+    val dsSize = u16(dataOff + 6)
+    var p = dataOff + 8
     if (version == 3) p += 1 // name-encoding byte
     require(version >= 1 && version <= 3, s"unsupported attribute version $version")
     val name = cstr(bytes(p, nameSize))
@@ -283,11 +312,11 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     val nameSpan = if (pads) pad8(nameSize) else nameSize
     val dtOff = p + nameSpan
     val dsOff = dtOff + (if (pads) pad8(dtSize) else dtSize)
-    val dataOff = dsOff + (if (pads) pad8(dsSize) else dsSize)
+    val valOff = dsOff + (if (pads) pad8(dsSize) else dsSize)
     val dt = parseDatatype(dtOff)
     val dims = parseDataspace(dsOff)
     val n = dims.product.toInt.max(1)
-    val values = (0 until n).map(i => decodeScalar(dt, dataOff + i.toLong * dt.byteSize))
+    val values = (0 until n).map(i => decodeScalar(dt, valOff + i.toLong * dt.byteSize))
     name -> (if (dims.isEmpty) values.head else values.toArray)
   }
 
@@ -333,19 +362,21 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
 
   def objectInfo(addr: Long): ObjectInfo = {
     val msgs = messages(addr)
-    // dense attribute storage (Attribute Info + fractal heap — what a
-    // modern writer emits past its compact-attr limit) would make the
-    // 0x000C scan below silently MISS attributes (units, descriptions,
-    // load/if conditions) — fail loudly instead of dropping metadata
-    msgs.find(_.typ == 0x0015).foreach { ai =>
+    // dense attribute storage (Attribute Info + fractal heap + v2
+    // B-tree type-8 name index — what libhdf5 emits past its
+    // compact-attribute threshold of 8, e.g. the attribute-heavy
+    // header groups real catalogs carry): walk the name index so
+    // units/descriptions/load-conditions survive instead of the
+    // 0x000C scan silently missing them
+    val dense = msgs.find(_.typ == 0x0015).toSeq.flatMap { ai =>
       val flags = u8(ai.dataOff + 1)
       var q = ai.dataOff + 2
       if ((flags & 0x01) != 0) q += 2 // max creation index
       val fheap = u64(q)
-      require(fheap == Undef,
-        s"dense attribute storage (fractal heap at $fheap) unsupported at $addr")
+      if (fheap == Undef) Seq.empty
+      else denseAttributes(fheap, u64(q + 8), addr)
     }
-    val attrs = msgs.filter(_.typ == 0x000C).map(parseAttribute).toMap
+    val attrs = (msgs.filter(_.typ == 0x000C).map(parseAttribute) ++ dense).toMap
     // a group carries a symbol table (v1), or link-info/group-info
     // messages (v2 "new-style" groups)
     val isGroup = msgs.exists(m =>
@@ -601,8 +632,11 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     }
     private val offW = (maxHeapBits + 7) / 8
     private val lenW = encSize(maxManagedObjSize)
-    require(heapIdLen == 1 + offW + lenW,
-      s"fractal heap ID length $heapIdLen != 1+$offW+$lenW at $hdrAddr")
+    // dense-link heaps size IDs minimally (1+offW+lenW = 7); dense-
+    // attribute heaps request 8-byte IDs (H5A_DENSE_FHEAP_ID_LEN),
+    // zero-padded past the flag/offset/length fields
+    require(heapIdLen >= 1 + offW + lenW,
+      s"fractal heap ID length $heapIdLen < 1+$offW+$lenW at $hdrAddr")
     private val checksummed = (flags & 0x02) != 0
     private val dblockHdrLen = 4 + 1 + 8 + offW + (if (checksummed) 4 else 0)
 

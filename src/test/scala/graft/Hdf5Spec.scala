@@ -760,11 +760,37 @@ class Hdf5Spec extends SparkSpec {
     } finally r.close()
   }
 
-  test("dense attribute storage fails loudly instead of dropping metadata") {
+  test("DENSE attributes decode: Attribute Info + fractal heap + type-8 name index") {
+    // h5make.py --dense-attrs: the simulation header group carries 11
+    // attributes and every numeric column 10 — past libhdf5's
+    // compact-attribute threshold of 8, so they live as fractal-heap
+    // objects keyed by a v2 B-tree type-8 name index (8-byte heap
+    // IDs), referenced from an Attribute Info message
+    val p = getClass.getResource("/nation_dattr.hdf5").getPath
+    val r = new Hdf5Reader(p)
+    try {
+      val rootKids = r.groupLinks(r.objectInfo(r.rootHeaderAddr)).toMap
+      val hdr = r.groupLinks(r.objectInfo(rootKids("header"))).toMap
+      val sim = r.objectInfo(hdr("simulation"))
+      assert(sim.attrs.size == 11, sim.attrs.keys.toSeq.sorted.toString)
+      assert(sim.attrs("box_size") == 123.0)
+      assert(sim.attrs("h0") == 0.6766)
+      assert(sim.attrs("code") == "fixture")
+      val kids = r.groupLinks(r.objectInfo(rootKids("data"))).toMap
+      val col = r.objectInfo(kids("n_nationkey"))
+      assert(col.attrs.size == 10)
+      assert(col.attrs("unit") == "None")
+      assert(col.attrs("description") == "column n_nationkey")
+    } finally r.close()
+    val ds = Hdf5Io.importDataset(spark, p)
+    assert(ds.count() == 25)
+  }
+
+  test("dense attribute storage with a bogus heap fails loudly") {
     import graft.io.hdf5.Lookup3
     // hand-built v2 object header carrying an Attribute Info message
-    // (0x0015) whose fractal heap address is DEFINED — silently
-    // scanning only compact 0x000C messages would lose units here
+    // (0x0015) whose fractal heap address is DEFINED but holds no
+    // FRHP — the dense walk must error by name, not drop metadata
     val d = Files.createTempDirectory("graft-h5-dense")
     val p = d.resolve("dense.hdf5")
     val bb = java.nio.ByteBuffer.allocate(256)
@@ -793,7 +819,7 @@ class Hdf5Spec extends SparkSpec {
     val r = new Hdf5Reader(p.toString)
     try {
       val e = intercept[Exception](r.objectInfo(r.rootHeaderAddr))
-      assert(e.getMessage.contains("dense attribute storage"), e.getMessage)
+      assert(e.getMessage.contains("no fractal heap header"), e.getMessage)
     } finally r.close()
   }
 
