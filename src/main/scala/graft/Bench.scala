@@ -136,31 +136,41 @@ object Bench {
       (dt, ok)
     }
     // pass 1: everything once; pass 2: re-time the slow tail so the
-    // reported number is a median, not one noisy sample
+    // reported number is a median, not one noisy sample.
+    // status: 0 = ok; 1 = FLAKY (some repeats threw — t is the median
+    // of the runs that succeeded, runs counts only those); 2 = FAILED
+    // (never succeeded — t is time-to-failure)
     val firstPass = selected.map { case (name, fn) => (name, fn, timeOnce(name, fn)) }
-    val results: Seq[(String, Double, Int, Boolean)] = firstPass.map {
+    val results: Seq[(String, Double, Int, Int)] = firstPass.map {
       case (name, fn, (t1, ok1)) =>
         if (ok1 && repeats > 1 && t1 >= RepeatFloorSec) {
           val rest = (2 to repeats).map(_ => timeOnce(name, fn))
           val times = (t1 +: rest.collect { case (t, true) => t }).sorted
-          (name, times(times.length / 2), times.length, rest.forall(_._2))
-        } else (name, t1, 1, ok1)
+          (name, times(times.length / 2), times.length,
+            if (rest.forall(_._2)) 0 else 1)
+        } else (name, t1, 1, if (ok1) 0 else 2)
     }
     // 3-decimal rounding keeps the JSON line well under 4 KB so the
     // driver's tail capture holds all queries (r6 lost 31/93 to
     // full-precision doubles); the same line also goes to
     // bench_out.json so the artifact survives any stdout truncation.
     // Repeated queries serialize as {"t":median,"runs":N}; a query
-    // that threw carries {"t":…,"failed":true} so a broken query can
-    // never read as a fast one downstream.
+    // that threw carries {"t":…,"failed":true} (t = time-to-failure),
+    // a flaky one {"t":…,"runs":N,"flaky":true} (t = median of the N
+    // successes), and any failure also surfaces on the HEADLINE as
+    // "failed_queries" — a broken query can never read as a fast run
+    // at either level.
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map {
-      case (k, v, _, false) => s"\"" + k + "\":{\"t\":" + r3(v) + ",\"failed\":true}"
+      case (k, v, _, 2) => s"\"" + k + "\":{\"t\":" + r3(v) + ",\"failed\":true}"
+      case (k, v, n, 1) => s"\"" + k + "\":{\"t\":" + r3(v) + s",\"runs\":$n,\"flaky\":true}"
       case (k, v, 1, _) => s"\"" + k + "\":" + r3(v)
       case (k, v, n, _) => s"\"" + k + "\":{\"t\":" + r3(v) + s",\"runs\":$n}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val nFailed = results.count(_._4 == 2)
+    val failedField = if (nFailed > 0) s""","failed_queries":$nFailed""" else ""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$failedField}"""
     println(line)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),

@@ -318,52 +318,78 @@ object Multimodal {
     * codecs (H.264 etc. genuinely need external decoders); poison
     * rows degrade to null via [[decodeFeatures]]' catch.
     */
+  /** One parsed AVI container: the first video stream's
+    * BITMAPINFOHEADER fields plus its frame chunks
+    * (isMjpegChunk, payload offset, length), in container order.
+    */
+  private[operators] final case class AviScan(
+      width: Int, height: Int, bitCount: Int, compression: String,
+      frames: IndexedSeq[(Boolean, Int, Int)])
+
+  /** THE AVI RIFF walker, shared by [[VideoDecoder]] and
+    * [[sampleAviFrames]] so the two can never disagree on a
+    * container again (they once did, on AVIX recursion and stream
+    * discipline). Recurses into LIST and RIFF (OpenDML `AVIX`
+    * extension segments); streams are numbered by `strh` order in
+    * `hdrl`; only the FIRST `vids` stream's `NNdb`/`NNdc` chunks are
+    * returned — audio/secondary-video chunks never reach the codec
+    * path. The stream-number prefix matches decimal (ffmpeg) AND hex
+    * (Windows MAKEAVICKID) encodings — they agree for streams 0-9.
+    * Throws on non-AVI/truncated/video-less payloads.
+    */
+  private[operators] def scanAvi(p: Array[Byte]): AviScan = {
+    def u32(o: Int): Long = (p(o) & 0xFFL) | ((p(o + 1) & 0xFFL) << 8) |
+      ((p(o + 2) & 0xFFL) << 16) | ((p(o + 3) & 0xFFL) << 24)
+    def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+    def fcc(o: Int): String = new String(p, o, 4, "US-ASCII")
+    require(p.length >= 12 && fcc(0) == "RIFF" && fcc(8) == "AVI ",
+      "not an AVI payload")
+    var w = -1; var h = -1; var bitCount = -1
+    var compression = ""
+    var lastStrh = ""
+    var strhIdx = -1   // streams are numbered by strh order in hdrl
+    var vidStream = -1 // index of the FIRST vids stream
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean, Int, Int)]
+    def walk(start: Int, end: Int): Unit = {
+      var o = start
+      while (o + 8 <= end) {
+        val id = fcc(o); val sz = u32(o + 4).toInt
+        require(sz >= 0 && o + 8 + sz <= end, s"truncated AVI chunk '$id' at $o")
+        if (id == "LIST" || id == "RIFF") walk(o + 12, o + 8 + sz)
+        else if (id == "strh") {
+          strhIdx += 1; lastStrh = fcc(o + 8)
+          if (lastStrh == "vids" && vidStream < 0) vidStream = strhIdx
+        } else if (id == "strf" && lastStrh == "vids" && bitCount < 0) {
+          // BITMAPINFOHEADER of the FIRST video stream
+          w = u32(o + 8 + 4).toInt; h = u32(o + 8 + 8).toInt
+          bitCount = u16(o + 8 + 14)
+          compression = if (u32(o + 8 + 16) == 0) "DIB" else fcc(o + 8 + 16)
+        } else if (id.endsWith("db") || id.endsWith("dc"))
+          chunks += ((id.substring(0, 2), id.endsWith("dc"), o + 8, sz))
+        o += 8 + sz + (sz & 1) // chunks pad to even offsets
+      }
+    }
+    walk(12, p.length)
+    require(w > 0 && h > 0, "no video stream in AVI payload")
+    val prefixes = Set(f"$vidStream%02d", f"$vidStream%02X")
+    AviScan(w, h, bitCount, compression,
+      chunks.collect { case (pfx, dc, off, len) if prefixes(pfx) =>
+        (dc, off, len) }.toIndexedSeq)
+  }
+
   final class VideoDecoder(featDim: Int = 8) extends Decoder {
     override def decode(p: Array[Byte]): Decoded = {
-      def u32(o: Int): Long = (p(o) & 0xFFL) | ((p(o + 1) & 0xFFL) << 8) |
-        ((p(o + 2) & 0xFFL) << 16) | ((p(o + 3) & 0xFFL) << 24)
-      def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
-      def fcc(o: Int): String = new String(p, o, 4, "US-ASCII")
-      require(p.length >= 12 && fcc(0) == "RIFF" && fcc(8) == "AVI ",
-        "not an AVI payload")
-      var w = -1; var h = -1; var bitCount = -1
-      var compression = ""
-      var lastStrh = ""
-      var strhIdx = -1   // streams are numbered by strh order in hdrl
-      var vidStream = -1 // index of the FIRST vids stream
-      // (stream-number prefix, off, len); filtered to vidStream after
-      // the walk so audio/secondary-video chunks ("01wb", "01dc", …)
-      // never reach the video codec path
-      val chunks = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
-      def walk(start: Int, end: Int): Unit = {
-        var o = start
-        while (o + 8 <= end) {
-          val id = fcc(o); val sz = u32(o + 4).toInt
-          require(sz >= 0 && o + 8 + sz <= end, s"truncated AVI chunk '$id' at $o")
-          if (id == "LIST" || id == "RIFF") walk(o + 12, o + 8 + sz)
-          else if (id == "strh") {
-            strhIdx += 1; lastStrh = fcc(o + 8)
-            if (lastStrh == "vids" && vidStream < 0) vidStream = strhIdx
-          } else if (id == "strf" && lastStrh == "vids" && bitCount < 0) {
-            // BITMAPINFOHEADER of the FIRST video stream
-            w = u32(o + 8 + 4).toInt; h = u32(o + 8 + 8).toInt
-            bitCount = u16(o + 8 + 14)
-            compression = if (u32(o + 8 + 16) == 0) "DIB" else fcc(o + 8 + 16)
-          } else if (id.endsWith("db") || id.endsWith("dc"))
-            chunks += ((id.substring(0, 2), o + 8, sz))
-          o += 8 + sz + (sz & 1) // chunks pad to even offsets
-        }
-      }
-      walk(12, p.length)
-      require(w > 0 && h > 0, "no video stream in AVI payload")
-      val frames = chunks.filter(_._1 == f"$vidStream%02d").map(c => (c._2, c._3))
+      val scan = scanAvi(p)
+      val w = scan.width; val h = scan.height
+      val bitCount = scan.bitCount; val compression = scan.compression
+      val frames = scan.frames
       val nF = frames.length
       val binSum = new Array[Double](featDim)
       val binCnt = new Array[Long](featDim)
       var sum = 0.0; var n = 0L; var channels = 0
       var f = 0
       while (f < nF) {
-        val (off, len) = frames(f)
+        val (_, off, len) = frames(f)
         var frameSum = 0.0; var frameN = 0L
         compression match {
           case "DIB" =>
@@ -733,38 +759,13 @@ object Multimodal {
         val frames: Seq[(Int, String, Array[Byte])] =
           if (p == null) Seq.empty
           else try {
-            def u32(o: Int): Long = (p(o) & 0xFFL) | ((p(o + 1) & 0xFFL) << 8) |
-              ((p(o + 2) & 0xFFL) << 16) | ((p(o + 3) & 0xFFL) << 24)
-            def fcc(o: Int): String = new String(p, o, 4, "US-ASCII")
-            require(p.length >= 12 && fcc(0) == "RIFF" && fcc(8) == "AVI ",
-              "not an AVI payload")
-            // same stream discipline + RIFF/AVIX recursion as
-            // [[VideoDecoder]]: metadata pass records (stream prefix,
-            // fmt, off, len); only the first video stream's every
-            // stride-th frame is then sliced
-            var lastStrh = ""; var strhIdx = -1; var vidStream = -1
-            val metas = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int, Int)]
-            def walk(start: Int, end: Int): Unit = {
-              var o = start
-              while (o + 8 <= end) {
-                val id = fcc(o); val sz = u32(o + 4).toInt
-                require(sz >= 0 && o + 8 + sz <= end, s"truncated AVI chunk at $o")
-                if (id == "LIST" || id == "RIFF") walk(o + 12, o + 8 + sz)
-                else if (id == "strh") {
-                  strhIdx += 1; lastStrh = fcc(o + 8)
-                  if (lastStrh == "vids" && vidStream < 0) vidStream = strhIdx
-                } else if (id.endsWith("db") || id.endsWith("dc"))
-                  metas += ((id.substring(0, 2),
-                    if (id.endsWith("dc")) "MJPG" else "DIB", o + 8, sz))
-                o += 8 + sz + (sz & 1)
-              }
+            // the shared [[scanAvi]] walker (stream discipline,
+            // RIFF/AVIX recursion): metadata pass only — just the
+            // every-stride-th frame's bytes are then sliced
+            scanAvi(p).frames.zipWithIndex.collect {
+              case ((dc, off, sz), n) if n % stride == 0 =>
+                (n, if (dc) "MJPG" else "DIB", p.slice(off, off + sz))
             }
-            walk(12, p.length)
-            require(vidStream >= 0, "no video stream in AVI payload")
-            metas.filter(_._1 == f"$vidStream%02d").zipWithIndex.collect {
-              case ((_, fmt, off, sz), n) if n % stride == 0 =>
-                (n, fmt, p.slice(off, off + sz))
-            }.toSeq
           } catch { case scala.util.control.NonFatal(_) => Seq.empty }
         frames.map { case (no, fmt, bytes) =>
           Row.fromSeq(r.toSeq ++ Seq(no, fmt, bytes))
