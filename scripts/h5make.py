@@ -254,7 +254,9 @@ class WLatest(W):
                 hdr = self._ea_index(chunks, chunk_bytes, filt)
                 cparam = struct.pack("<BBBBB", 32, 4, 4, 16,
                                      self.ea_page_bits)
-                lay = (struct.pack("<BBBBB", 4, 2, 0x02 if filt else 0, 2, enc)
+                # flag 0x02 means "filtered SINGLE CHUNK" — libhdf5
+                # leaves it clear for every other index type
+                lay = (struct.pack("<BBBBB", 4, 2, 0, 2, enc)
                        + chunk_rows.to_bytes(enc, "little")
                        + elem.to_bytes(enc, "little")
                        + struct.pack("<B", 4) + cparam
@@ -264,7 +266,9 @@ class WLatest(W):
                 node_size = bt2_node or (64 if not filt else 512)
                 hdr = self._bt2_chunk_index(chunks, chunk_bytes, chunk_rows,
                                             filt, node_size)
-                lay = (struct.pack("<BBBBB", 4, 2, 0x02 if filt else 0, 2, enc)
+                # flag 0x02 means "filtered SINGLE CHUNK" — libhdf5
+                # leaves it clear for every other index type
+                lay = (struct.pack("<BBBBB", 4, 2, 0, 2, enc)
                        + chunk_rows.to_bytes(enc, "little")
                        + elem.to_bytes(enc, "little")
                        + struct.pack("<B", 5)
