@@ -117,8 +117,17 @@ class H5L:
         return id_len, off_w, out
 
     def heap_pos(self, hdr, hid):
-        """Managed heap ID -> (absolute file offset, length)."""
+        """Heap ID (managed or huge) -> (absolute file offset, length)."""
         id_len, off_w, blocks = self._heap_blocks(hdr)
+        if (hid[0] >> 4) & 0x3 == 1:
+            # HUGE: outside heap space, indirect via the heap's
+            # type-1 v2 B-tree (record = addr + length + huge id)
+            want = int.from_bytes(hid[1:id_len], "little")
+            for rec in self.btree2(self.u64(hdr + 22)):
+                a, ln, i = struct.unpack("<QQQ", rec)
+                if i == want:
+                    return a, ln
+            raise AssertionError(f"huge object {want} not in b-tree")
         assert hid[0] & 0xF0 == 0, "non-managed heap object"
         off = int.from_bytes(hid[1:1 + off_w], "little")
         # trailing ID padding is zero, so parsing the rest of the ID as

@@ -599,9 +599,19 @@ class WLatest(W):
             return start if r < 2 else start << (r - 1)
 
         blocks, offsets, sizes, ids = [], [], [], []
+        huge = []  # (huge id, file addr, length)
         blk, blk_off, intra, cur = 0, 0, hdr_len, []
         for ob in objs:
-            assert len(ob) <= max_man_obj
+            if len(ob) > max_man_obj:
+                # HUGE object: raw block outside heap space, indirect
+                # via the heap's type-1 v2 B-tree (address+length+id);
+                # heap ID = flag 0x10 (type huge) + id. libhdf5 always
+                # goes indirect here: addr+len never fit id_len-1.
+                hid = len(huge) + 1
+                huge.append((hid, self.block(ob), len(ob)))
+                ids.append(struct.pack("<B", 0x10)
+                           + hid.to_bytes(heap_id_len - 1, "little"))
+                continue
             while intra + len(ob) > row_size(blk // width):
                 blocks.append(cur); offsets.append(blk_off)
                 sizes.append(row_size(blk // width))
@@ -614,6 +624,14 @@ class WLatest(W):
         blocks.append(cur); offsets.append(blk_off)
         sizes.append(row_size(blk // width))
         nblocks = len(blocks)
+
+        # the huge-object b-tree references nothing downstream, so it
+        # is written FIRST — direct blocks / FHIB / FRHP addresses are
+        # pinned relative to self.pos below
+        huge_bt = UNDEF
+        if huge:
+            recs = [struct.pack("<QQQ", a, ln, hid) for hid, a, ln in huge]
+            huge_bt = self._btree2(recs, 24, 1)
 
         base = self.pos
         dblock_addrs = [base + sum(sizes[:i]) for i in range(nblocks)]
@@ -646,11 +664,13 @@ class WLatest(W):
         frhp = (b"FRHP" + struct.pack("<B", 0)
                 + struct.pack("<HHB", heap_id_len, 0, 0x02)
                 + struct.pack("<I", max_man_obj)
-                + struct.pack("<Q", 0) + struct.pack("<Q", UNDEF)   # huge
+                + struct.pack("<Q", len(huge) + 1 if huge else 0)   # next huge id
+                + struct.pack("<Q", huge_bt)
                 + struct.pack("<Q", 0) + struct.pack("<Q", UNDEF)   # free space
                 + struct.pack("<QQQ", managed, managed, managed)
-                + struct.pack("<Q", len(objs))
-                + struct.pack("<QQQQ", 0, 0, 0, 0)                  # huge/tiny
+                + struct.pack("<Q", len(objs) - len(huge))
+                + struct.pack("<QQ", sum(h[2] for h in huge), len(huge))
+                + struct.pack("<QQ", 0, 0)                          # tiny
                 + struct.pack("<H", width)
                 + struct.pack("<QQ", start, max_direct)
                 + struct.pack("<HH", max_heap_bits, cur_rows)
@@ -921,6 +941,11 @@ def main():
                       for i, k in enumerate(["m", "b", "l", "k", "r"])]
         sim_attrs += [("h0", 0.6766), ("n_s", 0.9665),
                       ("sigma_8", 0.8102), ("code", "fixture")]
+        # a >4 KiB value (config/provenance blob shape) exceeds the
+        # heap's max managed object size -> HUGE object, indirect via
+        # the heap's type-1 v2 B-tree
+        sim_attrs += [("provenance", "".join(
+            f"param{i:04d}={i * 7 % 997};" for i in range(400)))]
         sim = w.group([], attrs=sim_attrs, dense_attrs=True)
     else:
         sim = w.group([], attrs=sim_attrs)

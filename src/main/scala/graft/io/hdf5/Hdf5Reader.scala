@@ -33,7 +33,8 @@ import java.nio.file.{Paths, StandardOpenOption}
   *   - attribute messages v1-v3, compact AND dense storage (Attribute
   *     Info + fractal heap + v2-B-tree type-8 name index — what
   *     libhdf5 emits past 8 attributes, e.g. attribute-heavy header
-  *     groups)
+  *     groups), incl. HUGE heap objects (>4 KiB values such as
+  *     provenance blobs, indirect via the heap's type-1 B-tree)
   *
   * No external HDF5 library exists in this environment, so this reader
   * is written directly against the published format spec
@@ -44,10 +45,11 @@ import java.nio.file.{Paths, StandardOpenOption}
   * Spark analog of the reference's per-rank HDF5 column windows
   * (io/mpi.py read paths).
   *
-  * Unsupported residue (filtered fractal heaps; huge/tiny heap
-  * objects; paged index-block-pointed EA data blocks, a shape libhdf5
-  * never emits; datatypes beyond the above) fails loudly with the
-  * offending construct named.
+  * Unsupported residue (filtered fractal heaps; tiny heap objects,
+  * which link/attribute messages can never produce; paged
+  * index-block-pointed EA data blocks, a shape libhdf5 never emits;
+  * datatypes beyond the above) fails loudly with the offending
+  * construct named.
   */
 final class Hdf5Reader(val path: String) extends AutoCloseable {
   import Hdf5Reader._
@@ -290,8 +292,7 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
         s"dense-attribute record size ${rec.length} != 17 at $at")
       require((rec(8) & 0xFF) == 0,
         s"shared/flagged dense attribute (flags ${rec(8) & 0xFF}) unsupported at $at")
-      val (off, len) = heap.managedObject(rec.take(8))
-      parseAttributeAt(heap.filePos(off, len))
+      parseAttributeAt(heap.objectPos(rec.take(8))._1)
     }
   }
 
@@ -423,8 +424,7 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     val heap = new FractalHeap(fheapAddr)
     v2BtreeRecords(nameBtAddr, Set(5)).map { rec =>
       // record: lookup3(name)(4) + heap ID (rest)
-      val (off, len) = heap.managedObject(rec.drop(4))
-      parseLinkAt(heap.filePos(off, len))
+      parseLinkAt(heap.objectPos(rec.drop(4))._1)
     }.sortBy(_._1)
   }
 
@@ -712,12 +712,52 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
       require((b0 & 0xC0) == 0, s"unsupported heap ID version ${(b0 >> 6) & 3}")
       require(((b0 >> 4) & 0x3) == 0,
         s"non-managed fractal heap object (type ${(b0 >> 4) & 3}) unsupported")
-      def le(from: Int, n: Int): Long = {
-        var v = 0L; var i = 0
-        while (i < n) { v |= (id(from + i) & 0xFFL) << (8 * i); i += 1 }
-        v
+      (idLe(id, 1, offW), idLe(id, 1 + offW, lenW))
+    }
+
+    private def idLe(id: Array[Byte], from: Int, n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v |= (id(from + i) & 0xFFL) << (8 * i); i += 1 }
+      v
+    }
+
+    /** HUGE objects (> the heap's max managed size, e.g. a >4 KiB
+      * attribute value) live OUTSIDE heap space, indirect through the
+      * heap's type-1 v2 B-tree (record = address + length + huge ID;
+      * address+length never fit an 7/8-byte ID, so libhdf5 always
+      * goes indirect for these heaps). Keyed by the ID the heap ID's
+      * trailing bytes carry.
+      */
+    private lazy val hugeObjects: Map[Long, (Long, Long)] = {
+      val bt = u64(hdrAddr + 22)
+      if (bt == Undef) Map.empty
+      else v2BtreeRecords(bt, Set(1)).map { rec =>
+        require(rec.length == 24,
+          s"huge-object record size ${rec.length} != 24 at $hdrAddr")
+        val bb = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
+        bb.getLong(16) -> (bb.getLong(0), bb.getLong(8))
+      }.toMap
+    }
+
+    /** Absolute (file position, length) of any heap object — managed
+      * (via direct blocks) or huge (via the type-1 B-tree). Tiny IDs
+      * (objects inlined in the ID — never emitted for link/attribute
+      * messages, which exceed the 6/7 spare ID bytes) fail loudly.
+      */
+    def objectPos(id: Array[Byte]): (Long, Long) = {
+      require(id.length >= heapIdLen, s"short heap ID (${id.length} B)")
+      val b0 = id(0) & 0xFF
+      require((b0 & 0xC0) == 0, s"unsupported heap ID version ${(b0 >> 6) & 3}")
+      (b0 >> 4) & 0x3 match {
+        case 0 =>
+          val (off, len) = managedObject(id)
+          (filePos(off, len), len)
+        case 1 =>
+          val hugeId = idLe(id, 1, heapIdLen - 1)
+          hugeObjects.getOrElse(hugeId,
+            fail(s"huge object $hugeId not in the heap's type-1 b-tree"))
+        case t => fail(s"tiny fractal heap object (type $t) unsupported")
       }
-      (le(1, offW), le(1 + offW, lenW))
     }
 
     /** File position of `len` object bytes at heap offset `off` —

@@ -772,10 +772,15 @@ class Hdf5Spec extends SparkSpec {
       val rootKids = r.groupLinks(r.objectInfo(r.rootHeaderAddr)).toMap
       val hdr = r.groupLinks(r.objectInfo(rootKids("header"))).toMap
       val sim = r.objectInfo(hdr("simulation"))
-      assert(sim.attrs.size == 11, sim.attrs.keys.toSeq.sorted.toString)
+      assert(sim.attrs.size == 12, sim.attrs.keys.toSeq.sorted.toString)
       assert(sim.attrs("box_size") == 123.0)
       assert(sim.attrs("h0") == 0.6766)
       assert(sim.attrs("code") == "fixture")
+      // >4 KiB value = HUGE heap object, indirect via the heap's
+      // type-1 v2 B-tree rather than a managed direct-block slot
+      val prov = sim.attrs("provenance").asInstanceOf[String]
+      assert(prov.length > 4096 && prov.startsWith("param0000=0;")
+        && prov.endsWith(s"param0399=${399 * 7 % 997};"), prov.take(40))
       val kids = r.groupLinks(r.objectInfo(rootKids("data"))).toMap
       val col = r.objectInfo(kids("n_nationkey"))
       assert(col.attrs.size == 10)
