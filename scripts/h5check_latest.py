@@ -69,12 +69,14 @@ class H5L:
         size = self.uvar(p, szw)
         p += szw
         tracked = bool(flags & 0x04)
+        # each queue entry is (start, usable message bytes): chunk 0's
+        # size field already excludes sig/checksum; an OCHK block's
+        # length includes its 4-byte signature and trailing checksum
         out, blocks = [], [(p, size)]
         while blocks:
             start, ln = blocks.pop(0)
             q = start
-            # 4-byte gap for the block checksum at the end
-            while q + 4 <= start + ln - 4:
+            while q + 4 <= start + ln:
                 typ, sz, _ = self.u8(q), self.u16(q + 1), self.u8(q + 3)
                 q += 4
                 if tracked:
@@ -83,7 +85,7 @@ class H5L:
                     cont, clen = self.u64(q), self.u64(q + 8)
                     # continuation blocks open with an OCHK signature
                     assert self.sig(cont) == b"OCHK"
-                    blocks.append((cont + 4, clen - 4))
+                    blocks.append((cont + 4, clen - 8))
                 elif typ:
                     out.append((typ, q, sz))
                 q += sz
@@ -92,7 +94,12 @@ class H5L:
     # ---- fractal heaps (dense links / attributes) -------------------
 
     def _heap_blocks(self, hdr):
-        """FRHP -> [(file addr, heap-space offset, size)] direct blocks."""
+        """FRHP -> [(file addr, heap-space offset, size)] direct blocks.
+        Memoized per heap header — dense groups look up one object per
+        link, which would otherwise rebuild the block list every time."""
+        cached = getattr(self, "_hb_cache", {}).get(hdr)
+        if cached is not None:
+            return cached
         assert self.sig(hdr) == b"FRHP", f"no FRHP at {hdr}"
         id_len = self.u16(hdr + 5)
         table_width = self.u16(hdr + 110)
@@ -102,19 +109,22 @@ class H5L:
         max_heap_bits = self.u16(hdr + 128)
         off_w = (max_heap_bits + 7) // 8
         if cur_rows == 0:  # root is a single direct block
-            return id_len, off_w, [(root, 0, start_sz)]
-        assert self.sig(root) == b"FHIB", f"no FHIB at {root}"
-        out, pos = [], root + 13 + off_w
-        heap_off = 0
-        for i in range(cur_rows * table_width):
-            row = i // table_width
-            sz = start_sz if row < 2 else start_sz << (row - 1)
-            a = self.u64(pos)
-            pos += 8
-            if a != UNDEF:
-                out.append((a, heap_off, sz))
-            heap_off += sz
-        return id_len, off_w, out
+            res = (id_len, off_w, [(root, 0, start_sz)])
+        else:
+            assert self.sig(root) == b"FHIB", f"no FHIB at {root}"
+            out, pos = [], root + 13 + off_w
+            heap_off = 0
+            for i in range(cur_rows * table_width):
+                row = i // table_width
+                sz = start_sz if row < 2 else start_sz << (row - 1)
+                a = self.u64(pos)
+                pos += 8
+                if a != UNDEF:
+                    out.append((a, heap_off, sz))
+                heap_off += sz
+            res = (id_len, off_w, out)
+        self.__dict__.setdefault("_hb_cache", {})[hdr] = res
+        return res
 
     def heap_pos(self, hdr, hid):
         """Heap ID (managed or huge) -> (absolute file offset, length)."""
@@ -526,10 +536,19 @@ def main():
     hdr = h5.links(root["header"])
     sim_attrs = h5.attrs(hdr["simulation"])
     assert sim_attrs.get("box_size") == 123.0, sim_attrs
+    if "provenance" in sim_attrs:
+        # the dattr fixture's >4 KiB HUGE heap object — value-checked
+        # here so the huge path is validated independently, not only
+        # by the Scala reader
+        want_prov = "".join(f"param{i:04d}={i * 7 % 997};"
+                            for i in range(400))
+        assert sim_attrs["provenance"] == want_prov, "huge attr mismatch"
     checked = 0
     for name in t.column_names:
-        if name not in data:
-            continue
+        # every parquet column must resolve to a data link: a writer
+        # bug dropping a column (or a checker link-walk gap) must FAIL,
+        # not silently shrink coverage
+        assert name in data, f"column {name} missing from data group"
         want = t[name].to_pylist() * rep
         got = h5.dataset(data[name])
         ty = str(t.schema.field(name).type)
@@ -542,7 +561,7 @@ def main():
         checked += 1
         # unit attribute must survive whatever storage it uses
         assert h5.attrs(data[name]).get("unit") == "None", name
-    assert checked > 0, "no columns checked"
+    assert checked == len(t.column_names), "incomplete column coverage"
     print(f"OK {sys.argv[1]}: {checked} columns match {sys.argv[2]} "
           f"(x{rep}), {len(sim_attrs)} header attrs")
 

@@ -6,7 +6,7 @@
 # factors must match the h5make.py invocation recorded in FIXTURES.md.
 set -e
 cd "$(dirname "$0")/.."
-N=/root/testdata/sf0.001/nation.parquet
+N=${1:-/root/testdata/sf0.001/nation.parquet}
 R=src/test/resources
 python3 scripts/h5check_latest.py $R/nation_latest.hdf5   $N 1
 python3 scripts/h5check_latest.py $R/nation_paged.hdf5    $N 1

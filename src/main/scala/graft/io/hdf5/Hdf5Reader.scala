@@ -603,12 +603,12 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
 
   // ---- fractal heaps (FRHP / FHIB / FHDB) ----------------------------
 
-  /** Fractal heap reader, MANAGED objects only (dense link/attribute
-    * storage never emits huge/tiny IDs for realistic names): parses
-    * the FRHP header, the doubling table, a root direct block or a
-    * root indirect block of direct blocks (checksums verified), and
-    * dereferences heap IDs to file positions. Filtered heaps and
-    * nested indirect blocks fail loudly by name.
+  /** Fractal heap reader for MANAGED objects (direct blocks behind
+    * the doubling table, checksums verified) and HUGE objects (values
+    * past the max managed size, e.g. >4 KiB attribute blobs, indirect
+    * via the heap's type-1 v2 B-tree). Tiny IDs (impossible for
+    * link/attribute messages), directly-accessed huge objects,
+    * filtered heaps and nested indirect blocks fail loudly by name.
     */
   private[hdf5] final class FractalHeap(hdrAddr: Long) {
     require(sig4(hdrAddr) == "FRHP", s"no fractal heap header at $hdrAddr")
@@ -705,16 +705,6 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
       }
     }
 
-    /** Decode a managed heap ID → (heapOffset, length). */
-    def managedObject(id: Array[Byte]): (Long, Long) = {
-      require(id.length >= heapIdLen, s"short heap ID (${id.length} B)")
-      val b0 = id(0) & 0xFF
-      require((b0 & 0xC0) == 0, s"unsupported heap ID version ${(b0 >> 6) & 3}")
-      require(((b0 >> 4) & 0x3) == 0,
-        s"non-managed fractal heap object (type ${(b0 >> 4) & 3}) unsupported")
-      (idLe(id, 1, offW), idLe(id, 1 + offW, lenW))
-    }
-
     private def idLe(id: Array[Byte], from: Int, n: Int): Long = {
       var v = 0L; var i = 0
       while (i < n) { v |= (id(from + i) & 0xFFL) << (8 * i); i += 1 }
@@ -728,21 +718,21 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
       * goes indirect for these heaps). Keyed by the ID the heap ID's
       * trailing bytes carry.
       */
-    private lazy val hugeObjects: Map[Long, (Long, Long)] = {
-      val bt = u64(hdrAddr + 22)
-      if (bt == Undef) Map.empty
-      else v2BtreeRecords(bt, Set(1)).map { rec =>
+    private lazy val hugeBtAddr: Long = u64(hdrAddr + 22)
+    private lazy val hugeObjects: Map[Long, (Long, Long)] =
+      if (hugeBtAddr == Undef) Map.empty
+      else v2BtreeRecords(hugeBtAddr, Set(1)).map { rec =>
         require(rec.length == 24,
           s"huge-object record size ${rec.length} != 24 at $hdrAddr")
         val bb = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
         bb.getLong(16) -> (bb.getLong(0), bb.getLong(8))
       }.toMap
-    }
 
     /** Absolute (file position, length) of any heap object — managed
       * (via direct blocks) or huge (via the type-1 B-tree). Tiny IDs
       * (objects inlined in the ID — never emitted for link/attribute
-      * messages, which exceed the 6/7 spare ID bytes) fail loudly.
+      * messages, which exceed the 6/7 spare ID bytes), reserved ID
+      * types and directly-accessed huge objects fail loudly.
       */
     def objectPos(id: Array[Byte]): (Long, Long) = {
       require(id.length >= heapIdLen, s"short heap ID (${id.length} B)")
@@ -750,13 +740,17 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
       require((b0 & 0xC0) == 0, s"unsupported heap ID version ${(b0 >> 6) & 3}")
       (b0 >> 4) & 0x3 match {
         case 0 =>
-          val (off, len) = managedObject(id)
+          val off = idLe(id, 1, offW)
+          val len = idLe(id, 1 + offW, lenW)
           (filePos(off, len), len)
         case 1 =>
+          if (hugeBtAddr == Undef) fail(
+            s"directly-accessed huge heap object unsupported (no type-1 b-tree at $hdrAddr)")
           val hugeId = idLe(id, 1, heapIdLen - 1)
           hugeObjects.getOrElse(hugeId,
             fail(s"huge object $hugeId not in the heap's type-1 b-tree"))
-        case t => fail(s"tiny fractal heap object (type $t) unsupported")
+        case 2 => fail("tiny fractal heap object unsupported")
+        case t => fail(s"reserved fractal heap ID type $t")
       }
     }
 
