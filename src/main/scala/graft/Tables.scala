@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the driver-generated TPC-H-ish parquet tables
   * (see /root/repo/TESTDATA.md). One parquet file per table.
@@ -15,13 +16,25 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 won't
-    * map to TimestampType directly; read the nanos as long and convert
-    * (truncating to Spark's native microsecond precision).
+  /** events.parquet has stored ts as TIMESTAMP(NANOS) (which Spark 4
+    * maps to long under `nanosAsLong`, so we truncate to microseconds
+    * ourselves) and as plain TIMESTAMP[us] (isAdjustedToUTC=false →
+    * TIMESTAMP_NTZ). Normalize either physical shape to Spark's native
+    * TimestampType; the session timezone is UTC, so the NTZ cast does
+    * not shift the instant.
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      case TimestampNTZType | TimestampType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts has unexpected parquet type $other")
+    }
   }
 }
