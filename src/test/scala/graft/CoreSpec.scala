@@ -482,4 +482,25 @@ class CoreSpec extends SparkSpec {
       batchSize = 100)
     assert(doubled.df.filter($"id2" =!= $"id" * 2).count() == 0)
   }
+
+  test("Tables normalizes events.ts from any stored physical type") {
+    import org.apache.spark.sql.types.TimestampType
+    // whatever parquet type the generated data carries (int64 nanos in
+    // older drops, native TIMESTAMP[us]/NTZ in newer ones), the loader
+    // must hand every event-time operator a plain TimestampType column
+    val real = Tables(spark, sf001, "events")
+    assert(real.schema("ts").dataType == TimestampType)
+    assert(real.count() > 0)
+
+    // long-typed drop: micros-as-nanos round-trips to the same instant
+    val dir = java.nio.file.Files.createTempDirectory("evts").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:07.179575")
+    val epochNanos = (t0.getTime * 1000L + 575L) * 1000L
+    Seq((0L, epochNanos)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val legacy = Tables(spark, dir, "events")
+    assert(legacy.schema("ts").dataType == TimestampType)
+    val got = legacy.select($"ts").head().getTimestamp(0)
+    assert(got == t0, s"$got != $t0")
+  }
 }
