@@ -1043,7 +1043,16 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     val nChunks = nChunksL.toInt
     val offW = (maxBits + 7) / 8
 
+    // JVM long shifts wrap at 64 bits, and page byte counts are
+    // buffered through Int — an absurd pageBits would alias to tiny
+    // pages (or truncate pageBytes to 0) instead of failing, so refuse
+    // it by name like the fixed-array path does
+    require(pageBits < 63,
+      s"unsupported extensible-array pageBits $pageBits (${ds.name})")
     val pageElems = 1L << pageBits
+    require(pageElems <= Int.MaxValue / elemSize,
+      s"extensible-array page size ($pageElems elems * $elemSize B) too " +
+        s"large to buffer (${ds.name})")
     def nPagesOf(ne: Long): Int = if (ne > pageElems) (ne / pageElems).toInt else 0
 
     // super blocks (EASB) are lazily located + verified once each:

@@ -360,8 +360,13 @@ object Multimodal {
           strhIdx += 1; lastStrh = fcc(o + 8)
           if (lastStrh == "vids" && vidStream < 0) vidStream = strhIdx
         } else if (id == "strf" && lastStrh == "vids" && bitCount < 0) {
-          // BITMAPINFOHEADER of the FIRST video stream
-          w = u32(o + 8 + 4).toInt; h = u32(o + 8 + 8).toInt
+          // BITMAPINFOHEADER of the FIRST video stream. Negative
+          // biHeight is spec-valid: it marks TOP-DOWN row order
+          // (common from Windows capture tools). Every derived stat
+          // (px_mean, per-frame energy bins) sums whole frames, so
+          // row order cannot change any output — only the magnitude
+          // matters here.
+          w = u32(o + 8 + 4).toInt; h = math.abs(u32(o + 8 + 8).toInt)
           bitCount = u16(o + 8 + 14)
           compression = if (u32(o + 8 + 16) == 0) "DIB" else fcc(o + 8 + 16)
         } else if (id.endsWith("db") || id.endsWith("dc"))

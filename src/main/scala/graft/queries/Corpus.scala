@@ -226,49 +226,7 @@ object Corpus {
     // folds mirror Spark's aggregate() fold order, and every sum
     // that crosses a GROUP BY is an exact integer — the two
     // properties that make this hash-replayable at all.
-    "q91_kmeans" ->
-      """WITH q AS (SELECT vec_id,
-             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1024)) AS qv
-           FROM embeddings),
-         c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cell, qv AS cv FROM (
-             SELECT qv, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
-             FROM q) WHERE rn <= 8),
-         a1 AS (SELECT vec_id, qv, cell FROM (
-             SELECT q.vec_id, q.qv, c.cell,
-               row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                 list_sum(list_transform(range(1, 65), i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), c.cell) AS rn
-             FROM q, c0 c) WHERE rn = 1),
-         p1 AS (SELECT a.cell, g.i AS pos, sum(a.qv[g.i]) AS s, count(*) AS n
-                FROM a1 a, UNNEST(generate_series(1, 64)) AS g(i) GROUP BY 1, 2),
-         c1 AS (SELECT cell, list(s / n ORDER BY pos) AS cv FROM p1 GROUP BY cell
-                UNION ALL
-                SELECT c.cell, c.cv FROM c0 c WHERE c.cell NOT IN (SELECT DISTINCT cell FROM a1)),
-         a2 AS (SELECT vec_id, qv, cell FROM (
-             SELECT q.vec_id, q.qv, c.cell,
-               row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                 list_sum(list_transform(range(1, 65), i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), c.cell) AS rn
-             FROM q, c1 c) WHERE rn = 1),
-         p2 AS (SELECT a.cell, g.i AS pos, sum(a.qv[g.i]) AS s, count(*) AS n
-                FROM a2 a, UNNEST(generate_series(1, 64)) AS g(i) GROUP BY 1, 2),
-         c2 AS (SELECT cell, list(s / n ORDER BY pos) AS cv FROM p2 GROUP BY cell
-                UNION ALL
-                SELECT c.cell, c.cv FROM c1 c WHERE c.cell NOT IN (SELECT DISTINCT cell FROM a2)),
-         a3 AS (SELECT vec_id, qv, cell FROM (
-             SELECT q.vec_id, q.qv, c.cell,
-               row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                 list_sum(list_transform(range(1, 65), i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), c.cell) AS rn
-             FROM q, c2 c) WHERE rn = 1),
-         p3 AS (SELECT a.cell, g.i AS pos, sum(a.qv[g.i]) AS s, count(*) AS n
-                FROM a3 a, UNNEST(generate_series(1, 64)) AS g(i) GROUP BY 1, 2),
-         c3 AS (SELECT cell, list(s / n ORDER BY pos) AS cv FROM p3 GROUP BY cell
-                UNION ALL
-                SELECT c.cell, c.cv FROM c2 c WHERE c.cell NOT IN (SELECT DISTINCT cell FROM a3))
-         SELECT vec_id, CAST(cell AS INTEGER) AS cluster, round(d, 6) AS dist2 FROM (
-             SELECT q.vec_id, c.cell,
-               list_sum(list_transform(range(1, 65), i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS d,
-               row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                 list_sum(list_transform(range(1, 65), i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), c.cell) AS rn
-             FROM q, c3 c) WHERE rn = 1""",
+    "q91_kmeans" -> TextVector.lloydAssignSql(k = 8, iters = 3),
     // replays the md5 CMS bucket-for-bucket: row j's bucket for a
     // gram is md5("j:gram")'s first 8 hex chars mod 2048, counters
     // sum exact gram counts per (row, bucket), estimate = min over

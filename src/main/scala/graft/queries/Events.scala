@@ -111,9 +111,14 @@ object Events {
 
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     import java.nio.file._
-    try Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
-    catch { case _: Throwable => () }
+    // Files.walk holds directory fds until the stream is CLOSED —
+    // repeated q47 runs in one JVM (bench -r, verify) would leak them
+    try {
+      val s = Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    } catch { case _: Throwable => () }
   }
 
   val oracle: Map[String, String] = Map(

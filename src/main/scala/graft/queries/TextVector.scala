@@ -351,6 +351,22 @@ object TextVector {
   private def lloydSql(k: Int, iters: Int): String =
     lloydChainSql("", k, iters, dim = 64, off = 0)
 
+  /** Complete q91-shape oracle: the [[lloydSql]] chain plus the final
+    * assignment select (argmin cell, ties to the lowest, quantized
+    * distance rounded to 6 places). Shared with [[Corpus]]'s
+    * q91_kmeans oracle so a Lloyd-kernel change edited here can never
+    * silently leave q91 replaying a different kernel than q33/q75
+    * (the same reason [[minhashPairsCtes]] is shared by q26/q35).
+    */
+  private[queries] def lloydAssignSql(k: Int, iters: Int): String = {
+    val d = "list_sum(list_transform(range(1, 65), i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))"
+    s"""WITH ${lloydSql(k, iters)}
+         SELECT vec_id, CAST(cell AS INTEGER) AS cluster, round(d, 6) AS dist2 FROM (
+             SELECT q.vec_id, c.cell, $d AS d,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY $d, c.cell) AS rn
+             FROM q, c$iters c) WHERE rn = 1"""
+  }
+
   /** [[lloydSql]] generalized to a subspace: CTE names carry the
     * `tag` suffix, the quantized vector is embedding positions
     * off+1 … off+dim, and every distance/update fold runs over `dim`

@@ -226,6 +226,27 @@ class MultimodalSpec extends SparkSpec {
     assert(d2.width == 5 && d2.pxMean == 100.0)
   }
 
+  test("VideoDecoder: top-down DIB (negative biHeight) decodes like bottom-up") {
+    // BITMAPINFOHEADER permits biHeight < 0 for top-down row order
+    // (Windows capture tools emit this); every derived stat sums whole
+    // frames, so the decode must match the bottom-up twin exactly
+    val frames = Seq(10, 20, 30).map(v => Array.fill[Byte](12)(v.toByte))
+    val avi = Multimodal.aviBytes(4, 3, 25, frames)
+    val flipped = avi.clone()
+    // locate the strf chunk; biHeight is 8 bytes into its BITMAPINFOHEADER
+    val strf = flipped.indices.find(i => i + 4 <= flipped.length &&
+      new String(flipped, i, 4, "US-ASCII") == "strf").get
+    val hOff = strf + 8 + 8
+    assert((flipped(hOff) & 0xFF) == 3) // sanity: reading biHeight=3
+    val negH = -3
+    (0 until 4).foreach(i => flipped(hOff + i) = ((negH >> (8 * i)) & 0xFF).toByte)
+    val up = new Multimodal.VideoDecoder().decode(avi)
+    val down = new Multimodal.VideoDecoder().decode(flipped)
+    assert(down.height == 3 && down.width == up.width)
+    assert(down.pxMean == up.pxMean && down.nFrames == up.nFrames)
+    assert(down.feature.sameElements(up.feature))
+  }
+
   test("VideoDecoder: MJPEG AVI decodes real JPEG frames") {
     val frames = (0 until 4).map(f => Array.fill[Byte](64 * 48)((40 + 40 * f).toByte))
     val avi = Multimodal.aviBytes(64, 48, 10, frames, mjpeg = true)
