@@ -828,6 +828,48 @@ class Hdf5Spec extends SparkSpec {
     } finally r.close()
   }
 
+  test("truncation at any offset fails loudly or reproduces the full data — never garbage") {
+    // the fail-loudly contract, fuzzed: for every modern-layout
+    // fixture and a spread of truncation points, reading all columns
+    // either throws (EOF / checksum / named refusal) or — if the cut
+    // only removed bytes nothing references — returns byte-identical
+    // data. A truncated file must never produce silently DIFFERENT
+    // rows.
+    def readAll(path: String): Map[String, Seq[Byte]] = {
+      val r = new Hdf5Reader(path)
+      try {
+        val root = r.objectInfo(r.rootHeaderAddr)
+        val data = r.objectInfo(r.groupLinks(root).toMap.apply("data"))
+        r.groupLinks(data).map { case (nm, addr) =>
+          val ds = r.datasetMeta(nm, r.objectInfo(addr))
+          nm -> r.readRows(ds, 0, ds.rows).toSeq
+        }.toMap
+      } finally r.close()
+    }
+    val fixtures = Seq("nation_latest", "nation_paged", "nation_dense",
+      "nation_ea", "nation_ea_sblk", "nation_ea_paged", "nation_bt2",
+      "nation_dattr")
+    val dir = Files.createTempDirectory("graft-h5-trunc")
+    val rnd = new scala.util.Random(42) // deterministic
+    fixtures.foreach { fx =>
+      val src = java.nio.file.Paths.get(getClass.getResource(s"/$fx.hdf5").getPath)
+      val full = Files.readAllBytes(src)
+      val expected = readAll(src.toString)
+      val points = ((1 until 24).map(i => full.length.toLong * i / 24) ++
+        Seq.fill(24)(1L + rnd.nextInt(full.length - 1))).map(_.toInt).distinct
+      points.foreach { cut =>
+        val p = dir.resolve(s"$fx-$cut.hdf5")
+        Files.write(p, java.util.Arrays.copyOf(full, cut))
+        try {
+          val got = readAll(p.toString)
+          assert(got == expected,
+            s"$fx truncated at $cut/${full.length} returned DIFFERENT data")
+        } catch { case _: Exception => () } // loud failure: contract met
+        Files.delete(p)
+      }
+    }
+  }
+
   test("windowed reads cross fixed-array chunk boundaries correctly") {
     val r = new Hdf5Reader(latestFixture)
     try {
