@@ -371,8 +371,8 @@ object TextVector {
     * `tag` suffix, the quantized vector is embedding positions
     * off+1 … off+dim, and every distance/update fold runs over `dim`
     * positions. tag="" with dim=64/off=0 reproduces the q91/q33
-    * whole-vector chain; [[Corpus]]'s q91 oracle is the same shape
-    * written out literally.
+    * whole-vector chain; [[Corpus]]'s q91 oracle calls
+    * [[lloydAssignSql]], which builds on this same chain.
     */
   private def lloydChainSql(tag: String, k: Int, iters: Int,
                             dim: Int, off: Int): String = {
