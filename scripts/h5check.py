@@ -99,12 +99,18 @@ class H5:
             (0, 8): "<q", (0, 4): "<i", (0, 2): "<h",
             (1, 8): "<d", (1, 4): "<f",
         }.get((cls, size))
-        assert fmt or cls == 3, f"datatype class {cls} size {size}"
+        assert fmt or cls in (3, 9), f"datatype class {cls} size {size}"
         raw = self._raw(layout, filters, dims, size)
         n = 1
         for d in dims:
             n *= d
-        if cls == 3:
+        if cls == 9:  # vlen string: (len u32, GCOL addr u64, index u32)
+            assert bits0 & 0x0F == 1, "vlen non-string"
+            vals = []
+            for i in range(n):
+                ln, gaddr, idx = struct.unpack_from("<IQI", raw, i * 16)
+                vals.append(self.gheap(gaddr, idx)[:ln].decode())
+        elif cls == 3:
             vals = [raw[i * size:(i + 1) * size].split(b"\0")[0].decode()
                     for i in range(n)]
         else:
@@ -113,6 +119,20 @@ class H5:
             w = dims[1]
             vals = [vals[i * w:(i + 1) * w] for i in range(dims[0])]
         return vals
+
+    def gheap(self, addr, idx):
+        """object `idx` from the GCOL global heap collection at addr"""
+        assert self.b[addr:addr + 4] == b"GCOL", "no global heap"
+        end = addr + self.u64(addr + 8)
+        p = addr + 16
+        while p < end:
+            oid = self.u16(p)
+            assert oid != 0, "heap object not found"
+            size = self.u64(p + 8)
+            if oid == idx:
+                return self.b[p + 16:p + 16 + size]
+            p += 16 + ((size + 7) & ~7)
+        raise AssertionError("heap object not found")
 
     def _raw(self, layout, filters, dims, esize):
         v, cls = self.b[layout], self.b[layout + 1]

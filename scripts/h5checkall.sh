@@ -17,6 +17,9 @@ python3 scripts/h5check_latest.py $R/nation_bt2.hdf5      $N 1
 python3 scripts/h5check_latest.py $R/nation_edgeraw.hdf5  $N 1
 python3 scripts/h5check_latest.py $R/nation_ea_paged.hdf5 $N 21
 python3 scripts/h5check_latest.py $R/nation_dattr.hdf5    $N 1
+# classic-layout vlen strings go through the classic checker, which
+# dereferences the GCOL global heap
+python3 scripts/h5check.py        $R/nation_vlen.hdf5     $N
 # classic layout: the Scala WRITER cross-checked by the original
 # independent reader (h5check.py) is exercised from Hdf5Spec
 echo "all modern-layout fixtures cross-checked"

@@ -122,6 +122,35 @@ class W:
             msgs.append((0x0C, self.attr(name, val)))
         return self.object_header(msgs)
 
+    def vlen_dataset(self, values, attrs=()):
+        """list[str] as a class-9 VARIABLE-LENGTH string dataset: each
+        16-byte element is (length u32, GCOL collection addr u64, heap
+        object index u32) referencing a global heap collection — the
+        encoding h5py emits for plain Python str columns (its default
+        str mapping, independent of libver)."""
+        heap = bytearray()
+        for i, v in enumerate(values, start=1):
+            b = v.encode()
+            heap += (struct.pack("<HH4xQ", i, 1, len(b))
+                     + b + b"\0" * ((-len(b)) % 8))
+        heap += struct.pack("<HH4xQ", 0, 0, 0)  # free-space terminator
+        gcol = (b"GCOL" + struct.pack("<B3x", 1)
+                + struct.pack("<Q", 16 + len(heap)) + bytes(heap))
+        gaddr = self.block(gcol)
+        data = b"".join(struct.pack("<IQI", len(v.encode()), gaddr, i + 1)
+                        for i, v in enumerate(values))
+        addr = self.block(data)
+        # vlen dtype v1: class 9, type=string in the low flag nibble,
+        # element size 16; base type = 1-byte string
+        dt = (struct.pack("<BBBBI", 0x19, 0x01, 0, 0, 16)
+              + struct.pack("<BBBBI", 0x13, 0, 0, 0, 1))
+        ds = struct.pack("<BBB5x", 1, 1, 0) + struct.pack("<Q", len(values))
+        layout = struct.pack("<BBQQ", 3, 1, addr, len(data))
+        msgs = [(0x01, ds), (0x03, dt), (0x08, layout)]
+        for name, val in attrs:
+            msgs.append((0x0C, self.attr(name, val)))
+        return self.object_header(msgs)
+
     def attr(self, name, val):
         nb = name.encode() + b"\0"
         if isinstance(val, str):
@@ -810,6 +839,7 @@ def main():
     edge = "--edge-raw" in sys.argv[1:]        # raw partial chunk, mask bit 0
     ea_paged = "--ea-paged" in sys.argv[1:]    # paged EA data blocks
     dattr = "--dense-attrs" in sys.argv[1:]    # dense attribute storage
+    vlen = "--vlen" in sys.argv[1:]            # vlen string columns (legacy)
     # --repeat=N tiles the table N times — enough chunks to push the
     # EA index past its direct data-block pointers into EASB super
     # blocks (the realistic appendable-catalog regime) while keeping
@@ -849,6 +879,9 @@ def main():
             kind = ("s", max(len(v.encode()) for v in vals) + 1)
         else:
             raise SystemExit(f"unsupported type {ty} for {name}")
+        if vlen and ty == "string":
+            cols.append((name, w.vlen_dataset(vals, attrs=[("unit", "None")])))
+            continue
         if edge and kind == "i64":
             # nonzero filter masks: deflate-filtered columns whose
             # trailing PARTIAL chunk is stored raw with mask bit 0 set
@@ -959,7 +992,9 @@ def main():
             else "latest extensible-array chunks (EAHD)" if ea
             else "latest v2-btree chunks (BTHD t10/t11)" if bt2
             else "latest paged-FA (sb v3, OHDR)" if paged
-            else "latest (sb v3, OHDR)" if latest else "earliest (sb v0)")
+            else "latest (sb v3, OHDR)" if latest
+            else "earliest + vlen strings (GCOL)" if vlen
+            else "earliest (sb v0)")
     print(f"wrote {args[1]} [{mode}]: {len(cols)} columns, "
           f"{t.num_rows * rep} rows")
 

@@ -28,8 +28,9 @@ import java.nio.file.{Paths, StandardOpenOption}
   *     and v2 B-tree (record types 10/11); optionally deflate- and/or
   *     shuffle-filtered, honoring per-chunk filter masks (raw partial
   *     edge chunks under H5D_CHUNK_DONT_FILTER_PARTIAL_BOUND_CHUNKS)
-  *   - datatypes: fixed-point, IEEE float, fixed strings; vlen strings
-  *     in ATTRIBUTES (global heap)
+  *   - datatypes: fixed-point, IEEE float, fixed strings; vlen
+  *     strings (global-heap GCOL) in attributes AND datasets — the
+  *     h5py default mapping for plain Python str columns
   *   - attribute messages v1-v3, compact AND dense storage (Attribute
   *     Info + fractal heap + v2-B-tree type-8 name index — what
   *     libhdf5 emits past 8 attributes, e.g. attribute-heavy header

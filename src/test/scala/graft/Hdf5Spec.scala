@@ -828,6 +828,24 @@ class Hdf5Spec extends SparkSpec {
     } finally r.close()
   }
 
+  test("variable-length string datasets decode through the global heap") {
+    // generated with `h5make.py --vlen`: n_name is a class-9 vlen
+    // string dataset whose 16-byte elements reference a GCOL global
+    // heap collection — what h5py emits for plain Python str columns
+    // (its DEFAULT str mapping, any libver), so this is the first
+    // string-bearing real-world catalog shape a user hits
+    val p = getClass.getResource("/nation_vlen.hdf5").getPath
+    val ds = Hdf5Io.importDataset(spark, p)
+    assert(ds.count() == 25)
+    assert(ds.df.schema("n_name").dataType == StringType)
+    val got = ds.df.select($"n_nationkey", $"n_name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .select($"n_nationkey", $"n_name")
+      .collect().map(r => r.getInt(0).toLong -> r.getString(1)).toMap
+    assert(got == want)
+  }
+
   test("truncation at any offset fails loudly or reproduces the full data — never garbage") {
     // the fail-loudly contract, fuzzed: for every modern-layout
     // fixture and a spread of truncation points, reading all columns
