@@ -117,6 +117,11 @@ object Bench {
           val model = graft.operators.Clustering.kmeans(e,
             "vec_id", "embedding", k = 8, iters = 3)
           model.assignments.count(); model.unpersist(); ()
+        }),
+        "q101p_semantic_dedup_prod" -> ((s: SparkSession, d: String) => {
+          val e = s.read.parquet(s"$d/embeddings.parquet")
+          graft.operators.Similarity.semanticDedup(e,
+            "vec_id", "embedding", threshold = 0.3).count(); ()
         }))
     val selected =
       if (only.isEmpty) benchQueries

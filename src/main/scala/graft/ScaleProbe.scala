@@ -172,6 +172,16 @@ object ScaleProbe {
     time("pq_md5_gate", ebase, escaled)(d =>
       Clustering.pqTopKMd5(d, d.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5).count())
+    // SemDeDup semantic dedup, both k regimes: FIXED k lets cluster
+    // occupancy grow with n (within-cluster pair expansion trends
+    // quadratic), the auto-k default scales the cluster count so
+    // occupancy — and cost per row — stays flat
+    time("semantic_dedup_fixed_k", ebase, escaled)(d =>
+      Similarity.semanticDedup(d, "vec_id", "embedding",
+        threshold = 0.3, k = 8).count())
+    time("semantic_dedup_auto_k", ebase, escaled)(d =>
+      Similarity.semanticDedup(d, "vec_id", "embedding",
+        threshold = 0.3).count())
 
     // spatial side: the sky cross-match's pixel key is the same kind of
     // LSH bucket — occupancy grows with catalog density unless nside

@@ -80,6 +80,38 @@ object Clustering {
     out
   }
 
+  /** DuckDB-replayable gate twin of [[Similarity.semanticDedup]]:
+    * cluster assignment comes from the quantized md5-init Lloyd loop
+    * ([[lloydMd5]] — every centroid bit-replayable), while the
+    * within-cluster dominance filter keeps the exact float cosine over
+    * the ORIGINAL embeddings (q29/q33's already-hash-matched formula:
+    * sequential folds agree bit-for-bit between engines). Same
+    * cluster-confined pair expansion and keep-lowest-id rule as
+    * production; SimilaritySpec asserts both paths prune the same
+    * planted near-duplicates.
+    */
+  def semanticDedupMd5(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, k: Int = 8, iters: Int = 3,
+                       scale: Int = 1024): DataFrame = {
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    val (q, cents) = lloydMd5(df, idCol, vecCol, k, iters, scale)
+    val asg = q.select(col("__id"), col("__vec"),
+      cellOfQuantized(cents)(col("__qv")).as("cluster"))
+    val a = asg.as("a"); val b = asg.as("b")
+    val dropped = a
+      .join(b, col("a.cluster") === col("b.cluster") && col("a.__id") > col("b.__id"))
+      // fused kernel, IEEE-identical to the HOF cosine (sequential
+      // left-to-right folds) — the oracle replays the same formula
+      .filter(call_function("graft_cosine",
+        col("a.__vec"), col("b.__vec")) >= threshold)
+      .select(col("a.__id").as("__drop")).distinct()
+    val out = asg.join(dropped, col("__id") === col("__drop"), "left_anti")
+      .select(col("__id").as(idCol), col("cluster"))
+      .localCheckpoint(true)
+    q.unpersist()
+    out
+  }
+
   /** DuckDB-replayable gate twin of [[Similarity.ivfTopK]]: the
     * coarse quantizer is the quantized md5-init Lloyd loop
     * ([[lloydMd5]] — every centroid bit-replayable), cell assignment

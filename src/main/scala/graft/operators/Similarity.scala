@@ -176,19 +176,24 @@ object Similarity {
     */
   final case class IvfIndex(cells: DataFrame, centroids: Array[Array[Double]]) {
     def nlist: Int = centroids.length
-    /** squared-L2 distance of a vector column to every centroid. */
-    private[operators] def dists(v: Column): Column = {
-      val centLit = array(centroids.map(ct => array(ct.map(lit): _*)): _*)
-      transform(centLit, ct =>
-        aggregate(zip_with(v, ct, (x, y) => {
-          val d = x.cast("double") - y
-          d * d
-        }), lit(0.0), (acc, x) => acc + x))
-    }
-    private[operators] def cellOf(v: Column): Column = {
-      val ds = dists(v)
-      (array_position(ds, array_min(ds)) - 1).cast("int")
-    }
+    /** the centroid MATRIX as one Literal (array<array<double>>) — a
+      * nested-`lit` build plants nlist×dim Literal nodes, which at
+      * auto-tuned cluster counts blew analysis/codegen up (measured
+      * exp 1.88 in ScaleProbe before the fused kernels).
+      */
+    private def centLit: Column =
+      typedlit[Seq[Seq[Double]]](centroids.map(_.toSeq).toSeq)
+    /** squared-L2 distance of a vector column to every centroid
+      * (fused codegen'd loop; IEEE-identical to the former per-
+      * centroid zip_with+aggregate fold).
+      */
+    private[operators] def dists(v: Column): Column =
+      call_function("graft_cell_dists", v, centLit)
+    /** argmin cell, ties to the lowest index (same contract as
+      * `array_position(ds, array_min(ds)) - 1`).
+      */
+    private[operators] def cellOf(v: Column): Column =
+      call_function("graft_nearest_cell", v, centLit)
     def unpersist(): Unit = { cells.unpersist(); () }
   }
 
@@ -350,6 +355,52 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         round(col("cos"), 6).as("cosine"))
+  }
+
+  /** [[semanticDedup]]'s auto-k occupancy target: ~64 rows per
+    * cluster keeps the within-cluster pair expansion at ~32
+    * comparisons per row regardless of corpus size.
+    */
+  val SemanticTargetCluster: Long = 64L
+
+  /** SemDeDup-shaped SEMANTIC dedup (Abbas et al. 2023,
+    * arXiv:2303.09540 — public paper): k-means partition the embedding
+    * space, then inside each cluster drop every row that has a
+    * LOWER-id row with cosine ≥ `threshold`; survivors are returned as
+    * (id, cluster). Confining the all-pairs comparison to clusters is
+    * the paper's scaling trick: pair expansion is Σᵢ cᵢ² ≈ n²/k, and
+    * the self-join shuffles on the cluster key only. `k = 0` (the
+    * default) derives the cluster count from the corpus size (one
+    * cheap `count()`, targeting ~[[SemanticTargetCluster]] rows per
+    * cluster) — the same tuning contract as [[autoPlanes]]: a FIXED k
+    * lets cluster occupancy grow with n and the pair expansion trend
+    * quadratic, while n-scaled k holds cost-per-row flat (measured in
+    * ScaleProbe / SCALE.md). The keep-lowest-id rule makes the
+    * survivor set deterministic with no connected-components pass: a
+    * row survives iff no lower-id row in its cluster is near it.
+    *
+    * Eager contract like the gate kernels: the survivor frame is
+    * checkpointed and the k-means model released before returning.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, k: Int = 0,
+                    iters: Int = 3): DataFrame = {
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    val nClusters = if (k > 0) k
+      else math.max(2, (df.count() / SemanticTargetCluster).toInt)
+    val model = Clustering.kmeans(df, idCol, vecCol, nClusters, iters)
+    val asg = model.assignments.select(col(idCol).as("__id"), col("cluster"))
+      .join(df.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__id")
+    val a = asg.as("a"); val b = asg.as("b")
+    val dropped = a
+      .join(b, col("a.cluster") === col("b.cluster") && col("a.__id") > col("b.__id"))
+      .filter(call_function("graft_cosine", col("a.__v"), col("b.__v")) >= threshold)
+      .select(col("a.__id").as("__drop")).distinct()
+    val out = asg.join(dropped, col("__id") === col("__drop"), "left_anti")
+      .select(col("__id").as(idCol), col("cluster"))
+      .localCheckpoint(true)
+    model.unpersist()
+    out
   }
 
   /** DuckDB-replayable gate twin of [[cosineNearDupPairs]]: identical

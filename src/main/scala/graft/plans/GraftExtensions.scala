@@ -44,6 +44,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2NormExpr].getName, "graft_l2norm"),
       (children: Seq[Expression]) => L2NormExpr(children): Expression),
+    (FunctionIdentifier("graft_cell_dists"),
+      new ExpressionInfo(classOf[CellDistsExpr].getName, "graft_cell_dists"),
+      (children: Seq[Expression]) => CellDistsExpr(children): Expression),
+    (FunctionIdentifier("graft_nearest_cell"),
+      new ExpressionInfo(classOf[NearestCellExpr].getName, "graft_nearest_cell"),
+      (children: Seq[Expression]) => NearestCellExpr(children): Expression),
     (FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[NormalizeExpr].getName, "graft_normalize"),
       (children: Seq[Expression]) => NormalizeExpr(children): Expression),

@@ -42,6 +42,59 @@ object VecKernels {
     val denom = l2Norm(a) * l2Norm(b)
     if (denom == 0.0) 0.0 else dot(a, b) / denom
   }
+
+  /** Squared-L2 distance of float vector `v` to EVERY row of the
+    * double centroid matrix `cents` (array<array<double>>), as one
+    * fused loop. IEEE-identical to the per-centroid
+    * zip_with+aggregate fold (left-to-right accumulation), but the
+    * matrix rides in as a SINGLE Literal — the lambda-tree form
+    * plants k×dim Literal nodes, which at auto-tuned cluster counts
+    * (hundreds of cells) blows up analysis/codegen and falls out of
+    * compiled eval entirely.
+    */
+  def cellDists(v: ArrayData, cents: ArrayData): ArrayData = {
+    val k = cents.numElements()
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val ct = cents.getArray(c)
+      val n = math.min(v.numElements(), ct.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = v.getFloat(i).toDouble - ct.getDouble(i)
+        s += d * d
+        i += 1
+      }
+      out(c) = s
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** argmin cell of [[cellDists]], ties to the LOWEST index — the
+    * same contract as `array_position(ds, array_min(ds)) - 1`.
+    */
+  def nearestCell(v: ArrayData, cents: ArrayData): Int = {
+    val k = cents.numElements()
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < k) {
+      val ct = cents.getArray(c)
+      val n = math.min(v.numElements(), ct.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = v.getFloat(i).toDouble - ct.getDouble(i)
+        s += d * d
+        i += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
 }
 
 private[plans] abstract class BinaryVecExpr extends Expression {
@@ -79,6 +132,66 @@ final case class CosineExpr(children: Seq[Expression]) extends BinaryVecExpr {
   override protected def kernel = "cosine"
   override protected def kernelEval(a: ArrayData, b: ArrayData): Double =
     VecKernels.cosine(a, b)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
+}
+
+/** graft_cell_dists(array<float>, array<array<double>>) → array<double> */
+final case class CellDistsExpr(children: Seq[Expression]) extends Expression {
+  require(children.length == 2, "graft_cell_dists(v, centroids)")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: InternalRow): Any = {
+    val a = children.head.eval(input); val b = children(1).eval(input)
+    if (a == null || b == null) null
+    else VecKernels.cellDists(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ag = children.head.genCode(ctx); val bg = children(1).genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${ag.code}
+        ${bg.code}
+        boolean ${ev.isNull} = ${ag.isNull} || ${bg.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.plans.VecKernels.cellDists(${ag.value}, ${bg.value});
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
+}
+
+/** graft_nearest_cell(array<float>, array<array<double>>) → int */
+final case class NearestCellExpr(children: Seq[Expression]) extends Expression {
+  require(children.length == 2, "graft_nearest_cell(v, centroids)")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: InternalRow): Any = {
+    val a = children.head.eval(input); val b = children(1).eval(input)
+    if (a == null || b == null) null
+    else VecKernels.nearestCell(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ag = children.head.genCode(ctx); val bg = children(1).genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${ag.code}
+        ${bg.code}
+        boolean ${ev.isNull} = ${ag.isNull} || ${bg.isNull};
+        int ${ev.value} = 0;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.plans.VecKernels.nearestCell(${ag.value}, ${bg.value});
+        }
+      """)
+  }
+
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(children = c)
 }

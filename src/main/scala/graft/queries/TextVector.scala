@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Clustering, Dedup, Multimodal, Similarity}
 
 /** Training-data pipeline operators (builder prompt §beyond-reference):
   * text analysis, dedup, similarity search, multimodal plumbing — each
@@ -198,6 +198,16 @@ object TextVector {
         "vec_id", "embedding", threshold = 0.3, nPlanes = 6)
     }),
 
+    // SemDeDup-shaped semantic dedup: quantized md5-Lloyd cluster
+    // assignment + within-cluster keep-lowest-id cosine pruning.
+    // GATE kernel (SQL-replayable end to end); production keeps
+    // Similarity.semanticDedup (float kmeans), cross-checked in
+    // SimilaritySpec.
+    "q101_semantic_dedup" -> ((s, dir) => {
+      Clustering.semanticDedupMd5(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.3, k = 8, iters = 3)
+    }),
+
     // per-label embedding centroids (vector aggregation).
     "q31_label_centroids" -> ((s, dir) => {
       Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
@@ -365,6 +375,35 @@ object TextVector {
              SELECT q.vec_id, c.cell, $d AS d,
                row_number() OVER (PARTITION BY q.vec_id ORDER BY $d, c.cell) AS rn
              FROM q, c$iters c) WHERE rn = 1"""
+  }
+
+  /** q101 oracle: the [[lloydSql]] chain assigns clusters, then the
+    * SemDeDup dominance rule replays — a row is dropped iff a
+    * lower-id row in its cluster has exact float cosine ≥ threshold
+    * (q29/q33's hash-matched formula). Survivors keep (vec_id,
+    * cluster).
+    */
+  private[queries] def semanticDedupSql(k: Int, iters: Int,
+                                        threshold: Double): String = {
+    val d = "list_sum(list_transform(range(1, 65), i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))"
+    s"""WITH ${lloydSql(k, iters)},
+         asg AS (SELECT vec_id, cell FROM (
+             SELECT q.vec_id, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY $d, c.cell) AS rn
+             FROM q, c$iters c) WHERE rn = 1),
+         vecs AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         dropped AS (SELECT DISTINCT a.vec_id FROM asg a
+             JOIN asg b ON a.cell = b.cell AND a.vec_id > b.vec_id
+             JOIN vecs va ON va.vec_id = a.vec_id
+             JOIN vecs vb ON vb.vec_id = b.vec_id
+             WHERE list_dot_product(va.v, vb.v)
+                   / (sqrt(list_sum(list_transform(va.v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(vb.v, x -> x * x))))
+                   >= $threshold)
+         SELECT vec_id, CAST(cell AS INTEGER) AS cluster FROM asg
+         WHERE vec_id NOT IN (SELECT vec_id FROM dropped)"""
   }
 
   /** [[lloydSql]] generalized to a subspace: CTE names carry the
@@ -824,6 +863,9 @@ object TextVector {
                                 list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
            / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.3""",
+    // SemDeDup gate: md5-Lloyd assignment chain + within-cluster
+    // keep-lowest-id dominance over the exact float cosine
+    "q101_semantic_dedup" -> semanticDedupSql(k = 8, iters = 3, threshold = 0.3),
     // frames are consecutive in the synthesized AVI, so the global
     // sample index j = f*w*h + i cycles hex[j % 32] — one
     // generate_series over frames × pixels replays every gray value;

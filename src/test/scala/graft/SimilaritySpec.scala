@@ -93,6 +93,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup: planted duplicates pruned to one survivor, both kernels") {
+    // SemDeDup contract on a corpus with planted EXACT duplicates:
+    // an identical embedding always lands in its twin's cluster (same
+    // distances to every centroid, ties broken the same way), so
+    // whatever else the two kernels' different clusterings do, each
+    // planted pair must collapse to its lowest id — and nothing below
+    // the threshold may be dropped without a similar lower-id row.
+    val e = Tables(spark, sf001, "embeddings")
+    val planted = e.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val withDups = e.unionByName(planted)
+    for (survivors <- Seq(
+        graft.operators.Similarity.semanticDedup(
+          withDups, "vec_id", "embedding", threshold = 0.99),
+        graft.operators.Clustering.semanticDedupMd5(
+          withDups, "vec_id", "embedding", threshold = 0.99))) {
+      val ids = survivors.select("vec_id").collect().map(_.getLong(0)).toSet
+      (0L until 20L).foreach { id =>
+        assert(ids.contains(id), s"original vec $id wrongly dropped")
+        assert(!ids.contains(id + 1000000L),
+          s"planted duplicate of vec $id survived")
+      }
+      // survivors + their clusters are a partition of the corpus ids
+      assert(ids.size == survivors.count())
+    }
+    // production and gate agree on the survivor COUNT within the
+    // clustering difference (same rule, different cluster boundaries):
+    // at a moderate threshold both prune a similar fraction
+    val prod = graft.operators.Similarity.semanticDedup(
+      e, "vec_id", "embedding", threshold = 0.3).count()
+    val gate = graft.operators.Clustering.semanticDedupMd5(
+      e, "vec_id", "embedding", threshold = 0.3).count()
+    val n = e.count()
+    assert(prod < n && gate < n, "thresholds too high to prune anything")
+    assert(math.abs(prod - gate) <= n / 5,
+      s"kernels diverged: prod=$prod gate=$gate of $n")
+  }
+
   test("md5 gate kernel: precision 1.0, recall comparable to production") {
     val e = Tables(spark, sf001, "embeddings")
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
