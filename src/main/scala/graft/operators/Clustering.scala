@@ -97,15 +97,9 @@ object Clustering {
     val (q, cents) = lloydMd5(df, idCol, vecCol, k, iters, scale)
     val asg = q.select(col("__id"), col("__vec"),
       cellOfQuantized(cents)(col("__qv")).as("cluster"))
-    val a = asg.as("a"); val b = asg.as("b")
-    val dropped = a
-      .join(b, col("a.cluster") === col("b.cluster") && col("a.__id") > col("b.__id"))
-      // fused kernel, IEEE-identical to the HOF cosine (sequential
-      // left-to-right folds) — the oracle replays the same formula
-      .filter(call_function("graft_cosine",
-        col("a.__vec"), col("b.__vec")) >= threshold)
-      .select(col("a.__id").as("__drop")).distinct()
-    val out = asg.join(dropped, col("__id") === col("__drop"), "left_anti")
+    // shared dominance rule (fused graft_cosine — IEEE-identical to
+    // the HOF folds the SQL oracle replays)
+    val out = Similarity.dominanceSurvivors(asg, threshold)
       .select(col("__id").as(idCol), col("cluster"))
       .localCheckpoint(true)
     q.unpersist()

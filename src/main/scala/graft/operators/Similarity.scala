@@ -386,21 +386,41 @@ object Similarity {
                     threshold: Double, k: Int = 0,
                     iters: Int = 3): DataFrame = {
     graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    // clamp BEFORE .toInt: past ~137B rows n/64 overflows Int and a
+    // wrapped cluster count would silently recreate the quadratic
+    // all-pairs blowup auto-k exists to prevent
     val nClusters = if (k > 0) k
-      else math.max(2, (df.count() / SemanticTargetCluster).toInt)
-    val model = Clustering.kmeans(df, idCol, vecCol, nClusters, iters)
-    val asg = model.assignments.select(col(idCol).as("__id"), col("cluster"))
-      .join(df.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__id")
+      else math.min(math.max(2L, df.count() / SemanticTargetCluster),
+        Int.MaxValue.toLong).toInt
+    // the index frame already persists (id, vector, cell): build it
+    // directly rather than via KMeansModel and a corpus re-join to
+    // recover the vectors — one full-corpus shuffle saved
+    val idx = buildIvfIndex(df, idCol, vecCol, nClusters, iters)
+    val asg = idx.cells.select(col("neighbor_id").as("__id"),
+      col("cv").as("__vec"), col("cell").as("cluster"))
+    val out = dominanceSurvivors(asg, threshold)
+      .select(col("__id").as(idCol), col("cluster"))
+      .localCheckpoint(true)
+    idx.unpersist()
+    out
+  }
+
+  /** The SemDeDup dominance filter over an assigned frame (`__id`,
+    * `__vec`, `cluster`): drop every row with a lower-id same-cluster
+    * neighbor at cosine ≥ threshold. ONE helper shared by the
+    * production kernel and [[Clustering.semanticDedupMd5]] so the
+    * rule can never drift between the twins (the q91/q33 oracle-
+    * sharing rationale applied to the Spark side).
+    */
+  private[operators] def dominanceSurvivors(asg: DataFrame,
+                                            threshold: Double): DataFrame = {
     val a = asg.as("a"); val b = asg.as("b")
     val dropped = a
       .join(b, col("a.cluster") === col("b.cluster") && col("a.__id") > col("b.__id"))
-      .filter(call_function("graft_cosine", col("a.__v"), col("b.__v")) >= threshold)
+      .filter(call_function("graft_cosine",
+        col("a.__vec"), col("b.__vec")) >= threshold)
       .select(col("a.__id").as("__drop")).distinct()
-    val out = asg.join(dropped, col("__id") === col("__drop"), "left_anti")
-      .select(col("__id").as(idCol), col("cluster"))
-      .localCheckpoint(true)
-    model.unpersist()
-    out
+    asg.join(dropped, col("__id") === col("__drop"), "left_anti")
   }
 
   /** DuckDB-replayable gate twin of [[cosineNearDupPairs]]: identical

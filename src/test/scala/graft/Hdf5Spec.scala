@@ -878,11 +878,15 @@ class Hdf5Spec extends SparkSpec {
       points.foreach { cut =>
         val p = dir.resolve(s"$fx-$cut.hdf5")
         Files.write(p, java.util.Arrays.copyOf(full, cut))
-        try {
-          val got = readAll(p.toString)
-          assert(got == expected,
-            s"$fx truncated at $cut/${full.length} returned DIFFERENT data")
-        } catch { case _: Exception => () } // loud failure: contract met
+        // assert OUTSIDE the recovery scope: a plain try/catch around
+        // the assert would swallow ScalaTest's TestFailedException
+        // (a RuntimeException) and could never fail on garbage data
+        scala.util.Try(readAll(p.toString)) match {
+          case scala.util.Success(got) =>
+            assert(got == expected,
+              s"$fx truncated at $cut/${full.length} returned DIFFERENT data")
+          case scala.util.Failure(_) => () // loud failure: contract met
+        }
         Files.delete(p)
       }
     }

@@ -41,8 +41,13 @@ class TestDataCanarySpec extends SparkSpec {
     }
   }
   private case object FloatVec extends Family {
+    // pinned to array<float> exactly: the fused vector kernels
+    // (graft_cosine, graft_cell_dists, graft_nearest_cell) read
+    // elements with ArrayData.getFloat, so an array<double> drop
+    // would silently produce garbage similarities — the canary must
+    // fail on it, not bless it
     def ok(t: DataType): Boolean = t match {
-      case ArrayType(et, _) => Fractional.ok(et)
+      case ArrayType(FloatType, _) => true
       case _ => false
     }
   }
