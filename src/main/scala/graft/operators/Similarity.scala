@@ -412,7 +412,7 @@ object Similarity {
     * rule can never drift between the twins (the q91/q33 oracle-
     * sharing rationale applied to the Spark side).
     */
-  private[operators] def dominanceSurvivors(asg: DataFrame,
+  private[graft] def dominanceSurvivors(asg: DataFrame,
                                             threshold: Double): DataFrame = {
     val a = asg.as("a"); val b = asg.as("b")
     val dropped = a

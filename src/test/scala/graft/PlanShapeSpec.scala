@@ -226,6 +226,22 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("semantic dedup dominance join keys on the cluster — never cartesian") {
+    // the SemDeDup scaling claim rests on the pair expansion being
+    // cluster-confined: the self-join must plan as an equi-join on the
+    // cluster key (hash/sort-merge), not a cartesian or nested-loop
+    // product over the corpus
+    graft.plans.GraftExtensions.registerAll(spark)
+    val e = Tables(spark, sf001, "embeddings")
+    val asg = e.select(col("vec_id").as("__id"),
+      col("embedding").as("__vec"), (col("vec_id") % 8).cast("int").as("cluster"))
+    val surv = graft.operators.Similarity.dominanceSurvivors(asg, 0.9)
+    val p = surv.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"dominance join is cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"dominance join is NLJ:\n$p")
+    assert(surv.count() > 0)
+  }
+
   test("skew profile surfaces the hot key") {
     val df = ((0 until 900).map(_ => "hot") ++ (0 until 100).map(i => s"k$i"))
       .toDF("k")
