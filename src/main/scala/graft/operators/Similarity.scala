@@ -363,6 +363,17 @@ object Similarity {
     */
   val SemanticTargetCluster: Long = 64L
 
+  /** Auto-k ceiling: the centroid matrix rides in the plan as one
+    * Literal (k×dim×8 B — 8 MB at this cap for 64-dim vectors), so k
+    * must stay driver-sized. Past ~[[MaxAutoClusters]]×64 rows (~1M
+    * vectors per fitted batch) occupancy grows linearly again; the
+    * known next step there is a two-level quantizer (assign to a
+    * super-cell, then argmin within its children) — documented, not
+    * built. In practice SemDeDup-scale corpora are deduped in sharded
+    * batches well under this bound.
+    */
+  val MaxAutoClusters: Int = 16384
+
   /** SemDeDup-shaped SEMANTIC dedup (Abbas et al. 2023,
     * arXiv:2303.09540 — public paper): k-means partition the embedding
     * space, then inside each cluster drop every row that has a
@@ -386,12 +397,13 @@ object Similarity {
                     threshold: Double, k: Int = 0,
                     iters: Int = 3): DataFrame = {
     graft.plans.GraftExtensions.registerAll(df.sparkSession)
-    // clamp BEFORE .toInt: past ~137B rows n/64 overflows Int and a
-    // wrapped cluster count would silently recreate the quadratic
-    // all-pairs blowup auto-k exists to prevent
+    // clamp BEFORE .toInt (a wrapped count past ~137B rows would
+    // silently recreate the quadratic blowup auto-k prevents), and cap
+    // at MaxAutoClusters: the centroid matrix is a driver-sized plan
+    // literal, so k cannot track n forever — see the ceiling's doc
     val nClusters = if (k > 0) k
       else math.min(math.max(2L, df.count() / SemanticTargetCluster),
-        Int.MaxValue.toLong).toInt
+        MaxAutoClusters.toLong).toInt
     // the index frame already persists (id, vector, cell): build it
     // directly rather than via KMeansModel and a corpus re-join to
     // recover the vectors — one full-corpus shuffle saved
