@@ -127,18 +127,29 @@ class W:
         16-byte element is (length u32, GCOL collection addr u64, heap
         object index u32) referencing a global heap collection — the
         encoding h5py emits for plain Python str columns (its default
-        str mapping, independent of libver)."""
-        heap = bytearray()
-        for i, v in enumerate(values, start=1):
+        str mapping, independent of libver). Collections split at
+        ~4 KiB like libhdf5's default, so a real multi-collection
+        column shape is what readers see."""
+        refs = []           # (len, collection ordinal, object index)
+        heaps = [bytearray()]
+        idx = 0
+        for v in values:
             b = v.encode()
-            heap += (struct.pack("<HH4xQ", i, 1, len(b))
-                     + b + b"\0" * ((-len(b)) % 8))
-        heap += struct.pack("<HH4xQ", 0, 0, 0)  # free-space terminator
-        gcol = (b"GCOL" + struct.pack("<B3x", 1)
-                + struct.pack("<Q", 16 + len(heap)) + bytes(heap))
-        gaddr = self.block(gcol)
-        data = b"".join(struct.pack("<IQI", len(v.encode()), gaddr, i + 1)
-                        for i, v in enumerate(values))
+            if len(heaps[-1]) + 16 + len(b) > 4096 and idx > 0:
+                heaps.append(bytearray())
+                idx = 0
+            idx += 1
+            heaps[-1] += (struct.pack("<HH4xQ", idx, 1, len(b))
+                          + b + b"\0" * ((-len(b)) % 8))
+            refs.append((len(b), len(heaps) - 1, idx))
+        gaddrs = []
+        for heap in heaps:
+            heap += struct.pack("<HH4xQ", 0, 0, 0)  # free-space terminator
+            gcol = (b"GCOL" + struct.pack("<B3x", 1)
+                    + struct.pack("<Q", 16 + len(heap)) + bytes(heap))
+            gaddrs.append(self.block(gcol))
+        data = b"".join(struct.pack("<IQI", ln, gaddrs[c], i)
+                        for ln, c, i in refs)
         addr = self.block(data)
         # vlen dtype v1: class 9, type=string in the low flag nibble,
         # element size 16; base type = 1-byte string

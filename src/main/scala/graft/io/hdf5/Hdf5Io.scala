@@ -143,6 +143,10 @@ object Hdf5Io {
     val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     val n = (r1 - r0).toInt
     val w = m.elemsPerRow
+    // vlen elements reference GCOL collections; decode each collection
+    // ONCE per column read (per-element lookups re-scan the heap per
+    // row — quadratic in rows on a big string column)
+    val heapCache = scala.collection.mutable.Map[Long, Map[Int, Array[Byte]]]()
     def scalar(off: Int): Any = m.dtype match {
       case r.FixedPoint(8, _) => bb.getLong(off)
       case r.FixedPoint(4, _) => bb.getInt(off)
@@ -155,7 +159,10 @@ object Hdf5Io {
         val len = bb.getInt(off) & 0xFFFFFFFFL
         val gaddr = bb.getLong(off + 4)
         val idx = bb.getInt(off + 12)
-        new String(r.globalHeapObject(gaddr, idx).take(len.toInt), "UTF-8")
+        val obj = heapCache.getOrElseUpdate(gaddr, r.globalHeapObjects(gaddr))
+          .getOrElse(idx, Hdf5Reader.fail(
+            s"global heap object $idx not found at $gaddr (${m.name})"))
+        new String(obj.take(len.toInt), "UTF-8")
       case other => Hdf5Reader.fail(s"cannot decode $other")
     }
     val es = m.dtype.byteSize

@@ -357,6 +357,29 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     fail(s"global heap object $idx not found at $addr")
   }
 
+  /** EVERY object of the global heap collection at `addr`, decoded in
+    * one pass. A vlen-string DATASET references the same collection
+    * once per element — per-element [[globalHeapObject]] lookups would
+    * re-scan the collection per row (quadratic in rows), so bulk
+    * decode and cache by collection address instead.
+    */
+  def globalHeapObjects(addr: Long): Map[Int, Array[Byte]] = {
+    require(new String(bytes(addr, 4), "US-ASCII") == "GCOL",
+      s"no global heap at $addr")
+    val end = addr + u64(addr + 8)
+    val out = Map.newBuilder[Int, Array[Byte]]
+    var p = addr + 16
+    while (p < end) {
+      val oid = u16(p)
+      if (oid == 0) return out.result() // free-space terminator
+      val size = u64(p + 8)
+      require(size <= Int.MaxValue, s"global heap object $oid too large at $addr")
+      out += oid -> bytes(p + 16, size.toInt)
+      p += 16 + pad8(size.toInt)
+    }
+    out.result()
+  }
+
   // ---- groups ---------------------------------------------------------
 
   final case class ObjectInfo(addr: Long, attrs: Map[String, Any],

@@ -846,6 +846,19 @@ class Hdf5Spec extends SparkSpec {
     assert(got == want)
   }
 
+  test("vlen strings spanning many heap collections decode once per collection") {
+    // 2000 rows split across ~15 GCOL collections (h5make mirrors
+    // libhdf5's ~4 KiB collection split); the read path bulk-decodes
+    // each collection once instead of re-scanning it per element
+    val p = getClass.getResource("/nation_vlen_multi.hdf5").getPath
+    val ds = Hdf5Io.importDataset(spark, p)
+    assert(ds.count() == 2000)
+    val got = ds.df.groupBy($"n_name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 80 repeats of the 25-name table -> every name appears 80 times
+    assert(got.size == 25 && got.values.forall(_ == 80L), got.take(3))
+  }
+
   test("truncation at any offset fails loudly or reproduces the full data — never garbage") {
     // the fail-loudly contract, fuzzed: for every modern-layout
     // fixture and a spread of truncation points, reading all columns
