@@ -97,12 +97,44 @@ object VecKernels {
   }
 }
 
+/** Input check shared by every float-vector kernel: the JVM loops
+  * read elements with `ArrayData.getFloat`, so any other element type
+  * (notably array<double>) would silently misread bytes — refuse it
+  * at analysis time instead.
+  */
+private[plans] object VecKernelChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  def floatArrays(exprs: Seq[(Expression, String)],
+                  fn: String): TypeCheckResult = {
+    exprs.collectFirst {
+      case (e, role) if !e.dataType.isInstanceOf[ArrayType] ||
+          e.dataType.asInstanceOf[ArrayType].elementType != FloatType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fn expects $role array<float>, got ${e.dataType.simpleString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
+  /** array<array<double>> — the centroid-matrix literal shape. */
+  def doubleMatrix(e: Expression, fn: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn expects centroids array<array<double>>, got ${other.simpleString}")
+    }
+}
+
 private[plans] abstract class BinaryVecExpr extends Expression {
   def children: Seq[Expression]
   protected def kernel: String // static method name on VecKernels
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = children.exists(_.nullable)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecKernelChecks.floatArrays(
+      Seq(children.head -> "left", children(1) -> "right"), prettyName)
 
   override def eval(input: InternalRow): Any = {
     val a = children.head.eval(input); val b = children(1).eval(input)
@@ -141,6 +173,12 @@ final case class CellDistsExpr(children: Seq[Expression]) extends Expression {
   require(children.length == 2, "graft_cell_dists(v, centroids)")
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = children.exists(_.nullable)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val v = VecKernelChecks.floatArrays(Seq(children.head -> "vector"), prettyName)
+    if (!v.isSuccess) v
+    else VecKernelChecks.doubleMatrix(children(1), prettyName)
+  }
 
   override def eval(input: InternalRow): Any = {
     val a = children.head.eval(input); val b = children(1).eval(input)
@@ -171,6 +209,12 @@ final case class NearestCellExpr(children: Seq[Expression]) extends Expression {
   require(children.length == 2, "graft_nearest_cell(v, centroids)")
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = children.exists(_.nullable)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val v = VecKernelChecks.floatArrays(Seq(children.head -> "vector"), prettyName)
+    if (!v.isSuccess) v
+    else VecKernelChecks.doubleMatrix(children(1), prettyName)
+  }
 
   override def eval(input: InternalRow): Any = {
     val a = children.head.eval(input); val b = children(1).eval(input)
@@ -201,6 +245,9 @@ final case class L2NormExpr(children: Seq[Expression]) extends Expression {
   require(children.length == 1, "graft_l2norm(a)")
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = children.head.nullable
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecKernelChecks.floatArrays(Seq(children.head -> "input"), prettyName)
 
   override def eval(input: InternalRow): Any = {
     val a = children.head.eval(input)
