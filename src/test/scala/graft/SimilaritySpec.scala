@@ -20,6 +20,17 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - math.sqrt(2.0)) < 1e-12)
   }
 
+  test("vector kernels refuse non-float arrays at analysis time") {
+    // the fused kernels read via getFloat: array<double> would misread
+    // bytes into garbage numbers, so it must fail analysis by name
+    graft.plans.GraftExtensions.registerAll(spark)
+    val d = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b") // array<double>
+    val e = intercept[Exception] {
+      d.select(call_function("graft_cosine", col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("array<float>"), e.getMessage)
+  }
+
   test("cosine of zero vector is 0, not NaN") {
     val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
     assert(df.select(cosine(col("a"), col("b"))).first().getDouble(0) == 0.0)
