@@ -144,7 +144,10 @@ class W:
             refs.append((len(b), len(heaps) - 1, idx))
         gaddrs = []
         for heap in heaps:
-            heap += struct.pack("<HH4xQ", 0, 0, 0)  # free-space terminator
+            # free-space terminator: the spec stores the REMAINING free
+            # space (including object 0's own 16-byte header) in the
+            # size field — here the heap is exact-sized, so that is 16
+            heap += struct.pack("<HH4xQ", 0, 0, 16)
             gcol = (b"GCOL" + struct.pack("<B3x", 1)
                     + struct.pack("<Q", 16 + len(heap)) + bytes(heap))
             gaddrs.append(self.block(gcol))

@@ -31,6 +31,11 @@ object Tables {
         raw.withColumn("ts",
           timestamp_micros(floor(col("ts") / 1000L).cast("long")))
       case TimestampNTZType | TimestampType =>
+        // the NTZ→TimestampType cast is instant-preserving ONLY under
+        // a UTC session timezone — enforce it rather than rely on the
+        // builder having set it (a non-UTC session would silently
+        // shift every event instant)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case other =>
         throw new IllegalArgumentException(

@@ -162,7 +162,13 @@ object Hdf5Io {
         val obj = heapCache.getOrElseUpdate(gaddr, r.globalHeapObjects(gaddr))
           .getOrElse(idx, Hdf5Reader.fail(
             s"global heap object $idx not found at $gaddr (${m.name})"))
-        new String(obj.take(len.toInt), "UTF-8")
+        // fail-loudly contract: a corrupt length larger than its heap
+        // object (or than Int range — `.toInt` would wrap negative)
+        // must not silently truncate to a plausible shorter string
+        if (len > obj.length)
+          Hdf5Reader.fail(s"vlen string length $len exceeds its " +
+            s"${obj.length}-byte heap object at $gaddr[$idx] (${m.name})")
+        new String(obj, 0, len.toInt, "UTF-8")
       case other => Hdf5Reader.fail(s"cannot decode $other")
     }
     val es = m.dtype.byteSize

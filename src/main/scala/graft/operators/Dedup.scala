@@ -245,9 +245,26 @@ object Dedup {
     votes.select(col("doc"), sigExpr.as("sig"))
   }
 
+  /** [[simhashPairsMd5]]'s corpus bound: the gate's pigeonhole-wide
+    * bands (9-bit keys at maxHamming=6) put ~n/512 docs in every
+    * bucket, so the bucket join is QUADRATIC in corpus size — measured
+    * and skipped at 30× in SCALE.md by intent (the gate exists so a
+    * SQL oracle can replay it on driver-table corpora). Nothing else
+    * stops a caller pointing it at a production corpus, so the kernel
+    * refuses loudly past this bound and names the production kernel.
+    */
+  val SimhashGateMaxDocs: Long = 50000L
+
   def simhashPairsMd5(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 6): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64)
+    // limit-probe, not a full count: one cheap early-terminating job
+    val probe = df.select(col(idCol)).limit((SimhashGateMaxDocs + 1).toInt).count()
+    require(probe <= SimhashGateMaxDocs,
+      s"simhashPairsMd5 is the DuckDB-replayable GATE kernel: its pigeonhole-wide " +
+        s"bands are quadratic in corpus size (SCALE.md), and this corpus exceeds the " +
+        s"$SimhashGateMaxDocs-doc gate bound — use simhashPairs (16-bit bands) for " +
+        s"production corpora")
     val sigs = simhashSignaturesMd5(df, idCol, textCol)
     val nBands = maxHamming + 1
     val base = 64 / nBands

@@ -52,13 +52,22 @@ object VecKernels {
     * (hundreds of cells) blows up analysis/codegen and falls out of
     * compiled eval entirely.
     */
+  /** A vector/centroid dimension mismatch would make every distance a
+    * partial sum — a plausible-but-wrong cell assignment. Refuse by
+    * kernel name instead of truncating the loop.
+    */
+  private def checkDim(fn: String, vDim: Int, ctDim: Int, cell: Int): Unit =
+    if (vDim != ctDim) throw new IllegalArgumentException(
+      s"$fn: vector dim $vDim != centroid dim $ctDim (cell $cell)")
+
   def cellDists(v: ArrayData, cents: ArrayData): ArrayData = {
     val k = cents.numElements()
     val out = new Array[Double](k)
     var c = 0
     while (c < k) {
       val ct = cents.getArray(c)
-      val n = math.min(v.numElements(), ct.numElements())
+      checkDim("graft_cell_dists", v.numElements(), ct.numElements(), c)
+      val n = v.numElements()
       var s = 0.0
       var i = 0
       while (i < n) {
@@ -82,7 +91,8 @@ object VecKernels {
     var c = 0
     while (c < k) {
       val ct = cents.getArray(c)
-      val n = math.min(v.numElements(), ct.numElements())
+      checkDim("graft_nearest_cell", v.numElements(), ct.numElements(), c)
+      val n = v.numElements()
       var s = 0.0
       var i = 0
       while (i < n) {

@@ -197,6 +197,20 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"simhash recall $recall (truth=${truth.size}, found=${found.size})")
   }
 
+  test("simhashPairsMd5 refuses a corpus past the gate bound") {
+    // the gate's pigeonhole-wide bands are quadratic in corpus size
+    // (SCALE.md: measured, skipped at 30x) — it must refuse a
+    // production-sized corpus loudly and point at the production kernel
+    import spark.implicits._
+    val big = spark.range(Dedup.SimhashGateMaxDocs + 1)
+      .select(col("id").as("doc_id"), lit("some text").as("text"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairsMd5(big, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("simhashPairs"), e.getMessage)
+    assert(e.getMessage.contains("GATE"), e.getMessage)
+  }
+
   test("dropSeenBefore: delta dedups against the snapshot signature table only") {
     def sentence(seed: Int) = {
       val r = new scala.util.Random(seed)

@@ -31,6 +31,26 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("array<float>"), e.getMessage)
   }
 
+  test("centroid kernels refuse a vector/centroid dimension mismatch") {
+    // min(dims) truncation would yield partial distances and a
+    // plausible-but-wrong cell — the kernel must throw by name instead
+    graft.plans.GraftExtensions.registerAll(spark)
+    val d = Seq(Tuple1(Array(1.0f, 2.0f, 3.0f))).toDF("v") // dim 3
+    val cents = typedlit[Seq[Seq[Double]]](Seq(Seq(0.0, 0.0))) // dim 2
+    val e = intercept[Exception] {
+      d.select(call_function("graft_nearest_cell", col("v"), cents)).collect()
+    }
+    assert(e.getMessage.contains("graft_nearest_cell") ||
+      e.getCause != null && e.getCause.getMessage.contains("graft_nearest_cell"),
+      e.getMessage)
+    val e2 = intercept[Exception] {
+      d.select(call_function("graft_cell_dists", col("v"), cents)).collect()
+    }
+    assert(e2.getMessage.contains("graft_cell_dists") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("graft_cell_dists"),
+      e2.getMessage)
+  }
+
   test("cosine of zero vector is 0, not NaN") {
     val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
     assert(df.select(cosine(col("a"), col("b"))).first().getDouble(0) == 0.0)
