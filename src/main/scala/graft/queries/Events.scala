@@ -90,11 +90,7 @@ object Events {
             col("value"), col("props"))
           .write.mode("append").parquet(stage.toString)
         val in = s.readStream.schema(batch.schema).parquet(stage.toString)
-        val sink = s"graft_q47_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        // one sink table per invocation: free the previous run's rows
-        lastQ47Sink.foreach(v =>
-          try s.catalog.dropTempView(v) catch { case _: Throwable => () })
-        lastQ47Sink = Some(sink)
+        val sink = newSink(s, "q47")
         val q = EventOps.streamTumblingAgg(in, "1 hour", "30 minutes")
           .writeStream.format("memory").queryName(sink)
           .option("checkpointLocation", ckpt.toString)
@@ -104,10 +100,92 @@ object Events {
         q.awaitTermination()
         s.table(sink).filter(col("bucket_s") <= cutoff)
       } finally { deleteRecursively(stage); deleteRecursively(ckpt) }
+    }),
+
+    // STREAMING dedup gate: the events table staged TWICE (an
+    // at-least-once source redelivering every row), drained through
+    // readStream → watermark → dropDuplicatesWithinWatermark → append
+    // sink by one availableNow trigger. Dedup emits first occurrences
+    // immediately (unlike the window agg, nothing waits for a close),
+    // and the long lateness keeps every id's dedup state alive for the
+    // whole drain, so exactly one row per event_id survives — the
+    // original table. The oracle is therefore a plain SELECT of
+    // events: the driver hash-checks that a real redelivered stream
+    // collapses back to the batch table.
+    "q48_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val batch = t(s, dir)
+      val stage = java.nio.file.Files.createTempDirectory("graft-q48-in-")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-q48-ck-")
+      try {
+        batch.write.mode("append").parquet(stage.toString)
+        batch.write.mode("append").parquet(stage.toString) // redelivery
+        val in = s.readStream.schema(batch.schema).parquet(stage.toString)
+        val sink = newSink(s, "q48")
+        val q = EventOps.streamDedup(in, "3650 days")
+          .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
+            col("user_id"), col("event_type"), col("value"))
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+      } finally { deleteRecursively(stage); deleteRecursively(ckpt) }
+    }),
+
+    // STREAMING stream-stream join gate: q46's interval join run as a
+    // real watermarked two-stream join (events stream × purchase-
+    // window stream), drained by one availableNow trigger. Inner
+    // stream-stream joins emit matches as they are found — no
+    // watermark-close gating — and the long lateness keeps both
+    // sides' join state alive for the whole drain, so the result is
+    // exactly the batch interval join; the oracle is q46's SQL
+    // verbatim.
+    "q49_stream_stream_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val batch = t(s, dir)
+      val windows = batch.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+        .distinct()
+      val stageE = java.nio.file.Files.createTempDirectory("graft-q49-e-")
+      val stageW = java.nio.file.Files.createTempDirectory("graft-q49-w-")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-q49-ck-")
+      try {
+        batch.write.mode("append").parquet(stageE.toString)
+        windows.write.mode("append").parquet(stageW.toString)
+        val eIn = s.readStream.schema(batch.schema).parquet(stageE.toString)
+        val wIn = s.readStream.schema(windows.schema).parquet(stageW.toString)
+        val sink = newSink(s, "q49")
+        val q = EventOps.streamIntervalJoin(eIn, wIn, "3650 days")
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+      } finally {
+        deleteRecursively(stageE); deleteRecursively(stageW)
+        deleteRecursively(ckpt)
+      }
     })
   )
 
-  @volatile private var lastQ47Sink: Option[String] = None
+  /** one memory-sink table per (gate, invocation): register the fresh
+    * name and free the PREVIOUS run's rows so bench repeats / verify
+    * in one JVM never accumulate sink copies
+    */
+  private val lastSinks = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def newSink(s: SparkSession, key: String): String = {
+    val name = s"graft_${key}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    lastSinks.get(key).foreach(v =>
+      try s.catalog.dropTempView(v) catch { case _: Throwable => () })
+    lastSinks(key) = name
+    name
+  }
 
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     import java.nio.file._
@@ -168,6 +246,19 @@ object Events {
          FROM events e
          ASOF JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""",
     "q46_interval_join" ->
+      """WITH w AS (
+           SELECT DISTINCT user_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end
+           FROM events WHERE event_type = 'purchase')
+         SELECT e.event_id, e.user_id,
+           CAST(epoch(date_trunc('second', w.w_start)) AS BIGINT) AS w_start_s
+         FROM events e JOIN w
+           ON e.user_id = w.user_id AND e.ts >= w.w_start AND e.ts < w.w_end""",
+    // the redelivered stream must collapse back to the batch table
+    "q48_stream_dedup" ->
+      """SELECT event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+         user_id, event_type, value FROM events""",
+    // the streaming two-stream join must land on q46's batch answer
+    "q49_stream_stream_join" ->
       """WITH w AS (
            SELECT DISTINCT user_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end
            FROM events WHERE event_type = 'purchase')
