@@ -36,6 +36,32 @@ object Bench {
     val rIdx = args.indexOf("-r")
     val repeats = if (rIdx >= 0 && rIdx + 1 < args.length) args(rIdx + 1).toInt else 3
     val RepeatFloorSec = 1.5
+    // Sub-floor queries were the last phantom source: the `-r` medians
+    // only cover the ≥1.5 s tail, so a 0.2 s query inflated 5× by
+    // driver-tail JVM churn still reached the artifact as a fake
+    // regression (seven such in one round, all vanishing under a
+    // controlled rerun). bench_prev.json (committed; overridable via
+    // SPARK_GRAFT_BENCH_PREV) carries each query's best known time —
+    // a fast query whose single shot lands >2.5× above it is re-timed
+    // and reports the median like the slow tail does. The file is
+    // rewritten after every FULL run with min(prev, measured), so the
+    // reference tracks the true floor: a genuine slowdown stays
+    // re-timed (a few cheap extra runs) and reports its honest median.
+    // per-SF reference: a full sf0.01 dev run must not overwrite the
+    // sf0.1 floors the driver-round phantom check compares against
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
+      s"bench_prev_${new java.io.File(sfDir).getName}.json")
+    val prevRef: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(prevPath)), java.nio.charset.StandardCharsets.UTF_8)
+      """"([^"]+)":(?:\{"t":)?([0-9]+\.[0-9]+)""".r
+        .findAllMatchIn(txt).map(g => g.group(1) -> g.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val PhantomRatio = 2.5
+    val PhantomAbsFloorSec = 0.15 // below this, "5x" is scheduler jitter
+    def phantom(name: String, t: Double): Boolean =
+      t < RepeatFloorSec && t > PhantomAbsFloorSec &&
+        prevRef.get(name).exists(p => t > PhantomRatio * p)
     // optional dev filter: `Bench q97 q90` times only matching
     // prefixes (driver passes no args → full suite, unchanged)
     val only = args.toSeq.zipWithIndex
@@ -148,8 +174,15 @@ object Bench {
     val firstPass = selected.map { case (name, fn) => (name, fn, timeOnce(name, fn)) }
     val results: Seq[(String, Double, Int, Int)] = firstPass.map {
       case (name, fn, (t1, ok1)) =>
-        if (ok1 && repeats > 1 && t1 >= RepeatFloorSec) {
-          val rest = (2 to repeats).map(_ => timeOnce(name, fn))
+        // phantoms get extra repeats: sub-floor runs are cheap, and a
+        // 5-sample median puts the one inflated shot above the middle
+        val isPhantom = ok1 && repeats > 1 && phantom(name, t1)
+        val nMore =
+          if (ok1 && repeats > 1 && t1 >= RepeatFloorSec) repeats - 1
+          else if (isPhantom) math.max(repeats - 1, 4)
+          else 0
+        if (nMore > 0) {
+          val rest = (1 to nMore).map(_ => timeOnce(name, fn))
           val times = (t1 +: rest.collect { case (t, true) => t }).sorted
           (name, times(times.length / 2), times.length,
             if (rest.forall(_._2)) 0 else 1)
@@ -182,6 +215,22 @@ object Bench {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: $e") }
+    // refresh the phantom reference after a FULL successful pass:
+    // min(prev, measured) per query, so the file converges on each
+    // query's true floor rather than inheriting one noisy round
+    if (only.isEmpty) {
+      val merged = results.filter(_._4 != 2).map { case (k, v, _, _) =>
+        k -> math.min(v, prevRef.getOrElse(k, Double.MaxValue))
+      }
+      val prevLine = merged.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(prevPath),
+        (prevLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $prevPath write failed: $e") }
+    }
     spark.stop()
   }
 }
