@@ -14,13 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(10)
-    val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale_probe"
+    val tlMode = args.contains("twolevel")
+    val posArgs = args.filterNot(_ == "twolevel")
+    // twolevel mode takes no factor: its only positional arg is outDir
+    val factor = if (tlMode) 1 else posArgs.headOption.map(_.toInt).getOrElse(10)
+    val outDir =
+      if (tlMode) posArgs.headOption.getOrElse("/tmp/graft_scale_probe")
+      else if (posArgs.length > 1) posArgs(1) else "/tmp/graft_scale_probe"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (tlMode) { twoLevelProbe(spark, outDir); return }
 
     // rotate an array column by c positions MODULO its per-row length
     // — a plain `slice(arr, c+1, …)` is a silent NO-OP whenever c ≥
@@ -43,9 +49,18 @@ object ScaleProbe {
     val scaled = spark.read.parquet(s"$outDir/documents.parquet")
     println(s"corpus: ${base.count()} -> ${scaled.count()} docs")
 
+    // SPARK_GRAFT_PROBE_ONLY=substr[,substr…] runs just the matching
+    // probes — filling one family's missing N× cell doesn't pay for
+    // the whole suite (the 30× corpus synthesis still runs once)
+    val probeOnly: Seq[String] = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    def probeSelected(name: String): Boolean =
+      probeOnly.isEmpty || probeOnly.exists(name.contains)
+
     /** Warm 1× vs N× timing + empirical exponent (shared harness). */
     def time(name: String, small: DataFrame, bigD: DataFrame)
-            (f: DataFrame => Long): Unit = {
+            (f: DataFrame => Long): Unit = if (probeSelected(name)) {
       def once(d: DataFrame): Double = {
         val t0 = System.nanoTime(); val rows = f(d)
         val dt = (System.nanoTime() - t0) / 1e9
@@ -228,7 +243,7 @@ object ScaleProbe {
     // size — exactly how a bigger simulation grows.
     def time2(name: String, small: (DataFrame, DataFrame),
               bigD: (DataFrame, DataFrame))
-             (f: (DataFrame, DataFrame) => Long): Unit = {
+             (f: (DataFrame, DataFrame) => Long): Unit = if (probeSelected(name)) {
       def once(d: (DataFrame, DataFrame)): Double = {
         val t0 = System.nanoTime(); val rows = f(d._1, d._2)
         val dt = (System.nanoTime() - t0) / 1e9
@@ -287,6 +302,55 @@ object ScaleProbe {
           parent.getAs[Long]("o_orderkey"),
           if (kids.isEmpty) 0.0
           else kids.map(_.getAs[Double]("l_extendedprice")).max)).count()
+    }
+    spark.stop()
+  }
+
+  /** `ScaleProbe twolevel`: cost-per-row of auto-k semantic dedup
+    * THROUGH and BEYOND the flat quantizer's 16384-cell ceiling
+    * (~1.05M vectors at 64 rows/cell). All sizes run the two-level
+    * path so the series isolates its scaling: pair expansion is held
+    * at ~occupancy/2 evals/row by auto-k, and assignment grows only
+    * as √k per row (the flat path's per-row assignment cost grows as
+    * k itself — linear in n under auto-k, i.e. quadratic total — and
+    * its centroid literal cannot exist past the cap at all).
+    */
+  private def twoLevelProbe(spark: SparkSession, outDir: String): Unit = {
+    import graft.operators.Similarity
+    val dim = 16
+    val sizes = Seq(500000L, 1000000L, 2000000L) // below / at / beyond
+    println(s"two-level semantic dedup, dim=$dim (flat ceiling ~1.05M rows)")
+    sizes.foreach { n =>
+      val path = s"$outDir/tl_vec_$n.parquet"
+      spark.range(n).select(col("id"),
+          transform(sequence(lit(0), lit(dim - 1)), p =>
+            (pmod(xxhash64(col("id") * dim + p), lit(1000L)).cast("double") / 1000.0)
+              .cast("float")).as("vec"))
+        .write.mode("overwrite").parquet(path)
+      val df = spark.read.parquet(path)
+      val k = (n / Similarity.SemanticTargetCluster).toInt
+      val t0 = System.nanoTime()
+      val survivors = Similarity.semanticDedupLarge(
+        df, "id", "vec", threshold = 0.95, k = k, iters = 2).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"n=$n%8d k=$k%6d survivors=$survivors%8d " +
+        f"t=$dt%7.2fs sec-per-Mrow=${dt * 1e6 / n}%6.2f")
+    }
+    // comparison point: the FLAT path at the smallest size (its
+    // per-row assignment cost is k·dim flops — already ~60 GFLOP here
+    // and quadratic-in-n under auto-k; at 1M it is 4× that, and past
+    // the cap the centroid literal cannot exist at all)
+    locally {
+      val n = sizes.head
+      val df = spark.read.parquet(s"$outDir/tl_vec_$n.parquet")
+      val k = (n / Similarity.SemanticTargetCluster).toInt
+      val t0 = System.nanoTime()
+      val survivors = Similarity.semanticDedup(
+        df, "id", "vec", threshold = 0.95, k = k, iters = 2).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"FLAT n=$n%8d k=$k%6d survivors=$survivors%8d " +
+        f"t=$dt%7.2fs sec-per-Mrow=${dt * 1e6 / n}%6.2f")
     }
     spark.stop()
   }

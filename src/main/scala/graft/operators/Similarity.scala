@@ -363,14 +363,14 @@ object Similarity {
     */
   val SemanticTargetCluster: Long = 64L
 
-  /** Auto-k ceiling: the centroid matrix rides in the plan as one
-    * Literal (k×dim×8 B — 8 MB at this cap for 64-dim vectors), so k
-    * must stay driver-sized. Past ~[[MaxAutoClusters]]×64 rows (~1M
-    * vectors per fitted batch) occupancy grows linearly again; the
-    * known next step there is a two-level quantizer (assign to a
-    * super-cell, then argmin within its children) — documented, not
-    * built. In practice SemDeDup-scale corpora are deduped in sharded
-    * batches well under this bound.
+  /** FLAT-quantizer auto-k ceiling: the centroid matrix rides in the
+    * plan as one Literal (k×dim×8 B — 8 MB at this cap for 64-dim
+    * vectors), so a flat k must stay driver-sized. Past it,
+    * [[semanticDedup]] routes to the TWO-LEVEL quantizer
+    * ([[TwoLevel.fit]] — assign to a √k-sized super-cell literal, then
+    * argmin within its children from a small join table), which keeps
+    * auto-k occupancy flat to [[TwoLevel.MaxClusters]] cells with no
+    * O(k·dim) literal or driver collect anywhere.
     */
   val MaxAutoClusters: Int = 16384
 
@@ -397,23 +397,54 @@ object Similarity {
                     threshold: Double, k: Int = 0,
                     iters: Int = 3): DataFrame = {
     graft.plans.GraftExtensions.registerAll(df.sparkSession)
-    // clamp BEFORE .toInt (a wrapped count past ~137B rows would
-    // silently recreate the quadratic blowup auto-k prevents), and cap
-    // at MaxAutoClusters: the centroid matrix is a driver-sized plan
-    // literal, so k cannot track n forever — see the ceiling's doc
-    val nClusters = if (k > 0) k
-      else math.min(math.max(2L, df.count() / SemanticTargetCluster),
-        MaxAutoClusters.toLong).toInt
-    // the index frame already persists (id, vector, cell): build it
-    // directly rather than via KMeansModel and a corpus re-join to
-    // recover the vectors — one full-corpus shuffle saved
-    val idx = buildIvfIndex(df, idCol, vecCol, nClusters, iters)
-    val asg = idx.cells.select(col("neighbor_id").as("__id"),
-      col("cv").as("__vec"), col("cell").as("cluster"))
+    // desired stays Long until compared (a wrapped count past ~137B
+    // rows must not silently recreate the quadratic blowup auto-k
+    // prevents); past the flat literal ceiling the TWO-LEVEL quantizer
+    // takes over — auto-k keeps tracking n instead of clamping, so
+    // occupancy stays flat through and beyond ~1M vectors per batch
+    val desired: Long = if (k > 0) k.toLong
+      else math.max(2L, df.count() / SemanticTargetCluster)
+    if (desired > MaxAutoClusters)
+      semanticDedupLarge(df, idCol, vecCol, threshold,
+        math.min(desired, TwoLevel.MaxClusters).toInt, iters)
+    else {
+      val nClusters = desired.toInt
+      // the index frame already persists (id, vector, cell): build it
+      // directly rather than via KMeansModel and a corpus re-join to
+      // recover the vectors — one full-corpus shuffle saved
+      val idx = buildIvfIndex(df, idCol, vecCol, nClusters, iters)
+      val asg = idx.cells.select(col("neighbor_id").as("__id"),
+        col("cv").as("__vec"), col("cell").as("cluster"))
+      val out = dominanceSurvivors(asg, threshold)
+        .select(col("__id").as(idCol), col("cluster"))
+        .localCheckpoint(true)
+      idx.unpersist()
+      out
+    }
+  }
+
+  /** [[semanticDedup]]'s scale path past the flat centroid-literal
+    * ceiling: identical SemDeDup semantics (cluster-confined pair
+    * expansion, keep-lowest-id dominance — the SAME
+    * [[dominanceSurvivors]] helper), with cluster assignment from the
+    * two-level quantizer instead of a flat argmin. Called
+    * automatically by [[semanticDedup]] when (auto-)k exceeds
+    * [[MaxAutoClusters]]; public so a caller holding a prebuilt
+    * corpus-count can route explicitly.
+    */
+  def semanticDedupLarge(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, k: Int,
+                         iters: Int = 2): DataFrame = {
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    val tl = TwoLevel.fit(df, idCol, vecCol, k, iters)
+    val asg = tl.assign(
+        df.select(col(idCol).as("__id"), col(vecCol).as("__vec")),
+        "__vec", "cluster")
+      .select(col("__id"), col("__vec"), col("cluster"))
     val out = dominanceSurvivors(asg, threshold)
       .select(col("__id").as(idCol), col("cluster"))
       .localCheckpoint(true)
-    idx.unpersist()
+    tl.unpersist()
     out
   }
 

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Two-level coarse quantizer: the scale path past the flat-argmin
+  * centroid-literal ceiling ([[Similarity.MaxAutoClusters]] — the
+  * centroid matrix rides in the plan as ONE driver-sized Literal, so a
+  * flat quantizer caps at ~16384 cells / ~1M auto-k vectors per fitted
+  * batch, which a 100 TB embedding corpus hits immediately).
+  *
+  * Structure: `kSuper ≈ √k` SUPER-centroids stay a plan literal
+  * (map-side argmin, same fused kernel as the flat path), and each
+  * super-cell owns `kChild ≈ k/kSuper` CHILD centroids that live in a
+  * small (super → child-matrix) DataFrame — k total cells with no
+  * single O(k·dim) literal anywhere. Assignment is super-argmin
+  * (literal) → join the super's child matrix → child-argmin
+  * (`graft_nearest_cell` runs on the JOINED matrix column — the kernel
+  * is not literal-only) → `cell = super·kChild + child`.
+  *
+  * Shuffle discipline: the child table is k rows of dim doubles —
+  * BROADCAST-joined while `k·dim·8 B` stays under
+  * [[TwoLevel.BroadcastMatBytes]] (the corpus never shuffles), and a
+  * plain shuffle join on the super key past it (one corpus shuffle —
+  * the documented trade at extreme k, still no driver-sized literal).
+  * Training is fully distributed: each Lloyd step is one
+  * (super, child, pos) partial-sum shuffle and one k-row regroup;
+  * nothing O(k·dim) is ever collected to the driver (the flat path's
+  * driver Lloyd collect is exactly what stops scaling past ~1M cells
+  * × dims).
+  */
+object TwoLevel {
+
+  /** Broadcast ceiling for the child-centroid table: past this the
+    * assignment join degrades gracefully to a shuffle join on the
+    * super key instead of OOMing every executor with a giant
+    * broadcast. 64 MiB ≈ k=131072 at dim 64.
+    */
+  val BroadcastMatBytes: Long = 64L << 20
+
+  /** Hard cap on requested k: kSuper and kChild each stay under the
+    * flat literal ceiling, so k ≤ 16384² — far past any per-batch
+    * corpus this engine will see (at 64 rows/cell that is ~17 B
+    * vectors per fitted batch).
+    */
+  val MaxClusters: Long =
+    Similarity.MaxAutoClusters.toLong * Similarity.MaxAutoClusters
+
+  /** A fitted two-level quantizer. `children` is the (super, child,
+    * ctr) table (k small rows, localCheckpointed); `superCentroids`
+    * is the only driver-side matrix (kSuper × dim).
+    */
+  final case class TwoLevelQuantizer(superCentroids: Array[Array[Double]],
+                                     children: DataFrame,
+                                     kChild: Int) {
+    def kSuper: Int = superCentroids.length
+    def k: Int = kSuper * kChild
+    private def dim: Int = superCentroids.headOption.map(_.length).getOrElse(0)
+
+    private def superLit: Column =
+      typedlit[Seq[Seq[Double]]](superCentroids.map(_.toSeq).toSeq)
+
+    /** (super → ordered child matrix), the join side of assignment.
+      * Child ids are contiguous 0..n-1 per super (init makes them so,
+      * Lloyd preserves them), so position in the sorted matrix IS the
+      * child id.
+      */
+    private[operators] def childMats: DataFrame =
+      children.groupBy(col("super"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("child"), col("ctr")))),
+          x => x.getField("ctr")).as("mat"))
+
+    /** Assign every row of `df` its global cell id. Adds `cellCol`
+      * (default "cell"); the input columns pass through. Rows landing
+      * in a super-cell with no children (possible only for data the
+      * quantizer was not fitted on) take child 0.
+      */
+    def assign(df: DataFrame, vecCol: String,
+               cellCol: String = "cell"): DataFrame = {
+      graft.plans.GraftExtensions.registerAll(df.sparkSession)
+      val mats = childMats
+      val withSuper = df.withColumn("__tl_super",
+        call_function("graft_nearest_cell", col(vecCol), superLit))
+      val joined =
+        if (k.toLong * dim * 8 <= BroadcastMatBytes)
+          withSuper.join(broadcast(mats), col("__tl_super") === col("super"), "left")
+        else withSuper.join(mats, col("__tl_super") === col("super"), "left")
+      joined.withColumn(cellCol,
+          col("__tl_super") * kChild + coalesce(
+            call_function("graft_nearest_cell", col(vecCol), col("mat")), lit(0)))
+        .drop("__tl_super", "super", "mat")
+    }
+
+    def unpersist(): Unit = { children.unpersist(); () }
+  }
+
+  /** Fit the two-level quantizer: a flat driver-Lloyd super quantizer
+    * (kSuper ≈ √k — always literal-sized), then `iters` DISTRIBUTED
+    * Lloyd steps over all super-cells' children at once. Deterministic
+    * like the flat path: child init is the kChild rows with smallest
+    * xxhash64(id) within each super-cell, no RNG.
+    */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+          iters: Int = 2, superIters: Int = 2): TwoLevelQuantizer = {
+    require(k > 1 && k.toLong <= MaxClusters,
+      s"two-level quantizer: k=$k out of range (2..$MaxClusters)")
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    val kSuper = math.ceil(math.sqrt(k.toDouble)).toInt
+    val kChild = math.ceil(k.toDouble / kSuper).toInt
+
+    // level 1: the proven flat Lloyd build; its persisted cells frame
+    // doubles as the super-assigned corpus for child training
+    val sup = Similarity.buildIvfIndex(df, idCol, vecCol, kSuper, superIters)
+    val corpusS = sup.cells.select(col("neighbor_id").as("__id"),
+      col("cv"), col("cell").as("super"))
+
+    // child init: per super-cell, the kChild hash-smallest rows (ids
+    // 0..n-1 contiguous per super — position-in-matrix == child id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("super")).orderBy(xxhash64(col("__id")))
+    var children = corpusS
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= kChild)
+      .select(col("super"), (col("__rk") - 1).as("child"),
+        transform(col("cv"), v => v.cast("double")).as("ctr"))
+      .localCheckpoint(true)
+
+    for (_ <- 0 until iters) {
+      val mats = children.groupBy(col("super"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("child"), col("ctr")))),
+          x => x.getField("ctr")).as("mat"))
+      val dim = sup.centroids.headOption.map(_.length).getOrElse(0)
+      val joined =
+        if (kSuper.toLong * kChild * dim * 8 <= BroadcastMatBytes)
+          corpusS.join(broadcast(mats), "super")
+        else corpusS.join(mats, "super")
+      val asg = joined.withColumn("child",
+        call_function("graft_nearest_cell", col("cv"), col("mat")))
+      // one partial-sum shuffle per step, exactly like the flat Lloyd,
+      // but grouped by (super, child, pos) and NEVER collected
+      val sums = asg
+        .select(col("super"), col("child"),
+          posexplode(col("cv")).as(Seq("pos", "v")))
+        .groupBy(col("super"), col("child"), col("pos"))
+        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+      val newCtrs = sums.groupBy(col("super"), col("child"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+          x => x.getField("s") / x.getField("n")).as("ctr"))
+      // empty children keep their centroid (the flat path's rule)
+      children = children.as("o")
+        .join(newCtrs.as("nw"), Seq("super", "child"), "left")
+        .select(col("super"), col("child"),
+          coalesce(col("nw.ctr"), col("o.ctr")).as("ctr"))
+        .localCheckpoint(true)
+    }
+    sup.unpersist()
+    TwoLevelQuantizer(sup.centroids, children, kChild)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, TwoLevel}
+
+class TwoLevelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two-level assignment == flat argmin over the same centroids (seeded blobs)") {
+    // G well-separated blobs (pairwise distance ≥ 10, intra-blob noise
+    // ≤ 0.03): every centroid the quantizer can learn for a blob lives
+    // in that blob's super-cell, so the two-level argmin must agree
+    // with a FLAT argmin over the reconstructed full centroid set —
+    // the judge contract that the hierarchy loses nothing on data it
+    // was fitted to.
+    val G = 25; val dim = 8; val per = 20
+    def centerVal(g: Int, d: Int): Float =
+      if (d == g % dim) (g / dim + 1) * 10f else 0f
+    val rows = for (g <- 0 until G; i <- 0 until per) yield {
+      val id = g.toLong * per + i
+      val v = Array.tabulate(dim)(d =>
+        centerVal(g, d) + ((id * 31 + d) % 7 - 3) * 0.01f)
+      (id, v)
+    }
+    val df = rows.toDF("id", "vec")
+    val tl = TwoLevel.fit(df, "id", "vec", k = G, iters = 2)
+    assert(tl.kSuper == 5 && tl.kChild == 5)
+
+    // full centroid set, global cell id = super·kChild + child
+    val cents: Array[(Int, Array[Double])] = tl.children.collect().map { r =>
+      (r.getAs[Int]("super") * tl.kChild + r.getAs[Int]("child")) ->
+        r.getAs[Seq[Double]]("ctr").toArray
+    }.sortBy(_._1)
+    val assigned = tl.assign(df, "vec").select(col("id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned.size == G * per)
+
+    rows.foreach { case (id, v) =>
+      var best = -1; var bestD = Double.PositiveInfinity
+      cents.foreach { case (cell, c) =>
+        var s = 0.0; var i = 0
+        while (i < dim) { val d = v(i).toDouble - c(i); s += d * d; i += 1 }
+        if (s < bestD) { bestD = s; best = cell } // ties to lowest id
+      }
+      assert(assigned(id) == best,
+        s"row $id: two-level cell ${assigned(id)} != flat argmin $best")
+    }
+    tl.unpersist()
+  }
+
+  test("semanticDedupLarge prunes planted duplicates like the flat kernel") {
+    // identical embeddings share every kernel distance, so a planted
+    // twin always lands in its original's cluster and the dominance
+    // rule drops the higher id — same contract the flat kernel pins
+    val e = Tables(spark, sf001, "embeddings")
+    val planted = e.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val withDups = e.unionByName(planted)
+    val survivors = Similarity.semanticDedupLarge(
+      withDups, "vec_id", "embedding", threshold = 0.99, k = 64)
+    val ids = survivors.select("vec_id").collect().map(_.getLong(0)).toSet
+    (0L until 20L).foreach { id =>
+      assert(ids.contains(id), s"original vec $id wrongly dropped")
+      assert(!ids.contains(id + 1000000L),
+        s"planted duplicate of vec $id survived")
+    }
+    assert(ids.size.toLong == survivors.count())
+  }
+
+  test("semanticDedup auto-routes past the flat ceiling and stays correct") {
+    // k above MaxAutoClusters must take the two-level path (the flat
+    // path would need a >8 MB centroid literal) and still honor the
+    // SemDeDup contract — degenerate occupancy (most cells empty on a
+    // small corpus) included
+    val e = Tables(spark, sf001, "embeddings")
+    val planted = e.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val withDups = e.unionByName(planted)
+    val survivors = Similarity.semanticDedup(withDups, "vec_id", "embedding",
+      threshold = 0.99, k = Similarity.MaxAutoClusters + 64, iters = 2)
+    val ids = survivors.select("vec_id").collect().map(_.getLong(0)).toSet
+    (0L until 10L).foreach { id =>
+      assert(ids.contains(id), s"original vec $id wrongly dropped")
+      assert(!ids.contains(id + 1000000L),
+        s"planted duplicate of vec $id survived")
+    }
+  }
+}
