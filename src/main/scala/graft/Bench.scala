@@ -70,85 +70,10 @@ object Bench {
     val benchQueries: Seq[(String, (SparkSession, String) => Unit)] =
       SparkEntry.queries.toSeq.map { case (n, fn) =>
         n -> ((s: SparkSession, d: String) => { fn(s, d).count(); () })
-      } ++ Seq(
-        // bench-only probe (NOT a correctness query): q90 deliberately
-        // runs the exact top-k AND the CMS sketch to assert the
-        // one-sided bound, burying the sketch path's own cost under
-        // the exact baseline. This times the mergeable-sketch build
-        // alone — the only part that runs at 100 TB.
-        "q90s_cms_sketch_build" -> ((s: SparkSession, d: String) => {
-          val docs = s.read.parquet(s"$d/documents.parquet")
-          graft.operators.CorpusStats.ngramSketch(docs, "text", 3); ()
-        }),
-        // production ANN probes against the prebuilt offline indexes.
-        // The q33/q75 correctness entries run the md5 GATE kernels
-        // (which train inline so SQL can replay them); these time the
-        // production probe paths — the recurring cost at 100 TB.
-        "q33p_ivf_probe_prod" -> ((s: SparkSession, d: String) => {
-          import org.apache.spark.sql.functions.col
-          val e = s.read.parquet(s"$d/embeddings.parquet")
-          graft.operators.Similarity.ivfProbe(
-            graft.queries.TextVector.ivfIndexFor(s, d),
-            e.filter(col("vec_id") < 10), "vec_id", "embedding", 5).count(); ()
-        }),
-        "q75p_pq_topk_prod" -> ((s: SparkSession, d: String) => {
-          import org.apache.spark.sql.functions.col
-          val e = s.read.parquet(s"$d/embeddings.parquet")
-          val (cb, enc) = graft.queries.TextVector.pqIndexFor(s, d)
-          graft.operators.Pq.topK(enc, e.filter(col("vec_id") < 10),
-            "vec_id", "embedding", cb, k = 5, rerank = 50,
-            rawCorpus = Some(e)).count(); ()
-        }),
-        // production xxhash64/float kernels for the other gate-promoted
-        // families, same parameters as their qNN gate twins. The gate
-        // kernels pay ~2-3x for md5 SQL-replayability; these keep the
-        // production cost visible (specs assert gate==production
-        // results, SCALE.md records both prices).
-        "q26p_minhash_prod" -> ((s: SparkSession, d: String) => {
-          val docs = s.read.parquet(s"$d/documents.parquet")
-          graft.operators.Dedup.minhashCandidates(docs, "doc_id", "text",
-            shingleN = 3, k = 32, bands = 8, minEstimate = 0.5).count(); ()
-        }),
-        "q27p_simhash_prod" -> ((s: SparkSession, d: String) => {
-          val docs = s.read.parquet(s"$d/documents.parquet")
-          graft.operators.Dedup.simhashPairs(docs, "doc_id", "text",
-            maxHamming = 6).count(); ()
-        }),
-        "q30p_ann_lsh_prod" -> ((s: SparkSession, d: String) => {
-          import org.apache.spark.sql.functions.col
-          val e = s.read.parquet(s"$d/embeddings.parquet")
-          graft.operators.Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
-            "vec_id", "embedding", 5).count(); ()
-        }),
-        "q35p_dedup_pipeline_prod" -> ((s: SparkSession, d: String) => {
-          val docs = s.read.parquet(s"$d/documents.parquet")
-          graft.operators.Dedup.dropNearDuplicates(docs, "doc_id", "text",
-            minEstimate = 0.5).count(); ()
-        }),
-        "q37p_neardup_lsh_prod" -> ((s: SparkSession, d: String) => {
-          val e = s.read.parquet(s"$d/embeddings.parquet")
-          graft.operators.Similarity.cosineNearDupPairs(e,
-            "vec_id", "embedding", threshold = 0.3).count(); ()
-        }),
-        "q78p_text_ann_prod" -> ((s: SparkSession, d: String) => {
-          import org.apache.spark.sql.functions.col
-          val docs = s.read.parquet(s"$d/documents.parquet")
-          val emb = graft.functions.TextFunctions.hashEmbeddings(
-            docs, "doc_id", "text", 64).localCheckpoint(true)
-          graft.operators.Similarity.bruteForceTopK(emb,
-            emb.filter(col("doc_id") < 10), "doc_id", "embedding", 5).count(); ()
-        }),
-        "q91p_kmeans_prod" -> ((s: SparkSession, d: String) => {
-          val e = s.read.parquet(s"$d/embeddings.parquet")
-          val model = graft.operators.Clustering.kmeans(e,
-            "vec_id", "embedding", k = 8, iters = 3)
-          model.assignments.count(); model.unpersist(); ()
-        }),
-        "q101p_semantic_dedup_prod" -> ((s: SparkSession, d: String) => {
-          val e = s.read.parquet(s"$d/embeddings.parquet")
-          graft.operators.Similarity.semanticDedup(e,
-            "vec_id", "embedding", threshold = 0.3).count(); ()
-        }))
+      }
+    // production twins / sketch-build probes moved to
+    // graft.queries.Production (driver-gated rows-only) — they arrive
+    // through SparkEntry.queries like every other entry now
     val selected =
       if (only.isEmpty) benchQueries
       else benchQueries.filter { case (n, _) => only.exists(n.startsWith) }

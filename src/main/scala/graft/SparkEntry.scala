@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.TextVector.queries ++
     graft.queries.Events.queries ++
     graft.queries.CoreLib.queries ++
-    graft.queries.Corpus.queries
+    graft.queries.Corpus.queries ++
+    graft.queries.Production.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -29,5 +30,6 @@ object SparkEntry {
     graft.queries.TextVector.oracle ++
     graft.queries.Events.oracle ++
     graft.queries.CoreLib.oracle ++
-    graft.queries.Corpus.oracle
+    graft.queries.Corpus.oracle ++
+    graft.queries.Production.oracle // empty: rows-only by design
 }

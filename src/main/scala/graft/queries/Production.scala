@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Production-twin driver gates (rows-only by design — no oracle).
+  *
+  * The qNN gate kernels that CORRECTNESS hash-checks are the
+  * md5/quantized DuckDB-replayable twins; the xxhash64/float kernels
+  * below are what actually runs at scale. Specs already assert
+  * gate == production results, but until this module the production
+  * kernels were bench-only: one could silently break while its gate
+  * stayed green. Each entry here runs the production kernel under the
+  * driver per round as a rows-only sanity gate (their hash outputs
+  * are NOT SQL-replayable — that is the entire reason the gate twins
+  * exist — so `oracle` is deliberately empty).
+  */
+object Production {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // mergeable-CMS build alone — the only q90 component that runs at
+    // 100 TB (the exact top-k baseline next to it in q90 is the
+    // oracle's scaffolding). Returned as the sketch's vital signs so
+    // the build cost stays inside the timed/gated query.
+    "q90s_cms_sketch_build" -> ((s, dir) => {
+      import s.implicits._
+      val sk = graft.operators.CorpusStats.ngramSketch(
+        t(s, dir, "documents"), "text", 3)
+      Seq((sk.depth(), sk.width(), sk.totalCount()))
+        .toDF("depth", "width", "total_count")
+    }),
+    // production ANN probes against the offline-built indexes (built
+    // once per (session, dir) and reopened from disk — the recurring
+    // probe cost is what is measured and gated).
+    "q33p_ivf_probe_prod" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.ivfProbe(
+        TextVector.ivfIndexFor(s, dir),
+        e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+    "q75p_pq_topk_prod" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cb, enc) = TextVector.pqIndexFor(s, dir)
+      graft.operators.Pq.topK(enc, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", cb, k = 5, rerank = 50,
+        rawCorpus = Some(e))
+    }),
+    // production xxhash64/float kernels, same parameters as their qNN
+    // gate twins.
+    "q26p_minhash_prod" -> ((s, dir) =>
+      graft.operators.Dedup.minhashCandidates(t(s, dir, "documents"),
+        "doc_id", "text", shingleN = 3, k = 32, bands = 8,
+        minEstimate = 0.5)),
+    "q27p_simhash_prod" -> ((s, dir) =>
+      graft.operators.Dedup.simhashPairs(t(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 6)),
+    "q30p_ann_lsh_prod" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+    }),
+    "q35p_dedup_pipeline_prod" -> ((s, dir) =>
+      graft.operators.Dedup.dropNearDuplicates(t(s, dir, "documents"),
+        "doc_id", "text", minEstimate = 0.5)),
+    "q37p_neardup_lsh_prod" -> ((s, dir) =>
+      graft.operators.Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.3)),
+    "q78p_text_ann_prod" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = graft.functions.TextFunctions.hashEmbeddings(
+        docs, "doc_id", "text", 64).localCheckpoint(true)
+      graft.operators.Similarity.bruteForceTopK(emb,
+        emb.filter(col("doc_id") < 10), "doc_id", "embedding", 5)
+    }),
+    "q91p_kmeans_prod" -> ((s, dir) => {
+      val model = graft.operators.Clustering.kmeans(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 3)
+      val out = model.assignments.localCheckpoint(true)
+      model.unpersist()
+      out
+    }),
+    "q101p_semantic_dedup_prod" -> ((s, dir) =>
+      graft.operators.Similarity.semanticDedup(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.3))
+  )
+
+  /** empty on purpose: these kernels' hashes are not SQL-replayable —
+    * the driver records the weaker rows-only check, which is exactly
+    * the insurance wanted here (specs pin gate == production values).
+    */
+  val oracle: Map[String, String] = Map.empty
+}
