@@ -50,7 +50,14 @@ import java.nio.file.{Paths, StandardOpenOption}
   * which link/attribute messages can never produce; paged
   * index-block-pointed EA data blocks, a shape libhdf5 never emits;
   * datatypes beyond the above) fails loudly with the offending
-  * construct named.
+  * construct named. Each refusal is EVIDENCED, not asserted:
+  * `scripts/h5residue_probe.py` scans every committed fixture for the
+  * shapes' on-disk markers, prints the format-level argument for why
+  * each is unreachable from link/attribute/chunk storage (filters are
+  * dcpl-only; tiny-ID capacity 6–7 B < minimum serialized message;
+  * the EA Page Bitmap exists only in super blocks), and — where h5py
+  * exists — actively drives libhdf5 at the shapes and re-scans its
+  * output. See FIXTURES.md §Refused-residue evidence.
   */
 final class Hdf5Reader(val path: String) extends AutoCloseable {
   import Hdf5Reader._
@@ -648,7 +655,12 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     private val maxHeapBits = u16(hdrAddr + 128)
     private val rootBlockAddr = u64(hdrAddr + 132)
     private val curRowsRoot = u16(hdrAddr + 140)
-    require(ioFilterLen == 0, s"filtered fractal heap unsupported at $hdrAddr")
+    // no public API attaches a filter pipeline to link/attribute heap
+    // creation (filters are dataset-creation-plist-only), so the only
+    // fractal heaps this reader reaches are unfiltered by API
+    // construction — evidence in scripts/h5residue_probe.py
+    require(ioFilterLen == 0, s"filtered fractal heap unsupported at $hdrAddr " +
+      "(unreachable for link/attribute storage — scripts/h5residue_probe.py)")
     locally {
       val s = u32(hdrAddr + 142)
       val c = Lookup3.hashU(bytes(hdrAddr, 142), 0)
@@ -773,7 +785,14 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
           val hugeId = idLe(id, 1, heapIdLen - 1)
           hugeObjects.getOrElse(hugeId,
             fail(s"huge object $hugeId not in the heap's type-1 b-tree"))
-        case 2 => fail("tiny fractal heap object unsupported")
+        // tiny IDs embed the object in the ID itself — capacity
+        // heapIdLen-1 (6 B links / 7 B attrs, h5residue_probe.py
+        // confirms against fixture bytes), below the smallest
+        // serialized link (≥13 B) or attribute (≥11 B) message, so no
+        // conforming writer can reach this arm for our heap consumers
+        case 2 => fail("tiny fractal heap object unsupported " +
+          "(structurally impossible for link/attribute heaps — " +
+          "scripts/h5residue_probe.py)")
         case t => fail(s"reserved fractal heap ID type $t")
       }
     }
@@ -1193,8 +1212,14 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
             // Paged data blocks can only hang off an EASB (which holds
             // their page-init bitmap); libhdf5 never pages the
             // index-block-pointed blocks, so that shape fails loudly.
+            // …and the format gives it nowhere else to live: the Page
+            // Bitmap field exists ONLY in the super-block layout, so
+            // this shape is unrepresentable, not merely unemitted
+            // (scripts/h5residue_probe.py)
             if (u < directRows) require(nPagesOf(ne) == 0,
-              s"paged index-block-pointed EA data blocks unsupported (${ds.name})")
+              s"paged index-block-pointed EA data blocks unsupported (${ds.name} — " +
+                "unrepresentable: no Page Bitmap outside super blocks, " +
+                "scripts/h5residue_probe.py)")
             val slotAndBm: Option[(Long, Array[Byte])] =
               if (u < directRows) Some((ibDblks + d.toLong * 8, Array.empty[Byte]))
               else superBlock(u - directRows, u, firstElem)
