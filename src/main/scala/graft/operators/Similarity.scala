@@ -448,6 +448,44 @@ object Similarity {
     out
   }
 
+  /** Cross-batch SemDeDup (the executable form of the sharded-batch
+    * recipe the auto-k docs reference): dedup each shard
+    * INDEPENDENTLY — shards are arrival batches in production (daily
+    * crawl deltas); here a deterministic id-hash split so the recipe
+    * runs on one frame — then merge by unioning the per-shard
+    * survivors and running ONE more dominance pass over that union
+    * (a superset of the boundary pairs, and much smaller than the
+    * corpus: survivors only). Each phase is an ordinary
+    * [[semanticDedup]] call, so every phase inherits the flat/two-
+    * level routing and the flat-occupancy auto-k contract; peak
+    * per-fit corpus is |corpus|/shards, which is the point — batches
+    * too big to fit at once never need to.
+    *
+    * Exactness contract (spec-pinned): on near-dup groups that are
+    * CLIQUES (exact or near-exact duplicates — the SemDeDup target),
+    * shard-then-merge keeps exactly the whole-corpus survivor set:
+    * each shard keeps its clique minimum, the merge pass co-clusters
+    * the identical survivors and keeps the global minimum. For
+    * borderline pairs straddling the threshold, cluster boundaries
+    * may differ from a whole-corpus run — the same approximation the
+    * paper's clustering already accepts.
+    */
+  def semanticDedupSharded(df: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, shards: Int,
+                           k: Int = 0, iters: Int = 3): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val withShard = df.withColumn("__shard",
+      pmod(xxhash64(col(idCol)), lit(shards.toLong)))
+    val unionSurvivors = (0 until shards)
+      .map { s =>
+        semanticDedup(withShard.filter(col("__shard") === s).drop("__shard"),
+          idCol, vecCol, threshold, k, iters).select(col(idCol))
+      }
+      .reduce(_ unionByName _)
+    val merged = df.join(unionSurvivors, Seq(idCol), "left_semi")
+    semanticDedup(merged, idCol, vecCol, threshold, k, iters)
+  }
+
   /** The SemDeDup dominance filter over an assigned frame (`__id`,
     * `__vec`, `cluster`): drop every row with a lower-id same-cluster
     * neighbor at cosine ≥ threshold. ONE helper shared by the

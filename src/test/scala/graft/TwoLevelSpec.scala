@@ -67,6 +67,32 @@ class TwoLevelSpec extends SparkSpec {
     assert(ids.size.toLong == survivors.count())
   }
 
+  test("sharded dedup + survivor merge == whole-corpus survivors on planted cliques") {
+    // planted exact-duplicate cliques of 3 whose members hash into
+    // DIFFERENT shards: each shard keeps its clique minimum, the merge
+    // pass must then keep the global minimum — landing on exactly the
+    // whole-corpus survivor set
+    val e = Tables(spark, sf001, "embeddings")
+    val p1 = e.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val p2 = e.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + lit(2000000L))
+    val withDups = e.unionByName(p1).unionByName(p2)
+    val whole = Similarity.semanticDedup(
+        withDups, "vec_id", "embedding", threshold = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val sharded = Similarity.semanticDedupSharded(
+        withDups, "vec_id", "embedding", threshold = 0.99, shards = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(sharded == whole,
+      s"sharded-only: ${(sharded -- whole).take(5)}; " +
+        s"whole-only: ${(whole -- sharded).take(5)}")
+    (0L until 20L).foreach { id =>
+      assert(sharded.contains(id))
+      assert(!sharded.contains(id + 1000000L) && !sharded.contains(id + 2000000L))
+    }
+  }
+
   test("semanticDedup auto-routes past the flat ceiling and stays correct") {
     // k above MaxAutoClusters must take the two-level path (the flat
     // path would need a >8 MB centroid literal) and still honor the
