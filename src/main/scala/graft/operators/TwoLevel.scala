@@ -93,6 +93,12 @@ object TwoLevel {
     }
 
     def unpersist(): Unit = { children.unpersist(); () }
+
+    /** squared-L2 distance of a vector column to every SUPER centroid
+      * (the literal-sized level) — the probe's first ranking stage.
+      */
+    private[operators] def superDists(v: Column): Column =
+      call_function("graft_cell_dists", v, superLit)
   }
 
   /** Fit the two-level quantizer: a flat driver-Lloyd super quantizer
@@ -158,5 +164,74 @@ object TwoLevel {
     }
     sup.unpersist()
     TwoLevelQuantizer(sup.centroids, children, kChild)
+  }
+
+  /** Two-level IVF index — the ANN analog of the semantic-dedup
+    * routing: nlist past the flat literal ceiling with no
+    * O(nlist·dim) literal anywhere. `cells` is the corpus with its
+    * global cell id (persisted; probe-side scans never shuffle it).
+    */
+  final case class TwoLevelIvfIndex(quantizer: TwoLevelQuantizer,
+                                    cells: DataFrame) {
+    def nlist: Int = quantizer.k
+    def unpersist(): Unit = { cells.unpersist(); quantizer.unpersist() }
+  }
+
+  def buildIvfIndexLarge(corpus: DataFrame, idCol: String, vecCol: String,
+                         nlist: Int, iters: Int = 2): TwoLevelIvfIndex = {
+    val tl = fit(corpus, idCol, vecCol, nlist, iters)
+    val cells = tl.assign(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "cv", "cell")
+      .persist()
+    TwoLevelIvfIndex(tl, cells)
+  }
+
+  /** Probe a two-level IVF index: rank the `nprobeSuper` nearest
+    * super-cells map-side (literal kernel), rank the `nprobe` nearest
+    * CHILD cells within just those supers (small broadcast join onto
+    * the query side — queries are the small side by contract), then
+    * exact-cosine re-rank inside the probed cells. The corpus-side
+    * `cells` scan joins against a BROADCAST probe list, so — exactly
+    * like the flat [[Similarity.ivfProbe]] — the corpus never
+    * shuffles. Two-stage probing is the standard hierarchical-IVF
+    * recall trade: a nearest global cell under an unprobed super is
+    * missed, bought back by raising `nprobeSuper` (spec measures
+    * recall vs brute force).
+    */
+  def ivfProbeTwoLevel(index: TwoLevelIvfIndex, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       nprobeSuper: Int = 4, nprobe: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftExtensions.registerAll(queries.sparkSession)
+    val tl = index.quantizer
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val supers = q
+      .withColumn("probe", explode(slice(array_sort(
+        zip_with(tl.superDists(col("qv")),
+          sequence(lit(0), lit(tl.kSuper - 1)),
+          (d, i) => struct(d.as("d"), i.as("super")))), 1, nprobeSuper)))
+      .select(col("query_id"), col("qv"), col("probe.super").as("super"))
+    val cellRanked = supers.join(broadcast(tl.childMats), "super")
+      .withColumn("cd", call_function("graft_cell_dists", col("qv"), col("mat")))
+      .withColumn("pc", explode(zip_with(col("cd"),
+        sequence(lit(0), size(col("cd")) - 1),
+        (d, i) => struct(d.as("d"), i.as("child")))))
+      .select(col("query_id"), col("qv"),
+        (col("super") * tl.kChild + col("pc.child")).as("cell"),
+        col("pc.d").as("d"))
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cell"))
+    val probes = cellRanked.withColumn("__r", row_number().over(wp))
+      .filter(col("__r") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = index.cells.join(broadcast(probes), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", call_function("graft_cosine", col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cosine"))
   }
 }

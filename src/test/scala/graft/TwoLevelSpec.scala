@@ -48,6 +48,28 @@ class TwoLevelSpec extends SparkSpec {
     tl.unpersist()
   }
 
+  test("two-level IVF probe: recall vs brute force at 16x the usual nlist") {
+    // nlist=256 on 2000 vectors is the hierarchical regime (the flat
+    // index would plant a 256x64 literal; past 16384 it could not run
+    // at all) — recall must stay useful at a probed fraction
+    // comparable to the flat ivfTopK spec (which probes 1/4 of 16
+    // cells and asserts >= 0.4)
+    val e = Tables(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val idx = TwoLevel.buildIvfIndexLarge(e, "vec_id", "embedding", nlist = 256)
+    val got = TwoLevel.ivfProbeTwoLevel(idx, q, "vec_id", "embedding", 5,
+        nprobeSuper = 8, nprobe = 64)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val recall = brute.map { case (k, t) =>
+      (t & got.getOrElse(k, Set.empty)).size.toDouble / t.size }.sum / brute.size
+    idx.unpersist()
+    assert(recall >= 0.4, s"two-level ivf recall $recall")
+  }
+
   test("semanticDedupLarge prunes planted duplicates like the flat kernel") {
     // identical embeddings share every kernel distance, so a planted
     // twin always lands in its original's cluster and the dominance
