@@ -34,9 +34,16 @@ object TwoLevel {
   /** Broadcast ceiling for the child-centroid table: past this the
     * assignment join degrades gracefully to a shuffle join on the
     * super key instead of OOMing every executor with a giant
-    * broadcast. 64 MiB ≈ k=131072 at dim 64.
+    * broadcast. 64 MiB ≈ k=131072 at dim 64. Overridable per session
+    * via `spark.graft.twolevel.broadcastBytes` (the spec drives the
+    * fallback path through it — the default ceiling is unreachable at
+    * test scale).
     */
   val BroadcastMatBytes: Long = 64L << 20
+
+  private[graft] def broadcastBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.twolevel.broadcastBytes")
+      .map(_.toLong).getOrElse(BroadcastMatBytes)
 
   /** Hard cap on requested k: kSuper and kChild each stay under the
     * flat literal ceiling, so k ≤ 16384² — far past any per-batch
@@ -56,6 +63,7 @@ object TwoLevel {
     def kSuper: Int = superCentroids.length
     def k: Int = kSuper * kChild
     private def dim: Int = superCentroids.headOption.map(_.length).getOrElse(0)
+    private[operators] def matBytes: Long = k.toLong * dim * 8
 
     private def superLit: Column =
       typedlit[Seq[Seq[Double]]](superCentroids.map(_.toSeq).toSeq)
@@ -83,7 +91,7 @@ object TwoLevel {
       val withSuper = df.withColumn("__tl_super",
         call_function("graft_nearest_cell", col(vecCol), superLit))
       val joined =
-        if (k.toLong * dim * 8 <= BroadcastMatBytes)
+        if (matBytes <= broadcastBytes(df.sparkSession))
           withSuper.join(broadcast(mats), col("__tl_super") === col("super"), "left")
         else withSuper.join(mats, col("__tl_super") === col("super"), "left")
       joined.withColumn(cellCol,
@@ -139,7 +147,7 @@ object TwoLevel {
           x => x.getField("ctr")).as("mat"))
       val dim = sup.centroids.headOption.map(_.length).getOrElse(0)
       val joined =
-        if (kSuper.toLong * kChild * dim * 8 <= BroadcastMatBytes)
+        if (kSuper.toLong * kChild * dim * 8 <= broadcastBytes(df.sparkSession))
           corpusS.join(broadcast(mats), "super")
         else corpusS.join(mats, "super")
       val asg = joined.withColumn("child",
@@ -212,7 +220,14 @@ object TwoLevel {
           sequence(lit(0), lit(tl.kSuper - 1)),
           (d, i) => struct(d.as("d"), i.as("super")))), 1, nprobeSuper)))
       .select(col("query_id"), col("qv"), col("probe.super").as("super"))
-    val cellRanked = supers.join(broadcast(tl.childMats), "super")
+    // same ceiling discipline as assign(): the child-matrix table is
+    // only broadcast while it is small; past the ceiling the PROBE
+    // LIST is the broadcast side (queries are small by contract), so
+    // no executor ever materializes an over-ceiling matrix table
+    val cellRanked = (
+      if (tl.matBytes <= broadcastBytes(queries.sparkSession))
+        supers.join(broadcast(tl.childMats), "super")
+      else broadcast(supers).join(tl.childMats, "super"))
       .withColumn("cd", call_function("graft_cell_dists", col("qv"), col("mat")))
       .withColumn("pc", explode(zip_with(col("cd"),
         sequence(lit(0), size(col("cd")) - 1),

@@ -115,6 +115,35 @@ class TwoLevelSpec extends SparkSpec {
     }
   }
 
+  test("broadcast-ceiling fallback: shuffle-join assign and probe match the broadcast path") {
+    // the 64 MiB default is unreachable at test scale, so without this
+    // the fallback branches (assign's corpus-shuffle join, the probe's
+    // flipped broadcast side) would ship unexecuted; forcing the
+    // ceiling to 1 byte drives every join through them and pins
+    // result equality with the broadcast path
+    val e = Tables(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    def run(): (Map[Long, Int], Map[Long, Set[Long]]) = {
+      val tl = TwoLevel.fit(e, "vec_id", "embedding", k = 64, iters = 2)
+      val asg = tl.assign(e, "embedding").select(col("vec_id"), col("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val idx = TwoLevel.buildIvfIndexLarge(e, "vec_id", "embedding", nlist = 64)
+      val got = TwoLevel.ivfProbeTwoLevel(idx, q, "vec_id", "embedding", 5,
+          nprobeSuper = 4, nprobe = 16)
+        .collect().groupBy(_.getLong(0))
+        .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+      idx.unpersist(); tl.unpersist()
+      (asg, got)
+    }
+    val (asgB, probeB) = run()
+    spark.conf.set("spark.graft.twolevel.broadcastBytes", "1")
+    try {
+      val (asgS, probeS) = run()
+      assert(asgS == asgB, "shuffle-path assignment diverged from broadcast path")
+      assert(probeS == probeB, "shuffle-path probe diverged from broadcast path")
+    } finally spark.conf.unset("spark.graft.twolevel.broadcastBytes")
+  }
+
   test("semanticDedup auto-routes past the flat ceiling and stays correct") {
     // k above MaxAutoClusters must take the two-level path (the flat
     // path would need a >8 MB centroid literal) and still honor the
