@@ -126,11 +126,11 @@ object Healpix {
     */
   def degrade(pix: Long, levels: Int): Long = pix >> (2 * levels)
 
-  /** Pixels whose center OR any corner-adjacent sample falls within
-    * `radiusDeg` of center — the reference's boundary classification
-    * by corner containment (healpix.py:19-66). Exhaustive over 12·
-    * nside² pixels: fine for the small nsides used in region indexes;
-    * at scale the disc query runs once on the driver per query.
+  /** Pixels whose center falls within `radiusDeg` + one pixel size of
+    * center — the reference's inclusive disc cover (healpix.py:19-66),
+    * computed by hierarchical descent rather than an exhaustive
+    * 12·nside² scan, so deep nsides cost O(|result| + perimeter) per
+    * query (validated equal to the exhaustive scan in PropertySpec).
     */
   def queryDisc(nside: Int, center: Region.SkyP, radiusDeg: Double): Set[Long] = {
     // selection criterion: pixel center within radius + one pixel size
