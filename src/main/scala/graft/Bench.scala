@@ -144,9 +144,14 @@ object Bench {
     // min(prev, measured) per query, so the file converges on each
     // query's true floor rather than inheriting one noisy round
     if (only.isEmpty) {
-      val merged = results.filter(_._4 != 2).map { case (k, v, _, _) =>
-        k -> math.min(v, prevRef.getOrElse(k, Double.MaxValue))
-      }
+      // seeded from prevRef: a query that FAILED this round keeps its
+      // known floor (dropping it would permanently disable phantom
+      // detection for that query — the next round's spike would reach
+      // the artifact unguarded, the exact hole this file closes)
+      val merged = (prevRef ++ results.filter(_._4 != 2).map {
+        case (k, v, _, _) =>
+          k -> math.min(v, prevRef.getOrElse(k, Double.MaxValue))
+      }).toSeq
       val prevLine = merged.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")

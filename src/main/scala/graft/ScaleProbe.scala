@@ -58,9 +58,13 @@ object ScaleProbe {
     def probeSelected(name: String): Boolean =
       probeOnly.isEmpty || probeOnly.exists(name.contains)
 
-    /** Warm 1× vs N× timing + empirical exponent (shared harness). */
+    /** Warm 1× vs N× timing + empirical exponent (shared harness).
+      * One family's failure (an operator guard tripping on an
+      * unexpected corpus size, say) must not abort the whole suite —
+      * it prints FAILED and the remaining probes still run.
+      */
     def time(name: String, small: DataFrame, bigD: DataFrame)
-            (f: DataFrame => Long): Unit = if (probeSelected(name)) {
+            (f: DataFrame => Long): Unit = if (probeSelected(name)) try {
       def once(d: DataFrame): Double = {
         val t0 = System.nanoTime(); val rows = f(d)
         val dt = (System.nanoTime() - t0) / 1e9
@@ -71,6 +75,8 @@ object ScaleProbe {
       once(bigD); val tN = once(bigD)
       val exponent = math.log(tN / t1) / math.log(factor.toDouble)
       println(f"$name%-26s 1x=${t1}%.2fs ${factor}x=${tN}%.2fs scaling-exponent=${exponent}%.2f")
+    } catch { case e: Throwable =>
+      println(f"$name%-26s FAILED: ${e.getMessage}")
     }
 
     import graft.operators.{CorpusStats, Dedup, Sampling, Similarity}
@@ -243,7 +249,7 @@ object ScaleProbe {
     // size — exactly how a bigger simulation grows.
     def time2(name: String, small: (DataFrame, DataFrame),
               bigD: (DataFrame, DataFrame))
-             (f: (DataFrame, DataFrame) => Long): Unit = if (probeSelected(name)) {
+             (f: (DataFrame, DataFrame) => Long): Unit = if (probeSelected(name)) try {
       def once(d: (DataFrame, DataFrame)): Double = {
         val t0 = System.nanoTime(); val rows = f(d._1, d._2)
         val dt = (System.nanoTime() - t0) / 1e9
@@ -254,6 +260,8 @@ object ScaleProbe {
       once(bigD); val tN = once(bigD)
       val exponent = math.log(tN / t1) / math.log(factor.toDouble)
       println(f"$name%-26s 1x=${t1}%.2fs ${factor}x=${tN}%.2fs scaling-exponent=${exponent}%.2f")
+    } catch { case e: Throwable =>
+      println(f"$name%-26s FAILED: ${e.getMessage}")
     }
     val obase = spark.read.parquet(s"$sfDir/orders.parquet")
       .select(col("o_orderkey"), col("o_orderstatus"))

@@ -20,8 +20,9 @@ object Tables {
     * maps to long under `nanosAsLong`, so we truncate to microseconds
     * ourselves) and as plain TIMESTAMP[us] (isAdjustedToUTC=false →
     * TIMESTAMP_NTZ). Normalize either physical shape to Spark's native
-    * TimestampType; the session timezone is UTC, so the NTZ cast does
-    * not shift the instant.
+    * TimestampType; the NTZ cast is analyzed under a pinned UTC
+    * timezone (restored afterwards), so it never shifts the instant
+    * regardless of the caller's session timezone.
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -32,11 +33,19 @@ object Tables {
           timestamp_micros(floor(col("ts") / 1000L).cast("long")))
       case TimestampNTZType | TimestampType =>
         // the NTZ→TimestampType cast is instant-preserving ONLY under
-        // a UTC session timezone — enforce it rather than rely on the
-        // builder having set it (a non-UTC session would silently
-        // shift every event instant)
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        raw.withColumn("ts", col("ts").cast(TimestampType))
+        // a UTC session timezone. The cast's zone is captured at
+        // ANALYSIS time (ResolveTimeZone bakes the conf into the Cast,
+        // and withColumn analyzes eagerly), so pinning UTC around the
+        // frame's construction is enough — and the caller's session
+        // timezone is restored rather than mutated as a side effect
+        // of reading a table (a library loader must not silently
+        // shift every later timezone-dependent expression in the
+        // session). EventsSpec pins both properties.
+        val tzKey = "spark.sql.session.timeZone"
+        val prevTz = spark.conf.get(tzKey)
+        spark.conf.set(tzKey, "UTC")
+        try raw.withColumn("ts", col("ts").cast(TimestampType))
+        finally spark.conf.set(tzKey, prevTz)
       case other =>
         throw new IllegalArgumentException(
           s"events.ts has unexpected parquet type $other")

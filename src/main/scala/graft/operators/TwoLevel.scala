@@ -73,11 +73,7 @@ object TwoLevel {
       * Lloyd preserves them), so position in the sorted matrix IS the
       * child id.
       */
-    private[operators] def childMats: DataFrame =
-      children.groupBy(col("super"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("child"), col("ctr")))),
-          x => x.getField("ctr")).as("mat"))
+    private[operators] def childMats: DataFrame = childMatsOf(children)
 
     /** Assign every row of `df` its global cell id. Adds `cellCol`
       * (default "cell"); the input columns pass through. Rows landing
@@ -108,6 +104,16 @@ object TwoLevel {
     private[operators] def superDists(v: Column): Column =
       call_function("graft_cell_dists", v, superLit)
   }
+
+  /** (super, child, ctr) rows → (super → child matrix ordered by
+    * child id) — the single definition of the position-is-child-id
+    * contract that both assignment and Lloyd training join against.
+    */
+  private def childMatsOf(children: DataFrame): DataFrame =
+    children.groupBy(col("super"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("child"), col("ctr")))),
+        x => x.getField("ctr")).as("mat"))
 
   /** Fit the two-level quantizer: a flat driver-Lloyd super quantizer
     * (kSuper ≈ √k — always literal-sized), then `iters` DISTRIBUTED
@@ -141,10 +147,7 @@ object TwoLevel {
       .localCheckpoint(true)
 
     for (_ <- 0 until iters) {
-      val mats = children.groupBy(col("super"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("child"), col("ctr")))),
-          x => x.getField("ctr")).as("mat"))
+      val mats = childMatsOf(children)
       val dim = sup.centroids.headOption.map(_.length).getOrElse(0)
       val joined =
         if (kSuper.toLong * kChild * dim * 8 <= broadcastBytes(df.sparkSession))
@@ -164,11 +167,17 @@ object TwoLevel {
           array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
           x => x.getField("s") / x.getField("n")).as("ctr"))
       // empty children keep their centroid (the flat path's rule)
+      val prev = children
       children = children.as("o")
         .join(newCtrs.as("nw"), Seq("super", "child"), "left")
         .select(col("super"), col("child"),
           coalesce(col("nw.ctr"), col("o.ctr")).as("ctr"))
         .localCheckpoint(true)
+      // the new checkpoint is materialized eagerly, so the previous
+      // iteration's k-row frame can be released now — without this,
+      // every fit leaks iters frames for the session's lifetime
+      // (semanticDedupSharded calls fit once per shard)
+      prev.unpersist()
     }
     sup.unpersist()
     TwoLevelQuantizer(sup.centroids, children, kChild)

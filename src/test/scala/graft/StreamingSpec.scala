@@ -207,6 +207,26 @@ class StreamingSpec extends SparkSpec {
     assert(got(h0)._1 == 1L && got(h1)._1 == 1L)
   }
 
+  test("events loader preserves instants under a non-UTC session timezone and restores it") {
+    // the NTZ→Timestamp cast is analyzed under a pinned UTC zone; a
+    // non-UTC caller must read the SAME instants (no wall-clock
+    // shift) and keep its own session timezone afterwards (the loader
+    // must not mutate shared session state as a read side effect)
+    def instants(): Map[Long, Long] =
+      Tables(spark, sf001, "events")
+        .select(col("event_id"), unix_timestamp(col("ts")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val utc = instants()
+    val tzKey = "spark.sql.session.timeZone"
+    spark.conf.set(tzKey, "America/New_York")
+    try {
+      val ny = instants()
+      assert(spark.conf.get(tzKey) == "America/New_York",
+        "events loader mutated the session timezone")
+      assert(ny == utc, "events instants shifted under a non-UTC session timezone")
+    } finally spark.conf.set(tzKey, "UTC")
+  }
+
   test("watermark drops late data in append mode") {
     val src = MemoryStream[Ev](spark)
     val q = EventOps.streamTumblingAgg(src.toDF(), "1 hour", "30 minutes")
