@@ -91,6 +91,11 @@ object ScaleProbe {
       "doc_id", "n", 512L).count())
     time("minhash_dedup", base, scaled)(d => Dedup.dropNearDuplicates(d, "doc_id", "text",
       minEstimate = 0.5).count())
+    // substring-level span dedup (production xxhash64 kernel): the
+    // rotated N× corpus plants real cross-copy window duplicates, so
+    // both the hash-count agg and the island merge see growing load
+    time("span_dedup", base, scaled)(d =>
+      Dedup.duplicatedSpans(d, "doc_id", "text", windowTokens = 8).count())
     // round-8 DuckDB-replayable gate kernels: the MinHash gate must
     // track the production kernel's regime (one base hash + affine
     // family); the SimHash gate is exact-by-construction, which pins

@@ -591,4 +591,74 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** SUBSTRING-level exact dedup (Lee et al. 2021, arXiv:2107.06499
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * public paper; the reference has doc-level dedup only): every
+    * `windowTokens`-token window whose content occurs ≥ 2 times
+    * anywhere in the corpus (another document or the same one) marks
+    * its start position, and per document the marked windows merge
+    * into MAXIMAL duplicated spans `[span_start, span_end)` in token
+    * coordinates (adjacent/overlapping windows coalesce). The paper
+    * runs a single-node suffix array; the Spark-first form is a
+    * rolling window hash — windows are hashed map-side from each
+    * row's own tokens, the only shuffled frames are slim
+    * (doc, pos, hash) tuples (one hash-agg to find repeated hashes +
+    * one ids-only left-semi join back; text never shuffles), and the
+    * island merge shuffles only the marked positions by doc. Linear
+    * in total tokens; repeated-boilerplate skew is bounded because
+    * the count agg combines map-side and the semi-join never expands
+    * rows.
+    *
+    * Returns (doc_id, span_start, span_end): token-coordinate
+    * half-open duplicated spans. Compose with a filter on
+    * `span_end - span_start` or aggregate per doc for a duplicated-
+    * token fraction.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      windowTokens: Int = 50): DataFrame =
+    duplicatedSpansBy(df, idCol, textCol, windowTokens, xxhash64(_))
+
+  /** [[duplicatedSpans]]'s DuckDB-replayable GATE twin: md5 window
+    * hashes so the oracle rebuilds the identical marked set in SQL.
+    * Identical span output unless md5 and xxhash64 disagree on a
+    * collision (DedupSpec pins set equality on the gate corpus).
+    */
+  def duplicatedSpansMd5(df: DataFrame, idCol: String, textCol: String,
+                         windowTokens: Int = 8): DataFrame =
+    duplicatedSpansBy(df, idCol, textCol, windowTokens, md5(_))
+
+  private def duplicatedSpansBy(df: DataFrame, idCol: String,
+                                textCol: String, w: Int,
+                                hash: Column => Column): DataFrame = {
+    require(w > 0, s"windowTokens=$w must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val tk = tokens(col(textCol))
+    // 1-based window starts; sequence() DESCENDS when start > stop,
+    // so short docs need the explicit empty guard (same idiom as the
+    // MinHash shingle builder — the oracle's generate_series is empty
+    // there)
+    val starts = when(size(tk) >= w, sequence(lit(1), size(tk) - (w - 1)))
+      .otherwise(array())
+    val wins = df.select(col(idCol).as("doc"), explode(transform(starts,
+        i => struct((i - 1).cast("long").as("pos"),
+          hash(concat_ws(" ", slice(tk, i, lit(w)))).as("h")))).as("pw"))
+      .select(col("doc"), col("pw.pos").as("pos"), col("pw.h").as("h"))
+    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val marked = wins.join(dup, Seq("h"), "left_semi")
+    // gaps-and-islands merge: a marked window extends the current
+    // span unless it starts past the running max end
+    val byDoc = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(w.toLong))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    marked
+      .withColumn("__new", when(prevEnd.isNull || col("pos") > prevEnd, 1)
+        .otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(byDoc))
+      .groupBy(col("doc"), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(w.toLong)).as("span_end"))
+      .select(col("doc").as(idCol), col("span_start"), col("span_end"))
+  }
 }

@@ -84,7 +84,10 @@ object Production {
     }),
     "q101p_semantic_dedup_prod" -> ((s, dir) =>
       graft.operators.Similarity.semanticDedup(t(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.3))
+        "vec_id", "embedding", threshold = 0.3)),
+    "q102p_span_dedup_prod" -> ((s, dir) =>
+      graft.operators.Dedup.duplicatedSpans(t(s, dir, "documents"),
+        "doc_id", "text", windowTokens = 8))
   )
 
   /** empty on purpose: these kernels' hashes are not SQL-replayable —

@@ -208,6 +208,17 @@ object TextVector {
         "vec_id", "embedding", threshold = 0.3, k = 8, iters = 3)
     }),
 
+    // SUBSTRING-level exact dedup (arXiv:2107.06499 shape): every
+    // 8-token window occurring >= 2 times in the corpus marks its
+    // position; marked windows merge per doc into maximal
+    // [span_start, span_end) spans. GATE = md5 window hashes so the
+    // oracle replays the marked set verbatim; production keeps
+    // xxhash64 (same spans, DedupSpec pins equality).
+    "q102_span_dedup" -> ((s, dir) => {
+      Dedup.duplicatedSpansMd5(t(s, dir, "documents"), "doc_id", "text",
+        windowTokens = 8)
+    }),
+
     // per-label embedding centroids (vector aggregation).
     "q31_label_centroids" -> ((s, dir) => {
       Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
@@ -866,6 +877,29 @@ object TextVector {
     // SemDeDup gate: md5-Lloyd assignment chain + within-cluster
     // keep-lowest-id dominance over the exact float cosine
     "q101_semantic_dedup" -> semanticDedupSql(k = 8, iters = 3, threshold = 0.3),
+    // substring-dedup gate: rebuild every 8-token window's md5, keep
+    // hashes occurring >= 2 times, then the same gaps-and-islands
+    // merge (a window starts a new span iff it begins past the
+    // running max end of earlier marked windows in its doc)
+    "q102_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         wins AS (SELECT doc_id, i - 1 AS pos,
+                    md5(array_to_string(w[i:i+7], ' ')) AS h
+                  FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)),
+         dups AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+         mk AS (SELECT doc_id, pos FROM wins WHERE h IN (SELECT h FROM dups)),
+         fl AS (SELECT doc_id, pos,
+                  CASE WHEN max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                       OR pos > max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS f
+                FROM mk),
+         isl AS (SELECT doc_id, pos,
+                   sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                 FROM fl)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
+         FROM isl GROUP BY doc_id, g""",
     // frames are consecutive in the synthesized AVI, so the global
     // sample index j = f*w*h + i cycles hex[j % 32] — one
     // generate_series over frames × pixels replays every gray value;

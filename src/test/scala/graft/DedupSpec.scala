@@ -211,6 +211,34 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("GATE"), e.getMessage)
   }
 
+  test("duplicatedSpans: planted shared spans merge into maximal islands; gate == production") {
+    // docs 10/11 share tokens 3..11 (one 9-token run = two overlapping
+    // 8-token windows -> ONE merged span of length 9); doc 12 repeats
+    // its own 8-token run twice internally (self-duplication also
+    // marks); doc 13 shares nothing
+    val shared = (0 until 9).map(i => s"dup$i")
+    val d10 = (Seq("a0", "a1", "a2") ++ shared ++ Seq("a3", "a4")).mkString(" ")
+    val d11 = (Seq("b0", "b1", "b2") ++ shared ++ Seq("b3", "b4")).mkString(" ")
+    val rep = (0 until 8).map(i => s"rep$i")
+    val d12 = (rep ++ Seq("mid") ++ rep).mkString(" ")
+    val d13 = (0 until 20).map(i => s"uniq$i").mkString(" ")
+    val df = Seq((10L, d10), (11L, d11), (12L, d12), (13L, d13))
+      .toDF("doc_id", "text")
+    def spans(out: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gate = spans(Dedup.duplicatedSpansMd5(df, "doc_id", "text", windowTokens = 8))
+    val prod = spans(Dedup.duplicatedSpans(df, "doc_id", "text", windowTokens = 8))
+    assert(gate == prod, s"gate $gate != production $prod")
+    // 9 shared tokens at offset 3 -> windows at pos 3 and 4 merge to [3, 12)
+    assert(gate((10L, 3L, 12L)) && gate((11L, 3L, 12L)), gate.toString)
+    // doc 12: the 8-token run at pos 0 and pos 9 both marked, NOT
+    // merged (gap: 9 > 0 + 8 is false... pos 9 > prevEnd 8 -> new span)
+    assert(gate((12L, 0L, 8L)) && gate((12L, 9L, 17L)), gate.toString)
+    assert(!gate.exists(_._1 == 13L), gate.toString)
+    // nothing else marked in 10/11
+    assert(gate.count(s => s._1 == 10L) == 1 && gate.count(s => s._1 == 11L) == 1)
+  }
+
   test("dropSeenBefore: delta dedups against the snapshot signature table only") {
     def sentence(seed: Int) = {
       val r = new scala.util.Random(seed)
