@@ -96,6 +96,13 @@ object ScaleProbe {
     // both the hash-count agg and the island merge see growing load
     time("span_dedup", base, scaled)(d =>
       Dedup.duplicatedSpans(d, "doc_id", "text", windowTokens = 8).count())
+    // NOT .count(): the rebuilt frame is a left join on unique keys,
+    // which Catalyst prunes wholesale under count() — aggregate the
+    // OUTPUT columns so the rewrite actually evaluates
+    time("span_removal", base, scaled)(d =>
+      Dedup.removeDuplicatedSpans(d, "doc_id", "text", windowTokens = 8)
+        .agg(sum(length(col("clean_text"))), sum(col("n_removed")))
+        .collect()(0).getLong(1))
     // round-8 DuckDB-replayable gate kernels: the MinHash gate must
     // track the production kernel's regime (one base hash + affine
     // family); the SimHash gate is exact-by-construction, which pins

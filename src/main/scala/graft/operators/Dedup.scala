@@ -628,11 +628,68 @@ object Dedup {
                          windowTokens: Int = 8): DataFrame =
     duplicatedSpansBy(df, idCol, textCol, windowTokens, md5(_))
 
-  private def duplicatedSpansBy(df: DataFrame, idCol: String,
-                                textCol: String, w: Int,
-                                hash: Column => Column): DataFrame = {
+  /** [[duplicatedSpans]]'s removal companion: rewrite each document
+    * with its duplicated content CUT, keeping the first global
+    * occurrence of every duplicated window (canonical = smallest
+    * (doc, pos) per window hash — deterministic). Removal is
+    * token-granular: a token is dropped iff some NON-canonical
+    * duplicated window covers it AND no canonical window does — the
+    * canonical-cover carve-out keeps exactly one copy even in the
+    * pathological self-overlapping case (a periodic token run whose
+    * windows all share one hash collapses to one window's worth, not
+    * to a single token). Returns (idCol, clean_text, n_removed).
+    *
+    * Scale shape: only DUPLICATED windows token-explode (×W of the
+    * marked rows, not of the corpus); the removed-position sets join
+    * back to the full corpus by id and the rebuild is a map-side
+    * higher-order filter over each row's own tokens.
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            windowTokens: Int = 50): DataFrame =
+    removeDuplicatedSpansBy(df, idCol, textCol, windowTokens, xxhash64(_))
+
+  /** [[removeDuplicatedSpans]]'s md5 GATE twin (DuckDB-replayable). */
+  def removeDuplicatedSpansMd5(df: DataFrame, idCol: String, textCol: String,
+                               windowTokens: Int = 8): DataFrame =
+    removeDuplicatedSpansBy(df, idCol, textCol, windowTokens, md5(_))
+
+  private def removeDuplicatedSpansBy(df: DataFrame, idCol: String,
+                                      textCol: String, w: Int,
+                                      hash: Column => Column): DataFrame = {
     require(w > 0, s"windowTokens=$w must be positive")
-    import org.apache.spark.sql.expressions.Window
+    val wins = windowHashes(df, idCol, textCol, w, hash)
+    // canonical occurrence per duplicated hash = min (doc, pos)
+    val dup = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"), min(struct(col("doc"), col("pos"))).as("canon"))
+      .filter(col("c") >= 2)
+      .select(col("h"), col("canon"))
+    val occ = wins.join(dup, Seq("h"))
+      .select(col("doc"), col("pos"),
+        (col("canon.doc") === col("doc") && col("canon.pos") === col("pos"))
+          .as("is_canon"))
+    // token-granular cover: duplicated windows only explode ×W
+    val cover = occ.select(col("doc"), col("is_canon"),
+        explode(sequence(col("pos"), col("pos") + lit((w - 1).toLong))).as("tpos"))
+      .groupBy(col("doc"), col("tpos"))
+      .agg(max(when(!col("is_canon"), 1).otherwise(0)).as("anyDup"),
+        max(when(col("is_canon"), 1).otherwise(0)).as("anyCanon"))
+      .filter(col("anyDup") === 1 && col("anyCanon") === 0)
+    val removed = cover.groupBy(col("doc"))
+      .agg(collect_set(col("tpos")).as("rm"))
+    df.select(col(idCol).as("doc"), col(textCol).as("__text"))
+      .join(removed, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        concat_ws(" ", filter(tokens(col("__text")),
+          (t, i) => coalesce(!array_contains(col("rm"), i.cast("long")),
+            lit(true)))).as("clean_text"),
+        coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"))
+  }
+
+  /** (doc, pos, h) rolling window hashes — shared by the span
+    * detection and removal kernels.
+    */
+  private def windowHashes(df: DataFrame, idCol: String, textCol: String,
+                           w: Int, hash: Column => Column): DataFrame = {
     val tk = tokens(col(textCol))
     // 1-based window starts; sequence() DESCENDS when start > stop,
     // so short docs need the explicit empty guard (same idiom as the
@@ -640,10 +697,18 @@ object Dedup {
     // there)
     val starts = when(size(tk) >= w, sequence(lit(1), size(tk) - (w - 1)))
       .otherwise(array())
-    val wins = df.select(col(idCol).as("doc"), explode(transform(starts,
+    df.select(col(idCol).as("doc"), explode(transform(starts,
         i => struct((i - 1).cast("long").as("pos"),
           hash(concat_ws(" ", slice(tk, i, lit(w)))).as("h")))).as("pw"))
       .select(col("doc"), col("pw.pos").as("pos"), col("pw.h").as("h"))
+  }
+
+  private def duplicatedSpansBy(df: DataFrame, idCol: String,
+                                textCol: String, w: Int,
+                                hash: Column => Column): DataFrame = {
+    require(w > 0, s"windowTokens=$w must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val wins = windowHashes(df, idCol, textCol, w, hash)
     val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select(col("h"))
     val marked = wins.join(dup, Seq("h"), "left_semi")

@@ -87,6 +87,9 @@ object Production {
         "vec_id", "embedding", threshold = 0.3)),
     "q102p_span_dedup_prod" -> ((s, dir) =>
       graft.operators.Dedup.duplicatedSpans(t(s, dir, "documents"),
+        "doc_id", "text", windowTokens = 8)),
+    "q103p_span_removal_prod" -> ((s, dir) =>
+      graft.operators.Dedup.removeDuplicatedSpans(t(s, dir, "documents"),
         "doc_id", "text", windowTokens = 8))
   )
 

@@ -219,6 +219,15 @@ object TextVector {
         windowTokens = 8)
     }),
 
+    // span REMOVAL: rewrite docs with duplicated windows cut, keeping
+    // the first global occurrence (canonical = min (doc,pos) per
+    // hash); token-granular with a canonical-cover carve-out so
+    // self-overlapping runs keep one full copy. GATE = md5 hashes.
+    "q103_span_removal" -> ((s, dir) => {
+      Dedup.removeDuplicatedSpansMd5(t(s, dir, "documents"), "doc_id", "text",
+        windowTokens = 8)
+    }),
+
     // per-label embedding centroids (vector aggregation).
     "q31_label_centroids" -> ((s, dir) => {
       Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
@@ -900,6 +909,40 @@ object TextVector {
                  FROM fl)
          SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
          FROM isl GROUP BY doc_id, g""",
+    // span-removal gate: canonical occurrence per duplicated hash =
+    // row_number 1 under (doc,pos) order (== Spark's min-struct);
+    // token positions covered by any NON-canonical window and no
+    // canonical one are dropped; the doc is rebuilt by ordered
+    // string_agg over surviving token positions
+    "q103_span_removal" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         wins AS (SELECT doc_id, i - 1 AS pos,
+                    md5(array_to_string(w[i:i+7], ' ')) AS h
+                  FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)),
+         occ AS (SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+                   count(*) OVER (PARTITION BY h) AS c
+                 FROM wins),
+         cover AS (SELECT doc_id, pos + s.j AS tpos, rn = 1 AS canon
+                   FROM occ, UNNEST(generate_series(0, 7)) AS s(j)
+                   WHERE c >= 2),
+         removed AS (SELECT doc_id, tpos FROM cover
+                     GROUP BY doc_id, tpos
+                     HAVING bool_or(NOT canon) AND NOT bool_or(canon)),
+         pos_toks AS (SELECT doc_id, t.i - 1 AS tpos, w[t.i] AS tok
+                      FROM toks, UNNEST(generate_series(1, len(w))) AS t(i)),
+         kept AS (SELECT p.doc_id, p.tpos, p.tok FROM pos_toks p
+                  WHERE NOT EXISTS (SELECT 1 FROM removed r
+                                    WHERE r.doc_id = p.doc_id AND r.tpos = p.tpos)),
+         rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+                     FROM kept GROUP BY doc_id),
+         nrm AS (SELECT doc_id, count(*) AS n_removed FROM removed GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           coalesce(n.n_removed, 0) AS n_removed
+         FROM documents d
+         LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+         LEFT JOIN nrm n ON n.doc_id = d.doc_id""",
     // frames are consecutive in the synthesized AVI, so the global
     // sample index j = f*w*h + i cycles hex[j % 32] — one
     // generate_series over frames × pixels replays every gray value;

@@ -239,6 +239,32 @@ class DedupSpec extends SparkSpec {
     assert(gate.count(s => s._1 == 10L) == 1 && gate.count(s => s._1 == 11L) == 1)
   }
 
+  test("removeDuplicatedSpans keeps the first global occurrence, gate == production") {
+    val shared = (0 until 9).map(i => s"dup$i")
+    val d10 = (Seq("a0", "a1", "a2") ++ shared ++ Seq("a3", "a4")).mkString(" ")
+    val d11 = (Seq("b0", "b1", "b2") ++ shared ++ Seq("b3", "b4")).mkString(" ")
+    // periodic self-overlap: every window of x*9 shares one hash —
+    // the canonical-cover carve-out must leave one full 8-token copy
+    val d12 = (0 until 9).map(_ => "x").mkString(" ")
+    val d13 = (0 until 20).map(i => s"uniq$i").mkString(" ")
+    val df = Seq((10L, d10), (11L, d11), (12L, d12), (13L, d13))
+      .toDF("doc_id", "text")
+    def out(o: org.apache.spark.sql.DataFrame): Map[Long, (String, Long)] =
+      o.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val gate = out(Dedup.removeDuplicatedSpansMd5(df, "doc_id", "text", windowTokens = 8))
+    val prod = out(Dedup.removeDuplicatedSpans(df, "doc_id", "text", windowTokens = 8))
+    assert(gate == prod, s"gate $gate != production $prod")
+    // doc 10 holds the canonical copies (lowest id) — untouched
+    assert(gate(10L) == (d10, 0L), gate(10L).toString)
+    // doc 11 loses exactly the 9 shared tokens
+    assert(gate(11L) ==
+      ((Seq("b0", "b1", "b2", "b3", "b4").mkString(" "), 9L)), gate(11L).toString)
+    // doc 12 keeps one full window (8 of 9 tokens survive)
+    assert(gate(12L) == (((0 until 8).map(_ => "x").mkString(" "), 1L)),
+      gate(12L).toString)
+    assert(gate(13L) == (d13, 0L))
+  }
+
   test("dropSeenBefore: delta dedups against the snapshot signature table only") {
     def sentence(seed: Int) = {
       val r = new scala.util.Random(seed)
