@@ -103,6 +103,13 @@ object ScaleProbe {
       Dedup.removeDuplicatedSpans(d, "doc_id", "text", windowTokens = 8)
         .agg(sum(length(col("clean_text"))), sum(col("n_removed")))
         .collect()(0).getLong(1))
+    // fixed benchmark (the base corpus's % 50 slice) against a
+    // growing corpus — the realistic decontam shape
+    time("span_decontam", base, scaled)(d =>
+      Dedup.removeContaminatedSpans(d, "doc_id", "text",
+          base.filter(col("doc_id") % 50 === 0), "text", windowTokens = 8)
+        .agg(sum(length(col("clean_text"))), sum(col("n_removed")))
+        .collect()(0).getLong(1))
     // round-8 DuckDB-replayable gate kernels: the MinHash gate must
     // track the production kernel's regime (one base hash + affine
     // family); the SimHash gate is exact-by-construction, which pins

@@ -653,6 +653,48 @@ object Dedup {
                                windowTokens: Int = 8): DataFrame =
     removeDuplicatedSpansBy(df, idCol, textCol, windowTokens, md5(_))
 
+  /** Span-level benchmark DECONTAMINATION: cut from every corpus
+    * document each token covered by a `windowTokens`-token window
+    * whose content appears anywhere in `benchmark` — the span-granular
+    * sibling of the n-gram decontam filters (which drop or flag whole
+    * documents): a page quoting one benchmark question loses the
+    * quote, not the page. No canonical carve-out — benchmark content
+    * has no "first occurrence to keep" in the corpus.
+    *
+    * Scale shape: benchmark windows hash map-side and distinct to an
+    * ids-free hash set (benchmarks are small next to the corpus, so
+    * the semi-join broadcasts under AQE); corpus text never shuffles.
+    */
+  def removeContaminatedSpans(df: DataFrame, idCol: String, textCol: String,
+                              benchmark: DataFrame, benchTextCol: String,
+                              windowTokens: Int = 13): DataFrame =
+    removeContaminatedSpansBy(df, idCol, textCol, benchmark, benchTextCol,
+      windowTokens, xxhash64(_))
+
+  /** [[removeContaminatedSpans]]'s md5 GATE twin (DuckDB-replayable). */
+  def removeContaminatedSpansMd5(df: DataFrame, idCol: String, textCol: String,
+                                 benchmark: DataFrame, benchTextCol: String,
+                                 windowTokens: Int = 8): DataFrame =
+    removeContaminatedSpansBy(df, idCol, textCol, benchmark, benchTextCol,
+      windowTokens, md5(_))
+
+  private def removeContaminatedSpansBy(df: DataFrame, idCol: String,
+                                        textCol: String, benchmark: DataFrame,
+                                        benchTextCol: String, w: Int,
+                                        hash: Column => Column): DataFrame = {
+    require(w > 0, s"windowTokens=$w must be positive")
+    val benchH = windowHashes(
+        benchmark.select(lit(0L).as("__bid"), col(benchTextCol)),
+        "__bid", benchTextCol, w, hash)
+      .select(col("h")).distinct()
+    val marked = windowHashes(df, idCol, textCol, w, hash)
+      .join(benchH, Seq("h"), "left_semi")
+    val cover = marked.select(col("doc"),
+        explode(sequence(col("pos"), col("pos") + lit((w - 1).toLong))).as("tpos"))
+      .distinct()
+    rebuildWithout(df, idCol, textCol, cover)
+  }
+
   private def removeDuplicatedSpansBy(df: DataFrame, idCol: String,
                                       textCol: String, w: Int,
                                       hash: Column => Column): DataFrame = {
@@ -674,7 +716,18 @@ object Dedup {
       .agg(max(when(!col("is_canon"), 1).otherwise(0)).as("anyDup"),
         max(when(col("is_canon"), 1).otherwise(0)).as("anyCanon"))
       .filter(col("anyDup") === 1 && col("anyCanon") === 0)
-    val removed = cover.groupBy(col("doc"))
+    rebuildWithout(df, idCol, textCol, cover)
+  }
+
+  /** Rebuild each document without its removed token positions.
+    * `removedPos` is (doc, tpos) — grouped to one position-set per
+    * doc, left-joined back (docs with nothing removed pass through),
+    * and the text rebuilt by a map-side indexed filter over the
+    * row's own tokens. Returns (idCol, clean_text, n_removed).
+    */
+  private def rebuildWithout(df: DataFrame, idCol: String, textCol: String,
+                             removedPos: DataFrame): DataFrame = {
+    val removed = removedPos.groupBy(col("doc"))
       .agg(collect_set(col("tpos")).as("rm"))
     df.select(col(idCol).as("doc"), col(textCol).as("__text"))
       .join(removed, Seq("doc"), "left")

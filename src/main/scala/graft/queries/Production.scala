@@ -90,7 +90,12 @@ object Production {
         "doc_id", "text", windowTokens = 8)),
     "q103p_span_removal_prod" -> ((s, dir) =>
       graft.operators.Dedup.removeDuplicatedSpans(t(s, dir, "documents"),
-        "doc_id", "text", windowTokens = 8))
+        "doc_id", "text", windowTokens = 8)),
+    "q104p_span_decontam_prod" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.removeContaminatedSpans(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 50 === 0), "text", windowTokens = 8)
+    })
   )
 
   /** empty on purpose: these kernels' hashes are not SQL-replayable —

@@ -228,6 +228,16 @@ object TextVector {
         windowTokens = 8)
     }),
 
+    // span-level benchmark decontamination: every 8-token window of
+    // the "benchmark" (docs with doc_id % 50 = 0 — stands in for a
+    // held-out eval set, and plants real leaked content since those
+    // docs are in the corpus) cuts covered tokens from every doc.
+    "q104_span_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.removeContaminatedSpansMd5(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 50 === 0), "text", windowTokens = 8)
+    }),
+
     // per-label embedding centroids (vector aggregation).
     "q31_label_centroids" -> ((s, dir) => {
       Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
@@ -929,6 +939,33 @@ object TextVector {
          removed AS (SELECT doc_id, tpos FROM cover
                      GROUP BY doc_id, tpos
                      HAVING bool_or(NOT canon) AND NOT bool_or(canon)),
+         pos_toks AS (SELECT doc_id, t.i - 1 AS tpos, w[t.i] AS tok
+                      FROM toks, UNNEST(generate_series(1, len(w))) AS t(i)),
+         kept AS (SELECT p.doc_id, p.tpos, p.tok FROM pos_toks p
+                  WHERE NOT EXISTS (SELECT 1 FROM removed r
+                                    WHERE r.doc_id = p.doc_id AND r.tpos = p.tpos)),
+         rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+                     FROM kept GROUP BY doc_id),
+         nrm AS (SELECT doc_id, count(*) AS n_removed FROM removed GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           coalesce(n.n_removed, 0) AS n_removed
+         FROM documents d
+         LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+         LEFT JOIN nrm n ON n.doc_id = d.doc_id""",
+    // span-decontam gate: benchmark window md5s, then the q103
+    // cover/rebuild with NO canonical carve-out
+    "q104_span_decontam" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         bwins AS (SELECT DISTINCT md5(array_to_string(w[i:i+7], ' ')) AS h
+                   FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+                   WHERE doc_id % 50 = 0),
+         wins AS (SELECT doc_id, i - 1 AS pos,
+                    md5(array_to_string(w[i:i+7], ' ')) AS h
+                  FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)),
+         removed AS (SELECT DISTINCT doc_id, pos + s.j AS tpos
+                     FROM wins, UNNEST(generate_series(0, 7)) AS s(j)
+                     WHERE h IN (SELECT h FROM bwins)),
          pos_toks AS (SELECT doc_id, t.i - 1 AS tpos, w[t.i] AS tok
                       FROM toks, UNNEST(generate_series(1, len(w))) AS t(i)),
          kept AS (SELECT p.doc_id, p.tpos, p.tok FROM pos_toks p

@@ -265,6 +265,27 @@ class DedupSpec extends SparkSpec {
     assert(gate(13L) == (d13, 0L))
   }
 
+  test("removeContaminatedSpans cuts exactly the benchmark-covered tokens") {
+    val leak = (0 until 8).map(i => s"bench$i")
+    val bench = Seq((0L, leak.mkString(" "))).toDF("bid", "btext")
+    // doc 20 quotes the benchmark verbatim mid-document; 21 is clean;
+    // 22 IS the benchmark text exactly (full gut)
+    val d20 = (Seq("c0", "c1") ++ leak ++ Seq("c2")).mkString(" ")
+    val d21 = (0 until 15).map(i => s"clean$i").mkString(" ")
+    val d22 = leak.mkString(" ")
+    val df = Seq((20L, d20), (21L, d21), (22L, d22)).toDF("doc_id", "text")
+    def out(o: org.apache.spark.sql.DataFrame): Map[Long, (String, Long)] =
+      o.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val gate = out(Dedup.removeContaminatedSpansMd5(df, "doc_id", "text",
+      bench, "btext", windowTokens = 8))
+    val prod = out(Dedup.removeContaminatedSpans(df, "doc_id", "text",
+      bench, "btext", windowTokens = 8))
+    assert(gate == prod, s"gate $gate != production $prod")
+    assert(gate(20L) == (("c0 c1 c2", 8L)), gate(20L).toString)
+    assert(gate(21L) == ((d21, 0L)))
+    assert(gate(22L) == (("", 8L)), gate(22L).toString)
+  }
+
   test("dropSeenBefore: delta dedups against the snapshot signature table only") {
     def sentence(seed: Int) = {
       val r = new scala.util.Random(seed)
