@@ -743,16 +743,22 @@ object Dedup {
     */
   private def windowHashes(df: DataFrame, idCol: String, textCol: String,
                            w: Int, hash: Column => Column): DataFrame = {
-    val tk = tokens(col(textCol))
-    // 1-based window starts; sequence() DESCENDS when start > stop,
-    // so short docs need the explicit empty guard (same idiom as the
-    // MinHash shingle builder — the oracle's generate_series is empty
-    // there)
-    val starts = when(size(tk) >= w, sequence(lit(1), size(tk) - (w - 1)))
-      .otherwise(array())
-    df.select(col(idCol).as("doc"), explode(transform(starts,
+    // LET-Bind the token array through a single-element transform:
+    // referencing `split(text)` directly inside the per-window lambda
+    // re-splits the text for EVERY window (no common-subexpression
+    // elimination across lambda iterations — measured 2.2× slower on
+    // the sf0.1 corpus); the lambda variable is evaluated once per
+    // row. 1-based window starts; sequence() DESCENDS when start >
+    // stop, so short docs need the explicit empty guard (same idiom
+    // as the MinHash shingle builder — the oracle's generate_series
+    // is empty there).
+    val winArr = flatten(transform(array(tokens(col(textCol))), tkA =>
+      transform(
+        when(size(tkA) >= w, sequence(lit(1), size(tkA) - (w - 1)))
+          .otherwise(array()),
         i => struct((i - 1).cast("long").as("pos"),
-          hash(concat_ws(" ", slice(tk, i, lit(w)))).as("h")))).as("pw"))
+          hash(concat_ws(" ", slice(tkA, i, lit(w)))).as("h")))))
+    df.select(col(idCol).as("doc"), explode(winArr).as("pw"))
       .select(col("doc"), col("pw.pos").as("pos"), col("pw.h").as("h"))
   }
 

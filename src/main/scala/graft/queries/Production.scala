@@ -88,13 +88,18 @@ object Production {
     "q102p_span_dedup_prod" -> ((s, dir) =>
       graft.operators.Dedup.duplicatedSpans(t(s, dir, "documents"),
         "doc_id", "text", windowTokens = 8)),
+    // the output filters pin evaluation under the bench's count():
+    // without them Catalyst eliminates the unique-key left join and
+    // prices the rewrite as a bare scan (same trap ScaleProbe hit)
     "q103p_span_removal_prod" -> ((s, dir) =>
       graft.operators.Dedup.removeDuplicatedSpans(t(s, dir, "documents"),
-        "doc_id", "text", windowTokens = 8)),
+          "doc_id", "text", windowTokens = 8)
+        .filter(org.apache.spark.sql.functions.length(col("clean_text")) >= 0)),
     "q104p_span_decontam_prod" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.operators.Dedup.removeContaminatedSpans(docs, "doc_id", "text",
-        docs.filter(col("doc_id") % 50 === 0), "text", windowTokens = 8)
+          docs.filter(col("doc_id") % 50 === 0), "text", windowTokens = 8)
+        .filter(org.apache.spark.sql.functions.length(col("clean_text")) >= 0)
     })
   )
 

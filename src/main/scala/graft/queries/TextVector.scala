@@ -224,8 +224,13 @@ object TextVector {
     // hash); token-granular with a canonical-cover carve-out so
     // self-overlapping runs keep one full copy. GATE = md5 hashes.
     "q103_span_removal" -> ((s, dir) => {
+      // the always-true filter references the rewrite's OUTPUT so the
+      // bench's count() cannot let Catalyst eliminate the unique-key
+      // left join and price the query as a bare scan (verify writes
+      // the frame anyway; this pins the same honest cost under count)
       Dedup.removeDuplicatedSpansMd5(t(s, dir, "documents"), "doc_id", "text",
-        windowTokens = 8)
+          windowTokens = 8)
+        .filter(length(col("clean_text")) >= 0)
     }),
 
     // span-level benchmark decontamination: every 8-token window of
@@ -234,8 +239,10 @@ object TextVector {
     // docs are in the corpus) cuts covered tokens from every doc.
     "q104_span_decontam" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // same count()-proof output filter as q103
       Dedup.removeContaminatedSpansMd5(docs, "doc_id", "text",
-        docs.filter(col("doc_id") % 50 === 0), "text", windowTokens = 8)
+          docs.filter(col("doc_id") % 50 === 0), "text", windowTokens = 8)
+        .filter(length(col("clean_text")) >= 0)
     }),
 
     // per-label embedding centroids (vector aggregation).
