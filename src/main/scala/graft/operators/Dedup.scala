@@ -466,6 +466,66 @@ object Dedup {
     df.join(doomed, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware near-duplicate removal — the keep-BEST policy
+    * production dedup actually wants (RefinedWeb/FineWeb-style): same
+    * candidates → connected-components pipeline as
+    * [[dropNearDuplicates]], but each duplicate cluster keeps the row
+    * maximizing `score` (ties broken to the smallest id) instead of
+    * the smallest id unconditionally — so a boilerplate-free long
+    * copy survives and its truncated mirror-site clones drop. `score`
+    * is any deterministic Column over `df`'s rows (a length, a
+    * [[graft.functions.TextFunctions.qualityScore]], a model score
+    * column). Scale shape is unchanged from the min-id pipeline: the
+    * component frame holds only docs that appear in a candidate pair
+    * (duplicates, a small fraction of the corpus), the winner
+    * resolution is two hash-aggs + joins over that small frame keyed
+    * on the component label, and the corpus is touched exactly once
+    * more by the final anti-join (AQE broadcasts the doomed side when
+    * small). The two-stage winner (max score per label, then min id
+    * among score-ties) keeps the survivor deterministic without
+    * ordering floats inside a struct max.
+    */
+  def dropNearDuplicatesBest(df: DataFrame, idCol: String, textCol: String,
+                             score: Column, shingleN: Int = 3, k: Int = 32,
+                             bands: Int = 0, minEstimate: Double = 0.7): DataFrame = {
+    val pairs = minhashCandidates(df, idCol, textCol, shingleN, k, bands, minEstimate)
+    dropByComponentsBest(df, idCol, score, pairs)
+  }
+
+  /** Gate twin of [[dropNearDuplicatesBest]] over the SQL-replayable
+    * [[minhashCandidatesMd5]] kernel (the q35 pattern): the oracle
+    * replays the pair CTE, closes the components with the recursive
+    * reach CTE, labels each member with its component minimum, and
+    * keeps argmax-score/min-id per label. Production callers use
+    * [[dropNearDuplicatesBest]]'s xxhash64 kernel; DedupSpec asserts
+    * both keep the same survivors on a planted corpus at equal
+    * parameters.
+    */
+  def dropNearDuplicatesBestMd5(df: DataFrame, idCol: String, textCol: String,
+                                score: Column, shingleN: Int = 3, k: Int = 32,
+                                bands: Int = 8, minEstimate: Double = 0.5): DataFrame = {
+    val pairs = minhashCandidatesMd5(df, idCol, textCol, shingleN, k, bands, minEstimate)
+    dropByComponentsBest(df, idCol, score, pairs)
+  }
+
+  private def dropByComponentsBest(df: DataFrame, idCol: String,
+                                   score: Column, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs, "doc_a", "doc_b")
+    val members = df.select(col(idCol).as("__m"), score.as("__q"))
+      .join(comps, col("__m") === col("node"))
+      .select(col("__m"), col("__q"), col("label"))
+    val best = members.groupBy(col("label")).agg(max(col("__q")).as("__bq"))
+    // score equality here is exact even for float scores: __bq is one
+    // of the members' own __q values, compared against itself
+    val winners = members.join(best, Seq("label"))
+      .filter(col("__q") === col("__bq"))
+      .groupBy(col("label")).agg(min(col("__m")).as("__keep"))
+    val doomed = members.join(winners, Seq("label"))
+      .filter(col("__m") =!= col("__keep"))
+      .select(col("__m").as(idCol))
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** Shared posting-list intersection: per candidate pair, the
     * distinct-shingle intersection size plus both documents' shingle
     * counts — the one-shuffle expansion behind [[jaccardPairs]] and

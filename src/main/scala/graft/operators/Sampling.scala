@@ -31,6 +31,49 @@ object Sampling {
                           budget: Long): DataFrame =
     prefixSample(df, idCol, tokenCol, Nil, _ => budget)
 
+  /** Deterministic train/val/test split — the seeded hash partition
+    * every training pipeline needs before anything touches the data:
+    * each row lands in exactly one named slice, the assignment is a
+    * pure function of (id, seed) so it is stable across runs, engines,
+    * re-ingests and row order (no RNG state, unlike
+    * `randomSplit`), and membership can be recomputed row-locally by
+    * any later consumer. `weights` are relative (normalized over
+    * their sum). Map-side only — no shuffle, no sort: the 32-bit
+    * content bucket compares against precomputed INTEGER thresholds
+    * (`round(cum_i · 2³²)`), so slice boundaries never hinge on float
+    * rounding. Production hash is xxhash64 (codegen'd, one pass).
+    */
+  def hashSplit(df: DataFrame, idCol: String, weights: Seq[(String, Double)],
+                seed: Long = 42L, splitCol: String = "split"): DataFrame =
+    df.withColumn(splitCol, splitAssign(
+      pmod(xxhash64(concat(col(idCol).cast("string"), lit("#" + seed))),
+        lit(4294967296L)), weights))
+
+  /** Gate twin of [[hashSplit]]: the bucket is the first 8 hex chars
+    * of `md5(id || '#' || seed)` so a DuckDB oracle replays every
+    * assignment bit-for-bit (`('0x' || substr(md5(…),1,8))::BIGINT`
+    * against the same integer thresholds). Same thresholds, same
+    * CASE chain — only the hash family differs.
+    */
+  def hashSplitMd5(df: DataFrame, idCol: String, weights: Seq[(String, Double)],
+                   seed: Long = 42L, splitCol: String = "split"): DataFrame =
+    df.withColumn(splitCol, splitAssign(
+      conv(substring(md5(concat(col(idCol).cast("string"), lit("#" + seed))
+        .cast("binary")), 1, 8), 16, 10).cast("long"), weights))
+
+  private def splitAssign(bucket: Column, weights: Seq[(String, Double)]): Column = {
+    require(weights.nonEmpty, "hashSplit needs at least one slice")
+    require(weights.forall(_._2 > 0.0),
+      s"hashSplit weights must be positive, got $weights")
+    val total = weights.map(_._2).sum
+    val thresholds = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c / total * 4294967296.0))
+    weights.init.map(_._1).zip(thresholds.init)
+      .foldRight(lit(weights.last._1): Column) {
+        case ((name, thr), rest) => when(bucket < lit(thr), lit(name)).otherwise(rest)
+      }
+  }
+
   /** Stratified token-budget sampling: an independent budget per
     * stratum (language, source, …) — the mixture-weighting step of
     * corpus assembly. `budgets` maps stratum value → token budget;

@@ -100,7 +100,13 @@ object Production {
       graft.operators.Dedup.removeContaminatedSpans(docs, "doc_id", "text",
           docs.filter(col("doc_id") % 50 === 0), "text", windowTokens = 8)
         .filter(org.apache.spark.sql.functions.length(col("clean_text")) >= 0)
-    })
+    }),
+    "q105p_dedup_keepbest_prod" -> ((s, dir) =>
+      graft.operators.Dedup.dropNearDuplicatesBest(t(s, dir, "documents"),
+        "doc_id", "text", col("n_chars"), minEstimate = 0.5)),
+    "q106p_hash_split_prod" -> ((s, dir) =>
+      graft.operators.Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))))
   )
 
   /** empty on purpose: these kernels' hashes are not SQL-replayable —

@@ -271,6 +271,28 @@ object TextVector {
         .select(col("doc_id"), col("n_chars"))
     }),
 
+    // quality-aware dedup: same md5 candidate/component pipeline as
+    // q35, but each duplicate cluster keeps its argmax-n_chars member
+    // (ties -> smallest id) — the keep-best survivor policy
+    // (RefinedWeb/FineWeb). The oracle extends q35's recursive
+    // closure with a component-label CTE and replays the two-stage
+    // winner (max score per label, min id among ties).
+    "q105_dedup_keepbest" -> ((s, dir) => {
+      Dedup.dropNearDuplicatesBestMd5(t(s, dir, "documents"), "doc_id",
+        "text", col("n_chars"), minEstimate = 0.5)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
+    // deterministic seeded train/val/test split: md5 bucket vs
+    // integer thresholds (round(cum * 2^32)), replayed verbatim by
+    // the oracle's CASE chain. Production twin (q106p) runs the
+    // xxhash64 kernel.
+    "q106_hash_split" -> ((s, dir) => {
+      graft.operators.Sampling.hashSplitMd5(t(s, dir, "documents"),
+        "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select(col("doc_id"), col("split"))
+    }),
+
     // multimodal decode pipeline with a REAL codec: synthesize a
     // deterministic grayscale PNG per doc (pixels = md5-hex ASCII
     // codes cycled), then decode it back with javax.imageio — true
@@ -724,6 +746,43 @@ object TextVector {
          doomed AS (SELECT DISTINCT a FROM reach WHERE b < a)
          SELECT doc_id, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT a FROM doomed)""",
+    // q35's closure, then keep argmax-n_chars (ties -> min id) per
+    // component label instead of the unconditional minimum. Every
+    // component member appears as `a` in reach (edges is symmetric),
+    // so least(a, min(b)) is the component's canonical label.
+    "q105_dedup_keepbest" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         cand AS (SELECT doc_a, doc_b FROM pairs
+                  JOIN sigs sa ON sa.doc_id = doc_a
+                  JOIN sigs sb ON sb.doc_id = doc_b
+                  WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32.0 >= 0.5),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+                   UNION SELECT doc_b, doc_a FROM cand),
+         reach AS (SELECT a, b FROM edges
+                   UNION
+                   SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+         comp AS (SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a),
+         mem AS (SELECT c.node, c.label, d.n_chars AS q
+                 FROM comp c JOIN documents d ON d.doc_id = c.node),
+         bq AS (SELECT label, max(q) AS mq FROM mem GROUP BY label),
+         win AS (SELECT m.label, min(m.node) AS keep
+                 FROM mem m JOIN bq ON bq.label = m.label AND m.q = bq.mq
+                 GROUP BY m.label),
+         doomed AS (SELECT m.node FROM mem m JOIN win w ON w.label = m.label
+                    WHERE m.node <> w.keep)
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT node FROM doomed)""",
+    // thresholds are round(0.8 * 2^32) and round(0.9 * 2^32) — the
+    // same integers hashSplitMd5 computes; the bucket decode is the
+    // minhashPairsCtes '0x'-cast idiom
+    "q106_hash_split" ->
+      """SELECT doc_id,
+           CASE WHEN b < 3435973837 THEN 'train'
+                WHEN b < 3865470566 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8))::BIGINT AS b
+               FROM documents)""",
     "q24_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
          GROUP BY md5(array_to_string(string_split(text,' ')[1:10], ' '))""",

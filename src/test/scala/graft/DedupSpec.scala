@@ -187,6 +187,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dropNearDuplicatesBest keeps argmax-score (ties -> min id), gate == production") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val corpus = Seq(
+      // one near-dup cluster: 10 is the min id but the WORST copy;
+      // 11 and 12 tie on quality -> 11 (smaller id) must win
+      (10L, base + " today", 1.0),
+      (11L, base + " now", 5.0),
+      (12L, base + " soon", 5.0),
+      // an exact-dup pair where the higher-quality copy has the LARGER
+      // id — min-id dedup would keep 20, keep-best must keep 21
+      (20L, "spark catalyst optimizer plans shuffles and parquet pushdown end to end", 2.0),
+      (21L, "spark catalyst optimizer plans shuffles and parquet pushdown end to end", 7.0),
+      // a singleton survives untouched
+      (30L, "completely unrelated document about healpix maps and morton keys", 9.0)
+    ).toDF("doc_id", "text", "q")
+    val kept = Dedup.dropNearDuplicatesBest(corpus, "doc_id", "text",
+        col("q"), bands = 8, minEstimate = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 21L, 30L), s"survivors were $kept")
+    val keptGate = Dedup.dropNearDuplicatesBestMd5(corpus, "doc_id", "text",
+        col("q"), bands = 8, minEstimate = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptGate == kept, "gate and production kernels disagree")
+    // min-id policy on the same corpus keeps 10 and 20 instead — the
+    // two policies genuinely differ on this input
+    val minId = Dedup.dropNearDuplicates(corpus, "doc_id", "text",
+        bands = 8, minEstimate = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(10L, 20L, 30L))
+  }
+
   test("simhashPairs finds planted near-dups on testdata") {
     val d = Tables(spark, sf001, "documents")
     val truth = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.9)

@@ -61,4 +61,40 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(flagged.keySet == Set(1L, 3L))
   }
+
+  test("hashSplit is a deterministic partition with the right proportions") {
+    val df = (0 until 5000).map(i => Tuple1(i.toLong)).toDF("id")
+    val w = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val s1 = Sampling.hashSplit(df, "id", w)
+    // every row lands in exactly one named slice
+    assert(s1.count() == 5000)
+    val counts = s1.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // binomial 3-sigma bands at n=5000: train 4000±85, val/test 500±64
+    assert(math.abs(counts("train") - 4000L) < 90, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 500L) < 70, s"val=${counts("val")}")
+    assert(math.abs(counts("test") - 500L) < 70, s"test=${counts("test")}")
+    // stable across runs; weights normalize (8/1/1 == 0.8/0.1/0.1)
+    val s2 = Sampling.hashSplit(df, "id", Seq(("train", 8.0), ("val", 1.0), ("test", 1.0)))
+    assert(s1.except(s2).isEmpty && s2.except(s1).isEmpty)
+    // a different seed reassigns a nontrivial fraction
+    val s3 = Sampling.hashSplit(df, "id", w, seed = 7L)
+    assert(s1.except(s3).count() > 500)
+    // the md5 gate twin partitions with the same proportions contract
+    val g = Sampling.hashSplitMd5(df, "id", w).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g.keySet == Set("train", "val", "test"))
+    assert(math.abs(g("train") - 4000L) < 90, s"gate train=${g("train")}")
+  }
+
+  test("hashSplit refuses empty or non-positive weights") {
+    val df = Seq(Tuple1(1L)).toDF("id")
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "id", Nil).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "id", Seq(("a", 1.0), ("b", 0.0))).collect()
+    }
+  }
 }
