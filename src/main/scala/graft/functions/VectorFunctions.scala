@@ -105,4 +105,40 @@ object VectorFunctions {
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** Per-vector symmetric int8 quantization scale: `max|xᵢ| / 127`.
+    * Storing embeddings as (scale, int8[]) is the 4× storage/IO cut
+    * that makes a 100 TB embedding corpus scannable — the shape every
+    * large ANN deployment ships (FAISS SQ8). The whole codec is plain
+    * double arithmetic (no hash families), so ONE kernel serves both
+    * production and the DuckDB oracle — no md5 gate twin needed.
+    */
+  def int8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x.cast("double")))) / lit(127.0)
+
+  /** Quantize each component to `[-127, 127]`: `floor(x/scale + 0.5)`
+    * (explicit half-up — not a library `round`, whose half-even vs
+    * half-up choice differs across engines), clamped for safety at
+    * the ±127.5 edge. A zero vector (scale = 0) quantizes to zeros
+    * rather than dividing by zero.
+    */
+  def int8Quantize(v: Column, scale: Column): Column =
+    transform(v, x =>
+      when(scale === 0.0, lit(0.0)).otherwise(
+        greatest(lit(-127.0), least(lit(127.0),
+          floor(x.cast("double") / scale + lit(0.5))))).cast("int"))
+
+  /** Reconstruct `qᵢ · scale` (double components). Max per-component
+    * error is scale/2 by construction — spec-pinned. */
+  def int8Dequantize(q: Column, scale: Column): Column =
+    transform(q, c => c.cast("double") * scale)
+
+  /** Mean squared reconstruction error of the (scale, qvec) codec
+    * against the original vector — the quality metric a pipeline
+    * monitors when deciding int8 is safe for its recall target. */
+  def int8ReconMse(v: Column, q: Column, scale: Column): Column =
+    aggregate(zip_with(v, q, (x, c) => {
+      val d = x.cast("double") - c.cast("double") * scale
+      d * d
+    }), lit(0.0), (acc, d) => acc + d) / size(v)
 }

@@ -147,6 +147,21 @@ object TextVector {
         round(call_function("graft_l2norm", col("embedding")), 6).as("l2_norm"))
     }),
 
+    // symmetric per-vector int8 quantization (FAISS-SQ8 shape): the
+    // 4x storage cut for 100 TB embedding corpora. Pure double
+    // arithmetic end to end (explicit half-up floor(x/scale + 0.5),
+    // never a library round) — ONE kernel serves production and the
+    // oracle, no md5 gate twin.
+    "q107_embed_int8" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .withColumn("scale", VectorFunctions.int8Scale(col("embedding")))
+        .withColumn("qvec",
+          VectorFunctions.int8Quantize(col("embedding"), col("scale")))
+        .select(col("vec_id"), col("scale"), col("qvec"),
+          round(VectorFunctions.int8ReconMse(
+            col("embedding"), col("qvec"), col("scale")), 6).as("recon_mse"))
+    }),
+
     // brute-force cosine top-5 for query vectors vec_id < 10.
     "q29_ann_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -804,6 +819,24 @@ object TextVector {
          round(sqrt(list_sum(list_transform(embedding,
            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
          FROM embeddings""",
+    // replays the int8 codec verbatim: same scale = max|x|/127, same
+    // explicit half-up floor(x/scale + 0.5) with the +-127 clamp, the
+    // same d*d MSE summed left to right — every step is the identical
+    // double expression, so scale comes back bit-exact unrounded
+    "q107_embed_int8" ->
+      """WITH s AS (SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+           FROM embeddings),
+         q AS (SELECT vec_id, embedding, scale,
+             list_transform(embedding, x -> CAST(greatest(-127.0, least(127.0,
+               floor(CAST(x AS DOUBLE) / scale + 0.5))) AS INTEGER)) AS qvec
+           FROM s)
+         SELECT vec_id, scale, qvec,
+           round(list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> (CAST(embedding[i] AS DOUBLE) - CAST(qvec[i] AS DOUBLE) * scale)
+                * (CAST(embedding[i] AS DOUBLE) - CAST(qvec[i] AS DOUBLE) * scale)))
+             / len(embedding), 6) AS recon_mse
+         FROM q""",
     "q29_ann_brute" ->
       """WITH scored AS (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -356,4 +356,32 @@ class SimilaritySpec extends SparkSpec {
     assert(k1 == k2)
     idx.unpersist()
   }
+
+  test("int8 codec: per-component error bound, cosine preserved, zero vector safe") {
+    val e = Tables(spark, sf001, "embeddings")
+      .withColumn("scale", int8Scale(col("embedding")))
+      .withColumn("qvec", int8Quantize(col("embedding"), col("scale")))
+      .withColumn("deq", int8Dequantize(col("qvec"), col("scale")))
+    // every quantized component is a clamped int8 magnitude
+    val rng = e.select(explode(col("qvec")).as("c"))
+      .agg(min("c"), max("c")).first()
+    assert(rng.getInt(0) >= -127 && rng.getInt(1) <= 127)
+    // reconstruction error ≤ scale/2 per component (half-up rounding)
+    val worst = e.select(max(aggregate(
+      zip_with(col("embedding"), col("deq"), (x, d) =>
+        abs(x.cast("double") - d) / col("scale")),
+      lit(0.0), (a, v) => greatest(a, v)))).first().getDouble(0)
+    assert(worst <= 0.5 + 1e-9, s"max |err|/scale = $worst")
+    // the codec preserves direction: cosine(original, dequantized) ≈ 1
+    val minCos = e.select(min(cosine(col("embedding"), col("deq"))))
+      .first().getDouble(0)
+    assert(minCos > 0.999, s"min cosine after int8 roundtrip = $minCos")
+    // zero vector: scale 0, all-zero codes, no division by zero
+    val z = Seq(Tuple1(Array(0.0f, 0.0f, 0.0f))).toDF("embedding")
+      .withColumn("scale", int8Scale(col("embedding")))
+      .withColumn("qvec", int8Quantize(col("embedding"), col("scale")))
+      .first()
+    assert(z.getDouble(1) == 0.0)
+    assert(z.getSeq[Int](2) == Seq(0, 0, 0))
+  }
 }
