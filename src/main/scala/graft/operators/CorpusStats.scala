@@ -335,6 +335,59 @@ object CorpusStats {
         round(col("__s9") / lit(1e9) / col("n_bigrams"), 6).as("avg_logp"))
   }
 
+  /** Cross-corpus bigram-LM scoring — the CCNet-shaped quality filter
+    * (Wenzek et al.: score crawl text against a CLEAN reference LM,
+    * keep the head of the distribution): the LM (unigram/bigram
+    * counts + vocab, add-one smoothing) is estimated from `ref`, and
+    * every `target` document scores its mean bigram log-probability
+    * under THAT model. Differs from [[bigramLmScore]] (which scores a
+    * corpus against itself) in exactly the way the filter needs:
+    * n-grams unseen in the reference keep their smoothed mass instead
+    * of dropping — bigram LEFT-join (count 0 → P = 1/(cu+V)), unigram
+    * LEFT-join (unknown first word → P = 1/V) — so out-of-domain text
+    * scores LOW rather than vanishing from the result.
+    *
+    * Scale shape matches [[bigramLmScore]]: per-(doc, gram) counts
+    * truncate the explode lineage before any join; the bigram table is
+    * reference-corpus-sized and must NOT broadcast (shuffle join,
+    * AQE-skew-splittable on hot Zipf grams); the unigram/vocab side is
+    * vocab-sized and broadcasts; the per-document mean sums
+    * nano-fixed-point longs (exact, order-independent — count ×
+    * round(logp·1e9) equals the oracle's per-occurrence rounding by
+    * distributivity). Kept separate from the self-scoring kernel: the
+    * self form derives its bigram table from the already-built
+    * (doc, gram) counts — one corpus scan fewer than this two-corpus
+    * form needs.
+    */
+  def bigramLmScoreAgainst(ref: DataFrame, target: DataFrame,
+                           idCol: String, textCol: String): DataFrame = {
+    val refToks = ref.select(TextFunctions.tokens(col(textCol)).as("__w"))
+    val uni = refToks.select(explode(col("__w")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__cu")).persist()
+    val vocab = uni.count().toDouble
+    val bgc = refToks
+      .select(explode(TextFunctions.ngrams(concat_ws(" ", col("__w")), 2)).as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__cb"))
+    val dgc = target
+      .select(col(idCol),
+        explode(TextFunctions.ngrams(
+          concat_ws(" ", TextFunctions.tokens(col(textCol))), 2)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
+    val scored = dgc
+      .join(bgc, Seq("__g"), "left")
+      .withColumn("__cb", coalesce(col("__cb"), lit(0L)))
+      .withColumn("__w1", split(col("__g"), " ").getItem(0))
+      .join(broadcast(uni.withColumnRenamed("__t", "__w1")), Seq("__w1"), "left")
+      .withColumn("__cu", coalesce(col("__cu"), lit(0L)))
+      .withColumn("__logp",
+        log((col("__cb") + lit(1.0)) / (col("__cu") + lit(vocab))))
+    scored.groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_bigrams"),
+        sum(col("__n") * round(col("__logp") * lit(1e9)).cast("long")).as("__s9"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__s9") / lit(1e9) / col("n_bigrams"), 6).as("avg_logp"))
+  }
+
   /** Count-min sketch over corpus n-grams — the constant-memory
     * frequency structure for when the distinct-gram space doesn't fit
     * a hash aggregation (mergeable across partitions/days; ε·total

@@ -199,6 +199,16 @@ object Corpus {
       CorpusStats.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // CCNet-shaped CROSS-corpus LM scoring: train the bigram LM on
+    // the src0 slice only, score every document against it — n-grams
+    // unseen in the reference keep their smoothed mass (LEFT joins)
+    // so out-of-domain text scores low instead of dropping.
+    "q108_lm_score_ref" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusStats.bigramLmScoreAgainst(
+        d.filter(col("source") === "src0"), d, "doc_id", "text")
+    }),
+
     // end-to-end corpus assembly: quality gate → per-source token
     // budgets (mixture weighting) → global sequence packing. Each
     // stage is itself oracled (q74/q72/q88); this gate proves the
@@ -430,6 +440,28 @@ object Corpus {
          scored AS (SELECT bg.doc_id, bg.pos,
              ln((bgc.cb + 1.0) / (uni.cu + vocab.v)) AS logp
            FROM bg JOIN bgc USING (g) JOIN uni ON uni.t = bg.w1, vocab)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(sum(CAST(round(logp * 1e9) AS BIGINT)) / 1e9 / count(*), 6) AS avg_logp
+         FROM scored GROUP BY doc_id""",
+    // q97's scoring with the LM tables built from the src0 slice and
+    // LEFT joins carrying add-one smoothing for reference-unseen
+    // n-grams: coalesce(cb,0) -> P = 1/(cu+V), coalesce(cu,0) -> 1/V
+    "q108_lm_score_ref" ->
+      """WITH rt AS (SELECT string_split(text, ' ') AS w FROM documents
+                     WHERE source = 'src0'),
+         uni AS (SELECT t, count(*) AS cu
+           FROM (SELECT unnest(w) AS t FROM rt) GROUP BY t),
+         vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+         rbg AS (SELECT w[i] || ' ' || w[i+1] AS g
+           FROM rt, UNNEST(generate_series(1, len(w)-1)) AS s(i)),
+         bgc AS (SELECT g, count(*) AS cb FROM rbg GROUP BY g),
+         tt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         bg AS (SELECT doc_id, i AS pos, w[i] AS w1, w[i] || ' ' || w[i+1] AS g
+           FROM tt, UNNEST(generate_series(1, len(w)-1)) AS s(i)),
+         scored AS (SELECT bg.doc_id, bg.pos,
+             ln((coalesce(bgc.cb, 0) + 1.0) / (coalesce(uni.cu, 0) + vocab.v)) AS logp
+           FROM bg LEFT JOIN bgc USING (g)
+                   LEFT JOIN uni ON uni.t = bg.w1, vocab)
          SELECT doc_id, count(*) AS n_bigrams,
            round(sum(CAST(round(logp * 1e9) AS BIGINT)) / 1e9 / count(*), 6) AS avg_logp
          FROM scored GROUP BY doc_id""",

@@ -449,6 +449,30 @@ class CorpusSpec extends SparkSpec {
     assert(got.values.forall(v => !v.isNaN && !v.isInfinite))
   }
 
+  test("bigramLmScoreAgainst: reference LM ranks in-domain above out-of-domain") {
+    val ref = (0 until 30).map(i =>
+      (1000L + i, "the cat sat on the mat and the dog sat on the rug"))
+      .toDF("doc_id", "text")
+    val target = Seq(
+      (1L, "the cat sat on the mat"),            // pure in-domain
+      (2L, "qq ww ee rr tt yy uu ii"),           // fully reference-unseen
+      (3L, "the cat zz qq on the mat")           // mixed
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.bigramLmScoreAgainst(ref, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // unseen n-grams keep smoothed mass: the out-of-domain doc is
+    // PRESENT with a low finite score, not dropped
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) > got(3L) && got(3L) > got(2L),
+      s"expected in-domain > mixed > out-of-domain, got $got")
+    assert(got.values.forall(v => !v.isNaN && !v.isInfinite))
+    // self-scoring parity: ref == target reduces the LEFT joins to the
+    // inner form, so the cross kernel must equal bigramLmScore exactly
+    val self = CorpusStats.bigramLmScore(ref, "doc_id", "text")
+    val cross = CorpusStats.bigramLmScoreAgainst(ref, ref, "doc_id", "text")
+    assert(self.except(cross).isEmpty && cross.except(self).isEmpty)
+  }
+
   test("containmentPairs flags the embedded short doc that Jaccard misses") {
     import graft.operators.Dedup
     val long = (0 until 60).map(i => s"w$i").mkString(" ")
