@@ -91,6 +91,20 @@ object ScaleProbe {
       "doc_id", "n", 512L).count())
     time("minhash_dedup", base, scaled)(d => Dedup.dropNearDuplicates(d, "doc_id", "text",
       minEstimate = 0.5).count())
+    // keep-best survivor policy: identical candidate/component
+    // machinery plus two label-keyed hash-aggs over the pairs-sized
+    // frame — must track minhash_dedup's exponent
+    time("keepbest_dedup", base, scaled)(d => Dedup.dropNearDuplicatesBest(d,
+      "doc_id", "text", col("n_chars"), minEstimate = 0.5).count())
+    // map-side CASE chain; grouped on the OUTPUT so the split column
+    // actually evaluates (a bare count() would prune it)
+    time("hash_split", base, scaled)(d => Sampling.hashSplit(d, "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .groupBy("split").count().collect().map(_.getLong(1)).sum)
+    // fixed clean reference (the base corpus's src0 slice) against a
+    // growing target — the realistic CCNet filter shape
+    time("lm_score_ref", base, scaled)(d => CorpusStats.bigramLmScoreAgainst(
+      base.filter(col("source") === "src0"), d, "doc_id", "text").count())
     // substring-level span dedup (production xxhash64 kernel): the
     // rotated N× corpus plants real cross-copy window duplicates, so
     // both the hash-count agg and the island merge see growing load
@@ -193,6 +207,15 @@ object ScaleProbe {
         threshold = 0.3).count())
     time("cosine_exact", ebase, escaled)(d =>
       Similarity.cosineNearDupPairsExact(d, "vec_id", "embedding", threshold = 0.4).count())
+    // int8 codec: map-only, expected flat per-row; the fold over qvec
+    // forces every component to evaluate (a first-element projection
+    // would let Catalyst skip most of the quantize work)
+    time("int8_codec", ebase, escaled)(d => d
+      .withColumn("scale", graft.functions.VectorFunctions.int8Scale(col("embedding")))
+      .withColumn("qvec", graft.functions.VectorFunctions.int8Quantize(
+        col("embedding"), col("scale")))
+      .agg(sum(aggregate(col("qvec"), lit(0L), (a, x) => a + x)))
+      .collect()(0).getLong(0))
 
     // round-8 quantized md5-Lloyd gate kernels (q91/q33/q75): Lloyd is
     // one shuffle per iteration for any kernel, so the gates must

@@ -54,6 +54,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"multimodal decode shuffles:\n$p")
   }
 
+  test("hash split and int8 codec are map-only (no shuffle)") {
+    // both operators' entire value at 100 TB is that they touch each
+    // row exactly where it was read; an Exchange would mean the
+    // codegen'd hash/CASE (or the quantize HOFs) moved data to do
+    // row-local arithmetic
+    val split = plan("q106_hash_split")
+    assert(!split.contains("Exchange"), s"hash split shuffles:\n$split")
+    val q107 = plan("q107_embed_int8")
+    assert(!q107.contains("Exchange"), s"int8 codec shuffles:\n$q107")
+  }
+
   test("corpus assembly pipeline never funnels through a single partition") {
     val p = plan("q95_corpus_pipeline")
     assert(p.contains("Window"), s"expected bucketed cumsum windows:\n$p")
