@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, Sampling}
+import graft.operators.{Bpe, CorpusStats, Sampling}
 
 /** Corpus-statistics / retrieval / packing queries (round-5 batch of
   * the training-data pipeline surface): n-gram frequency, PII
@@ -199,6 +199,24 @@ object Corpus {
       CorpusStats.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // distributed BPE tokenizer training (arXiv:1508.07909): one
+    // word-count shuffle, then greedy pair merges folded over the
+    // driver-bounded vocabulary table. Exact integer/string
+    // determinism — the oracle unrolls every round as (pair agg →
+    // argmax → one recursive greedy-fold CTE); no gate twin needed.
+    "q109_bpe_train" -> ((s, dir) => {
+      Bpe.train(t(s, dir, "documents"), "text", numMerges = BpeRounds)
+    }),
+
+    // the learned merges applied back to the corpus, map-side (nested
+    // aggregate HOFs, pairs as literals): per-doc symbol count and an
+    // md5 over the full symbol stream. Oracle re-derives the merged
+    // word dictionary (same chain as q109) and joins tokens to it.
+    "q110_bpe_encode" -> ((s, dir) => {
+      Bpe.trainEncode(t(s, dir, "documents"), "doc_id", "text",
+        numMerges = BpeRounds)
+    }),
+
     // CCNet-shaped CROSS-corpus LM scoring: train the bigram LM on
     // the src0 slice only, score every document against it — n-grams
     // unseen in the reference keep their smoothed mass (LEFT joins)
@@ -226,7 +244,65 @@ object Corpus {
     })
   )
 
+  /** q109/q110 unroll depth — also the gate queries' numMerges. */
+  val BpeRounds = 8
+
+  /** One unrolled BPE round r: pair counts over w{r-1} → deterministic
+    * argmax b$r (count desc, then (a, b) asc) → recursive CTE m$r
+    * folding each word's symbol list left to right with the SAME
+    * greedy rule as `Bpe.applyMerge` (replace the accumulator's last
+    * element when (last, next) equals the picked pair; a merged `ab`
+    * can never chain because ab ≠ a) → w$r, the merged vocabulary.
+    * Recursion depth = max word length; rows = vocab size.
+    */
+  private def bpeRoundCtes(r: Int): String = {
+    val prev = s"w${r - 1}"
+    s"""p$r AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+           FROM $prev, UNNEST(generate_series(1, len(syms)-1)) AS t(i) GROUP BY 1, 2),
+         b$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         m$r AS (SELECT word, cnt, syms, 2 AS i, [syms[1]] AS acc FROM $prev
+           UNION ALL
+           SELECT word, cnt, syms, i + 1,
+             CASE WHEN acc[-1] = (SELECT a FROM b$r) AND syms[i] = (SELECT b FROM b$r)
+                  THEN acc[1:len(acc)-1] || [acc[-1] || syms[i]]
+                  ELSE acc || [syms[i]] END
+           FROM m$r WHERE i <= len(syms)),
+         w$r AS (SELECT word, cnt, acc AS syms FROM m$r WHERE i = len(syms) + 1)"""
+  }
+
+  /** Shared q109/q110 chain: capped word counts → char symbols →
+    * [[BpeRounds]] unrolled rounds. The 10000 cap mirrors
+    * `Bpe.trainMerges`' default `maxVocab` (ties → smallest word). */
+  private def bpeChainSql: String = {
+    val w0 = """w0 AS (SELECT word, cnt, string_split(word, '') AS syms FROM (
+           SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+           GROUP BY t ORDER BY cnt DESC, t LIMIT 10000))"""
+    (Seq(w0) ++ (1 to BpeRounds).map(bpeRoundCtes)).mkString(",\n         ")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q109_bpe_train" ->
+      s"""WITH RECURSIVE $bpeChainSql
+         SELECT * FROM (
+           ${(1 to BpeRounds).map(r =>
+             s"SELECT $r AS round, a, b, c AS pair_count FROM b$r")
+             .mkString("\n           UNION ALL ")})""",
+    // same chain; the FINAL vocabulary w$BpeRounds becomes the
+    // word → symbols dictionary, tokens join it (the cap covers the
+    // whole corpus vocabulary at gate parameters, so the join is
+    // total), and the per-doc rollup mirrors the encode kernel's
+    // '|'-within-token / '||'-between-token fingerprint exactly
+    "q110_bpe_encode" ->
+      s"""WITH RECURSIVE $bpeChainSql,
+         toks AS (SELECT doc_id, t.i AS pos, tl[i] AS word
+                  FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+                       UNNEST(generate_series(1, len(tl))) AS t(i)),
+         enc AS (SELECT doc_id, pos, d.syms
+                 FROM toks JOIN w$BpeRounds d USING (word))
+         SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_symbols,
+           md5(string_agg(array_to_string(syms, '|'), '||' ORDER BY pos)) AS sym_fp
+         FROM enc GROUP BY doc_id""",
     // replays the quantized Lloyd gate exactly: integer-rounded
     // vectors, centroids = 8 smallest md5(vec_id), three unrolled
     // assign/update rounds (assign = row_number argmin with
