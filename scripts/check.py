@@ -6,12 +6,51 @@ compares row count / schema / values (exact for ints+strings, exact for
 floats too since both sides round order-dependent aggregates).
 
 Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+Every oracle runs under a hard per-query time budget (ORACLE_BUDGET_S,
+default 30 s at sf0.01). A query that exceeds it is interrupted and
+FAILED LOUDLY by name. This exists because an oracle that is merely
+slow locally can be unrunnable under the round driver (round 9:
+the unhinted q109 BPE oracle hung DuckDB >20 min and zeroed the whole
+round's CORRECTNESS artifact). An oracle that trips this guard must be
+rewritten, not waited on.
 """
 import json
+import os
 import sys
+import threading
+import time
 
 import duckdb
 import pandas as pd
+
+ORACLE_BUDGET_S = float(os.environ.get("ORACLE_BUDGET_S", "30"))
+
+
+def run_with_budget(con, sql):
+    """Run `sql`; if it exceeds ORACLE_BUDGET_S, interrupt the
+    connection and raise TimeoutError. Returns the result DataFrame."""
+    result = {}
+
+    def work():
+        try:
+            result["df"] = con.sql(sql).df()
+        except Exception as e:  # includes InterruptException
+            result["err"] = e
+
+    t = threading.Thread(target=work, daemon=True)
+    start = time.monotonic()
+    t.start()
+    t.join(ORACLE_BUDGET_S)
+    if t.is_alive():
+        con.interrupt()
+        t.join(10)
+        raise TimeoutError(
+            f"oracle exceeded {ORACLE_BUDGET_S:.0f}s budget "
+            f"({time.monotonic() - start:.1f}s elapsed) — rewrite it")
+    if "err" in result:
+        raise result["err"]
+    return result["df"]
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -42,7 +81,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures += 1
             continue
         try:
-            exp = con.sql(sql).df()
+            t0 = time.monotonic()
+            exp = run_with_budget(con, sql)
+            oracle_s = time.monotonic() - t0
+        except TimeoutError as e:
+            print(f"FAIL {name}: ORACLE BUDGET EXCEEDED: {e}")
+            failures += 1
+            continue
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             failures += 1
@@ -75,7 +120,8 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: value mismatch: {'; '.join(bad)}")
             failures += 1
         else:
-            print(f"PASS {name} ({len(g)} rows)")
+            slow = " [SLOW ORACLE]" if oracle_s > ORACLE_BUDGET_S / 3 else ""
+            print(f"PASS {name} ({len(g)} rows, oracle {oracle_s:.2f}s){slow}")
     print(f"\n{len(oracle) - failures}/{len(oracle)} queries pass")
     return 1 if failures else 0
 

@@ -254,27 +254,37 @@ object Corpus {
     * element when (last, next) equals the picked pair; a merged `ab`
     * can never chain because ab ≠ a) → w$r, the merged vocabulary.
     * Recursion depth = max word length; rows = vocab size.
+    *
+    * Every non-recursive CTE is `AS MATERIALIZED`: DuckDB 1.0 inlines
+    * plain CTEs at each reference, and this chain references each
+    * round's output multiple times — inlined, evaluation re-expands
+    * combinatorially (the unhinted q109 oracle burned >20 CPU-minutes
+    * at sf0.01; materialized it returns in well under a second). The
+    * hint changes no semantics. Belt-and-braces, the recursive arm
+    * reads the picked pair via a cross join of the one-row b$r rather
+    * than two scalar subqueries, so the pick is evaluated once per
+    * round no matter how the optimizer treats subquery inlining.
     */
   private def bpeRoundCtes(r: Int): String = {
     val prev = s"w${r - 1}"
-    s"""p$r AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+    s"""p$r AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS c
            FROM $prev, UNNEST(generate_series(1, len(syms)-1)) AS t(i) GROUP BY 1, 2),
-         b$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         b$r AS MATERIALIZED (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
          m$r AS (SELECT word, cnt, syms, 2 AS i, [syms[1]] AS acc FROM $prev
            UNION ALL
            SELECT word, cnt, syms, i + 1,
-             CASE WHEN acc[-1] = (SELECT a FROM b$r) AND syms[i] = (SELECT b FROM b$r)
+             CASE WHEN acc[-1] = pk.a AND syms[i] = pk.b
                   THEN acc[1:len(acc)-1] || [acc[-1] || syms[i]]
                   ELSE acc || [syms[i]] END
-           FROM m$r WHERE i <= len(syms)),
-         w$r AS (SELECT word, cnt, acc AS syms FROM m$r WHERE i = len(syms) + 1)"""
+           FROM m$r CROSS JOIN b$r AS pk WHERE i <= len(syms)),
+         w$r AS MATERIALIZED (SELECT word, cnt, acc AS syms FROM m$r WHERE i = len(syms) + 1)"""
   }
 
   /** Shared q109/q110 chain: capped word counts → char symbols →
     * [[BpeRounds]] unrolled rounds. The 10000 cap mirrors
     * `Bpe.trainMerges`' default `maxVocab` (ties → smallest word). */
   private def bpeChainSql: String = {
-    val w0 = """w0 AS (SELECT word, cnt, string_split(word, '') AS syms FROM (
+    val w0 = """w0 AS MATERIALIZED (SELECT word, cnt, string_split(word, '') AS syms FROM (
            SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt
            FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
            GROUP BY t ORDER BY cnt DESC, t LIMIT 10000))"""
