@@ -51,8 +51,8 @@ object Bpe {
 
   /** The greedy fold shared by trainer and (conceptually) the encode
     * kernel and the SQL oracle — see the module doc. */
-  private[operators] def applyMerge(syms: Vector[String],
-                                    a: String, b: String): Vector[String] =
+  private[graft] def applyMerge(syms: Vector[String],
+                                a: String, b: String): Vector[String] =
     syms.foldLeft(Vector.empty[String]) { (acc, s) =>
       if (acc.nonEmpty && acc.last == a && s == b)
         acc.init :+ (a + b)

@@ -361,10 +361,20 @@ object CorpusStats {
     */
   def bigramLmScoreAgainst(ref: DataFrame, target: DataFrame,
                            idCol: String, textCol: String): DataFrame = {
+    val spark = ref.sparkSession
+    import spark.implicits._
     val refToks = ref.select(TextFunctions.tokens(col(textCol)).as("__w"))
-    val uni = refToks.select(explode(col("__w")).as("__t"))
-      .groupBy(col("__t")).agg(count(lit(1)).as("__cu")).persist()
-    val vocab = uni.count().toDouble
+    // The unigram table is consumed twice (vocab count + probability
+    // join) and the join side is broadcast — i.e. we are already
+    // committed to it passing through the driver. Collect it ONCE
+    // instead of persist(): same data movement as the broadcast
+    // build, no cached table leaked for the session lifetime, and
+    // the local relation broadcasts without a distributed recompute.
+    val uniRows = refToks.select(explode(col("__w")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__cu"))
+      .as[(String, Long)].collect()
+    val vocab = uniRows.length.toDouble
+    val uniDf = uniRows.toSeq.toDF("__w1", "__cu")
     val bgc = refToks
       .select(explode(TextFunctions.ngrams(concat_ws(" ", col("__w")), 2)).as("__g"))
       .groupBy(col("__g")).agg(count(lit(1)).as("__cb"))
@@ -377,7 +387,7 @@ object CorpusStats {
       .join(bgc, Seq("__g"), "left")
       .withColumn("__cb", coalesce(col("__cb"), lit(0L)))
       .withColumn("__w1", split(col("__g"), " ").getItem(0))
-      .join(broadcast(uni.withColumnRenamed("__t", "__w1")), Seq("__w1"), "left")
+      .join(broadcast(uniDf), Seq("__w1"), "left")
       .withColumn("__cu", coalesce(col("__cu"), lit(0L)))
       .withColumn("__logp",
         log((col("__cb") + lit(1.0)) / (col("__cu") + lit(vocab))))

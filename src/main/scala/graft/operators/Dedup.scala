@@ -516,9 +516,15 @@ object Dedup {
       .select(col("__m"), col("__q"), col("label"))
     val best = members.groupBy(col("label")).agg(max(col("__q")).as("__bq"))
     // score equality here is exact even for float scores: __bq is one
-    // of the members' own __q values, compared against itself
+    // of the members' own __q values, compared against itself. The
+    // null-safe <=> keeps the cluster resolvable when EVERY member's
+    // score is NULL (max → NULL): all members tie and min-id picks
+    // the winner, instead of no row matching and the whole cluster
+    // silently surviving. A member with a NULL score in a mixed
+    // cluster still never beats a scored one (NULL <=> non-null is
+    // false).
     val winners = members.join(best, Seq("label"))
-      .filter(col("__q") === col("__bq"))
+      .filter(col("__q") <=> col("__bq"))
       .groupBy(col("label")).agg(min(col("__m")).as("__keep"))
     val doomed = members.join(winners, Seq("label"))
       .filter(col("__m") =!= col("__keep"))

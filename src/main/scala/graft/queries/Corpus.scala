@@ -291,6 +291,33 @@ object Corpus {
     (Seq(w0) ++ (1 to BpeRounds).map(bpeRoundCtes)).mkString(",\n         ")
   }
 
+  /** q110's ENCODE dictionary: the learned pairs (b1..bR from the
+    * capped TRAINING chain) folded over the FULL distinct-word table
+    * — `Bpe.encode` applies the merges to every token, including
+    * words the maxVocab cap excluded from training, so an oracle that
+    * joins tokens to the capped `w$R` would silently drop (or worse,
+    * silently match only while the fixture vocabulary fits the cap)
+    * any out-of-cap word. This chain makes the join total by
+    * construction, independent of corpus-vs-cap size. */
+  private def bpeEncodeCtes(r: Int): String = {
+    val prev = s"e${r - 1}"
+    s"""me$r AS (SELECT word, syms, 2 AS i, [syms[1]] AS acc FROM $prev
+           UNION ALL
+           SELECT word, syms, i + 1,
+             CASE WHEN acc[-1] = pk.a AND syms[i] = pk.b
+                  THEN acc[1:len(acc)-1] || [acc[-1] || syms[i]]
+                  ELSE acc || [syms[i]] END
+           FROM me$r CROSS JOIN b$r AS pk WHERE i <= len(syms)),
+         e$r AS MATERIALIZED (SELECT word, acc AS syms FROM me$r WHERE i = len(syms) + 1)"""
+  }
+
+  private def bpeEncodeChainSql: String = {
+    val e0 = """e0 AS MATERIALIZED (SELECT word, string_split(word, '') AS syms FROM (
+           SELECT DISTINCT t AS word
+           FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)))"""
+    (Seq(e0) ++ (1 to BpeRounds).map(bpeEncodeCtes)).mkString(",\n         ")
+  }
+
   val oracle: Map[String, String] = Map(
     "q109_bpe_train" ->
       s"""WITH RECURSIVE $bpeChainSql
@@ -298,18 +325,20 @@ object Corpus {
            ${(1 to BpeRounds).map(r =>
              s"SELECT $r AS round, a, b, c AS pair_count FROM b$r")
              .mkString("\n           UNION ALL ")})""",
-    // same chain; the FINAL vocabulary w$BpeRounds becomes the
-    // word → symbols dictionary, tokens join it (the cap covers the
-    // whole corpus vocabulary at gate parameters, so the join is
-    // total), and the per-doc rollup mirrors the encode kernel's
-    // '|'-within-token / '||'-between-token fingerprint exactly
+    // same training chain for the pairs, then a second fold chain
+    // (e0..e$BpeRounds) applies them to EVERY distinct corpus word —
+    // matching Bpe.encode, which merges out-of-cap words too — so the
+    // token join is total by construction; the per-doc rollup mirrors
+    // the encode kernel's '|'-within-token / '||'-between-token
+    // fingerprint exactly
     "q110_bpe_encode" ->
       s"""WITH RECURSIVE $bpeChainSql,
+         $bpeEncodeChainSql,
          toks AS (SELECT doc_id, t.i AS pos, tl[i] AS word
                   FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
                        UNNEST(generate_series(1, len(tl))) AS t(i)),
          enc AS (SELECT doc_id, pos, d.syms
-                 FROM toks JOIN w$BpeRounds d USING (word))
+                 FROM toks JOIN e$BpeRounds d USING (word))
          SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_symbols,
            md5(string_agg(array_to_string(syms, '|'), '||' ORDER BY pos)) AS sym_fp
          FROM enc GROUP BY doc_id""",

@@ -822,14 +822,18 @@ object TextVector {
     // replays the int8 codec verbatim: same scale = max|x|/127, same
     // explicit half-up floor(x/scale + 0.5) with the +-127 clamp, the
     // same d*d MSE summed left to right — every step is the identical
-    // double expression, so scale comes back bit-exact unrounded
+    // double expression, so scale comes back bit-exact unrounded.
+    // The CASE mirrors the kernel's when(scale === 0) zero guard: an
+    // all-zero embedding quantizes to zeros on both sides instead of
+    // the oracle dividing by zero
     "q107_embed_int8" ->
       """WITH s AS (SELECT vec_id, embedding,
              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
            FROM embeddings),
          q AS (SELECT vec_id, embedding, scale,
-             list_transform(embedding, x -> CAST(greatest(-127.0, least(127.0,
-               floor(CAST(x AS DOUBLE) / scale + 0.5))) AS INTEGER)) AS qvec
+             list_transform(embedding, x -> CAST(CASE WHEN scale = 0 THEN 0.0
+               ELSE greatest(-127.0, least(127.0,
+                 floor(CAST(x AS DOUBLE) / scale + 0.5))) END AS INTEGER)) AS qvec
            FROM s)
          SELECT vec_id, scale, qvec,
            round(list_sum(list_transform(range(1, len(embedding) + 1),

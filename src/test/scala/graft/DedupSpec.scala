@@ -218,6 +218,26 @@ class DedupSpec extends SparkSpec {
     assert(minId == Set(10L, 20L, 30L))
   }
 
+  test("dropNearDuplicatesBest resolves an all-NULL-score cluster to min id") {
+    // max(score) over an all-NULL cluster is NULL; winner matching
+    // must be null-safe or the cluster gets no winner and every
+    // duplicate silently survives. Expected: NULL-scored cluster
+    // falls back to min-id; a mixed cluster still prefers the scored
+    // member over the NULL one.
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val corpus = Seq(
+      (10L, base + " today", None),          // all-NULL cluster
+      (11L, base + " now", None),
+      (20L, "spark catalyst optimizer plans shuffles and parquet pushdown end to end", None),
+      (21L, "spark catalyst optimizer plans shuffles and parquet pushdown end to end", Some(3.0)),
+      (30L, "completely unrelated document about healpix maps and morton keys", None)
+    ).toDF("doc_id", "text", "q")
+    val kept = Dedup.dropNearDuplicatesBest(corpus, "doc_id", "text",
+        col("q"), bands = 8, minEstimate = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 21L, 30L), s"survivors were $kept")
+  }
+
   test("simhashPairs finds planted near-dups on testdata") {
     val d = Tables(spark, sf001, "documents")
     val truth = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.9)
