@@ -144,6 +144,90 @@ object Clustering {
     out
   }
 
+  /** DuckDB-replayable gate twin of [[Similarity.semanticDedupLarge]]
+    * — the TWO-LEVEL quantizer's oracled driver gate. Mirrors
+    * [[TwoLevel.fit]]'s structure exactly (kSuper ≈ √k super
+    * centroids from a flat Lloyd, per-super child init, `iters`
+    * distributed (super, child, pos) partial-sum Lloyd steps with
+    * empty children keeping their centroid, assignment =
+    * super·kChild + child) with the same replayability substitutions
+    * as every other gate twin: quantized integer inputs, md5(id)
+    * ordering for both the super init and the per-super child init,
+    * HOF-fold argmin with ties to the lowest cell. The dominance
+    * filter is the exact float cosine over the ORIGINAL embeddings
+    * (q29/q33's hash-matched formula). Production callers keep
+    * [[Similarity.semanticDedupLarge]]; TwoLevelSpec asserts both
+    * keep the same survivors on planted near-dup cliques.
+    */
+  def semanticDedupLargeMd5(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, k: Int, superIters: Int = 2,
+                            iters: Int = 2, scale: Int = 1024): DataFrame = {
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    val kSuper = math.ceil(math.sqrt(k.toDouble)).toInt
+    val kChild = math.ceil(k.toDouble / kSuper).toInt
+    val (q, superCents) = lloydMd5(df, idCol, vecCol, kSuper, superIters, scale)
+    // super assignment is computed ONCE and reused by child init,
+    // every Lloyd step, and the final assignment — so every super
+    // present anywhere below has at least one row, hence at least one
+    // child (the same single-assignment-frame property TwoLevel.fit
+    // gets from reusing sup.cells)
+    val withSuper = q
+      .withColumn("__super", cellOfQuantized(superCents)(col("__qv")))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__super")).orderBy(md5(col("__id").cast("string")))
+    var children = withSuper.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= kChild)
+      .select(col("__super").as("super"), (col("__rk") - 1).as("child"),
+        col("__qv").as("ctr"))
+      .localCheckpoint(true)
+    def childMats = children.groupBy(col("super"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("child"), col("ctr")))),
+        x => x.getField("ctr")).as("mat"))
+    def assigned = withSuper
+      .join(broadcast(childMats), col("__super") === col("super"))
+      .withColumn("__child", cellOfMat(col("__qv"), col("mat")))
+    for (_ <- 0 until iters) {
+      val sums = assigned
+        .select(col("super"), col("__child").as("child"),
+          posexplode(col("__qv")).as(Seq("pos", "v")))
+        .groupBy(col("super"), col("child"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      val newCtrs = sums.groupBy(col("super"), col("child"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+          x => x.getField("s") / x.getField("n")).as("ctr"))
+      val prev = children
+      children = children.as("o")
+        .join(newCtrs.as("nw"), Seq("super", "child"), "left")
+        .select(col("super"), col("child"),
+          coalesce(col("nw.ctr"), col("o.ctr")).as("ctr"))
+        .localCheckpoint(true)
+      prev.unpersist()
+    }
+    val asg = assigned.select(col("__id"), col("__vec"),
+      (col("__super") * kChild + col("__child")).as("cluster"))
+    val out = Similarity.dominanceSurvivors(asg, threshold)
+      .select(col("__id").as(idCol), col("cluster"))
+      .localCheckpoint(true)
+    q.unpersist(); withSuper.unpersist(); children.unpersist()
+    out
+  }
+
+  /** Argmin cell against a per-row matrix COLUMN (vs the literal form
+    * [[cellOfQuantized]]): same sequential distance fold, same
+    * first-position-of-min tie-break to the lowest cell.
+    */
+  private def cellOfMat(v: org.apache.spark.sql.Column,
+                        mat: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ds = transform(mat, ct => aggregate(zip_with(v, ct, (x, y) => {
+      val d = x - y
+      d * d
+    }), lit(0.0), (acc, x) => acc + x))
+    (array_position(ds, array_min(ds)) - 1).cast("int")
+  }
+
   /** Shared quantized md5-init Lloyd loop behind [[kmeansMd5]] and
     * [[ivfTopKMd5]]: returns the persisted quantized frame
     * (`__id`, `__vec` original, `__qv` = round(x·scale) — caller

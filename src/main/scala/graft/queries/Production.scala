@@ -106,7 +106,29 @@ object Production {
         "doc_id", "text", col("n_chars"), minEstimate = 0.5)),
     "q106p_hash_split_prod" -> ((s, dir) =>
       graft.operators.Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
-        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))))
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))),
+    // the TWO-LEVEL quantizer under the driver, end to end through the
+    // REAL production path (TwoLevel.fit → assign → dominance): k is
+    // forced past nothing here — at gate scale auto-k stays flat, so
+    // semanticDedupLarge is invoked explicitly, exactly as a caller
+    // holding a prebuilt corpus count would route it.
+    "q101Lp_semantic_dedup_large_prod" -> ((s, dir) =>
+      graft.operators.Similarity.semanticDedupLarge(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.3, k = 32, iters = 2)),
+    // two-level IVF: fit + assign build the hierarchical index, then
+    // the two-stage probe (super ranking → child ranking → exact
+    // re-rank) answers 10 queries — TwoLevel's whole ANN surface in
+    // one driver-gated run.
+    "q33Lp_ivf_twolevel_probe_prod" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = graft.operators.TwoLevel.buildIvfIndexLarge(
+        e, "vec_id", "embedding", nlist = 32)
+      val out = graft.operators.TwoLevel.ivfProbeTwoLevel(idx,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .localCheckpoint(true)
+      idx.unpersist()
+      out
+    })
   )
 
   /** empty on purpose: these kernels' hashes are not SQL-replayable —

@@ -223,6 +223,17 @@ object TextVector {
         "vec_id", "embedding", threshold = 0.3, k = 8, iters = 3)
     }),
 
+    // the TWO-LEVEL quantizer's oracled gate: same SemDeDup semantics
+    // as q101 but cluster assignment comes from the hierarchical
+    // (super → child) md5-Lloyd — kSuper=6·kChild=6 cells at k=32, so
+    // the hierarchy genuinely routes (not a degenerate 1-super case).
+    // Production keeps Similarity.semanticDedupLarge (q101Lp gates it
+    // rows-only; TwoLevelSpec pins twin == production survivors).
+    "q101L_semantic_dedup_large" -> ((s, dir) => {
+      Clustering.semanticDedupLargeMd5(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.3, k = 32)
+    }),
+
     // SUBSTRING-level exact dedup (arXiv:2107.06499 shape): every
     // 8-token window occurring >= 2 times in the corpus marks its
     // position; marked windows merge per doc into maximal
@@ -477,6 +488,70 @@ object TextVector {
                     * sqrt(list_sum(list_transform(vb.v, x -> x * x))))
                    >= $threshold)
          SELECT vec_id, CAST(cell AS INTEGER) AS cluster FROM asg
+         WHERE vec_id NOT IN (SELECT vec_id FROM dropped)"""
+  }
+
+  /** q101L oracle — replays `Clustering.semanticDedupLargeMd5`'s
+    * two-level quantizer end to end: the [[lloydSql]] chain trains the
+    * kSuper super centroids, `sasg` assigns every vector its super
+    * (argmin, ties to the lowest cell), `ci0` seeds each super's
+    * kChild children from its md5-smallest rows, `iters` unrolled
+    * child-Lloyd rounds (assign within the super's children → exact
+    * integer (super, child, pos) sums → s/n centroids, empty children
+    * keep theirs), final assignment `fa` with
+    * `cluster = super·kChild + child`, then the SemDeDup dominance
+    * rule over exact float cosines — identical to [[semanticDedupSql]]
+    * 's tail. Multiply-referenced CTEs are `AS MATERIALIZED` (the
+    * q109 lesson: DuckDB 1.0 re-inlines plain CTEs at every
+    * reference).
+    */
+  private[queries] def semanticDedupLargeSql(k: Int, superIters: Int,
+                                             iters: Int,
+                                             threshold: Double): String = {
+    val kSuper = math.ceil(math.sqrt(k.toDouble)).toInt
+    val kChild = math.ceil(k.toDouble / kSuper).toInt
+    def dd(s: String, c: String): String =
+      s"list_sum(list_transform(range(1, 65), i -> ($s.qv[i] - $c.cv[i]) * ($s.qv[i] - $c.cv[i])))"
+    val childIters = (1 to iters).map { it =>
+      s""",
+         ka$it AS MATERIALIZED (SELECT vec_id, super, qv, child FROM (
+             SELECT s.vec_id, s.super, s.qv, c.child,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY ${dd("s", "c")}, c.child) AS rn
+             FROM sasg s JOIN ci${it - 1} c ON s.super = c.super) WHERE rn = 1),
+         kp$it AS (SELECT a.super, a.child, g.i AS pos, sum(a.qv[g.i]) AS s, count(*) AS n
+             FROM ka$it a, UNNEST(generate_series(1, 64)) AS g(i) GROUP BY 1, 2, 3),
+         ci$it AS MATERIALIZED (SELECT super, child, list(s / n ORDER BY pos) AS cv
+             FROM kp$it GROUP BY super, child
+             UNION ALL
+             SELECT c.super, c.child, c.cv FROM ci${it - 1} c
+             WHERE NOT EXISTS (SELECT 1 FROM ka$it a
+                               WHERE a.super = c.super AND a.child = c.child))"""
+    }.mkString
+    s"""WITH ${lloydSql(kSuper, superIters)},
+         sasg AS MATERIALIZED (SELECT vec_id, qv, super FROM (
+             SELECT q.vec_id, q.qv, c.cell AS super,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY ${dd("q", "c")}, c.cell) AS rn
+             FROM q, c$superIters c) WHERE rn = 1),
+         ci0 AS MATERIALIZED (SELECT super, CAST(rn - 1 AS INTEGER) AS child, qv AS cv FROM (
+             SELECT super, qv,
+               row_number() OVER (PARTITION BY super ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+             FROM sasg) WHERE rn <= $kChild)$childIters,
+         fa AS MATERIALIZED (SELECT vec_id, super * $kChild + child AS cluster FROM (
+             SELECT s.vec_id, s.super, c.child,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY ${dd("s", "c")}, c.child) AS rn
+             FROM sasg s JOIN ci$iters c ON s.super = c.super) WHERE rn = 1),
+         vecs AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         dropped AS (SELECT DISTINCT a.vec_id FROM fa a
+             JOIN fa b ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+             JOIN vecs va ON va.vec_id = a.vec_id
+             JOIN vecs vb ON vb.vec_id = b.vec_id
+             WHERE list_dot_product(va.v, vb.v)
+                   / (sqrt(list_sum(list_transform(va.v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(vb.v, x -> x * x))))
+                   >= $threshold)
+         SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM fa
          WHERE vec_id NOT IN (SELECT vec_id FROM dropped)"""
   }
 
@@ -999,6 +1074,8 @@ object TextVector {
     // SemDeDup gate: md5-Lloyd assignment chain + within-cluster
     // keep-lowest-id dominance over the exact float cosine
     "q101_semantic_dedup" -> semanticDedupSql(k = 8, iters = 3, threshold = 0.3),
+    "q101L_semantic_dedup_large" ->
+      semanticDedupLargeSql(k = 32, superIters = 2, iters = 2, threshold = 0.3),
     // substring-dedup gate: rebuild every 8-token window's md5, keep
     // hashes occurring >= 2 times, then the same gaps-and-islands
     // merge (a window starts a new span iff it begins past the

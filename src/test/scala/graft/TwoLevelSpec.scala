@@ -89,6 +89,31 @@ class TwoLevelSpec extends SparkSpec {
     assert(ids.size.toLong == survivors.count())
   }
 
+  test("semanticDedupLargeMd5 gate twin keeps the same survivors as production") {
+    // planted identical twins: whatever clusters each kernel learns
+    // (md5 vs xxhash64 init), a twin always shares its original's
+    // cluster and the dominance rule drops the higher id — so on a
+    // corpus whose only near-dups are exact cliques both kernels must
+    // keep the identical survivor set (the q101/q101p contract, here
+    // for the two-level pair q101L/q101Lp)
+    val e = Tables(spark, sf001, "embeddings")
+    val planted = e.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val withDups = e.unionByName(planted)
+    val prod = Similarity.semanticDedupLarge(
+        withDups, "vec_id", "embedding", threshold = 0.99, k = 32)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val gate = graft.operators.Clustering.semanticDedupLargeMd5(
+        withDups, "vec_id", "embedding", threshold = 0.99, k = 32)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(gate == prod,
+      s"gate-only: ${(gate -- prod).take(5)}; prod-only: ${(prod -- gate).take(5)}")
+    (0L until 20L).foreach { id =>
+      assert(gate.contains(id), s"original vec $id wrongly dropped")
+      assert(!gate.contains(id + 1000000L), s"planted dup of $id survived")
+    }
+  }
+
   test("sharded dedup + survivor merge == whole-corpus survivors on planted cliques") {
     // planted exact-duplicate cliques of 3 whose members hash into
     // DIFFERENT shards: each shard keeps its clique minimum, the merge
