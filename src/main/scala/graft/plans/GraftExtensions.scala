@@ -53,6 +53,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[NormalizeExpr].getName, "graft_normalize"),
       (children: Seq[Expression]) => NormalizeExpr(children): Expression),
+    (FunctionIdentifier("graft_bpe_word"),
+      new ExpressionInfo(classOf[BpeWordExpr].getName, "graft_bpe_word"),
+      (children: Seq[Expression]) => BpeWordExpr(children): Expression),
+    (FunctionIdentifier("graft_syms_to_ids"),
+      new ExpressionInfo(classOf[SymsToIdsExpr].getName, "graft_syms_to_ids"),
+      (children: Seq[Expression]) => SymsToIdsExpr(children): Expression),
     // Spark's own bloom-filter pair (the machinery behind runtime
     // join filters), surfaced as callable functions for the
     // bloom-prefiltered decontamination path: the aggregate builds a

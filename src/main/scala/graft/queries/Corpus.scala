@@ -217,6 +217,20 @@ object Corpus {
         numMerges = BpeRounds)
     }),
 
+    // the ONE-PASS encode kernel (graft_bpe_word) + vocabulary-id
+    // lookup (graft_syms_to_ids) under a full oracle: same trained
+    // merges as q109/q110, ids = sorted corpus chars then merge
+    // products in rank order (duplicates first-wins). This is the
+    // PRODUCTION encode path — q110's HOF chain is the
+    // oracle-replayable twin, spec-pinned equal; here the fast kernel
+    // itself is hash-checked end to end.
+    "q111_bpe_encode_ids" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = Bpe.trainMerges(d, "text", numMerges = BpeRounds)
+      Bpe.encodeToIds(d, "doc_id", "text", merges,
+        Bpe.vocabulary(d, "text", merges))
+    }),
+
     // CCNet-shaped CROSS-corpus LM scoring: train the bigram LM on
     // the src0 slice only, score every document against it — n-grams
     // unseen in the reference keep their smoothed mass (LEFT joins)
@@ -342,6 +356,37 @@ object Corpus {
          SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_symbols,
            md5(string_agg(array_to_string(syms, '|'), '||' ORDER BY pos)) AS sym_fp
          FROM enc GROUP BY doc_id""",
+    // q111: the q110 training+encode chains, then ids — base chars of
+    // the corpus in lexicographic order (row_number − 1), merge
+    // products at nChars + round − 1, duplicates resolved min(id) —
+    // and the flat '|'-joined id stream fingerprint ordered by
+    // (token pos, symbol pos). Mirrors Bpe.vocabulary/encodeToIds.
+    "q111_bpe_encode_ids" ->
+      s"""WITH RECURSIVE $bpeChainSql,
+         $bpeEncodeChainSql,
+         chars AS MATERIALIZED (SELECT DISTINCT c FROM (
+             SELECT unnest(string_split(replace(text, ' ', ''), '')) AS c
+             FROM documents) WHERE c <> ''),
+         nch AS MATERIALIZED (SELECT count(*) AS n FROM chars),
+         vocab AS MATERIALIZED (SELECT tok, CAST(min(id) AS INTEGER) AS id FROM (
+             SELECT c AS tok, row_number() OVER (ORDER BY c) - 1 AS id FROM chars
+             UNION ALL
+             SELECT mg.a || mg.b AS tok, nch.n + mg.r - 1 AS id FROM (
+               ${(1 to BpeRounds).map(r =>
+                 s"SELECT $r AS r, a, b FROM b$r").mkString("\n               UNION ALL ")}) mg, nch)
+           GROUP BY tok),
+         toks AS (SELECT doc_id, t.i AS pos, tl[i] AS word
+                  FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+                       UNNEST(generate_series(1, len(tl))) AS t(i)),
+         enc AS (SELECT doc_id, pos, d.syms
+                 FROM toks JOIN e$BpeRounds d USING (word)),
+         sym AS (SELECT doc_id, pos, g.i AS spos, syms[g.i] AS s
+                 FROM enc, UNNEST(generate_series(1, len(syms))) AS g(i)),
+         wid AS (SELECT doc_id, pos, spos, v.id
+                 FROM sym JOIN vocab v ON v.tok = sym.s)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_symbols,
+           md5(string_agg(CAST(id AS VARCHAR), '|' ORDER BY pos, spos)) AS ids_fp
+         FROM wid GROUP BY doc_id""",
     // replays the quantized Lloyd gate exactly: integer-rounded
     // vectors, centroids = 8 smallest md5(vec_id), three unrolled
     // assign/update rounds (assign = row_number argmin with

@@ -95,4 +95,78 @@ class BpeSpec extends SparkSpec {
     assert(got.getLong(1) == 3L)
     assert(got.getString(2) == refEncode("ab c", Nil)._2)
   }
+
+  private def fpMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, String)] =
+    df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+
+  test("one-pass kernel == HOF encode on planted words and corpus-trained merges") {
+    val docs = Seq(
+      (1L, "abab abab cd"), (2L, "aaaa aaa"), (3L, "aabb"),
+      (4L, "x  y"), (5L, "q"), (6L, "abcd dcba abab"))
+    val df = docs.toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(df, "text", numMerges = 4)
+    assert(fpMap(Bpe.encodeFast(df, "doc_id", "text", merges))
+      == fpMap(Bpe.encode(df, "doc_id", "text", merges)))
+    // empty merge table too
+    assert(fpMap(Bpe.encodeFast(df, "doc_id", "text", Nil))
+      == fpMap(Bpe.encode(df, "doc_id", "text", Nil)))
+  }
+
+  test("one-pass kernel == HOF encode on the sf0.001 corpus at 32 merges") {
+    val df = Tables(spark, sf001, "documents")
+    val merges = Bpe.trainMerges(df, "text", numMerges = 32)
+    assert(merges.size == 32)
+    assert(fpMap(Bpe.encodeFast(df, "doc_id", "text", merges))
+      == fpMap(Bpe.encode(df, "doc_id", "text", merges)))
+  }
+
+  test("sequential semantics: a pair re-created by a later merge is NOT revisited") {
+    // rank0 = (xy, b) — absent at char level; rank1 = (x, y) creates
+    // the symbol "xy", so pair (xy, b) NOW exists but its merge is
+    // ranked EARLIER and must stay unapplied (sequential application,
+    // unlike GPT-2's re-visiting encoder). Both kernels must yield
+    // [xy, b], not [xyb].
+    val df = Seq((1L, "xyb")).toDF("doc_id", "text")
+    val merges = Seq(Merge("xy", "b", 1L), Merge("x", "y", 1L))
+    val syms = Bpe.encodeSymbols(df, "doc_id", "text", merges)
+      .collect().head.getSeq[Seq[String]](1)
+    assert(syms == Seq(Seq("xy", "b")))
+    assert(fpMap(Bpe.encodeFast(df, "doc_id", "text", merges))
+      == fpMap(Bpe.encode(df, "doc_id", "text", merges)))
+  }
+
+  test("a duplicated pair entry applies again at its later rank") {
+    // r0 = (xy, b): no-op on chars; r1 = (x, y) → [xy, xy, b];
+    // r2 re-lists (xy, b) and NOW applies → [xy, xyb]
+    val df = Seq((1L, "xyxyb")).toDF("doc_id", "text")
+    val merges = Seq(Merge("xy", "b", 1L), Merge("x", "y", 1L), Merge("xy", "b", 1L))
+    val syms = Bpe.encodeSymbols(df, "doc_id", "text", merges)
+      .collect().head.getSeq[Seq[String]](1)
+    assert(syms == Seq(Seq("xy", "xyb")))
+    assert(fpMap(Bpe.encodeFast(df, "doc_id", "text", merges))
+      == fpMap(Bpe.encode(df, "doc_id", "text", merges)))
+  }
+
+  test("encodeToIds: chars then merge products, first-wins on duplicates") {
+    val df = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(df, "text", numMerges = 1)
+    assert(merges == Seq(Merge("a", "b", 2L)))
+    val vocab = Bpe.vocabulary(df, "text", merges)
+    assert(vocab == Seq("a", "b", "ab"))
+    val got = Bpe.encodeToIds(df, "doc_id", "text", merges, vocab).collect().head
+    assert(got.getLong(1) == 3L) // [ab, ab, b]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val fp = md.digest("2|2|1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.getString(2) == fp)
+  }
+
+  test("decode(encodeSymbols(text)) == text, including the empty-token edge") {
+    val docs = Seq((1L, "abab abab cd"), (2L, "x  y"), (3L, "q"))
+    val df = docs.toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(df, "text", numMerges = 3)
+    val back = Bpe.decode(
+        Bpe.encodeSymbols(df, "doc_id", "text", merges), "doc_id", "syms")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, text) => assert(back(id) == text) }
+  }
 }
