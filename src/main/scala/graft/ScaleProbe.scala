@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val tlMode = args.contains("twolevel")
-    val posArgs = args.filterNot(_ == "twolevel")
-    // twolevel mode takes no factor: its only positional arg is outDir
-    val factor = if (tlMode) 1 else posArgs.headOption.map(_.toInt).getOrElse(10)
+    val bpeMode = args.contains("bpe")
+    val posArgs = args.filterNot(a => a == "twolevel" || a == "bpe")
+    // twolevel/bpe modes take no factor: the only positional arg is outDir
+    val factor =
+      if (tlMode || bpeMode) 1 else posArgs.headOption.map(_.toInt).getOrElse(10)
     val outDir =
-      if (tlMode) posArgs.headOption.getOrElse("/tmp/graft_scale_probe")
+      if (tlMode || bpeMode) posArgs.headOption.getOrElse("/tmp/graft_scale_probe")
       else if (posArgs.length > 1) posArgs(1) else "/tmp/graft_scale_probe"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
@@ -27,6 +29,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (tlMode) { twoLevelProbe(spark, outDir); return }
+    if (bpeMode) { bpeProbe(spark, outDir); return }
 
     // rotate an array column by c positions MODULO its per-row length
     // — a plain `slice(arr, c+1, …)` is a silent NO-OP whenever c ≥
@@ -365,6 +368,85 @@ object ScaleProbe {
     * k itself — linear in n under auto-k, i.e. quadratic total — and
     * its centroid literal cannot exist past the cap at all).
     */
+  /** BPE at realistic vocabulary scale (the testdata corpus has only
+    * 31 distinct words — the cap never binds there, so this probe
+    * synthesizes a Zipf(1) corpus with a ~100k-word vocabulary):
+    * where does the driver-bounded merge fold stop being free, and
+    * what does the one-pass encode kernel cost per merge-table size?
+    * Token ranks are log-uniform (count(rank) ∝ 1/rank), words are
+    * base-26 renderings of the rank — shared prefixes give the merge
+    * rounds realistic pair structure. The escalation path if the fold
+    * ever mattered: the pair-count aggregation is one more
+    * (pair → sum cnt) shuffle per round over the vocab TABLE (not the
+    * corpus), i.e. distributed learn-BPE; at the measured costs the
+    * incremental driver fold makes that unnecessary up to ≥32k merges
+    * × 100k vocab.
+    */
+  private def bpeProbe(spark: SparkSession, outDir: String): Unit = {
+    import graft.operators.Bpe
+    val nDocs = 200000L
+    val toksPerDoc = 100
+    val vMax = 100000
+    val path = s"$outDir/bpe_corpus.parquet"
+    spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(toksPerDoc - 1)), i => {
+          val u = pmod(xxhash64(col("id") * toksPerDoc + i), lit(1000000L))
+            .cast("double") / 1000000.0
+          val rank = floor(pow(lit(vMax.toDouble), u)).cast("long")
+          concat(lit("w"), lower(conv(rank.cast("string"), 10, 26)))
+        })).as("text"))
+      .write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+    val nTok = df.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    println(s"bpe probe corpus: ${df.count()} docs, $nTok tokens")
+
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$label%-46s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      r
+    }
+    // corpus phase: the one word-count shuffle, per cap
+    Seq(10000, 100000).foreach { cap =>
+      val n = t(s"wordCounts collect (maxVocab=$cap)") {
+        Bpe.wordCounts(df, "text", cap).collect().length
+      }
+      println(s"  -> $n vocab rows")
+    }
+    // driver fold: merges learned per (cap, rounds)
+    var merges8k: Seq[Bpe.Merge] = Nil
+    Seq((10000, 1000), (100000, 1000), (100000, 8000), (100000, 32000))
+      .foreach { case (cap, rounds) =>
+        val ms = t(s"trainMerges (maxVocab=$cap, numMerges=$rounds)") {
+          Bpe.trainMerges(df, "text", rounds, cap)
+        }
+        println(s"  -> ${ms.length} merges learned")
+        if (cap == 100000 && rounds == 8000) merges8k = ms
+      }
+    // encode: HOF chain vs one-pass kernel, growing merge table. The
+    // HOF chain has a hard ANALYZER ceiling (each merge nests another
+    // aggregate HOF; the Resolution fixed point caps at 100
+    // iterations — 64 merges already exceed it), so its failures are
+    // themselves the measurement.
+    def consume(enc: org.apache.spark.sql.DataFrame): Long =
+      enc.select(sum(col("n_symbols"))).head.getLong(0)
+    Seq(32, 64).foreach { n =>
+      try t(s"encode HOF chain ($n merges)") {
+        consume(Bpe.encode(df, "doc_id", "text", merges8k.take(n)))
+      } catch {
+        case e: Throwable =>
+          println(s"encode HOF chain ($n merges)  FAILED: ${e.getMessage.take(100)}")
+      }
+    }
+    Seq(32, 64, 1000, 8000, 32000).foreach { n =>
+      val ms = if (n <= merges8k.length) merges8k.take(n)
+               else Bpe.trainMerges(df, "text", n, 100000)
+      t(s"encodeFast one-pass ($n merges)") {
+        consume(Bpe.encodeFast(df, "doc_id", "text", ms))
+      }
+    }
+    spark.stop()
+  }
+
   private def twoLevelProbe(spark: SparkSession, outDir: String): Unit = {
     import graft.operators.Similarity
     val dim = 16

@@ -828,6 +828,70 @@ object Dedup {
       .select(col("doc"), col("pw.pos").as("pos"), col("pw.h").as("h"))
   }
 
+  /** LINE-level corpus dedup (the C4/CCNet boilerplate-removal
+    * policy, arXiv:1910.10683 §2.2 shape at line granularity): a line
+    * whose content occurs >= `minOccurrences` times ACROSS THE WHOLE
+    * CORPUS keeps only its canonical first occurrence (min (doc,
+    * pos)); every other occurrence — repeated navigation chrome,
+    * cookie banners, boilerplate headers, and within-document
+    * repeats alike — is cut, and documents are rebuilt with their
+    * surviving lines in order. The doc-level sibling operators
+    * (exact/minhash dedup) drop whole documents; the span operators
+    * cut token windows; this cuts exact lines, the granularity web
+    * boilerplate actually repeats at.
+    *
+    * Returns (idCol, clean_text, n_removed) where n_removed counts
+    * removed LINES. `sep` is a literal separator (regex-quoted), so
+    * "\n" or " . " both work; text splits and rebuilds losslessly
+    * (split keeps empty segments, so "a\n\n" round-trips).
+    *
+    * Scale shape: lines hash map-side where they sit — only slim
+    * (doc, pos, hash) frames reach the occurrence-count shuffle; the
+    * removed-position sets group to one array per doc and join back
+    * by id; the rebuild is a map-side indexed filter over each row's
+    * own lines. Linear in total lines, no text shuffle.
+    */
+  def removeDuplicatedLines(df: DataFrame, idCol: String, textCol: String,
+                            minOccurrences: Int = 2,
+                            sep: String = "\n"): DataFrame =
+    removeDuplicatedLinesBy(df, idCol, textCol, minOccurrences, sep, xxhash64(_))
+
+  /** [[removeDuplicatedLines]]'s md5 GATE twin (DuckDB-replayable);
+    * identical output unless md5 and xxhash64 disagree on a collision
+    * (DedupSpec pins equality on the gate corpus). */
+  def removeDuplicatedLinesMd5(df: DataFrame, idCol: String, textCol: String,
+                               minOccurrences: Int = 2,
+                               sep: String = "\n"): DataFrame =
+    removeDuplicatedLinesBy(df, idCol, textCol, minOccurrences, sep, md5(_))
+
+  private def removeDuplicatedLinesBy(df: DataFrame, idCol: String,
+                                      textCol: String, minOcc: Int,
+                                      sep: String,
+                                      hash: Column => Column): DataFrame = {
+    require(minOcc >= 2, s"minOccurrences=$minOcc must be >= 2")
+    require(sep.nonEmpty, "sep must be non-empty")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val hashed = df
+      .select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), sepRe)).as(Seq("pos", "line")))
+      .select(col("doc"), col("pos").cast("long").as("pos"),
+        hash(col("line")).as("h"))
+    val dup = hashed.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"), min(struct(col("doc"), col("pos"))).as("canon"))
+      .filter(col("c") >= minOcc)
+      .select(col("h"), col("canon"))
+    val drops = hashed.join(dup, Seq("h"))
+      .filter(!(col("canon.doc") === col("doc") && col("canon.pos") === col("pos")))
+      .groupBy(col("doc")).agg(collect_set(col("pos")).as("rm"))
+    df.select(col(idCol).as("doc"), col(textCol).as("__text"))
+      .join(drops, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        concat_ws(sep, filter(split(col("__text"), sepRe),
+          (_, i) => coalesce(!array_contains(col("rm"), i.cast("long")),
+            lit(true)))).as("clean_text"),
+        coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"))
+  }
+
   private def duplicatedSpansBy(df: DataFrame, idCol: String,
                                 textCol: String, w: Int,
                                 hash: Column => Column): DataFrame = {

@@ -107,6 +107,12 @@ object Production {
     "q106p_hash_split_prod" -> ((s, dir) =>
       graft.operators.Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))),
+    // xxhash64 line keys over the same synthesized multi-line corpus
+    // the q112 gate dedups with md5 keys
+    "q112p_line_dedup_prod" -> ((s, dir) =>
+      graft.operators.Dedup.removeDuplicatedLines(
+        graft.queries.TextVector.linedDocs(t(s, dir, "documents")),
+        "doc_id", "text")),
     // the TWO-LEVEL quantizer under the driver, end to end through the
     // REAL production path (TwoLevel.fit → assign → dominance): k is
     // forced past nothing here — at gate scale auto-k stays flat, so

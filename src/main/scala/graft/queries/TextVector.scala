@@ -245,6 +245,17 @@ object TextVector {
         windowTokens = 8)
     }),
 
+    // LINE-level dedup (C4/CCNet boilerplate removal): the fixture
+    // corpus is single-line, so the gate synthesizes multi-line docs
+    // deterministically (8-token lines + a shared boilerplate banner
+    // on every third doc — the op's actual target shape) and strips
+    // every non-canonical repeated line. GATE = md5 line keys.
+    "q112_line_dedup" -> ((s, dir) => {
+      Dedup.removeDuplicatedLinesMd5(linedDocs(t(s, dir, "documents")),
+          "doc_id", "text")
+        .filter(length(col("clean_text")) >= 0)
+    }),
+
     // span REMOVAL: rewrite docs with duplicated windows cut, keeping
     // the first global occurrence (canonical = min (doc,pos) per
     // hash); token-granular with a canonical-cover carve-out so
@@ -490,6 +501,23 @@ object TextVector {
          SELECT vec_id, CAST(cell AS INTEGER) AS cluster FROM asg
          WHERE vec_id NOT IN (SELECT vec_id FROM dropped)"""
   }
+
+  /** The line-dedup gate's deterministic multi-line synthesis: each
+    * doc's tokens chunk into 8-token lines joined by '\n', and every
+    * third doc gains a shared boilerplate banner line. Mirrored
+    * verbatim by the q112 oracle's `lined` CTE.
+    */
+  private[queries] def linedDocs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"),
+        concat_ws("\n", transform(
+          sequence(lit(1), ceil(size(col("__toks")) / lit(8.0)).cast("int")),
+          g => concat_ws(" ", slice(col("__toks"), (g - 1) * 8 + 1, lit(8)))))
+          .as("base"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("base"), lit("\ngraft boilerplate banner line")))
+          .otherwise(col("base")).as("text"))
 
   /** q101L oracle — replays `Clustering.semanticDedupLargeMd5`'s
     * two-level quantizer end to end: the [[lloydSql]] chain trains the
@@ -1104,6 +1132,37 @@ object TextVector {
     // token positions covered by any NON-canonical window and no
     // canonical one are dropped; the doc is rebuilt by ordered
     // string_agg over surviving token positions
+    // line dedup: rebuild the gate's synthesized multi-line corpus
+    // (8-token lines + banner on every third doc), then canonical
+    // first occurrence per repeated md5 line key (row_number over
+    // (doc, pos)), all later occurrences cut, docs rebuilt from
+    // surviving lines in order (empty string when every line went)
+    "q112_line_dedup" ->
+      """WITH tl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         base AS (SELECT doc_id,
+             string_agg(array_to_string(w[(g.i-1)*8+1:(g.i-1)*8+8], ' '),
+                        chr(10) ORDER BY g.i) AS base
+           FROM tl, UNNEST(generate_series(1, CAST(ceil(len(w)/8.0) AS BIGINT))) AS g(i)
+           GROUP BY doc_id),
+         lined AS MATERIALIZED (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN base || chr(10) || 'graft boilerplate banner line'
+                  ELSE base END AS text FROM base),
+         lines AS MATERIALIZED (SELECT doc_id, g.i - 1 AS pos, ls[g.i] AS line
+           FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+                UNNEST(generate_series(1, len(ls))) AS g(i)),
+         h AS MATERIALIZED (SELECT doc_id, pos, md5(line) AS lh FROM lines),
+         dup AS (SELECT lh FROM h GROUP BY lh HAVING count(*) >= 2),
+         occ AS (SELECT h.doc_id, h.pos,
+             row_number() OVER (PARTITION BY lh ORDER BY doc_id, pos) AS rn
+           FROM h JOIN dup USING (lh)),
+         rm AS (SELECT doc_id, pos FROM occ WHERE rn > 1)
+         SELECT l.doc_id,
+           coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+                      FILTER (WHERE r.pos IS NULL), '') AS clean_text,
+           CAST(count(r.pos) AS BIGINT) AS n_removed
+         FROM lines l LEFT JOIN rm r ON r.doc_id = l.doc_id AND r.pos = l.pos
+         GROUP BY l.doc_id""",
     "q103_span_removal" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          wins AS (SELECT doc_id, i - 1 AS pos,

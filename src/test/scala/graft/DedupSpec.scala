@@ -357,4 +357,47 @@ class DedupSpec extends SparkSpec {
     assert(kept == fresh.map(_._1).toSet,
       s"expected only fresh docs to survive, got $kept")
   }
+
+  test("removeDuplicatedLines keeps the canonical first line, gate == production") {
+    val docs = Seq(
+      (1L, "alpha line\nbeta line\ngamma line"),
+      (2L, "beta line\ndelta line"),          // beta dup of doc1 pos1
+      (3L, "beta line\nbeta line"),           // within-doc repeats too
+      (4L, "alpha line"),                     // whole doc goes
+      (5L, "unique line"))
+    val df = docs.toDF("doc_id", "text")
+    def run(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val got = run(Dedup.removeDuplicatedLines(df, "doc_id", "text"))
+    assert(got(1L) == (("alpha line\nbeta line\ngamma line", 0L)))
+    assert(got(2L) == (("delta line", 1L)))
+    assert(got(3L) == (("", 2L)))
+    assert(got(4L) == (("", 1L)))
+    assert(got(5L) == (("unique line", 0L)))
+    assert(got == run(Dedup.removeDuplicatedLinesMd5(df, "doc_id", "text")))
+  }
+
+  test("removeDuplicatedLines: minOccurrences=3 spares a mere pair; roundtrip keeps empties") {
+    val df = Seq(
+      (1L, "twice\nthrice"), (2L, "twice\nthrice"), (3L, "thrice\n\ntail"),
+      (4L, "solo\n\ntail")).toDF("doc_id", "text")
+    // "twice" occurs 2 < 3 → untouched; "thrice" ×3 keeps (1,1);
+    // "" and "tail" occur twice each < 3 → kept, and the empty line
+    // must survive the split/agg roundtrip byte-identically
+    val got = Dedup.removeDuplicatedLines(df, "doc_id", "text", minOccurrences = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("twice\nthrice", 0L)))
+    assert(got(2L) == (("twice", 1L)))
+    assert(got(3L) == (("\ntail", 1L)))
+    assert(got(4L) == (("solo\n\ntail", 0L)))
+  }
+
+  test("removeDuplicatedLines honors a custom separator literally") {
+    // '.' is regex-quoted, not treated as wildcard
+    val df = Seq((1L, "a.b.c"), (2L, "b.z")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedLines(df, "doc_id", "text", sep = ".")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "a.b.c")
+    assert(got(2L) == "z")
+  }
 }
