@@ -398,6 +398,51 @@ object CorpusStats {
         round(col("__s9") / lit(1e9) / col("n_bigrams"), 6).as("avg_logp"))
   }
 
+  /** CCNet's perplexity partition (arXiv:1911.00359 §4: score every
+    * document against a reference-domain LM, rank, and cut the corpus
+    * into head/middle/tail): bucket 0 is the best-scoring (lowest
+    * perplexity ≡ highest avg log-prob) `1/nBuckets` of documents,
+    * the last bucket the worst. Scoring is [[bigramLmScoreAgainst]];
+    * the partition is an EXACT global rank via [[bucketByRank]] —
+    * no global single-partition window. Returns
+    * (idCol, n_bigrams, avg_logp, bucket).
+    */
+  def perplexityBuckets(ref: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, nBuckets: Int = 3): DataFrame =
+    bucketByRank(bigramLmScoreAgainst(ref, target, idCol, textCol),
+      idCol, "avg_logp", nBuckets)
+
+  /** Exact equal-count rank buckets over `scoreCol` (descending, ties
+    * by `idCol`) WITHOUT a global window: per-document ranking runs
+    * in a window PARTITIONED by score value (fully parallel), and the
+    * cross-group offsets come from a cumulative count over the
+    * DISTINCT-score frame — whose size is bounded by the score's
+    * value granularity (avg_logp is rounded to 6 decimals over a
+    * ~[-20, 0] range), not by corpus size. `bucket = (rank-1)·nB DIV
+    * n` — integer arithmetic, so the same formula replays exactly in
+    * the oracle's `row_number()` form.
+    */
+  def bucketByRank(df: DataFrame, idCol: String, scoreCol: String,
+                   nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets=$nBuckets must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val total = df.count()
+    val groups = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
+    val wS = Window.orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = groups
+      .withColumn("__before", coalesce(sum(col("__c")).over(wS), lit(0L)))
+      .drop("__c")
+    val wG = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
+    df.join(offsets, Seq(scoreCol))
+      .withColumn("__rk0", col("__before") + row_number().over(wG) - 1)
+      .withColumn("bucket",
+        expr(s"CAST((__rk0 * $nBuckets) DIV ${math.max(total, 1L)} AS INT)"))
+      .drop("__before", "__rk0")
+      .select(col(idCol) +: df.columns.filterNot(_ == idCol).map(col)
+        :+ col("bucket"): _*)
+  }
+
   /** Count-min sketch over corpus n-grams — the constant-memory
     * frequency structure for when the distinct-gram space doesn't fit
     * a hash aggregation (mergeable across partitions/days; ε·total

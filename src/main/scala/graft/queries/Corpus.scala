@@ -241,6 +241,16 @@ object Corpus {
         d.filter(col("source") === "src0"), d, "doc_id", "text")
     }),
 
+    // CCNet's head/middle/tail perplexity partition: q108's scoring,
+    // then an exact global rank bucket (no single-partition window —
+    // per-score-group ranking is parallel, the distinct-score
+    // cumulative frame is value-granularity-bounded).
+    "q113_perplexity_buckets" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusStats.perplexityBuckets(
+        d.filter(col("source") === "src0"), d, "doc_id", "text")
+    }),
+
     // end-to-end corpus assembly: quality gate → per-source token
     // budgets (mixture weighting) → global sequence packing. Each
     // stage is itself oracled (q74/q72/q88); this gate proves the
@@ -331,6 +341,30 @@ object Corpus {
            FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)))"""
     (Seq(e0) ++ (1 to BpeRounds).map(bpeEncodeCtes)).mkString(",\n         ")
   }
+
+  /** q108's cross-corpus LM scoring, shared verbatim by the q113
+    * bucket oracle: LM tables from the src0 slice, LEFT joins
+    * carrying add-one smoothing for reference-unseen n-grams
+    * (coalesce(cb,0) → P = 1/(cu+V), coalesce(cu,0) → 1/V). */
+  private val LmScoreRefSql =
+    """WITH rt AS (SELECT string_split(text, ' ') AS w FROM documents
+                   WHERE source = 'src0'),
+         uni AS (SELECT t, count(*) AS cu
+           FROM (SELECT unnest(w) AS t FROM rt) GROUP BY t),
+         vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+         rbg AS (SELECT w[i] || ' ' || w[i+1] AS g
+           FROM rt, UNNEST(generate_series(1, len(w)-1)) AS s(i)),
+         bgc AS (SELECT g, count(*) AS cb FROM rbg GROUP BY g),
+         tt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         bg AS (SELECT doc_id, i AS pos, w[i] AS w1, w[i] || ' ' || w[i+1] AS g
+           FROM tt, UNNEST(generate_series(1, len(w)-1)) AS s(i)),
+         scored AS (SELECT bg.doc_id, bg.pos,
+             ln((coalesce(bgc.cb, 0) + 1.0) / (coalesce(uni.cu, 0) + vocab.v)) AS logp
+           FROM bg LEFT JOIN bgc USING (g)
+                   LEFT JOIN uni ON uni.t = bg.w1, vocab)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(sum(CAST(round(logp * 1e9) AS BIGINT)) / 1e9 / count(*), 6) AS avg_logp
+         FROM scored GROUP BY doc_id"""
 
   val oracle: Map[String, String] = Map(
     "q109_bpe_train" ->
@@ -606,25 +640,16 @@ object Corpus {
     // q97's scoring with the LM tables built from the src0 slice and
     // LEFT joins carrying add-one smoothing for reference-unseen
     // n-grams: coalesce(cb,0) -> P = 1/(cu+V), coalesce(cu,0) -> 1/V
-    "q108_lm_score_ref" ->
-      """WITH rt AS (SELECT string_split(text, ' ') AS w FROM documents
-                     WHERE source = 'src0'),
-         uni AS (SELECT t, count(*) AS cu
-           FROM (SELECT unnest(w) AS t FROM rt) GROUP BY t),
-         vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
-         rbg AS (SELECT w[i] || ' ' || w[i+1] AS g
-           FROM rt, UNNEST(generate_series(1, len(w)-1)) AS s(i)),
-         bgc AS (SELECT g, count(*) AS cb FROM rbg GROUP BY g),
-         tt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         bg AS (SELECT doc_id, i AS pos, w[i] AS w1, w[i] || ' ' || w[i+1] AS g
-           FROM tt, UNNEST(generate_series(1, len(w)-1)) AS s(i)),
-         scored AS (SELECT bg.doc_id, bg.pos,
-             ln((coalesce(bgc.cb, 0) + 1.0) / (coalesce(uni.cu, 0) + vocab.v)) AS logp
-           FROM bg LEFT JOIN bgc USING (g)
-                   LEFT JOIN uni ON uni.t = bg.w1, vocab)
-         SELECT doc_id, count(*) AS n_bigrams,
-           round(sum(CAST(round(logp * 1e9) AS BIGINT)) / 1e9 / count(*), 6) AS avg_logp
-         FROM scored GROUP BY doc_id""",
+    "q108_lm_score_ref" -> LmScoreRefSql,
+    // q113: the q108 scoring verbatim, then CCNet's partition — exact
+    // global rank (score desc, ties by doc_id) and the same integer
+    // bucket arithmetic as CorpusStats.bucketByRank
+    "q113_perplexity_buckets" ->
+      s"""WITH s AS MATERIALIZED ($LmScoreRefSql),
+         r AS (SELECT s.*, row_number() OVER (ORDER BY avg_logp DESC, doc_id) AS rn,
+                 count(*) OVER () AS n FROM s)
+         SELECT doc_id, n_bigrams, avg_logp,
+           CAST(((rn - 1) * 3) // n AS INT) AS bucket FROM r""",
     "q95_corpus_pipeline" ->
       """WITH gated AS (
            SELECT doc_id, source,

@@ -566,4 +566,36 @@ class CorpusSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(vocabPlan.contains("partial"), s"expect partial agg:\n$vocabPlan")
   }
+
+  test("bucketByRank: exact equal-count buckets, best scores first, ties by id") {
+    import spark.implicits._
+    // 90 rows over 9 distinct scores (ties everywhere — the parallel
+    // per-score-group ranking must still cut exact thirds)
+    val df = (0L until 90L).map(i => (i, (i % 9).toDouble)).toDF("id", "score")
+    val out = CorpusStats.bucketByRank(df, "id", "score", 3).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2))))
+    val sizes = out.groupBy(_._2._2).view.mapValues(_.length).toMap
+    assert(sizes == Map(0 -> 30, 1 -> 30, 2 -> 30))
+    // descending by score: every score-8 row (10 of them) is bucket 0,
+    // every score-0 row bucket 2
+    out.foreach { case (id, (s, b)) =>
+      if (s == 8.0) assert(b == 0, s"id=$id")
+      if (s == 0.0) assert(b == 2, s"id=$id")
+    }
+    // within one tied score spanning a boundary, LOWER ids take the
+    // better bucket: score 6.0 ranks 20..29 → all bucket 0; score 5.0
+    // ranks 30..39 → bucket 1; check the id tie-break inside 5.0 vs
+    // 6.0 boundary is by score first
+    val by5 = out.filter(_._2._1 == 5.0).map(_._2._2).toSet
+    assert(by5 == Set(1))
+  }
+
+  test("bucketByRank: non-divisible counts put the extra rows in earlier buckets") {
+    import spark.implicits._
+    val df = (0L until 10L).map(i => (i, i.toDouble)).toDF("id", "score")
+    // rank0 (score 9) .. rank9 (score 0): (rk*3) DIV 10 → 4/3/3 split
+    val sizes = CorpusStats.bucketByRank(df, "id", "score", 3).collect()
+      .groupBy(_.getInt(2)).view.mapValues(_.length).toMap
+    assert(sizes == Map(0 -> 4, 1 -> 3, 2 -> 3))
+  }
 }
