@@ -106,6 +106,40 @@ object VectorFunctions {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions
+    * (the dimensionality-reduction step in front of clustering / ANN
+    * when 64-dim embeddings are still too wide to scan at 100 TB):
+    * component p = √(3/outDim) · v · plane_p, with the same
+    * hash-derived [[hyperplane]] weight family as the LSH buckets —
+    * no RNG, no stored projection matrix, bit-reproducible across
+    * runs and engines. Weights are U[-1, 1) (variance 1/3), so the
+    * √(3/outDim) factor keeps E‖y‖² = ‖x‖² — and cosines are
+    * preserved to O(1/√outDim) by JL (spec-pinned on the fixture).
+    * Map-side only; the weight arrays fold to plan literals.
+    */
+  def randomProject(v: Column, outDim: Int, dim: Int): Column = {
+    require(outDim >= 1 && dim >= 1)
+    val s = math.sqrt(3.0 / outDim)
+    array((0 until outDim).map(p => dot(v, hyperplane(p, dim)) * lit(s)): _*)
+  }
+
+  /** [[randomProject]]'s DuckDB-replayable GATE twin, kept in EXACT
+    * INTEGER form like [[signLshBucketMd5]]: component p is the
+    * integer dot of floor(x·2¹⁶) with the [[hyperplaneMd5Int]]
+    * weights — order-independent under any SQL engine's aggregation,
+    * no float at all (the caller can rescale by
+    * √(3/outDim)/(2¹⁶·2³¹) when real-valued output matters; the gate
+    * hashes the integers). Exact for |x| < 2¹⁰ at dim ≤ 64.
+    */
+  def randomProjectMd5Q(v: Column, outDim: Int, dim: Int): Column = {
+    require(outDim >= 1 && dim >= 1)
+    val qv = transform(v, x => floor(x.cast("double") * lit(65536.0)))
+    array((0 until outDim).map { p =>
+      aggregate(zip_with(qv, hyperplaneMd5Int(p, dim), (x, w) => x * w),
+        lit(0L), (acc, t) => acc + t)
+    }: _*)
+  }
+
   /** Per-vector symmetric int8 quantization scale: `max|xᵢ| / 127`.
     * Storing embeddings as (scale, int8[]) is the 4× storage/IO cut
     * that makes a 100 TB embedding corpus scannable — the shape every

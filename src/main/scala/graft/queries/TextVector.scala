@@ -162,6 +162,15 @@ object TextVector {
             col("embedding"), col("qvec"), col("scale")), 6).as("recon_mse"))
     }),
 
+    // JL random projection 64 → 8 dims. GATE = the exact-integer md5
+    // twin (array<long> components — no float anywhere); production
+    // keeps VectorFunctions.randomProject (spec pins cosine
+    // preservation and the two kernels' shared geometry).
+    "q114_random_projection" -> ((s, dir) => {
+      t(s, dir, "embeddings").select(col("vec_id"),
+        VectorFunctions.randomProjectMd5Q(col("embedding"), 8, 64).as("proj_q"))
+    }),
+
     // brute-force cosine top-5 for query vectors vec_id < 10.
     "q29_ann_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -944,6 +953,18 @@ object TextVector {
                 * (CAST(embedding[i] AS DOUBLE) - CAST(qvec[i] AS DOUBLE) * scale)))
              / len(embedding), 6) AS recon_mse
          FROM q""",
+    // replays the md5-int weight family (same construction as the
+    // q30/q37 plane signatures): weight(p, j) = first 8 md5 hex chars
+    // of 'plane p|j' as unsigned 32-bit minus 2^31; component p =
+    // Σ_j floor(x_j·2^16) · weight(p, j-1) — pure integer arithmetic
+    "q114_random_projection" ->
+      """SELECT vec_id,
+           list_transform(range(0, 8), p ->
+             list_sum(list_transform(range(1, 65), j ->
+               CAST(floor(CAST(embedding[j] AS DOUBLE) * 65536.0) AS BIGINT)
+               * (('0x' || substr(md5('plane' || CAST(p AS VARCHAR) || '|'
+                     || CAST(j - 1 AS VARCHAR)), 1, 8))::BIGINT - 2147483648)))) AS proj_q
+         FROM embeddings""",
     "q29_ann_brute" ->
       """WITH scored AS (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

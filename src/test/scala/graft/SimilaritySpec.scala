@@ -384,4 +384,46 @@ class SimilaritySpec extends SparkSpec {
     assert(z.getDouble(1) == 0.0)
     assert(z.getSeq[Int](2) == Seq(0, 0, 0))
   }
+
+  test("random projection: JL cosine preservation and gate-twin geometry agreement") {
+    import graft.functions.VectorFunctions.{randomProject, randomProjectMd5Q}
+    val outDim = 32
+    val e = Tables(spark, sf001, "embeddings")
+      .withColumn("proj", randomProject(col("embedding"), outDim, 64))
+    // exact parallel pair preserved exactly: v vs 2·v have cosine 1
+    val par = e.limit(1)
+      .withColumn("proj2", randomProject(
+        transform(col("embedding"), x => x * 2.0f), outDim, 64))
+      .select(cosine(col("proj"), col("proj2"))).first().getDouble(0)
+    assert(math.abs(par - 1.0) < 1e-9)
+    // JL: cosine of random pairs preserved to O(1/sqrt(outDim)) ≈
+    // 0.18 std at outDim 32. These 380 deterministic pairs measure
+    // worst 0.494 (~2.8σ — one tail pair) and mean well under 1σ;
+    // both pinned with margin
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"),
+      col("proj").as("pa"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"),
+      col("proj").as("pb"))
+    val dist = a.join(b, col("ia") =!= col("ib") && col("ib") < 20 && col("ia") < 20)
+      .select(abs(cosine(col("va"), col("vb")) - cosine(col("pa"), col("pb"))).as("d"))
+    val Array(worst, mean) =
+      dist.agg(max(col("d")), avg(col("d"))).first().toSeq.toArray.map(_.asInstanceOf[Double])
+    assert(worst < 0.55, s"JL worst cosine distortion $worst")
+    assert(mean < 0.15, s"JL mean cosine distortion $mean")
+    // the integer gate twin spans the same construction: its
+    // components, rescaled, correlate perfectly with a float
+    // projection over the SAME md5 weight family (the twin is the
+    // quantized form of that projection, to 2^-16 component error)
+    val tw = Tables(spark, sf001, "embeddings").limit(50)
+      .withColumn("q", randomProjectMd5Q(col("embedding"), 4, 64))
+      .withColumn("f", array((0 until 4).map(p =>
+        aggregate(zip_with(col("embedding"),
+          graft.functions.VectorFunctions.hyperplaneMd5Int(p, 64),
+          (x, w) => x.cast("double") * w.cast("double")),
+          lit(0.0), (acc, t) => acc + t)): _*))
+      .select(min(cosine(
+        transform(col("q"), c => c.cast("double") / 65536.0), col("f"))))
+      .first().getDouble(0)
+    assert(tw > 0.999999, s"twin/float cosine $tw")
+  }
 }
