@@ -443,6 +443,99 @@ object CorpusStats {
         :+ col("bucket"): _*)
   }
 
+  /** HyperLogLog register table (Flajolet et al. 2007) for grouped
+    * DISTINCT-count estimation — the mergeable constant-memory
+    * companion to the count-min FREQUENCY sketch below: registers
+    * max-merge across partitions, shards, or days, so incremental
+    * corpus builds store (group, bucket, M) and re-estimate after
+    * every union. One slim hash-agg shuffle (≤ 2^b rows per group),
+    * values never shuffle. bucket = low `b` bits of xxhash64(value),
+    * rho = leading-zero rank of the remaining 64-b bits.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   b: Int = 12): DataFrame = {
+    require(b >= 4 && b <= 16, s"b=$b out of range")
+    val h = xxhash64(col(valueCol))
+    val w = shiftrightunsigned(h, b)
+    val maxRho = 64 - b + 1
+    val bkt = pmod(h, lit(1L << b)).cast("int")
+    // rho via bin()'s string length — exact integer leading-zero
+    // rank; a float log2 would mis-floor at exact powers of two
+    val rho = when(w === 0L, lit(maxRho))
+      .otherwise(lit(64 - b + 1) - length(bin(w))).cast("int")
+    df.select(groupCols.map(col) :+ bkt.as("bucket") :+ rho.as("rho"): _*)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("rho")).as("M"))
+  }
+
+  /** Distinct-count estimate per group from [[hllRegisters]]'s
+    * output (callable on freshly built or max-merged registers):
+    * E = α_m·m²/Z with the standard linear-counting small-range
+    * correction. Returns (groupCols…, est_distinct).
+    */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String], b: Int = 12): DataFrame = {
+    val m = 1 << b
+    val alpha =
+      if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
+      else if (m == 64) 0.709 else if (m == 32) 0.697 else 0.673
+    val agg = regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__used"),
+        sum(pow(lit(2.0), -col("M"))).as("__zUsed"))
+      .withColumn("__V", lit(m.toLong) - col("__used"))
+      .withColumn("__raw",
+        lit(alpha * m * m) / (col("__V").cast("double") + col("__zUsed")))
+    agg.select(groupCols.map(col) :+
+      round(when(col("__raw") <= 2.5 * m && col("__V") > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / col("__V")))
+        .otherwise(col("__raw")), 3).as("est_distinct"): _*)
+  }
+
+  /** [[hllRegisters]]+[[hllEstimate]] in one call, plus the exact
+    * count for monitoring. PRODUCTION kernel (xxhash64). */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  b: Int = 12): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, valueCol, b), groupCols, b)
+
+  /** DuckDB-replayable GATE twin of [[hllDistinct]] at b = 8: bucket
+    * = first 2 md5 hex chars, the rho field the next 6 (24 bits), and
+    * — the property that makes the ESTIMATE itself hash-comparable —
+    * the harmonic sum is computed in EXACT fixed point
+    * (Σ 2^(25-M) as a long; ≤ 256·2^24 — no float summation whose
+    * reassociation could flip the rounded third decimal across
+    * engines), with division order pinned to the oracle's formula.
+    * Includes the exact distinct count alongside. CorpusSpec pins the
+    * standard-error contract on both kernels.
+    */
+  def hllDistinctMd5(df: DataFrame, groupCols: Seq[String],
+                     valueCol: String): DataFrame = {
+    val m = 256
+    val hx = md5(col(valueCol).cast("string").cast("binary"))
+    val bkt = conv(substring(hx, 1, 2), 16, 10).cast("int")
+    val w = conv(substring(hx, 3, 6), 16, 10).cast("long")
+    // exact integer rho (bin-length), replayed as len(bin(w)) — see
+    // hllRegisters' note on the float-log2 power-of-two hazard
+    val rho = when(w === 0L, lit(25)).otherwise(lit(25) - length(bin(w)))
+      .cast("int")
+    val regs = df
+      .select(groupCols.map(col) :+ bkt.as("bucket") :+ rho.as("rho"): _*)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("rho")).as("M"))
+    val est = regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__used"),
+        sum(expr("CAST(pow(2.0D, 25 - M) AS BIGINT)")).as("__S"))
+      .withColumn("__V", lit(m.toLong) - col("__used"))
+      .withColumn("__raw",
+        lit(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 33554432.0)
+          / (col("__V") * lit(33554432L) + col("__S")).cast("double"))
+      .select(groupCols.map(col) :+
+        round(when(col("__raw") <= 640.0 && col("__V") > 0,
+          lit(256.0) * log(lit(256.0) / col("__V")))
+          .otherwise(col("__raw")), 3).as("est_distinct"): _*)
+    val exact = df.groupBy(groupCols.map(col): _*)
+      .agg(countDistinct(col(valueCol)).as("n_distinct"))
+    est.join(exact, groupCols)
+  }
+
   /** Count-min sketch over corpus n-grams — the constant-memory
     * frequency structure for when the distinct-gram space doesn't fit
     * a hash aggregation (mergeable across partitions/days; ε·total

@@ -241,6 +241,17 @@ object Corpus {
         d.filter(col("source") === "src0"), d, "doc_id", "text")
     }),
 
+    // HyperLogLog distinct-token estimate per source (Flajolet 2007):
+    // the mergeable cardinality companion to the q90 CMS frequency
+    // sketch. GATE = md5 registers at b=8 with the harmonic sum in
+    // exact fixed point, so the ESTIMATE itself hash-compares;
+    // production keeps the xxhash64 b=12 kernel (q115p + spec).
+    "q115_hll_distinct" -> ((s, dir) => {
+      val tk = t(s, dir, "documents").select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      CorpusStats.hllDistinctMd5(tk, Seq("source"), "tok")
+    }),
+
     // CCNet's head/middle/tail perplexity partition: q108's scoring,
     // then an exact global rank bucket (no single-partition window —
     // per-score-group ranking is parallel, the distinct-score
@@ -641,6 +652,34 @@ object Corpus {
     // LEFT joins carrying add-one smoothing for reference-unseen
     // n-grams: coalesce(cb,0) -> P = 1/(cu+V), coalesce(cu,0) -> 1/V
     "q108_lm_score_ref" -> LmScoreRefSql,
+    // q115: HLL registers from md5 (bucket = first 2 hex chars, rho =
+    // 25 − len(bin(next 24 bits)) — integer-exact, no float log2),
+    // harmonic sum as Σ 2^(25−M) in BIGINT, then the standard
+    // α·m²/Z estimate with linear-counting correction; formula
+    // arithmetic ordered exactly as the Spark kernel's
+    "q115_hll_distinct" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+         h AS (SELECT source, t, md5(t) AS hx FROM tk),
+         b AS (SELECT source, ('0x' || substr(hx, 1, 2))::INT AS bucket,
+                 ('0x' || substr(hx, 3, 6))::BIGINT AS w FROM h),
+         r AS (SELECT source, bucket,
+                 CAST(CASE WHEN w = 0 THEN 25 ELSE 25 - len(bin(w)) END AS INT) AS rho
+               FROM b),
+         regs AS (SELECT source, bucket, max(rho) AS M FROM r GROUP BY 1, 2),
+         agg AS (SELECT source, count(*) AS used,
+                   sum(CAST(pow(2.0, 25 - M) AS BIGINT)) AS S
+                 FROM regs GROUP BY source),
+         est AS (SELECT source, 256 - used AS V, S FROM agg),
+         raw AS (SELECT source, V,
+                   0.7213 / (1 + 1.079 / 256.0) * 65536.0 * 33554432.0
+                     / CAST(V * 33554432 + S AS DOUBLE) AS raw
+                 FROM est),
+         ex AS (SELECT source, count(DISTINCT t) AS n_distinct FROM tk GROUP BY source)
+         SELECT raw.source,
+           round(CASE WHEN raw <= 640.0 AND V > 0
+                      THEN 256.0 * ln(256.0 / V) ELSE raw END, 3) AS est_distinct,
+           n_distinct
+         FROM raw JOIN ex ON ex.source = raw.source""",
     // q113: the q108 scoring verbatim, then CCNet's partition — exact
     // global rank (score desc, ties by doc_id) and the same integer
     // bucket arithmetic as CorpusStats.bucketByRank

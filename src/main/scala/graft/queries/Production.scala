@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, explode}
 
 /** Production-twin driver gates (rows-only by design — no oracle).
   *
@@ -113,6 +113,12 @@ object Production {
       graft.operators.Dedup.removeDuplicatedLines(
         graft.queries.TextVector.linedDocs(t(s, dir, "documents")),
         "doc_id", "text")),
+    // the xxhash64 b=12 HLL production kernel behind the q115 md5 gate
+    "q115p_hll_distinct_prod" -> ((s, dir) =>
+      graft.operators.CorpusStats.hllDistinct(
+        t(s, dir, "documents").select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok")),
+        Seq("source"), "tok")),
     // the TWO-LEVEL quantizer under the driver, end to end through the
     // REAL production path (TwoLevel.fit → assign → dominance): k is
     // forced past nothing here — at gate scale auto-k stays flat, so

@@ -567,6 +567,51 @@ class CorpusSpec extends SparkSpec {
     assert(vocabPlan.contains("partial"), s"expect partial agg:\n$vocabPlan")
   }
 
+  test("HLL distinct: error contract on both kernels; registers max-merge exactly") {
+    import spark.implicits._
+    // 200k values over 4 groups → 50k true distinct per group
+    val df = spark.range(200000L)
+      .select((col("id") % 4).cast("string").as("g"),
+        concat(lit("v"), col("id")).as("v"))
+    // production xxhash64 kernel, m=4096: σ = 1.04/√4096 ≈ 1.6%
+    val prod = CorpusStats.hllDistinct(df, Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    prod.values.foreach(e =>
+      assert(math.abs(e / 50000.0 - 1.0) < 0.05, s"prod est $e vs 50000"))
+    // md5 gate kernel, m=256: σ ≈ 6.5%
+    val gate = CorpusStats.hllDistinctMd5(df, Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    gate.foreach { case (g, (e, ex)) =>
+      assert(ex == 50000L, s"group $g exact $ex")
+      assert(math.abs(e / 50000.0 - 1.0) < 0.2, s"gate est $e vs 50000")
+    }
+    // mergeability: half-corpus registers max-merge to EXACTLY the
+    // whole-corpus registers, hence the identical estimate
+    val h1 = CorpusStats.hllRegisters(df.filter(col("v") < "v1"), Seq("g"), "v")
+    val h2 = CorpusStats.hllRegisters(df.filter(!(col("v") < "v1")), Seq("g"), "v")
+    val merged = h1.unionByName(h2).groupBy(col("g"), col("bucket"))
+      .agg(max(col("M")).as("M"))
+    val estM = CorpusStats.hllEstimate(merged, Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(estM == prod)
+  }
+
+  test("HLL rho is integer-exact at powers of two (no float-log2 mis-floor)") {
+    import spark.implicits._
+    // values engineered so the rho field lands on exact powers of two
+    // would need hash preimages; instead pin the formula itself:
+    // 25 - len(bin(w)) over every 24-bit power of two and neighbors
+    val w = (0 to 23).flatMap(k => Seq((1L << k) - 1, 1L << k, (1L << k) + 1))
+      .filter(x => x > 0 && x < (1L << 24)).distinct.toDF("w")
+    val got = w.select(col("w"),
+        (lit(25) - length(bin(col("w")))).cast("int").as("rho"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (x, rho) =>
+      val expected = 25 - (64 - java.lang.Long.numberOfLeadingZeros(x))
+      assert(rho == expected, s"w=$x rho=$rho expected=$expected")
+    }
+  }
+
   test("bucketByRank: exact equal-count buckets, best scores first, ties by id") {
     import spark.implicits._
     // 90 rows over 9 distinct scores (ties everywhere — the parallel
