@@ -74,6 +74,50 @@ object Sampling {
       }
   }
 
+  /** Deterministic uniform sample of `n` documents PER GROUP (eval
+    * sets, per-language spot-check panels, labeling batches): keep
+    * the n smallest hash-of-id per group — reproducible across runs,
+    * engines, and row order, and stable under corpus growth in the
+    * same sense as [[hashSplit]] (a kept id stays kept until n other
+    * ids hash below it). Two-phase so a giant group never single-sorts:
+    * phase 1 takes each (group, 16-way salt)'s local top-n in
+    * parallel windows; phase 2 ranks the ≤ 16·n survivors per group.
+    * Result is salt-invariant: the global n smallest all survive
+    * their salt's local cut.
+    */
+  def sampleNPerGroup(df: DataFrame, idCol: String, groupCols: Seq[String],
+                      n: Int, seed: Long = 42L): DataFrame =
+    sampleNPerGroupBy(df, idCol, groupCols, n,
+      xxhash64(concat(col(idCol).cast("string"), lit("#" + seed))))
+
+  /** [[sampleNPerGroup]]'s GATE twin: md5 hex order (string compare),
+    * replayed by the oracle's `row_number() OVER (… ORDER BY
+    * md5(id || '#' || seed), id)`. */
+  def sampleNPerGroupMd5(df: DataFrame, idCol: String, groupCols: Seq[String],
+                         n: Int, seed: Long = 42L): DataFrame =
+    sampleNPerGroupBy(df, idCol, groupCols, n,
+      md5(concat(col(idCol).cast("string"), lit("#" + seed)).cast("binary")))
+
+  private def sampleNPerGroupBy(df: DataFrame, idCol: String,
+                                groupCols: Seq[String], n: Int,
+                                key: Column): DataFrame = {
+    require(n >= 1, s"n=$n must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.withColumn("__k", key)
+      .withColumn("__salt", pmod(xxhash64(col(idCol).cast("string")), lit(16L)))
+    val wLocal = Window
+      .partitionBy((groupCols.map(col) :+ col("__salt")): _*)
+      .orderBy(col("__k").asc, col(idCol).asc)
+    val wGroup = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__k").asc, col(idCol).asc)
+    keyed
+      .withColumn("__lr", row_number().over(wLocal))
+      .filter(col("__lr") <= n)
+      .withColumn("__r", row_number().over(wGroup))
+      .filter(col("__r") <= n)
+      .drop("__k", "__salt", "__lr", "__r")
+  }
+
   /** Stratified token-budget sampling: an independent budget per
     * stratum (language, source, …) — the mixture-weighting step of
     * corpus assembly. `budgets` maps stratum value → token budget;

@@ -113,6 +113,10 @@ object Production {
       graft.operators.Dedup.removeDuplicatedLines(
         graft.queries.TextVector.linedDocs(t(s, dir, "documents")),
         "doc_id", "text")),
+    // the xxhash64 per-group sampler behind the q116 md5 gate
+    "q116p_sample_per_group_prod" -> ((s, dir) =>
+      graft.operators.Sampling.sampleNPerGroup(t(s, dir, "documents"),
+        "doc_id", Seq("source"), 5)),
     // the xxhash64 b=12 HLL production kernel behind the q115 md5 gate
     "q115p_hll_distinct_prod" -> ((s, dir) =>
       graft.operators.CorpusStats.hllDistinct(

@@ -339,6 +339,16 @@ object TextVector {
         .select(col("doc_id"), col("split"))
     }),
 
+    // deterministic 5-doc-per-source uniform sample (eval panels):
+    // keep the 5 smallest md5(id#seed) per group via the two-phase
+    // salted window. GATE = md5 ordering; production = xxhash64
+    // (q116p; SamplingSpec pins salt-invariance + determinism).
+    "q116_sample_per_group" -> ((s, dir) => {
+      graft.operators.Sampling.sampleNPerGroupMd5(t(s, dir, "documents"),
+          "doc_id", Seq("source"), 5)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // multimodal decode pipeline with a REAL codec: synthesize a
     // deterministic grayscale PNG per doc (pixels = md5-hex ASCII
     // codes cycled), then decode it back with javax.imageio — true
@@ -910,6 +920,14 @@ object TextVector {
          FROM (SELECT doc_id,
                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8))::BIGINT AS b
                FROM documents)""",
+    // the salted two-phase windows are an execution detail — the
+    // semantics is simply "5 smallest md5(id#seed) per source"
+    "q116_sample_per_group" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '#42'), doc_id) AS rn
+           FROM documents) WHERE rn <= 5""",
     "q24_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
          GROUP BY md5(array_to_string(string_split(text,' ')[1:10], ' '))""",

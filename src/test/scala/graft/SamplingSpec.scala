@@ -97,4 +97,52 @@ class SamplingSpec extends SparkSpec {
       Sampling.hashSplit(df, "id", Seq(("a", 1.0), ("b", 0.0))).collect()
     }
   }
+
+  test("sampleNPerGroup: salted two-phase == naive global top-n, deterministic, growth-stable") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(5000L)
+      .select(col("id"), (col("id") % 7).cast("string").as("g"))
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val got = ids(Sampling.sampleNPerGroup(df, "id", Seq("g"), 10)
+      .select(col("id"), col("g")))
+    // naive single-window reference with the SAME xxhash64 key
+    val naive = ids(df
+      .withColumn("__k", xxhash64(concat(col("id").cast("string"), lit("#42"))))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("__k").asc, col("id").asc)))
+      .filter(col("__r") <= 10).select(col("id"), col("g")))
+    assert(got == naive)
+    assert(got.groupBy(_._1).view.mapValues(_.size).toMap.values.toSet == Set(10))
+    // rerun identical
+    assert(got == ids(Sampling.sampleNPerGroup(df, "id", Seq("g"), 10)
+      .select(col("id"), col("g"))))
+    // growth stability: adding rows only ever displaces a kept id by
+    // hashing BELOW it — the new sample is a subset-or-equal blend,
+    // never a reshuffle: every id kept in the grown corpus that
+    // existed before was kept before too... only if its rank didn't
+    // change; the hashSplit-style invariant here is: kept-before ∧
+    // still-kept-after ⊆ same hash order, so the overlap is exactly
+    // the old sample minus ids displaced by smaller-hashing newcomers
+    val grown = df.unionByName(spark.range(5000L, 6000L)
+      .select(col("id"), (col("id") % 7).cast("string").as("g")))
+    val after = ids(Sampling.sampleNPerGroup(grown, "id", Seq("g"), 10)
+      .select(col("id"), col("g")))
+    assert((after -- got).forall(_._2 >= 5000L),
+      "an old id entered the sample without new data hashing below the cut")
+  }
+
+  test("sampleNPerGroupMd5 gate twin uses md5 order (differs only in hash family)") {
+    val df = spark.range(100L)
+      .select(col("id"), (col("id") % 2).cast("string").as("g"))
+    val gate = Sampling.sampleNPerGroupMd5(df, "id", Seq("g"), 3)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    // reference: sort by md5 hex on the driver
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = (0L until 100L).groupBy(i => (i % 2).toString).toSeq.flatMap {
+      case (g, is) => is.sortBy(i => (m(s"$i#42"), i)).take(3).map(g -> _)
+    }.toSet
+    assert(gate == want)
+  }
 }
