@@ -443,6 +443,29 @@ object CorpusStats {
         :+ col("bucket"): _*)
   }
 
+  /** Corpus version DIFF — the iteration primitive behind every
+    * pipeline change review ("what did the new filter actually do?"):
+    * full-outer join two corpus versions by id and classify each
+    * changed document as `added` / `removed` / `changed`
+    * (fingerprint-inequal text under the same id; unchanged docs are
+    * omitted — at 100 TB the diff is small, the corpus is not).
+    * Returns (idCol, status, fp_old, fp_new). Text never shuffles:
+    * both sides reduce map-side to (id, md5 fingerprint) before the
+    * one join, which co-partitions on id.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    def fp(df: DataFrame, name: String) = df.select(col(idCol),
+      TextFunctions.fingerprint(col(textCol)).as(name))
+    fp(oldDf, "fp_old").join(fp(newDf, "fp_new"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") =!= col("fp_new"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col(idCol), col("status"), col("fp_old"), col("fp_new"))
+  }
+
   /** HyperLogLog register table (Flajolet et al. 2007) for grouped
     * DISTINCT-count estimation — the mergeable constant-memory
     * companion to the count-min FREQUENCY sketch below: registers

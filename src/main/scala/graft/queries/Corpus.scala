@@ -241,6 +241,33 @@ object Corpus {
         d.filter(col("source") === "src0"), d, "doc_id", "text")
     }),
 
+    // tokenizer fertility per source under the q109-trained merges —
+    // the one-pass kernel again runs under a full oracle here (the
+    // e-chain replays every word's merged form; sums are integers,
+    // the two ratios one fixed-order division each).
+    "q118_bpe_fertility" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Bpe.fertilityStats(d, "text", "source",
+        Bpe.trainMerges(d, "text", numMerges = BpeRounds))
+    }),
+
+    // corpus version diff: classify added/removed/changed docs between
+    // two corpus versions (the "what did my filter change" primitive).
+    // The second version is synthesized deterministically from the
+    // fixture: drop %17 docs, append a marker to %13 docs, add fresh
+    // ids for %29 docs — exercising all three statuses.
+    "q117_corpus_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val changed = d.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" changedmark")))
+            .otherwise(col("text")))
+      val added = d.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("brand new doc "), col("doc_id").cast("string")).as("text"))
+      CorpusStats.corpusDiff(d, changed.unionByName(added), "doc_id", "text")
+    }),
+
     // HyperLogLog distinct-token estimate per source (Flajolet 2007):
     // the mergeable cardinality companion to the q90 CMS frequency
     // sketch. GATE = md5 registers at b=8 with the harmonic sum in
@@ -652,6 +679,42 @@ object Corpus {
     // LEFT joins carrying add-one smoothing for reference-unseen
     // n-grams: coalesce(cb,0) -> P = 1/(cu+V), coalesce(cu,0) -> 1/V
     "q108_lm_score_ref" -> LmScoreRefSql,
+    // q118: the q109/q110 chains, every token joined to its merged
+    // form, integer sums per source + two fixed-order divisions
+    "q118_bpe_fertility" ->
+      s"""WITH RECURSIVE $bpeChainSql,
+         $bpeEncodeChainSql,
+         tk AS (SELECT source, tl[t.i] AS word
+                FROM (SELECT source, string_split(text, ' ') AS tl FROM documents),
+                     UNNEST(generate_series(1, len(tl))) AS t(i)),
+         enc AS (SELECT source, word, e.syms FROM tk JOIN e$BpeRounds e USING (word))
+         SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(syms)) AS BIGINT) AS n_symbols,
+           CAST(sum(len(word)) AS BIGINT) AS n_chars,
+           round(CAST(sum(len(syms)) AS DOUBLE) / count(*), 6) AS fertility,
+           round(CAST(sum(len(word)) AS DOUBLE) / sum(len(syms)), 6) AS chars_per_symbol
+         FROM enc GROUP BY source""",
+    // q117: same synthesized second version, same fingerprint
+    // (md5(trim(lower(text))) — the q23 idiom), full-outer classify
+    "q117_corpus_diff" ->
+      """WITH oldv AS (SELECT doc_id, text FROM documents),
+         newv AS (SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' changedmark' ELSE text END AS text
+           FROM documents WHERE doc_id % 17 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, 'brand new doc ' || CAST(doc_id AS VARCHAR)
+           FROM documents WHERE doc_id % 29 = 0),
+         o AS (SELECT doc_id, md5(trim(lower(text))) AS fp_old FROM oldv),
+         n AS (SELECT doc_id, md5(trim(lower(text))) AS fp_new FROM newv),
+         j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, fp_old, fp_new
+               FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         SELECT doc_id,
+           CASE WHEN fp_old IS NULL THEN 'added'
+                WHEN fp_new IS NULL THEN 'removed'
+                WHEN fp_old <> fp_new THEN 'changed' END AS status,
+           fp_old, fp_new
+         FROM j
+         WHERE fp_old IS NULL OR fp_new IS NULL OR fp_old <> fp_new""",
     // q115: HLL registers from md5 (bucket = first 2 hex chars, rho =
     // 25 − len(bin(next 24 bits)) — integer-exact, no float log2),
     // harmonic sum as Σ 2^(25−M) in BIGINT, then the standard

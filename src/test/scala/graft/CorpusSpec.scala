@@ -567,6 +567,32 @@ class CorpusSpec extends SparkSpec {
     assert(vocabPlan.contains("partial"), s"expect partial agg:\n$vocabPlan")
   }
 
+  test("corpusDiff classifies added/removed/changed and omits unchanged") {
+    import spark.implicits._
+    val oldV = Seq((1L, "same text"), (2L, "will change"), (3L, "goes away"),
+      (4L, "Same  TEXT")).toDF("doc_id", "text")
+    val newV = Seq((1L, "same text"), (2L, "has changed"), (5L, "fresh doc"),
+      (4L, "same  text")).toDF("doc_id", "text")
+    val got = CorpusStats.corpusDiff(oldV, newV, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 4 differs only by case → same fingerprint → omitted, like doc 1
+    assert(got == Map(2L -> "changed", 3L -> "removed", 5L -> "added"))
+  }
+
+  test("fertilityStats: exact counts and ratios on a planted corpus") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    val df = Seq(("a", "abab ab"), ("b", "cd")).toDF("source", "text")
+    val merges = Seq(Bpe.Merge("a", "b", 3L))
+    val rows = Bpe.fertilityStats(df, "text", "source", merges)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // source a: words [abab, ab] → syms [ab,ab],[ab] = 3 symbols, 6 chars
+    assert(rows("a") == ((2L, 3L, 6L, 1.5, 2.0)))
+    // source b: [cd] stays [c, d] → 2 symbols, 2 chars
+    assert(rows("b") == ((1L, 2L, 2L, 2.0, 1.0)))
+  }
+
   test("HLL distinct: error contract on both kernels; registers max-merge exactly") {
     import spark.implicits._
     // 200k values over 4 groups → 50k true distinct per group
