@@ -426,21 +426,28 @@ object CorpusStats {
                    nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, s"nBuckets=$nBuckets must be >= 2")
     import org.apache.spark.sql.expressions.Window
-    val total = df.count()
-    val groups = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
+    // the scored input is consumed three times (total count, offsets
+    // agg, final join) — checkpoint it so an expensive upstream
+    // (perplexityBuckets' LM scoring) prices once, not three times
+    val cached = df.localCheckpoint(true)
+    val total = cached.count()
+    val groups = cached.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
     val wS = Window.orderBy(col(scoreCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = groups
       .withColumn("__before", coalesce(sum(col("__c")).over(wS), lit(0L)))
       .drop("__c")
     val wG = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
-    df.join(offsets, Seq(scoreCol))
+    val out = cached.join(offsets, Seq(scoreCol))
       .withColumn("__rk0", col("__before") + row_number().over(wG) - 1)
       .withColumn("bucket",
         expr(s"CAST((__rk0 * $nBuckets) DIV ${math.max(total, 1L)} AS INT)"))
       .drop("__before", "__rk0")
       .select(col(idCol) +: df.columns.filterNot(_ == idCol).map(col)
         :+ col("bucket"): _*)
+      .localCheckpoint(true)
+    cached.unpersist()
+    out
   }
 
   /** Corpus version DIFF — the iteration primitive behind every
