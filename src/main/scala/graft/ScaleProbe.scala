@@ -127,6 +127,31 @@ object ScaleProbe {
           base.filter(col("doc_id") % 50 === 0), "text", windowTokens = 8)
         .agg(sum(length(col("clean_text"))), sum(col("n_removed")))
         .collect()(0).getLong(1))
+    // round-10 corpus operators. Line dedup runs over the q112-style
+    // synthesized multi-line corpus (the rotated copies plant real
+    // repeated lines); agg on OUTPUT columns for the same
+    // count()-pruning reason as span_removal
+    time("line_dedup", base, scaled)(d =>
+      Dedup.removeDuplicatedLines(
+          graft.queries.TextVector.linedDocs(d), "doc_id", "text")
+        .agg(sum(length(col("clean_text"))), sum(col("n_removed")))
+        .collect()(0).getLong(1))
+    // fixed reference LM, growing target + the exact rank partition
+    time("perplexity_buckets", base, scaled)(d =>
+      CorpusStats.perplexityBuckets(
+        base.filter(col("source") === "src0"), d, "doc_id", "text").count())
+    time("hll_distinct", base, scaled)(d =>
+      CorpusStats.hllDistinct(
+        d.select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("t")),
+        Seq("source"), "t").count())
+    time("sample_per_group", base, scaled)(d =>
+      Sampling.sampleNPerGroup(d, "doc_id", Seq("source"), 10).count())
+    // old = base-sized slice of the scaled corpus, new = scaled — the
+    // asymmetric version-diff shape (big new snapshot vs prior)
+    time("corpus_diff", base, scaled)(d =>
+      CorpusStats.corpusDiff(d.filter(col("doc_id") % 3 =!= 0), d,
+        "doc_id", "text").count())
     // round-8 DuckDB-replayable gate kernels: the MinHash gate must
     // track the production kernel's regime (one base hash + affine
     // family); the SimHash gate is exact-by-construction, which pins

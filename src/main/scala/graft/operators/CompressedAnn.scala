@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** The composed 100 TB ANN recipe — each stage is an independently
+  * gated operator, this wires them into the pipeline a production
+  * embedding store actually runs:
+  *
+  *   1. [[VectorFunctions.randomProject]] cuts dimension (64 → 16 by
+  *      default): 4× less arithmetic everywhere downstream, JL-bounded
+  *      cosine distortion (q114 gate, SimilaritySpec bounds).
+  *   2. [[VectorFunctions.int8Quantize]] stores the PROJECTED vectors
+  *      as (scale, int8[]): another 8× on top in index bytes scanned
+  *      per probe (q107 gate) — the candidate scan reads ~32× fewer
+  *      vector bytes than a raw float64 index.
+  *   3. [[TwoLevel]] coarse quantization clusters the projected space
+  *      (no flat-literal ceiling; q101L/q33Lp gates), probing ranks
+  *      supers then children map-side.
+  *   4. Candidates score APPROXIMATELY from dequantized projections,
+  *      the top `topCandidates` per query re-rank EXACTLY against the
+  *      original full-dimension embeddings — the standard
+  *      compressed-index + exact-rerank shape (the FAISS
+  *      IVF+SQ8+refine composition).
+  *
+  * Scale shape: the corpus never shuffles. Build assigns cells
+  * map-side (broadcast child matrices under the ceiling); the probe
+  * joins the compressed cells against a BROADCAST probe list, and the
+  * rerank joins the small candidate set (queries × topCandidates)
+  * back to the corpus as another broadcast semi-join. SimilaritySpec
+  * pins end-to-end recall vs brute force.
+  */
+object CompressedAnn {
+
+  /** (cell, neighbor_id, scale, qv int8) compressed cells + the
+    * projector config needed to route queries the same way. */
+  final case class Index(quantizer: TwoLevel.TwoLevelQuantizer,
+                         cells: DataFrame, outDim: Int, dim: Int) {
+    def unpersist(): Unit = { cells.unpersist(); quantizer.unpersist() }
+  }
+
+  // float projection: the quantizer/index stack runs on array<float>
+  // (the embedding fixture type); the JL guarantees survive the cast
+  private def project(vec: Column, outDim: Int, dim: Int): Column =
+    VectorFunctions.randomProject(vec, outDim, dim).cast("array<float>")
+
+  /** Offline build: project, two-level-fit the projected space,
+    * assign cells, int8-encode the projected vectors. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int,
+            outDim: Int = 16, dim: Int = 64, iters: Int = 2): Index = {
+    val proj = corpus.select(col(idCol).as("neighbor_id"),
+      project(col(vecCol), outDim, dim).as("pv"))
+    val tl = TwoLevel.fit(proj, "neighbor_id", "pv", nlist, iters)
+    val cells = tl.assign(proj, "pv", "cell")
+      .withColumn("scale", VectorFunctions.int8Scale(col("pv")))
+      .select(col("cell"), col("neighbor_id"), col("scale"),
+        VectorFunctions.int8Quantize(col("pv"), col("scale")).as("qv8"))
+      .persist()
+    cells.count()
+    Index(tl, cells, outDim, dim)
+  }
+
+  /** Probe: route the projected query through the two-level cells,
+    * score candidates on dequantized int8 projections, exact-rerank
+    * the top `topCandidates` against the original embeddings.
+    * Returns (query_id, neighbor_id, rank, cosine) — exact cosines.
+    */
+  def probe(index: Index, corpus: DataFrame, queries: DataFrame,
+            idCol: String, vecCol: String, k: Int,
+            topCandidates: Int = 64, nprobeSuper: Int = 4,
+            nprobe: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftExtensions.registerAll(queries.sparkSession)
+    require(topCandidates >= k, s"topCandidates=$topCandidates < k=$k")
+    val q = queries.select(col(idCol).as("query_id"),
+      project(col(vecCol), index.outDim, index.dim).as("qv"))
+    val probes = TwoLevel.probeCells(index.quantizer, q, nprobeSuper, nprobe)
+    // approximate scores: dequantized int8 projection vs projected query
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("ac").desc, col("neighbor_id"))
+    val cands = index.cells.join(broadcast(probes), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("ac", call_function("graft_cosine", col("qv"),
+        VectorFunctions.int8Dequantize(col("qv8"), col("scale"))
+          .cast("array<float>")))
+      .withColumn("__r", row_number().over(wApprox))
+      .filter(col("__r") <= topCandidates)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank: small candidate set broadcast against the corpus
+    // (by id) and the query originals
+    val qOrig = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .join(broadcast(cands), "neighbor_id")
+      .join(broadcast(qOrig), "query_id")
+      .withColumn("cos", call_function("graft_cosine", col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cosine"))
+  }
+}

@@ -216,13 +216,14 @@ object TwoLevel {
     * missed, bought back by raising `nprobeSuper` (spec measures
     * recall vs brute force).
     */
-  def ivfProbeTwoLevel(index: TwoLevelIvfIndex, queries: DataFrame,
-                       idCol: String, vecCol: String, k: Int,
-                       nprobeSuper: Int = 4, nprobe: Int = 8): DataFrame = {
+  /** The two-stage probe-cell ranking shared by [[ivfProbeTwoLevel]]
+    * and the compressed-ANN pipeline: `nprobeSuper` nearest supers
+    * map-side (literal kernel), then the `nprobe` nearest child cells
+    * within just those supers. Returns (query_id, qv, cell).
+    */
+  private[operators] def probeCells(tl: TwoLevelQuantizer, q: DataFrame,
+                                    nprobeSuper: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.plans.GraftExtensions.registerAll(queries.sparkSession)
-    val tl = index.quantizer
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val supers = q
       .withColumn("probe", explode(slice(array_sort(
         zip_with(tl.superDists(col("qv")),
@@ -234,7 +235,7 @@ object TwoLevel {
     // LIST is the broadcast side (queries are small by contract), so
     // no executor ever materializes an over-ceiling matrix table
     val cellRanked = (
-      if (tl.matBytes <= broadcastBytes(queries.sparkSession))
+      if (tl.matBytes <= broadcastBytes(q.sparkSession))
         supers.join(broadcast(tl.childMats), "super")
       else broadcast(supers).join(tl.childMats, "super"))
       .withColumn("cd", call_function("graft_cell_dists", col("qv"), col("mat")))
@@ -245,9 +246,19 @@ object TwoLevel {
         (col("super") * tl.kChild + col("pc.child")).as("cell"),
         col("pc.d").as("d"))
     val wp = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cell"))
-    val probes = cellRanked.withColumn("__r", row_number().over(wp))
+    cellRanked.withColumn("__r", row_number().over(wp))
       .filter(col("__r") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
+  }
+
+  def ivfProbeTwoLevel(index: TwoLevelIvfIndex, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       nprobeSuper: Int = 4, nprobe: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftExtensions.registerAll(queries.sparkSession)
+    val tl = index.quantizer
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = probeCells(tl, q, nprobeSuper, nprobe)
     val scored = index.cells.join(broadcast(probes), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", call_function("graft_cosine", col("qv"), col("cv")))

@@ -113,6 +113,20 @@ object Production {
       graft.operators.Dedup.removeDuplicatedLines(
         graft.queries.TextVector.linedDocs(t(s, dir, "documents")),
         "doc_id", "text")),
+    // the composed compressed-ANN recipe (JL projection → int8 →
+    // two-level IVF → exact rerank) end to end under the driver; each
+    // stage is individually oracled (q114/q107/q101L/q33Lp), the
+    // composition is spec-pinned for recall and rerank exactness
+    "q119p_compressed_ann_prod" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = graft.operators.CompressedAnn.build(
+        e, "vec_id", "embedding", nlist = 32, outDim = 16)
+      val out = graft.operators.CompressedAnn.probe(idx, e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .localCheckpoint(true)
+      idx.unpersist()
+      out
+    }),
     // the xxhash64 per-group sampler behind the q116 md5 gate
     "q116p_sample_per_group_prod" -> ((s, dir) =>
       graft.operators.Sampling.sampleNPerGroup(t(s, dir, "documents"),

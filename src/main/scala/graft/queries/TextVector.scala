@@ -526,7 +526,7 @@ object TextVector {
     * third doc gains a shared boilerplate banner line. Mirrored
     * verbatim by the q112 oracle's `lined` CTE.
     */
-  private[queries] def linedDocs(d: DataFrame): DataFrame =
+  private[graft] def linedDocs(d: DataFrame): DataFrame =
     d.select(col("doc_id"), split(col("text"), " ").as("__toks"))
       .select(col("doc_id"),
         concat_ws("\n", transform(
