@@ -241,6 +241,29 @@ object Corpus {
         d.filter(col("source") === "src0"), d, "doc_id", "text")
     }),
 
+    // THE PIPELINE'S FINAL ARTIFACT: documents tokenized to BPE ids
+    // (one-pass kernel + vocab lookup) and greedily packed into
+    // 512-token training sequences — per bin, the doc count, token
+    // count, and a fingerprint of the concatenated id stream in
+    // packing order. Every stage is itself oracled (q109/q111/q88);
+    // this gate proves the tokenize→pack COMPOSITION end to end.
+    "q120_pack_token_ids" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = Bpe.trainMerges(d, "text", numMerges = BpeRounds)
+      val ids = Bpe.encodeIds(d, "doc_id", "text", merges,
+          Bpe.vocabulary(d, "text", merges))
+        .withColumn("n_tokens", size(col("ids")).cast("long"))
+      Sampling.packSequences(ids, "doc_id", "n_tokens", 512L)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          md5(concat_ws("|", flatten(transform(
+            array_sort(collect_list(struct(
+              md5(col("doc_id").cast("string").cast("binary")).as("k"),
+              col("doc_id").as("d"),
+              transform(col("ids"), _.cast("string")).as("v")))),
+            x => x.getField("v")))).cast("binary")).as("ids_fp"))
+    }),
+
     // tokenizer fertility per source under the q109-trained merges —
     // the one-pass kernel again runs under a full oracle here (the
     // e-chain replays every word's merged form; sums are integers,
@@ -404,6 +427,33 @@ object Corpus {
            round(sum(CAST(round(logp * 1e9) AS BIGINT)) / 1e9 / count(*), 6) AS avg_logp
          FROM scored GROUP BY doc_id"""
 
+  /** Shared q111/q120 id-derivation CTEs: deterministic vocabulary
+    * (sorted corpus chars then merge products, min(id) on duplicate
+    * strings), every token joined to its merged form, one row per
+    * (doc, token pos, symbol pos) with its id. Assumes
+    * [[bpeChainSql]] + [[bpeEncodeChainSql]] precede it. */
+  private def bpeIdsCtes: String =
+    s"""chars AS MATERIALIZED (SELECT DISTINCT c FROM (
+             SELECT unnest(string_split(replace(text, ' ', ''), '')) AS c
+             FROM documents) WHERE c <> ''),
+         nch AS MATERIALIZED (SELECT count(*) AS n FROM chars),
+         vocab AS MATERIALIZED (SELECT tok, CAST(min(id) AS INTEGER) AS id FROM (
+             SELECT c AS tok, row_number() OVER (ORDER BY c) - 1 AS id FROM chars
+             UNION ALL
+             SELECT mg.a || mg.b AS tok, nch.n + mg.r - 1 AS id FROM (
+               ${(1 to BpeRounds).map(r =>
+                 s"SELECT $r AS r, a, b FROM b$r").mkString("\n               UNION ALL ")}) mg, nch)
+           GROUP BY tok),
+         toks AS (SELECT doc_id, t.i AS pos, tl[i] AS word
+                  FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+                       UNNEST(generate_series(1, len(tl))) AS t(i)),
+         enc AS (SELECT doc_id, pos, d.syms
+                 FROM toks JOIN e$BpeRounds d USING (word)),
+         sym AS (SELECT doc_id, pos, g.i AS spos, syms[g.i] AS s
+                 FROM enc, UNNEST(generate_series(1, len(syms))) AS g(i)),
+         wid AS MATERIALIZED (SELECT doc_id, pos, spos, v.id
+                 FROM sym JOIN vocab v ON v.tok = sym.s)"""
+
   val oracle: Map[String, String] = Map(
     "q109_bpe_train" ->
       s"""WITH RECURSIVE $bpeChainSql
@@ -436,29 +486,31 @@ object Corpus {
     "q111_bpe_encode_ids" ->
       s"""WITH RECURSIVE $bpeChainSql,
          $bpeEncodeChainSql,
-         chars AS MATERIALIZED (SELECT DISTINCT c FROM (
-             SELECT unnest(string_split(replace(text, ' ', ''), '')) AS c
-             FROM documents) WHERE c <> ''),
-         nch AS MATERIALIZED (SELECT count(*) AS n FROM chars),
-         vocab AS MATERIALIZED (SELECT tok, CAST(min(id) AS INTEGER) AS id FROM (
-             SELECT c AS tok, row_number() OVER (ORDER BY c) - 1 AS id FROM chars
-             UNION ALL
-             SELECT mg.a || mg.b AS tok, nch.n + mg.r - 1 AS id FROM (
-               ${(1 to BpeRounds).map(r =>
-                 s"SELECT $r AS r, a, b FROM b$r").mkString("\n               UNION ALL ")}) mg, nch)
-           GROUP BY tok),
-         toks AS (SELECT doc_id, t.i AS pos, tl[i] AS word
-                  FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
-                       UNNEST(generate_series(1, len(tl))) AS t(i)),
-         enc AS (SELECT doc_id, pos, d.syms
-                 FROM toks JOIN e$BpeRounds d USING (word)),
-         sym AS (SELECT doc_id, pos, g.i AS spos, syms[g.i] AS s
-                 FROM enc, UNNEST(generate_series(1, len(syms))) AS g(i)),
-         wid AS (SELECT doc_id, pos, spos, v.id
-                 FROM sym JOIN vocab v ON v.tok = sym.s)
+         $bpeIdsCtes
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_symbols,
            md5(string_agg(CAST(id AS VARCHAR), '|' ORDER BY pos, spos)) AS ids_fp
          FROM wid GROUP BY doc_id""",
+    // q120: the q111 id chain, rolled up per doc in symbol order,
+    // then the q88 packing rule (cum over (md5(id), id) order,
+    // bin = floor((cum − n)/512)) and a per-bin fingerprint of the
+    // concatenated id streams in packing order
+    "q120_pack_token_ids" ->
+      s"""WITH RECURSIVE $bpeChainSql,
+         $bpeEncodeChainSql,
+         $bpeIdsCtes,
+         dstr AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             string_agg(CAST(id AS VARCHAR), '|' ORDER BY pos, spos) AS ids
+           FROM wid GROUP BY doc_id),
+         packed AS (SELECT doc_id, n_tokens, ids,
+             md5(CAST(doc_id AS VARCHAR)) AS k,
+             sum(n_tokens) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+           FROM dstr),
+         binned AS (SELECT *, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin
+                    FROM packed)
+         SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           md5(string_agg(ids, '|' ORDER BY k, doc_id)) AS ids_fp
+         FROM binned GROUP BY bin""",
     // replays the quantized Lloyd gate exactly: integer-rounded
     // vectors, centroids = 8 smallest md5(vec_id), three unrolled
     // assign/update rounds (assign = row_number argmin with
