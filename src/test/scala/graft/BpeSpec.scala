@@ -96,6 +96,55 @@ class BpeSpec extends SparkSpec {
     assert(got.getString(2) == refEncode("ab c", Nil)._2)
   }
 
+  /** The pre-round-10 full-recount trainer, kept as the test
+    * reference: every round recounts all pairs of all words and picks
+    * (max count, lex-smallest (a, b)). The incremental fold must be
+    * merge-for-merge identical. */
+  private def naiveTrain(vocab0: Seq[(Vector[String], Long)],
+                         numMerges: Int): Seq[Merge] = {
+    var vocab = vocab0
+    val out = Seq.newBuilder[Merge]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, cnt) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+          pc(p) = pc.getOrElse(p, 0L) + cnt
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        val ((a, b), c) = pc.minBy { case ((pa, pb), n) => (-n, pa, pb) }
+        out += Merge(a, b, c)
+        vocab = vocab.map { case (s, cnt) => Bpe.applyMerge(s, a, b) -> cnt }
+        round += 1
+      }
+    }
+    out.result()
+  }
+
+  test("incremental trainMerges == naive full recount on random corpora") {
+    val rnd = new scala.util.Random(11)
+    (0 until 8).foreach { _ =>
+      val docs = (0 until 20).map { i =>
+        (i.toLong, (0 until 1 + rnd.nextInt(10)).map(_ =>
+          (0 until 1 + rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(3)).toChar)
+            .mkString).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val wc = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (w, c) => (-c, w) }.take(10000)
+        .map { case (w, c) => w.map(_.toString).toVector -> c }
+      // include empty-token handling parity: add docs with "" tokens?
+      // split(" ") already yields them for double spaces — none here
+      val want = naiveTrain(wc, 12)
+      val got = Bpe.trainMerges(df, "text", numMerges = 12)
+      assert(got == want, s"docs=${docs.take(3)}…")
+    }
+  }
+
   private def fpMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, String)] =
     df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
 

@@ -16,6 +16,32 @@ class PropertySpec extends AnyFunSuite {
     (0 until 200).foreach(_ => body(rnd))
   }
 
+  test("BPE one-pass kernel == sequential applyMerge fold on random words and tables") {
+    import graft.operators.Bpe
+    import graft.plans.BpeKernel
+    import org.apache.spark.unsafe.types.UTF8String
+    cases(7) { rnd =>
+      // tiny alphabet → dense pair collisions, overlap runs, and
+      // products re-used as later merge sides (incl. the re-created-
+      // pair and duplicate-entry shapes the unit tests plant by hand)
+      val alphabet = Vector("a", "b", "c")
+      var pool = alphabet
+      val merges = (0 until 1 + rnd.nextInt(8)).map { _ =>
+        val a = pool(rnd.nextInt(pool.size)); val b = pool(rnd.nextInt(pool.size))
+        pool = pool :+ (a + b)
+        (a, b)
+      }
+      val word = (0 until rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(3))).mkString
+      val ref = merges.foldLeft(word.map(_.toString).toVector) {
+        (s, m) => Bpe.applyMerge(s, m._1, m._2)
+      }
+      val tbl = new BpeKernel.Table(merges.map(_._1).toArray, merges.map(_._2).toArray)
+      val got = BpeKernel.encodeWord(UTF8String.fromString(word), tbl)
+      val gotSeq = (0 until got.numElements()).map(got.getUTF8String(_).toString)
+      assert(gotSeq == ref, s"word=$word merges=$merges")
+    }
+  }
+
   test("Morton encode/decode round-trips at every level") {
     cases(1) { rnd =>
       val level = 1 + rnd.nextInt(10)
