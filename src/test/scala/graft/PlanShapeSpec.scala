@@ -253,6 +253,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(surv.count() > 0)
   }
 
+  test("random projection and BPE fast encode are map-only codegen (no shuffle, no UDF)") {
+    val proj = plan("q114_random_projection")
+    assert(!proj.contains("Exchange"), s"projection shuffles:\n$proj")
+    // executedPlan renders whole-stage codegen spans as "*(id)"
+    assert(proj.contains("*("), s"projection not codegen'd:\n$proj")
+    graft.plans.GraftExtensions.registerAll(spark)
+    val d = Tables(spark, sf001, "documents")
+    val merges = graft.operators.Bpe.trainMerges(d, "text", 16)
+    val enc = graft.operators.Bpe.encodeFast(d, "doc_id", "text", merges)
+    val p = enc.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"one-pass encode shuffles:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"encode fell back to a UDF:\n$p")
+  }
+
+  test("HLL registers are ONE pre-combined hash-agg shuffle; estimate adds one more") {
+    val d = Tables(spark, sf001, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+    val regs = graft.operators.CorpusStats.hllRegisters(d, Seq("source"), "t")
+    val p = regs.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1, s"register build shuffles != 1:\n$p")
+    assert(p.contains("partial"), s"no map-side partial agg:\n$p")
+  }
+
+  test("line dedup never shuffles document text — only (doc,pos,hash) frames") {
+    // the hash-count exchange must carry the slim hashed projection;
+    // assert no Exchange's child projects the text/line column itself
+    val d = Tables(spark, sf001, "documents")
+    val out = graft.operators.Dedup.removeDuplicatedLines(d, "doc_id", "text")
+    val p = out.queryExecution.executedPlan.toString
+    // every hashpartitioning key in the plan is an id, hash, or
+    // line-hash column — never raw text
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .toSeq
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e =>
+      assert(!e.contains("text#") && !e.contains("line#"),
+        s"text shuffles in: $e"))
+  }
+
+  test("per-group sampler plans salted windows, not one global sort") {
+    val p = plan("q116_sample_per_group")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"sampler funnels through one partition:\n$p")
+    assert(p.contains("Window"), s"no window in plan:\n$p")
+  }
+
   test("skew profile surfaces the hot key") {
     val df = ((0 until 900).map(_ => "hot") ++ (0 until 100).map(i => s"k$i"))
       .toDF("k")
