@@ -61,6 +61,40 @@ object CompressedAnn {
     Index(tl, cells, outDim, dim)
   }
 
+  /** Persist the compressed index: int8 cells `partitionBy("cell")`
+    * (probe-time partition pruning at the storage layer, same layout
+    * as [[Similarity.writeIvfIndex]]), the children table as parquet,
+    * and the super matrix + dims in a JSON sidecar.
+    */
+  def write(index: Index, path: String): Unit = {
+    index.cells.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells.parquet")
+    index.quantizer.children.write.mode("overwrite")
+      .parquet(s"$path/children.parquet")
+    val sup = index.quantizer.superCentroids
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val json = s"""{"outDim":${index.outDim},"dim":${index.dim},""" +
+      s""""kChild":${index.quantizer.kChild},"super":$sup}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_quantizer.json"), json)
+  }
+
+  def open(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path, "_quantizer.json")))
+    val supNode = node.get("super")
+    val sup = (0 until supNode.size()).map { i =>
+      val row = supNode.get(i)
+      (0 until row.size()).map(j => row.get(j).asDouble()).toArray
+    }.toArray
+    val tl = TwoLevel.TwoLevelQuantizer(sup,
+      spark.read.parquet(s"$path/children.parquet"),
+      node.get("kChild").asInt())
+    Index(tl, spark.read.parquet(s"$path/cells.parquet"),
+      node.get("outDim").asInt(), node.get("dim").asInt())
+  }
+
   /** Probe: route the projected query through the two-level cells,
     * score candidates on dequantized int8 projections, exact-rerank
     * the top `topCandidates` against the original embeddings.

@@ -119,13 +119,9 @@ object Production {
     // composition is spec-pinned for recall and rerank exactness
     "q119p_compressed_ann_prod" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val idx = graft.operators.CompressedAnn.build(
-        e, "vec_id", "embedding", nlist = 32, outDim = 16)
-      val out = graft.operators.CompressedAnn.probe(idx, e,
-          e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
-        .localCheckpoint(true)
-      idx.unpersist()
-      out
+      graft.operators.CompressedAnn.probe(
+        graft.queries.TextVector.compressedAnnIndexFor(s, dir), e,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     }),
     // the xxhash64 per-group sampler behind the q116 md5 gate
     "q116p_sample_per_group_prod" -> ((s, dir) =>

@@ -50,6 +50,33 @@ object TextVector {
     })
   }
 
+  /** Compressed-ANN index per (session, dir) — same offline-build /
+    * online-probe split as [[ivfIndexFor]]: the q119p gate prices the
+    * recurring cost (cold partition-pruned probe of the int8 cells),
+    * with the projection+fit+encode build running once per session.
+    */
+  private val cannCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String,
+        graft.operators.CompressedAnn.Index]]()
+  def compressedAnnIndexFor(s: SparkSession, dir: String)
+      : graft.operators.CompressedAnn.Index = {
+    val perSession = cannCache.synchronized {
+      var m = cannCache.get(s)
+      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; cannCache.put(s, m) }
+      m
+    }
+    perSession.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cann-")
+      deleteOnExit(tmp)
+      val built = graft.operators.CompressedAnn.build(
+        t(s, dir, "embeddings"), "vec_id", "embedding", nlist = 32, outDim = 16)
+      graft.operators.CompressedAnn.write(built, tmp.toString)
+      built.unpersist()
+      graft.operators.CompressedAnn.open(s, tmp.toString)
+    })
+  }
+
   /** PQ codebook + encoded corpus per (session, dir) — same offline-
     * build / online-probe split as the IVF index: training and
     * encoding are one-time artifact builds, the recurring cost is the

@@ -84,7 +84,6 @@ class TwoLevelSpec extends SparkSpec {
       .collect()
     val got = out.groupBy(_.getLong(0))
       .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
-    idx.unpersist()
     // exactness of the rerank: every reported cosine equals the
     // brute-force cosine for that (query, neighbor) pair
     val bruteCos = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 499)
@@ -94,6 +93,15 @@ class TwoLevelSpec extends SparkSpec {
       bruteCos.get(key).foreach(c =>
         assert(math.abs(c - r.getDouble(3)) < 1e-9, s"cosine mismatch at $key"))
     }
+    // disk roundtrip: a reopened index probes to the identical result
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cann-spec-").toString
+    CompressedAnn.write(idx, tmp)
+    val reopened = CompressedAnn.open(spark, tmp)
+    val again = CompressedAnn.probe(reopened, e, q, "vec_id", "embedding", 5,
+        topCandidates = 64, nprobeSuper = 4, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    idx.unpersist()
     // recall: projection loses some geometry (JL at outDim 16), the
     // probed fraction is 8/16-ish cells, and the exact rerank buys
     // back ordering within candidates — the composition must stay
