@@ -89,6 +89,22 @@ object StreamingPipelines {
     * and content-dedups them within the watermark, and appends closed
     * per-window stats exactly once (checkpoint + file-sink manifest).
     */
+  /** Continuous distinct-value monitoring: HyperLogLog registers as a
+    * plain streaming aggregation — `max(rho)` per (group, bucket) is
+    * exactly the sketch's merge operator, so Spark's update-mode
+    * state IS the running register table, bounded at 2^b rows per
+    * group no matter how much data streams through. Feed the sink
+    * table to [[graft.operators.CorpusStats.hllEstimate]] for the
+    * current cardinality. StreamingSpec pins stream == batch
+    * registers on staged batches.
+    */
+  def hllIngest(values: DataFrame, groupCols: Seq[String], valueCol: String,
+                b: Int = 12): DataFrame =
+    // the batch register builder is already a pure select + grouped
+    // max — streaming-legal as-is, and delegating keeps ONE
+    // definition of the (bucket, rho) derivation
+    graft.operators.CorpusStats.hllRegisters(values, groupCols, valueCol, b)
+
   def corpusIngestToParquet(spark: SparkSession, inDir: String, schema: StructType,
                             outDir: String, checkpointDir: String,
                             lateness: String = "30 minutes",

@@ -39,6 +39,43 @@ class StreamingSpec extends SparkSpec {
     spark.table(sink).collect()
   }
 
+  test("streaming HLL ingest: register state == batch registers, two staged batches") {
+    import graft.streaming.StreamingPipelines
+    import graft.operators.CorpusStats
+    // value stream in two arrival batches; the update-mode max state
+    // must equal the one-shot batch register table over the union
+    val b1 = (0L until 300L).map(i => Ev(i, ts("2024-01-01 00:05:00"),
+      i % 3, "v", 0.0, s"val${i % 97}"))
+    val b2 = (300L until 600L).map(i => Ev(i, ts("2024-01-01 00:06:00"),
+      i % 3, "v", 0.0, s"val${i % 131}"))
+    val src = MemoryStream[Ev](spark)
+    val sink = s"hll_sink_${System.identityHashCode(src)}"
+    val q = StreamingPipelines.hllIngest(src.toDF()
+        .select(col("user_id").cast("string").as("g"), col("props").as("v")),
+        Seq("g"), "v", b = 8)
+      .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+    try {
+      src.addData(b1); q.processAllAvailable()
+      src.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table(sink).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val batch = CorpusStats.hllRegisters((b1 ++ b2).toDF()
+        .select(col("user_id").cast("string").as("g"), col("props").as("v")),
+        Seq("g"), "v", b = 8)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(stream == batch)
+    // and the estimate over the streamed registers is the batch estimate
+    val estS = CorpusStats.hllEstimate(spark.table(sink), Seq("g"), b = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val estB = CorpusStats.hllEstimate(
+        CorpusStats.hllRegisters((b1 ++ b2).toDF()
+          .select(col("user_id").cast("string").as("g"), col("props").as("v")),
+          Seq("g"), "v", b = 8), Seq("g"), b = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(estS == estB)
+  }
+
   test("streaming tumbling agg matches batch on bounded data") {
     val batch = EventOps.tumblingAgg(evs.toDF(), "1 hour")
       .collect().map(_.toSeq).toSet
