@@ -459,7 +459,7 @@ object ScaleProbe {
         consume(Bpe.encode(df, "doc_id", "text", merges8k.take(n)))
       } catch {
         case e: Throwable =>
-          println(s"encode HOF chain ($n merges)  FAILED: ${e.getMessage.take(100)}")
+          println(s"encode HOF chain ($n merges)  FAILED: ${String.valueOf(e.getMessage).take(100)}")
       }
     }
     Seq(32, 64, 1000, 8000, 32000).foreach { n =>

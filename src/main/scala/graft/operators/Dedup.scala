@@ -792,14 +792,25 @@ object Dedup {
     * row's own tokens. Returns (idCol, clean_text, n_removed).
     */
   private def rebuildWithout(df: DataFrame, idCol: String, textCol: String,
-                             removedPos: DataFrame): DataFrame = {
+                             removedPos: DataFrame): DataFrame =
+    rebuildWithoutBy(df, idCol, textCol, removedPos, tokens(_), " ")
+
+  /** The generalized form: `splitter` segments each document (tokens
+    * for the span family, a literal separator split for line dedup)
+    * and `joinSep` re-joins the survivors. One definition of the
+    * null-rm passthrough and n_removed contract for both families.
+    */
+  private def rebuildWithoutBy(df: DataFrame, idCol: String, textCol: String,
+                               removedPos: DataFrame,
+                               splitter: Column => Column,
+                               joinSep: String): DataFrame = {
     val removed = removedPos.groupBy(col("doc"))
       .agg(collect_set(col("tpos")).as("rm"))
     df.select(col(idCol).as("doc"), col(textCol).as("__text"))
       .join(removed, Seq("doc"), "left")
       .select(col("doc").as(idCol),
-        concat_ws(" ", filter(tokens(col("__text")),
-          (t, i) => coalesce(!array_contains(col("rm"), i.cast("long")),
+        concat_ws(joinSep, filter(splitter(col("__text")),
+          (_, i) => coalesce(!array_contains(col("rm"), i.cast("long")),
             lit(true)))).as("clean_text"),
         coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"))
   }
@@ -882,14 +893,8 @@ object Dedup {
       .select(col("h"), col("canon"))
     val drops = hashed.join(dup, Seq("h"))
       .filter(!(col("canon.doc") === col("doc") && col("canon.pos") === col("pos")))
-      .groupBy(col("doc")).agg(collect_set(col("pos")).as("rm"))
-    df.select(col(idCol).as("doc"), col(textCol).as("__text"))
-      .join(drops, Seq("doc"), "left")
-      .select(col("doc").as(idCol),
-        concat_ws(sep, filter(split(col("__text"), sepRe),
-          (_, i) => coalesce(!array_contains(col("rm"), i.cast("long")),
-            lit(true)))).as("clean_text"),
-        coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"))
+      .select(col("doc"), col("pos").as("tpos"))
+    rebuildWithoutBy(df, idCol, textCol, drops, split(_, sepRe), sep)
   }
 
   private def duplicatedSpansBy(df: DataFrame, idCol: String,

@@ -83,12 +83,6 @@ object StreamingPipelines {
         col("n_docs"), col("n_tokens"))
   }
 
-  /** Continuous corpus ingest from a parquet document directory into
-    * a parquet sink — the deployment shape of [[corpusIngest]]: each
-    * micro-batch picks up newly landed document files, quality-gates
-    * and content-dedups them within the watermark, and appends closed
-    * per-window stats exactly once (checkpoint + file-sink manifest).
-    */
   /** Continuous distinct-value monitoring: HyperLogLog registers as a
     * plain streaming aggregation — `max(rho)` per (group, bucket) is
     * exactly the sketch's merge operator, so Spark's update-mode
@@ -105,6 +99,12 @@ object StreamingPipelines {
     // definition of the (bucket, rho) derivation
     graft.operators.CorpusStats.hllRegisters(values, groupCols, valueCol, b)
 
+  /** Continuous corpus ingest from a parquet document directory into
+    * a parquet sink — the deployment shape of [[corpusIngest]]: each
+    * micro-batch picks up newly landed document files, quality-gates
+    * and content-dedups them within the watermark, and appends closed
+    * per-window stats exactly once (checkpoint + file-sink manifest).
+    */
   def corpusIngestToParquet(spark: SparkSession, inDir: String, schema: StructType,
                             outDir: String, checkpointDir: String,
                             lateness: String = "30 minutes",

@@ -196,6 +196,22 @@ class BpeSpec extends SparkSpec {
       == fpMap(Bpe.encode(df, "doc_id", "text", merges)))
   }
 
+  test("astral characters degrade to '?' uniformly across trainer, HOF, and kernel") {
+    // a lone surrogate half becomes '?' whenever a string crosses
+    // UTF8String (Spark's split symbols, plan literals), so the
+    // driver trainer and the one-pass kernel sanitize at segmentation
+    // — otherwise a real half could never match the '?' merge table
+    val emoji = new String(Character.toChars(0x1F600))
+    val df = Seq((1L, s"a${emoji}b a${emoji}b c")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(df, "text", numMerges = 3)
+    assert(fpMap(Bpe.encodeFast(df, "doc_id", "text", merges))
+      == fpMap(Bpe.encode(df, "doc_id", "text", merges)))
+    val vocab = Bpe.vocabulary(df, "text", merges)
+    val ids = Bpe.encodeIds(df, "doc_id", "text", merges, vocab)
+      .collect().head.getSeq[Int](1)
+    assert(ids.nonEmpty && ids.forall(_ >= 0), s"unknown ids in $ids")
+  }
+
   test("encodeToIds: chars then merge products, first-wins on duplicates") {
     val df = Seq((1L, "ab ab b")).toDF("doc_id", "text")
     val merges = Bpe.trainMerges(df, "text", numMerges = 1)
