@@ -241,6 +241,14 @@ object Corpus {
         d.filter(col("source") === "src0"), d, "doc_id", "text")
     }),
 
+    // word-level blocklist screening (safety-wordlist stage): hit
+    // counts + flag per doc, term list broadcast against the exploded
+    // token stream.
+    "q121_blocklist" -> ((s, dir) => {
+      CorpusStats.blocklistHits(t(s, dir, "documents"), "doc_id", "text",
+        Seq("slow", "big", "merge"))
+    }),
+
     // THE PIPELINE'S FINAL ARTIFACT: documents tokenized to BPE ids
     // (one-pass kernel + vocab lookup) and greedily packed into
     // 512-token training sequences — per bin, the doc count, token
@@ -731,6 +739,15 @@ object Corpus {
     // LEFT joins carrying add-one smoothing for reference-unseen
     // n-grams: coalesce(cb,0) -> P = 1/(cu+V), coalesce(cu,0) -> 1/V
     "q108_lm_score_ref" -> LmScoreRefSql,
+    "q121_blocklist" ->
+      """WITH terms(t) AS (VALUES ('slow'), ('big'), ('merge')),
+         h AS (SELECT doc_id, count(*) AS n
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                     FROM documents)
+               JOIN terms ON w = t GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
+           coalesce(n, 0) > 0 AS flagged
+         FROM documents d LEFT JOIN h USING (doc_id)""",
     // q118: the q109/q110 chains, every token joined to its merged
     // form, integer sums per source + two fixed-order divisions
     "q118_bpe_fertility" ->

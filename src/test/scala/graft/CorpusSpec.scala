@@ -567,6 +567,18 @@ class CorpusSpec extends SparkSpec {
     assert(vocabPlan.contains("partial"), s"expect partial agg:\n$vocabPlan")
   }
 
+  test("blocklistHits counts occurrences; dropBlocklisted keeps clean docs only") {
+    import spark.implicits._
+    val df = Seq((1L, "bad word bad"), (2L, "all clean here"),
+      (3L, "word soup")).toDF("doc_id", "text")
+    val hits = CorpusStats.blocklistHits(df, "doc_id", "text", Seq("bad", "soup"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(hits == Map(1L -> ((2L, true)), 2L -> ((0L, false)), 3L -> ((1L, true))))
+    val kept = CorpusStats.dropBlocklisted(df, "doc_id", "text", Seq("bad", "soup"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
   test("corpusDiff classifies added/removed/changed and omits unchanged") {
     import spark.implicits._
     val oldV = Seq((1L, "same text"), (2L, "will change"), (3L, "goes away"),
