@@ -102,6 +102,38 @@ object Events {
       } finally { deleteRecursively(stage); deleteRecursively(ckpt) }
     }),
 
+    // CUSTOM-STATE streaming gate: mapGroupsWithState running
+    // per-user totals (the state shape windowed aggregates can't
+    // express), drained by one availableNow trigger in update mode.
+    // Each micro-batch emits the user's CURRENT totals, so the final
+    // row per user (argmax n_events — totals are monotone) is the
+    // complete aggregate and the oracle is the plain batch GROUP BY.
+    "q122_stream_stateful_totals" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.expressions.Window
+      val batch = t(s, dir)
+      val stage = java.nio.file.Files.createTempDirectory("graft-q122-in-")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-q122-ck-")
+      try {
+        batch.write.mode("append").parquet(stage.toString)
+        val in = s.readStream.schema(batch.schema).parquet(stage.toString)
+        val sink = newSink(s, "q122")
+        val q = EventOps.statefulUserTotals(in).toDF()
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)
+        s.table(sink)
+          .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+          .select(col("user_id"), col("n_events"),
+            round(col("sum_value"), 6).as("sum_value"))
+          .localCheckpoint(true)
+      } finally { deleteRecursively(stage); deleteRecursively(ckpt) }
+    }),
+
     // STREAMING dedup gate: the events table staged TWICE (an
     // at-least-once source redelivering every row), drained through
     // readStream → watermark → dropDuplicatesWithinWatermark → append
@@ -200,6 +232,12 @@ object Events {
   }
 
   val oracle: Map[String, String] = Map(
+    // the custom-state stream's final emission per user IS the batch
+    // aggregate — the driver hash-checks a real mapGroupsWithState run
+    "q122_stream_stateful_totals" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value
+         FROM events GROUP BY user_id""",
     "q40_window_tumbling" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS bucket_s,
          event_type, count(*) AS n, round(sum(value), 2) AS sum_value
