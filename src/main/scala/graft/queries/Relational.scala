@@ -191,6 +191,19 @@ object Relational {
         .groupBy(col("o_orderstatus"))
         .agg(max_by(col("o_orderkey"), col("o_totalprice")).as("top_orderkey"),
           max(col("o_totalprice")).as("top_price"))
+    }),
+
+    // the typed-Aggregator UDAF surface under the driver: weighted
+    // mean via WeightedMean (partial+final merge like a built-in).
+    // Inputs are INTEGER-VALUED doubles (rounded price, quantity), so
+    // every partial sum is exact (< 2^53) and order-independent —
+    // hash-comparable without nano-fixed-point machinery.
+    "q123_weighted_mean" -> ((s, dir) => {
+      val wm = udaf(graft.functions.WeightedMean)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(wm(round(col("l_extendedprice")), col("l_quantity")), 6)
+          .as("w_mean_price"))
     })
   )
 
@@ -274,6 +287,11 @@ object Relational {
          count(*) AS n FROM orders GROUP BY 1""",
     "q17_argmax" ->
       """SELECT o_orderstatus, arg_max(o_orderkey, o_totalprice) AS top_orderkey,
-         max(o_totalprice) AS top_price FROM orders GROUP BY 1"""
+         max(o_totalprice) AS top_price FROM orders GROUP BY 1""",
+    "q123_weighted_mean" ->
+      """SELECT l_returnflag,
+         round(sum(round(l_extendedprice) * l_quantity) / sum(l_quantity), 6)
+           AS w_mean_price
+         FROM lineitem GROUP BY 1"""
   )
 }
