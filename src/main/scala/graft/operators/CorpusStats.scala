@@ -461,25 +461,32 @@ object CorpusStats {
     */
   def blocklistHits(df: DataFrame, idCol: String, textCol: String,
                     terms: Seq[String]): DataFrame = {
-    require(terms.nonEmpty, "blocklist must be non-empty")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val termDf = terms.toDF("__term")
-    val hits = df
-      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__t"))
-      .join(broadcast(termDf), col("__t") === col("__term"))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     df.select(col(idCol))
-      .join(hits, Seq(idCol), "left")
+      .join(flaggedCounts(df, idCol, textCol, terms), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__n"), lit(0L)).as("n_hits"),
         (coalesce(col("__n"), lit(0L)) > 0L).as("flagged"))
   }
 
-  /** Drop documents with any blocklist hit — the filtering form. */
+  /** (id, occurrence count) for documents with >= 1 hit. Terms
+    * dedupe first — wordlists assembled from several files repeat
+    * entries, and a duplicate row would multiply every count. */
+  private def flaggedCounts(df: DataFrame, idCol: String, textCol: String,
+                            terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "blocklist must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val termDf = terms.distinct.toDF("__term")
+    df.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .join(broadcast(termDf), col("__t") === col("__term"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+  }
+
+  /** Drop documents with any blocklist hit — the filtering form
+    * (one anti-join against the matched-id frame; no join-back). */
   def dropBlocklisted(df: DataFrame, idCol: String, textCol: String,
                       terms: Seq[String]): DataFrame =
-    df.join(blocklistHits(df, idCol, textCol, terms)
-      .filter(col("flagged")).select(col(idCol)), Seq(idCol), "left_anti")
+    df.join(flaggedCounts(df, idCol, textCol, terms).select(col(idCol)),
+      Seq(idCol), "left_anti")
 
   /** Corpus version DIFF — the iteration primitive behind every
     * pipeline change review ("what did the new filter actually do?"):

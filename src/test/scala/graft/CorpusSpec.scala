@@ -577,6 +577,11 @@ class CorpusSpec extends SparkSpec {
     val kept = CorpusStats.dropBlocklisted(df, "doc_id", "text", Seq("bad", "soup"))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L))
+    // duplicate terms (multi-file wordlists) must not multiply counts
+    val dup = CorpusStats.blocklistHits(df, "doc_id", "text",
+        Seq("bad", "bad", "soup"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dup == Map(1L -> 2L, 2L -> 0L, 3L -> 1L))
   }
 
   test("corpusDiff classifies added/removed/changed and omits unchanged") {
