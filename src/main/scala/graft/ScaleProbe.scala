@@ -16,12 +16,14 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val tlMode = args.contains("twolevel")
     val bpeMode = args.contains("bpe")
-    val posArgs = args.filterNot(a => a == "twolevel" || a == "bpe")
-    // twolevel/bpe modes take no factor: the only positional arg is outDir
+    val cannMode = args.contains("cann")
+    val posArgs = args.filterNot(a => a == "twolevel" || a == "bpe" || a == "cann")
+    val special = tlMode || bpeMode || cannMode
+    // twolevel/bpe/cann modes take no factor: the only positional arg is outDir
     val factor =
-      if (tlMode || bpeMode) 1 else posArgs.headOption.map(_.toInt).getOrElse(10)
+      if (special) 1 else posArgs.headOption.map(_.toInt).getOrElse(10)
     val outDir =
-      if (tlMode || bpeMode) posArgs.headOption.getOrElse("/tmp/graft_scale_probe")
+      if (special) posArgs.headOption.getOrElse("/tmp/graft_scale_probe")
       else if (posArgs.length > 1) posArgs(1) else "/tmp/graft_scale_probe"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
@@ -30,6 +32,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     if (tlMode) { twoLevelProbe(spark, outDir); return }
     if (bpeMode) { bpeProbe(spark, outDir); return }
+    if (cannMode) { cannProbe(spark, outDir); return }
 
     // rotate an array column by c positions MODULO its per-row length
     // — a plain `slice(arr, c+1, …)` is a silent NO-OP whenever c ≥
@@ -468,6 +471,56 @@ object ScaleProbe {
       t(s"encodeFast one-pass ($n merges)") {
         consume(Bpe.encodeFast(df, "doc_id", "text", ms))
       }
+    }
+    spark.stop()
+  }
+
+  /** Compressed-ANN pipeline vs the raw float two-level probe at the
+    * same corpus sizes as the twolevel probe: the point is the INDEX
+    * BYTES SCANNED per probe (int8 projections ≈ outDim+8 bytes/vec
+    * vs dim·4 float) and that the extra decode/rerank work does not
+    * erase the win. Disk-persisted indexes, cold-probe timings.
+    */
+  private def cannProbe(spark: SparkSession, outDir: String): Unit = {
+    import graft.operators.{CompressedAnn, TwoLevel}
+    val dim = 64
+    val sizes = Seq(500000L, 2000000L)
+    println(s"compressed-ANN vs raw two-level IVF, dim=$dim, outDim=16, 100 queries")
+    sizes.foreach { n =>
+      val path = s"$outDir/cann_vec_$n.parquet"
+      spark.range(n).select(col("id"),
+          transform(sequence(lit(0), lit(dim - 1)), p =>
+            (pmod(xxhash64(col("id") * dim + p), lit(1000L)).cast("double") / 1000.0)
+              .cast("float")).as("vec"))
+        .write.mode("overwrite").parquet(path)
+      val df = spark.read.parquet(path)
+      val queries = df.filter(col("id") < 100)
+      val nlist = math.max(64, (n / 4096).toInt)
+      def timed[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"  n=$n%8d $label%-34s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+        r
+      }
+      val cIdx = timed("cann build (fit+assign+int8+write)") {
+        val b = CompressedAnn.build(df, "id", "vec", nlist, outDim = 16, dim = dim)
+        CompressedAnn.write(b, s"$outDir/cann_idx_$n")
+        b.unpersist()
+        CompressedAnn.open(spark, s"$outDir/cann_idx_$n")
+      }
+      timed("cann probe top-5 (cold, int8 cells)") {
+        CompressedAnn.probe(cIdx, df, queries, "id", "vec", 5).count()
+      }
+      timed("cann probe top-5 (warm)") {
+        CompressedAnn.probe(cIdx, df, queries, "id", "vec", 5).count()
+      }
+      val tIdx = timed("raw two-level build (float cells)") {
+        TwoLevel.buildIvfIndexLarge(df, "id", "vec", nlist)
+      }
+      timed("raw two-level probe top-5") {
+        TwoLevel.ivfProbeTwoLevel(tIdx, queries, "id", "vec", 5).count()
+      }
+      tIdx.unpersist()
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
