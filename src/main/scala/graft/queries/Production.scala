@@ -138,6 +138,13 @@ object Production {
     // forced past nothing here — at gate scale auto-k stays flat, so
     // semanticDedupLarge is invoked explicitly, exactly as a caller
     // holding a prebuilt corpus count would route it.
+    // the sharded cross-batch SemDeDup recipe under the driver:
+    // per-shard fit + union survivors + one merge pass (spec pins
+    // shard-merge == whole-corpus on planted cliques)
+    "q101Sp_semantic_dedup_sharded_prod" -> ((s, dir) =>
+      graft.operators.Similarity.semanticDedupSharded(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, shards = 2, k = 8)),
     "q101Lp_semantic_dedup_large_prod" -> ((s, dir) =>
       graft.operators.Similarity.semanticDedupLarge(t(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.3, k = 32, iters = 2)),
