@@ -115,14 +115,15 @@ object CompressedAnn {
     val q = queries.select(col(idCol).as("query_id"),
       project(col(vecCol), index.outDim, index.dim).as("qv"))
     val probes = TwoLevel.probeCells(index.quantizer, q, nprobeSuper, nprobe)
-    // approximate scores: dequantized int8 projection vs projected query
+    // approximate scores: FUSED dequantize+cosine kernel — one pass
+    // over the codes, no per-row intermediate array, full-double
+    // dequantized components
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("ac").desc, col("neighbor_id"))
     val cands = index.cells.join(broadcast(probes), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("ac", call_function("graft_cosine", col("qv"),
-        VectorFunctions.int8Dequantize(col("qv8"), col("scale"))
-          .cast("array<float>")))
+      .withColumn("ac", call_function("graft_cosine_int8",
+        col("qv"), col("qv8"), col("scale")))
       .withColumn("__r", row_number().over(wApprox))
       .filter(col("__r") <= topCandidates)
       .select(col("query_id"), col("neighbor_id"))

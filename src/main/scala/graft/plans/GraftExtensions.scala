@@ -38,6 +38,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
       (children: Seq[Expression]) => MinHashSigExpr(children): Expression),
+    (FunctionIdentifier("graft_cosine_int8"),
+      new ExpressionInfo(classOf[CosineInt8Expr].getName, "graft_cosine_int8"),
+      (children: Seq[Expression]) => CosineInt8Expr(children): Expression),
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineExpr].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineExpr(children): Expression),

@@ -43,6 +43,32 @@ object VecKernels {
     if (denom == 0.0) 0.0 else dot(a, b) / denom
   }
 
+  /** cos(q, codes·scale) in ONE pass over the int8 codes — the
+    * compressed-ANN candidate scorer. Fusing the dequantize into the
+    * loop skips the per-row intermediate double array the
+    * transform-then-cosine form materializes, and keeps the
+    * dequantized component in full double precision (the HOF path
+    * had to round through float for graft_cosine's signature). A
+    * dimension mismatch would silently score a truncated prefix —
+    * refuse by kernel name, like cellDists.
+    */
+  def cosineInt8(q: ArrayData, codes: ArrayData, scale: Double): Double = {
+    val n = q.numElements()
+    if (codes.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_cosine_int8: dim mismatch ${n} vs ${codes.numElements()}")
+    var d = 0.0; var qn = 0.0; var cn = 0.0
+    var i = 0
+    while (i < n) {
+      val x = q.getFloat(i).toDouble
+      val y = codes.getInt(i).toDouble * scale
+      d += x * y; qn += x * x; cn += y * y
+      i += 1
+    }
+    val denom = math.sqrt(qn) * math.sqrt(cn)
+    if (denom == 0.0) 0.0 else d / denom
+  }
+
   /** Squared-L2 distance of float vector `v` to EVERY row of the
     * double centroid matrix `cents` (array<array<double>>), as one
     * fused loop. IEEE-identical to the per-centroid
@@ -174,6 +200,58 @@ final case class CosineExpr(children: Seq[Expression]) extends BinaryVecExpr {
   override protected def kernel = "cosine"
   override protected def kernelEval(a: ArrayData, b: ArrayData): Double =
     VecKernels.cosine(a, b)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
+}
+
+/** graft_cosine_int8(q array<float>, codes array<int>, scale double)
+  * → double: fused dequantize+cosine (see [[VecKernels.cosineInt8]]).
+  */
+final case class CosineInt8Expr(children: Seq[Expression]) extends Expression {
+  require(children.length == 3, "graft_cosine_int8(q, codes, scale)")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val q = VecKernelChecks.floatArrays(Seq(children.head -> "query"), prettyName)
+    if (!q.isSuccess) q
+    else children(1).dataType match {
+      case ArrayType(IntegerType, _) =>
+        if (children(2).dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects scale double, got ${children(2).dataType.simpleString}")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects codes array<int>, got ${other.simpleString}")
+    }
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val q = children.head.eval(input)
+    val c = children(1).eval(input)
+    val s = children(2).eval(input)
+    if (q == null || c == null || s == null) null
+    else VecKernels.cosineInt8(q.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], s.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qg = children.head.genCode(ctx)
+    val cg = children(1).genCode(ctx)
+    val sg = children(2).genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${qg.code}
+        ${cg.code}
+        ${sg.code}
+        boolean ${ev.isNull} = ${qg.isNull} || ${cg.isNull} || ${sg.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.plans.VecKernels.cosineInt8(${qg.value}, ${cg.value}, ${sg.value});
+        }
+      """)
+  }
+
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(children = c)
 }

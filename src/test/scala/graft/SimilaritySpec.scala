@@ -385,6 +385,38 @@ class SimilaritySpec extends SparkSpec {
     assert(z.getSeq[Int](2) == Seq(0, 0, 0))
   }
 
+  test("graft_cosine_int8: fused kernel == driver dequantize+cosine; dim mismatch refused") {
+    import graft.functions.VectorFunctions.{int8Scale, int8Quantize}
+    graft.plans.GraftExtensions.registerAll(spark)
+    val e = Tables(spark, sf001, "embeddings").limit(100)
+      .withColumn("scale", int8Scale(col("embedding")))
+      .withColumn("qv8", int8Quantize(col("embedding"), col("scale")))
+      .withColumn("ac", call_function("graft_cosine_int8",
+        col("embedding"), col("qv8"), col("scale")))
+    e.select(col("embedding"), col("scale"), col("qv8"), col("ac"))
+      .collect().foreach { r =>
+      val q = r.getSeq[Float](0)
+      val s = r.getDouble(1)
+      val codes = r.getSeq[Int](2)
+      var d = 0.0; var qn = 0.0; var cn = 0.0
+      q.indices.foreach { i =>
+        val x = q(i).toDouble; val y = codes(i).toDouble * s
+        d += x * y; qn += x * x; cn += y * y
+      }
+      val want = if (qn == 0.0 || cn == 0.0) 0.0 else d / (math.sqrt(qn) * math.sqrt(cn))
+      assert(math.abs(r.getDouble(3) - want) < 1e-12)
+      // roundtrip quality: the self-cosine of a vector against its own
+      // int8 codes stays near 1
+      assert(r.getDouble(3) > 0.999, s"self int8 cosine ${r.getDouble(3)}")
+    }
+    val boom = intercept[Exception] {
+      Tables(spark, sf001, "embeddings").limit(1)
+        .select(call_function("graft_cosine_int8", col("embedding"),
+          array(lit(1), lit(2)), lit(1.0))).collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
   test("random projection: JL cosine preservation and gate-twin geometry agreement") {
     import graft.functions.VectorFunctions.{randomProject, randomProjectMd5Q}
     val outDim = 32
