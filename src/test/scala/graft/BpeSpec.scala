@@ -225,6 +225,20 @@ class BpeSpec extends SparkSpec {
     assert(got.getString(2) == fp)
   }
 
+  test("save/load tokenizer roundtrip: reloaded artifacts encode identically") {
+    val df = Tables(spark, sf001, "documents")
+    val merges = Bpe.trainMerges(df, "text", numMerges = 16)
+    val vocab = Bpe.vocabulary(df, "text", merges)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe-art-").toString
+    Bpe.save(merges, vocab, tmp)
+    val (m2, v2) = Bpe.load(tmp)
+    assert(m2 == merges && v2 == vocab)
+    def ids(m: Seq[Merge], v: Seq[String]) =
+      Bpe.encodeToIds(df, "doc_id", "text", m, v)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(ids(m2, v2) == ids(merges, vocab))
+  }
+
   test("decode(encodeSymbols(text)) == text, including the empty-token edge") {
     val docs = Seq((1L, "abab abab cd"), (2L, "x  y"), (3L, "q"))
     val df = docs.toDF("doc_id", "text")
