@@ -567,6 +567,33 @@ class CorpusSpec extends SparkSpec {
     assert(vocabPlan.contains("partial"), s"expect partial agg:\n$vocabPlan")
   }
 
+  test("round-10 operators refuse misuse loudly (argument guards)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val vecs = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      CorpusStats.bucketByRank(docs.withColumn("s", lit(1.0)), "doc_id", "s", 1)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusStats.hllRegisters(docs, Seq("doc_id"), "text", b = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.sampleNPerGroup(docs, "doc_id", Seq("text"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.removeDuplicatedLines(docs, "doc_id", "text",
+        minOccurrences = 1)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusStats.blocklistHits(docs, "doc_id", "text", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      val idx = graft.operators.CompressedAnn.Index(null, vecs, 16, 64)
+      graft.operators.CompressedAnn.probe(idx, vecs, vecs, "vec_id",
+        "embedding", k = 10, topCandidates = 5)
+    }
+  }
+
   test("blocklistHits counts occurrences; dropBlocklisted keeps clean docs only") {
     import spark.implicits._
     val df = Seq((1L, "bad word bad"), (2L, "all clean here"),
