@@ -511,6 +511,75 @@ object CorpusStats {
       .select(col(idCol), col("status"), col("fp_old"), col("fp_new"))
   }
 
+  /** TRIGRAM stupid-backoff scoring against a reference corpus
+    * (Brants et al. 2007, "Large Language Models in Machine
+    * Translation" — the web-scale LM that skips normalized backoff
+    * weights): per target trigram occurrence,
+    *   S = c₃/c₂(ctx)           when the trigram is in the reference,
+    *     = α · c₂/c₁(w₂)        else when the (w₂ w₃) bigram is,
+    *     = α² · (c₁(w₃)+1)/(N+V) else (add-one floor — an unseen word
+    *       scores finitely instead of log 0, the same smoothing
+    *       convention as [[bigramLmScoreAgainst]]).
+    * Returns (idCol, n_trigrams, avg_logs) — the mean log score in
+    * the family's nano-fixed-point deterministic form. Docs with
+    * fewer than 3 tokens have no scorable position and drop.
+    *
+    * Scale shape mirrors q108: per-(doc, trigram) counts truncate the
+    * explode lineage; the reference trigram/bigram tables are
+    * reference-corpus-sized and join by shuffle (AQE-skew-splittable
+    * on hot Zipf grams); the unigram/vocab side broadcasts.
+    */
+  def stupidBackoffScoreAgainst(ref: DataFrame, target: DataFrame,
+                                idCol: String, textCol: String,
+                                alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1), got $alpha")
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val refToks = ref.select(TextFunctions.tokens(col(textCol)).as("__w"))
+    val uniRows = refToks.select(explode(col("__w")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__cu"))
+      .as[(String, Long)].collect()
+    val vocab = uniRows.length.toDouble
+    val total = uniRows.map(_._2).sum.toDouble
+    val uniDf = uniRows.toSeq.toDF("__u", "__cu")
+    def refGrams(n: Int, gCol: String, cCol: String) = refToks
+      .select(explode(TextFunctions.ngrams(concat_ws(" ", col("__w")), n)).as(gCol))
+      .groupBy(col(gCol)).agg(count(lit(1)).as(cCol))
+    val bgc = refGrams(2, "__g2", "__c2")
+    val tgc = refGrams(3, "__g3", "__c3")
+    val dgc = target
+      .select(col(idCol),
+        explode(TextFunctions.ngrams(
+          concat_ws(" ", TextFunctions.tokens(col(textCol))), 3)).as("__g3"))
+      .groupBy(col(idCol), col("__g3")).agg(count(lit(1)).as("__n"))
+    val parts = split(col("__g3"), " ")
+    val scored = dgc
+      .join(tgc, Seq("__g3"), "left")
+      .withColumn("__ctx", concat_ws(" ", parts.getItem(0), parts.getItem(1)))
+      .withColumn("__tail", concat_ws(" ", parts.getItem(1), parts.getItem(2)))
+      .join(bgc.select(col("__g2").as("__ctx"), col("__c2").as("__cctx")),
+        Seq("__ctx"), "left")
+      .join(bgc.select(col("__g2").as("__tail"), col("__c2").as("__ctail")),
+        Seq("__tail"), "left")
+      .join(broadcast(uniDf.select(col("__u").as("__w2"), col("__cu").as("__cw2"))),
+        parts.getItem(1) === col("__w2"), "left")
+      .join(broadcast(uniDf.select(col("__u").as("__w3"), col("__cu").as("__cw3"))),
+        parts.getItem(2) === col("__w3"), "left")
+      .withColumn("__logs", log(
+        when(coalesce(col("__c3"), lit(0L)) > 0L,
+          col("__c3").cast("double") / col("__cctx"))
+        .when(coalesce(col("__ctail"), lit(0L)) > 0L,
+          lit(alpha) * col("__ctail").cast("double") / col("__cw2"))
+        .otherwise(lit(alpha * alpha) *
+          (coalesce(col("__cw3"), lit(0L)).cast("double") + 1.0)
+          / lit(total + vocab))))
+    scored.groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_trigrams"),
+        sum(col("__n") * round(col("__logs") * lit(1e9)).cast("long")).as("__s9"))
+      .select(col(idCol), col("n_trigrams"),
+        round(col("__s9") / lit(1e9) / col("n_trigrams"), 6).as("avg_logs"))
+  }
+
   /** HyperLogLog register table (Flajolet et al. 2007) for grouped
     * DISTINCT-count estimation — the mergeable constant-memory
     * companion to the count-min FREQUENCY sketch below: registers

@@ -310,6 +310,16 @@ object Corpus {
       CorpusStats.hllDistinctMd5(tk, Seq("source"), "tok")
     }),
 
+    // trigram stupid-backoff scoring vs the src0 reference (Brants
+    // 2007): the backoff chain genuinely fires cross-corpus —
+    // reference-unseen trigrams fall to bigrams, unseen bigrams to
+    // the add-one unigram floor.
+    "q124_stupid_backoff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusStats.stupidBackoffScoreAgainst(
+        d.filter(col("source") === "src0"), d, "doc_id", "text")
+    }),
+
     // CCNet's head/middle/tail perplexity partition: q108's scoring,
     // then an exact global rank bucket (no single-partition window —
     // per-score-group ranking is parallel, the distinct-score
@@ -739,6 +749,48 @@ object Corpus {
     // LEFT joins carrying add-one smoothing for reference-unseen
     // n-grams: coalesce(cb,0) -> P = 1/(cu+V), coalesce(cu,0) -> 1/V
     "q108_lm_score_ref" -> LmScoreRefSql,
+    // q124: reference n-gram tables from src0, per-occurrence CASE
+    // chain mirroring the Spark kernel's operation order exactly —
+    // c3/cctx, else (0.4·ctail)/cw2, else ((0.4·0.4)·(cw3+1))/(N+V) —
+    // then the family's per-occurrence nano-fixed-point mean
+    "q124_stupid_backoff" ->
+      """WITH rt AS (SELECT string_split(text, ' ') AS w FROM documents
+                     WHERE source = 'src0'),
+         u AS MATERIALIZED (SELECT t, count(*) AS cu
+           FROM (SELECT unnest(w) AS t FROM rt) GROUP BY t),
+         nv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS v,
+             CAST(sum(cu) AS DOUBLE) AS n FROM u),
+         rb AS MATERIALIZED (SELECT g, count(*) AS c2 FROM (
+             SELECT w[i] || ' ' || w[i+1] AS g
+             FROM rt, UNNEST(generate_series(1, len(w)-1)) AS s(i)) GROUP BY g),
+         rtg AS MATERIALIZED (SELECT g, count(*) AS c3 FROM (
+             SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+             FROM rt, UNNEST(generate_series(1, len(w)-2)) AS s(i)) GROUP BY g),
+         tt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         tg AS (SELECT doc_id, i AS pos,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g3,
+             w[i] || ' ' || w[i+1] AS ctx, w[i+1] || ' ' || w[i+2] AS tail,
+             w[i+1] AS w2, w[i+2] AS w3
+           FROM tt, UNNEST(generate_series(1, len(w)-2)) AS s(i)),
+         scored AS (SELECT tg.doc_id, tg.pos,
+             ln(CASE
+                  WHEN coalesce(rtg.c3, 0) > 0
+                    THEN CAST(rtg.c3 AS DOUBLE) / cb1.c2
+                  WHEN coalesce(cb2.c2, 0) > 0
+                    THEN (0.4 * CAST(cb2.c2 AS DOUBLE)) / u2.cu
+                  ELSE ((0.4 * 0.4) * (CAST(coalesce(u3.cu, 0) AS DOUBLE) + 1.0))
+                       / (nv.n + nv.v)
+                END) AS logs
+           FROM tg
+           LEFT JOIN rtg ON rtg.g = tg.g3
+           LEFT JOIN rb cb1 ON cb1.g = tg.ctx
+           LEFT JOIN rb cb2 ON cb2.g = tg.tail
+           LEFT JOIN u u2 ON u2.t = tg.w2
+           LEFT JOIN u u3 ON u3.t = tg.w3, nv)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           round(sum(CAST(round(logs * 1e9) AS BIGINT)) / 1e9 / count(*), 6)
+             AS avg_logs
+         FROM scored GROUP BY doc_id""",
     "q121_blocklist" ->
       """WITH terms(t) AS (VALUES ('slow'), ('big'), ('merge')),
          h AS (SELECT doc_id, count(*) AS n

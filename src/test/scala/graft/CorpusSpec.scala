@@ -567,6 +567,30 @@ class CorpusSpec extends SparkSpec {
     assert(vocabPlan.contains("partial"), s"expect partial agg:\n$vocabPlan")
   }
 
+  test("stupid backoff: all three tiers fire and rank in-domain above out-of-domain") {
+    import spark.implicits._
+    val ref = Seq((1L, "the cat sat on the mat"), (2L, "the cat ran"))
+      .toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "the cat sat on the mat"), // all trigrams in-reference
+      (11L, "the cat sat quickly"),    // "cat sat quickly": bigram "sat quickly" unseen → unigram floor; "the cat sat" full trigram
+      (12L, "zz qq ww"))               // nothing seen → pure floor
+      .toDF("doc_id", "text")
+    val got = CorpusStats.stupidBackoffScoreAgainst(ref, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(10L)._1 == 4L && got(11L)._1 == 2L && got(12L)._1 == 1L)
+    assert(got(10L)._2 > got(11L)._2 && got(11L)._2 > got(12L)._2,
+      s"backoff ordering violated: $got")
+    // exact tier check on the floor doc: S = 0.4^2 * (0+1)/(N+V),
+    // N=9 ref tokens, V=6 vocab
+    val want = math.log(0.4 * 0.4 * 1.0 / (9.0 + 6.0))
+    assert(math.abs(got(12L)._2 - math.rint(want * 1e9) / 1e9) < 1e-6)
+    // docs with < 3 tokens have no scorable position and drop
+    val tiny = CorpusStats.stupidBackoffScoreAgainst(ref,
+      Seq((20L, "only two")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(tiny.count() == 0)
+  }
+
   test("round-10 operators refuse misuse loudly (argument guards)") {
     import spark.implicits._
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
