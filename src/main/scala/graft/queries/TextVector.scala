@@ -178,24 +178,49 @@ object TextVector {
     // 4x storage cut for 100 TB embedding corpora. Pure double
     // arithmetic end to end (explicit half-up floor(x/scale + 0.5),
     // never a library round) — ONE kernel serves production and the
-    // oracle, no md5 gate twin.
+    // oracle, no md5 gate twin. The code array itself is digested to
+    // an md5 scalar (like q110/q120) so the gate output stays
+    // harness-sortable; q107p below keeps the raw array.
     "q107_embed_int8" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .withColumn("scale", VectorFunctions.int8Scale(col("embedding")))
         .withColumn("qvec",
           VectorFunctions.int8Quantize(col("embedding"), col("scale")))
-        .select(col("vec_id"), col("scale"), col("qvec"),
+        .select(col("vec_id"), col("scale"),
+          md5(concat_ws("|", transform(col("qvec"), _.cast("string")))
+            .cast("binary")).as("qvec_fp"),
           round(VectorFunctions.int8ReconMse(
             col("embedding"), col("qvec"), col("scale")), 6).as("recon_mse"))
     }),
 
+    // production int8 codec output shape: the raw code array + scale,
+    // exactly what a dataloader consumes. Rows-only gate (arrays are
+    // not harness-sortable); the math is oracled via q107's digest.
+    "q107p_embed_int8_prod" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .withColumn("scale", VectorFunctions.int8Scale(col("embedding")))
+        .select(col("vec_id"), col("scale"),
+          VectorFunctions.int8Quantize(col("embedding"), col("scale")).as("qvec"))
+    }),
+
     // JL random projection 64 → 8 dims. GATE = the exact-integer md5
-    // twin (array<long> components — no float anywhere); production
-    // keeps VectorFunctions.randomProject (spec pins cosine
-    // preservation and the two kernels' shared geometry).
+    // twin (array<long> components — no float anywhere), digested to
+    // an md5 scalar for harness sortability; production keeps
+    // VectorFunctions.randomProject (spec pins cosine preservation
+    // and the two kernels' shared geometry).
     "q114_random_projection" -> ((s, dir) => {
       t(s, dir, "embeddings").select(col("vec_id"),
-        VectorFunctions.randomProjectMd5Q(col("embedding"), 8, 64).as("proj_q"))
+        md5(concat_ws("|",
+          transform(VectorFunctions.randomProjectMd5Q(col("embedding"), 8, 64),
+            _.cast("string"))).cast("binary")).as("proj_fp"))
+    }),
+
+    // production JL projection: raw float components (what the
+    // compressed-ANN path consumes). Rows-only gate; geometry is
+    // oracled via q114's exact-integer digest twin.
+    "q114p_random_projection_prod" -> ((s, dir) => {
+      t(s, dir, "embeddings").select(col("vec_id"),
+        VectorFunctions.randomProject(col("embedding"), 8, 64).as("proj"))
     }),
 
     // brute-force cosine top-5 for query vectors vec_id < 10.
@@ -992,7 +1017,8 @@ object TextVector {
                ELSE greatest(-127.0, least(127.0,
                  floor(CAST(x AS DOUBLE) / scale + 0.5))) END AS INTEGER)) AS qvec
            FROM s)
-         SELECT vec_id, scale, qvec,
+         SELECT vec_id, scale,
+           md5(array_to_string(list_transform(qvec, x -> CAST(x AS VARCHAR)), '|')) AS qvec_fp,
            round(list_sum(list_transform(range(1, len(embedding) + 1),
              i -> (CAST(embedding[i] AS DOUBLE) - CAST(qvec[i] AS DOUBLE) * scale)
                 * (CAST(embedding[i] AS DOUBLE) - CAST(qvec[i] AS DOUBLE) * scale)))
@@ -1004,11 +1030,13 @@ object TextVector {
     // Σ_j floor(x_j·2^16) · weight(p, j-1) — pure integer arithmetic
     "q114_random_projection" ->
       """SELECT vec_id,
-           list_transform(range(0, 8), p ->
-             list_sum(list_transform(range(1, 65), j ->
-               CAST(floor(CAST(embedding[j] AS DOUBLE) * 65536.0) AS BIGINT)
-               * (('0x' || substr(md5('plane' || CAST(p AS VARCHAR) || '|'
-                     || CAST(j - 1 AS VARCHAR)), 1, 8))::BIGINT - 2147483648)))) AS proj_q
+           md5(array_to_string(list_transform(
+             list_transform(range(0, 8), p ->
+               list_sum(list_transform(range(1, 65), j ->
+                 CAST(floor(CAST(embedding[j] AS DOUBLE) * 65536.0) AS BIGINT)
+                 * (('0x' || substr(md5('plane' || CAST(p AS VARCHAR) || '|'
+                       || CAST(j - 1 AS VARCHAR)), 1, 8))::BIGINT - 2147483648)))),
+             c -> CAST(CAST(c AS BIGINT) AS VARCHAR)), '|')) AS proj_fp
          FROM embeddings""",
     "q29_ann_brute" ->
       """WITH scored AS (
