@@ -29,7 +29,11 @@ ORACLE_BUDGET_S = float(os.environ.get("ORACLE_BUDGET_S", "30"))
 
 def run_with_budget(con, sql):
     """Run `sql`; if it exceeds ORACLE_BUDGET_S, interrupt the
-    connection and raise TimeoutError. Returns the result DataFrame."""
+    connection and raise TimeoutError. Returns the result DataFrame.
+    If the worker thread survives the interrupt, the connection must
+    NOT be reused (two threads on one DuckDB connection is undefined
+    behavior) — we signal that by raising a TimeoutError whose
+    .reconnect attribute is True so main() reopens a fresh one."""
     result = {}
 
     def work():
@@ -45,9 +49,11 @@ def run_with_budget(con, sql):
     if t.is_alive():
         con.interrupt()
         t.join(10)
-        raise TimeoutError(
+        err = TimeoutError(
             f"oracle exceeded {ORACLE_BUDGET_S:.0f}s budget "
             f"({time.monotonic() - start:.1f}s elapsed) — rewrite it")
+        err.reconnect = t.is_alive()
+        raise err
     if "err" in result:
         raise result["err"]
     return result["df"]
@@ -57,20 +63,26 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    """EXACTLY as strict as the driver's checker: no normalization of
+    array cells. A query whose output contains list/ndarray cells will
+    crash sort_values with 'unhashable type' at the driver, so it must
+    crash here too (round 10 lesson: a local-only tuple conversion let
+    q107/q114 pass locally and fail at the driver). Digest arrays to
+    md5 scalars in the query itself instead."""
     df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].apply(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) or
-                hasattr(v, "__len__") and not isinstance(v, (str, bytes)) else v)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def connect(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracle.items()):
@@ -87,6 +99,10 @@ def main(sf_dir: str, out_dir: str) -> int:
         except TimeoutError as e:
             print(f"FAIL {name}: ORACLE BUDGET EXCEEDED: {e}")
             failures += 1
+            if getattr(e, "reconnect", False):
+                # worker thread still owns the old connection — abandon
+                # it and reopen so later queries don't share it
+                con = connect(sf_dir)
             continue
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
