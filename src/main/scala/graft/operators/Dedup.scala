@@ -854,7 +854,9 @@ object Dedup {
     * Returns (idCol, clean_text, n_removed) where n_removed counts
     * removed LINES. `sep` is a literal separator (regex-quoted), so
     * "\n" or " . " both work; text splits and rebuilds losslessly
-    * (split keeps empty segments, so "a\n\n" round-trips).
+    * (split keeps empty segments, so "a\n\n" round-trips). Empty
+    * lines are never candidates — they are paragraph separators, not
+    * boilerplate, and are always preserved.
     *
     * Scale shape: lines hash map-side where they sit — only slim
     * (doc, pos, hash) frames reach the occurrence-count shuffle; the
@@ -882,9 +884,14 @@ object Dedup {
     require(minOcc >= 2, s"minOccurrences=$minOcc must be >= 2")
     require(sep.nonEmpty, "sep must be non-empty")
     val sepRe = java.util.regex.Pattern.quote(sep)
+    // empty lines are NEVER dedup candidates: blank lines are
+    // paragraph separators, and counting them would strip every blank
+    // line in the corpus but one (reference line-dedup pipelines skip
+    // empty lines for the same reason)
     val hashed = df
       .select(col(idCol).as("doc"),
         posexplode(split(col(textCol), sepRe)).as(Seq("pos", "line")))
+      .filter(col("line") =!= lit(""))
       .select(col("doc"), col("pos").cast("long").as("pos"),
         hash(col("line")).as("h"))
     val dup = hashed.groupBy(col("h"))

@@ -1245,7 +1245,8 @@ object TextVector {
          lines AS MATERIALIZED (SELECT doc_id, g.i - 1 AS pos, ls[g.i] AS line
            FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
                 UNNEST(generate_series(1, len(ls))) AS g(i)),
-         h AS MATERIALIZED (SELECT doc_id, pos, md5(line) AS lh FROM lines),
+         h AS MATERIALIZED (SELECT doc_id, pos, md5(line) AS lh
+           FROM lines WHERE line <> ''),
          dup AS (SELECT lh FROM h GROUP BY lh HAVING count(*) >= 2),
          occ AS (SELECT h.doc_id, h.pos,
              row_number() OVER (PARTITION BY lh ORDER BY doc_id, pos) AS rn
