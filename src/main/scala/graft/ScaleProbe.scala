@@ -17,8 +17,10 @@ object ScaleProbe {
     val tlMode = args.contains("twolevel")
     val bpeMode = args.contains("bpe")
     val cannMode = args.contains("cann")
-    val posArgs = args.filterNot(a => a == "twolevel" || a == "bpe" || a == "cann")
-    val special = tlMode || bpeMode || cannMode
+    val streamMode = args.contains("streaming")
+    val posArgs = args.filterNot(a =>
+      a == "twolevel" || a == "bpe" || a == "cann" || a == "streaming")
+    val special = tlMode || bpeMode || cannMode || streamMode
     // twolevel/bpe/cann modes take no factor: the only positional arg is outDir
     val factor =
       if (special) 1 else posArgs.headOption.map(_.toInt).getOrElse(10)
@@ -33,6 +35,7 @@ object ScaleProbe {
     if (tlMode) { twoLevelProbe(spark, outDir); return }
     if (bpeMode) { bpeProbe(spark, outDir); return }
     if (cannMode) { cannProbe(spark, outDir); return }
+    if (streamMode) { streamingProbe(spark, outDir); return }
 
     // rotate an array column by c positions MODULO its per-row length
     // — a plain `slice(arr, c+1, …)` is a silent NO-OP whenever c ≥
@@ -521,6 +524,108 @@ object ScaleProbe {
       }
       tIdx.unpersist()
       spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+
+  /** Streaming state-path probe: drains the three stateful streaming
+    * operators (two-sided interval join, mapGroupsWithState totals,
+    * watermarked dedup) over 1×/3×/10× the sf events table and
+    * reports drain seconds, total state rows, and the empirical
+    * exponent — the evidence behind SCALE.md's streaming rows. Copies
+    * rotate event ids, user ids, AND timestamps (+c hours) so state
+    * cardinality genuinely grows with the factor instead of
+    * collapsing onto the same keys. Drains run at 8 shuffle
+    * partitions (state stores per operator = partitions; the gates'
+    * sizing rule) through a noop sink so sink materialization never
+    * pollutes the state-path timing.
+    */
+  private def streamingProbe(spark: SparkSession, outDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val base = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val nBase = base.count()
+    println(s"streaming state probe over $nBase base events ($sfDir)")
+    def scaledEvents(factor: Int): DataFrame =
+      (0 until factor).map { c =>
+        base.select(
+          (col("event_id") + lit(c.toLong * 100000000L)).as("event_id"),
+          (col("ts") + expr(s"INTERVAL $c HOURS")).as("ts"),
+          (col("user_id") + lit(c.toLong * 1000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+    // returns (drainSec, stateRows); `mk` receives the scaled batch
+    // frame plus a stager that turns any derived batch frame into its
+    // own file-source stream (two-sided joins stage each side
+    // separately, exactly as the q49 gate does)
+    def drain(name: String, factor: Int)
+             (mk: (DataFrame, DataFrame => DataFrame) => DataFrame): (Double, Long) = {
+      val df = scaledEvents(factor)
+      val staged = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      val ckpt = java.nio.file.Files.createTempDirectory(s"probe-$name-ck-")
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      def streamOf(b: DataFrame): DataFrame = {
+        val d = java.nio.file.Files.createTempDirectory(s"probe-$name-in-")
+        staged += d
+        b.coalesce(8).write.mode("append").parquet(d.toString)
+        spark.readStream.schema(b.schema).parquet(d.toString)
+      }
+      try {
+        val out = mk(df, streamOf)
+        spark.conf.set("spark.sql.shuffle.partitions", 8)
+        val t0 = System.nanoTime()
+        val q = out.writeStream.format("noop")
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode(if (name == "stateful_totals") "update" else "append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val stateRows = Option(q.lastProgress)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+        (dt, stateRows)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        staged.foreach(rm); rm(ckpt)
+      }
+    }
+
+    def probe(name: String)
+             (mk: (DataFrame, DataFrame => DataFrame) => DataFrame): Unit = {
+      drain(name, 1)(mk) // warm: classload + codegen outside timings
+      val cells = Seq(1, 3, 10).map { f =>
+        val (dt, st) = drain(name, f)(mk)
+        println(f"  [$name] factor=$f%2d drain=$dt%6.2fs stateRows=$st%9d")
+        (f, dt)
+      }
+      val (f1, t1) = cells.head; val (fN, tN) = cells.last
+      val exp = math.log(tN / t1) / math.log(fN.toDouble / f1)
+      println(f"  [$name] exponent=$exp%.2f (1.0 = linear; <1 = " +
+        "fixed per-batch machinery still amortizing)")
+    }
+
+    probe("interval_join") { (batch, streamOf) =>
+      val windows = batch.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+        .distinct()
+      graft.streaming.EventOps.streamIntervalJoin(
+        streamOf(batch), streamOf(windows), "3650 days")
+    }
+    probe("stateful_totals") { (batch, streamOf) =>
+      graft.streaming.EventOps.statefulUserTotals(streamOf(batch)).toDF()
+    }
+    probe("stream_dedup") { (batch, streamOf) =>
+      graft.streaming.EventOps.streamDedup(streamOf(batch), "3650 days")
+        .select(col("event_id"), col("user_id"), col("event_type"))
     }
     spark.stop()
   }
