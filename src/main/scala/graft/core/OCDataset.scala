@@ -512,6 +512,16 @@ final case class OCDataset(
 
   def count(): Long = df.count()
 
+  /** Arrow IPC shard export (reference output-format surface,
+    * dataset/formats.py:14-120 — the zero-copy columnar handoff its
+    * astropy/pandas/polars/arrow/jax adapters all accept): one IPC
+    * stream file per non-empty partition, written where the partition
+    * sits — no driver collect. The lazy sort applies first, like
+    * every other materialization. Returns the written paths.
+    */
+  def exportArrowIpc(outDir: String, batchRows: Int = 1 << 14): Seq[String] =
+    graft.io.ArrowExport.writeArrowIpc(getData, outDir, batchRows)
+
   /** Scalar-select mode (reference select's exclusive reduction mode,
     * dataset.py:614-708): evaluate named reductions into a one-row
     * frame — one aggregation job for all of them.

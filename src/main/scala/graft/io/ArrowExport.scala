@@ -1,0 +1,198 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Arrow IPC export — the zero-copy columnar handoff a training-data
+  * consumer (dataloader, feature store) wants instead of `collect()`.
+  * This is the one defensible residue of the reference's Python
+  * output-format surface (reference python/opencosmo/dataset/
+  * formats.py:14-120 — astropy/pandas/polars/arrow/jax all accept
+  * Arrow IPC); the remaining five formats are one `pyarrow.ipc.open_
+  * stream` away on the consumer side.
+  *
+  * Scale shape: each partition writes its OWN IPC stream file where
+  * its rows already sit — no driver collect, no shuffle, linear in
+  * partition data; at 1000 executors this is 1000 concurrent
+  * independent writers, the same layout parquet export uses. Files
+  * are self-describing (schema travels in-stream), so a consumer maps
+  * shards to dataloader workers directly.
+  *
+  * Uses only the PUBLIC arrow-vector API (bundled with Spark — the
+  * same batches Spark itself speaks to pandas-on-Spark consumers);
+  * no Spark-internal Arrow plumbing.
+  *
+  * Supported column types: boolean, int, long, float, double, string,
+  * binary, date, timestamp, and arrays of int/long/float/double
+  * (embedding columns). Anything else throws up front with the column
+  * name — cast or digest it first.
+  */
+object ArrowExport {
+
+  /** Write `df` as Arrow IPC stream files under `outDir`
+    * (`part-NNNNN.arrow`, one per non-empty partition). Returns the
+    * written file paths in partition order. `batchRows` bounds the
+    * rows per Arrow record batch (consumer-side memory granularity).
+    */
+  def writeArrowIpc(df: DataFrame, outDir: String,
+                    batchRows: Int = 1 << 14): Seq[String] = {
+    require(batchRows >= 1, s"batchRows must be >= 1, got $batchRows")
+    val schema = df.schema
+    schema.fields.foreach(f => checkSupported(f.name, f.dataType))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val path = f"$outDir/part-$pid%05d.arrow"
+        writePartition(schema, rows, path, batchRows)
+        Iterator.single(path)
+      }
+    }.collect().toSeq.sorted
+  }
+
+  /** Dev/test reader: one IPC stream file back into (fieldNames,
+    * row-major values). Text → String, arrow lists → Seq — shaped for
+    * spec comparison against `df.collect()`, not for scale (the
+    * production consumer is an Arrow-native reader).
+    */
+  def readArrowIpc(path: String): (Seq[String], Seq[Seq[Any]]) = {
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val in = new java.io.FileInputStream(path)
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val names = root.getSchema.getFields.asScala.map(_.getName).toSeq
+      val out = Seq.newBuilder[Seq[Any]]
+      while (reader.loadNextBatch()) {
+        val vectors = root.getFieldVectors.asScala.toSeq
+        var i = 0
+        while (i < root.getRowCount) {
+          out += vectors.map(v => fromArrow(v.getObject(i)))
+          i += 1
+        }
+      }
+      (names, out.result())
+    } finally { reader.close(); in.close(); alloc.close() }
+  }
+
+  private def fromArrow(v: Any): Any = v match {
+    case t: org.apache.arrow.vector.util.Text => t.toString
+    case l: java.util.List[_] => l.asScala.map(fromArrow).toSeq
+    case x => x
+  }
+
+  private def checkSupported(name: String, dt: DataType): Unit = dt match {
+    case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+         StringType | BinaryType | DateType | TimestampType => ()
+    case ArrayType(IntegerType | LongType | FloatType | DoubleType, _) => ()
+    case other => throw new IllegalArgumentException(
+      s"ArrowExport: unsupported type $other for column '$name' — " +
+        "cast it (or digest to a supported scalar) before export")
+  }
+
+  private def arrowField(f: StructField): org.apache.arrow.vector.types.pojo.Field = {
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
+    import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
+    def prim(t: ArrowType): Field =
+      new Field(f.name, FieldType.nullable(t), java.util.Collections.emptyList())
+    f.dataType match {
+      case BooleanType => prim(ArrowType.Bool.INSTANCE)
+      case IntegerType => prim(new ArrowType.Int(32, true))
+      case LongType => prim(new ArrowType.Int(64, true))
+      case FloatType => prim(new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE))
+      case DoubleType => prim(new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE))
+      case StringType => prim(ArrowType.Utf8.INSTANCE)
+      case BinaryType => prim(ArrowType.Binary.INSTANCE)
+      case DateType => prim(new ArrowType.Date(DateUnit.DAY))
+      case TimestampType => prim(new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC"))
+      case ArrayType(elem, _) =>
+        val child = arrowField(StructField("item", elem))
+        new Field(f.name, FieldType.nullable(ArrowType.List.INSTANCE),
+          java.util.List.of(child))
+      case other => throw new IllegalArgumentException(other.toString)
+    }
+  }
+
+  private def writePartition(schema: StructType,
+                             rows: Iterator[org.apache.spark.sql.Row],
+                             path: String, batchRows: Int): Unit = {
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.complex.ListVector
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val arrowSchema = new org.apache.arrow.vector.types.pojo.Schema(
+      schema.fields.map(arrowField).toList.asJava)
+    val root = VectorSchemaRoot.create(arrowSchema, alloc)
+    val out = new java.io.FileOutputStream(path)
+    val writer = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null, out)
+    try {
+      writer.start()
+      while (rows.hasNext) {
+        root.allocateNew()
+        val listWriters = root.getFieldVectors.asScala.map {
+          case lv: ListVector => lv.getWriter
+          case _ => null
+        }
+        var n = 0
+        while (n < batchRows && rows.hasNext) {
+          val row = rows.next()
+          var j = 0
+          while (j < schema.length) {
+            if (!row.isNullAt(j)) {
+              val vec = root.getVector(j)
+              schema(j).dataType match {
+                case BooleanType => vec.asInstanceOf[BitVector]
+                  .setSafe(n, if (row.getBoolean(j)) 1 else 0)
+                case IntegerType => vec.asInstanceOf[IntVector]
+                  .setSafe(n, row.getInt(j))
+                case LongType => vec.asInstanceOf[BigIntVector]
+                  .setSafe(n, row.getLong(j))
+                case FloatType => vec.asInstanceOf[Float4Vector]
+                  .setSafe(n, row.getFloat(j))
+                case DoubleType => vec.asInstanceOf[Float8Vector]
+                  .setSafe(n, row.getDouble(j))
+                case StringType => vec.asInstanceOf[VarCharVector]
+                  .setSafe(n, row.getString(j).getBytes("UTF-8"))
+                case BinaryType => vec.asInstanceOf[VarBinaryVector]
+                  .setSafe(n, row.getAs[Array[Byte]](j))
+                case DateType => vec.asInstanceOf[DateDayVector]
+                  .setSafe(n, row.getAs[java.sql.Date](j).toLocalDate.toEpochDay.toInt)
+                case TimestampType =>
+                  val ts = row.getAs[java.sql.Timestamp](j)
+                  vec.asInstanceOf[TimeStampMicroTZVector]
+                    .setSafe(n, ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L)
+                case ArrayType(elem, _) =>
+                  val w = listWriters(j)
+                  w.setPosition(n)
+                  w.startList()
+                  row.getSeq[Any](j).foreach { e =>
+                    if (e == null) elem match {
+                      case IntegerType => w.integer().writeNull()
+                      case LongType => w.bigInt().writeNull()
+                      case FloatType => w.float4().writeNull()
+                      case DoubleType => w.float8().writeNull()
+                      case _ => ()
+                    } else elem match {
+                      case IntegerType => w.integer().writeInt(e.asInstanceOf[Int])
+                      case LongType => w.bigInt().writeBigInt(e.asInstanceOf[Long])
+                      case FloatType => w.float4().writeFloat4(e.asInstanceOf[Float])
+                      case DoubleType => w.float8().writeFloat8(e.asInstanceOf[Double])
+                      case _ => ()
+                    }
+                  }
+                  w.endList()
+                case _ => ()
+              }
+            }
+            j += 1
+          }
+          n += 1
+        }
+        root.setRowCount(n)
+        writer.writeBatch()
+      }
+      writer.end()
+    } finally { writer.close(); out.close(); root.close(); alloc.close() }
+  }
+}

@@ -228,6 +228,36 @@ object CoreLib {
       graft.io.hdf5.Hdf5Io.importDataset(s, h5).df
     }),
 
+    // Arrow IPC interchange (reference output-format surface,
+    // dataset/formats.py): export embeddings to per-partition Arrow
+    // stream files, re-read them through the public arrow-vector
+    // reader, and hand back (vec_id, dim, first-4 components rounded
+    // as doubles) rebuilt FROM THE RE-READ BYTES — the oracle reads
+    // the original parquet, so any bent float/validity/offset in the
+    // IPC pipeline hash-mismatches. Arrow round-trips floats
+    // bit-exactly; the round-to-6 only normalizes the
+    // float→double widening text the two engines print.
+    "q125_arrow_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val src = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val out = java.nio.file.Files.createTempDirectory("graft-arrowq-")
+      try {
+        val files = graft.io.ArrowExport.writeArrowIpc(src, out.toString)
+        val rows = files.flatMap(f => graft.io.ArrowExport.readArrowIpc(f)._2)
+        rows.map { r =>
+          val id = r.head.asInstanceOf[Long]
+          val v = r(1).asInstanceOf[Seq[Any]].map(_.asInstanceOf[Float])
+          def rd(i: Int) = BigDecimal(v(i).toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, v.length.toLong, rd(0), rd(1), rd(2), rd(3))
+        }.toDF("vec_id", "dim", "e0", "e1", "e2", "e3")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }),
+
     // §2.11 per-column unit conversions: unit-keyed (`Mpc -> kpc`,
     // ignoring littleh bookkeeping) + column-keyed (`Msun -> kg`)
     // rewrites. The oracle multiplies by the SAME IEEE expressions
@@ -445,6 +475,13 @@ object CoreLib {
          FROM embeddings""",
     "q66_hdf5_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "q125_arrow_roundtrip" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS e0,
+           round(CAST(embedding[2] AS DOUBLE), 6) AS e1,
+           round(CAST(embedding[3] AS DOUBLE), 6) AS e2,
+           round(CAST(embedding[4] AS DOUBLE), 6) AS e3
+         FROM embeddings""",
     "q80_bound_sphere" ->
       """SELECT l_orderkey, l_linenumber FROM (
            SELECT l_orderkey, l_linenumber,

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Header, OCDataset}
+import graft.io.ArrowExport
+
+/** Arrow IPC export round-trips (reference output-format surface,
+  * dataset/formats.py — the columnar handoff its Python adapters
+  * consume). Values are compared against the SAME frame's collect().
+  */
+class ArrowExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-arrow-$tag-").toString
+
+  private def readAll(paths: Seq[String]): (Seq[String], Seq[Seq[Any]]) = {
+    val parts = paths.map(ArrowExport.readArrowIpc)
+    (parts.head._1, parts.flatMap(_._2))
+  }
+
+  test("embeddings round-trip: longs + float arrays, multi-partition") {
+    val df = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).repartition(3)
+    val out = tmpDir("emb")
+    val files = ArrowExport.writeArrowIpc(df, out, batchRows = 100)
+    assert(files.nonEmpty && files.forall(_.endsWith(".arrow")))
+    val (names, rows) = readAll(files)
+    assert(names == Seq("vec_id", "embedding"))
+    val got = rows.map(r => r.head.asInstanceOf[Long] ->
+      r(1).asInstanceOf[Seq[Any]].map(_.asInstanceOf[Float])).toMap
+    val want = df.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got.size == want.size)
+    want.foreach { case (id, vec) => assert(got(id) == vec, s"vec_id=$id") }
+  }
+
+  test("mixed scalar types round-trip incl. nulls, strings, timestamps") {
+    val df = spark.sql(
+      """SELECT id,
+           CASE WHEN id = 2 THEN NULL ELSE concat('s', id) END AS s,
+           CAST(id AS INT) AS i,
+           CAST(id * 1.5 AS DOUBLE) AS d,
+           CAST(id * 0.5 AS FLOAT) AS f,
+           id % 2 = 0 AS b,
+           CAST(encode(concat('b', id), 'UTF-8') AS BINARY) AS bin,
+           DATE '2026-01-01' + CAST(id AS INT) AS dt,
+           TIMESTAMP '2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts
+         FROM range(5)""")
+    val out = tmpDir("mixed")
+    val files = ArrowExport.writeArrowIpc(df, out)
+    val (names, rows) = readAll(files)
+    assert(names == df.columns.toSeq)
+    val byId = rows.map(r => r.head.asInstanceOf[Long] -> r).toMap
+    assert(byId(2L)(1) == null)                 // null string survives
+    assert(byId(3L)(1) == "s3")
+    assert(byId(3L)(2) == 3)
+    assert(byId(3L)(3) == 4.5)
+    assert(byId(3L)(4) == 1.5f)
+    assert(byId(3L)(5) == false && byId(4L)(5) == true)
+    assert(new String(byId(3L)(6).asInstanceOf[Array[Byte]], "UTF-8") == "b3")
+    // date: arrow Date(DAY) getObject → epoch days (Integer)
+    assert(byId(3L)(7) ==
+      java.time.LocalDate.parse("2026-01-04").toEpochDay.toInt)
+    // timestamp micros, UTC: 2026-01-01T00:00:03
+    val micros = byId(3L)(8) match {
+      case l: java.lang.Long => l.longValue()
+      case ldt: java.time.LocalDateTime =>
+        ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    }
+    assert(micros == java.time.Instant.parse("2026-01-01T00:00:03Z")
+      .toEpochMilli * 1000L)
+  }
+
+  test("batchRows splits batches without losing or reordering rows") {
+    val df = spark.range(257).select(col("id"),
+      (col("id") * 2).as("v")).coalesce(1)
+    val out = tmpDir("batch")
+    val files = ArrowExport.writeArrowIpc(df, out, batchRows = 64)
+    val (_, rows) = readAll(files)
+    assert(rows.map(_.head.asInstanceOf[Long]) == (0L until 257L))
+    assert(rows.map(_(1).asInstanceOf[Long]) == (0L until 257L).map(_ * 2))
+  }
+
+  test("OCDataset.exportArrowIpc applies the lazy sort first") {
+    val ds = OCDataset(
+      Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1),
+      Header()).sortBy("k")
+    val out = tmpDir("ocds")
+    val files = ds.exportArrowIpc(out)
+    val (_, rows) = readAll(files)
+    assert(rows.map(_.head) == Seq(1L, 2L, 3L))
+    assert(rows.map(_(1)) == Seq("a", "b", "c"))
+  }
+
+  test("unsupported column type fails loudly with the column name") {
+    val df = spark.sql("SELECT named_struct('a', 1) AS st FROM range(1)")
+    val e = intercept[IllegalArgumentException] {
+      ArrowExport.writeArrowIpc(df, tmpDir("bad"))
+    }
+    assert(e.getMessage.contains("st"))
+  }
+}
