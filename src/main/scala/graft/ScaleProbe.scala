@@ -18,9 +18,11 @@ object ScaleProbe {
     val bpeMode = args.contains("bpe")
     val cannMode = args.contains("cann")
     val streamMode = args.contains("streaming")
+    val shardedMode = args.contains("sharded")
     val posArgs = args.filterNot(a =>
-      a == "twolevel" || a == "bpe" || a == "cann" || a == "streaming")
-    val special = tlMode || bpeMode || cannMode || streamMode
+      a == "twolevel" || a == "bpe" || a == "cann" || a == "streaming" ||
+      a == "sharded")
+    val special = tlMode || bpeMode || cannMode || streamMode || shardedMode
     // twolevel/bpe/cann modes take no factor: the only positional arg is outDir
     val factor =
       if (special) 1 else posArgs.headOption.map(_.toInt).getOrElse(10)
@@ -36,6 +38,7 @@ object ScaleProbe {
     if (bpeMode) { bpeProbe(spark, outDir); return }
     if (cannMode) { cannProbe(spark, outDir); return }
     if (streamMode) { streamingProbe(spark, outDir); return }
+    if (shardedMode) { shardedProbe(spark, outDir); return }
 
     // rotate an array column by c positions MODULO its per-row length
     // — a plain `slice(arr, c+1, …)` is a silent NO-OP whenever c ≥
@@ -626,6 +629,46 @@ object ScaleProbe {
     probe("stream_dedup") { (batch, streamOf) =>
       graft.streaming.EventOps.streamDedup(streamOf(batch), "3650 days")
         .select(col("event_id"), col("user_id"), col("event_type"))
+    }
+    spark.stop()
+  }
+
+  /** Sharded-SemDeDup arrival-batch probe (the q101Sp gate runs the
+    * minimal 2-shard split; this drives ≥3 batches): one fixed
+    * synthetic corpus processed at 1/2/4/8 shards. What must hold for
+    * the shard-then-merge recipe to be the 100 TB path: per-shard fit
+    * cost drops ~linearly with shard count (that is the point — the
+    * corpus never needs to fit at once), the union-survivors +
+    * dominance merge stays a SMALL constant tail (survivors only,
+    * not corpus), and the survivor count stays stable across shard
+    * counts (the clique-exactness contract, here on a corpus whose
+    * near-dup structure is grid cliques).
+    */
+  private def shardedProbe(spark: SparkSession, outDir: String): Unit = {
+    import graft.operators.Similarity
+    val dim = 16
+    // 400k keeps the whole 4-cell sweep under ~10 min on local[32];
+    // the contract being probed (per-shard fit shrinks, merge tail
+    // stays survivor-sized, survivor set stable) is scale-free
+    val n = 400000L
+    val path = s"$outDir/sharded_vec_$n.parquet"
+    spark.range(n).select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)), p =>
+          (pmod(xxhash64(col("id") * dim + p), lit(1000L)).cast("double") / 1000.0)
+            .cast("float")).as("vec"))
+      .write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+    val k = (n / Similarity.SemanticTargetCluster).toInt
+    println(s"sharded SemDeDup, n=$n dim=$dim k=$k")
+    Seq(1, 2, 4, 8).foreach { shards =>
+      val t0 = System.nanoTime()
+      val survivors = Similarity.semanticDedupSharded(
+        df, "id", "vec", threshold = 0.95, shards = shards,
+        k = k, iters = 2).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"shards=$shards%2d survivors=$survivors%8d t=$dt%7.2fs " +
+        f"per-shard-fit-rows=${n / shards}%8d")
     }
     spark.stop()
   }
