@@ -658,13 +658,15 @@ object ScaleProbe {
             .cast("float")).as("vec"))
       .write.mode("overwrite").parquet(path)
     val df = spark.read.parquet(path)
-    val k = (n / Similarity.SemanticTargetCluster).toInt
-    println(s"sharded SemDeDup, n=$n dim=$dim k=$k")
+    // k = 0: each shard fit auto-sizes its cluster count to ITS corpus
+    // (n/shards rows) — the recipe's intended usage; a fixed global k
+    // overclusters every shard and inflates the per-shard fits
+    println(s"sharded SemDeDup, n=$n dim=$dim auto-k")
     Seq(1, 2, 4, 8).foreach { shards =>
       val t0 = System.nanoTime()
       val survivors = Similarity.semanticDedupSharded(
         df, "id", "vec", threshold = 0.95, shards = shards,
-        k = k, iters = 2).count()
+        k = 0, iters = 2).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       println(f"shards=$shards%2d survivors=$survivors%8d t=$dt%7.2fs " +

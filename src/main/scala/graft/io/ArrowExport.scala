@@ -52,6 +52,49 @@ object ArrowExport {
     }.collect().toSeq.sorted
   }
 
+  /** Distributed Arrow IPC import: every `part-*.arrow` under `dir`
+    * read where it sits — one Spark task per shard file, no driver
+    * collect — into a DataFrame with the given schema (the export is
+    * self-describing, but Spark needs the schema before tasks run;
+    * pass the frame's schema or a pruned subset of its columns).
+    * Inverse of [[writeArrowIpc]] over the same supported types.
+    */
+  def readArrowIpcDF(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, schema: StructType): DataFrame = {
+    schema.fields.foreach(f => checkSupported(f.name, f.dataType))
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.toString).filter(_.endsWith(".arrow"))
+      .toSeq.sorted
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(1, files.length))
+      .flatMap { path =>
+        val (names, rows) = readArrowIpc(path)
+        val order = schema.fieldNames.map(n => names.indexOf(n))
+        require(order.forall(_ >= 0),
+          s"$path lacks columns ${schema.fieldNames.filterNot(names.contains).mkString(",")}")
+        rows.iterator.map { r =>
+          org.apache.spark.sql.Row.fromSeq(
+            schema.fields.zip(order.map(r(_))).map {
+              case (f, null) => null
+              case (f, v) => f.dataType match {
+                case DateType => java.sql.Date.valueOf(
+                  java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+                case TimestampType => v match {
+                  case us: java.lang.Long =>
+                    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+                      Math.floorDiv(us, 1000000L),
+                      Math.floorMod(us, 1000000L) * 1000L))
+                  case ldt: java.time.LocalDateTime =>
+                    java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
+                }
+                case _ => v
+              }
+            })
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Dev/test reader: one IPC stream file back into (fieldNames,
     * row-major values). Text → String, arrow lists → Seq — shaped for
     * spec comparison against `df.collect()`, not for scale (the

@@ -93,6 +93,32 @@ class ArrowExportSpec extends SparkSpec {
     assert(rows.map(_(1)) == Seq("a", "b", "c"))
   }
 
+  test("distributed readArrowIpcDF round-trips and prunes columns") {
+    val df = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).repartition(3)
+    val out = tmpDir("dist")
+    ArrowExport.writeArrowIpc(df, out)
+    val back = ArrowExport.readArrowIpcDF(spark, out, df.schema)
+    assert(back.rdd.getNumPartitions == 3) // one task per shard file
+    val got = back.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val want = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got == want)
+    // schema subset = column pruning at the reader
+    val pruned = ArrowExport.readArrowIpcDF(spark, out,
+      org.apache.spark.sql.types.StructType(df.schema.filter(_.name == "vec_id")))
+    assert(pruned.columns.toSeq == Seq("vec_id"))
+    assert(pruned.count() == df.count())
+    // timestamps survive the distributed path too
+    val tsDf = spark.sql(
+      """SELECT id, TIMESTAMP '2026-02-03 04:05:06' +
+           make_interval(0,0,0,0,0,0,id) AS ts FROM range(4)""").coalesce(1)
+    val out2 = tmpDir("dist-ts")
+    ArrowExport.writeArrowIpc(tsDf, out2)
+    val back2 = ArrowExport.readArrowIpcDF(spark, out2, tsDf.schema)
+    assert(back2.collect().map(_.getTimestamp(1)).sorted.toSeq ==
+      tsDf.collect().map(_.getTimestamp(1)).sorted.toSeq)
+  }
+
   test("unsupported column type fails loudly with the column name") {
     val df = spark.sql("SELECT named_struct('a', 1) AS st FROM range(1)")
     val e = intercept[IllegalArgumentException] {
