@@ -752,4 +752,95 @@ object CorpusStats {
     cnt.unpersist()
     out
   }
+
+  // ---- Naive Bayes corpus classifier ------------------------------
+
+  /** Multinomial Naive Bayes trainer (the trainable upgrade to the
+    * heuristic quality/langid scorers — the classifier a CCNet-style
+    * pipeline trains on a labeled slice and applies to the whole
+    * corpus). Laplace-α smoothing. Returns
+    * (model, priors):
+    * - model: (token, label, lp9) — nano-fixed-point
+    *   round(ln((c+α)/(tot_l+α·V))·1e9) per seen (token, label);
+    * - priors: (label, prior9, unseen9) — log class prior and the
+    *   smoothing floor an UNSEEN token contributes under that label.
+    * All log-probabilities live as exact longs so downstream sums are
+    * order-independent under any partitioning (the bigram-LM
+    * fixed-point contract).
+    *
+    * Scale shape: one (label, token) hash-agg over exploded tokens
+    * (map-side combined), label totals and vocab size are
+    * label-count-sized aggregates; nothing corpus-sized leaves the
+    * first agg.
+    */
+  def trainNaiveBayes(df: DataFrame, textCol: String, labelCol: String,
+                      alpha: Double = 1.0): (DataFrame, DataFrame) = {
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    val toks = df.select(col(labelCol).as("label"),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val tc = toks.groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("__c")).persist()
+    val vocab = tc.select(col("token")).distinct().count().toDouble
+    val lt = tc.groupBy(col("label")).agg(sum(col("__c")).as("__tot"))
+    val model = tc.join(broadcast(lt), Seq("label"))
+      .select(col("token"), col("label"),
+        round(log((col("__c") + lit(alpha)) /
+          (col("__tot") + lit(alpha * vocab))) * lit(1e9)).cast("long")
+          .as("lp9"))
+    val nDocs = df.count().toDouble
+    val priors = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("__nd"))
+      .join(broadcast(lt), Seq("label"))
+      .select(col("label"),
+        round(log(col("__nd") / lit(nDocs)) * lit(1e9)).cast("long")
+          .as("prior9"),
+        round(log(lit(alpha) / (col("__tot") + lit(alpha * vocab))) * lit(1e9))
+          .cast("long").as("unseen9"))
+    (model, priors)
+  }
+
+  /** Score + classify every document against a trained model: for
+    * each (doc, label), score9 = prior9 + Σ_seen n·lp9 +
+    * (N_d − seen_n)·unseen9, winner by score desc then label asc
+    * (deterministic). Output: (idCol, pred_label, score9).
+    *
+    * Scale shape: per-doc token counts hash-agg once; the model join
+    * shuffles on token (model is vocab×labels, AQE-splittable on hot
+    * Zipf tokens since counts arrive pre-combined); the per-
+    * (doc, label) frame is |docs|·|labels| rows; priors broadcast.
+    * The winner pick is a |labels|-row window per doc — bounded fan-
+    * out, not a global sort.
+    */
+  def naiveBayesApply(docs: DataFrame, idCol: String, textCol: String,
+                      model: DataFrame, priors: DataFrame): DataFrame = {
+    val dt = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__n"))
+    val dn = dt.groupBy(col(idCol)).agg(sum(col("__n")).as("__nd"))
+    val seen = dt.join(model, Seq("token"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("__n") * col("lp9")).as("__s9"),
+        sum(col("__n")).as("__sn"))
+    // |labels|-row broadcast fan-out (every doc scores every label) —
+    // the one legitimate cross join shape: tiny broadcast side
+    val scores = dn.crossJoin(broadcast(priors))
+      .join(seen, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"),
+        (col("prior9") + coalesce(col("__s9"), lit(0L)) +
+          (col("__nd") - coalesce(col("__sn"), lit(0L))) * col("unseen9"))
+          .as("score9"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score9").desc, col("label").asc)
+    scores.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col(idCol), col("label").as("pred_label"), col("score9"))
+  }
+
+  /** Train-on-self + classify composition (the gate shape; production
+    * trains on a labeled slice and applies to the rest via the two
+    * pieces directly). */
+  def naiveBayesClassify(df: DataFrame, idCol: String, textCol: String,
+                         labelCol: String, alpha: Double = 1.0): DataFrame = {
+    val (model, priors) = trainNaiveBayes(df, textCol, labelCol, alpha)
+    naiveBayesApply(df, idCol, textCol, model, priors)
+  }
 }

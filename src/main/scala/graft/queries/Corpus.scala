@@ -199,6 +199,17 @@ object Corpus {
       CorpusStats.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // multinomial Naive Bayes classifier (the trainable CCNet-style
+    // corpus classifier): trained on the lang labels, applied back to
+    // every document. All log-probabilities are nano-fixed-point
+    // longs, so the per-doc score sums are exact and the argmax
+    // (score desc, label asc) is engine-stable — the oracle replays
+    // count→ln→round(·1e9) verbatim.
+    "q126_naive_bayes" -> ((s, dir) => {
+      CorpusStats.naiveBayesClassify(
+        t(s, dir, "documents"), "doc_id", "text", "lang")
+    }),
+
     // distributed BPE tokenizer training (arXiv:1508.07909): one
     // word-count shuffle, then greedy pair merges folded over the
     // driver-bounded vocabulary table. Exact integer/string
@@ -749,6 +760,40 @@ object Corpus {
     // LEFT joins carrying add-one smoothing for reference-unseen
     // n-grams: coalesce(cb,0) -> P = 1/(cu+V), coalesce(cu,0) -> 1/V
     "q108_lm_score_ref" -> LmScoreRefSql,
+    // Naive Bayes: α=1 Laplace token model per lang, nano-fixed-point
+    // log-probs, per-doc score = prior + Σ seen n·lp9 + unseen mass,
+    // argmax by (score desc, lang asc) — the exact train+apply chain
+    "q126_naive_bayes" ->
+      """WITH toks AS MATERIALIZED (SELECT doc_id, lang,
+             unnest(string_split(text, ' ')) AS t FROM documents),
+         tc AS MATERIALIZED (SELECT lang, t, count(*) AS c
+           FROM toks GROUP BY lang, t),
+         lt AS (SELECT lang, sum(c) AS tot FROM tc GROUP BY lang),
+         v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v FROM tc),
+         model AS MATERIALIZED (SELECT tc.lang, tc.t,
+             CAST(round(ln((c + 1.0) / (tot + v.v)) * 1e9) AS BIGINT) AS lp9
+           FROM tc JOIN lt USING (lang), v),
+         ndocs AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+         pri AS (SELECT d.lang,
+             CAST(round(ln(count(*) / ndocs.nd) * 1e9) AS BIGINT) AS prior9,
+             CAST(round(ln(1.0 / (lt.tot + v.v)) * 1e9) AS BIGINT) AS unseen9
+           FROM documents d JOIN lt ON lt.lang = d.lang, v, ndocs
+           GROUP BY d.lang, lt.tot, v.v, ndocs.nd),
+         dt AS MATERIALIZED (SELECT doc_id, t, count(*) AS n
+           FROM toks GROUP BY doc_id, t),
+         dn AS (SELECT doc_id, sum(n) AS ndoc FROM dt GROUP BY doc_id),
+         seen AS (SELECT dt.doc_id, model.lang, sum(n * lp9) AS s9,
+             sum(n) AS sn
+           FROM dt JOIN model ON model.t = dt.t GROUP BY dt.doc_id, model.lang),
+         scores AS (SELECT dn.doc_id, pri.lang,
+             pri.prior9 + coalesce(seen.s9, 0)
+               + (dn.ndoc - coalesce(seen.sn, 0)) * pri.unseen9 AS score9
+           FROM dn CROSS JOIN pri
+           LEFT JOIN seen ON seen.doc_id = dn.doc_id AND seen.lang = pri.lang),
+         r AS (SELECT doc_id, lang, score9,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score9 DESC, lang) AS rn FROM scores)
+         SELECT doc_id, lang AS pred_label, score9 FROM r WHERE rn = 1""",
     // q124: reference n-gram tables from src0, per-occurrence CASE
     // chain mirroring the Spark kernel's operation order exactly —
     // c3/cctx, else (0.4·ctail)/cw2, else ((0.4·0.4)·(cw3+1))/(N+V) —

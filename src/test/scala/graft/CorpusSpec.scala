@@ -737,4 +737,44 @@ class CorpusSpec extends SparkSpec {
       .groupBy(_.getInt(2)).view.mapValues(_.length).toMap
     assert(sizes == Map(0 -> 4, 1 -> 3, 2 -> 3))
   }
+
+  test("naiveBayes: separable vocab classifies correctly; unseen tokens use the floor") {
+    import spark.implicits._
+    val labeled = Seq(
+      (1L, "apple banana apple fruit", "food"),
+      (2L, "banana fruit apple apple", "food"),
+      (3L, "spark join shuffle plan", "code"),
+      (4L, "plan shuffle spark spark", "code")
+    ).toDF("doc_id", "text", "label")
+    // self-classification recovers every label
+    val self = CorpusStats.naiveBayesClassify(labeled, "doc_id", "text", "label")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(self == Map(1L -> "food", 2L -> "food", 3L -> "code", 4L -> "code"))
+    // apply to held-out docs: seen-vocab docs classify by content; an
+    // all-unseen doc falls back to the prior+floor (both labels have
+    // equal priors and totals here -> tie broken by label asc = "code")
+    val (model, priors) = CorpusStats.trainNaiveBayes(labeled, "text", "label")
+    val held = Seq(
+      (10L, "apple banana"), (11L, "shuffle plan spark"),
+      (12L, "zzz qqq")).toDF("doc_id", "text")
+    val pred = CorpusStats.naiveBayesApply(held, "doc_id", "text", model, priors)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(pred(10L) == "food" && pred(11L) == "code")
+    assert(pred(12L) == "code") // deterministic tie-break, not a crash
+    // score9 is exact fixed-point: same input twice -> identical longs
+    val s1 = CorpusStats.naiveBayesClassify(labeled, "doc_id", "text", "label")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val s2 = CorpusStats.naiveBayesClassify(
+        labeled.repartition(7), "doc_id", "text", "label")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s1 == s2)
+  }
+
+  test("naiveBayes rejects a non-positive alpha") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "x")).toDF("doc_id", "text", "label")
+    intercept[IllegalArgumentException] {
+      CorpusStats.trainNaiveBayes(df, "text", "label", alpha = 0.0)
+    }
+  }
 }
