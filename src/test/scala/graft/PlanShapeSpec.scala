@@ -24,6 +24,19 @@ class PlanShapeSpec extends SparkSpec {
       s"sampler collapsed to a single partition:\n$p")
   }
 
+  test("naive bayes: partial+final aggs, window-group-limit winner, no single-partition funnel") {
+    val p = plan("q126_naive_bayes")
+    // token/model/doc counts all pre-combine map-side
+    assert(p.contains("HashAggregate"), s"no hash agg:\n$p")
+    assert(!p.contains("SortAggregate"), s"sort agg crept in:\n$p")
+    // the per-doc argmax is a rank-1 filter: must lower to the
+    // group-limit optimization, not a full per-doc sort pipeline alone
+    assert(p.contains("WindowGroupLimit"),
+      s"winner pick lost the group-limit lowering:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"classifier funneled through one partition:\n$p")
+  }
+
   test("decontamination broadcasts the benchmark gram set (semi-join, no corpus shuffle)") {
     val p = plan("q73_decontaminate")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
