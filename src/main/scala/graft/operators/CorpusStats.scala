@@ -843,4 +843,74 @@ object CorpusStats {
     val (model, priors) = trainNaiveBayes(df, textCol, labelCol, alpha)
     naiveBayesApply(df, idCol, textCol, model, priors)
   }
+
+  // ---- Hashing TF-IDF featurizer ----------------------------------
+
+  /** Hashing-trick TF-IDF featurizer — the text → vector bridge that
+    * feeds the clustering/ANN/SemDeDup stack from raw text without a
+    * vocabulary table: token → bucket = hash mod `dim`, component =
+    * tf · idf with idf = ln((N+1)/(df_b+1)) + 1 (smoothed; df_b
+    * counts DOCS containing the bucket). Returns (idCol, `vecCol`:
+    * array<double> of length dim).
+    *
+    * Scale shape: explode → (doc, bucket) hash-agg (map-side
+    * combined; bucket df is a second dim-bounded agg) → idf joins
+    * back as a dim-row BROADCAST → per-doc dense assembly via a
+    * collect_list bounded by dim. No corpus-sized shuffle beyond the
+    * one (doc, bucket) agg; the vocabulary never materializes
+    * anywhere (the point of the hashing trick at 100 TB).
+    */
+  def hashingTfIdf(df: DataFrame, idCol: String, textCol: String,
+                   dim: Int, vecCol: String = "tfidf"): DataFrame =
+    hashingTfIdfBy(df, idCol, textCol, dim, vecCol,
+      t => pmod(xxhash64(t), lit(dim.toLong)))
+
+  /** [[hashingTfIdf]]'s DuckDB-replayable gate twin: buckets from the
+    * md5 prefix (('0x' || substr(md5(t),1,8)) mod dim) instead of
+    * xxhash64, fingerprint output — (idCol, nnz, v_fp) with v_fp an
+    * md5 over "bucket:nano-fixed-weight" pairs in bucket order.
+    * Identical algebra; CorpusSpec pins the two kernels' shared
+    * geometry on a planted corpus.
+    */
+  def hashingTfIdfMd5(df: DataFrame, idCol: String, textCol: String,
+                      dim: Int): DataFrame = {
+    val sparse = hashingTfIdfSparseBy(df, idCol, textCol, dim,
+      t => pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+        lit(dim.toLong)))
+    sparse.groupBy(col(idCol))
+      .agg(count(lit(1)).as("nnz"),
+        md5(concat_ws("|", sort_array(collect_list(
+          concat(col("__b").cast("string"), lit(":"),
+            round(col("__w") * lit(1e9)).cast("long").cast("string")))))
+          .cast("binary")).as("v_fp"))
+  }
+
+  private def hashingTfIdfBy(df: DataFrame, idCol: String, textCol: String,
+                             dim: Int, vecCol: String,
+                             bucket: Column => Column): DataFrame = {
+    val sparse = hashingTfIdfSparseBy(df, idCol, textCol, dim, bucket)
+    // dense assembly: dim-bounded entry list → map → positional array
+    sparse.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__b").cast("int"),
+        col("__w")))).as("__m"))
+      .select(col(idCol), transform(sequence(lit(0), lit(dim - 1)),
+        b => coalesce(col("__m")(b), lit(0.0))).as(vecCol))
+  }
+
+  private def hashingTfIdfSparseBy(df: DataFrame, idCol: String,
+                                   textCol: String, dim: Int,
+                                   bucket: Column => Column): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val nDocs = df.count().toDouble
+    val tb = df
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .select(col(idCol), bucket(col("__t")).as("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__tf"))
+    val idf = tb.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__df"))
+      .select(col("__b"),
+        (log((lit(nDocs) + 1.0) / (col("__df") + 1.0)) + 1.0).as("__idf"))
+    tb.join(broadcast(idf), Seq("__b"))
+      .select(col(idCol), col("__b"), (col("__tf") * col("__idf")).as("__w"))
+  }
 }

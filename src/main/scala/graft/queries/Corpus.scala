@@ -199,6 +199,15 @@ object Corpus {
       CorpusStats.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // hashing-trick TF-IDF featurizer, md5-bucket gate twin: the
+    // oracle rebuilds every bucket, tf, smoothed idf, and the
+    // nano-fixed-point weight fingerprint. Production twin q127p
+    // (xxhash64 buckets, dense vectors) is rows-only below.
+    "q127_hashing_tfidf" -> ((s, dir) => {
+      CorpusStats.hashingTfIdfMd5(t(s, dir, "documents"), "doc_id", "text",
+        dim = 256)
+    }),
+
     // multinomial Naive Bayes classifier (the trainable CCNet-style
     // corpus classifier): trained on the lang labels, applied back to
     // every document. All log-probabilities are nano-fixed-point
@@ -760,6 +769,28 @@ object Corpus {
     // LEFT joins carrying add-one smoothing for reference-unseen
     // n-grams: coalesce(cb,0) -> P = 1/(cu+V), coalesce(cu,0) -> 1/V
     "q108_lm_score_ref" -> LmScoreRefSql,
+    // hashing TF-IDF: md5-prefix buckets mod 256, tf·(ln((N+1)/(df+1))+1)
+    // weights nano-quantized, fingerprint over "bucket:w9" strings in
+    // their own lexicographic order (mirrors Spark's sort_array)
+    "q127_hashing_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         tb AS MATERIALIZED (SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 8))::BIGINT % 256 AS b,
+             count(*) AS tf
+           FROM toks GROUP BY doc_id, b),
+         nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         idf AS (SELECT b, ln((nd.n + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+           FROM tb, nd GROUP BY b, nd.n),
+         w AS (SELECT tb.doc_id,
+             CAST(tb.b AS VARCHAR) || ':' ||
+               CAST(CAST(round(tb.tf * idf.idf * 1e9) AS BIGINT) AS VARCHAR)
+               AS entry
+           FROM tb JOIN idf USING (b))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS nnz,
+           md5(string_agg(entry, '|' ORDER BY entry)) AS v_fp
+         FROM w GROUP BY doc_id""",
+
     // Naive Bayes: α=1 Laplace token model per lang, nano-fixed-point
     // log-probs, per-doc score = prior + Σ seen n·lp9 + unseen mass,
     // argmax by (score desc, lang asc) — the exact train+apply chain

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, explode}
+import org.apache.spark.sql.functions.{col, concat_ws, explode, lit, md5, round, transform}
 
 /** Production-twin driver gates (rows-only by design — no oracle).
   *
@@ -107,6 +107,16 @@ object Production {
     "q106p_hash_split_prod" -> ((s, dir) =>
       graft.operators.Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))),
+    // xxhash64-bucket dense TF-IDF vectors (the q127 gate oracles the
+    // identical algebra through md5 buckets + fingerprints); digest
+    // the dense array to stay harness-sortable
+    "q127p_hashing_tfidf_prod" -> ((s, dir) =>
+      graft.operators.CorpusStats.hashingTfIdf(
+          t(s, dir, "documents"), "doc_id", "text", dim = 256)
+        .select(col("doc_id"),
+          md5(concat_ws("|", transform(col("tfidf"),
+            w => round(w * lit(1e9)).cast("long").cast("string")))
+            .cast("binary")).as("vec_fp"))),
     // xxhash64 line keys over the same synthesized multi-line corpus
     // the q112 gate dedups with md5 keys
     "q112p_line_dedup_prod" -> ((s, dir) =>

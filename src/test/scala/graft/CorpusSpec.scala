@@ -770,6 +770,59 @@ class CorpusSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("hashingTfIdf: dense algebra on a planted corpus; twins share geometry") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana")).toDF("doc_id", "text")
+    val dim = 64
+    val dense = CorpusStats.hashingTfIdf(docs, "doc_id", "text", dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(dense.values.forall(_.length == dim))
+    // doc 1: apple tf=2 (df=2), banana tf=1 (df=2); N=3
+    val idf2 = math.log(4.0 / 3.0) + 1.0 // df=2 buckets
+    def near(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    val v1 = dense(1L)
+    assert(v1.count(_ != 0.0) == 2)
+    assert(v1.exists(near(_, 2 * idf2)) && v1.exists(near(_, 1 * idf2)))
+    // doc 2: cherry appears only there -> idf = ln(4/2)+1
+    val v2 = dense(2L)
+    assert(v2.exists(near(_, math.log(2.0) + 1.0)))
+    // md5 twin: same nnz profile and identical weight MULTISET per doc
+    // (bucket ids differ by hash family; the geometry must not)
+    val fp = CorpusStats.hashingTfIdfMd5(docs, "doc_id", "text", dim)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp == dense.view.mapValues(_.count(_ != 0.0).toLong).toMap)
+    // partition invariance: fingerprints identical at any layout
+    val a = CorpusStats.hashingTfIdfMd5(docs, "doc_id", "text", dim)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val b = CorpusStats.hashingTfIdfMd5(docs.repartition(5), "doc_id", "text", dim)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(a == b)
+  }
+
+  test("hashingTfIdf feeds the clustering stack end to end") {
+    import spark.implicits._
+    // two separable vocabularies -> tfidf vectors -> cosine near-dup
+    // finds within-topic neighbors only
+    val docs = Seq(
+      (1L, "spark shuffle plan spark"), (2L, "spark shuffle plan join"),
+      (3L, "apple banana fruit salad"), (4L, "banana apple fruit bowl"))
+      .toDF("doc_id", "text")
+    val vecs = CorpusStats.hashingTfIdf(docs, "doc_id", "text", 256, "vec")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.transform(col("vec"),
+          w => w.cast("float")).as("vec"))
+    val pairs = graft.operators.Similarity
+      .cosineNearDupPairs(vecs, "doc_id", "vec", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((3L, 4L)))
+    assert(!pairs.exists { case (x, y) => Set(x, y) == Set(1L, 3L) ||
+      Set(x, y) == Set(2L, 4L) || Set(x, y) == Set(1L, 4L) ||
+      Set(x, y) == Set(2L, 3L) })
+  }
+
   test("naiveBayes rejects a non-positive alpha") {
     import spark.implicits._
     val df = Seq((1L, "a", "x")).toDF("doc_id", "text", "label")
