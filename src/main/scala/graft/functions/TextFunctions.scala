@@ -325,4 +325,23 @@ object TextFunctions {
     val best = array_max(array(scored: _*))
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** Shannon entropy (nats) of the text's code-point distribution —
+    * the gibberish/templating detector (near 0 for repeated filler).
+    * Codegen'd one-pass kernel; requires GraftExtensions registered.
+    */
+  def charEntropy(text: Column): Column =
+    call_function("graft_char_entropy", text)
+
+  /** DEFLATE compression ratio compressed/raw of the UTF-8 text
+    * (raw deflate at `level`): low ratio ⇒ repetitive/boilerplate,
+    * near-1 (or above, short inputs) ⇒ high-entropy text. Map-side
+    * codegen'd kernel; empty text → null ratio (0/0).
+    */
+  def compressionRatio(text: Column, level: Int = 6): Column = {
+    require(level >= 0 && level <= 9, s"deflate level must be 0..9, got $level")
+    val raw = octet_length(text).cast("double")
+    val packed = call_function("graft_deflate_len", text, lit(level)).cast("double")
+    when(raw > 0, packed / raw)
+  }
 }

@@ -56,6 +56,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[NormalizeExpr].getName, "graft_normalize"),
       (children: Seq[Expression]) => NormalizeExpr(children): Expression),
+    (FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[CharEntropyExpr].getName, "graft_char_entropy"),
+      (children: Seq[Expression]) => CharEntropyExpr(children): Expression),
+    (FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLenExpr].getName, "graft_deflate_len"),
+      (children: Seq[Expression]) => DeflateLenExpr(children): Expression),
     (FunctionIdentifier("graft_bpe_word"),
       new ExpressionInfo(classOf[BpeWordExpr].getName, "graft_bpe_word"),
       (children: Seq[Expression]) => BpeWordExpr(children): Expression),

@@ -22,6 +22,44 @@ object TextKernels {
 
   private final val Golden = 0x9E3779B97F4A7C15L
 
+  /** Shannon entropy (nats) over code points; empty → 0. One pass +
+    * one pass over the (≤ distinct-cp) count table. */
+  def charEntropy(s: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val str = s.toString
+    if (str.isEmpty) return 0.0
+    val counts = new java.util.HashMap[Integer, Array[Int]]()
+    var i = 0
+    var n = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1)) else slot(0) += 1
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var ent = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next()(0).toDouble / n
+      ent -= p * math.log(p)
+    }
+    ent
+  }
+
+  /** DEFLATE length of the UTF-8 bytes at `level` (raw deflate, no
+    * gzip header — the length is the signal, not the container). */
+  def deflateLen(s: org.apache.spark.unsafe.types.UTF8String, level: Int): Long = {
+    val bytes = s.getBytes
+    val d = new java.util.zip.Deflater(level, true)
+    try {
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
   /** splitmix64 finalizer — the permutation mixer for minhash. */
   @inline def mix(z0: Long): Long = {
     var z = z0 + Golden
@@ -264,6 +302,92 @@ final case class NormalizeExpr(children: Seq[Expression]) extends Expression {
         org.apache.spark.unsafe.types.UTF8String ${ev.value} = null;
         if (!${ev.isNull}) {
           ${ev.value} = graft.plans.TextKernels.normalize(${cg.value});
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
+}
+
+/** graft_char_entropy(text) → double: Shannon entropy (nats) of the
+  * text's CODE-POINT distribution, one pass, map-side. The classic
+  * gibberish/boilerplate detector — near-zero for repeated filler,
+  * high for natural prose (quality-filter input alongside the
+  * repetition and stopword signals). Empty string → 0.0.
+  */
+final case class CharEntropyExpr(children: Seq[Expression]) extends Expression {
+  require(children.length == 1, "graft_char_entropy(text)")
+  private def child = children.head
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val s = child.eval(input)
+    if (s == null) null
+    else TextKernels.charEntropy(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cg = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${cg.code}
+        boolean ${ev.isNull} = ${cg.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.plans.TextKernels.charEntropy(${cg.value});
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
+}
+
+/** graft_deflate_len(text, level) → long: DEFLATE-compressed byte
+  * length of the UTF-8 text at the given level (level must be
+  * foldable). compressed/raw is the compression-ratio quality signal
+  * (low ratio ⇒ repetitive/templated text). One Deflater per
+  * evaluation — no shared state, safe inside codegen.
+  */
+final case class DeflateLenExpr(children: Seq[Expression]) extends Expression {
+  require(children.length == 2, "graft_deflate_len(text, level)")
+  private def child = children.head
+  private def levelExpr = children(1)
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  // level folds lazily, NOT in the constructor: Catalyst rewrites
+  // children during planning (binding, subexpression elimination) and
+  // a constructor-time foldable require trips on the intermediate
+  // trees; the wrapper API (TextFunctions.compressionRatio) validates
+  // the user-facing range eagerly
+  private lazy val level: Int = {
+    require(levelExpr.foldable, "graft_deflate_len level must be a literal")
+    val l = levelExpr.eval(null).asInstanceOf[Number].intValue()
+    require(l >= 0 && l <= 9, s"deflate level must be 0..9, got $l")
+    l
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val s = child.eval(input)
+    if (s == null) null
+    else TextKernels.deflateLen(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], level)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cg = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${cg.code}
+        boolean ${ev.isNull} = ${cg.isNull};
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.plans.TextKernels.deflateLen(${cg.value}, $level);
         }
       """)
   }

@@ -199,6 +199,27 @@ object Corpus {
       CorpusStats.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // char-entropy quality signal, dual-form gate: explode → per-
+    // (doc, char) counts → entropy = ln(n) − (Σ k·ln k)/n with the
+    // k·ln k terms nano-quantized BEFORE summing, so the sum is an
+    // exact long under any partitioning/engine order. The codegen'd
+    // one-pass kernel (graft_char_entropy) is the production twin
+    // (q128p below), spec-pinned to this algebra within 1e-9.
+    "q128_char_entropy" -> ((s, dir) => {
+      val cc = t(s, dir, "documents")
+        .select(col("doc_id"), explode(filter(split(col("text"), ""),
+          c => c =!= lit(""))).as("c"))
+        .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("k"))
+      val n = cc.groupBy(col("doc_id")).agg(sum(col("k")).as("n"))
+      cc.join(n, Seq("doc_id"))
+        .groupBy(col("doc_id"), col("n"))
+        .agg(sum(round(col("k") * log(col("k")) * lit(1e9)).cast("long"))
+          .as("__s9"))
+        .select(col("doc_id"),
+          round((log(col("n")) - col("__s9") / lit(1e9) / col("n")) * lit(1e9))
+            .cast("long").as("ent9"))
+    }),
+
     // hashing-trick TF-IDF featurizer, md5-bucket gate twin: the
     // oracle rebuilds every bucket, tf, smoothed idf, and the
     // nano-fixed-point weight fingerprint. Production twin q127p
@@ -769,6 +790,22 @@ object Corpus {
     // LEFT joins carrying add-one smoothing for reference-unseen
     // n-grams: coalesce(cb,0) -> P = 1/(cu+V), coalesce(cu,0) -> 1/V
     "q108_lm_score_ref" -> LmScoreRefSql,
+    // char entropy: same dual form, k·ln k nano-quantized per term
+    // then summed exactly; ent = ln(n) − S9/1e9/n
+    "q128_char_entropy" ->
+      """WITH chars AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+           FROM documents),
+         cc AS (SELECT doc_id, c, count(*) AS k FROM chars
+           WHERE c <> '' GROUP BY doc_id, c),
+         n AS (SELECT doc_id, CAST(sum(k) AS DOUBLE) AS n FROM cc
+           GROUP BY doc_id),
+         s AS (SELECT cc.doc_id, n.n,
+             sum(CAST(round(k * ln(k) * 1e9) AS BIGINT)) AS s9
+           FROM cc JOIN n USING (doc_id) GROUP BY cc.doc_id, n.n)
+         SELECT doc_id,
+           CAST(round((ln(n) - s9 / 1e9 / n) * 1e9) AS BIGINT) AS ent9
+         FROM s""",
+
     // hashing TF-IDF: md5-prefix buckets mod 256, tf·(ln((N+1)/(df+1))+1)
     // weights nano-quantized, fingerprint over "bucket:w9" strings in
     // their own lexicographic order (mirrors Spark's sort_array)

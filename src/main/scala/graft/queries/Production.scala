@@ -107,6 +107,17 @@ object Production {
     "q106p_hash_split_prod" -> ((s, dir) =>
       graft.operators.Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))),
+    // the codegen'd one-pass entropy kernel + deflate compression
+    // ratio (not SQL-replayable: JDK Deflater); the q128 gate oracles
+    // the entropy algebra via the dual form, spec pins kernel==dual
+    "q128p_quality_signals_prod" -> ((s, dir) => {
+      graft.plans.GraftExtensions.registerAll(s)
+      t(s, dir, "documents").select(col("doc_id"),
+        round(graft.functions.TextFunctions.charEntropy(col("text")), 6)
+          .as("char_entropy"),
+        round(graft.functions.TextFunctions.compressionRatio(col("text")), 6)
+          .as("deflate_ratio"))
+    }),
     // xxhash64-bucket dense TF-IDF vectors (the q127 gate oracles the
     // identical algebra through md5 buckets + fingerprints); digest
     // the dense array to stay harness-sortable

@@ -823,6 +823,66 @@ class CorpusSpec extends SparkSpec {
       Set(x, y) == Set(2L, 3L) })
   }
 
+  test("charEntropy kernel: exact small cases, matches dual form on real docs") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.registerAll(spark)
+    val cases = Seq(
+      (1L, "aaaa"),          // single symbol -> 0
+      (2L, "abab"),          // two equiprobable -> ln 2
+      (3L, "abcd"),          // four equiprobable -> ln 4
+      (4L, "")).toDF("id", "t")
+    val got = cases.select(col("id"),
+      TextFunctions.charEntropy(col("t")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0 && got(4L) == 0.0)
+    assert(math.abs(got(2L) - math.log(2.0)) < 1e-12)
+    assert(math.abs(got(3L) - math.log(4.0)) < 1e-12)
+    // astral symbols count as ONE code point each
+    val astral = Seq((1L, "😀😀a")).toDF("id", "t")
+      .select(TextFunctions.charEntropy(col("t"))).head().getDouble(0)
+    // {emoji: 2, a: 1} over n=3
+    val exp = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(astral - exp) < 1e-12)
+    // kernel == explode-dual-form on the sf corpus within 1e-9
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(50)
+    val kernel = docs.select(col("doc_id"),
+      TextFunctions.charEntropy(col("text")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dual = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .filter(col("c") =!= "")
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("k"))
+      .groupBy("doc_id").agg(sum(col("k")).as("n"),
+        sum(col("k") * log(col("k"))).as("kl"))
+      .select(col("doc_id"), (log(col("n")) - col("kl") / col("n")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    kernel.foreach { case (id, e) =>
+      assert(math.abs(e - dual(id)) < 1e-9, s"doc $id: $e vs ${dual(id)}") }
+  }
+
+  test("compressionRatio orders repetitive below high-entropy text") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.registerAll(spark)
+    val rnd = new scala.util.Random(7)
+    val noisy = (0 until 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val d = Seq(
+      (1L, "spam spam spam spam " * 20), // templated
+      (2L, noisy)).toDF("id", "t")
+    val r = d.select(col("id"),
+        TextFunctions.compressionRatio(col("t")).as("r"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) < 0.2, s"templated ratio ${r(1L)}")
+    assert(r(2L) > r(1L) * 3, s"noisy ${r(2L)} vs templated ${r(1L)}")
+    // empty -> null, not a division blowup
+    val e = Seq((1L, "")).toDF("id", "t")
+      .select(TextFunctions.compressionRatio(col("t"))).head()
+    assert(e.isNullAt(0))
+    // level is validated
+    intercept[IllegalArgumentException] {
+      TextFunctions.compressionRatio(col("t"), level = 11)
+    }
+  }
+
   test("naiveBayes rejects a non-positive alpha") {
     import spark.implicits._
     val df = Seq((1L, "a", "x")).toDF("doc_id", "text", "label")
