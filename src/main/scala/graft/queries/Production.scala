@@ -107,6 +107,45 @@ object Production {
     "q106p_hash_split_prod" -> ((s, dir) =>
       graft.operators.Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))),
+    // THE FULL HANDOFF: tokenize (one-pass BPE kernel) → pack into
+    // 512-token bins → export the packed bins as Arrow IPC shard
+    // files → re-read the SHARDS distributedly → per-bin digest of
+    // what a dataloader would actually receive. Every stage is
+    // individually oracled (q111 ids, q88/q120 packing, q125 arrow);
+    // this twin proves the composition delivers identical bytes.
+    "q129p_pack_arrow_handoff_prod" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.trainMerges(d, "text",
+        numMerges = Corpus.BpeRounds)
+      val ids = graft.operators.Bpe.encodeIds(d, "doc_id", "text", merges,
+          graft.operators.Bpe.vocabulary(d, "text", merges))
+        .withColumn("n_tokens",
+          org.apache.spark.sql.functions.size(col("ids")).cast("long"))
+      val packed = graft.operators.Sampling
+        .packSequences(ids, "doc_id", "n_tokens", 512L)
+        .select(col("bin"), col("doc_id"), col("n_tokens"), col("ids"))
+      val out = java.nio.file.Files.createTempDirectory("graft-handoff-")
+      try {
+        graft.io.ArrowExport.writeArrowIpc(packed, out.toString)
+        graft.io.ArrowExport.readArrowIpcDF(s, out.toString, packed.schema)
+          .groupBy(col("bin"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_docs"),
+            org.apache.spark.sql.functions.sum(col("n_tokens")).as("n_tokens"),
+            md5(concat_ws("|",
+              org.apache.spark.sql.functions.flatten(transform(
+                org.apache.spark.sql.functions.array_sort(
+                  org.apache.spark.sql.functions.collect_list(
+                    org.apache.spark.sql.functions.struct(
+                      col("doc_id").as("d"),
+                      transform(col("ids"), _.cast("string")).as("v")))),
+                x => x.getField("v")))).cast("binary")).as("ids_fp"))
+          .localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }),
     // the codegen'd one-pass entropy kernel + deflate compression
     // ratio (not SQL-replayable: JDK Deflater); the q128 gate oracles
     // the entropy algebra via the dual form, spec pins kernel==dual

@@ -119,6 +119,31 @@ class ArrowExportSpec extends SparkSpec {
       tsDf.collect().map(_.getTimestamp(1)).sorted.toSeq)
   }
 
+  test("arrow trip is an identity on the packed-handoff shape") {
+    // the q129p property minus the (separately-gated) BPE/pack
+    // stages: aggregating after the export→import trip must produce
+    // byte-identical digests to aggregating the original frame
+    val packed = spark.sql(
+      """SELECT CAST(id % 3 AS BIGINT) AS bin, id AS doc_id,
+           CAST(id * 7 % 13 + 1 AS BIGINT) AS n_tokens,
+           transform(sequence(0, CAST(id % 5 AS INT)),
+             x -> CAST(x * id AS INT)) AS ids
+         FROM range(50)""").repartition(4)
+    def digest(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        md5(concat_ws("|", flatten(transform(
+          array_sort(collect_list(struct(col("doc_id").as("d"),
+            transform(col("ids"), _.cast("string")).as("v")))),
+          x => x.getField("v")))).cast("binary")).as("fp"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val out = tmpDir("identity")
+    graft.io.ArrowExport.writeArrowIpc(packed, out)
+    val back = graft.io.ArrowExport.readArrowIpcDF(spark, out, packed.schema)
+    assert(digest(back) == digest(packed))
+  }
+
   test("unsupported column type fails loudly with the column name") {
     val df = spark.sql("SELECT named_struct('a', 1) AS st FROM range(1)")
     val e = intercept[IllegalArgumentException] {
