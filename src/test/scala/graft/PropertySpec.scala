@@ -42,6 +42,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("charEntropy kernel invariants on random unicode strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.plans.TextKernels
+    cases(31) { rnd =>
+      // mix ASCII, BMP, and astral code points
+      val cps = (0 until rnd.nextInt(40)).map { _ =>
+        rnd.nextInt(3) match {
+          case 0 => 'a' + rnd.nextInt(26)
+          case 1 => 0x4E00 + rnd.nextInt(100)
+          case _ => 0x1F600 + rnd.nextInt(50)
+        }
+      }
+      val s = new String(cps.toArray.flatMap(Character.toChars(_)))
+      val e = TextKernels.charEntropy(UTF8String.fromString(s))
+      val distinct = cps.distinct.size
+      // bounds: 0 ≤ H ≤ ln(distinct); 0 iff ≤1 distinct symbol
+      assert(e >= -1e-12, s"negative entropy $e for '$s'")
+      if (distinct <= 1) assert(math.abs(e) < 1e-12)
+      else assert(e <= math.log(distinct.toDouble) + 1e-12,
+        s"H=$e > ln($distinct) for '$s'")
+      // permutation invariance: entropy is a bag property
+      val shuf = new String(rnd.shuffle(cps.toList)
+        .toArray.flatMap(Character.toChars(_)))
+      val e2 = TextKernels.charEntropy(UTF8String.fromString(shuf))
+      assert(math.abs(e - e2) < 1e-12)
+    }
+  }
+
+  test("deflateLen kernel invariants: deterministic, level-monotone-ish, repetition-sensitive") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.plans.TextKernels
+    cases(37) { rnd =>
+      val unit = (0 until 1 + rnd.nextInt(8))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val reps = 2 + rnd.nextInt(30)
+      val s = UTF8String.fromString(unit * reps)
+      val l6 = TextKernels.deflateLen(s, 6)
+      assert(l6 == TextKernels.deflateLen(s, 6)) // deterministic
+      assert(l6 > 0 && l6 <= s.numBytes() + 16)  // bounded overhead
+      // level 9 never larger than level 1 by more than header slack
+      assert(TextKernels.deflateLen(s, 9) <= TextKernels.deflateLen(s, 1) + 8)
+      // high repetition compresses below raw once long enough
+      if (s.numBytes() > 64) assert(l6 < s.numBytes())
+    }
+  }
+
   test("Morton encode/decode round-trips at every level") {
     cases(1) { rnd =>
       val level = 1 + rnd.nextInt(10)
