@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round driver's interface contracts, pinned as specs so a
+  * regression fails here instead of zeroing a round artifact:
+  * - Bench's LAST stdout line parses as JSON, carries the driver's
+  *   keys, and fits the 2000-byte tail capture;
+  * - Verify survives a nonexistent data dir (per-query failures are
+  *   reported, oracle_sql.json still written, no throw);
+  * - every oracleSql key has a queries entry (an orphan oracle would
+  *   make the driver's compare read a missing parquet);
+  * - oracle SQL is single-statement (no stray ';' that DuckDB's
+  *   .sql() would reject or truncate).
+  */
+class DriverContractSpec extends AnyFunSuite {
+
+  test("every oracle key has a query; no orphans in either direction") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    val orphans = o.diff(q)
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+    // rows-only entries are allowed (queries without oracle), but
+    // they must follow the production-twin naming so the coverage
+    // table's no-oracle evidence map stays auditable
+    val rowsOnly = q.diff(o)
+    val undocumented = rowsOnly.filterNot(n =>
+      n.contains("p_") || n.endsWith("_prod") || n.contains("_sketch_build") ||
+        n.endsWith("s") && n.contains("stream"))
+    assert(undocumented.isEmpty,
+      s"rows-only queries outside the documented families: $undocumented")
+  }
+
+  test("oracle SQL is single-statement and non-empty") {
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(sql.trim.nonEmpty, s"$k: empty oracle")
+      assert(!sql.contains(";"), s"$k: ';' in oracle SQL")
+    }
+  }
+
+  test("bench headline stays under the driver's tail capture even fully flagged") {
+    // reproduce Bench's headline construction with EVERY query
+    // flagged (the worst case): the 1900-byte cap must hold
+    val names = SparkEntry.queries.keys.toSeq
+    val head = s"""{"metric":"total","value":9999.999,"unit":"sec","sf":"/root/testdata/sf0.1","n_queries":${names.length},"detail":"bench_out.json","queries":"""
+    val entries = names.map(n => "\"" + n + "\":{\"t\":9999.999,\"runs\":7,\"flaky\":true,\"suspect\":true}")
+    val budget = 1900 - head.length - 1 - 2
+    var used = 0
+    val kept = entries.takeWhile { e => used += e.length + 1; used <= budget }
+    val line = head + kept.mkString("{", ",", "}") +
+      (if (kept.length < entries.length) s""","truncated":${entries.length - kept.length}""" else "") + "}"
+    assert(line.getBytes("UTF-8").length < 2000, s"headline ${line.length}B")
+    // and it must still parse as JSON (the truncation is structural,
+    // not a string chop)
+    assert(line.endsWith("}") && line.count(_ == '{') == line.count(_ == '}'))
+  }
+
+  test("verify survives a nonexistent data dir and still writes oracle_sql.json") {
+    val out = java.nio.file.Files.createTempDirectory("graft-verify-resilience-")
+    try {
+      // a subset filter keeps this fast; failure behavior is uniform
+      Verify.main(Array("/nonexistent/sf-dir", out.toString, "q1_agg,q2_filter"))
+      val oracles = java.nio.file.Files.readString(out.resolve("oracle_sql.json"))
+      assert(oracles.startsWith("{") && oracles.endsWith("}"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+}
