@@ -753,6 +753,61 @@ object CorpusStats {
     out
   }
 
+  /** Interpolated Kneser–Ney bigram LM scoring, self-trained (Chen &
+    * Goodman 1998; the smoothing KenLM-style CCNet filters actually
+    * use, alongside this file's add-one [[bigramLmScore]] and
+    * stupid-backoff families):
+    *
+    *   P(w2|w1) = max(c(w1w2)−d, 0)/c(w1·) + (d·fert(w1)/c(w1·))·Pcont(w2)
+    *   Pcont(w2) = |{w1 : c(w1w2)>0}| / |bigram types|
+    *
+    * with c(w1·) the CONTEXT total (Σ_w2 c(w1w2)), fert(w1) the
+    * distinct continuations of w1. Self-trained, every scored gram is
+    * seen, so both terms are positive and no backoff floor is needed.
+    * Per-gram log-probs nano-quantize before the per-doc sum (the
+    * family's exact-long determinism contract). Returns
+    * (idCol, n_bigrams, avg_logp).
+    *
+    * Scale shape: everything derives from the ONE (gram, count)
+    * table — context totals, fertilities, continuation counts are
+    * unigram-vocab-sized aggs of it (broadcast, like the add-one
+    * family's uni table); the corpus is tokenized once and scoring
+    * joins stay on hash-aggregated (doc, gram) counts.
+    */
+  def bigramKnScore(df: DataFrame, idCol: String, textCol: String,
+                    discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1), got $discount")
+    val toks = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__w"))
+    val dgc = toks
+      .select(col(idCol),
+        explode(TextFunctions.ngrams(concat_ws(" ", col("__w")), 2)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
+    val bgc = dgc.groupBy(col("__g")).agg(sum(col("__n")).as("__cb"))
+      .withColumn("__w1", split(col("__g"), " ").getItem(0))
+      .withColumn("__w2", split(col("__g"), " ").getItem(1))
+      .persist()
+    val nTypes = bgc.count().toDouble // |bigram types|
+    val ctx = bgc.groupBy(col("__w1"))
+      .agg(sum(col("__cb")).as("__ctx"), count(lit(1)).as("__fert"))
+    val cont = bgc.groupBy(col("__w2")).agg(count(lit(1)).as("__cont"))
+    val gramLp = bgc
+      .join(broadcast(ctx), Seq("__w1"))
+      .join(broadcast(cont), Seq("__w2"))
+      .select(col("__g"),
+        round(log(
+          (greatest(col("__cb") - lit(discount), lit(0.0)) / col("__ctx")) +
+            (lit(discount) * col("__fert") / col("__ctx")) *
+              (col("__cont") / lit(nTypes))) * lit(1e9)).cast("long")
+          .as("__lp9"))
+    dgc.join(gramLp, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_bigrams"),
+        sum(col("__n") * col("__lp9")).as("__s9"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__s9") / lit(1e9) / col("n_bigrams"), 6).as("avg_logp"))
+  }
+
   // ---- Naive Bayes corpus classifier ------------------------------
 
   /** Multinomial Naive Bayes trainer (the trainable upgrade to the

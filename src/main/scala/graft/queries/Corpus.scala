@@ -199,6 +199,15 @@ object Corpus {
       CorpusStats.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // interpolated Kneser–Ney bigram scoring (Chen & Goodman 1998),
+    // self-trained: absolute discount + continuation-probability
+    // interpolation, per-gram log-probs nano-quantized. The oracle
+    // rebuilds context totals, fertilities, and continuation counts
+    // from the same gram table.
+    "q130_kn_bigram_lm" -> ((s, dir) => {
+      CorpusStats.bigramKnScore(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // char-entropy quality signal, dual-form gate: explode → per-
     // (doc, char) counts → entropy = ln(n) − (Σ k·ln k)/n with the
     // k·ln k terms nano-quantized BEFORE summing, so the sum is an
@@ -790,6 +799,32 @@ object Corpus {
     // LEFT joins carrying add-one smoothing for reference-unseen
     // n-grams: coalesce(cb,0) -> P = 1/(cu+V), coalesce(cu,0) -> 1/V
     "q108_lm_score_ref" -> LmScoreRefSql,
+    // Kneser–Ney: P = max(cb−0.75,0)/ctx + (0.75·fert/ctx)·(cont/T),
+    // per-gram ln nano-quantized then count-weighted exact sums
+    "q130_kn_bigram_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2,
+             w[i] || ' ' || w[i+1] AS g
+           FROM toks, UNNEST(generate_series(1, len(w)-1)) AS s(i)),
+         dgc AS MATERIALIZED (SELECT doc_id, g, count(*) AS n
+           FROM bg GROUP BY doc_id, g),
+         bgc AS MATERIALIZED (SELECT g, string_split(g, ' ')[1] AS w1,
+             string_split(g, ' ')[2] AS w2, sum(n) AS cb
+           FROM dgc GROUP BY g),
+         t AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bgc),
+         ctx AS (SELECT w1, sum(cb) AS ctx, count(*) AS fert
+           FROM bgc GROUP BY w1),
+         cont AS (SELECT w2, count(*) AS cont FROM bgc GROUP BY w2),
+         lp AS (SELECT bgc.g,
+             CAST(round(ln(
+               greatest(cb - 0.75, 0.0) / ctx.ctx
+               + (0.75 * ctx.fert / ctx.ctx) * (cont.cont / t.t)) * 1e9)
+               AS BIGINT) AS lp9
+           FROM bgc JOIN ctx USING (w1) JOIN cont USING (w2), t)
+         SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+           round(sum(n * lp9) / 1e9 / sum(n), 6) AS avg_logp
+         FROM dgc JOIN lp USING (g) GROUP BY doc_id""",
+
     // char entropy: same dual form, k·ln k nano-quantized per term
     // then summed exactly; ent = ln(n) − S9/1e9/n
     "q128_char_entropy" ->

@@ -883,6 +883,36 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("bigramKnScore: hand-computed probabilities; mass sums to one per context") {
+    import spark.implicits._
+    // single-bigram docs expose P(w2|w1) directly via avg_logp
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "b a"))
+      .toDF("doc_id", "text")
+    // grams: (a b):2 (a c):1 (b a):1; T=3 types
+    // ctx(a)=3 fert(a)=2; ctx(b)=1 fert(b)=1; cont(a)=cont(b)=cont(c)=1
+    val pAB = (2 - 0.75) / 3 + (0.75 * 2 / 3) * (1.0 / 3) // 0.58333…
+    val pAC = (1 - 0.75) / 3 + (0.75 * 2 / 3) * (1.0 / 3) // 0.25
+    val pBA = (1 - 0.75) / 1 + (0.75 * 1 / 1) * (1.0 / 3) // 0.5
+    val got = CorpusStats.bigramKnScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def near(a: Double, b: Double) = math.abs(a - b) < 1e-6
+    assert(near(got(1L), math.log(pAB)) && near(got(2L), math.log(pAB)))
+    assert(near(got(3L), math.log(pAC)))
+    assert(near(got(4L), math.log(pBA)))
+    // the smoothing invariant: seen mass + discounted continuation
+    // mass for the UNSEEN types = 1 per context
+    val unseenA = (0.75 * 2 / 3) * (1.0 / 3) // cont(a)/T for unseen 'a a'
+    assert(near(pAB + pAC + unseenA, 1.0))
+    val unseenB = (0.75 * 1 / 1) * (2.0 / 3) // 'b b','b c' share cont(b)+cont(c)
+    assert(near(pBA + unseenB, 1.0))
+    // KN orders repeated boilerplate above rare constructions within
+    // one corpus (higher avg logp for the dominant gram)
+    assert(got(1L) > got(3L))
+    intercept[IllegalArgumentException] {
+      CorpusStats.bigramKnScore(d, "doc_id", "text", discount = 1.5)
+    }
+  }
+
   test("naiveBayes rejects a non-positive alpha") {
     import spark.implicits._
     val df = Seq((1L, "a", "x")).toDF("doc_id", "text", "label")
