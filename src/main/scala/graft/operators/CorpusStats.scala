@@ -808,6 +808,60 @@ object CorpusStats {
         round(col("__s9") / lit(1e9) / col("n_bigrams"), 6).as("avg_logp"))
   }
 
+  /** Cross-corpus Kneser–Ney: LM tables from `ref`, every `target`
+    * document scored against them — the CCNet deployment shape
+    * (arXiv:1911.00359: reference-domain LM ranks the crawl). Unseen
+    * mass is where cross-corpus differs from the self-trained gate:
+    * a SEEN context w1 scores an unseen bigram as its interpolation
+    * tail (d·fert(w1)/ctx(w1))·Pcont(w2); an UNSEEN context has no
+    * table row at all and falls back to Pcont(w2) alone (λ=1: all
+    * mass from the continuation model); an unseen w2 takes the floor
+    * Pcont = 1/(T+1) so out-of-domain text scores low instead of
+    * −∞. Same exact-long determinism as the rest of the family.
+    */
+  def bigramKnScoreAgainst(ref: DataFrame, target: DataFrame,
+                           idCol: String, textCol: String,
+                           discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1), got $discount")
+    val refToks = ref.select(TextFunctions.tokens(col(textCol)).as("__w"))
+    val bgc = refToks
+      .select(explode(TextFunctions.ngrams(concat_ws(" ", col("__w")), 2)).as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__cb"))
+      .withColumn("__w1", split(col("__g"), " ").getItem(0))
+      .withColumn("__w2", split(col("__g"), " ").getItem(1))
+      .persist()
+    val nTypes = bgc.count().toDouble
+    val contFloor = 1.0 / (nTypes + 1.0)
+    val ctx = bgc.groupBy(col("__w1"))
+      .agg(sum(col("__cb")).as("__ctx"), count(lit(1)).as("__fert"))
+    val cont = bgc.groupBy(col("__w2")).agg(count(lit(1)).as("__cont"))
+    val dgc = target
+      .select(col(idCol),
+        explode(TextFunctions.ngrams(
+          concat_ws(" ", TextFunctions.tokens(col(textCol))), 2)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
+      .withColumn("__w1", split(col("__g"), " ").getItem(0))
+      .withColumn("__w2", split(col("__g"), " ").getItem(1))
+    val scored = dgc
+      .join(bgc.select(col("__g"), col("__cb")), Seq("__g"), "left")
+      .join(broadcast(ctx), Seq("__w1"), "left")
+      .join(broadcast(cont), Seq("__w2"), "left")
+      .withColumn("__pcont",
+        coalesce(col("__cont") / lit(nTypes), lit(contFloor)))
+      .withColumn("__p", when(col("__ctx").isNull, col("__pcont"))
+        .otherwise(
+          greatest(coalesce(col("__cb"), lit(0L)) - lit(discount), lit(0.0))
+            / col("__ctx") +
+          (lit(discount) * col("__fert") / col("__ctx")) * col("__pcont")))
+      .withColumn("__lp9", round(log(col("__p")) * lit(1e9)).cast("long"))
+    scored.groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_bigrams"),
+        sum(col("__n") * col("__lp9")).as("__s9"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__s9") / lit(1e9) / col("n_bigrams"), 6).as("avg_logp"))
+  }
+
   // ---- Naive Bayes corpus classifier ------------------------------
 
   /** Multinomial Naive Bayes trainer (the trainable upgrade to the

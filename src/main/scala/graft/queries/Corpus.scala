@@ -199,6 +199,16 @@ object Corpus {
       CorpusStats.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // cross-corpus Kneser–Ney (the CCNet deployment shape): LM tables
+    // from the src0 slice, every document scored against them; seen
+    // contexts interpolate, unseen contexts fall back to the
+    // continuation model, unseen continuations take the 1/(T+1) floor.
+    "q131_kn_score_ref" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusStats.bigramKnScoreAgainst(
+        d.filter(col("source") === "src0"), d, "doc_id", "text")
+    }),
+
     // interpolated Kneser–Ney bigram scoring (Chen & Goodman 1998),
     // self-trained: absolute discount + continuation-probability
     // interpolation, per-gram log-probs nano-quantized. The oracle
@@ -799,6 +809,41 @@ object Corpus {
     // LEFT joins carrying add-one smoothing for reference-unseen
     // n-grams: coalesce(cb,0) -> P = 1/(cu+V), coalesce(cu,0) -> 1/V
     "q108_lm_score_ref" -> LmScoreRefSql,
+    // cross-corpus KN: same tables from the src0 slice only, LEFT
+    // joins carry the unseen fallbacks (no-context → pcont alone,
+    // unseen w2 → 1/(T+1) floor)
+    "q131_kn_score_ref" ->
+      """WITH rt AS (SELECT string_split(text, ' ') AS w FROM documents
+                     WHERE source = 'src0'),
+         rbg AS MATERIALIZED (SELECT w[i] AS w1, w[i+1] AS w2,
+             w[i] || ' ' || w[i+1] AS g, count(*) AS cb
+           FROM rt, UNNEST(generate_series(1, len(w)-1)) AS s(i)
+           GROUP BY g, w1, w2),
+         t AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM rbg),
+         ctx AS (SELECT w1, sum(cb) AS ctx, count(*) AS fert
+           FROM rbg GROUP BY w1),
+         cont AS (SELECT w2, count(*) AS cont FROM rbg GROUP BY w2),
+         tl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         dgc AS MATERIALIZED (SELECT doc_id, w1, w2, g, count(*) AS n FROM
+           (SELECT doc_id, w[i] AS w1, w[i+1] AS w2,
+              w[i] || ' ' || w[i+1] AS g
+            FROM tl, UNNEST(generate_series(1, len(w)-1)) AS s(i))
+           GROUP BY doc_id, g, w1, w2),
+         lp AS (SELECT dgc.doc_id, dgc.n,
+             CAST(round(ln(CASE WHEN ctx.ctx IS NULL
+               THEN coalesce(cont.cont / t.t, 1.0 / (t.t + 1.0))
+               ELSE greatest(coalesce(rbg.cb, 0) - 0.75, 0.0) / ctx.ctx
+                 + (0.75 * ctx.fert / ctx.ctx)
+                   * coalesce(cont.cont / t.t, 1.0 / (t.t + 1.0))
+               END) * 1e9) AS BIGINT) AS lp9
+           FROM dgc
+           LEFT JOIN rbg ON rbg.g = dgc.g
+           LEFT JOIN ctx ON ctx.w1 = dgc.w1
+           LEFT JOIN cont ON cont.w2 = dgc.w2, t)
+         SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+           round(sum(n * lp9) / 1e9 / sum(n), 6) AS avg_logp
+         FROM lp GROUP BY doc_id""",
+
     // Kneser–Ney: P = max(cb−0.75,0)/ctx + (0.75·fert/ctx)·(cont/T),
     // per-gram ln nano-quantized then count-weighted exact sums
     "q130_kn_bigram_lm" ->

@@ -913,6 +913,31 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("bigramKnScoreAgainst: in-domain outranks out-of-domain; unseen floors apply") {
+    import spark.implicits._
+    val ref = Seq((100L, "the cat sat on the mat"),
+      (101L, "the cat ran on the mat")).toDF("doc_id", "text")
+    val target = Seq(
+      (1L, "the cat sat"),          // fully in-domain
+      (2L, "the cat flew"),         // seen context 'cat', unseen cont
+      (3L, "zz qq xx")).toDF("doc_id", "text") // fully out-of-domain
+    val got = CorpusStats.bigramKnScoreAgainst(ref, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) > got(2L) && got(2L) > got(3L),
+      s"expected in-domain > partial > out-of-domain, got $got")
+    // out-of-domain is finite (floor, not -inf) and bounded by the
+    // continuation floor ln(1/(T+1)) per bigram
+    val nTypes = 8.0 // distinct ref bigrams
+    assert(got(3L) >= math.log(1.0 / (nTypes + 1.0)) - 1e-6)
+    assert(!got(3L).isNegInfinity)
+    // self-trained and cross-trained agree when ref == target
+    val self = CorpusStats.bigramKnScore(ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val cross = CorpusStats.bigramKnScoreAgainst(ref, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(self == cross)
+  }
+
   test("naiveBayes rejects a non-positive alpha") {
     import spark.implicits._
     val df = Seq((1L, "a", "x")).toDF("doc_id", "text", "label")
