@@ -161,6 +161,25 @@ object ScaleProbe {
     time("corpus_diff", base, scaled)(d =>
       CorpusStats.corpusDiff(d.filter(col("doc_id") % 3 =!= 0), d,
         "doc_id", "text").count())
+    // round-12 operators: classifier (train+apply on the scaled
+    // corpus — label cardinality fixed, token model grows), hashing
+    // featurizer (map-side + dim-bounded assembly), self-trained KN
+    // (gram tables grow with corpus), and the two map-only quality
+    // kernels (aggregated so the kernels actually evaluate)
+    time("naive_bayes", base, scaled)(d =>
+      CorpusStats.naiveBayesClassify(d, "doc_id", "text", "lang").count())
+    time("hashing_tfidf", base, scaled) { d =>
+      CorpusStats.hashingTfIdf(d, "doc_id", "text", 256)
+        .agg(sum(element_at(col("tfidf"), 1))).collect(); 0L
+    }
+    time("kn_bigram_lm", base, scaled)(d =>
+      CorpusStats.bigramKnScore(d, "doc_id", "text").count())
+    time("quality_kernels", base, scaled) { d =>
+      graft.plans.GraftExtensions.registerAll(spark)
+      d.agg(sum(graft.functions.TextFunctions.charEntropy(col("text"))),
+          sum(graft.functions.TextFunctions.compressionRatio(col("text"))))
+        .collect()(0); 0L
+    }
     // round-8 DuckDB-replayable gate kernels: the MinHash gate must
     // track the production kernel's regime (one base hash + affine
     // family); the SimHash gate is exact-by-construction, which pins

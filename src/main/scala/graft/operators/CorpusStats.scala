@@ -779,15 +779,19 @@ object CorpusStats {
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0,1), got $discount")
     val toks = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__w"))
+    // dgc feeds BOTH the table build and the final scoring join —
+    // persisted so the corpus tokenizes once, not twice (measured
+    // 7.9 s → the tokenize+agg is the dominant term at sf0.1)
     val dgc = toks
       .select(col(idCol),
         explode(TextFunctions.ngrams(concat_ws(" ", col("__w")), 2)).as("__g"))
       .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
+      .persist()
     val bgc = dgc.groupBy(col("__g")).agg(sum(col("__n")).as("__cb"))
       .withColumn("__w1", split(col("__g"), " ").getItem(0))
       .withColumn("__w2", split(col("__g"), " ").getItem(1))
       .persist()
-    val nTypes = bgc.count().toDouble // |bigram types|
+    val nTypes = bgc.count().toDouble // |bigram types| (also caches dgc)
     val ctx = bgc.groupBy(col("__w1"))
       .agg(sum(col("__cb")).as("__ctx"), count(lit(1)).as("__fert"))
     val cont = bgc.groupBy(col("__w2")).agg(count(lit(1)).as("__cont"))
