@@ -616,6 +616,13 @@ class CorpusSpec extends SparkSpec {
       graft.operators.CompressedAnn.probe(idx, vecs, vecs, "vec_id",
         "embedding", k = 10, topCandidates = 5)
     }
+    // round-12 guards
+    intercept[IllegalArgumentException] {
+      CorpusStats.hashingTfIdf(docs, "doc_id", "text", dim = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.io.ArrowExport.writeArrowIpc(docs, "/tmp/unused", batchRows = 0)
+    }
   }
 
   test("blocklistHits counts occurrences; dropBlocklisted keeps clean docs only") {
