@@ -118,6 +118,45 @@ object Sampling {
       .drop("__k", "__salt", "__lr", "__r")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    * & Spirakis 2006, A-ES): each row draws u ∈ (0,1) from a content
+    * hash and ranks by ln(u)/w — the top-k ranks are a weighted
+    * sample where inclusion tracks weight (the quality-score-weighted
+    * corpus subsampler). Deterministic: same ids + weights + seed →
+    * same sample, on any engine and row order. Rows with w ≤ 0 are
+    * excluded (the estimator is undefined there). The rank key is
+    * nano-quantized (ties broken by id) so the cut is engine-stable.
+    *
+    * Scale shape: map-side key + TakeOrderedAndProject (per-partition
+    * heaps, k rows to the driver) — no global sort, no shuffle of
+    * non-winners.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: Long = 42L): DataFrame =
+    weightedSampleBy(df, idCol, weightCol, k,
+      pmod(xxhash64(concat(col(idCol).cast("string"), lit("#" + seed))),
+        lit(4294967296L)))
+
+  /** [[weightedSample]]'s GATE twin: u from the md5 prefix so a
+    * DuckDB oracle replays every key bit-for-bit. */
+  def weightedSampleMd5(df: DataFrame, idCol: String, weightCol: String,
+                        k: Int, seed: Long = 42L): DataFrame =
+    weightedSampleBy(df, idCol, weightCol, k,
+      conv(substring(md5(concat(col(idCol).cast("string"), lit("#" + seed))
+        .cast("binary")), 1, 8), 16, 10).cast("long"))
+
+  private def weightedSampleBy(df: DataFrame, idCol: String,
+                               weightCol: String, k: Int,
+                               bucket: Column): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val u = (bucket + lit(1.0)) / lit(4294967297.0) // (0,1), never 0 or 1
+    df.filter(col(weightCol) > 0)
+      .withColumn("__wk9",
+        round(log(u) / col(weightCol) * lit(1e9)).cast("long"))
+      .orderBy(col("__wk9").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Stratified token-budget sampling: an independent budget per
     * stratum (language, source, …) — the mixture-weighting step of
     * corpus assembly. `budgets` maps stratum value → token budget;

@@ -107,6 +107,12 @@ object Production {
     "q106p_hash_split_prod" -> ((s, dir) =>
       graft.operators.Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))),
+    // xxhash64 A-ES weighted sample (the q132 gate oracles the md5
+    // twin's identical key algebra)
+    "q132p_weighted_sample_prod" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(t(s, dir, "documents"),
+          "doc_id", "n_chars", k = 100)
+        .select(col("doc_id"), col("__wk9").as("key9"))),
     // THE FULL HANDOFF: tokenize (one-pass BPE kernel) → pack into
     // 512-token bins → export the packed bins as Arrow IPC shard
     // files → re-read the SHARDS distributedly → per-bin digest of

@@ -391,6 +391,16 @@ object TextVector {
         .select(col("doc_id"), col("split"))
     }),
 
+    // weighted sampling without replacement (Efraimidis–Spirakis
+    // A-ES): rank by nano-quantized ln(u)/w with u from md5(id#seed),
+    // w = n_chars — the quality-weighted corpus subsampler. Top-100
+    // keys, ties by id. Production twin q132p runs the xxhash64 key.
+    "q132_weighted_sample" -> ((s, dir) => {
+      graft.operators.Sampling.weightedSampleMd5(t(s, dir, "documents"),
+          "doc_id", "n_chars", k = 100)
+        .select(col("doc_id"), col("__wk9").as("key9"))
+    }),
+
     // deterministic 5-doc-per-source uniform sample (eval panels):
     // keep the 5 smallest md5(id#seed) per group via the two-phase
     // salted window. GATE = md5 ordering; production = xxhash64
@@ -972,6 +982,17 @@ object TextVector {
          FROM (SELECT doc_id,
                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8))::BIGINT AS b
                FROM documents)""",
+    // A-ES: u = (md5-prefix + 1)/2^32+1, key = round(ln(u)/w · 1e9),
+    // top-100 by (key desc, id)
+    "q132_weighted_sample" ->
+      """SELECT doc_id, key9 FROM (
+           SELECT doc_id,
+             CAST(round(ln(
+               ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8))::BIGINT
+                 + 1.0) / 4294967297.0)) / n_chars * 1e9) AS BIGINT) AS key9
+           FROM documents WHERE n_chars > 0)
+         ORDER BY key9 DESC, doc_id LIMIT 100""",
+
     // the salted two-phase windows are an execution detail — the
     // semantics is simply "5 smallest md5(id#seed) per source"
     "q116_sample_per_group" ->

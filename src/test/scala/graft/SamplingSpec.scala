@@ -145,4 +145,49 @@ class SamplingSpec extends SparkSpec {
     }.toSet
     assert(gate == want)
   }
+
+  test("weightedSample: A-ES semantics — weight dominance, monotonicity, determinism") {
+    import spark.implicits._
+    val base = (0L until 200L).map(i => (i, 10L)).toDF("id", "w")
+    // a huge weight pushes ln(u)/w to ~0 (the max possible key):
+    // always sampled regardless of its hash draw
+    val withGiant = base.union(Seq((999L, 1000000000000L)).toDF("id", "w"))
+    val got = Sampling.weightedSample(withGiant, "id", "w", k = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got.contains(999L))
+    assert(got.size == 10)
+    // monotonicity: raising a sampled row's weight never evicts it
+    val sampled = got.filter(_ != 999L).head
+    val boosted = withGiant.withColumn("w",
+      when(col("id") === sampled, col("w") * 100).otherwise(col("w")))
+    val got2 = Sampling.weightedSample(boosted, "id", "w", k = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got2.contains(sampled))
+    // partition-layout invariance
+    val got3 = Sampling.weightedSample(withGiant.repartition(13), "id", "w", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got3 == got)
+    // non-positive weights are excluded, never sampled
+    val withZero = base.union(Seq((777L, 0L), (778L, -5L)).toDF("id", "w"))
+    val got4 = Sampling.weightedSample(withZero, "id", "w", k = 200)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!got4.contains(777L) && !got4.contains(778L) && got4.size == 200)
+    // md5 twin == independent reimplementation of the key math
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key9(id: Long, w: Long): Long = {
+      val hex = md.digest(s"$id#42".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 4294967297.0
+      math.round(math.log(u) / w * 1e9)
+    }
+    val twin = Sampling.weightedSampleMd5(base, "id", "w", k = 5)
+      .select("id", "__wk9").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (0L until 200L).map(i => (i, key9(i, 10L)))
+      .sortBy { case (i, k9) => (-k9, i) }.take(5)
+    assert(twin.toSeq == want)
+    // plan: top-k lowers to TakeOrderedAndProject, no global sort
+    val plan = Sampling.weightedSample(base, "id", "w", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
