@@ -108,7 +108,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: oracle sql error: {e}")
             failures += 1
             continue
-        g, x = norm(got), norm(exp)
+        try:
+            g, x = norm(got), norm(exp)
+        except Exception as e:
+            # e.g. 'unhashable type' from array cells hitting
+            # sort_values — the same per-query failure the driver
+            # records; later queries must still run
+            print(f"FAIL {name}: normalize/sort error: {e}")
+            failures += 1
+            continue
         if list(g.columns) != list(x.columns):
             print(f"FAIL {name}: columns spark={list(g.columns)} oracle={list(x.columns)}")
             failures += 1

@@ -1,6 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private[graft] def r3(v: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** The driver-facing LAST stdout line: compact headline whose
+    * "queries" map holds only flagged entries, hard-capped at 1900
+    * bytes (the driver's tail capture is 2000). Extracted so
+    * DriverContractSpec exercises THIS code, not a private copy.
+    */
+  private[graft] def compactHeadline(total: Double, sfDir: String,
+                                     failedField: String, nQueries: Int,
+                                     flaggedEntries: Seq[String]): String = {
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"$failedField,"n_queries":$nQueries,"detail":"bench_out.json","queries":"""
+    val tail = "}"
+    val budget = 1900 - head.length - tail.length - 2 // {} braces
+    var used = 0
+    val kept = flaggedEntries.takeWhile { e => used += e.length + 1; used <= budget }
+    val dropped = flaggedEntries.length - kept.length
+    val truncField = if (dropped > 0) s""","truncated":$dropped""" else ""
+    head + kept.mkString("{", ",", "}") + truncField + tail
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -147,7 +168,6 @@ object Bench {
     // successes), a churn-suspect one …,"suspect":true, and failures
     // also surface on the headline as "failed_queries" — a broken
     // query can never read as a fast run at either level.
-    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def entry(k: String, v: Double, n: Int, st: Int, susp: Boolean): String = {
       val flags = (if (st == 2) ",\"failed\":true" else "") +
         (if (st == 1) ",\"flaky\":true" else "") +
@@ -169,17 +189,8 @@ object Bench {
       System.err.println(s"[bench] bench_out.json write failed: $e") }
     println(fullLine) // dev-visible; NOT the line the driver parses
     val flagged = results.filter(r => r._4 != 0 || r._5)
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"$failedField,"n_queries":${results.length},"detail":"bench_out.json","queries":"""
-    val tail = "}"
-    val budget = 1900 - head.length - tail.length - 2 // {} braces
-    val (kept, dropped) = {
-      val es = flagged.map { case (k, v, n, st, susp) => entry(k, v, n, st, susp) }
-      var used = 0
-      val keep = es.takeWhile { e => used += e.length + 1; used <= budget }
-      (keep, es.length - keep.length)
-    }
-    val truncField = if (dropped > 0) s""","truncated":$dropped""" else ""
-    println(head + kept.mkString("{", ",", "}") + truncField + tail)
+      .map { case (k, v, n, st, susp) => entry(k, v, n, st, susp) }
+    println(compactHeadline(total, sfDir, failedField, results.length, flagged))
     // refresh the phantom reference after a FULL successful pass:
     // min(prev, measured) per query, so the file converges on each
     // query's true floor rather than inheriting one noisy round

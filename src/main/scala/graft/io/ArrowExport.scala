@@ -67,33 +67,72 @@ object ArrowExport {
       .toSeq.sorted
     val rdd = spark.sparkContext
       .parallelize(files, math.max(1, files.length))
-      .flatMap { path =>
-        val (names, rows) = readArrowIpc(path)
-        val order = schema.fieldNames.map(n => names.indexOf(n))
-        require(order.forall(_ >= 0),
-          s"$path lacks columns ${schema.fieldNames.filterNot(names.contains).mkString(",")}")
-        rows.iterator.map { r =>
-          org.apache.spark.sql.Row.fromSeq(
-            schema.fields.zip(order.map(r(_))).map {
-              case (f, null) => null
-              case (f, v) => f.dataType match {
-                case DateType => java.sql.Date.valueOf(
-                  java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
-                case TimestampType => v match {
-                  case us: java.lang.Long =>
-                    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
-                      Math.floorDiv(us, 1000000L),
-                      Math.floorMod(us, 1000000L) * 1000L))
-                  case ldt: java.time.LocalDateTime =>
-                    java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
-                }
-                case _ => v
-              }
-            })
-        }
-      }
+      .flatMap(path => shardRowIterator(path, schema))
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Streaming per-shard row iterator: one Arrow record batch in
+    * memory at a time (the write-side `batchRows` granularity is the
+    * read-side peak too — a multi-GB shard never materializes).
+    * Resources close at exhaustion AND at task completion, so a
+    * short-circuiting consumer (limit) doesn't leak the allocator.
+    */
+  private def shardRowIterator(path: String,
+                               schema: StructType): Iterator[org.apache.spark.sql.Row] =
+    new Iterator[org.apache.spark.sql.Row] {
+      private val alloc = new org.apache.arrow.memory.RootAllocator()
+      private val in = new java.io.FileInputStream(path)
+      private val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
+      private val root = reader.getVectorSchemaRoot
+      private val names = root.getSchema.getFields.asScala.map(_.getName).toSeq
+      private val order = schema.fieldNames.map(n => names.indexOf(n))
+      require(order.forall(_ >= 0),
+        s"$path lacks columns ${schema.fieldNames.filterNot(names.contains).mkString(",")}")
+      private var idx = 0
+      private var inBatch = 0
+      private var closed = false
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => close()))
+
+      private def close(): Unit = if (!closed) {
+        closed = true
+        try reader.close() finally { try in.close() finally alloc.close() }
+      }
+
+      override def hasNext: Boolean = {
+        if (closed) return false
+        while (idx >= inBatch) {
+          if (reader.loadNextBatch()) { inBatch = root.getRowCount; idx = 0 }
+          else { close(); return false }
+        }
+        true
+      }
+
+      override def next(): org.apache.spark.sql.Row = {
+        if (!hasNext) throw new NoSuchElementException(path)
+        val vectors = root.getFieldVectors
+        val values = schema.fields.zip(order).map { case (f, col) =>
+          fromArrow(vectors.get(col).getObject(idx)) match {
+            case null => null
+            case v => f.dataType match {
+              case DateType => java.sql.Date.valueOf(
+                java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+              case TimestampType => v match {
+                case us: java.lang.Long =>
+                  java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+                    Math.floorDiv(us, 1000000L),
+                    Math.floorMod(us, 1000000L) * 1000L))
+                case ldt: java.time.LocalDateTime =>
+                  java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
+              }
+              case _ => v
+            }
+          }
+        }
+        idx += 1
+        org.apache.spark.sql.Row.fromSeq(values.toSeq)
+      }
+    }
 
   /** Dev/test reader: one IPC stream file back into (fieldNames,
     * row-major values). Text → String, arrow lists → Seq — shaped for

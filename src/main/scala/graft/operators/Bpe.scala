@@ -56,6 +56,24 @@ object Bpe {
     * code-point-based too, so the oracles agree for free. BpeSpec
     * pins three-way parity on an astral-character corpus.
     */
+  /** Code-point lexicographic comparison (== UTF-8 byte order, the
+    * order every SQL oracle's ORDER BY uses). Differs from Java
+    * `String.compareTo` (UTF-16 code units) exactly when a
+    * supplementary-plane char meets one in U+E000–U+FFFF.
+    */
+  private[operators] def compareCodePoints(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   private def charSyms(w: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     var i = 0
@@ -120,16 +138,20 @@ object Bpe {
     val pairCount = new java.util.HashMap[(String, String), Long]()
     val pairWords = new java.util.HashMap[(String, String), java.util.BitSet]()
     // heap pops max count first, then lexicographically SMALLEST
-    // (a, b); entries are lazily deleted — valid iff the stored count
-    // equals the pair's current count
+    // (a, b) by CODE POINT — not Java String order (UTF-16 code
+    // units): the oracle's ORDER BY compares UTF-8 bytes ≡ code
+    // points, and the two orders diverge when supplementary-plane
+    // symbols meet U+E000–U+FFFF (same divergence [[vocabulary]]
+    // guards against). Entries are lazily deleted — valid iff the
+    // stored count equals the pair's current count.
     val heap = new java.util.PriorityQueue[(Long, String, String)](
       11, new java.util.Comparator[(Long, String, String)] {
         def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
           val c = java.lang.Long.compare(y._1, x._1)
           if (c != 0) c
           else {
-            val ca = x._2.compareTo(y._2)
-            if (ca != 0) ca else x._3.compareTo(y._3)
+            val ca = compareCodePoints(x._2, y._2)
+            if (ca != 0) ca else compareCodePoints(x._3, y._3)
           }
         }
       })

@@ -804,12 +804,15 @@ object CorpusStats {
             (lit(discount) * col("__fert") / col("__ctx")) *
               (col("__cont") / lit(nTypes))) * lit(1e9)).cast("long")
           .as("__lp9"))
-    dgc.join(gramLp, Seq("__g"))
+    val out = dgc.join(gramLp, Seq("__g"))
       .groupBy(col(idCol))
       .agg(sum(col("__n")).as("n_bigrams"),
         sum(col("__n") * col("__lp9")).as("__s9"))
       .select(col(idCol), col("n_bigrams"),
         round(col("__s9") / lit(1e9) / col("n_bigrams"), 6).as("avg_logp"))
+      .localCheckpoint(true)
+    dgc.unpersist(); bgc.unpersist()
+    out
   }
 
   /** Cross-corpus Kneser–Ney: LM tables from `ref`, every `target`
@@ -859,11 +862,14 @@ object CorpusStats {
             / col("__ctx") +
           (lit(discount) * col("__fert") / col("__ctx")) * col("__pcont")))
       .withColumn("__lp9", round(log(col("__p")) * lit(1e9)).cast("long"))
-    scored.groupBy(col(idCol))
+    val out = scored.groupBy(col(idCol))
       .agg(sum(col("__n")).as("n_bigrams"),
         sum(col("__n") * col("__lp9")).as("__s9"))
       .select(col(idCol), col("n_bigrams"),
         round(col("__s9") / lit(1e9) / col("n_bigrams"), 6).as("avg_logp"))
+      .localCheckpoint(true)
+    bgc.unpersist()
+    out
   }
 
   // ---- Naive Bayes corpus classifier ------------------------------
@@ -909,7 +915,12 @@ object CorpusStats {
           .as("prior9"),
         round(log(lit(alpha) / (col("__tot") + lit(alpha * vocab))) * lit(1e9))
           .cast("long").as("unseen9"))
-    (model, priors)
+    // checkpoint the model tables (they ARE the product — vocab×labels
+    // sized) so the training cache doesn't outlive the call
+    val modelOut = model.localCheckpoint(true)
+    val priorsOut = priors.localCheckpoint(true)
+    tc.unpersist()
+    (modelOut, priorsOut)
   }
 
   /** Score + classify every document against a trained model: for
@@ -1015,15 +1026,21 @@ object CorpusStats {
                                    bucket: Column => Column): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
     val nDocs = df.count().toDouble
+    // tb feeds BOTH the idf aggregate and the weight join — persisted
+    // so the corpus tokenizes once (the bigramKnScore lesson)
     val tb = df
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__t"))
       .select(col(idCol), bucket(col("__t")).as("__b"))
       .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__tf"))
+      .persist()
     val idf = tb.groupBy(col("__b"))
       .agg(count(lit(1)).as("__df"))
       .select(col("__b"),
         (log((lit(nDocs) + 1.0) / (col("__df") + 1.0)) + 1.0).as("__idf"))
-    tb.join(broadcast(idf), Seq("__b"))
+    val out = tb.join(broadcast(idf), Seq("__b"))
       .select(col(idCol), col("__b"), (col("__tf") * col("__idf")).as("__w"))
+      .localCheckpoint(true)
+    tb.unpersist()
+    out
   }
 }

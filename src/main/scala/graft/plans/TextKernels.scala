@@ -47,17 +47,25 @@ object TextKernels {
   }
 
   /** DEFLATE length of the UTF-8 bytes at `level` (raw deflate, no
-    * gzip header — the length is the signal, not the container). */
+    * gzip header — the length is the signal, not the container).
+    * Deflaters are THREAD-LOCAL per level and reset() between rows:
+    * a fresh native zlib allocation per row would dominate the
+    * actual compression work for short documents.
+    */
+  private val deflaters =
+    ThreadLocal.withInitial[Array[java.util.zip.Deflater]](
+      () => new Array[java.util.zip.Deflater](10))
+
   def deflateLen(s: org.apache.spark.unsafe.types.UTF8String, level: Int): Long = {
-    val bytes = s.getBytes
-    val d = new java.util.zip.Deflater(level, true)
-    try {
-      d.setInput(bytes); d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val pool = deflaters.get()
+    var d = pool(level)
+    if (d == null) { d = new java.util.zip.Deflater(level, true); pool(level) = d }
+    else d.reset()
+    d.setInput(s.getBytes); d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 
   /** splitmix64 finalizer — the permutation mixer for minhash. */

@@ -39,20 +39,20 @@ class DriverContractSpec extends AnyFunSuite {
   }
 
   test("bench headline stays under the driver's tail capture even fully flagged") {
-    // reproduce Bench's headline construction with EVERY query
-    // flagged (the worst case): the 1900-byte cap must hold
-    val names = SparkEntry.queries.keys.toSeq
-    val head = s"""{"metric":"total","value":9999.999,"unit":"sec","sf":"/root/testdata/sf0.1","n_queries":${names.length},"detail":"bench_out.json","queries":"""
-    val entries = names.map(n => "\"" + n + "\":{\"t\":9999.999,\"runs\":7,\"flaky\":true,\"suspect\":true}")
-    val budget = 1900 - head.length - 1 - 2
-    var used = 0
-    val kept = entries.takeWhile { e => used += e.length + 1; used <= budget }
-    val line = head + kept.mkString("{", ",", "}") +
-      (if (kept.length < entries.length) s""","truncated":${entries.length - kept.length}""" else "") + "}"
+    // drive Bench's OWN headline builder with EVERY query flagged
+    // (the worst case): the 1900-byte cap must hold and the result
+    // must stay structurally valid JSON
+    val entries = SparkEntry.queries.keys.toSeq.map(n =>
+      "\"" + n + "\":{\"t\":9999.999,\"runs\":7,\"flaky\":true,\"suspect\":true}")
+    val line = Bench.compactHeadline(9999.999, "/root/testdata/sf0.1",
+      s""","failed_queries":${entries.length}""", entries.length, entries)
     assert(line.getBytes("UTF-8").length < 2000, s"headline ${line.length}B")
-    // and it must still parse as JSON (the truncation is structural,
-    // not a string chop)
+    assert(line.contains("\"truncated\":"), "worst case should truncate")
     assert(line.endsWith("}") && line.count(_ == '{') == line.count(_ == '}'))
+    // the no-flags shape (the normal round) parses too and is tiny
+    val clean = Bench.compactHeadline(123.456, "/root/testdata/sf0.1", "",
+      entries.length, Nil)
+    assert(clean.length < 200 && clean.contains("\"queries\":{}"))
   }
 
   test("verify survives a nonexistent data dir and still writes oracle_sql.json") {
