@@ -128,8 +128,26 @@ def main(sf_dir: str, out_dir: str) -> int:
         bad = []
         for c in g.columns:
             a, b = g[c], x[c]
+            # DTYPE-FAITHFUL to the driver (round-12 lesson: q126's
+            # oracle produced a DuckDB HUGEINT that pandas renders as
+            # float64 while Spark emitted int64 — values equal, driver
+            # hash of the renderings mismatched, and the old
+            # astype(float) coercion here hid it). The driver hashes
+            # value RENDERINGS, so a float-vs-int kind divergence is a
+            # guaranteed driver fail and must fail here too. Integer
+            # widths (int32 vs int64) render identically → same kind.
+            ka, kb = a.dtype.kind, b.dtype.kind
+            if a.dtype != b.dtype:
+                print(f"  DTYPE {name}.{c}: spark={a.dtype} oracle={b.dtype}"
+                      + ("" if ka == kb or {ka, kb} <= {"i", "u"}
+                         else "  << kind mismatch: driver hash WILL differ"))
+            if ka != kb and not {ka, kb} <= {"i", "u"}:
+                bad.append(f"{c} (dtype kind mismatch spark={a.dtype} "
+                           f"oracle={b.dtype} — cast the oracle, e.g. "
+                           f"CAST(... AS BIGINT) for HUGEINT sums)")
+                continue
             try:
-                if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                if ka == "f":
                     eq = ((a.astype(float) == b.astype(float)) |
                           (a.isna() & b.isna()))
                 else:

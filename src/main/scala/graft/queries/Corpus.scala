@@ -941,7 +941,8 @@ object Corpus {
          r AS (SELECT doc_id, lang, score9,
              row_number() OVER (PARTITION BY doc_id
                ORDER BY score9 DESC, lang) AS rn FROM scores)
-         SELECT doc_id, lang AS pred_label, score9 FROM r WHERE rn = 1""",
+         SELECT doc_id, lang AS pred_label,
+           CAST(score9 AS BIGINT) AS score9 FROM r WHERE rn = 1""",
     // q124: reference n-gram tables from src0, per-occurrence CASE
     // chain mirroring the Spark kernel's operation order exactly —
     // c3/cctx, else (0.4·ctail)/cw2, else ((0.4·0.4)·(cw3+1))/(N+V) —

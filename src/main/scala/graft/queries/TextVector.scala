@@ -193,14 +193,20 @@ object TextVector {
             col("embedding"), col("qvec"), col("scale")), 6).as("recon_mse"))
     }),
 
-    // production int8 codec output shape: the raw code array + scale,
-    // exactly what a dataloader consumes. Rows-only gate (arrays are
-    // not harness-sortable); the math is oracled via q107's digest.
+    // production int8 codec path: same kernel chain a dataloader
+    // consumes (int8Scale + int8Quantize), but the emitted code array
+    // is digested to an md5 scalar at the query surface — a rows-only
+    // gate still has to be pandas-sortable (raw arrays crash the
+    // harness comparator; round-10/12 lesson). The math is oracled
+    // via q107's digest; SimilaritySpec pins digest(prod) == q107's.
     "q107p_embed_int8_prod" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .withColumn("scale", VectorFunctions.int8Scale(col("embedding")))
+        .withColumn("qvec",
+          VectorFunctions.int8Quantize(col("embedding"), col("scale")))
         .select(col("vec_id"), col("scale"),
-          VectorFunctions.int8Quantize(col("embedding"), col("scale")).as("qvec"))
+          md5(concat_ws("|", transform(col("qvec"), _.cast("string")))
+            .cast("binary")).as("qvec_fp"))
     }),
 
     // JL random projection 64 → 8 dims. GATE = the exact-integer md5
@@ -215,12 +221,16 @@ object TextVector {
             _.cast("string"))).cast("binary")).as("proj_fp"))
     }),
 
-    // production JL projection: raw float components (what the
-    // compressed-ANN path consumes). Rows-only gate; geometry is
-    // oracled via q114's exact-integer digest twin.
+    // production JL projection (the float kernel the compressed-ANN
+    // path consumes), with the component array rounded and digested to
+    // an md5 scalar so the rows-only gate stays pandas-sortable (raw
+    // arrays crash the harness comparator). Geometry is oracled via
+    // q114's exact-integer digest twin.
     "q114p_random_projection_prod" -> ((s, dir) => {
       t(s, dir, "embeddings").select(col("vec_id"),
-        VectorFunctions.randomProject(col("embedding"), 8, 64).as("proj"))
+        md5(concat_ws("|",
+          transform(VectorFunctions.randomProject(col("embedding"), 8, 64),
+            x => round(x, 6).cast("string"))).cast("binary")).as("proj_fp"))
     }),
 
     // brute-force cosine top-5 for query vectors vec_id < 10.

@@ -385,6 +385,19 @@ class SimilaritySpec extends SparkSpec {
     assert(z.getSeq[Int](2) == Seq(0, 0, 0))
   }
 
+  test("q107p prod twin digests the SAME codes the q107 gate oracles") {
+    // the prod twin emits an md5 fingerprint of the code array (raw
+    // arrays crash the harness comparator); this pins that fingerprint
+    // to the gate query's, so the oracled math covers the prod surface
+    val gate = SparkEntry.queries("q107_embed_int8")(spark, sf001)
+      .select(col("vec_id"), col("qvec_fp"))
+    val prod = SparkEntry.queries("q107p_embed_int8_prod")(spark, sf001)
+      .select(col("vec_id"), col("qvec_fp").as("prod_fp"))
+    val n = gate.join(prod, "vec_id")
+      .filter(col("qvec_fp") =!= col("prod_fp")).count()
+    assert(n == 0, s"$n vec_ids where prod digest != gate digest")
+  }
+
   test("graft_cosine_int8: fused kernel == driver dequantize+cosine; dim mismatch refused") {
     import graft.functions.VectorFunctions.{int8Scale, int8Quantize}
     graft.plans.GraftExtensions.registerAll(spark)
