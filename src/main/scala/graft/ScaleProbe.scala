@@ -19,10 +19,12 @@ object ScaleProbe {
     val cannMode = args.contains("cann")
     val streamMode = args.contains("streaming")
     val shardedMode = args.contains("sharded")
+    val lmVocabMode = args.contains("lmvocab")
     val posArgs = args.filterNot(a =>
       a == "twolevel" || a == "bpe" || a == "cann" || a == "streaming" ||
-      a == "sharded")
-    val special = tlMode || bpeMode || cannMode || streamMode || shardedMode
+      a == "sharded" || a == "lmvocab")
+    val special = tlMode || bpeMode || cannMode || streamMode ||
+      shardedMode || lmVocabMode
     // twolevel/bpe/cann modes take no factor: the only positional arg is outDir
     val factor =
       if (special) 1 else posArgs.headOption.map(_.toInt).getOrElse(10)
@@ -30,8 +32,12 @@ object ScaleProbe {
       if (special) posArgs.headOption.getOrElse("/tmp/graft_scale_probe")
       else if (posArgs.length > 1) posArgs(1) else "/tmp/graft_scale_probe"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // SPARK_GRAFT_CPUS lets memory-constrained probe runs (lmvocab's
+    // small-heap no-driver-spike demonstration) scale down the
+    // executor-thread working set; default matches the bench rig
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (tlMode) { twoLevelProbe(spark, outDir); return }
@@ -39,6 +45,7 @@ object ScaleProbe {
     if (cannMode) { cannProbe(spark, outDir); return }
     if (streamMode) { streamingProbe(spark, outDir); return }
     if (shardedMode) { shardedProbe(spark, outDir); return }
+    if (lmVocabMode) { lmVocabProbe(spark, outDir); return }
 
     // rotate an array column by c positions MODULO its per-row length
     // — a plain `slice(arr, c+1, …)` is a silent NO-OP whenever c ≥
@@ -691,6 +698,70 @@ object ScaleProbe {
       println(f"shards=$shards%2d survivors=$survivors%8d t=$dt%7.2fs " +
         f"per-shard-fit-rows=${n / shards}%8d")
     }
+    spark.stop()
+  }
+
+  /** `ScaleProbe lmvocab`: the LM-scoring family against a
+    * synthetically exploded vocabulary (~1.3×10⁷ unigram types —
+    * far past the 2M `LmBroadcastMaxTypes` cap), the regime where the
+    * family's old FORCED vocab broadcasts (and, in the cross-corpus
+    * variants, a driver-side vocab collect) would OOM. Run this probe
+    * with a deliberately small heap and thread count
+    * (-Xmx4g SPARK_GRAFT_CPUS=8): the old path's ~13M-tuple driver
+    * collect plus its broadcast build needs several GB on top of the
+    * executor working set, so mere completion under 4g is the
+    * no-driver-spike evidence (local mode shares one heap — the
+    * thread cap keeps executor sort buffers from masking the test). For each operator it prints wall time
+    * plus the number of BroadcastHashJoins in the executed plan —
+    * the exploded-vocab runs must show the uni join demoted to a
+    * shuffle join (0 broadcasts in the LM plans), while the
+    * small-vocab control keeps its broadcast hint.
+    */
+  private def lmVocabProbe(spark: SparkSession, outDir: String): Unit = {
+    import graft.operators.CorpusStats
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val control = spark.read.parquet(s"$sfDir/documents.parquet")
+    // ~500k docs × 40 tokens drawn from a 2×10⁷ hash space →
+    // ~1.26×10⁷ distinct types (2e7·(1−e⁻¹)); bigrams are near-unique
+    val nDocs = 500000L
+    val toksPerDoc = 40
+    val path = s"$outDir/lmvocab_corpus.parquet"
+    spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(toksPerDoc - 1)), i =>
+          concat(lit("w"), pmod(xxhash64(col("id") * toksPerDoc + i),
+            lit(20000000L))))).as("text"))
+      .write.mode("overwrite").parquet(path)
+    val big = spark.read.parquet(path)
+    println(s"lmvocab probe: ${big.count()} docs x $toksPerDoc tokens, " +
+      "hash space 2e7 (expect ~1.26e7 types)")
+
+    def run(name: String, df: => DataFrame): Unit = try {
+      val t0 = System.nanoTime()
+      val out = df
+      val n = out.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val nBhj = "BroadcastHashJoin".r
+        .findAllIn(out.queryExecution.executedPlan.toString).length
+      spark.catalog.clearCache()
+      println(f"$name%-34s rows=$n%8d t=$dt%7.2fs broadcast_joins=$nBhj")
+    } catch { case e: Throwable =>
+      println(f"$name%-34s FAILED: ${String.valueOf(e.getMessage).take(120)}")
+    }
+
+    run("bigram_lm SMALL-VOCAB control",
+      CorpusStats.bigramLmScore(control, "doc_id", "text"))
+    run("bigram_lm exploded-vocab",
+      CorpusStats.bigramLmScore(big, "doc_id", "text"))
+    run("kn_bigram_lm exploded-vocab",
+      CorpusStats.bigramKnScore(big, "doc_id", "text"))
+    // cross-corpus variants: ref = a 1/4 slice (still ≫ cap in types)
+    val ref = big.filter(col("doc_id") % 4 === 0)
+    run("lm_score_ref exploded-vocab",
+      CorpusStats.bigramLmScoreAgainst(ref, big, "doc_id", "text"))
+    run("stupid_backoff_ref exploded-vocab",
+      CorpusStats.stupidBackoffScoreAgainst(ref, big, "doc_id", "text"))
+    run("kn_score_ref exploded-vocab",
+      CorpusStats.bigramKnScoreAgainst(ref, big, "doc_id", "text"))
     spark.stop()
   }
 

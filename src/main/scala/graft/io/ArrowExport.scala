@@ -18,7 +18,11 @@ import scala.jdk.CollectionConverters._
   * partition data; at 1000 executors this is 1000 concurrent
   * independent writers, the same layout parquet export uses. Files
   * are self-describing (schema travels in-stream), so a consumer maps
-  * shards to dataloader workers directly.
+  * shards to dataloader workers directly. Shard I/O goes through the
+  * Hadoop FileSystem API with the session's Hadoop configuration
+  * (broadcast to tasks), so `outDir` may be any filesystem the
+  * cluster shares — HDFS, S3, or a local path in local mode; each
+  * task creates the directory on ITS filesystem before writing.
   *
   * Uses only the PUBLIC arrow-vector API (bundled with Spark — the
   * same batches Spark itself speaks to pandas-on-Spark consumers);
@@ -41,13 +45,24 @@ object ArrowExport {
     require(batchRows >= 1, s"batchRows must be >= 1, got $batchRows")
     val schema = df.schema
     schema.fields.foreach(f => checkSupported(f.name, f.dataType))
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val sc = df.sparkSession.sparkContext
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      sc.hadoopConfiguration)
+    // driver-side mkdir so an EMPTY frame still exports a valid
+    // (empty) directory; tasks re-create on their own filesystem view
+    val dirPath = new org.apache.hadoop.fs.Path(outDir)
+    dirPath.getFileSystem(hconf.value).mkdirs(dirPath)
+    val bc = sc.broadcast(hconf)
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (!rows.hasNext) Iterator.empty
       else {
-        val path = f"$outDir/part-$pid%05d.arrow"
-        writePartition(schema, rows, path, batchRows)
-        Iterator.single(path)
+        val dir = new org.apache.hadoop.fs.Path(outDir)
+        val fs = dir.getFileSystem(bc.value.value)
+        fs.mkdirs(dir)
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.arrow"), true)
+        writePartition(schema, rows, out, batchRows)
+        Iterator.single(f"$outDir/part-$pid%05d.arrow")
       }
     }.collect().toSeq.sorted
   }
@@ -62,12 +77,17 @@ object ArrowExport {
   def readArrowIpcDF(spark: org.apache.spark.sql.SparkSession,
                      dir: String, schema: StructType): DataFrame = {
     schema.fields.foreach(f => checkSupported(f.name, f.dataType))
-    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .iterator().asScala.map(_.toString).filter(_.endsWith(".arrow"))
-      .toSeq.sorted
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(hconf.value)
+    require(fs.exists(dirPath), s"Arrow shard directory $dir does not exist")
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(dirPath, "*.arrow"))
+      .map(_.getPath.toString).toSeq.sorted
+    val bc = spark.sparkContext.broadcast(hconf)
     val rdd = spark.sparkContext
       .parallelize(files, math.max(1, files.length))
-      .flatMap(path => shardRowIterator(path, schema))
+      .flatMap(path => shardRowIterator(path, schema, bc.value.value))
     spark.createDataFrame(rdd, schema)
   }
 
@@ -75,19 +95,37 @@ object ArrowExport {
     * memory at a time (the write-side `batchRows` granularity is the
     * read-side peak too — a multi-GB shard never materializes).
     * Resources close at exhaustion AND at task completion, so a
-    * short-circuiting consumer (limit) doesn't leak the allocator.
+    * short-circuiting consumer (limit) doesn't leak the allocator;
+    * initialization failures (missing file, schema mismatch) close
+    * whatever was already opened before rethrowing.
     */
-  private def shardRowIterator(path: String,
-                               schema: StructType): Iterator[org.apache.spark.sql.Row] =
+  private def shardRowIterator(path: String, schema: StructType,
+      conf: org.apache.hadoop.conf.Configuration): Iterator[org.apache.spark.sql.Row] =
     new Iterator[org.apache.spark.sql.Row] {
       private val alloc = new org.apache.arrow.memory.RootAllocator()
-      private val in = new java.io.FileInputStream(path)
-      private val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
-      private val root = reader.getVectorSchemaRoot
-      private val names = root.getSchema.getFields.asScala.map(_.getName).toSeq
-      private val order = schema.fieldNames.map(n => names.indexOf(n))
-      require(order.forall(_ >= 0),
-        s"$path lacks columns ${schema.fieldNames.filterNot(names.contains).mkString(",")}")
+      private val in: java.io.InputStream =
+        try {
+          val p = new org.apache.hadoop.fs.Path(path)
+          p.getFileSystem(conf).open(p)
+        } catch { case e: Throwable => alloc.close(); throw e }
+      private val reader =
+        try new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
+        catch { case e: Throwable =>
+          try in.close() finally alloc.close()
+          throw e
+        }
+      private val (root, order) =
+        try {
+          val r = reader.getVectorSchemaRoot
+          val names = r.getSchema.getFields.asScala.map(_.getName).toSeq
+          val ord = schema.fieldNames.map(n => names.indexOf(n))
+          require(ord.forall(_ >= 0),
+            s"$path lacks columns ${schema.fieldNames.filterNot(names.contains).mkString(",")}")
+          (r, ord)
+        } catch { case e: Throwable =>
+          try reader.close() finally { try in.close() finally alloc.close() }
+          throw e
+        }
       private var idx = 0
       private var inBatch = 0
       private var closed = false
@@ -199,14 +237,13 @@ object ArrowExport {
 
   private def writePartition(schema: StructType,
                              rows: Iterator[org.apache.spark.sql.Row],
-                             path: String, batchRows: Int): Unit = {
+                             out: java.io.OutputStream, batchRows: Int): Unit = {
     import org.apache.arrow.vector._
     import org.apache.arrow.vector.complex.ListVector
     val alloc = new org.apache.arrow.memory.RootAllocator()
     val arrowSchema = new org.apache.arrow.vector.types.pojo.Schema(
       schema.fields.map(arrowField).toList.asJava)
     val root = VectorSchemaRoot.create(arrowSchema, alloc)
-    val out = new java.io.FileOutputStream(path)
     val writer = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null, out)
     try {
       writer.start()

@@ -327,8 +327,9 @@ object Hdf5Io {
   /** Import a multi-dataset file (SPEC.md "Multiple OpenCosmo
     * Datasets"): `parentGroup/data_linked` start/size ranges become an
     * equality link on a synthesized parent-row column — each child
-    * task binary-searches the broadcast range table for its rows'
-    * parent, so the link materializes map-side with no shuffle.
+    * task binary-searches its OWN on-disk slice of the range table
+    * ([[linkBoundsForWindow]]), so the link materializes map-side
+    * with no shuffle and no driver-side range materialization.
     */
   def importStructure(spark: SparkSession, h5Path: String,
                       parentGroup: String): graft.collections.StructureCollection = {
@@ -376,35 +377,12 @@ object Hdf5Io {
       // link id → target root group (SPEC recommends ids that extend
       // the target name with a UUID; match by prefix)
       rootGroups.find(g => g != parentGroup && id.startsWith(g)).map { target =>
-        val linkDf = openDataFrame(spark, h5Path, s"$parentGroup/data_linked")
-          .select(s"${id}_start", s"${id}_size")
-        val ranges = linkDf.collect() // per-file parent count, driver-bounded
-        // (start, size, parentRow) for non-empty ranges, start-sorted
-        val bounds = ranges.indices.collect {
-          case i if ranges(i).getLong(1) > 0 =>
-            (ranges(i).getLong(0), ranges(i).getLong(1), i.toLong)
-        }.sortBy(_._1).toArray
-        val b = spark.sparkContext.broadcast(bounds)
+        val linkGroup = s"$parentGroup/data_linked"
+        val nParents = columns(h5Path, linkGroup)
+          .find(_.name == s"${id}_start").map(_.rows).getOrElse(0L)
         val childCols = columns(h5Path, s"$target/data")
-        val child = dfWithGlobalRow(spark, h5Path, s"$target/data", childCols).map {
-          case (df, rowCol) =>
-            val pUdf = udf { (row: Long) =>
-              val bs = b.value
-              var lo = 0; var hi = bs.length - 1
-              while (lo < hi) {
-                val mid = (lo + hi + 1) >>> 1
-                if (bs(mid)._1 <= row) lo = mid else hi = mid - 1
-              }
-              // rows in a GAP between ranges belong to no parent —
-              // assigning them to the preceding one would be silent
-              // corruption; emit null instead
-              if (bs.nonEmpty && bs(lo)._1 <= row && row < bs(lo)._1 + bs(lo)._2)
-                Some(bs(lo)._3)
-              else None
-            }
-            df.withColumn(LinkCol, pUdf(col(rowCol))).drop(rowCol)
-        }.get
-        target -> child
+        target -> dfWithParentLink(spark, h5Path, s"$target/data", childCols,
+          linkGroup, id, nParents)
       }
     }.toMap
     graft.collections.StructureCollection(
@@ -553,6 +531,117 @@ object Hdf5Io {
     // global offsets)
     val (df, rowCol) = dfWithGlobalRow(spark, h5Path, s"$parentGroup/data", cols).get
     parent.copy(df = df.withColumnRenamed(rowCol, LinkCol))
+  }
+
+  /** Per-task slice of a start/size range-link table: binary-searches
+    * the ON-DISK `<id>_start` column for the parent-index range
+    * overlapping child rows [r0, r1), then reads just that slice of
+    * (start, size). SPEC layout guarantee this leans on: child rows
+    * are stored contiguously in parent order, so starts are
+    * nondecreasing (the Hdf5Spec fixture builds them with scanLeft,
+    * as the reference writer does) — verified per slice, loud failure
+    * on violation. This replaces a driver-side collect of ALL parent
+    * ranges (multi-GB on the driver at 10⁸ structures): each task now
+    * holds only the ranges its own rows can belong to, found with
+    * O(log nParents) single-element windowed reads.
+    *
+    * Returns (start, size, parentRow) for the slice's non-empty
+    * ranges, in start order. Empty ranges may tie on start with a
+    * following real range; the lower bound rewinds over the tie run
+    * (second binary search) so a real range is never skipped.
+    */
+  private[graft] def linkBoundsForWindow(path: String, linkGroup: String,
+      id: String, nParents: Long, r0: Long, r1: Long): Array[(Long, Long, Long)] = {
+    if (nParents <= 0) return Array.empty
+    val r = new Hdf5Reader(path)
+    try {
+      val (info, _) = resolveGroup(r, linkGroup)
+      val links = r.groupLinks(info).toMap
+      val sMeta = r.datasetMeta(s"${id}_start", r.objectInfo(links(s"${id}_start")))
+      val zMeta = r.datasetMeta(s"${id}_size", r.objectInfo(links(s"${id}_size")))
+      def startAt(i: Long): Long =
+        decodeColumn(r)(sMeta, i, i + 1)(0).asInstanceOf[Number].longValue
+      // largest parent with start ≤ r0 (only the nearest preceding
+      // range can cover r0 — ranges are non-overlapping)
+      var lo = 0L; var hi = nParents - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (startAt(mid) <= r0) lo = mid else hi = mid - 1
+      }
+      // rewind over a tie run (empty ranges share the next range's
+      // start): first parent whose start equals startAt(lo)
+      val s0 = startAt(lo)
+      var a = 0L; var b = lo
+      while (a < b) {
+        val mid = (a + b) >>> 1
+        if (startAt(mid) < s0) a = mid + 1 else b = mid
+      }
+      val p0 = a
+      // smallest parent with start ≥ r1 (its rows are all ≥ r1)
+      var lo2 = p0; var hi2 = nParents
+      while (lo2 < hi2) {
+        val mid = (lo2 + hi2) >>> 1
+        if (startAt(mid) < r1) lo2 = mid + 1 else hi2 = mid
+      }
+      val p1 = lo2
+      val starts = decodeColumn(r)(sMeta, p0, p1)
+      val sizes = decodeColumn(r)(zMeta, p0, p1)
+      var prev = Long.MinValue
+      starts.foreach { s =>
+        val v = s.asInstanceOf[Number].longValue
+        require(v >= prev,
+          s"non-monotonic ${id}_start near parent row $p0 in $path — " +
+            "SPEC contiguous-layout violated; refusing to mis-link")
+        prev = v
+      }
+      starts.indices.collect {
+        case i if sizes(i).asInstanceOf[Number].longValue > 0 =>
+          (starts(i).asInstanceOf[Number].longValue,
+            sizes(i).asInstanceOf[Number].longValue, p0 + i)
+      }.toArray
+    } finally r.close()
+  }
+
+  /** openDataFrame + the range-link parent column, assigned
+    * TASK-LOCALLY: each read window resolves only its own slice of
+    * the link table via [[linkBoundsForWindow]] — no driver collect,
+    * no whole-table broadcast, link still materializes map-side.
+    * Rows in a gap between ranges belong to no parent — assigning
+    * them to the preceding one would be silent corruption; they get a
+    * null link instead.
+    */
+  private def dfWithParentLink(spark: SparkSession, path: String, group: String,
+      cols: Seq[ColMeta], linkGroup: String, id: String,
+      nParents: Long): DataFrame = {
+    val rows = cols.head.rows
+    val schema = StructType(
+      cols.map(c => StructField(c.name, c.sparkType)) :+ StructField(LinkCol, LongType))
+    val per = 1L << 18
+    val nTasks = math.max(1L, math.min((rows + per - 1) / per, rows)).toInt
+    val windows = (0 until nTasks).map { i =>
+      (rows * i / nTasks, rows * (i + 1) / nTasks)
+    }.filter { case (a, b) => b > a }
+    val names = cols.map(_.name)
+    val rdd = spark.sparkContext.parallelize(windows, math.max(1, windows.size))
+      .mapPartitions { it =>
+        it.flatMap { case (w0, w1) =>
+          val bs = linkBoundsForWindow(path, linkGroup, id, nParents, w0, w1)
+          readWindow(path, group, names, w0, w1).zipWithIndex.map { case (row, i) =>
+            val gr = w0 + i
+            var lo = 0; var hi = bs.length - 1
+            while (lo < hi) {
+              val mid = (lo + hi + 1) >>> 1
+              if (bs(mid)._1 <= gr) lo = mid else hi = mid - 1
+            }
+            val parent: Any =
+              if (bs.nonEmpty && bs(lo)._1 <= gr && gr < bs(lo)._1 + bs(lo)._2)
+                bs(lo)._3
+              else null
+            Row.fromSeq(row.toSeq :+ parent)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** openDataFrame + a deterministic global row-number column — free,

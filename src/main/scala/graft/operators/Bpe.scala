@@ -41,6 +41,12 @@ import graft.functions.TextFunctions
   */
 object Bpe {
 
+  /** Hard ceiling on [[trainMerges]]' driver-collected vocabulary
+    * (1M word types ≈ tens of MB of strings plus the fold's
+    * pair-index state — comfortably driver-sized, and by Zipf's law
+    * far past where extra types change the learned merges). */
+  val MaxTrainVocab: Int = 1 << 20
+
   /** A learned merge: `a` + `b` → `a||b`, with the summed word-count
     * weight of the pair at the time it was picked. */
   final case class Merge(a: String, b: String, pairCount: Long)
@@ -127,6 +133,19 @@ object Bpe {
                   maxVocab: Int = 10000): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    // The collect below is driver-bounded ONLY by this cap (the
+    // guarded-objects() pattern of StructureCollection): Zipf's law
+    // makes the top-1M types cover essentially all occurrences of any
+    // natural-language corpus (ScaleProbe bpe: 32k merges over 100k
+    // vocab folds in ~5 s), so the cap costs nothing in practice —
+    // but an effectively-unbounded request here is one parameter away
+    // from collecting a web-scale vocabulary onto the driver. Refuse
+    // loudly instead; past the cap the escalation path is the
+    // distributed learn-BPE sketched in the ScaleProbe bpe notes (one
+    // (pair → count) shuffle per round over the vocab TABLE).
+    require(maxVocab <= MaxTrainVocab,
+      s"maxVocab=$maxVocab exceeds the driver-fold cap $MaxTrainVocab; " +
+        "BPE training state must stay driver-bounded")
     val rows = wordCounts(df, textCol, maxVocab).collect()
     val words: Array[Vector[String]] = rows.map(r => charSyms(r.getString(0)))
     val cnts: Array[Long] = rows.map(_.getLong(1))

@@ -23,6 +23,32 @@ import graft.functions.TextFunctions
   */
 object CorpusStats {
 
+  /** Default cap (rows) under which the LM family's vocabulary-keyed
+    * build sides take a `broadcast()` hint. A FORCED hint bypasses
+    * Catalyst's size check, and unigram vocabularies are corpus-
+    * dependent: 10⁴ types at test SF but 10⁸–10⁹ on web-scale
+    * corpora, where a forced broadcast is a guaranteed driver/executor
+    * OOM. 2M rows ≈ low-hundreds of MB as a broadcast hash relation
+    * (token string + long count) — safely inside executor memory on
+    * any realistic cluster, far above every natural-language
+    * vocabulary that SHOULD broadcast. Override with
+    * `spark.graft.lm.broadcastMaxTypes`.
+    */
+  val LmBroadcastMaxTypes: Long = 2000000L
+
+  /** Broadcast hint gated on a row count the caller has ALREADY
+    * computed (the LM builders count their vocab tables anyway for
+    * smoothing constants — the gate is free). Above the cap the join
+    * is left to Catalyst: both sides are keyed on the token column,
+    * so the fallback is an ordinary shuffle hash join, not a scan
+    * blow-up.
+    */
+  private def hintIfSmall(df: DataFrame, knownRows: Long): DataFrame = {
+    val cap = df.sparkSession.conf.getOption("spark.graft.lm.broadcastMaxTypes")
+      .map(_.toLong).getOrElse(LmBroadcastMaxTypes)
+    if (knownRows <= cap) broadcast(df) else df
+  }
+
   /** Exact corpus-wide top-k n-grams by occurrence count.
     * Deterministic tie-break: count desc, then gram asc (binary
     * collation — matches the oracle's ORDER BY). Plan:
@@ -279,7 +305,8 @@ object CorpusStats {
     * corpus; gibberish and boilerplate fall to the tails). Plan:
     * bigram and unigram count tables (hash aggs), one shuffle join of
     * document bigrams to the bigram table (the table is corpus-sized
-    * — it must NOT broadcast), unigram/vocab as broadcast; the
+    * — it must NOT broadcast), unigram/vocab broadcast via the
+    * size-gated hint; the
     * per-document score sums nano-fixed-point longs (exact,
     * order-independent) so the result is bit-deterministic under any
     * partitioning with no per-document array materialization.
@@ -304,7 +331,8 @@ object CorpusStats {
     // saves a full corpus re-tokenization per consumer.
     val uni = toks.select(explode(col("__w")).as("__t"))
       .groupBy(col("__t")).agg(count(lit(1)).as("__cu")).persist()
-    val vocab = uni.count().toDouble
+    val nUni = uni.count()
+    val vocab = nUni.toDouble
     // Everything downstream works on per-(doc, gram) COUNTS, never on
     // raw occurrences: the first hash agg (map-side partial combine)
     // truncates the tokenize/explode lineage to one pass, and every
@@ -319,7 +347,7 @@ object CorpusStats {
     val scored = dgc
       .join(bgc, Seq("__g"))
       .withColumn("__w1", split(col("__g"), " ").getItem(0))
-      .join(broadcast(uni.withColumnRenamed("__t", "__w1")), Seq("__w1"))
+      .join(hintIfSmall(uni.withColumnRenamed("__t", "__w1"), nUni), Seq("__w1"))
       .withColumn("__logp",
         log((col("__cb") + lit(1.0)) / (col("__cu") + lit(vocab))))
     // Deterministic float aggregation WITHOUT per-document arrays:
@@ -361,20 +389,22 @@ object CorpusStats {
     */
   def bigramLmScoreAgainst(ref: DataFrame, target: DataFrame,
                            idCol: String, textCol: String): DataFrame = {
-    val spark = ref.sparkSession
-    import spark.implicits._
     val refToks = ref.select(TextFunctions.tokens(col(textCol)).as("__w"))
     // The unigram table is consumed twice (vocab count + probability
-    // join) and the join side is broadcast — i.e. we are already
-    // committed to it passing through the driver. Collect it ONCE
-    // instead of persist(): same data movement as the broadcast
-    // build, no cached table leaked for the session lifetime, and
-    // the local relation broadcasts without a distributed recompute.
-    val uniRows = refToks.select(explode(col("__w")).as("__t"))
-      .groupBy(col("__t")).agg(count(lit(1)).as("__cu"))
-      .as[(String, Long)].collect()
-    val vocab = uniRows.length.toDouble
-    val uniDf = uniRows.toSeq.toDF("__w1", "__cu")
+    // join). It must stay DISTRIBUTED: an earlier revision collected
+    // it to the driver to feed the broadcast, which hard-commits the
+    // whole vocabulary to driver memory — fatal on a 10⁸-type
+    // reference corpus. Persist + count instead; the count both
+    // supplies the smoothing constant and size-gates the broadcast
+    // hint (past the cap the probability join falls back to a
+    // token-keyed shuffle join). The persist lives for the session
+    // like [[bigramLmScore]]'s — the family-standard trade for
+    // tokenizing the reference corpus once.
+    val uni = refToks.select(explode(col("__w")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__cu")).persist()
+    val nUni = uni.count()
+    val vocab = nUni.toDouble
+    val uniDf = uni.select(col("__t").as("__w1"), col("__cu"))
     val bgc = refToks
       .select(explode(TextFunctions.ngrams(concat_ws(" ", col("__w")), 2)).as("__g"))
       .groupBy(col("__g")).agg(count(lit(1)).as("__cb"))
@@ -387,7 +417,7 @@ object CorpusStats {
       .join(bgc, Seq("__g"), "left")
       .withColumn("__cb", coalesce(col("__cb"), lit(0L)))
       .withColumn("__w1", split(col("__g"), " ").getItem(0))
-      .join(broadcast(uniDf), Seq("__w1"), "left")
+      .join(hintIfSmall(uniDf, nUni), Seq("__w1"), "left")
       .withColumn("__cu", coalesce(col("__cu"), lit(0L)))
       .withColumn("__logp",
         log((col("__cb") + lit(1.0)) / (col("__cu") + lit(vocab))))
@@ -527,21 +557,26 @@ object CorpusStats {
     * Scale shape mirrors q108: per-(doc, trigram) counts truncate the
     * explode lineage; the reference trigram/bigram tables are
     * reference-corpus-sized and join by shuffle (AQE-skew-splittable
-    * on hot Zipf grams); the unigram/vocab side broadcasts.
+    * on hot Zipf grams); the unigram/vocab side takes the
+    * size-gated broadcast hint.
     */
   def stupidBackoffScoreAgainst(ref: DataFrame, target: DataFrame,
                                 idCol: String, textCol: String,
                                 alpha: Double = 0.4): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1), got $alpha")
-    val spark = ref.sparkSession
-    import spark.implicits._
     val refToks = ref.select(TextFunctions.tokens(col(textCol)).as("__w"))
-    val uniRows = refToks.select(explode(col("__w")).as("__t"))
-      .groupBy(col("__t")).agg(count(lit(1)).as("__cu"))
-      .as[(String, Long)].collect()
-    val vocab = uniRows.length.toDouble
-    val total = uniRows.map(_._2).sum.toDouble
-    val uniDf = uniRows.toSeq.toDF("__u", "__cu")
+    // Distributed unigram table (see [[bigramLmScoreAgainst]]: the
+    // earlier driver collect is fatal on web-scale vocabularies); one
+    // 2-column aggregate row supplies the vocab/total smoothing
+    // constants AND the row count that size-gates the two broadcast
+    // hints below.
+    val uni = refToks.select(explode(col("__w")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__cu")).persist()
+    val uniStats = uni.agg(count(lit(1)), sum(col("__cu"))).head()
+    val nUni = uniStats.getLong(0)
+    val vocab = nUni.toDouble
+    val total = uniStats.getLong(1).toDouble
+    val uniDf = uni.select(col("__t").as("__u"), col("__cu"))
     def refGrams(n: Int, gCol: String, cCol: String) = refToks
       .select(explode(TextFunctions.ngrams(concat_ws(" ", col("__w")), n)).as(gCol))
       .groupBy(col(gCol)).agg(count(lit(1)).as(cCol))
@@ -561,9 +596,11 @@ object CorpusStats {
         Seq("__ctx"), "left")
       .join(bgc.select(col("__g2").as("__tail"), col("__c2").as("__ctail")),
         Seq("__tail"), "left")
-      .join(broadcast(uniDf.select(col("__u").as("__w2"), col("__cu").as("__cw2"))),
+      .join(hintIfSmall(uniDf.select(col("__u").as("__w2"),
+          col("__cu").as("__cw2")), nUni),
         parts.getItem(1) === col("__w2"), "left")
-      .join(broadcast(uniDf.select(col("__u").as("__w3"), col("__cu").as("__cw3"))),
+      .join(hintIfSmall(uniDf.select(col("__u").as("__w3"),
+          col("__cu").as("__cw3")), nUni),
         parts.getItem(2) === col("__w3"), "left")
       .withColumn("__logs", log(
         when(coalesce(col("__c3"), lit(0L)) > 0L,
@@ -770,8 +807,8 @@ object CorpusStats {
     *
     * Scale shape: everything derives from the ONE (gram, count)
     * table — context totals, fertilities, continuation counts are
-    * unigram-vocab-sized aggs of it (broadcast, like the add-one
-    * family's uni table); the corpus is tokenized once and scoring
+    * unigram-vocab-sized aggs of it (size-gated broadcast, like the
+    * add-one family's uni table); the corpus is tokenized once and scoring
     * joins stay on hash-aggregated (doc, gram) counts.
     */
   def bigramKnScore(df: DataFrame, idCol: String, textCol: String,
@@ -792,12 +829,18 @@ object CorpusStats {
       .withColumn("__w2", split(col("__g"), " ").getItem(1))
       .persist()
     val nTypes = bgc.count().toDouble // |bigram types| (also caches dgc)
+    // ctx/cont are unigram-vocab-sized aggs of the persisted bgc;
+    // counting them is a cheap cached-table pass and size-gates the
+    // broadcast hints (web-scale vocabularies fall back to the
+    // token-keyed shuffle join)
     val ctx = bgc.groupBy(col("__w1"))
       .agg(sum(col("__cb")).as("__ctx"), count(lit(1)).as("__fert"))
+      .persist()
     val cont = bgc.groupBy(col("__w2")).agg(count(lit(1)).as("__cont"))
+      .persist()
     val gramLp = bgc
-      .join(broadcast(ctx), Seq("__w1"))
-      .join(broadcast(cont), Seq("__w2"))
+      .join(hintIfSmall(ctx, ctx.count()), Seq("__w1"))
+      .join(hintIfSmall(cont, cont.count()), Seq("__w2"))
       .select(col("__g"),
         round(log(
           (greatest(col("__cb") - lit(discount), lit(0.0)) / col("__ctx")) +
@@ -811,7 +854,7 @@ object CorpusStats {
       .select(col(idCol), col("n_bigrams"),
         round(col("__s9") / lit(1e9) / col("n_bigrams"), 6).as("avg_logp"))
       .localCheckpoint(true)
-    dgc.unpersist(); bgc.unpersist()
+    dgc.unpersist(); bgc.unpersist(); ctx.unpersist(); cont.unpersist()
     out
   }
 
@@ -840,9 +883,12 @@ object CorpusStats {
       .persist()
     val nTypes = bgc.count().toDouble
     val contFloor = 1.0 / (nTypes + 1.0)
+    // same gated-hint shape as [[bigramKnScore]]
     val ctx = bgc.groupBy(col("__w1"))
       .agg(sum(col("__cb")).as("__ctx"), count(lit(1)).as("__fert"))
+      .persist()
     val cont = bgc.groupBy(col("__w2")).agg(count(lit(1)).as("__cont"))
+      .persist()
     val dgc = target
       .select(col(idCol),
         explode(TextFunctions.ngrams(
@@ -852,8 +898,8 @@ object CorpusStats {
       .withColumn("__w2", split(col("__g"), " ").getItem(1))
     val scored = dgc
       .join(bgc.select(col("__g"), col("__cb")), Seq("__g"), "left")
-      .join(broadcast(ctx), Seq("__w1"), "left")
-      .join(broadcast(cont), Seq("__w2"), "left")
+      .join(hintIfSmall(ctx, ctx.count()), Seq("__w1"), "left")
+      .join(hintIfSmall(cont, cont.count()), Seq("__w2"), "left")
       .withColumn("__pcont",
         coalesce(col("__cont") / lit(nTypes), lit(contFloor)))
       .withColumn("__p", when(col("__ctx").isNull, col("__pcont"))
@@ -868,7 +914,7 @@ object CorpusStats {
       .select(col(idCol), col("n_bigrams"),
         round(col("__s9") / lit(1e9) / col("n_bigrams"), 6).as("avg_logp"))
       .localCheckpoint(true)
-    bgc.unpersist()
+    bgc.unpersist(); ctx.unpersist(); cont.unpersist()
     out
   }
 

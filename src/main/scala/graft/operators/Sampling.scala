@@ -125,7 +125,14 @@ object Sampling {
     * corpus subsampler). Deterministic: same ids + weights + seed →
     * same sample, on any engine and row order. Rows with w ≤ 0 are
     * excluded (the estimator is undefined there). The rank key is
-    * nano-quantized (ties broken by id) so the cut is engine-stable.
+    * nano-quantized (ties broken by id) so the cut is engine-stable,
+    * and is PART OF THE OUTPUT as `key9` (callers use it to merge or
+    * re-rank samples; it is the operator's contract, not an internal).
+    * Quantization boundary: for extremely small positive weights
+    * ln(u)/w·1e9 falls below Long range and the cast SATURATES at
+    * Long.MinValue — those rows keep their (correct) never-sampled
+    * destiny but lose relative order among themselves; ties then
+    * break by id.
     *
     * Scale shape: map-side key + TakeOrderedAndProject (per-partition
     * heaps, k rows to the driver) — no global sort, no shuffle of
@@ -151,9 +158,9 @@ object Sampling {
     require(k >= 1, s"k=$k must be >= 1")
     val u = (bucket + lit(1.0)) / lit(4294967297.0) // (0,1), never 0 or 1
     df.filter(col(weightCol) > 0)
-      .withColumn("__wk9",
+      .withColumn("key9",
         round(log(u) / col(weightCol) * lit(1e9)).cast("long"))
-      .orderBy(col("__wk9").desc, col(idCol).asc)
+      .orderBy(col("key9").desc, col(idCol).asc)
       .limit(k)
   }
 

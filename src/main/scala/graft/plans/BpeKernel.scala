@@ -173,6 +173,18 @@ final case class BpeWordExpr(children: Seq[Expression]) extends Expression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (child.dataType, children(1).dataType) match {
+      case (StringType, ArrayType(st: StructType, _))
+        if st.length == 2 && st.fields.forall(_.dataType == StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (cd, md) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (word string, merges array<struct<string,string>>), " +
+          s"got (${cd.simpleString}, ${md.simpleString})")
+    }
+  }
 
   override def eval(input: InternalRow): Any = {
     val w = child.eval(input)
@@ -222,6 +234,17 @@ final case class SymsToIdsExpr(children: Seq[Expression]) extends Expression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (child.dataType, children(1).dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (cd, vd) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (syms array<string>, vocab array<string>), " +
+          s"got (${cd.simpleString}, ${vd.simpleString})")
+    }
+  }
 
   override def eval(input: InternalRow): Any = {
     val s = child.eval(input)

@@ -184,6 +184,34 @@ object TextKernels {
   }
 }
 
+/** Analysis-time input checks for the text kernels (the
+  * VecKernelChecks pattern): a wrong child type must fail resolution
+  * with the function name, not surface later as a ClassCastException
+  * or a generated-Java compile error.
+  */
+private[plans] object TextKernelChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  def expect(exprs: Seq[(Expression, DataType => Boolean, String)],
+             fn: String): TypeCheckResult =
+    exprs.collectFirst {
+      case (e, ok, want) if !ok(e.dataType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fn expects $want, got ${e.dataType.simpleString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  def isString(dt: DataType): Boolean = dt == StringType
+  def isLongArray(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true; case _ => false
+  }
+  def isStringArray(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) => true; case _ => false
+  }
+  def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true; case _ => false
+  }
+}
+
 /** graft_simhash64(array<long>) → long (null array → null). */
 final case class SimHash64Expr(children: Seq[Expression]) extends Expression {
   require(children.length == 1, "graft_simhash64(token_hashes)")
@@ -191,6 +219,11 @@ final case class SimHash64Expr(children: Seq[Expression]) extends Expression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextKernelChecks.expect(Seq(
+      (child, TextKernelChecks.isLongArray, "token_hashes array<long>")),
+      prettyName)
 
   override def eval(input: InternalRow): Any = {
     val arr = child.eval(input)
@@ -223,6 +256,12 @@ final case class NgramHashesExpr(children: Seq[Expression]) extends Expression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextKernelChecks.expect(Seq(
+      (child, TextKernelChecks.isLongArray, "token_hashes array<long>"),
+      (children(1), TextKernelChecks.isIntegral, "n integral literal")),
+      prettyName)
 
   override def eval(input: InternalRow): Any = {
     val arr = child.eval(input)
@@ -255,6 +294,12 @@ final case class MinHashSigExpr(children: Seq[Expression]) extends Expression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextKernelChecks.expect(Seq(
+      (child, TextKernelChecks.isLongArray, "shingle_hashes array<long>"),
+      (children(1), TextKernelChecks.isIntegral, "k integral literal")),
+      prettyName)
 
   override def eval(input: InternalRow): Any = {
     val arr = child.eval(input)
@@ -294,6 +339,10 @@ final case class NormalizeExpr(children: Seq[Expression]) extends Expression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextKernelChecks.expect(Seq(
+      (child, TextKernelChecks.isString, "text string")), prettyName)
 
   override def eval(input: InternalRow): Any = {
     val s = child.eval(input)
@@ -330,6 +379,10 @@ final case class CharEntropyExpr(children: Seq[Expression]) extends Expression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextKernelChecks.expect(Seq(
+      (child, TextKernelChecks.isString, "text string")), prettyName)
 
   override def eval(input: InternalRow): Any = {
     val s = child.eval(input)
@@ -357,8 +410,9 @@ final case class CharEntropyExpr(children: Seq[Expression]) extends Expression {
 /** graft_deflate_len(text, level) → long: DEFLATE-compressed byte
   * length of the UTF-8 text at the given level (level must be
   * foldable). compressed/raw is the compression-ratio quality signal
-  * (low ratio ⇒ repetitive/templated text). One Deflater per
-  * evaluation — no shared state, safe inside codegen.
+  * (low ratio ⇒ repetitive/templated text). Deflaters come from a
+  * per-thread pool (one per level, reset between rows) — no state is
+  * shared ACROSS threads, safe inside codegen.
   */
 final case class DeflateLenExpr(children: Seq[Expression]) extends Expression {
   require(children.length == 2, "graft_deflate_len(text, level)")
@@ -367,6 +421,12 @@ final case class DeflateLenExpr(children: Seq[Expression]) extends Expression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextKernelChecks.expect(Seq(
+      (child, TextKernelChecks.isString, "text string"),
+      (levelExpr, TextKernelChecks.isIntegral, "level integral literal")),
+      prettyName)
 
   // level folds lazily, NOT in the constructor: Catalyst rewrites
   // children during planning (binding, subexpression elimination) and

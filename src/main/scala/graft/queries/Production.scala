@@ -112,7 +112,7 @@ object Production {
     "q132p_weighted_sample_prod" -> ((s, dir) =>
       graft.operators.Sampling.weightedSample(t(s, dir, "documents"),
           "doc_id", "n_chars", k = 100)
-        .select(col("doc_id"), col("__wk9").as("key9"))),
+        .select(col("doc_id"), col("key9"))),
     // THE FULL HANDOFF: tokenize (one-pass BPE kernel) → pack into
     // 512-token bins → export the packed bins as Arrow IPC shard
     // files → re-read the SHARDS distributedly → per-bin digest of

@@ -408,7 +408,7 @@ object TextVector {
     "q132_weighted_sample" -> ((s, dir) => {
       graft.operators.Sampling.weightedSampleMd5(t(s, dir, "documents"),
           "doc_id", "n_chars", k = 100)
-        .select(col("doc_id"), col("__wk9").as("key9"))
+        .select(col("doc_id"), col("key9"))
     }),
 
     // deterministic 5-doc-per-source uniform sample (eval panels):

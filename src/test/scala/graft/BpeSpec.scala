@@ -38,6 +38,19 @@ class BpeSpec extends SparkSpec {
     assert(ms == Seq(Merge("a", "b", 2L), Merge("c", "d", 2L)))
   }
 
+  test("trainMerges refuses an unbounded driver-fold vocabulary") {
+    // the collect inside trainMerges is driver-bounded ONLY by
+    // maxVocab; an effectively-unbounded cap must throw before any
+    // job runs, not OOM the driver on a web-scale corpus
+    val df = Seq("ab ab").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainMerges(df, "text", 1, maxVocab = Int.MaxValue)
+    }
+    assert(e.getMessage.contains("driver-fold cap"))
+    // the documented ceiling itself is accepted
+    assert(Bpe.trainMerges(df, "text", 1, maxVocab = Bpe.MaxTrainVocab).nonEmpty)
+  }
+
   test("trainMerges: stops early on an exhausted vocabulary") {
     // single-char words: no pairs at all → zero merges
     assert(Bpe.trainMerges(Seq("a b c").toDF("text"), "text", 5).isEmpty)

@@ -187,6 +187,67 @@ class Hdf5Spec extends SparkSpec {
       Set(2e14))
   }
 
+  test("range-link import resolves per-task slices, never the whole table") {
+    // 1000 parents with sizes cycling 0/1/2 (gapless SPEC layout plus
+    // empty ranges that tie on start with their successor) — the
+    // driver-collect regression this guards against would materialize
+    // all 1000 ranges for every task; the windowed resolver must
+    // return ONLY the ranges overlapping the asked child-row window
+    val nPar = 1000
+    val sizes = (0 until nPar).map(p => (p % 3).toLong)
+    val starts = sizes.scanLeft(0L)(_ + _).init
+    val nChild = sizes.sum
+    val p = tmp("bigstructure.hdf5")
+    val w = new Hdf5Writer(p)
+    def i64(vals: Seq[Long]) =
+      w.writeDataset(Hdf5Writer.I64, Seq(vals.size.toLong),
+        Iterator(vals.toArray.flatMap { d =>
+          val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.putLong(d); b.array()
+        }))
+    val propsData = w.writeGroup(Seq("hid" -> i64((0 until nPar).map(_.toLong))))
+    val linked = w.writeGroup(Seq(
+      "halo_particles_x_start" -> i64(starts),
+      "halo_particles_x_size" -> i64(sizes)))
+    val propsGrp = w.writeGroup(Seq("data" -> propsData, "data_linked" -> linked))
+    val partsData = w.writeGroup(Seq("pid" -> i64((0L until nChild).toSeq)))
+    val partsGrp = w.writeGroup(Seq("data" -> partsData))
+    val sim = w.writeGroup(Nil, Seq("box_size" -> 10.0))
+    val hdr = w.writeGroup(Seq("simulation" -> sim))
+    w.finish(w.writeGroup(Seq(
+      "halo_properties" -> propsGrp, "halo_particles" -> partsGrp, "header" -> hdr)))
+
+    // the no-driver-materialization guard: a narrow child window must
+    // yield a narrow slice (the overlapping ranges ± the tie run),
+    // with exactly the ranges a full-table scan would select
+    val (r0, r1) = (100L, 110L)
+    val slice = Hdf5Io.linkBoundsForWindow(
+      p, "halo_properties/data_linked", "halo_particles_x", nPar, r0, r1)
+    val expected = starts.indices.collect {
+      case i if sizes(i) > 0 && starts(i) < r1 && starts(i) + sizes(i) > r0 =>
+        (starts(i), sizes(i), i.toLong)
+    }
+    assert(slice.length < 20,
+      s"narrow window resolved ${slice.length} ranges — whole-table materialization?")
+    assert(expected.forall(slice.contains),
+      s"slice missed overlapping ranges: ${expected.diff(slice).mkString(",")}")
+    assert(slice.forall { case (s, z, _) => s < r1 + z && s + z > r0 - z },
+      "slice contains far-away ranges")
+
+    // end-to-end: every child row links to the parent whose range
+    // covers it (pid is the global child row by construction)
+    val coll = Hdf5Io.importStructure(spark, p, "halo_properties")
+    val links = coll.child("halo_particles")
+      .select(col("pid"), col(Hdf5Io.LinkCol)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(links.size == nChild)
+    starts.indices.foreach { i =>
+      (starts(i) until starts(i) + sizes(i)).foreach { c =>
+        assert(links(c) == i.toLong, s"child $c linked to ${links(c)}, want $i")
+      }
+    }
+  }
+
   test("load/if conditions gate which groups importAny loads") {
     // two datasets: `stars` always loads; `agn` carries a load/if group
     // requiring with_agn=true (reference iopen.py:638-657 — unsupplied

@@ -181,7 +181,7 @@ class SamplingSpec extends SparkSpec {
       math.round(math.log(u) / w * 1e9)
     }
     val twin = Sampling.weightedSampleMd5(base, "id", "w", k = 5)
-      .select("id", "__wk9").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .select("id", "key9").collect().map(r => (r.getLong(0), r.getLong(1)))
     val want = (0L until 200L).map(i => (i, key9(i, 10L)))
       .sortBy { case (i, k9) => (-k9, i) }.take(5)
     assert(twin.toSeq == want)

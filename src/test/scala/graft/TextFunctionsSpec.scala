@@ -8,6 +8,31 @@ class TextFunctionsSpec extends SparkSpec {
 
   private def one(text: String) = Seq(text).toDF("text")
 
+  test("codegen kernels reject wrong input types at ANALYSIS time") {
+    // a mistyped child must fail resolution with the expected-type
+    // message, not surface later as a ClassCastException or a
+    // generated-Java compile error mid-job
+    graft.plans.GraftExtensions.registerAll(spark)
+    val nums = Seq(1L).toDF("x")
+    def rejected(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[Exception](f.collect())
+      assert(e.getMessage.contains("expects") ||
+        e.getMessage.contains("DATATYPE_MISMATCH"), e.getMessage)
+    }
+    rejected(nums.select(call_function("graft_char_entropy", col("x"))))
+    rejected(nums.select(call_function("graft_deflate_len", col("x"), lit(6))))
+    rejected(nums.select(call_function("graft_normalize", col("x"))))
+    rejected(nums.select(call_function("graft_simhash64", col("x"))))
+    rejected(nums.select(call_function("graft_ngram_hashes", col("x"), lit(3))))
+    rejected(nums.select(call_function("graft_minhash_sig", col("x"), lit(4))))
+    // the valid shapes still resolve (no over-tight check)
+    val ok = Seq(("ab", Seq(1L, 2L))).toDF("t", "h")
+    assert(ok.select(
+      call_function("graft_char_entropy", col("t")),
+      call_function("graft_deflate_len", col("t"), lit(6)),
+      call_function("graft_simhash64", col("h"))).count() == 1)
+  }
+
   test("tokenCount counts whitespace tokens") {
     val n = one("a b c d").select(tokenCount(col("text"))).first().getLong(0)
     assert(n == 4L)
