@@ -347,28 +347,13 @@ object Hdf5Io {
         (r.groupLinks(li).map(_._1), r.groupLinks(root).map(_._1))
       } finally r.close()
     // 1→0/1 idx links (SPEC: `<id>_idx` gives the target row, −1 =
-    // none): invert the (driver-bounded) idx array into childRow →
-    // parentRow and assign the SAME link column as range links, so
-    // every child joins the parent the same way.
+    // none): assign the SAME link column as range links, so every
+    // child joins the parent the same way.
     val idxLinks = links.filter(_.endsWith("_idx")).map(_.stripSuffix("_idx"))
     val idxChildren = idxLinks.flatMap { id =>
       rootGroups.find(g => g != parentGroup && id.startsWith(g)).map { target =>
-        val idx = openDataFrame(spark, h5Path, s"$parentGroup/data_linked")
-          .select(s"${id}_idx").collect().map(_.getLong(0))
-        val inverse = new java.util.HashMap[Long, Long]()
-        idx.zipWithIndex.foreach { case (childRow, p) =>
-          if (childRow >= 0) inverse.put(childRow, p.toLong)
-        }
-        val b = spark.sparkContext.broadcast(inverse)
-        val childCols = columns(h5Path, s"$target/data")
-        val child = dfWithGlobalRow(spark, h5Path, s"$target/data", childCols).map {
-          case (df, rowCol) =>
-            val pUdf = udf { (row: Long) =>
-              Option(b.value.get(row)).map(_.longValue()) // unlinked → null
-            }
-            df.withColumn(LinkCol, pUdf(col(rowCol))).drop(rowCol)
-        }.get
-        target -> child
+        target -> idxLinkChild(spark, h5Path, s"$parentGroup/data_linked",
+          id, s"$target/data")
       }
     }.toMap
     val startLinks = links.filter(_.endsWith("_start")).map(_.stripSuffix("_start"))
@@ -531,6 +516,51 @@ object Hdf5Io {
     // global offsets)
     val (df, rowCol) = dfWithGlobalRow(spark, h5Path, s"$parentGroup/data", cols).get
     parent.copy(df = df.withColumnRenamed(rowCol, LinkCol))
+  }
+
+  /** Map-side idx-link inversion stays driver-bounded only below
+    * this parent count (a boxed Long→Long HashMap runs ~80 B/entry —
+    * 1M parents ≈ 80 MB, fine; 10⁸ would be multi-GB on the driver);
+    * past it the inversion becomes one distributed equality join on
+    * the synthesized child-row column.
+    */
+  private[graft] val IdxBroadcastMaxParents: Long = 1L << 20
+
+  /** Child frame of a 1→0/1 `<id>_idx` link, LinkCol assigned.
+    * Small link tables (≤ `cap` parents) invert driver-side into a
+    * broadcast map — the link materializes map-side, no shuffle.
+    * Larger tables invert DISTRIBUTED: the idx column gets its own
+    * global-row frame and the child left-joins on childRow — one
+    * shuffle keyed on the child row, no driver materialization.
+    */
+  private[graft] def idxLinkChild(spark: SparkSession, h5Path: String,
+      linkGroup: String, id: String, childGroup: String,
+      cap: Long = IdxBroadcastMaxParents): DataFrame = {
+    val childCols = columns(h5Path, childGroup)
+    val (childDf, rowCol) =
+      dfWithGlobalRow(spark, h5Path, childGroup, childCols).get
+    val idxMeta = columns(h5Path, linkGroup).filter(_.name == s"${id}_idx")
+    val nParents = idxMeta.headOption.map(_.rows).getOrElse(0L)
+    if (nParents <= cap) {
+      val idx = openDataFrame(spark, h5Path, linkGroup)
+        .select(s"${id}_idx").collect().map(_.getLong(0))
+      val inverse = new java.util.HashMap[Long, Long]()
+      idx.zipWithIndex.foreach { case (childRow, p) =>
+        if (childRow >= 0) inverse.put(childRow, p.toLong)
+      }
+      val b = spark.sparkContext.broadcast(inverse)
+      val pUdf = udf { (row: Long) =>
+        Option(b.value.get(row)).map(_.longValue()) // unlinked → null
+      }
+      childDf.withColumn(LinkCol, pUdf(col(rowCol))).drop(rowCol)
+    } else {
+      val (linkDf, lRow) = dfWithGlobalRow(spark, h5Path, linkGroup, idxMeta).get
+      val inv = linkDf
+        .select(col(s"${id}_idx").as("__child_row9"), col(lRow).as(LinkCol))
+        .filter(col("__child_row9") >= 0)
+      childDf.join(inv, childDf(rowCol) === inv("__child_row9"), "left")
+        .drop("__child_row9", rowCol)
+    }
   }
 
   /** Per-task slice of a start/size range-link table: binary-searches

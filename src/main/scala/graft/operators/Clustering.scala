@@ -174,6 +174,26 @@ object Clustering {
     val withSuper = q
       .withColumn("__super", cellOfQuantized(superCents)(col("__qv")))
       .localCheckpoint(true)
+    val children = childLloydMd5(withSuper, kChild, iters)
+    val assigned = assignChildren(withSuper, children)
+    val asg = assigned.select(col("__id"), col("__vec"),
+      (col("__super") * kChild + col("__child")).as("cluster"))
+    val out = Similarity.dominanceSurvivors(asg, threshold)
+      .select(col("__id").as(idCol), col("cluster"))
+      .localCheckpoint(true)
+    q.unpersist(); withSuper.unpersist(); children.unpersist()
+    out
+  }
+
+  /** The per-super child Lloyd shared by [[semanticDedupLargeMd5]]
+    * and [[compressedAnnTopKMd5]]: children seed from each super's
+    * kChild md5-smallest rows, then `iters` distributed
+    * (super, child, pos) partial-sum steps with empty children
+    * keeping their centroid. Returns the FINAL (super, child, ctr)
+    * frame (localCheckpointed — caller unpersists).
+    */
+  private def childLloydMd5(withSuper: DataFrame, kChild: Int,
+                            iters: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__super")).orderBy(md5(col("__id").cast("string")))
     var children = withSuper.withColumn("__rk", row_number().over(w))
@@ -181,15 +201,8 @@ object Clustering {
       .select(col("__super").as("super"), (col("__rk") - 1).as("child"),
         col("__qv").as("ctr"))
       .localCheckpoint(true)
-    def childMats = children.groupBy(col("super"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("child"), col("ctr")))),
-        x => x.getField("ctr")).as("mat"))
-    def assigned = withSuper
-      .join(broadcast(childMats), col("__super") === col("super"))
-      .withColumn("__child", cellOfMat(col("__qv"), col("mat")))
     for (_ <- 0 until iters) {
-      val sums = assigned
+      val sums = assignChildren(withSuper, children)
         .select(col("super"), col("__child").as("child"),
           posexplode(col("__qv")).as(Seq("pos", "v")))
         .groupBy(col("super"), col("child"), col("pos"))
@@ -206,10 +219,114 @@ object Clustering {
         .localCheckpoint(true)
       prev.unpersist()
     }
-    val asg = assigned.select(col("__id"), col("__vec"),
-      (col("__super") * kChild + col("__child")).as("cluster"))
-    val out = Similarity.dominanceSurvivors(asg, threshold)
-      .select(col("__id").as(idCol), col("cluster"))
+    children
+  }
+
+  /** Assign every `withSuper` row its child cell against the given
+    * children table (argmin over the super's child matrix, ties to
+    * the lowest child — [[cellOfMat]]'s fold). */
+  private def assignChildren(withSuper: DataFrame,
+                             children: DataFrame): DataFrame = {
+    val mats = children.groupBy(col("super"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("child"), col("ctr")))),
+        x => x.getField("ctr")).as("mat"))
+    withSuper
+      .join(broadcast(mats), col("__super") === col("super"))
+      .withColumn("__child", cellOfMat(col("__qv"), col("mat")))
+  }
+
+  /** DuckDB-replayable gate twin of the composed [[CompressedAnn]]
+    * recipe (q119): md5-int JL projection (q114's exact-integer
+    * family, dim → outDim longs) → symmetric int8 of the projected
+    * components (q107's codec — the projection is integral, so scale
+    * and codes are exact rational doubles) → two-level md5-Lloyd over
+    * the CODE space (outDim-dim ints in [-127,127]: every distance
+    * and dot product is a small exact integer in doubles) →
+    * super/child probe → approximate cosine over the codes → exact
+    * rerank over the ORIGINAL floats (q29's hash-matched formula).
+    * Every stage mirrors an already-oracled gate kernel and the q119
+    * oracle unrolls the whole chain in SQL. Production keeps
+    * [[CompressedAnn]] (priced rows-only as q119p); SimilaritySpec
+    * pins BOTH kernels' recall against brute force on the fixture.
+    */
+  def compressedAnnTopKMd5(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      outDim: Int = 16, dim: Int = 64, kSuper: Int = 4, kChild: Int = 4,
+      superIters: Int = 2, iters: Int = 2, nprobeSuper: Int = 3,
+      nprobeCells: Int = 8, topCandidates: Int = 64): DataFrame = {
+    import graft.functions.VectorFunctions
+    graft.plans.GraftExtensions.registerAll(corpus.sparkSession)
+    require(topCandidates >= k, s"topCandidates=$topCandidates < k=$k")
+    def codes(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val pj = VectorFunctions.randomProjectMd5Q(vec, outDim, dim)
+      val scale = VectorFunctions.int8Scale(pj)
+      transform(VectorFunctions.int8Quantize(pj, scale), c => c.cast("double"))
+    }
+    val q = corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
+        codes(col(vecCol)).as("__qv"))
+      .persist()
+    val superCents = lloydQuantized(q, kSuper, superIters)
+    val withSuper = q
+      .withColumn("__super", cellOfQuantized(superCents)(col("__qv")))
+      .localCheckpoint(true)
+    val children = childLloydMd5(withSuper, kChild, iters)
+    val cells = assignChildren(withSuper, children)
+      .select(col("__id").as("neighbor_id"), col("__vec").as("nvec"),
+        col("__qv").as("nqv"), col("super"), col("__child").as("child"))
+    // queries run the same projection+code chain (a query drawn from
+    // the corpus reproduces its corpus codes bit-for-bit)
+    val qq = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      codes(col(vecCol)).as("qqv"))
+    // super probe: nprobeSuper nearest super centroids (ties → lowest)
+    val sp = qq.withColumn("__d", quantizedDists(superCents)(col("qqv")))
+      .withColumn("probe", explode(slice(array_sort(
+        zip_with(col("__d"), sequence(lit(0), lit(kSuper - 1)),
+          (d, i) => struct(d.as("d"), i.as("super")))), 1, nprobeSuper)))
+      .select(col("query_id"), col("qvec"), col("qqv"),
+        col("probe.super").as("super"))
+    // child probe: nprobeCells nearest (super, child) cells among the
+    // selected supers — global rank per query, ties → lowest
+    // (super, child)
+    val dChild = aggregate(zip_with(col("qqv"), col("ctr"), (x, y) => {
+      val d = x - y
+      d * d
+    }), lit(0.0), (acc, x) => acc + x)
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__dc"), col("super"), col("child"))
+    val cp = sp.join(broadcast(children), Seq("super"))
+      .withColumn("__dc", dChild)
+      .withColumn("__rc", row_number().over(wCell))
+      .filter(col("__rc") <= nprobeCells)
+      .select(col("query_id"), col("qvec"), col("qqv"),
+        col("super"), col("child"))
+    // candidates in the probed cells, approximate cosine over the
+    // codes (exact-integer dot/norms; zero-norm codes pin to −2 so
+    // they rank last deterministically)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val wApprox = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__ac").desc, col("neighbor_id"))
+    val cands = cells.join(broadcast(cp), Seq("super", "child"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__qn", dot(col("qqv"), col("qqv")))
+      .withColumn("__nn", dot(col("nqv"), col("nqv")))
+      .withColumn("__ac",
+        when(col("__qn") === 0.0 || col("__nn") === 0.0, lit(-2.0))
+          .otherwise(dot(col("qqv"), col("nqv"))
+            / (sqrt(col("__qn")) * sqrt(col("__nn")))))
+      .withColumn("__ra", row_number().over(wApprox))
+      .filter(col("__ra") <= topCandidates)
+    // exact rerank on the original floats
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val out = cands
+      .withColumn("cos", call_function("graft_cosine", col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cosine"))
       .localCheckpoint(true)
     q.unpersist(); withSuper.unpersist(); children.unpersist()
     out

@@ -265,6 +265,19 @@ object TextVector {
         "vec_id", "embedding", 5)
     }),
 
+    // the composed compressed-ANN recipe's ORACLED gate twin:
+    // md5-int JL projection (q114's family) → int8 of the projected
+    // components (q107's codec) → two-level md5-Lloyd over the code
+    // space → super/child probe → code-cosine candidate ranking →
+    // exact rerank on the original floats. The oracle unrolls the
+    // whole chain in SQL; production (q119p) keeps CompressedAnn,
+    // and SimilaritySpec pins both kernels' recall vs brute force.
+    "q119_compressed_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Clustering.compressedAnnTopKMd5(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
     // exact embedding-cosine near-dup pairs (oracle baseline).
     "q36_cosine_neardup" -> ((s, dir) => {
       Similarity.cosineNearDupPairsExact(t(s, dir, "embeddings"),
@@ -674,6 +687,125 @@ object TextVector {
          WHERE vec_id NOT IN (SELECT vec_id FROM dropped)"""
   }
 
+  /** q119 oracle — replays [[graft.operators.Clustering.
+    * compressedAnnTopKMd5]] end to end: `pj` rebuilds the md5-int JL
+    * projection (q114's weight family, 64 → 8 exact-integer
+    * components), `s8`/`i8` replay the int8 codec on the projected
+    * integers (q107's construction), `sc0…sc2` train the kSuper=4
+    * super centroids with the md5-init Lloyd over the CODE space
+    * (8-dim ints — every sum exact), `sasg`/`ci0…ci2` the per-super
+    * kChild=4 child Lloyd (semanticDedupLargeSql's structure),
+    * `fa` the final (super, child) assignment, then the probe:
+    * `spb` top-2 supers per query, `cpb` top-4 (super, child) cells
+    * among them, `ac` code-space cosine (exact-integer dot/norms,
+    * zero-norm → −2), `topc` the 16-candidate pool, and the exact
+    * float rerank with q29's hash-matched cosine. Multiply-referenced
+    * CTEs are MATERIALIZED (the q109 DuckDB re-inlining lesson).
+    */
+  private[queries] def compressedAnnSql(k: Int): String = {
+    val outDim = 16; val kSuper = 4; val kChild = 4
+    val superIters = 2; val iters = 2
+    val nprobeSuper = 3; val nprobeCells = 8; val topCandidates = 64
+    def dd(q: String, qf: String, c: String, cf: String) =
+      s"list_sum(list_transform(range(1, ${outDim + 1}), i -> ($q.$qf[i] - $c.$cf[i]) * ($q.$qf[i] - $c.$cf[i])))"
+    val superSteps = (1 to superIters).map { it =>
+      s""",
+         sa$it AS MATERIALIZED (SELECT vec_id, qv, cell FROM (
+             SELECT q.vec_id, q.qv, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY ${dd("q", "qv", "c", "cv")}, c.cell) AS rn
+             FROM i8 q, sc${it - 1} c) WHERE rn = 1),
+         ss$it AS (SELECT cell, g.i AS pos, sum(qv[g.i]) AS s, count(*) AS n
+             FROM sa$it, UNNEST(generate_series(1, $outDim)) AS g(i) GROUP BY 1, 2),
+         sc$it AS MATERIALIZED (SELECT cell, list(s / n ORDER BY pos) AS cv
+             FROM ss$it GROUP BY cell
+             UNION ALL
+             SELECT c.cell, c.cv FROM sc${it - 1} c
+             WHERE NOT EXISTS (SELECT 1 FROM sa$it a WHERE a.cell = c.cell))"""
+    }.mkString
+    val childSteps = (1 to iters).map { it =>
+      s""",
+         ka$it AS MATERIALIZED (SELECT vec_id, super, qv, child FROM (
+             SELECT s.vec_id, s.super, s.qv, c.child,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY ${dd("s", "qv", "c", "cv")}, c.child) AS rn
+             FROM sasg s JOIN ci${it - 1} c ON s.super = c.super) WHERE rn = 1),
+         kp$it AS (SELECT super, child, g.i AS pos, sum(qv[g.i]) AS s, count(*) AS n
+             FROM ka$it, UNNEST(generate_series(1, $outDim)) AS g(i) GROUP BY 1, 2, 3),
+         ci$it AS MATERIALIZED (SELECT super, child, list(s / n ORDER BY pos) AS cv
+             FROM kp$it GROUP BY super, child
+             UNION ALL
+             SELECT c.super, c.child, c.cv FROM ci${it - 1} c
+             WHERE NOT EXISTS (SELECT 1 FROM ka$it a
+                               WHERE a.super = c.super AND a.child = c.child))"""
+    }.mkString
+    s"""WITH pj AS MATERIALIZED (SELECT vec_id, embedding,
+           list_transform(range(0, $outDim), p ->
+             list_sum(list_transform(range(1, 65), j ->
+               CAST(floor(CAST(embedding[j] AS DOUBLE) * 65536.0) AS BIGINT)
+               * (('0x' || substr(md5('plane' || CAST(p AS VARCHAR) || '|'
+                     || CAST(j - 1 AS VARCHAR)), 1, 8))::BIGINT - 2147483648)))) AS pjv
+         FROM embeddings),
+       s8 AS (SELECT vec_id, embedding, pjv,
+           list_max(list_transform(pjv, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+         FROM pj),
+       i8 AS MATERIALIZED (SELECT vec_id, embedding,
+           list_transform(pjv, x -> CASE WHEN scale = 0 THEN 0.0
+             ELSE greatest(-127.0, least(127.0,
+               floor(CAST(x AS DOUBLE) / scale + 0.5))) END) AS qv
+         FROM s8),
+       sc0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cell, qv AS cv FROM (
+           SELECT qv, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+           FROM i8) WHERE rn <= $kSuper)$superSteps,
+       sasg AS MATERIALIZED (SELECT vec_id, qv, super FROM (
+           SELECT q.vec_id, q.qv, c.cell AS super,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY ${dd("q", "qv", "c", "cv")}, c.cell) AS rn
+           FROM i8 q, sc$superIters c) WHERE rn = 1),
+       ci0 AS MATERIALIZED (SELECT super, CAST(rn - 1 AS INTEGER) AS child, qv AS cv FROM (
+           SELECT super, qv,
+             row_number() OVER (PARTITION BY super ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+           FROM sasg) WHERE rn <= $kChild)$childSteps,
+       fa AS MATERIALIZED (SELECT vec_id, super, child FROM (
+           SELECT s.vec_id, s.super, c.child,
+             row_number() OVER (PARTITION BY s.vec_id ORDER BY ${dd("s", "qv", "c", "cv")}, c.child) AS rn
+           FROM sasg s JOIN ci$iters c ON s.super = c.super) WHERE rn = 1),
+       qs AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qvec, qv AS qqv
+         FROM i8 WHERE vec_id < 10),
+       spb AS MATERIALIZED (SELECT query_id, super FROM (
+           SELECT q.query_id, c.cell AS super,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY ${dd("q", "qqv", "c", "cv")}, c.cell) AS rn
+           FROM qs q, sc$superIters c) WHERE rn <= $nprobeSuper),
+       cpb AS MATERIALIZED (SELECT query_id, super, child FROM (
+           SELECT s.query_id, c.super, c.child,
+             row_number() OVER (PARTITION BY s.query_id ORDER BY ${dd("q", "qqv", "c", "cv")}, c.super, c.child) AS rn
+           FROM spb s JOIN ci$iters c ON c.super = s.super
+           JOIN qs q ON q.query_id = s.query_id) WHERE rn <= $nprobeCells),
+       ac AS MATERIALIZED (SELECT query_id, neighbor_id,
+           CASE WHEN qn = 0 OR nn = 0 THEN -2.0
+                ELSE dq / (sqrt(qn) * sqrt(nn)) END AS acos
+         FROM (SELECT p.query_id, f.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, ${outDim + 1}), i -> q.qqv[i] * n.qv[i])) AS dq,
+             list_sum(list_transform(range(1, ${outDim + 1}), i -> q.qqv[i] * q.qqv[i])) AS qn,
+             list_sum(list_transform(range(1, ${outDim + 1}), i -> n.qv[i] * n.qv[i])) AS nn
+           FROM cpb p JOIN fa f ON f.super = p.super AND f.child = p.child
+           JOIN qs q ON q.query_id = p.query_id
+           JOIN i8 n ON n.vec_id = f.vec_id
+           WHERE f.vec_id <> p.query_id)),
+       topc AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, neighbor_id) AS rn
+           FROM ac) WHERE rn <= $topCandidates),
+       rr AS (SELECT t.query_id, t.neighbor_id,
+           list_dot_product(list_transform(q.qvec, x -> CAST(x AS DOUBLE)),
+                            list_transform(n.embedding, x -> CAST(x AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(n.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+         FROM topc t JOIN qs q ON q.query_id = t.query_id
+         JOIN embeddings n ON n.vec_id = t.neighbor_id)
+       SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+         SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         FROM rr) WHERE rank <= $k"""
+  }
+
   /** [[lloydSql]] generalized to a subspace: CTE names carry the
     * `tag` suffix, the quantized vector is embedding positions
     * off+1 … off+dim, and every distance/update fold runs over `dim`
@@ -790,6 +922,10 @@ object TextVector {
            FROM rer)
          WHERE rank <= 5"""
     },
+    // replays the composed compressed-ANN gate end to end (see
+    // compressedAnnSql's scaladoc for the stage map)
+    "q119_compressed_ann" -> compressedAnnSql(5),
+
     // replays the gate IVF end to end: the lloydSql quantized build
     // (16 cells, 2 rounds), corpus cell assignment and the 4-nearest-
     // cell probe in quantized space (ties to the lowest cell), then

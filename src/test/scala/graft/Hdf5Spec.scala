@@ -330,6 +330,16 @@ class Hdf5Spec extends SparkSpec {
     val withCentral = coll.filterByChild("halo_centrals", col("c_mass") > 10.0)
     assert(withCentral.properties.df.select("mass").collect()
       .map(_.getDouble(0)).toSet == Set(2e14))
+
+    // the DISTRIBUTED inversion path (cap = 0 forces the shuffle-join
+    // regime a >1M-parent file takes — no driver-side idx collect)
+    // must produce the identical link assignment
+    val distCent = Hdf5Io.idxLinkChild(spark, p,
+        "halo_properties/data_linked", "halo_centrals_xyz",
+        "halo_centrals/data", cap = 0L)
+      .select(Hdf5Io.LinkCol, "c_mass").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getDouble(1)).toMap
+    assert(distCent == cent)
   }
 
   test("structure collection round-trips through one multi-dataset file") {

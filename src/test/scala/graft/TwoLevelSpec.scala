@@ -111,6 +111,38 @@ class TwoLevelSpec extends SparkSpec {
     assert(recall >= 0.4, s"compressed pipeline recall $recall")
   }
 
+  test("q119 gate twin: oracled composition tracks the production recipe") {
+    // the md5 gate twin (q119's oracled kernel) must be a
+    // REPRESENTATIVE stand-in for CompressedAnn: same output shape,
+    // exact-rerank cosines identical to brute force, and recall in
+    // the production path's neighborhood (measured 0.44 vs 0.50 on
+    // this fixture; the gap is the md5-integer projection + the
+    // narrower probe, both deliberate replayability trades)
+    import graft.operators.Clustering
+    val e = Tables(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val out = Clustering.compressedAnnTopKMd5(e, q, "vec_id", "embedding", 5)
+      .collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.size == 10 && byQuery.values.forall(_.length == 5),
+      "every query must fill its top-5")
+    // rerank exactness: reported cosines == brute-force cosines
+    val bruteCos = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 499)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    out.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteCos.get(key).foreach(c =>
+        assert(math.abs(c - r.getDouble(3)) < 1e-9, s"cosine mismatch at $key"))
+    }
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val recall = brute.map { case (k, t) =>
+      (t & byQuery.getOrElse(k, Array.empty).map(_.getLong(1)).toSet).size.toDouble / t.size
+    }.sum / brute.size
+    assert(recall >= 0.35, s"gate twin recall $recall drifted from production's regime")
+  }
+
   test("semanticDedupLarge prunes planted duplicates like the flat kernel") {
     // identical embeddings share every kernel distance, so a planted
     // twin always lands in its original's cluster and the dominance
