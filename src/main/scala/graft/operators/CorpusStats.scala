@@ -443,30 +443,71 @@ object CorpusStats {
       idCol, "avg_logp", nBuckets)
 
   /** Exact equal-count rank buckets over `scoreCol` (descending, ties
-    * by `idCol`) WITHOUT a global window: per-document ranking runs
-    * in a window PARTITIONED by score value (fully parallel), and the
-    * cross-group offsets come from a cumulative count over the
-    * DISTINCT-score frame — whose size is bounded by the score's
-    * value granularity (avg_logp is rounded to 6 decimals over a
-    * ~[-20, 0] range), not by corpus size. `bucket = (rank-1)·nB DIV
-    * n` — integer arithmetic, so the same formula replays exactly in
-    * the oracle's `row_number()` form.
+    * by `idCol`) WITHOUT a global window anywhere: per-document
+    * ranking runs in a window PARTITIONED by score value (fully
+    * parallel), and the cross-score offsets come from a TWO-PHASE
+    * prefix sum over the distinct-score frame — equal-width
+    * order-preserving range slices of [min, max], per-slice totals
+    * (≤ `RankSlices` rows) prefix-summed on the driver, then a
+    * per-slice window adds the within-slice remainder. The round-12
+    * form ran the offsets through `Window.orderBy(score)` with no
+    * partition key: the frame is score-granularity-bounded, but at
+    * 6-decimal rounding over a web corpus that is still ~10⁷ rows
+    * through ONE task — this removes the last single-partition
+    * window in the engine. `bucket = (rank-1)·nB DIV n` — integer
+    * arithmetic, so the same formula replays exactly in the oracle's
+    * `row_number()` form (the oracle is unchanged: offsets are exact
+    * integer counts however they are summed).
     */
+  val RankSlices: Int = 1024
+
   def bucketByRank(df: DataFrame, idCol: String, scoreCol: String,
                    nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, s"nBuckets=$nBuckets must be >= 2")
     import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
     // the scored input is consumed three times (total count, offsets
     // agg, final join) — checkpoint it so an expensive upstream
     // (perplexityBuckets' LM scoring) prices once, not three times
     val cached = df.localCheckpoint(true)
     val total = cached.count()
+    if (total == 0) {
+      val empty = cached.withColumn("bucket", lit(0).cast("int"))
+        .select(col(idCol) +: df.columns.filterNot(_ == idCol).map(col)
+          :+ col("bucket"): _*)
+      cached.unpersist()
+      return empty
+    }
     val groups = cached.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
-    val wS = Window.orderBy(col(scoreCol).desc)
+      .localCheckpoint(true)
+    // phase 1: order-preserving range slices of the distinct scores
+    val rng = groups.agg(min(col(scoreCol).cast("double")),
+      max(col(scoreCol).cast("double"))).head()
+    val (lo, hi) = (rng.getDouble(0), rng.getDouble(1))
+    val width = (hi - lo) / RankSlices
+    val sliceOf =
+      if (width == 0.0) lit(0)
+      else least(lit(RankSlices - 1), greatest(lit(0),
+        floor((col(scoreCol).cast("double") - lit(lo)) / lit(width))
+          .cast("int")))
+    val gb = groups.withColumn("__slc", sliceOf)
+    val sliceTotals = gb.groupBy(col("__slc")).agg(sum(col("__c")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
+    // descending driver prefix: rows in strictly HIGHER slices (higher
+    // slice id = higher score = earlier rank)
+    val sliceOff = sliceTotals
+      .zip(sliceTotals.scanLeft(0L)(_ + _._2))
+      .map { case ((slc, _), off) => (slc, off) }
+    import spark.implicits._
+    val offs = sliceOff.toSeq.toDF("__slc", "__soff")
+    // phase 2: within-slice cumulative over the distinct scores, fully
+    // parallel across slices
+    val wSlice = Window.partitionBy(col("__slc")).orderBy(col(scoreCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = groups
-      .withColumn("__before", coalesce(sum(col("__c")).over(wS), lit(0L)))
-      .drop("__c")
+    val offsets = gb.join(broadcast(offs), Seq("__slc"))
+      .withColumn("__before",
+        coalesce(sum(col("__c")).over(wSlice), lit(0L)) + col("__soff"))
+      .select(col(scoreCol), col("__before"))
     val wG = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
     val out = cached.join(offsets, Seq(scoreCol))
       .withColumn("__rk0", col("__before") + row_number().over(wG) - 1)
@@ -476,7 +517,7 @@ object CorpusStats {
       .select(col(idCol) +: df.columns.filterNot(_ == idCol).map(col)
         :+ col("bucket"): _*)
       .localCheckpoint(true)
-    cached.unpersist()
+    cached.unpersist(); groups.unpersist()
     out
   }
 

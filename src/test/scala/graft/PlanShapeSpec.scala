@@ -24,6 +24,16 @@ class PlanShapeSpec extends SparkSpec {
       s"sampler collapsed to a single partition:\n$p")
   }
 
+  test("perplexity buckets never plan a single-partition window") {
+    // round-13 fix: the distinct-score offsets ran through a global
+    // Window.orderBy (one task holds every distinct score — ~10⁷ rows
+    // on a web corpus); the two-phase slice prefix sum must keep every
+    // window partitioned
+    val p = plan("q113_perplexity_buckets")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"rank offsets funneled through one partition:\n$p")
+  }
+
   test("naive bayes: partial+final aggs, window-group-limit winner, no single-partition funnel") {
     val p = plan("q126_naive_bayes")
     // token/model/doc counts all pre-combine map-side
