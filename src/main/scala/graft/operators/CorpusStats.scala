@@ -470,7 +470,11 @@ object CorpusStats {
     // agg, final join) — checkpoint it so an expensive upstream
     // (perplexityBuckets' LM scoring) prices once, not three times
     val cached = df.localCheckpoint(true)
-    val total = cached.count()
+    // one pass over the checkpoint serves total AND the slice range
+    val stats = cached.agg(count(lit(1)),
+      min(col(scoreCol).cast("double")),
+      max(col(scoreCol).cast("double"))).head()
+    val total = stats.getLong(0)
     if (total == 0) {
       val empty = cached.withColumn("bucket", lit(0).cast("int"))
         .select(col(idCol) +: df.columns.filterNot(_ == idCol).map(col)
@@ -478,12 +482,12 @@ object CorpusStats {
       cached.unpersist()
       return empty
     }
+    // phase 1: order-preserving range slices of the distinct scores.
+    // The distinct frame stays LAZY: both consumers below are plain
+    // hash-aggs over the checkpointed input, cheaper than forcing an
+    // extra materialization of the distinct frame itself
     val groups = cached.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true)
-    // phase 1: order-preserving range slices of the distinct scores
-    val rng = groups.agg(min(col(scoreCol).cast("double")),
-      max(col(scoreCol).cast("double"))).head()
-    val (lo, hi) = (rng.getDouble(0), rng.getDouble(1))
+    val (lo, hi) = (stats.getDouble(1), stats.getDouble(2))
     val width = (hi - lo) / RankSlices
     val sliceOf =
       if (width == 0.0) lit(0)
@@ -517,7 +521,7 @@ object CorpusStats {
       .select(col(idCol) +: df.columns.filterNot(_ == idCol).map(col)
         :+ col("bucket"): _*)
       .localCheckpoint(true)
-    cached.unpersist(); groups.unpersist()
+    cached.unpersist()
     out
   }
 
