@@ -874,18 +874,18 @@ object CorpusStats {
       .withColumn("__w2", split(col("__g"), " ").getItem(1))
       .persist()
     val nTypes = bgc.count().toDouble // |bigram types| (also caches dgc)
-    // ctx/cont are unigram-vocab-sized aggs of the persisted bgc;
-    // counting them is a cheap cached-table pass and size-gates the
-    // broadcast hints (web-scale vocabularies fall back to the
-    // token-keyed shuffle join)
+    // ctx/cont are unigram-vocab-sized aggs of the persisted bgc,
+    // each consumed exactly once — left lazy (one hash-agg over the
+    // cache apiece) and size-gated on nTypes, an upper bound on both
+    // row counts that is already known: no extra count jobs, and
+    // web-scale vocabularies still fall back to the token-keyed
+    // shuffle join
     val ctx = bgc.groupBy(col("__w1"))
       .agg(sum(col("__cb")).as("__ctx"), count(lit(1)).as("__fert"))
-      .persist()
     val cont = bgc.groupBy(col("__w2")).agg(count(lit(1)).as("__cont"))
-      .persist()
     val gramLp = bgc
-      .join(hintIfSmall(ctx, ctx.count()), Seq("__w1"))
-      .join(hintIfSmall(cont, cont.count()), Seq("__w2"))
+      .join(hintIfSmall(ctx, nTypes.toLong), Seq("__w1"))
+      .join(hintIfSmall(cont, nTypes.toLong), Seq("__w2"))
       .select(col("__g"),
         round(log(
           (greatest(col("__cb") - lit(discount), lit(0.0)) / col("__ctx")) +
@@ -899,7 +899,7 @@ object CorpusStats {
       .select(col(idCol), col("n_bigrams"),
         round(col("__s9") / lit(1e9) / col("n_bigrams"), 6).as("avg_logp"))
       .localCheckpoint(true)
-    dgc.unpersist(); bgc.unpersist(); ctx.unpersist(); cont.unpersist()
+    dgc.unpersist(); bgc.unpersist()
     out
   }
 
@@ -928,12 +928,11 @@ object CorpusStats {
       .persist()
     val nTypes = bgc.count().toDouble
     val contFloor = 1.0 / (nTypes + 1.0)
-    // same gated-hint shape as [[bigramKnScore]]
+    // same gated-hint shape as [[bigramKnScore]]: lazy single-use
+    // aggs of the persisted bgc, gated on the known nTypes bound
     val ctx = bgc.groupBy(col("__w1"))
       .agg(sum(col("__cb")).as("__ctx"), count(lit(1)).as("__fert"))
-      .persist()
     val cont = bgc.groupBy(col("__w2")).agg(count(lit(1)).as("__cont"))
-      .persist()
     val dgc = target
       .select(col(idCol),
         explode(TextFunctions.ngrams(
@@ -943,8 +942,8 @@ object CorpusStats {
       .withColumn("__w2", split(col("__g"), " ").getItem(1))
     val scored = dgc
       .join(bgc.select(col("__g"), col("__cb")), Seq("__g"), "left")
-      .join(hintIfSmall(ctx, ctx.count()), Seq("__w1"), "left")
-      .join(hintIfSmall(cont, cont.count()), Seq("__w2"), "left")
+      .join(hintIfSmall(ctx, nTypes.toLong), Seq("__w1"), "left")
+      .join(hintIfSmall(cont, nTypes.toLong), Seq("__w2"), "left")
       .withColumn("__pcont",
         coalesce(col("__cont") / lit(nTypes), lit(contFloor)))
       .withColumn("__p", when(col("__ctx").isNull, col("__pcont"))
@@ -959,7 +958,7 @@ object CorpusStats {
       .select(col(idCol), col("n_bigrams"),
         round(col("__s9") / lit(1e9) / col("n_bigrams"), 6).as("avg_logp"))
       .localCheckpoint(true)
-    bgc.unpersist(); ctx.unpersist(); cont.unpersist()
+    bgc.unpersist()
     out
   }
 
