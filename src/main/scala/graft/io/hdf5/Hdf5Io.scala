@@ -801,9 +801,9 @@ object Hdf5Io {
     * RECONSTRUCTED here from the equality link: children sort by the
     * link key (one cluster per parent), per-parent counts join against
     * the sorted parent, and starts are the running sum of sizes —
-    * computed over the collected (key, size) list, which is one row
-    * per parent and driver-bounded exactly like the rest of this
-    * single-writer export path.
+    * folded over a partition-at-a-time stream of the sorted
+    * one-row-per-parent frame, so the driver never materializes the
+    * whole link table even at 10⁸ parents.
     */
   def exportStructureHdf5(coll: graft.collections.StructureCollection,
                           path: String,
@@ -827,22 +827,34 @@ object Hdf5Io {
       val parentData = writeDataGroup(w, parentSorted, coll.properties.header,
         chunkRows, compress)
       val linkAddrs = coll.children.toSeq.map { case (name, child) =>
-        // per-parent sizes in parent (key-sorted) order, 0 for childless
+        // per-parent sizes in parent (key-sorted) order, 0 for
+        // childless. STREAMED to the writer partition-at-a-time
+        // (toLocalIterator over the sorted frame — partition order is
+        // global order after a range sort): the driver never holds
+        // more than one partition of the (one row per parent) frame,
+        // so a 10⁸-structure export stays flat-memory even though the
+        // file itself is written by one process. The running-prefix
+        // starts fold over the same stream.
+        import scala.jdk.CollectionConverters._
         val counts = child.groupBy(col(key)).agg(count(lit(1)).as("__n"))
-        val sizes = parentSorted.select(col(key))
+        val sizesDf = parentSorted.select(col(key))
           .join(counts, Seq(key), "left")
           .orderBy(col(key))
-          .select(coalesce(col("__n"), lit(0L)))
-          .collect().map(_.getLong(0))
-        val starts = sizes.scanLeft(0L)(_ + _).init
-        def i64(vals: Array[Long]) = w.writeDataset(Hdf5Writer.I64,
-          Seq(vals.length.toLong),
-          Iterator(vals.flatMap { v =>
-            val b = java.nio.ByteBuffer.allocate(8)
+          .select(coalesce(col("__n"), lit(0L)).as("__sz"))
+          .persist() // consumed twice: starts pass, then sizes pass
+        def szIter = sizesDf.toLocalIterator().asScala.map(_.getLong(0))
+        def i64(vals: Iterator[Long]) = w.writeDataset(Hdf5Writer.I64,
+          Seq(nRows),
+          vals.grouped(1 << 16).map { g =>
+            val b = java.nio.ByteBuffer.allocate(8 * g.length)
               .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            b.putLong(v); b.array()
-          }))
-        Seq(s"${name}_start" -> i64(starts), s"${name}_size" -> i64(sizes))
+            g.foreach(b.putLong); b.array()
+          })
+        var acc = 0L
+        val starts = i64(szIter.map { s => val st = acc; acc += s; st })
+        val sizes = i64(szIter)
+        sizesDf.unpersist()
+        Seq(s"${name}_start" -> starts, s"${name}_size" -> sizes)
       }
       val dataLinked = w.writeGroup(linkAddrs.flatten)
       val parentGrp = w.writeGroup(
