@@ -97,24 +97,30 @@ object Relational {
         .offset(100).limit(100)
     }),
 
-    // §2.3 idx link (1→0/1): properties→lookup join; dimension side
-    // broadcast (customer is tiny at every SF relative to orders).
+    // §2.3 idx link (1→0/1): properties→lookup join. The dimension
+    // side is NOT hint-forced: customer scales with the corpus
+    // (unlike nation/region), so the broadcast decision belongs to
+    // Catalyst's size estimate + AQE — auto-broadcast at every test
+    // SF, a plain shuffle join past the threshold instead of an OOM.
     "q8_join_lookup" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
-      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
         .filter(col("c_mktsegment") === "BUILDING")
         .select(col("o_orderkey"), col("o_totalprice"), col("c_name"))
     }),
 
     // §2.3 chained dimension joins (star-schema rollup): orders →
-    // customer → nation → region, all dims broadcast; one shuffle (agg).
+    // customer → nation → region; one shuffle (agg). nation/region
+    // are CONSTANT-size (25/5 rows) so their hints are always safe;
+    // customer scales with the corpus and is left to Catalyst's size
+    // estimate (auto-broadcast at test SF, shuffle join at web SF).
     "q9_join_star" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
       val r = t(s, dir, "region")
-      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))

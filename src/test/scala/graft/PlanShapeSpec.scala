@@ -34,6 +34,19 @@ class PlanShapeSpec extends SparkSpec {
       s"rank offsets funneled through one partition:\n$p")
   }
 
+  test("star join: Catalyst auto-broadcasts the unhinted corpus-scaled dimension") {
+    // round 13 dropped the FORCED broadcast hint on customer (it
+    // scales with the corpus, unlike the constant nation/region dims,
+    // so forcing the hint is an OOM at web SF). The optimizer must
+    // still pick broadcast joins for ALL THREE dims at test SF from
+    // its own size estimates — and no dim join may shuffle
+    val p = plan("q9_join_star")
+    val nBhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBhj >= 3, s"expected >=3 Catalyst-chosen broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a dimension join fell back to a shuffle at test SF:\n$p")
+  }
+
   test("naive bayes: partial+final aggs, window-group-limit winner, no single-partition funnel") {
     val p = plan("q126_naive_bayes")
     // token/model/doc counts all pre-combine map-side
