@@ -16,6 +16,24 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Load + spread an under-partitioned scan across the cluster. The
+    * gate-scale tables are ONE parquet split each, so every per-row-
+    * expensive map stage (md5 shingles, interpreted projection folds)
+    * otherwise runs on a single core — an artifact of the small test
+    * files, not of the operators: a production corpus arrives as
+    * thousands of splits and never takes this shuffle (the condition
+    * is partitions < cores). Used by the corpus/vector query packs,
+    * whose operators are content-keyed and partitioning-independent
+    * by contract; NOT used by the core/relational packs, where
+    * row-order operators (take-from-end) keep the scan's natural
+    * order.
+    */
+  def spread(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = apply(spark, dir, name)
+    val par = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** events.parquet has stored ts as TIMESTAMP(NANOS) (which Spark 4
     * maps to long under `nanosAsLong`, so we truncate to microseconds
     * ourselves) and as plain TIMESTAMP[us] (isAdjustedToUTC=false →

@@ -18,7 +18,8 @@ import graft.operators.{Bpe, CorpusStats, Sampling}
   */
 object Corpus {
 
-  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+  private def t(s: SparkSession, dir: String, n: String) =
+    Tables.spread(s, dir, n)
 
   /** Deterministic PII augmentation — same expression the oracle
     * replays in SQL: periodic doc_ids gain an email / URL / IPv4.

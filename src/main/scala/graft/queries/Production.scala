@@ -17,6 +17,8 @@ import org.apache.spark.sql.functions.{col, concat_ws, explode, lit, md5, round,
   */
 object Production {
 
+  // plain load (see TextVector): the xxhash64 production twins are
+  // cheap per row — they pay a spread's shuffle without its map win
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables(s, dir, name)
 

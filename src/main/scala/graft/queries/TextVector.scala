@@ -16,6 +16,12 @@ import graft.operators.{Clustering, Dedup, Multimodal, Similarity}
   */
 object TextVector {
 
+  // plain load, NOT Tables.spread: this pack's kernels either spread
+  // internally where the map stage dominates (compressed ANN) or are
+  // shuffle/broadcast-bound (semantic dedup, simhash banding), where
+  // an input repartition measurably LOSES (q101 family +0.3-1.5 s,
+  // q27 +0.8 s at sf0.1) — the Corpus pack's tokenize-heavy LM
+  // builders are where the spread wins
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
   /** IVF index for a data dir — the offline-build / online-probe split
