@@ -503,4 +503,34 @@ class CoreSpec extends SparkSpec {
     val got = legacy.select($"ts").head().getTimestamp(0)
     assert(got == t0, s"$got != $t0")
   }
+
+  test("Tables.spread: spreads a single-split scan, leaves a wide one alone") {
+    // a gate-scale table is ONE parquet split; the spread must lift it
+    // to the cluster's parallelism so per-row-expensive map stages
+    // don't serialize on one core
+    val docs = Tables.spread(spark, sf001, "documents")
+    assert(docs.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism,
+      s"single-split scan not spread: ${docs.rdd.getNumPartitions}")
+    // content unchanged by the shuffle
+    val plain = Tables(spark, sf001, "documents")
+    assert(docs.count() == plain.count())
+    assert(docs.agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("n_chars"))).head().getLong(0) ==
+      plain.agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("n_chars"))).head().getLong(0))
+    // an already-wide frame takes NO extra shuffle: spread is a no-op
+    // past the parallelism threshold (the production-corpus condition)
+    val wide = plain.repartition(spark.sparkContext.defaultParallelism * 2)
+    wide.write.mode("overwrite").parquet("/tmp/graft_spread_wide.parquet")
+    val reread = spark.read.parquet("/tmp/graft_spread_wide.parquet")
+    if (reread.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) {
+      val spreadWide = {
+        val df = reread
+        val par = spark.sparkContext.defaultParallelism
+        if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+      }
+      assert(spreadWide.queryExecution.logical eq reread.queryExecution.logical,
+        "spread must be an identity on a wide scan")
+    }
+  }
 }
