@@ -117,6 +117,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"gram window reintroduced — Zipf-hostile:\n$p")
   }
 
+  test("LM vocab broadcast hint is size-gated (the 100x-vocab OOM guard)") {
+    // The lmvocab ScaleProbe (SCALE.md round 13) proved both regimes at
+    // 1.3e7 synthetic types; this pins the MECHANISM in seconds. With
+    // the auto-broadcast threshold disabled, the only way a
+    // BroadcastHashJoin can appear in the static plan is the forced
+    // hint — so below the cap it must be there, and above the cap its
+    // presence would be exactly the web-scale driver-OOM bug.
+    import graft.operators.CorpusStats
+    val docs = Seq.tabulate(64)(i =>
+      (i.toLong, s"t${i % 13} t${i % 7} t${(i * 3) % 11} t$i")).toDF("doc_id", "text")
+    def planStr: String = CorpusStats.bigramLmScore(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val conf = spark.conf
+    val prevAuto = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(planStr.contains("BroadcastHashJoin"),
+        "below the cap the vocab join must keep the forced broadcast hint")
+      conf.set("spark.graft.lm.broadcastMaxTypes", "1")
+      val above = planStr
+      assert(!above.contains("BroadcastHashJoin"),
+        s"above the cap no LM join may force a broadcast:\n$above")
+    } finally {
+      prevAuto.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      conf.unset("spark.graft.lm.broadcastMaxTypes")
+    }
+  }
+
   test("bm25 broadcasts document frequencies and top-ks without a global sort") {
     val p = plan("q87_bm25")
     assert(p.contains("BroadcastHashJoin"),
