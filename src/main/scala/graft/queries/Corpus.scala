@@ -765,7 +765,7 @@ object Corpus {
              CASE WHEN len(w) <= 32 THEN 1
                   ELSE CAST(ceil((len(w) - 32) / 24.0) AS INT) + 1 END AS k
            FROM toks)
-         SELECT doc_id, i AS chunk_id,
+         SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
            md5(array_to_string(w[(i*24+1):(i*24+32)], ' ')) AS chunk_fp,
            CAST(len(w[(i*24+1):(i*24+32)]) AS BIGINT) AS n_tokens
          FROM nc, UNNEST(generate_series(0, k-1)) AS t(i)""",

@@ -1074,7 +1074,8 @@ object TextVector {
                    CASE WHEN b = 63 THEN -9223372036854775808 ELSE (1::BIGINT << CAST(b AS INTEGER)) END
                  ELSE 0 END) AS BIGINT) AS sg
                  FROM votes GROUP BY doc_id)
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, bit_count(xor(a.sg, b.sg)) AS hamming
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sg, b.sg)) AS INTEGER) AS hamming
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sg, b.sg)) <= 6""",
     // replays q26's md5 MinHash candidate pairs (same shared CTE
