@@ -28,9 +28,18 @@ object Tables {
     * row-order operators (take-from-end) keep the scan's natural
     * order.
     */
-  def spread(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = apply(spark, dir, name)
-    val par = spark.sparkContext.defaultParallelism
+  def spread(spark: SparkSession, dir: String, name: String): DataFrame =
+    spreadDf(apply(spark, dir, name))
+
+  /** The spread policy itself, on any frame: repartition to the
+    * cluster's parallelism ONLY when the current scan has fewer
+    * partitions (a production corpus of thousands of splits never
+    * takes the shuffle). The single definition is shared by [[spread]]
+    * and the operators that spread mid-pipeline (compressed-ANN code
+    * chain) so the condition cannot drift between copies.
+    */
+  def spreadDf(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
 

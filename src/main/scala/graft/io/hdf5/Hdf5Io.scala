@@ -546,7 +546,17 @@ object Hdf5Io {
         .select(s"${id}_idx").collect().map(_.getLong(0))
       val inverse = new java.util.HashMap[Long, Long]()
       idx.zipWithIndex.foreach { case (childRow, p) =>
-        if (childRow >= 0) inverse.put(childRow, p.toLong)
+        if (childRow >= 0) {
+          // 1→0/1 contract: a child row referenced by two parents is a
+          // layout violation — fail loudly (both regimes; the
+          // containsKey probe, not put's return, because Scala unboxes
+          // the returned java.lang.Long and null becomes 0L)
+          if (inverse.containsKey(childRow))
+            throw new IllegalStateException(
+              s"${id}_idx violates the 1->0/1 idx-link contract: child " +
+              s"row $childRow is referenced by more than one parent")
+          inverse.put(childRow, p.toLong)
+        }
       }
       val b = spark.sparkContext.broadcast(inverse)
       val pUdf = udf { (row: Long) =>
@@ -555,9 +565,24 @@ object Hdf5Io {
       childDf.withColumn(LinkCol, pUdf(col(rowCol))).drop(rowCol)
     } else {
       val (linkDf, lRow) = dfWithGlobalRow(spark, h5Path, linkGroup, idxMeta).get
+      // The pre-join aggregate keys the SAME shuffle the join needs
+      // (Catalyst reuses the hash partitioning), and carries the
+      // duplicate-target guard: the broadcast regime above fails
+      // loudly on a child row with two parents, so this regime must
+      // too — a plain join would silently fan the child row out. The
+      // guard rides the consumed LinkCol so column pruning cannot
+      // drop it.
       val inv = linkDf
         .select(col(s"${id}_idx").as("__child_row9"), col(lRow).as(LinkCol))
         .filter(col("__child_row9") >= 0)
+        .groupBy(col("__child_row9"))
+        .agg(count(lit(1)).as("__np9"), max(col(LinkCol)).as(LinkCol))
+        .select(col("__child_row9"),
+          when(col("__np9") > 1L, raise_error(concat(
+            lit(s"${id}_idx violates the 1->0/1 idx-link contract: " +
+              "child row "), col("__child_row9").cast("string"),
+            lit(" is referenced by more than one parent"))).cast("long"))
+            .otherwise(col(LinkCol)).as(LinkCol))
       childDf.join(inv, childDf(rowCol) === inv("__child_row9"), "left")
         .drop("__child_row9", rowCol)
     }
@@ -640,17 +665,26 @@ object Hdf5Io {
     * them to the preceding one would be silent corruption; they get a
     * null link instead.
     */
+  /** Even [r0, r1) read windows over `rows` at a ~256k-row budget per
+    * task — the ONE sizing definition both window-parallel readers
+    * below split with, so a budget change cannot leave the two paths
+    * splitting differently.
+    */
+  private def readWindows(rows: Long): Seq[(Long, Long)] = {
+    val per = 1L << 18
+    val nTasks = math.max(1L, math.min((rows + per - 1) / per, rows)).toInt
+    (0 until nTasks).map { i =>
+      (rows * i / nTasks, rows * (i + 1) / nTasks)
+    }.filter { case (a, b) => b > a }
+  }
+
   private def dfWithParentLink(spark: SparkSession, path: String, group: String,
       cols: Seq[ColMeta], linkGroup: String, id: String,
       nParents: Long): DataFrame = {
     val rows = cols.head.rows
     val schema = StructType(
       cols.map(c => StructField(c.name, c.sparkType)) :+ StructField(LinkCol, LongType))
-    val per = 1L << 18
-    val nTasks = math.max(1L, math.min((rows + per - 1) / per, rows)).toInt
-    val windows = (0 until nTasks).map { i =>
-      (rows * i / nTasks, rows * (i + 1) / nTasks)
-    }.filter { case (a, b) => b > a }
+    val windows = readWindows(rows)
     val names = cols.map(_.name)
     val rdd = spark.sparkContext.parallelize(windows, math.max(1, windows.size))
       .mapPartitions { it =>
@@ -683,11 +717,7 @@ object Hdf5Io {
     val rows = cols.head.rows
     val schema = StructType(
       cols.map(c => StructField(c.name, c.sparkType)) :+ StructField(RowCol, LongType))
-    val per = 1L << 18
-    val nTasks = math.max(1L, math.min((rows + per - 1) / per, rows)).toInt
-    val windows = (0 until nTasks).map { i =>
-      (rows * i / nTasks, rows * (i + 1) / nTasks)
-    }.filter { case (a, b) => b > a }
+    val windows = readWindows(rows)
     val names = cols.map(_.name)
     val rdd = spark.sparkContext.parallelize(windows, math.max(1, windows.size))
       .mapPartitions { it =>

@@ -267,16 +267,14 @@ object Clustering {
     // folds over 64-literal hyperplanes), and a gate-scale corpus
     // arrives as ONE parquet split — without a spread the whole
     // projection runs on one core (measured 8-10 s of the gate's cost
-    // at sf0.1). Spread ONLY when the scan has fewer partitions than
-    // the cluster (at real scale partitions ≫ cores, so the corpus
-    // never takes this shuffle). Safe under any partitioning: every
-    // aggregation downstream sums exact-integer doubles, so order
-    // cannot perturb a bit. localCheckpoint (not persist) then
-    // truncates the literal-heavy lineage out of the ~10 jobs below.
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (corpus.rdd.getNumPartitions < par) corpus.repartition(par)
-      else corpus
+    // at sf0.1). Tables.spreadDf repartitions ONLY when the scan has
+    // fewer partitions than the cluster (at real scale partitions ≫
+    // cores, so the corpus never takes this shuffle). Safe under any
+    // partitioning: every aggregation downstream sums exact-integer
+    // doubles, so order cannot perturb a bit. localCheckpoint (not
+    // persist) then truncates the literal-heavy lineage out of the
+    // ~10 jobs below.
+    val spread = graft.Tables.spreadDf(corpus)
     val q = spread.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
         codes(col(vecCol)).as("__qv"))
       .localCheckpoint(true)

@@ -419,8 +419,13 @@ object CorpusStats {
       .withColumn("__w1", split(col("__g"), " ").getItem(0))
       .join(hintIfSmall(uniDf, nUni), Seq("__w1"), "left")
       .withColumn("__cu", coalesce(col("__cu"), lit(0L)))
+      // vocab clamped to >=1: an EMPTY reference corpus has cu=0 and
+      // vocab=0 for every target bigram, and ANSI mode turns the
+      // resulting /0 into a runtime error — the empty-reference
+      // degenerate scores log(1) = 0 per position instead
       .withColumn("__logp",
-        log((col("__cb") + lit(1.0)) / (col("__cu") + lit(vocab))))
+        log((col("__cb") + lit(1.0)) /
+          (col("__cu") + lit(math.max(vocab, 1.0)))))
     scored.groupBy(col(idCol))
       .agg(sum(col("__n")).as("n_bigrams"),
         sum(col("__n") * round(col("__logp") * lit(1e9)).cast("long")).as("__s9"))
@@ -470,10 +475,13 @@ object CorpusStats {
     // agg, final join) — checkpoint it so an expensive upstream
     // (perplexityBuckets' LM scoring) prices once, not three times
     val cached = df.localCheckpoint(true)
-    // one pass over the checkpoint serves total AND the slice range
+    val sc = col(scoreCol).cast("double")
+    // one pass over the checkpoint serves total AND the FINITE slice
+    // range: NaN would poison max() (NaN compares above +Inf in
+    // Spark), and a null min/max just means no finite scores exist —
+    // both non-finite classes get their own rank slices below
     val stats = cached.agg(count(lit(1)),
-      min(col(scoreCol).cast("double")),
-      max(col(scoreCol).cast("double"))).head()
+      min(when(!isnan(sc), sc)), max(when(!isnan(sc), sc))).head()
     val total = stats.getLong(0)
     if (total == 0) {
       val empty = cached.withColumn("bucket", lit(0).cast("int"))
@@ -487,13 +495,24 @@ object CorpusStats {
     // hash-aggs over the checkpointed input, cheaper than forcing an
     // extra materialization of the distinct frame itself
     val groups = cached.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
-    val (lo, hi) = (stats.getDouble(1), stats.getDouble(2))
+    val lo = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
+    val hi = if (stats.isNullAt(2)) 0.0 else stats.getDouble(2)
     val width = (hi - lo) / RankSlices
-    val sliceOf =
+    // Rank classes mirror the pre-slice Window.orderBy(desc)
+    // semantics exactly: NaN sorts above every finite value (its own
+    // top slice), SQL nulls sort last (slice -1, matching desc's
+    // default NULLS LAST), finite values range-slice in between.
+    // Confining the non-finite classes to dedicated slices keeps the
+    // within-slice desc windows order-exact, and a non-castable or
+    // all-null score column degrades to one null slice instead of an
+    // NPE on the missing min/max.
+    val finiteSlice =
       if (width == 0.0) lit(0)
       else least(lit(RankSlices - 1), greatest(lit(0),
-        floor((col(scoreCol).cast("double") - lit(lo)) / lit(width))
-          .cast("int")))
+        floor((sc - lit(lo)) / lit(width)).cast("int")))
+    val sliceOf = when(sc.isNull, lit(-1))
+      .when(isnan(sc), lit(RankSlices))
+      .otherwise(finiteSlice)
     val gb = groups.withColumn("__slc", sliceOf)
     val sliceTotals = gb.groupBy(col("__slc")).agg(sum(col("__c")).as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
@@ -511,9 +530,12 @@ object CorpusStats {
     val offsets = gb.join(broadcast(offs), Seq("__slc"))
       .withColumn("__before",
         coalesce(sum(col("__c")).over(wSlice), lit(0L)) + col("__soff"))
-      .select(col(scoreCol), col("__before"))
+      .select(col(scoreCol).as("__sc_j"), col("__before"))
     val wG = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
-    val out = cached.join(offsets, Seq(scoreCol))
+    // null-safe equality: a plain equi-join would silently drop
+    // null-score rows (and grouping already put them in one group)
+    val out = cached.join(offsets, col(scoreCol) <=> col("__sc_j"))
+      .drop("__sc_j")
       .withColumn("__rk0", col("__before") + row_number().over(wG) - 1)
       .withColumn("bucket",
         expr(s"CAST((__rk0 * $nBuckets) DIV ${math.max(total, 1L)} AS INT)"))
@@ -620,7 +642,10 @@ object CorpusStats {
     val uniStats = uni.agg(count(lit(1)), sum(col("__cu"))).head()
     val nUni = uniStats.getLong(0)
     val vocab = nUni.toDouble
-    val total = uniStats.getLong(1).toDouble
+    // sum() over zero rows is SQL NULL: an empty / all-empty-text
+    // reference corpus must degrade to the pure-smoothing fallback,
+    // not NPE here
+    val total = if (uniStats.isNullAt(1)) 0.0 else uniStats.getLong(1).toDouble
     val uniDf = uni.select(col("__t").as("__u"), col("__cu"))
     def refGrams(n: Int, gCol: String, cCol: String) = refToks
       .select(explode(TextFunctions.ngrams(concat_ws(" ", col("__w")), n)).as(gCol))
@@ -653,8 +678,11 @@ object CorpusStats {
         .when(coalesce(col("__ctail"), lit(0L)) > 0L,
           lit(alpha) * col("__ctail").cast("double") / col("__cw2"))
         .otherwise(lit(alpha * alpha) *
+          // denominator clamped to >=1: an empty reference corpus has
+          // total=0 and vocab=0, and ANSI mode turns the /0 into a
+          // runtime error — the degenerate scores log(alpha^2) instead
           (coalesce(col("__cw3"), lit(0L)).cast("double") + 1.0)
-          / lit(total + vocab))))
+          / lit(math.max(total + vocab, 1.0)))))
     scored.groupBy(col(idCol))
       .agg(sum(col("__n")).as("n_trigrams"),
         sum(col("__n") * round(col("__logs") * lit(1e9)).cast("long")).as("__s9"))

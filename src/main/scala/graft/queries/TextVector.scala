@@ -702,9 +702,10 @@ object TextVector {
     * (8-dim ints — every sum exact), `sasg`/`ci0…ci2` the per-super
     * kChild=4 child Lloyd (semanticDedupLargeSql's structure),
     * `fa` the final (super, child) assignment, then the probe:
-    * `spb` top-2 supers per query, `cpb` top-4 (super, child) cells
-    * among them, `ac` code-space cosine (exact-integer dot/norms,
-    * zero-norm → −2), `topc` the 16-candidate pool, and the exact
+    * `spb` top-`nprobeSuper` supers per query, `cpb` top-`nprobeCells`
+    * (super, child) cells among them, `ac` code-space cosine
+    * (exact-integer dot/norms, zero-norm → −2), `topc` the
+    * `topCandidates`-wide candidate pool, and the exact
     * float rerank with q29's hash-matched cosine. Multiply-referenced
     * CTEs are MATERIALIZED (the q109 DuckDB re-inlining lesson).
     */

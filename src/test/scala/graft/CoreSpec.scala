@@ -518,19 +518,20 @@ class CoreSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("n_chars"))).head().getLong(0) ==
       plain.agg(org.apache.spark.sql.functions.sum(
         org.apache.spark.sql.functions.col("n_chars"))).head().getLong(0))
-    // an already-wide frame takes NO extra shuffle: spread is a no-op
-    // past the parallelism threshold (the production-corpus condition)
-    val wide = plain.repartition(spark.sparkContext.defaultParallelism * 2)
-    wide.write.mode("overwrite").parquet("/tmp/graft_spread_wide.parquet")
-    val reread = spark.read.parquet("/tmp/graft_spread_wide.parquet")
-    if (reread.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) {
-      val spreadWide = {
-        val df = reread
-        val par = spark.sparkContext.defaultParallelism
-        if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-      }
-      assert(spreadWide.queryExecution.logical eq reread.queryExecution.logical,
-        "spread must be an identity on a wide scan")
-    }
+    // an already-wide frame takes NO extra shuffle: spreadDf (the ONE
+    // shared policy definition — Tables.spread and the compressed-ANN
+    // code chain both call it) is an identity past the parallelism
+    // threshold (the production-corpus condition). In-memory
+    // repartition pins the partition count deterministically, so both
+    // branches of the policy are exercised on the REAL helper rather
+    // than a re-inlined copy.
+    val par = spark.sparkContext.defaultParallelism
+    val wide = plain.repartition(par * 2)
+    assert(Tables.spreadDf(wide).queryExecution.logical
+        eq wide.queryExecution.logical,
+      "spreadDf must be an identity on a wide frame")
+    val narrow = plain.coalesce(1)
+    assert(Tables.spreadDf(narrow).rdd.getNumPartitions >= par,
+      "spreadDf must lift a single-partition frame to the cluster width")
   }
 }

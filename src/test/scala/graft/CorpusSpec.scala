@@ -745,6 +745,39 @@ class CorpusSpec extends SparkSpec {
     assert(sizes == Map(0 -> 4, 1 -> 3, 2 -> 3))
   }
 
+  test("bucketByRank: NaN ranks first, nulls last, all-null survives (desc-window parity)") {
+    import spark.implicits._
+    // the range-slice rewrite must keep Window.orderBy(desc)'s edge
+    // semantics: NaN above every finite score, SQL nulls at the end,
+    // and a score column with NO finite values must not NPE on the
+    // missing min/max
+    val df = Seq[(Long, java.lang.Double)](
+      (0L, Double.NaN), (1L, 5.0), (2L, 4.0), (3L, 3.0),
+      (4L, null), (5L, null)).toDF("id", "score")
+    val out = CorpusStats.bucketByRank(df, "id", "score", 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // ranks: NaN(id0)=0, 5.0=1, 4.0=2, 3.0=3, nulls(id4,id5)=4,5
+    // buckets of 6 rows over 3: rk 0-1 → 0, 2-3 → 1, 4-5 → 2
+    assert(out == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2))
+    // all-null scores: rows kept, id-ordered buckets, no NPE
+    val nulls = Seq.tabulate[(Long, java.lang.Double)](6)(i => (i.toLong, null))
+      .toDF("id", "score")
+    val nOut = CorpusStats.bucketByRank(nulls, "id", "score", 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(nOut == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2))
+  }
+
+  test("stupidBackoffScoreAgainst: empty reference corpus degrades, never NPEs") {
+    import spark.implicits._
+    val target = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val emptyRef = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // sum() over the empty unigram table is SQL NULL — the scorer must
+    // fall back to pure smoothing (vocab=0, total=0), not throw
+    val out = CorpusStats.stupidBackoffScoreAgainst(
+      emptyRef, target, "doc_id", "text").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 2L) // 2 trigrams
+  }
+
   test("naiveBayes: separable vocab classifies correctly; unseen tokens use the floor") {
     import spark.implicits._
     val labeled = Seq(

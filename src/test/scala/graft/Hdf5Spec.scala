@@ -340,6 +340,45 @@ class Hdf5Spec extends SparkSpec {
       .select(Hdf5Io.LinkCol, "c_mass").collect()
       .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getDouble(1)).toMap
     assert(distCent == cent)
+
+    // a child row referenced by TWO parents violates the 1->0/1
+    // contract; BOTH inversion regimes must fail loudly (the broadcast
+    // map would silently keep one parent, the join would silently fan
+    // the child row out — either way a wrong dataset at scale)
+    val pd = tmp("idxlink_dup.hdf5")
+    val wd = new Hdf5Writer(pd)
+    def i64d(vals: Seq[Long]) =
+      wd.writeDataset(Hdf5Writer.I64, Seq(vals.size.toLong),
+        Iterator(vals.toArray.flatMap { d =>
+          val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.putLong(d); b.array()
+        }))
+    def f64d(vals: Seq[Double]) =
+      wd.writeDataset(Hdf5Writer.F64, Seq(vals.size.toLong),
+        Iterator(vals.toArray.flatMap { d =>
+          val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.putDouble(d); b.array()
+        }))
+    val dupLinked = wd.writeGroup(Seq("halo_centrals_xyz_idx" -> i64d(Seq(1L, 1L, 0L))))
+    val dupProps = wd.writeGroup(Seq(
+      "data" -> wd.writeGroup(Seq("mass" -> f64d(masses))),
+      "data_linked" -> dupLinked))
+    val dupCent = wd.writeGroup(Seq(
+      "data" -> wd.writeGroup(Seq("c_mass" -> f64d(centralMass)))))
+    wd.finish(wd.writeGroup(Seq(
+      "halo_properties" -> dupProps, "halo_centrals" -> dupCent)))
+    intercept[IllegalStateException] {
+      Hdf5Io.idxLinkChild(spark, pd, "halo_properties/data_linked",
+        "halo_centrals_xyz", "halo_centrals/data").collect()
+    }
+    val distEx = intercept[Exception] {
+      Hdf5Io.idxLinkChild(spark, pd, "halo_properties/data_linked",
+        "halo_centrals_xyz", "halo_centrals/data", cap = 0L).collect()
+    }
+    assert(distEx.getMessage != null &&
+      (distEx.getMessage.contains("1->0/1") ||
+        Option(distEx.getCause).exists(_.getMessage.contains("1->0/1"))),
+      s"expected the contract violation to surface: $distEx")
   }
 
   test("structure collection round-trips through one multi-dataset file") {
