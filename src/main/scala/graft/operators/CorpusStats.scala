@@ -420,9 +420,11 @@ object CorpusStats {
       .join(hintIfSmall(uniDf, nUni), Seq("__w1"), "left")
       .withColumn("__cu", coalesce(col("__cu"), lit(0L)))
       // vocab clamped to >=1: an EMPTY reference corpus has cu=0 and
-      // vocab=0 for every target bigram, and ANSI mode turns the
-      // resulting /0 into a runtime error — the empty-reference
-      // degenerate scores log(1) = 0 per position instead
+      // vocab=0 for every target bigram. The division is double-typed
+      // so 1/0.0 is IEEE +Infinity even under ANSI — the hazard is
+      // log(+Inf) = +Inf poisoning the per-doc sum through the
+      // round(·1e9).cast(long) below. The clamp makes the
+      // empty-reference degenerate score log(1) = 0 per position.
       .withColumn("__logp",
         log((col("__cb") + lit(1.0)) /
           (col("__cu") + lit(math.max(vocab, 1.0)))))
@@ -679,8 +681,11 @@ object CorpusStats {
           lit(alpha) * col("__ctail").cast("double") / col("__cw2"))
         .otherwise(lit(alpha * alpha) *
           // denominator clamped to >=1: an empty reference corpus has
-          // total=0 and vocab=0, and ANSI mode turns the /0 into a
-          // runtime error — the degenerate scores log(alpha^2) instead
+          // total=0 and vocab=0. The division is double-typed, so /0.0
+          // yields IEEE +Infinity even under ANSI — the hazard is
+          // log(+Inf) poisoning the per-doc sum through the later
+          // round(·1e9).cast(long); the clamp makes the degenerate
+          // score log(alpha^2) instead.
           (coalesce(col("__cw3"), lit(0L)).cast("double") + 1.0)
           / lit(math.max(total + vocab, 1.0)))))
     scored.groupBy(col(idCol))

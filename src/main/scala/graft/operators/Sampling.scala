@@ -129,10 +129,13 @@ object Sampling {
     * and is PART OF THE OUTPUT as `key9` (callers use it to merge or
     * re-rank samples; it is the operator's contract, not an internal).
     * Quantization boundary: for extremely small positive weights
-    * ln(u)/w·1e9 falls below Long range and the cast SATURATES at
-    * Long.MinValue — those rows keep their (correct) never-sampled
-    * destiny but lose relative order among themselves; ties then
-    * break by id.
+    * (w < ~1e-9·|ln u|) ln(u)/w·1e9 falls below Long range; the key is
+    * CLAMPED to Long.MinValue before the cast (an unclamped overflow
+    * is an ANSI-mode runtime error), and ties — clamped or genuine —
+    * break by weight DESCENDING then id, so saturated rows still
+    * order by the weight the exact key would have tracked rather
+    * than collapsing to id order. NaN weights are excluded with the
+    * non-positive ones.
     *
     * Scale shape: map-side key + TakeOrderedAndProject (per-partition
     * heaps, k rows to the driver) — no global sort, no shuffle of
@@ -157,10 +160,18 @@ object Sampling {
                                bucket: Column): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     val u = (bucket + lit(1.0)) / lit(4294967297.0) // (0,1), never 0 or 1
-    df.filter(col(weightCol) > 0)
+    // clamp BEFORE the long cast: for sub-1e-9 weights ln(u)/w·1e9
+    // falls below Long range and the overflowing cast is a runtime
+    // error under ANSI (engine-dependent saturation otherwise).
+    // Long.MinValue is exactly representable as a double, so the
+    // clamped cast is always legal; the weight-desc tie-break below
+    // keeps clamped rows in (approximate) A-ES order instead of
+    // collapsing them to id order.
+    val raw = log(u) / col(weightCol) * lit(1e9)
+    df.filter(col(weightCol) > 0 && !isnan(col(weightCol).cast("double")))
       .withColumn("key9",
-        round(log(u) / col(weightCol) * lit(1e9)).cast("long"))
-      .orderBy(col("key9").desc, col(idCol).asc)
+        round(greatest(raw, lit(Long.MinValue.toDouble))).cast("long"))
+      .orderBy(col("key9").desc, col(weightCol).desc, col(idCol).asc)
       .limit(k)
   }
 

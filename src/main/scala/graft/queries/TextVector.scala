@@ -423,7 +423,8 @@ object TextVector {
     // weighted sampling without replacement (Efraimidis–Spirakis
     // A-ES): rank by nano-quantized ln(u)/w with u from md5(id#seed),
     // w = n_chars — the quality-weighted corpus subsampler. Top-100
-    // keys, ties by id. Production twin q132p runs the xxhash64 key.
+    // keys, ties by weight desc then id. Production twin q132p runs
+    // the xxhash64 key.
     "q132_weighted_sample" -> ((s, dir) => {
       graft.operators.Sampling.weightedSampleMd5(t(s, dir, "documents"),
           "doc_id", "n_chars", k = 100)
@@ -1137,15 +1138,17 @@ object TextVector {
                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8))::BIGINT AS b
                FROM documents)""",
     // A-ES: u = (md5-prefix + 1)/2^32+1, key = round(ln(u)/w · 1e9),
-    // top-100 by (key desc, id)
+    // top-100 by (key desc, weight desc, id). The engine clamps the
+    // key at Long.MinValue for sub-1e-9 weights; n_chars >= 1 here so
+    // the clamp never fires and the oracle replays the key exactly.
     "q132_weighted_sample" ->
       """SELECT doc_id, key9 FROM (
-           SELECT doc_id,
+           SELECT doc_id, n_chars,
              CAST(round(ln(
                ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8))::BIGINT
                  + 1.0) / 4294967297.0)) / n_chars * 1e9) AS BIGINT) AS key9
            FROM documents WHERE n_chars > 0)
-         ORDER BY key9 DESC, doc_id LIMIT 100""",
+         ORDER BY key9 DESC, n_chars DESC, doc_id LIMIT 100""",
 
     // the salted two-phase windows are an execution detail — the
     // semantics is simply "5 smallest md5(id#seed) per source"

@@ -143,6 +143,10 @@ class PlanShapeSpec extends SparkSpec {
       prevAuto.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
         conf.set("spark.sql.autoBroadcastJoinThreshold", _))
       conf.unset("spark.graft.lm.broadcastMaxTypes")
+      // each bigramLmScore call persists its unigram/bigram tables for
+      // the session — drop them so cached RDDs don't pile up across
+      // the suite
+      spark.catalog.clearCache()
     }
   }
 

@@ -190,4 +190,24 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("weightedSample: sub-1e-9 weights clamp to Long.MinValue, order by weight") {
+    import spark.implicits._
+    // ln(u)/w·1e9 at w=1e-15 is ~1e24 in magnitude — far past Long
+    // range; an unclamped cast would be an ANSI runtime error
+    val tiny = Seq((1L, 1e-15), (2L, 3e-15), (3L, 2e-15), (4L, 10.0))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(tiny, "id", "w", k = 4)
+      .select("id", "key9").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the normal-weight row wins outright; the clamped rows all sit at
+    // the Long.MinValue floor and order by weight desc (3e-15 > 2e-15
+    // > 1e-15) — NOT by id
+    assert(got.map(_._1).toSeq == Seq(4L, 2L, 3L, 1L), got.toSeq.toString)
+    assert(got.drop(1).forall(_._2 == Long.MinValue), got.toSeq.toString)
+    // NaN weights are excluded like the non-positive ones
+    val withNaN = tiny.union(Seq((5L, Double.NaN)).toDF("id", "w"))
+    val ids = Sampling.weightedSample(withNaN, "id", "w", 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(5L) && ids.size == 4)
+  }
 }
