@@ -151,4 +151,45 @@ class ArrowExportSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("st"))
   }
+
+  test("shard I/O goes through the Hadoop FileSystem API (file: URI scheme)") {
+    // on a real cluster outDir is an HDFS/S3A URI; exercise the same
+    // code path through an explicit URI scheme (RawLocalFileSystem via
+    // Hadoop), including the task-side mkdirs of a directory that the
+    // driver never created under java.io semantics
+    val df = spark.range(40).select(col("id"),
+      concat(lit("d"), col("id")).as("s")).repartition(2)
+    val base = tmpDir("hfs")
+    val out = s"file:$base/nested/shards" // nested: tasks must mkdirs
+    val files = ArrowExport.writeArrowIpc(df, out)
+    assert(files.nonEmpty && files.forall(_.startsWith("file:")), files)
+    val back = ArrowExport.readArrowIpcDF(spark, out, df.schema)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // the export's returned paths resolve through the Hadoop FS too
+    val p = new org.apache.hadoop.fs.Path(files.head)
+    assert(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+  }
+
+  test("schema mismatch on import fails cleanly and leaks nothing") {
+    val df = spark.range(10).select(col("id")).coalesce(1)
+    val out = tmpDir("mismatch")
+    ArrowExport.writeArrowIpc(df, out)
+    val bad = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("missing_col",
+        org.apache.spark.sql.types.LongType)))
+    // the reader validates the shard schema after opening the stream
+    // (the schema travels in-stream); the failure must surface the
+    // missing column by name, not an Arrow allocator/closed-buffer
+    // error from a leaked resource
+    val e = intercept[org.apache.spark.SparkException] {
+      ArrowExport.readArrowIpcDF(spark, out, bad).collect()
+    }
+    val root = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).toSeq.last
+    assert(root.getMessage.contains("missing_col"), root.toString)
+    // the shard stays readable afterwards — nothing held it open
+    val ok = ArrowExport.readArrowIpcDF(spark, out, df.schema)
+    assert(ok.count() == 10)
+  }
 }
