@@ -20,11 +20,12 @@ object ScaleProbe {
     val streamMode = args.contains("streaming")
     val shardedMode = args.contains("sharded")
     val lmVocabMode = args.contains("lmvocab")
+    val rankHotMode = args.contains("rankhot")
     val posArgs = args.filterNot(a =>
       a == "twolevel" || a == "bpe" || a == "cann" || a == "streaming" ||
-      a == "sharded" || a == "lmvocab")
+      a == "sharded" || a == "lmvocab" || a == "rankhot")
     val special = tlMode || bpeMode || cannMode || streamMode ||
-      shardedMode || lmVocabMode
+      shardedMode || lmVocabMode || rankHotMode
     // twolevel/bpe/cann modes take no factor: the only positional arg is outDir
     val factor =
       if (special) 1 else posArgs.headOption.map(_.toInt).getOrElse(10)
@@ -46,6 +47,7 @@ object ScaleProbe {
     if (streamMode) { streamingProbe(spark, outDir); return }
     if (shardedMode) { shardedProbe(spark, outDir); return }
     if (lmVocabMode) { lmVocabProbe(spark, outDir); return }
+    if (rankHotMode) { rankHotProbe(spark, outDir); return }
 
     // rotate an array column by c positions MODULO its per-row length
     // — a plain `slice(arr, c+1, …)` is a silent NO-OP whenever c ≥
@@ -762,6 +764,43 @@ object ScaleProbe {
       CorpusStats.stupidBackoffScoreAgainst(ref, big, "doc_id", "text"))
     run("kn_score_ref exploded-vocab",
       CorpusStats.bigramKnScoreAgainst(ref, big, "doc_id", "text"))
+    spark.stop()
+  }
+
+  /** bucketByRank's degenerate-corpus bound: 10⁷ rows where ONE score
+    * value carries ~99.9% of them. Above the hot cap the within-score
+    * rank must run through per-(score, hash-slice) windows (~10⁴ rows
+    * per task) instead of a single 10⁷-row window task; the probe
+    * times both regimes on identical data and checks the bucket
+    * histogram stays exactly equal-count either way.
+    */
+  private def rankHotProbe(spark: SparkSession, outDir: String): Unit = {
+    import graft.operators.CorpusStats
+    val n = 10000000L
+    val nBuckets = 10
+    val path = s"$outDir/rankhot.parquet"
+    spark.range(n).select(col("id"),
+        // 99.9% of rows share one value; the rest sprinkle distinct
+        // scores so BOTH branches (cold + hot) are exercised
+        when(col("id") % 1000 === 0, col("id").cast("double") / lit(n.toDouble))
+          .otherwise(lit(0.5)).as("score"))
+      .write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+    println(s"rankhot probe: ${df.count()} rows, one score value on ~99.9%")
+    def run(name: String, cap: Long): Unit = {
+      spark.conf.set("spark.graft.rank.hotScoreRows", cap.toString)
+      try {
+        val t0 = System.nanoTime()
+        val hist = CorpusStats.bucketByRank(df, "id", "score", nBuckets)
+          .groupBy(col("bucket")).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val dt = (System.nanoTime() - t0) / 1e9
+        val equal = hist.size == nBuckets && hist.values.forall(_ == n / nBuckets)
+        println(f"$name%-30s t=$dt%7.2fs buckets=${hist.size}%2d exact_equal=$equal")
+      } finally spark.conf.unset("spark.graft.rank.hotScoreRows")
+    }
+    run("sub-sliced (default cap 2^20)", CorpusStats.HotScoreRows)
+    run("single-window (cap 2^24)", 1L << 24)
     spark.stop()
   }
 

@@ -465,8 +465,27 @@ object CorpusStats {
     * arithmetic, so the same formula replays exactly in the oracle's
     * `row_number()` form (the oracle is unchanged: offsets are exact
     * integer counts however they are summed).
+    *
+    * Within-score ranking is bounded too: a score VALUE whose row
+    * count exceeds `spark.graft.rank.hotScoreRows` (default
+    * [[HotScoreRows]] = 2^20 — a degenerate corpus where one value
+    * dominates, e.g. all-identical docs scored before dedup) would
+    * funnel through one task under `Window.partitionBy(score)`. Such
+    * hot values sub-slice on an order-preserving range of
+    * xxhash64(id) — per-(score, hash-slice) totals prefix-summed in a
+    * ≤[[RankSlices]]-row window per score, then a per-(score, slice)
+    * window ranks ~count/1024 rows per task. Hot values tie-break by
+    * (hash, id) instead of id — an arbitrary deterministic order is
+    * all equal-score ties carry semantically; sub-cap values keep the
+    * exact id order the oracle replays, and the detection is free (the
+    * max group size rides the slice-totals aggregate already taken).
     */
   val RankSlices: Int = 1024
+
+  /** Default within-score window bound; override per session via
+    * `spark.graft.rank.hotScoreRows` (tests set it low to force the
+    * sub-sliced path on small data). */
+  val HotScoreRows: Long = 1L << 20
 
   def bucketByRank(df: DataFrame, idCol: String, scoreCol: String,
                    nBuckets: Int): DataFrame = {
@@ -516,8 +535,12 @@ object CorpusStats {
       .when(isnan(sc), lit(RankSlices))
       .otherwise(finiteSlice)
     val gb = groups.withColumn("__slc", sliceOf)
-    val sliceTotals = gb.groupBy(col("__slc")).agg(sum(col("__c")).as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
+    // max group size rides the same collect — it decides (for free)
+    // whether any score value needs the sub-sliced within-score rank
+    val sliceRows = gb.groupBy(col("__slc"))
+      .agg(sum(col("__c")).as("__t"), max(col("__c")).as("__m")).collect()
+    val maxGroup = if (sliceRows.isEmpty) 0L else sliceRows.map(_.getLong(2)).max
+    val sliceTotals = sliceRows.map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
     // descending driver prefix: rows in strictly HIGHER slices (higher
     // slice id = higher score = earlier rank)
     val sliceOff = sliceTotals
@@ -532,16 +555,56 @@ object CorpusStats {
     val offsets = gb.join(broadcast(offs), Seq("__slc"))
       .withColumn("__before",
         coalesce(sum(col("__c")).over(wSlice), lit(0L)) + col("__soff"))
-      .select(col(scoreCol).as("__sc_j"), col("__before"))
-    val wG = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
+      .select(col(scoreCol).as("__sc_j"), col("__before"), col("__c").as("__gc"))
+    val hotCap = spark.conf
+      .get("spark.graft.rank.hotScoreRows", HotScoreRows.toString).toLong
     // null-safe equality: a plain equi-join would silently drop
     // null-score rows (and grouping already put them in one group)
-    val out = cached.join(offsets, col(scoreCol) <=> col("__sc_j"))
+    val joined = cached.join(offsets, col(scoreCol) <=> col("__sc_j"))
       .drop("__sc_j")
-      .withColumn("__rk0", col("__before") + row_number().over(wG) - 1)
+    val ranked =
+      if (maxGroup <= hotCap) {
+        // every score value fits one window task: exact id-order ties,
+        // the plan the oracle replays — and the ONLY plan small/normal
+        // inputs ever take (no hot machinery is planned at all)
+        val wG = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
+        joined.withColumn("__rn", row_number().over(wG).cast("long"))
+      } else {
+        // sub-slice HOT values on an order-preserving range of
+        // xxhash64(id): signed >> 54 keeps hash order, so slice-major
+        // (hash, id) order is a deterministic total order per score
+        val hkey = xxhash64(col(idCol).cast("string"))
+        val tagged = joined.withColumn("__hk", hkey)
+          .withColumn("__hslc", (shiftright(col("__hk"), 54) + lit(512L)).cast("int"))
+        val wCold = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
+        val coldR = tagged.filter(col("__gc") <= hotCap)
+          .withColumn("__rn", row_number().over(wCold).cast("long"))
+        val hot = tagged.filter(col("__gc") > hotCap)
+        // per-(score, slice) totals; the cross-slice prefix runs in a
+        // window of ≤ RankSlices rows PER SCORE — never a hot task
+        val wHot = Window.partitionBy(col(scoreCol)).orderBy(col("__hslc"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val hoff = hot.groupBy(col(scoreCol), col("__hslc"))
+          .agg(count(lit(1)).as("__hc"))
+          .withColumn("__hoff", coalesce(sum(col("__hc")).over(wHot), lit(0L)))
+          .select(col(scoreCol).as("__hs_j"), col("__hslc").as("__hslc_j"),
+            col("__hoff"))
+        // the (score, slice) join key co-partitions with the ranking
+        // window below — one shuffle serves both
+        val wIn = Window.partitionBy(col(scoreCol), col("__hslc"))
+          .orderBy(col("__hk"), col(idCol))
+        val hotR = hot.join(hoff,
+            col(scoreCol) <=> col("__hs_j") && col("__hslc") === col("__hslc_j"))
+          .drop("__hs_j", "__hslc_j")
+          .withColumn("__rn", col("__hoff") + row_number().over(wIn))
+          .drop("__hoff")
+        coldR.unionByName(hotR).drop("__hk", "__hslc")
+      }
+    val out = ranked
+      .withColumn("__rk0", col("__before") + col("__rn") - 1)
       .withColumn("bucket",
         expr(s"CAST((__rk0 * $nBuckets) DIV ${math.max(total, 1L)} AS INT)"))
-      .drop("__before", "__rk0")
+      .drop("__before", "__gc", "__rn", "__rk0")
       .select(col(idCol) +: df.columns.filterNot(_ == idCol).map(col)
         :+ col("bucket"): _*)
       .localCheckpoint(true)

@@ -767,6 +767,42 @@ class CorpusSpec extends SparkSpec {
     assert(nOut == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2))
   }
 
+  test("bucketByRank: hot score values take the sub-sliced rank path, still exact") {
+    import spark.implicits._
+    // one score value dominates (60 of 90 rows) — above the lowered
+    // cap it must rank through per-(score, hash-slice) windows, not
+    // one single-task window over the whole value
+    val df = (0L until 90L).map(i =>
+      (i, if (i < 60) 5.0 else (i % 5).toDouble)).toDF("id", "score")
+    val conf = spark.conf
+    conf.set("spark.graft.rank.hotScoreRows", "16")
+    try {
+      val out = CorpusStats.bucketByRank(df, "id", "score", 3)
+      // no window partitioned on the bare score survives in the plan
+      // for the hot value's rows (the hot branch keys on (score, slice))
+      val got = out.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      // buckets stay EXACT equal-count regardless of tie order
+      assert(got.groupBy(_._3).view.mapValues(_.length).toMap ==
+        Map(0 -> 30, 1 -> 30, 2 -> 30))
+      // cross-score order is still exact: score 5.0 (hot, ranks 0..59)
+      // fills buckets 0 and 1 entirely; every other score is bucket 2
+      got.foreach { case (id, s, b) =>
+        if (s == 5.0) assert(b <= 1, s"id=$id") else assert(b == 2, s"id=$id")
+      }
+      // deterministic across physical layout (hash order, not
+      // partition order)
+      val again = CorpusStats.bucketByRank(df.repartition(13), "id", "score", 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+      assert(again == got.toSet)
+      // sub-cap values in the same frame keep exact id-order ties:
+      // with cap >= 60 the id-ordered oracle assignment returns
+      conf.set("spark.graft.rank.hotScoreRows", "60")
+      val exact = CorpusStats.bucketByRank(df, "id", "score", 3).collect()
+        .map(r => (r.getLong(0), r.getInt(2))).toMap
+      (0L until 60L).foreach(i => assert(exact(i) == (i * 3 / 90).toInt))
+    } finally conf.unset("spark.graft.rank.hotScoreRows")
+  }
+
   test("stupidBackoffScoreAgainst: empty reference corpus degrades, never NPEs") {
     import spark.implicits._
     val target = Seq((1L, "a b c d")).toDF("doc_id", "text")
