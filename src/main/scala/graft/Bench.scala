@@ -22,6 +22,69 @@ object Bench {
     head + kept.mkString("{", ",", "}") + truncField + tail
   }
 
+  /** One per-query JSON entry. `ctl` (suspect entries only) is the
+    * churn canary: the fixed control query's contemporaneous time over
+    * its own floor — a suspect whose control is equally inflated is
+    * machine churn, self-evidently, and stops costing a judge
+    * adjudication cycle. Extracted so DriverContractSpec pins the
+    * serialization the driver parses.
+    */
+  private[graft] def entry(k: String, v: Double, n: Int, st: Int,
+                           susp: Boolean, ctl: Option[Double] = None): String = {
+    val flags = (if (st == 2) ",\"failed\":true" else "") +
+      (if (st == 1) ",\"flaky\":true" else "") +
+      (if (susp) ",\"suspect\":true" else "") +
+      ctl.fold("")(c => ",\"ctl\":" + "%.2f".formatLocal(java.util.Locale.ROOT, c))
+    if (n == 1 && flags.isEmpty) "\"" + k + "\":" + r3(v)
+    else if (n == 1) "\"" + k + "\":{\"t\":" + r3(v) + flags + "}"
+    else "\"" + k + "\":{\"t\":" + r3(v) + ",\"runs\":" + n + flags + "}"
+  }
+
+  /** bench_prev entry: (min, history). `min` is the best-ever time
+    * (the trajectory number); `history` is the last ≤[[HistLen]]
+    * full-run reported values, whose MEDIAN is the phantom/suspect
+    * floor. Min-merge alone made the floor a best-ever value, so the
+    * 2.5× suspect threshold tightened every round and manufactured
+    * churn adjudications (round 13 shipped six); the median floor
+    * tracks what the query honestly costs on this rig.
+    * Reads all three historical shapes: bare number, {"t":x},
+    * {"t":x,"h":[..]}.
+    */
+  private[graft] def parsePrev(txt: String): Map[String, (Double, Seq[Double])] = {
+    import scala.jdk.CollectionConverters._
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    node.fieldNames().asScala.map { k =>
+      val v = node.get(k)
+      if (v.isNumber) k -> (v.asDouble, Seq.empty[Double])
+      else {
+        val h = Option(v.get("h"))
+          .map(_.elements().asScala.map(_.asDouble).toSeq)
+          .getOrElse(Seq.empty)
+        k -> (v.get("t").asDouble, h)
+      }
+    }.toMap
+  }
+
+  private[graft] def renderPrev(m: Map[String, (Double, Seq[Double])]): String =
+    m.toSeq.sortBy(_._1).map { case (k, (t, h)) =>
+      "\"" + k + "\":{\"t\":" + r3(t) +
+        ",\"h\":[" + h.map(r3).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
+
+  /** The phantom/suspect floor: median of the run history, falling
+    * back to the best-ever min for entries that predate histories. */
+  private[graft] def floorOf(prev: Map[String, (Double, Seq[Double])],
+                             name: String): Option[Double] =
+    prev.get(name).map { case (t, h) =>
+      if (h.nonEmpty) { val s = h.sorted; s(s.length / 2) } else t
+    }
+
+  private[graft] val HistLen = 5
+
+  /** The churn canary query: fast, stable, plan-trivial (a projection
+    * scan) — its inflation measures the MACHINE, not the engine. */
+  private[graft] val CtlQuery = "q50_wildcard_select"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -62,27 +125,27 @@ object Bench {
     // driver-tail JVM churn still reached the artifact as a fake
     // regression (seven such in one round, all vanishing under a
     // controlled rerun). bench_prev.json (committed; overridable via
-    // SPARK_GRAFT_BENCH_PREV) carries each query's best known time —
-    // a fast query whose single shot lands >2.5× above it is re-timed
-    // and reports the median like the slow tail does. The file is
-    // rewritten after every FULL run with min(prev, measured), so the
-    // reference tracks the true floor: a genuine slowdown stays
-    // re-timed (a few cheap extra runs) and reports its honest median.
+    // SPARK_GRAFT_BENCH_PREV) carries each query's best-ever time AND
+    // a run HISTORY whose median is the comparison floor — a fast
+    // query whose single shot lands >2.5× above its median floor is
+    // re-timed and reports the median like the slow tail does. The
+    // file is rewritten after every FULL run (min-merge for the
+    // trajectory "t", append for "h"), so a genuine slowdown stays
+    // re-timed (a few cheap extra runs) and ships its honest median.
     // per-SF reference: a full sf0.01 dev run must not overwrite the
     // sf0.1 floors the driver-round phantom check compares against
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
       s"bench_prev_${new java.io.File(sfDir).getName}.json")
-    val prevRef: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(prevPath)), java.nio.charset.StandardCharsets.UTF_8)
-      """"([^"]+)":(?:\{"t":)?([0-9]+\.[0-9]+)""".r
-        .findAllMatchIn(txt).map(g => g.group(1) -> g.group(2).toDouble).toMap
+    val prevRef: Map[String, (Double, Seq[Double])] = try {
+      parsePrev(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(prevPath)), java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => Map.empty }
+    def floor(name: String): Option[Double] = floorOf(prevRef, name)
     val PhantomRatio = 2.5
     val PhantomAbsFloorSec = 0.15 // below this, "5x" is scheduler jitter
     def phantom(name: String, t: Double): Boolean =
       t < RepeatFloorSec && t > PhantomAbsFloorSec &&
-        prevRef.get(name).exists(p => t > PhantomRatio * p)
+        floor(name).exists(p => t > PhantomRatio * p)
     // optional dev filter: `Bench q97 q90` times only matching
     // prefixes (driver passes no args → full suite, unchanged)
     val only = args.toSeq.zipWithIndex
@@ -112,6 +175,15 @@ object Bench {
       spark.catalog.clearCache()
       (dt, ok)
     }
+    // Churn canary (run adjacent to a surviving suspect): the control
+    // query's time over ITS median floor. An inflated control means
+    // the MACHINE is churning right now — the suspect is a phantom.
+    val ctlFn = benchQueries.collectFirst { case (CtlQuery, fn) => fn }
+    def ctlRatio(): Option[Double] = for {
+      fn <- ctlFn
+      f <- floor(CtlQuery) if f >= 0.001
+      t = timeOnce(CtlQuery, fn) if t._2
+    } yield t._1 / f
     // pass 1: everything once; pass 2: re-time the slow tail so the
     // reported number is a median, not one noisy sample.
     // status: 0 = ok; 1 = FLAKY (some repeats threw — t is the median
@@ -120,13 +192,14 @@ object Bench {
     // Slow-tier phantom guard: full-suite churn can inflate even a
     // median-of-3 (r9: five ≥1.5 s queries reported 2.3–13× their
     // controlled-rerun times). A slow query whose median lands
-    // > PhantomRatio × its bench_prev floor gets two extra ISOLATED
+    // > PhantomRatio × its median floor gets two extra ISOLATED
     // re-times (GC + settle pause first); if the merged median still
-    // exceeds the ratio it ships flagged "suspect":true so judge
-    // cycles stop going to churn adjudication.
+    // exceeds the ratio it ships flagged "suspect":true WITH the
+    // churn-canary ratio, so judge cycles stop going to churn
+    // adjudication.
     val firstPass = selected.map { case (name, fn) => (name, fn, timeOnce(name, fn)) }
-    val results: Seq[(String, Double, Int, Int, Boolean)] = firstPass.map {
-      case (name, fn, (t1, ok1)) =>
+    val results: Seq[(String, Double, Int, Int, Boolean, Option[Double])] =
+      firstPass.map { case (name, fn, (t1, ok1)) =>
         // phantoms get extra repeats: sub-floor runs are cheap, and a
         // 5-sample median puts the one inflated shot above the middle
         val isPhantom = ok1 && repeats > 1 && phantom(name, t1)
@@ -139,18 +212,20 @@ object Bench {
           var times = (t1 +: rest.collect { case (t, true) => t }).sorted
           var flaky = !rest.forall(_._2)
           def median = times(times.length / 2)
-          def overFloor = prevRef.get(name)
+          def overFloor = floor(name)
             .exists(p => p >= PhantomAbsFloorSec && median > PhantomRatio * p)
           var suspect = false
+          var ctl: Option[Double] = None
           if (t1 >= RepeatFloorSec && overFloor) {
             System.gc(); Thread.sleep(250)
             val extra = (1 to 2).map(_ => timeOnce(name, fn))
             times = (times ++ extra.collect { case (t, true) => t }).sorted
             flaky ||= !extra.forall(_._2)
             suspect = overFloor // still over after isolated re-times
+            if (suspect && name != CtlQuery) ctl = ctlRatio()
           }
-          (name, median, times.length, if (flaky) 1 else 0, suspect)
-        } else (name, t1, 1, if (ok1) 0 else 2, false)
+          (name, median, times.length, if (flaky) 1 else 0, suspect, ctl)
+        } else (name, t1, 1, if (ok1) 0 else 2, false, None)
     }
     // The FULL per-query map goes to bench_out.json (and to stdout as
     // a non-final line for dev eyes). The LAST stdout line — the only
@@ -165,18 +240,12 @@ object Bench {
     // Repeated queries serialize as {"t":median,"runs":N}; a query
     // that threw carries {"t":…,"failed":true} (t = time-to-failure),
     // a flaky one {"t":…,"runs":N,"flaky":true} (t = median of the N
-    // successes), a churn-suspect one …,"suspect":true, and failures
-    // also surface on the headline as "failed_queries" — a broken
-    // query can never read as a fast run at either level.
-    def entry(k: String, v: Double, n: Int, st: Int, susp: Boolean): String = {
-      val flags = (if (st == 2) ",\"failed\":true" else "") +
-        (if (st == 1) ",\"flaky\":true" else "") +
-        (if (susp) ",\"suspect\":true" else "")
-      if (n == 1 && flags.isEmpty) "\"" + k + "\":" + r3(v)
-      else if (n == 1) "\"" + k + "\":{\"t\":" + r3(v) + flags + "}"
-      else "\"" + k + "\":{\"t\":" + r3(v) + ",\"runs\":" + n + flags + "}"
-    }
-    val qs = results.map { case (k, v, n, st, susp) => entry(k, v, n, st, susp) }
+    // successes), a churn-suspect one …,"suspect":true,"ctl":R (R =
+    // the control query's contemporaneous time over its floor — an
+    // equally-inflated control marks the suspect as machine churn),
+    // and failures also surface on the headline as "failed_queries" —
+    // a broken query can never read as a fast run at either level.
+    val qs = results.map { case (k, v, n, st, susp, ctl) => entry(k, v, n, st, susp, ctl) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nFailed = results.count(_._4 == 2)
@@ -189,26 +258,24 @@ object Bench {
       System.err.println(s"[bench] bench_out.json write failed: $e") }
     println(fullLine) // dev-visible; NOT the line the driver parses
     val flagged = results.filter(r => r._4 != 0 || r._5)
-      .map { case (k, v, n, st, susp) => entry(k, v, n, st, susp) }
+      .map { case (k, v, n, st, susp, ctl) => entry(k, v, n, st, susp, ctl) }
     println(compactHeadline(total, sfDir, failedField, results.length, flagged))
     // refresh the phantom reference after a FULL successful pass:
-    // min(prev, measured) per query, so the file converges on each
-    // query's true floor rather than inheriting one noisy round
+    // "t" = min(prev, measured) per query (the trajectory floor),
+    // "h" = the last HistLen reported values (the median floor)
     if (only.isEmpty) {
       // seeded from prevRef: a query that FAILED this round keeps its
       // known floor (dropping it would permanently disable phantom
       // detection for that query — the next round's spike would reach
       // the artifact unguarded, the exact hole this file closes)
-      val merged = (prevRef ++ results.filter(_._4 != 2).map {
-        case (k, v, _, _, _) =>
-          k -> math.min(v, prevRef.getOrElse(k, Double.MaxValue))
-      }).toSeq
-      val prevLine = merged.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + r3(v) }
-        .mkString("{", ",", "}")
+      val merged = prevRef ++ results.filter(_._4 != 2).map {
+        case (k, v, _, _, _, _) =>
+          val (pt, ph) = prevRef.getOrElse(k, (Double.MaxValue, Seq.empty[Double]))
+          k -> (math.min(v, pt), (ph :+ v).takeRight(HistLen))
+      }
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(prevPath),
-        (prevLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (renderPrev(merged) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable =>
         System.err.println(s"[bench] $prevPath write failed: $e") }
     }

@@ -275,6 +275,41 @@ object CoreLib {
         columnConversions = Map("mass_msun" -> "kg")).df
     }),
 
+    // §2.2 rows(): the chunked driver-side iterator must stream in
+    // the LAZY SORT's order. Take the first 50 rows FROM THE ITERATOR
+    // ITSELF and record each row's iterator position — the oracle
+    // replays pos as the sort rank, so an out-of-order or
+    // wrongly-chunked iterator hash-mismatches. (The driver-side
+    // take(50) is the operator's contract — rows() exists to stream
+    // bounded chunks to the driver.)
+    "q133_rows_iter" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val ds = OCDataset(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice")))
+        .sortBy("o_orderkey")
+      val schema = StructType(StructField("pos", LongType) +: ds.df.schema.fields)
+      val first = ds.rows().take(50).zipWithIndex
+        .map { case (r, i) => Row.fromSeq(i.toLong +: r.toSeq) }.toSeq
+      s.createDataFrame(first.asJava, schema)
+    }),
+
+    // §2.1 write_parquet: flatten array columns to `name_i` scalars,
+    // WRITE the parquet, and read it back — the gate output keeps the
+    // flattened names, so a naming or layout drift anywhere in the
+    // write→read cycle (not just in the in-memory flatten, which q63
+    // covers) hash-mismatches against the oracle's aliases.
+    "q134_parquet_flat_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "embeddings")
+        .select(col("vec_id"), slice(col("embedding"), 1, 3).as("emb"))
+      val out = java.nio.file.Files.createTempDirectory("graft-pqflat-")
+        .resolve("emb_flat.parquet").toString
+      graft.io.OCIO.exportParquetFlat(src, out)
+      s.read.parquet(out).select(col("vec_id"),
+        round(col("emb_0").cast("double"), 6).as("emb_0"),
+        round(col("emb_1").cast("double"), 6).as("emb_1"),
+        round(col("emb_2").cast("double"), 6).as("emb_2"))
+    }),
+
     // §2.7 2-D sky cone search (reference lightcone cone_search /
     // dataset bound with a 2-D region): codegen'd haversine predicate
     // over synthesized ra/dec; the oracle repeats the identical IEEE
@@ -475,6 +510,18 @@ object CoreLib {
          FROM embeddings""",
     "q66_hdf5_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    // pos replays the iterator's position as the sort rank — the
+    // oracle is order-exact, not just set-exact
+    "q133_rows_iter" ->
+      """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS pos,
+           o_orderkey, o_totalprice
+         FROM orders ORDER BY o_orderkey LIMIT 50""",
+    "q134_parquet_flat_roundtrip" ->
+      """SELECT vec_id,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS emb_0,
+           round(CAST(embedding[2] AS DOUBLE), 6) AS emb_1,
+           round(CAST(embedding[3] AS DOUBLE), 6) AS emb_2
+         FROM embeddings""",
     "q125_arrow_roundtrip" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
            round(CAST(embedding[1] AS DOUBLE), 6) AS e0,

@@ -55,6 +55,33 @@ class DriverContractSpec extends AnyFunSuite {
     assert(clean.length < 200 && clean.contains("\"queries\":{}"))
   }
 
+  test("bench floor file: reads all three shapes, median floor, min trajectory") {
+    // historical flat shape + {"t":} shape + history shape must all
+    // parse (the committed bench_prev predates histories)
+    val prev = Bench.parsePrev(
+      """{"a":1.200,"b":{"t":0.500},"c":{"t":0.170,"h":[0.9,1.1,0.8,0.95,1.0]}}""")
+    assert(prev("a") == (1.2, Seq.empty))
+    assert(prev("b") == (0.5, Seq.empty))
+    assert(prev("c")._1 == 0.17 && prev("c")._2.length == 5)
+    // the comparison floor is the HISTORY MEDIAN (0.95), not the
+    // best-ever min (0.17) — the q117 class of stale-floor phantom
+    assert(Bench.floorOf(prev, "c").contains(0.95))
+    assert(Bench.floorOf(prev, "a").contains(1.2)) // no history → min
+    assert(Bench.floorOf(prev, "zz").isEmpty)
+    // render→parse round-trips and keeps both fields
+    val again = Bench.parsePrev(Bench.renderPrev(prev))
+    assert(again("c")._1 == 0.17 && again("c")._2 == prev("c")._2)
+  }
+
+  test("suspect entries carry the churn-canary ctl ratio") {
+    val e = Bench.entry("q999", 9.870, 7, 0, susp = true, ctl = Some(2.134))
+    assert(e == "\"q999\":{\"t\":9.870,\"runs\":7,\"suspect\":true,\"ctl\":2.13}", e)
+    // non-suspects never carry it; the plain shapes are unchanged
+    assert(Bench.entry("q1", 0.123, 1, 0, susp = false) == "\"q1\":0.123")
+    assert(Bench.entry("q2", 1.5, 3, 0, susp = false) ==
+      "\"q2\":{\"t\":1.500,\"runs\":3}")
+  }
+
   test("verify survives a nonexistent data dir and still writes oracle_sql.json") {
     val out = java.nio.file.Files.createTempDirectory("graft-verify-resilience-")
     try {
