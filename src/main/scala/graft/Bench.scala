@@ -81,9 +81,37 @@ object Bench {
 
   private[graft] val HistLen = 5
 
-  /** The churn canary query: fast, stable, plan-trivial (a projection
-    * scan) — its inflation measures the MACHINE, not the engine. */
-  private[graft] val CtlQuery = "q50_wildcard_select"
+  /** Floor-file merge after a full pass. `results` rows are
+    * (name, t, status, suspect). FAILED rows (status 2) keep their
+    * previous entry untouched; SUSPECT rows min-merge the trajectory
+    * "t" but never enter the history — appending churn-distrusted
+    * medians would ratchet the median floor up to the inflated level
+    * across a few churny rounds and silently disable the guard. A
+    * genuine accepted regression re-enters the history the first time
+    * it ships unflagged (no longer >2.5× its floor, or a clean
+    * re-record).
+    */
+  private[graft] def mergeFloors(prevRef: Map[String, (Double, Seq[Double])],
+      results: Seq[(String, Double, Int, Boolean)]): Map[String, (Double, Seq[Double])] = {
+    val merged = prevRef ++ results.collect {
+      case (k, v, st, susp) if st != 2 && !susp =>
+        val (pt, ph) = prevRef.getOrElse(k, (Double.MaxValue, Seq.empty[Double]))
+        k -> (math.min(v, pt), (ph :+ v).takeRight(HistLen))
+    }
+    merged ++ results.collect {
+      case (k, v, st, susp) if st != 2 && susp =>
+        val (pt, ph) = merged.getOrElse(k,
+          prevRef.getOrElse(k, (Double.MaxValue, Seq.empty[Double])))
+        k -> (math.min(v, pt), ph)
+    }
+  }
+
+  /** The churn canary query: stable, plan-simple, and costing well
+    * ABOVE the scheduler-jitter floor (~0.5 s at sf0.1 — a sub-0.15 s
+    * control would itself jitter 3× and fake the very churn signal it
+    * exists to measure) — its inflation measures the MACHINE, not the
+    * engine. */
+  private[graft] val CtlQuery = "q1_agg"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -176,14 +204,19 @@ object Bench {
       (dt, ok)
     }
     // Churn canary (run adjacent to a surviving suspect): the control
-    // query's time over ITS median floor. An inflated control means
-    // the MACHINE is churning right now — the suspect is a phantom.
+    // query's MEDIAN-OF-3 over ITS median floor — a single shot of
+    // even a mid-cost query can jitter, and a jittered canary causes
+    // the misjudgment it exists to prevent (in both directions). The
+    // floor must clear the jitter bound like every other ratio
+    // denominator here. An inflated control means the MACHINE is
+    // churning right now — the suspect is a phantom.
     val ctlFn = benchQueries.collectFirst { case (CtlQuery, fn) => fn }
     def ctlRatio(): Option[Double] = for {
       fn <- ctlFn
-      f <- floor(CtlQuery) if f >= 0.001
-      t = timeOnce(CtlQuery, fn) if t._2
-    } yield t._1 / f
+      f <- floor(CtlQuery) if f >= PhantomAbsFloorSec
+      ts = (1 to 3).map(_ => timeOnce(CtlQuery, fn))
+        .collect { case (t, true) => t }.sorted if ts.nonEmpty
+    } yield ts(ts.length / 2) / f
     // pass 1: everything once; pass 2: re-time the slow tail so the
     // reported number is a median, not one noisy sample.
     // status: 0 = ok; 1 = FLAKY (some repeats threw — t is the median
@@ -267,12 +300,11 @@ object Bench {
       // seeded from prevRef: a query that FAILED this round keeps its
       // known floor (dropping it would permanently disable phantom
       // detection for that query — the next round's spike would reach
-      // the artifact unguarded, the exact hole this file closes)
-      val merged = prevRef ++ results.filter(_._4 != 2).map {
-        case (k, v, _, _, _, _) =>
-          val (pt, ph) = prevRef.getOrElse(k, (Double.MaxValue, Seq.empty[Double]))
-          k -> (math.min(v, pt), (ph :+ v).takeRight(HistLen))
-      }
+      // the artifact unguarded, the exact hole this file closes); a
+      // SUSPECT one min-merges "t" but stays out of the history (see
+      // mergeFloors)
+      val merged = mergeFloors(prevRef,
+        results.map { case (k, v, _, st, susp, _) => (k, v, st, susp) })
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(prevPath),
         (renderPrev(merged) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -301,13 +301,21 @@ object CoreLib {
     "q134_parquet_flat_roundtrip" -> ((s, dir) => {
       val src = t(s, dir, "embeddings")
         .select(col("vec_id"), slice(col("embedding"), 1, 3).as("emb"))
-      val out = java.nio.file.Files.createTempDirectory("graft-pqflat-")
-        .resolve("emb_flat.parquet").toString
-      graft.io.OCIO.exportParquetFlat(src, out)
-      s.read.parquet(out).select(col("vec_id"),
-        round(col("emb_0").cast("double"), 6).as("emb_0"),
-        round(col("emb_1").cast("double"), 6).as("emb_1"),
-        round(col("emb_2").cast("double"), 6).as("emb_2"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pqflat-")
+      try {
+        val out = tmp.resolve("emb_flat.parquet").toString
+        graft.io.OCIO.exportParquetFlat(src, out)
+        // materialize before the finally deletes the written files
+        s.read.parquet(out).select(col("vec_id"),
+            round(col("emb_0").cast("double"), 6).as("emb_0"),
+            round(col("emb_1").cast("double"), 6).as("emb_1"),
+            round(col("emb_2").cast("double"), 6).as("emb_2"))
+          .localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }),
 
     // §2.7 2-D sky cone search (reference lightcone cone_search /

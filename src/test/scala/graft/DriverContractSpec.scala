@@ -73,6 +73,30 @@ class DriverContractSpec extends AnyFunSuite {
     assert(again("c")._1 == 0.17 && again("c")._2 == prev("c")._2)
   }
 
+  test("floor merge: failures keep entries, suspects min-merge but never enter history") {
+    val prev = Map(
+      "ok"   -> (0.50, Seq(0.9, 1.0)),
+      "fail" -> (0.30, Seq(0.4)),
+      "susp" -> (1.00, Seq(1.2, 1.3)))
+    val merged = Bench.mergeFloors(prev, Seq(
+      ("ok", 0.8, 0, false),     // clean: appends + min-merges
+      ("fail", 99.0, 2, false),  // failed: untouched
+      ("susp", 9.9, 0, true),    // suspect: min untouched (9.9 > 1.0), history frozen
+      ("new", 0.7, 0, false)))   // first-ever clean entry
+    assert(merged("ok") == (0.5, Seq(0.9, 1.0, 0.8)))
+    assert(merged("fail") == (0.3, Seq(0.4)))
+    // the churn-distrusted median must NOT ratchet the median floor
+    assert(merged("susp") == (1.0, Seq(1.2, 1.3)))
+    assert(merged("new") == (0.7, Seq(0.7)))
+    // a suspect that beats the min still lowers the trajectory floor
+    val m2 = Bench.mergeFloors(prev, Seq(("susp", 0.6, 0, true)))
+    assert(m2("susp") == (0.6, Seq(1.2, 1.3)))
+    // history caps at HistLen
+    val long = Map("q" -> (0.1, (1 to 5).map(_.toDouble)))
+    val m3 = Bench.mergeFloors(long, Seq(("q", 6.0, 0, false)))
+    assert(m3("q")._2 == Seq(2.0, 3.0, 4.0, 5.0, 6.0))
+  }
+
   test("suspect entries carry the churn-canary ctl ratio") {
     val e = Bench.entry("q999", 9.870, 7, 0, susp = true, ctl = Some(2.134))
     assert(e == "\"q999\":{\"t\":9.870,\"runs\":7,\"suspect\":true,\"ctl\":2.13}", e)
