@@ -789,6 +789,24 @@ object ScaleProbe {
     println(s"rankhot probe: ${df.count()} rows, one score value on ~99.9%")
     def run(name: String, cap: Long): Unit = {
       spark.conf.set("spark.graft.rank.hotScoreRows", cap.toString)
+      // the straggler is the MEASUREMENT, not the wall clock: local
+      // mode's shared heap and idle cores mask a single giant window
+      // task, so report the max shuffle rows any one task consumed —
+      // the number that decides whether a 1000-executor stage finishes
+      // with its slowest task or with its average one
+      val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+      val maxShufRows = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          maxTaskMs.getAndUpdate(m => math.max(m, te.taskInfo.duration))
+          val tm = te.taskMetrics
+          if (tm != null)
+            maxShufRows.getAndUpdate(m =>
+              math.max(m, tm.shuffleReadMetrics.recordsRead))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
       try {
         val t0 = System.nanoTime()
         val hist = CorpusStats.bucketByRank(df, "id", "score", nBuckets)
@@ -796,8 +814,18 @@ object ScaleProbe {
           .map(r => r.getInt(0) -> r.getLong(1)).toMap
         val dt = (System.nanoTime() - t0) / 1e9
         val equal = hist.size == nBuckets && hist.values.forall(_ == n / nBuckets)
-        println(f"$name%-30s t=$dt%7.2fs buckets=${hist.size}%2d exact_equal=$equal")
-      } finally spark.conf.unset("spark.graft.rank.hotScoreRows")
+        println(f"$name%-30s t=$dt%7.2fs buckets=${hist.size}%2d " +
+          f"exact_equal=$equal max_task=${maxTaskMs.get / 1000.0}%6.2fs " +
+          f"max_shuffle_rows_per_task=${maxShufRows.get}%,d")
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        spark.conf.unset("spark.graft.rank.hotScoreRows")
+        // bucketByRank localCheckpoints its result; the blocks live
+        // until the RDD is GC'd — force the cleaner so run 2 doesn't
+        // pay run 1's memory pressure
+        spark.catalog.clearCache()
+        System.gc(); Thread.sleep(500)
+      }
     }
     run("sub-sliced (default cap 2^20)", CorpusStats.HotScoreRows)
     run("single-window (cap 2^24)", 1L << 24)

@@ -558,28 +558,42 @@ object CorpusStats {
       .select(col(scoreCol).as("__sc_j"), col("__before"), col("__c").as("__gc"))
     val hotCap = spark.conf
       .get("spark.graft.rank.hotScoreRows", HotScoreRows.toString).toLong
-    // null-safe equality: a plain equi-join would silently drop
-    // null-score rows (and grouping already put them in one group)
-    val joined = cached.join(offsets, col(scoreCol) <=> col("__sc_j"))
-      .drop("__sc_j")
     val ranked =
       if (maxGroup <= hotCap) {
         // every score value fits one window task: exact id-order ties,
         // the plan the oracle replays — and the ONLY plan small/normal
-        // inputs ever take (no hot machinery is planned at all)
+        // inputs ever take (no hot machinery is planned at all). The
+        // null-safe join keeps null-score rows (grouping already put
+        // them in one group); per-key join-side rows are bounded by
+        // the cap, so the equi-join has no straggler either.
         val wG = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
-        joined.withColumn("__rn", row_number().over(wG).cast("long"))
+        cached.join(offsets, col(scoreCol) <=> col("__sc_j")).drop("__sc_j")
+          .withColumn("__rn", row_number().over(wG).cast("long"))
       } else {
+        // A HOT value can carry ~the whole corpus on ONE key, so even
+        // the offsets equi-join would funnel it through a single
+        // shuffle partition (the 10^7-row probe measured n+1 rows in
+        // one join task before this split). Hot offsets are FEW
+        // (≤ total/cap rows) and broadcast, so hot rows never shuffle
+        // on the score; cold rows pre-filter map-side via a broadcast
+        // anti-join and take the bounded equi-join.
+        val hotOff = offsets.filter(col("__gc") > hotCap)
+        val coldOff = offsets.filter(col("__gc") <= hotCap)
+        val wCold = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
+        val coldR = cached
+          .join(broadcast(hotOff.select(col("__sc_j"))),
+            col(scoreCol) <=> col("__sc_j"), "left_anti")
+          .join(coldOff, col(scoreCol) <=> col("__sc_j")).drop("__sc_j")
+          .withColumn("__rn", row_number().over(wCold).cast("long"))
         // sub-slice HOT values on an order-preserving range of
         // xxhash64(id): signed >> 54 keeps hash order, so slice-major
         // (hash, id) order is a deterministic total order per score
         val hkey = xxhash64(col(idCol).cast("string"))
-        val tagged = joined.withColumn("__hk", hkey)
+        val hot = cached
+          .join(broadcast(hotOff), col(scoreCol) <=> col("__sc_j"))
+          .drop("__sc_j")
+          .withColumn("__hk", hkey)
           .withColumn("__hslc", (shiftright(col("__hk"), 54) + lit(512L)).cast("int"))
-        val wCold = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
-        val coldR = tagged.filter(col("__gc") <= hotCap)
-          .withColumn("__rn", row_number().over(wCold).cast("long"))
-        val hot = tagged.filter(col("__gc") > hotCap)
         // per-(score, slice) totals; the cross-slice prefix runs in a
         // window of ≤ RankSlices rows PER SCORE — never a hot task
         val wHot = Window.partitionBy(col(scoreCol)).orderBy(col("__hslc"))
@@ -597,8 +611,8 @@ object CorpusStats {
             col(scoreCol) <=> col("__hs_j") && col("__hslc") === col("__hslc_j"))
           .drop("__hs_j", "__hslc_j")
           .withColumn("__rn", col("__hoff") + row_number().over(wIn))
-          .drop("__hoff")
-        coldR.unionByName(hotR).drop("__hk", "__hslc")
+          .drop("__hoff", "__hk", "__hslc")
+        coldR.unionByName(hotR)
       }
     val out = ranked
       .withColumn("__rk0", col("__before") + col("__rn") - 1)

@@ -171,6 +171,33 @@ class ArrowExportSpec extends SparkSpec {
     assert(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
   }
 
+  test("shard I/O dispatches purely on the URI scheme (custom Hadoop FS)") {
+    // graftfs: is a scheme nothing registers but this suite — write
+    // and re-read shards through it and assert the traffic COUNTERS
+    // moved. Any direct java.io/nio path access inside the export/
+    // import (the pre-round-13 cluster blocker) would bypass the
+    // counters or fail to resolve the scheme at all. The tasks see
+    // the scheme mapping through the broadcast SerializableConfiguration,
+    // so this also pins the config propagation a real HDFS/S3A
+    // deployment rides on.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    try {
+      GraftTestFs.reset()
+      val df = spark.range(30).select(col("id"),
+        (col("id") * 2).as("v")).repartition(3)
+      val out = s"graftfs:${tmpDir("scheme")}/shards"
+      val files = ArrowExport.writeArrowIpc(df, out)
+      assert(files.length == 3 && files.forall(_.startsWith("graftfs:")), files)
+      assert(GraftTestFs.creates.get == 3, s"creates=${GraftTestFs.creates.get}")
+      assert(GraftTestFs.mkdirs.get >= 1)
+      val back = ArrowExport.readArrowIpcDF(spark, out, df.schema)
+      assert(back.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      assert(GraftTestFs.opens.get >= 3, s"opens=${GraftTestFs.opens.get}")
+    } finally conf.unset("fs.graftfs.impl")
+  }
+
   test("schema mismatch on import fails cleanly and leaks nothing") {
     val df = spark.range(10).select(col("id")).coalesce(1)
     val out = tmpDir("mismatch")
