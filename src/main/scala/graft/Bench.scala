@@ -22,19 +22,24 @@ object Bench {
     head + kept.mkString("{", ",", "}") + truncField + tail
   }
 
-  /** One per-query JSON entry. `ctl` (suspect entries only) is the
-    * churn canary: the fixed control query's contemporaneous time over
-    * its own floor — a suspect whose control is equally inflated is
-    * machine churn, self-evidently, and stops costing a judge
-    * adjudication cycle. Extracted so DriverContractSpec pins the
-    * serialization the driver parses.
+  /** One per-query JSON entry. Suspect entries carry two churn
+    * signals: `ctl` — the fixed control query's contemporaneous time
+    * over its own floor (an equally-inflated control is machine churn,
+    * self-evidently) — and `min`, the suspect's best single time
+    * across all its runs (a suspect whose best run sits at its floor
+    * achieved the floor under this binary, so the inflation is the
+    * box, not the plan; minutes-long churn phases can lift before the
+    * control samples, so ctl alone under-detects). Extracted so
+    * DriverContractSpec pins the serialization the driver parses.
     */
   private[graft] def entry(k: String, v: Double, n: Int, st: Int,
-                           susp: Boolean, ctl: Option[Double] = None): String = {
+                           susp: Boolean, ctl: Option[Double] = None,
+                           minT: Option[Double] = None): String = {
     val flags = (if (st == 2) ",\"failed\":true" else "") +
       (if (st == 1) ",\"flaky\":true" else "") +
       (if (susp) ",\"suspect\":true" else "") +
-      ctl.fold("")(c => ",\"ctl\":" + "%.2f".formatLocal(java.util.Locale.ROOT, c))
+      ctl.fold("")(c => ",\"ctl\":" + "%.2f".formatLocal(java.util.Locale.ROOT, c)) +
+      minT.fold("")(m => ",\"min\":" + r3(m))
     if (n == 1 && flags.isEmpty) "\"" + k + "\":" + r3(v)
     else if (n == 1) "\"" + k + "\":{\"t\":" + r3(v) + flags + "}"
     else "\"" + k + "\":{\"t\":" + r3(v) + ",\"runs\":" + n + flags + "}"
@@ -231,7 +236,7 @@ object Bench {
     // churn-canary ratio, so judge cycles stop going to churn
     // adjudication.
     val firstPass = selected.map { case (name, fn) => (name, fn, timeOnce(name, fn)) }
-    val results: Seq[(String, Double, Int, Int, Boolean, Option[Double])] =
+    val results: Seq[(String, Double, Int, Int, Boolean, Option[Double], Option[Double])] =
       firstPass.map { case (name, fn, (t1, ok1)) =>
         // phantoms get extra repeats: sub-floor runs are cheap, and a
         // 5-sample median puts the one inflated shot above the middle
@@ -257,8 +262,9 @@ object Bench {
             suspect = overFloor // still over after isolated re-times
             if (suspect && name != CtlQuery) ctl = ctlRatio()
           }
-          (name, median, times.length, if (flaky) 1 else 0, suspect, ctl)
-        } else (name, t1, 1, if (ok1) 0 else 2, false, None)
+          val best = if (suspect) times.headOption else None
+          (name, median, times.length, if (flaky) 1 else 0, suspect, ctl, best)
+        } else (name, t1, 1, if (ok1) 0 else 2, false, None, None)
     }
     // The FULL per-query map goes to bench_out.json (and to stdout as
     // a non-final line for dev eyes). The LAST stdout line — the only
@@ -273,12 +279,15 @@ object Bench {
     // Repeated queries serialize as {"t":median,"runs":N}; a query
     // that threw carries {"t":…,"failed":true} (t = time-to-failure),
     // a flaky one {"t":…,"runs":N,"flaky":true} (t = median of the N
-    // successes), a churn-suspect one …,"suspect":true,"ctl":R (R =
-    // the control query's contemporaneous time over its floor — an
-    // equally-inflated control marks the suspect as machine churn),
+    // successes), a churn-suspect one …,"suspect":true,"ctl":R,"min":M
+    // (R = the control query's contemporaneous time over its floor —
+    // an equally-inflated control marks the suspect as machine churn;
+    // M = the suspect's best single run — a min at its floor means the
+    // plan still achieves the floor and the inflation is the box),
     // and failures also surface on the headline as "failed_queries" —
     // a broken query can never read as a fast run at either level.
-    val qs = results.map { case (k, v, n, st, susp, ctl) => entry(k, v, n, st, susp, ctl) }
+    val qs = results.map { case (k, v, n, st, susp, ctl, mn) =>
+      entry(k, v, n, st, susp, ctl, mn) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nFailed = results.count(_._4 == 2)
@@ -291,7 +300,7 @@ object Bench {
       System.err.println(s"[bench] bench_out.json write failed: $e") }
     println(fullLine) // dev-visible; NOT the line the driver parses
     val flagged = results.filter(r => r._4 != 0 || r._5)
-      .map { case (k, v, n, st, susp, ctl) => entry(k, v, n, st, susp, ctl) }
+      .map { case (k, v, n, st, susp, ctl, mn) => entry(k, v, n, st, susp, ctl, mn) }
     println(compactHeadline(total, sfDir, failedField, results.length, flagged))
     // refresh the phantom reference after a FULL successful pass:
     // "t" = min(prev, measured) per query (the trajectory floor),
@@ -304,7 +313,7 @@ object Bench {
       // SUSPECT one min-merges "t" but stays out of the history (see
       // mergeFloors)
       val merged = mergeFloors(prevRef,
-        results.map { case (k, v, _, st, susp, _) => (k, v, st, susp) })
+        results.map { case (k, v, _, st, susp, _, _) => (k, v, st, susp) })
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(prevPath),
         (renderPrev(merged) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
