@@ -22,7 +22,10 @@ import scala.jdk.CollectionConverters._
   * Hadoop FileSystem API with the session's Hadoop configuration
   * (broadcast to tasks), so `outDir` may be any filesystem the
   * cluster shares — HDFS, S3, or a local path in local mode; each
-  * task creates the directory on ITS filesystem before writing.
+  * task creates the directory on ITS filesystem before writing, and
+  * commits its shard via temp-name + rename so task kills, retries,
+  * and speculative twins never expose a truncated file under a final
+  * shard name.
   *
   * Uses only the PUBLIC arrow-vector API (bundled with Spark — the
   * same batches Spark itself speaks to pandas-on-Spark consumers);
@@ -59,9 +62,33 @@ object ArrowExport {
         val dir = new org.apache.hadoop.fs.Path(outDir)
         val fs = dir.getFileSystem(bc.value.value)
         fs.mkdirs(dir)
-        val out = fs.create(
-          new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.arrow"), true)
-        writePartition(schema, rows, out, batchRows)
+        // task-commit protocol: write to a dot-prefixed attempt-scoped
+        // temp name, rename into place only after a clean close. A
+        // killed task never leaves a truncated file under the final
+        // name, a retried task replaces (deterministic content), and a
+        // speculative twin that loses the rename race defers to the
+        // committed winner. The temp name fails the reader's *.arrow
+        // glob, so an in-progress shard is invisible to consumers.
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val fin = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.arrow")
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          f".part-$pid%05d.arrow.inprogress-$attempt")
+        var ok = false
+        try {
+          writePartition(schema, rows, fs.create(tmp, true), batchRows)
+          ok = true
+        } finally if (!ok) {
+          try fs.delete(tmp, false)
+          catch { case _: Throwable => () } // best-effort; rethrow wins
+        }
+        if (!fs.rename(tmp, fin)) {
+          // HDFS rename refuses an existing destination: a concurrent
+          // attempt already committed identical content — keep it
+          fs.delete(tmp, false)
+          require(fs.exists(fin),
+            s"ArrowExport: rename failed and no committed shard at $fin")
+        }
         Iterator.single(f"$outDir/part-$pid%05d.arrow")
       }
     }.collect().toSeq.sorted

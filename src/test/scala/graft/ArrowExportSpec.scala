@@ -198,6 +198,24 @@ class ArrowExportSpec extends SparkSpec {
     } finally conf.unset("fs.graftfs.impl")
   }
 
+  test("shard writes commit via temp+rename: no in-progress residue") {
+    val df = spark.range(20).select(col("id")).repartition(4)
+    val out = tmpDir("commit")
+    val files = ArrowExport.writeArrowIpc(df, out)
+    assert(files.length == 4)
+    // Hadoop's local ChecksumFileSystem adds .crc sidecars (named for
+    // the FINAL shards — itself evidence the rename committed); beyond
+    // those, only committed final names may exist. A lingering
+    // .inprogress temp would mean a task exposed (or failed to clean)
+    // an uncommitted shard.
+    val listed = new java.io.File(out).listFiles().map(_.getName).toSeq
+      .filterNot(_.endsWith(".crc"))
+    assert(listed.forall(n => n.matches("part-\\d{5}\\.arrow")), listed)
+    assert(listed.size == 4)
+    assert(!new java.io.File(out).listFiles()
+      .exists(_.getName.contains("inprogress")))
+  }
+
   test("schema mismatch on import fails cleanly and leaks nothing") {
     val df = spark.range(10).select(col("id")).coalesce(1)
     val out = tmpDir("mismatch")
