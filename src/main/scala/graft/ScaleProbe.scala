@@ -814,6 +814,11 @@ object ScaleProbe {
           .map(r => r.getInt(0) -> r.getLong(1)).toMap
         val dt = (System.nanoTime() - t0) / 1e9
         val equal = hist.size == nBuckets && hist.values.forall(_ == n / nBuckets)
+        // listener events deliver asynchronously — and the straggler
+        // task, the very thing measured, finishes LAST, so its
+        // onTaskEnd is the likeliest event still on the bus when the
+        // job returns. Give the bus time to drain before reading.
+        Thread.sleep(2000)
         println(f"$name%-30s t=$dt%7.2fs buckets=${hist.size}%2d " +
           f"exact_equal=$equal max_task=${maxTaskMs.get / 1000.0}%6.2fs " +
           f"max_shuffle_rows_per_task=${maxShufRows.get}%,d")

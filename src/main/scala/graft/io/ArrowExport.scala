@@ -52,9 +52,22 @@ object ArrowExport {
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       sc.hadoopConfiguration)
     // driver-side mkdir so an EMPTY frame still exports a valid
-    // (empty) directory; tasks re-create on their own filesystem view
+    // (empty) directory; tasks re-create on their own filesystem view.
+    // Overwrite semantics: sweep our OWN artifacts from a previous
+    // export first — final shards (a prior run with MORE partitions
+    // would otherwise leave stale part files the reader's glob picks
+    // up, and rename-refusing filesystems like HDFS would silently
+    // keep a stale shard over this run's), checksum sidecars, and any
+    // orphaned .inprogress temps a crashed executor left behind (the
+    // sweep bounds their lifetime to one run). Nothing else in the
+    // directory is touched.
     val dirPath = new org.apache.hadoop.fs.Path(outDir)
-    dirPath.getFileSystem(hconf.value).mkdirs(dirPath)
+    val dfs = dirPath.getFileSystem(hconf.value)
+    dfs.mkdirs(dirPath)
+    Seq("part-*.arrow", ".part-*.arrow.*").foreach { pat =>
+      dfs.globStatus(new org.apache.hadoop.fs.Path(dirPath, pat))
+        .foreach(st => dfs.delete(st.getPath, false))
+    }
     val bc = sc.broadcast(hconf)
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (!rows.hasNext) Iterator.empty
@@ -83,8 +96,10 @@ object ArrowExport {
           catch { case _: Throwable => () } // best-effort; rethrow wins
         }
         if (!fs.rename(tmp, fin)) {
-          // HDFS rename refuses an existing destination: a concurrent
-          // attempt already committed identical content — keep it
+          // HDFS rename refuses an existing destination. The driver
+          // swept prior-run shards before the job, so an existing fin
+          // can only be a concurrent attempt of THIS run that already
+          // committed identical content — keep it.
           fs.delete(tmp, false)
           require(fs.exists(fin),
             s"ArrowExport: rename failed and no committed shard at $fin")

@@ -558,6 +558,7 @@ object CorpusStats {
       .select(col(scoreCol).as("__sc_j"), col("__before"), col("__c").as("__gc"))
     val hotCap = spark.conf
       .get("spark.graft.rank.hotScoreRows", HotScoreRows.toString).toLong
+    var offPersisted: Option[DataFrame] = None
     val ranked =
       if (maxGroup <= hotCap) {
         // every score value fits one window task: exact id-order ties,
@@ -576,13 +577,18 @@ object CorpusStats {
         // one join task before this split). Hot offsets are FEW
         // (≤ total/cap rows) and broadcast, so hot rows never shuffle
         // on the score; cold rows pre-filter map-side via a broadcast
-        // anti-join and take the bounded equi-join.
-        val hotOff = offsets.filter(col("__gc") > hotCap)
-        val coldOff = offsets.filter(col("__gc") <= hotCap)
+        // anti-join and take the bounded equi-join. The offsets frame
+        // is consumed three times in this regime (hot join, anti-join,
+        // cold join) — persist it so the distinct-score window prices
+        // once, and use the SAME broadcast frame for both hot-side
+        // joins so the exchange is reused rather than built twice.
+        val off = offsets.persist()
+        offPersisted = Some(off)
+        val hotOff = broadcast(off.filter(col("__gc") > hotCap))
+        val coldOff = off.filter(col("__gc") <= hotCap)
         val wCold = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
         val coldR = cached
-          .join(broadcast(hotOff.select(col("__sc_j"))),
-            col(scoreCol) <=> col("__sc_j"), "left_anti")
+          .join(hotOff, col(scoreCol) <=> col("__sc_j"), "left_anti")
           .join(coldOff, col(scoreCol) <=> col("__sc_j")).drop("__sc_j")
           .withColumn("__rn", row_number().over(wCold).cast("long"))
         // sub-slice HOT values on an order-preserving range of
@@ -590,7 +596,7 @@ object CorpusStats {
         // (hash, id) order is a deterministic total order per score
         val hkey = xxhash64(col(idCol).cast("string"))
         val hot = cached
-          .join(broadcast(hotOff), col(scoreCol) <=> col("__sc_j"))
+          .join(hotOff, col(scoreCol) <=> col("__sc_j"))
           .drop("__sc_j")
           .withColumn("__hk", hkey)
           .withColumn("__hslc", (shiftright(col("__hk"), 54) + lit(512L)).cast("int"))
@@ -622,6 +628,7 @@ object CorpusStats {
       .select(col(idCol) +: df.columns.filterNot(_ == idCol).map(col)
         :+ col("bucket"): _*)
       .localCheckpoint(true)
+    offPersisted.foreach(_.unpersist())
     cached.unpersist()
     out
   }

@@ -198,6 +198,28 @@ class ArrowExportSpec extends SparkSpec {
     } finally conf.unset("fs.graftfs.impl")
   }
 
+  test("re-export overwrites: stale shards and crash orphans are swept") {
+    val out = tmpDir("overwrite")
+    // first export: 3 shards
+    ArrowExport.writeArrowIpc(spark.range(30).select(col("id")).repartition(3), out)
+    // plant a crash orphan from a hypothetical dead executor
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, ".part-00007.arrow.inprogress-42"),
+      Array[Byte](1, 2, 3))
+    // second export into the SAME dir: fewer shards, different data —
+    // the reader must see exactly the new export (a kept stale shard
+    // from run 1 is the HDFS rename-refusal bug; a leftover
+    // part-00002.arrow is the shard-count-shrink bug)
+    val df2 = spark.range(100, 110).select(col("id")).repartition(2)
+    val files = ArrowExport.writeArrowIpc(df2, out)
+    assert(files.length == 2)
+    val back = ArrowExport.readArrowIpcDF(spark, out, df2.schema)
+    assert(back.collect().map(_.getLong(0)).toSet == (100L until 110L).toSet)
+    val names = new java.io.File(out).listFiles().map(_.getName)
+    assert(!names.exists(_.contains("inprogress")), names.toSeq)
+    assert(names.count(_.matches("part-\\d{5}\\.arrow")) == 2, names.toSeq)
+  }
+
   test("shard writes commit via temp+rename: no in-progress residue") {
     val df = spark.range(20).select(col("id")).repartition(4)
     val out = tmpDir("commit")
