@@ -781,8 +781,13 @@ object ScaleProbe {
     val path = s"$outDir/rankhot.parquet"
     spark.range(n).select(col("id"),
         // 99.9% of rows share one value; the rest sprinkle distinct
-        // scores so BOTH branches (cold + hot) are exercised
-        when(col("id") % 1000 === 0, col("id").cast("double") / lit(n.toDouble))
+        // scores so BOTH branches (cold + hot) are exercised. The
+        // +0.5 offset keeps every sprinkled score strictly between
+        // grid points, so none can collide with the hot 0.5 (id =
+        // n/2 used to merge into the hot value and shave the cold
+        // branch's coverage by one)
+        when(col("id") % 1000 === 0,
+          (col("id").cast("double") + lit(0.5)) / lit(n.toDouble))
           .otherwise(lit(0.5)).as("score"))
       .write.mode("overwrite").parquet(path)
     val df = spark.read.parquet(path)
@@ -819,15 +824,24 @@ object ScaleProbe {
         // onTaskEnd is the likeliest event still on the bus when the
         // job returns. Give the bus time to drain before reading.
         Thread.sleep(2000)
+        // the materialization contract: ONE DISK_ONLY copy (the scored
+        // input snapshot; +1 tiny offsets snapshot in the hot regime),
+        // nothing in executor memory. The round-14 shape eagerly held
+        // TWO lineage-truncated MEMORY_AND_DISK copies (input+output).
+        val storage = spark.sparkContext.getRDDStorageInfo
         println(f"$name%-30s t=$dt%7.2fs buckets=${hist.size}%2d " +
           f"exact_equal=$equal max_task=${maxTaskMs.get / 1000.0}%6.2fs " +
-          f"max_shuffle_rows_per_task=${maxShufRows.get}%,d")
+          f"max_shuffle_rows_per_task=${maxShufRows.get}%,d " +
+          f"cached_copies=${storage.length} " +
+          f"cached_disk_mb=${storage.map(_.diskSize).sum / 1e6}%.1f " +
+          f"cached_mem_mb=${storage.map(_.memSize).sum / 1e6}%.1f")
       } finally {
         spark.sparkContext.removeSparkListener(listener)
         spark.conf.unset("spark.graft.rank.hotScoreRows")
-        // bucketByRank localCheckpoints its result; the blocks live
-        // until the RDD is GC'd — force the cleaner so run 2 doesn't
-        // pay run 1's memory pressure
+        // bucketByRank disk-snapshots its scored input; the blocks are
+        // ContextCleaner-tracked and drop when the result frame is
+        // GC'd — force the cleaner so run 2 doesn't pay run 1's disk
+        // pressure
         spark.catalog.clearCache()
         System.gc(); Thread.sleep(500)
       }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.DiskSnapshot
 import graft.functions.TextFunctions
 
 /** Corpus-level statistics and retrieval operators for training-data
@@ -493,9 +494,13 @@ object CorpusStats {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     // the scored input is consumed three times (total count, offsets
-    // agg, final join) — checkpoint it so an expensive upstream
-    // (perplexityBuckets' LM scoring) prices once, not three times
-    val cached = df.localCheckpoint(true)
+    // agg, final join) — snapshot it so an expensive upstream
+    // (perplexityBuckets' LM scoring) prices once, not three times.
+    // DiskSnapshot, not localCheckpoint: lineage survives executor
+    // loss, blocks are ContextCleaner-reaped when the caller releases
+    // the result, and nothing is materialized eagerly (the stats
+    // action below is what first fills the blocks)
+    val cached = DiskSnapshot.diskCached(df)
     val sc = col(scoreCol).cast("double")
     // one pass over the checkpoint serves total AND the FINITE slice
     // range: NaN would poison max() (NaN compares above +Inf in
@@ -505,11 +510,9 @@ object CorpusStats {
       min(when(!isnan(sc), sc)), max(when(!isnan(sc), sc))).head()
     val total = stats.getLong(0)
     if (total == 0) {
-      val empty = cached.withColumn("bucket", lit(0).cast("int"))
+      return cached.withColumn("bucket", lit(0).cast("int"))
         .select(col(idCol) +: df.columns.filterNot(_ == idCol).map(col)
           :+ col("bucket"): _*)
-      cached.unpersist()
-      return empty
     }
     // phase 1: order-preserving range slices of the distinct scores.
     // The distinct frame stays LAZY: both consumers below are plain
@@ -558,7 +561,6 @@ object CorpusStats {
       .select(col(scoreCol).as("__sc_j"), col("__before"), col("__c").as("__gc"))
     val hotCap = spark.conf
       .get("spark.graft.rank.hotScoreRows", HotScoreRows.toString).toLong
-    var offPersisted: Option[DataFrame] = None
     val ranked =
       if (maxGroup <= hotCap) {
         // every score value fits one window task: exact id-order ties,
@@ -579,11 +581,10 @@ object CorpusStats {
         // on the score; cold rows pre-filter map-side via a broadcast
         // anti-join and take the bounded equi-join. The offsets frame
         // is consumed three times in this regime (hot join, anti-join,
-        // cold join) — persist it so the distinct-score window prices
+        // cold join) — snapshot it so the distinct-score window prices
         // once, and use the SAME broadcast frame for both hot-side
         // joins so the exchange is reused rather than built twice.
-        val off = offsets.persist()
-        offPersisted = Some(off)
+        val off = DiskSnapshot.diskCached(offsets)
         val hotOff = broadcast(off.filter(col("__gc") > hotCap))
         val coldOff = off.filter(col("__gc") <= hotCap)
         val wCold = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
@@ -620,17 +621,20 @@ object CorpusStats {
           .drop("__hoff", "__hk", "__hslc")
         coldR.unionByName(hotR)
       }
-    val out = ranked
+    // returned LAZY: no output materialization here. The scored
+    // snapshot prices the upstream once; the bucket assignment itself
+    // is one join + one bounded window on top of it, cheap enough to
+    // replay — callers that consume the result repeatedly persist it
+    // themselves. (The round-14 form eagerly localCheckpoint'ed both
+    // the input AND this output: two full corpus-shaped copies, both
+    // lineage-truncated.)
+    ranked
       .withColumn("__rk0", col("__before") + col("__rn") - 1)
       .withColumn("bucket",
         expr(s"CAST((__rk0 * $nBuckets) DIV ${math.max(total, 1L)} AS INT)"))
       .drop("__before", "__gc", "__rn", "__rk0")
       .select(col(idCol) +: df.columns.filterNot(_ == idCol).map(col)
         :+ col("bucket"): _*)
-      .localCheckpoint(true)
-    offPersisted.foreach(_.unpersist())
-    cached.unpersist()
-    out
   }
 
   /** Word-level blocklist screening (the safety-wordlist stage every
@@ -979,17 +983,20 @@ object CorpusStats {
       s"discount must be in (0,1), got $discount")
     val toks = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__w"))
     // dgc feeds BOTH the table build and the final scoring join —
-    // persisted so the corpus tokenizes once, not twice (measured
-    // 7.9 s → the tokenize+agg is the dominant term at sf0.1)
-    val dgc = toks
+    // snapshotted so the corpus tokenizes once, not twice (measured
+    // 7.9 s → the tokenize+agg is the dominant term at sf0.1).
+    // DiskSnapshot (not persist/localCheckpoint): these are
+    // corpus-shaped frames that the LAZY result below keeps alive —
+    // lineage-preserving disk blocks that drop automatically when the
+    // caller releases the result
+    val dgc = DiskSnapshot.diskCached(toks
       .select(col(idCol),
         explode(TextFunctions.ngrams(concat_ws(" ", col("__w")), 2)).as("__g"))
-      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
-      .persist()
-    val bgc = dgc.groupBy(col("__g")).agg(sum(col("__n")).as("__cb"))
-      .withColumn("__w1", split(col("__g"), " ").getItem(0))
-      .withColumn("__w2", split(col("__g"), " ").getItem(1))
-      .persist()
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n")))
+    val bgc = DiskSnapshot.diskCached(
+      dgc.groupBy(col("__g")).agg(sum(col("__n")).as("__cb"))
+        .withColumn("__w1", split(col("__g"), " ").getItem(0))
+        .withColumn("__w2", split(col("__g"), " ").getItem(1)))
     val nTypes = bgc.count().toDouble // |bigram types| (also caches dgc)
     // ctx/cont are unigram-vocab-sized aggs of the persisted bgc,
     // each consumed exactly once — left lazy (one hash-agg over the
@@ -1009,15 +1016,15 @@ object CorpusStats {
             (lit(discount) * col("__fert") / col("__ctx")) *
               (col("__cont") / lit(nTypes))) * lit(1e9)).cast("long")
           .as("__lp9"))
-    val out = dgc.join(gramLp, Seq("__g"))
+    // lazy result — the #docs-sized scored frame is NOT materialized
+    // here (the round-14 eager checkpoint paid a full extra copy and
+    // truncated lineage); it reads the dgc/bgc snapshots on demand
+    dgc.join(gramLp, Seq("__g"))
       .groupBy(col(idCol))
       .agg(sum(col("__n")).as("n_bigrams"),
         sum(col("__n") * col("__lp9")).as("__s9"))
       .select(col(idCol), col("n_bigrams"),
         round(col("__s9") / lit(1e9) / col("n_bigrams"), 6).as("avg_logp"))
-      .localCheckpoint(true)
-    dgc.unpersist(); bgc.unpersist()
-    out
   }
 
   /** Cross-corpus Kneser–Ney: LM tables from `ref`, every `target`
@@ -1037,12 +1044,11 @@ object CorpusStats {
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0,1), got $discount")
     val refToks = ref.select(TextFunctions.tokens(col(textCol)).as("__w"))
-    val bgc = refToks
+    val bgc = DiskSnapshot.diskCached(refToks
       .select(explode(TextFunctions.ngrams(concat_ws(" ", col("__w")), 2)).as("__g"))
       .groupBy(col("__g")).agg(count(lit(1)).as("__cb"))
       .withColumn("__w1", split(col("__g"), " ").getItem(0))
-      .withColumn("__w2", split(col("__g"), " ").getItem(1))
-      .persist()
+      .withColumn("__w2", split(col("__g"), " ").getItem(1)))
     val nTypes = bgc.count().toDouble
     val contFloor = 1.0 / (nTypes + 1.0)
     // same gated-hint shape as [[bigramKnScore]]: lazy single-use
@@ -1069,14 +1075,13 @@ object CorpusStats {
             / col("__ctx") +
           (lit(discount) * col("__fert") / col("__ctx")) * col("__pcont")))
       .withColumn("__lp9", round(log(col("__p")) * lit(1e9)).cast("long"))
-    val out = scored.groupBy(col(idCol))
+    // lazy, same rationale as [[bigramKnScore]]: the bgc snapshot is
+    // the one materialized copy, the scored output replays from it
+    scored.groupBy(col(idCol))
       .agg(sum(col("__n")).as("n_bigrams"),
         sum(col("__n") * col("__lp9")).as("__s9"))
       .select(col(idCol), col("n_bigrams"),
         round(col("__s9") / lit(1e9) / col("n_bigrams"), 6).as("avg_logp"))
-      .localCheckpoint(true)
-    bgc.unpersist()
-    out
   }
 
   // ---- Naive Bayes corpus classifier ------------------------------
@@ -1233,21 +1238,21 @@ object CorpusStats {
                                    bucket: Column => Column): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
     val nDocs = df.count().toDouble
-    // tb feeds BOTH the idf aggregate and the weight join — persisted
-    // so the corpus tokenizes once (the bigramKnScore lesson)
-    val tb = df
+    // tb feeds BOTH the idf aggregate and the weight join —
+    // snapshotted so the corpus tokenizes once (the bigramKnScore
+    // lesson); lineage-preserving + self-cleaning like the LM family
+    val tb = DiskSnapshot.diskCached(df
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__t"))
       .select(col(idCol), bucket(col("__t")).as("__b"))
-      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__tf"))
-      .persist()
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__tf")))
     val idf = tb.groupBy(col("__b"))
       .agg(count(lit(1)).as("__df"))
       .select(col("__b"),
         (log((lit(nDocs) + 1.0) / (col("__df") + 1.0)) + 1.0).as("__idf"))
-    val out = tb.join(broadcast(idf), Seq("__b"))
+    // lazy: one join over the tb snapshot per consumer — the weight
+    // table (token-bucket-sized, bigger than #docs) is never eagerly
+    // duplicated
+    tb.join(broadcast(idf), Seq("__b"))
       .select(col(idCol), col("__b"), (col("__tf") * col("__idf")).as("__w"))
-      .localCheckpoint(true)
-    tb.unpersist()
-    out
   }
 }

@@ -1,0 +1,67 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset}
+import org.apache.spark.storage.StorageLevel
+
+/** Fault-tolerant, self-cleaning intermediate materialization.
+  *
+  * The multi-consumer intermediates in the corpus operators (scored
+  * frames, (doc, gram) count tables, TF-IDF weight tables) need to be
+  * computed once and read several times — but neither of Spark's two
+  * obvious mechanisms has the right semantics at 100 TB:
+  *
+  *   - `Dataset.localCheckpoint(true)` TRUNCATES LINEAGE: the blocks
+  *     live only on executor-local storage, so a single lost executor
+  *     fails the whole job instead of recomputing the lost partitions
+  *     — and `eager = true` forces a full extra materialization even
+  *     when the caller never evaluates the result.
+  *   - `Dataset.persist` keeps lineage, but registers the plan in the
+  *     session's `CacheManager`, which holds STRONG references: a
+  *     library function that persists an intermediate it hands back
+  *     lazily can never safely `unpersist` (the caller has not
+  *     evaluated yet), so every call leaks a cached plan for the
+  *     session's lifetime — and leaked cache entries also leak into
+  *     OTHER queries via plan-matching cache reuse.
+  *
+  * This helper takes the third path: persist the physical
+  * `RDD[InternalRow]` under the plan, not the plan itself.
+  *
+  *   - Lineage is PRESERVED (`RDD.persist` keeps dependencies), so an
+  *     executor loss recomputes only the lost partitions.
+  *   - The persisted RDD is tracked by Spark's `ContextCleaner` via a
+  *     weak reference: when the returned frame (whose `LogicalRDD`
+  *     leaf holds the only strong reference) is released by the
+  *     caller, the blocks are dropped automatically — no unpersist
+  *     bookkeeping, no CacheManager entry, no cross-query plan
+  *     interference.
+  *   - `DISK_ONLY` by default: these intermediates are corpus-shaped;
+  *     at scale they belong on local disk, not in executor heap.
+  *
+  * Lives under `org.apache.spark.sql` because rebuilding a `DataFrame`
+  * from an `RDD[InternalRow]` without a round-trip through external
+  * `Row`s needs the `private[sql]` `internalCreateDataFrame` — the
+  * same package-placement pattern public Spark-ecosystem libraries
+  * use for typed internals.
+  *
+  * Rows are copied before persisting (`toRdd` reuses `UnsafeRow`
+  * buffers per partition); the copy cost is identical to what
+  * `localCheckpoint` paid internally.
+  */
+object DiskSnapshot {
+
+  /** A lazily-materialized, lineage-preserving, ContextCleaner-tracked
+    * snapshot of `df`. Materializes on the first action that touches
+    * it; every later consumer reads the persisted blocks.
+    */
+  def diskCached(df: DataFrame,
+                 level: StorageLevel = StorageLevel.DISK_ONLY): DataFrame = {
+    val cdf = df.asInstanceOf[ClassicDataset[Row]]
+    val spark = cdf.sparkSession
+    val rdd: RDD[InternalRow] = cdf.queryExecution.toRdd.map(_.copy())
+    rdd.persist(level)
+    spark.internalCreateDataFrame(rdd, cdf.schema, isStreaming = false)
+  }
+}

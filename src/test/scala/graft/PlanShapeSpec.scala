@@ -375,4 +375,67 @@ class PlanShapeSpec extends SparkSpec {
     val top = ScaleOps.skewProfile(df, col("k"), 1).first()
     assert(top.getString(0) == "hot" && top.getDouble(2) == 0.9)
   }
+
+  test("bucketByRank: lazy output, one DISK_ONLY snapshot, lineage never truncated") {
+    // Round-14's form eagerly localCheckpoint(true)'d BOTH the scored
+    // input and the bucketed output: two full corpus-shaped copies on
+    // executor-local storage with lineage truncated — a lost executor
+    // fails the job instead of recomputing. The DiskSnapshot form must
+    // (a) run ONLY the two stats actions at construction (no eager
+    // output materialization), (b) persist nothing above DISK_ONLY,
+    // and (c) keep every RDD in the result's lineage un-checkpointed.
+    import graft.operators.CorpusStats
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.storage.StorageLevel
+    val df = spark.range(0, 1000, 1, 4)
+      .select(col("id"), (col("id") % 7).cast("double").as("score"))
+    val conf = spark.conf
+    val prevAqe = conf.getOption("spark.sql.adaptive.enabled")
+    // AQE off for a deterministic job count (AQE stages one action
+    // into several jobs); a job group isolates this thread's jobs
+    // from any concurrently-running suite
+    conf.set("spark.sql.adaptive.enabled", "false")
+    val group = "plan-shape-bucket-by-rank"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "bucketByRank construction probe")
+    try {
+      val out = CorpusStats.bucketByRank(df, "id", "score", 4)
+      Thread.sleep(1500) // listener events deliver asynchronously
+      assert(jobs.get == 2,
+        s"construction ran ${jobs.get} jobs; expected exactly the two " +
+          "stats actions — an eager input/output materialization crept back in")
+      def lineage(r: org.apache.spark.rdd.RDD[_]): Seq[org.apache.spark.rdd.RDD[_]] =
+        r +: r.dependencies.flatMap(d => lineage(d.rdd))
+      val rdds = lineage(
+        out.queryExecution.toRdd.asInstanceOf[org.apache.spark.rdd.RDD[_]])
+      assert(rdds.forall(!_.isCheckpointed),
+        "checkpointed RDD in bucketByRank lineage — fault tolerance lost")
+      val persisted = rdds.filter(_.getStorageLevel != StorageLevel.NONE)
+      assert(persisted.nonEmpty, "the scored-input snapshot is gone")
+      persisted.foreach { r =>
+        val l = r.getStorageLevel
+        // localCheckpoint's implicit level uses memory — DISK_ONLY is
+        // the contract for corpus-shaped intermediates
+        assert(l.useDisk && !l.useMemory && l.replication == 1,
+          s"snapshot persisted at $l, expected DISK_ONLY")
+      }
+      // and the lazy plan still produces exact equal-count buckets
+      val hist = out.groupBy(col("bucket")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(hist == Map(0 -> 250L, 1 -> 250L, 2 -> 250L, 3 -> 250L),
+        s"bucket histogram off: $hist")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+      prevAqe.fold(conf.unset("spark.sql.adaptive.enabled"))(
+        conf.set("spark.sql.adaptive.enabled", _))
+    }
+  }
 }
