@@ -21,11 +21,12 @@ object ScaleProbe {
     val shardedMode = args.contains("sharded")
     val lmVocabMode = args.contains("lmvocab")
     val rankHotMode = args.contains("rankhot")
+    val arrowIoMode = args.contains("arrowio")
     val posArgs = args.filterNot(a =>
       a == "twolevel" || a == "bpe" || a == "cann" || a == "streaming" ||
-      a == "sharded" || a == "lmvocab" || a == "rankhot")
+      a == "sharded" || a == "lmvocab" || a == "rankhot" || a == "arrowio")
     val special = tlMode || bpeMode || cannMode || streamMode ||
-      shardedMode || lmVocabMode || rankHotMode
+      shardedMode || lmVocabMode || rankHotMode || arrowIoMode
     // twolevel/bpe/cann modes take no factor: the only positional arg is outDir
     val factor =
       if (special) 1 else posArgs.headOption.map(_.toInt).getOrElse(10)
@@ -48,6 +49,7 @@ object ScaleProbe {
     if (shardedMode) { shardedProbe(spark, outDir); return }
     if (lmVocabMode) { lmVocabProbe(spark, outDir); return }
     if (rankHotMode) { rankHotProbe(spark, outDir); return }
+    if (arrowIoMode) { arrowIoProbe(spark, outDir); return }
 
     // rotate an array column by c positions MODULO its per-row length
     // — a plain `slice(arr, c+1, …)` is a silent NO-OP whenever c ≥
@@ -848,6 +850,89 @@ object ScaleProbe {
     }
     run("sub-sliced (default cap 2^20)", CorpusStats.HotScoreRows)
     run("single-window (cap 2^24)", 1L << 24)
+    spark.stop()
+  }
+
+  /** Arrow IPC import throughput at the 2M-row dataloader fixture
+    * (id + 16-dim float embedding + token array — the export shapes a
+    * training pipeline round-trips). Times the batch-wise import
+    * (ColumnarBatch view + one codegen'd UnsafeProjection) against an
+    * inline replica of the round-14 row-wise path (getObject per
+    * value, type dispatch per value, Row.fromSeq per record, encoder
+    * pass in createDataFrame) over the SAME shard files, with the
+    * same full-decode aggregate forcing every column.
+    */
+  private def arrowIoProbe(spark: SparkSession, outDir: String): Unit = {
+    import graft.io.ArrowExport
+    import org.apache.spark.sql.types._
+    val n = 2000000L
+    val dim = 16
+    val df = spark.range(n).select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)), p =>
+          (pmod(xxhash64(col("id") * dim + p), lit(1000L)).cast("double") / 1000.0)
+            .cast("float")).as("embedding"),
+        transform(sequence(lit(0), pmod(col("id"), lit(4L)).cast("int")), t =>
+          concat(lit("t"), pmod(col("id") + t, lit(1000L)))).as("toks"))
+      .repartition(32)
+    val dir = s"$outDir/arrowio_2m"
+    val t0 = System.nanoTime()
+    val files = ArrowExport.writeArrowIpc(df, dir)
+    val tWrite = (System.nanoTime() - t0) / 1e9
+    println(f"arrowio write: $n rows, ${files.length} shards, " +
+      f"t=$tWrite%6.2fs ${n / tWrite / 1e6}%5.2f Mrows/s")
+    val schema = df.schema
+    // full-decode aggregate: every column's every value crosses into
+    // Spark (checksums so nothing prunes or short-circuits); bit_xor
+    // is order-independent and overflow-free, so both paths must
+    // produce IDENTICAL values regardless of row order
+    def force(d: DataFrame): Seq[Any] =
+      d.agg(count(lit(1)), bit_xor(xxhash64(col("id"))),
+        bit_xor(xxhash64(concat_ws(",", col("embedding")))),
+        bit_xor(xxhash64(concat_ws(",", col("toks"))))).collect().head.toSeq
+    def time(tag: String, mk: => DataFrame): Seq[Any] = {
+      val s0 = System.nanoTime()
+      val r = force(mk)
+      val dt = (System.nanoTime() - s0) / 1e9
+      println(f"arrowio read $tag%-10s t=$dt%6.2fs ${n / dt / 1e6}%5.2f Mrows/s")
+      r
+    }
+    val a = time("batch-wise", ArrowExport.readArrowIpcDF(spark, dir, schema))
+    // the round-14 shape, inlined as the comparison point: row-at-a-
+    // time getObject with per-value dispatch + the encoder pass
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val bc = spark.sparkContext.broadcast(hconf)
+    val paths = files
+    def rowWise: DataFrame = {
+      val rdd = spark.sparkContext.parallelize(paths, paths.length).flatMap { p =>
+        import scala.jdk.CollectionConverters._
+        val alloc = new org.apache.arrow.memory.RootAllocator()
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val in = hp.getFileSystem(bc.value.value).open(hp)
+        val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
+        val root = reader.getVectorSchemaRoot
+        def conv(v: Any): Any = v match {
+          case t: org.apache.arrow.vector.util.Text => t.toString
+          case l: java.util.List[_] => l.asScala.map(conv).toSeq
+          case x => x
+        }
+        val out = Seq.newBuilder[org.apache.spark.sql.Row]
+        while (reader.loadNextBatch()) {
+          val vecs = root.getFieldVectors.asScala.toSeq
+          var i = 0
+          while (i < root.getRowCount) {
+            out += org.apache.spark.sql.Row.fromSeq(vecs.map(v => conv(v.getObject(i))))
+            i += 1
+          }
+        }
+        reader.close(); in.close(); alloc.close()
+        out.result()
+      }
+      spark.createDataFrame(rdd, schema)
+    }
+    val b = time("row-wise", rowWise)
+    require(a == b, s"decode mismatch: $a vs $b")
+    println("arrowio checksums identical across paths")
     spark.stop()
   }
 

@@ -32,9 +32,22 @@ import scala.jdk.CollectionConverters._
   * no Spark-internal Arrow plumbing.
   *
   * Supported column types: boolean, int, long, float, double, string,
-  * binary, date, timestamp, and arrays of int/long/float/double
-  * (embedding columns). Anything else throws up front with the column
-  * name — cast or digest it first.
+  * binary, date, timestamp, and arrays of int/long/float/double/string
+  * (embedding and token-array columns; inner nulls round-trip).
+  * Anything else throws up front with the column name — cast or
+  * digest it first.
+  *
+  * Determinism caveat (shard identity under retries): a retried or
+  * speculative task re-runs the partition and must produce the SAME
+  * bytes for the commit protocol's "loser defers to committed winner"
+  * step to be exact. Spark partition CONTENT is deterministic per
+  * partition id under fixed input, but row ORDER after a round-robin
+  * `repartition(n)` or an unordered shuffle is not guaranteed stable
+  * across attempts — the committed winner then holds the same row SET
+  * in a possibly different order. If byte-identical shards matter to
+  * the consumer, export frames whose partitioning is deterministic
+  * (source partitions, hash-partitioned keys, or sortWithinPartitions)
+  * or disable speculation for the write job.
   */
 object ArrowExport {
 
@@ -95,15 +108,7 @@ object ArrowExport {
           try fs.delete(tmp, false)
           catch { case _: Throwable => () } // best-effort; rethrow wins
         }
-        if (!fs.rename(tmp, fin)) {
-          // HDFS rename refuses an existing destination. The driver
-          // swept prior-run shards before the job, so an existing fin
-          // can only be a concurrent attempt of THIS run that already
-          // committed identical content — keep it.
-          fs.delete(tmp, false)
-          require(fs.exists(fin),
-            s"ArrowExport: rename failed and no committed shard at $fin")
-        }
+        commitShard(fs, tmp, fin)
         Iterator.single(f"$outDir/part-$pid%05d.arrow")
       }
     }.collect().toSeq.sorted
@@ -115,6 +120,14 @@ object ArrowExport {
     * self-describing, but Spark needs the schema before tasks run;
     * pass the frame's schema or a pruned subset of its columns).
     * Inverse of [[writeArrowIpc]] over the same supported types.
+    *
+    * Moves BATCH-WISE: each loaded Arrow record batch is wrapped as a
+    * Spark `ColumnarBatch` over `ArrowColumnVector`s (zero-copy view
+    * of the Arrow buffers) and compacted to `UnsafeRow`s by ONE
+    * codegen'd projection — no per-value boxing, no per-value type
+    * dispatch, no external-`Row` round trip. (The round-14 form built
+    * a `Row.fromSeq` per record with a type `match` per value, then
+    * paid the encoder again inside `createDataFrame`.)
     */
   def readArrowIpcDF(spark: org.apache.spark.sql.SparkSession,
                      dir: String, schema: StructType): DataFrame = {
@@ -129,21 +142,24 @@ object ArrowExport {
     val bc = spark.sparkContext.broadcast(hconf)
     val rdd = spark.sparkContext
       .parallelize(files, math.max(1, files.length))
-      .flatMap(path => shardRowIterator(path, schema, bc.value.value))
-    spark.createDataFrame(rdd, schema)
+      .flatMap(path => shardInternalIterator(path, schema, bc.value.value))
+    org.apache.spark.sql.graftshim.DiskSnapshot
+      .dfFromInternalRows(spark, rdd, schema)
   }
 
-  /** Streaming per-shard row iterator: one Arrow record batch in
-    * memory at a time (the write-side `batchRows` granularity is the
-    * read-side peak too — a multi-GB shard never materializes).
-    * Resources close at exhaustion AND at task completion, so a
-    * short-circuiting consumer (limit) doesn't leak the allocator;
-    * initialization failures (missing file, schema mismatch) close
-    * whatever was already opened before rethrowing.
+  /** Streaming per-shard batch-wise iterator: one Arrow record batch
+    * in memory at a time (the write-side `batchRows` granularity is
+    * the read-side peak too — a multi-GB shard never materializes),
+    * surfaced to Spark as `UnsafeRow`s via a columnar-batch view plus
+    * one codegen'd projection. Resources close at exhaustion AND at
+    * task completion, so a short-circuiting consumer (limit) doesn't
+    * leak the allocator; initialization failures (missing file, schema
+    * mismatch) close whatever was already opened before rethrowing.
     */
-  private def shardRowIterator(path: String, schema: StructType,
-      conf: org.apache.hadoop.conf.Configuration): Iterator[org.apache.spark.sql.Row] =
-    new Iterator[org.apache.spark.sql.Row] {
+  private def shardInternalIterator(path: String, schema: StructType,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
       private val alloc = new org.apache.arrow.memory.RootAllocator()
       private val in: java.io.InputStream =
         try {
@@ -168,8 +184,12 @@ object ArrowExport {
           try reader.close() finally { try in.close() finally alloc.close() }
           throw e
         }
-      private var idx = 0
-      private var inBatch = 0
+      // type dispatch happens ONCE, here, not per value: the projection
+      // compiles column accessors for the whole schema
+      private val proj = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(schema.fields.map(_.dataType))
+      private var batch: Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+        Iterator.empty
       private var closed = false
       Option(org.apache.spark.TaskContext.get()).foreach(
         _.addTaskCompletionListener[Unit](_ => close()))
@@ -181,36 +201,26 @@ object ArrowExport {
 
       override def hasNext: Boolean = {
         if (closed) return false
-        while (idx >= inBatch) {
-          if (reader.loadNextBatch()) { inBatch = root.getRowCount; idx = 0 }
-          else { close(); return false }
+        while (!batch.hasNext) {
+          if (reader.loadNextBatch()) {
+            // zero-copy view over the freshly-loaded Arrow buffers, in
+            // the requested (possibly pruned / reordered) column order
+            val vecs = root.getFieldVectors
+            val cols = order.map(i =>
+              new org.apache.spark.sql.vectorized.ArrowColumnVector(vecs.get(i))
+                : org.apache.spark.sql.vectorized.ColumnVector).toArray
+            batch = new org.apache.spark.sql.vectorized
+              .ColumnarBatch(cols, root.getRowCount).rowIterator().asScala
+          } else { close(); return false }
         }
         true
       }
 
-      override def next(): org.apache.spark.sql.Row = {
+      override def next(): org.apache.spark.sql.catalyst.InternalRow = {
         if (!hasNext) throw new NoSuchElementException(path)
-        val vectors = root.getFieldVectors
-        val values = schema.fields.zip(order).map { case (f, col) =>
-          fromArrow(vectors.get(col).getObject(idx)) match {
-            case null => null
-            case v => f.dataType match {
-              case DateType => java.sql.Date.valueOf(
-                java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
-              case TimestampType => v match {
-                case us: java.lang.Long =>
-                  java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
-                    Math.floorDiv(us, 1000000L),
-                    Math.floorMod(us, 1000000L) * 1000L))
-                case ldt: java.time.LocalDateTime =>
-                  java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
-              }
-              case _ => v
-            }
-          }
-        }
-        idx += 1
-        org.apache.spark.sql.Row.fromSeq(values.toSeq)
+        // the projection's UnsafeRow buffer is reused — copy() hands
+        // downstream operators an immutable row (they may buffer it)
+        proj(batch.next()).copy()
       }
     }
 
@@ -239,6 +249,26 @@ object ArrowExport {
     } finally { reader.close(); in.close(); alloc.close() }
   }
 
+  /** The commit step of the task protocol: move a fully-written temp
+    * shard under its final name. On filesystems whose rename refuses
+    * an existing destination (HDFS semantics), a loser of a
+    * concurrent-attempt race DEFERS: the driver swept prior-run shards
+    * before the job, so an existing destination can only be a
+    * concurrent attempt of THIS run that already committed the same
+    * partition — the loser deletes its temp and keeps the winner.
+    * Package-private so the race is testable without orchestrating two
+    * racing tasks (ArrowExportSpec drives both orders directly).
+    */
+  private[graft] def commitShard(fs: org.apache.hadoop.fs.FileSystem,
+                              tmp: org.apache.hadoop.fs.Path,
+                              fin: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.rename(tmp, fin)) {
+      fs.delete(tmp, false)
+      require(fs.exists(fin),
+        s"ArrowExport: rename failed and no committed shard at $fin")
+    }
+  }
+
   private def fromArrow(v: Any): Any = v match {
     case t: org.apache.arrow.vector.util.Text => t.toString
     case l: java.util.List[_] => l.asScala.map(fromArrow).toSeq
@@ -248,7 +278,8 @@ object ArrowExport {
   private def checkSupported(name: String, dt: DataType): Unit = dt match {
     case BooleanType | IntegerType | LongType | FloatType | DoubleType |
          StringType | BinaryType | DateType | TimestampType => ()
-    case ArrayType(IntegerType | LongType | FloatType | DoubleType, _) => ()
+    case ArrayType(IntegerType | LongType | FloatType | DoubleType |
+                   StringType, _) => ()
     case other => throw new IllegalArgumentException(
       s"ArrowExport: unsupported type $other for column '$name' — " +
         "cast it (or digest to a supported scalar) before export")
@@ -333,12 +364,14 @@ object ArrowExport {
                       case LongType => w.bigInt().writeNull()
                       case FloatType => w.float4().writeNull()
                       case DoubleType => w.float8().writeNull()
+                      case StringType => w.varChar().writeNull()
                       case _ => ()
                     } else elem match {
                       case IntegerType => w.integer().writeInt(e.asInstanceOf[Int])
                       case LongType => w.bigInt().writeBigInt(e.asInstanceOf[Long])
                       case FloatType => w.float4().writeFloat4(e.asInstanceOf[Float])
                       case DoubleType => w.float8().writeFloat8(e.asInstanceOf[Double])
+                      case StringType => w.varChar().writeVarChar(e.asInstanceOf[String])
                       case _ => ()
                     }
                   }

@@ -313,8 +313,11 @@ object CoreLib {
           .localCheckpoint(true)
       } finally {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
+        // Files.walk holds a directory handle until the stream closes
+        scala.util.Using.resource(java.nio.file.Files.walk(tmp)) { w =>
+          w.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       }
     }),
 

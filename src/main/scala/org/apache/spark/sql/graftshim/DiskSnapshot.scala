@@ -64,4 +64,17 @@ object DiskSnapshot {
     rdd.persist(level)
     spark.internalCreateDataFrame(rdd, cdf.schema, isStreaming = false)
   }
+
+  /** A DataFrame over an `RDD[InternalRow]` without the external-`Row`
+    * round trip — the landing zone for columnar readers (Arrow IPC
+    * import) that already produce `UnsafeRow`s: `createDataFrame`
+    * would force every value through an external `Row` plus an
+    * encoder pass, doubling the per-row work the columnar path just
+    * avoided.
+    */
+  def dfFromInternalRows(spark: org.apache.spark.sql.SparkSession,
+                         rdd: RDD[InternalRow],
+                         schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
 }

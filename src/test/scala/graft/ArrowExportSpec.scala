@@ -259,4 +259,76 @@ class ArrowExportSpec extends SparkSpec {
     val ok = ArrowExport.readArrowIpcDF(spark, out, df.schema)
     assert(ok.count() == 10)
   }
+
+  test("token arrays (array<string>) round-trip incl. null array and inner nulls") {
+    // the first post-embedding shape a real dataloader hits: q110's
+    // BPE token columns. Inner empties, inner nulls, and a null array
+    // all round-trip through both the dev reader and the distributed
+    // import.
+    val df = spark.sql(
+      """SELECT id,
+           CASE WHEN id = 3 THEN NULL
+                ELSE array(concat('tok', id),
+                           CASE WHEN id = 1 THEN NULL ELSE 'x' END, '')
+           END AS toks
+         FROM range(5)""").repartition(2)
+    val out = tmpDir("toks")
+    val files = ArrowExport.writeArrowIpc(df, out, batchRows = 2)
+    val (names, rows) = readAll(files)
+    assert(names == Seq("id", "toks"))
+    val got = rows.map(r => r.head.asInstanceOf[Long] -> r(1)).toMap
+    assert(got(3L) == null, "null token array must survive")
+    assert(got(1L) == Seq("tok1", null, ""), s"inner null lost: ${got(1L)}")
+    assert(got(0L) == Seq("tok0", "x", ""))
+    val back = ArrowExport.readArrowIpcDF(spark, out, df.schema)
+    def toMapOf(d: org.apache.spark.sql.DataFrame) = d.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+    assert(toMapOf(back) == toMapOf(df))
+  }
+
+  test("concurrent-writer rename race: loser defers, reader sees one committed shard") {
+    import org.apache.hadoop.fs.{FilterFileSystem, Path}
+    // a committed winner: a normal 1-shard export
+    val df = spark.range(7).select(col("id")).coalesce(1)
+    val out = tmpDir("race")
+    ArrowExport.writeArrowIpc(df, out)
+    val fin = new Path(s"$out/part-00000.arrow")
+    val rawFs = fin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val finLocal = java.nio.file.Paths.get(out, "part-00000.arrow")
+    val winnerBytes = java.nio.file.Files.readAllBytes(finLocal)
+    // the racing twin's fully-written temp (same partition, same bytes)
+    val tmp = new Path(s"$out/.part-00000.arrow.inprogress-99")
+    def plantTmp(): Unit = {
+      val os = rawFs.create(tmp, true); os.write(winnerBytes); os.close()
+    }
+    plantTmp()
+    // pin HDFS rename semantics (refuse existing destination) — the
+    // local fs may silently overwrite, which would mask the race
+    val hdfsLike = new FilterFileSystem(rawFs) {
+      override def rename(src: Path, dst: Path): Boolean =
+        !fs.exists(dst) && super.rename(src, dst)
+    }
+    ArrowExport.commitShard(hdfsLike, tmp, fin)
+    // loser deferred: temp gone, winner byte-identical, exactly one
+    // shard visible to the reader
+    assert(!rawFs.exists(tmp), "loser temp must be deleted")
+    assert(java.util.Arrays.equals(winnerBytes,
+      java.nio.file.Files.readAllBytes(finLocal)), "winner was disturbed")
+    val names = new java.io.File(out).listFiles().map(_.getName).toSeq
+      .filterNot(_.endsWith(".crc"))
+    assert(names == Seq("part-00000.arrow"), names)
+    val back = ArrowExport.readArrowIpcDF(spark, out, df.schema)
+    assert(back.collect().map(_.getLong(0)).toSet == (0L until 7L).toSet)
+    // and the no-winner guard: rename fails with NO committed shard →
+    // the task must fail loudly, never report a path it didn't commit
+    plantTmp()
+    rawFs.delete(fin, false)
+    val alwaysRefuse = new FilterFileSystem(rawFs) {
+      override def rename(src: Path, dst: Path): Boolean = false
+    }
+    val e = intercept[IllegalArgumentException] {
+      ArrowExport.commitShard(alwaysRefuse, tmp, fin)
+    }
+    assert(e.getMessage.contains("no committed shard"), e.getMessage)
+  }
 }
