@@ -29,6 +29,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_morton_key"),
       new ExpressionInfo(classOf[MortonKeyExpr].getName, "graft_morton_key"),
       (children: Seq[Expression]) => MortonKeyExpr(children): Expression),
+    (FunctionIdentifier("graft_healpix_pix"),
+      new ExpressionInfo(classOf[HealpixPixExpr].getName, "graft_healpix_pix"),
+      (children: Seq[Expression]) => HealpixPixExpr(children): Expression),
     (FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
       (children: Seq[Expression]) => SimHash64Expr(children): Expression),
@@ -143,6 +146,62 @@ final case class MortonKeyExpr(children: Seq[Expression]) extends Expression {
         if (!${ev.isNull}) {
           ${ev.value} = graft.spatial.Morton.pointKey(
             ${xg.value}, ${yg.value}, ${zg.value}, $originV, $sizeV, $levelV);
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** graft_healpix_pix(ra, dec, nside) → long
+  *
+  * Codegen'd HEALPix nested pixel id (Górski et al. 2005; reference
+  * spatial/healpix.py:19-66 delegates to healpy's ang2pix). Replaces
+  * the round-14 Scala UDF, which was opaque to Catalyst: no
+  * whole-stage fusion, no pushdown through it, boxed Double per row.
+  * As an `Expression` the pixel key fuses into the surrounding
+  * codegen stage exactly like [[MortonKeyExpr]] — one static JVM call
+  * per row — and stays eligible for constant folding on literal
+  * coordinates.
+  */
+final case class HealpixPixExpr(children: Seq[Expression]) extends Expression {
+
+  require(children.length == 3, "graft_healpix_pix(ra, dec, nside)")
+  private def rae = children(0); private def dece = children(1)
+
+  // nside must be a foldable plan-time constant (it selects a
+  // resolution, not a per-row value); power-of-2 is checked once here
+  // instead of per row inside the kernel
+  private lazy val nsideV = {
+    val n = children(2).eval(null).toString.toInt
+    require(n > 0 && (n & (n - 1)) == 0, s"nside $n not a power of 2")
+    n
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = rae.nullable || dece.nullable
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def prettyName: String = "graft_healpix_pix"
+
+  override def eval(input: InternalRow): Any = {
+    val r = rae.eval(input); val d = dece.eval(input)
+    if (r == null || d == null) null
+    else graft.spatial.Healpix.ang2pixNest(nsideV,
+      r.asInstanceOf[Double], d.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rg = rae.genCode(ctx); val dg = dece.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${rg.code}
+        ${dg.code}
+        boolean ${ev.isNull} = ${rg.isNull} || ${dg.isNull};
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.spatial.Healpix.ang2pixNest(
+            $nsideV, ${rg.value}, ${dg.value});
         }
       """)
   }

@@ -1,7 +1,7 @@
 package graft.spatial
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
+
 
 /** Minimal HEALPix (NESTED ordering) — the reference delegates to
   * healpy (spatial/healpix.py:19-66, SURVEY.md §7.4 hard part 5);
@@ -163,12 +163,22 @@ object Healpix {
   def charDeg(nside: Int): Double =
     math.toDegrees(math.sqrt(4.0 * math.Pi / npix(nside)))
 
-  /** Pixel-id column (UDF — scalar math too branchy for a hand-rolled
-    * codegen expression to pay off; the hot path uses the resulting
-    * LONG column, computed once at write time).
+  /** Pixel-id column: the codegen'd [[graft.plans.HealpixPixExpr]]
+    * Catalyst expression (round 14 used a Scala UDF here — opaque to
+    * Catalyst, boxed per row; the expression fuses into whole-stage
+    * codegen like the Morton key). Registration is idempotent and
+    * rides the active session; stored pixel columns written by
+    * earlier rounds are identical bit-for-bit (same ang2pixNest
+    * kernel underneath).
     */
   def pixelColumn(nside: Int, ra: Column, dec: Column): Column = {
-    val f = udf((r: Double, d: Double) => ang2pixNest(nside, r, d))
-    f(ra, dec)
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(graft.plans.GraftExtensions.registerAll)
+    // explicit double casts preserve the old UDF's input coercion
+    // (the expression's eval assumes doubles)
+    org.apache.spark.sql.functions.call_function(
+      "graft_healpix_pix", ra.cast("double"), dec.cast("double"),
+      org.apache.spark.sql.functions.lit(nside))
   }
 }

@@ -97,11 +97,18 @@ class DriverContractSpec extends AnyFunSuite {
     assert(m3("q")._2 == Seq(2.0, 3.0, 4.0, 5.0, 6.0))
   }
 
-  test("suspect entries carry the churn-canary ctl ratio and best-run min") {
+  test("suspect entries carry the churn-canary ctl ratio, best-run min, and iso re-time") {
     val e = Bench.entry("q999", 9.870, 7, 0, susp = true, ctl = Some(2.134),
-      minT = Some(3.901))
+      minT = Some(3.901), iso = Some(2.044))
     assert(e ==
-      "\"q999\":{\"t\":9.870,\"runs\":7,\"suspect\":true,\"ctl\":2.13,\"min\":3.901}", e)
+      "\"q999\":{\"t\":9.870,\"runs\":7,\"suspect\":true,\"ctl\":2.13," +
+        "\"min\":3.901,\"iso\":2.044}", e)
+    // iso is optional (the post-suite re-time can fail) — the r14
+    // shape without it must serialize unchanged
+    val e2 = Bench.entry("q999", 9.870, 7, 0, susp = true, ctl = Some(2.134),
+      minT = Some(3.901))
+    assert(e2 ==
+      "\"q999\":{\"t\":9.870,\"runs\":7,\"suspect\":true,\"ctl\":2.13,\"min\":3.901}", e2)
     // non-suspects never carry it; the plain shapes are unchanged
     assert(Bench.entry("q1", 0.123, 1, 0, susp = false) == "\"q1\":0.123")
     assert(Bench.entry("q2", 1.5, 3, 0, susp = false) ==
