@@ -28,6 +28,7 @@ object CrossMatch {
                     leftId: String, rightId: String,
                     coords: (String, String),
                     radiusDeg: Double, nside: Int = 16): DataFrame = {
+    graft.plans.GraftExtensions.registerAll(left.sparkSession)
     val (ra, dec) = coords
     val l = left.select(col(leftId).as("__lid"),
       col(ra).as("__lra"), col(dec).as("__ldec"))
@@ -41,16 +42,18 @@ object CrossMatch {
     // center (queryDisc pads another internally for the left side);
     // the exact separation predicate trims the cover.
     val pad = Healpix.charDeg(nside)
-    val disc = udf { (r: Double, d: Double) =>
-      val pix = Healpix.ang2pixNest(nside, r, d)
-      CrossMatch.discCache.getOrElseUpdate((nside, pix, radiusDeg), {
-        val (cra, cdec) = Healpix.pix2angNest(nside, pix)
-        Healpix.queryDisc(nside, Region.SkyP(cra, cdec), radiusDeg + pad).toSeq
-      })
-    }
+    // both the pixel key and the disc cover are codegen'd expressions
+    // (round 14 ran a Scala UDF here — opaque to Catalyst, boxed per
+    // row); the cover memoizes per pixel exactly as before, so a hit
+    // is one map lookup inside the codegen stage
     val r = right.select(col(rightId).as("__rid"),
       col(ra).as("__rra"), col(dec).as("__rdec"))
-      .withColumn("__pix", explode(disc(col("__rra"), col("__rdec"))))
+      .withColumn("__rpix",
+        Healpix.pixelColumn(nside, col("__rra"), col("__rdec")))
+      .withColumn("__pix", explode(
+        org.apache.spark.sql.functions.call_function("graft_healpix_disc",
+          col("__rpix"), lit(nside), lit(radiusDeg + pad))))
+      .drop("__rpix")
     // haversine separation — identical expression to Region.Cone's
     val sd = sin((radians(col("__rdec")) - radians(col("__ldec"))) / 2)
     val sr = sin((radians(col("__rra")) - radians(col("__lra"))) / 2)
@@ -72,13 +75,6 @@ object CrossMatch {
       .select(col("__lid").as(leftId), col("__rid").as(rightId),
         col("__sep").as("sep_deg"))
   }
-
-  /** Executor-local per-pixel disc cover cache (≤ 12·nside² entries
-    * per (nside, radius) in use; each entry is one hierarchical disc
-    * query).
-    */
-  private val discCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, Long, Double), Seq[Long]]
 
   /** 3-D nearest-neighbor join within `radius` (halo matching across
     * catalogs/simulations): grid cells of width ≥ radius, right rows

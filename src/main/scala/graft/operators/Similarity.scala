@@ -415,9 +415,13 @@ object Similarity {
       val idx = buildIvfIndex(df, idCol, vecCol, nClusters, iters)
       val asg = idx.cells.select(col("neighbor_id").as("__id"),
         col("cv").as("__vec"), col("cell").as("cluster"))
-      val out = dominanceSurvivors(asg, threshold)
-        .select(col("__id").as(idCol), col("cluster"))
-        .localCheckpoint(true)
+      // eager disk snapshot (NOT localCheckpoint): the #docs-sized
+      // survivor frame must materialize before the bigger index cache
+      // is released, but it keeps lineage (executor loss recomputes
+      // instead of failing) and lives on disk, not heap
+      val out = org.apache.spark.sql.graftshim.DiskSnapshot.diskCachedEager(
+        dominanceSurvivors(asg, threshold)
+          .select(col("__id").as(idCol), col("cluster")))
       idx.unpersist()
       out
     }
@@ -441,9 +445,10 @@ object Similarity {
         df.select(col(idCol).as("__id"), col(vecCol).as("__vec")),
         "__vec", "cluster")
       .select(col("__id"), col("__vec"), col("cluster"))
-    val out = dominanceSurvivors(asg, threshold)
-      .select(col("__id").as(idCol), col("cluster"))
-      .localCheckpoint(true)
+    // same eager-snapshot lifecycle as the flat path above
+    val out = org.apache.spark.sql.graftshim.DiskSnapshot.diskCachedEager(
+      dominanceSurvivors(asg, threshold)
+        .select(col("__id").as(idCol), col("cluster")))
     tl.unpersist()
     out
   }

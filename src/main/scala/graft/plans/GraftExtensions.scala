@@ -32,6 +32,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_healpix_pix"),
       new ExpressionInfo(classOf[HealpixPixExpr].getName, "graft_healpix_pix"),
       (children: Seq[Expression]) => HealpixPixExpr(children): Expression),
+    (FunctionIdentifier("graft_healpix_disc"),
+      new ExpressionInfo(classOf[HealpixDiscExpr].getName, "graft_healpix_disc"),
+      (children: Seq[Expression]) => HealpixDiscExpr(children): Expression),
     (FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
       (children: Seq[Expression]) => SimHash64Expr(children): Expression),
@@ -202,6 +205,58 @@ final case class HealpixPixExpr(children: Seq[Expression]) extends Expression {
         if (!${ev.isNull}) {
           ${ev.value} = graft.spatial.Healpix.ang2pixNest(
             $nsideV, ${rg.value}, ${dg.value});
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** graft_healpix_disc(pix, nside, radius_deg) → array<long>
+  *
+  * Codegen'd inclusive disc cover around a pixel's center (the
+  * candidate-pixel generator of the sky cross-match). nside and
+  * radius are plan-time constants; the per-pixel cover memoizes in
+  * [[graft.spatial.Healpix.discCoverCached]] (executor-local, ≤
+  * 12·nside² entries), so a cache hit is one map lookup per row — the
+  * same amortization the round-14 Scala UDF had, minus the UDF's
+  * boxing, serialization, and optimizer opacity. The returned
+  * `ArrayData` feeds `explode` directly.
+  */
+final case class HealpixDiscExpr(children: Seq[Expression]) extends Expression {
+
+  require(children.length == 3, "graft_healpix_disc(pix, nside, radius_deg)")
+  private def pixe = children(0)
+
+  private lazy val nsideV = {
+    val n = children(1).eval(null).toString.toInt
+    require(n > 0 && (n & (n - 1)) == 0, s"nside $n not a power of 2")
+    n
+  }
+  private lazy val radiusV = children(2).eval(null).toString.toDouble
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = pixe.nullable
+  override def prettyName: String = "graft_healpix_disc"
+
+  override def eval(input: InternalRow): Any = {
+    val p = pixe.eval(input)
+    if (p == null) null
+    else graft.spatial.Healpix.discCoverCached(nsideV,
+      p.asInstanceOf[Long], radiusV)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pg = pixe.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${pg.code}
+        boolean ${ev.isNull} = ${pg.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.spatial.Healpix.discCoverCached(
+            $nsideV, ${pg.value}, $radiusV);
         }
       """)
   }

@@ -405,6 +405,38 @@ object Corpus {
         "source", Map("src0" -> 8000L, "src1" -> 5000L, "src2" -> 3000L))
       Sampling.packSequences(sampled.select(col("doc_id"), col("source"),
         col("n_tokens")), "doc_id", "n_tokens", 512L)
+    }),
+
+    // bucketByRank's HOT-SCORE regime under a driver oracle (round-14
+    // verdict ask #8): ~70% of orders share one score value, and the
+    // cap is lowered to 4096 for this query's plan construction so
+    // that value takes the sub-sliced (score, hash-slice) rank path at
+    // gate scale — sf0.01's natural data never exceeds the 2^20
+    // default. Hot ties break by (xxhash64, id), which DuckDB cannot
+    // replay row-for-row, so the gate output is the ORDER-INDEPENDENT
+    // contract of the hot path: per-bucket row counts, hot-row counts,
+    // and a cold-row key checksum. Every cross-score offset, the exact
+    // equal-count partition, and the cold rows' id-order ranks are
+    // fully pinned (any mis-rank moves a row's bucket and breaks a
+    // count or the checksum); only the internal shuffle of equal-score
+    // hot ties — semantically arbitrary — is aggregated away.
+    "q135_rank_hot_gate" -> ((s, dir) => {
+      val prev = s.conf.getOption("spark.graft.rank.hotScoreRows")
+      s.conf.set("spark.graft.rank.hotScoreRows", "4096")
+      try {
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          when(col("o_orderkey") % 10 < 7, lit(0.5))
+            .otherwise((col("o_orderkey") % 97).cast("double") / lit(97.0))
+            .as("score"))
+        CorpusStats.bucketByRank(o, "o_orderkey", "score", 5)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum((col("score") === 0.5).cast("long")).as("n_hot"),
+            sum(when(col("score") =!= 0.5, col("o_orderkey"))).as("cold_key_sum"))
+      } finally {
+        prev.fold(s.conf.unset("spark.graft.rank.hotScoreRows"))(
+          s.conf.set("spark.graft.rank.hotScoreRows", _))
+      }
     })
   )
 
@@ -1114,6 +1146,28 @@ object Corpus {
            SELECT grams.doc_id FROM grams JOIN bench USING (g)
            GROUP BY grams.doc_id HAVING count(*) >= 2)
          SELECT doc_id FROM documents
-         WHERE doc_id NOT IN (SELECT doc_id FROM dirty)"""
+         WHERE doc_id NOT IN (SELECT doc_id FROM dirty)""",
+    // q135: the exact global rank replayed in pure id-order — the hot
+    // group occupies a contiguous rank range whatever its internal
+    // tie order, so cold rows' ranks (and every per-bucket aggregate
+    // below) are identical between the engines. Integer bucket
+    // arithmetic matches CorpusStats.bucketByRank's DIV form.
+    "q135_rank_hot_gate" ->
+      """WITH scored AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 < 7 THEN 0.5
+                  ELSE CAST(o_orderkey % 97 AS DOUBLE) / 97.0 END AS score
+           FROM orders),
+         ranked AS (
+           SELECT o_orderkey, score,
+             row_number() OVER (ORDER BY score DESC, o_orderkey) AS rn,
+             count(*) OVER () AS n
+           FROM scored)
+         SELECT CAST(((rn - 1) * 5) // n AS INT) AS bucket,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN score = 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+           CAST(sum(CASE WHEN score <> 0.5 THEN o_orderkey END) AS BIGINT)
+             AS cold_key_sum
+         FROM ranked GROUP BY 1"""
   )
 }

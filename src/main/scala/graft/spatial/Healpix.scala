@@ -163,6 +163,24 @@ object Healpix {
   def charDeg(nside: Int): Double =
     math.toDegrees(math.sqrt(4.0 * math.Pi / npix(nside)))
 
+  /** Executor-local memo of per-pixel inclusive disc covers (≤
+    * 12·nside² entries per (nside, radius) in use; each miss is one
+    * hierarchical [[queryDisc]]). Returns catalyst `ArrayData` so the
+    * codegen'd [[graft.plans.HealpixDiscExpr]] hands it to `explode`
+    * with no per-row re-wrapping; entries are immutable and safely
+    * shared across rows. Sorted for a deterministic explode order.
+    */
+  private val discCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, Long, Double), org.apache.spark.sql.catalyst.util.ArrayData]
+
+  def discCoverCached(nside: Int, pix: Long, radiusDeg: Double)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    discCache.getOrElseUpdate((nside, pix, radiusDeg), {
+      val (cra, cdec) = pix2angNest(nside, pix)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        queryDisc(nside, Region.SkyP(cra, cdec), radiusDeg).toArray.sorted)
+    })
+
   /** Pixel-id column: the codegen'd [[graft.plans.HealpixPixExpr]]
     * Catalyst expression (round 14 used a Scala UDF here — opaque to
     * Catalyst, boxed per row; the expression fuses into whole-stage

@@ -65,6 +65,29 @@ object DiskSnapshot {
     spark.internalCreateDataFrame(rdd, cdf.schema, isStreaming = false)
   }
 
+  /** [[diskCached]], materialized NOW: for the "compute the (smaller)
+    * output, then release the (bigger) cached input" lifecycle —
+    * the input's unpersist is only safe once the output no longer
+    * needs it, so the output must be eager. Unlike
+    * `localCheckpoint(true)` the blocks keep lineage (executor loss
+    * recomputes — through the full upstream if the input cache is
+    * gone, but the job survives), live on disk rather than heap, and
+    * are ContextCleaner-reaped with the returned frame. The no-op
+    * foreach materializes every partition: `BlockManager.putIterator`
+    * consumes each partition's iterator fully when a storage level is
+    * set, so the blocks are complete even though the closure reads
+    * nothing.
+    */
+  def diskCachedEager(df: DataFrame,
+                      level: StorageLevel = StorageLevel.DISK_ONLY): DataFrame = {
+    val cdf = df.asInstanceOf[ClassicDataset[Row]]
+    val spark = cdf.sparkSession
+    val rdd: RDD[InternalRow] = cdf.queryExecution.toRdd.map(_.copy())
+    rdd.persist(level)
+    rdd.foreachPartition(_ => ())
+    spark.internalCreateDataFrame(rdd, cdf.schema, isStreaming = false)
+  }
+
   /** A DataFrame over an `RDD[InternalRow]` without the external-`Row`
     * round trip — the landing zone for columnar readers (Arrow IPC
     * import) that already produce `UnsafeRow`s: `createDataFrame`

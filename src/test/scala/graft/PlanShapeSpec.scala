@@ -400,6 +400,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sky cross-match plans zero UDFs: pixel key and disc cover are expressions") {
+    val p = plan("q76_crossmatch")
+    assert(p.contains("graft_healpix_pix"), p)
+    assert(p.contains("graft_healpix_disc"), p)
+    assert(!p.contains("UDF"),
+      s"cross-match fell back to a UDF somewhere:\n$p")
+  }
+
   test("bucketByRank: lazy output, one DISK_ONLY snapshot, lineage never truncated") {
     // Round-14's form eagerly localCheckpoint(true)'d BOTH the scored
     // input and the bucketed output: two full corpus-shaped copies on
