@@ -32,10 +32,11 @@ import scala.jdk.CollectionConverters._
   * no Spark-internal Arrow plumbing.
   *
   * Supported column types: boolean, int, long, float, double, string,
-  * binary, date, timestamp, and arrays of int/long/float/double/string
-  * (embedding and token-array columns; inner nulls round-trip).
-  * Anything else throws up front with the column name — cast or
-  * digest it first.
+  * binary, date, timestamp, arrays of int/long/float/double/string
+  * (embedding and token-array columns; inner nulls round-trip), and
+  * flat structs of those scalars (the typed-metadata shape multimodal
+  * columns carry). Anything else throws up front with the column
+  * name — cast or digest it first.
   *
   * Determinism caveat (shard identity under retries): a retried or
   * speculative task re-runs the partition and must produce the SAME
@@ -272,7 +273,15 @@ object ArrowExport {
   private def fromArrow(v: Any): Any = v match {
     case t: org.apache.arrow.vector.util.Text => t.toString
     case l: java.util.List[_] => l.asScala.map(fromArrow).toSeq
+    case m: java.util.Map[_, _] => // struct column (dev reader only)
+      m.asScala.map { case (k, x) => k.toString -> fromArrow(x) }.toMap
     case x => x
+  }
+
+  private def structScalar(dt: DataType): Boolean = dt match {
+    case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+         StringType | BinaryType => true
+    case _ => false
   }
 
   private def checkSupported(name: String, dt: DataType): Unit = dt match {
@@ -280,6 +289,10 @@ object ArrowExport {
          StringType | BinaryType | DateType | TimestampType => ()
     case ArrayType(IntegerType | LongType | FloatType | DoubleType |
                    StringType, _) => ()
+    // flat structs of scalars — the typed-metadata shape multimodal
+    // columns carry (width/height/format next to a binary payload)
+    case StructType(fields) if fields.nonEmpty &&
+        fields.forall(f => structScalar(f.dataType)) => ()
     case other => throw new IllegalArgumentException(
       s"ArrowExport: unsupported type $other for column '$name' — " +
         "cast it (or digest to a supported scalar) before export")
@@ -304,6 +317,9 @@ object ArrowExport {
         val child = arrowField(StructField("item", elem))
         new Field(f.name, FieldType.nullable(ArrowType.List.INSTANCE),
           java.util.List.of(child))
+      case StructType(fields) =>
+        new Field(f.name, FieldType.nullable(ArrowType.Struct.INSTANCE),
+          fields.map(arrowField).toList.asJava)
       case other => throw new IllegalArgumentException(other.toString)
     }
   }
@@ -376,6 +392,37 @@ object ArrowExport {
                     }
                   }
                   w.endList()
+                case st: StructType =>
+                  // direct child-vector sets (allocateNew covered the
+                  // children); an unset inner field stays null
+                  val sv = vec.asInstanceOf[
+                    org.apache.arrow.vector.complex.StructVector]
+                  sv.setIndexDefined(n)
+                  val inner = row.getStruct(j)
+                  var k = 0
+                  while (k < st.length) {
+                    if (!inner.isNullAt(k)) {
+                      val cv = sv.getChild(st(k).name)
+                      st(k).dataType match {
+                        case BooleanType => cv.asInstanceOf[BitVector]
+                          .setSafe(n, if (inner.getBoolean(k)) 1 else 0)
+                        case IntegerType => cv.asInstanceOf[IntVector]
+                          .setSafe(n, inner.getInt(k))
+                        case LongType => cv.asInstanceOf[BigIntVector]
+                          .setSafe(n, inner.getLong(k))
+                        case FloatType => cv.asInstanceOf[Float4Vector]
+                          .setSafe(n, inner.getFloat(k))
+                        case DoubleType => cv.asInstanceOf[Float8Vector]
+                          .setSafe(n, inner.getDouble(k))
+                        case StringType => cv.asInstanceOf[VarCharVector]
+                          .setSafe(n, inner.getString(k).getBytes("UTF-8"))
+                        case BinaryType => cv.asInstanceOf[VarBinaryVector]
+                          .setSafe(n, inner.getAs[Array[Byte]](k))
+                        case _ => ()
+                      }
+                    }
+                    k += 1
+                  }
                 case _ => ()
               }
             }

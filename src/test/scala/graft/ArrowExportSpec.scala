@@ -145,11 +145,18 @@ class ArrowExportSpec extends SparkSpec {
   }
 
   test("unsupported column type fails loudly with the column name") {
-    val df = spark.sql("SELECT named_struct('a', 1) AS st FROM range(1)")
+    // flat structs became supported in round 15; maps (and nested
+    // arrays) stay out
+    val df = spark.sql("SELECT map('a', 1) AS mp FROM range(1)")
     val e = intercept[IllegalArgumentException] {
       ArrowExport.writeArrowIpc(df, tmpDir("bad"))
     }
-    assert(e.getMessage.contains("st"))
+    assert(e.getMessage.contains("mp"))
+    val df2 = spark.sql("SELECT array(array(1)) AS aa FROM range(1)")
+    val e2 = intercept[IllegalArgumentException] {
+      ArrowExport.writeArrowIpc(df2, tmpDir("bad2"))
+    }
+    assert(e2.getMessage.contains("aa"))
   }
 
   test("shard I/O goes through the Hadoop FileSystem API (file: URI scheme)") {
@@ -284,6 +291,42 @@ class ArrowExportSpec extends SparkSpec {
     def toMapOf(d: org.apache.spark.sql.DataFrame) = d.collect().map(r =>
       r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
     assert(toMapOf(back) == toMapOf(df))
+  }
+
+  test("flat metadata structs round-trip incl. null struct and null inner fields") {
+    // the multimodal shape: a binary payload next to a typed metadata
+    // struct (width/height/format) — reference media columns carry
+    // exactly this; nested structs stay rejected (loudly, below)
+    val df = spark.sql(
+      """SELECT id,
+           CAST(encode(concat('img', id), 'UTF-8') AS BINARY) AS payload,
+           CASE WHEN id = 4 THEN NULL ELSE named_struct(
+             'width', CAST(id * 10 AS INT),
+             'height', CASE WHEN id = 1 THEN CAST(NULL AS INT)
+                            ELSE CAST(id * 5 AS INT) END,
+             'format', concat('png', id),
+             'ratio', CAST(id AS DOUBLE) / 7.0,
+             'ok', id % 2 = 0) END AS meta
+         FROM range(5)""").repartition(2)
+    val out = tmpDir("structs")
+    ArrowExport.writeArrowIpc(df, out, batchRows = 2)
+    val back = ArrowExport.readArrowIpcDF(spark, out, df.schema)
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect().map { r =>
+      val meta = if (r.isNullAt(2)) null else {
+        val m = r.getStruct(2)
+        (m.getInt(0), if (m.isNullAt(1)) -1 else m.getInt(1),
+          m.getString(2), m.getDouble(3), m.getBoolean(4))
+      }
+      r.getLong(0) -> (new String(r.getAs[Array[Byte]](1), "UTF-8"), meta)
+    }.toMap
+    assert(key(back) == key(df))
+    // nested structs fail up front with the column name
+    val nested = spark.sql(
+      "SELECT named_struct('inner', named_struct('a', 1)) AS deep FROM range(1)")
+    val e = intercept[IllegalArgumentException] {
+      ArrowExport.writeArrowIpc(nested, tmpDir("nested"))
+    }
+    assert(e.getMessage.contains("deep"), e.getMessage)
   }
 
   test("concurrent-writer rename race: loser defers, reader sees one committed shard") {
