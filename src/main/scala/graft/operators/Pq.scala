@@ -101,16 +101,17 @@ object Pq {
     */
   def encode(df: DataFrame, vecCol: String, cb: PqCodebook,
              outCol: String = "pq_code"): DataFrame = {
-    val b = df.sparkSession.sparkContext.broadcast(cb)
-    val enc = udf { (v: scala.collection.Seq[Float]) =>
-      val c = b.value
-      val arr = v.toArray
-      Array.tabulate(c.m) { sub =>
-        val p = java.util.Arrays.copyOfRange(arr, sub * c.dsub, (sub + 1) * c.dsub)
-        nearest(c.centers(sub), p)
-      }
-    }
-    df.withColumn(outCol, enc(col(vecCol)))
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    // codegen'd kernel over a flat [sub][k][i] codeword literal (KBs)
+    // — the round-14 UDF boxed every corpus vector to Seq[Float] and
+    // copied each subspace slice per row; same nearest-codeword
+    // semantics (strict <, lowest index on ties)
+    val ksub = cb.centers.head.length
+    require(cb.centers.forall(_.length == ksub),
+      "subspace codebooks must be uniform")
+    val flat: Array[Float] = cb.centers.flatMap(_.flatten)
+    df.withColumn(outCol, call_function("graft_pq_encode", col(vecCol),
+      lit(flat), lit(cb.m), lit(cb.dsub), lit(ksub)))
   }
 
   /** ADC distance table of one query vector: flat (m·ksub) floats,

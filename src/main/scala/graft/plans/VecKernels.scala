@@ -107,6 +107,43 @@ object VecKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** PQ encode: per-subspace nearest-codeword ids against a FLAT
+    * [sub][k][i] codeword table (the broadcast-literal layout —
+    * `UnsafeArrayData.getFloat` reads it in place, no per-row copy).
+    * Tie-break: strict `<` keeps the lowest codeword index, matching
+    * the trainer's assignment loop exactly.
+    */
+  def pqEncode(v: ArrayData, flat: ArrayData, m: Int, dsub: Int,
+               ksub: Int): ArrayData = {
+    require(flat.numElements() == m * ksub * dsub,
+      s"graft_pq_encode codebook has ${flat.numElements()} floats, " +
+        s"expected m*ksub*dsub = ${m * ksub * dsub}")
+    require(v.numElements() == m * dsub,
+      s"graft_pq_encode vector has ${v.numElements()} dims, expected ${m * dsub}")
+    val out = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      var best = 0
+      var bd = Double.PositiveInfinity
+      var k = 0
+      while (k < ksub) {
+        val base = (sub * ksub + k) * dsub
+        var s = 0.0
+        var i = 0
+        while (i < dsub) {
+          val t = flat.getFloat(base + i).toDouble - v.getFloat(sub * dsub + i)
+          s += t * t
+          i += 1
+        }
+        if (s < bd) { bd = s; best = k }
+        k += 1
+      }
+      out(sub) = best
+      sub += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** argmin cell of [[cellDists]], ties to the LOWEST index — the
     * same contract as `array_position(ds, array_min(ds)) - 1`.
     */
@@ -351,6 +388,56 @@ final case class L2NormExpr(children: Seq[Expression]) extends Expression {
         double ${ev.value} = 0.0;
         if (!${ev.isNull}) {
           ${ev.value} = graft.plans.VecKernels.l2Norm(${ag.value});
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
+}
+
+/** graft_pq_encode(vec, flat_codebook, m, dsub, ksub) → array<int>
+  *
+  * Codegen'd PQ encoding (Jégou et al. 2011 build step): the
+  * round-14 Scala UDF deserialized every corpus vector to a boxed
+  * Seq[Float] and copied each subspace slice before the scan; this
+  * reads both the vector and the (plan-literal) flat codeword table
+  * in place. m/dsub/ksub are plan-time constants.
+  */
+final case class PqEncodeExpr(children: Seq[Expression]) extends Expression {
+  require(children.length == 5,
+    "graft_pq_encode(vec, flat_codebook, m, dsub, ksub)")
+  private def ve = children(0); private def fe = children(1)
+  private lazy val mV = children(2).eval(null).toString.toInt
+  private lazy val dsubV = children(3).eval(null).toString.toInt
+  private lazy val ksubV = children(4).eval(null).toString.toInt
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = ve.nullable
+  override def prettyName: String = "graft_pq_encode"
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecKernelChecks.floatArrays(
+      Seq(ve -> "vector", fe -> "flat codebook"), prettyName)
+
+  override def eval(input: InternalRow): Any = {
+    val v = ve.eval(input)
+    if (v == null) null
+    else VecKernels.pqEncode(v.asInstanceOf[ArrayData],
+      fe.eval(input).asInstanceOf[ArrayData], mV, dsubV, ksubV)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vg = ve.genCode(ctx); val fg = fe.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${vg.code}
+        ${fg.code}
+        boolean ${ev.isNull} = ${vg.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.plans.VecKernels.pqEncode(
+            ${vg.value}, ${fg.value}, $mV, $dsubV, $ksubV);
         }
       """)
   }
