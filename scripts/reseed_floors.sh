@@ -23,7 +23,13 @@ SF=${1:-/root/testdata/sf0.1}
 N=${2:-4}
 MODE=${3:-merge}
 cd "$(dirname "$0")/.."
-PREV="bench_prev_$(basename "$SF").json"
+# SPARK_GRAFT_BENCH_PREV redirects the floor file (graft.Bench honors
+# it) — lets a validation run regenerate floors into a scratch path
+# and diff against the committed file without touching it.
+# GRAFT_CLASSES points at a snapshot of target/scala-2.13/classes so a
+# long reseed run is immune to concurrent recompiles.
+PREV="${SPARK_GRAFT_BENCH_PREV:-bench_prev_$(basename "$SF").json}"
+CLASSES="${GRAFT_CLASSES:-target/scala-2.13/classes}"
 if [ "$MODE" = fresh ]; then
   rm -f "$PREV"
   echo "[reseed] fresh mode: starting from an empty $PREV" >&2
@@ -35,8 +41,9 @@ done
 for i in $(seq 1 "$N"); do
   echo "[reseed] pass $i/$N ($SF)" >&2
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+    SPARK_GRAFT_BENCH_PREV="$PREV" \
     java $ADD_OPENS -Xmx"${SPARK_GRAFT_BENCH_MEM:-48g}" \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-    -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench >/dev/null
+    -cp "$CLASSES:/opt/spark/jars/*" graft.Bench >/dev/null
 done
 echo "[reseed] wrote $PREV ($N passes merged)" >&2
