@@ -22,11 +22,13 @@ object ScaleProbe {
     val lmVocabMode = args.contains("lmvocab")
     val rankHotMode = args.contains("rankhot")
     val arrowIoMode = args.contains("arrowio")
+    val pqEncodeMode = args.contains("pqencode")
     val posArgs = args.filterNot(a =>
       a == "twolevel" || a == "bpe" || a == "cann" || a == "streaming" ||
-      a == "sharded" || a == "lmvocab" || a == "rankhot" || a == "arrowio")
+      a == "sharded" || a == "lmvocab" || a == "rankhot" || a == "arrowio" ||
+      a == "pqencode")
     val special = tlMode || bpeMode || cannMode || streamMode ||
-      shardedMode || lmVocabMode || rankHotMode || arrowIoMode
+      shardedMode || lmVocabMode || rankHotMode || arrowIoMode || pqEncodeMode
     // twolevel/bpe/cann modes take no factor: the only positional arg is outDir
     val factor =
       if (special) 1 else posArgs.headOption.map(_.toInt).getOrElse(10)
@@ -50,6 +52,7 @@ object ScaleProbe {
     if (lmVocabMode) { lmVocabProbe(spark, outDir); return }
     if (rankHotMode) { rankHotProbe(spark, outDir); return }
     if (arrowIoMode) { arrowIoProbe(spark, outDir); return }
+    if (pqEncodeMode) { pqEncodeProbe(spark, outDir); return }
 
     // rotate an array column by c positions MODULO its per-row length
     // — a plain `slice(arr, c+1, …)` is a silent NO-OP whenever c ≥
@@ -933,6 +936,64 @@ object ScaleProbe {
     val b = time("row-wise", rowWise)
     require(a == b, s"decode mismatch: $a vs $b")
     println("arrowio checksums identical across paths")
+    spark.stop()
+  }
+
+  /** PQ encode throughput at the 2M×64-dim build fixture: the
+    * codegen'd `graft_pq_encode` expression vs an inline replica of
+    * the round-14 UDF (boxed Seq[Float] + per-subspace copyOfRange).
+    * Encode is the corpus-sized stage of every PQ/IVF-PQ build, so its
+    * per-row cost is what a 100 TB pass pays.
+    */
+  private def pqEncodeProbe(spark: SparkSession, outDir: String): Unit = {
+    import graft.operators.Pq
+    val n = 2000000L
+    val dim = 64
+    val path = s"$outDir/pqenc_vec.parquet"
+    spark.range(n).select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)), p =>
+          (pmod(xxhash64(col("id") * dim + p), lit(1000L)).cast("double") / 1000.0)
+            .cast("float")).as("embedding"))
+      .write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+    val cb = Pq.train(df, "id", "embedding", m = 8, ksub = 64)
+    def checksum(enc: org.apache.spark.sql.DataFrame): Long =
+      enc.agg(bit_xor(xxhash64(concat_ws(",", col("pq_code")))))
+        .head().getLong(0)
+    def time(tag: String)(mk: => org.apache.spark.sql.DataFrame): Long = {
+      checksum(mk) // warm: JIT + page cache, so order doesn't bias
+      val t0 = System.nanoTime()
+      val cs = checksum(mk)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"pqencode $tag%-12s t=$dt%6.2fs ${n / dt / 1e6}%5.2f Mrows/s")
+      cs
+    }
+    val a = time("expression")(Pq.encode(df, "embedding", cb))
+    // the round-14 shape, inlined as the comparison point
+    val b = time("udf-replica") {
+      val bcast = spark.sparkContext.broadcast(cb)
+      val enc = udf { (v: scala.collection.Seq[Float]) =>
+        val c = bcast.value
+        val arr = v.toArray
+        Array.tabulate(c.m) { sub =>
+          val p = java.util.Arrays.copyOfRange(arr, sub * c.dsub, (sub + 1) * c.dsub)
+          var best = 0; var bd = Double.MaxValue
+          var k = 0
+          while (k < c.centers(sub).length) {
+            var s = 0.0; var i = 0
+            while (i < p.length) {
+              val t = c.centers(sub)(k)(i) - p(i); s += t * t; i += 1
+            }
+            if (s < bd) { bd = s; best = k }
+            k += 1
+          }
+          best
+        }
+      }
+      df.withColumn("pq_code", enc(col("embedding")))
+    }
+    require(a == b, s"encode mismatch: $a vs $b")
+    println("pqencode checksums identical across paths")
     spark.stop()
   }
 

@@ -108,16 +108,18 @@ object VecKernels {
   }
 
   /** PQ encode: per-subspace nearest-codeword ids against a FLAT
-    * [sub][k][i] codeword table (the broadcast-literal layout —
-    * `UnsafeArrayData.getFloat` reads it in place, no per-row copy).
-    * Tie-break: strict `<` keeps the lowest codeword index, matching
-    * the trainer's assignment loop exactly.
+    * [sub][k][i] codeword table. The table rides into the generated
+    * code as a primitive `float[]` reference object (extracted from
+    * the plan literal ONCE — no per-access unboxing), and the codes
+    * return as an `UnsafeArrayData.fromPrimitiveArray` (no boxing on
+    * the way out either). Arithmetic is FLOAT subtraction/multiply
+    * widened on accumulation — bit-identical to the trainer's
+    * assignment loop (`Pq.nearest`), so train-time and encode-time
+    * assignments can never diverge on a rounding edge. Tie-break:
+    * strict `<` keeps the lowest codeword index, same contract.
     */
-  def pqEncode(v: ArrayData, flat: ArrayData, m: Int, dsub: Int,
+  def pqEncode(v: ArrayData, flat: Array[Float], m: Int, dsub: Int,
                ksub: Int): ArrayData = {
-    require(flat.numElements() == m * ksub * dsub,
-      s"graft_pq_encode codebook has ${flat.numElements()} floats, " +
-        s"expected m*ksub*dsub = ${m * ksub * dsub}")
     require(v.numElements() == m * dsub,
       s"graft_pq_encode vector has ${v.numElements()} dims, expected ${m * dsub}")
     val out = new Array[Int](m)
@@ -131,7 +133,7 @@ object VecKernels {
         var s = 0.0
         var i = 0
         while (i < dsub) {
-          val t = flat.getFloat(base + i).toDouble - v.getFloat(sub * dsub + i)
+          val t = flat(base + i) - v.getFloat(sub * dsub + i)
           s += t * t
           i += 1
         }
@@ -141,7 +143,8 @@ object VecKernels {
       out(sub) = best
       sub += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 
   /** argmin cell of [[cellDists]], ties to the LOWEST index — the
@@ -411,6 +414,17 @@ final case class PqEncodeExpr(children: Seq[Expression]) extends Expression {
   private lazy val mV = children(2).eval(null).toString.toInt
   private lazy val dsubV = children(3).eval(null).toString.toInt
   private lazy val ksubV = children(4).eval(null).toString.toInt
+  // the codebook child must be foldable: it is extracted ONCE here to
+  // a primitive float[] (checked against m·ksub·dsub) and shipped to
+  // the generated code as a reference object — per-row evaluation
+  // never touches the literal's boxed ArrayData
+  private lazy val flatV: Array[Float] = {
+    val a = fe.eval(null).asInstanceOf[ArrayData].toFloatArray()
+    require(a.length == mV * ksubV * dsubV,
+      s"graft_pq_encode codebook has ${a.length} floats, " +
+        s"expected m*ksub*dsub = ${mV * ksubV * dsubV}")
+    a
+  }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = ve.nullable
@@ -423,21 +437,20 @@ final case class PqEncodeExpr(children: Seq[Expression]) extends Expression {
   override def eval(input: InternalRow): Any = {
     val v = ve.eval(input)
     if (v == null) null
-    else VecKernels.pqEncode(v.asInstanceOf[ArrayData],
-      fe.eval(input).asInstanceOf[ArrayData], mV, dsubV, ksubV)
+    else VecKernels.pqEncode(v.asInstanceOf[ArrayData], flatV, mV, dsubV, ksubV)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val vg = ve.genCode(ctx); val fg = fe.genCode(ctx)
+    val vg = ve.genCode(ctx)
+    val flatRef = ctx.addReferenceObj("pqFlat", flatV, "float[]")
     ev.copy(code =
       code"""
         ${vg.code}
-        ${fg.code}
         boolean ${ev.isNull} = ${vg.isNull};
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
         if (!${ev.isNull}) {
           ${ev.value} = graft.plans.VecKernels.pqEncode(
-            ${vg.value}, ${fg.value}, $mV, $dsubV, $ksubV);
+            ${vg.value}, $flatRef, $mV, $dsubV, $ksubV);
         }
       """)
   }

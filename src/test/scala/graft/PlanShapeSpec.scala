@@ -400,6 +400,33 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("PQ encode is a codegen'd expression over a flat codeword literal, not a UDF") {
+    import graft.operators.Pq
+    val e = graft.Tables(spark, sf001, "embeddings")
+    val cb = Pq.train(e, "vec_id", "embedding", m = 8, ksub = 16)
+    val enc = Pq.encode(e, "embedding", cb)
+    val p = enc.queryExecution.executedPlan.toString
+    assert(p.contains("graft_pq_encode"), p)
+    assert(!p.contains("UDF"), s"encode fell back to a UDF:\n$p")
+    assert(p.contains("*(1)"), s"encode not in a codegen stage:\n$p")
+    // value parity with the trainer's own nearest-codeword loop on a
+    // few rows (same strict-<, lowest-index tie-break)
+    enc.select(col("embedding"), col("pq_code")).limit(20).collect().foreach { r =>
+      val v = r.getSeq[Float](0).toArray
+      val got = r.getSeq[Int](1)
+      // FLOAT subtraction/multiply, widened on accumulation — the
+      // trainer's exact arithmetic (Pq.nearest); double-precision
+      // subtraction here would diverge on rounding-edge ties
+      val want = (0 until cb.m).map { sub =>
+        val p0 = java.util.Arrays.copyOfRange(v, sub * cb.dsub, (sub + 1) * cb.dsub)
+        cb.centers(sub).zipWithIndex.minBy { case (c, i) =>
+          (c.zip(p0).map { case (a, b) => val t = a - b; (t * t).toDouble }.sum, i)
+        }._2
+      }
+      assert(got == want)
+    }
+  }
+
   test("sky cross-match plans zero UDFs: pixel key and disc cover are expressions") {
     val p = plan("q76_crossmatch")
     assert(p.contains("graft_healpix_pix"), p)

@@ -232,4 +232,22 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("discCoverCached (the graft_healpix_disc kernel) equals queryDisc at every pixel") {
+    // the codegen'd cross-match cover must be EXACTLY the hierarchical
+    // disc query at the pixel's center — per pixel, any nside/radius
+    // (the memo key), sorted for a deterministic explode order
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 40) {
+      val nside = 1 << (1 + rnd.nextInt(4)) // 2..16
+      val pix = math.abs(rnd.nextLong()) % Healpix.npix(nside)
+      val radius = 0.5 + rnd.nextDouble() * 10.0
+      val got = Healpix.discCoverCached(nside, pix, radius)
+      val (cra, cdec) = Healpix.pix2angNest(nside, pix)
+      val want = Healpix.queryDisc(nside, Region.SkyP(cra, cdec), radius)
+        .toArray.sorted
+      assert(got.toLongArray().toSeq == want.toSeq,
+        s"nside=$nside pix=$pix r=$radius")
+    }
+  }
 }
