@@ -95,10 +95,14 @@ object Dedup {
     // Stage the signature through explicit projections (hash each
     // shingle once, then one native one-pass k-min kernel — a
     // codegen'd Catalyst expression, plans/TextKernels.scala) and
-    // persist — the self-join would otherwise inline and recompute the
-    // whole signature expression on both sides.
-    val sigs = minhashSignatures(df, idCol, textCol, shingleN, k)
-      .persist()
+    // disk-snapshot it — the self-join would otherwise inline and
+    // recompute the whole signature expression on both sides. The
+    // snapshot (vs the round-14 MEMORY_AND_DISK persist) keeps the
+    // corpus-sized signature frame OFF the executor heap, keeps
+    // lineage, and is ContextCleaner-reaped with the result — no
+    // CacheManager entry to unpersist.
+    val sigs = org.apache.spark.sql.graftshim.DiskSnapshot.diskCached(
+      minhashSignatures(df, idCol, textCol, shingleN, k))
     // Candidate pairs carry ONLY ids through the bucket join + distinct;
     // signatures re-attach afterwards (two slim joins on doc id).
     val buckets = sigs.select(col("doc"),
@@ -117,22 +121,17 @@ object Dedup {
       .withColumn("est_jaccard", round(col("n_match").cast("double") / lit(k.toDouble), 6))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       .filter(col("est_jaccard") >= minEstimate)
-    // Materialize the (small — dup pairs only) candidate list and
-    // RELEASE the signature cache: the output is self-contained
-    // (lineage-truncated), so the big per-doc signature frame never
-    // outlives the operator. localCheckpoint blocks are context-cleaned
-    // on GC, unlike persist entries which pin the cache manager forever
-    // — across a 56-query session un-released persists were the
-    // difference between a 15 s and a 52 s dedup pipeline (round-2
-    // bench regression: accumulated cache pressure).
-    // CLUSTER CAVEAT: localCheckpoint blocks are non-reliable executor
-    // storage — under executor loss / dynamic allocation the truncated
-    // lineage cannot recompute. On a real cluster set a checkpoint dir
-    // and flip this (and the CC loop's) to reliable checkpoint(), or
-    // disable dynamic allocation for the dedup stage.
-    val out = scored.localCheckpoint(true)
-    sigs.unpersist()
-    out
+    // Materialize the (small — dup pairs only) candidate list eagerly:
+    // downstream consumers (cluster resolution's iterative loop) read
+    // it repeatedly, so the banded self-join must price once. The
+    // round-14 form localCheckpoint(true)'d here — lineage-truncated
+    // executor-local blocks that fail the job on executor loss (the
+    // documented cluster caveat). The eager disk snapshot keeps the
+    // same price-once behavior with lineage intact: a lost block
+    // recomputes (through the sigs snapshot, which now stays
+    // referenced on DISK rather than heap until the caller releases
+    // the result — ContextCleaner reaps both together).
+    org.apache.spark.sql.graftshim.DiskSnapshot.diskCachedEager(scored)
   }
 
   /** MinHash universal-hash family over a 32-bit base hash:
@@ -184,10 +183,10 @@ object Dedup {
     val seedMins = (0 until k).map(i =>
       min((lit(minhashA(i)) * col("__hb") + lit(minhashB(i))) % lit(MinhashP))
         .as(s"__h$i"))
-    val sigs = sh.groupBy(col("doc"))
-      .agg(seedMins.head, seedMins.tail: _*)
-      .select(col("doc"), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
-      .persist()
+    val sigs = org.apache.spark.sql.graftshim.DiskSnapshot.diskCached(
+      sh.groupBy(col("doc"))
+        .agg(seedMins.head, seedMins.tail: _*)
+        .select(col("doc"), array((0 until k).map(i => col(s"__h$i")): _*).as("sig")))
     val buckets = sigs.select(col("doc"), posexplode(array((0 until bands).map(j =>
       md5(array_join(slice(col("sig"), j * r + 1, r).cast("array<string>"), ","))): _*))
       .as(Seq("band", "bucket")))
@@ -204,11 +203,10 @@ object Dedup {
         lit(0), (acc, v) => acc + v).cast("double") / lit(k.toDouble))
       .filter(col("__e") >= minEstimate)
       .select(col("doc_a"), col("doc_b"), round(col("__e"), 6).as("est_jaccard"))
-    // same lifecycle as minhashCandidates: materialize the (small)
-    // pair list, release the signature cache
-    val out = scored.localCheckpoint(true)
-    sigs.unpersist()
-    out
+    // same lifecycle as minhashCandidates: the (small) pair list
+    // materializes eagerly with lineage kept; the signature snapshot
+    // stays on disk until the result is released
+    org.apache.spark.sql.graftshim.DiskSnapshot.diskCachedEager(scored)
   }
 
   /** DuckDB-replayable SimHash near-dup pairs — gate twin of

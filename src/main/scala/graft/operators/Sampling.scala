@@ -427,15 +427,18 @@ object Sampling {
         s"bloom sketch came back ${sketch.length} bytes for $numBits requested bits — " +
           "conf clamp still active; raise spark.sql.optimizer.runtime.bloomFilter.*")
       val trainGrams = train.select(col(trainId), explode(grams(col(trainText))).as("g"))
-      trainGrams
+      val flagged = trainGrams
         .filter(call_function("graft_might_contain", lit(sketch), col("g")))
         .join(broadcast(benchGrams), Seq("g"), "left_semi") // exact fp kill
         .groupBy(col(trainId))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= minShared)
-        // materialize before the unpersist in finally unpins the
-        // benchmark gram set the plan still references
-        .localCheckpoint(true)
+      // materialize before the unpersist in finally unpins the
+      // benchmark gram set the plan still references; the eager disk
+      // snapshot (vs round-14's localCheckpoint) keeps lineage, so a
+      // lost block recomputes through benchGrams' own lineage instead
+      // of failing the job
+      org.apache.spark.sql.graftshim.DiskSnapshot.diskCachedEager(flagged)
     } finally benchGrams.unpersist()
   }
 
