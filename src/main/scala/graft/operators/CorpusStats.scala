@@ -327,11 +327,14 @@ object CorpusStats {
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__w"))
-    // vocab-sized (small) and consumed twice — once for the vocab
-    // count, once as the probability join's build side; persisting it
-    // saves a full corpus re-tokenization per consumer.
-    val uni = toks.select(explode(col("__w")).as("__t"))
-      .groupBy(col("__t")).agg(count(lit(1)).as("__cu")).persist()
+    // vocab-sized and consumed twice — once for the vocab count, once
+    // as the probability join's build side; snapshotting it saves a
+    // full corpus re-tokenization per consumer. DiskSnapshot (round
+    // 15, vs a session-lifetime heap persist): web-scale vocabularies
+    // are GBs, lineage survives executor loss, and the blocks drop
+    // with the result instead of pinning the CacheManager forever.
+    val uni = DiskSnapshot.diskCached(toks.select(explode(col("__w")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__cu")))
     val nUni = uni.count()
     val vocab = nUni.toDouble
     // Everything downstream works on per-(doc, gram) COUNTS, never on
@@ -401,8 +404,9 @@ object CorpusStats {
     // token-keyed shuffle join). The persist lives for the session
     // like [[bigramLmScore]]'s — the family-standard trade for
     // tokenizing the reference corpus once.
-    val uni = refToks.select(explode(col("__w")).as("__t"))
-      .groupBy(col("__t")).agg(count(lit(1)).as("__cu")).persist()
+    val uni = DiskSnapshot.diskCached(
+      refToks.select(explode(col("__w")).as("__t"))
+        .groupBy(col("__t")).agg(count(lit(1)).as("__cu")))
     val nUni = uni.count()
     val vocab = nUni.toDouble
     val uniDf = uni.select(col("__t").as("__w1"), col("__cu"))
@@ -727,8 +731,9 @@ object CorpusStats {
     // 2-column aggregate row supplies the vocab/total smoothing
     // constants AND the row count that size-gates the two broadcast
     // hints below.
-    val uni = refToks.select(explode(col("__w")).as("__t"))
-      .groupBy(col("__t")).agg(count(lit(1)).as("__cu")).persist()
+    val uni = DiskSnapshot.diskCached(
+      refToks.select(explode(col("__w")).as("__t"))
+        .groupBy(col("__t")).agg(count(lit(1)).as("__cu")))
     val uniStats = uni.agg(count(lit(1)), sum(col("__cu"))).head()
     val nUni = uniStats.getLong(0)
     val vocab = nUni.toDouble
@@ -933,9 +938,11 @@ object CorpusStats {
     def bucket(row: Column, gram: Column): Column =
       conv(substring(md5(concat(row.cast("string"), lit(":"), gram)), 1, 8),
         16, 10).cast("long") % width
-    val cnt = df.select(explode(TextFunctions.ngrams(col(textCol), n)).as("ngram"))
-      .groupBy("ngram").agg(count(lit(1)).as("n_occurrences"))
-      .persist()
+    // the distinct-gram table is corpus-gram-sized (10^10+ at web
+    // scale) — disk snapshot, not a heap persist
+    val cnt = DiskSnapshot.diskCached(
+      df.select(explode(TextFunctions.ngrams(col(textCol), n)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("n_occurrences")))
     val counters = cnt
       .select(explode(sequence(lit(0), lit(depth - 1))).as("row"),
         col("ngram"), col("n_occurrences"))
@@ -951,8 +958,8 @@ object CorpusStats {
     val out = counters.join(broadcast(probes), Seq("row", "bucket"))
       .groupBy(col("ngram"), col("n_occurrences"))
       .agg(min(col("c")).as("est_occurrences"))
-      .localCheckpoint(true)
-    cnt.unpersist()
+      .localCheckpoint(true) // k-sized output; cnt's snapshot is
+    // ContextCleaner-reaped once this truncated result drops it
     out
   }
 
