@@ -113,6 +113,21 @@ object Bench {
     }
   }
 
+  /** Run-level churn field: the WORST (max) of the sweep-start and
+    * sweep-end canary ratios, plus both samples — empty when neither
+    * sample ran (no floor yet, or a filtered dev run). Extracted so
+    * DriverContractSpec pins the serialization.
+    */
+  private[graft] def churnFieldOf(start: Option[Double],
+                                  end: Option[Double]): String = {
+    val rs = start.toSeq ++ end.toSeq
+    if (rs.isEmpty) ""
+    else {
+      def r2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      s""","churn":${r2(rs.max)},"churn_samples":[${rs.map(r2).mkString(",")}]"""
+    }
+  }
+
   /** The churn canary query: stable, plan-simple, and costing well
     * ABOVE the scheduler-jitter floor (~0.5 s at sf0.1 — a sub-0.15 s
     * control would itself jitter 3× and fake the very churn signal it
@@ -200,14 +215,25 @@ object Bench {
     // masquerade as a fast run in the JSON — time-to-failure is
     // reported but FLAGGED, and failures are never re-timed
     def timeOnce(name: String, fn: (SparkSession, String) => Unit): (Double, Boolean) = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir); true } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // isolation: no query inherits another's (or leaks its own)
-      // cached blocks — each timing stands alone
+      // cached blocks — each timing stands alone. clearCache() drops
+      // CacheManager entries; DiskSnapshot intermediates are invisible
+      // to it BY DESIGN (RDD-level persist), so the ones this run
+      // created are unpersisted explicitly — without this their
+      // DISK_ONLY blocks linger until the result frame is GC'd and
+      // bleed disk pressure into later timings. Session-lifetime
+      // artifacts (warmup-built ANN indexes) predate `before`, so
+      // they are kept.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id)) rdd.unpersist(blocking = false)
+      }
       (dt, ok)
     }
     // Churn canary (run adjacent to a surviving suspect): the control
@@ -237,6 +263,14 @@ object Bench {
     // exceeds the ratio it ships flagged "suspect":true WITH the
     // churn-canary ratio, so judge cycles stop going to churn
     // adjudication.
+    // Run-level churn factor (round-15 verdict ask #6): the canary's
+    // median-of-3 over its median floor, sampled at sweep START and
+    // END. The per-query suspect pipeline adjudicates individual
+    // entries, but round-to-round TOTAL drift still needed a judge to
+    // infer box load; "churn" ships the worst of the two samples next
+    // to the total so the artifact carries its own load context
+    // (≈1 ⇒ quiet box, ≫1 ⇒ distrust total drift this round).
+    val churnStart = if (only.isEmpty) ctlRatio() else None
     val firstPass = selected.map { case (name, fn) => (name, fn, timeOnce(name, fn)) }
     val results: Seq[(String, Double, Int, Int, Boolean, Option[Double], Option[Double])] =
       firstPass.map { case (name, fn, (t1, ok1)) =>
@@ -309,13 +343,15 @@ object Bench {
           if (ok) Some(name -> t) else None
         }
       }.toMap
+    val churnEnd = if (only.isEmpty) ctlRatio() else None
+    val churnField = churnFieldOf(churnStart, churnEnd)
     val qs = results.map { case (k, v, n, st, susp, ctl, mn) =>
       entry(k, v, n, st, susp, ctl, mn, isoTimes.get(k)) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nFailed = results.count(_._4 == 2)
     val failedField = if (nFailed > 0) s""","failed_queries":$nFailed""" else ""
-    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$failedField}"""
+    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$failedField$churnField}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -325,7 +361,8 @@ object Bench {
     val flagged = results.filter(r => r._4 != 0 || r._5)
       .map { case (k, v, n, st, susp, ctl, mn) =>
         entry(k, v, n, st, susp, ctl, mn, isoTimes.get(k)) }
-    println(compactHeadline(total, sfDir, failedField, results.length, flagged))
+    println(compactHeadline(total, sfDir, failedField + churnField,
+      results.length, flagged))
     // refresh the phantom reference after a FULL successful pass:
     // "t" = min(prev, measured) per query (the trajectory floor),
     // "h" = the last HistLen reported values (the median floor)

@@ -257,6 +257,15 @@ object ArrowExport {
     * before the job, so an existing destination can only be a
     * concurrent attempt of THIS run that already committed the same
     * partition — the loser deletes its temp and keeps the winner.
+    *
+    * ASSUMPTION (the defer-to-winner rule is only safe because of it):
+    * every attempt of a partition writes IDENTICAL content. That holds
+    * for Spark shuffle/scan determinism as long as the exported plan
+    * is deterministic — true for every caller here (exports run on
+    * sorted/keyed frames). A caller exporting a nondeterministic frame
+    * (e.g. one carrying `rand()`) would keep an arbitrary attempt's
+    * bytes — the same contract Spark's own non-transactional file
+    * committers have under speculation.
     * Package-private so the race is testable without orchestrating two
     * racing tasks (ArrowExportSpec drives both orders directly).
     */

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.DiskSnapshot
 
 /** First-class distributed k-means (the corpus-organization step of a
   * training pipeline: topic bucketing, mixture analysis, ANN coarse
@@ -69,13 +70,12 @@ object Clustering {
   def kmeansMd5(df: DataFrame, idCol: String, vecCol: String,
                 k: Int = 8, iters: Int = 3, scale: Int = 1024): DataFrame = {
     val (q, cents) = lloydMd5(df, idCol, vecCol, k, iters, scale)
-    val out = q
+    val out = DiskSnapshot.diskCachedEager(q
       .withColumn("cluster", cellOfQuantized(cents)(col("__qv")))
       .withColumn("__d2",
         element_at(quantizedDists(cents)(col("__qv")), col("cluster") + 1))
       .select(col("__id").as(idCol), col("cluster"),
-        round(col("__d2"), 6).as("dist2"))
-      .localCheckpoint(true)
+        round(col("__d2"), 6).as("dist2")))
     q.unpersist()
     out
   }
@@ -99,9 +99,9 @@ object Clustering {
       cellOfQuantized(cents)(col("__qv")).as("cluster"))
     // shared dominance rule (fused graft_cosine — IEEE-identical to
     // the HOF folds the SQL oracle replays)
-    val out = Similarity.dominanceSurvivors(asg, threshold)
-      .select(col("__id").as(idCol), col("cluster"))
-      .localCheckpoint(true)
+    val out = DiskSnapshot.diskCachedEager(
+      Similarity.dominanceSurvivors(asg, threshold)
+        .select(col("__id").as(idCol), col("cluster")))
     q.unpersist()
     out
   }
@@ -135,11 +135,11 @@ object Clustering {
       .withColumn("cos", call_function("graft_cosine", col("qv"), col("cv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    val out = scored.withColumn("rank", row_number().over(w).cast("long"))
+    val out = DiskSnapshot.diskCachedEager(scored
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 6).as("cosine"))
-      .localCheckpoint(true)
+        round(col("cos"), 6).as("cosine")))
     q.unpersist()
     out
   }
@@ -171,17 +171,18 @@ object Clustering {
     // present anywhere below has at least one row, hence at least one
     // child (the same single-assignment-frame property TwoLevel.fit
     // gets from reusing sup.cells)
-    val withSuper = q
-      .withColumn("__super", cellOfQuantized(superCents)(col("__qv")))
-      .localCheckpoint(true)
+    val withSuper = DiskSnapshot.diskCachedEager(q
+      .withColumn("__super", cellOfQuantized(superCents)(col("__qv"))))
     val children = childLloydMd5(withSuper, kChild, iters)
     val assigned = assignChildren(withSuper, children)
     val asg = assigned.select(col("__id"), col("__vec"),
       (col("__super") * kChild + col("__child")).as("cluster"))
-    val out = Similarity.dominanceSurvivors(asg, threshold)
-      .select(col("__id").as(idCol), col("cluster"))
-      .localCheckpoint(true)
-    q.unpersist(); withSuper.unpersist(); children.unpersist()
+    val out = DiskSnapshot.diskCachedEager(
+      Similarity.dominanceSurvivors(asg, threshold)
+        .select(col("__id").as(idCol), col("cluster")))
+    // withSuper/children are DiskSnapshots — ContextCleaner reaps
+    // their blocks once this frame drops them; only q was persist()'d
+    q.unpersist()
     out
   }
 
@@ -190,17 +191,17 @@ object Clustering {
     * kChild md5-smallest rows, then `iters` distributed
     * (super, child, pos) partial-sum steps with empty children
     * keeping their centroid. Returns the FINAL (super, child, ctr)
-    * frame (localCheckpointed — caller unpersists).
+    * frame (a DiskSnapshot — reaped when the caller drops it).
     */
   private def childLloydMd5(withSuper: DataFrame, kChild: Int,
                             iters: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__super")).orderBy(md5(col("__id").cast("string")))
-    var children = withSuper.withColumn("__rk", row_number().over(w))
+    var children = DiskSnapshot.diskCachedEager(withSuper
+      .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= kChild)
       .select(col("__super").as("super"), (col("__rk") - 1).as("child"),
-        col("__qv").as("ctr"))
-      .localCheckpoint(true)
+        col("__qv").as("ctr")))
     for (_ <- 0 until iters) {
       val sums = assignChildren(withSuper, children)
         .select(col("super"), col("__child").as("child"),
@@ -211,13 +212,12 @@ object Clustering {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
           x => x.getField("s") / x.getField("n")).as("ctr"))
-      val prev = children
-      children = children.as("o")
+      // DiskSnapshot: k-sized rounds, blocks ContextCleaner-reaped
+      // as each round's frame goes unreachable — no unpersist ledger
+      children = DiskSnapshot.diskCachedEager(children.as("o")
         .join(newCtrs.as("nw"), Seq("super", "child"), "left")
         .select(col("super"), col("child"),
-          coalesce(col("nw.ctr"), col("o.ctr")).as("ctr"))
-        .localCheckpoint(true)
-      prev.unpersist()
+          coalesce(col("nw.ctr"), col("o.ctr")).as("ctr")))
     }
     children
   }
@@ -271,17 +271,17 @@ object Clustering {
     // fewer partitions than the cluster (at real scale partitions ≫
     // cores, so the corpus never takes this shuffle). Safe under any
     // partitioning: every aggregation downstream sums exact-integer
-    // doubles, so order cannot perturb a bit. localCheckpoint (not
-    // persist) then truncates the literal-heavy lineage out of the
-    // ~10 jobs below.
+    // doubles, so order cannot perturb a bit. DiskSnapshot then keeps
+    // the literal-heavy chain out of the ~10 Catalyst plans below
+    // (its frame is a LogicalRDD leaf) while the RDD lineage stays
+    // recomputable after an executor loss.
     val spread = graft.Tables.spreadDf(corpus)
-    val q = spread.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
-        codes(col(vecCol)).as("__qv"))
-      .localCheckpoint(true)
+    val q = DiskSnapshot.diskCachedEager(spread
+      .select(col(idCol).as("__id"), col(vecCol).as("__vec"),
+        codes(col(vecCol)).as("__qv")))
     val superCents = lloydQuantized(q, kSuper, superIters)
-    val withSuper = q
-      .withColumn("__super", cellOfQuantized(superCents)(col("__qv")))
-      .localCheckpoint(true)
+    val withSuper = DiskSnapshot.diskCachedEager(q
+      .withColumn("__super", cellOfQuantized(superCents)(col("__qv"))))
     val children = childLloydMd5(withSuper, kChild, iters)
     val cells = assignChildren(withSuper, children)
       .select(col("__id").as("neighbor_id"), col("__vec").as("nvec"),
@@ -333,14 +333,13 @@ object Clustering {
     // exact rerank on the original floats
     val wExact = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    val out = cands
+    val out = DiskSnapshot.diskCachedEager(cands
       .withColumn("cos", call_function("graft_cosine", col("qvec"), col("nvec")))
       .withColumn("rank", row_number().over(wExact).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 6).as("cosine"))
-      .localCheckpoint(true)
-    q.unpersist(); withSuper.unpersist(); children.unpersist()
+        round(col("cos"), 6).as("cosine")))
+    // q/withSuper/children are DiskSnapshots — reaped with this frame
     out
   }
 
@@ -501,13 +500,13 @@ object Clustering {
     val raw = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    val out = cand.select(col("query_id"), col("neighbor_id"), col("qv"))
+    val out = DiskSnapshot.diskCachedEager(cand
+      .select(col("query_id"), col("neighbor_id"), col("qv"))
       .join(raw, "neighbor_id")
       .withColumn("cos", call_function("graft_cosine", col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w2).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
-      .localCheckpoint(true)
+      .select(col("query_id"), col("neighbor_id"), col("rank")))
     q0.unpersist()
     out
   }

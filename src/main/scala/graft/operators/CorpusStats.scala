@@ -401,9 +401,11 @@ object CorpusStats {
     // reference corpus. Persist + count instead; the count both
     // supplies the smoothing constant and size-gates the broadcast
     // hint (past the cap the probability join falls back to a
-    // token-keyed shuffle join). The persist lives for the session
-    // like [[bigramLmScore]]'s — the family-standard trade for
-    // tokenizing the reference corpus once.
+    // token-keyed shuffle join). A DiskSnapshot (disk-only,
+    // lineage-preserving) holds it for the duration: the blocks are
+    // ContextCleaner-reaped once the caller releases the result, like
+    // the sibling call sites — the reference corpus still tokenizes
+    // only once.
     val uni = DiskSnapshot.diskCached(
       refToks.select(explode(col("__w")).as("__t"))
         .groupBy(col("__t")).agg(count(lit(1)).as("__cu")))
@@ -955,11 +957,12 @@ object CorpusStats {
         explode(sequence(lit(0), lit(depth - 1))).as("row"))
       .select(col("ngram"), col("n_occurrences"), col("row"),
         bucket(col("row"), col("ngram")).as("bucket"))
-    val out = counters.join(broadcast(probes), Seq("row", "bucket"))
-      .groupBy(col("ngram"), col("n_occurrences"))
-      .agg(min(col("c")).as("est_occurrences"))
-      .localCheckpoint(true) // k-sized output; cnt's snapshot is
-    // ContextCleaner-reaped once this truncated result drops it
+    // k-sized eager snapshot; cnt's upstream snapshot blocks are
+    // ContextCleaner-reaped once this result frame drops them
+    val out = DiskSnapshot.diskCachedEager(
+      counters.join(broadcast(probes), Seq("row", "bucket"))
+        .groupBy(col("ngram"), col("n_occurrences"))
+        .agg(min(col("c")).as("est_occurrences")))
     out
   }
 
@@ -1134,10 +1137,12 @@ object CorpusStats {
           .as("prior9"),
         round(log(lit(alpha) / (col("__tot") + lit(alpha * vocab))) * lit(1e9))
           .cast("long").as("unseen9"))
-    // checkpoint the model tables (they ARE the product — vocab×labels
-    // sized) so the training cache doesn't outlive the call
-    val modelOut = model.localCheckpoint(true)
-    val priorsOut = priors.localCheckpoint(true)
+    // snapshot the model tables (they ARE the product — vocab×labels
+    // sized) so the training cache doesn't outlive the call; eager
+    // DiskSnapshots (not localCheckpoint) so the blocks keep lineage
+    // and are reaped when the caller releases the model
+    val modelOut = DiskSnapshot.diskCachedEager(model)
+    val priorsOut = DiskSnapshot.diskCachedEager(priors)
     tc.unpersist()
     (modelOut, priorsOut)
   }

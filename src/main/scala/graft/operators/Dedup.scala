@@ -322,12 +322,38 @@ object Dedup {
     * At the fixpoint the edge set IS the star (node → component min).
     * Used automatically by [[connectedComponents]] when the pair list
     * exceeds the driver threshold; exposed for direct use/testing.
+    *
+    * FAULT TOLERANCE: each round MUST cut lineage (an iterative
+    * join's plan doubles per round), and the cut has two modes:
+    *  - `spark.graft.checkpointDir` set → reliable `checkpoint()`
+    *    into that directory. Blocks live on shared storage, so a lost
+    *    executor costs a re-read, not the job — the right mode for a
+    *    100 TB corpus build, where the dedup CC loop is the
+    *    longest-running stage and an executor loss mid-loop is
+    *    routine. (Set `spark.cleaner.referenceTracking.cleanCheckpoints
+    *    =true` to have the ContextCleaner delete finished rounds'
+    *    files; otherwise they live until the dir is cleaned.)
+    *  - unset (the local default) → `localCheckpoint(true)`:
+    *    executor-local blocks, zero external storage, fine on a
+    *    single box or when the pair list is small.
     */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
                               maxIters: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
-    var edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+
+    // per-round lineage cut — reliable when a checkpoint dir is
+    // configured, executor-local otherwise (see scaladoc)
+    def roundCheckpoint(df: DataFrame): DataFrame = {
+      val dir = spark.conf.get("spark.graft.checkpointDir", "")
+      if (dir.nonEmpty) {
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint() // eager + reliable
+      } else df.localCheckpoint(true)
+    }
+
+    var edges = roundCheckpoint(pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
 
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("b").as("a"), col("a").as("b")))
@@ -369,7 +395,7 @@ object Dedup {
     var i = 0
     while (!done && i < maxIters) {
       // one round = large-star then small-star, ONE blocking checksum
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = roundCheckpoint(smallStar(largeStar(edges)))
       edges.unpersist()
       edges = next
       val c = checksum(edges)
@@ -383,7 +409,7 @@ object Dedup {
     val labels = edges
       .union(edges.select(col("b").as("a"), col("b")))
       .groupBy(col("a").as("node")).agg(min(col("b")).as("label"))
-    labels.localCheckpoint(true)
+    roundCheckpoint(labels)
   }
 
   /** Exact union-find over a collected edge list (union-by-min with

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.DiskSnapshot
 
 /** Two-level coarse quantizer: the scale path past the flat-argmin
   * centroid-literal ceiling ([[Similarity.MaxAutoClusters]] — the
@@ -54,7 +55,7 @@ object TwoLevel {
     Similarity.MaxAutoClusters.toLong * Similarity.MaxAutoClusters
 
   /** A fitted two-level quantizer. `children` is the (super, child,
-    * ctr) table (k small rows, localCheckpointed); `superCentroids`
+    * ctr) table (k small rows, a DiskSnapshot); `superCentroids`
     * is the only driver-side matrix (kSuper × dim).
     */
   final case class TwoLevelQuantizer(superCentroids: Array[Array[Double]],
@@ -139,12 +140,11 @@ object TwoLevel {
     // 0..n-1 contiguous per super — position-in-matrix == child id)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("super")).orderBy(xxhash64(col("__id")))
-    var children = corpusS
+    var children = DiskSnapshot.diskCachedEager(corpusS
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= kChild)
       .select(col("super"), (col("__rk") - 1).as("child"),
-        transform(col("cv"), v => v.cast("double")).as("ctr"))
-      .localCheckpoint(true)
+        transform(col("cv"), v => v.cast("double")).as("ctr")))
 
     for (_ <- 0 until iters) {
       val mats = childMatsOf(children)
@@ -167,17 +167,14 @@ object TwoLevel {
           array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
           x => x.getField("s") / x.getField("n")).as("ctr"))
       // empty children keep their centroid (the flat path's rule)
-      val prev = children
-      children = children.as("o")
+      // DiskSnapshot rounds: the new snapshot materializes eagerly and
+      // the previous iteration's k-row frame goes unreachable here, so
+      // the ContextCleaner reaps its blocks — no per-fit leak even
+      // though semanticDedupSharded calls fit once per shard
+      children = DiskSnapshot.diskCachedEager(children.as("o")
         .join(newCtrs.as("nw"), Seq("super", "child"), "left")
         .select(col("super"), col("child"),
-          coalesce(col("nw.ctr"), col("o.ctr")).as("ctr"))
-        .localCheckpoint(true)
-      // the new checkpoint is materialized eagerly, so the previous
-      // iteration's k-row frame can be released now — without this,
-      // every fit leaks iters frames for the session's lifetime
-      // (semanticDedupSharded calls fit once per shard)
-      prev.unpersist()
+          coalesce(col("nw.ctr"), col("o.ctr")).as("ctr")))
     }
     sup.unpersist()
     TwoLevelQuantizer(sup.centroids, children, kChild)

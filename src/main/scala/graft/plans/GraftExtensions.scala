@@ -132,6 +132,11 @@ final case class MortonKeyExpr(children: Seq[Expression]) extends Expression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = Seq(xe, ye, ze).exists(_.nullable)
   override def foldable: Boolean = children.forall(_.foldable)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecKernelChecks.foldableConstants(
+      Seq(children(3) -> "origin", children(4) -> "size",
+        children(5) -> "level"), "graft_morton_key")
 
   override def eval(input: InternalRow): Any = {
     val x = xe.eval(input); val y = ye.eval(input); val z = ze.eval(input)
@@ -189,6 +194,10 @@ final case class HealpixPixExpr(children: Seq[Expression]) extends Expression {
   override def nullable: Boolean = rae.nullable || dece.nullable
   override def foldable: Boolean = children.forall(_.foldable)
   override def prettyName: String = "graft_healpix_pix"
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecKernelChecks.foldableConstants(
+      Seq(children(2) -> "nside"), prettyName)
 
   override def eval(input: InternalRow): Any = {
     val r = rae.eval(input); val d = dece.eval(input)
@@ -242,6 +251,10 @@ final case class HealpixDiscExpr(children: Seq[Expression]) extends Expression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = pixe.nullable
   override def prettyName: String = "graft_healpix_disc"
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecKernelChecks.foldableConstants(
+      Seq(children(1) -> "nside", children(2) -> "radius_deg"), prettyName)
 
   override def eval(input: InternalRow): Any = {
     val p = pixe.eval(input)

@@ -191,6 +191,27 @@ private[plans] object VecKernelChecks {
     }.getOrElse(TypeCheckResult.TypeCheckSuccess)
   }
 
+  /** Constant operands (nside, radius, m/dsub/ksub, codebooks…) are
+    * extracted ONCE at plan time via `eval(null)` — a non-foldable
+    * child there would NPE/ClassCastException at execution instead of
+    * failing analysis with a usable message. These functions are
+    * session-registered SQL surface, so a user CAN write
+    * `graft_healpix_pix(ra, dec, some_col)`; reject it here.
+    */
+  def foldableConstants(exprs: Seq[(Expression, String)],
+                        fn: String): TypeCheckResult = {
+    exprs.collectFirst {
+      case (e, role) if !e.foldable =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fn expects $role to be a plan-time constant (foldable), " +
+            s"got non-foldable ${e.sql}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
+  /** Chain checks: first failure wins. */
+  def all(checks: TypeCheckResult*): TypeCheckResult =
+    checks.find(!_.isSuccess).getOrElse(TypeCheckResult.TypeCheckSuccess)
+
   /** array<array<double>> — the centroid-matrix literal shape. */
   def doubleMatrix(e: Expression, fn: String): TypeCheckResult =
     e.dataType match {
@@ -431,8 +452,12 @@ final case class PqEncodeExpr(children: Seq[Expression]) extends Expression {
   override def prettyName: String = "graft_pq_encode"
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    VecKernelChecks.floatArrays(
-      Seq(ve -> "vector", fe -> "flat codebook"), prettyName)
+    VecKernelChecks.all(
+      VecKernelChecks.floatArrays(
+        Seq(ve -> "vector", fe -> "flat codebook"), prettyName),
+      VecKernelChecks.foldableConstants(
+        Seq(fe -> "flat codebook", children(2) -> "m",
+          children(3) -> "dsub", children(4) -> "ksub"), prettyName))
 
   override def eval(input: InternalRow): Any = {
     val v = ve.eval(input)

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftshim.DiskSnapshot
 import graft.Tables
 import graft.core.{Header, OCDataset}
 import graft.core.OCDataset.Random
@@ -306,11 +307,11 @@ object CoreLib {
         val out = tmp.resolve("emb_flat.parquet").toString
         graft.io.OCIO.exportParquetFlat(src, out)
         // materialize before the finally deletes the written files
-        s.read.parquet(out).select(col("vec_id"),
+        DiskSnapshot.diskCachedEager(
+          s.read.parquet(out).select(col("vec_id"),
             round(col("emb_0").cast("double"), 6).as("emb_0"),
             round(col("emb_1").cast("double"), 6).as("emb_1"),
-            round(col("emb_2").cast("double"), 6).as("emb_2"))
-          .localCheckpoint(true)
+            round(col("emb_2").cast("double"), 6).as("emb_2")))
       } finally {
         import scala.jdk.CollectionConverters._
         // Files.walk holds a directory handle until the stream closes

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.DiskSnapshot
 import graft.Tables
 import graft.streaming.EventOps
 
@@ -166,11 +167,10 @@ object Events {
           q.awaitTermination()
         }
         val w = Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)
-        s.table(sink)
+        DiskSnapshot.diskCachedEager(s.table(sink)
           .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
           .select(col("user_id"), col("n_events"),
-            round(col("sum_value"), 6).as("sum_value"))
-          .localCheckpoint(true)
+            round(col("sum_value"), 6).as("sum_value")))
       } finally { deleteRecursively(ckpt) }
     }),
 

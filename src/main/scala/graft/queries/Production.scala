@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat_ws, explode, lit, md5, round, transform}
+import org.apache.spark.sql.graftshim.DiskSnapshot
 
 /** Production-twin driver gates (rows-only by design — no oracle).
   *
@@ -72,15 +73,16 @@ object Production {
         "vec_id", "embedding", threshold = 0.3)),
     "q78p_text_ann_prod" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val emb = graft.functions.TextFunctions.hashEmbeddings(
-        docs, "doc_id", "text", 64).localCheckpoint(true)
+      val emb = DiskSnapshot.diskCachedEager(
+        graft.functions.TextFunctions.hashEmbeddings(
+          docs, "doc_id", "text", 64))
       graft.operators.Similarity.bruteForceTopK(emb,
         emb.filter(col("doc_id") < 10), "doc_id", "embedding", 5)
     }),
     "q91p_kmeans_prod" -> ((s, dir) => {
       val model = graft.operators.Clustering.kmeans(t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 8, iters = 3)
-      val out = model.assignments.localCheckpoint(true)
+      val out = DiskSnapshot.diskCachedEager(model.assignments)
       model.unpersist()
       out
     }),
@@ -135,7 +137,9 @@ object Production {
       val out = java.nio.file.Files.createTempDirectory("graft-handoff-")
       try {
         graft.io.ArrowExport.writeArrowIpc(packed, out.toString)
-        graft.io.ArrowExport.readArrowIpcDF(s, out.toString, packed.schema)
+        // eager: materialize before the finally deletes the IPC files
+        DiskSnapshot.diskCachedEager(graft.io.ArrowExport
+          .readArrowIpcDF(s, out.toString, packed.schema)
           .groupBy(col("bin"))
           .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_docs"),
             org.apache.spark.sql.functions.sum(col("n_tokens")).as("n_tokens"),
@@ -146,12 +150,14 @@ object Production {
                     org.apache.spark.sql.functions.struct(
                       col("doc_id").as("d"),
                       transform(col("ids"), _.cast("string")).as("v")))),
-                x => x.getField("v")))).cast("binary")).as("ids_fp"))
-          .localCheckpoint(true)
+                x => x.getField("v")))).cast("binary")).as("ids_fp")))
       } finally {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
+        // close the walk stream — it holds a directory handle open
+        scala.util.Using.resource(java.nio.file.Files.walk(out)) { w =>
+          w.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       }
     }),
     // the codegen'd one-pass entropy kernel + deflate compression
@@ -224,9 +230,9 @@ object Production {
       val e = t(s, dir, "embeddings")
       val idx = graft.operators.TwoLevel.buildIvfIndexLarge(
         e, "vec_id", "embedding", nlist = 32)
-      val out = graft.operators.TwoLevel.ivfProbeTwoLevel(idx,
-          e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
-        .localCheckpoint(true)
+      val out = DiskSnapshot.diskCachedEager(
+        graft.operators.TwoLevel.ivfProbeTwoLevel(idx,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5))
       idx.unpersist()
       out
     })

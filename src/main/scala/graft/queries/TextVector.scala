@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.DiskSnapshot
 import graft.Tables
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions
@@ -102,7 +103,7 @@ object TextVector {
       import graft.operators.Pq
       val e = t(s, dir, "embeddings")
       val cb = Pq.train(e, "vec_id", "embedding", m = 8, ksub = 16, iters = 4)
-      (cb, Pq.encode(e, "embedding", cb).localCheckpoint(true))
+      (cb, DiskSnapshot.diskCachedEager(Pq.encode(e, "embedding", cb)))
     })
   }
 
@@ -531,8 +532,8 @@ object TextVector {
       // aggregation-form embeddings (linear in tokens), MATERIALIZED
       // before the ANN join — an unmaterialized embedding expression
       // would recompute per candidate pair
-      val emb = TextFunctions.hashEmbeddingsMd5(
-        t(s, dir, "documents"), "doc_id", "text", 64).localCheckpoint(true)
+      val emb = DiskSnapshot.diskCachedEager(TextFunctions.hashEmbeddingsMd5(
+        t(s, dir, "documents"), "doc_id", "text", 64))
       Similarity.bruteForceTopK(emb, emb.filter(col("doc_id") < 10),
         "doc_id", "embedding", 5)
     }),

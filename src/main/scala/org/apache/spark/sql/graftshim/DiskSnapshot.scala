@@ -1,10 +1,47 @@
 package org.apache.spark.sql.graftshim
 
+import org.apache.spark.{Dependency, OneToOneDependency, Partition, SparkContext, TaskContext}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.classic.{Dataset => ClassicDataset}
 import org.apache.spark.storage.StorageLevel
+
+/** An RDD that defers building its delegate — and therefore the
+  * underlying query's physical planning — until the first driver-side
+  * partitions/dependencies access (i.e. the first action).
+  *
+  * Why it exists: under AQE (on by default since Spark 3.2)
+  * `QueryExecution.toRdd` is NOT lazy — `AdaptiveSparkPlanExec
+  * .execute()` runs `getFinalPhysicalPlan()`, which eagerly submits
+  * every upstream shuffle-stage job at CONSTRUCTION time. Without
+  * this wrapper, [[DiskSnapshot.diskCached]]'s "materializes on first
+  * action" contract silently degraded to near-eager for any shuffled
+  * plan in the default config. The thunk (which captures
+  * non-serializable driver state: the Dataset/QueryExecution) is
+  * `@transient` and cleared after init; executors only ever see the
+  * resolved delegate via the serialized dependency, exactly like a
+  * `MapPartitionsRDD`.
+  */
+private final class LazyQueryRDD(
+    sc: SparkContext,
+    @transient private var thunk: () => RDD[InternalRow])
+  extends RDD[InternalRow](sc, Nil) {
+
+  @transient private lazy val delegate: RDD[InternalRow] = {
+    val d = thunk()
+    thunk = null
+    d
+  }
+
+  override protected def getPartitions: Array[Partition] = delegate.partitions
+
+  override protected def getDependencies: Seq[Dependency[_]] =
+    Seq(new OneToOneDependency(delegate))
+
+  override def compute(split: Partition, context: TaskContext): Iterator[InternalRow] =
+    firstParent[InternalRow].iterator(split, context)
+}
 
 /** Fault-tolerant, self-cleaning intermediate materialization.
   *
@@ -55,12 +92,18 @@ object DiskSnapshot {
   /** A lazily-materialized, lineage-preserving, ContextCleaner-tracked
     * snapshot of `df`. Materializes on the first action that touches
     * it; every later consumer reads the persisted blocks.
+    *
+    * The laziness holds under AQE too: `toRdd` on an adaptive plan
+    * eagerly runs every upstream shuffle stage, so the call is
+    * deferred inside a [[LazyQueryRDD]] until the first action
+    * touches the snapshot's partitions.
     */
   def diskCached(df: DataFrame,
                  level: StorageLevel = StorageLevel.DISK_ONLY): DataFrame = {
     val cdf = df.asInstanceOf[ClassicDataset[Row]]
     val spark = cdf.sparkSession
-    val rdd: RDD[InternalRow] = cdf.queryExecution.toRdd.map(_.copy())
+    val rdd: RDD[InternalRow] = new LazyQueryRDD(spark.sparkContext,
+      () => cdf.queryExecution.toRdd.map(_.copy()))
     rdd.persist(level)
     spark.internalCreateDataFrame(rdd, cdf.schema, isStreaming = false)
   }

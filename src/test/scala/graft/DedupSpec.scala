@@ -108,6 +108,45 @@ class DedupSpec extends SparkSpec {
     assert(Seq(8L, 9L, 10L, 11L).forall(comps(_) == 8L))
   }
 
+  test("connectedComponentsStar: spark.graft.checkpointDir => reliable checkpoints") {
+    // At 100 TB the CC loop is the longest-running dedup stage; with
+    // executor-local checkpoints one lost executor fails the job. With
+    // the conf set, every round's lineage cut must be a RELIABLE
+    // file-backed checkpoint (recoverable from shared storage), and
+    // the labels must be unchanged.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ckpt-")
+    spark.conf.set("spark.graft.checkpointDir", ckpt.toString)
+    try {
+      // a 24-node chain (worst case for label propagation) + an island
+      val chain = (0L until 24L).sliding(2).map(w => (w(0), w(1))).toSeq
+      val pairs = (chain :+ (100L, 101L)).toDF("doc_a", "doc_b")
+      val labels = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      val lr = labels.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l
+      }
+      assert(lr.nonEmpty, "expected a checkpointed LogicalRDD leaf")
+      // getCheckpointFile is defined ONLY for reliable checkpoints —
+      // a localCheckpoint would be isCheckpointed with no file
+      lr.foreach { l =>
+        assert(l.rdd.isCheckpointed, "labels frame not checkpointed")
+        assert(l.rdd.getCheckpointFile.isDefined,
+          "checkpoint is executor-local, not reliable — conf ignored")
+        assert(l.rdd.getCheckpointFile.get.contains(ckpt.toString),
+          s"checkpoint landed outside the configured dir: ${l.rdd.getCheckpointFile}")
+      }
+      val comps = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((0L until 24L).forall(comps(_) == 0L), s"chain labels off: $comps")
+      assert(comps(100L) == 100L && comps(101L) == 100L)
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(ckpt)) { w =>
+        w.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   test("lshParams picks the split whose S-curve midpoint hits the threshold") {
     // exact midpoints: (1/b)^(1/r)
     def mid(b: Int, r: Int) = math.pow(1.0 / b, 1.0 / r)

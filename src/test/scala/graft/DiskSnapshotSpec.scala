@@ -81,4 +81,74 @@ class DiskSnapshotSpec extends SparkSpec {
     assert(back.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap ==
       src.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap)
   }
+
+  test("diskCached: lazy under AQE even when the plan carries shuffles") {
+    // toRdd on an AdaptiveSparkPlanExec runs getFinalPhysicalPlan,
+    // which eagerly submits every upstream shuffle-stage job — the
+    // LazyQueryRDD delegate defers that until the first action. This
+    // is the config that actually ships (AQE default-on since 3.2);
+    // without the delegate this test fails with jobs > 0.
+    val conf = spark.conf
+    val prevAqe = conf.getOption("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "true")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val group = "disk-snapshot-aqe-lazy-probe"
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup(group, "aqe snapshot construction")
+    try {
+      val src = spark.range(0, 2000, 1, 4)
+        .select((col("id") % 13).as("k"), col("id"))
+        .groupBy(col("k")).agg(sum(col("id")).as("s"))
+      val snap = DiskSnapshot.diskCached(src)
+      Thread.sleep(1000)
+      assert(jobs.get == 0,
+        s"diskCached ran ${jobs.get} jobs at construction under AQE; " +
+          "the shuffle stages must wait for the first action")
+      assert(snap.count() == 13L)
+      assert(jobs.get > 0, "the action never reached the delegate")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+      prevAqe.fold(conf.unset("spark.sql.adaptive.enabled"))(
+        conf.set("spark.sql.adaptive.enabled", _))
+    }
+  }
+
+  test("released snapshot blocks are ContextCleaner-reaped (weak-ref probe)") {
+    // The no-unpersist-bookkeeping contract: the persisted RDD is only
+    // strongly reachable through the returned frame's LogicalRDD leaf;
+    // once the caller drops the frame, the ContextCleaner must drop
+    // the blocks. Build-and-drop in a method scope so no local keeps
+    // the frame alive, then GC until the persistent-RDD registry
+    // forgets the id.
+    def buildAndDrop(): Int = {
+      val snap = DiskSnapshot.diskCachedEager(
+        spark.range(0, 1000, 1, 2).select(col("id"), (col("id") * 2).as("v")))
+      val ids = snap.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }
+      assert(ids.length == 1, s"expected one LogicalRDD leaf, got $ids")
+      assert(spark.sparkContext.getPersistentRDDs.contains(ids.head),
+        "eager snapshot not registered as persistent")
+      assert(snap.count() == 1000L)
+      ids.head
+    }
+    val id = buildAndDrop()
+    val deadline = System.currentTimeMillis + 30000
+    while (spark.sparkContext.getPersistentRDDs.contains(id) &&
+        System.currentTimeMillis < deadline) {
+      System.gc()
+      Thread.sleep(250)
+    }
+    assert(!spark.sparkContext.getPersistentRDDs.contains(id),
+      "released snapshot's blocks were never reaped — the frame is not " +
+        "the only strong reference, or the cleaner lost track of the RDD")
+  }
 }

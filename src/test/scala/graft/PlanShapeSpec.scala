@@ -497,4 +497,63 @@ class PlanShapeSpec extends SparkSpec {
         conf.set("spark.sql.adaptive.enabled", _))
     }
   }
+
+  test("CC loop default mode: lineage cut is executor-local, never file-backed") {
+    // complement of DedupSpec's reliable-mode case: with no
+    // spark.graft.checkpointDir, the loop must keep the zero-external-
+    // storage localCheckpoint path (a surprise write to a checkpoint
+    // dir on a dev box is as wrong as a missing reliable one at scale)
+    assert(spark.conf.getOption("spark.graft.checkpointDir").isEmpty,
+      "a prior suite leaked spark.graft.checkpointDir")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val labels = graft.operators.Dedup
+      .connectedComponentsStar(pairs, "doc_a", "doc_b")
+    val lr = labels.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }
+    assert(lr.nonEmpty, "expected a checkpointed LogicalRDD leaf")
+    lr.foreach { l =>
+      assert(l.rdd.isCheckpointed, "labels frame not lineage-cut at all")
+      assert(l.rdd.getCheckpointFile.isEmpty,
+        "default CC mode wrote a reliable checkpoint without the conf")
+    }
+    assert(labels.count() == 5L)
+  }
+
+  test("constant operands of registered SQL kernels fail analysis when non-foldable") {
+    // nside/radius/m/dsub/ksub (and the PQ codebook) are extracted
+    // once at plan time via eval(null) — a per-row column there used
+    // to surface as an executor NPE/ClassCastException; it must be an
+    // analysis-time error naming the operand instead.
+    graft.plans.GraftExtensions.registerAll(spark)
+    val df = spark.range(4).select(col("id"),
+      (col("id") * 10).cast("double").as("ra"),
+      (col("id") * 5).cast("double").as("dec"),
+      (col("id") + 1).cast("int").as("n"))
+    def analysisMessage(c: org.apache.spark.sql.Column,
+                        on: org.apache.spark.sql.DataFrame = df): String = {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        on.select(c).collect()
+      }
+      e.getMessage
+    }
+    val mPix = analysisMessage(
+      call_function("graft_healpix_pix", col("ra"), col("dec"), col("n")))
+    assert(mPix.contains("plan-time constant") && mPix.contains("nside"), mPix)
+    val mDisc = analysisMessage(
+      call_function("graft_healpix_disc", col("id"), lit(8), col("ra")))
+    assert(mDisc.contains("plan-time constant") && mDisc.contains("radius"), mDisc)
+    val mMorton = analysisMessage(
+      call_function("graft_morton_key", col("ra"), col("dec"), col("ra"),
+        lit(0.0), col("ra"), lit(2)))
+    assert(mMorton.contains("plan-time constant") && mMorton.contains("size"), mMorton)
+    // the codebook must be a literal too, not just the right type
+    val vdf = spark.range(4).select(
+      transform(sequence(lit(1), lit(8)), x => x.cast("float")).as("v"))
+    val mPq = analysisMessage(
+      call_function("graft_pq_encode", col("v"), col("v"),
+        lit(2), lit(4), lit(1)), on = vdf)
+    assert(mPq.contains("plan-time constant") && mPq.contains("codebook"), mPq)
+  }
 }
