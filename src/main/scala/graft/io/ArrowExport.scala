@@ -33,9 +33,11 @@ import scala.jdk.CollectionConverters._
   *
   * Supported column types: boolean, int, long, float, double, string,
   * binary, date, timestamp, arrays of int/long/float/double/string
-  * (embedding and token-array columns; inner nulls round-trip), and
-  * flat structs of those scalars (the typed-metadata shape multimodal
-  * columns carry). Anything else throws up front with the column
+  * (embedding and token-array columns; inner nulls round-trip), flat
+  * structs of those scalars (the typed-metadata shape multimodal
+  * columns carry), and arrays of such flat structs (the per-frame /
+  * per-segment metadata list a video or audio column carries — one
+  * nesting level). Anything else throws up front with the column
   * name — cast or digest it first.
   *
   * Determinism caveat (shard identity under retries): a retried or
@@ -302,6 +304,11 @@ object ArrowExport {
     // columns carry (width/height/format next to a binary payload)
     case StructType(fields) if fields.nonEmpty &&
         fields.forall(f => structScalar(f.dataType)) => ()
+    // arrays of flat structs — the per-frame / per-segment metadata
+    // list shape (e.g. sampled video frames, each with its own typed
+    // attributes); one nesting level only, same scalar field set
+    case ArrayType(StructType(fields), _) if fields.nonEmpty &&
+        fields.forall(f => structScalar(f.dataType)) => ()
     case other => throw new IllegalArgumentException(
       s"ArrowExport: unsupported type $other for column '$name' — " +
         "cast it (or digest to a supported scalar) before export")
@@ -379,6 +386,42 @@ object ArrowExport {
                   val ts = row.getAs[java.sql.Timestamp](j)
                   vec.asInstanceOf[TimeStampMicroTZVector]
                     .setSafe(n, ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L)
+                case ArrayType(st: StructType, _) =>
+                  // list-of-flat-struct rides the complex writer: the
+                  // writer tracks element offsets and child positions
+                  // in one place (direct child setSafe would need a
+                  // second running element index per column)
+                  val w = listWriters(j)
+                  w.setPosition(n)
+                  w.startList()
+                  val sw = w.struct()
+                  row.getSeq[org.apache.spark.sql.Row](j).foreach { e =>
+                    if (e == null) sw.writeNull()
+                    else {
+                      sw.start()
+                      var k = 0
+                      while (k < st.length) {
+                        if (!e.isNullAt(k)) {
+                          val nm = st(k).name
+                          st(k).dataType match {
+                            case BooleanType =>
+                              sw.bit(nm).writeBit(if (e.getBoolean(k)) 1 else 0)
+                            case IntegerType => sw.integer(nm).writeInt(e.getInt(k))
+                            case LongType => sw.bigInt(nm).writeBigInt(e.getLong(k))
+                            case FloatType => sw.float4(nm).writeFloat4(e.getFloat(k))
+                            case DoubleType => sw.float8(nm).writeFloat8(e.getDouble(k))
+                            case StringType => sw.varChar(nm).writeVarChar(e.getString(k))
+                            case BinaryType =>
+                              sw.varBinary(nm).writeVarBinary(e.getAs[Array[Byte]](k))
+                            case _ => ()
+                          }
+                        }
+                        k += 1
+                      }
+                      sw.end()
+                    }
+                  }
+                  w.endList()
                 case ArrayType(elem, _) =>
                   val w = listWriters(j)
                   w.setPosition(n)

@@ -746,6 +746,9 @@ object Hdf5Io {
     * HDF5 is a single-writer format, so this is inherently a
     * driver-bound export, like the reference's serial writer
     * (io/serial.py). Use parquet for engine-to-engine data movement.
+    * REFUSES past `spark.graft.hdf5.exportMaxRows` (default
+    * [[ExportMaxRows]]) rather than silently serializing a
+    * cluster-sized frame through one JVM — see the cap's doc.
     *
     * HDF5 has no null representation: null numerics export as zero
     * and null strings as "" (the reference's files simply never
@@ -762,13 +765,38 @@ object Hdf5Io {
     } catch { case e: Throwable => w.close(); throw e }
   }
 
+  /** Interop-scale row cap for the driver-funneled HDF5 export paths.
+    * `toLocalIterator` keeps driver MEMORY flat (one partition at a
+    * time), so unlike `objects()` this is not an OOM guard — it bounds
+    * WALL TIME: HDF5 is a single-writer format, so every exported row
+    * serializes through one JVM one column at a time, and a user
+    * pointing `exportHdf5` at a cluster-sized frame would wait hours
+    * for what `oc.write` (Parquet + sidecar, all executors writing)
+    * finishes in seconds. Overridable per session via
+    * `spark.graft.hdf5.exportMaxRows` when the serial wait is an
+    * explicit choice.
+    */
+  val ExportMaxRows: Long = 100000000L
+
   /** Stream a DataFrame into a `data` group (one pass per column);
-    * returns the group's object-header address.
+    * returns the group's object-header address. Refuses past the
+    * interop cap (see [[ExportMaxRows]]) — every HDF5 data group,
+    * including each child table of a structure export, is checked at
+    * this single funnel point.
     */
   private def writeDataGroup(w: Hdf5Writer, df: DataFrame, header: Header,
                              chunkRows: Int, compress: Boolean): Long = {
     import Hdf5Writer._
     val rows = df.count()
+    val cap = df.sparkSession.conf
+      .get("spark.graft.hdf5.exportMaxRows", ExportMaxRows.toString).toLong
+    require(rows <= cap,
+      s"HDF5 export would stream $rows rows through the driver (cap $cap). " +
+        "HDF5 is a single-writer interop format — every row serializes " +
+        "through one JVM. Use oc.write (Parquet + sidecar, fully " +
+        "distributed) for engine-scale data movement, or set " +
+        "spark.graft.hdf5.exportMaxRows higher if the serial export " +
+        "time is an explicit choice.")
     // one job probes every string column's max byte width + array widths
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     val arrCols = df.schema.fields.collect { case f if f.dataType.isInstanceOf[ArrayType] => f.name }

@@ -408,23 +408,32 @@ object Corpus {
     }),
 
     // bucketByRank's HOT-SCORE regime under a driver oracle (round-14
-    // verdict ask #8): ~70% of orders share one score value, and the
-    // cap is lowered to 4096 for this query's plan construction so
-    // that value takes the sub-sliced (score, hash-slice) rank path at
-    // gate scale — sf0.01's natural data never exceeds the 2^20
-    // default. Hot ties break by (xxhash64, id), which DuckDB cannot
-    // replay row-for-row, so the gate output is the ORDER-INDEPENDENT
-    // contract of the hot path: per-bucket row counts, hot-row counts,
-    // and a cold-row key checksum. Every cross-score offset, the exact
-    // equal-count partition, and the cold rows' id-order ranks are
-    // fully pinned (any mis-rank moves a row's bucket and breaks a
-    // count or the checksum); only the internal shuffle of equal-score
-    // hot ties — semantically arbitrary — is aggregated away.
+    // verdict ask #8): ~70% of the kept orders share one score value,
+    // and the cap is lowered to 1024 for this query's plan
+    // construction so that value takes the sub-sliced (score,
+    // hash-slice) rank path at gate scale — sf0.01's natural data
+    // never exceeds the 2^20 default. The orderkey%3 slice exists
+    // only to size the gate: the hot regime needs maxGroup > cap, not
+    // the whole table (round-15 ask #7 — the unsliced form paid 8 s
+    // of identical machinery for no extra coverage; the hot group is
+    // still ~3× the cap at the verify gate's sf0.01 and ~34× at the
+    // bench's sf0.1, while every cold score value stays two orders of
+    // magnitude under it). Hot ties break by
+    // (xxhash64, id), which DuckDB cannot replay row-for-row, so the
+    // gate output is the ORDER-INDEPENDENT contract of the hot path:
+    // per-bucket row counts, hot-row counts, and a cold-row key
+    // checksum. Every cross-score offset, the exact equal-count
+    // partition, and the cold rows' id-order ranks are fully pinned
+    // (any mis-rank moves a row's bucket and breaks a count or the
+    // checksum); only the internal shuffle of equal-score hot ties —
+    // semantically arbitrary — is aggregated away.
     "q135_rank_hot_gate" -> ((s, dir) => {
       val prev = s.conf.getOption("spark.graft.rank.hotScoreRows")
-      s.conf.set("spark.graft.rank.hotScoreRows", "4096")
+      s.conf.set("spark.graft.rank.hotScoreRows", "1024")
       try {
-        val o = t(s, dir, "orders").select(col("o_orderkey"),
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"),
           when(col("o_orderkey") % 10 < 7, lit(0.5))
             .otherwise((col("o_orderkey") % 97).cast("double") / lit(97.0))
             .as("score"))
@@ -1157,7 +1166,7 @@ object Corpus {
            SELECT o_orderkey,
              CASE WHEN o_orderkey % 10 < 7 THEN 0.5
                   ELSE CAST(o_orderkey % 97 AS DOUBLE) / 97.0 END AS score
-           FROM orders),
+           FROM orders WHERE o_orderkey % 3 = 0),
          ranked AS (
            SELECT o_orderkey, score,
              row_number() OVER (ORDER BY score DESC, o_orderkey) AS rn,

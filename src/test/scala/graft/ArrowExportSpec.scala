@@ -329,6 +329,47 @@ class ArrowExportSpec extends SparkSpec {
     assert(e.getMessage.contains("deep"), e.getMessage)
   }
 
+  test("arrays of flat structs round-trip (per-frame metadata lists)") {
+    // the multimodal LIST shape: a video/audio column's sampled
+    // frames, each with its own typed attributes — one nesting level;
+    // null list, null struct element, and null inner field all travel
+    val df = spark.sql(
+      """SELECT id,
+           CASE WHEN id = 3 THEN NULL ELSE
+             transform(sequence(0, CAST(id AS INT)), i ->
+               CASE WHEN i = 2 THEN NULL ELSE named_struct(
+                 'frame', i,
+                 'ts_ms', CAST(i * 40 AS BIGINT),
+                 'label', CASE WHEN i = 1 THEN CAST(NULL AS STRING)
+                               ELSE concat('f', CAST(i AS STRING)) END,
+                 'conf', CAST(i AS DOUBLE) / 3.0) END) END AS frames
+         FROM range(5)""").repartition(2)
+    val out = tmpDir("structlists")
+    ArrowExport.writeArrowIpc(df, out, batchRows = 2)
+    val back = ArrowExport.readArrowIpcDF(spark, out, df.schema)
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect().map { r =>
+      val frames = if (r.isNullAt(1)) null
+        else r.getSeq[org.apache.spark.sql.Row](1).map { m =>
+          if (m == null) null
+          else (m.getInt(0), m.getLong(1),
+            if (m.isNullAt(2)) "∅" else m.getString(2), m.getDouble(3))
+        }
+      r.getLong(0) -> frames
+    }.toMap
+    assert(key(back) == key(df))
+    // depth stops at one level: a struct inside the listed struct (and
+    // an array inside a struct) still reject with the column name
+    Seq(
+      "SELECT array(named_struct('inner', named_struct('a', 1))) AS deep FROM range(1)",
+      "SELECT named_struct('xs', array(1, 2)) AS deep FROM range(1)"
+    ).foreach { sql =>
+      val e = intercept[IllegalArgumentException] {
+        ArrowExport.writeArrowIpc(spark.sql(sql), tmpDir("deeplist"))
+      }
+      assert(e.getMessage.contains("deep"), e.getMessage)
+    }
+  }
+
   test("concurrent-writer rename race: loser defers, reader sees one committed shard") {
     import org.apache.hadoop.fs.{FilterFileSystem, Path}
     // a committed winner: a normal 1-shard export

@@ -115,6 +115,19 @@ class DriverContractSpec extends AnyFunSuite {
       "\"q2\":{\"t\":1.500,\"runs\":3}")
   }
 
+  test("run-level churn field serializes both canary samples, worst ratio wins") {
+    // BENCH_r{N}.json contract: a judge comparing round totals reads
+    // "churn" as the box-load discount — the field must be the MAX of
+    // the sweep-start/sweep-end canary ratios with both samples kept
+    assert(Bench.churnFieldOf(None, None) == "")
+    assert(Bench.churnFieldOf(Some(1.234), None) ==
+      ""","churn":1.23,"churn_samples":[1.23]""")
+    assert(Bench.churnFieldOf(Some(0.97), Some(2.456)) ==
+      ""","churn":2.46,"churn_samples":[0.97,2.46]""")
+    assert(Bench.churnFieldOf(Some(3.01), Some(1.0)) ==
+      ""","churn":3.01,"churn_samples":[3.01,1.00]""")
+  }
+
   test("verify survives a nonexistent data dir and still writes oracle_sql.json") {
     val out = java.nio.file.Files.createTempDirectory("graft-verify-resilience-")
     try {

@@ -517,6 +517,35 @@ class Hdf5Spec extends SparkSpec {
     assert(back.columns == mixed.columns)
   }
 
+  test("export refuses past the interop row cap; raising the conf permits it") {
+    // the cap bounds driver WALL TIME, not memory (toLocalIterator
+    // already bounds memory): pointing the single-writer HDF5 path at
+    // a cluster-sized frame must fail loudly toward oc.write instead
+    // of serializing for hours
+    spark.conf.set("spark.graft.hdf5.exportMaxRows", "2")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Hdf5Io.exportHdf5(mixed, tmp("capped.hdf5"))
+      }
+      assert(e.getMessage.contains("cap 2") &&
+        e.getMessage.contains("spark.graft.hdf5.exportMaxRows"), e.getMessage)
+      // the same funnel guards every data group of a structure export
+      val parent = Seq((1L, 0.5), (2L, 1.5)).toDF("pid", "mass")
+      val kids = Seq((1L, 10.0), (1L, 11.0), (2L, 12.0)).toDF("pid", "vx")
+      val coll = graft.collections.StructureCollection(
+        OCDataset(parent), Map("galaxies" -> kids), linkKey = "pid")
+      val e2 = intercept[IllegalArgumentException] {
+        Hdf5Io.exportStructureHdf5(coll, tmp("cappedsc.hdf5"))
+      }
+      assert(e2.getMessage.contains("cap 2"), e2.getMessage)
+      // an explicit raise restores the round trip
+      spark.conf.set("spark.graft.hdf5.exportMaxRows", "3")
+      val p = tmp("uncapped.hdf5")
+      Hdf5Io.exportHdf5(mixed, p)
+      assert(Hdf5Io.importDataset(spark, p).count() == 3)
+    } finally spark.conf.unset("spark.graft.hdf5.exportMaxRows")
+  }
+
   test("reader rejects non-HDF5 and truncated files loudly") {
     val d = Files.createTempDirectory("graft-h5-bad")
     val bad = d.resolve("bad.hdf5")
