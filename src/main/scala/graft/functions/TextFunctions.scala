@@ -344,4 +344,38 @@ object TextFunctions {
     val packed = call_function("graft_deflate_len", text, lit(level)).cast("double")
     when(raw > 0, packed / raw)
   }
+
+  /** Gopher repetition signals (arXiv:2112.11446 table A1) as an
+    * array<long>[11] — [1]=total token chars, [2..4]=top-{2,3,4}-gram
+    * chars (occurrences × gram chars of the most frequent n-gram),
+    * [5..10]=dup-{5..10}-gram covered chars (position-union, no
+    * double counting), [11]=token count (1-based `element_at`
+    * indices). One codegen'd pass per row; integer outputs so the
+    * signals hash-compare across engines — the filter fractions are
+    * signal/total. Requires GraftExtensions registered.
+    */
+  def repetitionSignals(text: Column): Column =
+    call_function("graft_rep_signals", text)
+
+  /** The Gopher repetition FILTER (arXiv:2112.11446 table A1 row set
+    * "repetition"): keep a document iff every within-doc n-gram
+    * repetition fraction sits under its published threshold —
+    * top-{2,3,4}-gram char fraction ≤ {0.20, 0.18, 0.16} and
+    * dup-{5..10}-gram char fraction ≤ {0.15, 0.14, 0.13, 0.12, 0.11,
+    * 0.10}. (The paper's duplicate line/paragraph rows need document
+    * structure this corpus model does not carry — text is a single
+    * line — so they are out of scope here.) Zero-char documents pass
+    * vacuously (no repetition evidence).
+    */
+  def passesGopherRepetitionFilter(text: Column): Column = {
+    val s = repetitionSignals(text)
+    val total = element_at(s, 1).cast("double")
+    val topThr = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dupThr = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+      9 -> 0.11, 10 -> 0.10)
+    val checks = (topThr ++ dupThr).map { case (n, thr) =>
+      element_at(s, n).cast("double") <= lit(thr) * total
+    }
+    checks.reduce(_ && _) || total === 0.0
+  }
 }

@@ -71,6 +71,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_deflate_len"),
       new ExpressionInfo(classOf[DeflateLenExpr].getName, "graft_deflate_len"),
       (children: Seq[Expression]) => DeflateLenExpr(children): Expression),
+    (FunctionIdentifier("graft_rep_signals"),
+      new ExpressionInfo(classOf[RepSignalsExpr].getName, "graft_rep_signals"),
+      (children: Seq[Expression]) => RepSignalsExpr(children): Expression),
     (FunctionIdentifier("graft_bpe_word"),
       new ExpressionInfo(classOf[BpeWordExpr].getName, "graft_bpe_word"),
       (children: Seq[Expression]) => BpeWordExpr(children): Expression),

@@ -182,6 +182,136 @@ object TextKernels {
     }
     new GenericArrayData(mins)
   }
+
+  /** Gopher within-document repetition signals (arXiv:2112.11446
+    * table A1), one tokenize + one hash-count pass per n — all
+    * INTEGER outputs so a SQL engine can replay them hash-exactly
+    * (the fractions the filter thresholds compare are
+    * signal/total_chars, left to the caller):
+    *
+    *   [0]    total_chars — sum of per-token code-point lengths
+    *          (separator spaces excluded)
+    *   [1..3] top-{2,3,4}-gram chars — occurrences × gram chars of
+    *          the most frequent token n-gram (ties break to the
+    *          code-point-smallest gram, the order SQL's
+    *          `ORDER BY cnt DESC, gram` replays)
+    *   [4..9] dup-{5..10}-gram covered chars — chars of tokens lying
+    *          inside ANY occurrence of an n-gram that appears ≥2
+    *          times (position-coverage union, so overlapping
+    *          occurrences never double-count)
+    *   [10]   token count
+    *
+    * Tokenization is `split(" ", -1)` — identical to
+    * `split(text, ' ')` on the Spark side and `string_split(text,
+    * ' ')` in DuckDB (empty tokens kept, zero chars each). A doc
+    * shorter than n tokens contributes 0 for that n.
+    */
+  def repSignals(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    val L = toks.length
+    val lens = new Array[Int](L)
+    var total = 0L
+    var i = 0
+    while (i < L) {
+      lens(i) = toks(i).codePointCount(0, toks(i).length)
+      total += lens(i)
+      i += 1
+    }
+    val out = new Array[Long](11)
+    out(0) = total
+    out(10) = L
+    var n = 2
+    while (n <= 4) { out(n - 1) = topGramChars(toks, n); n += 1 }
+    n = 5
+    while (n <= 10) { out(n - 1) = dupCoveredChars(toks, lens, n); n += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Code-point order — what binary UTF-8 collation (DuckDB, and
+    * UTF8String.compareTo) yields; Java String.compareTo is UTF-16
+    * code-UNIT order, which disagrees above the BMP. */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  private def gramKeys(toks: Array[String], n: Int): Array[String] = {
+    val m = toks.length - n + 1
+    val keys = new Array[String](m)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      keys(i) = sb.toString
+      i += 1
+    }
+    keys
+  }
+
+  private def countGrams(keys: Array[String]): java.util.HashMap[String, Array[Int]] = {
+    val counts = new java.util.HashMap[String, Array[Int]]()
+    var i = 0
+    while (i < keys.length) {
+      val slot = counts.get(keys(i))
+      if (slot == null) counts.put(keys(i), Array(1)) else slot(0) += 1
+      i += 1
+    }
+    counts
+  }
+
+  private def topGramChars(toks: Array[String], n: Int): Long = {
+    if (toks.length < n) return 0L
+    val counts = countGrams(gramKeys(toks, n))
+    var bestCount = 0
+    var bestKey: String = null
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue()(0)
+      if (c > bestCount || (c == bestCount && cpCompare(e.getKey, bestKey) < 0)) {
+        bestCount = c
+        bestKey = e.getKey
+      }
+    }
+    // gram chars = key code points minus the n-1 separator spaces
+    val gramChars = bestKey.codePointCount(0, bestKey.length) - (n - 1)
+    bestCount.toLong * gramChars
+  }
+
+  private def dupCoveredChars(toks: Array[String], lens: Array[Int],
+                              n: Int): Long = {
+    val L = toks.length
+    if (L < n) return 0L
+    val keys = gramKeys(toks, n)
+    val counts = countGrams(keys)
+    val covered = new Array[Boolean](L)
+    var i = 0
+    while (i < keys.length) {
+      if (counts.get(keys(i))(0) >= 2) {
+        var k = i
+        while (k < i + n) { covered(k) = true; k += 1 }
+      }
+      i += 1
+    }
+    var sum = 0L
+    i = 0
+    while (i < L) { if (covered(i)) sum += lens(i); i += 1 }
+    sum
+  }
 }
 
 /** Analysis-time input checks for the text kernels (the
@@ -456,6 +586,45 @@ final case class DeflateLenExpr(children: Seq[Expression]) extends Expression {
         long ${ev.value} = 0L;
         if (!${ev.isNull}) {
           ${ev.value} = graft.plans.TextKernels.deflateLen(${cg.value}, $level);
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
+}
+
+/** graft_rep_signals(text) → array<long>[11]: the Gopher repetition
+  * signals (see [[TextKernels.repSignals]] for the layout). One
+  * codegen'd pass per row; integer outputs so the driver oracle can
+  * hash-compare the signals themselves rather than float fractions.
+  */
+final case class RepSignalsExpr(children: Seq[Expression]) extends Expression {
+  require(children.length == 1, "graft_rep_signals(text)")
+  private def child = children.head
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextKernelChecks.expect(Seq(
+      (child, TextKernelChecks.isString, "text string")), prettyName)
+
+  override def eval(input: InternalRow): Any = {
+    val s = child.eval(input)
+    if (s == null) null
+    else TextKernels.repSignals(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cg = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${cg.code}
+        boolean ${ev.isNull} = ${cg.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.plans.TextKernels.repSignals(${cg.value});
         }
       """)
   }

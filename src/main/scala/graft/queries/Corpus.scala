@@ -446,6 +446,31 @@ object Corpus {
         prev.fold(s.conf.unset("spark.graft.rank.hotScoreRows"))(
           s.conf.set("spark.graft.rank.hotScoreRows", _))
       }
+    }),
+
+    // Gopher repetition signals (arXiv:2112.11446 table A1) — the
+    // codegen'd graft_rep_signals kernel, oracled as INTEGERS (char
+    // counts, not fractions) so the compare is hash-exact. Natural
+    // ~60-token synthetic docs never repeat a 5-gram, so the
+    // dup-{5..10} family would gate on all-zeros; like the PII query,
+    // repetition is AUGMENTED deterministically (1 in 7 docs gains
+    // its own 20-token prefix → partial coverage, 1 in 11 doubles →
+    // near-full coverage) with the identical CASE replayed in SQL.
+    "q136_gopher_repetition" -> ((s, dir) => {
+      graft.plans.GraftExtensions.registerAll(s)
+      val toks = split(col("text"), " ")
+      val aug = when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" "), array_join(slice(toks, 1, 20), " ")))
+        .when(col("doc_id") % 11 === 3,
+          concat(col("text"), lit(" "), col("text")))
+        .otherwise(col("text"))
+      val names = Seq("total_chars", "top2_chars", "top3_chars",
+        "top4_chars", "dup5_chars", "dup6_chars", "dup7_chars",
+        "dup8_chars", "dup9_chars", "dup10_chars", "n_tokens")
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.repetitionSignals(aug).as("__s"))
+        .select(col("doc_id") +: names.zipWithIndex.map { case (nm, i) =>
+          element_at(col("__s"), i + 1).as(nm) }: _*)
     })
   )
 
@@ -1177,6 +1202,68 @@ object Corpus {
            CAST(sum(CASE WHEN score = 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
            CAST(sum(CASE WHEN score <> 0.5 THEN o_orderkey END) AS BIGINT)
              AS cold_key_sum
-         FROM ranked GROUP BY 1"""
+         FROM ranked GROUP BY 1""",
+    // q136: full list-ops replay of the repetition kernel. top-n =
+    // occurrences × gram chars of the count-max gram (ties to the
+    // binary-smallest gram — the kernel compares code points, which
+    // IS DuckDB's binary collation); dup-n = chars of token positions
+    // covered by any ≥2-count gram occurrence (DISTINCT position
+    // union, no double counting). Gram char count = length(joined) -
+    // (n-1) separator spaces, exact because tokens cannot contain ' '.
+    "q136_gopher_repetition" -> q136Oracle
   )
+
+  private def q136TopCte(n: Int): String = s"""
+g$n AS (
+  SELECT doc_id, array_to_string(t[i:i+${n - 1}], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, L - ${n - 1})) AS u(i)),
+top$n AS MATERIALIZED (
+  SELECT doc_id, CAST(cnt * (length(g) - ${n - 1}) AS BIGINT) AS top${n}_chars
+  FROM (SELECT doc_id, g, count(*) AS cnt,
+          row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) AS rn
+        FROM g$n GROUP BY doc_id, g)
+  WHERE rn = 1)"""
+
+  private def q136DupCte(n: Int): String = s"""
+s$n AS MATERIALIZED (
+  SELECT doc_id, i, array_to_string(t[i:i+${n - 1}], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, L - ${n - 1})) AS u(i)),
+dups$n AS (
+  SELECT doc_id, g FROM s$n GROUP BY doc_id, g HAVING count(*) >= 2),
+cov$n AS (
+  SELECT DISTINCT s.doc_id, u.p
+  FROM s$n s JOIN dups$n d USING (doc_id, g),
+       UNNEST(generate_series(s.i, s.i + ${n - 1})) AS u(p)),
+d$n AS MATERIALIZED (
+  SELECT b.doc_id,
+    CAST(coalesce(sum(length(b.t[c.p])), 0) AS BIGINT) AS dup${n}_chars
+  FROM base b LEFT JOIN cov$n c ON b.doc_id = c.doc_id
+  GROUP BY b.doc_id)"""
+
+  private def q136Oracle: String = {
+    val ctes = (2 to 4).map(q136TopCte) ++ (5 to 10).map(q136DupCte)
+    s"""WITH docs AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN text || ' ' ||
+           array_to_string((string_split(text, ' '))[1:20], ' ')
+         WHEN doc_id % 11 = 3 THEN text || ' ' || text
+         ELSE text END AS text
+  FROM documents),
+toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS L
+  FROM docs),
+base AS MATERIALIZED (
+  SELECT doc_id, t, L,
+    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS total_chars,
+    CAST(L AS BIGINT) AS n_tokens
+  FROM toks),${ctes.mkString(",")}
+SELECT b.doc_id, b.total_chars,
+  ${(2 to 4).map(n => s"CAST(coalesce(top$n.top${n}_chars, 0) AS BIGINT) AS top${n}_chars").mkString(",\n  ")},
+  ${(5 to 10).map(n => s"d$n.dup${n}_chars").mkString(", ")},
+  b.n_tokens
+FROM base b
+${(2 to 4).map(n => s"LEFT JOIN top$n USING (doc_id)").mkString("\n")}
+${(5 to 10).map(n => s"JOIN d$n USING (doc_id)").mkString("\n")}"""
+  }
 }

@@ -25,6 +25,7 @@ class TextFunctionsSpec extends SparkSpec {
     rejected(nums.select(call_function("graft_simhash64", col("x"))))
     rejected(nums.select(call_function("graft_ngram_hashes", col("x"), lit(3))))
     rejected(nums.select(call_function("graft_minhash_sig", col("x"), lit(4))))
+    rejected(nums.select(call_function("graft_rep_signals", col("x"))))
     // the valid shapes still resolve (no over-tight check)
     val ok = Seq(("ab", Seq(1L, 2L))).toDF("t", "h")
     assert(ok.select(
@@ -130,5 +131,57 @@ class TextFunctionsSpec extends SparkSpec {
     }
     assert(cos(rows(1L), rows(2L)) > cos(rows(1L), rows(3L)))
     assert(cos(rows(1L), rows(2L)) > 0.5)
+  }
+
+  test("repetition signals: planted doc, exact integers") {
+    graft.plans.GraftExtensions.registerAll(spark)
+    // "ab cd ab cd ab x" — 6 tokens, 11 chars total.
+    // 2-grams: "ab cd"×2, "cd ab"×2, "ab x"×1 → max count 2, tie
+    // breaks to the smallest gram "ab cd" (4 chars) → top2 = 2×4 = 8.
+    val s = one("ab cd ab cd ab x")
+      .select(repetitionSignals(col("text"))).first().getSeq[Long](0)
+    assert(s(0) == 11L, s"total: ${s(0)}")
+    assert(s(10) == 6L, s"tokens: ${s(10)}")
+    assert(s(1) == 8L, s"top2: ${s(1)}")
+    // 3-grams: "ab cd ab"×2, "cd ab cd"×1, "cd ab x"×1 → 2×6 = 12
+    assert(s(2) == 12L, s"top3: ${s(2)}")
+    // 4-grams all distinct → count 1; smallest is "ab cd ab cd"
+    // (8 chars) → 1×8
+    assert(s(3) == 8L, s"top4: ${s(3)}")
+    // no 5-gram repeats in 6 tokens (2 grams, distinct) → dup5 = 0
+    assert(s(4) == 0L, s"dup5: ${s(4)}")
+  }
+
+  test("repetition signals: dup coverage unions overlapping occurrences") {
+    graft.plans.GraftExtensions.registerAll(spark)
+    // doubled text: every 5-gram of the first copy repeats, so
+    // coverage spans ALL tokens → dup5 = total chars; a doc shorter
+    // than n yields 0 for that n, and empty text is all-zero
+    val doubled = "a bb c dd e f"
+    val s = one(doubled + " " + doubled)
+      .select(repetitionSignals(col("text"))).first().getSeq[Long](0)
+    assert(s(4) == s(0), s"dup5 ${s(4)} != total ${s(0)}")
+    val short = one("a b c").select(repetitionSignals(col("text")))
+      .first().getSeq[Long](0)
+    assert(short(3) == 0L && short(4) == 0L) // top4 and dup5 at L=3
+    val empty = one("").select(repetitionSignals(col("text")))
+      .first().getSeq[Long](0)
+    assert(empty(0) == 0L && empty(10) == 1L) // split('') = [''] — one empty token
+    assert(empty.take(10).forall(v => v == 0L || v == empty(0)))
+  }
+
+  test("Gopher repetition filter: clean text passes, looped text fails") {
+    graft.plans.GraftExtensions.registerAll(spark)
+    // the clean doc must be LONG enough that a count-1 top-4-gram is
+    // a small char fraction — the thresholds assume real documents,
+    // and a 10-token doc's unique 4-gram is already ~40% of its chars
+    val df = Seq(
+      ("clean", Seq.tabulate(40)(i => f"w$i%02d").mkString(" ")),
+      ("loop", Seq.fill(12)("buy now click here").mkString(" ")),
+      ("empty", "")
+    ).toDF("k", "text")
+    val kept = df.filter(passesGopherRepetitionFilter(col("text")))
+      .select(col("k")).collect().map(_.getString(0)).toSet
+    assert(kept == Set("clean", "empty"), kept.toString)
   }
 }
