@@ -108,6 +108,14 @@ object ScaleProbe {
     import graft.operators.{CorpusStats, Dedup, Sampling, Similarity}
     time("topk_ngrams", base, scaled)(d => CorpusStats.topKNgrams(d, "text", 3, 20).count())
     time("repetition", base, scaled)(d => CorpusStats.repetitionStats(d, "doc_id", "text").count())
+    // the q136 one-pass Gopher kernel: per-row O(len·n), no shuffle,
+    // no state — the exponent must sit at ~1.0 (pure map scaling)
+    time("rep_signals_kernel", base, scaled) { d =>
+      graft.plans.GraftExtensions.registerAll(d.sparkSession)
+      d.agg(sum(element_at(
+        graft.functions.TextFunctions.repetitionSignals(col("text")), 5)))
+        .collect().head.getLong(0)
+    }
     time("chunk_dedup", base, scaled)(d => CorpusStats.chunkDedup(d, "doc_id", "text", 10).count())
     time("bigram_lm", base, scaled)(d => CorpusStats.bigramLmScore(d, "doc_id", "text").count())
     time("bm25", base, scaled)(d => CorpusStats.bm25TopK(d, "doc_id", "text",
