@@ -602,8 +602,11 @@ object ScaleProbe {
 
     def rm(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      // Files.walk holds a directory handle until the stream closes
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
+        w.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
 
     // returns (drainSec, stateRows); `mk` receives the scaled batch

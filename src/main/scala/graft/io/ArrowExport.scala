@@ -35,10 +35,15 @@ import scala.jdk.CollectionConverters._
   * binary, date, timestamp, arrays of int/long/float/double/string
   * (embedding and token-array columns; inner nulls round-trip), flat
   * structs of those scalars (the typed-metadata shape multimodal
-  * columns carry), and arrays of such flat structs (the per-frame /
+  * columns carry), arrays of such flat structs (the per-frame /
   * per-segment metadata list a video or audio column carries — one
-  * nesting level). Anything else throws up front with the column
-  * name — cast or digest it first.
+  * nesting level), arrays OF arrays of those scalars (the packed-batch
+  * shape a dataloader consumes: one bin row carrying each packed doc's
+  * own token-id list; null inner lists and null elements travel), and
+  * string-keyed maps with scalar values (the event-properties shape;
+  * null values travel, keys are non-null by Arrow's map contract).
+  * Anything else throws up front with the column name — cast or
+  * digest it first.
   *
   * Determinism caveat (shard identity under retries): a retried or
   * speculative task re-runs the partition and must produce the SAME
@@ -309,6 +314,15 @@ object ArrowExport {
     // attributes); one nesting level only, same scalar field set
     case ArrayType(StructType(fields), _) if fields.nonEmpty &&
         fields.forall(f => structScalar(f.dataType)) => ()
+    // arrays of arrays of scalars — the packed-batch handoff shape
+    // (each bin row carries the per-doc token-id lists it packed);
+    // exactly two levels, same element set as single-level arrays
+    case ArrayType(ArrayType(IntegerType | LongType | FloatType |
+                             DoubleType | StringType, _), _) => ()
+    // string-keyed maps with scalar values — the event-properties /
+    // tag-bag shape (Arrow map keys are non-nullable by spec; Spark
+    // map keys already are)
+    case MapType(StringType, vt, _) if structScalar(vt) => ()
     case other => throw new IllegalArgumentException(
       s"ArrowExport: unsupported type $other for column '$name' — " +
         "cast it (or digest to a supported scalar) before export")
@@ -336,6 +350,20 @@ object ArrowExport {
       case StructType(fields) =>
         new Field(f.name, FieldType.nullable(ArrowType.Struct.INSTANCE),
           fields.map(arrowField).toList.asJava)
+      case MapType(StringType, vt, _) =>
+        // Arrow maps are list<entries: struct<key: non-null, value>>;
+        // the canonical child names come from MapVector so the writer
+        // (UnionMapWriter) and readers agree on the layout
+        import org.apache.arrow.vector.complex.MapVector
+        val keyF = new Field(MapVector.KEY_NAME,
+          new FieldType(false, ArrowType.Utf8.INSTANCE, null),
+          java.util.Collections.emptyList())
+        val valF = arrowField(StructField(MapVector.VALUE_NAME, vt))
+        val entriesF = new Field(MapVector.DATA_VECTOR_NAME,
+          new FieldType(false, ArrowType.Struct.INSTANCE, null),
+          java.util.List.of(keyF, valF))
+        new Field(f.name, FieldType.nullable(new ArrowType.Map(false)),
+          java.util.List.of(entriesF))
       case other => throw new IllegalArgumentException(other.toString)
     }
   }
@@ -422,6 +450,83 @@ object ArrowExport {
                     }
                   }
                   w.endList()
+                case ArrayType(ArrayType(inner, _), _) =>
+                  // packed-batch shape: the outer writer tracks bin
+                  // offsets, one inner list writer per packed doc
+                  val w = listWriters(j)
+                  w.setPosition(n)
+                  w.startList()
+                  val iw = w.list()
+                  row.getSeq[scala.collection.Seq[Any]](j).foreach { s =>
+                    if (s == null) iw.writeNull()
+                    else {
+                      iw.startList()
+                      s.foreach { e =>
+                        if (e == null) inner match {
+                          case IntegerType => iw.integer().writeNull()
+                          case LongType => iw.bigInt().writeNull()
+                          case FloatType => iw.float4().writeNull()
+                          case DoubleType => iw.float8().writeNull()
+                          case StringType => iw.varChar().writeNull()
+                          case _ => ()
+                        } else inner match {
+                          case IntegerType =>
+                            iw.integer().writeInt(e.asInstanceOf[Int])
+                          case LongType =>
+                            iw.bigInt().writeBigInt(e.asInstanceOf[Long])
+                          case FloatType =>
+                            iw.float4().writeFloat4(e.asInstanceOf[Float])
+                          case DoubleType =>
+                            iw.float8().writeFloat8(e.asInstanceOf[Double])
+                          case StringType =>
+                            iw.varChar().writeVarChar(e.asInstanceOf[String])
+                          case _ => ()
+                        }
+                      }
+                      iw.endList()
+                    }
+                  }
+                  w.endList()
+                case MapType(StringType, vt, _) =>
+                  // MapVector extends ListVector, so listWriters(j)
+                  // already holds ITS writer — the map-mode subclass
+                  val mw = listWriters(j).asInstanceOf[
+                    org.apache.arrow.vector.complex.impl.UnionMapWriter]
+                  mw.setPosition(n)
+                  mw.startMap()
+                  row.getMap[String, Any](j).foreach { case (k, v) =>
+                    mw.startEntry()
+                    mw.key().varChar().writeVarChar(k)
+                    val vw = mw.value()
+                    if (v == null) vt match {
+                      case BooleanType => vw.bit().writeNull()
+                      case IntegerType => vw.integer().writeNull()
+                      case LongType => vw.bigInt().writeNull()
+                      case FloatType => vw.float4().writeNull()
+                      case DoubleType => vw.float8().writeNull()
+                      case StringType => vw.varChar().writeNull()
+                      case BinaryType => vw.varBinary().writeNull()
+                      case _ => ()
+                    } else vt match {
+                      case BooleanType =>
+                        vw.bit().writeBit(if (v.asInstanceOf[Boolean]) 1 else 0)
+                      case IntegerType =>
+                        vw.integer().writeInt(v.asInstanceOf[Int])
+                      case LongType =>
+                        vw.bigInt().writeBigInt(v.asInstanceOf[Long])
+                      case FloatType =>
+                        vw.float4().writeFloat4(v.asInstanceOf[Float])
+                      case DoubleType =>
+                        vw.float8().writeFloat8(v.asInstanceOf[Double])
+                      case StringType =>
+                        vw.varChar().writeVarChar(v.asInstanceOf[String])
+                      case BinaryType =>
+                        vw.varBinary().writeVarBinary(v.asInstanceOf[Array[Byte]])
+                      case _ => ()
+                    }
+                    mw.endEntry()
+                  }
+                  mw.endMap()
                 case ArrayType(elem, _) =>
                   val w = listWriters(j)
                   w.setPosition(n)

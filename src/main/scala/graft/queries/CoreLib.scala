@@ -254,8 +254,51 @@ object CoreLib {
         }.toDF("vec_id", "dim", "e0", "e1", "e2", "e3")
       } finally {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
+        // Files.walk holds a directory handle until the stream closes
+        scala.util.Using.resource(java.nio.file.Files.walk(out)) { w =>
+          w.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+    }),
+
+    // Arrow IPC, round-16 widened shapes: nested arrays (the
+    // packed-batch handoff — each row carries per-doc token lists)
+    // and string-keyed maps (event-properties), through the
+    // PRODUCTION path both ways — per-partition writeArrowIpc AND
+    // distributed readArrowIpcDF (one task per shard, columnar-batch
+    // import). The nested/map content is a pure function of doc_id
+    // that DuckDB replays from the base table, so a bent offset,
+    // validity bit, or entry boundary anywhere in the trip
+    // hash-mismatches. nullif makes some map values NULL so value
+    // nullability rides the gate too.
+    "q137_arrow_nested_maps" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select(
+        col("doc_id"),
+        expr("""transform(sequence(0, CAST(doc_id % 3 AS INT)),
+                 d -> transform(sequence(0, d),
+                   t -> CAST(t * 10 + d AS INT)))""").as("packed"),
+        map(lit("lang"), col("lang"),
+            lit("src"), expr("nullif(source, 'src7')")).as("props"))
+      val out = java.nio.file.Files.createTempDirectory("graft-arrownm-")
+      try {
+        graft.io.ArrowExport.writeArrowIpc(src, out.toString)
+        val back = graft.io.ArrowExport.readArrowIpcDF(s, out.toString, src.schema)
+        // materialize before the finally deletes the shards
+        DiskSnapshot.diskCachedEager(back.select(
+          col("doc_id"),
+          expr("CAST(aggregate(flatten(packed), 0L, (a, x) -> a + x) AS BIGINT)")
+            .as("tok_sum"),
+          expr("CAST(size(packed) AS BIGINT)").as("n_lists"),
+          col("props")("lang").as("lang"),
+          col("props")("src").as("src")))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        // Files.walk holds a directory handle until the stream closes
+        scala.util.Using.resource(java.nio.file.Files.walk(out)) { w =>
+          w.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       }
     }),
 
@@ -541,6 +584,15 @@ object CoreLib {
            round(CAST(embedding[3] AS DOUBLE), 6) AS e2,
            round(CAST(embedding[4] AS DOUBLE), 6) AS e3
          FROM embeddings""",
+    "q137_arrow_nested_maps" ->
+      """SELECT doc_id,
+           CAST(list_sum(flatten(list_transform(
+             range(0, (doc_id % 3) + 1),
+             d -> list_transform(range(0, d + 1), t -> t * 10 + d))))
+             AS BIGINT) AS tok_sum,
+           CAST((doc_id % 3) + 1 AS BIGINT) AS n_lists,
+           lang, nullif(source, 'src7') AS src
+         FROM documents""",
     "q80_bound_sphere" ->
       """SELECT l_orderkey, l_linenumber FROM (
            SELECT l_orderkey, l_linenumber,

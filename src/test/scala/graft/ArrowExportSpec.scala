@@ -145,18 +145,20 @@ class ArrowExportSpec extends SparkSpec {
   }
 
   test("unsupported column type fails loudly with the column name") {
-    // flat structs became supported in round 15; maps (and nested
-    // arrays) stay out
-    val df = spark.sql("SELECT map('a', 1) AS mp FROM range(1)")
+    // flat structs became supported in round 15, nested arrays and
+    // string-keyed maps in round 16; decimals and binary arrays stay
+    // out (cast first)
+    val df = spark.sql("SELECT CAST(1.5 AS DECIMAL(10,2)) AS dec1 FROM range(1)")
     val e = intercept[IllegalArgumentException] {
       ArrowExport.writeArrowIpc(df, tmpDir("bad"))
     }
-    assert(e.getMessage.contains("mp"))
-    val df2 = spark.sql("SELECT array(array(1)) AS aa FROM range(1)")
+    assert(e.getMessage.contains("dec1"))
+    val df2 = spark.sql(
+      "SELECT array(encode('x', 'UTF-8')) AS binarr FROM range(1)")
     val e2 = intercept[IllegalArgumentException] {
       ArrowExport.writeArrowIpc(df2, tmpDir("bad2"))
     }
-    assert(e2.getMessage.contains("aa"))
+    assert(e2.getMessage.contains("binarr"))
   }
 
   test("shard I/O goes through the Hadoop FileSystem API (file: URI scheme)") {
@@ -367,6 +369,74 @@ class ArrowExportSpec extends SparkSpec {
         ArrowExport.writeArrowIpc(spark.sql(sql), tmpDir("deeplist"))
       }
       assert(e.getMessage.contains("deep"), e.getMessage)
+    }
+  }
+
+  test("nested arrays (array<array<T>>) round-trip: the packed-batch shape") {
+    // one bin row per outer row, each carrying its packed docs' own
+    // token-id lists; null outer list, null inner list, and null
+    // elements all travel through both the write and read paths
+    val df = spark.sql(
+      """SELECT id,
+           CASE WHEN id = 4 THEN NULL ELSE
+             transform(sequence(0, CAST(id % 3 AS INT)), d ->
+               CASE WHEN d = 2 THEN NULL ELSE
+                 transform(sequence(0, d + CAST(id AS INT)), t ->
+                   CASE WHEN t = 1 AND id = 2 THEN CAST(NULL AS INT)
+                        ELSE CAST(t * 10 + d AS INT) END) END) END AS packed,
+           CASE WHEN id = 0 THEN array(array('a', CAST(NULL AS STRING)), array())
+                ELSE array(array(concat('x', CAST(id AS STRING)))) END AS tags
+         FROM range(6)""").repartition(2)
+    val out = tmpDir("nested")
+    ArrowExport.writeArrowIpc(df, out, batchRows = 2)
+    val back = ArrowExport.readArrowIpcDF(spark, out, df.schema)
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect().map { r =>
+      val packed = if (r.isNullAt(1)) null
+        else r.getSeq[scala.collection.Seq[Integer]](1)
+          .map(s => if (s == null) null else s.map(Option(_).map(_.toInt)))
+      val tags = r.getSeq[scala.collection.Seq[String]](2).map(_.toSeq)
+      r.getLong(0) -> (packed, tags)
+    }.toMap
+    assert(key(back) == key(df))
+    // depth stops at two levels: a third rejects with the column name
+    val e = intercept[IllegalArgumentException] {
+      ArrowExport.writeArrowIpc(
+        spark.sql("SELECT array(array(array(1))) AS deep3 FROM range(1)"),
+        tmpDir("deep3"))
+    }
+    assert(e.getMessage.contains("deep3"), e.getMessage)
+  }
+
+  test("string-keyed maps round-trip: the event-properties shape") {
+    val df = spark.sql(
+      """SELECT id,
+           CASE WHEN id = 3 THEN NULL
+                WHEN id = 4 THEN map()
+                ELSE map('src', concat('s', CAST(id AS STRING)),
+                         'null_tag', CAST(NULL AS STRING),
+                         'kind', 'doc') END AS props,
+           map('chars', id * 100, 'lines', id) AS counts
+         FROM range(6)""").repartition(2)
+    val out = tmpDir("maps")
+    ArrowExport.writeArrowIpc(df, out, batchRows = 3)
+    val back = ArrowExport.readArrowIpcDF(spark, out, df.schema)
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect().map { r =>
+      val props = if (r.isNullAt(1)) null
+        else r.getMap[String, String](1).toMap
+      r.getLong(0) -> (props, r.getMap[String, Long](2).toMap)
+    }.toMap
+    val want = key(df)
+    assert(key(back) == want)
+    assert(want(3L)._1 == null && want(4L)._1 == Map.empty)
+    assert(want(2L)._1("null_tag") == null) // null value survives
+    // non-string keys and non-scalar values reject with the column name
+    Seq("SELECT map(1, 'a') AS badkey FROM range(1)",
+        "SELECT map('k', array(1)) AS badval FROM range(1)"
+    ).foreach { sql =>
+      val e = intercept[IllegalArgumentException] {
+        ArrowExport.writeArrowIpc(spark.sql(sql), tmpDir("badmap"))
+      }
+      assert(e.getMessage.contains("bad"), e.getMessage)
     }
   }
 

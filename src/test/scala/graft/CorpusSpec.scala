@@ -204,8 +204,10 @@ class CorpusSpec extends SparkSpec {
       }
     } finally {
       import java.nio.file._
-      Files.walk(Paths.get(out)).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
+      scala.util.Using.resource(Files.walk(Paths.get(out))) { w =>
+        w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
     }
   }
 

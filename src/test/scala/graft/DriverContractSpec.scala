@@ -137,8 +137,10 @@ class DriverContractSpec extends AnyFunSuite {
       assert(oracles.startsWith("{") && oracles.endsWith("}"))
     } finally {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      scala.util.Using.resource(java.nio.file.Files.walk(out)) { w =>
+        w.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
   }
 }
