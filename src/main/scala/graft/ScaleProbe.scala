@@ -600,14 +600,7 @@ object ScaleProbe {
           col("event_type"), col("value"), col("props"))
       }.reduce(_ unionByName _)
 
-    def rm(p: java.nio.file.Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      // Files.walk holds a directory handle until the stream closes
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
-        w.iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
+    def rm(p: java.nio.file.Path): Unit = graft.io.FsUtil.deleteRecursively(p)
 
     // returns (drainSec, stateRows); `mk` receives the scaled batch
     // frame plus a stager that turns any derived batch frame into its

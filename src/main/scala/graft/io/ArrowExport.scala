@@ -368,6 +368,60 @@ object ArrowExport {
     }
   }
 
+  /** One scalar into a positional complex writer (list element,
+    * nested-list element, or map value — `UnionMapWriter`'s value
+    * mode is a `ListWriter` too). Exhaustive over [[checkSupported]]'s
+    * scalar set: an unexpected type THROWS instead of silently
+    * leaving a null, so a future checkSupported/dispatch divergence
+    * surfaces as an error, never as dropped data.
+    */
+  private def writeScalarTo(
+      w: org.apache.arrow.vector.complex.writer.BaseWriter.ListWriter,
+      dt: DataType, v: Any): Unit =
+    if (v == null) dt match {
+      case BooleanType => w.bit().writeNull()
+      case IntegerType => w.integer().writeNull()
+      case LongType => w.bigInt().writeNull()
+      case FloatType => w.float4().writeNull()
+      case DoubleType => w.float8().writeNull()
+      case StringType => w.varChar().writeNull()
+      case BinaryType => w.varBinary().writeNull()
+      case other => throw new IllegalStateException(
+        s"ArrowExport: no writer dispatch for $other — checkSupported drifted")
+    } else dt match {
+      case BooleanType =>
+        w.bit().writeBit(if (v.asInstanceOf[Boolean]) 1 else 0)
+      case IntegerType => w.integer().writeInt(v.asInstanceOf[Int])
+      case LongType => w.bigInt().writeBigInt(v.asInstanceOf[Long])
+      case FloatType => w.float4().writeFloat4(v.asInstanceOf[Float])
+      case DoubleType => w.float8().writeFloat8(v.asInstanceOf[Double])
+      case StringType => w.varChar().writeVarChar(v.asInstanceOf[String])
+      case BinaryType =>
+        w.varBinary().writeVarBinary(v.asInstanceOf[Array[Byte]])
+      case other => throw new IllegalStateException(
+        s"ArrowExport: no writer dispatch for $other — checkSupported drifted")
+    }
+
+  /** One NON-NULL scalar struct field by name (null fields stay unset
+    * → null). Same exhaustiveness contract as [[writeScalarTo]].
+    */
+  private def writeScalarField(
+      sw: org.apache.arrow.vector.complex.writer.BaseWriter.StructWriter,
+      name: String, dt: DataType, v: Any): Unit = dt match {
+    case BooleanType =>
+      sw.bit(name).writeBit(if (v.asInstanceOf[Boolean]) 1 else 0)
+    case IntegerType => sw.integer(name).writeInt(v.asInstanceOf[Int])
+    case LongType => sw.bigInt(name).writeBigInt(v.asInstanceOf[Long])
+    case FloatType => sw.float4(name).writeFloat4(v.asInstanceOf[Float])
+    case DoubleType => sw.float8(name).writeFloat8(v.asInstanceOf[Double])
+    case StringType => sw.varChar(name).writeVarChar(v.asInstanceOf[String])
+    case BinaryType =>
+      sw.varBinary(name).writeVarBinary(v.asInstanceOf[Array[Byte]])
+    case other => throw new IllegalStateException(
+      s"ArrowExport: no struct-field writer dispatch for $other — " +
+        "checkSupported drifted")
+  }
+
   private def writePartition(schema: StructType,
                              rows: Iterator[org.apache.spark.sql.Row],
                              out: java.io.OutputStream, batchRows: Int): Unit = {
@@ -429,21 +483,8 @@ object ArrowExport {
                       sw.start()
                       var k = 0
                       while (k < st.length) {
-                        if (!e.isNullAt(k)) {
-                          val nm = st(k).name
-                          st(k).dataType match {
-                            case BooleanType =>
-                              sw.bit(nm).writeBit(if (e.getBoolean(k)) 1 else 0)
-                            case IntegerType => sw.integer(nm).writeInt(e.getInt(k))
-                            case LongType => sw.bigInt(nm).writeBigInt(e.getLong(k))
-                            case FloatType => sw.float4(nm).writeFloat4(e.getFloat(k))
-                            case DoubleType => sw.float8(nm).writeFloat8(e.getDouble(k))
-                            case StringType => sw.varChar(nm).writeVarChar(e.getString(k))
-                            case BinaryType =>
-                              sw.varBinary(nm).writeVarBinary(e.getAs[Array[Byte]](k))
-                            case _ => ()
-                          }
-                        }
+                        if (!e.isNullAt(k))
+                          writeScalarField(sw, st(k).name, st(k).dataType, e.get(k))
                         k += 1
                       }
                       sw.end()
@@ -461,28 +502,7 @@ object ArrowExport {
                     if (s == null) iw.writeNull()
                     else {
                       iw.startList()
-                      s.foreach { e =>
-                        if (e == null) inner match {
-                          case IntegerType => iw.integer().writeNull()
-                          case LongType => iw.bigInt().writeNull()
-                          case FloatType => iw.float4().writeNull()
-                          case DoubleType => iw.float8().writeNull()
-                          case StringType => iw.varChar().writeNull()
-                          case _ => ()
-                        } else inner match {
-                          case IntegerType =>
-                            iw.integer().writeInt(e.asInstanceOf[Int])
-                          case LongType =>
-                            iw.bigInt().writeBigInt(e.asInstanceOf[Long])
-                          case FloatType =>
-                            iw.float4().writeFloat4(e.asInstanceOf[Float])
-                          case DoubleType =>
-                            iw.float8().writeFloat8(e.asInstanceOf[Double])
-                          case StringType =>
-                            iw.varChar().writeVarChar(e.asInstanceOf[String])
-                          case _ => ()
-                        }
-                      }
+                      s.foreach(e => writeScalarTo(iw, inner, e))
                       iw.endList()
                     }
                   }
@@ -497,33 +517,7 @@ object ArrowExport {
                   row.getMap[String, Any](j).foreach { case (k, v) =>
                     mw.startEntry()
                     mw.key().varChar().writeVarChar(k)
-                    val vw = mw.value()
-                    if (v == null) vt match {
-                      case BooleanType => vw.bit().writeNull()
-                      case IntegerType => vw.integer().writeNull()
-                      case LongType => vw.bigInt().writeNull()
-                      case FloatType => vw.float4().writeNull()
-                      case DoubleType => vw.float8().writeNull()
-                      case StringType => vw.varChar().writeNull()
-                      case BinaryType => vw.varBinary().writeNull()
-                      case _ => ()
-                    } else vt match {
-                      case BooleanType =>
-                        vw.bit().writeBit(if (v.asInstanceOf[Boolean]) 1 else 0)
-                      case IntegerType =>
-                        vw.integer().writeInt(v.asInstanceOf[Int])
-                      case LongType =>
-                        vw.bigInt().writeBigInt(v.asInstanceOf[Long])
-                      case FloatType =>
-                        vw.float4().writeFloat4(v.asInstanceOf[Float])
-                      case DoubleType =>
-                        vw.float8().writeFloat8(v.asInstanceOf[Double])
-                      case StringType =>
-                        vw.varChar().writeVarChar(v.asInstanceOf[String])
-                      case BinaryType =>
-                        vw.varBinary().writeVarBinary(v.asInstanceOf[Array[Byte]])
-                      case _ => ()
-                    }
+                    writeScalarTo(mw.value(), vt, v)
                     mw.endEntry()
                   }
                   mw.endMap()
@@ -531,23 +525,7 @@ object ArrowExport {
                   val w = listWriters(j)
                   w.setPosition(n)
                   w.startList()
-                  row.getSeq[Any](j).foreach { e =>
-                    if (e == null) elem match {
-                      case IntegerType => w.integer().writeNull()
-                      case LongType => w.bigInt().writeNull()
-                      case FloatType => w.float4().writeNull()
-                      case DoubleType => w.float8().writeNull()
-                      case StringType => w.varChar().writeNull()
-                      case _ => ()
-                    } else elem match {
-                      case IntegerType => w.integer().writeInt(e.asInstanceOf[Int])
-                      case LongType => w.bigInt().writeBigInt(e.asInstanceOf[Long])
-                      case FloatType => w.float4().writeFloat4(e.asInstanceOf[Float])
-                      case DoubleType => w.float8().writeFloat8(e.asInstanceOf[Double])
-                      case StringType => w.varChar().writeVarChar(e.asInstanceOf[String])
-                      case _ => ()
-                    }
-                  }
+                  row.getSeq[Any](j).foreach(e => writeScalarTo(w, elem, e))
                   w.endList()
                 case st: StructType =>
                   // direct child-vector sets (allocateNew covered the
@@ -575,12 +553,16 @@ object ArrowExport {
                           .setSafe(n, inner.getString(k).getBytes("UTF-8"))
                         case BinaryType => cv.asInstanceOf[VarBinaryVector]
                           .setSafe(n, inner.getAs[Array[Byte]](k))
-                        case _ => ()
+                        case other => throw new IllegalStateException(
+                          s"ArrowExport: no struct-field vector dispatch " +
+                            s"for $other — checkSupported drifted")
                       }
                     }
                     k += 1
                   }
-                case _ => ()
+                case other => throw new IllegalStateException(
+                  s"ArrowExport: no writer dispatch for $other " +
+                    s"(column '${schema(j).name}') — checkSupported drifted")
               }
             }
             j += 1

@@ -496,10 +496,14 @@ object Hdf5Io {
   def exportLightconeHdf5(lc: graft.collections.Lightcone, path: String,
                           chunkRows: Int = 1 << 16,
                           compress: Boolean = true): Unit = {
+    // cap-check EVERY step before opening (truncating) the file
+    val steps = lc.steps.toSeq.sortBy(_._1)
+      .map { case (s, ds) => (s, ds, capCheckedRows(ds.getData)) }
     val w = new Hdf5Writer(path)
     try {
-      val stepGrps = lc.steps.toSeq.sortBy(_._1).map { case (s, ds) =>
-        val data = writeDataGroup(w, ds.getData, ds.header, chunkRows, compress)
+      val stepGrps = steps.map { case (s, ds, n) =>
+        val data = writeDataGroup(w, ds.getData, ds.header, chunkRows,
+          compress, n)
         val hdr = writeHeaderGroup(w,
           ds.header.copy(step = s, isLightcone = true))
         s"step_$s" -> w.writeGroup(Seq("data" -> data, "header" -> hdr))
@@ -757,9 +761,12 @@ object Hdf5Io {
     */
   def exportHdf5(ds: OCDataset, path: String,
                  chunkRows: Int = 1 << 16, compress: Boolean = true): Unit = {
+    // cap-check BEFORE opening (truncating) the destination file
+    val nRows = capCheckedRows(ds.getData)
     val w = new Hdf5Writer(path)
     try {
-      val dataAddr = writeDataGroup(w, ds.getData, ds.header, chunkRows, compress)
+      val dataAddr = writeDataGroup(w, ds.getData, ds.header, chunkRows,
+        compress, nRows)
       val headerAddr = writeHeaderGroup(w, ds.header)
       w.finish(w.writeGroup(Seq("data" -> dataAddr, "header" -> headerAddr)))
     } catch { case e: Throwable => w.close(); throw e }
@@ -778,15 +785,16 @@ object Hdf5Io {
     */
   val ExportMaxRows: Long = 100000000L
 
-  /** Stream a DataFrame into a `data` group (one pass per column);
-    * returns the group's object-header address. Refuses past the
-    * interop cap (see [[ExportMaxRows]]) — every HDF5 data group,
-    * including each child table of a structure export, is checked at
-    * this single funnel point.
+  /** Count `df` and refuse past the interop cap (see
+    * [[ExportMaxRows]]). MUST run before the export's `Hdf5Writer` is
+    * constructed: the writer truncates an existing file at the path,
+    * so a refusal after construction would destroy a prior good
+    * export while telling the user to use `oc.write`. Every export
+    * entry point cap-checks ALL of its frames through this funnel
+    * first, then opens the file. Returns the counted rows so the
+    * write pass reuses them.
     */
-  private def writeDataGroup(w: Hdf5Writer, df: DataFrame, header: Header,
-                             chunkRows: Int, compress: Boolean): Long = {
-    import Hdf5Writer._
+  private def capCheckedRows(df: DataFrame): Long = {
     val rows = df.count()
     val cap = df.sparkSession.conf
       .get("spark.graft.hdf5.exportMaxRows", ExportMaxRows.toString).toLong
@@ -797,6 +805,18 @@ object Hdf5Io {
         "distributed) for engine-scale data movement, or set " +
         "spark.graft.hdf5.exportMaxRows higher if the serial export " +
         "time is an explicit choice.")
+    rows
+  }
+
+  /** Stream a DataFrame into a `data` group (one pass per column);
+    * returns the group's object-header address. `rows` is the
+    * caller's [[capCheckedRows]] result — the cap has already been
+    * enforced before the writer opened.
+    */
+  private def writeDataGroup(w: Hdf5Writer, df: DataFrame, header: Header,
+                             chunkRows: Int, compress: Boolean,
+                             rows: Long): Long = {
+    import Hdf5Writer._
     // one job probes every string column's max byte width + array widths
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     val arrCols = df.schema.fields.collect { case f if f.dataType.isInstanceOf[ArrayType] => f.name }
@@ -880,10 +900,16 @@ object Hdf5Io {
     require(nRows == nKeys,
       s"exportStructureHdf5 needs unique $key values ($nKeys distinct of $nRows rows)")
     val parentSorted = coll.properties.df.orderBy(col(key))
+    // cap-check parent AND every child before opening (truncating)
+    // the file — a refusal must never leave a half-written or
+    // destroyed multi-table file behind
+    capCheckedRows(parentSorted)
+    val childRows = coll.children.toSeq
+      .map { case (name, child) => name -> capCheckedRows(child) }.toMap
     val w = new Hdf5Writer(path)
     try {
       val parentData = writeDataGroup(w, parentSorted, coll.properties.header,
-        chunkRows, compress)
+        chunkRows, compress, nRows)
       val linkAddrs = coll.children.toSeq.map { case (name, child) =>
         // per-parent sizes in parent (key-sorted) order, 0 for
         // childless. STREAMED to the writer partition-at-a-time
@@ -919,7 +945,7 @@ object Hdf5Io {
         Seq("data" -> parentData, "data_linked" -> dataLinked))
       val childGrps = coll.children.toSeq.map { case (name, child) =>
         val childData = writeDataGroup(w, child.orderBy(col(key)),
-          Header(), chunkRows, compress)
+          Header(), chunkRows, compress, childRows(name))
         name -> w.writeGroup(Seq("data" -> childData))
       }
       val headerAddr = writeHeaderGroup(w,

@@ -212,8 +212,11 @@ object Clustering {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
           x => x.getField("s") / x.getField("n")).as("ctr"))
-      // DiskSnapshot: k-sized rounds, blocks ContextCleaner-reaped
-      // as each round's frame goes unreachable — no unpersist ledger
+      // DiskSnapshot: k-sized rounds. Each round's lineage references
+      // the previous round's snapshot (lost blocks recompute through
+      // it), so blocks accumulate — bounded at iters × k rows — and
+      // the ContextCleaner reaps the whole chain when the caller
+      // drops the result; no unpersist ledger
       children = DiskSnapshot.diskCachedEager(children.as("o")
         .join(newCtrs.as("nw"), Seq("super", "child"), "left")
         .select(col("super"), col("child"),

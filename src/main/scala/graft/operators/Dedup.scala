@@ -347,7 +347,18 @@ object Dedup {
       val dir = spark.conf.get("spark.graft.checkpointDir", "")
       if (dir.nonEmpty) {
         val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        // re-point whenever the conf changed: an `isEmpty`-only guard
+        // would silently keep writing into a STALE directory after the
+        // user repoints the conf. setCheckpointDir stores the
+        // FS-qualified path plus a fresh UUID subdir, so compare
+        // against the same qualification, prefix-wise with the
+        // separator (so /mnt/a never matches /mnt/a2)
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val qualified = p.getFileSystem(sc.hadoopConfiguration)
+          .makeQualified(p).toString
+        if (!sc.getCheckpointDir.exists(_.startsWith(qualified + "/"))) {
+          sc.setCheckpointDir(dir)
+        }
         df.checkpoint() // eager + reliable
       } else df.localCheckpoint(true)
     }

@@ -167,10 +167,13 @@ object TwoLevel {
           array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
           x => x.getField("s") / x.getField("n")).as("ctr"))
       // empty children keep their centroid (the flat path's rule)
-      // DiskSnapshot rounds: the new snapshot materializes eagerly and
-      // the previous iteration's k-row frame goes unreachable here, so
-      // the ContextCleaner reaps its blocks — no per-fit leak even
-      // though semanticDedupSharded calls fit once per shard
+      // DiskSnapshot rounds: the new round's LINEAGE references the
+      // previous round's snapshot (that is the point — a lost block
+      // recomputes through it), so earlier rounds' blocks stay
+      // reachable until the caller releases the final quantizer; the
+      // ContextCleaner then reaps the whole chain. The accumulation
+      // is bounded at iters × k rows per fit — negligible even with
+      // semanticDedupSharded calling fit once per shard
       children = DiskSnapshot.diskCachedEager(children.as("o")
         .join(newCtrs.as("nw"), Seq("super", "child"), "left")
         .select(col("super"), col("child"),

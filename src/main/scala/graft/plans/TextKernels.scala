@@ -388,10 +388,14 @@ final case class NgramHashesExpr(children: Seq[Expression]) extends Expression {
   override def nullable: Boolean = child.nullable
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    TextKernelChecks.expect(Seq(
-      (child, TextKernelChecks.isLongArray, "token_hashes array<long>"),
-      (children(1), TextKernelChecks.isIntegral, "n integral literal")),
-      prettyName)
+    VecKernelChecks.all(
+      TextKernelChecks.expect(Seq(
+        (child, TextKernelChecks.isLongArray, "token_hashes array<long>"),
+        (children(1), TextKernelChecks.isIntegral, "n integral literal")),
+        prettyName),
+      // n is extracted once at plan time via eval(null); a column
+      // there must fail analysis, not NPE in codegen
+      VecKernelChecks.foldableConstants(Seq(children(1) -> "n"), prettyName))
 
   override def eval(input: InternalRow): Any = {
     val arr = child.eval(input)
@@ -426,10 +430,14 @@ final case class MinHashSigExpr(children: Seq[Expression]) extends Expression {
   override def nullable: Boolean = child.nullable
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    TextKernelChecks.expect(Seq(
-      (child, TextKernelChecks.isLongArray, "shingle_hashes array<long>"),
-      (children(1), TextKernelChecks.isIntegral, "k integral literal")),
-      prettyName)
+    VecKernelChecks.all(
+      TextKernelChecks.expect(Seq(
+        (child, TextKernelChecks.isLongArray, "shingle_hashes array<long>"),
+        (children(1), TextKernelChecks.isIntegral, "k integral literal")),
+        prettyName),
+      // k is extracted once at plan time via eval(null); a column
+      // there must fail analysis, not NPE in codegen
+      VecKernelChecks.foldableConstants(Seq(children(1) -> "k"), prettyName))
 
   override def eval(input: InternalRow): Any = {
     val arr = child.eval(input)

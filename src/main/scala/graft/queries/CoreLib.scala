@@ -252,14 +252,7 @@ object CoreLib {
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
           (id, v.length.toLong, rd(0), rd(1), rd(2), rd(3))
         }.toDF("vec_id", "dim", "e0", "e1", "e2", "e3")
-      } finally {
-        import scala.jdk.CollectionConverters._
-        // Files.walk holds a directory handle until the stream closes
-        scala.util.Using.resource(java.nio.file.Files.walk(out)) { w =>
-          w.iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-      }
+      } finally graft.io.FsUtil.deleteRecursively(out)
     }),
 
     // Arrow IPC, round-16 widened shapes: nested arrays (the
@@ -292,14 +285,7 @@ object CoreLib {
           expr("CAST(size(packed) AS BIGINT)").as("n_lists"),
           col("props")("lang").as("lang"),
           col("props")("src").as("src")))
-      } finally {
-        import scala.jdk.CollectionConverters._
-        // Files.walk holds a directory handle until the stream closes
-        scala.util.Using.resource(java.nio.file.Files.walk(out)) { w =>
-          w.iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-      }
+      } finally graft.io.FsUtil.deleteRecursively(out)
     }),
 
     // §2.11 per-column unit conversions: unit-keyed (`Mpc -> kpc`,
@@ -355,14 +341,7 @@ object CoreLib {
             round(col("emb_0").cast("double"), 6).as("emb_0"),
             round(col("emb_1").cast("double"), 6).as("emb_1"),
             round(col("emb_2").cast("double"), 6).as("emb_2")))
-      } finally {
-        import scala.jdk.CollectionConverters._
-        // Files.walk holds a directory handle until the stream closes
-        scala.util.Using.resource(java.nio.file.Files.walk(tmp)) { w =>
-          w.iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-      }
+      } finally graft.io.FsUtil.deleteRecursively(tmp)
     }),
 
     // §2.7 2-D sky cone search (reference lightcone cone_search /

@@ -266,17 +266,9 @@ object Events {
     name
   }
 
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
-    import java.nio.file._
-    // Files.walk holds directory fds until the stream is CLOSED —
-    // repeated q47 runs in one JVM (bench -r, verify) would leak them
-    try {
-      val s = Files.walk(root)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      finally s.close()
-    } catch { case _: Throwable => () }
-  }
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    try graft.io.FsUtil.deleteRecursively(root)
+    catch { case _: Throwable => () }
 
   val oracle: Map[String, String] = Map(
     // the custom-state stream's final emission per user IS the batch

@@ -151,14 +151,7 @@ object Production {
                       col("doc_id").as("d"),
                       transform(col("ids"), _.cast("string")).as("v")))),
                 x => x.getField("v")))).cast("binary")).as("ids_fp")))
-      } finally {
-        import scala.jdk.CollectionConverters._
-        // close the walk stream — it holds a directory handle open
-        scala.util.Using.resource(java.nio.file.Files.walk(out)) { w =>
-          w.iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-      }
+      } finally graft.io.FsUtil.deleteRecursively(out)
     }),
     // the codegen'd one-pass entropy kernel + deflate compression
     // ratio (not SQL-replayable: JDK Deflater); the q128 gate oracles

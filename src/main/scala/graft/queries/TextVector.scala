@@ -109,12 +109,8 @@ object TextVector {
 
   private def deleteOnExit(root: java.nio.file.Path): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file._
-      // Files.walk holds a directory handle until the stream closes
-      try scala.util.Using.resource(Files.walk(root)) { w =>
-        w.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
+      try graft.io.FsUtil.deleteRecursively(root)
+      catch { case _: Throwable => () }
     }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

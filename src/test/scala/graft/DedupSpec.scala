@@ -137,13 +137,26 @@ class DedupSpec extends SparkSpec {
       val comps = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert((0L until 24L).forall(comps(_) == 0L), s"chain labels off: $comps")
       assert(comps(100L) == 100L && comps(101L) == 100L)
+      // REPOINTING the conf must take effect: an isEmpty-only guard
+      // would silently keep writing into the stale (possibly deleted)
+      // first directory
+      val ckpt2 = java.nio.file.Files.createTempDirectory("graft-cc-ckpt2-")
+      try {
+        spark.conf.set("spark.graft.checkpointDir", ckpt2.toString)
+        val labels2 = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+        val lr2 = labels2.queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l
+        }
+        assert(lr2.nonEmpty)
+        lr2.foreach { l =>
+          assert(l.rdd.getCheckpointFile.exists(_.contains(ckpt2.toString)),
+            s"repointed conf ignored — checkpoint at ${l.rdd.getCheckpointFile}")
+        }
+        assert(labels2.count() == labels.count())
+      } finally graft.io.FsUtil.deleteRecursively(ckpt2)
     } finally {
       spark.conf.unset("spark.graft.checkpointDir")
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(ckpt)) { w =>
-        w.iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      graft.io.FsUtil.deleteRecursively(ckpt)
     }
   }
 

@@ -543,6 +543,13 @@ class Hdf5Spec extends SparkSpec {
       val p = tmp("uncapped.hdf5")
       Hdf5Io.exportHdf5(mixed, p)
       assert(Hdf5Io.importDataset(spark, p).count() == 3)
+      // a refused RE-export must not destroy a prior good file: the
+      // cap check runs BEFORE the writer opens (the writer truncates
+      // the destination), so the original stays importable
+      spark.conf.set("spark.graft.hdf5.exportMaxRows", "2")
+      intercept[IllegalArgumentException](Hdf5Io.exportHdf5(mixed, p))
+      assert(Hdf5Io.importDataset(spark, p).count() == 3,
+        "refused re-export truncated the prior good file")
     } finally spark.conf.unset("spark.graft.hdf5.exportMaxRows")
   }
 

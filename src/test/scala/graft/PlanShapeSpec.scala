@@ -555,5 +555,15 @@ class PlanShapeSpec extends SparkSpec {
       call_function("graft_pq_encode", col("v"), col("v"),
         lit(2), lit(4), lit(1)), on = vdf)
     assert(mPq.contains("plan-time constant") && mPq.contains("codebook"), mPq)
+    // the text kernels share the contract: n/k are eval(null)'d once
+    val hdf = spark.range(4).select(
+      transform(sequence(lit(1L), lit(6L)), x => x).as("hs"),
+      (col("id") + 1).cast("int").as("n"))
+    val mNg = analysisMessage(
+      call_function("graft_ngram_hashes", col("hs"), col("n")), on = hdf)
+    assert(mNg.contains("plan-time constant") && mNg.contains("n"), mNg)
+    val mMh = analysisMessage(
+      call_function("graft_minhash_sig", col("hs"), col("n")), on = hdf)
+    assert(mMh.contains("plan-time constant") && mMh.contains("k"), mMh)
   }
 }
