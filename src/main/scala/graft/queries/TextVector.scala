@@ -861,21 +861,25 @@ object TextVector {
     * and q35 oracles so a kernel change edited in one can never
     * silently leave the other replaying a different kernel.
     */
+  // AS MATERIALIZED throughout: DuckDB 1.0 re-inlines CTEs per
+  // reference, so the 32-hash signature build re-ran once per `sigs`
+  // mention — 31.6 s -> 0.8 s for q105 at sf0.1, identical rows (the
+  // round-9 slow-oracle lesson; the driver budget is 30 s)
   private val minhashPairsCtes =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         sh AS MATERIALIZED (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
                 FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
          hb AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM sh),
-         sg AS (SELECT doc_id, k.i AS ki,
+         sg AS MATERIALIZED (SELECT doc_id, k.i AS ki,
                   min(((1 + ((CAST(k.i + 1 AS BIGINT) * 2654435761) % 2147483629)) * x
                        + ((CAST(k.i + 1 AS BIGINT) * 40503) % 4294967291)) % 4294967291) AS h
                 FROM hb, UNNEST(generate_series(0, 31)) AS k(i)
                 GROUP BY doc_id, k.i),
-         sigs AS (SELECT doc_id, list(h ORDER BY ki) AS sig FROM sg GROUP BY doc_id),
+         sigs AS MATERIALIZED (SELECT doc_id, list(h ORDER BY ki) AS sig FROM sg GROUP BY doc_id),
          bands AS (SELECT doc_id, b.j AS band,
                      md5(array_to_string(sig[CAST(b.j*4+1 AS INTEGER):CAST(b.j*4+4 AS INTEGER)], ',')) AS key
                    FROM sigs, UNNEST(generate_series(0, 7)) AS b(j)),
-         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                    FROM bands a JOIN bands b
                    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
 
@@ -1087,11 +1091,11 @@ object TextVector {
     // component's minimum)
     "q35_dedup_pipeline" ->
       s"""WITH RECURSIVE $minhashPairsCtes,
-         cand AS (SELECT doc_a, doc_b FROM pairs
+         cand AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs
                   JOIN sigs sa ON sa.doc_id = doc_a
                   JOIN sigs sb ON sb.doc_id = doc_b
                   WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32.0 >= 0.5),
-         edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+         edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand
                    UNION SELECT doc_b, doc_a FROM cand),
          reach AS (SELECT a, b FROM edges
                    UNION
@@ -1105,17 +1109,17 @@ object TextVector {
     // so least(a, min(b)) is the component's canonical label.
     "q105_dedup_keepbest" ->
       s"""WITH RECURSIVE $minhashPairsCtes,
-         cand AS (SELECT doc_a, doc_b FROM pairs
+         cand AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs
                   JOIN sigs sa ON sa.doc_id = doc_a
                   JOIN sigs sb ON sb.doc_id = doc_b
                   WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32.0 >= 0.5),
-         edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+         edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand
                    UNION SELECT doc_b, doc_a FROM cand),
          reach AS (SELECT a, b FROM edges
                    UNION
                    SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
          comp AS (SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a),
-         mem AS (SELECT c.node, c.label, d.n_chars AS q
+         mem AS MATERIALIZED (SELECT c.node, c.label, d.n_chars AS q
                  FROM comp c JOIN documents d ON d.doc_id = c.node),
          bq AS (SELECT label, max(q) AS mq FROM mem GROUP BY label),
          win AS (SELECT m.label, min(m.node) AS keep
