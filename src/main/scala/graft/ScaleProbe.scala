@@ -22,13 +22,15 @@ object ScaleProbe {
     val lmVocabMode = args.contains("lmvocab")
     val rankHotMode = args.contains("rankhot")
     val arrowIoMode = args.contains("arrowio")
+    val arrowNestMode = args.contains("arrownest")
     val pqEncodeMode = args.contains("pqencode")
     val posArgs = args.filterNot(a =>
       a == "twolevel" || a == "bpe" || a == "cann" || a == "streaming" ||
       a == "sharded" || a == "lmvocab" || a == "rankhot" || a == "arrowio" ||
-      a == "pqencode")
+      a == "arrownest" || a == "pqencode")
     val special = tlMode || bpeMode || cannMode || streamMode ||
-      shardedMode || lmVocabMode || rankHotMode || arrowIoMode || pqEncodeMode
+      shardedMode || lmVocabMode || rankHotMode || arrowIoMode ||
+      arrowNestMode || pqEncodeMode
     // twolevel/bpe/cann modes take no factor: the only positional arg is outDir
     val factor =
       if (special) 1 else posArgs.headOption.map(_.toInt).getOrElse(10)
@@ -52,6 +54,7 @@ object ScaleProbe {
     if (lmVocabMode) { lmVocabProbe(spark, outDir); return }
     if (rankHotMode) { rankHotProbe(spark, outDir); return }
     if (arrowIoMode) { arrowIoProbe(spark, outDir); return }
+    if (arrowNestMode) { arrowNestProbe(spark, outDir); return }
     if (pqEncodeMode) { pqEncodeProbe(spark, outDir); return }
 
     // rotate an array column by c positions MODULO its per-row length
@@ -857,6 +860,75 @@ object ScaleProbe {
     }
     run("sub-sliced (default cap 2^20)", CorpusStats.HotScoreRows)
     run("single-window (cap 2^24)", 1L << 24)
+    spark.stop()
+  }
+
+  /** Write+read scaling of the round-16 Arrow shapes — nested arrays
+    * (`array<array<int>>`, the packed-batch handoff) and string-keyed
+    * maps (event-properties) — at 4M and 12M rows. Both shapes move
+    * through the complex-writer path (UnionListWriter/UnionMapWriter,
+    * per-value calls rather than vector setSafe), so the probe pins
+    * that per-row cost stays FLAT as the corpus grows (the work is
+    * map-side, no shuffle or state), and the full-decode checksums
+    * pin the round-trip exact at both sizes.
+    */
+  private def arrowNestProbe(spark: SparkSession, outDir: String): Unit = {
+    import graft.io.ArrowExport
+    def frame(n: Long) = spark.range(n).select(col("id"),
+        transform(sequence(lit(0), pmod(col("id"), lit(3L)).cast("int")), d =>
+          transform(sequence(lit(0), d + lit(2)), t =>
+            pmod(col("id") + t * 7 + d, lit(1000L)).cast("int"))).as("packed"),
+        map(lit("lang"), concat(lit("l"), pmod(col("id"), lit(20L))),
+            lit("src"), concat(lit("s"), pmod(col("id"), lit(100L))))
+          .as("props"))
+      .repartition(32)
+    // full-decode checksum: every nested element and both map values
+    // cross into Spark; bit_xor is order-independent
+    def fingerprint(d: DataFrame): Seq[Any] =
+      d.agg(count(lit(1)), bit_xor(xxhash64(col("id"))),
+        bit_xor(xxhash64(concat_ws(",",
+          transform(flatten(col("packed")), _.cast("string"))))),
+        bit_xor(xxhash64(concat(col("props")("lang"), col("props")("src")))))
+        .collect().head.toSeq
+    // discarded warmup: JIT + codegen + shard-committer classloading
+    // otherwise dominate the first timed point and fake a sublinear
+    // ratio
+    locally {
+      val wdir = s"$outDir/arrownest_warmup"
+      val wdf = frame(200000L)
+      ArrowExport.writeArrowIpc(wdf, wdir)
+      fingerprint(ArrowExport.readArrowIpcDF(spark, wdir, wdf.schema))
+      graft.io.FsUtil.deleteRecursively(java.nio.file.Paths.get(wdir))
+    }
+    // best-of-3 per point: single shots at seconds-scale jitter more
+    // than the marginal cost being measured
+    val perRow: Seq[(Long, Double)] = Seq(4000000L, 12000000L).map { n =>
+      val dir = s"$outDir/arrownest_$n"
+      val df = frame(n)
+      val want = fingerprint(df)
+      val (tw, tr) = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        ArrowExport.writeArrowIpc(df, dir)
+        val w = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val got = fingerprint(ArrowExport.readArrowIpcDF(spark, dir, df.schema))
+        val r = (System.nanoTime() - t1) / 1e9
+        require(got == want, s"arrownest round-trip mismatch at $n: $got vs $want")
+        graft.io.FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+        (w, r)
+      }.reduce((a, b) => (math.min(a._1, b._1), math.min(a._2, b._2)))
+      println(f"arrownest n=$n%8d write t=$tw%6.2fs ${n / tw / 1e6}%5.2f Mrows/s" +
+        f"  read t=$tr%6.2fs ${n / tr / 1e6}%5.2f Mrows/s (best of 3)")
+      (n, tw + tr)
+    }
+    // the informative figure is the MARGINAL per-row cost between the
+    // two points (fixed job costs — task setup, one allocator+stream
+    // per shard — dominate totals at these sizes, which is itself the
+    // scale story: the complex-writer path's per-row work is tiny)
+    val ((n1, t1), (n2, t2)) = (perRow(0), perRow(1))
+    val marginalNs = (t2 - t1) / (n2 - n1) * 1e9
+    println(f"arrownest marginal cost ${marginalNs}%6.1f ns/row " +
+      f"(write+read, ${n1 / 1000000}M -> ${n2 / 1000000}M rows)")
     spark.stop()
   }
 
