@@ -661,7 +661,7 @@ object ScaleProbe {
           (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
         .distinct()
       graft.streaming.EventOps.streamIntervalJoin(
-        streamOf(batch), streamOf(windows), "3650 days")
+        streamOf(batch), streamOf(windows), "3650 days", "2 hours")
     }
     probe("stateful_totals") { (batch, streamOf) =>
       graft.streaming.EventOps.statefulUserTotals(streamOf(batch)).toDF()

@@ -240,7 +240,7 @@ object Events {
         val wIn = s.readStream.schema(windows.schema).parquet(stageW)
         val sink = newSink(s, "q49")
         withDrainPartitions(s, 8) {
-          val q = EventOps.streamIntervalJoin(eIn, wIn, "3650 days")
+          val q = EventOps.streamIntervalJoin(eIn, wIn, "3650 days", "2 hours")
             .writeStream.format("memory").queryName(sink)
             .option("checkpointLocation", ckpt.toString)
             .outputMode("append")
@@ -312,7 +312,7 @@ object Events {
     "q44_daily_argmax" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL 1 DAY, ts)) AS BIGINT) AS bucket_s,
          user_id,
-         arg_max(event_type, CAST(round(value * 100) AS BIGINT) * 10000000 + event_id) AS top_type,
+         arg_max(event_type, CAST(round(value * 100) AS BIGINT) * 1099511627776 + event_id) AS top_type,
          round(max(value), 2) AS top_value
          FROM events GROUP BY 1, 2""",
     "q45_asof_join" ->

@@ -173,9 +173,19 @@ object Healpix {
   private val discCache = scala.collection.concurrent.TrieMap
     .empty[(Int, Long, Double), org.apache.spark.sql.catalyst.util.ArrayData]
 
+  /** Cache ceiling: entries accumulate across every DISTINCT (nside,
+    * radius) ever queried in the executor's lifetime — without a
+    * bound, a long-lived service sweeping many radii grows the memo
+    * until OOM. Crossing the ceiling clears the whole memo (covers
+    * rebuild on demand; correctness never depends on a hit). 4M
+    * entries ≈ a few hundred MB worst case.
+    */
+  private val DiscCacheMaxEntries = 1 << 22
+
   def discCoverCached(nside: Int, pix: Long, radiusDeg: Double)
       : org.apache.spark.sql.catalyst.util.ArrayData =
     discCache.getOrElseUpdate((nside, pix, radiusDeg), {
+      if (discCache.size >= DiscCacheMaxEntries) discCache.clear()
       val (cra, cdec) = pix2angNest(nside, pix)
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
         queryDisc(nside, Region.SkyP(cra, cdec), radiusDeg).toArray.sorted)

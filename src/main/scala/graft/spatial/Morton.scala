@@ -71,6 +71,11 @@ object Morton {
     */
   def keyColumn(x: Column, y: Column, z: Column,
                 origin: Double, size: Double, level: Int): Column = {
+    // level 0 = the whole domain in one root cell (key 0) — the
+    // general interleave below would reduce over an EMPTY term list;
+    // 21 is the Long ceiling (3·21 = 63 interleaved bits)
+    require(level >= 0 && level <= 21, s"octree level must be 0..21, got $level")
+    if (level == 0) return lit(0L)
     val n = 1L << level
     def cell(v: Column): Column =
       greatest(lit(0L), least(lit(n - 1),

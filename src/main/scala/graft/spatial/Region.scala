@@ -180,47 +180,109 @@ object Region {
   }
 
   /** Pairwise sky-region relations (reference relations.py:24-271 —
-    * every pair has contains/intersects). Curved-edge pairs
-    * (cone↔skybox) classify by corner/center sampling, the same
-    * boundary-conservative scheme the reference's healpix query uses.
+    * every pair has contains/intersects). Cone↔skybox pairs classify
+    * by EXACT spherical distance from the cone center to the box
+    * edges (closed forms for parallel and meridian segments) — the
+    * earlier boundary-SAMPLING scheme missed small cones slipping
+    * between samples (false disjoint: dropped data under pruning) and
+    * claimed containment for cones poking through an unsampled RA
+    * edge (false containment: wrong rows under pruning).
     */
   object SkyRelations {
     def corners(b: Skybox): Seq[SkyP] = Seq(
       SkyP(b.raMin, b.decMin), SkyP(b.raMin, b.decMax),
       SkyP(b.raMax % 360.0, b.decMin), SkyP(b.raMax % 360.0, b.decMax))
 
-    /** cone fully contains skybox: all corners + edge midpoints in. */
-    def coneContainsSkybox(c: Cone, b: Skybox): Boolean = {
-      val raMid = if (b.raMin <= b.raMax) (b.raMin + b.raMax) / 2
-        else ((b.raMin + b.raMax + 360.0) / 2) % 360.0
-      val samples = corners(b) ++ Seq(
-        SkyP(raMid, b.decMin), SkyP(raMid, b.decMax),
-        SkyP(b.raMin, (b.decMin + b.decMax) / 2),
-        SkyP(b.raMax % 360.0, (b.decMin + b.decMax) / 2))
-      samples.forall(c.contains)
+    /** Min RA difference on the circle, degrees in [0, 180]. */
+    private def raDelta(a: Double, b: Double): Double = {
+      val d = math.abs(a - b) % 360.0
+      math.min(d, 360.0 - d)
     }
 
-    /** skybox contains cone: center in box and box edges ≥ radius away
-      * (conservative via corner/edge sampling).
+    private def raInSeg(ra: Double, ra0: Double, ra1: Double): Boolean =
+      if (ra0 <= ra1) ra >= ra0 && ra <= ra1
+      else ra >= ra0 || ra <= ra1 // wraps 360→0
+
+    /** Exact distance (deg) from `p` to the PARALLEL segment
+      * (dec = d0, ra ∈ [ra0, ra1]): the separation to a point on the
+      * parallel grows monotonically with |Δra|, so the closest point
+      * is at p's own RA when the segment covers it, else at the
+      * RA-nearer endpoint.
+      */
+    private def distToParallel(p: SkyP, d0: Double,
+                               ra0: Double, ra1: Double): Double =
+      if (raInSeg(p.ra, ra0, ra1)) math.abs(p.dec - d0)
+      else {
+        val e = if (raDelta(p.ra, ra0) <= raDelta(p.ra, ra1)) ra0 else ra1
+        angSep(p, SkyP(e, d0))
+      }
+
+    /** Exact distance (deg) from `p` to the MERIDIAN segment
+      * (ra = r0, dec ∈ [d1, d2]). cos(sep) over the segment is
+      * R·cos(dec′ − φ) with φ = atan2(sin δ, cos δ·cos Δα) — the
+      * cross-track foot latitude — so the minimum separation sits at
+      * φ clamped into the segment or at an endpoint; evaluating all
+      * three candidates is exact for every Δα (including φ beyond a
+      * pole, where the interior extremum leaves [−90, 90]).
+      */
+    private def distToMeridian(p: SkyP, r0: Double,
+                               d1: Double, d2: Double): Double = {
+      val dAlpha = math.toRadians(raDelta(p.ra, r0))
+      val dp = math.toRadians(p.dec)
+      val foot = math.toDegrees(
+        math.atan2(math.sin(dp), math.cos(dp) * math.cos(dAlpha)))
+      Seq(math.max(d1, math.min(d2, foot)), d1, d2)
+        .map(d => angSep(p, SkyP(r0, d))).min
+    }
+
+    /** Exact min distance (deg) from `p` to the box EDGES (the
+      * region's boundary). Full-RA boxes have no meridian edges; a
+      * full-RA box whose decMin sits at the (inclusive) south pole
+      * has no southern boundary either.
+      */
+    private[spatial] def minDistToSkyboxEdges(p: SkyP, b: Skybox): Double = {
+      val raSpan = if (b.raMin <= b.raMax) b.raMax - b.raMin
+        else 360.0 - b.raMin + b.raMax
+      val fullRa = raSpan >= 360.0 - 1e-12
+      val raMaxN = b.raMax % 360.0
+      val parallels =
+        (if (fullRa && b.decMin <= -90.0 + 1e-12) Nil
+         else Seq(distToParallel(p, b.decMin, b.raMin, b.raMax))) ++
+        Seq(distToParallel(p, b.decMax, b.raMin, b.raMax))
+      val meridians =
+        if (fullRa) Nil
+        else Seq(distToMeridian(p, b.raMin, b.decMin, b.decMax),
+          distToMeridian(p, raMaxN, b.decMin, b.decMax))
+      (parallels ++ meridians).min
+    }
+
+    /** Exact min distance (deg) from `p` to the box region (0 inside). */
+    private[spatial] def minDistToSkybox(p: SkyP, b: Skybox): Double =
+      if (b.contains(p)) 0.0 else minDistToSkyboxEdges(p, b)
+
+    /** cone fully contains skybox: the box's FARTHEST point from the
+      * cone center is within the radius. Max distance to a region is
+      * 180° minus the min distance from the center's ANTIPODE — the
+      * farthest point can be interior (the antipode itself), which
+      * corner/edge checks alone cannot see.
+      */
+    def coneContainsSkybox(c: Cone, b: Skybox): Boolean = {
+      val anti = SkyP((c.center.ra + 180.0) % 360.0, -c.center.dec)
+      180.0 - minDistToSkybox(anti, b) <= c.radius
+    }
+
+    /** skybox contains cone: center in box and EVERY box edge at
+      * least the radius away (exact edge distances — the RA/meridian
+      * edges count too, not just the dec margins).
       */
     def skyboxContainsCone(b: Skybox, c: Cone): Boolean =
-      b.contains(c.center) &&
-        corners(b).forall(p => angSep(c.center, p) >= c.radius) &&
-        c.center.dec - c.radius >= b.decMin && c.center.dec + c.radius < b.decMax
+      b.contains(c.center) && minDistToSkyboxEdges(c.center, b) >= c.radius
 
-    /** cone/skybox overlap: either contains the other's anchor, or a
-      * sampled box boundary point lies in the cone.
+    /** cone/skybox overlap: exact — the center is inside, or its min
+      * distance to the box is within the radius.
       */
-    def coneIntersectsSkybox(c: Cone, b: Skybox): Boolean = {
-      if (b.contains(c.center)) return true
-      val ras = if (b.raMin <= b.raMax)
-        (0 to 8).map(i => b.raMin + (b.raMax - b.raMin) * i / 8.0)
-      else (0 to 8).map(i => (b.raMin + ((b.raMax + 360.0 - b.raMin) * i / 8.0)) % 360.0)
-      val decs = (0 to 8).map(i => b.decMin + (b.decMax - b.decMin) * i / 8.0)
-      val boundary = ras.flatMap(r => Seq(SkyP(r, b.decMin), SkyP(r, b.decMax))) ++
-        decs.flatMap(d => Seq(SkyP(b.raMin, d), SkyP(b.raMax % 360.0, d)))
-      boundary.exists(c.contains)
-    }
+    def coneIntersectsSkybox(c: Cone, b: Skybox): Boolean =
+      minDistToSkybox(c.center, b) <= c.radius
 
     def skyboxIntersectsSkybox(a: Skybox, b: Skybox): Boolean = {
       def raOverlap: Boolean = {

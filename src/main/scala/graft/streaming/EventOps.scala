@@ -65,9 +65,16 @@ object EventOps {
   /** Top event value per user per day (event-time grouped argmax).
     * The argmax key folds in event_id so equal values break ties
     * deterministically (cross-engine reproducible).
+    *
+    * Key domain: the value quantum rides the high bits (×2⁴⁰), so the
+    * composite stays collision-free while `event_id < 2⁴⁰` (~1.1e12)
+    * and `round(value·100) < 2²²` (value ≤ ~42k) — a narrower
+    * multiplier would let a large event_id cross into the next value
+    * quantum and return the type of a LOWER-valued event.
     */
   def dailyUserArgmax(events: DataFrame): DataFrame = {
-    val key = round(col("value") * 100).cast("long") * lit(10000000L) + col("event_id")
+    val key = round(col("value") * 100).cast("long") * lit(1099511627776L) +
+      col("event_id")
     events.groupBy(window(col("ts"), "1 day"), col("user_id"))
       .agg(max_by(col("event_type"), key).as("top_type"),
         round(max(col("value")), 2).as("top_value"))
@@ -81,19 +88,15 @@ object EventOps {
     * is O(active windows × event types), not O(stream).
     */
   def streamTumblingAgg(stream: DataFrame, size: String, lateness: String): DataFrame =
-    stream.withWatermark("ts", lateness)
-      .groupBy(window(col("ts"), size), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-      .select(startSeconds(col("window")), col("event_type"), col("n"), col("sum_value"))
+    tumblingAgg(stream.withWatermark("ts", lateness), size)
 
-  /** Streaming per-user sessionization with watermark-bounded state. */
+  /** Streaming per-user sessionization with watermark-bounded state.
+    * Delegates to the DuckDB-verified batch definition — one logical
+    * plan for both executions (the module contract), so the batch and
+    * streaming aggregates can never silently diverge.
+    */
   def streamSessionAgg(stream: DataFrame, gap: String, lateness: String): DataFrame =
-    stream.withWatermark("ts", lateness)
-      .groupBy(col("user_id"), session_window(col("ts"), gap))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
-      .select(col("user_id"),
-        unix_timestamp(col("session_window").getField("start")).as("session_start_s"),
-        col("n_events"), col("sum_value"))
+    sessionAgg(stream.withWatermark("ts", lateness), gap)
 
   /** AS-OF join — the time-series operator Spark lacks natively: each
     * left row matches the LATEST right row with right.ts ≤ left.ts per
@@ -116,20 +119,26 @@ object EventOps {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, valueCols: Seq[String]): DataFrame = {
+    // the attached columns ride ONE non-null struct marker per right
+    // row (left rows carry a null struct): `last(ignoreNulls)` then
+    // skips exactly the left placeholders — a genuine NULL inside a
+    // matched right row attaches as NULL, instead of being skipped
+    // over to a STALE older value (per-column ignoreNulls could not
+    // tell "left placeholder" from "matched row whose value is null")
     val rAligned = right.select(
-      (keys.map(col) :+ col(tsCol)) ++
-        valueCols.map(c => col(c).as(s"__r_$c")): _*)
+      (keys.map(col) :+ col(tsCol)) :+
+        struct(valueCols.map(col): _*).as("__r"): _*)
       .withColumn("__is_r", lit(1))
     val lAligned = left.withColumn("__is_r", lit(0))
     val u = lAligned.unionByName(rAligned, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__is_r").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = valueCols.foldLeft(u) { (d, c) =>
-      d.withColumn(c, last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    matched.filter(col("__is_r") === 0)
-      .drop(("__is_r" +: valueCols.map(c => s"__r_$c")): _*)
+    val matched = u.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    valueCols.foldLeft(matched) { (d, c) =>
+      d.withColumn(c, col("__m").getField(c))
+    }.filter(col("__is_r") === 0)
+      .drop("__is_r", "__r", "__m")
   }
 
   /** Interval (range-containment) join: left point rows matched to
@@ -146,11 +155,20 @@ object EventOps {
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                    tsCol: String, startCol: String, endCol: String,
                    bucketSeconds: Long = 3600L): DataFrame = {
+    // buckets computed from MICROSECONDS: `unix_timestamp` truncates
+    // sub-second precision, so an interval ending at hh:00:00.5 would
+    // miss its boundary bucket and silently drop matching rows there.
+    // The last covered bucket is the one holding end − 1µs ([start,
+    // end) is half-open). Empty/inverted intervals (end ≤ start) match
+    // nothing by the exact predicate, so they are filtered before the
+    // explode (a descending sequence() would throw).
+    val bucketMicros = bucketSeconds * 1000000L
     val l = left.withColumn("__bkt",
-      floor(unix_timestamp(col(tsCol)) / bucketSeconds))
-    val r = right.withColumn("__bkt", explode(sequence(
-      floor(unix_timestamp(col(startCol)) / bucketSeconds),
-      floor((unix_timestamp(col(endCol)) - lit(1)) / bucketSeconds))))
+      floor(unix_micros(col(tsCol)) / bucketMicros))
+    val r = right.filter(col(startCol) < col(endCol))
+      .withColumn("__bkt", explode(sequence(
+        floor(unix_micros(col(startCol)) / bucketMicros),
+        floor((unix_micros(col(endCol)) - lit(1)) / bucketMicros))))
     l.join(r, keys :+ "__bkt")
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bkt")
@@ -176,14 +194,25 @@ object EventOps {
     * (unlike the batch [[intervalJoin]], where bucketing avoids a
     * nested-loop plan; streaming state is keyed, so the range
     * condition prunes state instead).
+    *
+    * `maxWindow` declares the longest window the stream can carry
+    * (w_end − w_start ≤ maxWindow) and is REQUIRED for state to be
+    * bounded on BOTH sides: `e.ts ≥ w.w_start` alone stays
+    * satisfiable by arbitrarily late events forever (w_end is not a
+    * watermarked column), so without the derived upper bound
+    * `e.ts ≤ w.w_start + maxWindow` the windows-side state would
+    * grow with the stream until OOM. The bound never changes results
+    * while the declaration holds — any joined row already has
+    * e.ts < w.w_end ≤ w.w_start + maxWindow.
     */
   def streamIntervalJoin(events: DataFrame, windows: DataFrame,
-                         lateness: String): DataFrame = {
+                         lateness: String, maxWindow: String): DataFrame = {
     val e = events.withWatermark("ts", lateness).as("e")
     val w = windows.withWatermark("w_start", lateness).as("w")
     e.join(w, expr(
-      """e.user_id = w.user_id AND
-         e.ts >= w.w_start AND e.ts < w.w_end"""))
+      s"""e.user_id = w.user_id AND
+         e.ts >= w.w_start AND e.ts < w.w_end AND
+         e.ts <= w.w_start + INTERVAL $maxWindow"""))
       .select(col("e.event_id"), col("e.user_id"),
         unix_timestamp(col("w.w_start")).as("w_start_s"))
   }

@@ -33,6 +33,20 @@ class SpatialSpec extends SparkSpec {
     }
   }
 
+  test("morton keyColumn: level 0 = one root cell; out-of-range levels reject") {
+    // the general interleave reduces over an empty term list at level
+    // 0 (whole domain = root cell, key 0) — it must return lit(0L),
+    // not throw; 3·22 bits would overflow the Long key
+    val pts = Seq((1.0, 2.0, 3.0), (99.0, 50.0, 0.1)).toDF("x", "y", "z")
+    val keys = pts.select(Morton.keyColumn($"x", $"y", $"z", 0.0, 100.0, 0))
+      .collect().map(_.getLong(0))
+    assert(keys.toSeq == Seq(0L, 0L))
+    intercept[IllegalArgumentException](
+      Morton.keyColumn($"x", $"y", $"z", 0.0, 100.0, 22))
+    intercept[IllegalArgumentException](
+      Morton.keyColumn($"x", $"y", $"z", 0.0, 100.0, -1))
+  }
+
   test("morton keyColumn (pure functions) matches JVM pointKey") {
     val pts = Seq((1.0, 2.0, 3.0), (99.0, 50.0, 0.1), (33.3, 66.6, 12.1))
       .toDF("x", "y", "z")
@@ -138,6 +152,33 @@ class SpatialSpec extends SparkSpec {
     assert(!skyboxContainsCone(Skybox(95, 105, 25, 35), Cone(SkyP(100, 30), 10)))
     assert(skyboxIntersectsSkybox(Skybox(350, 10, -5, 5), Skybox(5, 20, 0, 10))) // RA wrap
     assert(!skyboxIntersectsSkybox(Skybox(350, 10, -5, 5), Skybox(20, 40, 0, 10)))
+  }
+
+  test("sky pair relations are exact at the sampled-scheme failure modes") {
+    import SkyRelations._
+    // a cone poking through the RA (meridian) edge: center in box,
+    // corners + dec margins all clear, but (356°, 0) is 5° from the
+    // center and OUTSIDE — the box does NOT contain the cone
+    assert(!skyboxContainsCone(Skybox(0, 90, -80, 80), Cone(SkyP(1, 0), 5)))
+    // ...and nudging the center clear of every edge restores it
+    assert(skyboxContainsCone(Skybox(0, 90, -80, 80), Cone(SkyP(45, 0), 5)))
+    // a small cone crossing the dec edge BETWEEN boundary samples:
+    // (104.9, 29.95) is ~0.25° from the center — genuinely intersects
+    assert(coneIntersectsSkybox(Cone(SkyP(104.9, 30.2), 0.3), Skybox(60, 140, 0, 30)))
+    // symmetric clearance: the same cone 1° further out is disjoint
+    assert(!coneIntersectsSkybox(Cone(SkyP(104.9, 31.3), 0.3), Skybox(60, 140, 0, 30)))
+    // containment must see INTERIOR farthest points: the box holds
+    // the cone center's antipode (270, 0), 180° away — not contained
+    // even though all corners and edge midpoints are within 140°
+    assert(!coneContainsSkybox(Cone(SkyP(90, 0), 140), Skybox(180, 360, -45, 45)))
+    // a genuinely-contained wide box (max distance via the antipode
+    // of (90,0) = (270,0): min dist from (270,0) to the box is 45°
+    // of dec, so the farthest box point is 135° — inside 140°)
+    assert(coneContainsSkybox(Cone(SkyP(90, 0), 140), Skybox(0, 180, 45, 80)))
+    // RA-wrap + meridian foot beyond the pole exercise distToMeridian's
+    // endpoint candidates: center at high dec near the wrap seam
+    assert(coneIntersectsSkybox(Cone(SkyP(0, 89), 2), Skybox(350, 10, 80, 88)))
+    assert(!coneIntersectsSkybox(Cone(SkyP(0, 89), 0.5), Skybox(350, 10, 80, 88)))
   }
 
   test("healpix: pix2ang(ang2pix(p)) lands in the same pixel; total pixel count") {

@@ -118,6 +118,55 @@ class StreamingSpec extends SparkSpec {
     assert(out(3).isNullAt(2))
   }
 
+  test("asofJoin: a matched right row whose value is NULL attaches NULL, not a stale value") {
+    import graft.streaming.EventOps
+    // right's latest row at-or-before t=3 carries v=NULL — the as-of
+    // result must be that row's NULL, never the OLDER 5.0 (per-column
+    // ignoreNulls would skip to it and present a retracted value as
+    // current)
+    val left = Seq((1L, ts("2024-01-01 03:00:00"))).toDF("user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 01:00:00"), Some(5.0)),
+      (1L, ts("2024-01-01 02:00:00"), None)
+    ).toDF("user_id", "ts", "v")
+    val out = EventOps.asofJoin(left, right, Seq("user_id"), "ts", Seq("v")).collect()
+    assert(out.length == 1 && out(0).isNullAt(2),
+      s"expected NULL from the matched row, got ${out(0)}")
+  }
+
+  test("dailyUserArgmax: large event_id cannot cross into the next value quantum") {
+    import graft.streaming.EventOps
+    // with the narrow 1e7 multiplier, B's key (450e7 + 9e8) would beat
+    // A's (500e7 + 10) and return the LOWER-valued event's type
+    val events = Seq(
+      (10L, ts("2024-01-01 01:00:00"), 1L, "big_value", 5.0, "{}"),
+      (900000000L, ts("2024-01-01 02:00:00"), 1L, "big_id", 4.5, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.dailyUserArgmax(events).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("top_type") == "big_value", out(0).toString)
+    assert(out(0).getAs[Double]("top_value") == 5.0)
+  }
+
+  test("intervalJoin: sub-second interval ends keep their boundary bucket") {
+    import graft.streaming.EventOps
+    // end = 02:00:00.5 — second-truncated bucketing would compute the
+    // last covered bucket as hour 1 and silently drop the 02:00:00.3
+    // match living in hour bucket 2; also: an inverted interval must
+    // not throw (descending sequence) and matches nothing
+    val left = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 02:00:00.3")),  // inside via fraction
+      (1L, Timestamp.valueOf("2024-01-01 02:00:00.7"))   // past end -> excluded
+    ).toDF("user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:30:00"), Timestamp.valueOf("2024-01-01 02:00:00.5")),
+      (1L, ts("2024-01-01 05:00:00"), ts("2024-01-01 04:00:00")) // inverted
+    ).toDF("user_id", "s", "e")
+    val out = EventOps.intervalJoin(left, right, Seq("user_id"), "ts", "s", "e")
+      .select("ts").collect().map(_.getTimestamp(0).toString)
+    assert(out.toSeq == Seq("2024-01-01 02:00:00.3"), out.mkString(","))
+  }
+
   test("intervalJoin: boundary inclusivity and bucket-straddling intervals") {
     import graft.streaming.EventOps
     val left = Seq(
@@ -153,7 +202,7 @@ class StreamingSpec extends SparkSpec {
     wsrc.addData(winRows)
     val sink = s"ssj_sink_${System.identityHashCode(esrc)}"
     val q = EventOps.streamIntervalJoin(esrc.toDF(),
-      wsrc.toDF().toDF("user_id", "w_start", "w_end"), "10 minutes")
+      wsrc.toDF().toDF("user_id", "w_start", "w_end"), "10 minutes", "1 hour")
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
     try { q.processAllAvailable() } finally { q.stop() }
     val stream = spark.table(sink).collect().map(_.toSeq).toSet
