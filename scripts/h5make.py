@@ -72,6 +72,11 @@ def dtype_bytes(kind):
     if kind == "f64":
         return struct.pack("<BBBBIHHBBBBI", 0x11, 0x20, 0x3F, 0, 8,
                            0, 64, 52, 11, 0, 52, 1023)
+    if kind in ("u32", "u16", "u8"):
+        # class 0 fixed-point, bits0 bit 3 CLEAR = unsigned (the numpy
+        # uint shapes h5py writes)
+        size = {"u32": 4, "u16": 2, "u8": 1}[kind]
+        return struct.pack("<BBBBIHH", 0x10, 0x00, 0, 0, size, 0, size * 8)
     width = kind[1]
     return struct.pack("<BBBBI", 0x13, 0, 0, 0, width)
 
@@ -81,9 +86,22 @@ def encode_values(values, kind):
         return b"".join(struct.pack("<q", v) for v in values), 8
     if kind == "f64":
         return b"".join(struct.pack("<d", v) for v in values), 8
+    if kind == "u32":
+        return b"".join(struct.pack("<I", v) for v in values), 4
+    if kind == "u16":
+        return b"".join(struct.pack("<H", v) for v in values), 2
+    if kind == "u8":
+        return bytes(values), 1
     width = kind[1]
     return (b"".join(v.encode()[:width].ljust(width, b"\0") for v in values),
             width)
+
+
+def byte_shuffle(data, elem):
+    """HDF5 shuffle filter: byte-transpose elements (byte plane b of
+    every element, concatenated)."""
+    n = len(data) // elem
+    return bytes(data[i * elem + b] for b in range(elem) for i in range(n))
 
 
 class W:
@@ -258,6 +276,34 @@ class WLatest(W):
         # attribute message v3: unpadded, name-charset byte (0 = ASCII)
         return (struct.pack("<BBHHHB", 3, 0, len(nb), len(dt), len(ds), 0)
                 + nb + dt + ds + vb)
+
+    @staticmethod
+    def _shuffle_deflate_msg(elem):
+        # filter pipeline v2, TWO descriptions (write order: shuffle id
+        # 2 then deflate id 1) — for id < 256 the Name Length field is
+        # ABSENT per spec, so each description is 6 bytes + client data
+        return (struct.pack("<BB", 2, 2)
+                + struct.pack("<HHH", 2, 0, 1) + struct.pack("<I", elem)
+                + struct.pack("<HHH", 1, 0, 1) + struct.pack("<I", 6))
+
+    def dataset_shuffle_deflate(self, values, kind, attrs=()):
+        """Single Chunk dataset whose chunk rides the two-filter
+        shuffle+deflate pipeline (v2 message) — the libver='latest'
+        combination h5py emits for compression='gzip', shuffle=True."""
+        data, elem = encode_values(values, kind)
+        rows = len(values)
+        ds = struct.pack("<BBBB", 2, 1, 0, 1) + struct.pack("<Q", rows)
+        comp = zlib.compress(byte_shuffle(data, elem), 6)
+        addr = self.block(comp)
+        enc = self._enc_width(max(rows, elem))
+        lay = (struct.pack("<BBBBB", 4, 2, 0x02, 2, enc)
+               + rows.to_bytes(enc, "little") + elem.to_bytes(enc, "little")
+               + struct.pack("<B", 1)
+               + struct.pack("<QIQ", len(comp), 0, addr))
+        msgs = [(0x01, ds), (0x03, dtype_bytes(kind)),
+                (0x0B, self._shuffle_deflate_msg(elem)), (0x08, lay)]
+        msgs.extend(self.attr_msgs(attrs, False))
+        return self.object_header(msgs)
 
     def dataset(self, values, kind, attrs=(), chunk_rows=None, index="fa",
                 edge_raw=False, bt2_node=None, dense_attrs=False):
@@ -845,6 +891,30 @@ class WLatest(W):
 
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--ushuf" in sys.argv[1:]:
+        # self-contained fixture (no parquet input): unsigned columns
+        # crossing every sign boundary + a v2 TWO-FILTER (shuffle id 2,
+        # deflate id 1) dataset. Usage: h5make.py --ushuf <out.hdf5>
+        w = WLatest()
+        cols = [
+            ("u32col", w.dataset([0, 1, 2147483648, 3000000000, 4294967295],
+                                 "u32", attrs=[("unit", "None")])),
+            ("u16col", w.dataset([0, 1, 32768, 40000, 65535], "u16",
+                                 attrs=[("unit", "None")])),
+            ("u8col", w.dataset([0, 1, 128, 200, 255], "u8",
+                                attrs=[("unit", "None")])),
+            ("shufcol", w.dataset_shuffle_deflate(
+                [-5, 0, 7, 1 << 40, -(1 << 52)], "i64",
+                attrs=[("unit", "None")])),
+        ]
+        data = w.group(cols)
+        sim = w.group([], attrs=[("box_size", 10.0), ("redshift", 0.0)])
+        header = w.group([("simulation", sim)])
+        root = w.group([("data", data), ("header", header)])
+        w.write(args[0], root)
+        print(f"wrote {args[0]} [latest unsigned + shuffle+deflate v2 "
+              f"pipeline]: {len(cols)} columns, 5 rows")
+        return
     latest = "--latest" in sys.argv[1:]
     paged = "--paged" in sys.argv[1:]          # implies --latest
     dense = "--dense" in sys.argv[1:]          # implies --latest

@@ -31,10 +31,21 @@ object Hdf5Io {
 
   private def sparkTypeOf(r: Hdf5Reader)(m: r.DatasetMeta): DataType = {
     val elem = m.dtype match {
-      case r.FixedPoint(8, _) => LongType
-      case r.FixedPoint(4, _) => IntegerType
-      case r.FixedPoint(2, _) => ShortType
-      case r.FixedPoint(1, _) => ByteType
+      // UNSIGNED fixed-point widens to the next signed Spark type
+      // (Spark has no unsigned types — the same mapping its parquet
+      // reader uses), so a uint32 id of 3e9 imports as the Long 3e9,
+      // never a wrapped negative. uint64 has no exact Spark home and
+      // fails loudly rather than wrapping above Long.MaxValue.
+      case r.FixedPoint(8, false) => Hdf5Reader.fail(
+        s"unsigned 64-bit column ${m.name} has no exact Spark type — " +
+          "convert to int64 (or split) before import")
+      case r.FixedPoint(8, _)     => LongType
+      case r.FixedPoint(4, false) => LongType
+      case r.FixedPoint(4, _)     => IntegerType
+      case r.FixedPoint(2, false) => IntegerType
+      case r.FixedPoint(2, _)     => ShortType
+      case r.FixedPoint(1, false) => ShortType
+      case r.FixedPoint(1, _)     => ByteType
       case r.Floating(8)      => DoubleType
       case r.Floating(4)      => FloatType
       case _: r.FixedString   => StringType
@@ -50,7 +61,7 @@ object Hdf5Io {
   def columns(path: String, group: String = "data"): Seq[ColMeta] = {
     val r = new Hdf5Reader(path)
     try {
-      val (dataInfo, dataAddr) = resolveGroup(r, group)
+      val dataInfo = resolveGroup(r, group)
       val links = r.groupLinks(dataInfo)
       val metas = links.map { case (name, addr) =>
         val info = r.objectInfo(addr)
@@ -62,7 +73,7 @@ object Hdf5Io {
       }
       require(metas.map(_.rows).distinct.size <= 1,
         s"ragged data group $group: ${metas.map(m => s"${m.name}=${m.rows}").mkString(", ")}")
-      dataAddr.attrs.get("column_order") match {
+      dataInfo.attrs.get("column_order") match {
         case Some(order: Array[Any]) =>
           val byName = metas.map(m => m.name -> m).toMap
           order.toSeq.collect { case n: String if byName.contains(n) => byName(n) } ++
@@ -72,18 +83,16 @@ object Hdf5Io {
     } finally r.close()
   }
 
-  private def resolveGroup(r: Hdf5Reader, path: String): (r.ObjectInfo, r.ObjectInfo) = {
+  private def resolveGroup(r: Hdf5Reader, path: String): r.ObjectInfo = {
     var info = r.objectInfo(r.rootHeaderAddr)
-    var last = info
     path.split("/").filter(_.nonEmpty).foreach { seg =>
       val links = r.groupLinks(info)
       val addr = links.collectFirst { case (n, a) if n == seg => a }
         .getOrElse(Hdf5Reader.fail(
           s"no group '$seg' in ${r.path} (have ${links.map(_._1).mkString(", ")})"))
-      last = info
       info = r.objectInfo(addr)
     }
-    (info, info)
+    info
   }
 
   // ---- distributed read --------------------------------------------
@@ -122,7 +131,7 @@ object Hdf5Io {
                          r0: Long, r1: Long): Iterator[Row] = {
     val r = new Hdf5Reader(path)
     try {
-      val (dataInfo, _) = resolveGroup(r, group)
+      val dataInfo = resolveGroup(r, group)
       val links = r.groupLinks(dataInfo).toMap
       val n = (r1 - r0).toInt
       val colVals: Array[Array[Any]] = names.map { name =>
@@ -148,10 +157,15 @@ object Hdf5Io {
     // row — quadratic in rows on a big string column)
     val heapCache = scala.collection.mutable.Map[Long, Map[Int, Array[Byte]]]()
     def scalar(off: Int): Any = m.dtype match {
-      case r.FixedPoint(8, _) => bb.getLong(off)
-      case r.FixedPoint(4, _) => bb.getInt(off)
-      case r.FixedPoint(2, _) => bb.getShort(off)
-      case r.FixedPoint(1, _) => raw(off)
+      // unsigned widens to the next signed type (matches sparkTypeOf;
+      // u64 already failed loudly at schema time)
+      case r.FixedPoint(8, _)     => bb.getLong(off)
+      case r.FixedPoint(4, false) => bb.getInt(off).toLong & 0xFFFFFFFFL
+      case r.FixedPoint(4, _)     => bb.getInt(off)
+      case r.FixedPoint(2, false) => bb.getShort(off).toInt & 0xFFFF
+      case r.FixedPoint(2, _)     => bb.getShort(off)
+      case r.FixedPoint(1, false) => (raw(off).toInt & 0xFF).toShort
+      case r.FixedPoint(1, _)     => raw(off)
       case r.Floating(8)      => bb.getDouble(off)
       case r.Floating(4)      => bb.getFloat(off)
       case r.FixedString(k)   => Hdf5Reader.cstr(java.util.Arrays.copyOfRange(raw, off, off + k))
@@ -197,7 +211,7 @@ object Hdf5Io {
       // header (SPEC.md: multi-dataset files share one root header)
       def tryGroup(g: String): Option[Map[String, Map[String, Any]]] =
         try {
-          val (info, _) = resolveGroup(r, g)
+          val info = resolveGroup(r, g)
           val subs = r.groupLinks(info).map { case (n, a) => n -> r.objectInfo(a).attrs }
           Some(subs.toMap + ("" -> info.attrs))
         } catch { case _: Hdf5FormatException => None }
@@ -242,7 +256,7 @@ object Hdf5Io {
   def readIndex(path: String, prefix: String = ""): Option[(Int, Array[Long], Array[Long])] = {
     val r = new Hdf5Reader(path)
     try {
-      val (info, _) =
+      val info =
         try resolveGroup(r, s"${prefix}index")
         catch { case _: Hdf5FormatException => return None }
       if (!info.attrs.get("index_type").contains("octtree")) return None
@@ -285,30 +299,41 @@ object Hdf5Io {
       case None =>
         OCDataset(df0, base.copy(columnUnits = units, columnDescriptions = descs))
       case Some((level, starts, sizes)) =>
-        // non-empty cells only, sorted by start row — binary search
-        // rightmost boundary ≤ global row id gives the cell (= Morton
-        // key at `level`: SPEC's z-order curve index IS the key)
-        val bounds = starts.indices.collect {
-          case i if sizes(i) > 0 => (starts(i), i.toLong)
-        }.sortBy(_._1).toArray
-        val b = spark.sparkContext.broadcast(bounds)
         val withRow = dfWithGlobalRow(spark, h5Path, group, cols)
         val keyed = withRow.map { case (df, rowCol) =>
-          val keyUdf = udf { (row: Long) =>
-            val bs = b.value
-            var lo = 0; var hi = bs.length - 1
-            while (lo < hi) {
-              val mid = (lo + hi + 1) >>> 1
-              if (bs(mid)._1 <= row) lo = mid else hi = mid - 1
-            }
-            bs(lo)._2
-          }
-          df.withColumn("morton_key", keyUdf(col(rowCol))).drop(rowCol)
+          mortonKeyFromRow(spark, starts, sizes, df, rowCol).drop(rowCol)
         }.get
         OCDataset(keyed, base.copy(columnUnits = units, columnDescriptions = descs,
           spatialIndexLevel = level,
           spatialIndexCoords = guessCoords(cols.map(_.name))))
     }
+  }
+
+  /** Attach the stored octree index as a `morton_key` column — a pure
+    * function of the global row id via a broadcast (start, cell)
+    * table: binary search the rightmost boundary ≤ row (non-empty
+    * cells only, sorted by start; SPEC's z-order curve index IS the
+    * key at the stored level). Shared by [[importDataset]] and
+    * [[withParentRow]] so a structure parent keeps the stored-key
+    * pruning path its header advertises.
+    */
+  private def mortonKeyFromRow(spark: SparkSession,
+                               starts: Seq[Long], sizes: Seq[Long],
+                               df: DataFrame, rowCol: String): DataFrame = {
+    val bounds = starts.indices.collect {
+      case i if sizes(i) > 0 => (starts(i), i.toLong)
+    }.sortBy(_._1).toArray
+    val b = spark.sparkContext.broadcast(bounds)
+    val keyUdf = udf { (row: Long) =>
+      val bs = b.value
+      var lo = 0; var hi = bs.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (bs(mid)._1 <= row) lo = mid else hi = mid - 1
+      }
+      bs(lo)._2
+    }
+    df.withColumn("morton_key", keyUdf(col(rowCol)))
   }
 
   /** Import + convert to the native parquet+sidecar layout at
@@ -337,7 +362,7 @@ object Hdf5Io {
     val r = new Hdf5Reader(h5Path)
     val (links, rootGroups) =
       try {
-        val (li, _) =
+        val li =
           try resolveGroup(r, s"$parentGroup/data_linked")
           catch { case _: Hdf5FormatException =>
             return graft.collections.StructureCollection(
@@ -399,9 +424,15 @@ object Hdf5Io {
           val digits = g.filter(_.isDigit)
           if (digits.nonEmpty) digits.toInt else i
         }
-      step -> ds.copy(header = ds.header.copy(isLightcone = true))
-    }.toMap
-    graft.collections.Lightcone(steps)
+      (step, g, ds.copy(header = ds.header.copy(isLightcone = true)))
+    }
+    // two groups resolving to one step number would silently drop a
+    // whole step dataset in toMap — malformed layout fails loudly
+    val dup = steps.groupBy(_._1).collectFirst { case (k, gs) if gs.size > 1 =>
+      (k, gs.map(_._2)) }
+    dup.foreach { case (k, gs) => Hdf5Reader.fail(
+      s"step groups ${gs.mkString(", ")} all resolve to step $k in $h5Path") }
+    graft.collections.Lightcone(steps.map { case (k, _, ds) => k -> ds }.toMap)
   }
 
   /** SPEC load-condition gate (reference iopen.py:638-657
@@ -415,7 +446,7 @@ object Hdf5Io {
                                    openKwargs: Map[String, Boolean]): Boolean = {
     val path = if (group.isEmpty) "load/if" else s"$group/load/if"
     val ifInfo =
-      try Some(resolveGroup(r, path)._1)
+      try Some(resolveGroup(r, path))
       catch { case _: Hdf5FormatException => None }
     ifInfo.forall(_.attrs.forall { case (key, cond) =>
       val want = cond match {
@@ -468,7 +499,7 @@ object Hdf5Io {
         val lc = subs.nonEmpty && subs.forall(_._2) && subs.forall(!_._3) &&
           subs.exists { case (n, _, _) =>
             try {
-              val (hi, _) = resolveGroup(r, s"$n/header")
+              val hi = resolveGroup(r, s"$n/header")
               r.groupLinks(hi).exists { case (_, ha) =>
                 r.objectInfo(ha).attrs.get("is_lightcone").exists {
                   case l: Long => l != 0L
@@ -519,7 +550,13 @@ object Hdf5Io {
     // zipWithIndex over the imported frame (windows already know their
     // global offsets)
     val (df, rowCol) = dfWithGlobalRow(spark, h5Path, s"$parentGroup/data", cols).get
-    parent.copy(df = df.withColumnRenamed(rowCol, LinkCol))
+    // the raw re-read lacks the morton_key importDataset derived — a
+    // parent whose header advertises a spatial index must carry the
+    // key column too, or bound() silently loses stored-key pruning
+    val keyed = readIndex(h5Path, s"$parentGroup/").map { case (_, starts, sizes) =>
+      mortonKeyFromRow(spark, starts, sizes, df, rowCol)
+    }.getOrElse(df)
+    parent.copy(df = keyed.withColumnRenamed(rowCol, LinkCol))
   }
 
   /** Map-side idx-link inversion stays driver-bounded only below
@@ -546,8 +583,13 @@ object Hdf5Io {
     val idxMeta = columns(h5Path, linkGroup).filter(_.name == s"${id}_idx")
     val nParents = idxMeta.headOption.map(_.rows).getOrElse(0L)
     if (nParents <= cap) {
-      val idx = openDataFrame(spark, h5Path, linkGroup)
-        .select(s"${id}_idx").collect().map(_.getLong(0))
+      // restrict the scan to the ONE idx column (like the distributed
+      // branch) — openDataFrame would decode every link dataset in the
+      // group just to discard all but this column; the explicit row
+      // column pins parent order independent of partition ordering
+      val (idxDf, iRow) = dfWithGlobalRow(spark, h5Path, linkGroup, idxMeta).get
+      val idx = idxDf.select(col(s"${id}_idx"), col(iRow)).collect()
+        .sortBy(_.getLong(1)).map(_.getLong(0))
       val inverse = new java.util.HashMap[Long, Long]()
       idx.zipWithIndex.foreach { case (childRow, p) =>
         if (childRow >= 0) {
@@ -614,7 +656,7 @@ object Hdf5Io {
     if (nParents <= 0) return Array.empty
     val r = new Hdf5Reader(path)
     try {
-      val (info, _) = resolveGroup(r, linkGroup)
+      val info = resolveGroup(r, linkGroup)
       val links = r.groupLinks(info).toMap
       val sMeta = r.datasetMeta(s"${id}_start", r.objectInfo(links(s"${id}_start")))
       val zMeta = r.datasetMeta(s"${id}_size", r.objectInfo(links(s"${id}_size")))
@@ -888,29 +930,39 @@ object Hdf5Io {
                           parentName: String = "structure_properties",
                           chunkRows: Int = 1 << 16,
                           compress: Boolean = true): Unit = {
+    import org.apache.spark.sql.graftshim.DiskSnapshot
     val key = coll.linkKey
-    // the export streams each column in its own job over the key-sorted
-    // order; a NON-unique key would leave equal-key tie order at the
-    // mercy of per-column plan details and could misalign rows across
-    // columns — require uniqueness (parent keys are ids; duplicates
-    // indicate a malformed collection anyway)
+    // parent keys must be unique — the start/size reconstruction
+    // needs exactly one parent row per key
     val Array(nRows, nKeys) = coll.properties.df
       .agg(count(lit(1)), countDistinct(col(key))).head().toSeq
       .map(_.asInstanceOf[Long]).toArray
     require(nRows == nKeys,
       s"exportStructureHdf5 needs unique $key values ($nKeys distinct of $nRows rows)")
-    val parentSorted = coll.properties.df.orderBy(col(key))
+    // the export streams each column in its OWN job, so every frame it
+    // iterates must be MATERIALIZED once (eager disk snapshot): a
+    // bare orderBy would re-execute per column, and within-key tie
+    // order after a shuffle is not stable across executions — child
+    // rows (many per parent: the key is deliberately non-unique there)
+    // could silently misalign across columns. Snapshot blocks are
+    // fixed once, so every per-column pass reads the same rows in the
+    // same order; the sort also prices once instead of per column.
+    val parentSorted = DiskSnapshot.diskCachedEager(
+      coll.properties.df.orderBy(col(key)))
+    val childSorted = coll.children.toSeq.map { case (name, child) =>
+      name -> DiskSnapshot.diskCachedEager(child.orderBy(col(key)))
+    }
     // cap-check parent AND every child before opening (truncating)
     // the file — a refusal must never leave a half-written or
     // destroyed multi-table file behind
     capCheckedRows(parentSorted)
-    val childRows = coll.children.toSeq
+    val childRows = childSorted
       .map { case (name, child) => name -> capCheckedRows(child) }.toMap
     val w = new Hdf5Writer(path)
     try {
       val parentData = writeDataGroup(w, parentSorted, coll.properties.header,
         chunkRows, compress, nRows)
-      val linkAddrs = coll.children.toSeq.map { case (name, child) =>
+      val linkAddrs = childSorted.map { case (name, child) =>
         // per-parent sizes in parent (key-sorted) order, 0 for
         // childless. STREAMED to the writer partition-at-a-time
         // (toLocalIterator over the sorted frame — partition order is
@@ -943,8 +995,8 @@ object Hdf5Io {
       val dataLinked = w.writeGroup(linkAddrs.flatten)
       val parentGrp = w.writeGroup(
         Seq("data" -> parentData, "data_linked" -> dataLinked))
-      val childGrps = coll.children.toSeq.map { case (name, child) =>
-        val childData = writeDataGroup(w, child.orderBy(col(key)),
+      val childGrps = childSorted.map { case (name, child) =>
+        val childData = writeDataGroup(w, child,
           Header(), chunkRows, compress, childRows(name))
         name -> w.writeGroup(Seq("data" -> childData))
       }
@@ -972,8 +1024,12 @@ object Hdf5Io {
     }
     st match {
       case _: ArrayType =>
-        val seq = v.asInstanceOf[scala.collection.Seq[Any]]
         val wdt = arrW.get
+        // a NULL array cell exports as a zero row, same as scalar
+        // nulls (HDF5 has no null representation) — matching on the
+        // Seq first would NPE mid-export
+        if (v == null) return new Array[Byte](dt.size * wdt)
+        val seq = v.asInstanceOf[scala.collection.Seq[Any]]
         val b = ByteBuffer.allocate(dt.size * wdt).order(ByteOrder.LITTLE_ENDIAN)
         seq.foreach(x => one(b, x))
         (seq.size until wdt).foreach(_ => b.put(new Array[Byte](dt.size)))

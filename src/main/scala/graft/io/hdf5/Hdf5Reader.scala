@@ -875,10 +875,24 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
       var p = x.dataOff + (if (v == 1) 8 else 2)
       (0 until nf).map { _ =>
         val id = u16(p)
-        val nameLen = if (v == 1 || id >= 256) u16(p + 2) else 0
-        val nCli = u16(p + 6)
-        val cliPad = if (v == 1) (nCli + 1) / 2 * 2 else nCli // v1 pads odd counts
-        p += 8 + (if (v == 1) pad8(nameLen) else nameLen) + 4 * cliPad
+        if (v == 1) {
+          // v1 description: id(2) nameLen(2) flags(2) nClients(2),
+          // name padded to 8, client data padded to an EVEN count
+          val nameLen = u16(p + 2)
+          val nCli = u16(p + 6)
+          p += 8 + pad8(nameLen) + 4L * ((nCli + 1) / 2 * 2)
+        } else {
+          // v2 description: the Name Length field exists ONLY for
+          // id ≥ 256 — for id < 256 the fixed part is id(2) flags(2)
+          // nClients(2) = 6 bytes, and neither name nor client data
+          // is padded. Reading nClients at p+6 there (the old parse)
+          // lands INSIDE the first client-data word, so the advance
+          // to the next description was garbage for any multi-filter
+          // v2 pipeline (shuffle+deflate under libver='latest').
+          val nameLen = if (id >= 256) u16(p + 2) else 0
+          val nCli = u16(p + (if (id >= 256) 6 else 4))
+          p += (if (id >= 256) 8 else 6) + nameLen + 4L * nCli
+        }
         id
       }
     }.getOrElse(Nil)
@@ -1451,10 +1465,24 @@ final class Hdf5Reader(val path: String) extends AutoCloseable {
     inf.setInput(data)
     val out = new Array[Byte](outSize)
     var off = 0
-    while (!inf.finished() && off < outSize)
-      off += inf.inflate(out, off, outSize - off)
-    inf.end()
-    out
+    try {
+      while (!inf.finished() && off < outSize) {
+        val n = inf.inflate(out, off, outSize - off)
+        // a TRUNCATED stream makes inflate() return 0 with the
+        // inflater asking for more input — without this check the
+        // loop spins forever (wedging a Spark task) instead of
+        // failing loudly like every other corruption path here
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          fail(s"truncated or corrupt deflate stream: " +
+            s"${data.length} compressed bytes produced $off of $outSize")
+        off += n
+      }
+      out
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        fail(s"corrupt deflate stream (${e.getMessage}): " +
+          s"${data.length} compressed bytes, expected $outSize out")
+    } finally inf.end()
   }
 
   private def unshuffle(data: Array[Byte], elemSize: Int): Array[Byte] = {

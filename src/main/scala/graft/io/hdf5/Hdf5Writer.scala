@@ -118,9 +118,18 @@ final class Hdf5Writer(val path: String) extends AutoCloseable {
         val nRows = if (dims.isEmpty) 1L else dims.head
         while (row < nRows) {
           val rows = math.min(chunkRows.toLong, nRows - row).toInt
+          // the stream must supply EXACTLY rows*rowBytes here — a
+          // short stream (frame re-evaluation yielding fewer rows
+          // than the caller counted) must fail loudly like the
+          // contiguous path's length require, never silently export
+          // zero-filled rows
+          val expected = (rows * rowBytes).toInt
+          val raw0 = feed.take(expected)
+          require(raw0.length == expected,
+            s"dataset data stream ended at ${row * rowBytes + raw0.length} " +
+              s"bytes; dims imply $totalBytes")
           // trailing partial chunk is stored full-size (spec: chunks are
           // uniform; unused tail is undefined) — pad with zeros
-          val raw0 = feed.take((rows * rowBytes).toInt)
           val raw = if (rows == chunkRows) raw0
                     else raw0 ++ new Array[Byte](chunkBytes - raw0.length)
           val filtered0 = if (shuffle) shuffleBytes(raw, dtype.size) else raw
@@ -129,6 +138,8 @@ final class Hdf5Writer(val path: String) extends AutoCloseable {
           chunks += ((row, addr, filtered.length))
           row += rows
         }
+        require(!feed.hasMore,
+          s"dataset data stream has trailing bytes past dims-implied $totalBytes")
         val entries = chunks.result()
         // v1 chunk b-tree, single level-0 node; key: nbytes, filter
         // mask, rank+1 chunk offsets (trailing elem offset 0)
@@ -393,6 +404,11 @@ object Hdf5Writer {
   final class ByteFeed(blocks: Iterator[Array[Byte]]) {
     private var cur: Array[Byte] = Array.emptyByteArray
     private var off = 0
+    /** True if any unconsumed bytes remain (drains empty blocks). */
+    def hasMore: Boolean = {
+      while (off == cur.length && blocks.hasNext) { cur = blocks.next(); off = 0 }
+      off < cur.length
+    }
     def take(n: Int): Array[Byte] = {
       val out = new Array[Byte](n)
       var got = 0

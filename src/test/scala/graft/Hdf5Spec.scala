@@ -619,6 +619,28 @@ class Hdf5Spec extends SparkSpec {
     } finally r.close()
   }
 
+  test("unsigned dtypes widen (never wrap) and the v2 two-filter pipeline decodes") {
+    // fixture: scripts/h5make.py --ushuf — u8/u16/u32 columns crossing
+    // every sign boundary, plus an i64 dataset whose single chunk
+    // rides the v2 TWO-description filter pipeline (shuffle id 2 then
+    // deflate id 1; for id < 256 the v2 description has NO Name Length
+    // field, the parse bug class this pins)
+    val p = getClass.getResource("/special_ushuf.hdf5").getPath
+    val ds = Hdf5Io.importDataset(spark, p)
+    val sch = ds.df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(sch("u32col") == LongType && sch("u16col") == IntegerType &&
+      sch("u8col") == ShortType && sch("shufcol") == LongType, sch.toString)
+    val rows = ds.df.orderBy("u32col").collect()
+    assert(rows.map(_.getAs[Long]("u32col")).toSeq ==
+      Seq(0L, 1L, 2147483648L, 3000000000L, 4294967295L))
+    assert(rows.map(_.getAs[Int]("u16col")).sorted.toSeq ==
+      Seq(0, 1, 32768, 40000, 65535))
+    assert(rows.map(_.getAs[Short]("u8col")).sorted.toSeq ==
+      Seq[Short](0, 1, 128, 200, 255))
+    assert(rows.map(_.getAs[Long]("shufcol")).sorted.toSeq ==
+      Seq(-(1L << 52), -5L, 0L, 7L, 1L << 40))
+  }
+
   test("v2-superblock fixture imports: v4 layouts (single chunk, fixed array) decode") {
     val ds = Hdf5Io.importDataset(spark, latestFixture)
     assert(ds.count() == 25)
