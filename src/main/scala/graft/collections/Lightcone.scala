@@ -24,13 +24,18 @@ final case class Lightcone(steps: Map[Int, OCDataset]) {
   def stepRedshifts: Map[Int, Double] =
     steps.map { case (s, d) => s -> d.header.redshift }
 
-  /** The unioned view with a `step` column. */
+  /** The unioned view with a `step` column. The carried header is the
+    * LOWEST step's (deterministic — `steps.head` on an unordered Map
+    * would pick an arbitrary step's redshift, and a later
+    * convention switch would then scale every row by that one step's
+    * scale factor). A union spans redshifts, so apply per-step
+    * conversions via [[map]] BEFORE unioning when a/z matters.
+    */
   def toDataset: OCDataset = {
-    val frames = steps.toSeq.sortBy(_._1).map { case (s, d) =>
-      d.df.withColumn("step", lit(s))
-    }
+    val ordered = steps.toSeq.sortBy(_._1)
+    val frames = ordered.map { case (s, d) => d.df.withColumn("step", lit(s)) }
     val df = frames.reduce(_.unionByName(_))
-    OCDataset(df, steps.head._2.header.copy(isLightcone = true))
+    OCDataset(df, ordered.head._2.header.copy(isLightcone = true))
   }
 
   /** Keep only steps whose redshift lies in [zMin, zMax] — whole-step
@@ -85,12 +90,13 @@ final case class Lightcone(steps: Map[Int, OCDataset]) {
     * history queries group over).
     */
   def toDatasetWithRedshift: OCDataset = {
-    val frames = steps.toSeq.sortBy(_._1).map { case (s, d) =>
+    val ordered = steps.toSeq.sortBy(_._1)
+    val frames = ordered.map { case (s, d) =>
       d.df.withColumn("step", lit(s))
         .withColumn("redshift", lit(d.header.redshift))
     }
     OCDataset(frames.reduce(_.unionByName(_)),
-      steps.head._2.header.copy(isLightcone = true))
+      ordered.head._2.header.copy(isLightcone = true))
   }
 
   /** Per-object history across steps: one row per object with its
@@ -102,8 +108,11 @@ final case class Lightcone(steps: Map[Int, OCDataset]) {
       .groupBy(idCols.map(col): _*)
       .agg(
         countDistinct(col("step")).as("n_steps"),
-        min(col("redshift")).as("z_first"),
-        max(col("redshift")).as("z_last"))
+        // named for what they ARE: along a lightcone the EARLIEST
+        // appearance is the highest redshift, so "first/last" naming
+        // inverted the reading
+        min(col("redshift")).as("z_min"),
+        max(col("redshift")).as("z_max"))
 }
 
 object Lightcone {
@@ -148,7 +157,11 @@ final case class HealpixMap(df: DataFrame, nside: Int,
     val levels = (math.log(nside.toDouble / newNside) / math.log(2)).round.toInt
     val wm = org.apache.spark.sql.functions.udaf(graft.functions.WeightedMean)
     val valueCols = df.columns.filter(c => c != pixelCol && c != weightCol)
-    val aggs = valueCols.map(c => wm(col(c), col(weightCol)).as(c))
+    // the weights SUM into the output so the degrade is associative:
+    // degrading 256->64->32 equals 256->32 (weighted mean of weighted
+    // means with summed weights), and the result can be re-degraded
+    val aggs = valueCols.map(c => wm(col(c), col(weightCol)).as(c)) :+
+      sum(col(weightCol)).as(weightCol)
     val out = df.groupBy(shiftright(col(pixelCol), 2 * levels).as(pixelCol))
       .agg(aggs.head, aggs.tail.toSeq: _*)
     HealpixMap(out, newNside, pixelCol)

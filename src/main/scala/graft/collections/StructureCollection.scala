@@ -71,7 +71,10 @@ final case class StructureCollection(
   def evaluate(name: String,
                outSchema: org.apache.spark.sql.types.StructType,
                f: (Row, Seq[Row]) => Row): DataFrame = {
-    val c = children(name)
+    // child(name), not children(name): the pack must only shuffle the
+    // CURRENT parents' children — after a 0.1% parent filter, packing
+    // the raw table costs ~1000x the needed work
+    val c = child(name)
     val packed = c.groupBy(col(linkKey))
       .agg(collect_list(struct(c.columns.map(col).toSeq: _*)).as("__rows"))
     val joined = properties.df.join(packed, Seq(linkKey), "left")
@@ -118,7 +121,11 @@ final case class StructureCollection(
   def evaluateInsert(name: String,
                      outFields: Seq[org.apache.spark.sql.types.StructField],
                      f: Seq[Row] => Seq[Any]): StructureCollection = {
-    val c = children(name)
+    // child(name): the user closure must run ONLY over structures in
+    // the current (possibly filtered) population — f sees exactly the
+    // structures the collection holds, and the pack shuffle shrinks
+    // with the filter
+    val c = child(name)
     val keyField = properties.df.schema(linkKey)
     val outSchema = org.apache.spark.sql.types.StructType(keyField +: outFields)
     val packed = c.groupBy(col(linkKey))

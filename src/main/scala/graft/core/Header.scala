@@ -69,7 +69,22 @@ final case class Header(
   }
 
   def toJson: String = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full JSON string escaping: control characters too — a newline
+    // inside a description would otherwise write a sidecar that can
+    // never be re-read (Jackson rejects raw control chars)
+    def q(s: String) = {
+      val b = new StringBuilder("\"")
+      s.foreach {
+        case '\\' => b.append("\\\\")
+        case '"'  => b.append("\\\"")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      b.append("\"").toString
+    }
     def m(mm: Map[String, String]) =
       mm.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }
         .mkString("{", ", ", "}")

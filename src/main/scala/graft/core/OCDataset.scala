@@ -58,10 +58,14 @@ final case class OCDataset(
     */
   def select(patterns: Seq[String], derived: (String, OCExpr)*): OCDataset = {
     val expanded = expand(patterns, columns)
-    derived.foreach { case (_, e) => e.unitIn(unitEnv) } // plan-time unit check
+    // plan-time unit check AND recording (like withNewColumns): a
+    // derived Mpc²-column must stay unitful downstream, or a later
+    // convention switch silently skips it as dimensionless
+    val newUnits = derived.map { case (n, e) => n -> e.unitIn(unitEnv).toString }
     val values = resolveAll(derived.map(_._2))
     val dcols = derived.map { case (n, e) => e.substitute(values).toColumn.as(n) }
-    copy(df = df.select(expanded.map(col) ++ dcols: _*))
+    copy(df = df.select(expanded.map(col) ++ dcols: _*),
+      header = header.copy(columnUnits = header.columnUnits ++ newUnits))
   }
 
   /** Inverse select, same wildcards (reference dataset.py:710-745). */
@@ -77,6 +81,11 @@ final case class OCDataset(
     * resolve_mask_scalars, column.py:1310-1341).
     */
   def filter(masks: OCMask*): OCDataset = {
+    // plan-time unit validation (previously only derived columns were
+    // checked): malformed arithmetic inside a mask (Mpc + Msun) and
+    // comparisons between two DIFFERENT unitful sides throw here,
+    // before any job runs
+    masks.foreach(_.unitCheck(unitEnv))
     val resolved = masks.map(resolveMask)
     indexUpdated("filter",
       copy(df = resolved.map(_.toColumn).foldLeft(df)((d, c) => d.filter(c))))
@@ -552,14 +561,6 @@ final case class OCDataset(
   def persist(): OCDataset = { df.persist(); this }
   def unpersist(): OCDataset = { df.unpersist(); this }
 
-  /** Evaluate reductions appearing in an expression and substitute
-    * literal values (one aggregation job for ALL reductions at once).
-    */
-  private def resolve(e: OCExpr): OCExpr = {
-    val rs = e.reductions.distinct
-    if (rs.isEmpty) e else e.substitute(evalReductions(rs))
-  }
-
   /** Reductions across MANY expressions in one aggregation job. */
   private def resolveAll(es: Seq[OCExpr]): Map[Reduce, Double] = {
     val rs = es.flatMap(_.reductions).distinct
@@ -572,16 +573,33 @@ final case class OCDataset(
   }
 
   private def evalReductions(rs: Seq[Reduce]): Map[Reduce, Double] = {
-    val row = df.agg(rs.head.aggColumn, rs.tail.map(_.aggColumn): _*).head()
-    rs.zipWithIndex.map { case (r, i) =>
-      r -> (row.get(i) match {
-        case d: Double => d
-        case l: Long => l.toDouble
-        case i2: Int => i2.toDouble
-        case f: Float => f.toDouble
-        case other => other.toString.toDouble
-      })
-    }.toMap
+    def num(v: Any): Double = v match {
+      case d: Double => d
+      case l: Long => l.toDouble
+      case i2: Int => i2.toDouble
+      case f: Float => f.toDouble
+      // aggregates over an EMPTY frame return null (min/max/avg/
+      // percentile): NaN makes every comparison against the
+      // reduction false, so the mask selects nothing — consistent
+      // with "no rows to reduce over", never an NPE
+      case null => Double.NaN
+      case other => other.toString.toDouble
+    }
+    // innermost-first rounds: a reduction whose operand CONTAINS other
+    // reductions (e.g. (x - x.mean).std) can only build its agg column
+    // after the inner values are substituted — one aggregation job per
+    // nesting level, all same-level reductions batched together
+    var acc = Map.empty[Reduce, Double]
+    var pending = rs.distinct
+    while (pending.nonEmpty) {
+      val ready = pending.filter(_.of.reductions.forall(acc.contains))
+      assert(ready.nonEmpty, "reduction nesting did not make progress")
+      val cols = ready.map(r => r.copy(of = r.of.substitute(acc)).aggColumn)
+      val row = df.agg(cols.head, cols.tail: _*).head()
+      acc ++= ready.zipWithIndex.map { case (r, i) => r -> num(row.get(i)) }
+      pending = pending.filterNot(ready.toSet)
+    }
+    acc
   }
 }
 

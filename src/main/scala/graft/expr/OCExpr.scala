@@ -214,6 +214,25 @@ sealed trait OCMask {
     case Not(a)       => a.reductions
   }
 
+  /** Plan-time unit validation: arithmetic INSIDE the mask obeys the
+    * expression rules (`unitIn` throws on malformed add/sub), and a
+    * comparison between two UNITFUL sides requires identical units. A
+    * dimensionless side (raw literal) compares in the other side's
+    * native unit — the reference's `col("mass") > 0` idiom stays
+    * legal.
+    */
+  def unitCheck(env: String => UnitSpec): Unit = this match {
+    case Cmp(a, op, b) =>
+      val (ua, ub) = (a.unitIn(env), b.unitIn(env))
+      if (!ua.isDimensionless && !ub.isDimensionless) {
+        ua.requireSame(ub, s"comparison '$op'"); ()
+      }
+    case In(a, _)  => a.unitIn(env); ()
+    case And(a, b) => a.unitCheck(env); b.unitCheck(env)
+    case Or(a, b)  => a.unitCheck(env); b.unitCheck(env)
+    case Not(a)    => a.unitCheck(env)
+  }
+
   def substitute(values: Map[OCExpr.Reduce, Double]): OCMask = this match {
     case Cmp(a, op, b) => Cmp(a.substitute(values), op, b.substitute(values))
     case In(a, vs)     => In(a.substitute(values), vs)

@@ -668,10 +668,10 @@ object CoreLib {
            WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 1 ELSE 2 END) AS n_steps,
          min(CASE
            WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 0.3
-           WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 0.7 ELSE 1.2 END) AS z_first,
+           WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 0.7 ELSE 1.2 END) AS z_min,
          max(CASE
            WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 0.3
-           WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 0.7 ELSE 1.2 END) AS z_last
+           WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 0.7 ELSE 1.2 END) AS z_max
          FROM orders GROUP BY 1""",
     "q70_evaluate_insert" ->
       """SELECT o_orderkey, o_orderstatus, max_price FROM (

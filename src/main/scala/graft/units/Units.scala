@@ -38,6 +38,8 @@ object Units {
     * physical scale-factor power (= length exponent for distances).
     * `dex` marks log10-space quantities (reference DexUnit).
     */
+  private val comovingLengthUnits = Set("Gpc", "Mpc", "kpc", "pc")
+
   final case class UnitSpec(dims: Map[String, Int], h: Int = 0, dex: Boolean = false) {
 
     def isDimensionless: Boolean = dims.isEmpty && h == 0 && !dex
@@ -59,8 +61,16 @@ object Units {
       require(this == o, s"unit mismatch in $op: $this vs $o")
       this
     }
-    /** length exponent — the scale-factor power for physical conversion. */
-    def lengthPow: Int = dims.getOrElse("Mpc", 0) + dims.getOrElse("kpc", 0)
+    /** length exponent — the scale-factor power for physical
+      * conversion. Sums the PARSEC-family exponents (Gpc/Mpc/kpc/pc):
+      * those are the comoving coordinate lengths that scale with a.
+      * km/m/cm stay OUT deliberately — they appear in proper-unit
+      * quantities (km/s peculiar velocities), which a physical
+      * conversion must not rescale.
+      */
+    def lengthPow: Int = dims.collect {
+      case (u, p) if comovingLengthUnits(u) => p
+    }.sum
 
     override def toString: String =
       if (dex) s"dex(${UnitSpec(dims, h)})"
@@ -207,7 +217,21 @@ object Units {
     */
   def convert(colExpr: Column, unit: UnitSpec, from: Convention, to: Convention,
               cosmo: Cosmology, scaleFactor: Column): Column = {
-    if (from == to || unit.dex) return colExpr
+    if (from == to) return colExpr
+    if (unit.dex) {
+      // log10-space quantity: the multiplicative factor becomes an
+      // ADDITIVE log10 shift (the same algebra withUnitConversions
+      // applies for dex unit changes) — silently skipping dex here
+      // would leave the column in the OLD convention while the header
+      // advertises the new one
+      def logFactor(conv: Convention): Column = conv match {
+        case Scalefree | Unitless => lit(0.0)
+        case Comoving => lit(unit.h * math.log10(cosmo.littleh))
+        case Physical => lit(unit.h * math.log10(cosmo.littleh)) +
+          lit(unit.lengthPow.toDouble) * log10(scaleFactor)
+      }
+      return colExpr + logFactor(to) - logFactor(from)
+    }
     def factor(conv: Convention): Column = conv match {
       case Scalefree | Unitless => lit(1.0)
       case Comoving  => lit(math.pow(cosmo.littleh, unit.h))
@@ -226,7 +250,11 @@ object Units {
     */
   def conversionFactor(unit: UnitSpec, from: Convention, to: Convention,
                        cosmo: Cosmology, a: Double): Double = {
-    if (from == to || unit.dex) return 1.0
+    if (from == to) return 1.0
+    // dex has no MULTIPLICATIVE factor (the shift is additive in log
+    // space — see convert); geometry callers never carry dex, so a
+    // silent 1.0 would hide a real conversion
+    require(!unit.dex, s"no multiplicative conversion factor for dex unit $unit")
     def factor(conv: Convention): Double = conv match {
       case Scalefree | Unitless => 1.0
       case Comoving  => math.pow(cosmo.littleh, unit.h)

@@ -105,9 +105,12 @@ class CollectionsSpec extends SparkSpec {
     val df = Seq((0L, 10.0, 1.0), (1L, 20.0, 3.0), (2L, 0.0, 0.0), (3L, 40.0, 1.0))
       .toDF("pixel", "tsz", "w")
     val m = HealpixMap(df, nside = 2).withResolutionWeighted(1, "w")
-    val v = m.df.filter($"pixel" === 0L).first().getAs[Double]("tsz")
+    val row = m.df.filter($"pixel" === 0L).first()
     // weighted mean of (10,1),(20,3),(0,0),(40,1) = (10+60+0+40)/5 = 22
-    assert(math.abs(v - 22.0) < 1e-12)
+    assert(math.abs(row.getAs[Double]("tsz") - 22.0) < 1e-12)
+    // the weights SUM into the output, so the degrade is associative
+    // and re-degradable
+    assert(row.getAs[Double]("w") == 5.0)
   }
 
   test("structure collection IO roundtrip with child clustering") {
@@ -157,7 +160,7 @@ class CollectionsSpec extends SparkSpec {
     // cross-step identity: same natural key -> same object_id in both steps
     val hist = lc.withObjectId(Seq("id")).objectHistory(Seq("object_id", "id"))
     val h = hist.collect().map(r => r.getAs[Long]("id") ->
-      (r.getAs[Long]("n_steps"), r.getAs[Double]("z_first"), r.getAs[Double]("z_last"))).toMap
+      (r.getAs[Long]("n_steps"), r.getAs[Double]("z_min"), r.getAs[Double]("z_max"))).toMap
     assert(h(1L) == ((2L, 0.2, 0.8)))
     assert(h(2L) == ((1L, 0.2, 0.2)) && h(3L) == ((1L, 0.8, 0.8)))
     assert(hist.count() == 3) // ids did not collide or split

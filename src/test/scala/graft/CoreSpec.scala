@@ -156,6 +156,78 @@ class CoreSpec extends SparkSpec {
     assert(z.count() == 1)
   }
 
+  test("NESTED scalar reductions resolve innermost-first; empty frame -> empty, no NPE") {
+    // std OF (mass - mean(mass)): the inner reduction must evaluate
+    // and substitute before the outer agg column can build — one
+    // aggregation job per nesting level
+    val centered = ocCol("mass") - ocCol("mass").mean
+    val sel = halos.filter(centered > centered.std)
+    val ms = halos.collect().map(_.getAs[Double]("mass"))
+    val mean = ms.sum / ms.length
+    val std = math.sqrt(ms.map(m => (m - mean) * (m - mean)).sum / ms.length)
+    val want = ms.count(m => m - mean > std)
+    assert(sel.count() == want && want == 1)
+    // reductions over an EMPTY frame are null -> NaN -> nothing
+    // selected (never an NPE)
+    val none = halos.filter(ocCol("mass") > ocLit(1e30))
+      .filter(ocCol("mass") > ocCol("mass").mean)
+    assert(none.count() == 0)
+  }
+
+  test("withUnits converts dex columns by an additive log10 shift") {
+    val ds = OCDataset(
+      Seq((1L, 13.0)).toDF("halo_tag", "logx"),
+      Header(redshift = 1.0, cosmology = Cosmology(h0 = 70.0),
+        columnUnits = Map("logx" -> "dex(Mpc/h)")))
+    // scalefree -> comoving: + h_exp·log10(h) = -log10(0.7); the old
+    // code returned the column UNCHANGED while the header claimed the
+    // new convention
+    val com = ds.withUnits(Comoving)
+    assert(math.abs(com.df.head().getDouble(1) -
+      (13.0 - math.log10(0.7))) < 1e-12)
+    // physical additionally shifts by lengthPow·log10(a), a = 0.5
+    val phys = ds.withUnits(Physical)
+    assert(math.abs(phys.df.head().getDouble(1) -
+      (13.0 - math.log10(0.7) + math.log10(0.5))) < 1e-12)
+    // and back is an identity
+    assert(math.abs(phys.withUnits(Scalefree).df.head().getDouble(1) - 13.0) < 1e-12)
+  }
+
+  test("select with derived columns RECORDS their inferred units") {
+    val out = halos.select(Seq("halo_tag"), "r2" -> ocCol("x") * ocCol("x"))
+    assert(out.header.columnUnits.get("r2").contains("Mpc^2 h^-2"),
+      out.header.columnUnits.toString)
+    // so a later convention switch converts r2 like any unitful column
+    val com = out.withUnits(Comoving)
+    val want = halos.collect().map(r => r.getAs[Double]("x")).head
+    assert(math.abs(com.df.filter($"halo_tag" === 1L).head().getDouble(1) -
+      want * want / (0.7 * 0.7)) < 1e-9)
+  }
+
+  test("filter masks are unit-checked at plan time; literals stay legal") {
+    // two DIFFERENT unitful sides must throw before any job
+    intercept[IllegalArgumentException] {
+      halos.filter(ocCol("x") > ocCol("mass"))
+    }
+    // malformed arithmetic INSIDE the mask throws too
+    intercept[IllegalArgumentException] {
+      halos.filter(ocCol("x") + ocCol("mass") > ocLit(0.0))
+    }
+    // the reference's raw-literal idiom compares in the native unit
+    assert(halos.filter(ocCol("mass") > ocLit(0.0)).count() == 4)
+  }
+
+  test("lengthPow covers the whole length family (Gpc/pc too)") {
+    import graft.units.Units
+    val gpc = Units.parse("Gpc/h")
+    assert(gpc.lengthPow == 1)
+    // physical conversion applies the a-power to a Gpc column exactly
+    // like an Mpc one
+    val f = Units.conversionFactor(gpc, Scalefree, Physical,
+      Cosmology(h0 = 70.0), a = 0.5)
+    assert(math.abs(f - 0.5 / 0.7) < 1e-12)
+  }
+
   test("sortBy is lazy and take honors it") {
     val top2 = halos.sortBy("mass", invert = true).take(2, Start)
     assert(top2.collect().map(_.getLong(0)).toSeq == Seq(3L, 2L))
