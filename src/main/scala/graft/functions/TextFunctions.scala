@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Whitespace tokenization. */
+  // CONTRACT: tokenization splits on the literal single space — the
+  // corpus convention the synthetic tables follow AND the exact form
+  // every DuckDB oracle replays (string_split(text, ' ')). A
+  // general-whitespace split (\s+) would be more forgiving on real
+  // corpora but must change HERE and in EVERY oracle in lockstep, or
+  // the driver hash-compare breaks; normalize whitespace upstream
+  // instead when ingesting multi-line documents.
   def tokens(text: Column): Column = split(text, " ")
 
   /** Token count (long, matches DuckDB len()). */

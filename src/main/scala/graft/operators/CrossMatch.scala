@@ -38,10 +38,13 @@ object CrossMatch {
     // executor-local cache bounds disc queries at 12·nside² per
     // executor regardless of rows — and each query is HIERARCHICAL
     // (O(|disc|), not O(npix)), so deep nsides stay cheap. Padding:
-    // one pixel size for the right point's offset from its pixel
-    // center (queryDisc pads another internally for the left side);
-    // the exact separation predicate trims the cover.
-    val pad = Healpix.charDeg(nside)
+    // the right point can sit up to 2.5 characteristic sizes from its
+    // pixel CENTER (the HEALPix polar-distortion bound — one charDeg
+    // under-covers there and silently drops boundary matches), and
+    // queryDisc's own inclusion criterion covers the LEFT point's
+    // offset from its pixel center with the same bound; the exact
+    // separation predicate trims the cover afterwards.
+    val pad = Healpix.MaxCenterToPointFactor * Healpix.charDeg(nside)
     // both the pixel key and the disc cover are codegen'd expressions
     // (round 14 ran a Scala UDF here — opaque to Catalyst, boxed per
     // row); the cover memoizes per pixel exactly as before, so a hit
@@ -54,11 +57,11 @@ object CrossMatch {
         org.apache.spark.sql.functions.call_function("graft_healpix_disc",
           col("__rpix"), lit(nside), lit(radiusDeg + pad))))
       .drop("__rpix")
-    // haversine separation — identical expression to Region.Cone's
-    val sd = sin((radians(col("__rdec")) - radians(col("__ldec"))) / 2)
-    val sr = sin((radians(col("__rra")) - radians(col("__lra"))) / 2)
-    val h = sd * sd + cos(radians(col("__ldec"))) * cos(radians(col("__rdec"))) * sr * sr
-    val sep = degrees(asin(least(lit(1.0), sqrt(h))) * 2)
+    // haversine separation — THE shared expression (Region.angSepDegCol,
+    // also lowered by Cone.predicate; one copy so oracle replay can
+    // never drift between consumers)
+    val sep = graft.spatial.Region.angSepDegCol(
+      col("__lra"), col("__ldec"), col("__rra"), col("__rdec"))
     // nearest-pick ordering rounds the separation to 1e-9 deg (≈ 4 µas
     // — far below any astrometric meaning): mirror-symmetric object
     // pairs have MATHEMATICALLY equal separations that floating point

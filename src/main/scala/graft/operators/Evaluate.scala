@@ -51,7 +51,15 @@ object Evaluate {
     val outSchema = StructType(inSchema.fields ++ outFields)
     val rdd = ds.df.rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.zip(f(batch.iterator)).map { case (r, extra) =>
+        // strict 1:1 contract: a user f yielding FEWER outputs than
+        // batch rows would silently drop the unmatched rows under a
+        // bare zip (and extra outputs would silently misalign every
+        // later batch) — both must fail loudly
+        val out = f(batch.iterator).toSeq
+        require(out.size == batch.size,
+          s"perPartition f returned ${out.size} rows for a " +
+            s"${batch.size}-row batch — outputs must map 1:1 to inputs")
+        batch.iterator.zip(out.iterator).map { case (r, extra) =>
           Row.fromSeq(r.toSeq ++ extra)
         }
       }

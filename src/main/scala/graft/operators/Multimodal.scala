@@ -124,13 +124,21 @@ object Multimodal {
             case _ =>
               val raster = img.getRaster
               bands = raster.getNumBands
+              // normalize deeper-than-8-bit samples (USHORT_GRAY
+              // PNGs/TIFFs) to the 8-bit domain — raw 16-bit values
+              // would pile the whole histogram into the top bin and
+              // put px_mean on a 0..65535 scale, breaking cross-image
+              // comparability (the decoder's whole purpose)
+              val shifts = Array.tabulate(bands) { b =>
+                math.max(0, raster.getSampleModel.getSampleSize(b) - 8)
+              }
               var y = 0
               while (y < h) {
                 var x = 0
                 while (x < w) {
                   var b = 0
                   while (b < bands) {
-                    val s = raster.getSample(x, y, b)
+                    val s = raster.getSample(x, y, b) >> shifts(b)
                     sum += s
                     if (b == 0) {
                       val bin = math.min(featDim - 1, s * featDim / 256)
@@ -416,8 +424,10 @@ object Multimodal {
             frameN = 3L * w * h
           case "MJPG" =>
             javax.imageio.ImageIO.setUseCache(false)
+            // zero-copy region view — p.slice would copy every frame
+            // on the hot decode path
             val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(p.slice(off, off + len)))
+              new java.io.ByteArrayInputStream(p, off, len))
             require(img != null, s"undecodable MJPEG frame $f")
             val raster = img.getRaster
             channels = raster.getNumBands
@@ -731,8 +741,14 @@ object Multimodal {
     */
   def sampleFrames(df: DataFrame, payloadCol: String, frameBytes: Int,
                    stride: Int): DataFrame = {
+    // NULL / empty payloads contribute ZERO rows (poison-safe, like
+    // sampleAviFrames) — without the filter, `greatest` and `least`
+    // SKIP nulls, so a null payload emitted a phantom frame_no=0 row
+    // claiming a full frame. A short non-empty payload still yields
+    // its one partial frame (frame_bytes = what exists).
     val nFrames = (length(col(payloadCol)) / frameBytes).cast("int")
-    df.withColumn("frame_no",
+    df.filter(col(payloadCol).isNotNull && length(col(payloadCol)) > 0)
+      .withColumn("frame_no",
         explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))))
       .withColumn("frame_start", col("frame_no").cast("long") * frameBytes)
       .withColumn("frame_bytes",
@@ -785,7 +801,11 @@ object Multimodal {
     */
   def chunkPayload(df: DataFrame, idCol: String, payloadCol: String,
                    chunkBytes: Int): DataFrame =
-    df.select(col(idCol),
+    // empty/null payloads chunk to ZERO rows: without the filter,
+    // ceil(0/chunkBytes)-1 = -1 and sequence(0, -1) DESCENDS, emitting
+    // bogus chunk_no 0 and -1 rows that corrupt the reassembly key
+    df.filter(col(payloadCol).isNotNull && length(col(payloadCol)) > 0)
+      .select(col(idCol),
         explode(sequence(lit(0),
           ceil(length(col(payloadCol)) / lit(chunkBytes.toDouble)).cast("int") - 1))
           .as("chunk_no"),

@@ -133,9 +133,15 @@ object Healpix {
     * query (validated equal to the exhaustive scan in PropertySpec).
     */
   def queryDisc(nside: Int, center: Region.SkyP, radiusDeg: Double): Set[Long] = {
-    // selection criterion: pixel center within radius + one pixel size
-    val halfPix = charDeg(nside)
-    val target = radiusDeg + halfPix
+    // selection criterion: pixel center within radius + the TRUE
+    // center-to-point bound (2.5 characteristic sizes — polar pixels
+    // are distorted, and one charDeg under-covers them: a pixel whose
+    // far corner dips into the disc could have its center outside
+    // radius + charDeg, silently dropping in-disc rows from every
+    // pixel-prefiltered consumer). The factor is the same bound the
+    // descent below relies on, pinned by PropertySpec's exhaustive
+    // center-to-point scan.
+    val target = radiusDeg + MaxCenterToPointFactor * charDeg(nside)
     // HIERARCHICAL descent over the nested 4-way hierarchy: a level-n
     // pixel is explored only if its center could still have a
     // descendant center within `target` — descendant centers lie
@@ -162,6 +168,13 @@ object Healpix {
   /** Characteristic pixel size (degrees) at `nside`. */
   def charDeg(nside: Int): Double =
     math.toDegrees(math.sqrt(4.0 * math.Pi / npix(nside)))
+
+  /** Upper bound on the distance from any pixel's CENTER to any point
+    * inside it, in characteristic sizes — HEALPix pixels are equal-
+    * area but distorted near the poles. Property-tested against a
+    * random point scan (PropertySpec).
+    */
+  val MaxCenterToPointFactor: Double = 2.5
 
   /** Executor-local memo of per-pixel inclusive disc covers (≤
     * 12·nside² entries per (nside, radius) in use; each miss is one

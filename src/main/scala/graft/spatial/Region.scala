@@ -121,20 +121,26 @@ object Region {
     math.toDegrees(2 * math.asin(math.min(1.0, math.sqrt(h))))
   }
 
+  /** Haversine angular separation (degrees) as a Column expression —
+    * THE one copy both the Cone predicate and the cross-match scorer
+    * lower (the expression is numerically subtle, and oracle replay
+    * depends on every consumer staying bit-identical).
+    */
+  def angSepDegCol(ra1: Column, dec1: Column, ra2: Column, dec2: Column): Column = {
+    val (r1, d1, r2, d2) = (radians(ra1), radians(dec1), radians(ra2), radians(dec2))
+    val sd = sin((d2 - d1) / 2); val sr = sin((r2 - r1) / 2)
+    val h = sd * sd + cos(d1) * cos(d2) * sr * sr
+    degrees(asin(least(lit(1.0), sqrt(h))) * 2)
+  }
+
   /** Cone: all points within `radius` degrees of center (reference
     * ConeRegion).
     */
   final case class Cone(center: SkyP, radius: Double) extends SkyRegion {
     def contains(p: SkyP): Boolean = angSep(center, p) <= radius
 
-    def predicate(ra: Column, dec: Column): Column = {
-      val ra1 = lit(math.toRadians(center.ra)); val de1 = lit(math.toRadians(center.dec))
-      val ra2 = radians(ra); val de2 = radians(dec)
-      val sd = sin((de2 - de1) / 2); val sr = sin((ra2 - ra1) / 2)
-      val h = sd * sd + cos(de1) * cos(de2) * sr * sr
-      val sepDeg = degrees(asin(least(lit(1.0), sqrt(h))) * 2)
-      sepDeg <= lit(radius)
-    }
+    def predicate(ra: Column, dec: Column): Column =
+      angSepDegCol(lit(center.ra), lit(center.dec), ra, dec) <= lit(radius)
 
     def intersects(o: Cone): Boolean = angSep(center, o.center) <= radius + o.radius
     def containsCone(o: Cone): Boolean = angSep(center, o.center) + o.radius <= radius

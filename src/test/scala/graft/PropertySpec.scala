@@ -162,13 +162,34 @@ class PropertySpec extends AnyFunSuite {
       val radius = 0.5 + rnd.nextDouble * 30
       val fast = Healpix.queryDisc(nside, center, radius)
       // exhaustive reference: same criterion over every pixel
-      val halfPix = Healpix.charDeg(nside)
+      val pad = Healpix.MaxCenterToPointFactor * Healpix.charDeg(nside)
       val slow = (0L until Healpix.npix(nside)).filter { p =>
         val (ra, dec) = Healpix.pix2angNest(nside, p)
-        Region.angSep(center, Region.SkyP(ra, dec)) <= radius + halfPix
+        Region.angSep(center, Region.SkyP(ra, dec)) <= radius + pad
       }.toSet
       assert(fast == slow, s"nside=$nside center=$center r=$radius " +
         s"missing=${(slow -- fast).take(5)} extra=${(fast -- slow).take(5)}")
+    }
+  }
+
+  test("center-to-point distance never exceeds the 2.5-charDeg bound") {
+    // the bound every pixel-prefiltered consumer leans on (queryDisc
+    // inclusion, cross-match cover): a random point is never further
+    // from ITS pixel's center than MaxCenterToPointFactor char sizes
+    cases(8) { rnd =>
+      val nside = Seq(1, 2, 4, 8, 16, 64)(rnd.nextInt(6))
+      val bound = Healpix.MaxCenterToPointFactor * Healpix.charDeg(nside)
+      (0 until 500).foreach { _ =>
+        // uniform on the sphere (z uniform), poles included
+        val z = rnd.nextDouble * 2 - 1
+        val dec = math.toDegrees(math.asin(z))
+        val ra = rnd.nextDouble * 360
+        val pix = Healpix.ang2pixNest(nside, ra, dec)
+        val (cra, cdec) = Healpix.pix2angNest(nside, pix)
+        val d = Region.angSep(Region.SkyP(ra, dec), Region.SkyP(cra, cdec))
+        assert(d <= bound,
+          s"nside=$nside point=($ra,$dec) pix=$pix center=($cra,$cdec) d=$d > $bound")
+      }
     }
   }
 
