@@ -111,6 +111,13 @@ object OCIO {
     val lvl = if (level > 0) level else chooseSpatialLevel(ds.count())
     val (cx, cy, cz) = coords
     val size = if (ds.header.boxSize > 0) ds.header.boxSize else 1.0
+    // build (and therefore VALIDATE) the final header BEFORE the
+    // overwrite — a bad level failing Header's require after the data
+    // write would tear the dataset: new keys on disk under the OLD
+    // sidecar, and bound()'s stored-key fast path then filters stale
+    // key ranges against the new keys
+    val outHeader = ds.header.copy(spatialIndexLevel = lvl,
+      spatialIndexCoords = Seq(cx, cy, cz))
     val keyed = ds.df.withColumn("morton_key",
       graft.spatial.Morton.keyColumnNative(col(cx), col(cy), col(cz), 0.0, size, lvl))
     // explicit numPartitions pins the file count (AQE otherwise
@@ -125,8 +132,7 @@ object OCIO {
     // takes the stored-key fast path when its coords match, otherwise
     // a query over different columns would silently reuse a key
     // derived from the wrong coordinates
-    Header.write(path, ds.header.copy(spatialIndexLevel = lvl,
-      spatialIndexCoords = Seq(cx, cy, cz)))
+    Header.write(path, outHeader)
   }
 
   /** Multi-format write: parquet (default, columnar — the scale
@@ -178,6 +184,21 @@ object OCIO {
       child.sortWithinPartitions(col(coll.linkKey))
         .write.mode("overwrite").parquet(s"$path/children/$name")
     }
+    // persist the link key — openAny would otherwise guess a default
+    // and silently wire the reopened collection to the WRONG key
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_link_key.txt"), coll.linkKey)
+  }
+
+  /** The persisted link key of a structure directory, when recorded
+    * (collections written before the sidecar existed fall back to the
+    * caller's default).
+    */
+  def storedLinkKey(path: String): Option[String] = {
+    val f = java.nio.file.Paths.get(path, "_link_key.txt")
+    if (java.nio.file.Files.exists(f))
+      Some(java.nio.file.Files.readString(f).trim)
+    else None
   }
 
   def openStructure(spark: SparkSession, path: String,
@@ -187,7 +208,10 @@ object OCIO {
     val children = Option(childDir.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory)
       .map(d => d.getName -> spark.read.parquet(d.getPath)).toMap
-    graft.collections.StructureCollection(parent, children, linkKey)
+    // the sidecar key (what the children were actually clustered by)
+    // wins over the caller's guess
+    graft.collections.StructureCollection(parent, children,
+      storedLinkKey(path).getOrElse(linkKey))
   }
 
   /** Write a lightcone `partitionBy("step")` — the storage layout that
@@ -197,31 +221,40 @@ object OCIO {
   def writeLightcone(lc: graft.collections.Lightcone, path: String): Unit = {
     lc.toDataset.df.write.mode("overwrite")
       .partitionBy("step").parquet(s"$path/data.parquet")
-    val zs = lc.stepRedshifts.map { case (s, z) => s"""\"$s\": $z""" }
+    // NaN/Infinity are not JSON — fail at write time, not at the
+    // eventual unreadable open
+    lc.stepRedshifts.foreach { case (st, z) =>
+      require(!z.isNaN && !z.isInfinite, s"step $st has non-finite redshift $z") }
+    val zs = lc.stepRedshifts.toSeq.sortBy(_._1)
+      .map { case (s, z) => s"""\"$s\": $z""" }
       .mkString("{", ", ", "}")
-    Header.write(path, lc.steps.head._2.header.copy(isLightcone = true,
-      dataType = "lightcone"))
+    // deterministic top-level sidecar: the LOWEST step's header (an
+    // unordered Map's head would record a run-dependent redshift)
+    Header.write(path,
+      lc.steps.toSeq.minBy(_._1)._2.header.copy(isLightcone = true,
+        dataType = "lightcone"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_steps.json"), zs)
   }
 
   def openLightcone(spark: SparkSession, path: String): graft.collections.Lightcone = {
+    import scala.jdk.CollectionConverters._
     val header = Header.read(path)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val n = mapper.readTree(java.nio.file.Files.readString(
       java.nio.file.Paths.get(path, "_steps.json")))
-    val it = n.fieldNames()
-    val steps = Iterator.continually(if (it.hasNext) Some(it.next()) else None)
-      .takeWhile(_.isDefined).flatten.map { s =>
-        val step = s.toInt
-        // per-step frame: partition-pruned scan (PartitionFilters on step)
-        val df = spark.read.parquet(s"$path/data.parquet")
-          .filter(col("step") === step).drop("step")
-        // LightconeOpen fold hook (reference LightconeOpenCtx,
-        // plugins/contexts.py:58-75): plugins enrich each step dataset
-        step -> graft.plugins.Hooks.lightconeOpen.fold(
-          graft.core.OCDataset(df, header.copy(redshift = n.get(s).asDouble())))
-      }.toMap
+    // ONE parquet read shared by every step (one driver file listing,
+    // not one per step); each step filters it — partition-pruned scan
+    // (PartitionFilters on step)
+    val all = spark.read.parquet(s"$path/data.parquet")
+    val steps = n.fieldNames().asScala.map { s =>
+      val step = s.toInt
+      val df = all.filter(col("step") === step).drop("step")
+      // LightconeOpen fold hook (reference LightconeOpenCtx,
+      // plugins/contexts.py:58-75): plugins enrich each step dataset
+      step -> graft.plugins.Hooks.lightconeOpen.fold(
+        graft.core.OCDataset(df, header.copy(redshift = n.get(s).asDouble())))
+    }.toMap
     graft.collections.Lightcone(steps)
   }
 
@@ -294,7 +327,7 @@ object OCIO {
   /** Round-trip-stable parquet export that flattens multi-dimensional
     * (array) columns into `name_0 … name_k` scalar columns — reference
     * write_parquet (io/parquet.py:18-90). `widths` gives each array
-    * column's fixed width (from its first row when omitted).
+    * column’s fixed width (probed as max(size) over the frame when omitted).
     */
   def exportParquetFlat(df: DataFrame, path: String,
                         widths: Map[String, Int] = Map.empty): Unit =
@@ -309,14 +342,25 @@ object OCIO {
     val probed: Map[String, Int] =
       if (unknown.isEmpty) Map.empty
       else {
-        val row = df.select(unknown.map(n => size(col(n)).as(n)).toSeq: _*).first()
-        unknown.zipWithIndex.map { case (n, i) => n -> row.getInt(i) }.toMap
+        // max(size) over the frame, not first(): the first row can be
+        // NULL (size -1 → the column silently VANISHES from the
+        // export) or the frame can be empty (first() throws); ragged
+        // arrays flatten to the widest row, shorter rows null-pad
+        val row = df.agg(
+          max(size(col(unknown.head))).as(unknown.head),
+          unknown.tail.map(n => max(size(col(n))).as(n)).toSeq: _*).head()
+        unknown.zipWithIndex.map { case (n, i) =>
+          n -> (if (row.isNullAt(i)) 0 else math.max(0, row.getInt(i)))
+        }.toMap
       }
     val cols = df.schema.fields.flatMap { f =>
       f.dataType match {
         case _: ArrayType =>
           val w = widths.getOrElse(f.name, probed(f.name))
-          (0 until w).map(i => col(f.name).getItem(i).as(s"${f.name}_$i"))
+          // get(), not getItem(): rows shorter than the probed width
+          // (ragged or null arrays) null-pad — getItem THROWS past the
+          // end under ANSI mode (Spark 4 default)
+          (0 until w).map(i => get(col(f.name), lit(i)).as(s"${f.name}_$i"))
         case _ => Seq(col(f.name))
       }
     }

@@ -179,6 +179,12 @@ final case class BpeWordExpr(children: Seq[Expression]) extends Expression {
     (child.dataType, children(1).dataType) match {
       case (StringType, ArrayType(st: StructType, _))
         if st.length == 2 && st.fields.forall(_.dataType == StringType) =>
+        // NO foldability gate here, unlike the sibling kernels: these
+        // expressions live inside HOF lambdas (transform/aggregate),
+        // and making `resolved` depend on foldability during the
+        // analyzer's staged lambda resolution broke resolution
+        // outright (fertilityStats). The lazy table's named require
+        // still rejects a per-row merges argument, just at execution
         TypeCheckResult.TypeCheckSuccess
       case (cd, md) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects (word string, merges array<struct<string,string>>), " +
@@ -239,6 +245,9 @@ final case class SymsToIdsExpr(children: Seq[Expression]) extends Expression {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
     (child.dataType, children(1).dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        // no foldability gate — see BpeWordExpr (HOF-lambda analyzer
+        // interplay); the lazy vocabMap's named require rejects a
+        // per-row vocab at execution
         TypeCheckResult.TypeCheckSuccess
       case (cd, vd) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects (syms array<string>, vocab array<string>), " +

@@ -20,7 +20,14 @@ import org.apache.spark.sql.types._
 object VecKernels {
 
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // dimension mismatch must REFUSE by kernel name (like cosineInt8/
+    // cellDists): a min-length loop would silently score a truncated
+    // prefix — a plausible but wrong similarity that quietly corrupts
+    // ANN rankings
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_cosine: dim mismatch $n vs ${b.numElements()}")
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }

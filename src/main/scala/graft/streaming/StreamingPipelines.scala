@@ -77,8 +77,14 @@ object StreamingPipelines {
       }
     deduped
       .groupBy(window(col("ts"), windowSize))
+      // tokens counted over the TRIMMED text: the fingerprint equates
+      // case/outer-whitespace variants, so the per-window sum must be
+      // identical no matter WHICH variant survived the dedup ("a b "
+      // raw-counts 3 tokens, "a b" counts 2 — streaming keeps the
+      // first-arrived copy, batch the min-ts one, and a raw count
+      // would diverge stream vs batch)
       .agg(count(lit(1)).as("n_docs"),
-        sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
+        sum(TextFunctions.tokenCount(trim(col("text")))).as("n_tokens"))
       .select(unix_timestamp(col("window.start")).as("w_start"),
         col("n_docs"), col("n_tokens"))
   }

@@ -125,6 +125,24 @@ class CollectionsSpec extends SparkSpec {
     assert(any.isInstanceOf[StructureCollection])
   }
 
+  test("structure round-trip persists a NON-default link key") {
+    // the written sidecar must carry the link key the children were
+    // clustered by — openAny previously guessed "halo_tag" and wired
+    // the reopened collection to the wrong key
+    val parent = OCDataset(Seq((10L, 1.0), (20L, 2.0)).toDF("tree_node_id", "m"))
+    val kids = Seq((10L, 5.0), (10L, 6.0), (20L, 7.0)).toDF("tree_node_id", "v")
+    val coll = StructureCollection(parent, Map("leaves" -> kids), "tree_node_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_structkey").toString
+    graft.io.OCIO.writeStructure(coll, dir)
+    val any = graft.io.OCIO.openAny(spark, dir) // no key hint given
+      .asInstanceOf[StructureCollection]
+    assert(any.linkKey == "tree_node_id")
+    assert(any.child("leaves").count() == 3)
+    assert(any.aggregateChild("leaves",
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n")).count() == 2)
+  }
+
   test("lightcone IO roundtrip: partitionBy(step), pruned reopen") {
     val s600 = OCDataset(Seq((1L, 5.0), (2L, 6.0)).toDF("id", "v"),
       graft.core.Header(redshift = 0.5))

@@ -464,6 +464,18 @@ class CoreSpec extends SparkSpec {
     val flat = OCIO.flatten(df)
     assert(flat.columns.toSeq == Seq("id", "prof_0", "prof_1", "prof_2"))
     assert(flat.first().getFloat(2) == 2.0f)
+    // width probes survive a NULL-first-row array (a first()-based
+    // probe read size -1 and silently DROPPED the column) and ragged
+    // rows flatten to the widest width with null padding
+    val ragged = Seq((1L, null), (2L, Seq(1.0f)), (3L, Seq(2.0f, 3.0f)))
+      .toDF("id", "prof")
+    val rf = OCIO.flatten(ragged)
+    assert(rf.columns.toSeq == Seq("id", "prof_0", "prof_1"))
+    val r2 = rf.orderBy("id").collect()
+    assert(r2(0).isNullAt(1) && r2(1).getFloat(1) == 1.0f && r2(1).isNullAt(2))
+    // an EMPTY frame flattens without throwing (array cols width 0)
+    val empty = OCIO.flatten(ragged.filter($"id" > 100))
+    assert(empty.columns.toSeq == Seq("id") && empty.count() == 0)
   }
 
   test("multi-format IO: json and csv roundtrip with sidecar") {

@@ -565,5 +565,27 @@ class PlanShapeSpec extends SparkSpec {
     val mMh = analysisMessage(
       call_function("graft_minhash_sig", col("hs"), col("n")), on = hdf)
     assert(mMh.contains("plan-time constant") && mMh.contains("k"), mMh)
+    // the BPE kernels reject per-row table/vocab arguments too — at
+    // EXECUTION via their named lazy-compile requires (an analysis
+    // gate there breaks the analyzer's staged HOF-lambda resolution;
+    // see BpeWordExpr.checkInputDataTypes)
+    val bdf = spark.range(3).select(
+      concat(lit("w"), col("id")).as("w"),
+      array(concat(lit("v"), col("id"))).as("vocab"),
+      split(concat(lit("s"), col("id")), ",").as("syms"))
+    val eBpe = intercept[Exception] {
+      bdf.select(call_function("graft_bpe_word", col("w"),
+        array(struct(col("w").as("_1"), lit("b").as("_2"))))).collect()
+    }
+    assert(eBpe.getMessage.contains("graft_bpe_word") ||
+      (eBpe.getCause != null &&
+        eBpe.getCause.getMessage.contains("graft_bpe_word")), eBpe.getMessage)
+    val eVoc = intercept[Exception] {
+      bdf.select(call_function("graft_syms_to_ids",
+        col("syms"), col("vocab"))).collect()
+    }
+    assert(eVoc.getMessage.contains("graft_syms_to_ids") ||
+      (eVoc.getCause != null &&
+        eVoc.getCause.getMessage.contains("graft_syms_to_ids")), eVoc.getMessage)
   }
 }

@@ -51,6 +51,20 @@ class SimilaritySpec extends SparkSpec {
       e2.getMessage)
   }
 
+  test("graft_cosine refuses a dimension mismatch instead of scoring a prefix") {
+    // a min-length dot loop would return a plausible-but-wrong
+    // similarity on mismatched embeddings, silently corrupting ANN
+    // rankings — the kernel must throw by name like its siblings
+    graft.plans.GraftExtensions.registerAll(spark)
+    val d = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      d.select(call_function("graft_cosine", col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("dim mismatch") ||
+      e.getCause != null && e.getCause.getMessage.contains("dim mismatch"),
+      e.getMessage)
+  }
+
   test("cosine of zero vector is 0, not NaN") {
     val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
     assert(df.select(cosine(col("a"), col("b"))).first().getDouble(0) == 0.0)

@@ -293,6 +293,38 @@ class StreamingSpec extends SparkSpec {
     assert(got(h0)._1 == 1L && got(h1)._1 == 1L)
   }
 
+  test("corpus ingest: whitespace-variant duplicates count the same tokens stream vs batch") {
+    import graft.streaming.StreamingPipelines
+    import StreamingSpecFixtures.Doc
+    val good = "the quick brown fox jumps over the lazy dog again and again today"
+    // the fingerprint equates case/outer-whitespace variants, so WHICH
+    // variant survives the dedup differs stream (first-arrived) vs
+    // batch (min-ts). n_tokens must not care: counting the raw
+    // trailing-space variant ("… today ") yields one extra empty
+    // token under split(' ') and broke the stream==batch contract.
+    val docs = Seq(
+      Doc(21L, ts("2024-01-01 00:40:00"), good + " "), // later-ts variant FIRST
+      Doc(20L, ts("2024-01-01 00:20:00"), good))       // min-ts clean copy second
+    val src = MemoryStream[Doc](spark)
+    val sink = s"corpus_ws_sink_${System.identityHashCode(src)}"
+    val q = StreamingPipelines.corpusIngest(src.toDF())
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      src.addData(docs)
+      q.processAllAvailable()
+      src.addData(Seq(Doc(99L, ts("2024-01-01 04:00:00"), good + " closer")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val h0 = ts("2024-01-01 00:00:00").getTime / 1000
+    val got = spark.table(sink).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = StreamingPipelines.corpusIngest(docs.toDF())
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(h0) == batch(h0), s"stream=$got batch=$batch")
+    assert(got(h0)._1 == 1L) // the variants collapsed to one doc
+  }
+
   test("events loader preserves instants under a non-UTC session timezone and restores it") {
     // the NTZ→Timestamp cast is analyzed under a pinned UTC zone; a
     // non-UTC caller must read the SAME instants (no wall-clock
