@@ -61,8 +61,19 @@ object VectorFunctions {
     val bits = (0 until nPlanes).map { p =>
       when(dot(v, hyperplane(p, dim)) >= 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    dimChecked(v, dim, "signLshBucket", bits.reduce((a, b) => a.bitwiseOR(b)))
   }
+
+  /** Refuse a vector/`dim` mismatch loudly: zip_with null-pads the
+    * shorter side, so a mismatched dot is NULL, `when(null >= 0)`
+    * takes the 0 branch for EVERY plane, and every row silently lands
+    * in bucket 0 — the "scale path" then runs the full quadratic
+    * self-join inside one bucket with no error anywhere.
+    */
+  private def dimChecked(v: Column, dim: Int, fn: String, out: Column): Column =
+    when(size(v) === dim, out).otherwise(raise_error(concat(
+      lit(s"$fn: vector dim "), size(v).cast("string"),
+      lit(s" != configured dim $dim"))).cast("long"))
 
   /** SQL-replayable twin of [[hyperplane]], kept in EXACT INTEGER
     * form: component j of plane p is md5("plane p|j")'s first 8 hex
@@ -103,7 +114,7 @@ object VectorFunctions {
         lit(0L), (acc, t) => acc + t)
       when(qdot >= 0L, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    dimChecked(v, dim, "signLshBucketMd5", bits.reduce((a, b) => a.bitwiseOR(b)))
   }
 
   /** Johnson–Lindenstrauss random projection to `outDim` dimensions

@@ -49,8 +49,14 @@ object CompressedAnn {
     * assign cells, int8-encode the projected vectors. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int,
             outDim: Int = 16, dim: Int = 64, iters: Int = 2): Index = {
-    val proj = corpus.select(col(idCol).as("neighbor_id"),
-      project(col(vecCol), outDim, dim).as("pv"))
+    // disk-snapshot the projection: fit() scans it once per Lloyd
+    // round plus the init collect, and assign() scans it again — an
+    // unpersisted proj recomputes the outDim x dim multiply-adds over
+    // the WHOLE corpus on every one of those passes. DISK_ONLY,
+    // lineage-preserving, ContextCleaner-reaped with the index.
+    val proj = org.apache.spark.sql.graftshim.DiskSnapshot.diskCached(
+      corpus.select(col(idCol).as("neighbor_id"),
+        project(col(vecCol), outDim, dim).as("pv")))
     val tl = TwoLevel.fit(proj, "neighbor_id", "pv", nlist, iters)
     val cells = tl.assign(proj, "pv", "cell")
       .withColumn("scale", VectorFunctions.int8Scale(col("pv")))

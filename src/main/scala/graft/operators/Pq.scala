@@ -175,25 +175,7 @@ object Pq {
         zip_with(col(codeCol), sequence(lit(0), lit(cb.m - 1)),
           (c, sub) => element_at(col("__tab"), sub * ksub + c + lit(1))),
         lit(0.0f), (acc, v) => acc + v))
-    val preK = if (rerank > 0) rerank else k
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("neighbor_id"))
-    val cand = scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= preK)
-    if (rerank <= 0) cand.select(col("query_id"), col("neighbor_id"), col("rank"))
-    else {
-      val raw = rawCorpus.getOrElse(throw new IllegalArgumentException(
-        "rerank needs rawCorpus")).select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("cv"))
-      val exact = cand.select(col("query_id"), col("neighbor_id"), col("qv"))
-        .join(raw, "neighbor_id")
-        .withColumn("cos", call_function("graft_cosine", col("qv"), col("cv")))
-      val w2 = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      exact.withColumn("rank", row_number().over(w2).cast("long"))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
-    }
+    rankAndRerank(scored, idCol, vecCol, k, rerank, rawCorpus)
   }
 
   /** Approximate top-k by ADC over an encoded corpus, with optional
@@ -224,14 +206,29 @@ object Pq {
           sequence(lit(0), lit(cb.m - 1)),
           (c, sub) => element_at(col("__tab"), sub * ksub + c + lit(1))),
         lit(0.0f), (acc, v) => acc + v))
+    rankAndRerank(scored, idCol, vecCol, k, rerank, rawCorpus)
+  }
+
+  /** Shared rank + optional exact-rerank tail of [[topK]] and
+    * [[ivfPqTopK]] — ONE copy, so a guard or ordering fix cannot
+    * silently miss a twin. `scored` carries (query_id, neighbor_id,
+    * qv, adc).
+    */
+  private def rankAndRerank(scored: DataFrame, idCol: String, vecCol: String,
+                            k: Int, rerank: Int,
+                            rawCorpus: Option[DataFrame]): DataFrame = {
+    // an undersized rerank pool would silently return FEWER than k
+    // neighbors per query (the pool caps candidates before the final
+    // rank <= k filter) — same guard CompressedAnn.probe carries
+    require(rerank <= 0 || rerank >= k,
+      s"rerank pool $rerank < k=$k would silently return fewer than k neighbors")
     val preK = if (rerank > 0) rerank else k
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("neighbor_id"))
     val cand = scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= preK)
-    if (rerank <= 0) {
-      cand.select(col("query_id"), col("neighbor_id"), col("rank"))
-    } else {
+    if (rerank <= 0) cand.select(col("query_id"), col("neighbor_id"), col("rank"))
+    else {
       val raw = rawCorpus.getOrElse(throw new IllegalArgumentException(
         "rerank needs rawCorpus")).select(col(idCol).as("neighbor_id"),
         col(vecCol).as("cv"))

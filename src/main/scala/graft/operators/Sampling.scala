@@ -200,7 +200,7 @@ object Sampling {
                          totalBudget: Long, alpha: Double): Map[String, Long] = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
     val totals = df.groupBy(col(stratumCol))
-      .agg(sum(col(tokenCol)).as("__t")).collect()
+      .agg(sum(col(tokenCol).cast("long")).as("__t")).collect()
       .map(r => r.get(0).toString -> r.getLong(1)).toMap
     val weights = totals.map { case (k, t) => k -> math.pow(t.toDouble, alpha) }
     val z = weights.values.sum
@@ -239,7 +239,7 @@ object Sampling {
                     maxLen: Long): DataFrame =
     withCumsum(df, idCol, tokenCol, Nil)._1
       .withColumn("bin",
-        floor((col("__cum") - col(tokenCol)) / lit(maxLen.toDouble)).cast("long"))
+        floor((col("__cum") - col(tokenCol).cast("long")) / lit(maxLen.toDouble)).cast("long"))
       .drop("__key", "__bkt", "__off", "__cum")
 
   /** Materialize packed sequences as training shards: documents land
@@ -279,7 +279,7 @@ object Sampling {
         }
       }
     withCum
-      .filter(col("__cum") - col(tokenCol) < budgetCol)
+      .filter(col("__cum") - col(tokenCol).cast("long") < budgetCol)
       .drop("__key", "__bkt", "__off", "__cum")
   }
 
@@ -293,6 +293,11 @@ object Sampling {
                          strata: Seq[String]): (DataFrame, Seq[Seq[Any]]) = {
     val spark = df.sparkSession
     val stratCols = strata.map(col)
+    // token counts are COUNTS: the long cast keeps phase 1's driver
+    // read (getLong) and phase 2's running sum on one integral type
+    // whatever width the caller's column carries (a double tokenCol
+    // previously ClassCastException'd mid-job)
+    val tok = col(tokenCol).cast("long")
     val base = df
       .withColumn("__key", md5(col(idCol).cast("string").cast("binary")))
       .withColumn("__bkt",
@@ -300,7 +305,7 @@ object Sampling {
     val groupCols = stratCols :+ col("__bkt")
     // phase 1: per-(stratum, bucket) token totals — ≤ 256·|strata| rows
     val totals = base.groupBy(groupCols: _*)
-      .agg(sum(col(tokenCol)).as("__t")).collect()
+      .agg(sum(tok).as("__t")).collect()
     // driver prefix within each stratum across ascending buckets
     val byStratum = totals.groupBy(r => (0 until strata.size).map(r.get))
     val offsetRows = byStratum.toSeq.flatMap { case (_, rows) =>
@@ -325,11 +330,18 @@ object Sampling {
     val offsets = spark.createDataFrame(jlist, offSchema)
     // phase 2: per-bucket local cumsum + broadcast offset join — ONE
     // hash exchange on (strata, bucket), fully parallel
+    // ROWS frame, not the default RANGE: rows tying on the full
+    // (__key, id) order key are RANGE-peers and would each receive
+    // the sum INCLUDING the twin — under a token budget BOTH
+    // duplicates then compute a start past the cap and drop, silently
+    // under-filling the sample. ROWS gives true sequential prefixes
+    // whatever the duplicate structure.
     val w = Window.partitionBy(groupCols: _*)
       .orderBy(col("__key").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withCum = base
       .join(broadcast(offsets), (strata :+ "__bkt").toSeq)
-      .withColumn("__cum", sum(col(tokenCol)).over(w) + col("__off"))
+      .withColumn("__cum", sum(tok).over(w) + col("__off"))
     val groups =
       if (strata.isEmpty) Seq(Nil)
       else byStratum.keys.map(_.toSeq: Seq[Any]).toSeq
@@ -429,7 +441,12 @@ object Sampling {
       val trainGrams = train.select(col(trainId), explode(grams(col(trainText))).as("g"))
       val flagged = trainGrams
         .filter(call_function("graft_might_contain", lit(sketch), col("g")))
-        .join(broadcast(benchGrams), Seq("g"), "left_semi") // exact fp kill
+        // exact fp kill — NO broadcast hint: the whole point of the
+        // bloom path is benchmark gram sets too big to broadcast (the
+        // prefilter already shrank the STREAM side to the candidate
+        // sliver, so the shuffle join is small; AQE still broadcasts
+        // automatically when benchGrams is actually tiny)
+        .join(benchGrams, Seq("g"), "left_semi")
         .groupBy(col(trainId))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= minShared)

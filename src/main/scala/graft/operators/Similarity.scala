@@ -277,7 +277,12 @@ object Similarity {
     * partition pruning at the storage layer) + centroids sidecar.
     */
   def writeIvfIndex(index: IvfIndex, path: String): Unit = {
-    index.cells.write.mode("overwrite").partitionBy("cell")
+    // repartition on cell BEFORE partitionBy: without it every input
+    // task opens a file in every cell directory — nlist x tasks tiny
+    // files (CompressedAnn.write measured 189 s of that at 2M/488
+    // cells); with it each cell's rows land in one task = one file
+    index.cells.repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell")
       .parquet(s"$path/cells.parquet")
     val json = index.centroids.map(_.mkString("[", ",", "]"))
       .mkString("[", ",", "]")
@@ -350,8 +355,15 @@ object Similarity {
     val b = df.select(col(idCol).as("doc"), col(vecCol).as("v"),
       signLshBucket(col(vecCol), planes, dim).as("bucket"))
     val a = b.as("a"); val c = b.as("b")
+    // codegen'd kernel cosine (identical values to the HOF form —
+    // both sum left to right; SimilaritySpec pins them equal): the
+    // bucket expansion is the HOT pair loop, and the interpreted HOF
+    // would make the scale path slower per pair than the exact
+    // baseline it exists to beat
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
     a.join(c, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
-      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .withColumn("cos", org.apache.spark.sql.functions.call_function(
+        "graft_cosine", col("a.v"), col("b.v")))
       .filter(col("cos") >= threshold)
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         round(col("cos"), 6).as("cosine"))
@@ -528,8 +540,15 @@ object Similarity {
     val b = df.select(col(idCol).as("doc"), col(vecCol).as("v"),
       signLshBucketMd5(col(vecCol), nPlanes, dim).as("bucket"))
     val a = b.as("a"); val c = b.as("b")
+    // codegen'd kernel cosine (identical values to the HOF form —
+    // both sum left to right; SimilaritySpec pins them equal): the
+    // bucket expansion is the HOT pair loop, and the interpreted HOF
+    // would make the scale path slower per pair than the exact
+    // baseline it exists to beat
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
     a.join(c, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
-      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .withColumn("cos", org.apache.spark.sql.functions.call_function(
+        "graft_cosine", col("a.v"), col("b.v")))
       .filter(col("cos") >= threshold)
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         round(col("cos"), 6).as("cosine"))

@@ -892,8 +892,12 @@ class CorpusSpec extends SparkSpec {
       .select(col("doc_id"),
         org.apache.spark.sql.functions.transform(col("vec"),
           w => w.cast("float")).as("vec"))
+    // dim must MATCH the tf-idf width: the old default-64 call worked
+    // only because a dim mismatch silently degenerated every row into
+    // one LSH bucket (results right, the whole corpus pair-expanded) —
+    // the bucket kernel now refuses that loudly
     val pairs = graft.operators.Similarity
-      .cosineNearDupPairs(vecs, "doc_id", "vec", threshold = 0.5)
+      .cosineNearDupPairs(vecs, "doc_id", "vec", threshold = 0.5, dim = 256)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)) && pairs.contains((3L, 4L)))
     assert(!pairs.exists { case (x, y) => Set(x, y) == Set(1L, 3L) ||
