@@ -182,8 +182,12 @@ object CorpusStats {
     * replays it exactly.
     */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
-               terms: Seq[String], k: Int,
+               terms0: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // dedupe the query — BM25 is defined over a term SET; a repeated
+    // term would double its contribution (flaggedCounts dedupes for
+    // the same reason)
+    val terms = terms0.distinct
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
     val docs = df.select(col(idCol),
       TextFunctions.tokenCount(col(textCol)).as("__len"), col(textCol))
@@ -191,6 +195,11 @@ object CorpusStats {
     // accumulate in partition order and drift from the oracle by ulps
     val statsRow = docs.agg(count(lit(1)), sum(col("__len"))).head()
     val nDocs = statsRow.getLong(0)
+    // an EMPTY corpus has a null sum: top-k of nothing is nothing (no
+    // NPE mid-plan-build, same guard stupidBackoffScoreAgainst
+    // carries); the empty frame keeps the caller's id type
+    if (nDocs == 0L)
+      return docs.select(col(idCol), lit(0.0).as("bm25")).limit(0)
     val avgdl = statsRow.getLong(1).toDouble / nDocs.toDouble
     val tf = docs
       .select(col(idCol), col("__len"),
@@ -827,7 +836,16 @@ object CorpusStats {
       else if (m == 64) 0.709 else if (m == 32) 0.697 else 0.673
     val agg = regs.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__used"),
-        sum(pow(lit(2.0), -col("M"))).as("__zUsed"))
+        sum(pow(lit(2.0), -col("M"))).as("__zUsed"),
+        max(col("bucket")).as("__maxb"))
+      // registers built at a DIFFERENT b would silently estimate with
+      // the wrong m (an 8-bit register table under the default b=12
+      // reads as 94% empty and misses by an order of magnitude) —
+      // the bucket ids themselves betray the mismatch, so refuse
+      .withColumn("__used", when(col("__maxb") < lit(m.toLong), col("__used"))
+        .otherwise(raise_error(concat(lit(s"hllEstimate(b=$b): register "),
+          lit("bucket "), col("__maxb").cast("string"),
+          lit(s" >= 2^$b — registers were built at a larger b"))).cast("long")))
       .withColumn("__V", lit(m.toLong) - col("__used"))
       .withColumn("__raw",
         lit(alpha * m * m) / (col("__V").cast("double") + col("__zUsed")))

@@ -90,6 +90,12 @@ object Dedup {
                         minEstimate: Double = 0.0): DataFrame = {
     val nBands = if (bands > 0) bands
       else lshParams(k, if (minEstimate > 0) minEstimate else 0.7)._1
+    // an explicit bands must divide k (the md5 twin's contract): a
+    // truncating k/nBands silently leaves signature components
+    // unbanded, and bands > k gives rowsPerBand 0 — EMPTY band slices,
+    // identical bucket keys everywhere, and an O(n²) bucket join
+    require(nBands >= 1 && nBands <= k && k % nBands == 0,
+      s"bands ($nBands) must divide k ($k)")
     val rowsPerBand = k / nBands
     graft.plans.GraftExtensions.registerAll(df.sparkSession)
     // Stage the signature through explicit projections (hash each
@@ -118,9 +124,13 @@ object Dedup {
       .withColumn("n_match", aggregate(
         zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v))
+      // threshold on the UNROUNDED estimate (the family convention —
+      // jaccardPairs, containment, and the md5 twin all do; filtering
+      // the rounded value drops borderline pairs for non-power-of-two
+      // k); rounding is display-only on the kept rows
+      .filter(col("n_match").cast("double") / lit(k.toDouble) >= minEstimate)
       .withColumn("est_jaccard", round(col("n_match").cast("double") / lit(k.toDouble), 6))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
-      .filter(col("est_jaccard") >= minEstimate)
     // Materialize the (small — dup pairs only) candidate list eagerly:
     // downstream consumers (cluster resolution's iterative loop) read
     // it repeatedly, so the banded self-join must price once. The
@@ -416,6 +426,13 @@ object Dedup {
       prev = c
       i += 1
     }
+    // a loop exhausted WITHOUT reaching the star fixpoint would label
+    // from partially-contracted edges — keeping some duplicates and
+    // dropping wrong documents with no signal anywhere. Alternating
+    // star rounds converge in O(log n) (Kiveris et al.), so 50 rounds
+    // covers any real graph; refuse loudly rather than mislabel.
+    require(done,
+      s"connected components did not converge within $maxIters rounds")
     // fixpoint edges are (node, componentMin); add the roots themselves
     val labels = edges
       .union(edges.select(col("b").as("a"), col("b")))
@@ -635,6 +652,8 @@ object Dedup {
     // that wrote the snapshot — only k must match (guarded below).
     val nBands = if (bands > 0) bands
       else lshParams(k, if (minEstimate > 0) minEstimate else 0.7)._1
+    require(nBands >= 1 && nBands <= k && k % nBands == 0,
+      s"bands ($nBands) must divide k ($k)") // see minhashCandidates
     val rowsPerBand = k / nBands
     // a snapshot written at a different k would zip against nulls and
     // silently score every candidate 0 — dedup quietly OFF. Refuse.

@@ -49,9 +49,14 @@ object Octree {
       region.classify(cmin, cmax) match {
         case Disjoint => ()
         case Contained =>
-          // one range spans the whole subtree (prefix nesting)
+          // one range spans the whole subtree (prefix nesting).
+          // SATURATE the exclusive upper bound: at level 21 the top
+          // cell's (key+1) << shift crosses 2^63 and goes NEGATIVE,
+          // silently filtering out the whole contained subtree
           val shift = 3 * (level - depth)
-          contained += ((key << shift, (key + 1L) << shift))
+          val hi0 = (key + 1L) << shift
+          contained += ((key << shift,
+            if (hi0 <= (key << shift)) Long.MaxValue else hi0))
         case Intersects =>
           if (depth == level) boundary += ((key, key + 1L))
           else {
@@ -159,7 +164,12 @@ object Octree {
     }
     if (plan0.contained.isEmpty && plan0.boundary.isEmpty) return None
     val shift = storedKey.fold(0) { case (_, kl) => 3 * (kl - classifyLevel) }
-    def up(rs: Seq[(Long, Long)]) = rs.map { case (lo, hi) => (lo << shift, hi << shift) }
+    // same saturation as classifyCells: a stored level-21 index's top
+    // range would overflow to a negative hi and silently drop rows
+    def up(rs: Seq[(Long, Long)]) = rs.map { case (lo, hi) =>
+      val hi2 = hi << shift
+      (lo << shift, if (shift > 0 && hi2 <= (lo << shift)) Long.MaxValue else hi2)
+    }
     val plan = if (shift == 0) plan0
       else CellPlan(up(plan0.contained), up(plan0.boundary))
     val key = storedKey.map(_._1)
