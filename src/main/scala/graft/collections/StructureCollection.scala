@@ -39,8 +39,11 @@ final case class StructureCollection(
     */
   def filterByChild(child: String, pred: Column): StructureCollection = {
     val matching = children(child).filter(pred).select(col(linkKey))
-    copy(properties = properties.copy(
-      df = properties.df.join(matching, Seq(linkKey), "left_semi")))
+    // narrowed(), not a raw copy: the semi-join shrinks the parent
+    // population, so the IndexUpdate plugin fold must see it like
+    // every other narrowing op
+    copy(properties = properties.narrowed("filterByChild",
+      properties.df.join(matching, Seq(linkKey), "left_semi")))
   }
 
   /** A child restricted to the current parents (reference: linked
@@ -55,9 +58,13 @@ final case class StructureCollection(
     * link key, one join (broadcast if the parent set is small).
     */
   def aggregateChild(name: String, aggs: Column*): DataFrame =
+    // LEFT join: childless parents stay in the result (null aggs) —
+    // the same population rule evaluate/evaluateInsert follow; an
+    // inner join silently dropped them, so the three per-structure
+    // surfaces returned different populations
     properties.df.join(
       children(name).groupBy(col(linkKey)).agg(aggs.head, aggs.tail: _*),
-      Seq(linkKey))
+      Seq(linkKey), "left")
 
   /** Per-structure evaluate (reference StructureCollection.evaluate,
     * structure.py:521-858): `f` sees one parent row + that structure's

@@ -91,6 +91,14 @@ final case class OCDataset(
       copy(df = resolved.map(_.toColumn).foldLeft(df)((d, c) => d.filter(c))))
   }
 
+  /** Fire the IndexUpdate fold for a narrowing applied OUTSIDE this
+    * class (collection-level semi-joins): every operation that
+    * narrows the row population must cross the one plugin surface,
+    * or a registered index-maintenance plugin silently misses it.
+    */
+  private[graft] def narrowed(op: String, newDf: DataFrame): OCDataset =
+    indexUpdated(op, copy(df = newDf))
+
   /** Fire the IndexUpdate fold point (reference IndexUpdateCtx,
     * plugins/contexts.py:80-92 — fired whenever filter/take/bound
     * produce a new row index; here, a new narrowed plan). Plugins see

@@ -185,13 +185,27 @@ object Bpe {
       }
       if (nv > 0L) heap.add((nv, a, b))
     }
+    // init populates the count/word maps DIRECTLY (no heap traffic):
+    // pushing one lazy-deletion entry per adjacency OCCURRENCE would
+    // flood the heap with running partials — at the 1M-word cap that
+    // is millions of dead tuples paying log-factor pops before the
+    // first merge — when one live entry per DISTINCT pair suffices
     var wi = 0
     while (wi < words.length) {
       val w = words(wi)
       var i = 0
-      while (i + 1 < w.length) { bump(w(i), w(i + 1), cnts(wi), wi); i += 1 }
+      while (i + 1 < w.length) {
+        val k = (w(i), w(i + 1))
+        val nv = pairCount.getOrDefault(k, 0L) + cnts(wi)
+        pairCount.put(k, nv)
+        var set = pairWords.get(k)
+        if (set == null) { set = new java.util.BitSet(); pairWords.put(k, set) }
+        set.set(wi)
+        i += 1
+      }
       wi += 1
     }
+    pairCount.forEach((k, n) => if (n > 0L) heap.add((n, k._1, k._2)))
 
     val merges = Seq.newBuilder[Merge]
     var round = 0

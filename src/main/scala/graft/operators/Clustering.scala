@@ -40,7 +40,11 @@ object Clustering {
     val idx = Similarity.buildIvfIndex(df, idCol, vecCol, nlist = k, iters = iters)
     val withD = idx.cells.withColumn("__d2",
       element_at(idx.dists(col("cv")), col("cell") + 1))
-    val wcss = withD.agg(sum(col("__d2"))).head().getDouble(0)
+    val wcssRow = withD.agg(sum(col("__d2"))).head()
+    // sum() over zero rows is SQL NULL — name the real problem
+    // instead of an opaque NPE from getDouble
+    require(!wcssRow.isNullAt(0), "kmeans: empty input frame")
+    val wcss = wcssRow.getDouble(0)
     val assignments = withD.select(
       col("neighbor_id").as(idCol),
       col("cell").as("cluster"),
@@ -127,7 +131,11 @@ object Clustering {
       transform(col(vecCol), x => round(x.cast("double") * scale)).as("__qqv"))
     val probes = qq.withColumn("__d", quantizedDists(cents)(col("__qqv")))
       .withColumn("probe", explode(slice(array_sort(
-        zip_with(col("__d"), sequence(lit(0), lit(nlist - 1)),
+        // the index sequence must match the ACTUAL centroid count —
+        // a corpus smaller than nlist yields fewer centroids, and
+        // zipping against nlist pads null distances whose structs
+        // sort FIRST, displacing every real probe (0 results, no error)
+        zip_with(col("__d"), sequence(lit(0), lit(cents.length - 1)),
           (d, i) => struct(d.as("d"), i.as("cell")))), 1, nprobe)))
       .select(col("query_id"), col("qv"), col("probe.cell").as("cell"))
     val scored = cells.join(broadcast(probes), "cell")
@@ -296,7 +304,8 @@ object Clustering {
     // super probe: nprobeSuper nearest super centroids (ties → lowest)
     val sp = qq.withColumn("__d", quantizedDists(superCents)(col("qqv")))
       .withColumn("probe", explode(slice(array_sort(
-        zip_with(col("__d"), sequence(lit(0), lit(kSuper - 1)),
+        // actual super-centroid count, not kSuper (see ivfTopKMd5)
+        zip_with(col("__d"), sequence(lit(0), lit(superCents.length - 1)),
           (d, i) => struct(d.as("d"), i.as("super")))), 1, nprobeSuper)))
       .select(col("query_id"), col("qvec"), col("qqv"),
         col("probe.super").as("super"))
@@ -323,10 +332,12 @@ object Clustering {
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val wApprox = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("__ac").desc, col("neighbor_id"))
-    val cands = cells.join(broadcast(cp), Seq("super", "child"))
+    // norms price ONCE per query / per corpus row — computing them in
+    // the candidate-pair loop re-ran the interpreted fold per PAIR
+    val cpN = cp.withColumn("__qn", dot(col("qqv"), col("qqv")))
+    val cellsN = cells.withColumn("__nn", dot(col("nqv"), col("nqv")))
+    val cands = cellsN.join(broadcast(cpN), Seq("super", "child"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("__qn", dot(col("qqv"), col("qqv")))
-      .withColumn("__nn", dot(col("nqv"), col("nqv")))
       .withColumn("__ac",
         when(col("__qn") === 0.0 || col("__nn") === 0.0, lit(-2.0))
           .otherwise(dot(col("qqv"), col("nqv"))

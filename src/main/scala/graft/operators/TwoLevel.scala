@@ -84,20 +84,30 @@ object TwoLevel {
     def assign(df: DataFrame, vecCol: String,
                cellCol: String = "cell"): DataFrame = {
       graft.plans.GraftExtensions.registerAll(df.sparkSession)
-      val mats = childMats
+      // internal columns ride a reserved __tl_ prefix END TO END: a
+      // caller frame already carrying a "super" or "mat" column would
+      // otherwise make the join condition ambiguous (or the final
+      // drop would silently delete the caller's column)
+      val mats = childMats.select(
+        col("super").as("__tl_s2"), col("mat").as("__tl_mat"))
       val withSuper = df.withColumn("__tl_super",
         call_function("graft_nearest_cell", col(vecCol), superLit))
       val joined =
         if (matBytes <= broadcastBytes(df.sparkSession))
-          withSuper.join(broadcast(mats), col("__tl_super") === col("super"), "left")
-        else withSuper.join(mats, col("__tl_super") === col("super"), "left")
+          withSuper.join(broadcast(mats), col("__tl_super") === col("__tl_s2"), "left")
+        else withSuper.join(mats, col("__tl_super") === col("__tl_s2"), "left")
       joined.withColumn(cellCol,
           col("__tl_super") * kChild + coalesce(
-            call_function("graft_nearest_cell", col(vecCol), col("mat")), lit(0)))
-        .drop("__tl_super", "super", "mat")
+            call_function("graft_nearest_cell", col(vecCol), col("__tl_mat")), lit(0)))
+        .drop("__tl_super", "__tl_s2", "__tl_mat")
     }
 
-    def unpersist(): Unit = { children.unpersist(); () }
+    def unpersist(): Unit = {
+      // children is a DiskSnapshot chain (LogicalRDD, invisible to the
+      // CacheManager BY DESIGN) — Dataset.unpersist would be a silent
+      // no-op; release every persisted RDD in the chain explicitly
+      org.apache.spark.sql.graftshim.DiskSnapshot.release(children)
+    }
 
     /** squared-L2 distance of a vector column to every SUPER centroid
       * (the literal-sized level) — the probe's first ranking stage.

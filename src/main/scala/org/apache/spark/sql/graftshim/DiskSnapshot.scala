@@ -143,4 +143,27 @@ object DiskSnapshot {
                          schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
+  /** Explicitly release EVERY persisted RDD reachable from `df`'s
+    * plan leaves (walking RDD lineage, so an iterative chain of
+    * snapshots — each round referencing the previous through its
+    * dependencies — frees ALL rounds' blocks, not just the leaf's).
+    *
+    * The eager complement of the ContextCleaner contract: snapshots
+    * are DELIBERATELY invisible to the CacheManager, so
+    * `Dataset.unpersist()` on a snapshot-backed frame is a silent
+    * no-op — a caller looping fits in one session calls this to drop
+    * blocks NOW instead of waiting for a GC + cleaner cycle.
+    */
+  def release(df: DataFrame): Unit = {
+    val seen = scala.collection.mutable.Set.empty[Int]
+    def walk(r: RDD[_]): Unit = if (seen.add(r.id)) {
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        r.unpersist(blocking = false)
+      r.dependencies.foreach(d => walk(d.rdd))
+    }
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(walk)
+  }
 }

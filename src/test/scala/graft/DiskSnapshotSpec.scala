@@ -121,6 +121,26 @@ class DiskSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("release() drops EVERY persisted RDD in an iterative snapshot chain now") {
+    // the explicit complement of the ContextCleaner contract: an
+    // iterative loop leaves each round's snapshot reachable only
+    // through the NEXT round's lineage — release must walk the RDD
+    // dependencies and unpersist all of them, not just the leaf
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    var f = DiskSnapshot.diskCachedEager(
+      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    (0 until 3).foreach { i =>
+      f = DiskSnapshot.diskCachedEager(
+        f.withColumn("v", org.apache.spark.sql.functions.col("v") + i))
+    }
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size == 4, s"expected 4 chained snapshots, got $added")
+    DiskSnapshot.release(f)
+    val left = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(left.isEmpty, s"release left persisted RDDs behind: $left")
+  }
+
   test("released snapshot blocks are ContextCleaner-reaped (weak-ref probe)") {
     // The no-unpersist-bookkeeping contract: the persisted RDD is only
     // strongly reachable through the returned frame's LogicalRDD leaf;
