@@ -89,29 +89,41 @@ object Bench {
   private[graft] val HistLen = 5
 
   /** Floor-file merge after a full pass. `results` rows are
-    * (name, t, status, suspect). FAILED rows (status 2) keep their
-    * previous entry untouched; SUSPECT rows min-merge the trajectory
-    * "t" but never enter the history — appending churn-distrusted
-    * medians would ratchet the median floor up to the inflated level
-    * across a few churny rounds and silently disable the guard. A
-    * genuine accepted regression re-enters the history the first time
-    * it ships unflagged (no longer >2.5× its floor, or a clean
-    * re-record).
+    * (name, t, status, suspect, histOk). FAILED rows (status 2) keep
+    * their previous entry untouched; SUSPECT rows min-merge the
+    * trajectory "t" but never enter the history — appending churn-
+    * distrusted medians would ratchet the median floor up to the
+    * inflated level across a few churny rounds and silently disable
+    * the guard. A genuine accepted regression re-enters the history
+    * the first time it ships unflagged (no longer >2.5× its floor, or
+    * a clean re-record). `histOk=false` marks a sample whose NEAREST
+    * churn canary read below [[ChurnTrustMin]] — the box was
+    * abnormally fast relative to the canary's own floor, so raw times
+    * from that stretch are unrepresentatively low; appending them
+    * drags the median floor down and manufactures suspect flags on
+    * the next quiet-box round (round 16 shipped a 0.62-canary sweep
+    * end and 24 floor-excess flags). Such samples still min-merge "t"
+    * (a best-ever is a best-ever) but stay out of the history, like
+    * suspects do from the other direction.
     */
   private[graft] def mergeFloors(prevRef: Map[String, (Double, Seq[Double])],
-      results: Seq[(String, Double, Int, Boolean)]): Map[String, (Double, Seq[Double])] = {
+      results: Seq[(String, Double, Int, Boolean, Boolean)]): Map[String, (Double, Seq[Double])] = {
     val merged = prevRef ++ results.collect {
-      case (k, v, st, susp) if st != 2 && !susp =>
+      case (k, v, st, susp, histOk) if st != 2 && !susp && histOk =>
         val (pt, ph) = prevRef.getOrElse(k, (Double.MaxValue, Seq.empty[Double]))
         k -> (math.min(v, pt), (ph :+ v).takeRight(HistLen))
     }
     merged ++ results.collect {
-      case (k, v, st, susp) if st != 2 && susp =>
+      case (k, v, st, susp, histOk) if st != 2 && (susp || !histOk) =>
         val (pt, ph) = merged.getOrElse(k,
           prevRef.getOrElse(k, (Double.MaxValue, Seq.empty[Double])))
         k -> (math.min(v, pt), ph)
     }
   }
+
+  /** Canary ratio below which a sweep stretch's raw times are
+    * churn-distrusted for HISTORY purposes (see [[mergeFloors]]). */
+  private[graft] val ChurnTrustMin = 0.8
 
   /** Run-level churn field: the WORST (max) of the sweep-start and
     * sweep-end canary ratios, plus both samples — empty when neither
@@ -372,9 +384,17 @@ object Bench {
       // detection for that query — the next round's spike would reach
       // the artifact unguarded, the exact hole this file closes); a
       // SUSPECT one min-merges "t" but stays out of the history (see
-      // mergeFloors)
+      // mergeFloors). Each sample's history eligibility is judged by
+      // its NEAREST canary (start canary for the sweep's first half,
+      // end canary for the second): a canary below ChurnTrustMin means
+      // that stretch ran on an unrepresentatively fast box, and its
+      // raw times must not erode the median floors.
+      val nRes = results.length
       val merged = mergeFloors(prevRef,
-        results.map { case (k, v, _, st, susp, _, _) => (k, v, st, susp) })
+        results.zipWithIndex.map { case ((k, v, _, st, susp, _, _), i) =>
+          val nearest = if (i * 2 < nRes) churnStart else churnEnd
+          (k, v, st, susp, nearest.forall(_ >= ChurnTrustMin))
+        })
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(prevPath),
         (renderPrev(merged) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

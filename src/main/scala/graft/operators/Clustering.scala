@@ -182,14 +182,26 @@ object Clustering {
     val withSuper = DiskSnapshot.diskCachedEager(q
       .withColumn("__super", cellOfQuantized(superCents)(col("__qv"))))
     val children = childLloydMd5(withSuper, kChild, iters)
-    val assigned = assignChildren(withSuper, children)
-    val asg = assigned.select(col("__id"), col("__vec"),
-      (col("__super") * kChild + col("__child")).as("cluster"))
+    // the assignment is consumed THREE times by the dominance filter
+    // (both sides of the cluster self-join plus the survivor
+    // anti-join), and each consumption re-runs the broadcast join and
+    // the interpreted kChild-argmin fold over the whole corpus —
+    // snapshot it once so the argmin is paid once. (Round 16's
+    // release-correctness fixes removed leaked blocks that used to
+    // hide exactly this recompute, which is why the gate slowed.)
+    val asg = DiskSnapshot.diskCachedEager(
+      assignChildren(withSuper, children).select(col("__id"), col("__vec"),
+        (col("__super") * kChild + col("__child")).as("cluster")))
     val out = DiskSnapshot.diskCachedEager(
       Similarity.dominanceSurvivors(asg, threshold)
         .select(col("__id").as(idCol), col("cluster")))
-    // withSuper/children are DiskSnapshots — ContextCleaner reaps
-    // their blocks once this frame drops them; only q was persist()'d
+    // `out` is materialized and the gate chain (asg → withSuper → q's
+    // cache) is corpus-sized: free it NOW rather than waiting for a
+    // GC + ContextCleaner cycle. `out` keeps lineage, so an executor
+    // loss recomputes through the released chain; `children`'s blocks
+    // are k-sized and arrived via broadcast (outside asg's RDD
+    // lineage) — the cleaner reaps them when the frame drops.
+    DiskSnapshot.release(asg)
     q.unpersist()
     out
   }

@@ -1135,34 +1135,74 @@ object CorpusStats {
   def trainNaiveBayes(df: DataFrame, textCol: String, labelCol: String,
                       alpha: Double = 1.0): (DataFrame, DataFrame) = {
     require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    val spark = df.sparkSession
     val toks = df.select(col(labelCol).as("label"),
       explode(TextFunctions.tokens(col(textCol))).as("token"))
-    val tc = toks.groupBy(col("label"), col("token"))
-      .agg(count(lit(1)).as("__c")).persist()
-    val vocab = tc.select(col("token")).distinct().count().toDouble
-    val lt = tc.groupBy(col("label")).agg(sum(col("__c")).as("__tot"))
+    // ONE corpus-tokenizing pass, snapshotted (disk-only, lineage-
+    // preserving, released below once the model materializes) — every
+    // statistic reads these blocks
+    val tc = DiskSnapshot.diskCachedEager(
+      toks.groupBy(col("label"), col("token")).agg(count(lit(1)).as("__c")))
+    // vocabulary size AND per-label token totals in ONE rollup pass
+    // over the cached counts (the total row carries the global
+    // distinct-token count; previously a separate distinct().count()
+    // shuffle plus a twice-consumed lt aggregate). Label cardinality
+    // is tiny (it broadcasts downstream), so collecting it is a
+    // labels+1-row pull, not data on the driver.
+    val roll = tc.rollup(col("label"))
+      .agg(sum(col("__c")).as("__tot"),
+        count_distinct(col("token")).as("__v"),
+        grouping(col("label")).as("__g"))
+      .collect()
+    val vocab = roll.find(_.getAs[Number]("__g").intValue == 1)
+      .get.getAs[Long]("__v").toDouble
+    val totByLabel: Map[Any, Long] = roll
+      .filter(r => r.getAs[Number]("__g").intValue == 0 && !r.isNullAt(0))
+      .map(r => r.get(0) -> r.getAs[Long]("__tot")).toMap
+    val labelType = df.schema(labelCol).dataType
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val lt = spark.createDataFrame(
+      totByLabel.toSeq.map { case (l, t) =>
+        org.apache.spark.sql.Row(l, t) }.asJava,
+      StructType(Seq(StructField("label", labelType),
+        StructField("__tot", LongType))))
     val model = tc.join(broadcast(lt), Seq("label"))
       .select(col("token"), col("label"),
         round(log((col("__c") + lit(alpha)) /
           (col("__tot") + lit(alpha * vocab))) * lit(1e9)).cast("long")
           .as("lp9"))
-    val nDocs = df.count().toDouble
-    val priors = df.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("__nd"))
-      .join(broadcast(lt), Seq("label"))
-      .select(col("label"),
-        round(log(col("__nd") / lit(nDocs)) * lit(1e9)).cast("long")
-          .as("prior9"),
-        round(log(lit(alpha) / (col("__tot") + lit(alpha * vocab))) * lit(1e9))
-          .cast("long").as("unseen9"))
-    // snapshot the model tables (they ARE the product — vocab×labels
-    // sized) so the training cache doesn't outlive the call; eager
-    // DiskSnapshots (not localCheckpoint) so the blocks keep lineage
-    // and are reaped when the caller releases the model
+    // per-label doc counts in one label-only (column-pruned) scan;
+    // nDocs is their sum — ALL docs, including any whose label never
+    // tokenized (matches the previous df.count()); labels with no
+    // tokens drop from the priors like the previous inner join did
+    val ndRows = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("__nd")).collect()
+    val nDocs = ndRows.map(_.getAs[Long]("__nd")).sum.toDouble
+    val pin = spark.createDataFrame(
+      ndRows.toSeq.filter(r => totByLabel.contains(r.get(0)))
+        .map(r => org.apache.spark.sql.Row(
+          r.get(0), r.getAs[Long]("__nd"), totByLabel(r.get(0)))).asJava,
+      StructType(Seq(StructField("label", labelType),
+        StructField("__nd", LongType), StructField("__tot", LongType))))
+    // priors depend only on the collected label stats (a LocalRelation
+    // plan — nothing corpus-sized to snapshot), but the ARITHMETIC
+    // stays in Spark expressions so the rounding convention cannot
+    // drift from the model's (Spark round = HALF_UP via BigDecimal;
+    // driver-side math.round floors negatives differently)
+    val priors = pin.select(col("label"),
+      round(log(col("__nd") / lit(nDocs)) * lit(1e9)).cast("long")
+        .as("prior9"),
+      round(log(lit(alpha) / (col("__tot") + lit(alpha * vocab))) * lit(1e9))
+        .cast("long").as("unseen9"))
+    // snapshot the model (it IS the product — vocab×labels sized) so
+    // the training blocks don't outlive the call; eager DiskSnapshot
+    // (not localCheckpoint) so it keeps lineage and is reaped when the
+    // caller releases it. The token-count blocks free NOW — the model
+    // is materialized and recomputes through lineage on executor loss.
     val modelOut = DiskSnapshot.diskCachedEager(model)
-    val priorsOut = DiskSnapshot.diskCachedEager(priors)
-    tc.unpersist()
-    (modelOut, priorsOut)
+    DiskSnapshot.release(tc)
+    (modelOut, priors)
   }
 
   /** Score + classify every document against a trained model: for

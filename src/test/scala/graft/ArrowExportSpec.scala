@@ -440,6 +440,32 @@ class ArrowExportSpec extends SparkSpec {
     }
   }
 
+  test("unsupported-shape rejections are a CONTRACT: exact error text, column named") {
+    // the remaining deliberately-unsupported shapes (no reference
+    // adapter needs them) must reject at schema-check time with the
+    // exact actionable message — pinning the text makes the boundary
+    // a contract, not an accident of the current pattern match
+    Seq(
+      // structs-of-arrays: nested non-scalar struct field
+      "SELECT named_struct('ids', array(1, 2)) AS soa FROM range(1)",
+      // non-string map keys
+      "SELECT map(1, 'a') AS intkey FROM range(1)",
+      // decimals are outside the scalar set
+      "SELECT CAST(1.5 AS DECIMAL(10,2)) AS dec_col FROM range(1)"
+    ).foreach { sql =>
+      val df = spark.sql(sql)
+      val colName = df.schema.head.name
+      val e = intercept[IllegalArgumentException] {
+        ArrowExport.writeArrowIpc(df, tmpDir("contract"))
+      }
+      val msg = e.getMessage
+      assert(msg.startsWith("ArrowExport: unsupported type "), msg)
+      assert(msg.contains(s"for column '$colName'"), msg)
+      assert(msg.endsWith(
+        "cast it (or digest to a supported scalar) before export"), msg)
+    }
+  }
+
   test("concurrent-writer rename race: loser defers, reader sees one committed shard") {
     import org.apache.hadoop.fs.{FilterFileSystem, Path}
     // a committed winner: a normal 1-shard export

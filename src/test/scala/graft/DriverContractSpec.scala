@@ -79,22 +79,44 @@ class DriverContractSpec extends AnyFunSuite {
       "fail" -> (0.30, Seq(0.4)),
       "susp" -> (1.00, Seq(1.2, 1.3)))
     val merged = Bench.mergeFloors(prev, Seq(
-      ("ok", 0.8, 0, false),     // clean: appends + min-merges
-      ("fail", 99.0, 2, false),  // failed: untouched
-      ("susp", 9.9, 0, true),    // suspect: min untouched (9.9 > 1.0), history frozen
-      ("new", 0.7, 0, false)))   // first-ever clean entry
+      ("ok", 0.8, 0, false, true),     // clean: appends + min-merges
+      ("fail", 99.0, 2, false, true),  // failed: untouched
+      ("susp", 9.9, 0, true, true),    // suspect: min untouched (9.9 > 1.0), history frozen
+      ("new", 0.7, 0, false, true)))   // first-ever clean entry
     assert(merged("ok") == (0.5, Seq(0.9, 1.0, 0.8)))
     assert(merged("fail") == (0.3, Seq(0.4)))
     // the churn-distrusted median must NOT ratchet the median floor
     assert(merged("susp") == (1.0, Seq(1.2, 1.3)))
     assert(merged("new") == (0.7, Seq(0.7)))
     // a suspect that beats the min still lowers the trajectory floor
-    val m2 = Bench.mergeFloors(prev, Seq(("susp", 0.6, 0, true)))
+    val m2 = Bench.mergeFloors(prev, Seq(("susp", 0.6, 0, true, true)))
     assert(m2("susp") == (0.6, Seq(1.2, 1.3)))
     // history caps at HistLen
     val long = Map("q" -> (0.1, (1 to 5).map(_.toDouble)))
-    val m3 = Bench.mergeFloors(long, Seq(("q", 6.0, 0, false)))
+    val m3 = Bench.mergeFloors(long, Seq(("q", 6.0, 0, false, true)))
     assert(m3("q")._2 == Seq(2.0, 3.0, 4.0, 5.0, 6.0))
+  }
+
+  test("floor merge: fast-box (low-canary) samples min-merge but never enter history") {
+    // round-16 hole: a 0.62-canary sweep end appended unrepresentatively
+    // FAST raw times, dragging median floors down and manufacturing 24
+    // suspect flags on the next quiet-box round. histOk=false (nearest
+    // canary < ChurnTrustMin) must freeze the history exactly like a
+    // suspect does from the slow direction — while a genuine best-ever
+    // still ratchets the trajectory min.
+    assert(Bench.ChurnTrustMin == 0.8) // the threshold IS the contract
+    val prev = Map("q" -> (0.50, Seq(0.9, 1.0, 1.1)))
+    val m = Bench.mergeFloors(prev, Seq(("q", 0.3, 0, false, false)))
+    assert(m("q") == (0.3, Seq(0.9, 1.0, 1.1)), // min taken, history frozen
+      s"fast-box sample leaked into the history: ${m("q")}")
+    // a first-ever entry measured under a distrusted canary still
+    // records its min (else the query has no floor at all) but starts
+    // with an EMPTY history
+    val m2 = Bench.mergeFloors(Map.empty, Seq(("new", 0.7, 0, false, false)))
+    assert(m2("new") == (0.7, Seq.empty))
+    // histOk=true keeps the normal append path byte-identical
+    val m3 = Bench.mergeFloors(prev, Seq(("q", 0.95, 0, false, true)))
+    assert(m3("q") == (0.5, Seq(0.9, 1.0, 1.1, 0.95)))
   }
 
   test("suspect entries carry the churn-canary ctl ratio, best-run min, and iso re-time") {
