@@ -125,6 +125,25 @@ object Bench {
     * churn-distrusted for HISTORY purposes (see [[mergeFloors]]). */
   private[graft] val ChurnTrustMin = 0.8
 
+  /** Post-timing isolation — no query inherits another's (or leaks
+    * its own) cached blocks, so each timing stands alone.
+    * `clearCache()` drops CacheManager entries; DiskSnapshot
+    * intermediates are invisible to it BY DESIGN (RDD-level persist),
+    * so every persisted RDD that appeared since `before` is
+    * unpersisted explicitly — without this their DISK_ONLY blocks
+    * linger until the result frame is GC'd and bleed disk pressure
+    * into later timings. Session-lifetime artifacts (warmup-built ANN
+    * indexes) predate `before` and are kept. Extracted so
+    * DiskSnapshotSpec pins the behavior the bench signal depends on.
+    */
+  private[graft] def isolateAfter(spark: SparkSession,
+                                  before: scala.collection.Set[Int]): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!before.contains(id)) rdd.unpersist(blocking = false)
+    }
+  }
+
   /** Run-level churn field: the WORST (max) of the sweep-start and
     * sweep-end canary ratios, plus both samples — empty when neither
     * sample ran (no floor yet, or a filtered dev run). Extracted so
@@ -233,19 +252,7 @@ object Bench {
         case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      // isolation: no query inherits another's (or leaks its own)
-      // cached blocks — each timing stands alone. clearCache() drops
-      // CacheManager entries; DiskSnapshot intermediates are invisible
-      // to it BY DESIGN (RDD-level persist), so the ones this run
-      // created are unpersisted explicitly — without this their
-      // DISK_ONLY blocks linger until the result frame is GC'd and
-      // bleed disk pressure into later timings. Session-lifetime
-      // artifacts (warmup-built ANN indexes) predate `before`, so
-      // they are kept.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!before.contains(id)) rdd.unpersist(blocking = false)
-      }
+      isolateAfter(spark, before)
       (dt, ok)
     }
     // Churn canary (run adjacent to a surviving suspect): the control

@@ -37,6 +37,13 @@ object CorpusStats {
     */
   val LmBroadcastMaxTypes: Long = 2000000L
 
+  /** Default cap on naive-Bayes label cardinality. Class-label sets
+    * are tens-to-thousands; 1M tiny rows still collects safely on any
+    * driver, while anything beyond it means an id-like column was
+    * passed as the label. Override with `spark.graft.nb.maxLabels`.
+    */
+  val NaiveBayesMaxLabels: Int = 1000000
+
   /** Broadcast hint gated on a row count the caller has ALREADY
     * computed (the LM builders count their vocab tables anyway for
     * smoothing constants — the gate is free). Above the cap the join
@@ -1147,13 +1154,27 @@ object CorpusStats {
     // over the cached counts (the total row carries the global
     // distinct-token count; previously a separate distinct().count()
     // shuffle plus a twice-consumed lt aggregate). Label cardinality
-    // is tiny (it broadcasts downstream), so collecting it is a
-    // labels+1-row pull, not data on the driver.
+    // is structurally small for a classifier (it broadcasts
+    // downstream), so collecting it is a labels+1-row pull, not data
+    // on the driver — but "structurally small" must be a GUARD, not
+    // an assumption: a caller who passes a near-unique column
+    // (doc_id, url) as the label would otherwise pull the corpus
+    // onto the driver. The limit bounds what the collect can
+    // materialize BEFORE the check fires, so the failure is a clear
+    // error, never an OOM.
+    val maxLabels = spark.conf.getOption("spark.graft.nb.maxLabels")
+      .map(_.toInt).getOrElse(NaiveBayesMaxLabels)
     val roll = tc.rollup(col("label"))
       .agg(sum(col("__c")).as("__tot"),
         count_distinct(col("token")).as("__v"),
         grouping(col("label")).as("__g"))
+      .limit(maxLabels + 2)
       .collect()
+    require(roll.length < maxLabels + 2,
+      s"trainNaiveBayes: label column '$labelCol' has more than " +
+        s"$maxLabels distinct values — that is an id-like column, not " +
+        "a class label; pick a categorical column or raise " +
+        "spark.graft.nb.maxLabels")
     val vocab = roll.find(_.getAs[Number]("__g").intValue == 1)
       .get.getAs[Long]("__v").toDouble
     val totByLabel: Map[Any, Long] = roll
@@ -1175,9 +1196,10 @@ object CorpusStats {
     // per-label doc counts in one label-only (column-pruned) scan;
     // nDocs is their sum — ALL docs, including any whose label never
     // tokenized (matches the previous df.count()); labels with no
-    // tokens drop from the priors like the previous inner join did
+    // tokens drop from the priors like the previous inner join did.
+    // Same driver-safety limit as the rollup (same cardinality).
     val ndRows = df.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("__nd")).collect()
+      .agg(count(lit(1)).as("__nd")).limit(maxLabels + 2).collect()
     val nDocs = ndRows.map(_.getAs[Long]("__nd")).sum.toDouble
     val pin = spark.createDataFrame(
       ndRows.toSeq.filter(r => totByLabel.contains(r.get(0)))

@@ -1027,4 +1027,27 @@ class CorpusSpec extends SparkSpec {
       CorpusStats.trainNaiveBayes(df, "text", "label", alpha = 0.0)
     }
   }
+
+  test("naiveBayes refuses an id-like label column instead of collecting it") {
+    // the label stats collect to the driver (labels are structurally
+    // small for a classifier); a near-unique column passed as the
+    // label must fail with a named, actionable error — and the limit
+    // bounds what reaches the driver BEFORE the check, so the failure
+    // can never be an OOM
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, s"tok$i words here", s"id$i"))
+      .toDF("doc_id", "text", "label")
+    spark.conf.set("spark.graft.nb.maxLabels", "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        CorpusStats.trainNaiveBayes(df, "text", "label")
+      }
+      assert(e.getMessage.contains("more than 10 distinct values"), e.getMessage)
+      assert(e.getMessage.contains("spark.graft.nb.maxLabels"), e.getMessage)
+      // at the cap boundary training still works
+      spark.conf.set("spark.graft.nb.maxLabels", "50")
+      val (model, priors) = CorpusStats.trainNaiveBayes(df, "text", "label")
+      assert(priors.count() == 50L && model.count() > 0L)
+    } finally spark.conf.unset("spark.graft.nb.maxLabels")
+  }
 }

@@ -171,4 +171,31 @@ class DiskSnapshotSpec extends SparkSpec {
       "released snapshot's blocks were never reaped — the frame is not " +
         "the only strong reference, or the cleaner lost track of the RDD")
   }
+
+  test("Bench.isolateAfter drops this timing's snapshot blocks, keeps prior ones") {
+    // the bench's per-query isolation step: DiskSnapshot blocks are
+    // invisible to clearCache() BY DESIGN, so one query's corpus-sized
+    // DISK_ONLY blocks would otherwise linger into the next timing
+    // until GC + ContextCleaner fire — polluting the very signal the
+    // 2x perf gate reads. Session-lifetime artifacts (anything
+    // persisted BEFORE the timing started) must survive.
+    val pre = DiskSnapshot.diskCachedEager(
+      spark.range(0, 100, 1, 2).select(col("id")))
+    assert(pre.count() == 100L)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val during = DiskSnapshot.diskCachedEager(
+      spark.range(0, 200, 1, 2).select(col("id"), (col("id") * 3).as("w")))
+    assert(during.count() == 200L)
+    val newIds = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(newIds.nonEmpty, "the in-timing snapshot never registered")
+    Bench.isolateAfter(spark, before)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(newIds.forall(!after.contains(_)),
+      s"in-timing snapshot blocks survived isolation: ${after.intersect(newIds)}")
+    assert(before.subsetOf(after),
+      s"isolation dropped session-lifetime blocks: ${before.diff(after)}")
+    // the dropped frame still evaluates (lineage preserved, not truncated)
+    assert(during.count() == 200L)
+    DiskSnapshot.release(pre)
+  }
 }
