@@ -166,6 +166,30 @@ object Bench {
     * engine. */
   private[graft] val CtlQuery = "q1_agg"
 
+  /** Synthetic floor-file keys holding the sweep-START and sweep-END
+    * canary runs' OWN histories. The canary's in-suite entry records
+    * its first-slot (cold-ish) cost, while the end-of-sweep rerun is
+    * fully warm — dividing the end sample by the in-suite floor reads
+    * a structural ~0.5 on a perfectly quiet box (both round-16/17
+    * validation sweeps measured 0.48–0.62 at end), which would make
+    * the <[[ChurnTrustMin]] history gate fire EVERY round and the
+    * shipped "churn" field meaningless at the end position. Each
+    * position therefore keeps its own history under these keys
+    * (appended every full pass — the arbiter's median must track the
+    * TYPICAL warmth at its position); the ratio falls back to the
+    * canary's in-suite floor until the key seeds.
+    */
+  private[graft] val CtlStartKey = "__ctl_start"
+  private[graft] val CtlEndKey = "__ctl_end"
+
+  /** Canary ratio against the position-fair floor: the posKey's
+    * median history when seeded, else the canary's in-suite floor
+    * (first full pass); None below the jitter bound. */
+  private[graft] def canaryRatio(prev: Map[String, (Double, Seq[Double])],
+                                 t: Double, posKey: String): Option[Double] =
+    floorOf(prev, posKey).orElse(floorOf(prev, CtlQuery))
+      .filter(_ >= 0.15).map(t / _)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -224,6 +248,7 @@ object Bench {
     def floor(name: String): Option[Double] = floorOf(prevRef, name)
     val PhantomRatio = 2.5
     val PhantomAbsFloorSec = 0.15 // below this, "5x" is scheduler jitter
+                                  // (keep in sync with canaryRatio's bound)
     def phantom(name: String, t: Double): Boolean =
       t < RepeatFloorSec && t > PhantomAbsFloorSec &&
         floor(name).exists(p => t > PhantomRatio * p)
@@ -263,12 +288,18 @@ object Bench {
     // denominator here. An inflated control means the MACHINE is
     // churning right now — the suspect is a phantom.
     val ctlFn = benchQueries.collectFirst { case (CtlQuery, fn) => fn }
-    def ctlRatio(): Option[Double] = for {
+    def ctlMedian(): Option[Double] = for {
       fn <- ctlFn
-      f <- floor(CtlQuery) if f >= PhantomAbsFloorSec
       ts = (1 to 3).map(_ => timeOnce(CtlQuery, fn))
         .collect { case (t, true) => t }.sorted if ts.nonEmpty
-    } yield ts(ts.length / 2) / f
+    } yield ts(ts.length / 2)
+    // mid-suite (suspect-adjacent) ratio keeps the canary's in-suite
+    // floor: it contextualizes a suspect mid-sweep, where the in-suite
+    // history IS the position-matched baseline
+    def ctlRatio(): Option[Double] = for {
+      t <- ctlMedian()
+      f <- floor(CtlQuery) if f >= PhantomAbsFloorSec
+    } yield t / f
     // pass 1: everything once; pass 2: re-time the slow tail so the
     // reported number is a median, not one noisy sample.
     // status: 0 = ok; 1 = FLAKY (some repeats threw — t is the median
@@ -289,7 +320,8 @@ object Bench {
     // infer box load; "churn" ships the worst of the two samples next
     // to the total so the artifact carries its own load context
     // (≈1 ⇒ quiet box, ≫1 ⇒ distrust total drift this round).
-    val churnStart = if (only.isEmpty) ctlRatio() else None
+    val ctlStartT = if (only.isEmpty) ctlMedian() else None
+    val churnStart = ctlStartT.flatMap(canaryRatio(prevRef, _, CtlStartKey))
     val firstPass = selected.map { case (name, fn) => (name, fn, timeOnce(name, fn)) }
     val results: Seq[(String, Double, Int, Int, Boolean, Option[Double], Option[Double])] =
       firstPass.map { case (name, fn, (t1, ok1)) =>
@@ -362,7 +394,8 @@ object Bench {
           if (ok) Some(name -> t) else None
         }
       }.toMap
-    val churnEnd = if (only.isEmpty) ctlRatio() else None
+    val ctlEndT = if (only.isEmpty) ctlMedian() else None
+    val churnEnd = ctlEndT.flatMap(canaryRatio(prevRef, _, CtlEndKey))
     val churnField = churnFieldOf(churnStart, churnEnd)
     val qs = results.map { case (k, v, n, st, susp, ctl, mn) =>
       entry(k, v, n, st, susp, ctl, mn, isoTimes.get(k)) }
@@ -397,8 +430,14 @@ object Bench {
       // that stretch ran on an unrepresentatively fast box, and its
       // raw times must not erode the median floors.
       val nRes = results.length
+      // the synthetic canary entries append UNCONDITIONALLY: their
+      // medians must track the typical cost at their sweep position
+      // (that typicality is what makes the trust ratio fair), and a
+      // median-of-5 history resists any single abnormal round
+      val canaryRows = Seq(CtlStartKey -> ctlStartT, CtlEndKey -> ctlEndT)
+        .collect { case (k, Some(t)) => (k, t, 0, false, true) }
       val merged = mergeFloors(prevRef,
-        results.zipWithIndex.map { case ((k, v, _, st, susp, _, _), i) =>
+        canaryRows ++ results.zipWithIndex.map { case ((k, v, _, st, susp, _, _), i) =>
           val nearest = if (i * 2 < nRes) churnStart else churnEnd
           (k, v, st, susp, nearest.forall(_ >= ChurnTrustMin))
         })

@@ -110,7 +110,18 @@ final class Hdf5Writer(val path: String) extends AutoCloseable {
         (0x0008, b.array())
       } else {
         val rank = dims.size.max(1)
-        val chunkBytes = (chunkRows * rowBytes).toInt
+        // chunkRows × rowBytes must stay below 2 GiB: rowBytes is
+        // unbounded (a wide array column multiplies it), and a silent
+        // Int wrap here would either crash confusingly downstream or
+        // mis-size the trailing-chunk pad — refuse loudly instead,
+        // like every other integrity check in this writer
+        val chunkBytesL = chunkRows.toLong * rowBytes
+        // zero is legal (an empty dataset's chunk writes nothing);
+        // negative means the Long product itself overflowed
+        require(chunkBytesL >= 0 && chunkBytesL <= Int.MaxValue,
+          s"chunk too large: $chunkRows rows x $rowBytes B/row = " +
+            s"$chunkBytesL B (limit 2 GiB) — lower chunkRows")
+        val chunkBytes = chunkBytesL.toInt
         // pull exactly chunkRows*rowBytes per chunk from the block stream
         val feed = new ByteFeed(data)
         val chunks = Seq.newBuilder[(Long, Long, Int)] // (startRow, addr, storedBytes)

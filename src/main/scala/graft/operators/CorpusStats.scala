@@ -1143,6 +1143,16 @@ object CorpusStats {
                       alpha: Double = 1.0): (DataFrame, DataFrame) = {
     require(alpha > 0.0, s"alpha must be positive, got $alpha")
     val spark = df.sparkSession
+    val labelType = df.schema(labelCol).dataType
+    // the label stats round-trip through a driver-side map keyed by
+    // the collected values; array/binary labels would compare by
+    // REFERENCE there (silently emptying the priors where the old
+    // join compared by value) — refuse them up front
+    require(!labelType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+        !labelType.isInstanceOf[org.apache.spark.sql.types.MapType] &&
+        labelType != org.apache.spark.sql.types.BinaryType,
+      s"trainNaiveBayes: label column '$labelCol' has type " +
+        s"${labelType.simpleString}; use an atomic (string/numeric/date) label")
     val toks = df.select(col(labelCol).as("label"),
       explode(TextFunctions.tokens(col(textCol))).as("token"))
     // ONE corpus-tokenizing pass, snapshotted (disk-only, lineage-
@@ -1162,8 +1172,9 @@ object CorpusStats {
     // onto the driver. The limit bounds what the collect can
     // materialize BEFORE the check fires, so the failure is a clear
     // error, never an OOM.
-    val maxLabels = spark.conf.getOption("spark.graft.nb.maxLabels")
-      .map(_.toInt).getOrElse(NaiveBayesMaxLabels)
+    val maxLabels = math.min(Int.MaxValue - 2,
+      spark.conf.getOption("spark.graft.nb.maxLabels")
+        .map(_.toInt).getOrElse(NaiveBayesMaxLabels))
     val roll = tc.rollup(col("label"))
       .agg(sum(col("__c")).as("__tot"),
         count_distinct(col("token")).as("__v"),
@@ -1180,7 +1191,6 @@ object CorpusStats {
     val totByLabel: Map[Any, Long] = roll
       .filter(r => r.getAs[Number]("__g").intValue == 0 && !r.isNullAt(0))
       .map(r => r.get(0) -> r.getAs[Long]("__tot")).toMap
-    val labelType = df.schema(labelCol).dataType
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     import scala.jdk.CollectionConverters._
     val lt = spark.createDataFrame(

@@ -1049,5 +1049,13 @@ class CorpusSpec extends SparkSpec {
       val (model, priors) = CorpusStats.trainNaiveBayes(df, "text", "label")
       assert(priors.count() == 50L && model.count() > 0L)
     } finally spark.conf.unset("spark.graft.nb.maxLabels")
+    // array/binary labels would compare by REFERENCE in the driver-side
+    // label map (silently emptying the priors) — they must refuse loudly
+    val arrLbl = spark.sql(
+      "SELECT 1L AS doc_id, 'a b' AS text, array('x') AS label")
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusStats.trainNaiveBayes(arrLbl, "text", "label")
+    }
+    assert(e2.getMessage.contains("atomic"), e2.getMessage)
   }
 }

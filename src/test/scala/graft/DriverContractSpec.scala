@@ -119,6 +119,29 @@ class DriverContractSpec extends AnyFunSuite {
     assert(m3("q") == (0.5, Seq(0.9, 1.0, 1.1, 0.95)))
   }
 
+  test("canary ratio is position-fair: own-position floor, in-suite fallback") {
+    // the end-of-sweep canary is fully warm while the in-suite q1_agg
+    // history records its cold first-slot cost — a raw end/in-suite
+    // ratio reads a structural ~0.5 on a QUIET box (measured 0.48-0.62
+    // in the r16/r17 validation sweeps), which would fire the <0.8
+    // history gate every round. Each position keeps its own synthetic
+    // floor entry; the ratio divides by it once seeded.
+    val prev = Map(
+      Bench.CtlQuery    -> (1.0, Seq(1.0, 1.0, 1.0)),
+      Bench.CtlEndKey   -> (0.5, Seq(0.5, 0.5, 0.5)))
+    // seeded position key: 0.5 s at end is ratio 1.0 (quiet box) …
+    assert(Bench.canaryRatio(prev, 0.5, Bench.CtlEndKey).contains(1.0))
+    // … not the structural 0.5 the in-suite floor would read
+    assert(Bench.canaryRatio(prev, 0.5, Bench.CtlQuery).contains(0.5))
+    // unseeded position key falls back to the in-suite floor
+    assert(Bench.canaryRatio(prev, 1.3, Bench.CtlStartKey).contains(1.3))
+    // below the jitter bound there is no trustworthy ratio
+    val tiny = Map(Bench.CtlQuery -> (0.05, Seq(0.05)))
+    assert(Bench.canaryRatio(tiny, 0.5, Bench.CtlEndKey).isEmpty)
+    // and no floor at all -> no ratio
+    assert(Bench.canaryRatio(Map.empty, 0.5, Bench.CtlEndKey).isEmpty)
+  }
+
   test("suspect entries carry the churn-canary ctl ratio, best-run min, and iso re-time") {
     val e = Bench.entry("q999", 9.870, 7, 0, susp = true, ctl = Some(2.134),
       minT = Some(3.901), iso = Some(2.044))

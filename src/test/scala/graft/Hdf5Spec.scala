@@ -1090,4 +1090,21 @@ class Hdf5Spec extends SparkSpec {
       }
     } finally r.close()
   }
+
+  test("writer refuses a >2 GiB chunk instead of wrapping the size") {
+    // rowBytes is unbounded (wide array columns multiply it); chunkRows
+    // x rowBytes past Int range must fail loudly BEFORE any data is
+    // consumed, never wrap into a mis-sized pad or a confusing
+    // NegativeArraySizeException deep in the filter chain
+    val p = tmp("chunk_overflow.hdf5")
+    val w = new Hdf5Writer(p)
+    try {
+      // dims (4 rows, 2^28 elements/row) of F64 -> 2 GiB per row
+      val e = intercept[IllegalArgumentException] {
+        w.writeDataset(Hdf5Writer.F64, Seq(4L, 1L << 28),
+          Iterator(Array.emptyByteArray), chunkRows = 2, deflate = true)
+      }
+      assert(e.getMessage.contains("chunk too large"), e.getMessage)
+    } finally w.close()
+  }
 }
