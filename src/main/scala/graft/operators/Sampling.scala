@@ -199,8 +199,20 @@ object Sampling {
   def temperatureBudgets(df: DataFrame, stratumCol: String, tokenCol: String,
                          totalBudget: Long, alpha: Double): Map[String, Long] = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
-    val totals = df.groupBy(col(stratumCol))
-      .agg(sum(col(tokenCol).cast("long")).as("__t")).collect()
+    // the per-stratum totals collect to the driver: bound it (the
+    // limit caps what materializes BEFORE the check — a named error,
+    // never an OOM) and refuse an id-like stratum column loudly
+    val maxStrata = df.sparkSession.conf
+      .getOption("spark.graft.sampling.maxStrataBuckets")
+      .map(_.toInt).getOrElse(1 << 22)
+    val totalRows = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+      .limit(maxStrata + 1).collect()
+    require(totalRows.length <= maxStrata,
+      s"temperatureBudgets: stratum column '$stratumCol' has more than " +
+        s"$maxStrata distinct values — an id-like column, not a mixture " +
+        "stratum; raise spark.graft.sampling.maxStrataBuckets if intended")
+    val totals = totalRows
       .map(r => r.get(0).toString -> r.getLong(1)).toMap
     val weights = totals.map { case (k, t) => k -> math.pow(t.toDouble, alpha) }
     val z = weights.values.sum
@@ -292,6 +304,21 @@ object Sampling {
   private def withCumsum(df: DataFrame, idCol: String, tokenCol: String,
                          strata: Seq[String]): (DataFrame, Seq[Seq[Any]]) = {
     val spark = df.sparkSession
+    // phase 1 collects one row per (stratum tuple, bucket) and the
+    // driver prefix groups them by the stratum VALUES — both driver-
+    // side. Array/binary strata would group by REFERENCE there
+    // (silently splitting one stratum's budget across phantom groups),
+    // and an id-like stratum column would pull #ids × 256 rows onto
+    // the driver — refuse both up front, like trainNaiveBayes does
+    // for its label column.
+    strata.foreach { s =>
+      val dt = df.schema(s).dataType
+      require(!dt.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+          !dt.isInstanceOf[org.apache.spark.sql.types.MapType] &&
+          dt != org.apache.spark.sql.types.BinaryType,
+        s"prefix sampler: stratum column '$s' has type ${dt.simpleString}; " +
+          "use an atomic (string/numeric/date) stratum")
+    }
     val stratCols = strata.map(col)
     // token counts are COUNTS: the long cast keeps phase 1's driver
     // read (getLong) and phase 2's running sum on one integral type
@@ -303,9 +330,21 @@ object Sampling {
       .withColumn("__bkt",
         conv(substring(col("__key"), 1, BucketHexDigits), 16, 10).cast("int"))
     val groupCols = stratCols :+ col("__bkt")
-    // phase 1: per-(stratum, bucket) token totals — ≤ 256·|strata| rows
+    // phase 1: per-(stratum, bucket) token totals — ≤ 256·|strata
+    // tuples| rows. The limit bounds what the collect can materialize
+    // BEFORE the cardinality check fires (the failure is a named
+    // error, never a driver OOM); legitimate mixture sampling uses
+    // tens-to-thousands of strata, far under the cap.
+    val maxTotals = spark.conf
+      .getOption("spark.graft.sampling.maxStrataBuckets")
+      .map(_.toInt).getOrElse(1 << 22)
     val totals = base.groupBy(groupCols: _*)
-      .agg(sum(tok).as("__t")).collect()
+      .agg(sum(tok).as("__t")).limit(maxTotals + 1).collect()
+    require(totals.length <= maxTotals,
+      s"prefix sampler: strata (${strata.mkString(", ")}) produce more " +
+        s"than $maxTotals distinct (stratum, bucket) totals — an id-like " +
+        "stratum column; use sampleNPerGroup/hashSplit for per-group " +
+        "caps, or raise spark.graft.sampling.maxStrataBuckets")
     // driver prefix within each stratum across ascending buckets
     val byStratum = totals.groupBy(r => (0 until strata.size).map(r.get))
     val offsetRows = byStratum.toSeq.flatMap { case (_, rows) =>

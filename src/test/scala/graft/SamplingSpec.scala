@@ -210,4 +210,47 @@ class SamplingSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(!ids.contains(5L) && ids.size == 4)
   }
+
+  test("prefix sampler refuses id-like and non-atomic strata instead of collecting them") {
+    // phase 1 collects (stratum, bucket) totals and driver-groups by
+    // the stratum VALUES: an id-like stratum must fail with a named
+    // error (limit-bounded collect, never an OOM), and array strata
+    // must refuse up front (driver-side grouping would compare them
+    // by reference and split one stratum's budget across phantom rows)
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, 10L, s"s$i")).toDF("id", "toks", "strat")
+    val budgets = (1L to 40L).map(i => s"s$i" -> 100L).toMap
+    spark.conf.set("spark.graft.sampling.maxStrataBuckets", "8")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Sampling.sampleToTokenBudgetBy(df, "id", "toks", "strat", budgets)
+          .count()
+      }
+      assert(e.getMessage.contains("id-like"), e.getMessage)
+      assert(e.getMessage.contains("maxStrataBuckets"), e.getMessage)
+      // the budgets front door (temperatureBudgets) is bounded too
+      val e2 = intercept[IllegalArgumentException] {
+        Sampling.temperatureBudgets(df, "strat", "toks", 1000L, 0.5)
+      }
+      assert(e2.getMessage.contains("id-like"), e2.getMessage)
+    } finally spark.conf.unset("spark.graft.sampling.maxStrataBuckets")
+    // under the default cap the same calls just work
+    assert(Sampling.sampleToTokenBudgetBy(df, "id", "toks", "strat",
+      budgets).count() > 0)
+    assert(Sampling.temperatureBudgets(df, "strat", "toks", 1000L, 0.5)
+      .size == 40)
+    // array strata refuse loudly — either at the budget-key isin
+    // (analysis-time type mismatch) or at withCumsum's atomic-type
+    // guard (which also protects any future direct prefixSample
+    // caller); driver-side grouping would otherwise compare arrays by
+    // reference and split one stratum across phantom rows
+    val arr = spark.sql(
+      "SELECT id, 10L AS toks, array('x') AS strat FROM range(5)")
+    val e3 = intercept[Exception] {
+      Sampling.sampleToTokenBudgetBy(arr, "id", "toks", "strat",
+        Map("WrappedArray(x)" -> 100L)).count()
+    }
+    assert(e3.getMessage.contains("atomic") ||
+      e3.getMessage.toLowerCase.contains("mismatch"), e3.getMessage)
+  }
 }
