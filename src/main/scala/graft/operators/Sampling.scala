@@ -223,6 +223,46 @@ object Sampling {
     }
   }
 
+  /** DuckDB-replayable gate twin of [[temperatureBudgets]] at the
+    * common α = 1/2: weights are w9 = floor(sqrt(tokens)·1e9) — sqrt
+    * is correctly rounded on BOTH engines (IEEE; Java `Math.sqrt` and
+    * DuckDB's C `sqrt`), the ×1e9 multiply rounds once identically,
+    * and floor of identical doubles is identical — so every weight is
+    * the same exact long on both sides with no half-way round cases.
+    * The normalization runs in arbitrary-precision integers (BigInt
+    * here, HUGEINT in the oracle): z9 = Σ w9 is an exact integer sum
+    * (order-independent, unlike the double path's Σ t^α, whose
+    * last-ulp order sensitivity is exactly why the float kernel can't
+    * be hash-oracled), and budget_i = min(totalBudget·w9_i ÷ z9, t_i)
+    * in integer division. Production callers keep
+    * [[temperatureBudgets]] (any α, double weights); the spec pins
+    * the twin within 1 token of the double path at α = 1/2.
+    */
+  def temperatureSqrtBudgets(df: DataFrame, stratumCol: String,
+                             tokenCol: String,
+                             totalBudget: Long): Map[String, Long] = {
+    val maxStrata = df.sparkSession.conf
+      .getOption("spark.graft.sampling.maxStrataBuckets")
+      .map(_.toInt).getOrElse(1 << 22)
+    val rows = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+      .limit(maxStrata + 1).collect()
+    require(rows.length <= maxStrata,
+      s"temperatureSqrtBudgets: stratum column '$stratumCol' has more " +
+        s"than $maxStrata distinct values — an id-like column, not a " +
+        "mixture stratum; raise spark.graft.sampling.maxStrataBuckets")
+    require(rows.nonEmpty, "temperatureSqrtBudgets: empty corpus")
+    val totals = rows.map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val w9 = totals.map { case (k, t) =>
+      k -> math.floor(math.sqrt(t.toDouble) * 1e9).toLong
+    }
+    val z9 = w9.values.foldLeft(BigInt(0))(_ + _)
+    require(z9 > 0, "temperatureSqrtBudgets: zero total weight")
+    w9.map { case (k, w) =>
+      k -> (BigInt(totalBudget) * w / z9).min(BigInt(totals(k))).toLong
+    }
+  }
+
   /** Shared two-phase prefix-sum sampler. `strata` columns partition
     * the budget space; `budgetOf` maps a stratum tuple to its budget.
     *

@@ -502,6 +502,22 @@ object TextVector {
         "lang", Map("en" -> 10000L, "de" -> 4000L))
     }),
 
+    // temperature-weighted mixture sampling (the multilingual
+    // balancing rule, budget_i ∝ tokens_i^α): budgets DERIVED from the
+    // data at α = 1/2 via the exact fixed-point gate twin
+    // (w9 = floor(sqrt(tokens)·1e9), HUGEINT-normalized — every budget
+    // the same integer on both engines), then the same one-shuffle
+    // per-stratum prefix sample as q72. Production keeps
+    // temperatureBudgets (any α, double weights).
+    "q138_temperature_mixture" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val budgets = graft.operators.Sampling.temperatureSqrtBudgets(
+        d, "lang", "n_tokens", 15000L)
+      graft.operators.Sampling.sampleToTokenBudgetBy(d, "doc_id", "n_tokens",
+        "lang", budgets)
+    }),
+
     // PQ-compressed ANN. The GATE trains per-subspace codebooks with
     // the quantized md5-init Lloyd loop (8 subspaces x 16 codewords,
     // every codeword bit-replayable), encodes by quantized argmin,
@@ -988,6 +1004,28 @@ object TextVector {
            FROM (SELECT doc_id, lang,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
                  FROM documents WHERE lang IN ('en', 'de')))
+         WHERE cum - n_tokens < budget""",
+    "q138_temperature_mixture" ->
+      """WITH toks AS MATERIALIZED (
+           SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         tot AS (SELECT lang, sum(n_tokens) AS t FROM toks GROUP BY 1),
+         w AS MATERIALIZED (
+           SELECT lang, t,
+             CAST(floor(sqrt(CAST(t AS DOUBLE)) * 1e9) AS BIGINT) AS w9
+           FROM tot),
+         b AS (SELECT lang,
+             CAST(least(
+               CAST(15000 AS HUGEINT) * CAST(w9 AS HUGEINT)
+                 // (SELECT CAST(sum(CAST(w9 AS HUGEINT)) AS HUGEINT) FROM w),
+               CAST(t AS HUGEINT)) AS BIGINT) AS budget
+           FROM w)
+         SELECT doc_id, lang, n_tokens FROM (
+           SELECT doc_id, lang, n_tokens, budget,
+             sum(n_tokens) OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+           FROM toks JOIN b USING (lang))
          WHERE cum - n_tokens < budget""",
     "q74_quality_filter" ->
       """SELECT doc_id,

@@ -253,4 +253,36 @@ class SamplingSpec extends SparkSpec {
     assert(e3.getMessage.contains("atomic") ||
       e3.getMessage.toLowerCase.contains("mismatch"), e3.getMessage)
   }
+
+  test("temperatureSqrtBudgets: exact fixed-point twin tracks the double path at alpha=1/2") {
+    import spark.implicits._
+    val d = Seq.tabulate(600) { i =>
+      val lang = if (i % 6 == 0) "de" else if (i % 6 == 1) "fr" else "en"
+      (i.toLong, lang, 5L + i % 37)
+    }.toDF("id", "lang", "toks")
+    val twin = Sampling.temperatureSqrtBudgets(d, "lang", "toks", 3000L)
+    val dbl = Sampling.temperatureBudgets(d, "lang", "toks", 3000L, 0.5)
+    assert(twin.keySet == dbl.keySet)
+    // same semantics up to the fixed-point grain: every stratum's
+    // budget within 1 token of the double kernel's
+    twin.foreach { case (k, b) =>
+      assert(math.abs(b - dbl(k)) <= 1L, s"$k: twin=$b double=${dbl(k)}")
+    }
+    // never hands a stratum more than it has, never exceeds the total
+    val tot = d.groupBy($"lang").agg(org.apache.spark.sql.functions.sum($"toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    twin.foreach { case (k, b) => assert(b <= tot(k)) }
+    assert(twin.values.sum <= 3000L)
+    // and the budgets compose with the sampler (the q138 gate shape)
+    val sampled = Sampling.sampleToTokenBudgetBy(d, "id", "toks", "lang", twin)
+    val got = sampled.groupBy($"lang")
+      .agg(org.apache.spark.sql.functions.sum($"toks")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // each stratum fills its budget exactly, overshooting only by the
+    // one straddling document (< max doc length, 41 here)
+    got.foreach { case (k, s) =>
+      assert(s >= math.min(twin(k), tot(k)) && s < twin(k) + 41L,
+        s"$k: sampled=$s budget=${twin(k)} total=${tot(k)}")
+    }
+  }
 }
