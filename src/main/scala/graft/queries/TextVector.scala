@@ -570,6 +570,26 @@ object TextVector {
       val bench = d.filter(col("doc_id") % 50 === 0).select(col("text"))
       graft.operators.Sampling.decontaminate(d, "doc_id", "text", bench, "text",
         n = 5).select(col("doc_id"))
+    }),
+
+    // the corpus-ingest pipeline's BATCH twin end to end (quality gate
+    // → (fingerprint, window) content dedup → per-window doc/token
+    // counts): every stage is individually oracled (q74's predicate,
+    // q23's fingerprint, q40's window alignment) and the composition
+    // is representative-invariant (fingerprint equates the variants,
+    // so counts don't depend on WHICH duplicate survives) — making
+    // the whole ingest shape hash-oracleable. Event time is a
+    // deterministic function of doc_id (epoch seconds, ~18 h spread
+    // at sf0.01 and wrapping at sf0.1 → dozens of hourly windows) so both engines derive identical instants
+    // with no timestamp-type round trips. StreamingSpec pins
+    // stream == batch for the same kernel, so this gate transitively
+    // covers the watermarked streaming path.
+    "q139_corpus_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + (col("doc_id") % 7200L) * 131L)
+          .as("ts"),
+        col("text"))
+      graft.streaming.StreamingPipelines.corpusIngest(docs)
     })
   )
 
@@ -1005,6 +1025,34 @@ object TextVector {
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
                  FROM documents WHERE lang IN ('en', 'de')))
          WHERE cum - n_tokens < budget""",
+    // the ingest composition: q74's quality predicate gates, q23's
+    // fingerprint keys the dedup, windows are pure integer epoch math
+    // (floor to the hour — Spark's window() epoch-aligns hourly
+    // buckets), and counts are per-(fp, window) representative values
+    // (min = the value: fp-equal texts have equal trimmed token counts)
+    "q139_corpus_ingest" ->
+      """WITH gated AS MATERIALIZED (
+           SELECT doc_id, text,
+             CAST(1700000000 AS BIGINT) + (doc_id % 7200) * 131 AS sec
+           FROM documents
+           WHERE (len(string_split(text, ' ')) >= 8 AND len(string_split(text, ' ')) <= 100000
+            AND (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 2.0
+            AND (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 12.0
+            AND CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.01
+            AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.3)),
+         keyed AS (SELECT md5(trim(lower(text))) AS fp,
+                     (sec // 3600) * 3600 AS wk,
+                     CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nt
+                   FROM gated),
+         rep AS (SELECT wk, fp, min(nt) AS nt FROM keyed GROUP BY 1, 2)
+         SELECT wk AS w_start, count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens
+         FROM rep GROUP BY 1""",
     "q138_temperature_mixture" ->
       """WITH toks AS MATERIALIZED (
            SELECT doc_id, lang,
