@@ -208,6 +208,27 @@ object CoreLib {
         .select(col("o_orderkey"), col("o_totalprice"))
     }),
 
+    // §2.2 take_rows: arbitrary row selection by key values (the
+    // scale-safe formulation of the reference's positional take_rows —
+    // broadcast semi-join against the id list, corpus never shuffles).
+    "q140_take_rows" -> ((s, dir) => {
+      OCDataset(t(s, dir, "orders"))
+        .takeRows("o_orderkey", (1L to 4000L by 37L))
+        .df.select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // §2.6 evaluate, row_wise strategy (per-row closure over Rows —
+    // the reference's row_wise; the gate function is deliberately
+    // SQL-replayable so the MACHINERY is what the oracle checks:
+    // schema append, per-row application, value fidelity).
+    "q141_evaluate_rowwise" -> ((s, dir) => {
+      val ds = OCDataset(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice")))
+      Evaluate.rowWise(ds, Seq(StructField("price_band", LongType)),
+        r => Seq(math.floor(r.getAs[Double]("o_totalprice") / 10000.0)
+          .toLong * 10000L)).df
+    }),
+
     // §2.2 drop wildcards + isin mask through the OCDataset surface.
     "q65_drop_isin" -> ((s, dir) => {
       OCDataset(t(s, dir, "customer"))
@@ -535,6 +556,13 @@ object CoreLib {
     "q60_evaluate_partition" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
          l_quantity * 2.0 AS double_qty FROM lineitem""",
+    "q140_take_rows" ->
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey IN (${(1L to 4000L by 37L).mkString(", ")})""",
+    "q141_evaluate_rowwise" ->
+      """SELECT o_orderkey, o_totalprice,
+         CAST(floor(o_totalprice / 10000.0) AS BIGINT) * 10000 AS price_band
+         FROM orders""",
     "q63_flatten" ->
       """SELECT vec_id,
          round(CAST(embedding[1] AS DOUBLE), 6) AS e0,
