@@ -229,6 +229,20 @@ object CoreLib {
           .toLong * 10000L)).df
     }),
 
+    // §2.5 material (in-memory) column bound by POSITION over the
+    // lazily-sorted order — the reference's with_new_columns(np_array)
+    // shape. The gate's values are a pure function of position so the
+    // oracle replays the zipWithIndex binding as a row_number window;
+    // what the oracle checks is the positional contract itself (sort
+    // applied first, value i on row i, schema/type append).
+    "q142_material_column" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val n = base.count()
+      val values: Seq[Any] = (0L until n).map(i => i * 3L + 7L)
+      OCDataset(base).sortBy("o_orderkey")
+        .withDataColumn("mat", values).df
+    }),
+
     // §2.2 drop wildcards + isin mask through the OCDataset surface.
     "q65_drop_isin" -> ((s, dir) => {
       OCDataset(t(s, dir, "customer"))
@@ -562,6 +576,10 @@ object CoreLib {
     "q141_evaluate_rowwise" ->
       """SELECT o_orderkey, o_totalprice,
          CAST(floor(o_totalprice / 10000.0) AS BIGINT) * 10000 AS price_band
+         FROM orders""",
+    "q142_material_column" ->
+      """SELECT o_orderkey, o_totalprice,
+         (row_number() OVER (ORDER BY o_orderkey) - 1) * 3 + 7 AS mat
          FROM orders""",
     "q63_flatten" ->
       """SELECT vec_id,
