@@ -330,6 +330,27 @@ class CoreSpec extends SparkSpec {
     assert(over.unitOf("r2") == Units.parse("Mpc/h"))
   }
 
+  test("takeRows: broadcast semi-join id selection — hits, misses, empty, duplicates") {
+    // the reference's take_rows (dataset.py:885-912), re-expressed by
+    // key values (q140's gate kernel): present ids select their rows
+    // once, absent ids select nothing, a duplicated id in the request
+    // list must NOT duplicate the row (semi-join, not inner)
+    val tags = halos.df.select($"halo_tag").collect().map(_.getLong(0)).sorted
+    val pick = Seq(tags.head, tags.last)
+    val got = halos.takeRows("halo_tag", pick).df
+      .select($"halo_tag").collect().map(_.getLong(0)).toSet
+    assert(got == pick.toSet)
+    // misses drop silently (selection, not lookup)
+    val withMiss = halos.takeRows("halo_tag", Seq(tags.head, -999999L))
+    assert(withMiss.count() == 1)
+    // duplicates in the id list select the row ONCE
+    val dup = halos.takeRows("halo_tag", Seq(tags.head, tags.head, tags.head))
+    assert(dup.count() == 1)
+    // empty list selects nothing and keeps the schema
+    val none = halos.takeRows("halo_tag", Nil)
+    assert(none.count() == 0 && none.columns == halos.columns)
+  }
+
   test("withDataColumn: positional bind, composes with filter/derive/take (test_im_col)") {
     val n = halos.count().toInt
     val vals = (0 until n).map(i => (i * 300 + 100).toLong) // 100, 400, 700, …
