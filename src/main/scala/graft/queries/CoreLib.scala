@@ -243,6 +243,30 @@ object CoreLib {
         .withDataColumn("mat", values).df
     }),
 
+    // §2.6 collection-mapped evaluate: a per-step transform where each
+    // step's function sees ITS OWN header (the reference's __map
+    // pattern — per-step unit/redshift context applied BEFORE the
+    // union, which a post-union expression could not reproduce since
+    // the unioned header carries only the lowest step's redshift).
+    // Redshifts are picked so 1+z is an exact double (1.25/1.75/2.5) —
+    // the oracle's decimal literals convert to the identical doubles.
+    "q143_lightcone_mapped_evaluate" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val steps = Map(
+        0 -> OCDataset(o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+          Header(redshift = 0.25)),
+        1 -> OCDataset(o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("2000-01-01").cast("timestamp")),
+          Header(redshift = 0.75)),
+        2 -> OCDataset(o.filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+          Header(redshift = 1.5)))
+      Lightcone(steps).map(ds =>
+          ds.withNewColumns("price_z" ->
+            (ocCol("o_totalprice") * graft.expr.OCExpr.ocLit(1.0 + ds.header.redshift))))
+        .toDataset.df
+        .select(col("step"), col("o_orderkey"), col("price_z"))
+    }),
+
     // §2.2 drop wildcards + isin mask through the OCDataset surface.
     "q65_drop_isin" -> ((s, dir) => {
       OCDataset(t(s, dir, "customer"))
@@ -580,6 +604,15 @@ object CoreLib {
     "q142_material_column" ->
       """SELECT o_orderkey, o_totalprice,
          (row_number() OVER (ORDER BY o_orderkey) - 1) * 3 + 7 AS mat
+         FROM orders""",
+    "q143_lightcone_mapped_evaluate" ->
+      """SELECT CASE WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 0
+                     WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 1
+                     ELSE 2 END AS step,
+         o_orderkey,
+         o_totalprice * (CASE WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 1.25
+                              WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 1.75
+                              ELSE 2.5 END) AS price_z
          FROM orders""",
     "q63_flatten" ->
       """SELECT vec_id,
