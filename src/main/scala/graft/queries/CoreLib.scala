@@ -267,6 +267,29 @@ object CoreLib {
         .select(col("step"), col("o_orderkey"), col("price_z"))
     }),
 
+    // §2.7/§2.11 region unit conversion: bound() with the region given
+    // in the dataset's CURRENT (physical) convention after a
+    // withUnits switch — the octree classifies the region scaled back
+    // to the base convention while the exact check runs in converted
+    // coordinates. Values sit on a coarse k·(0.5/0.7) grid and every
+    // bound is placed mid-gap (≥0.02 from any attainable value), so
+    // the engines' different factor-evaluation orders (x·(h⁻¹·a) vs
+    // x/h·a) can never flip a membership at ulp distance.
+    "q144_bound_physical_region" -> ((s, dir) => {
+      val pts = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("x"),
+        (col("l_discount") * 100.0).as("y"),
+        (col("l_tax") * 100.0).as("z"))
+      val ds = OCDataset(pts, Header(boxSize = 52.0, redshift = 1.0,
+        cosmology = Cosmology(h0 = 70.0),
+        columnUnits = Map("x" -> "Mpc/h", "y" -> "Mpc/h", "z" -> "Mpc/h")))
+      ds.withUnits(Physical)
+        .bound(Box(P3(3.1, 0.2, 0.6), P3(20.1, 4.2, 5.6)),
+          coords = ("x", "y", "z"), level = 4)
+        .df.select(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // §2.2 drop wildcards + isin mask through the OCDataset surface.
     "q65_drop_isin" -> ((s, dir) => {
       OCDataset(t(s, dir, "customer"))
@@ -614,6 +637,14 @@ object CoreLib {
                               WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 1.75
                               ELSE 2.5 END) AS price_z
          FROM orders""",
+    "q144_bound_physical_region" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+         WHERE CAST(l_quantity AS DOUBLE) / 0.7 * 0.5 >= 3.1
+           AND CAST(l_quantity AS DOUBLE) / 0.7 * 0.5 < 20.1
+           AND (l_discount * 100.0) / 0.7 * 0.5 >= 0.2
+           AND (l_discount * 100.0) / 0.7 * 0.5 < 4.2
+           AND (l_tax * 100.0) / 0.7 * 0.5 >= 0.6
+           AND (l_tax * 100.0) / 0.7 * 0.5 < 5.6""",
     "q63_flatten" ->
       """SELECT vec_id,
          round(CAST(embedding[1] AS DOUBLE), 6) AS e0,
