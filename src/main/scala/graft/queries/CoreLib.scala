@@ -290,6 +290,26 @@ object CoreLib {
         .df.select(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // §2.11 PER-ROW scale-factor conversion (the lightcone shape where
+    // every row sits at its own redshift): withUnits(Physical,
+    // scaleFactorColumn) must use the row's a, not the header's — the
+    // header redshift here is deliberately wrong (z=99), so the oracle
+    // only matches if the per-row path is taken. Per-row z steps by
+    // 0.25 so every 1+z (and its reciprocal's inputs) is exact.
+    "q145_per_row_scale_factor" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("len_mpch"),
+        (lit(1.0) / (lit(1.0) + col("l_linenumber").cast("double") / 4.0))
+          .as("a_row"))
+      val ds = OCDataset(base, Header(redshift = 99.0,
+        cosmology = Cosmology(h0 = 70.0),
+        columnUnits = Map("len_mpch" -> "Mpc/h")))
+      ds.withUnits(Physical, scaleFactorColumn = Some("a_row")).df
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("len_mpch"), 6).as("len_phys"))
+    }),
+
     // §2.2 drop wildcards + isin mask through the OCDataset surface.
     "q65_drop_isin" -> ((s, dir) => {
       OCDataset(t(s, dir, "customer"))
@@ -645,6 +665,11 @@ object CoreLib {
            AND (l_discount * 100.0) / 0.7 * 0.5 < 4.2
            AND (l_tax * 100.0) / 0.7 * 0.5 >= 0.6
            AND (l_tax * 100.0) / 0.7 * 0.5 < 5.6""",
+    "q145_per_row_scale_factor" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(l_quantity / 0.7 * (1.0 / (1.0 + CAST(l_linenumber AS DOUBLE) / 4.0)), 6)
+           AS len_phys
+         FROM lineitem""",
     "q63_flatten" ->
       """SELECT vec_id,
          round(CAST(embedding[1] AS DOUBLE), 6) AS e0,
