@@ -166,9 +166,17 @@ object Bench {
     * engine. */
   private[graft] val CtlQuery = "q1_agg"
 
+  /** The sweep-START/END position canary. Distinct from [[CtlQuery]]
+    * deliberately: q1_agg fully warm costs ~0.14 s — UNDER the 0.15 s
+    * jitter bound, so an end-position ratio built on it self-disables
+    * (a sub-jitter control fakes the signal it measures). The
+    * structure-agg join is scan-dominated (~0.3–0.6 s at any warmth),
+    * plan-stable, and stays above the bound at both positions. */
+  private[graft] val PosCanaryQuery = "q12_structure_agg"
+
   /** Synthetic floor-file keys holding the sweep-START and sweep-END
     * canary runs' OWN histories. The canary's in-suite entry records
-    * its first-slot (cold-ish) cost, while the end-of-sweep rerun is
+    * its cost at its suite slot, while the end-of-sweep rerun is
     * fully warm — dividing the end sample by the in-suite floor reads
     * a structural ~0.5 on a perfectly quiet box (both round-16/17
     * validation sweeps measured 0.48–0.62 at end), which would make
@@ -177,17 +185,20 @@ object Bench {
     * position therefore keeps its own history under these keys
     * (appended every full pass — the arbiter's median must track the
     * TYPICAL warmth at its position); the ratio falls back to the
-    * canary's in-suite floor until the key seeds.
+    * canary's in-suite floor until the key seeds. The keys embed the
+    * canary's NAME so changing the canary query starts fresh
+    * position baselines instead of mis-ratioing against the old
+    * query's scale.
     */
-  private[graft] val CtlStartKey = "__ctl_start"
-  private[graft] val CtlEndKey = "__ctl_end"
+  private[graft] val CtlStartKey = s"__ctl_start:$PosCanaryQuery"
+  private[graft] val CtlEndKey = s"__ctl_end:$PosCanaryQuery"
 
   /** Canary ratio against the position-fair floor: the posKey's
-    * median history when seeded, else the canary's in-suite floor
-    * (first full pass); None below the jitter bound. */
+    * median history when seeded, else the position canary's in-suite
+    * floor (first full pass); None below the jitter bound. */
   private[graft] def canaryRatio(prev: Map[String, (Double, Seq[Double])],
                                  t: Double, posKey: String): Option[Double] =
-    floorOf(prev, posKey).orElse(floorOf(prev, CtlQuery))
+    floorOf(prev, posKey).orElse(floorOf(prev, PosCanaryQuery))
       .filter(_ >= 0.15).map(t / _)
 
   def main(args: Array[String]): Unit = {
@@ -288,16 +299,18 @@ object Bench {
     // denominator here. An inflated control means the MACHINE is
     // churning right now — the suspect is a phantom.
     val ctlFn = benchQueries.collectFirst { case (CtlQuery, fn) => fn }
-    def ctlMedian(): Option[Double] = for {
-      fn <- ctlFn
-      ts = (1 to 3).map(_ => timeOnce(CtlQuery, fn))
+    val posFn = benchQueries.collectFirst { case (PosCanaryQuery, fn) => fn }
+    def medianOf3(name: String,
+                  fnOpt: Option[(SparkSession, String) => Unit]): Option[Double] = for {
+      fn <- fnOpt
+      ts = (1 to 3).map(_ => timeOnce(name, fn))
         .collect { case (t, true) => t }.sorted if ts.nonEmpty
     } yield ts(ts.length / 2)
-    // mid-suite (suspect-adjacent) ratio keeps the canary's in-suite
+    // mid-suite (suspect-adjacent) ratio keeps CtlQuery's in-suite
     // floor: it contextualizes a suspect mid-sweep, where the in-suite
     // history IS the position-matched baseline
     def ctlRatio(): Option[Double] = for {
-      t <- ctlMedian()
+      t <- medianOf3(CtlQuery, ctlFn)
       f <- floor(CtlQuery) if f >= PhantomAbsFloorSec
     } yield t / f
     // pass 1: everything once; pass 2: re-time the slow tail so the
@@ -320,7 +333,7 @@ object Bench {
     // infer box load; "churn" ships the worst of the two samples next
     // to the total so the artifact carries its own load context
     // (≈1 ⇒ quiet box, ≫1 ⇒ distrust total drift this round).
-    val ctlStartT = if (only.isEmpty) ctlMedian() else None
+    val ctlStartT = if (only.isEmpty) medianOf3(PosCanaryQuery, posFn) else None
     val churnStart = ctlStartT.flatMap(canaryRatio(prevRef, _, CtlStartKey))
     val firstPass = selected.map { case (name, fn) => (name, fn, timeOnce(name, fn)) }
     val results: Seq[(String, Double, Int, Int, Boolean, Option[Double], Option[Double])] =
@@ -394,7 +407,7 @@ object Bench {
           if (ok) Some(name -> t) else None
         }
       }.toMap
-    val ctlEndT = if (only.isEmpty) ctlMedian() else None
+    val ctlEndT = if (only.isEmpty) medianOf3(PosCanaryQuery, posFn) else None
     val churnEnd = ctlEndT.flatMap(canaryRatio(prevRef, _, CtlEndKey))
     val churnField = churnFieldOf(churnStart, churnEnd)
     val qs = results.map { case (k, v, n, st, susp, ctl, mn) =>

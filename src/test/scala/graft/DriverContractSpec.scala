@@ -127,19 +127,27 @@ class DriverContractSpec extends AnyFunSuite {
     // history gate every round. Each position keeps its own synthetic
     // floor entry; the ratio divides by it once seeded.
     val prev = Map(
-      Bench.CtlQuery    -> (1.0, Seq(1.0, 1.0, 1.0)),
-      Bench.CtlEndKey   -> (0.5, Seq(0.5, 0.5, 0.5)))
+      Bench.PosCanaryQuery -> (1.0, Seq(1.0, 1.0, 1.0)),
+      Bench.CtlEndKey      -> (0.5, Seq(0.5, 0.5, 0.5)))
     // seeded position key: 0.5 s at end is ratio 1.0 (quiet box) …
     assert(Bench.canaryRatio(prev, 0.5, Bench.CtlEndKey).contains(1.0))
     // … not the structural 0.5 the in-suite floor would read
-    assert(Bench.canaryRatio(prev, 0.5, Bench.CtlQuery).contains(0.5))
-    // unseeded position key falls back to the in-suite floor
+    assert(Bench.canaryRatio(prev, 0.5, Bench.PosCanaryQuery).contains(0.5))
+    // unseeded position key falls back to the canary's in-suite floor
     assert(Bench.canaryRatio(prev, 1.3, Bench.CtlStartKey).contains(1.3))
-    // below the jitter bound there is no trustworthy ratio
-    val tiny = Map(Bench.CtlQuery -> (0.05, Seq(0.05)))
+    // below the jitter bound there is no trustworthy ratio — the
+    // reason the POSITION canary is q12 (scan-dominated, ~0.3-0.6 s at
+    // any warmth) and not q1_agg (warm-end cost ~0.14 s, under the
+    // bound, which silently disabled the end signal)
+    val tiny = Map(Bench.PosCanaryQuery -> (0.05, Seq(0.05)))
     assert(Bench.canaryRatio(tiny, 0.5, Bench.CtlEndKey).isEmpty)
     // and no floor at all -> no ratio
     assert(Bench.canaryRatio(Map.empty, 0.5, Bench.CtlEndKey).isEmpty)
+    // the synthetic keys embed the canary's name: a future canary
+    // change starts FRESH position baselines instead of mis-ratioing
+    // new samples against the old query's scale
+    assert(Bench.CtlStartKey.endsWith(":" + Bench.PosCanaryQuery))
+    assert(Bench.CtlEndKey.endsWith(":" + Bench.PosCanaryQuery))
   }
 
   test("suspect entries carry the churn-canary ctl ratio, best-run min, and iso re-time") {
