@@ -125,6 +125,28 @@ object Bench {
     * churn-distrusted for HISTORY purposes (see [[mergeFloors]]). */
   private[graft] val ChurnTrustMin = 0.8
 
+  /** Below this, a big ratio over the floor is scheduler jitter, not
+    * signal (a 0.05 s query inflates 5× on any page-cache hiccup).
+    * Shared by the phantom predicate AND [[canaryRatio]] — one
+    * constant, so the two bounds can never drift apart. */
+  private[graft] val PhantomAbsFloorSec = 0.15
+
+  /** Ratio over the MEDIAN floor above which a sample is re-timed and,
+    * if it survives, flagged suspect. */
+  private[graft] val PhantomRatio = 2.5
+
+  /** The phantom/suspect predicate's denominator contract: a sample is
+    * over-floor iff it exceeds [[PhantomRatio]] × the MEDIAN of the
+    * query's run history ([[floorOf]]) — never the all-time min "t",
+    * which is a one-off best that would manufacture permanent 2×–4×
+    * flags on healthy runs (e.g. a 0.17 s outlier in a 0.7–1.2 s
+    * history). The min survives only as the trajectory floor in the
+    * merge file. Pinned by DriverContractSpec. */
+  private[graft] def overFloorOf(prev: Map[String, (Double, Seq[Double])],
+                                 name: String, t: Double): Boolean =
+    floorOf(prev, name)
+      .exists(p => p >= PhantomAbsFloorSec && t > PhantomRatio * p)
+
   /** Post-timing isolation — no query inherits another's (or leaks
     * its own) cached blocks, so each timing stands alone.
     * `clearCache()` drops CacheManager entries; DiskSnapshot
@@ -199,7 +221,7 @@ object Bench {
   private[graft] def canaryRatio(prev: Map[String, (Double, Seq[Double])],
                                  t: Double, posKey: String): Option[Double] =
     floorOf(prev, posKey).orElse(floorOf(prev, PosCanaryQuery))
-      .filter(_ >= 0.15).map(t / _)
+      .filter(_ >= PhantomAbsFloorSec).map(t / _)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -257,12 +279,9 @@ object Bench {
         java.nio.file.Paths.get(prevPath)), java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => Map.empty }
     def floor(name: String): Option[Double] = floorOf(prevRef, name)
-    val PhantomRatio = 2.5
-    val PhantomAbsFloorSec = 0.15 // below this, "5x" is scheduler jitter
-                                  // (keep in sync with canaryRatio's bound)
     def phantom(name: String, t: Double): Boolean =
       t < RepeatFloorSec && t > PhantomAbsFloorSec &&
-        floor(name).exists(p => t > PhantomRatio * p)
+        overFloorOf(prevRef, name, t)
     // optional dev filter: `Bench q97 q90` times only matching
     // prefixes (driver passes no args → full suite, unchanged)
     val only = args.toSeq.zipWithIndex
@@ -350,8 +369,7 @@ object Bench {
           var times = (t1 +: rest.collect { case (t, true) => t }).sorted
           var flaky = !rest.forall(_._2)
           def median = times(times.length / 2)
-          def overFloor = floor(name)
-            .exists(p => p >= PhantomAbsFloorSec && median > PhantomRatio * p)
+          def overFloor = overFloorOf(prevRef, name, median)
           var suspect = false
           var ctl: Option[Double] = None
           if (t1 >= RepeatFloorSec && overFloor) {
@@ -442,6 +460,12 @@ object Bench {
       // end canary for the second): a canary below ChurnTrustMin means
       // that stretch ran on an unrepresentatively fast box, and its
       // raw times must not erode the median floors.
+      // One-time transition note: since the position canary moved to
+      // q12_structure_agg (aebfbd1), the sweep-start medianOf3 runs
+      // q12 three times BEFORE the first pass, so q12's own in-suite
+      // sample is now pre-warmed while its floor history predates that
+      // warmup. Its history will drift down over a few rounds; a q12
+      // suspect flag during the transition is this, not a regression.
       val nRes = results.length
       // the synthetic canary entries append UNCONDITIONALLY: their
       // medians must track the typical cost at their sweep position

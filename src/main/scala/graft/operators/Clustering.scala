@@ -196,12 +196,15 @@ object Clustering {
       Similarity.dominanceSurvivors(asg, threshold)
         .select(col("__id").as(idCol), col("cluster")))
     // `out` is materialized and the gate chain (asg → withSuper → q's
-    // cache) is corpus-sized: free it NOW rather than waiting for a
-    // GC + ContextCleaner cycle. `out` keeps lineage, so an executor
-    // loss recomputes through the released chain; `children`'s blocks
+    // cache) is corpus-sized: free ALL of it NOW rather than waiting
+    // for a GC + ContextCleaner cycle. `out` keeps lineage, so an
+    // executor loss recomputes through the released chain; both
+    // consumers of withSuper (children and asg) are already
+    // materialized, so releasing it here is safe. `children`'s blocks
     // are k-sized and arrived via broadcast (outside asg's RDD
     // lineage) — the cleaner reaps them when the frame drops.
     DiskSnapshot.release(asg)
+    DiskSnapshot.release(withSuper)
     q.unpersist()
     out
   }

@@ -1210,6 +1210,15 @@ object CorpusStats {
     // Same driver-safety limit as the rollup (same cardinality).
     val ndRows = df.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("__nd")).limit(maxLabels + 2).collect()
+    // the rollup guard above only sees labels that produced >=1 token;
+    // a corpus with many labels whose text tokenizes to nothing could
+    // pass it while this limit silently truncates — guard here too so
+    // nDocs (and every prior) can never be silently undercounted.
+    require(ndRows.length < maxLabels + 2,
+      s"trainNaiveBayes: label column '$labelCol' has more than " +
+        s"$maxLabels distinct values — that is an id-like column, not " +
+        "a class label; pick a categorical column or raise " +
+        "spark.graft.nb.maxLabels")
     val nDocs = ndRows.map(_.getAs[Long]("__nd")).sum.toDouble
     val pin = spark.createDataFrame(
       ndRows.toSeq.filter(r => totByLabel.contains(r.get(0)))

@@ -171,12 +171,19 @@ object Dedup {
     * the production default; DedupSpec asserts the two kernels
     * recover the same candidate pair set on the gate corpus.
     */
-  def minhashCandidatesMd5(df: DataFrame, idCol: String, textCol: String,
-                           shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-                           minEstimate: Double = 0.5): DataFrame = {
-    require(bands > 0 && k % bands == 0,
-      s"k=$k must split into bands=$bands equal rows-per-band")
-    val r = k / bands
+  /** Per-document md5-family MinHash signatures — the gate twin of
+    * [[minhashSignatures]] (same (doc, sig) shape): ONE md5 per
+    * distinct word-n-gram shingle provides a 32-bit base (first 8 hex
+    * chars), and the k components are affine transforms over it
+    * ([[minhashA]]/[[minhashB]] mod [[MinhashP]]) — fully
+    * SQL-replayable. Written to parquet this is the gate-side dedup
+    * SNAPSHOT the incremental [[dropSeenBeforeMd5]] path dedups
+    * against. One shuffle: the k per-family mins are agg columns, so
+    * partial agg folds each partition's shingles before anything
+    * moves.
+    */
+  def minhashSignaturesMd5(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3, k: Int = 32): DataFrame = {
     val w = tokens(col(textCol))
     // distinct word-n-gram shingle strings, built map-side. sequence()
     // DESCENDS when start > stop, so short docs need the explicit
@@ -188,18 +195,31 @@ object Dedup {
     val sh = df.select(col(idCol).as("doc"), explode(shingles).as("s"))
       .select(col("doc"),
         conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("__hb"))
-    // one shuffle: k per-family mins as agg columns (partial agg folds
-    // each partition's shingles before anything moves)
     val seedMins = (0 until k).map(i =>
       min((lit(minhashA(i)) * col("__hb") + lit(minhashB(i))) % lit(MinhashP))
         .as(s"__h$i"))
+    sh.groupBy(col("doc"))
+      .agg(seedMins.head, seedMins.tail: _*)
+      .select(col("doc"), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
+  }
+
+  /** md5 band bucket keys: md5 of the comma-joined r-component band
+    * slice — shared by [[minhashCandidatesMd5]] and
+    * [[dropSeenBeforeMd5]] so the two gates band identically. */
+  private def md5Bands(sig: Column, bands: Int, r: Int): Column =
+    array((0 until bands).map(j =>
+      md5(array_join(slice(sig, j * r + 1, r).cast("array<string>"), ","))): _*)
+
+  def minhashCandidatesMd5(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                           minEstimate: Double = 0.5): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must split into bands=$bands equal rows-per-band")
+    val r = k / bands
     val sigs = org.apache.spark.sql.graftshim.DiskSnapshot.diskCached(
-      sh.groupBy(col("doc"))
-        .agg(seedMins.head, seedMins.tail: _*)
-        .select(col("doc"), array((0 until k).map(i => col(s"__h$i")): _*).as("sig")))
-    val buckets = sigs.select(col("doc"), posexplode(array((0 until bands).map(j =>
-      md5(array_join(slice(col("sig"), j * r + 1, r).cast("array<string>"), ","))): _*))
-      .as(Seq("band", "bucket")))
+      minhashSignaturesMd5(df, idCol, textCol, shingleN, k))
+    val buckets = sigs.select(col("doc"),
+      posexplode(md5Bands(col("sig"), bands, r)).as(Seq("band", "bucket")))
     val a = buckets.as("a"); val b = buckets.as("b")
     val pairs = a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
@@ -671,6 +691,49 @@ object Dedup {
     val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleN, k)
     def banded(s: DataFrame) = s.select(col("doc"), col("sig"),
       posexplode(lshBands(col("sig"), nBands, rowsPerBand)).as(Seq("band", "bucket")))
+    val candidates = banded(newSigs).as("n")
+      .join(banded(snapshotSigs).as("s"),
+        col("n.band") === col("s.band") && col("n.bucket") === col("s.bucket"))
+      .select(col("n.doc").as("new_doc"), col("n.sig").as("sig_n"),
+        col("s.sig").as("sig_s"))
+      .distinct()
+      .withColumn("est", aggregate(
+        zip_with(col("sig_n"), col("sig_s"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / lit(k.toDouble))
+      .filter(col("est") >= minEstimate)
+      .select(col("new_doc").as(idCol)).distinct()
+    newDocs.join(candidates, Seq(idCol), "left_anti")
+  }
+
+  /** DuckDB-replayable incremental dedup — the correctness-GATE twin
+    * of [[dropSeenBefore]]: identical pipeline shape (delta
+    * signatures map-side, both sides band, ONE band-keyed shuffle
+    * join, signature verify, anti-join back against the delta), but
+    * over the md5 affine hash family ([[minhashSignaturesMd5]]) and
+    * md5 band keys, so the whole path — including the persisted
+    * snapshot parquet — replays as SQL. DedupSpec asserts the two
+    * kernels keep the same survivor set on the gate corpus.
+    */
+  def dropSeenBeforeMd5(newDocs: DataFrame, idCol: String, textCol: String,
+                        snapshotSigs: DataFrame,
+                        shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                        minEstimate: Double = 0.5): DataFrame = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands ($bands) must divide k ($k)")
+    val r = k / bands
+    // same k-mismatch refusal as the production path (one aggregate
+    // over the WHOLE snapshot — see dropSeenBefore for why a
+    // first-row probe is not enough)
+    snapshotSigs.agg(min(size(col("sig"))), max(size(col("sig")))).head(1)
+      .filterNot(_.isNullAt(0)).foreach { row =>
+        val (lo, hi) = (row.getInt(0), row.getInt(1))
+        require(lo == k && hi == k,
+          s"snapshot signatures have k in [$lo, $hi] but dropSeenBeforeMd5 " +
+            s"was called with k=$k — rebuild the snapshot or pass matching k")
+      }
+    val newSigs = minhashSignaturesMd5(newDocs, idCol, textCol, shingleN, k)
+    def banded(s: DataFrame) = s.select(col("doc"), col("sig"),
+      posexplode(md5Bands(col("sig"), bands, r)).as(Seq("band", "bucket")))
     val candidates = banded(newSigs).as("n")
       .join(banded(snapshotSigs).as("s"),
         col("n.band") === col("s.band") && col("n.bucket") === col("s.bucket"))

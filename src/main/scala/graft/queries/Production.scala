@@ -65,6 +65,17 @@ object Production {
       graft.operators.Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", 5)
     }),
+    // incremental daily-delta dedup, xxhash64 kernel: same slices as
+    // the q146 gate, against its own persisted (parquet, reopened
+    // cold) snapshot-signature artifact. DedupSpec asserts this and
+    // the md5 gate keep the same survivor set.
+    "q146p_incremental_dedup_prod" -> ((s, dir) =>
+      graft.operators.Dedup.dropSeenBefore(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+        "doc_id", "text",
+        TextVector.dedupSnapshotFor(s, dir, md5Kernel = false),
+        shingleN = 3, k = 32, bands = 8, minEstimate = 0.5)
+        .select(col("doc_id"), col("n_chars"))),
     "q35p_dedup_pipeline_prod" -> ((s, dir) =>
       graft.operators.Dedup.dropNearDuplicates(t(s, dir, "documents"),
         "doc_id", "text", minEstimate = 0.5)),

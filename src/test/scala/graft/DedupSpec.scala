@@ -408,6 +408,22 @@ class DedupSpec extends SparkSpec {
       minEstimate = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == fresh.map(_._1).toSet,
       s"expected only fresh docs to survive, got $kept")
+    // gate twin: the md5 kernel against ITS OWN md5 snapshot keeps
+    // the same survivor set (the q146/q146p contract)
+    val snapshotMd5 = Dedup.minhashSignaturesMd5(corpus, "doc_id", "text")
+    val keptMd5 = Dedup.dropSeenBeforeMd5(delta, "doc_id", "text",
+      snapshotMd5, minEstimate = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptMd5 == kept, s"md5 gate $keptMd5 != production $kept")
+    // both paths refuse a snapshot built at a different k
+    val snapK16 = Dedup.minhashSignatures(corpus, "doc_id", "text", k = 16)
+    val eProd = intercept[IllegalArgumentException] {
+      Dedup.dropSeenBefore(delta, "doc_id", "text", snapK16).count() }
+    assert(eProd.getMessage.contains("rebuild the snapshot"))
+    val snapK16Md5 = Dedup.minhashSignaturesMd5(corpus, "doc_id", "text", k = 16)
+    val eGate = intercept[IllegalArgumentException] {
+      Dedup.dropSeenBeforeMd5(delta, "doc_id", "text", snapK16Md5).count() }
+    assert(eGate.getMessage.contains("rebuild the snapshot"))
   }
 
   test("removeDuplicatedLines keeps the canonical first line, gate == production") {

@@ -73,6 +73,26 @@ class DriverContractSpec extends AnyFunSuite {
     assert(again("c")._1 == 0.17 && again("c")._2 == prev("c")._2)
   }
 
+  test("suspect denominator: median floor, never the all-time min") {
+    // q117's class of phantom: best-ever min 0.17 in a ~1.0 s history.
+    // A healthy 0.68 s run is 4× the min but BELOW the median — the
+    // predicate must not fire; over 2.5× the median it must.
+    val prev = Map(
+      "c"    -> (0.17, Seq(0.9, 1.1, 0.8, 0.95, 1.0)),  // median 0.95
+      "tiny" -> (0.05, Seq(0.05, 0.06, 0.05)),          // sub-jitter
+      "old"  -> (1.00, Seq.empty[Double]))              // predates h
+    assert(!Bench.overFloorOf(prev, "c", 0.68))
+    assert(!Bench.overFloorOf(prev, "c", 0.95 * Bench.PhantomRatio * 0.99))
+    assert(Bench.overFloorOf(prev, "c", 0.95 * Bench.PhantomRatio * 1.01))
+    // floors below PhantomAbsFloorSec never flag (scheduler jitter)
+    assert(!Bench.overFloorOf(prev, "tiny", 1.0))
+    // history-less entries fall back to the min trajectory
+    assert(Bench.overFloorOf(prev, "old", 2.6))
+    assert(!Bench.overFloorOf(prev, "unknown", 99.0))
+    // canaryRatio shares the same jitter bound constant
+    assert(Bench.PhantomAbsFloorSec == 0.15)
+  }
+
   test("floor merge: failures keep entries, suspects min-merge but never enter history") {
     val prev = Map(
       "ok"   -> (0.50, Seq(0.9, 1.0)),
