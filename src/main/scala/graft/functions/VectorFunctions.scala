@@ -85,16 +85,22 @@ object VectorFunctions {
     * that positive scaling, so the weights stay integers and the
     * bucket bit never depends on float summation order.
     */
-  def hyperplaneMd5Int(planeId: Int, dim: Int): Column = {
-    // folded driver-side like [[hyperplane]] (md5 of a constant string
-    // is a constant; per-row evaluation cost nPlanes·dim md5 calls)
+  /** The raw md5 plane weights (exact integers in [-2^31, 2^31)) —
+    * shared by the literal-array form below and the fused
+    * `graft_jl_project` kernel's flat table. */
+  private[graft] def hyperplaneMd5IntValues(planeId: Int, dim: Int): Array[Long] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, Md5}
-    val vals = Array.tabulate(dim) { j =>
+    Array.tabulate(dim) { j =>
       val hex = Md5(Literal(s"plane$planeId|$j".getBytes("UTF-8")))
         .eval(org.apache.spark.sql.catalyst.InternalRow.empty).toString
       java.lang.Long.parseLong(hex.substring(0, 8), 16) - 2147483648L
     }
-    array(vals.map(lit).toIndexedSeq: _*)
+  }
+
+  def hyperplaneMd5Int(planeId: Int, dim: Int): Column = {
+    // folded driver-side like [[hyperplane]] (md5 of a constant string
+    // is a constant; per-row evaluation cost nPlanes·dim md5 calls)
+    array(hyperplaneMd5IntValues(planeId, dim).map(lit).toIndexedSeq: _*)
   }
 
   /** [[signLshBucket]] over the md5 plane family — the gate kernel
@@ -149,6 +155,21 @@ object VectorFunctions {
       aggregate(zip_with(qv, hyperplaneMd5Int(p, dim), (x, w) => x * w),
         lit(0L), (acc, t) => acc + t)
     }: _*)
+  }
+
+  /** [[randomProjectMd5Q]] through the fused codegen kernel
+    * (`graft_jl_project`) — bit-identical output (the dot is pure
+    * 64-bit integer arithmetic on both paths; PropertySpec pins
+    * equality), one JVM loop instead of outDim·dim interpreted lambda
+    * dispatches per row. Requires `GraftExtensions.registerAll` on
+    * the session (the HOF form above stays the session-free default).
+    */
+  def randomProjectMd5QKernel(v: Column, outDim: Int, dim: Int): Column = {
+    require(outDim >= 1 && dim >= 1)
+    val flat = (0 until outDim).flatMap(p =>
+      hyperplaneMd5IntValues(p, dim).toIndexedSeq)
+    call_function("graft_jl_project", v,
+      array(flat.map(lit): _*), lit(outDim), lit(65536.0))
   }
 
   /** Per-vector symmetric int8 quantization scale: `max|xᵢ| / 127`.

@@ -181,14 +181,14 @@ object Clustering {
     // gets from reusing sup.cells)
     val withSuper = DiskSnapshot.diskCachedEager(q
       .withColumn("__super", cellOfQuantized(superCents)(col("__qv"))))
-    val children = childLloydMd5(withSuper, kChild, iters)
+    val children = childLloydMd5(withSuper, superCents.length, kChild, iters)
     // the assignment is consumed THREE times by the dominance filter
     // (both sides of the cluster self-join plus the survivor
-    // anti-join), and each consumption re-runs the broadcast join and
-    // the interpreted kChild-argmin fold over the whole corpus —
-    // snapshot it once so the argmin is paid once. (Round 16's
-    // release-correctness fixes removed leaked blocks that used to
-    // hide exactly this recompute, which is why the gate slowed.)
+    // anti-join), and each consumption re-runs the interpreted
+    // kChild-argmin fold over the whole corpus — snapshot it once so
+    // the argmin is paid once. (Round 16's release-correctness fixes
+    // removed leaked blocks that used to hide exactly this recompute,
+    // which is why the gate slowed.)
     val asg = DiskSnapshot.diskCachedEager(
       assignChildren(withSuper, children).select(col("__id"), col("__vec"),
         (col("__super") * kChild + col("__child")).as("cluster")))
@@ -199,10 +199,9 @@ object Clustering {
     // cache) is corpus-sized: free ALL of it NOW rather than waiting
     // for a GC + ContextCleaner cycle. `out` keeps lineage, so an
     // executor loss recomputes through the released chain; both
-    // consumers of withSuper (children and asg) are already
-    // materialized, so releasing it here is safe. `children`'s blocks
-    // are k-sized and arrived via broadcast (outside asg's RDD
-    // lineage) — the cleaner reaps them when the frame drops.
+    // consumers of withSuper (the child Lloyd and asg) are already
+    // materialized, so releasing it here is safe. The child centroids
+    // are driver-side plan literals — nothing of theirs to release.
     DiskSnapshot.release(asg)
     DiskSnapshot.release(withSuper)
     q.unpersist()
@@ -213,54 +212,71 @@ object Clustering {
     * and [[compressedAnnTopKMd5]]: children seed from each super's
     * kChild md5-smallest rows, then `iters` distributed
     * (super, child, pos) partial-sum steps with empty children
-    * keeping their centroid. Returns the FINAL (super, child, ctr)
-    * frame (a DiskSnapshot — reaped when the caller drops it).
+    * keeping their centroid. The centroids are DRIVER-SIDE (k-sized —
+    * same posture as [[lloydQuantized]]'s super loop): one collect
+    * job per step instead of a per-step broadcast-join + snapshot
+    * chain, and downstream assignment consumes them as plan
+    * LITERALS. All sums are over exact small integers in doubles, so
+    * the driver-side `s/n` update is bit-identical to the former
+    * in-Spark division. Returns `mats(super)(child) = centroid`
+    * (ragged — a super with fewer than kChild rows seeds fewer
+    * children).
     */
-  private def childLloydMd5(withSuper: DataFrame, kChild: Int,
-                            iters: Int): DataFrame = {
+  private def childLloydMd5(withSuper: DataFrame, kSuper: Int, kChild: Int,
+                            iters: Int): Array[Array[Array[Double]]] = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__super")).orderBy(md5(col("__id").cast("string")))
-    var children = DiskSnapshot.diskCachedEager(withSuper
+    val seeds = withSuper
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= kChild)
-      .select(col("__super").as("super"), (col("__rk") - 1).as("child"),
-        col("__qv").as("ctr")))
-    for (_ <- 0 until iters) {
-      val sums = assignChildren(withSuper, children)
-        .select(col("super"), col("__child").as("child"),
-          posexplode(col("__qv")).as(Seq("pos", "v")))
-        .groupBy(col("super"), col("child"), col("pos"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-      val newCtrs = sums.groupBy(col("super"), col("child"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
-          x => x.getField("s") / x.getField("n")).as("ctr"))
-      // DiskSnapshot: k-sized rounds. Each round's lineage references
-      // the previous round's snapshot (lost blocks recompute through
-      // it), so blocks accumulate — bounded at iters × k rows — and
-      // the ContextCleaner reaps the whole chain when the caller
-      // drops the result; no unpersist ledger
-      children = DiskSnapshot.diskCachedEager(children.as("o")
-        .join(newCtrs.as("nw"), Seq("super", "child"), "left")
-        .select(col("super"), col("child"),
-          coalesce(col("nw.ctr"), col("o.ctr")).as("ctr")))
+      .select(col("__super"), (col("__rk") - 1).as("__child"), col("__qv"))
+      .collect()
+    var mats: Array[Array[Array[Double]]] = Array.tabulate(kSuper) { s =>
+      seeds.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray)
     }
-    children
+    for (_ <- 0 until iters) {
+      val sums = assignChildren(withSuper, mats)
+        .select(col("__super"), col("__child"),
+          posexplode(col("__qv")).as(Seq("__pos", "__v")))
+        .groupBy(col("__super"), col("__child"), col("__pos"))
+        .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val byCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      mats = mats.zipWithIndex.map { case (m, s) =>
+        m.zipWithIndex.map { case (ctr, c) =>
+          byCell.get((s, c)) match {
+            case Some(rows) =>
+              val nm = new Array[Double](ctr.length)
+              rows.foreach(r => nm(r.getAs[Int]("__pos")) =
+                r.getAs[Double]("__s") / r.getAs[Long]("__n"))
+              nm
+            case None => ctr // empty child keeps its centroid
+          }
+        }
+      }
+    }
+    mats
   }
 
-  /** Assign every `withSuper` row its child cell against the given
-    * children table (argmin over the super's child matrix, ties to
-    * the lowest child — [[cellOfMat]]'s fold). */
+  /** The per-super centroid matrices as ONE nested plan literal
+    * (indexed by `__super`; a row-less super keeps a never-consulted
+    * dummy so the literal stays rectangular at the top level). */
+  private def childMatsLit(mats: Array[Array[Array[Double]]]):
+      org.apache.spark.sql.Column =
+    array(mats.map { m =>
+      if (m.isEmpty) array(array(lit(0.0)))
+      else array(m.map(ctr =>
+        array(ctr.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    }.toIndexedSeq: _*)
+
+  /** Assign every `withSuper` row its child cell against ITS super's
+    * literal centroid matrix (argmin, ties to the lowest child —
+    * [[cellOfMat]]'s fold). No join: the matrices ride in the plan. */
   private def assignChildren(withSuper: DataFrame,
-                             children: DataFrame): DataFrame = {
-    val mats = children.groupBy(col("super"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("child"), col("ctr")))),
-        x => x.getField("ctr")).as("mat"))
-    withSuper
-      .join(broadcast(mats), col("__super") === col("super"))
-      .withColumn("__child", cellOfMat(col("__qv"), col("mat")))
-  }
+                             mats: Array[Array[Array[Double]]]): DataFrame =
+    withSuper.withColumn("__child",
+      cellOfMat(col("__qv"), element_at(childMatsLit(mats), col("__super") + 1)))
 
   /** DuckDB-replayable gate twin of the composed [[CompressedAnn]]
     * recipe (q119): md5-int JL projection (q114's exact-integer
@@ -285,7 +301,10 @@ object Clustering {
     graft.plans.GraftExtensions.registerAll(corpus.sparkSession)
     require(topCandidates >= k, s"topCandidates=$topCandidates < k=$k")
     def codes(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val pj = VectorFunctions.randomProjectMd5Q(vec, outDim, dim)
+      // fused codegen projection (registerAll ran above) — bit-equal
+      // to randomProjectMd5Q, one JVM loop per row instead of
+      // outDim·dim interpreted lambda dispatches
+      val pj = VectorFunctions.randomProjectMd5QKernel(vec, outDim, dim)
       val scale = VectorFunctions.int8Scale(pj)
       transform(VectorFunctions.int8Quantize(pj, scale), c => c.cast("double"))
     }
@@ -301,17 +320,39 @@ object Clustering {
     // the literal-heavy chain out of the ~10 Catalyst plans below
     // (its frame is a LogicalRDD leaf) while the RDD lineage stays
     // recomputable after an executor loss.
+    def prof[T](name: String)(f: => T): T =
+      if (sys.env.contains("GRAFT_PROF")) {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[prof] $name%-20s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      } else f
     val spread = graft.Tables.spreadDf(corpus)
-    val q = DiskSnapshot.diskCachedEager(spread
+    val q = prof("q snapshot")(DiskSnapshot.diskCachedEager(spread
       .select(col(idCol).as("__id"), col(vecCol).as("__vec"),
-        codes(col(vecCol)).as("__qv")))
-    val superCents = lloydQuantized(q, kSuper, superIters)
-    val withSuper = DiskSnapshot.diskCachedEager(q
-      .withColumn("__super", cellOfQuantized(superCents)(col("__qv"))))
-    val children = childLloydMd5(withSuper, kChild, iters)
+        codes(col(vecCol)).as("__qv"))))
+    val superCents = prof("super lloyd")(lloydQuantized(q, kSuper, superIters))
+    val withSuper = prof("withSuper snap")(DiskSnapshot.diskCachedEager(q
+      .withColumn("__super", cellOfQuantized(superCents)(col("__qv")))))
+    val children = prof("child lloyd")(
+      childLloydMd5(withSuper, superCents.length, kChild, iters))
     val cells = assignChildren(withSuper, children)
       .select(col("__id").as("neighbor_id"), col("__vec").as("nvec"),
-        col("__qv").as("nqv"), col("super"), col("__child").as("child"))
+        col("__qv").as("nqv"), col("__super").as("super"),
+        col("__child").as("child"))
+    // the k-sized (super, child, ctr) table as a LocalRelation for the
+    // probe join below (no job to build, broadcast by construction)
+    val childrenDf = {
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+      val rows = for {
+        (m, s) <- children.zipWithIndex.toSeq
+        (ctr, c) <- m.zipWithIndex
+      } yield org.apache.spark.sql.Row(s, c, ctr.toSeq)
+      corpus.sparkSession.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("super", IntegerType, nullable = false),
+        StructField("child", IntegerType, nullable = false),
+        StructField("ctr", ArrayType(DoubleType, containsNull = false),
+          nullable = false))))
+    }
     // queries run the same projection+code chain (a query drawn from
     // the corpus reproduces its corpus codes bit-for-bit)
     val qq = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
@@ -334,7 +375,7 @@ object Clustering {
     val wCell = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("__dc"), col("super"), col("child"))
-    val cp = sp.join(broadcast(children), Seq("super"))
+    val cp = sp.join(broadcast(childrenDf), Seq("super"))
       .withColumn("__dc", dChild)
       .withColumn("__rc", row_number().over(wCell))
       .filter(col("__rc") <= nprobeCells)
@@ -362,13 +403,14 @@ object Clustering {
     // exact rerank on the original floats
     val wExact = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    val out = DiskSnapshot.diskCachedEager(cands
+    val out = prof("out pipeline")(DiskSnapshot.diskCachedEager(cands
       .withColumn("cos", call_function("graft_cosine", col("qvec"), col("nvec")))
       .withColumn("rank", row_number().over(wExact).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 6).as("cosine")))
-    // q/withSuper/children are DiskSnapshots — reaped with this frame
+        round(col("cos"), 6).as("cosine"))))
+    // q/withSuper are DiskSnapshots — reaped with this frame; the
+    // child centroids are plan literals
     out
   }
 

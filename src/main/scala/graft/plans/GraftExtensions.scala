@@ -62,6 +62,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncodeExpr].getName, "graft_pq_encode"),
       (children: Seq[Expression]) => PqEncodeExpr(children): Expression),
+    (FunctionIdentifier("graft_jl_project"),
+      new ExpressionInfo(classOf[JlProjectExpr].getName, "graft_jl_project"),
+      (children: Seq[Expression]) => JlProjectExpr(children): Expression),
     (FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[NormalizeExpr].getName, "graft_normalize"),
       (children: Seq[Expression]) => NormalizeExpr(children): Expression),

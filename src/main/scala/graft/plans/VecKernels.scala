@@ -178,6 +178,45 @@ object VecKernels {
     }
     best
   }
+
+  /** md5-int JL projection (the q114/q119 gate family): quantize each
+    * component ONCE to `(long) floor(x·scale)` (Spark's `floor` on a
+    * double IS `math.floor(_).toLong` — same value), then each output
+    * plane is the pure 64-bit INTEGER dot against its weight row of
+    * the flat [plane][j] table. Long multiply-accumulate in plane
+    * order — bit-identical to the HOF form's
+    * `aggregate(zip_with(floor(x·scale), w, _*_), 0L, _+_)` (integer
+    * addition is associative, so even the fold order is moot).
+    * PropertySpec pins kernel == HOF equality.
+    */
+  def jlProject(v: ArrayData, flat: Array[Long], outDim: Int,
+                scale: Double, isFloat: Boolean): ArrayData = {
+    val dim = flat.length / outDim
+    if (v.numElements() != dim) throw new IllegalArgumentException(
+      s"graft_jl_project: vector dim ${v.numElements()} != plane dim $dim")
+    val qv = new Array[Long](dim)
+    var j = 0
+    while (j < dim) {
+      val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+      qv(j) = math.floor(x * scale).toLong
+      j += 1
+    }
+    val out = new Array[Long](outDim)
+    var p = 0
+    while (p < outDim) {
+      var acc = 0L
+      val base = p * dim
+      var i = 0
+      while (i < dim) {
+        acc += qv(i) * flat(base + i)
+        i += 1
+      }
+      out(p) = acc
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
 }
 
 /** Input check shared by every float-vector kernel: the JVM loops
@@ -483,6 +522,84 @@ final case class PqEncodeExpr(children: Seq[Expression]) extends Expression {
         if (!${ev.isNull}) {
           ${ev.value} = graft.plans.VecKernels.pqEncode(
             ${vg.value}, $flatRef, $mV, $dsubV, $ksubV);
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
+}
+
+/** graft_jl_project(vec, flat_planes, out_dim, scale) → array<bigint>
+  *
+  * Codegen'd md5-int JL projection — the fused form of
+  * `VectorFunctions.randomProjectMd5Q`'s zip_with+aggregate lambda
+  * trees (outDim·dim interpreted closure dispatches per row was the
+  * single biggest line in the q119 gate's cost). The flat
+  * [plane][j] weight table is a plan-time constant, extracted ONCE to
+  * a primitive long[] and shipped to the generated code as a
+  * reference object.
+  */
+final case class JlProjectExpr(children: Seq[Expression]) extends Expression {
+  require(children.length == 4,
+    "graft_jl_project(vec, flat_planes, out_dim, scale)")
+  private def ve = children(0); private def fe = children(1)
+  private lazy val outDimV = children(2).eval(null).toString.toInt
+  private lazy val scaleV = children(3).eval(null).toString.toDouble
+  private lazy val flatV: Array[Long] = {
+    val a = fe.eval(null).asInstanceOf[ArrayData].toLongArray()
+    require(outDimV >= 1 && a.length % outDimV == 0,
+      s"graft_jl_project flat table has ${a.length} longs, " +
+        s"not a multiple of out_dim = $outDimV")
+    a
+  }
+  // float components widen to double exactly (same value as the HOF
+  // form's cast("double")); double components pass through untouched
+  private lazy val vecIsFloat: Boolean =
+    ve.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = ve.nullable
+  override def prettyName: String = "graft_jl_project"
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecKernelChecks.all(
+      ve.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects vector array<float|double>, got ${other.simpleString}")
+      },
+      fe.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects flat_planes array<bigint>, got ${other.simpleString}")
+      },
+      VecKernelChecks.foldableConstants(
+        Seq(fe -> "flat_planes", children(2) -> "out_dim",
+          children(3) -> "scale"), prettyName))
+
+  override def eval(input: InternalRow): Any = {
+    val v = ve.eval(input)
+    if (v == null) null
+    else VecKernels.jlProject(v.asInstanceOf[ArrayData], flatV, outDimV,
+      scaleV, vecIsFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vg = ve.genCode(ctx)
+    val flatRef = ctx.addReferenceObj("jlFlat", flatV, "long[]")
+    ev.copy(code =
+      code"""
+        ${vg.code}
+        boolean ${ev.isNull} = ${vg.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.plans.VecKernels.jlProject(
+            ${vg.value}, $flatRef, $outDimV, ${scaleV}D, $vecIsFloat);
         }
       """)
   }

@@ -20,6 +20,32 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - math.sqrt(2.0)) < 1e-12)
   }
 
+  test("graft_jl_project kernel == randomProjectMd5Q HOF bit-for-bit") {
+    graft.plans.GraftExtensions.registerAll(spark)
+    val e = Tables(spark, sf001, "embeddings").limit(50)
+    def proj(c: org.apache.spark.sql.Column) =
+      e.select(col("vec_id"), c.as("p")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = proj(randomProjectMd5Q(col("embedding"), 16, 64))
+    val ker = proj(randomProjectMd5QKernel(col("embedding"), 16, 64))
+    assert(hof.nonEmpty && hof == ker, "float-input kernel drifted from HOF")
+    // double-input path: components pass through untouched on both
+    val d = e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    def projD(c: org.apache.spark.sql.Column) =
+      d.select(col("vec_id"), c.as("p")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(projD(randomProjectMd5Q(col("embedding"), 8, 64)) ==
+      projD(randomProjectMd5QKernel(col("embedding"), 8, 64)),
+      "double-input kernel drifted from HOF")
+    // non-numeric-array input refuses at analysis by kernel name
+    val bad = Seq((1L, "x")).toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      bad.select(randomProjectMd5QKernel(col("embedding"), 2, 1)).collect()
+    }
+    assert(err.getMessage.contains("graft_jl_project"))
+  }
+
   test("vector kernels refuse non-float arrays at analysis time") {
     // the fused kernels read via getFloat: array<double> would misread
     // bytes into garbage numbers, so it must fail analysis by name
