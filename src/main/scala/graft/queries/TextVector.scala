@@ -644,6 +644,46 @@ object TextVector {
           .as("ts"),
         col("text"))
       graft.streaming.StreamingPipelines.corpusIngest(docs)
+    }),
+
+    // the REAL streaming deployment of q139: the same documents land
+    // as parquet files, readStream → quality gate → (fp, window)
+    // dedup → windowed counts → parquet sink drains under
+    // Trigger.AvailableNow (including the no-data finalization
+    // batches that flush the last data batch's watermark). A
+    // far-future quality-passing "closer" row (written as a SECOND
+    // file) pushes the watermark past every real window so the sink
+    // holds exactly the batch twin's rows — its own window never
+    // closes, so it adds nothing. Same oracle SQL as q139: the
+    // streaming run must hash-match the batch replay end to end.
+    "q147_corpus_ingest_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+      import scala.jdk.CollectionConverters._
+      val base = java.nio.file.Files.createTempDirectory("graft-ingest-")
+      deleteOnExit(base)
+      val in = base.resolve("in").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + (col("doc_id") % 7200L) * 131L)
+          .as("ts"),
+        col("text"))
+      docs.write.mode("overwrite").parquet(in)
+      val closer = s.createDataFrame(
+        Seq(Row(999999999L, 1800000000L,
+          "the quick brown fox jumps over the lazy dog again and again today"))
+          .asJava,
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("sec", LongType), StructField("text", StringType))))
+        .select(col("doc_id"), timestamp_seconds(col("sec")).as("ts"),
+          col("text"))
+      closer.write.mode("append").parquet(in)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("ts", TimestampType), StructField("text", StringType)))
+      val q = graft.streaming.StreamingPipelines.corpusIngestToParquet(
+        s, in, schema, base.resolve("out").toString,
+        base.resolve("ckpt").toString, availableNow = true)
+      q.awaitTermination()
+      s.read.parquet(base.resolve("out").toString)
     })
   )
 
@@ -986,6 +1026,33 @@ object TextVector {
                    FROM bands a JOIN bands b
                    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
 
+  /** Replays the q139 ingest composition (quality gate → (fp, window)
+    * content dedup → per-window doc/token counts). Shared verbatim by
+    * the q139 batch gate and the q147 streaming-deployment gate. */
+  private val corpusIngestOracleSql =
+    """WITH gated AS MATERIALIZED (
+           SELECT doc_id, text,
+             CAST(1700000000 AS BIGINT) + (doc_id % 7200) * 131 AS sec
+           FROM documents
+           WHERE (len(string_split(text, ' ')) >= 8 AND len(string_split(text, ' ')) <= 100000
+            AND (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 2.0
+            AND (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 12.0
+            AND CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.01
+            AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.3)),
+         keyed AS (SELECT md5(trim(lower(text))) AS fp,
+                     (sec // 3600) * 3600 AS wk,
+                     CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nt
+                   FROM gated),
+         rep AS (SELECT wk, fp, min(nt) AS nt FROM keyed GROUP BY 1, 2)
+         SELECT wk AS w_start, count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens
+         FROM rep GROUP BY 1"""
+
   val oracle: Map[String, String] = Map(
     // replays the gate PQ end to end: 8 per-subspace lloydChainSql
     // quantized codebook builds (16 codewords, 2 rounds each over the
@@ -1097,29 +1164,11 @@ object TextVector {
     // (floor to the hour — Spark's window() epoch-aligns hourly
     // buckets), and counts are per-(fp, window) representative values
     // (min = the value: fp-equal texts have equal trimmed token counts)
-    "q139_corpus_ingest" ->
-      """WITH gated AS MATERIALIZED (
-           SELECT doc_id, text,
-             CAST(1700000000 AS BIGINT) + (doc_id % 7200) * 131 AS sec
-           FROM documents
-           WHERE (len(string_split(text, ' ')) >= 8 AND len(string_split(text, ' ')) <= 100000
-            AND (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
-                / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 2.0
-            AND (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
-                / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 12.0
-            AND CAST(len(list_filter(string_split(text, ' '),
-                  t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
-                / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.01
-            AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.3)),
-         keyed AS (SELECT md5(trim(lower(text))) AS fp,
-                     (sec // 3600) * 3600 AS wk,
-                     CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nt
-                   FROM gated),
-         rep AS (SELECT wk, fp, min(nt) AS nt FROM keyed GROUP BY 1, 2)
-         SELECT wk AS w_start, count(*) AS n_docs,
-           CAST(sum(nt) AS BIGINT) AS n_tokens
-         FROM rep GROUP BY 1""",
+    "q139_corpus_ingest" -> corpusIngestOracleSql,
+    // the streaming deployment (q147) must reproduce the batch twin
+    // bit-for-bit — ONE oracle serves both, so the two gates can
+    // never drift onto different kernels
+    "q147_corpus_ingest_stream" -> corpusIngestOracleSql,
     "q138_temperature_mixture" ->
       """WITH toks AS MATERIALIZED (
            SELECT doc_id, lang,

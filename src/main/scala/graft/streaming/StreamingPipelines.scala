@@ -114,15 +114,22 @@ object StreamingPipelines {
   def corpusIngestToParquet(spark: SparkSession, inDir: String, schema: StructType,
                             outDir: String, checkpointDir: String,
                             lateness: String = "30 minutes",
-                            window: String = "1 hour"): StreamingQuery = {
+                            window: String = "1 hour",
+                            availableNow: Boolean = false): StreamingQuery = {
     val in = spark.readStream.schema(schema).parquet(inDir)
-    corpusIngest(in, lateness, window)
+    val w = corpusIngest(in, lateness, window)
       .writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .start()
+    // AvailableNow = the batch-drain deployment shape (and the q147
+    // driver gate): process everything already landed — including the
+    // no-data finalization batches that flush windows the last data
+    // batch's watermark closed — then terminate.
+    (if (availableNow)
+      w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else w).start()
   }
 
   /** Continuous per-user sessionization into a parquet sink. */
