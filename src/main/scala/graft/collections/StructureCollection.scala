@@ -153,27 +153,52 @@ final case class StructureCollection(
     * yields (parent row, child rows)). Parent order follows the
     * parent's sort; children arrive grouped. For DISTRIBUTED
     * per-structure work use [[evaluate]] — this surface exists for
-    * API parity and small interactive use, like the reference's.
+    * API parity and small interactive use, like the reference's own
+    * streaming iterator (structure.py:1503-1611 reads per-halo
+    * chunks, never the whole particle table).
     *
-    * The child table is collected to the driver, so the call REFUSES
-    * when it exceeds `maxChildRows` (one cheap count) instead of
-    * silently OOM-ing the driver on a cluster-sized collection —
-    * filter/bound the collection first, or use [[evaluate]] /
-    * [[aggregateChild]] which stay distributed.
+    * STREAMS, never collects: children are keyed by the parent's sort
+    * position (one distributed join + range sort) and both sides
+    * drain through `toLocalIterator` — one partition at a time, so
+    * the driver holds one partition's rows, not the table, and there
+    * is no child-row cap. The ordered parent frame is disk-snapshotted
+    * once so the position assignment and the driver iteration read
+    * the SAME persisted blocks (their row orders cannot diverge);
+    * the snapshot is released when the iterator exhausts.
     */
-  def objects(name: String,
-              maxChildRows: Long = 5000000L): Iterator[(Row, Seq[Row])] = {
-    val filtered = child(name)
-    val nChild = filtered.count()
-    require(nChild <= maxChildRows,
-      s"objects() would collect $nChild '$name' rows to the driver " +
-        s"(cap $maxChildRows). Filter or bound() the collection first, or use " +
-        "evaluate()/aggregateChild() for distributed per-structure work; " +
-        "raise maxChildRows only if the driver really has the memory.")
-    val childByKey = filtered.collect().groupBy(_.getAs[Any](linkKey))
-    properties.getData.toLocalIterator().asScala.map { p =>
-      val k = p.getAs[Any](linkKey)
-      (p, childByKey.getOrElse(k, Array.empty[Row]).toSeq)
+  def objects(name: String): Iterator[(Row, Seq[Row])] = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.graftshim.DiskSnapshot
+    val c = child(name)
+    val spark = properties.df.sparkSession
+    val parents = DiskSnapshot.diskCachedEager(properties.getData)
+    val keyed = parents.select(col(linkKey))
+    val posDf = spark.createDataFrame(
+      keyed.rdd.zipWithIndex.map { case (r, i) => Row(r.get(0), i) },
+      StructType(Seq(keyed.schema.head,
+        StructField("__pos", LongType, nullable = false))))
+    // children as (position, packed row), globally range-sorted so the
+    // local iterator receives each structure's rows contiguously
+    val cSorted = c.join(posDf, Seq(linkKey))
+      .select(col("__pos"), struct(c.columns.map(col).toSeq: _*).as("__row"))
+      .sort(col("__pos"))
+    val pIt = parents.toLocalIterator().asScala
+    val cIt = cSorted.toLocalIterator().asScala.buffered
+    new Iterator[(Row, Seq[Row])] {
+      private var pos = -1L
+      def hasNext: Boolean = {
+        val more = pIt.hasNext
+        if (!more) DiskSnapshot.release(parents)
+        more
+      }
+      def next(): (Row, Seq[Row]) = {
+        pos += 1
+        val p = pIt.next()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        while (cIt.hasNext && cIt.head.getLong(0) == pos)
+          buf += cIt.next().getStruct(1)
+        (p, buf.toSeq)
+      }
     }
   }
 

@@ -68,14 +68,43 @@ class CollectionsSpec extends SparkSpec {
     assert(objs.head._2.map(_.getAs[Double]("p_mass")) == Seq(7.0))
   }
 
-  test("objects() refuses to collect a child table beyond the driver cap") {
-    val e = intercept[IllegalArgumentException] {
-      coll.objects("particles", maxChildRows = 1L)
+  test("objects() streams the child table partition-wise, no driver collect") {
+    // a child table far wider than any one partition: 200k rows over
+    // 1000 parents. The old implementation collect()ed all of it to
+    // the driver behind a 5M-row cap; the streaming merge holds one
+    // partition at a time, so there is no cap to trip — correctness
+    // here, laziness pinned below via toLocalIterator's one-job-per-
+    // partition contract.
+    val parents = OCDataset(
+      spark.range(1000).selectExpr("id AS halo_tag", "CAST(id AS DOUBLE) AS mass"),
+      Header(redshift = 0.0, dataType = "halos"))
+    val kids = spark.range(200000).selectExpr(
+      "id % 1000 AS halo_tag", "CAST(id AS DOUBLE) AS p_mass")
+    val big = StructureCollection(parents, Map("particles" -> kids), "halo_tag")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
     }
-    assert(e.getMessage.contains("evaluate()"),
-      "the error must point at the distributed alternative")
-    // and the cap is a cap, not a toggle: a fitting table still works
-    assert(coll.objects("particles", maxChildRows = 100L).nonEmpty)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val it = big.objects("particles")
+      val first = it.next()
+      Thread.sleep(300) // let listener events drain
+      val jobsAfterFirst = jobs
+      var n = 1L; var kidsSeen = first._2.length.toLong
+      while (it.hasNext) { val (_, ks) = it.next(); n += 1; kidsSeen += ks.length }
+      Thread.sleep(300) // let listener events drain
+      // every structure arrives grouped and complete
+      assert(n == 1000L && kidsSeen == 200000L)
+      assert(first._1.getAs[Long]("halo_tag") == 0L && first._2.length == 200)
+      // incremental fetch: draining the rest launches MORE partition
+      // jobs — the first structure did not pull the whole child table
+      assert(jobs > jobsAfterFirst,
+        s"expected further partition fetches after the first structure " +
+          s"(first=$jobsAfterFirst, total=$jobs)")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("lightcone: union with step column, redshift-range pruning") {
