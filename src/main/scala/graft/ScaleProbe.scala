@@ -186,6 +186,38 @@ object ScaleProbe {
     time("corpus_diff", base, scaled)(d =>
       CorpusStats.corpusDiff(d.filter(col("doc_id") % 3 =!= 0), d,
         "doc_id", "text").count())
+    // round-18 operators. Temperature mixture: one |strata|-row
+    // driver aggregate for the budgets (strata-cap guarded) + the
+    // shared one-shuffle prefix sampler — the multilingual balancing
+    // shape end to end.
+    time("temperature_sample", base, scaled) { d =>
+      val toks = d.select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+      val budgets = Sampling.temperatureBudgets(toks, "source", "n",
+        totalBudget = 100000L, alpha = 0.5)
+      Sampling.sampleToTokenBudgetBy(toks, "doc_id", "n", "source", budgets)
+        .count()
+    }
+    // q139 ingest batch twin: quality gate (map) -> (fp, window)
+    // dedup (one hash-agg-shaped window) -> per-window counts (one
+    // hash agg) — slim keyed rows shuffle, text never does
+    time("corpus_ingest_batch", base, scaled) { d =>
+      val docs = d.select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + (col("doc_id") % 7200L) * 131L)
+          .as("ts"),
+        col("text"))
+      graft.streaming.StreamingPipelines.corpusIngest(docs).count()
+    }
+    // q146 incremental daily-delta dedup: snapshot signatures FIXED at
+    // the base corpus's even slice (yesterday's artifact), the delta
+    // grows — signature map + banded join + anti-join, the realistic
+    // daily shape
+    time("incremental_dedup", base, scaled) { d =>
+      val snap = Dedup.minhashSignatures(
+        base.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      Dedup.dropSeenBefore(d, "doc_id", "text", snap, minEstimate = 0.5)
+        .count()
+    }
     // round-12 operators: classifier (train+apply on the scaled
     // corpus — label cardinality fixed, token model grows), hashing
     // featurizer (map-side + dim-bounded assembly), self-trained KN

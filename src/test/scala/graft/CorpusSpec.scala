@@ -1048,6 +1048,20 @@ class CorpusSpec extends SparkSpec {
       spark.conf.set("spark.graft.nb.maxLabels", "50")
       val (model, priors) = CorpusStats.trainNaiveBayes(df, "text", "label")
       assert(priors.count() == 50L && model.count() > 0L)
+      // the doc-count collect is guarded INDEPENDENTLY of the token
+      // rollup: labels whose text tokenizes to nothing are invisible
+      // to the rollup but still count docs, so a corpus with few
+      // token-bearing labels and many empty-text labels must refuse
+      // rather than silently undercount nDocs (and every prior)
+      spark.conf.set("spark.graft.nb.maxLabels", "10")
+      val sparse = ((1L to 5L).map(i => (i, s"tok$i words here", s"lab$i")) ++
+        (6L to 20L).map(i => (i, "", s"empty$i")))
+        .toDF("doc_id", "text", "label")
+      val e3 = intercept[IllegalArgumentException] {
+        CorpusStats.trainNaiveBayes(sparse, "text", "label")
+      }
+      assert(e3.getMessage.contains("more than 10 distinct values"),
+        e3.getMessage)
     } finally spark.conf.unset("spark.graft.nb.maxLabels")
     // array/binary labels would compare by REFERENCE in the driver-side
     // label map (silently emptying the priors) — they must refuse loudly
