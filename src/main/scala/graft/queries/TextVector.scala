@@ -681,7 +681,10 @@ object TextVector {
         StructField("ts", TimestampType), StructField("text", StringType)))
       val q = graft.streaming.StreamingPipelines.corpusIngestToParquet(
         s, in, schema, base.resolve("out").toString,
-        base.resolve("ckpt").toString, availableNow = true)
+        base.resolve("ckpt").toString, availableNow = true,
+        // a few hundred windows of state: 4 store partitions, not the
+        // cluster batch default (see corpusIngestToParquet)
+        statePartitions = Some(4))
       q.awaitTermination()
       s.read.parquet(base.resolve("out").toString)
     })

@@ -115,8 +115,27 @@ object StreamingPipelines {
                             outDir: String, checkpointDir: String,
                             lateness: String = "30 minutes",
                             window: String = "1 hour",
-                            availableNow: Boolean = false): StreamingQuery = {
-    val in = spark.readStream.schema(schema).parquet(inDir)
+                            availableNow: Boolean = false,
+                            statePartitions: Option[Int] = None): StreamingQuery = {
+    // State partition count is a DEPLOYMENT-SIZING choice, pinned into
+    // the checkpoint at first start: a streaming query's stateful
+    // operators each open one state store per shuffle partition per
+    // micro-batch, so a small ingest stream on a big-cluster default
+    // (32+) pays dozens of store inits per batch for state that fits
+    // in a few. Size it to the stream's key cardinality, not the
+    // cluster's batch default (at 100 TB you'd raise it with load —
+    // repartitioning state requires a new checkpoint either way).
+    // The override lives in a CHILD session (own conf, shared
+    // SparkContext) so the caller's session is never mutated and the
+    // async micro-batch planner can't race a save/restore.
+    val sess = statePartitions match {
+      case Some(n) =>
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", n)
+        s2
+      case None => spark
+    }
+    val in = sess.readStream.schema(schema).parquet(inDir)
     val w = corpusIngest(in, lateness, window)
       .writeStream
       .format("parquet")
