@@ -66,6 +66,30 @@ class PlanShapeSpec extends SparkSpec {
       s"benchmark grams not broadcast-semi-joined:\n$p")
   }
 
+  test("incremental delta dedup: text never shuffles, survivors anti-join broadcasts") {
+    // the production daily-delta operator (q146p's kernel): only slim
+    // (doc, sig, band, bucket) rows may enter a shuffle — yesterday's
+    // 100 TB of text is represented by its signature artifact and the
+    // delta's text rides only the final anti-join, whose candidate
+    // list is duplicate-sized and must broadcast at test SF
+    import graft.operators.Dedup
+    val docs = graft.Tables(spark, sf001, "documents")
+    val snap = Dedup.minhashSignatures(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text")
+    val out = Dedup.dropSeenBefore(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", snap, minEstimate = 0.5)
+    val exec = out.queryExecution.executedPlan
+    val shuffledCols = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.map(_.name)
+    }.flatten
+    assert(!shuffledCols.contains("text"),
+      s"document text entered a shuffle: ${shuffledCols.distinct}")
+    val p = exec.toString
+    assert(p.contains("LeftAnti") && p.contains("Broadcast"),
+      s"survivor anti-join not broadcast:\n$p")
+  }
+
   test("PQ probe never shuffles the encoded corpus") {
     // the production operator directly (the q75 queries entry is the
     // localCheckpointed md5 gate, whose executed plan is opaque)
