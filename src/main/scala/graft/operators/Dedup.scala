@@ -882,7 +882,10 @@ object Dedup {
                                       textCol: String, w: Int,
                                       hash: Column => Column): DataFrame = {
     require(w > 0, s"windowTokens=$w must be positive")
-    val wins = windowHashes(df, idCol, textCol, w, hash)
+    // consumed twice (canon agg + occ join) — snapshot like
+    // duplicatedSpansBy so the window kernel is paid once
+    val wins = org.apache.spark.sql.graftshim.DiskSnapshot.diskCached(
+      windowHashes(df, idCol, textCol, w, hash))
     // canonical occurrence per duplicated hash = min (doc, pos)
     val dup = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("c"), min(struct(col("doc"), col("pos"))).as("canon"))
@@ -1026,7 +1029,12 @@ object Dedup {
                                 hash: Column => Column): DataFrame = {
     require(w > 0, s"windowTokens=$w must be positive")
     import org.apache.spark.sql.expressions.Window
-    val wins = windowHashes(df, idCol, textCol, w, hash)
+    // the window-hash kernel (tokenize + one hash per window) is
+    // consumed TWICE (the dup-count agg and the marked semi-join) —
+    // snapshot the slim (doc, pos, h) frame so the per-row kernel is
+    // paid once; ContextCleaner reaps it with the result frame
+    val wins = org.apache.spark.sql.graftshim.DiskSnapshot.diskCached(
+      windowHashes(df, idCol, textCol, w, hash))
     val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select(col("h"))
     val marked = wins.join(dup, Seq("h"), "left_semi")
