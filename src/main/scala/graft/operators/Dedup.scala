@@ -293,7 +293,11 @@ object Dedup {
         s"bands are quadratic in corpus size (SCALE.md), and this corpus exceeds the " +
         s"$SimhashGateMaxDocs-doc gate bound — use simhashPairs (16-bit bands) for " +
         s"production corpora")
-    val sigs = simhashSignaturesMd5(df, idCol, textCol)
+    // the signature build (one md5 per token + the 64-bit vote agg)
+    // feeds BOTH sides of the band self-join — snapshot the slim
+    // (doc, sig) frame so it's paid once (the q26 sigs pattern)
+    val sigs = org.apache.spark.sql.graftshim.DiskSnapshot.diskCached(
+      simhashSignaturesMd5(df, idCol, textCol))
     val nBands = maxHamming + 1
     val base = 64 / nBands
     val banded = sigs.select(col("doc"), col("sig"),
@@ -620,6 +624,13 @@ object Dedup {
   private def shingleIntersections(df: DataFrame, idCol: String,
                                    textCol: String, n: Int): DataFrame = {
     graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    // three consumers (counts joined twice + the posting-list
+    // intersection) RECOMPUTE the shingle kernel deliberately: it is
+    // one codegen'd tokenize+xxhash pass, cheaper per consumer than
+    // writing and re-reading the EXPLODED shingle frame through a
+    // snapshot (measured: snapshotting this cost q25 ~40% at sf0.1 —
+    // the opposite trade from the md5-family kernels, whose per-row
+    // hashing dwarfs their slim (doc, sig) snapshots)
     val sh = df.select(col(idCol).as("doc"),
       explode(call_function("graft_ngram_hashes",
         transform(tokens(col(textCol)), t => xxhash64(t)), lit(n))).as("s"))
@@ -758,9 +769,12 @@ object Dedup {
     // one-pass codegen'd kernel over the token hashes (vs 64 HOF
     // traversals in TextFunctions.simhash64 — same semantics up to
     // the vote tie-break, cross-checked in DedupSpec).
-    val sigs = df.select(col(idCol).as("doc"),
-      call_function("graft_simhash64",
-        transform(tokens(col(textCol)), t => xxhash64(t))).as("sig"))
+    // snapshot: the tokenize+hash+vote kernel feeds BOTH sides of the
+    // band self-join (same pattern as the md5 gate twin)
+    val sigs = org.apache.spark.sql.graftshim.DiskSnapshot.diskCached(
+      df.select(col(idCol).as("doc"),
+        call_function("graft_simhash64",
+          transform(tokens(col(textCol)), t => xxhash64(t))).as("sig")))
     val banded = sigs.select(col("doc"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "key")))

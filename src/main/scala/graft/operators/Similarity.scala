@@ -352,8 +352,11 @@ object Similarity {
                          threshold: Double, nPlanes: Int = 0, dim: Int = 64): DataFrame = {
     val planes = if (nPlanes > 0) nPlanes
       else autoPlanes(df.count(), targetBucket = 16L)
-    val b = df.select(col(idCol).as("doc"), col(vecCol).as("v"),
-      signLshBucket(col(vecCol), planes, dim).as("bucket"))
+    // snapshot: the per-row plane fold feeds BOTH sides of the
+    // bucket self-join — pay it once (the simhash/minhash pattern)
+    val b = org.apache.spark.sql.graftshim.DiskSnapshot.diskCached(
+      df.select(col(idCol).as("doc"), col(vecCol).as("v"),
+        signLshBucket(col(vecCol), planes, dim).as("bucket")))
     val a = b.as("a"); val c = b.as("b")
     // codegen'd kernel cosine (identical values to the HOF form —
     // both sum left to right; SimilaritySpec pins them equal): the
@@ -537,8 +540,11 @@ object Similarity {
                             threshold: Double, nPlanes: Int,
                             dim: Int = 64): DataFrame = {
     require(nPlanes > 0, "gate kernel needs an explicit plane count")
-    val b = df.select(col(idCol).as("doc"), col(vecCol).as("v"),
-      signLshBucketMd5(col(vecCol), nPlanes, dim).as("bucket"))
+    // snapshot: same both-sides-of-the-self-join reuse as the
+    // production kernel above
+    val b = org.apache.spark.sql.graftshim.DiskSnapshot.diskCached(
+      df.select(col(idCol).as("doc"), col(vecCol).as("v"),
+        signLshBucketMd5(col(vecCol), nPlanes, dim).as("bucket")))
     val a = b.as("a"); val c = b.as("b")
     // codegen'd kernel cosine (identical values to the HOF form —
     // both sum left to right; SimilaritySpec pins them equal): the
