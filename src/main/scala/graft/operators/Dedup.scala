@@ -587,9 +587,14 @@ object Dedup {
   private def dropByComponentsBest(df: DataFrame, idCol: String,
                                    score: Column, pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs, "doc_a", "doc_b")
-    val members = df.select(col(idCol).as("__m"), score.as("__q"))
-      .join(comps, col("__m") === col("node"))
-      .select(col("__m"), col("__q"), col("label"))
+    // members is duplicate-cluster-sized (tiny next to the corpus) but
+    // feeds THREE consumers (the per-label max, the winner join, the
+    // doomed join) — without a snapshot each one re-scans the corpus
+    // for the (id, score) projection and re-runs the comps join
+    val members = org.apache.spark.sql.graftshim.DiskSnapshot.diskCachedEager(
+      df.select(col(idCol).as("__m"), score.as("__q"))
+        .join(comps, col("__m") === col("node"))
+        .select(col("__m"), col("__q"), col("label")))
     val best = members.groupBy(col("label")).agg(max(col("__q")).as("__bq"))
     // score equality here is exact even for float scores: __bq is one
     // of the members' own __q values, compared against itself. The
