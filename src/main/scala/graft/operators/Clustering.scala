@@ -224,6 +224,17 @@ object Clustering {
     */
   private def childLloydMd5(withSuper: DataFrame, kSuper: Int, kChild: Int,
                             iters: Int): Array[Array[Array[Double]]] = {
+    // the GATE twins keep child centroids as plan literals (one
+    // driver-sized matrix, zero join jobs) — a deliberate gate-scale
+    // trade. Past the flat-literal cluster ceiling that is exactly
+    // the blowup the PRODUCTION two-level path (TwoLevel.fit's
+    // join-table children) exists to avoid: refuse loudly instead of
+    // silently building a multi-hundred-MB literal.
+    require(kSuper.toLong * kChild <= Similarity.MaxAutoClusters,
+      s"md5 gate twin: $kSuper x $kChild child cells exceed the " +
+        s"flat-literal ceiling (${Similarity.MaxAutoClusters}); use the " +
+        "production two-level path (Similarity.semanticDedupLarge / " +
+        "CompressedAnn) for cluster counts at this scale")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__super")).orderBy(md5(col("__id").cast("string")))
     val seeds = withSuper

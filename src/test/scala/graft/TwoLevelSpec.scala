@@ -143,6 +143,21 @@ class TwoLevelSpec extends SparkSpec {
     assert(recall >= 0.35, s"gate twin recall $recall drifted from production's regime")
   }
 
+  test("md5 gate twins refuse cluster counts past the flat-literal ceiling") {
+    // the gate twins keep child centroids as PLAN LITERALS (gate-scale
+    // trade); past MaxAutoClusters cells that literal is the exact
+    // blowup the production two-level join-table path avoids — the
+    // twin must refuse loudly, pointing at the production path
+    import graft.operators.Clustering
+    val e = Tables(spark, sf001, "embeddings")
+    val err = intercept[IllegalArgumentException] {
+      Clustering.semanticDedupLargeMd5(e, "vec_id", "embedding",
+        threshold = 0.3, k = graft.operators.Similarity.MaxAutoClusters + 1)
+    }
+    assert(err.getMessage.contains("flat-literal ceiling"), err.getMessage)
+    assert(err.getMessage.contains("semanticDedupLarge"), err.getMessage)
+  }
+
   test("semanticDedupLarge prunes planted duplicates like the flat kernel") {
     // identical embeddings share every kernel distance, so a planted
     // twin always lands in its original's cluster and the dominance
