@@ -143,6 +143,11 @@ object TextVector {
     })
   }
 
+  /** q147's staged streaming input files, one copy per (session, dir)
+    * — see the gate's comment. */
+  private val stagedIngestInputs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def deleteOnExit(root: java.nio.file.Path): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       try graft.io.FsUtil.deleteRecursively(root)
@@ -660,23 +665,32 @@ object TextVector {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
       import scala.jdk.CollectionConverters._
+      // the staged INPUT is harness setup (same files every run — the
+      // q49 stagedDir convention): cached per (session, dir).
+      // Checkpoint + sink stay strictly per-run.
+      val in = stagedIngestInputs.synchronized {
+        stagedIngestInputs.getOrElseUpdate(s"${System.identityHashCode(s)}|$dir", {
+          val d = java.nio.file.Files.createTempDirectory("graft-ingest-in-")
+          deleteOnExit(d)
+          val docs = t(s, dir, "documents").select(col("doc_id"),
+            timestamp_seconds(lit(1700000000L) + (col("doc_id") % 7200L) * 131L)
+              .as("ts"),
+            col("text"))
+          docs.write.mode("overwrite").parquet(d.toString)
+          val closer = s.createDataFrame(
+            Seq(Row(999999999L, 1800000000L,
+              "the quick brown fox jumps over the lazy dog again and again today"))
+              .asJava,
+            StructType(Seq(StructField("doc_id", LongType),
+              StructField("sec", LongType), StructField("text", StringType))))
+            .select(col("doc_id"), timestamp_seconds(col("sec")).as("ts"),
+              col("text"))
+          closer.write.mode("append").parquet(d.toString)
+          d.toString
+        })
+      }
       val base = java.nio.file.Files.createTempDirectory("graft-ingest-")
       deleteOnExit(base)
-      val in = base.resolve("in").toString
-      val docs = t(s, dir, "documents").select(col("doc_id"),
-        timestamp_seconds(lit(1700000000L) + (col("doc_id") % 7200L) * 131L)
-          .as("ts"),
-        col("text"))
-      docs.write.mode("overwrite").parquet(in)
-      val closer = s.createDataFrame(
-        Seq(Row(999999999L, 1800000000L,
-          "the quick brown fox jumps over the lazy dog again and again today"))
-          .asJava,
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("sec", LongType), StructField("text", StringType))))
-        .select(col("doc_id"), timestamp_seconds(col("sec")).as("ts"),
-          col("text"))
-      closer.write.mode("append").parquet(in)
       val schema = StructType(Seq(StructField("doc_id", LongType),
         StructField("ts", TimestampType), StructField("text", StringType)))
       val q = graft.streaming.StreamingPipelines.corpusIngestToParquet(
