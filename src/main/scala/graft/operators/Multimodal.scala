@@ -734,6 +734,68 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** Deterministic image RESIZE (pixel-area-partition downscale) of
+    * the first band: source pixel (r, c) belongs to output cell
+    * (floor(r·outH/h), floor(c·outW/w)) — every source pixel to
+    * exactly one cell, every cell non-empty when outH ≤ h and
+    * outW ≤ w — and the cell's value is the MEAN of its members.
+    * Integer-exact sums (band samples are ints, cells hold ≤ h·w of
+    * them), so the thumb replays bit-for-bit in SQL — unlike
+    * Graphics2D/AffineTransform interpolation, whose output is
+    * platform- and JDK-variant. This is the fixed-size feature grid a
+    * vision-embedding pipeline feeds downstream (thumbnail → model),
+    * shaped like [[decodeFeatures]]: map-only, one decoder per
+    * partition, null / undecodable / smaller-than-(outW, outH)
+    * payloads degrade to a null thumb (poison-safe).
+    * Output columns: input ++ (thumb_w, thumb_h,
+    * thumb array<double> row-major).
+    */
+  def resizeFeatures(df: DataFrame, payloadCol: String,
+                     outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1, s"resize to ${outW}x$outH")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("thumb_w", IntegerType),
+      StructField("thumb_h", IntegerType),
+      StructField("thumb", ArrayType(DoubleType, containsNull = false))))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val nulls: Seq[Any] = Seq(null, null, null)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val payload = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val extra: Seq[Any] = if (payload == null) nulls
+        else try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          if (img == null || img.getWidth < outW || img.getHeight < outH) nulls
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val raster = img.getRaster
+            val sums = new Array[Long](outW * outH)
+            val counts = new Array[Long](outW * outH)
+            var rr = 0
+            while (rr < h) {
+              val ti = rr.toLong * outH / h
+              var cc = 0
+              while (cc < w) {
+                val tj = cc.toLong * outW / w
+                val cell = (ti * outW + tj).toInt
+                sums(cell) += raster.getSample(cc, rr, 0)
+                counts(cell) += 1
+                cc += 1
+              }
+              rr += 1
+            }
+            val thumb = Array.tabulate(outW * outH)(i =>
+              sums(i).toDouble / counts(i))
+            Seq(outW, outH, thumb.toSeq)
+          }
+        } catch { case scala.util.control.NonFatal(_) => nulls }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame sampling plan for video payloads: emit (frame_no, byte
     * range) rows per media row WITHOUT decoding — the shuffle-free
     * fan-out that downstream per-frame decoders consume. `stride`

@@ -522,6 +522,30 @@ object TextVector {
           col("channels"), col("n_frames"), col("px_mean"))
     }),
 
+    // image RESIZE with a REAL codec: q34's deterministic grayscale
+    // PNGs, decoded and downscaled to a fixed 3x3 feature grid by the
+    // pixel-area-partition rule (source pixel (r,c) -> output cell
+    // (r*3//h, c*3//w), cell = mean of its members — integer-exact
+    // sums, so the oracle replays every cell bit-for-bit; Graphics2D
+    // interpolation is deliberately NOT used, its output is
+    // JDK-variant). Cells ship as nano-fixed-point longs (the q124
+    // convention) — one row per (doc, cell).
+    "q148_image_resize" -> ((s, dir) => {
+      val n = length(col("text").cast("binary"))
+      val base = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("hex"),
+          (lit(4) + n % 13).cast("int").as("w"),
+          (lit(4) + floor(n / lit(13)) % 11).cast("int").as("h"))
+      val media = Multimodal.synthesizeGrayPng(base, "hex", "w", "h")
+      Multimodal.resizeFeatures(media, "payload", outW = 3, outH = 3)
+        .select(col("doc_id"), posexplode(col("thumb")).as(Seq("p", "v")))
+        .select(col("doc_id"),
+          (col("p") / 3).cast("int").as("ti"),
+          (col("p") % 3).cast("int").as("tj"),
+          round(col("v") * lit(1e9)).cast("long").as("v9"))
+    }),
+
     // video decode pipeline with a REAL container parser: synthesize
     // a deterministic multi-frame AVI per doc (uncompressed BI_RGB
     // DIB frames — lossless — whose gray pixels cycle the md5-hex
@@ -1504,6 +1528,22 @@ object TextVector {
            avg(ascii(substr(hex, CAST(t.i % 32 AS INTEGER) + 1, 1))) AS px_mean
          FROM base, UNNEST(generate_series(0, CAST(width AS BIGINT) * height - 1)) AS t(i)
          GROUP BY doc_id, width, height""",
+    // replays q34's pixel rule, partitions each source pixel into its
+    // output cell ((r*3)//h, (c*3)//w), and averages per cell — the
+    // exact resize the Spark decoder computes from the real raster
+    "q148_image_resize" ->
+      """WITH base AS (
+           SELECT doc_id, md5(text) AS hex,
+             CAST(4 + octet_length(CAST(text AS BLOB)) % 13 AS INTEGER) AS w,
+             CAST(4 + (octet_length(CAST(text AS BLOB)) // 13) % 11 AS INTEGER) AS h
+           FROM documents WHERE text IS NOT NULL),
+         px AS (SELECT doc_id,
+             CAST(((t.i // w) * 3) // h AS INTEGER) AS ti,
+             CAST(((t.i % w) * 3) // w AS INTEGER) AS tj,
+             ascii(substr(hex, CAST(t.i % 32 AS INTEGER) + 1, 1)) AS v
+           FROM base, UNNEST(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS t(i))
+         SELECT doc_id, ti, tj, CAST(round(avg(v) * 1e9) AS BIGINT) AS v9
+         FROM px GROUP BY 1, 2, 3""",
     // replays the 6 md5-plane signatures (shared construction with
     // q37's oracle): the bucket bit is the sign of an exact INTEGER
     // dot product — component quantized to floor(x*2^16), weight the

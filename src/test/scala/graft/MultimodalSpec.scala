@@ -122,6 +122,35 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Double]("px_mean") == exp)
   }
 
+  test("resizeFeatures: exact pixel-area-partition means; too-small and poison rows null out") {
+    // 4x4 raster resized to 2x2: the floor partition puts rows {0,1}
+    // in ti=0, {2,3} in ti=1 (same for columns) — each cell is the
+    // exact mean of its 4 member pixels (value = ascii(hex[i % 32]))
+    val hex = "0123456789abcdef0123456789abcdef"
+    val base = Seq((7L, hex, 4, 4)).toDF("doc_id", "hex", "w", "h")
+    val media = Multimodal.synthesizeGrayPng(base, "hex", "w", "h")
+    val out = Multimodal.resizeFeatures(media, "payload", outW = 2, outH = 2)
+      .first()
+    assert(out.getAs[Int]("thumb_w") == 2 && out.getAs[Int]("thumb_h") == 2)
+    val px = Array.tabulate(4, 4)((r, c) => hex.charAt((r * 4 + c) % 32).toInt)
+    def cell(ri: Range, ci: Range) =
+      (for (r <- ri; c <- ci) yield px(r)(c)).sum / 4.0
+    val exp = Seq(cell(0 to 1, 0 to 1), cell(0 to 1, 2 to 3),
+      cell(2 to 3, 0 to 1), cell(2 to 3, 2 to 3))
+    assert(out.getAs[scala.collection.Seq[Double]]("thumb").toSeq == exp)
+    // a raster smaller than the target grid and a poison payload both
+    // degrade to null thumbs (the decodeFeatures contract)
+    val mixed = Multimodal.synthesizeGrayPng(
+        Seq((1L, hex, 2, 2)).toDF("doc_id", "hex", "w", "h"), "hex", "w", "h")
+      .unionByName(Seq((2L, Array[Byte](1, 2, 3)))
+        .toDF("doc_id", "payload").withColumn("hex", lit(hex))
+        .withColumn("w", lit(4)).withColumn("h", lit(4))
+        .select("doc_id", "hex", "w", "h", "payload"))
+    val nulls = Multimodal.resizeFeatures(mixed, "payload", 3, 3).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(r.fieldIndex("thumb"))).toMap
+    assert(nulls == Map(1L -> true, 2L -> true))
+  }
+
   test("palette-indexed images report color-space stats, not indices") {
     import javax.imageio.ImageIO
     ImageIO.setUseCache(false)
