@@ -565,6 +565,37 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** Synthesize a deterministic mono 16-bit WAV per row — the audio
+    * analog of [[synthesizeGrayPng]]: sample i is the ASCII code of
+    * `hexCol`'s character i % 32 (an exact small integer, so every
+    * decoded statistic — per-bin RMS, mean amplitude — replays
+    * bit-for-bit in SQL; the sine generator stays the realistic
+    * corpus synth, but libm sin() is not cross-engine-exact). Null /
+    * short hex or non-positive length degrade to a null payload.
+    */
+  def synthesizeHexWav(df: DataFrame, hexCol: String, lenCol: String,
+                       sampleRate: Int = 8000): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("payload", BinaryType))
+    val hi = df.schema.fieldIndex(hexCol)
+    val li = df.schema.fieldIndex(lenCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val payload: Any =
+          if (r.isNullAt(hi) || r.isNullAt(li)) null
+          else {
+            val hex = r.getString(hi)
+            val len = r.getInt(li)
+            if (hex == null || hex.length < 32 || len <= 0) null
+            else pcmBytes(sampleRate, 1,
+              Array.tabulate[Short](len)(i => hex.charAt(i % 32).toShort))
+          }
+        Row.fromSeq(r.toSeq :+ payload)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Encode grayscale frames as a real AVI container — the video
     * analog of [[pngBytes]]/[[pcmBytes]]: a deterministic test-corpus
     * generator producing files any stock player opens. Frames are

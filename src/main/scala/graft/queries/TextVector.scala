@@ -546,6 +546,30 @@ object TextVector {
           round(col("v") * lit(1e9)).cast("long").as("v9"))
     }),
 
+    // audio decode pipeline with a REAL codec: synthesize a
+    // deterministic mono 16-bit WAV per doc (samples = md5-hex ASCII
+    // codes cycled — exact small integers, unlike the sine corpus
+    // synth whose libm sin() is not cross-engine-exact), decode it
+    // back with javax.sound, and ship the 4-bin temporal RMS envelope
+    // plus the mean amplitude as nano-fixed-point longs. Every sum is
+    // an exact multiple of 2^-30 (squares) / 2^-15 (amplitudes), so
+    // the SQL replay is bit-exact through the float RMS cast.
+    "q149_audio_envelope" -> ((s, dir) => {
+      val n = length(col("text").cast("binary"))
+      val base = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("hex"),
+          (lit(50) + n % 97).cast("int").as("len"))
+      val media = Multimodal.synthesizeHexWav(base, "hex", "len")
+      Multimodal.decodeFeatures(media, "payload",
+          new Multimodal.AudioDecoder(featDim = 4))
+        .select(col("doc_id"), col("n_frames"),
+          round(col("px_mean") * lit(1e9)).cast("long").as("amp9"),
+          posexplode(col("feature")).as(Seq("bin", "rms")))
+        .select(col("doc_id"), col("n_frames"), col("amp9"), col("bin"),
+          round(col("rms").cast("double") * lit(1e9)).cast("long").as("rms9"))
+    }),
+
     // video decode pipeline with a REAL container parser: synthesize
     // a deterministic multi-frame AVI per doc (uncompressed BI_RGB
     // DIB frames — lossless — whose gray pixels cycle the md5-hex
@@ -1544,6 +1568,30 @@ object TextVector {
            FROM base, UNNEST(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS t(i))
          SELECT doc_id, ti, tj, CAST(round(avg(v) * 1e9) AS BIGINT) AS v9
          FROM px GROUP BY 1, 2, 3""",
+    // replays the hex-sample rule: per temporal bin (i*4 // len), the
+    // RMS over s = a/32768 computed EXACTLY as the decoder does —
+    // (sum(a^2) / 2^30) / count, sqrt (correctly rounded IEEE on both
+    // engines), cast through REAL (the decoder's float), then
+    // nano-fixed-point; the mean amplitude likewise
+    "q149_audio_envelope" ->
+      """WITH base AS (
+           SELECT doc_id, md5(text) AS hex,
+             CAST(50 + octet_length(CAST(text AS BLOB)) % 97 AS INTEGER) AS len
+           FROM documents WHERE text IS NOT NULL),
+         s AS (SELECT doc_id, len,
+             CAST((t.i * 4) // len AS INTEGER) AS bin,
+             CAST(ascii(substr(hex, CAST(t.i % 32 AS INTEGER) + 1, 1)) AS BIGINT) AS a
+           FROM base, UNNEST(generate_series(0, CAST(len AS BIGINT) - 1)) AS t(i)),
+         pb AS (SELECT doc_id, len, bin,
+             sqrt((sum(a * a) / 1073741824.0) / count(*)) AS rms
+           FROM s GROUP BY 1, 2, 3),
+         amp AS (SELECT doc_id,
+             CAST(round((sum(a) / 32768.0) / len * 1e9) AS BIGINT) AS amp9
+           FROM s GROUP BY doc_id, len)
+         SELECT pb.doc_id, CAST(pb.len AS INTEGER) AS n_frames, amp.amp9,
+           pb.bin,
+           CAST(round(CAST(CAST(pb.rms AS REAL) AS DOUBLE) * 1e9) AS BIGINT) AS rms9
+         FROM pb JOIN amp ON amp.doc_id = pb.doc_id""",
     // replays the 6 md5-plane signatures (shared construction with
     // q37's oracle): the bucket bit is the sign of an exact INTEGER
     // dot product — component quantized to floor(x*2^16), weight the

@@ -223,6 +223,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).isNullAt(out(3L).fieldIndex("width"))) // negative n -> null
   }
 
+  test("synthesizeHexWav -> AudioDecoder round-trips the hex-sample rule exactly") {
+    // samples are ASCII codes of the hex string cycled — exact small
+    // integers, so the decoded envelope replays with NO tolerance
+    val hex = "0123456789abcdef0123456789abcdef"
+    val base = Seq((7L, hex, 40), (8L, "short", 40), (9L, hex, 0))
+      .toDF("doc_id", "hex", "len")
+    val media = Multimodal.synthesizeHexWav(base, "hex", "len")
+    val rows = Multimodal.decodeFeatures(media, "payload",
+        new Multimodal.AudioDecoder(featDim = 4))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // invalid hex / non-positive length degrade to null payload+stats
+    assert(rows(8L).isNullAt(rows(8L).fieldIndex("n_frames")))
+    assert(rows(9L).isNullAt(rows(9L).fieldIndex("n_frames")))
+    val ok = rows(7L)
+    assert(ok.getAs[Int]("width") == 8000 && ok.getAs[Int]("height") == 16)
+    assert(ok.getAs[Int]("n_frames") == 40 && ok.getAs[Int]("channels") == 1)
+    val a = Array.tabulate(40)(i => hex.charAt(i % 32).toInt)
+    val expMean = a.map(_ / 32768.0).sum / 40.0
+    assert(ok.getAs[Double]("px_mean") == expMean)
+    val feat = ok.getAs[scala.collection.Seq[Float]]("feature")
+    val expFeat = (0 until 4).map { b =>
+      val m = a.zipWithIndex.collect { case (v, i) if i * 4 / 40 == b => v }
+      math.sqrt(m.map(v => v * v / 1073741824.0).sum / m.length).toFloat
+    }
+    assert(feat.toSeq == expFeat)
+  }
+
   test("decodeFeatures with AudioDecoder: partition reuse + poison row") {
     val rate = 8000
     val wav = Multimodal.pcmBytes(rate, 1,
