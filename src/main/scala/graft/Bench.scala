@@ -35,10 +35,12 @@ object Bench {
   private[graft] def entry(k: String, v: Double, n: Int, st: Int,
                            susp: Boolean, ctl: Option[Double] = None,
                            minT: Option[Double] = None,
-                           iso: Option[Double] = None): String = {
+                           iso: Option[Double] = None,
+                           trend: Boolean = false): String = {
     val flags = (if (st == 2) ",\"failed\":true" else "") +
       (if (st == 1) ",\"flaky\":true" else "") +
       (if (susp) ",\"suspect\":true" else "") +
+      (if (trend) ",\"trend\":true" else "") +
       ctl.fold("")(c => ",\"ctl\":" + "%.2f".formatLocal(java.util.Locale.ROOT, c)) +
       minT.fold("")(m => ",\"min\":" + r3(m)) +
       iso.fold("")(i => ",\"iso\":" + r3(i))
@@ -135,17 +137,53 @@ object Bench {
     * if it survives, flagged suspect. */
   private[graft] val PhantomRatio = 2.5
 
+  /** Absolute bar a CURRENT sample must clear before a sub-jitter-floor
+    * query can flag: a 0.05–0.14 s query inflating to 0.2–0.3 s is
+    * still scheduler noise (the phantom-flag hole r17 closed), but the
+    * same query at 0.5–0.8 s is a real regression — round 18 shipped
+    * q50/q62/q65 at 4–8× their histories "zero flags" because the old
+    * predicate exempted every sub-0.15 s-floor query from EVER
+    * flagging, no matter how slow it got. */
+  private[graft] val FastFlagAbsSec = 0.4
+
   /** The phantom/suspect predicate's denominator contract: a sample is
     * over-floor iff it exceeds [[PhantomRatio]] × the MEDIAN of the
     * query's run history ([[floorOf]]) — never the all-time min "t",
     * which is a one-off best that would manufacture permanent 2×–4×
     * flags on healthy runs (e.g. a 0.17 s outlier in a 0.7–1.2 s
     * history). The min survives only as the trajectory floor in the
-    * merge file. Pinned by DriverContractSpec. */
+    * merge file. The absolute jitter bound applies to the SAMPLE, not
+    * the denominator: a query whose floor sits under
+    * [[PhantomAbsFloorSec]] flags iff the sample ALSO clears the
+    * higher [[FastFlagAbsSec]] bar — fast queries keep flag (and
+    * pass-2 re-time) eligibility without re-opening the phantom-flag
+    * direction. Pinned by DriverContractSpec. */
   private[graft] def overFloorOf(prev: Map[String, (Double, Seq[Double])],
                                  name: String, t: Double): Boolean =
-    floorOf(prev, name)
-      .exists(p => p >= PhantomAbsFloorSec && t > PhantomRatio * p)
+    floorOf(prev, name).exists { p =>
+      if (p >= PhantomAbsFloorSec) t > PhantomRatio * p
+      else t > math.max(PhantomRatio * p, FastFlagAbsSec)
+    }
+
+  /** Monotone-drift detector (round-18 verdict ask #3): the suspect
+    * pipeline sees single-round spikes; a query drifting a few tens of
+    * percent EVERY round (r18: q45 +44 %, q92 +70 %, q118 +36 %)
+    * never trips the 2.5× bar yet is regressing, not jittering. A
+    * sample is `trend`-flagged iff the last [[TrendLen]] values of its
+    * history-plus-this-run STRICTLY increase AND the window's total
+    * rise clears [[TrendMinRise]] (four strictly-increasing samples of
+    * a 0.1 s query 2 ms apart is noise, not drift). Advisory only:
+    * trend entries ship next to suspects in the artifact but still
+    * enter the floor history — the median floor must keep tracking an
+    * accepted drift, or every later round re-flags it forever. */
+  private[graft] val TrendLen = 4
+  private[graft] val TrendMinRise = 1.2
+  private[graft] def isTrending(hist: Seq[Double], t: Double): Boolean = {
+    val w = (hist :+ t).takeRight(TrendLen)
+    w.length >= TrendLen &&
+      w.sliding(2).forall(p => p(1) > p(0)) &&
+      w.last >= TrendMinRise * w.head
+  }
 
   /** Post-timing isolation — no query inherits another's (or leaks
     * its own) cached blocks, so each timing stands alone.
@@ -166,14 +204,18 @@ object Bench {
     }
   }
 
-  /** Run-level churn field: the WORST (max) of the sweep-start and
-    * sweep-end canary ratios, plus both samples — empty when neither
-    * sample ran (no floor yet, or a filtered dev run). Extracted so
-    * DriverContractSpec pins the serialization.
+  /** Run-level churn field: the WORST (max) of the sweep-start,
+    * mid-sweep, and sweep-end canary ratios, plus all samples that
+    * ran — empty when none did (no floor yet, or a filtered dev run).
+    * Three positions because a two-point read cannot see a mid-sweep
+    * churn phase (the alternative hypothesis for round 18's unflagged
+    * regression cluster). Extracted so DriverContractSpec pins the
+    * serialization.
     */
   private[graft] def churnFieldOf(start: Option[Double],
+                                  mid: Option[Double],
                                   end: Option[Double]): String = {
-    val rs = start.toSeq ++ end.toSeq
+    val rs = start.toSeq ++ mid.toSeq ++ end.toSeq
     if (rs.isEmpty) ""
     else {
       def r2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
@@ -213,6 +255,7 @@ object Bench {
     * query's scale.
     */
   private[graft] val CtlStartKey = s"__ctl_start:$PosCanaryQuery"
+  private[graft] val CtlMidKey = s"__ctl_mid:$PosCanaryQuery"
   private[graft] val CtlEndKey = s"__ctl_end:$PosCanaryQuery"
 
   /** Canary ratio against the position-fair floor: the posKey's
@@ -364,7 +407,19 @@ object Bench {
     // (≈1 ⇒ quiet box, ≫1 ⇒ distrust total drift this round).
     val ctlStartT = if (only.isEmpty) medianOf3(PosCanaryQuery, posFn) else None
     val churnStart = ctlStartT.flatMap(canaryRatio(prevRef, _, CtlStartKey))
-    val firstPass = selected.map { case (name, fn) => (name, fn, timeOnce(name, fn)) }
+    // the sweep splits at its midpoint for the third canary sample —
+    // a minutes-long churn phase confined to the middle of a ~2 min
+    // sweep is invisible to both endpoint canaries, and mid-sweep
+    // queries' history-trust was previously judged by whichever
+    // endpoint happened to be nearer
+    val half = selected.length / 2
+    val fpHead = selected.take(half)
+      .map { case (name, fn) => (name, fn, timeOnce(name, fn)) }
+    val ctlMidT = if (only.isEmpty) medianOf3(PosCanaryQuery, posFn) else None
+    val churnMid = ctlMidT.flatMap(canaryRatio(prevRef, _, CtlMidKey))
+    val fpTail = selected.drop(half)
+      .map { case (name, fn) => (name, fn, timeOnce(name, fn)) }
+    val firstPass = fpHead ++ fpTail
     val results: Seq[(String, Double, Int, Int, Boolean, Option[Double], Option[Double])] =
       firstPass.map { case (name, fn, (t1, ok1)) =>
         // phantoms get extra repeats: sub-floor runs are cheap, and a
@@ -382,7 +437,13 @@ object Bench {
           def overFloor = overFloorOf(prevRef, name, median)
           var suspect = false
           var ctl: Option[Double] = None
-          if (t1 >= RepeatFloorSec && overFloor) {
+          // slow tier AND surviving phantoms both escalate: a fast
+          // query whose 5-sample MEDIAN still clears the flag bar is
+          // not one inflated shot — it gets the same GC+settle
+          // isolated re-times and, if it survives those too, ships
+          // suspect:true (round 18's q50/q62/q65 would have flagged
+          // here instead of silently entering the floor history)
+          if ((t1 >= RepeatFloorSec || isPhantom) && overFloor) {
             System.gc(); Thread.sleep(250)
             val extra = (1 to 2).map(_ => timeOnce(name, fn))
             times = (times ++ extra.collect { case (t, true) => t }).sorted
@@ -437,9 +498,14 @@ object Bench {
       }.toMap
     val ctlEndT = if (only.isEmpty) medianOf3(PosCanaryQuery, posFn) else None
     val churnEnd = ctlEndT.flatMap(canaryRatio(prevRef, _, CtlEndKey))
-    val churnField = churnFieldOf(churnStart, churnEnd)
+    val churnField = churnFieldOf(churnStart, churnMid, churnEnd)
+    // trend is computed against the query's COMMITTED history + this
+    // run's reported value; suspects are excluded (their sample is
+    // churn-distrusted and never enters the history anyway)
+    def trendOf(k: String, v: Double, susp: Boolean): Boolean =
+      !susp && prevRef.get(k).exists { case (_, h) => isTrending(h, v) }
     val qs = results.map { case (k, v, n, st, susp, ctl, mn) =>
-      entry(k, v, n, st, susp, ctl, mn, isoTimes.get(k)) }
+      entry(k, v, n, st, susp, ctl, mn, isoTimes.get(k), trendOf(k, v, susp)) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nFailed = results.count(_._4 == 2)
@@ -451,9 +517,11 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: $e") }
     println(fullLine) // dev-visible; NOT the line the driver parses
-    val flagged = results.filter(r => r._4 != 0 || r._5)
+    val flagged = results
+      .filter(r => r._4 != 0 || r._5 || trendOf(r._1, r._2, r._5))
       .map { case (k, v, n, st, susp, ctl, mn) =>
-        entry(k, v, n, st, susp, ctl, mn, isoTimes.get(k)) }
+        entry(k, v, n, st, susp, ctl, mn, isoTimes.get(k),
+          trendOf(k, v, susp)) }
     println(compactHeadline(total, sfDir, failedField + churnField,
       results.length, flagged))
     // refresh the phantom reference after a FULL successful pass:
@@ -481,11 +549,16 @@ object Bench {
       // medians must track the typical cost at their sweep position
       // (that typicality is what makes the trust ratio fair), and a
       // median-of-5 history resists any single abnormal round
-      val canaryRows = Seq(CtlStartKey -> ctlStartT, CtlEndKey -> ctlEndT)
+      val canaryRows = Seq(CtlStartKey -> ctlStartT, CtlMidKey -> ctlMidT,
+        CtlEndKey -> ctlEndT)
         .collect { case (k, Some(t)) => (k, t, 0, false, true) }
       val merged = mergeFloors(prevRef,
         canaryRows ++ results.zipWithIndex.map { case ((k, v, _, st, susp, _, _), i) =>
-          val nearest = if (i * 2 < nRes) churnStart else churnEnd
+          // nearest of the three canary positions (0, half, nRes)
+          val nearest =
+            if (i * 2 < half) churnStart
+            else if (i * 2 < half + nRes) churnMid
+            else churnEnd
           (k, v, st, susp, nearest.forall(_ >= ChurnTrustMin))
         })
       try java.nio.file.Files.write(

@@ -285,6 +285,38 @@ object ScaleProbe {
         "hex", "w", "h")
       Multimodal.decodeFeatures(m, "payload").count()
     }
+    // q148/q150 image resize: decode + per-band area-partition means
+    // are per-partition map work over each row's own raster — the
+    // exponent must read flat per-row like decode (the thumb sum
+    // forces every cell to evaluate; count() would prune the resize)
+    time("image_resize", base, scaled) { d =>
+      import graft.operators.Multimodal
+      val n = length(col("text").cast("binary"))
+      val m = Multimodal.synthesizeRgbPng(
+        d.select(col("doc_id"), md5(col("text").cast("binary")).as("hex"),
+          (lit(4) + n % 13).cast("int").as("w"),
+          (lit(4) + floor(n / lit(13)) % 11).cast("int").as("h")),
+        "hex", "w", "h")
+      Multimodal.resizeFeatures(m, "payload", outW = 3, outH = 3)
+        .agg(sum(aggregate(col("thumb"), lit(0.0), (a, x) => a + x)))
+        .collect()(0); 0L
+    }
+    // q149 audio envelope: WAV encode + javax.sound decode + 4-bin
+    // temporal RMS, all inside one decoder pass per row — map-only,
+    // no shuffle (the feature sum forces the envelope to evaluate)
+    time("audio_envelope", base, scaled) { d =>
+      import graft.operators.Multimodal
+      val m = Multimodal.synthesizeHexWav(
+        d.select(col("doc_id"), md5(col("text").cast("binary")).as("hex"),
+          (lit(50) + length(col("text").cast("binary")) % 97).cast("int")
+            .as("len")),
+        "hex", "len")
+      Multimodal.decodeFeatures(m, "payload",
+          new Multimodal.AudioDecoder(featDim = 4))
+        .agg(sum(aggregate(col("feature"),
+          lit(0.0), (a, x) => a + x.cast("double"))))
+        .collect()(0); 0L
+    }
 
     // vector side: exact (the O(n²) oracle baseline) vs LSH in BOTH
     // regimes — fixed bucket count (the mis-tuned state) and the

@@ -165,8 +165,19 @@ final case class StructureCollection(
     * once so the position assignment and the driver iteration read
     * the SAME persisted blocks (their row orders cannot diverge);
     * the snapshot is released when the iterator exhausts.
+    *
+    * Null link keys: a child row whose `linkKey` is null belongs to no
+    * structure and is EXCLUDED (SQL join semantics — null never equals
+    * null), rather than silently grouped under a null parent. Parents
+    * with a null key yield their row with zero children.
+    *
+    * Cleanup: the parent snapshot is released when `hasNext` first
+    * observes exhaustion. An ABANDONED (partially-drained) iterator
+    * defers its block cleanup to Spark's ContextCleaner at GC time;
+    * callers that stop early can release eagerly via the returned
+    * iterator's `close()` (it is `AutoCloseable`).
     */
-  def objects(name: String): Iterator[(Row, Seq[Row])] = {
+  def objects(name: String): Iterator[(Row, Seq[Row])] with AutoCloseable = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     import org.apache.spark.sql.graftshim.DiskSnapshot
     val c = child(name)
@@ -179,16 +190,20 @@ final case class StructureCollection(
         StructField("__pos", LongType, nullable = false))))
     // children as (position, packed row), globally range-sorted so the
     // local iterator receives each structure's rows contiguously
-    val cSorted = c.join(posDf, Seq(linkKey))
+    val cSorted = c.where(col(linkKey).isNotNull).join(posDf, Seq(linkKey))
       .select(col("__pos"), struct(c.columns.map(col).toSeq: _*).as("__row"))
       .sort(col("__pos"))
     val pIt = parents.toLocalIterator().asScala
     val cIt = cSorted.toLocalIterator().asScala.buffered
-    new Iterator[(Row, Seq[Row])] {
+    new Iterator[(Row, Seq[Row])] with AutoCloseable {
       private var pos = -1L
+      private var released = false
+      def close(): Unit = if (!released) {
+        released = true; DiskSnapshot.release(parents)
+      }
       def hasNext: Boolean = {
         val more = pIt.hasNext
-        if (!more) DiskSnapshot.release(parents)
+        if (!more) close()
         more
       }
       def next(): (Row, Seq[Row]) = {

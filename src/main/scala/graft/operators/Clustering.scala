@@ -242,26 +242,46 @@ object Clustering {
       .filter(col("__rk") <= kChild)
       .select(col("__super"), (col("__rk") - 1).as("__child"), col("__qv"))
       .collect()
+    // the cell ceiling alone does not bound DRIVER cost — literal
+    // nodes and collected sums both scale with cells x dim, so a
+    // 64-dim code at the 16384-cell ceiling is ~1M doubles of plan
+    // literal per assignChildren call. Fold dim into the budget and
+    // refuse past it, same posture as the cell ceiling above.
+    val dim = seeds.headOption.map(_.getSeq[Double](2).length).getOrElse(0)
+    require(kSuper.toLong * kChild * dim <= MaxChildLiteralDoubles,
+      s"md5 gate twin: $kSuper x $kChild cells at dim $dim exceed the " +
+        s"child-centroid literal budget ($MaxChildLiteralDoubles " +
+        "doubles); use the production two-level path " +
+        "(Similarity.semanticDedupLarge / CompressedAnn) at this scale")
     var mats: Array[Array[Array[Double]]] = Array.tabulate(kSuper) { s =>
       seeds.filter(_.getInt(0) == s).sortBy(_.getInt(1))
         .map(_.getSeq[Double](2).toArray)
     }
     for (_ <- 0 until iters) {
+      // the element partial-sums stay per-(super, child, pos) for the
+      // shuffle, then re-assemble into ONE array row per cell (pos-
+      // sorted collect_list) so the driver pulls cells rows, not
+      // cells x dim — the division still happens driver-side over the
+      // same exact sums, so centroids are bit-identical to the former
+      // per-pos pull
       val sums = assignChildren(withSuper, mats)
         .select(col("__super"), col("__child"),
           posexplode(col("__qv")).as(Seq("__pos", "__v")))
         .groupBy(col("__super"), col("__child"), col("__pos"))
         .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+        .groupBy(col("__super"), col("__child"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__s")))),
+          x => x.getField("__s")).as("__ss"),
+          max(col("__n")).as("__n"))
         .collect()
-      val byCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      val byCell = sums.map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
       mats = mats.zipWithIndex.map { case (m, s) =>
         m.zipWithIndex.map { case (ctr, c) =>
           byCell.get((s, c)) match {
-            case Some(rows) =>
-              val nm = new Array[Double](ctr.length)
-              rows.foreach(r => nm(r.getAs[Int]("__pos")) =
-                r.getAs[Double]("__s") / r.getAs[Long]("__n"))
-              nm
+            case Some(r) =>
+              val n = r.getAs[Long]("__n")
+              r.getSeq[Double](2).map(_ / n).toArray
             case None => ctr // empty child keeps its centroid
           }
         }
@@ -269,6 +289,11 @@ object Clustering {
     }
     mats
   }
+
+  /** Driver budget for the md5 gate twins' child-centroid literals:
+    * cells x dim doubles per [[assignChildren]] plan and per-iteration
+    * collect. ~16 MB of literal at the cap. */
+  private[graft] val MaxChildLiteralDoubles: Long = 1L << 21
 
   /** The per-super centroid matrices as ONE nested plan literal
     * (indexed by `__super`; a row-less super keeps a never-consulted

@@ -1214,7 +1214,10 @@ object CorpusStats {
     // a corpus with many labels whose text tokenizes to nothing could
     // pass it while this limit silently truncates — guard here too so
     // nDocs (and every prior) can never be silently undercounted.
-    require(ndRows.length < maxLabels + 2,
+    // No grouping-total row in THIS collect, so the bound is a plain
+    // <= maxLabels — exactly the cardinality the message promises
+    // (the rollup guard's collect includes its total row, hence +1).
+    require(ndRows.length <= maxLabels,
       s"trainNaiveBayes: label column '$labelCol' has more than " +
         s"$maxLabels distinct values — that is an id-like column, not " +
         "a class label; pick a categorical column or raise " +

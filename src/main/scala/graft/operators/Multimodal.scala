@@ -536,6 +536,56 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** Append a `payload` column holding a real RGB PNG whose band-b
+    * sample at flat pixel index i (row-major) is the ASCII code of
+    * `hexCol.charAt((3·i + b) % len)` — the color analog of
+    * [[synthesizeGrayPng]]: a deterministic, SQL-replayable
+    * multi-band corpus for exercising the per-band resize path with a
+    * real codec. PNG truecolor is lossless, and raster band order is
+    * color-component order on both encode and decode, so band b reads
+    * back exactly what was written. Per-partition encode, no shuffle;
+    * degenerate inputs degrade to a null payload (poison-safe).
+    */
+  def synthesizeRgbPng(df: DataFrame, hexCol: String, wCol: String,
+                       hCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("payload", BinaryType))
+    val hi = df.schema.fieldIndex(hexCol)
+    val wi = df.schema.fieldIndex(wCol)
+    val hti = df.schema.fieldIndex(hCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val payload: Any =
+          if (r.isNullAt(hi) || r.isNullAt(wi) || r.isNullAt(hti) ||
+              r.getString(hi).isEmpty || r.getInt(wi) <= 0 || r.getInt(hti) <= 0)
+            null
+          else {
+            val hex = r.getString(hi)
+            val w = r.getInt(wi); val h = r.getInt(hti)
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            val raster = img.getRaster
+            var i = 0
+            while (i < w * h) {
+              var b = 0
+              while (b < 3) {
+                raster.setSample(i % w, i / w, b,
+                  hex.charAt((3 * i + b) % hex.length).toInt)
+                b += 1
+              }
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          }
+        Row.fromSeq(r.toSeq :+ payload)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Append a `payload` column holding a real WAV whose sine
     * frequency and duration derive from `nCol` — the audio analog of
     * [[synthesizeGrayPng]]: a deterministic real-codec corpus for
@@ -765,11 +815,11 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
-  /** Deterministic image RESIZE (pixel-area-partition downscale) of
-    * the first band: source pixel (r, c) belongs to output cell
+  /** Deterministic image RESIZE (pixel-area-partition downscale) over
+    * EVERY raster band: source pixel (r, c) belongs to output cell
     * (floor(r·outH/h), floor(c·outW/w)) — every source pixel to
     * exactly one cell, every cell non-empty when outH ≤ h and
-    * outW ≤ w — and the cell's value is the MEAN of its members.
+    * outW ≤ w — and each cell holds the per-band MEAN of its members.
     * Integer-exact sums (band samples are ints, cells hold ≤ h·w of
     * them), so the thumb replays bit-for-bit in SQL — unlike
     * Graphics2D/AffineTransform interpolation, whose output is
@@ -778,8 +828,12 @@ object Multimodal {
     * shaped like [[decodeFeatures]]: map-only, one decoder per
     * partition, null / undecodable / smaller-than-(outW, outH)
     * payloads degrade to a null thumb (poison-safe).
-    * Output columns: input ++ (thumb_w, thumb_h,
-    * thumb array<double> row-major).
+    * Output columns: input ++ (thumb_w, thumb_h, thumb_bands,
+    * thumb array<double> — flat index (ti·outW + tj)·bands + band, so
+    * a 1-band image keeps the historical row-major cell layout and an
+    * RGB one interleaves its color components per cell). Raster band
+    * order is COLOR-COMPONENT order (band 0 = R for RGB images
+    * whatever the byte layout), the convention `getSample` defines.
     */
   def resizeFeatures(df: DataFrame, payloadCol: String,
                      outW: Int, outH: Int): DataFrame = {
@@ -787,9 +841,10 @@ object Multimodal {
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField("thumb_w", IntegerType),
       StructField("thumb_h", IntegerType),
+      StructField("thumb_bands", IntegerType),
       StructField("thumb", ArrayType(DoubleType, containsNull = false))))
     val idx = df.schema.fieldIndex(payloadCol)
-    val nulls: Seq[Any] = Seq(null, null, null)
+    val nulls: Seq[Any] = Seq(null, null, null, null)
     val rdd = df.rdd.mapPartitions { it =>
       it.map { r =>
         val payload = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
@@ -801,7 +856,8 @@ object Multimodal {
           else {
             val (w, h) = (img.getWidth, img.getHeight)
             val raster = img.getRaster
-            val sums = new Array[Long](outW * outH)
+            val nb = raster.getNumBands
+            val sums = new Array[Long](outW * outH * nb)
             val counts = new Array[Long](outW * outH)
             var rr = 0
             while (rr < h) {
@@ -810,15 +866,19 @@ object Multimodal {
               while (cc < w) {
                 val tj = cc.toLong * outW / w
                 val cell = (ti * outW + tj).toInt
-                sums(cell) += raster.getSample(cc, rr, 0)
+                var b = 0
+                while (b < nb) {
+                  sums(cell * nb + b) += raster.getSample(cc, rr, b)
+                  b += 1
+                }
                 counts(cell) += 1
                 cc += 1
               }
               rr += 1
             }
-            val thumb = Array.tabulate(outW * outH)(i =>
-              sums(i).toDouble / counts(i))
-            Seq(outW, outH, thumb.toSeq)
+            val thumb = Array.tabulate(outW * outH * nb)(i =>
+              sums(i).toDouble / counts(i / nb))
+            Seq(outW, outH, nb, thumb.toSeq)
           }
         } catch { case scala.util.control.NonFatal(_) => nulls }
         Row.fromSeq(r.toSeq ++ extra)

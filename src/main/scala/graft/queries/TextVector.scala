@@ -546,6 +546,30 @@ object TextVector {
           round(col("v") * lit(1e9)).cast("long").as("v9"))
     }),
 
+    // multi-band image RESIZE with a REAL codec: deterministic RGB
+    // PNGs (band b at flat pixel i = ascii(hex[(3i+b) % 32])),
+    // decoded and downscaled per band by the same pixel-area-
+    // partition rule as q148 — thumb interleaves the three color
+    // components per cell, so the gate unpacks (cell, band) from the
+    // flat index. Integer-exact cell sums per band; the oracle
+    // replays every (cell, band) mean bit-for-bit.
+    "q150_image_resize_rgb" -> ((s, dir) => {
+      val n = length(col("text").cast("binary"))
+      val base = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("hex"),
+          (lit(4) + n % 13).cast("int").as("w"),
+          (lit(4) + floor(n / lit(13)) % 11).cast("int").as("h"))
+      val media = Multimodal.synthesizeRgbPng(base, "hex", "w", "h")
+      Multimodal.resizeFeatures(media, "payload", outW = 3, outH = 3)
+        .select(col("doc_id"), posexplode(col("thumb")).as(Seq("p", "v")))
+        .select(col("doc_id"),
+          (col("p") / 9).cast("int").as("ti"),
+          ((col("p") / 3) % 3).cast("int").as("tj"),
+          (col("p") % 3).cast("int").as("band"),
+          round(col("v") * lit(1e9)).cast("long").as("v9"))
+    }),
+
     // audio decode pipeline with a REAL codec: synthesize a
     // deterministic mono 16-bit WAV per doc (samples = md5-hex ASCII
     // codes cycled — exact small integers, unlike the sine corpus
@@ -1568,6 +1592,27 @@ object TextVector {
            FROM base, UNNEST(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS t(i))
          SELECT doc_id, ti, tj, CAST(round(avg(v) * 1e9) AS BIGINT) AS v9
          FROM px GROUP BY 1, 2, 3""",
+    // replays q150's per-band pixel rule (band b at flat pixel i =
+    // ascii(hex[(3i+b) % 32])) through the same area-partition cells
+    // as q148, grouped by (cell, band) — the exact per-band means the
+    // Spark decoder computes from the real RGB raster
+    "q150_image_resize_rgb" ->
+      """WITH base AS (
+           SELECT doc_id, md5(text) AS hex,
+             CAST(4 + octet_length(CAST(text AS BLOB)) % 13 AS INTEGER) AS w,
+             CAST(4 + (octet_length(CAST(text AS BLOB)) // 13) % 11 AS INTEGER) AS h
+           FROM documents WHERE text IS NOT NULL),
+         px AS (SELECT doc_id,
+             CAST(((t.i // w) * 3) // h AS INTEGER) AS ti,
+             CAST(((t.i % w) * 3) // w AS INTEGER) AS tj,
+             CAST(b.b AS INTEGER) AS band,
+             ascii(substr(hex, CAST((3 * t.i + b.b) % 32 AS INTEGER) + 1, 1)) AS v
+           FROM base,
+             UNNEST(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS t(i),
+             UNNEST(generate_series(0, 2)) AS b(b))
+         SELECT doc_id, ti, tj, band,
+           CAST(round(avg(v) * 1e9) AS BIGINT) AS v9
+         FROM px GROUP BY 1, 2, 3, 4""",
     // replays the hex-sample rule: per temporal bin (i*4 // len), the
     // RMS over s = a/32768 computed EXACTLY as the decoder does —
     // (sum(a^2) / 2^30) / count, sqrt (correctly rounded IEEE on both

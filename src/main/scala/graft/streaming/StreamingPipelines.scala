@@ -127,10 +127,20 @@ object StreamingPipelines {
     // repartitioning state requires a new checkpoint either way).
     // The override lives in a CHILD session (own conf, shared
     // SparkContext) so the caller's session is never mutated and the
-    // async micro-batch planner can't race a save/restore.
+    // async micro-batch planner can't race a save/restore. newSession
+    // starts from the initial SparkConf, NOT the caller's runtime
+    // state — so the caller's session confs (session timezone, ANSI
+    // mode, graft settings) are copied over first, or the stream
+    // would silently run under different SQL semantics than the
+    // session that started it. Static/core entries in getAll refuse
+    // runtime set and are skipped (they are inherited via the shared
+    // context anyway).
     val sess = statePartitions match {
       case Some(n) =>
         val s2 = spark.newSession()
+        spark.conf.getAll.foreach { case (k, v) =>
+          try s2.conf.set(k, v) catch { case _: Exception => () }
+        }
         s2.conf.set("spark.sql.shuffle.partitions", n)
         s2
       case None => spark

@@ -1062,6 +1062,19 @@ class CorpusSpec extends SparkSpec {
       }
       assert(e3.getMessage.contains("more than 10 distinct values"),
         e3.getMessage)
+      // EXACT boundary: maxLabels+1 distinct labels (invisible to the
+      // token rollup because most tokenize to nothing) must refuse —
+      // the doc-count guard's bound is <= maxLabels, same documented
+      // cardinality as the rollup guard despite its collect carrying
+      // no grouping-total row
+      val boundary = ((1L to 5L).map(i => (i, s"tok$i words here", s"lab$i")) ++
+        (6L to 11L).map(i => (i, "", s"empty$i")))
+        .toDF("doc_id", "text", "label")
+      val e4 = intercept[IllegalArgumentException] {
+        CorpusStats.trainNaiveBayes(boundary, "text", "label")
+      }
+      assert(e4.getMessage.contains("more than 10 distinct values"),
+        e4.getMessage)
     } finally spark.conf.unset("spark.graft.nb.maxLabels")
     // array/binary labels would compare by REFERENCE in the driver-side
     // label map (silently emptying the priors) — they must refuse loudly

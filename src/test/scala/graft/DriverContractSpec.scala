@@ -84,8 +84,21 @@ class DriverContractSpec extends AnyFunSuite {
     assert(!Bench.overFloorOf(prev, "c", 0.68))
     assert(!Bench.overFloorOf(prev, "c", 0.95 * Bench.PhantomRatio * 0.99))
     assert(Bench.overFloorOf(prev, "c", 0.95 * Bench.PhantomRatio * 1.01))
-    // floors below PhantomAbsFloorSec never flag (scheduler jitter)
-    assert(!Bench.overFloorOf(prev, "tiny", 1.0))
+    // sub-jitter-floor queries: the absolute bound applies to the
+    // SAMPLE, not the denominator. 2–6× inflation that stays under
+    // FastFlagAbsSec is scheduler jitter (the r17 phantom-flag hole
+    // stays closed)…
+    assert(!Bench.overFloorOf(prev, "tiny", 0.3))
+    assert(!Bench.overFloorOf(prev, "tiny", Bench.FastFlagAbsSec))
+    // …but round 18's q50 class — a 0.09 s-floor query at 0.7 s —
+    // MUST flag (it shipped "zero flags" and entered the history)
+    assert(Bench.overFloorOf(prev, "tiny", 0.7))
+    assert(Bench.overFloorOf(prev, "tiny", Bench.FastFlagAbsSec + 0.001))
+    // a mid-range floor (0.14) still needs BOTH bars: 2.5×=0.35 < 0.4
+    // so the 0.4 absolute bar governs
+    val prevMid = Map("m" -> (0.14, Seq(0.13, 0.14, 0.15)))
+    assert(!Bench.overFloorOf(prevMid, "m", 0.39))
+    assert(Bench.overFloorOf(prevMid, "m", 0.41))
     // history-less entries fall back to the min trajectory
     assert(Bench.overFloorOf(prev, "old", 2.6))
     assert(!Bench.overFloorOf(prev, "unknown", 99.0))
@@ -167,6 +180,7 @@ class DriverContractSpec extends AnyFunSuite {
     // change starts FRESH position baselines instead of mis-ratioing
     // new samples against the old query's scale
     assert(Bench.CtlStartKey.endsWith(":" + Bench.PosCanaryQuery))
+    assert(Bench.CtlMidKey.endsWith(":" + Bench.PosCanaryQuery))
     assert(Bench.CtlEndKey.endsWith(":" + Bench.PosCanaryQuery))
   }
 
@@ -188,17 +202,36 @@ class DriverContractSpec extends AnyFunSuite {
       "\"q2\":{\"t\":1.500,\"runs\":3}")
   }
 
-  test("run-level churn field serializes both canary samples, worst ratio wins") {
+  test("run-level churn field serializes all three canary samples, worst ratio wins") {
     // BENCH_r{N}.json contract: a judge comparing round totals reads
     // "churn" as the box-load discount — the field must be the MAX of
-    // the sweep-start/sweep-end canary ratios with both samples kept
-    assert(Bench.churnFieldOf(None, None) == "")
-    assert(Bench.churnFieldOf(Some(1.234), None) ==
+    // the start/mid/end canary ratios with every sample that ran kept
+    // in order (a two-point read cannot see a mid-sweep churn phase)
+    assert(Bench.churnFieldOf(None, None, None) == "")
+    assert(Bench.churnFieldOf(Some(1.234), None, None) ==
       ""","churn":1.23,"churn_samples":[1.23]""")
-    assert(Bench.churnFieldOf(Some(0.97), Some(2.456)) ==
+    assert(Bench.churnFieldOf(Some(0.97), None, Some(2.456)) ==
       ""","churn":2.46,"churn_samples":[0.97,2.46]""")
-    assert(Bench.churnFieldOf(Some(3.01), Some(1.0)) ==
-      ""","churn":3.01,"churn_samples":[3.01,1.00]""")
+    assert(Bench.churnFieldOf(Some(0.97), Some(3.01), Some(1.0)) ==
+      ""","churn":3.01,"churn_samples":[0.97,3.01,1.00]""")
+  }
+
+  test("monotone-trend detector: strictly-rising windows flag, noise and recoveries do not") {
+    // r18's drifters: five-sample monotone rises of +36–70 % shipped
+    // with no signal at all — the trend flag is the advisory channel
+    assert(Bench.isTrending(Seq(0.5, 0.521, 0.572, 0.657), 0.721))
+    assert(Bench.isTrending(Seq(0.439, 0.469, 0.499, 0.626), 0.746))
+    // a recovery breaks the run
+    assert(!Bench.isTrending(Seq(0.5, 0.521, 0.572, 0.657), 0.5))
+    // a plateau breaks strictness
+    assert(!Bench.isTrending(Seq(0.5, 0.6, 0.6), 0.7))
+    // strictly rising but immaterial (< TrendMinRise over the window)
+    assert(!Bench.isTrending(Seq(0.100, 0.101, 0.102), 0.103))
+    // too little history
+    assert(!Bench.isTrending(Seq(0.5, 0.6), 0.7))
+    // trend entries serialize next to suspect flags
+    assert(Bench.entry("q45", 0.721, 1, 0, susp = false, trend = true) ==
+      "\"q45\":{\"t\":0.721,\"trend\":true}")
   }
 
   test("verify survives a nonexistent data dir and still writes oracle_sql.json") {

@@ -151,6 +151,35 @@ class MultimodalSpec extends SparkSpec {
     assert(nulls == Map(1L -> true, 2L -> true))
   }
 
+  test("resizeFeatures over RGB: per-band means, cell-interleaved layout") {
+    // 4x4 RGB raster (band b at flat pixel i = ascii(hex[(3i+b)%32]))
+    // resized to 2x2: thumb holds 2*2*3 values, flat index
+    // (ti*2 + tj)*3 + band — each the exact mean of the cell's 4
+    // member pixels in THAT band
+    val hex = "0123456789abcdef0123456789abcdef"
+    val base = Seq((7L, hex, 4, 4)).toDF("doc_id", "hex", "w", "h")
+    val media = Multimodal.synthesizeRgbPng(base, "hex", "w", "h")
+    val out = Multimodal.resizeFeatures(media, "payload", outW = 2, outH = 2)
+      .first()
+    assert(out.getAs[Int]("thumb_w") == 2 && out.getAs[Int]("thumb_h") == 2)
+    assert(out.getAs[Int]("thumb_bands") == 3)
+    def px(r: Int, c: Int, b: Int) = hex.charAt((3 * (r * 4 + c) + b) % 32).toInt
+    def cell(ri: Range, ci: Range, b: Int) =
+      (for (r <- ri; c <- ci) yield px(r, c, b)).sum / 4.0
+    val exp = for {
+      (ri, ci) <- Seq((0 to 1, 0 to 1), (0 to 1, 2 to 3),
+        (2 to 3, 0 to 1), (2 to 3, 2 to 3))
+      b <- 0 to 2
+    } yield cell(ri, ci, b)
+    assert(out.getAs[scala.collection.Seq[Double]]("thumb").toSeq == exp)
+    // the single-band path keeps its historical layout: thumb_bands 1,
+    // length outW*outH (pinned above) — q148's gate shape is unchanged
+    val gray = Multimodal.synthesizeGrayPng(base, "hex", "w", "h")
+    val g = Multimodal.resizeFeatures(gray, "payload", 2, 2).first()
+    assert(g.getAs[Int]("thumb_bands") == 1 &&
+      g.getAs[scala.collection.Seq[Double]]("thumb").length == 4)
+  }
+
   test("palette-indexed images report color-space stats, not indices") {
     import javax.imageio.ImageIO
     ImageIO.setUseCache(false)
