@@ -99,14 +99,17 @@ object Bench {
     * the guard. A genuine accepted regression re-enters the history
     * the first time it ships unflagged (no longer >2.5× its floor, or
     * a clean re-record). `histOk=false` marks a sample whose NEAREST
-    * churn canary read below [[ChurnTrustMin]] — the box was
-    * abnormally fast relative to the canary's own floor, so raw times
-    * from that stretch are unrepresentatively low; appending them
-    * drags the median floor down and manufactures suspect flags on
-    * the next quiet-box round (round 16 shipped a 0.62-canary sweep
-    * end and 24 floor-excess flags). Such samples still min-merge "t"
-    * (a best-ever is a best-ever) but stay out of the history, like
-    * suspects do from the other direction.
+    * churn canary read outside the [[ChurnTrustMin]]..[[ChurnTrustMax]]
+    * band. Below the band the box was abnormally fast relative to the
+    * canary's own floor, so raw times from that stretch are
+    * unrepresentatively low; appending them drags the median floor
+    * down and manufactures suspect flags on the next quiet-box round
+    * (round 16 shipped a 0.62-canary sweep end and 24 floor-excess
+    * flags). Above the band the stretch was churn-inflated; appending
+    * those ratchets the floors UP a few tens of percent per churny
+    * round — the round-18 monotone-drift mechanism. Either way the
+    * sample still min-merges "t" (a best-ever is a best-ever; an
+    * inflated min is a no-op) but stays out of the history.
     */
   private[graft] def mergeFloors(prevRef: Map[String, (Double, Seq[Double])],
       results: Seq[(String, Double, Int, Boolean, Boolean)]): Map[String, (Double, Seq[Double])] = {
@@ -126,6 +129,83 @@ object Bench {
   /** Canary ratio below which a sweep stretch's raw times are
     * churn-distrusted for HISTORY purposes (see [[mergeFloors]]). */
   private[graft] val ChurnTrustMin = 0.8
+
+  /** Canary ratio ABOVE which a stretch is churn-distrusted in the
+    * other direction. The trust gate was one-sided until round 19 and
+    * that asymmetry was the monotone-drift mechanism the round-18
+    * verdict flagged: a 1.2–2× churny sweep's inflated samples all
+    * entered the histories (only suspect-flagged ≥2.5× ones stayed
+    * out), so median floors ratcheted up a few tens of percent per
+    * round across HALF THE SUITE (r19's diagnostic sweep: canaries
+    * [1.01, 1.37, 2.04], 27 monotone-trend flags — box degradation,
+    * not 27 regressions). Samples from a stretch whose nearest canary
+    * reads outside [[ChurnTrustMin]]..this band still min-merge "t"
+    * but never enter the history. Tradeoff: if the box gets
+    * PERMANENTLY slower the floors go stale-fast and queries flag —
+    * but then the suspect pipeline's ctl/iso fields adjudicate box vs
+    * plan, which is the honest outcome. */
+  private[graft] val ChurnTrustMax = 1.3
+
+  /** History/trend eligibility of a sample judged by its nearest
+    * canary: trusted iff the canary ran AND read inside the band (an
+    * absent canary — filtered dev run or unseeded floor — counts as
+    * trusted, matching the pre-canary behavior). */
+  private[graft] def trustedStretch(nearest: Option[Double]): Boolean =
+    nearest.forall(r => r >= ChurnTrustMin && r <= ChurnTrustMax)
+
+  /** Synthetic floor key holding the rig probe's own history. */
+  private[graft] val RigKey = "__rig_st_ms"
+
+  /** Rig field serialization: raw probe millis always (when the probe
+    * ran), the ratio over the probe's median history once seeded.
+    * Extracted so DriverContractSpec pins what the judge parses. */
+  private[graft] def rigFieldOf(ms: Option[Double],
+                                ratio: Option[Double],
+                                endMs: Option[Double] = None): String =
+    ms.fold("")(m => s""","rig_ms":${r3(m)}""") +
+      ratio.fold("")(r =>
+        ",\"rig\":" + "%.2f".formatLocal(java.util.Locale.ROOT, r)) +
+      endMs.fold("")(m => s""","rig_end_ms":${r3(m)}""")
+
+  /** Engine-independent rig-speed probe: one single-threaded pass of
+    * a fixed mix-and-fold loop over a 32 MB long buffer (murmur-style
+    * finalizer — ALU + memory-bandwidth bound, no allocation, no
+    * Spark, no disk). Round 19 found the per-round VM is a
+    * performance LOTTERY (a fresh microVM per round; this round's ran
+    * every one of 177 queries ~1.35× its floor history while the
+    * in-suite canaries read only 1.1–1.2, their own denominators
+    * having ratcheted) — so the artifact needs a box-speed number
+    * whose meaning cannot drift with the engine or the data. The
+    * probe's ratio over its BEST-EVER min ships as "rig" next to
+    * "churn", and a ratio outside the trust band distrusts the whole
+    * run's samples for history purposes: floors must not absorb a
+    * slow (or fast-transition) VM's numbers. A new-fastest VM reads
+    * <[[ChurnTrustMin]] for one round, min-merges the reference down,
+    * and reads ~1.0 thereafter. ~0.2–0.5 s per run — noise-level
+    * against a ~3 min suite.
+    */
+  private[graft] def rigProbeMs(): Double = {
+    val n = 1 << 22
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+    val t0 = System.nanoTime()
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      i = 0
+      while (i < n) {
+        var x = a(i) + h
+        x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+        h = x
+        i += 1
+      }
+      r += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e6
+    if (h == 42) System.err.println("rig probe sentinel") // defeat DCE
+    dt
+  }
 
   /** Below this, a big ratio over the floor is scheduler jitter, not
     * signal (a 0.05 s query inflates 5× on any page-cache hiccup).
@@ -405,6 +485,18 @@ object Bench {
     // infer box load; "churn" ships the worst of the two samples next
     // to the total so the artifact carries its own load context
     // (≈1 ⇒ quiet box, ≫1 ⇒ distrust total drift this round).
+    // rig-speed probe: median of 3 (first run pays JIT). The ratio's
+    // denominator is the probe's BEST-EVER min, not its median
+    // history: the probe is fixed deterministic work, so its min is a
+    // stable property of the fastest VM the floors were ever recorded
+    // on — exactly the reference the judge needs to discount a
+    // slow-lottery round — while a median denominator would drift
+    // with the recent VM mix and hide a persistent slowdown.
+    val rigMs: Option[Double] =
+      if (only.isEmpty) Some((1 to 3).map(_ => rigProbeMs()).sorted.apply(1))
+      else None
+    val rigRatio: Option[Double] =
+      for (m <- rigMs; (best, _) <- prevRef.get(RigKey)) yield m / best
     val ctlStartT = if (only.isEmpty) medianOf3(PosCanaryQuery, posFn) else None
     val churnStart = ctlStartT.flatMap(canaryRatio(prevRef, _, CtlStartKey))
     // the sweep splits at its midpoint for the third canary sample —
@@ -498,14 +590,33 @@ object Bench {
       }.toMap
     val ctlEndT = if (only.isEmpty) medianOf3(PosCanaryQuery, posFn) else None
     val churnEnd = ctlEndT.flatMap(canaryRatio(prevRef, _, CtlEndKey))
-    val churnField = churnFieldOf(churnStart, churnMid, churnEnd)
+    // a second rig read at sweep end separates "this VM is slow"
+    // (end ≈ start, both high) from "this VM degrades under
+    // sustained load" (end ≫ start — r19's sweeps read end canaries
+    // ~2× while mid sat at 0.93, a shape the engine cannot cause)
+    val rigEndMs: Option[Double] =
+      if (only.isEmpty) Some((1 to 3).map(_ => rigProbeMs()).sorted.apply(1))
+      else None
+    val churnField = churnFieldOf(churnStart, churnMid, churnEnd) +
+      rigFieldOf(rigMs, rigRatio, rigEndMs)
+    // nearest of the three canary positions (0, half, nRes) — shared
+    // by history eligibility and the trend flag
+    val nRes = results.length
+    def nearestCanary(i: Int): Option[Double] =
+      if (i * 2 < half) churnStart
+      else if (i * 2 < half + nRes) churnMid
+      else churnEnd
     // trend is computed against the query's COMMITTED history + this
     // run's reported value; suspects are excluded (their sample is
-    // churn-distrusted and never enters the history anyway)
-    def trendOf(k: String, v: Double, susp: Boolean): Boolean =
-      !susp && prevRef.get(k).exists { case (_, h) => isTrending(h, v) }
-    val qs = results.map { case (k, v, n, st, susp, ctl, mn) =>
-      entry(k, v, n, st, susp, ctl, mn, isoTimes.get(k), trendOf(k, v, susp)) }
+    // churn-distrusted and never enters the history anyway), and so
+    // are samples from an untrusted-churn stretch — a 1.4–2× box
+    // phase makes half the suite "strictly rising" at once (r19's
+    // diagnostic sweep shipped 27 phantom trend flags that way)
+    def trendOf(k: String, v: Double, susp: Boolean, i: Int): Boolean =
+      !susp && trustedStretch(nearestCanary(i)) && trustedStretch(rigRatio) &&
+        prevRef.get(k).exists { case (_, h) => isTrending(h, v) }
+    val qs = results.zipWithIndex.map { case ((k, v, n, st, susp, ctl, mn), i) =>
+      entry(k, v, n, st, susp, ctl, mn, isoTimes.get(k), trendOf(k, v, susp, i)) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nFailed = results.count(_._4 == 2)
@@ -517,11 +628,11 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: $e") }
     println(fullLine) // dev-visible; NOT the line the driver parses
-    val flagged = results
-      .filter(r => r._4 != 0 || r._5 || trendOf(r._1, r._2, r._5))
-      .map { case (k, v, n, st, susp, ctl, mn) =>
+    val flagged = results.zipWithIndex
+      .filter { case (r, i) => r._4 != 0 || r._5 || trendOf(r._1, r._2, r._5, i) }
+      .map { case ((k, v, n, st, susp, ctl, mn), i) =>
         entry(k, v, n, st, susp, ctl, mn, isoTimes.get(k),
-          trendOf(k, v, susp)) }
+          trendOf(k, v, susp, i)) }
     println(compactHeadline(total, sfDir, failedField + churnField,
       results.length, flagged))
     // refresh the phantom reference after a FULL successful pass:
@@ -544,22 +655,26 @@ object Bench {
       // sample is now pre-warmed while its floor history predates that
       // warmup. Its history will drift down over a few rounds; a q12
       // suspect flag during the transition is this, not a regression.
-      val nRes = results.length
       // the synthetic canary entries append UNCONDITIONALLY: their
       // medians must track the typical cost at their sweep position
       // (that typicality is what makes the trust ratio fair), and a
       // median-of-5 history resists any single abnormal round
-      val canaryRows = Seq(CtlStartKey -> ctlStartT, CtlMidKey -> ctlMidT,
-        CtlEndKey -> ctlEndT)
+      // the synthetic rig entry also appends unconditionally: its
+      // median must track the TYPICAL VM so the ratio reads the
+      // lottery, not one reference box
+      val canaryRows = (Seq(CtlStartKey -> ctlStartT, CtlMidKey -> ctlMidT,
+        CtlEndKey -> ctlEndT) :+ (RigKey -> rigMs))
         .collect { case (k, Some(t)) => (k, t, 0, false, true) }
       val merged = mergeFloors(prevRef,
         canaryRows ++ results.zipWithIndex.map { case ((k, v, _, st, susp, _, _), i) =>
-          // nearest of the three canary positions (0, half, nRes)
-          val nearest =
-            if (i * 2 < half) churnStart
-            else if (i * 2 < half + nRes) churnMid
-            else churnEnd
-          (k, v, st, susp, nearest.forall(_ >= ChurnTrustMin))
+          // TWO-SIDED trust band on BOTH signals: a stretch whose
+          // nearest canary read box-fast (<ChurnTrustMin) or
+          // box-churned (>ChurnTrustMax), or a whole run on a VM
+          // whose rig probe sits outside the band, stays out of the
+          // histories — the one-sided canary-only gate was the
+          // floor-ratchet mechanism behind r18's monotone drifters
+          (k, v, st, susp,
+            trustedStretch(nearestCanary(i)) && trustedStretch(rigRatio))
         })
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(prevPath),

@@ -1048,21 +1048,29 @@ object TextVector {
         "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1024))"
       else
         s"list_transform(range(${off + 1}, ${off + dim + 1}), i -> round(CAST(embedding[i] AS DOUBLE) * 1024))"
+    // every multiply-referenced CTE is AS MATERIALIZED (the q109/q105
+    // DuckDB 1.0 re-inlining lesson): q feeds c0, every assignment
+    // step, and — in the q75 PQ composition — the encode and ADC
+    // joins; each c-step is read by the next assignment AND its own
+    // empty-cell fallback; each a-step by the partial sums AND the
+    // NOT IN. Un-hinted, the 8-subspace q75 chain re-inlined
+    // combinatorially (16.5 s at sf0.1 on a slow-VM round — over the
+    // pre-round SLOW bar; 1.4 s materialized, identical rows)
     val init =
-      s"""q$tag AS (SELECT vec_id, $vecExpr AS qv
+      s"""q$tag AS MATERIALIZED (SELECT vec_id, $vecExpr AS qv
            FROM embeddings),
-         c0$tag AS (SELECT CAST(rn - 1 AS INTEGER) AS cell, qv AS cv FROM (
+         c0$tag AS MATERIALIZED (SELECT CAST(rn - 1 AS INTEGER) AS cell, qv AS cv FROM (
              SELECT qv, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
              FROM q$tag) WHERE rn <= $k)"""
     val steps = (1 to iters).map { it =>
       s""",
-         a$it$tag AS (SELECT vec_id, qv, cell FROM (
+         a$it$tag AS MATERIALIZED (SELECT vec_id, qv, cell FROM (
              SELECT q.vec_id, q.qv, c.cell,
                row_number() OVER (PARTITION BY q.vec_id ORDER BY ${d("q", "c")}, c.cell) AS rn
              FROM q$tag q, c${it - 1}$tag c) WHERE rn = 1),
          p$it$tag AS (SELECT a.cell, g.i AS pos, sum(a.qv[g.i]) AS s, count(*) AS n
                 FROM a$it$tag a, UNNEST(generate_series(1, $dim)) AS g(i) GROUP BY 1, 2),
-         c$it$tag AS (SELECT cell, list(s / n ORDER BY pos) AS cv FROM p$it$tag GROUP BY cell
+         c$it$tag AS MATERIALIZED (SELECT cell, list(s / n ORDER BY pos) AS cv FROM p$it$tag GROUP BY cell
                 UNION ALL
                 SELECT c.cell, c.cv FROM c${it - 1}$tag c
                 WHERE c.cell NOT IN (SELECT DISTINCT cell FROM a$it$tag))"""

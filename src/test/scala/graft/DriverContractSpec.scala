@@ -182,6 +182,37 @@ class DriverContractSpec extends AnyFunSuite {
     assert(Bench.CtlStartKey.endsWith(":" + Bench.PosCanaryQuery))
     assert(Bench.CtlMidKey.endsWith(":" + Bench.PosCanaryQuery))
     assert(Bench.CtlEndKey.endsWith(":" + Bench.PosCanaryQuery))
+    // the history-trust band is TWO-SIDED: box-fast (<0.8) AND
+    // box-churned (>1.3) stretches both stay out of the histories —
+    // the one-sided gate let 1.2–2× churny sweeps ratchet the median
+    // floors up every round (r18's monotone drifters)
+    assert(Bench.trustedStretch(None))
+    assert(Bench.trustedStretch(Some(1.0)))
+    assert(Bench.trustedStretch(Some(Bench.ChurnTrustMin)))
+    assert(Bench.trustedStretch(Some(Bench.ChurnTrustMax)))
+    assert(!Bench.trustedStretch(Some(0.62)))
+    assert(!Bench.trustedStretch(Some(1.37)))
+    assert(!Bench.trustedStretch(Some(2.04)))
+  }
+
+  test("rig probe: engine-independent box-speed number, serialized for the judge") {
+    // warm twice (JIT), then expect a plausible, repeatable reading:
+    // the probe is fixed work (8 passes over 32 MB of longs), so two
+    // warm runs on the same box agree within 2x whatever the VM
+    Bench.rigProbeMs()
+    val a = Bench.rigProbeMs(); val b = Bench.rigProbeMs()
+    assert(a > 1.0 && a < 60000.0, a)
+    assert(math.max(a, b) / math.min(a, b) < 2.0, (a, b))
+    // serialization: millis always (when run), ratio once seeded
+    assert(Bench.rigFieldOf(None, None) == "")
+    assert(Bench.rigFieldOf(Some(234.5678), None) == ""","rig_ms":234.568""")
+    assert(Bench.rigFieldOf(Some(234.5678), Some(1.3456)) ==
+      ""","rig_ms":234.568,"rig":1.35""")
+    assert(Bench.rigFieldOf(Some(234.5678), Some(1.3456), Some(301.2)) ==
+      ""","rig_ms":234.568,"rig":1.35,"rig_end_ms":301.200""")
+    // the rig ratio feeds the SAME two-sided trust band as the
+    // canaries: a slow-VM round must not ratchet the floor histories
+    assert(!Bench.trustedStretch(Some(1.35)))
   }
 
   test("suspect entries carry the churn-canary ctl ratio, best-run min, and iso re-time") {
