@@ -107,6 +107,37 @@ class CollectionsSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("objects(): null-link children excluded; close() releases the snapshot early") {
+    // SQL join semantics, stated in the scaladoc: a child whose link
+    // key is null belongs to NO structure (never silently grouped
+    // under a null parent); a parent still yields its row with the
+    // children it actually links
+    val parents = OCDataset(
+      spark.sql(
+        "SELECT halo_tag, CAST(mass AS DOUBLE) AS mass FROM VALUES" +
+          " (1L, 1.0), (2L, 2.0) AS t(halo_tag, mass)"),
+      Header(redshift = 0.0, dataType = "halos"))
+    val kids = spark.sql(
+      """SELECT halo_tag, CAST(p_mass AS DOUBLE) AS p_mass FROM VALUES
+         (1L, 0.1), (CAST(NULL AS BIGINT), 9.9), (2L, 0.2)
+         AS t(halo_tag, p_mass)""")
+    val c = StructureCollection(parents, Map("particles" -> kids), "halo_tag")
+    val objs = c.objects("particles").toSeq
+    assert(objs.map(_._1.getAs[Long]("halo_tag")).toSet == Set(1L, 2L))
+    assert(objs.flatMap(_._2).map(_.getAs[Double]("p_mass")).toSet ==
+      Set(0.1, 0.2), "null-link child must not attach to any parent")
+    // partial iteration + close(): the iterator is AutoCloseable and
+    // an early close drops the parent snapshot's persisted blocks
+    // (abandoning it instead defers cleanup to the ContextCleaner)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val it = c.objects("particles")
+    it.next() // snapshot now exists
+    assert(spark.sparkContext.getPersistentRDDs.keySet.size > before.size)
+    it.close()
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "close() must release the parent snapshot")
+  }
+
   test("lightcone: union with step column, redshift-range pruning") {
     val s600 = OCDataset(Seq((1L, 5.0), (2L, 6.0)).toDF("id", "v"),
       Header(redshift = 0.5, dataType = "lc"))
