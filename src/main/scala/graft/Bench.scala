@@ -176,13 +176,14 @@ object Bench {
     * in-suite canaries read only 1.1–1.2, their own denominators
     * having ratcheted) — so the artifact needs a box-speed number
     * whose meaning cannot drift with the engine or the data. The
-    * probe's ratio over its BEST-EVER min ships as "rig" next to
+    * probe's ratio over its MEDIAN history ships as "rig" next to
     * "churn", and a ratio outside the trust band distrusts the whole
-    * run's samples for history purposes: floors must not absorb a
-    * slow (or fast-transition) VM's numbers. A new-fastest VM reads
-    * <[[ChurnTrustMin]] for one round, min-merges the reference down,
-    * and reads ~1.0 thereafter. ~0.2–0.5 s per run — noise-level
-    * against a ~3 min suite.
+    * run's samples for history purposes: floors must not absorb an
+    * atypically slow (or fast) VM's numbers. The rig history itself
+    * appends unconditionally, so its median tracks the typical VM
+    * and the gate self-heals across fleet shifts; the best-ever "t"
+    * stays in the floor file as the fastest-VM anchor. ~0.2–0.5 s
+    * per run — noise-level against a ~3 min suite.
     */
   private[graft] def rigProbeMs(): Double = {
     val n = 1 << 22
@@ -486,17 +487,22 @@ object Bench {
     // to the total so the artifact carries its own load context
     // (≈1 ⇒ quiet box, ≫1 ⇒ distrust total drift this round).
     // rig-speed probe: median of 3 (first run pays JIT). The ratio's
-    // denominator is the probe's BEST-EVER min, not its median
-    // history: the probe is fixed deterministic work, so its min is a
-    // stable property of the fastest VM the floors were ever recorded
-    // on — exactly the reference the judge needs to discount a
-    // slow-lottery round — while a median denominator would drift
-    // with the recent VM mix and hide a persistent slowdown.
+    // denominator is the probe's MEDIAN history ([[floorOf]]), like
+    // the canaries': the median tracks the TYPICAL recent VM (the rig
+    // history appends unconditionally), so the gate self-heals — one
+    // lottery-fast VM cannot freeze the floor histories forever the
+    // way a best-ever-min denominator would (at the observed ~1.35×
+    // VM spread, every later typical VM would read >ChurnTrustMax
+    // against a one-off fast min, permanently disabling history
+    // appends AND the trend detector). If the whole fleet slows
+    // persistently, rig medians adapt within HistLen rounds and the
+    // floors follow — the best-ever "t" on __rig_st_ms keeps the
+    // fastest-VM anchor for trajectory reads.
     val rigMs: Option[Double] =
       if (only.isEmpty) Some((1 to 3).map(_ => rigProbeMs()).sorted.apply(1))
       else None
     val rigRatio: Option[Double] =
-      for (m <- rigMs; (best, _) <- prevRef.get(RigKey)) yield m / best
+      for (m <- rigMs; f <- floorOf(prevRef, RigKey)) yield m / f
     val ctlStartT = if (only.isEmpty) medianOf3(PosCanaryQuery, posFn) else None
     val churnStart = ctlStartT.flatMap(canaryRatio(prevRef, _, CtlStartKey))
     // the sweep splits at its midpoint for the third canary sample —
@@ -607,16 +613,20 @@ object Bench {
       else if (i * 2 < half + nRes) churnMid
       else churnEnd
     // trend is computed against the query's COMMITTED history + this
-    // run's reported value; suspects are excluded (their sample is
-    // churn-distrusted and never enters the history anyway), and so
-    // are samples from an untrusted-churn stretch — a 1.4–2× box
-    // phase makes half the suite "strictly rising" at once (r19's
-    // diagnostic sweep shipped 27 phantom trend flags that way)
-    def trendOf(k: String, v: Double, susp: Boolean, i: Int): Boolean =
-      !susp && trustedStretch(nearestCanary(i)) && trustedStretch(rigRatio) &&
+    // run's reported value; suspects and FAILED entries are excluded
+    // (a suspect's sample is churn-distrusted and never enters the
+    // history anyway; a failed entry's "t" is time-to-failure, not a
+    // timing), and so are samples from an untrusted-churn stretch —
+    // a 1.4–2× box phase makes half the suite "strictly rising" at
+    // once (r19's diagnostic sweep shipped 27 phantom trend flags
+    // that way)
+    def trendOf(k: String, v: Double, st: Int, susp: Boolean, i: Int): Boolean =
+      !susp && st != 2 &&
+        trustedStretch(nearestCanary(i)) && trustedStretch(rigRatio) &&
         prevRef.get(k).exists { case (_, h) => isTrending(h, v) }
     val qs = results.zipWithIndex.map { case ((k, v, n, st, susp, ctl, mn), i) =>
-      entry(k, v, n, st, susp, ctl, mn, isoTimes.get(k), trendOf(k, v, susp, i)) }
+      entry(k, v, n, st, susp, ctl, mn, isoTimes.get(k),
+        trendOf(k, v, st, susp, i)) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nFailed = results.count(_._4 == 2)
@@ -629,10 +639,11 @@ object Bench {
       System.err.println(s"[bench] bench_out.json write failed: $e") }
     println(fullLine) // dev-visible; NOT the line the driver parses
     val flagged = results.zipWithIndex
-      .filter { case (r, i) => r._4 != 0 || r._5 || trendOf(r._1, r._2, r._5, i) }
+      .filter { case (r, i) =>
+        r._4 != 0 || r._5 || trendOf(r._1, r._2, r._4, r._5, i) }
       .map { case ((k, v, n, st, susp, ctl, mn), i) =>
         entry(k, v, n, st, susp, ctl, mn, isoTimes.get(k),
-          trendOf(k, v, susp, i)) }
+          trendOf(k, v, st, susp, i)) }
     println(compactHeadline(total, sfDir, failedField + churnField,
       results.length, flagged))
     // refresh the phantom reference after a FULL successful pass:

@@ -198,10 +198,17 @@ final case class StructureCollection(
     new Iterator[(Row, Seq[Row])] with AutoCloseable {
       private var pos = -1L
       private var released = false
+      // close() also EXHAUSTS the iterator: after the snapshot's
+      // blocks are released, further parent partitions would
+      // recompute from the un-persisted plan, and a recomputed row
+      // order could diverge from the __pos assignment captured
+      // against the snapshot — the exact pairing hazard the snapshot
+      // exists to prevent. A closed iterator reports no more
+      // elements instead of silently mispairing.
       def close(): Unit = if (!released) {
         released = true; DiskSnapshot.release(parents)
       }
-      def hasNext: Boolean = {
+      def hasNext: Boolean = !released && {
         val more = pIt.hasNext
         if (!more) close()
         more

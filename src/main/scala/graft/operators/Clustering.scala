@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.DiskSnapshot
 
@@ -259,29 +259,32 @@ object Clustering {
     }
     for (_ <- 0 until iters) {
       // the element partial-sums stay per-(super, child, pos) for the
-      // shuffle, then re-assemble into ONE array row per cell (pos-
-      // sorted collect_list) so the driver pulls cells rows, not
-      // cells x dim — the division still happens driver-side over the
-      // same exact sums, so centroids are bit-identical to the former
-      // per-pos pull
+      // shuffle, then re-assemble into ONE array row per cell (a
+      // pos-sorted collect_list of (pos, sum, count) triples) so the
+      // driver pulls cells rows, not cells x dim — each position
+      // still divides by ITS OWN count and absent positions keep the
+      // zero-fill into a ctr.length array, so centroids are
+      // bit-identical to the former per-pos pull even for ragged or
+      // short member vectors
       val sums = assignChildren(withSuper, mats)
         .select(col("__super"), col("__child"),
           posexplode(col("__qv")).as(Seq("__pos", "__v")))
         .groupBy(col("__super"), col("__child"), col("__pos"))
         .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
         .groupBy(col("__super"), col("__child"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("__pos"), col("__s")))),
-          x => x.getField("__s")).as("__ss"),
-          max(col("__n")).as("__n"))
+        .agg(array_sort(collect_list(
+          struct(col("__pos"), col("__s"), col("__n")))).as("__psn"))
         .collect()
       val byCell = sums.map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
       mats = mats.zipWithIndex.map { case (m, s) =>
         m.zipWithIndex.map { case (ctr, c) =>
           byCell.get((s, c)) match {
             case Some(r) =>
-              val n = r.getAs[Long]("__n")
-              r.getSeq[Double](2).map(_ / n).toArray
+              val nm = new Array[Double](ctr.length)
+              r.getSeq[Row](2).foreach { t =>
+                nm(t.getInt(0)) = t.getDouble(1) / t.getLong(2)
+              }
+              nm
             case None => ctr // empty child keeps its centroid
           }
         }

@@ -1172,16 +1172,23 @@ object CorpusStats {
     // onto the driver. The limit bounds what the collect can
     // materialize BEFORE the check fires, so the failure is a clear
     // error, never an OOM.
-    val maxLabels = math.min(Int.MaxValue - 2,
+    val maxLabels = math.min(Int.MaxValue - 3,
       spark.conf.getOption("spark.graft.nb.maxLabels")
         .map(_.toInt).getOrElse(NaiveBayesMaxLabels))
+    // the limit leaves room for the grouping-total row AND a
+    // null-label group (null is not a distinct VALUE — null-label
+    // docs are legal and drop from the priors downstream), so a
+    // corpus with exactly maxLabels real labels plus null-label rows
+    // trains, while maxLabels+1 real labels still materializes inside
+    // the limit and refuses
     val roll = tc.rollup(col("label"))
       .agg(sum(col("__c")).as("__tot"),
         count_distinct(col("token")).as("__v"),
         grouping(col("label")).as("__g"))
-      .limit(maxLabels + 2)
+      .limit(maxLabels + 3)
       .collect()
-    require(roll.length < maxLabels + 2,
+    require(roll.count(r =>
+        r.getAs[Number]("__g").intValue == 0 && !r.isNullAt(0)) <= maxLabels,
       s"trainNaiveBayes: label column '$labelCol' has more than " +
         s"$maxLabels distinct values — that is an id-like column, not " +
         "a class label; pick a categorical column or raise " +
@@ -1217,7 +1224,10 @@ object CorpusStats {
     // No grouping-total row in THIS collect, so the bound is a plain
     // <= maxLabels — exactly the cardinality the message promises
     // (the rollup guard's collect includes its total row, hence +1).
-    require(ndRows.length <= maxLabels,
+    // A null-label GROUP is not a distinct value: null-label docs
+    // count toward nDocs (as always) but must not push a
+    // maxLabels-label corpus over the refusal bound.
+    require(ndRows.count(r => !r.isNullAt(0)) <= maxLabels,
       s"trainNaiveBayes: label column '$labelCol' has more than " +
         s"$maxLabels distinct values — that is an id-like column, not " +
         "a class label; pick a categorical column or raise " +

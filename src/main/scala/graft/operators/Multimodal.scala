@@ -499,6 +499,30 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Encode a truecolor image as PNG bytes — the multi-band sibling
+    * of [[pngBytes]], one codec surface for [[synthesizeRgbPng]] and
+    * tests. `sample(i, b)` supplies band b of flat pixel i
+    * (row-major); band order is color-component order (0 = R). */
+  def rgbPngBytes(width: Int, height: Int,
+                  sample: (Int, Int) => Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false) // no temp file per encode
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster
+    var i = 0
+    while (i < width * height) {
+      var b = 0
+      while (b < 3) {
+        raster.setSample(i % width, i / width, b, sample(i, b))
+        b += 1
+      }
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Append a `payload` column holding a real grayscale PNG whose
     * pixels cycle through the ASCII codes of `hexCol` (an md5 hex
     * string) — a deterministic, SQL-replayable image corpus for
@@ -554,7 +578,6 @@ object Multimodal {
     val wi = df.schema.fieldIndex(wCol)
     val hti = df.schema.fieldIndex(hCol)
     val rdd = df.rdd.mapPartitions { it =>
-      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val payload: Any =
           if (r.isNullAt(hi) || r.isNullAt(wi) || r.isNullAt(hti) ||
@@ -562,23 +585,8 @@ object Multimodal {
             null
           else {
             val hex = r.getString(hi)
-            val w = r.getInt(wi); val h = r.getInt(hti)
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-            val raster = img.getRaster
-            var i = 0
-            while (i < w * h) {
-              var b = 0
-              while (b < 3) {
-                raster.setSample(i % w, i / w, b,
-                  hex.charAt((3 * i + b) % hex.length).toInt)
-                b += 1
-              }
-              i += 1
-            }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
-            bos.toByteArray
+            rgbPngBytes(r.getInt(wi), r.getInt(hti),
+              (i, b) => hex.charAt((3 * i + b) % hex.length).toInt)
           }
         Row.fromSeq(r.toSeq :+ payload)
       }

@@ -1075,6 +1075,15 @@ class CorpusSpec extends SparkSpec {
       }
       assert(e4.getMessage.contains("more than 10 distinct values"),
         e4.getMessage)
+      // a null-label GROUP is not a distinct value: exactly maxLabels
+      // real labels plus null-label empty-text docs must still train
+      // (null docs count toward nDocs; the null group never becomes a
+      // prior), not refuse as an 11th label
+      val withNull = ((1L to 10L).map(i => (i, s"tok$i words here", s"lab$i")) :+
+        ((11L, "", null.asInstanceOf[String])))
+        .toDF("doc_id", "text", "label")
+      val (_, priorsN) = CorpusStats.trainNaiveBayes(withNull, "text", "label")
+      assert(priorsN.count() == 10L)
     } finally spark.conf.unset("spark.graft.nb.maxLabels")
     // array/binary labels would compare by REFERENCE in the driver-side
     // label map (silently emptying the priors) — they must refuse loudly
