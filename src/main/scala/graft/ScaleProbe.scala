@@ -301,6 +301,35 @@ object ScaleProbe {
         .agg(sum(aggregate(col("thumb"), lit(0.0), (a, x) => a + x)))
         .collect()(0); 0L
     }
+    // q151 perceptual-hash image dedup, PRODUCTION banding (four
+    // fixed 16-bit bands — the exact gate shape is quadratic by
+    // design and gate-bounded): decode + aHash are map-only per row;
+    // the only shuffled frame is the slim (doc, phash) snapshot and
+    // its band buckets stay ~n/65536 deep, so the exponent must read
+    // near-linear like decode
+    time("image_phash_dedup", base, scaled) { d =>
+      import graft.operators.{Dedup, Multimodal}
+      val n = length(col("text").cast("binary"))
+      val m = Multimodal.synthesizeGrayPng(
+        d.select(col("doc_id"), md5(col("text").cast("binary")).as("hex"),
+          (lit(4) + n % 13).cast("int").as("w"),
+          (lit(4) + floor(n / lit(13)) % 11).cast("int").as("h")),
+        "hex", "w", "h")
+      val hashed = Multimodal.perceptualHash(m, "payload")
+      Dedup.hammingBandPairs(hashed.select(col("doc_id"), col("phash")),
+        "doc_id", "phash", maxHamming = 6, exact = false).count()
+    }
+    // q152 trained LR quality classifier: the dense hashed-feature
+    // frame is built with one shuffle and snapshotted; each of the 3
+    // GD iterations is then a single map pass + a (dim+2)-long global
+    // reduce — no per-iteration shuffle or join, so the exponent must
+    // track the feature build (near-linear, kmeans-shaped)
+    time("lr_classifier_train", base, scaled) { d =>
+      import graft.operators.Classifier
+      Classifier.trainLogistic(d, "doc_id", "text",
+        col("lang") === "en", dim = 32, iters = 3, rate = 1.0)
+      0L
+    }
     // q149 audio envelope: WAV encode + javax.sound decode + 4-bin
     // temporal RMS, all inside one decoder pass per row — map-only,
     // no shuffle (the feature sum forces the envelope to evaluate)

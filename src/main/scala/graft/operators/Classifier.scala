@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.DiskSnapshot
+
+import graft.functions.TextFunctions
+
+/** Trained quality classifier for corpus filtering — the
+  * fastText-shaped hashed-bag-of-words logistic regression that LLM
+  * data pipelines train on weak labels (CCNet / GPT-3-style quality
+  * filtering; public method). The reference has no classifier
+  * surface; this completes the quality tier next to the heuristic
+  * signals (TextKernels) and naive Bayes (CorpusStats).
+  *
+  * Designed to be REPRODUCIBLE BY CONSTRUCTION, which is what makes
+  * distributed training both testable and oracle-replayable:
+  *
+  *   - features: token → md5-bucket (mod dim), x_j = bucket count /
+  *     token count — map-side hashing, no vocabulary materialization
+  *     (the [[TextFunctions.hashEmbeddingsMd5]] bucket rule).
+  *   - squash: the RATIONAL sigmoid σ̃(s) = 0.5 + s / (2·(1+|s|)) —
+  *     pure +, ×, ÷, |·| arithmetic. Every step is an IEEE-754
+  *     correctly-rounded operation and therefore engine-independent;
+  *     libm exp() (the logistic sigmoid) is not.
+  *   - the two cross-row reductions (per-document score over feature
+  *     terms, per-feature gradient over documents) accumulate
+  *     NANO-FIXED-POINT LONGS (floor(v·1e9 + 0.5), summed exactly),
+  *     so the sums are EXACT and run-order-invariant: training
+  *     produces bit-identical weights across partitionings, cluster
+  *     sizes, and the DuckDB oracle. A float gradient sum depends on
+  *     reduction order — training that cannot reproduce cannot be
+  *     regression-tested. The 1e-9 quantum is far below any
+  *     gradient-scale signal; it is a determinism device, not a
+  *     precision trade.
+  *
+  * 100 TB shape: the slim dense feature frame (doc, y, xs[dim]) is
+  * built with one shuffle and disk-snapshotted once; each GD
+  * iteration is then ONE map-side pass + a (dim+2)-long global
+  * reduce — no join, no per-iteration shuffle (the kmeans driver-led
+  * loop shape). The weight vector (dim ≤ 1024) lives on the driver
+  * between iterations and ships as literals.
+  */
+object Classifier {
+
+  /** Trained model: `weights(j)` pairs with md5-bucket j; `bias` is
+    * the intercept. Score with [[scoreLogistic]].
+    */
+  final case class LogisticModel(weights: Array[Double], bias: Double) {
+    def dim: Int = weights.length
+  }
+
+  private val Q = 1e9
+
+  /** Dense hashed features: (doc, [y,] xs array<double> of length
+    * dim). Rows with null text — and, when a label is extracted,
+    * null label — are EXCLUDED (a null would silently vanish from
+    * the gradient sums instead of failing loudly). Every non-null
+    * text has ≥ 1 whitespace token, so no doc degenerates to an
+    * empty feature row.
+    */
+  private def denseFeatures(df: DataFrame, idCol: String, textCol: String,
+                            label: Option[Column], dim: Int): DataFrame = {
+    val base0 = df.filter(col(textCol).isNotNull)
+    val base = label match {
+      case Some(y) => base0.select(col(idCol).as("doc"),
+        y.cast("double").as("y"), col(textCol).as("__text"))
+        .filter(col("y").isNotNull)
+      case None => base0.select(col(idCol).as("doc"), col(textCol).as("__text"))
+    }
+    val keyCols = if (label.isDefined) Seq(col("doc"), col("y")) else Seq(col("doc"))
+    val tok = base.select(keyCols :+
+      TextFunctions.tokenCount(col("__text")).as("n") :+
+      explode(TextFunctions.tokens(col("__text"))).as("t"): _*)
+    tok
+      .select(keyCols :+ col("n") :+
+        (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long") % dim).as("j"): _*)
+      .groupBy(keyCols :+ col("n") :+ col("j"): _*)
+      .agg(count(lit(1)).as("c"))
+      .groupBy(keyCols :+ col("n"): _*)
+      .agg(map_from_entries(collect_list(struct(col("j"), col("c")))).as("m"))
+      .select(keyCols :+
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          coalesce(element_at(col("m"), i.cast("long")), lit(0L))
+            .cast("double") / col("n")).as("xs"): _*)
+  }
+
+  /** Exact nano-fixed-point score sum Σ_j floor(w_j·x_j·1e9 + 0.5)
+    * as a long — order-invariant by exactness, identical in SQL. */
+  private def score9(xsCol: Column, w: Array[Double]): Column =
+    aggregate(
+      zip_with(xsCol, array(w.map(lit(_)).toIndexedSeq: _*),
+        (x, wj) => floor(x * wj * lit(Q) + lit(0.5))),
+      lit(0L), (a, v) => a + v)
+
+  /** σ̃(s) − y for s = s9/1e9 + b. */
+  private def errCol(s: Column, y: Column): Column =
+    lit(0.5) + s / (lit(2.0) * (lit(1.0) + abs(s))) - y
+
+  /** Full-batch gradient-descent training. `label` must evaluate to
+    * a 0/1 (or boolean) column; rows where it is null are excluded.
+    * Weights start at zero; `iters` full passes at step `rate`.
+    */
+  def trainLogistic(df: DataFrame, idCol: String, textCol: String,
+                    label: Column, dim: Int = 32, iters: Int = 3,
+                    rate: Double = 1.0): LogisticModel = {
+    require(dim >= 1 && dim <= 1024, s"dim $dim outside [1, 1024]")
+    require(iters >= 1 && iters <= 100, s"iters $iters outside [1, 100]")
+    val dense = DiskSnapshot.diskCached(
+      denseFeatures(df, idCol, textCol, Some(label), dim))
+    try {
+      val w = Array.fill(dim)(0.0)
+      var b = 0.0
+      var it = 0
+      while (it < iters) {
+        val s = score9(col("xs"), w).cast("double") / lit(Q) + lit(b)
+        val scored = dense.select(col("y"), col("xs"), errCol(s, col("y")).as("err"))
+        val aggs = (0 until dim).map(j =>
+          sum(floor(col("err") * element_at(col("xs"), j + 1) * lit(Q) + lit(0.5)))
+            .as(s"g$j")) ++ Seq(
+          sum(floor(col("err") * lit(Q) + lit(0.5))).as("gb"),
+          count(lit(1)).as("n"))
+        val r = scored.agg(aggs.head, aggs.tail: _*).first()
+        val n = r.getLong(dim + 1)
+        require(n > 0, "trainLogistic: no trainable rows " +
+          "(every row has a null text or a null label)")
+        var j = 0
+        while (j < dim) {
+          w(j) -= rate * (r.getLong(j).toDouble / (Q * n)); j += 1
+        }
+        b -= rate * (r.getLong(dim).toDouble / (Q * n))
+        it += 1
+      }
+      LogisticModel(w, b)
+    } finally DiskSnapshot.release(dense)
+  }
+
+  /** Score a corpus with a trained model: (idCol, score) where score
+    * is the rational-sigmoid probability-like output in (0, 1) —
+    * exactly the training-time forward pass, so train-set scores are
+    * reproducible too. One shuffle (the feature build), map-only
+    * after.
+    */
+  def scoreLogistic(df: DataFrame, idCol: String, textCol: String,
+                    model: LogisticModel): DataFrame = {
+    val dense = denseFeatures(df, idCol, textCol, None, model.dim)
+    val s = score9(col("xs"), model.weights).cast("double") / lit(Q) +
+      lit(model.bias)
+    dense.select(col("doc").as(idCol),
+      (lit(0.5) + s / (lit(2.0) * (lit(1.0) + abs(s)))).as("score"))
+  }
+
+  /** The model as rows (feat, weight): feat 0..dim-1, plus feat = -1
+    * for the bias — the gate/export shape.
+    */
+  def modelToDF(spark: SparkSession, model: LogisticModel): DataFrame = {
+    import spark.implicits._
+    (model.weights.zipWithIndex.map { case (wv, j) => (j, wv) }.toSeq :+
+      (-1, model.bias)).toDF("feat", "weight")
+  }
+}

@@ -287,18 +287,54 @@ object Dedup {
                       maxHamming: Int = 6): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64)
     // limit-probe, not a full count: one cheap early-terminating job
+    // BEFORE the signature build — hammingBandPairs re-checks on the
+    // (snapshotted) signatures, but this probe refuses without paying
+    // a single md5 and names the text-side production kernel
     val probe = df.select(col(idCol)).limit((SimhashGateMaxDocs + 1).toInt).count()
     require(probe <= SimhashGateMaxDocs,
       s"simhashPairsMd5 is the DuckDB-replayable GATE kernel: its pigeonhole-wide " +
         s"bands are quadratic in corpus size (SCALE.md), and this corpus exceeds the " +
         s"$SimhashGateMaxDocs-doc gate bound — use simhashPairs (16-bit bands) for " +
         s"production corpora")
-    // the signature build (one md5 per token + the 64-bit vote agg)
-    // feeds BOTH sides of the band self-join — snapshot the slim
-    // (doc, sig) frame so it's paid once (the q26 sigs pattern)
+    hammingBandPairs(simhashSignaturesMd5(df, idCol, textCol), "doc", "sig",
+      maxHamming)
+  }
+
+  /** Banded Hamming near-dup pairs over PRECOMPUTED ≤64-bit
+    * signatures — the shared join kernel behind [[simhashPairsMd5]],
+    * [[simhashPairs]], and [[Multimodal.perceptualHash]] image dedup.
+    * `exact = true` (the gate shape): maxHamming+1 DISJOINT bit-range
+    * bands, so by pigeonhole every pair within maxHamming shares an
+    * exact band — the output EQUALS the brute-force pair set (what a
+    * SQL oracle computes with an O(n²) self-join). The wide keys make
+    * buckets ~n/2^(64/(maxHamming+1)) — quadratic-prone, so the
+    * [[SimhashGateMaxDocs]] bound guards this shape (probed on the
+    * snapshotted slim (doc, sig) frame, one cheap early-terminating
+    * job). `exact = false` (the production shape): four fixed 16-bit
+    * bands — a documented recall trade (a pair differing in all four
+    * bands is missed even within maxHamming), bucket fan-out stays
+    * ~n/65536 per band at any corpus size. Either way the signature
+    * frame is disk-snapshotted once and feeds both sides of the
+    * self-join; candidates verify on exact Hamming distance. Output:
+    * (doc_a, doc_b, hamming), doc_a < doc_b, hamming ≤ maxHamming.
+    */
+  def hammingBandPairs(sigsIn: DataFrame, idCol: String, sigCol: String,
+                       maxHamming: Int, exact: Boolean = true): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64)
+    // snapshot FIRST: the signature build (decode / tokenize+hash)
+    // must price once — the bound probe and both join sides read the
+    // slim (doc, sig) snapshot
     val sigs = org.apache.spark.sql.graftshim.DiskSnapshot.diskCached(
-      simhashSignaturesMd5(df, idCol, textCol))
-    val nBands = maxHamming + 1
+      sigsIn.select(col(idCol).as("doc"), col(sigCol).as("sig")))
+    val nBands = if (exact) {
+      val probe = sigs.select(col("doc")).limit((SimhashGateMaxDocs + 1).toInt).count()
+      require(probe <= SimhashGateMaxDocs,
+        s"hammingBandPairs(exact = true) is the pigeonhole-complete GATE shape: its " +
+          s"wide band keys are quadratic in corpus size (SCALE.md), and this corpus " +
+          s"exceeds the $SimhashGateMaxDocs-doc gate bound — pass exact = false " +
+          s"(four 16-bit bands, the production recall trade) for production corpora")
+      maxHamming + 1
+    } else 4
     val base = 64 / nBands
     val banded = sigs.select(col("doc"), col("sig"),
       posexplode(array((0 until nBands).map { j =>
@@ -773,25 +809,14 @@ object Dedup {
     graft.plans.GraftExtensions.registerAll(df.sparkSession)
     // one-pass codegen'd kernel over the token hashes (vs 64 HOF
     // traversals in TextFunctions.simhash64 — same semantics up to
-    // the vote tie-break, cross-checked in DedupSpec).
-    // snapshot: the tokenize+hash+vote kernel feeds BOTH sides of the
-    // band self-join (same pattern as the md5 gate twin)
-    val sigs = org.apache.spark.sql.graftshim.DiskSnapshot.diskCached(
+    // the vote tie-break, cross-checked in DedupSpec). The shared
+    // [[hammingBandPairs]] production shape snapshots the slim
+    // (doc, sig) frame and self-joins on four fixed 16-bit bands.
+    hammingBandPairs(
       df.select(col(idCol).as("doc"),
         call_function("graft_simhash64",
-          transform(tokens(col(textCol)), t => xxhash64(t))).as("sig")))
-    val banded = sigs.select(col("doc"), col("sig"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "key")))
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-        col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
-      .withColumn("hamming", graft.functions.TextFunctions.hamming64(col("sig_a"), col("sig_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+          transform(tokens(col(textCol)), t => xxhash64(t))).as("sig")),
+      "doc", "sig", maxHamming, exact = false)
   }
 
   /** SUBSTRING-level exact dedup (Lee et al. 2021, arXiv:2107.06499

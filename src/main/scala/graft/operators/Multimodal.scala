@@ -895,6 +895,86 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** Perceptual average-hash (aHash) over the [[resizeFeatures]]
+    * area-partition grid: bit (ti·gridW + tj) of `phash` is 1 iff the
+    * cell's mean sample STRICTLY exceeds the whole-image mean, and the
+    * comparison runs in EXACT integer arithmetic
+    * (cellSum·totalCount > totalSum·cellCount — never a float
+    * division), so the hash replays bit-for-bit in SQL. Multi-band
+    * images fold every band into the cell sum (a luminance proxy —
+    * hashing hue channels independently is not what near-dup
+    * detection wants). Cells left empty by a source smaller than the
+    * grid contribute 0-bits; the empty pattern is a pure function of
+    * (w, h), so same-size images stay comparable. aHash is exactly
+    * brightness-shift-invariant: adding a constant c to every sample
+    * adds c·cellCount·totalCount to BOTH sides of the integer
+    * comparison (spec-pinned in MultimodalSpec). Map-only, one decode
+    * per row, null/undecodable payloads degrade to a null hash — the
+    * [[decodeFeatures]] poison contract. Output: input ++
+    * (phash long). Near-dup pairs: feed (id, phash) to
+    * [[Dedup.hammingBandPairs]] (exact banded gate or the 16-bit-band
+    * production shape). The reference has no image-dedup surface;
+    * this is the standard aHash → banded-Hamming pipeline multimodal
+    * training corpora run at scale.
+    */
+  def perceptualHash(df: DataFrame, payloadCol: String,
+                     gridW: Int = 8, gridH: Int = 8): DataFrame = {
+    require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 64,
+      s"phash grid ${gridW}x$gridH needs ${gridW * gridH} bits — max 64")
+    val outSchema = StructType(df.schema.fields :+
+      StructField("phash", LongType))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val payload = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val hash: Any = if (payload == null) null
+        else try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          if (img == null) null
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val raster = img.getRaster
+            val nb = raster.getNumBands
+            val cells = gridW * gridH
+            val sums = new Array[Long](cells)
+            val counts = new Array[Long](cells)
+            var rr = 0
+            while (rr < h) {
+              val ti = rr.toLong * gridH / h
+              var cc = 0
+              while (cc < w) {
+                val cell = (ti * gridW + cc.toLong * gridW / w).toInt
+                var b = 0
+                while (b < nb) { sums(cell) += raster.getSample(cc, rr, b); b += 1 }
+                counts(cell) += nb
+                cc += 1
+              }
+              rr += 1
+            }
+            var ts = 0L; var tc = 0L; var i = 0
+            while (i < cells) { ts += sums(i); tc += counts(i); i += 1 }
+            // cross-multiplied compare overflows long only past
+            // ~190 M samples (255·tc² > 2⁶³) — giant rasters take the
+            // exact BigInt lane, everything else stays in long math
+            val big = tc > (1L << 28)
+            var bits = 0L
+            i = 0
+            while (i < cells) {
+              val gt = if (big) BigInt(sums(i)) * tc > BigInt(ts) * counts(i)
+                       else sums(i) * tc > ts * counts(i)
+              if (gt) bits |= (1L << i)
+              i += 1
+            }
+            bits
+          }
+        } catch { case scala.util.control.NonFatal(_) => null }
+        Row.fromSeq(r.toSeq :+ hash)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame sampling plan for video payloads: emit (frame_no, byte
     * range) rows per media row WITHOUT decoding — the shuffle-free
     * fan-out that downstream per-frame decoders consume. `stride`

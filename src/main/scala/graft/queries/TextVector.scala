@@ -570,6 +570,48 @@ object TextVector {
           round(col("v") * lit(1e9)).cast("long").as("v9"))
     }),
 
+    // perceptual-hash image NEAR-DUP dedup with a REAL codec: the
+    // corpus is each doc's q148 grayscale PNG plus a perturbed twin
+    // (same pixel rule over a hex whose first char is swapped to 'z',
+    // ascii 122 > every hex char — pixels 0, 32, 64, … shift by
+    // +20..+74, a deterministic near-duplicate). 8x8 integer-exact
+    // aHash per image (cellSum·totCnt > totSum·cellCnt, no float),
+    // then the pigeonhole-exact banded Hamming join (maxHamming+1
+    // disjoint bands) — exact, so the oracle brute-forces the
+    // replayed hashes with an O(n²) self-join like q27's.
+    "q151_image_phash_dedup" -> ((s, dir) => {
+      val n = length(col("text").cast("binary"))
+      val base = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("hex"),
+          (lit(4) + n % 13).cast("int").as("w"),
+          (lit(4) + floor(n / lit(13)) % 11).cast("int").as("h"))
+      val twin = base
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("hex", concat(lit("z"), substring(col("hex"), 2, 31)))
+      val media = Multimodal.synthesizeGrayPng(base.unionByName(twin), "hex", "w", "h")
+      val hashed = Multimodal.perceptualHash(media, "payload", gridW = 8, gridH = 8)
+      Dedup.hammingBandPairs(hashed.select(col("doc_id"), col("phash")),
+        "doc_id", "phash", maxHamming = 6)
+    }),
+
+    // TRAINED quality classifier (hashed-BoW logistic regression,
+    // full-batch GD): 3 iterations over md5-bucket features predicting
+    // lang='en'. Training is run-order-INVARIANT by construction —
+    // rational sigmoid (pure IEEE arithmetic, no libm exp) + exact
+    // nano-fixed-point long sums for the score and gradient
+    // reductions — so the DuckDB oracle unrolls the same 3 iterations
+    // and must land on bit-identical weights. Output: (feat, w9),
+    // feat -1 = bias.
+    "q152_lr_quality_train" -> ((s, dir) => {
+      val m = graft.operators.Classifier.trainLogistic(
+        t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", dim = 32, iters = 3, rate = 1.0)
+      graft.operators.Classifier.modelToDF(s, m)
+        .select(col("feat"),
+          round(col("weight") * lit(1e9)).cast("long").as("w9"))
+    }),
+
     // audio decode pipeline with a REAL codec: synthesize a
     // deterministic mono 16-bit WAV per doc (samples = md5-hex ASCII
     // codes cycled — exact small integers, unlike the sine corpus
@@ -1621,6 +1663,98 @@ object TextVector {
          SELECT doc_id, ti, tj, band,
            CAST(round(avg(v) * 1e9) AS BIGINT) AS v9
          FROM px GROUP BY 1, 2, 3, 4""",
+    // replays q151's corpus (each doc's pixel rule + the 'z'-swapped
+    // twin at id+1000000), the 8x8 area-partition cells, the exact
+    // integer aHash comparison (cellSum·totCnt > totSum·cellCnt), and
+    // brute-forces ALL pairs — the banded Spark plan is exact by
+    // pigeonhole, so the sets must match. Bit 63 via the min-long
+    // literal (1<<63 overflows DuckDB's checked shift), like q27's.
+    "q151_image_phash_dedup" ->
+      """WITH base AS (
+           SELECT doc_id, md5(text) AS hex,
+             CAST(4 + octet_length(CAST(text AS BLOB)) % 13 AS INTEGER) AS w,
+             CAST(4 + (octet_length(CAST(text AS BLOB)) // 13) % 11 AS INTEGER) AS h
+           FROM documents WHERE text IS NOT NULL),
+         var AS (SELECT doc_id + v.v * 1000000 AS id,
+             CASE WHEN v.v = 1 THEN 'z' || substr(hex, 2) ELSE hex END AS hex, w, h
+           FROM base, UNNEST(generate_series(0, 1)) AS v(v)),
+         px AS (SELECT id,
+             CAST(((t.i // w) * 8) // h AS INTEGER) * 8
+               + CAST(((t.i % w) * 8) // w AS INTEGER) AS k,
+             CAST(ascii(substr(hex, CAST(t.i % 32 AS INTEGER) + 1, 1)) AS BIGINT) AS v
+           FROM var, UNNEST(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS t(i)),
+         cell AS (SELECT id, k, sum(v) AS cs, count(*) AS cc FROM px GROUP BY 1, 2),
+         tot AS (SELECT id, sum(cs) AS ts, sum(cc) AS tc FROM cell GROUP BY 1),
+         sig AS (SELECT cell.id, CAST(sum(CASE WHEN cs * tc > ts * cc THEN
+                   CASE WHEN k = 63 THEN -9223372036854775808
+                        ELSE (1::BIGINT << CAST(k AS INTEGER)) END
+                 ELSE 0 END) AS BIGINT) AS sg
+                 FROM cell JOIN tot ON tot.id = cell.id GROUP BY cell.id)
+         SELECT a.id AS doc_a, b.id AS doc_b,
+           CAST(bit_count(xor(a.sg, b.sg)) AS INTEGER) AS hamming
+         FROM sig a JOIN sig b ON a.id < b.id
+         WHERE bit_count(xor(a.sg, b.sg)) <= 6""",
+    // replays q152's training loop EXACTLY, 3 iterations unrolled:
+    // md5-bucket features x = count/n, rational sigmoid
+    // 0.5 + s/(2(1+|s|)) (pure IEEE arithmetic — identical bits on
+    // both engines, unlike libm exp), and EXACT nano-fixed-point long
+    // sums for the score and gradient reductions — run-order-invariant
+    // by exactness, so the final weights must agree bit-for-bit.
+    // Missing (doc, bucket) pairs contribute floor(0·w·1e9+0.5) = 0 on
+    // both sides, so the sparse joins here equal the dense zip there.
+    "q152_lr_quality_train" ->
+      """WITH d AS MATERIALIZED (
+           SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             len(string_split(text, ' ')) AS n, text
+           FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+         tok AS (SELECT doc_id, n, unnest(string_split(text, ' ')) AS t FROM d),
+         x AS MATERIALIZED (
+           SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 32 AS j,
+             count(*)::DOUBLE / n AS x
+           FROM tok GROUP BY doc_id, n, j),
+         nn AS (SELECT count(*) AS n FROM d),
+         w0 AS (SELECT CAST(g.j AS INTEGER) AS j, 0.0 AS w
+                FROM UNNEST(generate_series(0, 31)) AS g(j)),
+         b0 AS (SELECT 0.0 AS b),
+         s1 AS (SELECT x.doc_id, sum(CAST(floor(w0.w * x.x * 1e9 + 0.5) AS BIGINT)) AS s9
+                FROM x JOIN w0 ON w0.j = x.j GROUP BY 1),
+         e1 AS (SELECT d.doc_id, 0.5 + s/(2.0*(1.0+abs(s))) - d.y AS err
+                FROM (SELECT doc_id, s9/1e9 + (SELECT b FROM b0) AS s FROM s1) q
+                JOIN d USING (doc_id)),
+         g1 AS (SELECT x.j, sum(CAST(floor(e.err * x.x * 1e9 + 0.5) AS BIGINT)) AS g9
+                FROM x JOIN e1 e USING (doc_id) GROUP BY 1),
+         w1 AS (SELECT w0.j, w0.w - COALESCE(g1.g9, 0) / (1e9 * (SELECT n FROM nn)) AS w
+                FROM w0 LEFT JOIN g1 ON g1.j = w0.j),
+         b1 AS (SELECT (SELECT b FROM b0)
+                  - sum(CAST(floor(err * 1e9 + 0.5) AS BIGINT)) / (1e9 * (SELECT n FROM nn)) AS b
+                FROM e1),
+         s2 AS (SELECT x.doc_id, sum(CAST(floor(w1.w * x.x * 1e9 + 0.5) AS BIGINT)) AS s9
+                FROM x JOIN w1 ON w1.j = x.j GROUP BY 1),
+         e2 AS (SELECT d.doc_id, 0.5 + s/(2.0*(1.0+abs(s))) - d.y AS err
+                FROM (SELECT doc_id, s9/1e9 + (SELECT b FROM b1) AS s FROM s2) q
+                JOIN d USING (doc_id)),
+         g2 AS (SELECT x.j, sum(CAST(floor(e.err * x.x * 1e9 + 0.5) AS BIGINT)) AS g9
+                FROM x JOIN e2 e USING (doc_id) GROUP BY 1),
+         w2 AS (SELECT w1.j, w1.w - COALESCE(g2.g9, 0) / (1e9 * (SELECT n FROM nn)) AS w
+                FROM w1 LEFT JOIN g2 ON g2.j = w1.j),
+         b2 AS (SELECT (SELECT b FROM b1)
+                  - sum(CAST(floor(err * 1e9 + 0.5) AS BIGINT)) / (1e9 * (SELECT n FROM nn)) AS b
+                FROM e2),
+         s3 AS (SELECT x.doc_id, sum(CAST(floor(w2.w * x.x * 1e9 + 0.5) AS BIGINT)) AS s9
+                FROM x JOIN w2 ON w2.j = x.j GROUP BY 1),
+         e3 AS (SELECT d.doc_id, 0.5 + s/(2.0*(1.0+abs(s))) - d.y AS err
+                FROM (SELECT doc_id, s9/1e9 + (SELECT b FROM b2) AS s FROM s3) q
+                JOIN d USING (doc_id)),
+         g3 AS (SELECT x.j, sum(CAST(floor(e.err * x.x * 1e9 + 0.5) AS BIGINT)) AS g9
+                FROM x JOIN e3 e USING (doc_id) GROUP BY 1),
+         w3 AS (SELECT w2.j, w2.w - COALESCE(g3.g9, 0) / (1e9 * (SELECT n FROM nn)) AS w
+                FROM w2 LEFT JOIN g3 ON g3.j = w2.j),
+         b3 AS (SELECT (SELECT b FROM b2)
+                  - sum(CAST(floor(err * 1e9 + 0.5) AS BIGINT)) / (1e9 * (SELECT n FROM nn)) AS b
+                FROM e3)
+         SELECT j AS feat, CAST(round(w * 1e9) AS BIGINT) AS w9 FROM w3
+         UNION ALL
+         SELECT -1 AS feat, CAST(round(b * 1e9) AS BIGINT) AS w9 FROM b3""",
     // replays the hex-sample rule: per temporal bin (i*4 // len), the
     // RMS over s = a/32768 computed EXACTLY as the decoder does —
     // (sum(a^2) / 2^30) / count, sqrt (correctly rounded IEEE on both

@@ -468,4 +468,32 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) == "a.b.c")
     assert(got(2L) == "z")
   }
+
+  test("hammingBandPairs: exact banding equals brute force incl. bit 63; fixed bands trade recall") {
+    // engineered signatures: (1,2) flips 4 bits inside ONE 16-bit
+    // production band, (1,3) spreads 4 flips across ALL FOUR — the
+    // pigeonhole-exact shape must find both, the fixed-band
+    // production shape must miss exactly (1,3); bit 63 pins the
+    // unsigned band extraction
+    val sigs = Seq(
+      1L -> 0L,
+      2L -> 0x000000000000000FL,
+      3L -> 0x0001000100010001L,
+      4L -> 0x8000000000000000L,
+      5L -> 0x8000000000000001L).toDF("id", "sig")
+    def bf(maxH: Int) = (for {
+      (a, sa) <- Seq((1L, 0L), (2L, 0xFL), (3L, 0x0001000100010001L),
+        (4L, 0x8000000000000000L), (5L, 0x8000000000000001L))
+      (b, sb) <- Seq((1L, 0L), (2L, 0xFL), (3L, 0x0001000100010001L),
+        (4L, 0x8000000000000000L), (5L, 0x8000000000000001L))
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= maxH
+    } yield (a, b, java.lang.Long.bitCount(sa ^ sb))).toSet
+    def got(exact: Boolean) =
+      Dedup.hammingBandPairs(sigs, "id", "sig", maxHamming = 4, exact = exact)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = got(exact = true)
+    assert(exact == bf(4))
+    assert(exact.contains((1L, 3L, 4)))
+    assert(got(exact = false) == bf(4) - ((1L, 3L, 4)))
+  }
 }

@@ -516,4 +516,68 @@ class MultimodalSpec extends SparkSpec {
     assert(chunks.map(_.length).toSeq == Seq(128, 128, 44))
     assert(new String(chunks.flatten, "UTF-8") == "x" * 300)
   }
+
+  // independent aHash reference: exact integer cross-multiplication
+  // over the same area-partition cells, one count per pixel (the
+  // operator counts per SAMPLE, which cancels — spec-pinned below)
+  private def refAHash(w: Int, h: Int, grid: Int,
+                       px: (Int, Int) => Int): Long = {
+    val sums = new Array[Long](grid * grid)
+    val cnts = new Array[Long](grid * grid)
+    for (r <- 0 until h; c <- 0 until w) {
+      val cell = (r * grid / h) * grid + (c * grid / w)
+      sums(cell) += px(r, c); cnts(cell) += 1
+    }
+    val ts = sums.sum; val tc = cnts.sum
+    (0 until grid * grid).foldLeft(0L)((acc, i) =>
+      if (sums(i) * tc > ts * cnts(i)) acc | (1L << i) else acc)
+  }
+
+  test("perceptualHash: exact integer aHash, empty-cell 0-bits, brightness invariance") {
+    val hex = "0123456789abcdef0123456789abcdef"
+    def px(r: Int, c: Int) = hex.charAt((r * 5 + c) % 32).toInt
+    // a 5x4 raster at the 8x8 grid leaves most cells empty — those
+    // must read as 0-bits, and occupied cells must match the exact
+    // integer comparison (never a float division)
+    val base = Seq((1L, hex, 5, 4)).toDF("doc_id", "hex", "w", "h")
+    val media5 = Multimodal.synthesizeGrayPng(base, "hex", "w", "h")
+    val got = Multimodal.perceptualHash(media5, "payload")
+      .first().getAs[Long]("phash")
+    assert(got == refAHash(5, 4, 8, px))
+    // brightness-shift invariance is EXACT: +40 on every pixel adds
+    // 40·cellCount·totalCount to both sides of the comparison
+    val p0 = Array.tabulate(20)(i => px(i / 5, i % 5).toByte)
+    val p1 = p0.map(b => (b + 40).toByte) // max 102+40, no u8 wrap
+    val imgs = Seq((1L, Multimodal.pngBytes(5, 4, p0)),
+      (2L, Multimodal.pngBytes(5, 4, p1))).toDF("id", "payload")
+    val hs = Multimodal.perceptualHash(imgs, "payload").collect()
+      .sortBy(_.getLong(0)).map(_.getAs[Long]("phash"))
+    assert(hs(0) == hs(1) && hs(0) == got)
+  }
+
+  test("perceptualHash folds every band of a multi-band raster into the cell sum") {
+    // RGB: the operator sums all bands per cell and counts per
+    // SAMPLE; the per-pixel band-sum reference with per-PIXEL counts
+    // is equivalent because the 3x scales both comparison sides
+    val hex = "0123456789abcdef0123456789abcdef"
+    val base = Seq((1L, hex, 4, 4)).toDF("doc_id", "hex", "w", "h")
+    val media4 = Multimodal.synthesizeRgbPng(base, "hex", "w", "h")
+    val got = Multimodal.perceptualHash(media4, "payload", gridW = 4, gridH = 4)
+      .first().getAs[Long]("phash")
+    def pxSum(r: Int, c: Int) =
+      (0 to 2).map(b => hex.charAt((3 * (r * 4 + c) + b) % 32).toInt).sum
+    assert(got == refAHash(4, 4, 4, pxSum))
+  }
+
+  test("perceptualHash poison contract and grid bound") {
+    val mixed = Seq((1L, null.asInstanceOf[Array[Byte]]),
+      (2L, Array[Byte](9, 9, 9))).toDF("id", "payload")
+    val out = Multimodal.perceptualHash(mixed, "payload").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(r.fieldIndex("phash"))).toMap
+    assert(out == Map(1L -> true, 2L -> true))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.perceptualHash(mixed, "payload", gridW = 9, gridH = 8)
+    }
+    assert(e.getMessage.contains("max 64"))
+  }
 }
