@@ -612,6 +612,28 @@ object TextVector {
           round(col("weight") * lit(1e9)).cast("long").as("w9"))
     }),
 
+    // the END-TO-END quality-filter pipeline: train the q152 model,
+    // score the WHOLE corpus (null-lang docs score too — the label is
+    // only a training input), keep docs scoring ABOVE THE CORPUS MEAN
+    // — the relative cut a deployed filter uses (an absolute 0.5 is
+    // degenerate after 3 from-zero GD steps: every score lands on one
+    // side). The mean compare runs in exact integers
+    // (score9·n > Σscore9, broadcast stats — no driver collect), so
+    // the kept id set replays bit-for-bit like q152.
+    "q153_lr_quality_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.operators.Classifier.trainLogistic(
+        docs, "doc_id", "text", col("lang") === "en",
+        dim = 32, iters = 3, rate = 1.0)
+      val sc = graft.operators.Classifier.scoreLogistic(docs, "doc_id", "text", m)
+        .select(col("doc_id"),
+          round(col("score") * lit(1e9)).cast("long").as("score9"))
+      val stats = sc.agg(sum(col("score9")).as("tot"), count(lit(1)).as("nn"))
+      sc.crossJoin(broadcast(stats))
+        .filter(col("score9") * col("nn") > col("tot"))
+        .select(col("doc_id"), col("score9"))
+    }),
+
     // audio decode pipeline with a REAL codec: synthesize a
     // deterministic mono 16-bit WAV per doc (samples = md5-hex ASCII
     // codes cycled — exact small integers, unlike the sine corpus
@@ -1192,6 +1214,61 @@ object TextVector {
            CAST(sum(nt) AS BIGINT) AS n_tokens
          FROM rep GROUP BY 1"""
 
+  // q152/q153 shared training replay: the 3 GD iterations unrolled in
+  // SQL — md5-bucket features, rational sigmoid, exact nano-fixed-point
+  // long sums — so w3/b3 land on weights bit-identical to the Spark
+  // trainer's, and the two gates cannot drift onto different loops.
+  private val lrTrainCtes =
+    """d AS MATERIALIZED (
+           SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             len(string_split(text, ' ')) AS n, text
+           FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+         tok AS (SELECT doc_id, n, unnest(string_split(text, ' ')) AS t FROM d),
+         x AS MATERIALIZED (
+           SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 32 AS j,
+             count(*)::DOUBLE / n AS x
+           FROM tok GROUP BY doc_id, n, j),
+         nn AS (SELECT count(*) AS n FROM d),
+         w0 AS (SELECT CAST(g.j AS INTEGER) AS j, 0.0 AS w
+                FROM UNNEST(generate_series(0, 31)) AS g(j)),
+         b0 AS (SELECT 0.0 AS b),
+         s1 AS (SELECT x.doc_id, sum(CAST(floor(w0.w * x.x * 1e9 + 0.5) AS BIGINT)) AS s9
+                FROM x JOIN w0 ON w0.j = x.j GROUP BY 1),
+         e1 AS (SELECT d.doc_id, 0.5 + s/(2.0*(1.0+abs(s))) - d.y AS err
+                FROM (SELECT doc_id, s9/1e9 + (SELECT b FROM b0) AS s FROM s1) q
+                JOIN d USING (doc_id)),
+         g1 AS (SELECT x.j, sum(CAST(floor(e.err * x.x * 1e9 + 0.5) AS BIGINT)) AS g9
+                FROM x JOIN e1 e USING (doc_id) GROUP BY 1),
+         w1 AS (SELECT w0.j, w0.w - COALESCE(g1.g9, 0) / (1e9 * (SELECT n FROM nn)) AS w
+                FROM w0 LEFT JOIN g1 ON g1.j = w0.j),
+         b1 AS (SELECT (SELECT b FROM b0)
+                  - sum(CAST(floor(err * 1e9 + 0.5) AS BIGINT)) / (1e9 * (SELECT n FROM nn)) AS b
+                FROM e1),
+         s2 AS (SELECT x.doc_id, sum(CAST(floor(w1.w * x.x * 1e9 + 0.5) AS BIGINT)) AS s9
+                FROM x JOIN w1 ON w1.j = x.j GROUP BY 1),
+         e2 AS (SELECT d.doc_id, 0.5 + s/(2.0*(1.0+abs(s))) - d.y AS err
+                FROM (SELECT doc_id, s9/1e9 + (SELECT b FROM b1) AS s FROM s2) q
+                JOIN d USING (doc_id)),
+         g2 AS (SELECT x.j, sum(CAST(floor(e.err * x.x * 1e9 + 0.5) AS BIGINT)) AS g9
+                FROM x JOIN e2 e USING (doc_id) GROUP BY 1),
+         w2 AS (SELECT w1.j, w1.w - COALESCE(g2.g9, 0) / (1e9 * (SELECT n FROM nn)) AS w
+                FROM w1 LEFT JOIN g2 ON g2.j = w1.j),
+         b2 AS (SELECT (SELECT b FROM b1)
+                  - sum(CAST(floor(err * 1e9 + 0.5) AS BIGINT)) / (1e9 * (SELECT n FROM nn)) AS b
+                FROM e2),
+         s3 AS (SELECT x.doc_id, sum(CAST(floor(w2.w * x.x * 1e9 + 0.5) AS BIGINT)) AS s9
+                FROM x JOIN w2 ON w2.j = x.j GROUP BY 1),
+         e3 AS (SELECT d.doc_id, 0.5 + s/(2.0*(1.0+abs(s))) - d.y AS err
+                FROM (SELECT doc_id, s9/1e9 + (SELECT b FROM b2) AS s FROM s3) q
+                JOIN d USING (doc_id)),
+         g3 AS (SELECT x.j, sum(CAST(floor(e.err * x.x * 1e9 + 0.5) AS BIGINT)) AS g9
+                FROM x JOIN e3 e USING (doc_id) GROUP BY 1),
+         w3 AS (SELECT w2.j, w2.w - COALESCE(g3.g9, 0) / (1e9 * (SELECT n FROM nn)) AS w
+                FROM w2 LEFT JOIN g3 ON g3.j = w2.j),
+         b3 AS (SELECT (SELECT b FROM b2)
+                  - sum(CAST(floor(err * 1e9 + 0.5) AS BIGINT)) / (1e9 * (SELECT n FROM nn)) AS b
+                FROM e3)"""
+
   val oracle: Map[String, String] = Map(
     // replays the gate PQ end to end: 8 per-subspace lloydChainSql
     // quantized codebook builds (16 codewords, 2 rounds each over the
@@ -1703,58 +1780,31 @@ object TextVector {
     // Missing (doc, bucket) pairs contribute floor(0·w·1e9+0.5) = 0 on
     // both sides, so the sparse joins here equal the dense zip there.
     "q152_lr_quality_train" ->
-      """WITH d AS MATERIALIZED (
-           SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-             len(string_split(text, ' ')) AS n, text
-           FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
-         tok AS (SELECT doc_id, n, unnest(string_split(text, ' ')) AS t FROM d),
-         x AS MATERIALIZED (
-           SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 32 AS j,
-             count(*)::DOUBLE / n AS x
-           FROM tok GROUP BY doc_id, n, j),
-         nn AS (SELECT count(*) AS n FROM d),
-         w0 AS (SELECT CAST(g.j AS INTEGER) AS j, 0.0 AS w
-                FROM UNNEST(generate_series(0, 31)) AS g(j)),
-         b0 AS (SELECT 0.0 AS b),
-         s1 AS (SELECT x.doc_id, sum(CAST(floor(w0.w * x.x * 1e9 + 0.5) AS BIGINT)) AS s9
-                FROM x JOIN w0 ON w0.j = x.j GROUP BY 1),
-         e1 AS (SELECT d.doc_id, 0.5 + s/(2.0*(1.0+abs(s))) - d.y AS err
-                FROM (SELECT doc_id, s9/1e9 + (SELECT b FROM b0) AS s FROM s1) q
-                JOIN d USING (doc_id)),
-         g1 AS (SELECT x.j, sum(CAST(floor(e.err * x.x * 1e9 + 0.5) AS BIGINT)) AS g9
-                FROM x JOIN e1 e USING (doc_id) GROUP BY 1),
-         w1 AS (SELECT w0.j, w0.w - COALESCE(g1.g9, 0) / (1e9 * (SELECT n FROM nn)) AS w
-                FROM w0 LEFT JOIN g1 ON g1.j = w0.j),
-         b1 AS (SELECT (SELECT b FROM b0)
-                  - sum(CAST(floor(err * 1e9 + 0.5) AS BIGINT)) / (1e9 * (SELECT n FROM nn)) AS b
-                FROM e1),
-         s2 AS (SELECT x.doc_id, sum(CAST(floor(w1.w * x.x * 1e9 + 0.5) AS BIGINT)) AS s9
-                FROM x JOIN w1 ON w1.j = x.j GROUP BY 1),
-         e2 AS (SELECT d.doc_id, 0.5 + s/(2.0*(1.0+abs(s))) - d.y AS err
-                FROM (SELECT doc_id, s9/1e9 + (SELECT b FROM b1) AS s FROM s2) q
-                JOIN d USING (doc_id)),
-         g2 AS (SELECT x.j, sum(CAST(floor(e.err * x.x * 1e9 + 0.5) AS BIGINT)) AS g9
-                FROM x JOIN e2 e USING (doc_id) GROUP BY 1),
-         w2 AS (SELECT w1.j, w1.w - COALESCE(g2.g9, 0) / (1e9 * (SELECT n FROM nn)) AS w
-                FROM w1 LEFT JOIN g2 ON g2.j = w1.j),
-         b2 AS (SELECT (SELECT b FROM b1)
-                  - sum(CAST(floor(err * 1e9 + 0.5) AS BIGINT)) / (1e9 * (SELECT n FROM nn)) AS b
-                FROM e2),
-         s3 AS (SELECT x.doc_id, sum(CAST(floor(w2.w * x.x * 1e9 + 0.5) AS BIGINT)) AS s9
-                FROM x JOIN w2 ON w2.j = x.j GROUP BY 1),
-         e3 AS (SELECT d.doc_id, 0.5 + s/(2.0*(1.0+abs(s))) - d.y AS err
-                FROM (SELECT doc_id, s9/1e9 + (SELECT b FROM b2) AS s FROM s3) q
-                JOIN d USING (doc_id)),
-         g3 AS (SELECT x.j, sum(CAST(floor(e.err * x.x * 1e9 + 0.5) AS BIGINT)) AS g9
-                FROM x JOIN e3 e USING (doc_id) GROUP BY 1),
-         w3 AS (SELECT w2.j, w2.w - COALESCE(g3.g9, 0) / (1e9 * (SELECT n FROM nn)) AS w
-                FROM w2 LEFT JOIN g3 ON g3.j = w2.j),
-         b3 AS (SELECT (SELECT b FROM b2)
-                  - sum(CAST(floor(err * 1e9 + 0.5) AS BIGINT)) / (1e9 * (SELECT n FROM nn)) AS b
-                FROM e3)
+      s"""WITH $lrTrainCtes
          SELECT j AS feat, CAST(round(w * 1e9) AS BIGINT) AS w9 FROM w3
          UNION ALL
          SELECT -1 AS feat, CAST(round(b * 1e9) AS BIGINT) AS w9 FROM b3""",
+    // q153: the q152 training chain verbatim (shared CTEs — the two
+    // gates cannot drift onto different loops), then scores the WHOLE
+    // non-null-text corpus (no label filter: null-lang docs score
+    // too) with the final weights and keeps score > 0.5 — the
+    // deployed train->score->filter pipeline, bit-exact end to end.
+    "q153_lr_quality_filter" ->
+      s"""WITH $lrTrainCtes,
+         d2 AS (SELECT doc_id, len(string_split(text, ' ')) AS n, text
+                FROM documents WHERE text IS NOT NULL),
+         tok2 AS (SELECT doc_id, n, unnest(string_split(text, ' ')) AS t FROM d2),
+         x2 AS MATERIALIZED (
+           SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 32 AS j,
+             count(*)::DOUBLE / n AS x
+           FROM tok2 GROUP BY doc_id, n, j),
+         sc AS (SELECT x2.doc_id, sum(CAST(floor(w3.w * x2.x * 1e9 + 0.5) AS BIGINT)) AS s9
+                FROM x2 JOIN w3 ON w3.j = x2.j GROUP BY 1),
+         p AS (SELECT doc_id, 0.5 + s/(2.0*(1.0+abs(s))) AS score
+               FROM (SELECT doc_id, s9/1e9 + (SELECT b FROM b3) AS s FROM sc) q),
+         sc9 AS (SELECT doc_id, CAST(round(score * 1e9) AS BIGINT) AS score9 FROM p),
+         st AS (SELECT sum(score9) AS tot, count(*) AS nn FROM sc9)
+         SELECT doc_id, score9 FROM sc9, st WHERE score9 * nn > tot""",
     // replays the hex-sample rule: per temporal bin (i*4 // len), the
     // RMS over s = a/32768 computed EXACTLY as the decoder does —
     // (sum(a^2) / 2^30) / count, sqrt (correctly rounded IEEE on both
