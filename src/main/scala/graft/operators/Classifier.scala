@@ -39,7 +39,12 @@ import graft.functions.TextFunctions
   * iteration is then ONE map-side pass + a (dim+2)-long global
   * reduce — no join, no per-iteration shuffle (the kmeans driver-led
   * loop shape). The weight vector (dim ≤ 1024) lives on the driver
-  * between iterations and ships as literals.
+  * between iterations and ships as literals. Capacity contract: each
+  * per-row fixed-point term is ≤ 1e9 in magnitude, so the long
+  * gradient sums hold exactly to ~9.2e9 training rows (2⁶³/1e9) —
+  * past that, train on a sample or shard the gradient pass; a
+  * trillion-doc corpus does not need every row in one full-batch
+  * gradient anyway.
   */
 object Classifier {
 

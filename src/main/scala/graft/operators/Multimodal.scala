@@ -954,10 +954,12 @@ object Multimodal {
             }
             var ts = 0L; var tc = 0L; var i = 0
             while (i < cells) { ts += sums(i); tc += counts(i); i += 1 }
-            // cross-multiplied compare overflows long only past
-            // ~190 M samples (255·tc² > 2⁶³) — giant rasters take the
-            // exact BigInt lane, everything else stays in long math
-            val big = tc > (1L << 28)
+            // cross-multiplied compare stays in long math only while
+            // sample·tc² cannot reach 2⁶³ for ANY sample width
+            // getSample can return (int, up to 2³¹): 2³¹·(2¹⁵)² = 2⁶¹
+            // — past 32 Ki samples the exact BigInt lane takes over
+            // (64 comparisons, noise next to the decode)
+            val big = tc > (1L << 15)
             var bits = 0L
             i = 0
             while (i < cells) {

@@ -625,9 +625,13 @@ object TextVector {
       val m = graft.operators.Classifier.trainLogistic(
         docs, "doc_id", "text", col("lang") === "en",
         dim = 32, iters = 3, rate = 1.0)
-      val sc = graft.operators.Classifier.scoreLogistic(docs, "doc_id", "text", m)
-        .select(col("doc_id"),
-          round(col("score") * lit(1e9)).cast("long").as("score9"))
+      // snapshot the scored frame: it feeds BOTH the stats agg and
+      // the filter side of the crossJoin — unsnapshotted, the whole
+      // explode+groupBy scoring chain prices twice (the q105 pattern)
+      val sc = org.apache.spark.sql.graftshim.DiskSnapshot.diskCached(
+        graft.operators.Classifier.scoreLogistic(docs, "doc_id", "text", m)
+          .select(col("doc_id"),
+            round(col("score") * lit(1e9)).cast("long").as("score9")))
       val stats = sc.agg(sum(col("score9")).as("tot"), count(lit(1)).as("nn"))
       sc.crossJoin(broadcast(stats))
         .filter(col("score9") * col("nn") > col("tot"))

@@ -569,6 +569,20 @@ class MultimodalSpec extends SparkSpec {
     assert(got == refAHash(4, 4, 4, pxSum))
   }
 
+  test("perceptualHash BigInt lane (>32Ki samples) matches the long-lane rule") {
+    // a 200x200 raster (40k samples) crosses the 2^15 overflow-safety
+    // threshold into the exact BigInt comparisons — same bits as the
+    // independent reference implementation
+    val w = 200; val h = 200
+    def px(r: Int, c: Int) = (r * 31 + c * 7) % 251
+    val pixels = Array.tabulate(w * h)(i => px(i / w, i % w).toByte)
+    val img = Seq((1L, Multimodal.pngBytes(w, h, pixels))).toDF("id", "payload")
+    val got = Multimodal.perceptualHash(img, "payload")
+      .first().getAs[Long]("phash")
+    // byte-stored samples read back unsigned: mirror the raster view
+    assert(got == refAHash(w, h, 8, (r, c) => pixels(r * w + c) & 0xFF))
+  }
+
   test("perceptualHash poison contract and grid bound") {
     val mixed = Seq((1L, null.asInstanceOf[Array[Byte]]),
       (2L, Array[Byte](9, 9, 9))).toDF("id", "payload")
