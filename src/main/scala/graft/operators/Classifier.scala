@@ -102,6 +102,34 @@ object Classifier {
   private def errCol(s: Column, y: Column): Column =
     lit(0.5) + s / (lit(2.0) * (lit(1.0) + abs(s))) - y
 
+  /** The GD loop over a SNAPSHOTTED labeled dense frame (y, xs). */
+  private def trainOnDense(dense: DataFrame, dim: Int, iters: Int,
+                           rate: Double): LogisticModel = {
+    val w = Array.fill(dim)(0.0)
+    var b = 0.0
+    var it = 0
+    while (it < iters) {
+      val s = score9(col("xs"), w).cast("double") / lit(Q) + lit(b)
+      val scored = dense.select(col("y"), col("xs"), errCol(s, col("y")).as("err"))
+      val aggs = (0 until dim).map(j =>
+        sum(floor(col("err") * element_at(col("xs"), j + 1) * lit(Q) + lit(0.5)))
+          .as(s"g$j")) ++ Seq(
+        sum(floor(col("err") * lit(Q) + lit(0.5))).as("gb"),
+        count(lit(1)).as("n"))
+      val r = scored.agg(aggs.head, aggs.tail: _*).first()
+      val n = r.getLong(dim + 1)
+      require(n > 0, "trainLogistic: no trainable rows " +
+        "(every row has a null text or a null label)")
+      var j = 0
+      while (j < dim) {
+        w(j) -= rate * (r.getLong(j).toDouble / (Q * n)); j += 1
+      }
+      b -= rate * (r.getLong(dim).toDouble / (Q * n))
+      it += 1
+    }
+    LogisticModel(w, b)
+  }
+
   /** Full-batch gradient-descent training. `label` must evaluate to
     * a 0/1 (or boolean) column; rows where it is null are excluded.
     * Weights start at zero; `iters` full passes at step `rate`.
@@ -113,31 +141,37 @@ object Classifier {
     require(iters >= 1 && iters <= 100, s"iters $iters outside [1, 100]")
     val dense = DiskSnapshot.diskCached(
       denseFeatures(df, idCol, textCol, Some(label), dim))
-    try {
-      val w = Array.fill(dim)(0.0)
-      var b = 0.0
-      var it = 0
-      while (it < iters) {
-        val s = score9(col("xs"), w).cast("double") / lit(Q) + lit(b)
-        val scored = dense.select(col("y"), col("xs"), errCol(s, col("y")).as("err"))
-        val aggs = (0 until dim).map(j =>
-          sum(floor(col("err") * element_at(col("xs"), j + 1) * lit(Q) + lit(0.5)))
-            .as(s"g$j")) ++ Seq(
-          sum(floor(col("err") * lit(Q) + lit(0.5))).as("gb"),
-          count(lit(1)).as("n"))
-        val r = scored.agg(aggs.head, aggs.tail: _*).first()
-        val n = r.getLong(dim + 1)
-        require(n > 0, "trainLogistic: no trainable rows " +
-          "(every row has a null text or a null label)")
-        var j = 0
-        while (j < dim) {
-          w(j) -= rate * (r.getLong(j).toDouble / (Q * n)); j += 1
-        }
-        b -= rate * (r.getLong(dim).toDouble / (Q * n))
-        it += 1
-      }
-      LogisticModel(w, b)
-    } finally DiskSnapshot.release(dense)
+    try trainOnDense(dense, dim, iters, rate)
+    finally DiskSnapshot.release(dense)
+  }
+
+  /** Train and score in one go — the deployed filter shape. The
+    * EXPENSIVE feature build (token explode + two slim shuffles) runs
+    * ONCE: the unlabeled dense frame is snapshotted, labels join onto
+    * it for the training slice (rows with a null label train nothing
+    * but still score), and the returned (idCol, score) frame reads
+    * the same snapshot. Equivalent to trainLogistic + scoreLogistic
+    * (spec-pinned) at half the feature-build cost. The snapshot
+    * backing the returned frame is ContextCleaner-reaped with it.
+    */
+  def trainAndScore(df: DataFrame, idCol: String, textCol: String,
+                    label: Column, dim: Int = 32, iters: Int = 3,
+                    rate: Double = 1.0): DataFrame = {
+    require(dim >= 1 && dim <= 1024, s"dim $dim outside [1, 1024]")
+    require(iters >= 1 && iters <= 100, s"iters $iters outside [1, 100]")
+    val dense = DiskSnapshot.diskCached(
+      denseFeatures(df, idCol, textCol, None, dim))
+    val labels = df.select(col(idCol).as("doc"), label.cast("double").as("y"))
+      .filter(col("y").isNotNull)
+    val labeled = DiskSnapshot.diskCached(
+      dense.join(labels, "doc").select(col("y"), col("xs")))
+    val model =
+      try trainOnDense(labeled, dim, iters, rate)
+      finally DiskSnapshot.release(labeled)
+    val s = score9(col("xs"), model.weights).cast("double") / lit(Q) +
+      lit(model.bias)
+    dense.select(col("doc").as(idCol),
+      (lit(0.5) + s / (lit(2.0) * (lit(1.0) + abs(s)))).as("score"))
   }
 
   /** Score a corpus with a trained model: (idCol, score) where score

@@ -25,6 +25,29 @@ object TextVector {
   // builders are where the spread wins
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
+  /** q151/q154 shared image-dedup corpus: each non-null-text doc's
+    * grayscale PNG (the q148 pixel rule) plus a 'z'-swapped near-dup
+    * twin at doc_id + 1000000, hashed with the 8×8 exact aHash —
+    * one builder so the two gates cannot drift onto different
+    * corpora. Returns the slim (doc_id, phash) frame.
+    */
+  private def phashSigs(s: SparkSession, dir: String): DataFrame = {
+    val n = length(col("text").cast("binary"))
+    val base = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("hex"),
+        (lit(4) + n % 13).cast("int").as("w"),
+        (lit(4) + floor(n / lit(13)) % 11).cast("int").as("h"))
+    val twin = base
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .withColumn("hex", concat(lit("z"), substring(col("hex"), 2, 31)))
+    val media = graft.operators.Multimodal.synthesizeGrayPng(
+      base.unionByName(twin), "hex", "w", "h")
+    graft.operators.Multimodal.perceptualHash(media, "payload",
+      gridW = 8, gridH = 8)
+      .select(col("doc_id"), col("phash"))
+  }
+
   /** IVF index for a data dir — the offline-build / online-probe split
     * (an ANN index is a persistent artifact, not a per-query
     * computation). The build is written to DISK (cells
@@ -579,20 +602,26 @@ object TextVector {
     // then the pigeonhole-exact banded Hamming join (maxHamming+1
     // disjoint bands) — exact, so the oracle brute-forces the
     // replayed hashes with an O(n²) self-join like q27's.
-    "q151_image_phash_dedup" -> ((s, dir) => {
-      val n = length(col("text").cast("binary"))
-      val base = t(s, dir, "documents").filter(col("text").isNotNull)
-        .select(col("doc_id"),
-          md5(col("text").cast("binary")).as("hex"),
-          (lit(4) + n % 13).cast("int").as("w"),
-          (lit(4) + floor(n / lit(13)) % 11).cast("int").as("h"))
-      val twin = base
-        .withColumn("doc_id", col("doc_id") + lit(1000000L))
-        .withColumn("hex", concat(lit("z"), substring(col("hex"), 2, 31)))
-      val media = Multimodal.synthesizeGrayPng(base.unionByName(twin), "hex", "w", "h")
-      val hashed = Multimodal.perceptualHash(media, "payload", gridW = 8, gridH = 8)
-      Dedup.hammingBandPairs(hashed.select(col("doc_id"), col("phash")),
-        "doc_id", "phash", maxHamming = 6)
+    "q151_image_phash_dedup" -> ((s, dir) =>
+      Dedup.hammingBandPairs(phashSigs(s, dir), "doc_id", "phash",
+        maxHamming = 6)),
+
+    // image dedup RESOLVED to survivors: the q151 pair graph closed
+    // into connected components (scale-adaptive union-find /
+    // large-small-star — the q35 machinery), keeping each component's
+    // minimum id — the end state an image-dedup pipeline actually
+    // ships. Oracle: the q151 signature replay + a recursive
+    // transitive-closure CTE (a doc is dropped iff it reaches a
+    // smaller id), like q35's.
+    "q154_image_dedup_resolve" -> ((s, dir) => {
+      val sigs = org.apache.spark.sql.graftshim.DiskSnapshot.diskCached(
+        phashSigs(s, dir))
+      val pairs = Dedup.hammingBandPairs(sigs, "doc_id", "phash",
+        maxHamming = 6)
+      val doomed = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .filter(col("node") =!= col("label"))
+        .select(col("node").as("doc_id"))
+      sigs.join(doomed, Seq("doc_id"), "left_anti")
     }),
 
     // TRAINED quality classifier (hashed-BoW logistic regression,
@@ -622,14 +651,14 @@ object TextVector {
     // the kept id set replays bit-for-bit like q152.
     "q153_lr_quality_filter" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val m = graft.operators.Classifier.trainLogistic(
-        docs, "doc_id", "text", col("lang") === "en",
-        dim = 32, iters = 3, rate = 1.0)
-      // snapshot the scored frame: it feeds BOTH the stats agg and
-      // the filter side of the crossJoin — unsnapshotted, the whole
-      // explode+groupBy scoring chain prices twice (the q105 pattern)
+      // trainAndScore builds the expensive feature frame ONCE for
+      // both the training loop and the whole-corpus scoring pass;
+      // snapshot the scored projection too — it feeds BOTH the stats
+      // agg and the filter side of the crossJoin (the q105 pattern)
       val sc = org.apache.spark.sql.graftshim.DiskSnapshot.diskCached(
-        graft.operators.Classifier.scoreLogistic(docs, "doc_id", "text", m)
+        graft.operators.Classifier.trainAndScore(
+          docs, "doc_id", "text", col("lang") === "en",
+          dim = 32, iters = 3, rate = 1.0)
           .select(col("doc_id"),
             round(col("score") * lit(1e9)).cast("long").as("score9")))
       val stats = sc.agg(sum(col("score9")).as("tot"), count(lit(1)).as("nn"))
@@ -1218,6 +1247,32 @@ object TextVector {
            CAST(sum(nt) AS BIGINT) AS n_tokens
          FROM rep GROUP BY 1"""
 
+  // q151/q154 shared signature replay: the twinned PNG corpus
+  // (phashSigs), the 8×8 area-partition cells, and the exact integer
+  // aHash comparison — bit 63 via the min-long literal (1<<63
+  // overflows DuckDB's checked shift), like q27's oracle.
+  private val phashSigCtes =
+    """base AS (
+           SELECT doc_id, md5(text) AS hex,
+             CAST(4 + octet_length(CAST(text AS BLOB)) % 13 AS INTEGER) AS w,
+             CAST(4 + (octet_length(CAST(text AS BLOB)) // 13) % 11 AS INTEGER) AS h
+           FROM documents WHERE text IS NOT NULL),
+         var AS (SELECT doc_id + v.v * 1000000 AS id,
+             CASE WHEN v.v = 1 THEN 'z' || substr(hex, 2) ELSE hex END AS hex, w, h
+           FROM base, UNNEST(generate_series(0, 1)) AS v(v)),
+         px AS (SELECT id,
+             CAST(((t.i // w) * 8) // h AS INTEGER) * 8
+               + CAST(((t.i % w) * 8) // w AS INTEGER) AS k,
+             CAST(ascii(substr(hex, CAST(t.i % 32 AS INTEGER) + 1, 1)) AS BIGINT) AS v
+           FROM var, UNNEST(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS t(i)),
+         cell AS (SELECT id, k, sum(v) AS cs, count(*) AS cc FROM px GROUP BY 1, 2),
+         tot AS (SELECT id, sum(cs) AS ts, sum(cc) AS tc FROM cell GROUP BY 1),
+         sig AS MATERIALIZED (SELECT cell.id, CAST(sum(CASE WHEN cs * tc > ts * cc THEN
+                   CASE WHEN k = 63 THEN -9223372036854775808
+                        ELSE (1::BIGINT << CAST(k AS INTEGER)) END
+                 ELSE 0 END) AS BIGINT) AS sg
+                 FROM cell JOIN tot ON tot.id = cell.id GROUP BY cell.id)"""
+
   // q152/q153 shared training replay: the 3 GD iterations unrolled in
   // SQL — md5-bucket features, rational sigmoid, exact nano-fixed-point
   // long sums — so w3/b3 land on weights bit-identical to the Spark
@@ -1751,30 +1806,28 @@ object TextVector {
     // pigeonhole, so the sets must match. Bit 63 via the min-long
     // literal (1<<63 overflows DuckDB's checked shift), like q27's.
     "q151_image_phash_dedup" ->
-      """WITH base AS (
-           SELECT doc_id, md5(text) AS hex,
-             CAST(4 + octet_length(CAST(text AS BLOB)) % 13 AS INTEGER) AS w,
-             CAST(4 + (octet_length(CAST(text AS BLOB)) // 13) % 11 AS INTEGER) AS h
-           FROM documents WHERE text IS NOT NULL),
-         var AS (SELECT doc_id + v.v * 1000000 AS id,
-             CASE WHEN v.v = 1 THEN 'z' || substr(hex, 2) ELSE hex END AS hex, w, h
-           FROM base, UNNEST(generate_series(0, 1)) AS v(v)),
-         px AS (SELECT id,
-             CAST(((t.i // w) * 8) // h AS INTEGER) * 8
-               + CAST(((t.i % w) * 8) // w AS INTEGER) AS k,
-             CAST(ascii(substr(hex, CAST(t.i % 32 AS INTEGER) + 1, 1)) AS BIGINT) AS v
-           FROM var, UNNEST(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS t(i)),
-         cell AS (SELECT id, k, sum(v) AS cs, count(*) AS cc FROM px GROUP BY 1, 2),
-         tot AS (SELECT id, sum(cs) AS ts, sum(cc) AS tc FROM cell GROUP BY 1),
-         sig AS (SELECT cell.id, CAST(sum(CASE WHEN cs * tc > ts * cc THEN
-                   CASE WHEN k = 63 THEN -9223372036854775808
-                        ELSE (1::BIGINT << CAST(k AS INTEGER)) END
-                 ELSE 0 END) AS BIGINT) AS sg
-                 FROM cell JOIN tot ON tot.id = cell.id GROUP BY cell.id)
+      s"""WITH $phashSigCtes
          SELECT a.id AS doc_a, b.id AS doc_b,
            CAST(bit_count(xor(a.sg, b.sg)) AS INTEGER) AS hamming
          FROM sig a JOIN sig b ON a.id < b.id
          WHERE bit_count(xor(a.sg, b.sg)) <= 6""",
+    // q154: the q151 signature replay (shared CTEs), pairs closed
+    // with a recursive transitive-closure CTE — a doc is dropped iff
+    // it reaches any smaller id through the Hamming-pair graph (the
+    // q35 oracle pattern applied to images)
+    "q154_image_dedup_resolve" ->
+      s"""WITH RECURSIVE $phashSigCtes,
+         pairs AS MATERIALIZED (SELECT a.id AS doc_a, b.id AS doc_b
+                  FROM sig a JOIN sig b ON a.id < b.id
+                  WHERE bit_count(xor(a.sg, b.sg)) <= 6),
+         edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (SELECT a, b FROM edges
+                   UNION
+                   SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+         doomed AS (SELECT DISTINCT a FROM reach WHERE b < a)
+         SELECT id AS doc_id, sg AS phash FROM sig
+         WHERE id NOT IN (SELECT a FROM doomed)""",
     // replays q152's training loop EXACTLY, 3 iterations unrolled:
     // md5-bucket features x = count/n, rational sigmoid
     // 0.5 + s/(2(1+|s|)) (pure IEEE arithmetic — identical bits on

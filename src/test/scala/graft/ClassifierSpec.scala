@@ -44,6 +44,26 @@ class ClassifierSpec extends SparkSpec {
     assert(rows.length == 33 && rows.count(_.getInt(0) == -1) == 1)
   }
 
+  test("trainAndScore == trainLogistic + scoreLogistic, bit for bit") {
+    // the fused path shares one feature build between training and
+    // scoring; exactness means its scores must EQUAL the two-step
+    // path's — including docs with a null label, which score without
+    // training
+    val docs = ((0 until 30).map { i =>
+      (i.toLong, s"tok${i % 5} tok${i % 9} word$i", Some(i % 2))
+    } :+ (99L, "tok1 tok2 unlabeled", Option.empty[Int]))
+      .toDF("doc_id", "text", "y")
+    val m = Classifier.trainLogistic(docs, "doc_id", "text",
+      col("y") === 1, dim = 16, iters = 3, rate = 2.0)
+    val twoStep = Classifier.scoreLogistic(docs, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fused = Classifier.trainAndScore(docs, "doc_id", "text",
+      col("y") === 1, dim = 16, iters = 3, rate = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fused == twoStep)
+    assert(fused.contains(99L)) // null-label doc scores
+  }
+
   test("null text / null label rows are excluded; an empty corpus fails loudly") {
     val docs = Seq(
       (1L, "aa bb", Some(1)),
