@@ -319,6 +319,21 @@ object ScaleProbe {
       Dedup.hammingBandPairs(hashed.select(col("doc_id"), col("phash")),
         "doc_id", "phash", maxHamming = 6, exact = false).count()
     }
+    // q155 audio fingerprint dedup, PRODUCTION banding over the live
+    // 32 bits: WAV decode + integer energy bits are map-only per row;
+    // only the slim (doc, afp) frame shuffles — same shape as the
+    // image phash probe, must read near-linear
+    time("audio_fingerprint_dedup", base, scaled) { d =>
+      import graft.operators.{Dedup, Multimodal}
+      val n = length(col("text").cast("binary"))
+      val m = Multimodal.synthesizeHexWav(
+        d.select(col("doc_id"), md5(col("text").cast("binary")).as("hex"),
+          (lit(50) + n % 97).cast("int").as("len")),
+        "hex", "len")
+      val fp = Multimodal.audioFingerprint(m, "payload", bins = 32)
+      Dedup.hammingBandPairs(fp.select(col("doc_id"), col("afp")),
+        "doc_id", "afp", maxHamming = 4, exact = false, bits = 32).count()
+    }
     // q152 trained LR quality classifier: the dense hashed-feature
     // frame is built with one shuffle and snapshotted; each of the 3
     // GD iterations is then a single map pass + a (dim+2)-long global

@@ -315,12 +315,19 @@ object Dedup {
     * bands is missed even within maxHamming), bucket fan-out stays
     * ~n/65536 per band at any corpus size. Either way the signature
     * frame is disk-snapshotted once and feeds both sides of the
-    * self-join; candidates verify on exact Hamming distance. Output:
-    * (doc_a, doc_b, hamming), doc_a < doc_b, hamming ≤ maxHamming.
+    * self-join; candidates verify on exact Hamming distance. `bits`
+    * narrows the banded range for sub-64-bit signatures (e.g. a
+    * 32-bin [[Multimodal.audioFingerprint]]): WITHOUT it the bands
+    * over the always-zero high bits put EVERY doc in one bucket — a
+    * silent O(n²) cross product. Signatures must be zero above
+    * `bits`. Output: (doc_a, doc_b, hamming), doc_a < doc_b,
+    * hamming ≤ maxHamming.
     */
   def hammingBandPairs(sigsIn: DataFrame, idCol: String, sigCol: String,
-                       maxHamming: Int, exact: Boolean = true): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64)
+                       maxHamming: Int, exact: Boolean = true,
+                       bits: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits $bits outside [1, 64]")
+    require(maxHamming >= 0 && maxHamming < bits)
     // snapshot FIRST: the signature build (decode / tokenize+hash)
     // must price once — the bound probe and both join sides read the
     // slim (doc, sig) snapshot
@@ -335,10 +342,10 @@ object Dedup {
           s"(four 16-bit bands, the production recall trade) for production corpora")
       maxHamming + 1
     } else 4
-    val base = 64 / nBands
+    val base = bits / nBands
     val banded = sigs.select(col("doc"), col("sig"),
       posexplode(array((0 until nBands).map { j =>
-        val width = if (j == nBands - 1) 64 - base * j else base
+        val width = if (j == nBands - 1) bits - base * j else base
         val mask = if (width == 64) -1L else (1L << width) - 1
         // unsigned shift: bit 63 set must not sign-extend into the key
         shiftrightunsigned(col("sig"), base * j).bitwiseAND(lit(mask))

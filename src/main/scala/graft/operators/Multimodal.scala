@@ -160,6 +160,34 @@ object Multimodal {
     }
   }
 
+  /** The cached audio-reader SPI list, shared by [[AudioDecoder]] and
+    * [[audioFingerprint]]. JVM-singleton (an object's lazy val), so
+    * the ServiceLoader scan prices once per executor rather than once
+    * per decoder instance — the hazards it bypasses are documented on
+    * [[AudioDecoder]].
+    */
+  private[operators] object AudioSpi {
+    lazy val readers: Array[javax.sound.sampled.spi.AudioFileReader] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) buf += it.next()
+      buf.filterNot(_.getClass.getName.contains("Midi")).toArray
+    }
+    def open(p: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      var i = 0
+      while (i < readers.length) {
+        try return readers(i)
+          .getAudioInputStream(new java.io.ByteArrayInputStream(p))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+        i += 1
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "no audio reader recognizes payload")
+    }
+  }
+
   /** REAL audio decoder backed by `javax.sound.sampled` (JDK
     * built-in): handles WAV, AIFF and AU containers carrying PCM
     * (signed or unsigned, 8/16/24/32-bit, either endianness). The
@@ -177,8 +205,8 @@ object Multimodal {
     // 32 threads (12.5 s -> 0.55 s, serial-contention -> flat):
     // 1. AudioSystem.getAudioInputStream re-runs SPI provider
     //    discovery on EVERY call (JDK13Services.getProviders is
-    //    uncached) — one ServiceLoader scan per decoder instance
-    //    (= per partition under decodeFeatures) instead.
+    //    uncached) — one ServiceLoader scan per JVM instead
+    //    ([[AudioSpi]], shared with audioFingerprint).
     // 2. The provider list puts Gervill's SoftMidiAudioFileReader
     //    AHEAD of WaveFileReader, so every WAV/AIFF open first paid a
     //    full MIDI-parse attempt with its own uncached MidiSystem SPI
@@ -187,28 +215,8 @@ object Multimodal {
     //    rendering it through a softsynth is out of scope — so the
     //    MIDI reader is excluded (such payloads degrade to null like
     //    any other undecodable row).
-    @transient private lazy val readers: Array[javax.sound.sampled.spi.AudioFileReader] = {
-      val it = java.util.ServiceLoader
-        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
-      val buf = scala.collection.mutable.ArrayBuffer
-        .empty[javax.sound.sampled.spi.AudioFileReader]
-      while (it.hasNext) buf += it.next()
-      buf.filterNot(_.getClass.getName.contains("Midi")).toArray
-    }
-    private def open(p: Array[Byte]): javax.sound.sampled.AudioInputStream = {
-      var i = 0
-      while (i < readers.length) {
-        try return readers(i)
-          .getAudioInputStream(new java.io.ByteArrayInputStream(p))
-        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
-        i += 1
-      }
-      throw new javax.sound.sampled.UnsupportedAudioFileException(
-        "no audio reader recognizes payload")
-    }
-
     override def decode(p: Array[Byte]): Decoded = {
-      val ais = open(p)
+      val ais = AudioSpi.open(p)
       try {
         import javax.sound.sampled.AudioFormat.Encoding
         val fmt = ais.getFormat
@@ -972,6 +980,99 @@ object Multimodal {
           }
         } catch { case scala.util.control.NonFatal(_) => null }
         Row.fromSeq(r.toSeq :+ hash)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Audio perceptual fingerprint — the temporal-energy analog of
+    * [[perceptualHash]], completing near-dup dedup across all three
+    * modalities: bit k of `afp` is 1 iff temporal bin k's mean sample
+    * ENERGY strictly exceeds the whole-clip mean energy, compared in
+    * EXACT integer arithmetic (binEnergy·totalCount >
+    * totalEnergy·binCount — never a float), so the fingerprint
+    * replays bit-for-bit in SQL. Samples fold to a 16-bit basis
+    * first (bits>16 PCM shifts down — a fingerprint robustness
+    * quantization, and it keeps each squared term ≤ 2³⁰); clips past
+    * 2¹⁶ samples take the exact BigInt compare lane (2³⁰·(2¹⁶)² =
+    * 2⁶² — safe product bound, the [[perceptualHash]] pattern).
+    * Frame k maps to bin (k·bins)/nFrames — the [[AudioDecoder]]
+    * envelope binning — and every channel folds into its frame's
+    * bin. Exactly VOLUME-invariant: scaling all samples by c scales
+    * both comparison sides by c² (spec-pinned). Map-only, one decode
+    * per row; null/undecodable payloads degrade to a null
+    * fingerprint. Near-dup pairs: [[Dedup.hammingBandPairs]] with
+    * `bits = bins`.
+    */
+  def audioFingerprint(df: DataFrame, payloadCol: String,
+                       bins: Int = 32): DataFrame = {
+    require(bins >= 1 && bins <= 64, s"afp bins $bins outside [1, 64]")
+    val outSchema = StructType(df.schema.fields :+
+      StructField("afp", LongType))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val payload = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val fp: Any = if (payload == null) null
+        else try {
+          val ais = AudioSpi.open(payload)
+          try {
+            import javax.sound.sampled.AudioFormat.Encoding
+            val fmt = ais.getFormat
+            val enc = fmt.getEncoding
+            require(enc == Encoding.PCM_SIGNED || enc == Encoding.PCM_UNSIGNED,
+              s"unsupported audio encoding $enc")
+            val bits = fmt.getSampleSizeInBits
+            require(bits == 8 || bits == 16 || bits == 24 || bits == 32,
+              s"unsupported PCM sample size $bits bits")
+            val ch = fmt.getChannels
+            val bps = bits / 8
+            val frameSize = fmt.getFrameSize
+            require(frameSize == ch * bps,
+              s"unexpected PCM frame size $frameSize")
+            val data = ais.readAllBytes()
+            val nFrames = data.length / frameSize
+            val big = fmt.isBigEndian
+            val unsigned = enc == Encoding.PCM_UNSIGNED
+            val es = new Array[Long](bins)
+            val ec = new Array[Long](bins)
+            var f = 0
+            while (f < nFrames) {
+              val bin = (f.toLong * bins / nFrames).toInt
+              var c = 0
+              while (c < ch) {
+                val off = f * frameSize + c * bps
+                var v = 0L
+                var i = 0
+                while (i < bps) {
+                  val b = data(off + i) & 0xFFL
+                  v |= (if (big) b << (8 * (bps - 1 - i)) else b << (8 * i))
+                  i += 1
+                }
+                val s = if (unsigned) v - (1L << (bits - 1))
+                        else (v << (64 - bits)) >> (64 - bits)
+                val q = if (bits > 16) s >> (bits - 16) else s
+                es(bin) += q * q
+                ec(bin) += 1
+                c += 1
+              }
+              f += 1
+            }
+            var ts = 0L; var tc = 0L; var i = 0
+            while (i < bins) { ts += es(i); tc += ec(i); i += 1 }
+            val bigLane = tc > (1L << 16)
+            var acc = 0L
+            i = 0
+            while (i < bins) {
+              val gt = if (bigLane) BigInt(es(i)) * tc > BigInt(ts) * ec(i)
+                       else es(i) * tc > ts * ec(i)
+              if (gt) acc |= (1L << i)
+              i += 1
+            }
+            acc
+          } finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) => null }
+        Row.fromSeq(r.toSeq :+ fp)
       }
     }
     df.sparkSession.createDataFrame(rdd, outSchema)

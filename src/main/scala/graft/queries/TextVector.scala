@@ -667,6 +667,27 @@ object TextVector {
         .select(col("doc_id"), col("score9"))
     }),
 
+    // audio perceptual-fingerprint NEAR-DUP dedup with a REAL codec —
+    // the q151 pipeline's audio sibling (dedup now spans text, image
+    // AND audio): each doc's q149 hex-sample WAV plus the 'z'-swapped
+    // twin at doc_id + 1000000, 32-bin exact integer energy
+    // fingerprint, pigeonhole-exact banded Hamming join over the low
+    // 32 bits — the oracle brute-forces the replayed fingerprints.
+    "q155_audio_fingerprint_dedup" -> ((s, dir) => {
+      val n = length(col("text").cast("binary"))
+      val base = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("hex"),
+          (lit(50) + n % 97).cast("int").as("len"))
+      val twin = base
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("hex", concat(lit("z"), substring(col("hex"), 2, 31)))
+      val media = Multimodal.synthesizeHexWav(base.unionByName(twin), "hex", "len")
+      val fp = Multimodal.audioFingerprint(media, "payload", bins = 32)
+      Dedup.hammingBandPairs(fp.select(col("doc_id"), col("afp")),
+        "doc_id", "afp", maxHamming = 4, bits = 32)
+    }),
+
     // audio decode pipeline with a REAL codec: synthesize a
     // deterministic mono 16-bit WAV per doc (samples = md5-hex ASCII
     // codes cycled — exact small integers, unlike the sine corpus
@@ -1862,6 +1883,33 @@ object TextVector {
          sc9 AS (SELECT doc_id, CAST(round(score * 1e9) AS BIGINT) AS score9 FROM p),
          st AS (SELECT sum(score9) AS tot, count(*) AS nn FROM sc9)
          SELECT doc_id, score9 FROM sc9, st WHERE score9 * nn > tot""",
+    // replays q155's corpus (the q149 sample rule + the 'z'-swapped
+    // twin at id+1000000), the 32-bin integer energy sums, the exact
+    // aHash-style comparison (binEnergy·totCnt > totEnergy·binCnt),
+    // and brute-forces ALL pairs — the banded Spark plan over the low
+    // 32 bits is exact by pigeonhole, so the sets must match. No
+    // bit-63 case: k ≤ 31.
+    "q155_audio_fingerprint_dedup" ->
+      """WITH base AS (
+           SELECT doc_id, md5(text) AS hex,
+             CAST(50 + octet_length(CAST(text AS BLOB)) % 97 AS INTEGER) AS len
+           FROM documents WHERE text IS NOT NULL),
+         var AS (SELECT doc_id + v.v * 1000000 AS id,
+             CASE WHEN v.v = 1 THEN 'z' || substr(hex, 2) ELSE hex END AS hex, len
+           FROM base, UNNEST(generate_series(0, 1)) AS v(v)),
+         smp AS (SELECT id, CAST((t.i * 32) // len AS INTEGER) AS k,
+             CAST(ascii(substr(hex, CAST(t.i % 32 AS INTEGER) + 1, 1)) AS BIGINT) AS a
+           FROM var, UNNEST(generate_series(0, CAST(len AS BIGINT) - 1)) AS t(i)),
+         bin AS (SELECT id, k, sum(a * a) AS es, count(*) AS ec FROM smp GROUP BY 1, 2),
+         tot AS (SELECT id, sum(es) AS ts, sum(ec) AS tc FROM bin GROUP BY 1),
+         sig AS MATERIALIZED (SELECT bin.id,
+                 CAST(sum(CASE WHEN es * tc > ts * ec
+                   THEN (1::BIGINT << CAST(k AS INTEGER)) ELSE 0 END) AS BIGINT) AS sg
+                 FROM bin JOIN tot ON tot.id = bin.id GROUP BY bin.id)
+         SELECT a.id AS doc_a, b.id AS doc_b,
+           CAST(bit_count(xor(a.sg, b.sg)) AS INTEGER) AS hamming
+         FROM sig a JOIN sig b ON a.id < b.id
+         WHERE bit_count(xor(a.sg, b.sg)) <= 4""",
     // replays the hex-sample rule: per temporal bin (i*4 // len), the
     // RMS over s = a/32768 computed EXACTLY as the decoder does —
     // (sum(a^2) / 2^30) / count, sqrt (correctly rounded IEEE on both

@@ -496,4 +496,18 @@ class DedupSpec extends SparkSpec {
     assert(exact.contains((1L, 3L, 4)))
     assert(got(exact = false) == bf(4) - ((1L, 3L, 4)))
   }
+
+  test("hammingBandPairs bits=32: sub-64-bit signatures band over the live range") {
+    // 32-bit signatures: with bits=32 the exact bands cover only the
+    // live bits, so a pair differing in 3 of them still shares a band
+    // (pigeonhole over 4 bands) — while the always-zero high bits
+    // never become a bucket-everything band
+    val sigs = Seq(1L -> 0L, 2L -> 0x80000001L, 3L -> 0x00010002L)
+      .toDF("id", "sig")
+    val got = Dedup.hammingBandPairs(sigs, "id", "sig", maxHamming = 3,
+      exact = true, bits = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force: (1,2) h=2, (1,3) h=2, (2,3) h=4 (dropped)
+    assert(got == Set((1L, 2L, 2), (1L, 3L, 2)))
+  }
 }

@@ -583,6 +583,45 @@ class MultimodalSpec extends SparkSpec {
     assert(got == refAHash(w, h, 8, (r, c) => pixels(r * w + c) & 0xFF))
   }
 
+  // independent audio-fingerprint reference over raw integer samples
+  private def refAfp(samples: Array[Int], bins: Int): Long = {
+    val es = new Array[Long](bins); val ec = new Array[Long](bins)
+    for (f <- samples.indices) {
+      val b = (f.toLong * bins / samples.length).toInt
+      es(b) += samples(f).toLong * samples(f); ec(b) += 1
+    }
+    val ts = es.sum; val tc = ec.sum
+    (0 until bins).foldLeft(0L)((acc, i) =>
+      if (es(i) * tc > ts * ec(i)) acc | (1L << i) else acc)
+  }
+
+  test("audioFingerprint: exact integer energy bits; volume invariance; poison") {
+    val hex = "0123456789abcdef0123456789abcdef"
+    val len = 70
+    val base = Seq((1L, hex, len)).toDF("doc_id", "hex", "len")
+    val wav = Multimodal.synthesizeHexWav(base, "hex", "len")
+    val got = Multimodal.audioFingerprint(wav, "payload", bins = 32)
+      .first().getAs[Long]("afp")
+    val samples = Array.tabulate(len)(i => hex.charAt(i % 32).toInt)
+    assert(got == refAfp(samples, 32))
+    assert(got != 0L) // the rule actually set bits
+    // volume invariance is EXACT: doubling every sample scales both
+    // sides of the energy comparison by 4
+    val s1 = samples.map(_.toShort)
+    val s2 = samples.map(v => (v * 2).toShort)
+    val two = Seq((1L, Multimodal.pcmBytes(8000, 1, s1)),
+      (2L, Multimodal.pcmBytes(8000, 1, s2))).toDF("id", "payload")
+    val fps = Multimodal.audioFingerprint(two, "payload", bins = 32)
+      .collect().sortBy(_.getLong(0)).map(_.getAs[Long]("afp"))
+    assert(fps(0) == fps(1) && fps(0) == got)
+    // poison: null and undecodable payloads degrade to null
+    val bad = Seq((1L, null.asInstanceOf[Array[Byte]]),
+      (2L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val nulls = Multimodal.audioFingerprint(bad, "payload").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(r.fieldIndex("afp"))).toMap
+    assert(nulls == Map(1L -> true, 2L -> true))
+  }
+
   test("perceptualHash poison contract and grid bound") {
     val mixed = Seq((1L, null.asInstanceOf[Array[Byte]]),
       (2L, Array[Byte](9, 9, 9))).toDF("id", "payload")
