@@ -133,22 +133,24 @@ object TextFunctions {
     */
   def hashEmbeddings(df: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String, dim: Int = 64): org.apache.spark.sql.DataFrame = {
-    val sums = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
-      .select(col(idCol), pmod(xxhash64(col("__t")), lit(dim.toLong)).as("__b"),
-        when(pmod(xxhash64(col("__t"), lit(1)), lit(2L)) === 0L, lit(1.0f))
-          .otherwise(lit(-1.0f)).as("__s"))
-      .groupBy(col(idCol), col("__b")).agg(sum(col("__s")).as("__v"))
-      // the norm comes out of the SAME aggregation (‖v‖² = Σ_b v_b²) so
-      // downstream it is a plain attribute — norm-as-expression inside
-      // the divide lambda would re-inline the whole reduction per
-      // array ELEMENT (lambdas get no common-subexpression
-      // elimination), turning O(dim) per row into O(dim²·lookups)
-      .groupBy(col(idCol))
-      .agg(map_from_entries(collect_list(struct(col("__b"), col("__v")))).as("__m"),
-        sqrt(sum(col("__v") * col("__v"))).cast("float").as("__n"))
-    val raw = transform(sequence(lit(0), lit(dim - 1)),
-      i => coalesce(element_at(col("__m"), i.cast("long")), lit(0.0)).cast("float"))
+    // ONE map-side codegen kernel per row (plans/Md5Kernels.scala):
+    // the xxhash64 signed bucket sums, bit-identical to the former
+    // explode → two-hash-agg chain (Md5KernelsSpec pins the equality;
+    // the ±1 sums and their squares are exact integers in doubles, so
+    // the norm and the float divisions reproduce bit-for-bit) — both
+    // per-document Exchanges removed outright (guide §2.4). The norm
+    // is an O(dim) fold over the kernel's OWN sums attribute (bound
+    // once per row via the single-element-transform idiom, so the
+    // divide lambda reads an attribute, not a re-inlined reduction).
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    val sums = df.select(col(idCol),
+        call_function("graft_xx_sign_sums",
+          tokens(col(textCol)), lit(dim)).as("__sums"))
+      .filter(col("__sums").isNotNull)
+      .select(col(idCol), col("__sums"),
+        sqrt(aggregate(col("__sums"), lit(0.0), (a, v) => a + v * v))
+          .cast("float").as("__n"))
+    val raw = transform(col("__sums"), v => v.cast("float"))
     sums.select(col(idCol),
       when(col("__n") > 0, transform(raw, v => v / col("__n"))).otherwise(raw)
         .cast("array<float>").as("embedding"))
@@ -167,19 +169,19 @@ object TextFunctions {
     */
   def hashEmbeddingsMd5(df: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String, dim: Int = 64): org.apache.spark.sql.DataFrame = {
-    val sums = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
-      .select(col(idCol),
-        (conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long") % dim).as("__b"),
-        when(conv(substring(md5(col("__t")), 9, 1), 16, 10).cast("long") % 2 === 0,
-          lit(1.0)).otherwise(lit(-1.0)).as("__s"))
-      .groupBy(col(idCol), col("__b")).agg(sum(col("__s")).as("__v"))
-      .groupBy(col(idCol))
-      .agg(map_from_entries(collect_list(struct(col("__b"), col("__v")))).as("__m"))
-    sums.select(col(idCol),
-      transform(sequence(lit(0), lit(dim - 1)),
-        i => coalesce(element_at(col("__m"), i.cast("long")), lit(0.0)))
-        .cast("array<float>").as("embedding"))
+    // ONE map-side codegen kernel per row (plans/Md5Kernels.scala):
+    // the signed bucket sums over each token's md5 base/parity,
+    // bit-identical to the former explode → two-hash-agg chain
+    // (Md5KernelsSpec pins the equality) — both per-document
+    // Exchanges removed outright (guide §2.4: the sum only ever
+    // needed the row's own tokens). Null text → null sums → filtered
+    // (the exploded form emitted no row there).
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    df.select(col(idCol),
+        call_function("graft_md5_sign_sums",
+          tokens(col(textCol)), lit(dim)).as("__sums"))
+      .filter(col("__sums").isNotNull)
+      .select(col(idCol), col("__sums").cast("array<float>").as("embedding"))
   }
 
   /** Document fingerprint: md5 of the case/whitespace-normalized text.

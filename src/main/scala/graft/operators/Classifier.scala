@@ -74,20 +74,18 @@ object Classifier {
       case None => base0.select(col(idCol).as("doc"), col(textCol).as("__text"))
     }
     val keyCols = if (label.isDefined) Seq(col("doc"), col("y")) else Seq(col("doc"))
-    val tok = base.select(keyCols :+
-      TextFunctions.tokenCount(col("__text")).as("n") :+
-      explode(TextFunctions.tokens(col("__text"))).as("t"): _*)
-    tok
-      .select(keyCols :+ col("n") :+
-        (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long") % dim).as("j"): _*)
-      .groupBy(keyCols :+ col("n") :+ col("j"): _*)
-      .agg(count(lit(1)).as("c"))
-      .groupBy(keyCols :+ col("n"): _*)
-      .agg(map_from_entries(collect_list(struct(col("j"), col("c")))).as("m"))
+    // ONE map-side codegen kernel per row (plans/Md5Kernels.scala):
+    // the md5-bucket counts over the row's own tokens, bit-identical
+    // to the former explode → two-groupBy chain (Md5KernelsSpec pins
+    // the equality) — both per-document Exchanges removed outright
+    // (guide §2.4: a bag-of-words histogram never needed a shuffle).
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    base.select(keyCols :+
+        TextFunctions.tokenCount(col("__text")).as("n") :+
+        call_function("graft_md5_bucket_counts",
+          TextFunctions.tokens(col("__text")), lit(dim)).as("cs"): _*)
       .select(keyCols :+
-        transform(sequence(lit(0), lit(dim - 1)), i =>
-          coalesce(element_at(col("m"), i.cast("long")), lit(0L))
-            .cast("double") / col("n")).as("xs"): _*)
+        transform(col("cs"), c => c.cast("double") / col("n")).as("xs"): _*)
   }
 
   /** Exact nano-fixed-point score sum Σ_j floor(w_j·x_j·1e9 + 0.5)

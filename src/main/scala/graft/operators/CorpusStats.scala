@@ -1322,8 +1322,7 @@ object CorpusStats {
     */
   def hashingTfIdf(df: DataFrame, idCol: String, textCol: String,
                    dim: Int, vecCol: String = "tfidf"): DataFrame =
-    hashingTfIdfBy(df, idCol, textCol, dim, vecCol,
-      t => pmod(xxhash64(t), lit(dim.toLong)))
+    hashingTfIdfBy(df, idCol, textCol, dim, vecCol, "graft_xx_bucket_counts")
 
   /** [[hashingTfIdf]]'s DuckDB-replayable gate twin: buckets from the
     * md5 prefix (('0x' || substr(md5(t),1,8)) mod dim) instead of
@@ -1335,8 +1334,7 @@ object CorpusStats {
   def hashingTfIdfMd5(df: DataFrame, idCol: String, textCol: String,
                       dim: Int): DataFrame = {
     val sparse = hashingTfIdfSparseBy(df, idCol, textCol, dim,
-      t => pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
-        lit(dim.toLong)))
+      "graft_md5_bucket_counts")
     sparse.groupBy(col(idCol))
       .agg(count(lit(1)).as("nnz"),
         md5(concat_ws("|", sort_array(collect_list(
@@ -1347,8 +1345,8 @@ object CorpusStats {
 
   private def hashingTfIdfBy(df: DataFrame, idCol: String, textCol: String,
                              dim: Int, vecCol: String,
-                             bucket: Column => Column): DataFrame = {
-    val sparse = hashingTfIdfSparseBy(df, idCol, textCol, dim, bucket)
+                             countsKernel: String): DataFrame = {
+    val sparse = hashingTfIdfSparseBy(df, idCol, textCol, dim, countsKernel)
     // dense assembly: dim-bounded entry list → map → positional array
     sparse.groupBy(col(idCol))
       .agg(map_from_entries(collect_list(struct(col("__b").cast("int"),
@@ -1359,16 +1357,25 @@ object CorpusStats {
 
   private def hashingTfIdfSparseBy(df: DataFrame, idCol: String,
                                    textCol: String, dim: Int,
-                                   bucket: Column => Column): DataFrame = {
+                                   countsKernel: String): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
     val nDocs = df.count().toDouble
-    // tb feeds BOTH the idf aggregate and the weight join —
-    // snapshotted so the corpus tokenizes once (the bigramKnScore
-    // lesson); lineage-preserving + self-cleaning like the LM family
+    // the (doc, bucket, tf) table is now MAP-SIDE: one bucket-counts
+    // kernel per row + posexplode of the non-zero cells — the former
+    // explode → groupBy(doc, bucket) Exchange is gone outright (guide
+    // §2.4: a per-doc term-frequency table never needed a shuffle).
+    // tb still feeds BOTH the idf aggregate and the weight join —
+    // snapshotted so the corpus tokenizes+hashes once (the
+    // bigramKnScore lesson); lineage-preserving + self-cleaning
     val tb = DiskSnapshot.diskCached(df
-      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__t"))
-      .select(col(idCol), bucket(col("__t")).as("__b"))
-      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__tf")))
+      .select(col(idCol),
+        call_function(countsKernel,
+          TextFunctions.tokens(col(textCol)), lit(dim)).as("__cs"))
+      .filter(col("__cs").isNotNull)
+      .select(col(idCol), posexplode(col("__cs")).as(Seq("__b", "__tf")))
+      .filter(col("__tf") > 0)
+      .select(col(idCol), col("__b").cast("long").as("__b"), col("__tf")))
     val idf = tb.groupBy(col("__b"))
       .agg(count(lit(1)).as("__df"))
       .select(col("__b"),

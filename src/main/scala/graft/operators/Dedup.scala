@@ -4,6 +4,17 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
+/** The md5-family MinHash affine constants — one definition shared by
+  * the DataFrame forms here, the oracle SQL builders, and the
+  * map-side codegen kernel in [[graft.plans.Md5Kernels]].
+  */
+object DedupHashes {
+  val MinhashP: Long = 4294967291L    // largest prime < 2^32
+  val MinhashAP: Long = 2147483629L   // largest prime < 2^31
+  def minhashA(i: Int): Long = 1 + (((i + 1) * 2654435761L) % MinhashAP)
+  def minhashB(i: Int): Long = ((i + 1) * 40503L) % MinhashP
+}
+
 /** Deduplication operators for the training-data pipeline: exact,
   * n-gram Jaccard, MinHash+LSH, SimHash. All distributed-first:
   * signatures are computed map-side per row; candidate generation is a
@@ -148,14 +159,13 @@ object Dedup {
     * h_i(x) = (a_i·x + b_i) mod [[MinhashP]] — the classic k-hashes-
     * from-one-hash construction, replayable in any SQL engine with
     * 64-bit integers (a_i < 2³¹ and x < 2³² keep every product under
-    * 2⁶³, so checked BIGINT arithmetic never overflows).
+    * 2⁶³, so checked BIGINT arithmetic never overflows). Constants
+    * live in [[DedupHashes]] so the map-side codegen kernel
+    * ([[graft.plans.Md5Kernels]]) shares the ONE definition.
     */
-  val MinhashP: Long = 4294967291L    // largest prime < 2^32
-  private val MinhashAP: Long = 2147483629L // largest prime < 2^31
-  private[operators] def minhashA(i: Int): Long =
-    1 + (((i + 1) * 2654435761L) % MinhashAP)
-  private[operators] def minhashB(i: Int): Long =
-    ((i + 1) * 40503L) % MinhashP
+  val MinhashP: Long = DedupHashes.MinhashP
+  private[operators] def minhashA(i: Int): Long = DedupHashes.minhashA(i)
+  private[operators] def minhashB(i: Int): Long = DedupHashes.minhashB(i)
 
   /** DuckDB-replayable MinHash+LSH candidate pairs — the
     * correctness-GATE twin of [[minhashCandidates]]: identical
@@ -184,23 +194,19 @@ object Dedup {
     */
   def minhashSignaturesMd5(df: DataFrame, idCol: String, textCol: String,
                            shingleN: Int = 3, k: Int = 32): DataFrame = {
-    val w = tokens(col(textCol))
-    // distinct word-n-gram shingle strings, built map-side. sequence()
-    // DESCENDS when start > stop, so short docs need the explicit
-    // empty-array guard (the oracle's generate_series is empty there).
-    val starts = when(size(w) >= shingleN,
-      sequence(lit(1), size(w) - (shingleN - 1))).otherwise(array())
-    val shingles = array_distinct(transform(starts,
-      i => concat_ws(" ", slice(w, i, lit(shingleN)))))
-    val sh = df.select(col(idCol).as("doc"), explode(shingles).as("s"))
-      .select(col("doc"),
-        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("__hb"))
-    val seedMins = (0 until k).map(i =>
-      min((lit(minhashA(i)) * col("__hb") + lit(minhashB(i))) % lit(MinhashP))
-        .as(s"__h$i"))
-    sh.groupBy(col("doc"))
-      .agg(seedMins.head, seedMins.tail: _*)
-      .select(col("doc"), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
+    // ONE map-side codegen kernel per row (plans/Md5Kernels.scala):
+    // the k affine minima over each shingle's md5 base, bit-identical
+    // to the former explode → groupBy(doc) → k-min-aggregate chain
+    // (Md5KernelsSpec pins the equality) — with the per-document
+    // Exchange removed outright (optimization guide §2.4: a signature
+    // derived only from a row's own text never needed a shuffle).
+    // Docs with < shingleN tokens return a null sig → filtered, the
+    // exact row set the exploded form produced.
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    df.select(col(idCol).as("doc"),
+        call_function("graft_md5_minhash_sig",
+          tokens(col(textCol)), lit(shingleN), lit(k)).as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** md5 band bucket keys: md5 of the comma-joined r-component band
@@ -257,20 +263,18 @@ object Dedup {
     * pair set over the same signatures the banded pass uses.
     */
   def simhashSignaturesMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("t"))
-    // 16 nibble columns computed once per token row (conv is the
-    // Spark spelling of the oracle's strpos-table nibble decode)
-    val withNibs = tok.select(col("doc") +: (0 until 16).map(p =>
-      conv(substring(md5(col("t")), p + 1, 1), 16, 10).cast("int").as(s"__n$p")): _*)
-    val voteAggs = (0 until 64).map { b =>
-      val bit = shiftright(col(s"__n${b / 4}"), 3 - b % 4).bitwiseAND(lit(1))
-      sum(bit * lit(2) - lit(1)).as(s"__v$b")
-    }
-    val votes = withNibs.groupBy(col("doc")).agg(voteAggs.head, voteAggs.tail: _*)
-    val sigExpr = (0 until 64).map(b =>
-        when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    votes.select(col("doc"), sigExpr.as("sig"))
+    // ONE map-side codegen kernel per row (plans/Md5Kernels.scala):
+    // the 64 token-vote signs over each token's md5 nibbles,
+    // bit-identical to the former explode → groupBy(doc) →
+    // 64-sum-aggregate chain (Md5KernelsSpec pins the equality) — the
+    // per-document Exchange AND the 64-column aggregate codegen both
+    // gone (guide §2.4; the vote sum only ever needed the row's own
+    // tokens). Null text → null sig → filtered (the exploded form
+    // emitted no row there).
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    df.select(col(idCol).as("doc"),
+        call_function("graft_md5_simhash64", tokens(col(textCol))).as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** [[simhashPairsMd5]]'s corpus bound: the gate's pigeonhole-wide

@@ -83,6 +83,24 @@ object GraftExtensions {
     (FunctionIdentifier("graft_syms_to_ids"),
       new ExpressionInfo(classOf[SymsToIdsExpr].getName, "graft_syms_to_ids"),
       (children: Seq[Expression]) => SymsToIdsExpr(children): Expression),
+    (FunctionIdentifier("graft_md5_minhash_sig"),
+      new ExpressionInfo(classOf[Md5MinhashSigExpr].getName, "graft_md5_minhash_sig"),
+      (children: Seq[Expression]) => Md5MinhashSigExpr(children): Expression),
+    (FunctionIdentifier("graft_md5_simhash64"),
+      new ExpressionInfo(classOf[Md5Simhash64Expr].getName, "graft_md5_simhash64"),
+      (children: Seq[Expression]) => Md5Simhash64Expr(children): Expression),
+    (FunctionIdentifier("graft_md5_bucket_counts"),
+      new ExpressionInfo(classOf[Md5BucketCountsExpr].getName, "graft_md5_bucket_counts"),
+      (children: Seq[Expression]) => Md5BucketCountsExpr(children): Expression),
+    (FunctionIdentifier("graft_md5_sign_sums"),
+      new ExpressionInfo(classOf[Md5SignSumsExpr].getName, "graft_md5_sign_sums"),
+      (children: Seq[Expression]) => Md5SignSumsExpr(children): Expression),
+    (FunctionIdentifier("graft_xx_bucket_counts"),
+      new ExpressionInfo(classOf[XxBucketCountsExpr].getName, "graft_xx_bucket_counts"),
+      (children: Seq[Expression]) => XxBucketCountsExpr(children): Expression),
+    (FunctionIdentifier("graft_xx_sign_sums"),
+      new ExpressionInfo(classOf[XxSignSumsExpr].getName, "graft_xx_sign_sums"),
+      (children: Seq[Expression]) => XxSignSumsExpr(children): Expression),
     // Spark's own bloom-filter pair (the machinery behind runtime
     // join filters), surfaced as callable functions for the
     // bloom-prefiltered decontamination path: the aggregate builds a

@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The round-19 map-side md5 kernels must be BIT-IDENTICAL to the
+  * explode → shuffle → aggregate chains they replaced (the DuckDB
+  * oracles replay that arithmetic verbatim): each test recomputes the
+  * former aggregate form inline and compares row sets exactly on the
+  * sf0.001 documents fixture plus planted edge cases (null text,
+  * empty text, sub-shingle docs, duplicate tokens).
+  */
+class Md5KernelsSpec extends SparkSpec {
+
+  private def fixture = {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val edge = Seq(
+      (900001L, null.asInstanceOf[String]),
+      (900002L, ""),
+      (900003L, "one two"),           // below shingleN=3
+      (900004L, "dup dup dup dup"),   // duplicate tokens/shingles
+      (900005L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    docs.unionByName(edge)
+  }
+
+  test("graft_md5_minhash_sig == explode/groupBy k-min aggregate form") {
+    val df = fixture
+    val k = 32; val n = 3
+    val kernel = graft.operators.Dedup
+      .minhashSignaturesMd5(df, "doc_id", "text", n, k)
+    // the former aggregate form, verbatim
+    val w = split(col("text"), " ")
+    val starts = when(size(w) >= n, sequence(lit(1), size(w) - (n - 1)))
+      .otherwise(array())
+    val shingles = array_distinct(transform(starts,
+      i => concat_ws(" ", slice(w, i, lit(n)))))
+    val sh = df.select(col("doc_id").as("doc"), explode(shingles).as("s"))
+      .select(col("doc"),
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("__hb"))
+    val seedMins = (0 until k).map(i =>
+      min((lit(graft.operators.DedupHashes.minhashA(i)) * col("__hb") +
+        lit(graft.operators.DedupHashes.minhashB(i))) %
+        lit(graft.operators.DedupHashes.MinhashP)).as(s"__h$i"))
+    val agg = sh.groupBy(col("doc"))
+      .agg(seedMins.head, seedMins.tail: _*)
+      .select(col("doc"), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
+    val kRows = kernel.select(col("doc"), col("sig").cast("array<string>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSet
+    val aRows = agg.select(col("doc"), col("sig").cast("array<string>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSet
+    assert(kRows.nonEmpty && kRows == aRows)
+    // short/null docs drop in both forms
+    assert(!kRows.exists(r => Set(900001L, 900002L, 900003L)(r._1)))
+  }
+
+  test("graft_md5_simhash64 == explode/groupBy 64-vote aggregate form") {
+    val df = fixture
+    val kernel = graft.operators.Dedup.simhashSignaturesMd5(df, "doc_id", "text")
+    val tok = df.select(col("doc_id").as("doc"),
+      explode(split(col("text"), " ")).as("t"))
+    val withNibs = tok.select(col("doc") +: (0 until 16).map(p =>
+      conv(substring(md5(col("t")), p + 1, 1), 16, 10).cast("int").as(s"__n$p")): _*)
+    val voteAggs = (0 until 64).map { b =>
+      val bit = shiftright(col(s"__n${b / 4}"), 3 - b % 4).bitwiseAND(lit(1))
+      sum(bit * lit(2) - lit(1)).as(s"__v$b")
+    }
+    val votes = withNibs.groupBy(col("doc")).agg(voteAggs.head, voteAggs.tail: _*)
+    val sigExpr = (0 until 64).map(b =>
+        when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    val agg = votes.select(col("doc"), sigExpr.as("sig"))
+    val kRows = kernel.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val aRows = agg.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kRows.nonEmpty && kRows == aRows)
+  }
+
+  test("graft_md5_sign_sums embedding == explode/two-agg map form") {
+    val df = fixture
+    val dim = 64
+    val kernel = graft.functions.TextFunctions
+      .hashEmbeddingsMd5(df, "doc_id", "text", dim)
+    val sums = df
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("__t"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long") % dim).as("__b"),
+        when(conv(substring(md5(col("__t")), 9, 1), 16, 10).cast("long") % 2 === 0,
+          lit(1.0)).otherwise(lit(-1.0)).as("__s"))
+      .groupBy(col("doc_id"), col("__b")).agg(sum(col("__s")).as("__v"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__v")))).as("__m"))
+    val agg = sums.select(col("doc_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => coalesce(element_at(col("__m"), i.cast("long")), lit(0.0)))
+        .cast("array<float>").as("embedding"))
+    val kRows = kernel.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
+    val aRows = agg.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
+    assert(kRows.nonEmpty && kRows == aRows)
+  }
+
+  test("graft_xx_sign_sums embedding == explode/two-agg xxhash64 form") {
+    val df = fixture
+    val dim = 64
+    val kernel = graft.functions.TextFunctions
+      .hashEmbeddings(df, "doc_id", "text", dim)
+    val sums = df
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("__t"))
+      .select(col("doc_id"), pmod(xxhash64(col("__t")), lit(dim.toLong)).as("__b"),
+        when(pmod(xxhash64(col("__t"), lit(1)), lit(2L)) === 0L, lit(1.0f))
+          .otherwise(lit(-1.0f)).as("__s"))
+      .groupBy(col("doc_id"), col("__b")).agg(sum(col("__s")).as("__v"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__v")))).as("__m"),
+        sqrt(sum(col("__v") * col("__v"))).cast("float").as("__n"))
+    val raw = transform(sequence(lit(0), lit(dim - 1)),
+      i => coalesce(element_at(col("__m"), i.cast("long")), lit(0.0)).cast("float"))
+    val agg = sums.select(col("doc_id"),
+      when(col("__n") > 0, transform(raw, v => v / col("__n"))).otherwise(raw)
+        .cast("array<float>").as("embedding"))
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(
+        java.lang.Float.toString))).toSet
+    assert(rows(kernel).nonEmpty && rows(kernel) == rows(agg))
+  }
+
+  test("hashingTfIdf (both kernels) == explode/groupBy sparse form") {
+    val df = fixture
+    val dim = 256
+    for ((fn, bucket) <- Seq[(org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+      (graft.operators.CorpusStats.hashingTfIdf(df, "doc_id", "text", dim),
+        (t: org.apache.spark.sql.Column) => pmod(xxhash64(t), lit(dim.toLong))),
+      (graft.operators.CorpusStats.hashingTfIdfMd5(df, "doc_id", "text", dim),
+        (t: org.apache.spark.sql.Column) =>
+          pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+            lit(dim.toLong))))) {
+      // the former sparse form, verbatim
+      val nDocs = df.count().toDouble
+      val tb = df
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("__t"))
+        .select(col("doc_id"), bucket(col("__t")).as("__b"))
+        .groupBy(col("doc_id"), col("__b")).agg(count(lit(1)).as("__tf"))
+      val idf = tb.groupBy(col("__b"))
+        .agg(count(lit(1)).as("__df"))
+        .select(col("__b"),
+          (log((lit(nDocs) + 1.0) / (col("__df") + 1.0)) + 1.0).as("__idf"))
+      val sparse = tb.join(broadcast(idf), Seq("__b"))
+        .select(col("doc_id"), col("__b"), (col("__tf") * col("__idf")).as("__w"))
+      // compare at the q127 fingerprint granularity (covers both the
+      // dense and fingerprint consumers)
+      val aggFp = sparse.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nnz"),
+          md5(concat_ws("|", sort_array(collect_list(
+            concat(col("__b").cast("string"), lit(":"),
+              round(col("__w") * lit(1e9)).cast("long").cast("string")))))
+            .cast("binary")).as("v_fp")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val kFp = (if (fn.columns.contains("v_fp")) fn
+        else {
+          // dense form → rebuild the fingerprint from non-zero cells
+          fn.select(col("doc_id"), posexplode(col("tfidf")).as(Seq("__b", "__w")))
+            .filter(col("__w") =!= 0.0)
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("nnz"),
+              md5(concat_ws("|", sort_array(collect_list(
+                concat(col("__b").cast("string"), lit(":"),
+                  round(col("__w") * lit(1e9)).cast("long").cast("string")))))
+                .cast("binary")).as("v_fp"))
+        }).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(kFp.nonEmpty && kFp == aggFp)
+    }
+  }
+
+  test("graft_md5_bucket_counts features == explode/two-groupBy form") {
+    val df = fixture.filter(col("text").isNotNull)
+    val dim = 32
+    graft.plans.GraftExtensions.registerAll(spark)
+    val kernel = df.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"),
+      call_function("graft_md5_bucket_counts",
+        split(col("text"), " "), lit(dim)).as("cs"))
+      .select(col("doc_id"),
+        transform(col("cs"), c => c.cast("double") / col("n")).as("xs"))
+    val tok = df.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"),
+      explode(split(col("text"), " ")).as("t"))
+    val agg = tok
+      .select(col("doc_id"), col("n"),
+        (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long") % dim).as("j"))
+      .groupBy(col("doc_id"), col("n"), col("j"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("c")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          coalesce(element_at(col("m"), i.cast("long")), lit(0L))
+            .cast("double") / col("n")).as("xs"))
+    // compare on exact bits: doubles stringified via BigDecimal-exact
+    // java.lang.Double.toString round-trips doubles uniquely
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).map(
+        java.lang.Double.toString))).toSet
+    assert(rows(kernel).nonEmpty && rows(kernel) == rows(agg))
+  }
+}
