@@ -855,7 +855,7 @@ object Dedup {
     */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       windowTokens: Int = 50): DataFrame =
-    duplicatedSpansBy(df, idCol, textCol, windowTokens, xxhash64(_))
+    duplicatedSpansBy(df, idCol, textCol, windowTokens, "graft_xx_window_hashes")
 
   /** [[duplicatedSpans]]'s DuckDB-replayable GATE twin: md5 window
     * hashes so the oracle rebuilds the identical marked set in SQL.
@@ -864,7 +864,7 @@ object Dedup {
     */
   def duplicatedSpansMd5(df: DataFrame, idCol: String, textCol: String,
                          windowTokens: Int = 8): DataFrame =
-    duplicatedSpansBy(df, idCol, textCol, windowTokens, md5(_))
+    duplicatedSpansBy(df, idCol, textCol, windowTokens, "graft_md5_window_hashes")
 
   /** [[duplicatedSpans]]'s removal companion: rewrite each document
     * with its duplicated content CUT, keeping the first global
@@ -884,12 +884,12 @@ object Dedup {
     */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                             windowTokens: Int = 50): DataFrame =
-    removeDuplicatedSpansBy(df, idCol, textCol, windowTokens, xxhash64(_))
+    removeDuplicatedSpansBy(df, idCol, textCol, windowTokens, "graft_xx_window_hashes")
 
   /** [[removeDuplicatedSpans]]'s md5 GATE twin (DuckDB-replayable). */
   def removeDuplicatedSpansMd5(df: DataFrame, idCol: String, textCol: String,
                                windowTokens: Int = 8): DataFrame =
-    removeDuplicatedSpansBy(df, idCol, textCol, windowTokens, md5(_))
+    removeDuplicatedSpansBy(df, idCol, textCol, windowTokens, "graft_md5_window_hashes")
 
   /** Span-level benchmark DECONTAMINATION: cut from every corpus
     * document each token covered by a `windowTokens`-token window
@@ -907,25 +907,25 @@ object Dedup {
                               benchmark: DataFrame, benchTextCol: String,
                               windowTokens: Int = 13): DataFrame =
     removeContaminatedSpansBy(df, idCol, textCol, benchmark, benchTextCol,
-      windowTokens, xxhash64(_))
+      windowTokens, "graft_xx_window_hashes")
 
   /** [[removeContaminatedSpans]]'s md5 GATE twin (DuckDB-replayable). */
   def removeContaminatedSpansMd5(df: DataFrame, idCol: String, textCol: String,
                                  benchmark: DataFrame, benchTextCol: String,
                                  windowTokens: Int = 8): DataFrame =
     removeContaminatedSpansBy(df, idCol, textCol, benchmark, benchTextCol,
-      windowTokens, md5(_))
+      windowTokens, "graft_md5_window_hashes")
 
   private def removeContaminatedSpansBy(df: DataFrame, idCol: String,
                                         textCol: String, benchmark: DataFrame,
                                         benchTextCol: String, w: Int,
-                                        hash: Column => Column): DataFrame = {
+                                        kernel: String): DataFrame = {
     require(w > 0, s"windowTokens=$w must be positive")
     val benchH = windowHashes(
         benchmark.select(lit(0L).as("__bid"), col(benchTextCol)),
-        "__bid", benchTextCol, w, hash)
+        "__bid", benchTextCol, w, kernel)
       .select(col("h")).distinct()
-    val marked = windowHashes(df, idCol, textCol, w, hash)
+    val marked = windowHashes(df, idCol, textCol, w, kernel)
       .join(benchH, Seq("h"), "left_semi")
     val cover = marked.select(col("doc"),
         explode(sequence(col("pos"), col("pos") + lit((w - 1).toLong))).as("tpos"))
@@ -935,12 +935,12 @@ object Dedup {
 
   private def removeDuplicatedSpansBy(df: DataFrame, idCol: String,
                                       textCol: String, w: Int,
-                                      hash: Column => Column): DataFrame = {
+                                      kernel: String): DataFrame = {
     require(w > 0, s"windowTokens=$w must be positive")
     // consumed twice (canon agg + occ join) — snapshot like
     // duplicatedSpansBy so the window kernel is paid once
     val wins = org.apache.spark.sql.graftshim.DiskSnapshot.diskCached(
-      windowHashes(df, idCol, textCol, w, hash))
+      windowHashes(df, idCol, textCol, w, kernel))
     // canonical occurrence per duplicated hash = min (doc, pos)
     val dup = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("c"), min(struct(col("doc"), col("pos"))).as("canon"))
@@ -991,27 +991,22 @@ object Dedup {
   }
 
   /** (doc, pos, h) rolling window hashes — shared by the span
-    * detection and removal kernels.
+    * detection and removal kernels. One codegen'd kernel call per row
+    * (plans/Md5Kernels.scala) emits the position-ordered hash array;
+    * posexplode recovers (pos, h). The former HOF chain re-built a
+    * window STRING through concat_ws+slice per window (no common-
+    * subexpression elimination inside lambdas); the kernel hashes the
+    * window bytes straight out of the token array — same md5 hex /
+    * xxhash64 values bit-for-bit (Md5KernelsSpec pins both), so the
+    * marked sets and the oracles are unchanged.
     */
   private def windowHashes(df: DataFrame, idCol: String, textCol: String,
-                           w: Int, hash: Column => Column): DataFrame = {
-    // LET-Bind the token array through a single-element transform:
-    // referencing `split(text)` directly inside the per-window lambda
-    // re-splits the text for EVERY window (no common-subexpression
-    // elimination across lambda iterations — measured 2.2× slower on
-    // the sf0.1 corpus); the lambda variable is evaluated once per
-    // row. 1-based window starts; sequence() DESCENDS when start >
-    // stop, so short docs need the explicit empty guard (same idiom
-    // as the MinHash shingle builder — the oracle's generate_series
-    // is empty there).
-    val winArr = flatten(transform(array(tokens(col(textCol))), tkA =>
-      transform(
-        when(size(tkA) >= w, sequence(lit(1), size(tkA) - (w - 1)))
-          .otherwise(array()),
-        i => struct((i - 1).cast("long").as("pos"),
-          hash(concat_ws(" ", slice(tkA, i, lit(w)))).as("h")))))
-    df.select(col(idCol).as("doc"), explode(winArr).as("pw"))
-      .select(col("doc"), col("pw.pos").as("pos"), col("pw.h").as("h"))
+                           w: Int, kernel: String): DataFrame = {
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    df.select(col(idCol).as("doc"),
+        posexplode(call_function(kernel, tokens(col(textCol)), lit(w)))
+          .as(Seq("pos", "h")))
+      .select(col("doc"), col("pos").cast("long").as("pos"), col("h"))
   }
 
   /** LINE-level corpus dedup (the C4/CCNet boilerplate-removal
@@ -1081,7 +1076,7 @@ object Dedup {
 
   private def duplicatedSpansBy(df: DataFrame, idCol: String,
                                 textCol: String, w: Int,
-                                hash: Column => Column): DataFrame = {
+                                kernel: String): DataFrame = {
     require(w > 0, s"windowTokens=$w must be positive")
     import org.apache.spark.sql.expressions.Window
     // the window-hash kernel (tokenize + one hash per window) is
@@ -1089,7 +1084,7 @@ object Dedup {
     // snapshot the slim (doc, pos, h) frame so the per-row kernel is
     // paid once; ContextCleaner reaps it with the result frame
     val wins = org.apache.spark.sql.graftshim.DiskSnapshot.diskCached(
-      windowHashes(df, idCol, textCol, w, hash))
+      windowHashes(df, idCol, textCol, w, kernel))
     val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select(col("h"))
     val marked = wins.join(dup, Seq("h"), "left_semi")

@@ -496,12 +496,33 @@ object Similarity {
     require(shards > 0, "shards must be positive")
     val withShard = df.withColumn("__shard",
       pmod(xxhash64(col(idCol)), lit(shards.toLong)))
-    val unionSurvivors = (0 until shards)
-      .map { s =>
-        semanticDedup(withShard.filter(col("__shard") === s).drop("__shard"),
-          idCol, vecCol, threshold, k, iters).select(col(idCol))
+    // The per-shard dedups are INDEPENDENT (that is the recipe's whole
+    // premise), yet ran strictly sequentially: each shard's k-means is
+    // a chain of small driver-blocking jobs, so the cluster idled
+    // through every fit's tail. Submit shards from a bounded thread
+    // pool instead (optimization guide §2.6 "overlap independent
+    // jobs": a few in flight is enough to back-fill stragglers without
+    // fighting for executors) — per-shard results are unchanged (each
+    // Future builds its own lineage; the union is set-semantics), the
+    // MERGE pass still runs after all shards. Spark schedules
+    // concurrent driver-thread jobs FIFO, which is exactly the
+    // back-fill behavior wanted here.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(shards, 4))
+    val unionSurvivors = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futs = (0 until shards).map { s =>
+        scala.concurrent.Future {
+          semanticDedup(withShard.filter(col("__shard") === s).drop("__shard"),
+            idCol, vecCol, threshold, k, iters).select(col(idCol))
+        }
       }
-      .reduce(_ unionByName _)
+      scala.concurrent.Await
+        .result(scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf)
+        .reduce(_ unionByName _)
+    } finally pool.shutdown()
     val merged = df.join(unionSurvivors, Seq(idCol), "left_semi")
     semanticDedup(merged, idCol, vecCol, threshold, k, iters)
   }

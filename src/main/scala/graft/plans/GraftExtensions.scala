@@ -95,6 +95,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_md5_sign_sums"),
       new ExpressionInfo(classOf[Md5SignSumsExpr].getName, "graft_md5_sign_sums"),
       (children: Seq[Expression]) => Md5SignSumsExpr(children): Expression),
+    (FunctionIdentifier("graft_md5_window_hashes"),
+      new ExpressionInfo(classOf[Md5WindowHashesExpr].getName, "graft_md5_window_hashes"),
+      (children: Seq[Expression]) => Md5WindowHashesExpr(children): Expression),
+    (FunctionIdentifier("graft_xx_window_hashes"),
+      new ExpressionInfo(classOf[XxWindowHashesExpr].getName, "graft_xx_window_hashes"),
+      (children: Seq[Expression]) => XxWindowHashesExpr(children): Expression),
     (FunctionIdentifier("graft_xx_bucket_counts"),
       new ExpressionInfo(classOf[XxBucketCountsExpr].getName, "graft_xx_bucket_counts"),
       (children: Seq[Expression]) => XxBucketCountsExpr(children): Expression),

@@ -136,6 +136,67 @@ object Md5Kernels {
     new GenericArrayData(counts)
   }
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** md5 hex string of tokens[i..i+w) joined by ' ' — the window-hash
+    * rule of [[graft.operators.Dedup]]'s span family, lowercase hex
+    * exactly like Spark's md5() expression. */
+  def md5WindowHashes(tokens: ArrayData, w: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < w) return new GenericArrayData(new Array[Any](0))
+    val toks = new Array[Array[Byte]](len)
+    var t = 0
+    while (t < len) { toks(t) = tokens.getUTF8String(t).getBytes; t += 1 }
+    val dig = md.get()
+    val out = new Array[Any](len - w + 1)
+    var i = 0
+    while (i <= len - w) {
+      val d = shingleDigest(dig, toks, i, w)
+      val hex = new Array[Byte](32)
+      var j = 0
+      while (j < 16) {
+        hex(2 * j) = HexChars((d(j) >> 4) & 0xf).toByte
+        hex(2 * j + 1) = HexChars(d(j) & 0xf).toByte
+        j += 1
+      }
+      out(i) = UTF8String.fromBytes(hex)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** xxhash64 twin of [[md5WindowHashes]]: Spark's xxhash64 (seed 42)
+    * of the window string. */
+  def xxWindowHashes(tokens: ArrayData, w: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < w) return new GenericArrayData(new Array[Long](0))
+    val toks = new Array[Array[Byte]](len)
+    var total = 0
+    var t = 0
+    while (t < len) {
+      toks(t) = tokens.getUTF8String(t).getBytes; total += toks(t).length
+      t += 1
+    }
+    val buf = new Array[Byte](total + len) // tokens + separators bound
+    val out = new Array[Long](len - w + 1)
+    var i = 0
+    while (i <= len - w) {
+      var off = 0
+      var j = i
+      while (j < i + w) {
+        if (j > i) { buf(off) = ' '.toByte; off += 1 }
+        System.arraycopy(toks(j), 0, buf, off, toks(j).length)
+        off += toks(j).length
+        j += 1
+      }
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          off, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** xxhash64 twin of [[bucketCounts]] — bucket = pmod(xxhash64(t),
     * dim), the production hashing-trick rule ([[XXH64.hashUTF8String]]
     * with Spark's default seed 42 is exactly the xxhash64 expression
@@ -322,6 +383,90 @@ final case class Md5BucketCountsExpr(children: Seq[Expression]) extends Expressi
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
         if (!${ev.isNull}) {
           ${ev.value} = graft.plans.Md5Kernels.bucketCounts(${cg.value}, $dim);
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
+}
+
+/** graft_md5_window_hashes(tokens array<string>, w) → array<string>
+  * of md5-hex window hashes in position order (w foldable; null array
+  * → null; < w tokens → empty). */
+final case class Md5WindowHashesExpr(children: Seq[Expression]) extends Expression {
+  require(children.length == 2, "graft_md5_window_hashes(tokens, w)")
+  private def child = children.head
+  private lazy val w = children(1).eval(null).toString.toInt
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecKernelChecks.all(
+      TextKernelChecks.expect(Seq(
+        (child, TextKernelChecks.isStringArray, "tokens array<string>"),
+        (children(1), TextKernelChecks.isIntegral, "w integral literal")),
+        prettyName),
+      VecKernelChecks.foldableConstants(Seq(children(1) -> "w"), prettyName))
+
+  override def eval(input: InternalRow): Any = {
+    val arr = child.eval(input)
+    if (arr == null) null
+    else Md5Kernels.md5WindowHashes(arr.asInstanceOf[ArrayData], w)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cg = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${cg.code}
+        boolean ${ev.isNull} = ${cg.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.plans.Md5Kernels.md5WindowHashes(${cg.value}, $w);
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
+}
+
+/** graft_xx_window_hashes(tokens array<string>, w) → array<long> of
+  * xxhash64 window hashes in position order (w foldable; null array
+  * → null; < w tokens → empty). */
+final case class XxWindowHashesExpr(children: Seq[Expression]) extends Expression {
+  require(children.length == 2, "graft_xx_window_hashes(tokens, w)")
+  private def child = children.head
+  private lazy val w = children(1).eval(null).toString.toInt
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecKernelChecks.all(
+      TextKernelChecks.expect(Seq(
+        (child, TextKernelChecks.isStringArray, "tokens array<string>"),
+        (children(1), TextKernelChecks.isIntegral, "w integral literal")),
+        prettyName),
+      VecKernelChecks.foldableConstants(Seq(children(1) -> "w"), prettyName))
+
+  override def eval(input: InternalRow): Any = {
+    val arr = child.eval(input)
+    if (arr == null) null
+    else Md5Kernels.xxWindowHashes(arr.asInstanceOf[ArrayData], w)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cg = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${cg.code}
+        boolean ${ev.isNull} = ${cg.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.plans.Md5Kernels.xxWindowHashes(${cg.value}, $w);
         }
       """)
   }

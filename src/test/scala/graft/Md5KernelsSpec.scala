@@ -174,6 +174,35 @@ class Md5KernelsSpec extends SparkSpec {
     }
   }
 
+  test("window-hash kernels == per-window md5/xxhash64 HOF expressions") {
+    val df = fixture
+    val w = 8
+    graft.plans.GraftExtensions.registerAll(spark)
+    for ((kernel, hash) <- Seq[(String, org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column)](
+      ("graft_md5_window_hashes", c => md5(c)),
+      ("graft_xx_window_hashes", c => xxhash64(c)))) {
+      val kRows = df.select(col("doc_id"),
+          posexplode(call_function(kernel, split(col("text"), " "), lit(w)))
+            .as(Seq("pos", "h")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("h").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      // the former HOF chain, verbatim
+      val winArr = flatten(transform(array(split(col("text"), " ")), tkA =>
+        transform(
+          when(size(tkA) >= w, sequence(lit(1), size(tkA) - (w - 1)))
+            .otherwise(array()),
+          i => struct((i - 1).cast("long").as("pos"),
+            hash(concat_ws(" ", slice(tkA, i, lit(w)))).as("h")))))
+      val aRows = df.select(col("doc_id"), explode(winArr).as("pw"))
+        .select(col("doc_id"), col("pw.pos").as("pos"),
+          col("pw.h").cast("string").as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(kRows.nonEmpty && kRows == aRows, s"$kernel mismatch")
+    }
+  }
+
   test("graft_md5_bucket_counts features == explode/two-groupBy form") {
     val df = fixture.filter(col("text").isNotNull)
     val dim = 32
