@@ -143,7 +143,7 @@ object TextFunctions {
     // once per row via the single-element-transform idiom, so the
     // divide lambda reads an attribute, not a re-inlined reduction).
     graft.plans.GraftExtensions.registerAll(df.sparkSession)
-    val sums = df.select(col(idCol),
+    val sums = graft.Tables.spreadDf(df).select(col(idCol),
         call_function("graft_xx_sign_sums",
           tokens(col(textCol)), lit(dim)).as("__sums"))
       .filter(col("__sums").isNotNull)
@@ -177,7 +177,7 @@ object TextFunctions {
     // needed the row's own tokens). Null text → null sums → filtered
     // (the exploded form emitted no row there).
     graft.plans.GraftExtensions.registerAll(df.sparkSession)
-    df.select(col(idCol),
+    graft.Tables.spreadDf(df).select(col(idCol),
         call_function("graft_md5_sign_sums",
           tokens(col(textCol)), lit(dim)).as("__sums"))
       .filter(col("__sums").isNotNull)

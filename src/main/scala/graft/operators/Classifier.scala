@@ -80,7 +80,9 @@ object Classifier {
     // the equality) — both per-document Exchanges removed outright
     // (guide §2.4: a bag-of-words histogram never needed a shuffle).
     graft.plans.GraftExtensions.registerAll(df.sparkSession)
-    base.select(keyCols :+
+    // spread: the kernel is the whole map stage (one-split gate corpora
+    // would hash on one core; a real corpus never takes the shuffle)
+    graft.Tables.spreadDf(base).select(keyCols :+
         TextFunctions.tokenCount(col("__text")).as("n") :+
         call_function("graft_md5_bucket_counts",
           TextFunctions.tokens(col("__text")), lit(dim)).as("cs"): _*)

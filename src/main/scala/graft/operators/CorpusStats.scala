@@ -918,7 +918,11 @@ object CorpusStats {
   def ngramSketch(df: DataFrame, textCol: String, n: Int,
                   eps: Double = 0.0001, confidence: Double = 0.99,
                   seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch = {
-    val bytes = df
+    // spread: the explode+sketch-update is the whole map stage and a
+    // gate-scale corpus is ONE split (the CMS is additive, so the
+    // merged counters are partitioning-independent); a real corpus
+    // never takes the shuffle (Tables.spreadDf condition)
+    val bytes = graft.Tables.spreadDf(df)
       .select(explode(TextFunctions.ngrams(col(textCol), n)).as("g"))
       .agg(expr(s"count_min_sketch(g, ${eps}d, ${confidence}d, $seed)"))
       .head().getAs[Array[Byte]](0)
@@ -1368,7 +1372,7 @@ object CorpusStats {
     // tb still feeds BOTH the idf aggregate and the weight join —
     // snapshotted so the corpus tokenizes+hashes once (the
     // bigramKnScore lesson); lineage-preserving + self-cleaning
-    val tb = DiskSnapshot.diskCached(df
+    val tb = DiskSnapshot.diskCached(graft.Tables.spreadDf(df)
       .select(col(idCol),
         call_function(countsKernel,
           TextFunctions.tokens(col(textCol)), lit(dim)).as("__cs"))

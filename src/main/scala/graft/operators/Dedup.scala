@@ -203,6 +203,12 @@ object Dedup {
     // Docs with < shingleN tokens return a null sig → filtered, the
     // exact row set the exploded form produced.
     graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    // NO spread here (measured): the signature feeds a bucket-join
+    // shuffle chain, and at gate scale the spread's extra exchange +
+    // 32-way task fan-out costs more than the parallel hashing buys
+    // (q26 1.4 -> 2.0 s, q35 1.1 -> 1.9 s with a spread) — the same
+    // trade the windowHashes/denseFeatures kernels measure the other
+    // way (their corpora explode ×W / carry dense arrays).
     df.select(col(idCol).as("doc"),
         call_function("graft_md5_minhash_sig",
           tokens(col(textCol)), lit(shingleN), lit(k)).as("sig"))
@@ -272,6 +278,7 @@ object Dedup {
     // tokens). Null text → null sig → filtered (the exploded form
     // emitted no row there).
     graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    // NO spread (measured, see minhashSignaturesMd5)
     df.select(col(idCol).as("doc"),
         call_function("graft_md5_simhash64", tokens(col(textCol))).as("sig"))
       .filter(col("sig").isNotNull)
@@ -1003,7 +1010,8 @@ object Dedup {
   private def windowHashes(df: DataFrame, idCol: String, textCol: String,
                            w: Int, kernel: String): DataFrame = {
     graft.plans.GraftExtensions.registerAll(df.sparkSession)
-    df.select(col(idCol).as("doc"),
+    // spread: same one-split rationale as minhashSignaturesMd5
+    graft.Tables.spreadDf(df).select(col(idCol).as("doc"),
         posexplode(call_function(kernel, tokens(col(textCol)), lit(w)))
           .as(Seq("pos", "h")))
       .select(col("doc"), col("pos").cast("long").as("pos"), col("h"))

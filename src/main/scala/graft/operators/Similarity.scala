@@ -327,7 +327,15 @@ object Similarity {
   def cosineNearDupPairsExact(df: DataFrame, idCol: String, vecCol: String,
                               threshold: Double): DataFrame = {
     graft.plans.GraftExtensions.registerAll(df.sparkSession)
-    val v = df.select(col(idCol).as("doc"), col(vecCol).as("v"))
+    // spread the STREAMED side: the broadcast-NL self-join runs its
+    // n²/2 cosine kernel over the streamed partitions, and a gate-
+    // scale corpus arrives as ONE parquet split — without the spread
+    // the whole quadratic pass runs on a single core (measured: q36's
+    // 4M-pair loop on 1 of 32 cores). Tables.spreadDf repartitions
+    // only when partitions < cores, so a real corpus (thousands of
+    // splits) never takes the shuffle; the pair set is partitioning-
+    // independent.
+    val v = graft.Tables.spreadDf(df).select(col(idCol).as("doc"), col(vecCol).as("v"))
     val a = v.select(col("doc").as("doc_a"), col("v").as("va"))
     val b = v.select(col("doc").as("doc_b"), col("v").as("vb"))
     a.join(broadcast(b), col("doc_a") < col("doc_b"))
