@@ -105,18 +105,25 @@ object CorpusStats {
     * Documents with < 2 tokens have no bigram and are dropped.
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val grams = df.select(col(idCol),
-      explode(TextFunctions.ngrams(col(textCol), 2)).as("__g"))
-    val top = grams
-      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol))
-      .agg(max(struct(col("__c"), col("__g"))).as("__m"))
+    // FULLY map-side now: the per-row gram counts come from one kernel
+    // call and the argmax is array_max over (count, gram) structs —
+    // the same max(struct(__c, __g)) ordering the two hash aggs
+    // computed (count, then gram, binary collation), so ties break
+    // identically; the join against the token count is a same-row
+    // projection. Two Exchanges and one join removed (guide §2.4);
+    // docs with < 2 tokens yield an empty gram array → null max →
+    // filtered, exactly the rows the explode form dropped.
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    df.select(col(idCol), TextFunctions.tokenCount(col(textCol)).as("__n"),
+        array_max(transform(
+          call_function("graft_gram_counts",
+            TextFunctions.tokens(col(textCol)), lit(2)),
+          gc => struct(gc.getField("c").as("__c"), gc.getField("g").as("__g"))))
+          .as("__m"))
+      .filter(col("__m").isNotNull)
       .select(col(idCol), col("__m.__g").as("top_bigram"),
-        col("__m.__c").as("top_bigram_count"))
-    df.select(col(idCol), TextFunctions.tokenCount(col(textCol)).as("__n"))
-      .join(top, Seq(idCol))
-      .select(col(idCol), col("top_bigram"), col("top_bigram_count"),
-        round(col("top_bigram_count") * lit(2.0) / col("__n"), 6)
+        col("__m.__c").as("top_bigram_count"),
+        round(col("__m.__c") * lit(2.0) / col("__n"), 6)
           .as("top_bigram_frac"))
   }
 
@@ -360,9 +367,17 @@ object CorpusStats {
     // join — a hot Zipf gram ("of the" at billions of occurrences)
     // arrives everywhere pre-combined, never funneled into a single
     // task the way a window-over-gram formulation would buffer it.
+    // per-(doc, gram) counts come from ONE map-side kernel per row
+    // (graft_gram_counts — a gram multiset derives only from the row's
+    // own tokens), replacing the explode → groupBy(doc, gram) Exchange
+    // outright (guide §2.4); within-doc repeats arrive pre-combined
+    // exactly as the aggregate combined them. Md5KernelsSpec pins
+    // kernel == aggregate form.
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
     val dgc = toks
-      .select(col(idCol), explode(TextFunctions.ngrams(concat_ws(" ", col("__w")), 2)).as("__g"))
-      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
+      .select(col(idCol), explode(call_function("graft_gram_counts",
+        col("__w"), lit(2))).as("__gc"))
+      .select(col(idCol), col("__gc.g").as("__g"), col("__gc.c").as("__n"))
     val bgc = dgc.groupBy(col("__g")).agg(sum(col("__n")).as("__cb"))
     val scored = dgc
       .join(bgc, Seq("__g"))
@@ -431,11 +446,13 @@ object CorpusStats {
     val bgc = refToks
       .select(explode(TextFunctions.ngrams(concat_ws(" ", col("__w")), 2)).as("__g"))
       .groupBy(col("__g")).agg(count(lit(1)).as("__cb"))
+    // map-side (doc, gram) counts — same kernel rationale as
+    // [[bigramLmScore]]
+    graft.plans.GraftExtensions.registerAll(target.sparkSession)
     val dgc = target
-      .select(col(idCol),
-        explode(TextFunctions.ngrams(
-          concat_ws(" ", TextFunctions.tokens(col(textCol))), 2)).as("__g"))
-      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
+      .select(col(idCol), explode(call_function("graft_gram_counts",
+        TextFunctions.tokens(col(textCol)), lit(2))).as("__gc"))
+      .select(col(idCol), col("__gc.g").as("__g"), col("__gc.c").as("__n"))
     val scored = dgc
       .join(bgc, Seq("__g"), "left")
       .withColumn("__cb", coalesce(col("__cb"), lit(0L)))
@@ -1028,10 +1045,13 @@ object CorpusStats {
     // corpus-shaped frames that the LAZY result below keeps alive —
     // lineage-preserving disk blocks that drop automatically when the
     // caller releases the result
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    // map-side (doc, gram) counts (graft_gram_counts — guide §2.4, see
+    // [[bigramLmScore]]); the snapshot stays: dgc is consumed twice
     val dgc = DiskSnapshot.diskCached(toks
-      .select(col(idCol),
-        explode(TextFunctions.ngrams(concat_ws(" ", col("__w")), 2)).as("__g"))
-      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n")))
+      .select(col(idCol), explode(call_function("graft_gram_counts",
+        col("__w"), lit(2))).as("__gc"))
+      .select(col(idCol), col("__gc.g").as("__g"), col("__gc.c").as("__n")))
     val bgc = DiskSnapshot.diskCached(
       dgc.groupBy(col("__g")).agg(sum(col("__n")).as("__cb"))
         .withColumn("__w1", split(col("__g"), " ").getItem(0))
@@ -1095,11 +1115,11 @@ object CorpusStats {
     val ctx = bgc.groupBy(col("__w1"))
       .agg(sum(col("__cb")).as("__ctx"), count(lit(1)).as("__fert"))
     val cont = bgc.groupBy(col("__w2")).agg(count(lit(1)).as("__cont"))
+    graft.plans.GraftExtensions.registerAll(target.sparkSession)
     val dgc = target
-      .select(col(idCol),
-        explode(TextFunctions.ngrams(
-          concat_ws(" ", TextFunctions.tokens(col(textCol))), 2)).as("__g"))
-      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
+      .select(col(idCol), explode(call_function("graft_gram_counts",
+        TextFunctions.tokens(col(textCol)), lit(2))).as("__gc"))
+      .select(col(idCol), col("__gc.g").as("__g"), col("__gc.c").as("__n"))
       .withColumn("__w1", split(col("__g"), " ").getItem(0))
       .withColumn("__w2", split(col("__g"), " ").getItem(1))
     val scored = dgc
@@ -1277,10 +1297,18 @@ object CorpusStats {
     */
   def naiveBayesApply(docs: DataFrame, idCol: String, textCol: String,
                       model: DataFrame, priors: DataFrame): DataFrame = {
-    val dt = docs
-      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__n"))
-    val dn = dt.groupBy(col(idCol)).agg(sum(col("__n")).as("__nd"))
+    // map-side per-doc token counts (graft_gram_counts at n = 1) —
+    // the (doc, token) Exchange is gone; __nd is the plain token count
+    // of the row (= the former sum over its token counts). Null-text
+    // docs drop via the isNotNull filter exactly as the explode form
+    // dropped them.
+    graft.plans.GraftExtensions.registerAll(docs.sparkSession)
+    val dt = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(call_function("graft_gram_counts",
+        TextFunctions.tokens(col(textCol)), lit(1))).as("__gc"))
+      .select(col(idCol), col("__gc.g").as("token"), col("__gc.c").as("__n"))
+    val dn = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextFunctions.tokenCount(col(textCol)).as("__nd"))
     val seen = dt.join(model, Seq("token"))
       .groupBy(col(idCol), col("label"))
       .agg(sum(col("__n") * col("lp9")).as("__s9"),

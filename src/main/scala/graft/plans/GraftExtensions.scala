@@ -95,6 +95,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_md5_sign_sums"),
       new ExpressionInfo(classOf[Md5SignSumsExpr].getName, "graft_md5_sign_sums"),
       (children: Seq[Expression]) => Md5SignSumsExpr(children): Expression),
+    (FunctionIdentifier("graft_gram_counts"),
+      new ExpressionInfo(classOf[GramCountsExpr].getName, "graft_gram_counts"),
+      (children: Seq[Expression]) => GramCountsExpr(children): Expression),
     (FunctionIdentifier("graft_md5_window_hashes"),
       new ExpressionInfo(classOf[Md5WindowHashesExpr].getName, "graft_md5_window_hashes"),
       (children: Seq[Expression]) => Md5WindowHashesExpr(children): Expression),

@@ -136,6 +136,49 @@ object Md5Kernels {
     new GenericArrayData(counts)
   }
 
+  /** Per-row n-gram occurrence counts: (gram string, count) pairs over
+    * tokens[i..i+n) joined by ' ', first-occurrence order — the
+    * map-side form of the (doc, gram) count aggregate the LM family
+    * shuffled for. Empty when the row has < n tokens. */
+  def gramCounts(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new GenericArrayData(new Array[Any](0))
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i <= len - n) {
+      val g =
+        if (n == 1) tokens.getUTF8String(i)
+        else {
+          var size = n - 1
+          var j = i
+          while (j < i + n) { size += tokens.getUTF8String(j).numBytes(); j += 1 }
+          val buf = new Array[Byte](size)
+          var off = 0
+          j = i
+          while (j < i + n) {
+            if (j > i) { buf(off) = ' '.toByte; off += 1 }
+            val tb = tokens.getUTF8String(j).getBytes
+            System.arraycopy(tb, 0, buf, off, tb.length)
+            off += tb.length
+            j += 1
+          }
+          UTF8String.fromBytes(buf)
+        }
+      val c = counts.get(g)
+      if (c == null) counts.put(g.clone(), Array(1L)) else c(0) += 1
+      i += 1
+    }
+    val out = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue()(0))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val HexChars = "0123456789abcdef".toCharArray
 
   /** md5 hex string of tokens[i..i+w) joined by ' ' — the window-hash
@@ -383,6 +426,50 @@ final case class Md5BucketCountsExpr(children: Seq[Expression]) extends Expressi
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
         if (!${ev.isNull}) {
           ${ev.value} = graft.plans.Md5Kernels.bucketCounts(${cg.value}, $dim);
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
+}
+
+/** graft_gram_counts(tokens array<string>, n) → array<struct<g string,
+  * c long>> of per-row n-gram occurrence counts (n foldable; null
+  * array → null; < n tokens → empty). */
+final case class GramCountsExpr(children: Seq[Expression]) extends Expression {
+  require(children.length == 2, "graft_gram_counts(tokens, n)")
+  private def child = children.head
+  private lazy val n = children(1).eval(null).toString.toInt
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("g", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecKernelChecks.all(
+      TextKernelChecks.expect(Seq(
+        (child, TextKernelChecks.isStringArray, "tokens array<string>"),
+        (children(1), TextKernelChecks.isIntegral, "n integral literal")),
+        prettyName),
+      VecKernelChecks.foldableConstants(Seq(children(1) -> "n"), prettyName))
+
+  override def eval(input: InternalRow): Any = {
+    val arr = child.eval(input)
+    if (arr == null) null
+    else Md5Kernels.gramCounts(arr.asInstanceOf[ArrayData], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cg = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${cg.code}
+        boolean ${ev.isNull} = ${cg.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.plans.Md5Kernels.gramCounts(${cg.value}, $n);
         }
       """)
   }

@@ -203,6 +203,23 @@ class Md5KernelsSpec extends SparkSpec {
     }
   }
 
+  test("graft_gram_counts == explode/groupBy(doc, gram) aggregate form") {
+    val df = fixture
+    graft.plans.GraftExtensions.registerAll(spark)
+    for (n <- Seq(1, 2)) {
+      val kRows = df.select(col("doc_id"),
+          explode(call_function("graft_gram_counts",
+            split(col("text"), " "), lit(n))).as("__gc"))
+        .select(col("doc_id"), col("__gc.g"), col("__gc.c"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val aRows = df.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.ngrams(col("text"), n)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(kRows.nonEmpty && kRows == aRows, s"n=$n mismatch")
+    }
+  }
+
   test("graft_md5_bucket_counts features == explode/two-groupBy form") {
     val df = fixture.filter(col("text").isNotNull)
     val dim = 32
