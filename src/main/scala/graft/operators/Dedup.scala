@@ -693,7 +693,14 @@ object Dedup {
     val sh = df.select(col(idCol).as("doc"),
       explode(call_function("graft_ngram_hashes",
         transform(tokens(col(textCol)), t => xxhash64(t)), lit(n))).as("s"))
-    val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    // per-doc shingle counts are the SIZE of the (already-distinct)
+    // kernel array — map-side, no groupBy(doc) Exchange (guide §2.4);
+    // rows with zero shingles never appeared in the exploded agg either
+    val counts = df.select(col(idCol).as("doc"),
+        size(call_function("graft_ngram_hashes",
+          transform(tokens(col(textCol)), t => xxhash64(t)), lit(n)))
+          .cast("long").as("n_sh"))
+      .filter(col("n_sh") > 0)
     val inter = sh.groupBy(col("s"))
       .agg(array_sort(collect_list(col("doc"))).as("docs"))
       .filter(size(col("docs")) > 1)
