@@ -1354,7 +1354,7 @@ object CorpusStats {
     */
   def hashingTfIdf(df: DataFrame, idCol: String, textCol: String,
                    dim: Int, vecCol: String = "tfidf"): DataFrame =
-    hashingTfIdfBy(df, idCol, textCol, dim, vecCol, "graft_xx_bucket_counts")
+    hashingTfIdfBy(df, idCol, textCol, dim, vecCol, "graft_xx_bucket_entries")
 
   /** [[hashingTfIdf]]'s DuckDB-replayable gate twin: buckets from the
     * md5 prefix (('0x' || substr(md5(t),1,8)) mod dim) instead of
@@ -1366,7 +1366,7 @@ object CorpusStats {
   def hashingTfIdfMd5(df: DataFrame, idCol: String, textCol: String,
                       dim: Int): DataFrame = {
     val sparse = hashingTfIdfSparseBy(df, idCol, textCol, dim,
-      "graft_md5_bucket_counts")
+      "graft_md5_bucket_entries")
     sparse.groupBy(col(idCol))
       .agg(count(lit(1)).as("nnz"),
         md5(concat_ws("|", sort_array(collect_list(
@@ -1393,21 +1393,21 @@ object CorpusStats {
     require(dim >= 1, s"dim must be >= 1, got $dim")
     graft.plans.GraftExtensions.registerAll(df.sparkSession)
     val nDocs = df.count().toDouble
-    // the (doc, bucket, tf) table is now MAP-SIDE: one bucket-counts
-    // kernel per row + posexplode of the non-zero cells — the former
-    // explode → groupBy(doc, bucket) Exchange is gone outright (guide
-    // §2.4: a per-doc term-frequency table never needed a shuffle).
+    // the (doc, bucket, tf) table is now MAP-SIDE: one SPARSE
+    // bucket-entries kernel per row (non-zero cells only — the dense
+    // form fanned dim rows per doc through posexplode, 4× the kept
+    // rows at dim=256 over ~60-token docs) — the former explode →
+    // groupBy(doc, bucket) Exchange is gone outright (guide §2.4: a
+    // per-doc term-frequency table never needed a shuffle).
     // tb still feeds BOTH the idf aggregate and the weight join —
     // snapshotted so the corpus tokenizes+hashes once (the
     // bigramKnScore lesson); lineage-preserving + self-cleaning
     val tb = DiskSnapshot.diskCached(graft.Tables.spreadDf(df)
       .select(col(idCol),
-        call_function(countsKernel,
-          TextFunctions.tokens(col(textCol)), lit(dim)).as("__cs"))
-      .filter(col("__cs").isNotNull)
-      .select(col(idCol), posexplode(col("__cs")).as(Seq("__b", "__tf")))
-      .filter(col("__tf") > 0)
-      .select(col(idCol), col("__b").cast("long").as("__b"), col("__tf")))
+        explode(call_function(countsKernel,
+          TextFunctions.tokens(col(textCol)), lit(dim))).as("__e"))
+      .select(col(idCol), col("__e.b").cast("long").as("__b"),
+        col("__e.c").as("__tf")))
     val idf = tb.groupBy(col("__b"))
       .agg(count(lit(1)).as("__df"))
       .select(col("__b"),

@@ -104,6 +104,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_xx_window_hashes"),
       new ExpressionInfo(classOf[XxWindowHashesExpr].getName, "graft_xx_window_hashes"),
       (children: Seq[Expression]) => XxWindowHashesExpr(children): Expression),
+    (FunctionIdentifier("graft_md5_bucket_entries"),
+      new ExpressionInfo(classOf[BucketEntriesExpr].getName, "graft_md5_bucket_entries"),
+      (children: Seq[Expression]) => BucketEntriesExpr(children, xx = false): Expression),
+    (FunctionIdentifier("graft_xx_bucket_entries"),
+      new ExpressionInfo(classOf[BucketEntriesExpr].getName, "graft_xx_bucket_entries"),
+      (children: Seq[Expression]) => BucketEntriesExpr(children, xx = true): Expression),
     (FunctionIdentifier("graft_xx_bucket_counts"),
       new ExpressionInfo(classOf[XxBucketCountsExpr].getName, "graft_xx_bucket_counts"),
       (children: Seq[Expression]) => XxBucketCountsExpr(children): Expression),

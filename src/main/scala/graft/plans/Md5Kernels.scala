@@ -122,7 +122,10 @@ object Md5Kernels {
     * the (doc, bucket) count aggregate behind
     * [[graft.operators.Classifier]] features and md5 TF vectors.
     */
-  def bucketCounts(tokens: ArrayData, dim: Int): ArrayData = {
+  def bucketCounts(tokens: ArrayData, dim: Int): ArrayData =
+    new GenericArrayData(bucketCountsRaw(tokens, dim))
+
+  private def bucketCountsRaw(tokens: ArrayData, dim: Int): Array[Long] = {
     val counts = new Array[Long](dim)
     val dig = md.get()
     val len = tokens.numElements()
@@ -133,7 +136,7 @@ object Md5Kernels {
       counts((base32(dig.digest()) % dim).toInt) += 1
       t += 1
     }
-    new GenericArrayData(counts)
+    counts
   }
 
   /** Per-row n-gram occurrence counts: (gram string, count) pairs over
@@ -178,6 +181,32 @@ object Md5Kernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Sparse (bucket, count) entries — only the NON-ZERO cells of
+    * [[bucketCounts]] / [[bucketCountsXx]]: for dim ≫ tokens-per-row
+    * the dense array fans posexplode with mostly-zero cells (q127 at
+    * dim=256 over ~60-token docs generated 4× the rows it kept). */
+  private def sparseEntries(counts: Array[Long]): ArrayData = {
+    var nz = 0
+    var i = 0
+    while (i < counts.length) { if (counts(i) != 0L) nz += 1; i += 1 }
+    val out = new Array[Any](nz)
+    var k = 0
+    i = 0
+    while (i < counts.length) {
+      if (counts(i) != 0L) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(i, counts(i)); k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def bucketEntries(tokens: ArrayData, dim: Int): ArrayData =
+    sparseEntries(bucketCountsRaw(tokens, dim))
+
+  def bucketEntriesXx(tokens: ArrayData, dim: Int): ArrayData =
+    sparseEntries(bucketCountsXxRaw(tokens, dim))
 
   private val HexChars = "0123456789abcdef".toCharArray
 
@@ -244,7 +273,10 @@ object Md5Kernels {
     * dim), the production hashing-trick rule ([[XXH64.hashUTF8String]]
     * with Spark's default seed 42 is exactly the xxhash64 expression
     * on a string column). */
-  def bucketCountsXx(tokens: ArrayData, dim: Int): ArrayData = {
+  def bucketCountsXx(tokens: ArrayData, dim: Int): ArrayData =
+    new GenericArrayData(bucketCountsXxRaw(tokens, dim))
+
+  private def bucketCountsXxRaw(tokens: ArrayData, dim: Int): Array[Long] = {
     val counts = new Array[Long](dim)
     val len = tokens.numElements()
     var t = 0
@@ -255,7 +287,7 @@ object Md5Kernels {
       counts(if (m < 0) m + dim else m) += 1
       t += 1
     }
-    new GenericArrayData(counts)
+    counts
   }
 
   /** xxhash64 twin of [[signSums]] — bucket = pmod(xxhash64(t), dim),
@@ -554,6 +586,54 @@ final case class XxWindowHashesExpr(children: Seq[Expression]) extends Expressio
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
         if (!${ev.isNull}) {
           ${ev.value} = graft.plans.Md5Kernels.xxWindowHashes(${cg.value}, $w);
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
+}
+
+/** graft_md5_bucket_entries / graft_xx_bucket_entries
+  * (tokens array<string>, dim) → array<struct<b int, c long>> of the
+  * NON-ZERO bucket counts (dim foldable; null array → null) — the
+  * sparse form for dim ≫ tokens-per-row consumers (TF-IDF). */
+final case class BucketEntriesExpr(children: Seq[Expression], xx: Boolean)
+    extends Expression {
+  require(children.length == 2, "graft_*_bucket_entries(tokens, dim)")
+  private def child = children.head
+  private lazy val dim = children(1).eval(null).toString.toInt
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("b", IntegerType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecKernelChecks.all(
+      TextKernelChecks.expect(Seq(
+        (child, TextKernelChecks.isStringArray, "tokens array<string>"),
+        (children(1), TextKernelChecks.isIntegral, "dim integral literal")),
+        prettyName),
+      VecKernelChecks.foldableConstants(Seq(children(1) -> "dim"), prettyName))
+
+  override def eval(input: InternalRow): Any = {
+    val arr = child.eval(input)
+    if (arr == null) null
+    else if (xx) Md5Kernels.bucketEntriesXx(arr.asInstanceOf[ArrayData], dim)
+    else Md5Kernels.bucketEntries(arr.asInstanceOf[ArrayData], dim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cg = child.genCode(ctx)
+    val fn = if (xx) "bucketEntriesXx" else "bucketEntries"
+    ev.copy(code =
+      code"""
+        ${cg.code}
+        boolean ${ev.isNull} = ${cg.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.plans.Md5Kernels.$fn(${cg.value}, $dim);
         }
       """)
   }
