@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the console RAW: sbt's default logger
+// prefixes every line with "[info] ", so no stdout line ever STARTED
+// with '{' and the round driver's JSON-line parse of graft.Bench came
+// back null every round (BENCH_r01..r19 all carry "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -55,6 +55,34 @@ class DriverContractSpec extends AnyFunSuite {
     assert(clean.length < 200 && clean.contains("\"queries\":{}"))
   }
 
+  test("driver line: complete per-query map, compact encoding, parseable JSON") {
+    // r19 verdict ask #1: the LAST stdout line must carry ALL
+    // per-query times. Build it for the real query set and check it
+    // parses, keeps every query, and stays compact (bare numbers for
+    // clean entries — no "runs" field anywhere).
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val entries = names.map(n => Bench.entry(n, 1.234, 1, 0, susp = false))
+    val line = Bench.driverLine(196.308, "/root/testdata/sf0.1",
+      ""","churn":1.02""", names.length, entries)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("metric").asText == "total")
+    assert(node.get("value").asDouble == 196.308)
+    assert(node.get("unit").asText == "sec")
+    assert(node.get("sf").asText == "/root/testdata/sf0.1")
+    assert(node.get("n_queries").asInt == names.length)
+    val qs = node.get("queries")
+    assert(qs.size == names.length, s"queries map lost entries: ${qs.size}")
+    names.foreach(n => assert(qs.get(n).asDouble == 1.234, n))
+    assert(!line.contains("\"runs\""), "driver line must stay compact")
+    // flagged entries keep their flags in the same line
+    val fl = Bench.driverLine(1.0, "sf", "", 1,
+      Seq(Bench.entry("qx", 9.9, 1, 0, susp = true, ctl = Some(1.1),
+        minT = Some(3.3), iso = Some(2.2))))
+    val fn = new com.fasterxml.jackson.databind.ObjectMapper().readTree(fl)
+    assert(fn.get("queries").get("qx").get("suspect").asBoolean)
+    assert(fn.get("queries").get("qx").get("t").asDouble == 9.9)
+  }
+
   test("bench floor file: reads all three shapes, median floor, min trajectory") {
     // historical flat shape + {"t":} shape + history shape must all
     // parse (the committed bench_prev predates histories)
