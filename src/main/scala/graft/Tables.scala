@@ -40,7 +40,22 @@ object Tables {
     */
   def spreadDf(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    // Shuffle-free lineage only (r19 ADVICE): `df.rdd` under AQE
+    // materializes every upstream shuffle stage AT CONSTRUCTION time —
+    // the DiskSnapshot-documented pitfall — so the partition probe is
+    // gated to plans with no exchange-inducing operator. A frame BELOW
+    // a shuffle is already laid out by spark.sql.shuffle.partitions
+    // (cluster-sized), so the spread was a no-op there anyway; every
+    // current call site passes a scan or a map-only derivation of one.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shuffly = df.queryExecution.analyzed.exists {
+      case _: Aggregate | _: Join | _: Sort | _: Window | _: Distinct |
+           _: Deduplicate | _: RepartitionByExpression | _: GlobalLimit => true
+      case r: Repartition => r.shuffle // coalesce() is narrow — keep probing it
+      case _ => false
+    }
+    if (shuffly) df
+    else if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
 
   /** events.parquet has stored ts as TIMESTAMP(NANOS) (which Spark 4

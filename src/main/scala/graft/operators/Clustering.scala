@@ -73,6 +73,7 @@ object Clustering {
     */
   def kmeansMd5(df: DataFrame, idCol: String, vecCol: String,
                 k: Int = 8, iters: Int = 3, scale: Int = 1024): DataFrame = {
+    graft.plans.GraftExtensions.registerAll(df.sparkSession)
     val (q, cents) = lloydMd5(df, idCol, vecCol, k, iters, scale)
     val out = DiskSnapshot.diskCachedEager(q
       .withColumn("cluster", cellOfQuantized(cents)(col("__qv")))
@@ -178,8 +179,10 @@ object Clustering {
     // every Lloyd step, and the final assignment — so every super
     // present anywhere below has at least one row, hence at least one
     // child (the same single-assignment-frame property TwoLevel.fit
-    // gets from reusing sup.cells)
-    val withSuper = DiskSnapshot.diskCachedEager(q
+    // gets from reusing sup.cells). LAZY snapshot: the first consumer
+    // (the child seeds' full window pass) writes the blocks inside its
+    // own job — one fewer materialization barrier (r19 ask #3 shape).
+    val withSuper = DiskSnapshot.diskCached(q
       .withColumn("__super", cellOfQuantized(superCents)(col("__qv"))))
     val children = childLloydMd5(withSuper, superCents.length, kChild, iters)
     // the assignment is consumed THREE times by the dominance filter
@@ -257,38 +260,62 @@ object Clustering {
       seeds.filter(_.getInt(0) == s).sortBy(_.getInt(1))
         .map(_.getSeq[Double](2).toArray)
     }
+    // The per-(super, child, pos) partial sums either collect DIRECTLY
+    // (cells × dim rows — one shuffle per step) or re-assemble into
+    // ONE array row per cell first (a pos-sorted collect_list of
+    // (pos, sum, count) triples — a second shuffle, but the driver
+    // pulls cells rows, not cells × dim). The direct path is taken
+    // while cells × dim stays under [[MaxChildSumRows]] (gate-scale
+    // fits always do — it removes an exchange and its AQE sub-job from
+    // every Lloyd step); the regrouped path keeps the driver-row bound
+    // for big fits. Both paths: each position divides by ITS OWN
+    // count, absent positions keep the zero-fill into a ctr.length
+    // array — centroids bit-identical either way (the sums are the
+    // same rows, only their driver-side assembly differs).
+    val directRows = kSuper.toLong * kChild * dim
     for (_ <- 0 until iters) {
-      // the element partial-sums stay per-(super, child, pos) for the
-      // shuffle, then re-assemble into ONE array row per cell (a
-      // pos-sorted collect_list of (pos, sum, count) triples) so the
-      // driver pulls cells rows, not cells x dim — each position
-      // still divides by ITS OWN count and absent positions keep the
-      // zero-fill into a ctr.length array, so centroids are
-      // bit-identical to the former per-pos pull even for ragged or
-      // short member vectors
-      val sums = assignChildren(withSuper, mats)
+      val partial = assignChildren(withSuper, mats)
         .select(col("__super"), col("__child"),
           posexplode(col("__qv")).as(Seq("__pos", "__v")))
         .groupBy(col("__super"), col("__child"), col("__pos"))
         .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
-        .groupBy(col("__super"), col("__child"))
-        .agg(array_sort(collect_list(
-          struct(col("__pos"), col("__s"), col("__n")))).as("__psn"))
-        .collect()
-      val byCell = sums.map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
-      mats = mats.zipWithIndex.map { case (m, s) =>
-        m.zipWithIndex.map { case (ctr, c) =>
-          byCell.get((s, c)) match {
-            case Some(r) =>
-              val nm = new Array[Double](ctr.length)
-              r.getSeq[Row](2).foreach { t =>
-                nm(t.getInt(0)) = t.getDouble(1) / t.getLong(2)
+      mats =
+        if (directRows <= MaxChildSumRows) {
+          val sums = partial.collect()
+          val bySC = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+          mats.zipWithIndex.map { case (m, s) =>
+            m.zipWithIndex.map { case (ctr, c) =>
+              bySC.get((s, c)) match {
+                case Some(rs) =>
+                  val nm = new Array[Double](ctr.length)
+                  rs.foreach(t =>
+                    nm(t.getInt(2)) = t.getDouble(3) / t.getLong(4))
+                  nm
+                case None => ctr // empty child keeps its centroid
               }
-              nm
-            case None => ctr // empty child keeps its centroid
+            }
+          }
+        } else {
+          val sums = partial
+            .groupBy(col("__super"), col("__child"))
+            .agg(array_sort(collect_list(
+              struct(col("__pos"), col("__s"), col("__n")))).as("__psn"))
+            .collect()
+          val byCell = sums.map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+          mats.zipWithIndex.map { case (m, s) =>
+            m.zipWithIndex.map { case (ctr, c) =>
+              byCell.get((s, c)) match {
+                case Some(r) =>
+                  val nm = new Array[Double](ctr.length)
+                  r.getSeq[Row](2).foreach { t =>
+                    nm(t.getInt(0)) = t.getDouble(1) / t.getLong(2)
+                  }
+                  nm
+                case None => ctr // empty child keeps its centroid
+              }
+            }
           }
         }
-      }
     }
     mats
   }
@@ -298,16 +325,24 @@ object Clustering {
     * collect. ~16 MB of literal at the cap. */
   private[graft] val MaxChildLiteralDoubles: Long = 1L << 21
 
+  /** Direct-collect bound for [[childLloydMd5]]'s per-step sums:
+    * while cells × dim ≤ this, the (super, child, pos) partial sums
+    * collect as-is (one shuffle per Lloyd step); past it they regroup
+    * to one row per cell first. 64k Rows ≈ a few MB on the driver. */
+  private[graft] val MaxChildSumRows: Long = 1L << 16
+
   /** The per-super centroid matrices as ONE nested plan literal
     * (indexed by `__super`; a row-less super keeps a never-consulted
-    * dummy so the literal stays rectangular at the top level). */
+    * dummy so the literal stays rectangular at the top level).
+    * typedlit — one Literal node instead of kSuper×kChild×dim of them
+    * (same values; the nested-lit build was a plan-size cost at every
+    * assignChildren call). */
   private def childMatsLit(mats: Array[Array[Array[Double]]]):
       org.apache.spark.sql.Column =
-    array(mats.map { m =>
-      if (m.isEmpty) array(array(lit(0.0)))
-      else array(m.map(ctr =>
-        array(ctr.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-    }.toIndexedSeq: _*)
+    typedlit[Seq[Seq[Seq[Double]]]](mats.map { m =>
+      if (m.isEmpty) Seq(Seq(0.0))
+      else m.map(_.toSeq).toSeq
+    }.toSeq)
 
   /** Assign every `withSuper` row its child cell against ITS super's
     * literal centroid matrix (argmin, ties to the lowest child —
@@ -364,12 +399,19 @@ object Clustering {
         val t0 = System.nanoTime(); val r = f
         println(f"[prof] $name%-20s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
       } else f
+    // LAZY snapshots (r19 verdict ask #3 "fuse super init into the
+    // q-snapshot job"): a diskCached frame writes its blocks inside
+    // the FIRST consumer's job, and both first consumers here read
+    // every partition (the super-Lloyd init is a global sort-limit;
+    // the child seeds are a full window pass) — so the two dedicated
+    // foreachPartition materialization jobs disappear from the chain
+    // while every later consumer still reads the persisted blocks.
     val spread = graft.Tables.spreadDf(corpus)
-    val q = prof("q snapshot")(DiskSnapshot.diskCachedEager(spread
+    val q = prof("q snapshot")(DiskSnapshot.diskCached(spread
       .select(col(idCol).as("__id"), col(vecCol).as("__vec"),
         codes(col(vecCol)).as("__qv"))))
     val superCents = prof("super lloyd")(lloydQuantized(q, kSuper, superIters))
-    val withSuper = prof("withSuper snap")(DiskSnapshot.diskCachedEager(q
+    val withSuper = prof("withSuper snap")(DiskSnapshot.diskCached(q
       .withColumn("__super", cellOfQuantized(superCents)(col("__qv")))))
     val children = prof("child lloyd")(
       childLloydMd5(withSuper, superCents.length, kChild, iters))
@@ -422,9 +464,12 @@ object Clustering {
         col("super"), col("child"))
     // candidates in the probed cells, approximate cosine over the
     // codes (exact-integer dot/norms; zero-norm codes pin to −2 so
-    // they rank last deterministically)
+    // they rank last deterministically). graft_dot_q is the fused
+    // form of the zip_with+aggregate fold (same left-to-right sum —
+    // exact integers here regardless); the fold ran in the per-pair
+    // candidate scorer, the gate's hottest remaining expression.
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      call_function("graft_dot_q", a, b)
     val wApprox = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("__ac").desc, col("neighbor_id"))
     // norms price ONCE per query / per corpus row — computing them in
@@ -454,17 +499,18 @@ object Clustering {
   }
 
   /** Argmin cell against a per-row matrix COLUMN (vs the literal form
-    * [[cellOfQuantized]]): same sequential distance fold, same
-    * first-position-of-min tie-break to the lowest cell.
+    * [[cellOfQuantized]]): the fused `graft_nearest_cell` kernel —
+    * same sequential left-to-right distance accumulation as the former
+    * zip_with+aggregate fold (IEEE-identical; here the quantized
+    * inputs are exact integers in doubles anyway), same
+    * first-position-of-min tie-break to the lowest cell. The fold ran
+    * kChild×dim interpreted lambda dispatches per row in the gate
+    * twins' hot assignment loop (guide §4.1 — prefer codegen
+    * expressions in the hot path).
     */
   private def cellOfMat(v: org.apache.spark.sql.Column,
-                        mat: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val ds = transform(mat, ct => aggregate(zip_with(v, ct, (x, y) => {
-      val d = x - y
-      d * d
-    }), lit(0.0), (acc, x) => acc + x))
-    (array_position(ds, array_min(ds)) - 1).cast("int")
-  }
+                        mat: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("graft_nearest_cell", v, mat)
 
   /** Shared quantized md5-init Lloyd loop behind [[kmeansMd5]] and
     * [[ivfTopKMd5]]: returns the persisted quantized frame
@@ -487,6 +533,10 @@ object Clustering {
     */
   private def lloydQuantized(q: DataFrame, k: Int,
                              iters: Int): Array[Array[Double]] = {
+    // the assignment expressions below run on the fused centroid
+    // kernels — register them for callers that reach this loop
+    // without their own registerAll (idempotent)
+    graft.plans.GraftExtensions.registerAll(q.sparkSession)
     var cents: Array[Array[Double]] = q
       .withColumn("__h", md5(col("__id").cast("string")))
       .orderBy(col("__h")).limit(k)
@@ -621,18 +671,24 @@ object Clustering {
     out
   }
 
+  /** Distances/argmin of a quantized array<double> vector against the
+    * centroid matrix, via the fused codegen kernels (round 20; guide
+    * §4.1): value-identical to the former per-centroid
+    * zip_with+aggregate folds — same left-to-right accumulation (and
+    * the quantized inputs are exact integers in doubles, so every sum
+    * is exact regardless), same first-position-of-min tie-break. The
+    * folds were the gate twins' single hottest expression (k×dim
+    * interpreted lambda dispatches per row, per Lloyd iteration); the
+    * matrix now rides in as ONE typedlit Literal instead of k×dim
+    * Literal nodes, which also shrinks analysis/codegen.
+    */
   private def quantizedDists(cents: Array[Array[Double]])
-      (v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val centLit = array(cents.map(ct => array(ct.map(lit): _*)): _*)
-    transform(centLit, ct => aggregate(zip_with(v, ct, (x, y) => {
-      val d = x - y
-      d * d
-    }), lit(0.0), (acc, x) => acc + x))
-  }
+      (v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("graft_cell_dists", v,
+      typedlit[Seq[Seq[Double]]](cents.map(_.toSeq).toSeq))
 
   private def cellOfQuantized(cents: Array[Array[Double]])
-      (v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val ds = quantizedDists(cents)(v)
-    (array_position(ds, array_min(ds)) - 1).cast("int")
-  }
+      (v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("graft_nearest_cell", v,
+      typedlit[Seq[Seq[Double]]](cents.map(_.toSeq).toSeq))
 }

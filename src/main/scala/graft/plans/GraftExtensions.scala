@@ -59,6 +59,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_nearest_cell"),
       new ExpressionInfo(classOf[NearestCellExpr].getName, "graft_nearest_cell"),
       (children: Seq[Expression]) => NearestCellExpr(children): Expression),
+    (FunctionIdentifier("graft_dot_q"),
+      new ExpressionInfo(classOf[DotQExpr].getName, "graft_dot_q"),
+      (children: Seq[Expression]) => DotQExpr(children): Expression),
     (FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncodeExpr].getName, "graft_pq_encode"),
       (children: Seq[Expression]) => PqEncodeExpr(children): Expression),

@@ -93,18 +93,37 @@ object VecKernels {
     if (vDim != ctDim) throw new IllegalArgumentException(
       s"$fn: vector dim $vDim != centroid dim $ctDim (cell $cell)")
 
-  def cellDists(v: ArrayData, cents: ArrayData): ArrayData = {
+  /** The vector column arrives as array<float> (production embeddings)
+    * or array<double> (the md5 gate twins' quantized vectors). A float
+    * element widens to double EXACTLY, so both paths produce the same
+    * IEEE sums as the per-centroid zip_with+aggregate fold they
+    * replace; copying to a primitive double[] once also removes the
+    * per-(centroid, pos) ArrayData dispatch from the k×dim inner loop.
+    */
+  private def toDoubles(v: ArrayData, vIsFloat: Boolean): Array[Double] = {
+    val n = v.numElements()
+    val qv = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      qv(j) = if (vIsFloat) v.getFloat(j).toDouble else v.getDouble(j)
+      j += 1
+    }
+    qv
+  }
+
+  def cellDists(v: ArrayData, cents: ArrayData, vIsFloat: Boolean): ArrayData = {
+    val qv = toDoubles(v, vIsFloat)
     val k = cents.numElements()
     val out = new Array[Double](k)
     var c = 0
     while (c < k) {
       val ct = cents.getArray(c)
-      checkDim("graft_cell_dists", v.numElements(), ct.numElements(), c)
-      val n = v.numElements()
+      checkDim("graft_cell_dists", qv.length, ct.numElements(), c)
+      val n = qv.length
       var s = 0.0
       var i = 0
       while (i < n) {
-        val d = v.getFloat(i).toDouble - ct.getDouble(i)
+        val d = qv(i) - ct.getDouble(i)
         s += d * d
         i += 1
       }
@@ -157,19 +176,20 @@ object VecKernels {
   /** argmin cell of [[cellDists]], ties to the LOWEST index — the
     * same contract as `array_position(ds, array_min(ds)) - 1`.
     */
-  def nearestCell(v: ArrayData, cents: ArrayData): Int = {
+  def nearestCell(v: ArrayData, cents: ArrayData, vIsFloat: Boolean): Int = {
+    val qv = toDoubles(v, vIsFloat)
     val k = cents.numElements()
     var best = 0
     var bestD = Double.PositiveInfinity
     var c = 0
     while (c < k) {
       val ct = cents.getArray(c)
-      checkDim("graft_nearest_cell", v.numElements(), ct.numElements(), c)
-      val n = v.numElements()
+      checkDim("graft_nearest_cell", qv.length, ct.numElements(), c)
+      val n = qv.length
       var s = 0.0
       var i = 0
       while (i < n) {
-        val d = v.getFloat(i).toDouble - ct.getDouble(i)
+        val d = qv(i) - ct.getDouble(i)
         s += d * d
         i += 1
       }
@@ -177,6 +197,23 @@ object VecKernels {
       c += 1
     }
     best
+  }
+
+  /** dot(a, b) over two array<double> columns — the md5 gate twins'
+    * exact-integer code dot products (compressed-ANN candidate
+    * scoring). Left-to-right accumulation: bit-identical to
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)`. Dimension mismatch
+    * refuses by kernel name like the siblings.
+    */
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_dot_q: dim mismatch $n vs ${b.numElements()}")
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
   }
 
   /** md5-int JL projection (the q114/q119 gate family): quantize each
@@ -363,22 +400,40 @@ final case class CosineInt8Expr(children: Seq[Expression]) extends Expression {
     copy(children = c)
 }
 
-/** graft_cell_dists(array<float>, array<array<double>>) → array<double> */
+/** Shared analysis check for the centroid kernels: the vector child is
+  * array<float> (production embeddings) OR array<double> (the gate
+  * twins' quantized vectors — round 20 moved their interpreted
+  * zip_with+aggregate argmin folds onto these kernels); anything else
+  * refuses by name.
+  */
+private[plans] object CentroidKernelChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  def check(vec: Expression, mat: Expression, fn: String): TypeCheckResult =
+    vec.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        VecKernelChecks.doubleMatrix(mat, fn)
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn expects vector array<float|double>, got ${other.simpleString}")
+    }
+  def isFloat(vec: Expression): Boolean =
+    vec.dataType.asInstanceOf[ArrayType].elementType == FloatType
+}
+
+/** graft_cell_dists(array<float|double>, array<array<double>>) → array<double> */
 final case class CellDistsExpr(children: Seq[Expression]) extends Expression {
   require(children.length == 2, "graft_cell_dists(v, centroids)")
+  private lazy val vIsFloat = CentroidKernelChecks.isFloat(children.head)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = children.exists(_.nullable)
   override def checkInputDataTypes():
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val v = VecKernelChecks.floatArrays(Seq(children.head -> "vector"), prettyName)
-    if (!v.isSuccess) v
-    else VecKernelChecks.doubleMatrix(children(1), prettyName)
-  }
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    CentroidKernelChecks.check(children.head, children(1), prettyName)
 
   override def eval(input: InternalRow): Any = {
     val a = children.head.eval(input); val b = children(1).eval(input)
     if (a == null || b == null) null
-    else VecKernels.cellDists(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else VecKernels.cellDists(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], vIsFloat)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -390,7 +445,7 @@ final case class CellDistsExpr(children: Seq[Expression]) extends Expression {
         boolean ${ev.isNull} = ${ag.isNull} || ${bg.isNull};
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
         if (!${ev.isNull}) {
-          ${ev.value} = graft.plans.VecKernels.cellDists(${ag.value}, ${bg.value});
+          ${ev.value} = graft.plans.VecKernels.cellDists(${ag.value}, ${bg.value}, $vIsFloat);
         }
       """)
   }
@@ -399,22 +454,21 @@ final case class CellDistsExpr(children: Seq[Expression]) extends Expression {
     copy(children = c)
 }
 
-/** graft_nearest_cell(array<float>, array<array<double>>) → int */
+/** graft_nearest_cell(array<float|double>, array<array<double>>) → int */
 final case class NearestCellExpr(children: Seq[Expression]) extends Expression {
   require(children.length == 2, "graft_nearest_cell(v, centroids)")
+  private lazy val vIsFloat = CentroidKernelChecks.isFloat(children.head)
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = children.exists(_.nullable)
   override def checkInputDataTypes():
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val v = VecKernelChecks.floatArrays(Seq(children.head -> "vector"), prettyName)
-    if (!v.isSuccess) v
-    else VecKernelChecks.doubleMatrix(children(1), prettyName)
-  }
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    CentroidKernelChecks.check(children.head, children(1), prettyName)
 
   override def eval(input: InternalRow): Any = {
     val a = children.head.eval(input); val b = children(1).eval(input)
     if (a == null || b == null) null
-    else VecKernels.nearestCell(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else VecKernels.nearestCell(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], vIsFloat)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -426,7 +480,51 @@ final case class NearestCellExpr(children: Seq[Expression]) extends Expression {
         boolean ${ev.isNull} = ${ag.isNull} || ${bg.isNull};
         int ${ev.value} = 0;
         if (!${ev.isNull}) {
-          ${ev.value} = graft.plans.VecKernels.nearestCell(${ag.value}, ${bg.value});
+          ${ev.value} = graft.plans.VecKernels.nearestCell(${ag.value}, ${bg.value}, $vIsFloat);
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
+}
+
+/** graft_dot_q(array<double>, array<double>) → double — the gate
+  * twins' exact-integer code dot product (one fused loop instead of a
+  * zip_with+aggregate lambda tree in the q119 candidate-pair scorer).
+  */
+final case class DotQExpr(children: Seq[Expression]) extends Expression {
+  require(children.length == 2, "graft_dot_q(a, b)")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    children.collectFirst {
+      case e if !(e.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<double>, got ${e.dataType.simpleString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val a = children.head.eval(input); val b = children(1).eval(input)
+    if (a == null || b == null) null
+    else VecKernels.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ag = children.head.genCode(ctx); val bg = children(1).genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${ag.code}
+        ${bg.code}
+        boolean ${ev.isNull} = ${ag.isNull} || ${bg.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.plans.VecKernels.dotD(${ag.value}, ${bg.value});
         }
       """)
   }
