@@ -625,8 +625,19 @@ object Bench {
     val rigEndMs: Option[Double] =
       if (only.isEmpty) Some((1 to 3).map(_ => rigProbeMs()).sorted.apply(1))
       else None
+    // GC telemetry (r20 drift diagnosis): cumulative collector time
+    // and peak heap at sweep end. The r19 verdict's open item #2 is a
+    // suite-wide 1.5–2.5× inflation of small untouched queries whose
+    // prime suspects include GC pressure from the media gates on the
+    // 8g default heap — these two fields let any later run adjudicate
+    // "GC-bound sweep" from the artifact alone.
+    import scala.jdk.CollectionConverters._
+    val gcMs = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val heapMaxMb = Runtime.getRuntime.maxMemory() >> 20
+    val gcField = s""","gc_ms":$gcMs,"heap_max_mb":$heapMaxMb"""
     val churnField = churnFieldOf(churnStart, churnMid, churnEnd) +
-      rigFieldOf(rigMs, rigRatio, rigEndMs)
+      rigFieldOf(rigMs, rigRatio, rigEndMs) + gcField
     // nearest of the three canary positions (0, half, nRes) — shared
     // by history eligibility and the trend flag
     val nRes = results.length

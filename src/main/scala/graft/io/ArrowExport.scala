@@ -90,7 +90,13 @@ object ArrowExport {
         .foreach(st => dfs.delete(st.getPath, false))
     }
     val bc = sc.broadcast(hconf)
-    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+    // InternalRow export (r20, guide §4): `df.rdd` deserialized EVERY
+    // exported row to an external Row (one boxed object per value)
+    // before the writer re-read it; the writer now consumes the
+    // UnsafeRows directly — typed accessors, no conversion pass, same
+    // bytes on disk (ArrowExportSpec round-trips every supported type).
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       if (!rows.hasNext) Iterator.empty
       else {
         val dir = new org.apache.hadoop.fs.Path(outDir)
@@ -368,17 +374,21 @@ object ArrowExport {
     }
   }
 
-  /** One scalar into a positional complex writer (list element,
-    * nested-list element, or map value — `UnionMapWriter`'s value
-    * mode is a `ListWriter` too). Exhaustive over [[checkSupported]]'s
-    * scalar set: an unexpected type THROWS instead of silently
-    * leaving a null, so a future checkSupported/dispatch divergence
-    * surfaces as an error, never as dropped data.
+  /** One scalar ELEMENT of an `ArrayData` (or `MapData` value array)
+    * into a positional complex writer (list element, nested-list
+    * element, or map value — `UnionMapWriter`'s value mode is a
+    * `ListWriter` too). Typed `ArrayData` accessors — no boxing
+    * (r20: the writer consumes InternalRows). Exhaustive over
+    * [[checkSupported]]'s scalar set: an unexpected type THROWS
+    * instead of silently leaving a null, so a future
+    * checkSupported/dispatch divergence surfaces as an error, never
+    * as dropped data.
     */
   private def writeScalarTo(
       w: org.apache.arrow.vector.complex.writer.BaseWriter.ListWriter,
-      dt: DataType, v: Any): Unit =
-    if (v == null) dt match {
+      dt: DataType, a: org.apache.spark.sql.catalyst.util.ArrayData,
+      i: Int): Unit =
+    if (a.isNullAt(i)) dt match {
       case BooleanType => w.bit().writeNull()
       case IntegerType => w.integer().writeNull()
       case LongType => w.bigInt().writeNull()
@@ -390,40 +400,44 @@ object ArrowExport {
         s"ArrowExport: no writer dispatch for $other — checkSupported drifted")
     } else dt match {
       case BooleanType =>
-        w.bit().writeBit(if (v.asInstanceOf[Boolean]) 1 else 0)
-      case IntegerType => w.integer().writeInt(v.asInstanceOf[Int])
-      case LongType => w.bigInt().writeBigInt(v.asInstanceOf[Long])
-      case FloatType => w.float4().writeFloat4(v.asInstanceOf[Float])
-      case DoubleType => w.float8().writeFloat8(v.asInstanceOf[Double])
-      case StringType => w.varChar().writeVarChar(v.asInstanceOf[String])
+        w.bit().writeBit(if (a.getBoolean(i)) 1 else 0)
+      case IntegerType => w.integer().writeInt(a.getInt(i))
+      case LongType => w.bigInt().writeBigInt(a.getLong(i))
+      case FloatType => w.float4().writeFloat4(a.getFloat(i))
+      case DoubleType => w.float8().writeFloat8(a.getDouble(i))
+      case StringType =>
+        w.varChar().writeVarChar(a.getUTF8String(i).toString)
       case BinaryType =>
-        w.varBinary().writeVarBinary(v.asInstanceOf[Array[Byte]])
+        w.varBinary().writeVarBinary(a.getBinary(i))
       case other => throw new IllegalStateException(
         s"ArrowExport: no writer dispatch for $other — checkSupported drifted")
     }
 
   /** One NON-NULL scalar struct field by name (null fields stay unset
-    * → null). Same exhaustiveness contract as [[writeScalarTo]].
+    * → null), read from an `InternalRow` struct at ordinal `k`. Same
+    * exhaustiveness contract as [[writeScalarTo]].
     */
   private def writeScalarField(
       sw: org.apache.arrow.vector.complex.writer.BaseWriter.StructWriter,
-      name: String, dt: DataType, v: Any): Unit = dt match {
+      name: String, dt: DataType,
+      e: org.apache.spark.sql.catalyst.InternalRow, k: Int): Unit = dt match {
     case BooleanType =>
-      sw.bit(name).writeBit(if (v.asInstanceOf[Boolean]) 1 else 0)
-    case IntegerType => sw.integer(name).writeInt(v.asInstanceOf[Int])
-    case LongType => sw.bigInt(name).writeBigInt(v.asInstanceOf[Long])
-    case FloatType => sw.float4(name).writeFloat4(v.asInstanceOf[Float])
-    case DoubleType => sw.float8(name).writeFloat8(v.asInstanceOf[Double])
-    case StringType => sw.varChar(name).writeVarChar(v.asInstanceOf[String])
+      sw.bit(name).writeBit(if (e.getBoolean(k)) 1 else 0)
+    case IntegerType => sw.integer(name).writeInt(e.getInt(k))
+    case LongType => sw.bigInt(name).writeBigInt(e.getLong(k))
+    case FloatType => sw.float4(name).writeFloat4(e.getFloat(k))
+    case DoubleType => sw.float8(name).writeFloat8(e.getDouble(k))
+    case StringType =>
+      sw.varChar(name).writeVarChar(e.getUTF8String(k).toString)
     case BinaryType =>
-      sw.varBinary(name).writeVarBinary(v.asInstanceOf[Array[Byte]])
+      sw.varBinary(name).writeVarBinary(e.getBinary(k))
     case other => throw new IllegalStateException(
       s"ArrowExport: no struct-field writer dispatch for $other — " +
         "checkSupported drifted")
   }
 
   private def writePartition(schema: StructType,
-                             rows: Iterator[org.apache.spark.sql.Row],
+                             rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
                              out: java.io.OutputStream, batchRows: Int): Unit = {
     import org.apache.arrow.vector._
     import org.apache.arrow.vector.complex.ListVector
@@ -459,15 +473,16 @@ object ArrowExport {
                 case DoubleType => vec.asInstanceOf[Float8Vector]
                   .setSafe(n, row.getDouble(j))
                 case StringType => vec.asInstanceOf[VarCharVector]
-                  .setSafe(n, row.getString(j).getBytes("UTF-8"))
+                  .setSafe(n, row.getUTF8String(j).getBytes)
                 case BinaryType => vec.asInstanceOf[VarBinaryVector]
-                  .setSafe(n, row.getAs[Array[Byte]](j))
+                  .setSafe(n, row.getBinary(j))
+                // internal DateType IS epoch days; TimestampType IS
+                // epoch micros (UTC) — the exact values the external
+                // java.sql round trips used to reconstruct
                 case DateType => vec.asInstanceOf[DateDayVector]
-                  .setSafe(n, row.getAs[java.sql.Date](j).toLocalDate.toEpochDay.toInt)
-                case TimestampType =>
-                  val ts = row.getAs[java.sql.Timestamp](j)
-                  vec.asInstanceOf[TimeStampMicroTZVector]
-                    .setSafe(n, ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L)
+                  .setSafe(n, row.getInt(j))
+                case TimestampType => vec.asInstanceOf[TimeStampMicroTZVector]
+                  .setSafe(n, row.getLong(j))
                 case ArrayType(st: StructType, _) =>
                   // list-of-flat-struct rides the complex writer: the
                   // writer tracks element offsets and child positions
@@ -477,18 +492,22 @@ object ArrowExport {
                   w.setPosition(n)
                   w.startList()
                   val sw = w.struct()
-                  row.getSeq[org.apache.spark.sql.Row](j).foreach { e =>
-                    if (e == null) sw.writeNull()
+                  val ad = row.getArray(j)
+                  var i = 0
+                  while (i < ad.numElements()) {
+                    if (ad.isNullAt(i)) sw.writeNull()
                     else {
+                      val e = ad.getStruct(i, st.length)
                       sw.start()
                       var k = 0
                       while (k < st.length) {
                         if (!e.isNullAt(k))
-                          writeScalarField(sw, st(k).name, st(k).dataType, e.get(k))
+                          writeScalarField(sw, st(k).name, st(k).dataType, e, k)
                         k += 1
                       }
                       sw.end()
                     }
+                    i += 1
                   }
                   w.endList()
                 case ArrayType(ArrayType(inner, _), _) =>
@@ -498,34 +517,56 @@ object ArrowExport {
                   w.setPosition(n)
                   w.startList()
                   val iw = w.list()
-                  row.getSeq[scala.collection.Seq[Any]](j).foreach { s =>
-                    if (s == null) iw.writeNull()
+                  val ad = row.getArray(j)
+                  var i = 0
+                  while (i < ad.numElements()) {
+                    if (ad.isNullAt(i)) iw.writeNull()
                     else {
+                      val s = ad.getArray(i)
                       iw.startList()
-                      s.foreach(e => writeScalarTo(iw, inner, e))
+                      var e = 0
+                      while (e < s.numElements()) {
+                        writeScalarTo(iw, inner, s, e)
+                        e += 1
+                      }
                       iw.endList()
                     }
+                    i += 1
                   }
                   w.endList()
                 case MapType(StringType, vt, _) =>
                   // MapVector extends ListVector, so listWriters(j)
-                  // already holds ITS writer — the map-mode subclass
+                  // already holds ITS writer — the map-mode subclass.
+                  // MapData iterates in STORED order (the external-Row
+                  // path round-tripped through a scala Map, whose
+                  // iteration order for >4 entries was hash order) —
+                  // entry ORDER inside a map is semantically free and
+                  // every reader accesses by key.
                   val mw = listWriters(j).asInstanceOf[
                     org.apache.arrow.vector.complex.impl.UnionMapWriter]
                   mw.setPosition(n)
                   mw.startMap()
-                  row.getMap[String, Any](j).foreach { case (k, v) =>
+                  val md = row.getMap(j)
+                  val keys = md.keyArray(); val vals = md.valueArray()
+                  var i = 0
+                  while (i < md.numElements()) {
                     mw.startEntry()
-                    mw.key().varChar().writeVarChar(k)
-                    writeScalarTo(mw.value(), vt, v)
+                    mw.key().varChar().writeVarChar(keys.getUTF8String(i).toString)
+                    writeScalarTo(mw.value(), vt, vals, i)
                     mw.endEntry()
+                    i += 1
                   }
                   mw.endMap()
                 case ArrayType(elem, _) =>
                   val w = listWriters(j)
                   w.setPosition(n)
                   w.startList()
-                  row.getSeq[Any](j).foreach(e => writeScalarTo(w, elem, e))
+                  val ad = row.getArray(j)
+                  var i = 0
+                  while (i < ad.numElements()) {
+                    writeScalarTo(w, elem, ad, i)
+                    i += 1
+                  }
                   w.endList()
                 case st: StructType =>
                   // direct child-vector sets (allocateNew covered the
@@ -533,7 +574,7 @@ object ArrowExport {
                   val sv = vec.asInstanceOf[
                     org.apache.arrow.vector.complex.StructVector]
                   sv.setIndexDefined(n)
-                  val inner = row.getStruct(j)
+                  val inner = row.getStruct(j, st.length)
                   var k = 0
                   while (k < st.length) {
                     if (!inner.isNullAt(k)) {
@@ -550,9 +591,9 @@ object ArrowExport {
                         case DoubleType => cv.asInstanceOf[Float8Vector]
                           .setSafe(n, inner.getDouble(k))
                         case StringType => cv.asInstanceOf[VarCharVector]
-                          .setSafe(n, inner.getString(k).getBytes("UTF-8"))
+                          .setSafe(n, inner.getUTF8String(k).getBytes)
                         case BinaryType => cv.asInstanceOf[VarBinaryVector]
-                          .setSafe(n, inner.getAs[Array[Byte]](k))
+                          .setSafe(n, inner.getBinary(k))
                         case other => throw new IllegalStateException(
                           s"ArrowExport: no struct-field vector dispatch " +
                             s"for $other — checkSupported drifted")

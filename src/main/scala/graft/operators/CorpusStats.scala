@@ -527,6 +527,11 @@ object CorpusStats {
     * sub-sliced path on small data). */
   val HotScoreRows: Long = 1L << 20
 
+  /** Driver bound for collecting the hot regime's per-score offsets
+    * table as a LocalRelation (≤ 64k (score, before, count) rows —
+    * ~2 MB); past it the offsets stay a DiskSnapshot. */
+  private[graft] val MaxLocalOffsetRows: Long = 1L << 16
+
   def bucketByRank(df: DataFrame, idCol: String, scoreCol: String,
                    nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, s"nBuckets=$nBuckets must be >= 2")
@@ -580,8 +585,12 @@ object CorpusStats {
     // max group size rides the same collect — it decides (for free)
     // whether any score value needs the sub-sliced within-score rank
     val sliceRows = gb.groupBy(col("__slc"))
-      .agg(sum(col("__c")).as("__t"), max(col("__c")).as("__m")).collect()
+      .agg(sum(col("__c")).as("__t"), max(col("__c")).as("__m"),
+        count(lit(1)).as("__g")).collect()
     val maxGroup = if (sliceRows.isEmpty) 0L else sliceRows.map(_.getLong(2)).max
+    // distinct-score count, riding the same collect: decides whether
+    // the hot regime's offsets table is driver-small enough to collect
+    val nScoreGroups = sliceRows.map(_.getLong(3)).sum
     val sliceTotals = sliceRows.map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
     // descending driver prefix: rows in strictly HIGHER slices (higher
     // slice id = higher score = earlier rank)
@@ -623,7 +632,18 @@ object CorpusStats {
         // cold join) — snapshot it so the distinct-score window prices
         // once, and use the SAME broadcast frame for both hot-side
         // joins so the exchange is reused rather than built twice.
-        val off = DiskSnapshot.diskCached(offsets)
+        // When the distinct-score table is driver-small (r20, the
+        // r19-queued item): collect it ONCE into a LocalRelation — the
+        // three consumers then read local rows instead of re-opening
+        // snapshot blocks, the snapshot materialization job and the
+        // broadcast-build jobs drop out, and the values are the exact
+        // same offsets rows (one window job computes them either way).
+        val off =
+          if (nScoreGroups <= MaxLocalOffsetRows) {
+            val rows = offsets.collect()
+            spark.createDataFrame(
+              java.util.Arrays.asList(rows: _*), offsets.schema)
+          } else DiskSnapshot.diskCached(offsets)
         val hotOff = broadcast(off.filter(col("__gc") > hotCap))
         val coldOff = off.filter(col("__gc") <= hotCap)
         val wCold = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
@@ -1181,8 +1201,11 @@ object CorpusStats {
       explode(TextFunctions.tokens(col(textCol))).as("token"))
     // ONE corpus-tokenizing pass, snapshotted (disk-only, lineage-
     // preserving, released below once the model materializes) — every
-    // statistic reads these blocks
-    val tc = DiskSnapshot.diskCachedEager(
+    // statistic reads these blocks. LAZY (r20): the first consumer is
+    // the rollup collect just below, a full pass over every partition,
+    // so the blocks are written inside that job and the dedicated
+    // materialization barrier drops out.
+    val tc = DiskSnapshot.diskCached(
       toks.groupBy(col("label"), col("token")).agg(count(lit(1)).as("__c")))
     // vocabulary size AND per-label token totals in ONE rollup pass
     // over the cached counts (the total row carries the global

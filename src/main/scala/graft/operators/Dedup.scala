@@ -695,7 +695,13 @@ object Dedup {
         transform(tokens(col(textCol)), t => xxhash64(t)), lit(n))).as("s"))
     // per-doc shingle counts are the SIZE of the (already-distinct)
     // kernel array — map-side, no groupBy(doc) Exchange (guide §2.4);
-    // rows with zero shingles never appeared in the exploded agg either
+    // rows with zero shingles never appeared in the exploded agg either.
+    // CONTRACT (r19 ADVICE): idCol must be UNIQUE per row — the former
+    // groupBy(doc) form would have combined duplicate-id rows, while
+    // this per-row projection emits one count row per input row (a
+    // duplicate id would fan the joins below out). Every corpus here
+    // carries a unique document id; the same contract holds for
+    // naiveBayesApply's per-doc token count.
     val counts = df.select(col(idCol).as("doc"),
         size(call_function("graft_ngram_hashes",
           transform(tokens(col(textCol)), t => xxhash64(t)), lit(n)))

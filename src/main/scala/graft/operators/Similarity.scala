@@ -517,19 +517,33 @@ object Similarity {
     // back-fill behavior wanted here.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(shards, 4))
+    // every shard's jobs carry one cancellable job group (r19 ADVICE):
+    // if any shard fails, the in-flight sibling shards' k-means jobs
+    // are cancelled instead of running on abandoned — pool.shutdown()
+    // alone never reached jobs already submitted to the scheduler
+    val sc = df.sparkSession.sparkContext
+    val groupId = s"graft-sharded-dedup-${java.util.UUID.randomUUID()}"
     val unionSurvivors = try {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
       val futs = (0 until shards).map { s =>
         scala.concurrent.Future {
-          semanticDedup(withShard.filter(col("__shard") === s).drop("__shard"),
+          // thread-local: label + group every job this shard submits
+          sc.setJobGroup(groupId, s"semanticDedupSharded shard $s",
+            interruptOnCancel = true)
+          try semanticDedup(withShard.filter(col("__shard") === s).drop("__shard"),
             idCol, vecCol, threshold, k, iters).select(col(idCol))
+          finally sc.clearJobGroup()
         }
       }
-      scala.concurrent.Await
+      try scala.concurrent.Await
         .result(scala.concurrent.Future.sequence(futs),
           scala.concurrent.duration.Duration.Inf)
         .reduce(_ unionByName _)
+      catch { case e: Throwable =>
+        try sc.cancelJobGroup(groupId) catch { case _: Throwable => () }
+        throw e
+      }
     } finally pool.shutdown()
     val merged = df.join(unionSurvivors, Seq(idCol), "left_semi")
     semanticDedup(merged, idCol, vecCol, threshold, k, iters)

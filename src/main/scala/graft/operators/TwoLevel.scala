@@ -150,7 +150,12 @@ object TwoLevel {
     // 0..n-1 contiguous per super — position-in-matrix == child id)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("super")).orderBy(xxhash64(col("__id")))
-    var children = DiskSnapshot.diskCachedEager(corpusS
+    // LAZY snapshots here and in the loop below (r20): each round's
+    // children table is consumed by the NEXT round's childMatsOf
+    // broadcast build (a full read), which writes the blocks inside
+    // its own job — the per-round dedicated materialization barriers
+    // drop out of the fit chain.
+    var children = DiskSnapshot.diskCached(corpusS
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= kChild)
       .select(col("super"), (col("__rk") - 1).as("child"),
@@ -184,7 +189,7 @@ object TwoLevel {
       // ContextCleaner then reaps the whole chain. The accumulation
       // is bounded at iters × k rows per fit — negligible even with
       // semanticDedupSharded calling fit once per shard
-      children = DiskSnapshot.diskCachedEager(children.as("o")
+      children = DiskSnapshot.diskCached(children.as("o")
         .join(newCtrs.as("nw"), Seq("super", "child"), "left")
         .select(col("super"), col("child"),
           coalesce(col("nw.ctr"), col("o.ctr")).as("ctr")))

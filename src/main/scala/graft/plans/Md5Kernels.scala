@@ -37,6 +37,23 @@ object Md5Kernels {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
 
+  /** Null-element guard (r19 ADVICE): every internal call site feeds
+    * split()-derived arrays (never null elements), but these kernels
+    * are session-registered SQL functions a user can call on any
+    * array<string> — a null element used to NPE inside
+    * MessageDigest.update mid-task. Reject by kernel name instead.
+    */
+  @inline private def requireNoNullTokens(tokens: ArrayData, fn: String): Unit = {
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) throw new IllegalArgumentException(
+        s"$fn: null element at index $i of the token array " +
+          "(null tokens are not supported — filter or coalesce them first)")
+      i += 1
+    }
+  }
+
   /** The shingle string's UTF-8 bytes: tokens[i..i+n) joined by a
     * single space — exactly concat_ws(" ", slice(w, i+1, n)) over a
     * split(text, " ") array (split never yields nulls, so concat_ws's
@@ -63,6 +80,7 @@ object Md5Kernels {
     */
   def minhashSig(tokens: ArrayData, n: Int, k: Int,
                  aVals: Array[Long], bVals: Array[Long], p: Long): ArrayData = {
+    requireNoNullTokens(tokens, "graft_md5_minhash_sig")
     val len = tokens.numElements()
     if (len < n) return null
     val toks = new Array[Array[Byte]](len)
@@ -91,6 +109,7 @@ object Md5Kernels {
     * byte q/2), identical to the conv(substring(md5hex)) decode.
     */
   def simhash64(tokens: ArrayData): Long = {
+    requireNoNullTokens(tokens, "graft_md5_simhash64")
     val votes = new Array[Int](64)
     val dig = md.get()
     val len = tokens.numElements()
@@ -126,6 +145,7 @@ object Md5Kernels {
     new GenericArrayData(bucketCountsRaw(tokens, dim))
 
   private def bucketCountsRaw(tokens: ArrayData, dim: Int): Array[Long] = {
+    requireNoNullTokens(tokens, "graft_md5_bucket_counts")
     val counts = new Array[Long](dim)
     val dig = md.get()
     val len = tokens.numElements()
@@ -144,6 +164,7 @@ object Md5Kernels {
     * map-side form of the (doc, gram) count aggregate the LM family
     * shuffled for. Empty when the row has < n tokens. */
   def gramCounts(tokens: ArrayData, n: Int): ArrayData = {
+    requireNoNullTokens(tokens, "graft_gram_counts")
     val len = tokens.numElements()
     if (len < n) return new GenericArrayData(new Array[Any](0))
     val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
@@ -214,6 +235,7 @@ object Md5Kernels {
     * rule of [[graft.operators.Dedup]]'s span family, lowercase hex
     * exactly like Spark's md5() expression. */
   def md5WindowHashes(tokens: ArrayData, w: Int): ArrayData = {
+    requireNoNullTokens(tokens, "graft_md5_window_hashes")
     val len = tokens.numElements()
     if (len < w) return new GenericArrayData(new Array[Any](0))
     val toks = new Array[Array[Byte]](len)
@@ -240,6 +262,7 @@ object Md5Kernels {
   /** xxhash64 twin of [[md5WindowHashes]]: Spark's xxhash64 (seed 42)
     * of the window string. */
   def xxWindowHashes(tokens: ArrayData, w: Int): ArrayData = {
+    requireNoNullTokens(tokens, "graft_xx_window_hashes")
     val len = tokens.numElements()
     if (len < w) return new GenericArrayData(new Array[Long](0))
     val toks = new Array[Array[Byte]](len)
@@ -277,6 +300,7 @@ object Md5Kernels {
     new GenericArrayData(bucketCountsXxRaw(tokens, dim))
 
   private def bucketCountsXxRaw(tokens: ArrayData, dim: Int): Array[Long] = {
+    requireNoNullTokens(tokens, "graft_xx_bucket_counts")
     val counts = new Array[Long](dim)
     val len = tokens.numElements()
     var t = 0
@@ -297,6 +321,7 @@ object Md5Kernels {
     * integers in doubles, matching Spark's sum-over-float promotion.
     */
   def signSumsXx(tokens: ArrayData, dim: Int): ArrayData = {
+    requireNoNullTokens(tokens, "graft_xx_sign_sums")
     val sums = new Array[Double](dim)
     val len = tokens.numElements()
     var t = 0
@@ -319,6 +344,7 @@ object Md5Kernels {
     * ±1.0 are exact integers in doubles, matching the aggregate form.
     */
   def signSums(tokens: ArrayData, dim: Int): ArrayData = {
+    requireNoNullTokens(tokens, "graft_md5_sign_sums")
     val sums = new Array[Double](dim)
     val dig = md.get()
     val len = tokens.numElements()
