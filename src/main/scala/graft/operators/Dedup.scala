@@ -680,9 +680,17 @@ object Dedup {
     * generators; the sorted list keeps expansion deterministic.
     * Columns: doc_a, doc_b, n_inter, n_a, n_b.
     */
-  private def shingleIntersections(df: DataFrame, idCol: String,
+  private def shingleIntersections(df0: DataFrame, idCol: String,
                                    textCol: String, n: Int): DataFrame = {
-    graft.plans.GraftExtensions.registerAll(df.sparkSession)
+    graft.plans.GraftExtensions.registerAll(df0.sparkSession)
+    // spread the one-split gate scan (r20, guide §2.5 input skew):
+    // all three consumers below re-run the tokenize+shingle kernel
+    // over the INPUT scan, and a gate-scale corpus arrives as ONE
+    // parquet split — without the spread every kernel pass runs on a
+    // single core. Conditional (partitions < cores), so a production
+    // corpus of many splits never takes the shuffle; the pair set is
+    // partitioning-independent.
+    val df = graft.Tables.spreadDf(df0)
     // three consumers (counts joined twice + the posting-list
     // intersection) RECOMPUTE the shingle kernel deliberately: it is
     // one codegen'd tokenize+xxhash pass, cheaper per consumer than
