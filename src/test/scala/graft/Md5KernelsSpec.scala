@@ -251,4 +251,70 @@ class Md5KernelsSpec extends SparkSpec {
         java.lang.Double.toString))).toSet
     assert(rows(kernel).nonEmpty && rows(kernel) == rows(agg))
   }
+
+  test("double-vector centroid kernels == the HOF folds they replaced (r20)") {
+    // round 20 moved the quantized Lloyd twins' assignment expressions
+    // onto graft_cell_dists / graft_nearest_cell / graft_dot_q with
+    // array<double> inputs — the kernels must be BIT-identical to the
+    // zip_with+aggregate forms (same left-to-right accumulation, same
+    // first-position-of-min tie-break), including on tie-heavy and
+    // irrational-valued vectors where summation order would show.
+    graft.plans.GraftExtensions.registerAll(spark)
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val vecs = (1L to 200L).map { i =>
+      (i, Seq.fill(16)(math.rint(rng.nextDouble() * 2048) - 1024.0))
+    } :+ (201L, Seq.fill(16)(0.0)) :+    // all-zero (ties to every
+      (202L, Seq.fill(16)(1.0 / 3.0))    // centroid at equal distance)
+    val df = vecs.toDF("id", "v")
+    val cents: Seq[Seq[Double]] =
+      Seq(Seq.fill(16)(0.0), Seq.fill(16)(0.0),   // duplicate centroid: tie
+        Seq.fill(16)(512.0), Seq.tabulate(16)(j => j * 100.0 / 7.0))
+    val centLit = typedlit[Seq[Seq[Double]]](cents)
+    val hofDists = transform(centLit, ct => aggregate(
+      zip_with(col("v"), ct, (x, y) => { val d = x - y; d * d }),
+      lit(0.0), (acc, x) => acc + x))
+    val hof = df.select(col("id"),
+      hofDists.as("ds"),
+      (array_position(hofDists, array_min(hofDists)) - 1).cast("int").as("cell"),
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("dot"))
+    val ker = df.select(col("id"),
+      call_function("graft_cell_dists", col("v"), centLit).as("ds"),
+      call_function("graft_nearest_cell", col("v"), centLit).as("cell"),
+      call_function("graft_dot_q", col("v"), col("v")).as("dot"))
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(r =>
+      (r.getLong(0),
+        r.getSeq[Double](1).map(java.lang.Double.toString),
+        r.getInt(2),
+        java.lang.Double.toString(r.getDouble(3)))).toSet
+    assert(rows(ker).nonEmpty && rows(ker) == rows(hof))
+  }
+
+  test("token kernels reject null array elements with a kernel-named error (r19 ADVICE)") {
+    graft.plans.GraftExtensions.registerAll(spark)
+    import spark.implicits._
+    val bad = Seq((1L, Seq("a", null, "b"))).toDF("id", "toks")
+    for (fn <- Seq("graft_md5_simhash64", "graft_md5_bucket_counts",
+        "graft_md5_sign_sums", "graft_xx_sign_sums", "graft_xx_bucket_counts")) {
+      val args: Seq[org.apache.spark.sql.Column] = fn match {
+        case "graft_md5_simhash64" => Seq(col("toks"))
+        case _ => Seq(col("toks"), lit(8))
+      }
+      val e = intercept[Exception] {
+        bad.select(call_function(fn, args: _*)).collect()
+      }
+      def m(t: Throwable): String =
+        Option(t.getMessage).getOrElse("") +
+          Option(t.getCause).map(m).getOrElse("")
+      assert(m(e).contains(fn) && m(e).contains("null element"), s"$fn: ${m(e)}")
+    }
+    val e2 = intercept[Exception] {
+      bad.select(call_function("graft_gram_counts", col("toks"), lit(2))).collect()
+    }
+    def m2(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(m2).getOrElse("")
+    assert(m2(e2).contains("graft_gram_counts"))
+  }
 }
